@@ -1,0 +1,935 @@
+"""Part-B relational operator pack (SURVEY.md §2 Part B).
+
+Each entry in ``REGISTRY`` maps a qkey → (Spark callable, DuckDB oracle SQL).
+The Spark side is the engine under test (DataFrame API, Catalyst-optimized);
+the SQL side is an independent ANSI-ish formulation DuckDB executes on the
+same parquet tables.  The driver compares row count + schema + an
+order-insensitive value hash, with columns sorted by name — so every computed
+column is aliased IDENTICALLY on both sides.
+
+Determinism conventions (the survey's "byte-identical goldens" stance,
+applied to floats):
+  * any aggregate over DOUBLE whose accumulation order differs between
+    engines is wrapped in round(x, 4) on BOTH sides;
+  * every ranking has a total-order tiebreak (unique key last);
+  * DuckDB's sum(INTEGER/BIGINT) returns HUGEINT → explicitly CAST to BIGINT
+    to match Spark's LongType;
+  * DuckDB log() is log10 (Spark's is ln) → oracle uses ln();
+  * DuckDB dayofweek() is 0=Sunday (Spark: 1=Sunday) → oracle adds 1;
+  * floor/ceil: Spark returns BIGINT, DuckDB DOUBLE → oracle CASTs.
+
+Scale notes are inline per query: which side broadcasts, where the shuffle
+lands, and why the plan survives 100x data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from caraspark.tables import load
+
+
+@dataclass(frozen=True)
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → driver does a rows-only check
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# B1 scans
+# ---------------------------------------------------------------------------
+
+
+@_q("scan_parquet", "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem")
+def scan_parquet(spark, sf):
+    # Pure metadata-count: Spark answers from parquet row-group stats; no
+    # column is materialized. At 100 TB this is a footer-only scan.
+    return load(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# B2 projection / filter
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "proj_basic",
+    """SELECT c_custkey,
+              upper(c_name)            AS name_u,
+              round(c_acctbal * 1.1, 4) AS bal_adj
+       FROM customer""",
+)
+def proj_basic(spark, sf):
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_u"),
+        F.round(F.col("c_acctbal") * 1.1, 4).alias("bal_adj"),
+    )
+
+
+@_q(
+    "filter_pred",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+       FROM lineitem
+       WHERE l_quantity BETWEEN 10 AND 20
+         AND l_returnflag IN ('A', 'R')
+         AND (l_discount < 0.05 OR l_tax > 0.03)
+         AND l_shipdate IS NOT NULL""",
+)
+def filter_pred(spark, sf):
+    # All four predicate forms compile to one parquet PushedFilters set;
+    # whole filter evaluates scan-side, nothing shuffles.
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & ((F.col("l_discount") < 0.05) | (F.col("l_tax") > 0.03))
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@_q(
+    "proj_case",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice >= 300000 THEN 'high'
+                   WHEN o_totalprice >= 100000 THEN 'mid'
+                   ELSE 'low' END AS bucket,
+              coalesce(o_orderpriority, 'NONE') AS prio
+       FROM orders""",
+)
+def proj_case(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("prio"),
+    )
+
+
+@_q(
+    "proj_nested",
+    """SELECT vec_id,
+              CAST(len(embedding) AS INT)      AS dim,
+              round(CAST(embedding[1] AS DOUBLE), 6) AS x0
+       FROM embeddings""",
+)
+def proj_nested(spark, sf):
+    e = load(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("x0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_broadcast",
+    """SELECT r_name,
+              CAST(count(*) AS BIGINT)      AS n_cust,
+              round(sum(c_acctbal), 4)      AS sum_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def join_broadcast(spark, sf):
+    # nation (25) and region (5) are broadcast — zero shuffle for the joins;
+    # the only exchange is the final 5-group agg. Holds at any fact size.
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+    )
+
+
+@_q(
+    "join_sortmerge",
+    """SELECT o_orderstatus,
+              CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l_quantity), 4) AS sum_qty
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderstatus""",
+)
+def join_sortmerge(spark, sf):
+    # Big x big equi-join: both sides hash-shuffle on orderkey (SMJ/SHJ by
+    # AQE). Partial aggregation happens map-side after the join.
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "join_outer",
+    """SELECT c_custkey,
+              CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+              round(coalesce(sum(o_totalprice), 0.0), 4) AS spend
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey""",
+)
+def join_outer(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("spend"),
+        )
+    )
+
+
+@_q(
+    "join_semi",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def join_semi(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@_q(
+    "join_anti",
+    """SELECT p_partkey, p_brand FROM part
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+)
+def join_anti(spark, sf):
+    # Same shape as the corpus dangling-reference check (SURVEY.md C21).
+    p = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+_BANDS = [(0.0, 10.0), (10.0, 50.0), (50.0, 200.0), (200.0, 1e9)]
+
+
+@_q(
+    "join_range",
+    """SELECT b.lo AS band_lo,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(e.value), 4)   AS sum_v
+       FROM events e
+       JOIN (VALUES (0.0, 10.0), (10.0, 50.0), (50.0, 200.0), (200.0, 1e9))
+            AS b(lo, hi)
+         ON e.value >= b.lo AND e.value < b.hi
+       GROUP BY b.lo""",
+)
+def join_range(spark, sf):
+    # Theta join against a 4-row bands table: Spark plans
+    # BroadcastNestedLoopJoin — fine because the build side is tiny and
+    # constant-size no matter how big events gets.
+    e = load(spark, sf, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double")
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy(F.col("lo").alias("band_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+    )
+
+
+@_q(
+    "join_asof",
+    """SELECT p_id, v_ts AS asof_ts, round(v_value, 4) AS asof_value
+       FROM (
+         SELECT p.event_id AS p_id, v.ts AS v_ts, v.value AS v_value,
+                row_number() OVER (PARTITION BY p.event_id
+                                   ORDER BY v.ts DESC, v.event_id DESC) AS rn
+         FROM events p
+         JOIN events v
+           ON v.user_id = p.user_id AND v.ts <= p.ts
+          AND v.event_type = 'view'
+         WHERE p.event_type = 'purchase'
+       ) WHERE rn = 1""",
+)
+def join_asof(spark, sf):
+    # As-of join: for each purchase, the latest at-or-before 'view' of the
+    # same user — equi-join on the key + range predicate, then row_number
+    # desc → rn=1. The shuffle is on user_id (the equi key), so the
+    # quadratic part is bounded per user; event_id breaks ts ties
+    # deterministically.
+    e = load(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    j = p.join(v, (v.v_user == p.p_user) & (v.v_ts <= p.p_ts))
+    w = W.partitionBy("p_id").orderBy(F.desc("v_ts"), F.desc("v_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_id",
+            F.col("v_ts").alias("asof_ts"),
+            F.round("v_value", 4).alias("asof_value"),
+        )
+    )
+
+
+@_q(
+    "join_interval",
+    """SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND a.ts < b.ts + INTERVAL 1 HOUR AND b.ts < a.ts + INTERVAL 1 HOUR
+       GROUP BY a.user_id""",
+)
+def join_interval(spark, sf):
+    # Interval-overlap self-join ([ts, ts+1h) per event), bucketed by the
+    # equi-key user_id so the quadratic blowup is bounded per user — the
+    # corpus version of the C19 overlap check.
+    e = load(spark, sf, "events")
+    a = e.select(
+        F.col("user_id"), F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (a.a_id < b.b_id)
+            & (a.a_ts < b.b_ts + hour)
+            & (b.b_ts < a.a_ts + hour),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@_q(
+    "join_cross",
+    """SELECT r_name, et AS event_type
+       FROM region CROSS JOIN (SELECT DISTINCT event_type AS et FROM events)""",
+)
+def join_cross(spark, sf):
+    r = load(spark, sf, "region")
+    et = load(spark, sf, "events").select(F.col("event_type").alias("et")).distinct()
+    return r.crossJoin(et).select("r_name", F.col("et").alias("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# B4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "agg_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4)                              AS sum_qty,
+              round(sum(l_extendedprice), 4)                         AS sum_base,
+              round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc,
+              round(avg(l_quantity), 4)                              AS avg_qty,
+              round(avg(l_discount), 4)                              AS avg_disc,
+              CAST(count(*) AS BIGINT)                               AS n
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_q1(spark, sf):
+    # TPC-H Q1 shape: scan-side filter (pushed to parquet), partial agg
+    # map-side, 6-group final — the canonical "shuffle carries only the
+    # aggregation state, never the rows" plan.
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "agg_distinct",
+    """SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_distinct(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_q("agg_approx", None)  # nondeterministic vs an exact oracle → rows-only
+def agg_approx(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@_q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT)  AS n,
+              round(sum(l_quantity), 4) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@_q(
+    "agg_collect",
+    """SELECT l_orderkey,
+              string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
+       FROM lineitem GROUP BY l_orderkey""",
+)
+def agg_collect(spark, sf):
+    # collect_list is order-nondeterministic under distribution →
+    # sort_array + join to a string makes it comparable (SURVEY.md §5.2-5).
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias("lines")
+    )
+
+
+@_q(
+    "agg_pctile",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+              round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_pctile(spark, sf):
+    # Exact interpolated percentile on both sides (Spark `percentile`,
+    # DuckDB `quantile_cont`). percentile_approx exists but is sketch-based
+    # → not oracle-comparable; the approx variant is agg_approx's job.
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+    )
+
+
+_EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+@_q(
+    "agg_pivot",
+    """SELECT user_id,
+              CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+              CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+       FROM events GROUP BY user_id""",
+)
+def agg_pivot(spark, sf):
+    # Explicit pivot values → no extra distinct-values job; single shuffle.
+    e = load(spark, sf, "events")
+    df = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in _EVENT_TYPES:
+        df = df.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return df.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+@_q(
+    "agg_udaf",
+    """SELECT label,
+              round(avg(sqrt(list_aggregate(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  'sum'))), 4) AS avg_norm,
+              CAST(count(*) AS BIGINT) AS n
+       FROM embeddings GROUP BY label""",
+)
+def agg_udaf(spark, sf):
+    # Custom vectorized UDAF (SURVEY.md U5/G8): mean L2 norm of the
+    # embedding vectors per label, computed in a GROUPED_AGG pandas UDF.
+    # Arrow ships each group's vectors as one batch; NumPy does the math.
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def mean_norm(v: pd.Series) -> float:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return float(np.sqrt((m * m).sum(axis=1)).mean())
+
+    e = load(spark, sf, "embeddings")
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() → two single-shuffle aggs joined on the
+    # (tiny, 10-row) group key.
+    norms = e.groupBy("label").agg(F.round(mean_norm("embedding"), 4).alias("avg_norm"))
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return norms.join(counts, "label").select("label", "avg_norm", "n")
+
+
+# ---------------------------------------------------------------------------
+# B5 windows
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "win_rank",
+    """SELECT c_custkey, c_nationkey,
+              CAST(row_number() OVER w AS INT) AS rn,
+              CAST(rank()       OVER w AS INT) AS rk,
+              CAST(dense_rank() OVER w AS INT) AS drk
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey)""",
+)
+def win_rank(spark, sf):
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@_q(
+    "win_lag",
+    """SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) AS BIGINT)
+            - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id))) AS BIGINT)
+              AS gap_s
+       FROM events""",
+)
+def win_lag(spark, sf):
+    # lag over per-user time order — the same shape as the C19 byte-hole
+    # detection window (lag(hi) vs lo).
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ → no direct long cast; go via session-TZ (UTC)
+    # timestamp, which preserves the wall clock.
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+    )
+
+
+@_q(
+    "win_running",
+    """SELECT o_orderkey, o_custkey,
+              round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND CURRENT ROW), 4)
+              AS running_spend
+       FROM orders""",
+)
+def win_running(spark, sf):
+    o = load(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+@_q(
+    "win_range",
+    """SELECT event_id, user_id,
+              CAST(count(*) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_last_hour
+       FROM events""",
+)
+def win_range(spark, sf):
+    # Value-range frame (sliding 1h window per user). Both engines order by
+    # integral epoch-seconds so the frame boundaries agree exactly.
+    e = load(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@_q(
+    "win_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 3""",
+)
+def win_topk(spark, sf):
+    o = load(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "sort_multi",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey""",
+)
+def sort_multi(spark, sf):
+    # Global multi-key sort → range-partitioned exchange (sampled bounds);
+    # the hash compare is order-insensitive, but the operator still runs.
+    o = load(spark, sf, "orders")
+    return o.select("o_orderkey", "o_orderpriority", "o_totalprice").orderBy(
+        F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+
+@_q(
+    "sort_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def sort_topk(spark, sf):
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row merge at the driver; never a global sort.
+    o = load(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "set_union",
+    """SELECT c_nationkey AS nk FROM customer
+       UNION
+       SELECT s_nationkey AS nk FROM supplier""",
+)
+def set_union(spark, sf):
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@_q(
+    "set_except",
+    """SELECT o_custkey AS ck FROM orders
+       EXCEPT
+       SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000""",
+)
+def set_except(spark, sf):
+    # Customers who ordered but never above 200k. subtract == SQL EXCEPT
+    # (distinct semantics); exceptAll would keep multiplicities.
+    o = load(spark, sf, "orders")
+    a = o.select(F.col("o_custkey").alias("ck"))
+    b = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("ck")
+    )
+    return a.subtract(b)
+
+
+@_q(
+    "set_intersect",
+    """SELECT c_nationkey AS nk FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nk FROM supplier""",
+)
+def set_intersect(spark, sf):
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# B7 scalar function families
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "fn_string",
+    """SELECT p_partkey,
+              lower(p_name)                                   AS name_l,
+              CAST(length(p_name) AS INT)                     AS name_len,
+              trim(substring(p_name, 1, 8))                   AS name_head,
+              split_part(p_name, ' ', 1)                      AS first_word,
+              concat_ws('|', p_brand, p_type)                 AS brand_type,
+              regexp_extract(p_name, '([a-z]+)', 1)           AS first_alpha,
+              regexp_replace(p_name, '[aeiou]', '', 'g')      AS no_vowels,
+              CAST(levenshtein(p_brand, 'Brand#00') AS INT)   AS lev,
+              (p_name LIKE '%a%')                             AS has_a
+       FROM part""",
+)
+def fn_string(spark, sf):
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_l"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.substring("p_name", 1, 8)).alias("name_head"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_alpha"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).alias("lev"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@_q(
+    "fn_date",
+    """SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+              CAST(year(o_orderdate)  AS INT)                  AS yr,
+              CAST(month(o_orderdate) AS INT)                  AS mo,
+              CAST(dayofweek(o_orderdate) + 1 AS INT)          AS dow,
+              CAST(hour(o_orderdate) AS INT)                   AS hr,
+              CAST(datediff('day', TIMESTAMP '2024-01-01 00:00:00',
+                            o_orderdate) AS INT)               AS days_since,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT)        AS epoch_s
+       FROM orders""",
+)
+def fn_date(spark, sf):
+    # DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday → oracle adds 1.
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.hour("o_orderdate").alias("hr"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+    )
+
+
+@_q(
+    "fn_math",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice, 1)                        AS px_r,
+              CAST(floor(l_extendedprice) AS BIGINT)           AS px_f,
+              CAST(ceil(l_extendedprice)  AS BIGINT)           AS px_c,
+              abs(l_discount - 0.05)                           AS d_abs,
+              round(sqrt(l_quantity), 6)                       AS q_sqrt,
+              round(ln(l_extendedprice + 1), 6)                AS px_ln,
+              round(exp(l_discount), 6)                        AS d_exp,
+              round(pow(l_quantity, 2), 4)                     AS q_sq,
+              CAST(sign(l_quantity - 25) AS DOUBLE)            AS q_sign
+       FROM lineitem""",
+)
+def fn_math(spark, sf):
+    # DuckDB log() is log10 → oracle uses ln() to match Spark's F.log.
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("px_r"),
+        F.floor("l_extendedprice").alias("px_f"),
+        F.ceil("l_extendedprice").alias("px_c"),
+        F.abs(F.col("l_discount") - 0.05).alias("d_abs"),
+        F.round(F.sqrt("l_quantity"), 6).alias("q_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("px_ln"),
+        F.round(F.exp("l_discount"), 6).alias("d_exp"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("q_sq"),
+        F.signum(F.col("l_quantity") - 25).alias("q_sign"),
+    )
+
+
+@_q(
+    "fn_array",
+    """SELECT vec_id,
+              CAST(len(embedding) AS INT) AS dim,
+              round(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE)), 'sum'), 4)  AS vsum,
+              round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
+              CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+       FROM embeddings""",
+)
+def fn_array(spark, sf):
+    e = load(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vsum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@_q(
+    "fn_dot",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_aggregate(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                    'sum'), 4) AS dot
+       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+)
+def fn_dot(spark, sf):
+    # Dot product entirely in JVM expressions: zip_with + aggregate — no
+    # Python in the loop, whole-stage-codegen'd.
+    e = load(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    prod = F.zip_with(
+        F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return (
+        a.join(b, b.id_b == a.id_a + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+                "dot"
+            ),
+        )
+    )
+
+
+@_q(
+    "fn_map",
+    """SELECT user_id,
+              string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+              CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+       FROM events GROUP BY user_id""",
+)
+def fn_map(spark, sf):
+    # Build a real MapType (map_from_entries) then demonstrate map_keys /
+    # element access; output flattened to strings for oracle comparison.
+    e = load(spark, sf, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.concat_ws(",", F.map_keys("type_counts")).alias("types_seen"),
+        F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
+    )
+
+
+@_q(
+    "fn_json",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+       FROM events""",
+)
+def fn_json(spark, sf):
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@_q(
+    "fn_hash",
+    """SELECT c_custkey,
+              md5(c_name)                         AS name_md5,
+              sha256(c_name)                      AS name_sha,
+              to_base64(encode(c_name))           AS name_b64
+       FROM customer""",
+)
+def fn_hash(spark, sf):
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.encode("c_name", "utf-8")).alias("name_md5"),
+        F.sha2(F.encode("c_name", "utf-8"), 256).alias("name_sha"),
+        F.base64(F.encode("c_name", "utf-8")).alias("name_b64"),
+    )

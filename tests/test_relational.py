@@ -1,0 +1,41 @@
+"""DuckDB-oracle parity for every registered qkey (the driver's gate, run
+locally at sf0.001 so the suite stays fast)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as ent
+from caraspark.oracle_compare import compare, duck_connection
+
+QUERIES = ent.queries()
+ORACLES = ent.oracle_sql()
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 35
+    assert set(ORACLES) <= set(QUERIES)
+    # the vast majority of operators must be hash-verified, not rows-only
+    assert len(ORACLES) >= 0.8 * len(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns  # stable schema
+
+
+@pytest.fixture(scope="module")
+def duck(sf_smoke):
+    return duck_connection(sf_smoke)
+
+
+@pytest.mark.parametrize("qkey", sorted(QUERIES))
+def test_oracle_parity(qkey, spark, duck, sf_smoke):
+    df = QUERIES[qkey](spark, sf_smoke)
+    if qkey not in ORACLES:
+        assert df.count() >= 0  # rows-only contract
+        return
+    ok, msg = compare(df, duck, ORACLES[qkey])
+    assert ok, f"{qkey}: {msg}"
