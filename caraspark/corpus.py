@@ -1,0 +1,88 @@
+"""documents_raw as a Spark DataFrame, generated ON THE EXECUTORS.
+
+``synth_df(spark, n)`` maps the synth recipes over ``spark.range`` with
+mapInArrow — the corpus is born distributed (no driver-side materialization,
+no collect), which is what lets the bench generate multi-GB inputs and the
+scaling runs stay driver-light.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from caraspark.schemas import DOCUMENTS_RAW
+
+_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string(), False),
+        pa.field("warc_ts", pa.timestamp("us"), True),
+        pa.field("html", pa.large_binary(), True),
+        pa.field("text", pa.string(), True),
+        pa.field("lang", pa.string(), True),
+    ]
+)
+
+
+def _gen(include_giant: bool):
+    def fn(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from caraspark.synth import HTML_RECIPES, PDF_RECIPES, LANGS, pdf_giant
+        import random
+        from datetime import datetime, timedelta
+
+        recipes = list(PDF_RECIPES.items()) + [
+            (k, None) for k in sorted(HTML_RECIPES)
+        ]
+        base_ts = datetime(2026, 1, 1)
+        for batch in it:
+            rows = []
+            for idx in batch.column("id").to_pylist():
+                rng = random.Random(f"42:{idx}")
+                name, fn_ = recipes[idx % len(recipes)]
+                blob = (
+                    HTML_RECIPES[name](rng) if fn_ is None else fn_()
+                )
+                if include_giant and idx > 0 and idx % 997 == 0:
+                    name, blob = "pdf_giant", pdf_giant(50_000)
+                rows.append(
+                    {
+                        "url": f"https://synth.example/{name}/{idx}",
+                        "warc_ts": base_ts + timedelta(seconds=idx * 37 % 2_592_000),
+                        "html": blob,
+                        "text": None,
+                        "lang": LANGS[idx % len(LANGS)],
+                    }
+                )
+                if len(rows) >= 64:
+                    yield pa.RecordBatch.from_pylist(rows, schema=_ARROW)
+                    rows = []
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=_ARROW)
+
+    return fn
+
+
+def synth_df(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    include_giant: bool = False,
+) -> DataFrame:
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rng = spark.range(0, n, 1, partitions)
+    return rng.mapInArrow(_gen(include_giant), DOCUMENTS_RAW)
+
+
+def sf_of(sf_dir: str) -> float:
+    """Parse the scale factor from a testdata dir name; default 0.01."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def corpus_rows_for_sf(sf_dir: str) -> int:
+    return {0.001: 128, 0.01: 384, 0.1: 1536}.get(sf_of(sf_dir), 256)

@@ -1,0 +1,171 @@
+"""Per-document entry point: parse → validate → type-check → extract
+(SURVEY.md C23 stats + C27 verdict/taxonomy; EP1 pipeline of §3.1).
+
+``process_document(blob)`` is the unit of work the Arrow batch UDF maps over
+``documents_raw.html``. It is total: any input bytes produce a result record,
+never an exception. Verdict semantics:
+
+  valid  — no error whose code is in FATAL_CODES (relaxed acceptance);
+  strict — zero recorded errors of any kind (caradoc's strict grammar +
+           full type check stance [LangSec16 §III–IV]).
+
+Errors are sorted by (pos, code, path, msg) — deterministic output under any
+partitioning (SURVEY.md §5.2-5 distribution invariance).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from caraspark.htmlengine import extract_html_text
+from caraspark.pdfengine.document import Document, load_document
+from caraspark.pdfengine.model import PdfError, Stream, canonical_json
+from caraspark.pdfengine.textextract import extract_text
+from caraspark.pdfengine.typecheck import check_types
+
+FATAL_CODES = frozenset(
+    {
+        "file.no_header",
+        "file.overlap",
+        "xref.no_startxref",
+        "xref.bad_startxref",
+        "xref.bad_table",
+        "xref.bad_subsection",
+        "xref.bad_entry",
+        "xref.bad_offset",
+        "xref.obj_mismatch",
+        "xref.prev_cycle",
+        "xref.bad_prev",
+        "xref.not_a_stream",
+        "xref.stream_bad_w",
+        "xref.missing_trailer",
+        "xref.bad_trailer",
+        "obj.bad_header",
+        "graph.cycle",
+        "graph.dangling_ref",
+        "graph.gen_mismatch",
+        "type.mismatch",
+        "type.missing_required",
+        "type.conflict",
+        "lex.int_overflow",
+        "resource.depth_limit",
+        "resource.too_many_objects",
+        "resource.decoded_too_large",
+        "cos.eof_in_object",
+        "objstm.missing_container",
+        "objstm.bad_header",
+        "html.decode_error",
+    }
+)
+
+
+@dataclass(slots=True)
+class ExtractResult:
+    kind: str  # 'pdf' | 'html'
+    text: bytes = b""
+    valid: bool = True
+    strict: bool = True
+    errors: list = field(default_factory=list)  # PdfError, sorted
+    version: str | None = None
+    n_objects: int = 0
+    n_updates: int = 0
+    n_streams: int = 0
+    n_holes: int = 0
+    bytes_in: int = 0
+    bytes_decoded: int = 0
+    parse_ms: float = 0.0
+    encrypted: bool = False
+    hybrid: bool = False
+    linearized: bool = False
+    type_assignments: dict = field(default_factory=dict)  # "num.gen" → type
+    objects_json: dict = field(default_factory=dict)  # "num.gen" → canonical
+
+    def errors_as_rows(self) -> list[dict]:
+        return [
+            {
+                "code": e.code,
+                "pos": e.pos,
+                "obj_num": e.obj[0] if e.obj else None,
+                "obj_gen": e.obj[1] if e.obj else None,
+                "path": e.path,
+                "msg": e.msg,
+            }
+            for e in self.errors
+        ]
+
+
+def is_pdf(blob: bytes) -> bool:
+    """Magic-byte routing per FIXTURES.md §2 (header may follow junk)."""
+    return b"%PDF-" in blob[:1024]
+
+
+def process_document(
+    blob: bytes,
+    strict: bool = True,
+    want_objects: bool = False,
+    max_objects: int = 100_000,
+) -> ExtractResult:
+    t0 = time.perf_counter()
+    if is_pdf(blob):
+        res = _process_pdf(blob, strict, want_objects, max_objects)
+    else:
+        res = _process_html(blob)
+    res.bytes_in = len(blob)
+    res.parse_ms = (time.perf_counter() - t0) * 1000.0
+    res.errors.sort(key=lambda e: e.sort_key())
+    res.valid = not any(e.code in FATAL_CODES for e in res.errors)
+    res.strict = not res.errors
+    return res
+
+
+def _process_pdf(blob, strict, want_objects, max_objects) -> ExtractResult:
+    doc: Document = load_document(blob, strict=strict, max_objects=max_objects)
+    errors = list(doc.errors)
+
+    tres = check_types(doc, strict=strict)
+    errors.extend(tres.errors)
+
+    text = extract_text(doc, errors)
+
+    n_streams = 0
+    bytes_decoded = 0
+    for obj in doc.objects.values():
+        if isinstance(obj, Stream):
+            n_streams += 1
+            if obj.decoded is not None:
+                bytes_decoded += len(obj.decoded)
+
+    res = ExtractResult(
+        kind="pdf",
+        text=text,
+        errors=errors,
+        version=doc.version,
+        n_objects=len(doc.objects),
+        n_updates=doc.n_updates,
+        n_streams=n_streams,
+        n_holes=doc.n_holes,
+        bytes_decoded=bytes_decoded,
+        encrypted=doc.encrypted,
+        hybrid=doc.hybrid,
+        linearized=doc.linearized,
+        type_assignments={
+            f"{k[0]}.{k[1]}": v for k, v in sorted(tres.assignments.items())
+        },
+    )
+    if want_objects:
+        res.objects_json = {
+            f"{k[0]}.{k[1]}": canonical_json(
+                o.d if isinstance(o, Stream) else o
+            )
+            for k, o in sorted(doc.objects.items())
+        }
+    return res
+
+
+def _process_html(blob) -> ExtractResult:
+    errors: list[PdfError] = []
+    text = extract_html_text(blob)
+    if not text:
+        errors.append(PdfError("html.no_content", pos=0))
+    return ExtractResult(kind="html", text=text, errors=errors)

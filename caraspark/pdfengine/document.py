@@ -1,0 +1,357 @@
+"""Document assembly: object fetch, object-stream explode, byte-interval
+map, reference graph + checks (SURVEY.md C8, C17, C19–C21).
+
+Capability parity: caradoc ``src/parser/fetchimpl.ml`` / ``fetchcomp.ml``
+(object resolution incl. compressed objects), ``src/parser/intervals.ml``
+(byte-coverage holes/overlaps) and the fetch recursion guards of
+``fetchcommon.ml`` [P]. All per-document, allocation-bounded, throw-free:
+every anomaly lands in the error taxonomy instead of an exception.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from caraspark.pdfengine.filters import decode_stream
+from caraspark.pdfengine.lexer import Lexer
+from caraspark.pdfengine.model import Name, PdfError, Ref, Stream
+from caraspark.pdfengine.parser import (
+    TokenStream,
+    parse_indirect_object,
+    parse_object,
+)
+from caraspark.pdfengine.xref import (
+    XrefEntry,
+    check_header,
+    locate_startxref,
+    walk_xref_chain,
+)
+
+MAX_OBJECTS = 100_000
+
+
+@dataclass(slots=True)
+class Document:
+    version: str | None = None
+    objects: dict = field(default_factory=dict)  # (num,gen) → DirectObject|Stream
+    xref_table: dict = field(default_factory=dict)  # num → XrefEntry
+    trailers: list = field(default_factory=list)  # newest first
+    errors: list = field(default_factory=list)
+    intervals: list = field(default_factory=list)  # (lo, hi, owner)
+    edges: list = field(default_factory=list)  # (src (num,gen)|None, dst, path)
+    n_updates: int = 0
+    hybrid: bool = False
+    linearized: bool = False
+    encrypted: bool = False
+    n_holes: int = 0
+    hole_bytes: int = 0
+
+    @property
+    def trailer(self) -> dict:
+        return self.trailers[0] if self.trailers else {}
+
+
+def load_document(
+    data: bytes,
+    strict: bool = False,
+    max_objects: int = MAX_OBJECTS,
+) -> Document:
+    doc = Document()
+    errors = doc.errors
+
+    version, hdr_off = check_header(data, errors, strict)
+    doc.version = version
+    # claim the header line (and any leading junk — it is reported as
+    # file.junk_before_header already, not double-counted as a hole), plus
+    # the conventional binary-marker comment line that may follow
+    hdr_end = data.find(b"\n", hdr_off)
+    hdr_end = hdr_off + 8 if hdr_end == -1 else hdr_end + 1
+    if data[hdr_end : hdr_end + 1] == b"%":
+        nl = data.find(b"\n", hdr_end)
+        if nl != -1:
+            hdr_end = nl + 1
+    doc.intervals.append((0, hdr_end, "header"))
+
+    start = locate_startxref(data, errors)
+    if start is None:
+        return doc
+    table, trailers, hybrid = walk_xref_chain(
+        data, start, errors, strict, intervals=doc.intervals
+    )
+    doc.xref_table = table
+    doc.trailers = trailers
+    doc.hybrid = hybrid
+    doc.n_updates = len(trailers)
+    if trailers and "Encrypt" in trailers[0]:
+        doc.encrypted = True
+
+    # --- resolve /Length indirections without recursing through the world:
+    # a Length target is a bare integer object, parsed on demand, memoized.
+    _len_memo: dict[int, int | None] = {}
+
+    def resolve_length(ref: Ref) -> int | None:
+        if ref.num in _len_memo:
+            return _len_memo[ref.num]
+        e = table.get(ref.num)
+        v = None
+        if e is not None and e.kind == "inuse" and 0 <= e.offset < len(data):
+            r = parse_indirect_object(data, e.offset, [], strict=False)
+            if r is not None and isinstance(r[2], int):
+                v = r[2]
+        _len_memo[ref.num] = v
+        return v
+
+    # --- fetch every in-use object (C8)
+    inuse = [e for e in table.values() if e.kind == "inuse"]
+    if len(inuse) > max_objects:
+        errors.append(PdfError("resource.too_many_objects", msg=str(len(inuse))))
+        inuse = inuse[:max_objects]
+    for e in sorted(inuse, key=lambda x: x.offset):
+        if not (0 <= e.offset < len(data)):
+            errors.append(
+                PdfError("xref.bad_offset", pos=e.offset, obj=(e.num, e.gen))
+            )
+            continue
+        r = parse_indirect_object(
+            data,
+            e.offset,
+            errors,
+            strict=strict,
+            resolve_length=resolve_length,
+            expected=(e.num, e.gen),
+        )
+        if r is None:
+            errors.append(
+                PdfError("xref.bad_offset", pos=e.offset, obj=(e.num, e.gen))
+            )
+            continue
+        num, gen, obj, end = r
+        doc.objects[(e.num, e.gen)] = obj
+        doc.intervals.append((e.offset, end, f"obj:{e.num}.{e.gen}"))
+
+    # --- explode object streams (C17) [PDF17 §7.5.7]
+    comp = [e for e in table.values() if e.kind == "compressed"]
+    by_container: dict[int, list[XrefEntry]] = {}
+    for e in comp:
+        by_container.setdefault(e.objstm, []).append(e)
+    for stm_num, members in sorted(by_container.items()):
+        _explode_objstm(doc, data, stm_num, members, errors, strict)
+
+    # --- decode remaining stream payloads (C13–C16)
+    def stream_resolver(ref: Ref):
+        return doc.objects.get((ref.num, ref.gen))
+
+    for key, obj in doc.objects.items():
+        if isinstance(obj, Stream) and obj.decoded is None:
+            obj.decoded = decode_stream(
+                obj.raw, obj.d, errors, objkey=key, resolver=stream_resolver
+            )
+
+    # --- linearization flag: first object carrying /Linearized
+    for key in sorted(doc.objects):
+        o = doc.objects[key]
+        d = o.d if isinstance(o, Stream) else o
+        if isinstance(d, dict) and "Linearized" in d:
+            doc.linearized = True
+            break
+
+    _interval_check(doc, data, errors)
+    _build_graph(doc, errors)
+    return doc
+
+
+def _explode_objstm(
+    doc: Document,
+    data: bytes,
+    stm_num: int,
+    members: list[XrefEntry],
+    errors: list,
+    strict: bool,
+) -> None:
+    container = doc.objects.get((stm_num, 0))
+    if not isinstance(container, Stream):
+        errors.append(PdfError("objstm.missing_container", obj=(stm_num, 0)))
+        return
+    d = container.d
+    if d.get("Type") != Name("ObjStm"):
+        errors.append(PdfError("objstm.bad_type", obj=(stm_num, 0)))
+    payload = container.decoded
+    if payload is None:
+        payload = decode_stream(container.raw, d, errors, objkey=(stm_num, 0))
+        container.decoded = payload
+    if payload is None:
+        return
+    n, first = d.get("N"), d.get("First")
+    if not isinstance(n, int) or not isinstance(first, int) or n < 0 or first < 0:
+        errors.append(PdfError("objstm.bad_header", obj=(stm_num, 0)))
+        return
+
+    # header: N pairs of "objnum offset" relative to /First
+    lx = Lexer(payload, 0, end=min(first, len(payload)), errors=errors)
+    ts = TokenStream(lx)
+    pairs: list[tuple[int, int]] = []
+    for _ in range(n):
+        t1, t2 = ts.next(), ts.next()
+        if t1[0] != "int" or t2[0] != "int":
+            errors.append(PdfError("objstm.bad_pair", obj=(stm_num, 0)))
+            break
+        pairs.append((t1[1], t2[1]))
+
+    wanted = {e.num: e for e in members}
+    for i, (onum, ooff) in enumerate(pairs):
+        at = first + ooff
+        if at >= len(payload):
+            errors.append(PdfError("objstm.bad_offset", obj=(onum, 0)))
+            continue
+        olx = Lexer(payload, at, errors=errors)
+        obj = parse_object(TokenStream(olx), errors, strict=strict)
+        if isinstance(obj, Stream):  # embedded objects may not be streams
+            errors.append(PdfError("objstm.stream_inside", obj=(onum, 0)))
+            continue
+        e = wanted.get(onum)
+        if e is not None and e.idx != i and strict:
+            errors.append(PdfError("objstm.index_mismatch", obj=(onum, 0)))
+        # xref may reference only a subset; expose exactly what xref names,
+        # but tolerate (relaxed) the container defining extras
+        if e is not None or not strict:
+            doc.objects[(onum, 0)] = obj
+
+
+def _interval_check(doc: Document, data: bytes, errors: list) -> None:
+    """C19: byte-coverage — overlapping owners are an error; non-whitespace
+    unclaimed gaps are holes (pure EOL padding between constructs isn't)."""
+    ivs = sorted(i for i in doc.intervals if i[0] < i[1])
+    prev_hi = 0
+    holes = 0
+    hole_bytes = 0
+
+    def is_hole(lo: int, hi: int) -> bool:
+        return bool(data[lo:hi].strip(b"\x00\t\n\x0c\r "))
+
+    for lo, hi, owner in ivs:
+        if lo < prev_hi:
+            errors.append(PdfError("file.overlap", pos=lo, msg=owner))
+        elif lo > prev_hi and is_hole(prev_hi, lo):
+            holes += 1
+            hole_bytes += lo - prev_hi
+        prev_hi = max(prev_hi, hi)
+    if prev_hi < len(data) and is_hole(prev_hi, len(data)):
+        holes += 1
+        hole_bytes += len(data) - prev_hi
+    doc.n_holes = holes
+    doc.hole_bytes = hole_bytes
+
+
+def _walk_refs(obj, path: str, out: list) -> None:
+    """Collect (path, Ref) pairs from a DirectObject tree, iteratively."""
+    stack = [(obj, path)]
+    while stack:
+        o, p = stack.pop()
+        if isinstance(o, Ref):
+            out.append((p, o))
+        elif isinstance(o, list):
+            for i in range(len(o) - 1, -1, -1):
+                stack.append((o[i], f"{p}[{i}]"))
+        elif isinstance(o, dict):
+            for k in sorted(o, reverse=True):
+                stack.append((o[k], f"{p}/{k}"))
+
+
+def _build_graph(doc: Document, errors: list) -> None:
+    """C20/C21: edges, dangling refs, reachability, page-tree cycles."""
+    edges = doc.edges
+    for key, obj in doc.objects.items():
+        body = obj.d if isinstance(obj, Stream) else obj
+        refs: list = []
+        _walk_refs(body, "", refs)
+        for path, ref in refs:
+            edges.append((key, (ref.num, ref.gen), path))
+    trailer_refs: list = []
+    _walk_refs(doc.trailer, "trailer", trailer_refs)
+    for path, ref in trailer_refs:
+        edges.append((None, (ref.num, ref.gen), path))
+
+    # dangling: target missing or free (C21) — the anti-join shape
+    known = set(doc.objects)
+    for src, dst, path in edges:
+        if dst not in known:
+            e = doc.xref_table.get(dst[0])
+            code = (
+                "graph.gen_mismatch"
+                if (e is not None and e.kind == "inuse" and e.gen != dst[1])
+                else "graph.dangling_ref"
+            )
+            errors.append(PdfError(code, obj=dst, path=path))
+
+    # reachability from the trailer root (BFS). Structural objects — xref
+    # streams, object-stream containers, the linearization dict — are
+    # reachable by construction, not through the object graph.
+    adj: dict = {}
+    for src, dst, _ in edges:
+        adj.setdefault(src, []).append(dst)
+    seen: set = set()
+    frontier = [d for d in adj.get(None, []) if d in known]
+    for key, o in doc.objects.items():
+        d = o.d if isinstance(o, Stream) else o
+        if isinstance(d, dict) and (
+            d.get("Type") in (Name("XRef"), Name("ObjStm"))
+            or "Linearized" in d
+        ):
+            frontier.append(key)
+    while frontier:
+        nxt = []
+        for k in frontier:
+            if k in seen:
+                continue
+            seen.add(k)
+            for d in adj.get(k, []):
+                if d in known and d not in seen:
+                    nxt.append(d)
+        frontier = nxt
+    for key in sorted(known - seen):
+        errors.append(PdfError("graph.unreachable", obj=key))
+
+    # page-tree acyclicity via /Kids (C21): DFS with an on-path set
+    root = doc.trailer.get("Root")
+    if isinstance(root, Ref):
+        cat = doc.objects.get((root.num, root.gen))
+        cat = cat.d if isinstance(cat, Stream) else cat
+        pages = cat.get("Pages") if isinstance(cat, dict) else None
+        if isinstance(pages, Ref):
+            _check_page_tree(doc, (pages.num, pages.gen), errors)
+
+
+def _check_page_tree(doc: Document, start: tuple, errors: list) -> None:
+    on_path: set = set()
+    done: set = set()
+
+    stack: list = [(start, iter([start]))]
+    # iterative DFS: (node, child-iterator)
+    def kids_of(key):
+        o = doc.objects.get(key)
+        o = o.d if isinstance(o, Stream) else o
+        if not isinstance(o, dict):
+            return []
+        kids = o.get("Kids")
+        if not isinstance(kids, list):
+            return []
+        return [(k.num, k.gen) for k in kids if isinstance(k, Ref)]
+
+    stack = [(start, 0, kids_of(start))]
+    on_path.add(start)
+    while stack:
+        node, i, kids = stack[-1]
+        if i >= len(kids):
+            stack.pop()
+            on_path.discard(node)
+            done.add(node)
+            continue
+        stack[-1] = (node, i + 1, kids)
+        child = kids[i]
+        if child in on_path:
+            errors.append(PdfError("graph.cycle", obj=child, path="/Kids"))
+            continue
+        if child in done or child not in doc.objects:
+            continue
+        on_path.add(child)
+        stack.append((child, 0, kids_of(child)))

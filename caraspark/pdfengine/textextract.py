@@ -1,0 +1,206 @@
+"""PDF text extraction (SURVEY.md C26 — the north_rule flagship invariant).
+
+Caradoc itself stops at stream/object extraction (``caradoc extract`` /
+``object --decode`` [P?]); full text assembly is the extension mandated by
+BASELINE.json:north_rule. The layout rules below are therefore OUR frozen
+specification — implemented twice (here, and independently in ``oracle/``)
+and compared byte-for-byte:
+
+  SPEC (deterministic, total):
+  * pages are visited in page-tree order (Kids arrays, depth-first,
+    cycle-guarded); each page's /Contents streams are decoded and
+    concatenated with a single b"\\n" between them;
+  * inside a content stream, only text operators matter:
+      BT        begins a text object; no output
+      Tj <str>  show string             → append decoded bytes
+      '  <str>  next-line + show        → newline, then append
+      "  a c s  word/char spacing + show→ newline, then append
+      TJ <arr>  strings appended in order; a numeric kern element
+                v <= -180 (thousandths of text space) → one space
+      Td/TD/T*/Tm → line break (newline), emitted only if the current
+                line is non-empty
+      ET        ends the text object → newline if current line non-empty
+  * string decoding: bytes starting with FE FF → UTF-16BE (BOM dropped),
+    else PDFDocEncoding (Annex D) → unicode; output is UTF-8;
+  * page texts are joined with b"\\x0c" (form feed); a document with no
+    extractable text yields b"".
+
+Everything here is per-document pure compute — it runs inside the Arrow
+batch UDF with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from caraspark.pdfengine.lexer import Lexer
+from caraspark.pdfengine.model import Name, PdfError, Ref, Stream
+from caraspark.pdfengine.parser import TokenStream, parse_object
+
+KERN_SPACE_THRESHOLD = -180  # thousandths of text-space units
+
+# PDFDocEncoding (ISO 32000-1 Annex D.3): latin-1 except 0x18–0x1F and
+# 0x80–0x9F, which map to typographic code points.
+_PDFDOC_HIGH = {
+    0x18: 0x02D8, 0x19: 0x02C7, 0x1A: 0x02C6, 0x1B: 0x02D9,
+    0x1C: 0x02DD, 0x1D: 0x02DB, 0x1E: 0x02DA, 0x1F: 0x02DC,
+    0x80: 0x2022, 0x81: 0x2020, 0x82: 0x2021, 0x83: 0x2026,
+    0x84: 0x2014, 0x85: 0x2013, 0x86: 0x0192, 0x87: 0x2044,
+    0x88: 0x2039, 0x89: 0x203A, 0x8A: 0x2212, 0x8B: 0x2030,
+    0x8C: 0x201E, 0x8D: 0x201C, 0x8E: 0x201D, 0x8F: 0x2018,
+    0x90: 0x2019, 0x91: 0x201A, 0x92: 0x2122, 0x93: 0xFB01,
+    0x94: 0xFB02, 0x95: 0x0141, 0x96: 0x0152, 0x97: 0x0160,
+    0x98: 0x0178, 0x99: 0x017D, 0x9A: 0x0131, 0x9B: 0x0142,
+    0x9C: 0x0153, 0x9D: 0x0161, 0x9E: 0x017E, 0xA0: 0x20AC,
+}
+_PDFDOC_TABLE = {
+    i: chr(_PDFDOC_HIGH.get(i, i)) for i in range(256)
+}
+
+
+def decode_pdf_string(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":
+        try:
+            return b[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b[2:].decode("utf-16-be", "replace")
+    return "".join(_PDFDOC_TABLE[c] for c in b)
+
+
+def _page_order(doc) -> list[tuple[int, int]]:
+    """Page keys in tree order (DFS over Kids, cycle-guarded)."""
+    root = doc.trailer.get("Root")
+    if not isinstance(root, Ref):
+        return []
+    cat = doc.objects.get((root.num, root.gen))
+    cat = cat.d if isinstance(cat, Stream) else cat
+    if not isinstance(cat, dict):
+        return []
+    pages_ref = cat.get("Pages")
+    if not isinstance(pages_ref, Ref):
+        return []
+    out: list[tuple[int, int]] = []
+    seen: set = set()
+    stack = [(pages_ref.num, pages_ref.gen)]
+    while stack:
+        key = stack.pop()
+        if key in seen:
+            continue
+        seen.add(key)
+        node = doc.objects.get(key)
+        node = node.d if isinstance(node, Stream) else node
+        if not isinstance(node, dict):
+            continue
+        t = node.get("Type")
+        if isinstance(t, Name) and t.v == "Page":
+            out.append(key)
+            continue
+        kids = node.get("Kids")
+        if isinstance(kids, list):
+            for k in reversed(kids):
+                if isinstance(k, Ref):
+                    stack.append((k.num, k.gen))
+    return out
+
+
+def _content_bytes(doc, page_key, errors) -> bytes:
+    node = doc.objects.get(page_key)
+    node = node.d if isinstance(node, Stream) else node
+    contents = node.get("Contents")
+    if isinstance(contents, Ref):
+        contents = doc.objects.get((contents.num, contents.gen))
+    parts: list[bytes] = []
+    items = contents if isinstance(contents, list) else [contents]
+    for it in items:
+        if isinstance(it, Ref):
+            it = doc.objects.get((it.num, it.gen))
+        if isinstance(it, Stream):
+            if it.decoded is not None:
+                parts.append(it.decoded)
+            else:
+                errors.append(
+                    PdfError("extract.content_undecoded", obj=page_key)
+                )
+        elif it is not None:
+            errors.append(PdfError("extract.bad_contents", obj=page_key))
+    return b"\n".join(parts)
+
+
+def extract_page_text(content: bytes, errors: list) -> str:
+    """Run the text-operator machine over one page's content bytes."""
+    lx = Lexer(content, errors=[])  # content-stream lex errors are not
+    ts = TokenStream(lx)            # document-validity errors
+    operands: list = []
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def newline():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def show(v):
+        if isinstance(v, bytes):
+            cur.append(decode_pdf_string(v))
+
+    while True:
+        tok = ts.next()
+        kind, v, _ = tok
+        if kind == "eof":
+            break
+        if kind in ("int", "real", "str", "hexstr", "name"):
+            if kind == "real":
+                operands.append(float(v))
+            elif kind == "name":
+                operands.append(Name(v))
+            else:
+                operands.append(v)
+            continue
+        if kind == "[":
+            ts.push_back(tok)
+            arr = parse_object(ts, [], strict=False)
+            operands.append(arr if isinstance(arr, list) else [])
+            continue
+        if kind == "<<":
+            ts.push_back(tok)
+            d = parse_object(ts, [], strict=False)
+            operands.append(d if isinstance(d, dict) else {})
+            continue
+        if kind in ("]", ">>", "{", "}"):
+            operands.clear()
+            continue
+        # kind == 'kw' → operator
+        op = v
+        if op == "Tj" and operands:
+            show(operands[-1])
+        elif op == "'" and operands:
+            newline()
+            show(operands[-1])
+        elif op == '"' and operands:
+            newline()
+            show(operands[-1])
+        elif op == "TJ" and operands and isinstance(operands[-1], list):
+            for el in operands[-1]:
+                if isinstance(el, bytes):
+                    cur.append(decode_pdf_string(el))
+                elif isinstance(el, (int, float)) and el <= KERN_SPACE_THRESHOLD:
+                    cur.append(" ")
+        elif op in ("Td", "TD", "T*", "Tm"):
+            newline()
+        elif op in ("ET", "BT"):
+            newline()
+        operands.clear()
+
+    newline()
+    return "\n".join(lines)
+
+
+def extract_text(doc, errors: list) -> bytes:
+    """Whole-document extracted text per the SPEC above → UTF-8 bytes."""
+    pages = _page_order(doc)
+    page_texts: list[str] = []
+    for pk in pages:
+        content = _content_bytes(doc, pk, errors)
+        page_texts.append(extract_page_text(content, errors))
+    txt = "\x0c".join(page_texts)
+    if not txt.strip("\x0c\n"):
+        return b""
+    return txt.encode("utf-8")

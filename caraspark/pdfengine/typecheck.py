@@ -1,0 +1,418 @@
+"""Document-structure type checker (SURVEY.md C22; LangSec16 §IV).
+
+Capability parity: caradoc ``src/type/typechecker.ml`` + its declarative
+type-definition corpus ``src/type/*.ml`` [P]. Same algebra, re-expressed as
+Python data: primitives, class types (dict schemas with required/optional
+typed entries), homogeneous arrays, tuples, unions, exact-name constants,
+and implicit reference-following. A worklist BFS starts at the trailer
+(/Root → catalog, /Info → info), propagates expected types through
+references, records per-object assignments, and reports
+``type.mismatch`` / ``type.missing_required`` / ``type.unknown_entry`` /
+``type.conflict`` with entry paths — the error taxonomy of north_rule.
+
+The typedef table is data, not code: coverage grows by adding rows
+(caradoc's own strategy — its type corpus is ~2k LoC of definitions).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from caraspark.pdfengine.model import Name, PdfError, Real, Ref, Stream
+
+# --- type expression forms -------------------------------------------------
+
+
+@dataclass(frozen=True, slots=True)
+class Prim:
+    kind: str  # bool int number string name null any dict array stream
+
+
+@dataclass(frozen=True, slots=True)
+class Exact:
+    name: str  # a /Name constant, e.g. Exact("Catalog")
+
+
+@dataclass(frozen=True, slots=True)
+class ArrayOf:
+    elem: object
+
+
+@dataclass(frozen=True, slots=True)
+class Tuple:
+    elems: tuple
+
+
+@dataclass(frozen=True, slots=True)
+class OneOf:
+    alts: tuple
+
+
+@dataclass(frozen=True, slots=True)
+class Class:
+    name: str  # key into TYPEDEFS
+
+
+@dataclass(frozen=True, slots=True)
+class Entry:
+    t: object
+    required: bool = False
+
+
+@dataclass(frozen=True, slots=True)
+class ClassDef:
+    entries: dict  # key → Entry
+    closed: bool = False  # strict: unknown entries are errors
+    is_stream: bool = False
+
+
+ANY = Prim("any")
+INT = Prim("int")
+NUMBER = Prim("number")
+BOOL = Prim("bool")
+STRING = Prim("string")
+NAME = Prim("name")
+DICT = Prim("dict")
+ARRAY = Prim("array")
+STREAM = Prim("stream")
+
+RECT = Tuple((NUMBER, NUMBER, NUMBER, NUMBER))
+
+TYPEDEFS: dict[str, ClassDef] = {
+    "catalog": ClassDef(
+        {
+            "Type": Entry(Exact("Catalog"), required=True),
+            "Pages": Entry(Class("pages"), required=True),
+            "Outlines": Entry(Class("outlines")),
+            "Names": Entry(DICT),
+            "Dests": Entry(DICT),
+            "Metadata": Entry(STREAM),
+            "PageLabels": Entry(DICT),
+            "ViewerPreferences": Entry(DICT),
+            "PageLayout": Entry(NAME),
+            "PageMode": Entry(NAME),
+            "OpenAction": Entry(OneOf((ARRAY, DICT))),
+            "AcroForm": Entry(DICT),
+            "Lang": Entry(STRING),
+            "Version": Entry(NAME),
+            "StructTreeRoot": Entry(DICT),
+            "MarkInfo": Entry(DICT),
+            "OutputIntents": Entry(ARRAY),
+            "URI": Entry(DICT),
+        }
+    ),
+    "pages": ClassDef(
+        {
+            "Type": Entry(Exact("Pages"), required=True),
+            "Kids": Entry(ArrayOf(OneOf((Class("pages"), Class("page")))), required=True),
+            "Count": Entry(INT, required=True),
+            "Parent": Entry(DICT),
+            "Resources": Entry(Class("resources")),
+            "MediaBox": Entry(RECT),
+            "CropBox": Entry(RECT),
+            "Rotate": Entry(INT),
+        }
+    ),
+    "page": ClassDef(
+        {
+            "Type": Entry(Exact("Page"), required=True),
+            "Parent": Entry(DICT, required=True),
+            "Contents": Entry(OneOf((STREAM, ArrayOf(STREAM)))),
+            "Resources": Entry(Class("resources")),
+            "MediaBox": Entry(RECT),
+            "CropBox": Entry(RECT),
+            "Rotate": Entry(INT),
+            "Annots": Entry(ArrayOf(Class("annot"))),
+            "Group": Entry(DICT),
+            "Thumb": Entry(STREAM),
+            "LastModified": Entry(STRING),
+            "StructParents": Entry(INT),
+        }
+    ),
+    "resources": ClassDef(
+        {
+            "Font": Entry(DICT),
+            "XObject": Entry(DICT),
+            "ExtGState": Entry(DICT),
+            "ColorSpace": Entry(DICT),
+            "Pattern": Entry(DICT),
+            "Shading": Entry(DICT),
+            "ProcSet": Entry(ArrayOf(NAME)),
+            "Properties": Entry(DICT),
+        }
+    ),
+    "annot": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(NAME, required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "A": Entry(DICT),
+            "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
+            "StructParent": Entry(INT),
+        }
+    ),
+    "font": ClassDef(
+        {
+            "Type": Entry(Exact("Font"), required=True),
+            "Subtype": Entry(NAME, required=True),
+            "BaseFont": Entry(NAME),
+            "FirstChar": Entry(INT),
+            "LastChar": Entry(INT),
+            "Widths": Entry(ArrayOf(NUMBER)),
+            "FontDescriptor": Entry(DICT),
+            "Encoding": Entry(OneOf((NAME, DICT))),
+            "ToUnicode": Entry(STREAM),
+            "Name": Entry(NAME),
+            "DescendantFonts": Entry(ARRAY),
+            "CIDSystemInfo": Entry(DICT),
+        }
+    ),
+    "outlines": ClassDef(
+        {
+            "Type": Entry(Exact("Outlines")),
+            "First": Entry(Class("outline_item")),
+            "Last": Entry(Class("outline_item")),
+            "Count": Entry(INT),
+        }
+    ),
+    "outline_item": ClassDef(
+        {
+            "Title": Entry(STRING, required=True),
+            "Parent": Entry(DICT, required=True),
+            "Prev": Entry(Class("outline_item")),
+            "Next": Entry(Class("outline_item")),
+            "First": Entry(Class("outline_item")),
+            "Last": Entry(Class("outline_item")),
+            "Count": Entry(INT),
+            "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
+            "A": Entry(DICT),
+        }
+    ),
+    "info": ClassDef(
+        {
+            "Title": Entry(STRING),
+            "Author": Entry(STRING),
+            "Subject": Entry(STRING),
+            "Keywords": Entry(STRING),
+            "Creator": Entry(STRING),
+            "Producer": Entry(STRING),
+            "CreationDate": Entry(STRING),
+            "ModDate": Entry(STRING),
+            "Trapped": Entry(NAME),
+        }
+    ),
+}
+
+
+@dataclass(slots=True)
+class TypeResult:
+    assignments: dict = dc_field(default_factory=dict)  # (num,gen) → class name
+    errors: list = dc_field(default_factory=list)
+    strict_ok: bool = True
+
+
+def _matches_prim(v, kind: str, doc) -> bool:
+    if kind == "any":
+        return True
+    if kind == "bool":
+        return isinstance(v, bool)
+    if kind == "int":
+        return isinstance(v, int) and not isinstance(v, bool)
+    if kind == "number":
+        return (isinstance(v, int) and not isinstance(v, bool)) or isinstance(v, Real)
+    if kind == "string":
+        return isinstance(v, bytes)
+    if kind == "name":
+        return isinstance(v, Name)
+    if kind == "null":
+        return v is None
+    if kind == "dict":
+        return isinstance(v, (dict, Stream))
+    if kind == "array":
+        return isinstance(v, list)
+    if kind == "stream":
+        return isinstance(v, Stream)
+    return False
+
+
+def check_types(doc, strict: bool = False) -> TypeResult:
+    """Worklist BFS from the trailer; see module docstring."""
+    res = TypeResult()
+    worklist: list[tuple[tuple[int, int], object, str]] = []
+    enqueued: set[tuple[tuple[int, int], str]] = set()
+
+    def enqueue(key, texpr, path):
+        tag = (key, _texpr_tag(texpr))
+        if tag not in enqueued:
+            enqueued.add(tag)
+            worklist.append((key, texpr, path))
+
+    def err(code, path, objkey=None, msg=""):
+        res.errors.append(PdfError(code, obj=objkey, path=path, msg=msg))
+        res.strict_ok = False
+
+    def check_value(v, texpr, path, objkey):
+        if isinstance(v, Ref):
+            enqueue((v.num, v.gen), texpr, path)
+            return
+        if isinstance(texpr, Prim):
+            if not _matches_prim(v, texpr.kind, doc):
+                err("type.mismatch", path, objkey, f"expected {texpr.kind}")
+            return
+        if isinstance(texpr, Exact):
+            if not (isinstance(v, Name) and v.v == texpr.name):
+                err("type.mismatch", path, objkey, f"expected /{texpr.name}")
+            return
+        if isinstance(texpr, ArrayOf):
+            if not isinstance(v, list):
+                err("type.mismatch", path, objkey, "expected array")
+                return
+            for i, x in enumerate(v):
+                check_value(x, texpr.elem, f"{path}[{i}]", objkey)
+            return
+        if isinstance(texpr, Tuple):
+            if not isinstance(v, list) or len(v) != len(texpr.elems):
+                err("type.mismatch", path, objkey, f"expected {len(texpr.elems)}-tuple")
+                return
+            for i, (x, t) in enumerate(zip(v, texpr.elems)):
+                check_value(x, t, f"{path}[{i}]", objkey)
+            return
+        if isinstance(texpr, OneOf):
+            # structural probe picks the alternative; then a full check of
+            # the winner runs (class entries, assignments, nested types)
+            for alt in texpr.alts:
+                sub = TypeResult()
+                if _try_match(v, alt, doc, sub, enqueue, path, objkey):
+                    check_value(v, alt, path, objkey)
+                    return
+            err("type.mismatch", path, objkey, "no union alternative matched")
+            return
+        if isinstance(texpr, Class):
+            check_class(v, texpr.name, path, objkey)
+            return
+        err("type.internal", path, objkey, repr(texpr))
+
+    def check_class(v, cls_name, path, objkey):
+        cd = TYPEDEFS[cls_name]
+        body = v.d if isinstance(v, Stream) else v
+        if not isinstance(body, dict):
+            err("type.mismatch", path, objkey, f"expected {cls_name} dict")
+            return
+        # record the assignment when v is the root of an indirect object
+        if objkey is not None and doc.objects.get(objkey) is v:
+            prev = res.assignments.get(objkey)
+            if prev is None:
+                res.assignments[objkey] = cls_name
+            elif prev != cls_name and not _class_compatible(prev, cls_name):
+                err("type.conflict", path, objkey, f"{prev} vs {cls_name}")
+                return
+        if cd.is_stream and not isinstance(v, Stream):
+            err("type.mismatch", path, objkey, f"{cls_name} must be a stream")
+        for k, entry in cd.entries.items():
+            if k in body:
+                check_value(body[k], entry.t, f"{path}/{k}", objkey)
+            elif entry.required:
+                err("type.missing_required", f"{path}/{k}", objkey, cls_name)
+        if strict and cd.closed:
+            for k in body:
+                if k not in cd.entries:
+                    err("type.unknown_entry", f"{path}/{k}", objkey, cls_name)
+
+    # seed from the trailer (the virtual root, as in caradoc's checker)
+    trailer = doc.trailer
+    root = trailer.get("Root")
+    if isinstance(root, Ref):
+        enqueue((root.num, root.gen), Class("catalog"), "trailer/Root")
+    else:
+        err("type.missing_required", "trailer/Root", None, "catalog")
+    info = trailer.get("Info")
+    if isinstance(info, Ref):
+        enqueue((info.num, info.gen), Class("info"), "trailer/Info")
+
+    # drain
+    guard = 0
+    while worklist and guard < 1_000_000:
+        guard += 1
+        key, texpr, path = worklist.pop(0)
+        obj = doc.objects.get(key)
+        if obj is None:
+            # dangling refs are already reported by the graph pass
+            continue
+        if isinstance(texpr, Class):
+            prev = res.assignments.get(key)
+            if prev is not None and prev != texpr.name:
+                # two referrers disagree — caradoc intersects; we report
+                if not _class_compatible(prev, texpr.name):
+                    err("type.conflict", path, key, f"{prev} vs {texpr.name}")
+                continue
+            res.assignments[key] = texpr.name
+        check_value(obj, texpr, path, key)
+
+    return res
+
+
+_PAGE_FAMILY = {("pages", "page"), ("page", "pages")}
+
+
+def _class_compatible(a: str, b: str) -> bool:
+    return (a, b) in _PAGE_FAMILY
+
+
+def _texpr_tag(t) -> str:
+    return repr(t)
+
+
+def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
+    """Non-reporting structural probe used by OneOf."""
+    if isinstance(v, Ref):
+        # can't see through without committing; accept and enqueue the
+        # strongest alternative (class/stream propagate, prims don't)
+        if isinstance(texpr, (Class, Prim)):
+            enqueue((v.num, v.gen), texpr, path)
+            return True
+        return False
+    if isinstance(texpr, Prim):
+        return _matches_prim(v, texpr.kind, doc)
+    if isinstance(texpr, Exact):
+        return isinstance(v, Name) and v.v == texpr.name
+    if isinstance(texpr, ArrayOf):
+        if not isinstance(v, list):
+            return False
+        return all(
+            _try_match(x, texpr.elem, doc, sub, enqueue, f"{path}[{i}]", objkey)
+            for i, x in enumerate(v)
+        )
+    if isinstance(texpr, Tuple):
+        return (
+            isinstance(v, list)
+            and len(v) == len(texpr.elems)
+            and all(
+                _try_match(x, t, doc, sub, enqueue, f"{path}[{i}]", objkey)
+                for i, (x, t) in enumerate(zip(v, texpr.elems))
+            )
+        )
+    if isinstance(texpr, OneOf):
+        return any(
+            _try_match(v, a, doc, sub, enqueue, path, objkey) for a in texpr.alts
+        )
+    if isinstance(texpr, Class):
+        body = v.d if isinstance(v, Stream) else v
+        if not isinstance(body, dict):
+            return False
+        cd = TYPEDEFS[texpr.name]
+        ty = body.get("Type")
+        want = cd.entries.get("Type")
+        if want and isinstance(want.t, Exact):
+            if not (isinstance(ty, Name) and ty.v == want.t.name):
+                return False
+        return True
+    return False

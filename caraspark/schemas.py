@@ -1,0 +1,88 @@
+"""Every explicit schema in one place (SURVEY.md §1.1: never inferred —
+schema drift breaks byte-identical goldens)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# input corpus (BASELINE.json:input_hint)
+DOCUMENTS_RAW = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampNTZType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+ERROR_STRUCT = T.StructType(
+    [
+        T.StructField("code", T.StringType(), False),
+        T.StructField("pos", T.LongType(), True),
+        T.StructField("obj_num", T.IntegerType(), True),
+        T.StructField("obj_gen", T.IntegerType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("msg", T.StringType(), True),
+    ]
+)
+
+# primary output (SURVEY.md §1.3) — the invariant surface
+EXTRACTED = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampNTZType(), True),
+        T.StructField("text", T.BinaryType(), True),  # byte-exact payload
+        T.StructField(
+            "verdict",
+            T.StructType(
+                [
+                    T.StructField("valid", T.BooleanType(), False),
+                    T.StructField("strict", T.BooleanType(), False),
+                ]
+            ),
+            False,
+        ),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("errors", T.ArrayType(ERROR_STRUCT), False),
+        T.StructField(
+            "metrics",
+            T.StructType(
+                [
+                    T.StructField("n_objects", T.IntegerType(), False),
+                    T.StructField("n_updates", T.IntegerType(), False),
+                    T.StructField("n_streams", T.IntegerType(), False),
+                    T.StructField("n_holes", T.IntegerType(), False),
+                    T.StructField("bytes_in", T.LongType(), False),
+                    T.StructField("bytes_decoded", T.LongType(), False),
+                    T.StructField("parse_ms", T.DoubleType(), False),
+                ]
+            ),
+            False,
+        ),
+        T.StructField(
+            "flags",
+            T.StructType(
+                [
+                    T.StructField("encrypted", T.BooleanType(), False),
+                    T.StructField("hybrid", T.BooleanType(), False),
+                    T.StructField("linearized", T.BooleanType(), False),
+                ]
+            ),
+            False,
+        ),
+        T.StructField("version", T.StringType(), True),
+        T.StructField(
+            "lineage",
+            T.StructType(
+                [
+                    T.StructField("partition_id", T.IntegerType(), False),
+                    T.StructField("salt", T.IntegerType(), False),
+                    T.StructField("attempt", T.IntegerType(), False),
+                    T.StructField("snapshot", T.StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)

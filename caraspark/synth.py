@@ -1,0 +1,593 @@
+"""Deterministic synthetic document corpus (FIXTURES.md §3).
+
+Generates the ``documents_raw(url, warc_ts, html BINARY, text, lang)`` table
+of BASELINE.json:input_hint at any row count, seed-stable (seed 42, no
+external data): every url maps to exactly one recipe + size variant, so
+goldens are reproducible bit-for-bit forever.
+
+PDF recipes are assembled byte-by-byte here (never via the engine's own
+serializer — that would make round-trip tests circular). Mirrors caradoc's
+crafted-corpus strategy: one valid baseline plus one-deviation-each invalid
+variants (``ref:test_files/`` [P?], SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from datetime import datetime, timedelta
+
+# ---------------------------------------------------------------------------
+# low-level classic-xref assembler
+# ---------------------------------------------------------------------------
+
+
+def _assemble(
+    bodies: dict[int, bytes],
+    trailer_extra: bytes = b"",
+    header: bytes = b"%PDF-1.4\n",
+    junk_before: bytes = b"",
+    junk_between: bytes = b"",
+    offset_tweak: dict[int, int] | None = None,
+    root: int = 1,
+    prev_chain_self: bool = False,
+) -> bytes:
+    """Assemble object bodies (num → ``N 0 obj…endobj`` payload bytes) with a
+    classic xref table; offsets computed, optionally perturbed."""
+    out = bytearray(junk_before + header)
+    offsets: dict[int, int] = {}
+    for num in sorted(bodies):
+        if junk_between and num > min(bodies):
+            out += junk_between
+        offsets[num] = len(out)
+        out += bodies[num]
+    xref_off = len(out)
+    maxnum = max(bodies) if bodies else 0
+    out += b"xref\n"
+    out += f"0 {maxnum + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        if num in offsets:
+            off = offsets[num] + (offset_tweak or {}).get(num, 0)
+            out += f"{off:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 00000 f \n"
+    prev = f" /Prev {xref_off}".encode() if prev_chain_self else b""
+    out += (
+        b"trailer\n<< /Size "
+        + str(maxnum + 1).encode()
+        + b" /Root "
+        + str(root).encode()
+        + b" 0 R"
+        + trailer_extra
+        + prev
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def _stream_obj(num: int, d: bytes, payload: bytes, length: int | None = None) -> bytes:
+    n = len(payload) if length is None else length
+    return (
+        f"{num} 0 obj\n<< {d.decode()} /Length {n} >>\nstream\n".encode()
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+
+
+def _base_objects(content: bytes, content_filters: bytes = b"") -> dict[int, bytes]:
+    return {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+        ),
+        4: _stream_obj(4, content_filters, content),
+    }
+
+
+CONTENT_HELLO = b"BT (Hello World) Tj ET"
+
+
+# ---------------------------------------------------------------------------
+# encoders used to craft filtered fixtures (independent of engine decoders)
+# ---------------------------------------------------------------------------
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 127 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def _ahx_encode(data: bytes) -> bytes:
+    return data.hex().encode() + b">"
+
+
+def _png_predict(data: bytes, columns: int, tag: int) -> bytes:
+    """Apply a PNG row filter (encoder side) so the engine can undo it."""
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    if len(rows[-1]) < columns:
+        rows[-1] = rows[-1] + b"\x00" * (columns - len(rows[-1]))
+    out = bytearray()
+    prev = b"\x00" * columns
+    for row in rows:
+        out.append(tag)
+        if tag == 0:
+            out += row
+        elif tag == 1:  # Sub
+            out += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(columns))
+        elif tag == 2:  # Up
+            out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        elif tag == 3:  # Average
+            enc = bytearray()
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                enc.append((row[i] - ((left + prev[i]) >> 1)) & 0xFF)
+            out += enc
+        elif tag == 4:  # Paeth
+            enc = bytearray()
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[i] - pr) & 0xFF)
+            out += enc
+        prev = row
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PDF recipes
+# ---------------------------------------------------------------------------
+
+
+def pdf_minimal() -> bytes:
+    return _assemble(_base_objects(CONTENT_HELLO))
+
+
+def pdf_text_ops() -> bytes:
+    utf16 = "Zürich — naïve".encode("utf-16-be")
+    content = (
+        b"BT\n"
+        b"/F1 12 Tf\n"
+        b"10 700 Td (First line) Tj\n"
+        b"0 -14 TD (Second line) Tj\n"
+        b"T* (Third line) Tj\n"
+        b"1 0 0 1 10 640 Tm (Fourth via Tm) Tj\n"
+        b"(Fifth via quote) '\n"
+        b'2 3 (Sixth via dquote) "\n'
+        b"[(Kerned) -250 (words) -50 (tight)] TJ\n"
+        b"0 -14 Td (\\376\\377" + _oct(utf16) + b") Tj\n"
+        b"0 -14 Td (Escapes: \\(paren\\) \\\\ tab\\t nl) Tj\n"
+        b"ET"
+    )
+    return _assemble(_base_objects(content))
+
+
+def _oct(b: bytes) -> bytes:
+    return "".join(f"\\{c:03o}" for c in b).encode()
+
+
+def pdf_flate() -> bytes:
+    return _assemble(
+        _base_objects(zlib.compress(CONTENT_HELLO), b"/Filter /FlateDecode")
+    )
+
+
+def pdf_flate_pred(tag: int = 2) -> bytes:
+    cols = 8
+    pred = 10 + tag
+    filtered = _png_predict(CONTENT_HELLO, cols, tag)
+    return _assemble(
+        _base_objects(
+            zlib.compress(filtered),
+            f"/Filter /FlateDecode /DecodeParms << /Predictor {pred} "
+            f"/Columns {cols} >>".encode(),
+        )
+    )
+
+
+def pdf_ahx() -> bytes:
+    return _assemble(
+        _base_objects(_ahx_encode(CONTENT_HELLO), b"/Filter /ASCIIHexDecode")
+    )
+
+
+def pdf_a85() -> bytes:
+    return _assemble(
+        _base_objects(_a85_encode(CONTENT_HELLO), b"/Filter /ASCII85Decode")
+    )
+
+
+def pdf_rle() -> bytes:
+    content = b"BT (Hellooooooo     RLE) Tj ET"
+    return _assemble(
+        _base_objects(_rle_encode(content), b"/Filter /RunLengthDecode")
+    )
+
+
+def pdf_chain() -> bytes:
+    # Flate then AHx on top → decode order [AHx, Flate]
+    payload = _ahx_encode(zlib.compress(CONTENT_HELLO))
+    return _assemble(
+        _base_objects(payload, b"/Filter [/ASCIIHexDecode /FlateDecode]")
+    )
+
+
+def _xref_stream_pdf(objstm: bool = False) -> bytes:
+    """PDF 1.5 file whose xref is a stream (W [1 2 1]); optionally the
+    catalog+pages live compressed inside an /ObjStm."""
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def put(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(body)
+
+    if objstm:
+        inner = b"<< /Type /Catalog /Pages 2 0 R >>"
+        inner2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+        hdr = f"1 0 2 {len(inner) + 1}".encode()
+        payload = hdr + b"\n" + inner + b"\n" + inner2
+        put(
+            6,
+            _stream_obj(
+                6,
+                f"/Type /ObjStm /N 2 /First {len(hdr) + 1}".encode(),
+                payload,
+            ),
+        )
+    else:
+        put(1, _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+        put(2, _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    put(
+        3,
+        _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+        ),
+    )
+    put(4, _stream_obj(4, b"", CONTENT_HELLO))
+
+    xref_num = 5
+    xref_off = len(out)
+
+    def row(t: int, b2: int, c: int) -> bytes:
+        return bytes([t]) + b2.to_bytes(2, "big") + bytes([c])
+
+    rows = [row(0, 0, 255)]  # obj 0: free
+    if objstm:
+        rows += [row(2, 6, 0), row(2, 6, 1)]  # 1, 2 compressed in 6
+    else:
+        rows += [row(1, offsets[1], 0), row(1, offsets[2], 0)]
+    rows += [row(1, offsets[3], 0), row(1, offsets[4], 0), row(1, xref_off, 0)]
+    if objstm:
+        rows.append(row(1, offsets[6], 0))
+    size = 7 if objstm else 6
+    body = b"".join(rows)
+    d = (
+        f"/Type /XRef /Size {size} /W [1 2 1] /Index [0 {size}] "
+        f"/Root 1 0 R".encode()
+    )
+    put(xref_num, _stream_obj(xref_num, d, body))
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
+def pdf_xrefstream() -> bytes:
+    return _xref_stream_pdf(objstm=False)
+
+
+def pdf_objstm() -> bytes:
+    return _xref_stream_pdf(objstm=True)
+
+
+def pdf_updated() -> bytes:
+    base = _assemble(_base_objects(CONTENT_HELLO))
+    prev_xref = base.rfind(b"\nxref\n") + 1  # not the `startxref` keyword
+    out = bytearray(base)
+    new4 = _stream_obj(4, b"", b"BT (Hello Update) Tj ET")
+    off4 = len(out)
+    out += new4
+    xref_off = len(out)
+    out += (
+        b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+        + f"{off4:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 5 /Root 1 0 R /Prev "
+        + str(prev_xref).encode()
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def pdf_hybrid() -> bytes:
+    """Classic xref marks the content object free; /XRefStm reveals it."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    bodies = _base_objects(CONTENT_HELLO)
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += bodies[num]
+    # xref stream revealing object 4 (and itself, 5)
+    stm_off = len(out)
+
+    def row(t, b2, c):
+        return bytes([t]) + b2.to_bytes(2, "big") + bytes([c])
+
+    body = row(1, offsets[4], 0) + row(1, stm_off, 0)
+    d = b"/Type /XRef /Size 6 /W [1 2 1] /Index [4 2] /Root 1 0 R"
+    out += _stream_obj(5, d, body)
+    xref_off = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += b"0000000000 00000 f \n"  # object 4 hidden from classic readers
+    out += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /XRefStm "
+        + str(stm_off).encode()
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def pdf_linearized() -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[5] = _obj(5, b"<< /Linearized 1 /L 1234 /N 1 /O 1 /T 999 >>")
+    return _assemble(bodies)
+
+
+def pdf_bad_xref_offset() -> bytes:
+    return _assemble(_base_objects(CONTENT_HELLO), offset_tweak={3: 7})
+
+
+def pdf_len_mismatch() -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[4] = _stream_obj(4, b"", CONTENT_HELLO, length=len(CONTENT_HELLO) + 3)
+    return _assemble(bodies)
+
+
+def pdf_dangling_ref() -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [9 0 R] >>",
+    )
+    return _assemble(bodies)
+
+
+def pdf_pages_cycle() -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[2] = _obj(2, b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>")
+    bodies[5] = _obj(5, b"<< /Type /Pages /Kids [2 0 R] /Parent 2 0 R /Count 1 >>")
+    return _assemble(bodies)
+
+
+def pdf_overlap() -> bytes:
+    """Object 5's xref entry points inside object 4's stream payload."""
+    inner = b"5 0 obj\n<< /Marker true >>\nendobj\n"
+    content = CONTENT_HELLO + b"\n% padding\n" + inner
+    bodies = _base_objects(content)
+    bodies[5] = b""  # declares number 5 in the xref; offset patched below
+    blob = _assemble(bodies, offset_tweak={5: 0})
+    at = blob.find(inner)
+    assert at != -1
+    # patch object 5's xref row (6th row: after free-0 and rows 1–4) to
+    # point inside object 4's stream payload
+    row = f"{at:010d} 00000 n \n".encode()
+    idx = blob.rfind(b"\nxref\n") + 1
+    head = blob.find(b"\n", blob.find(b"0 6", idx)) + 1
+    entry5 = head + 20 * 5
+    return blob[:entry5] + row + blob[entry5 + 20 :]
+
+
+def pdf_holes() -> bytes:
+    return _assemble(
+        _base_objects(CONTENT_HELLO), junk_between=b"% stray bytes not owned\n"
+    )
+
+
+def pdf_type_err() -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[1] = _obj(1, b"<< /Type /NotCatalog >>")
+    return _assemble(bodies)
+
+
+def pdf_junk_header() -> bytes:
+    return _assemble(_base_objects(CONTENT_HELLO), junk_before=b"GARBAGE!!\n")
+
+
+def pdf_prev_loop() -> bytes:
+    return _assemble(_base_objects(CONTENT_HELLO), prev_chain_self=True)
+
+
+def pdf_int_overflow() -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[5] = _obj(5, b"<< /Big 99999999999999999999 >>")
+    return _assemble(bodies)
+
+
+def pdf_deep_nest(depth: int = 10_000) -> bytes:
+    bodies = _base_objects(CONTENT_HELLO)
+    bodies[5] = _obj(5, b"[" * depth + b"]" * depth)
+    return _assemble(bodies)
+
+
+def pdf_giant(n_lines: int = 200_000) -> bytes:
+    """A big (multi-MB) but valid document — the skew fixture."""
+    content = b"BT\n" + b"".join(
+        b"0 -12 Td (line %06d of a very long page) Tj\n" % i
+        for i in range(n_lines)
+    ) + b"ET"
+    return _assemble(_base_objects(zlib.compress(content), b"/Filter /FlateDecode"))
+
+
+PDF_RECIPES = {
+    "pdf_minimal": pdf_minimal,
+    "pdf_text_ops": pdf_text_ops,
+    "pdf_flate": pdf_flate,
+    "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
+    "pdf_flate_pred_up": lambda: pdf_flate_pred(2),
+    "pdf_flate_pred_avg": lambda: pdf_flate_pred(3),
+    "pdf_flate_pred_paeth": lambda: pdf_flate_pred(4),
+    "pdf_ahx": pdf_ahx,
+    "pdf_a85": pdf_a85,
+    "pdf_rle": pdf_rle,
+    "pdf_chain": pdf_chain,
+    "pdf_xrefstream": pdf_xrefstream,
+    "pdf_objstm": pdf_objstm,
+    "pdf_updated": pdf_updated,
+    "pdf_hybrid": pdf_hybrid,
+    "pdf_linearized": pdf_linearized,
+    "pdf_bad_xref_offset": pdf_bad_xref_offset,
+    "pdf_len_mismatch": pdf_len_mismatch,
+    "pdf_dangling_ref": pdf_dangling_ref,
+    "pdf_pages_cycle": pdf_pages_cycle,
+    "pdf_overlap": pdf_overlap,
+    "pdf_holes": pdf_holes,
+    "pdf_type_err": pdf_type_err,
+    "pdf_junk_header": pdf_junk_header,
+    "pdf_prev_loop": pdf_prev_loop,
+    "pdf_int_overflow": pdf_int_overflow,
+    "pdf_deep_nest": lambda: pdf_deep_nest(2000),
+}
+
+# ---------------------------------------------------------------------------
+# HTML recipes
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "spark arrow batch column parquet shuffle partition salt skew executor "
+    "catalyst codegen predicate pushdown broadcast window rollup lineage "
+    "snapshot manifest verdict taxonomy extraction boilerplate density"
+).split()
+
+
+def _para(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n)).capitalize() + "."
+
+
+def html_article(rng: random.Random) -> bytes:
+    paras = "\n".join(
+        f"<p>{_para(rng, 25 + rng.randrange(30))}</p>" for _ in range(4 + rng.randrange(4))
+    )
+    return (
+        "<html><head><title>skip me</title><style>p{color:red}</style></head>"
+        "<body><nav><a href='/'>Home</a><a href='/x'>X</a></nav>"
+        "<header><h1>Site Banner</h1></header>"
+        f"<main><article><h2>{_para(rng, 5)}</h2>{paras}</article></main>"
+        "<aside><a href='/ad'>Buy now</a> sponsored</aside>"
+        "<footer>© 2026 corp</footer>"
+        "<script>var x=1;</script></body></html>"
+    ).encode()
+
+
+def html_linkfarm(rng: random.Random) -> bytes:
+    links = "".join(
+        f"<a href='/{i}'>{rng.choice(_WORDS)} {rng.choice(_WORDS)}</a> "
+        for i in range(30)
+    )
+    body = f"<p>{_para(rng, 40)}</p>"
+    return (
+        f"<html><body><div>{links}</div>{body}<div>{links}</div></body></html>"
+    ).encode()
+
+
+def html_entities(rng: random.Random) -> bytes:
+    return (
+        "<html><body><p>Caf&eacute; cr&egrave;me &amp; &#8220;quotes&#8221; "
+        "&lt;tags&gt; — ünïcodé 漢字</p>"
+        f"<p>{_para(rng, 20)}</p></body></html>"
+    ).encode("utf-8")
+
+
+def html_malformed(rng: random.Random) -> bytes:
+    return (
+        f"<html><body><p>{_para(rng, 15)}<div>unclosed "
+        f"<b>bold<i>nested {_para(rng, 10)}</div><p>{_para(rng, 12)}"
+        "<table><tr><td>cell</body>"
+    ).encode()
+
+
+def html_empty(rng: random.Random) -> bytes:
+    return (
+        "<html><head><title>nothing</title></head><body>"
+        "<nav><a href='/'>only</a><a href='/nav'>links</a></nav>"
+        "<script>nope()</script></body></html>"
+    ).encode()
+
+
+HTML_RECIPES = {
+    "html_article": html_article,
+    "html_linkfarm": html_linkfarm,
+    "html_entities": html_entities,
+    "html_malformed": html_malformed,
+    "html_empty": html_empty,
+}
+
+LANGS = ["en", "es", "zh", "de", "fr"]
+
+
+def corpus_rows(n_docs: int, seed: int = 42, include_giant: bool = False):
+    """Yield (url, warc_ts, html, text, lang) rows, seed-deterministic.
+
+    ``text`` is NULL (as in prod); the expected extraction lives in the
+    goldens, not the input. Recipes cycle; sizes vary via the rng.
+    """
+    recipes = list(PDF_RECIPES.items()) + [
+        (k, None) for k in sorted(HTML_RECIPES)
+    ]
+    base_ts = datetime(2026, 1, 1)
+    for i in range(n_docs):
+        rng = random.Random(f"{seed}:{i}")
+        name, fn = recipes[i % len(recipes)]
+        if fn is None:
+            blob = HTML_RECIPES[name](rng)
+        else:
+            blob = fn()
+        if include_giant and i > 0 and i % 997 == 0:
+            name, blob = "pdf_giant", pdf_giant(50_000)
+        url = f"https://synth.example/{name}/{i}"
+        ts = base_ts + timedelta(seconds=i * 37 % 2_592_000)
+        yield (url, ts, blob, None, LANGS[i % len(LANGS)])

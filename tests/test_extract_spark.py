@@ -1,0 +1,98 @@
+"""Spark-boundary tests for the extraction pipeline (SURVEY.md §5.2-5):
+byte-identity through Arrow, and distribution invariance — identical results
+regardless of partitioning."""
+
+from __future__ import annotations
+
+import pathlib
+import random
+
+import pytest
+
+from caraspark.corpus import synth_df
+from caraspark.extract import extract
+from caraspark.synth import HTML_RECIPES, PDF_RECIPES
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+N_DOCS = 64
+
+
+@pytest.fixture(scope="module")
+def extracted_rows(spark):
+    df = extract(synth_df(spark, N_DOCS, partitions=8), num_partitions=8)
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == N_DOCS
+    return rows
+
+
+def test_spark_matches_goldens(extracted_rows):
+    """Every url's text through the full Spark pipeline == expected bytes:
+    committed golden for PDFs (seed-free recipes); seed-matched local engine
+    output for HTML (recipes vary with the per-doc rng)."""
+    from caraspark.pdfengine import process_document
+
+    checked = 0
+    for url, row in extracted_rows.items():
+        recipe = url.split("/")[-2]
+        if recipe in HTML_RECIPES:
+            idx = int(url.rsplit("/", 1)[1])
+            blob = HTML_RECIPES[recipe](random.Random(f"42:{idx}"))
+            expected = process_document(blob).text
+        else:
+            expected = (GOLDEN / recipe / "text.bin").read_bytes()
+        got = bytes(row["text"]) if row["text"] is not None else b""
+        assert got == expected, f"{url}: pipeline text != expected"
+        checked += 1
+    assert checked == N_DOCS
+
+
+def test_spark_matches_local_engine(extracted_rows):
+    """Arrow plumbing adds nothing: pipeline verdicts == direct calls."""
+    from caraspark.pdfengine import process_document
+
+    for url, row in list(extracted_rows.items())[:16]:
+        recipe = url.split("/")[-2]
+        if recipe in HTML_RECIPES:
+            idx = int(url.rsplit("/", 1)[1])
+            blob = HTML_RECIPES[recipe](random.Random(f"42:{idx}"))
+        else:
+            blob = PDF_RECIPES[recipe]()
+        r = process_document(blob)
+        assert row["verdict"]["valid"] == r.valid
+        assert row["verdict"]["strict"] == r.strict
+        assert row["metrics"]["n_objects"] == r.n_objects
+        assert [e["code"] for e in row["errors"]] == [e.code for e in r.errors]
+
+
+def test_distribution_invariance(spark, extracted_rows):
+    """repartition(1) vs repartition(8): byte-identical outputs per url."""
+    df1 = extract(synth_df(spark, N_DOCS, partitions=3), num_partitions=1)
+    rows1 = {r["url"]: r for r in df1.collect()}
+    assert set(rows1) == set(extracted_rows)
+    for url, a in rows1.items():
+        b = extracted_rows[url]
+        assert bytes(a["text"] or b"") == bytes(b["text"] or b"")
+        assert a["verdict"] == b["verdict"]
+        assert a["metrics"]["n_objects"] == b["metrics"]["n_objects"]
+        assert [e["code"] for e in a["errors"]] == [e["code"] for e in b["errors"]]
+
+
+def test_lineage_populated(extracted_rows):
+    pids = {r["lineage"]["partition_id"] for r in extracted_rows.values()}
+    assert all(p >= 0 for p in pids)
+    assert len(pids) > 1  # work actually spread over partitions
+    salts = {r["lineage"]["salt"] for r in extracted_rows.values()}
+    assert all(s >= 0 for s in salts)
+
+
+def test_column_pruning_on_parquet(spark, tmp_path):
+    """C1 scan discipline: once the corpus is parquet, a metadata-only query
+    must NOT read the blob column (ReadSchema excludes `html`)."""
+    out = str(tmp_path / "corpus")
+    synth_df(spark, 16, partitions=2).write.mode("overwrite").parquet(out)
+    q = spark.read.parquet(out).select("url", "lang")
+    physical = q._jdf.queryExecution().executedPlan().toString()
+    read_schema = physical.split("ReadSchema:")[-1].splitlines()[0]
+    assert "html" not in read_schema
+    assert q.count() == 16

@@ -1,0 +1,199 @@
+"""Engine unit + golden + property tests (SURVEY.md §5.2 layers 1–3).
+
+No Spark session needed here — per-document functions on raw bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from caraspark.pdfengine import process_document
+from caraspark.pdfengine.lexer import Lexer
+from caraspark.pdfengine.model import Name, Real, Ref, canonical_json, from_canonical, to_canonical
+from caraspark.pdfengine.parser import TokenStream, parse_object
+from caraspark.pdfengine.filters import _run_length, decode_stream
+from caraspark.synth import HTML_RECIPES, PDF_RECIPES
+from oracle import oracle_extract
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def _blob(name: str) -> bytes:
+    if name in HTML_RECIPES:
+        return HTML_RECIPES[name](random.Random("42:0"))
+    return PDF_RECIPES[name]()
+
+
+ALL_RECIPES = sorted(list(PDF_RECIPES) + list(HTML_RECIPES))
+
+
+# --- layer 2: committed byte goldens ---------------------------------------
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_golden_text_bytes(name):
+    r = process_document(_blob(name))
+    golden = (GOLDEN / name / "text.bin").read_bytes()
+    assert r.text == golden, f"{name}: engine text diverged from golden"
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_golden_verdict(name):
+    r = process_document(_blob(name))
+    v = json.loads((GOLDEN / name / "verdict.json").read_text())
+    assert r.valid == v["valid"]
+    assert r.strict == v["strict"]
+    assert sorted({e.code for e in r.errors}) == sorted(
+        {e["code"] for e in v["errors"]}
+    )
+    assert r.n_objects == v["n_objects"]
+    assert r.n_updates == v["n_updates"]
+    assert r.n_holes == v["n_holes"]
+    assert r.type_assignments == v["types"]
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_oracle_second_witness(name):
+    """For every relaxed-VALID doc the independent oracle must reproduce the
+    golden bytes — the north_rule byte-identity invariant, doubly witnessed."""
+    blob = _blob(name)
+    r = process_document(blob)
+    if not r.valid:
+        pytest.skip("oracle's xref-free scan is only faithful on valid docs")
+    assert oracle_extract(blob) == (GOLDEN / name / "text.bin").read_bytes()
+
+
+# --- expected taxonomy anchors (FIXTURES.md §3.1 table) ---------------------
+
+EXPECTED_CODES = {
+    "pdf_bad_xref_offset": "xref.bad_offset",
+    "pdf_len_mismatch": "stream.length_mismatch",
+    "pdf_dangling_ref": "graph.dangling_ref",
+    "pdf_pages_cycle": "graph.cycle",
+    "pdf_overlap": "file.overlap",
+    "pdf_junk_header": "file.junk_before_header",
+    "pdf_prev_loop": "xref.prev_cycle",
+    "pdf_int_overflow": "lex.int_overflow",
+    "pdf_deep_nest": "resource.depth_limit",
+    "pdf_type_err": "type.mismatch",
+}
+
+
+@pytest.mark.parametrize("name,code", sorted(EXPECTED_CODES.items()))
+def test_taxonomy_anchor(name, code):
+    r = process_document(_blob(name))
+    assert code in {e.code for e in r.errors}
+
+
+def test_valid_docs_are_valid():
+    for name in ("pdf_minimal", "pdf_flate", "pdf_xrefstream", "pdf_objstm",
+                 "pdf_updated", "pdf_hybrid", "pdf_holes"):
+        r = process_document(_blob(name))
+        assert r.valid, f"{name} should be relaxed-valid: {r.errors[:3]}"
+
+
+# --- layer 1: unit ----------------------------------------------------------
+
+
+def _lex_all(data: bytes):
+    lx = Lexer(data)
+    out = []
+    while True:
+        t = lx.next_token()
+        if t[0] == "eof":
+            return out, lx.errors
+        out.append(t)
+
+
+def test_lexer_tokens():
+    toks, errs = _lex_all(
+        rb"/Name#20x 42 -3.5 (lit\)eral) <48656C6C6F> [ ] << >> true null R"
+    )
+    kinds = [t[0] for t in toks]
+    assert kinds == ["name", "int", "real", "str", "hexstr", "[", "]",
+                     "<<", ">>", "kw", "kw", "kw"]
+    assert toks[0][1] == "Name x"
+    assert toks[3][1] == b"lit)eral"
+    assert toks[4][1] == b"Hello"
+    assert not errs
+
+
+def test_lexer_string_escapes():
+    toks, _ = _lex_all(rb"(a\nb\053c\(d\) e\
+f)")
+    assert toks[0][1] == b"a\nb+c(d) e" + b"f"
+
+
+def test_lexer_int_overflow():
+    toks, errs = _lex_all(b"99999999999999999999")
+    assert toks[0][0] == "real"
+    assert errs and errs[0].code == "lex.int_overflow"
+
+
+def test_parse_nested():
+    errors = []
+    ts = TokenStream(Lexer(b"<< /A [1 2 (x)] /B << /C 3 0 R >> /D null >>"))
+    obj = parse_object(ts, errors)
+    assert obj == {
+        "A": [1, 2, b"x"],
+        "B": {"C": Ref(3, 0)},
+        "D": None,
+    }
+    assert not errors
+
+
+def test_canonical_roundtrip():
+    obj = {"A": [1, Real("-.5"), b"\x00\xff", Name("N"), Ref(7, 0)], "Z": True}
+    j = canonical_json(obj)
+    assert from_canonical(json.loads(j)) == obj
+
+
+def test_runlength_protocol():
+    # literal(3) 'abc', repeat 'z' x4, EOD
+    data = bytes([2]) + b"abc" + bytes([253]) + b"z" + bytes([128])
+    assert _run_length(data) == b"abczzzz"
+
+
+def test_filter_chain_error_is_taxonomy_not_exception():
+    errors = []
+    out = decode_stream(b"not-zlib", {"Filter": Name("FlateDecode")}, errors)
+    assert out is None
+    assert errors and errors[0].code.startswith("filter.")
+
+
+# --- layer 3: property-based ------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_lexer_total_on_garbage(data):
+    """Caradoc's termination guarantee, ported: any bytes lex to EOF."""
+    toks, _ = _lex_all(data)
+    assert isinstance(toks, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_process_total_on_mutations(seed):
+    """Random byte mutations of a valid PDF never raise or hang."""
+    rng = random.Random(seed)
+    blob = bytearray(PDF_RECIPES["pdf_minimal"]())
+    for _ in range(rng.randrange(1, 12)):
+        blob[rng.randrange(len(blob))] = rng.randrange(256)
+    r = process_document(bytes(blob))
+    assert r.kind in ("pdf", "html")
+    # errors must be deterministically ordered
+    keys = [e.sort_key() for e in r.errors]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_html_total_on_garbage(data):
+    r = process_document(b"<html>" + data)
+    assert r.kind == "html"
