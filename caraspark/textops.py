@@ -1,0 +1,604 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis.
+
+The ops a 100 TB web-text curation pipeline runs after extraction —
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine), approximate nearest neighbors (brute-force + random-hyperplane
+LSH), and text quality/statistics. Everything deterministic; wherever the
+computation is SQL-expressible BOTH the Spark plan and the DuckDB oracle
+compute it, so the driver hash-verifies the results.
+
+Scale notes per operator are inline. The common theme: candidate
+generation via bucketing (bands, hyperplane buckets, group keys) so the
+quadratic comparison space becomes per-bucket — the only strategy that
+survives 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from caraspark.relational import Q
+from caraspark.tables import load
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_tokens",
+    """SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+              CAST(length(text) AS BIGINT)                 AS n_chars,
+              CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+       FROM documents""",
+)
+def text_tokens(spark, sf):
+    # whitespace tokenizer — pure JVM expressions, no UDF, scan-side.
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_nonspace"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+
+@_q(
+    "text_quality",
+    f"""SELECT doc_id,
+              round(CAST(length(replace(text,' ','')) AS DOUBLE)
+                    / greatest(length(text), 1), 6)            AS density,
+              CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains({_STOPWORDS!r}, x))) AS INT) AS n_stop,
+              round(CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+              round(CAST(length(text) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1), 4) AS avg_token_len
+       FROM documents""",
+)
+def text_quality(spark, sf):
+    # quality scoring: char density, stopword ratio, mean token length —
+    # the cheap gopher-style heuristics, all JVM-side.
+    d = load(spark, sf, "documents")
+    words = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop, x)))
+    n_words = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("density"),
+        n_stop.alias("n_stop"),
+        F.round(
+            n_stop.cast("double") / F.greatest(n_words, F.lit(1)), 6
+        ).alias("stop_ratio"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n_words, F.lit(1)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM (SELECT doc_id,
+                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+             FROM documents)
+       GROUP BY fp""",
+)
+def text_fingerprint(spark, sf):
+    # normalization fingerprint (case/punct/whitespace-insensitive identity):
+    # the groupBy carries only 16-byte digests, never documents.
+    d = load(spark, sf, "documents")
+    fp = F.md5(
+        F.encode(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), "utf-8")
+    )
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@_q("text_langid", None)  # heuristic scorer → rows-only; accuracy in pytest
+def text_langid(spark, sf):
+    """Language ID via stopword/character n-gram heuristic in a vectorized
+    pandas UDF (iterator form amortizes the profile table)."""
+    def _langid_batch(texts):
+        from caraspark.langid import detect_lang
+
+        return texts.map(lambda t: detect_lang(t or ""))
+
+    # NB: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't introspect — register with explicit return type and
+    # let the legacy SCALAR inference handle the hint-less callable.
+    langid = F.pandas_udf(_langid_batch, "string")
+
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", "lang", langid("text").alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """WITH unioned AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0
+       )
+       SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(doc_id) AS BIGINT) AS keeper
+       FROM unioned GROUP BY md5(text) HAVING count(*) > 1""",
+)
+def dedup_exact(spark, sf):
+    # exact dedup = hash-groupBy; only digests shuffle. The injected copies
+    # (every 3rd doc) make the result non-trivial on synthetic data.
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    u = d.unionByName(dup)
+    return (
+        u.groupBy(F.md5(F.encode("text", "utf-8")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+_N_MINHASH = 4  # seeds; bands of 2 → 2 bands
+_SHINGLE = 5
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {_SHINGLE}
+),
+shingles AS (
+  -- duckdb's range() can't take lateral column args: cross-join a static
+  -- index table and filter (documents are short; cap 4096)
+  SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), {_SHINGLE}) AS sh
+  FROM docs, range(1, 4096) r(i)
+  WHERE i <= length(t) - {_SHINGLE} + 1
+),
+mh AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{j}:' || sh)) AS m{j}" for j in range(_N_MINHASH))}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5(m0 || m1) AS band, 0 AS band_id FROM mh
+  UNION ALL
+  SELECT doc_id, md5(m2 || m3) AS band, 1 AS band_id FROM mh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@_q("dedup_minhash", _minhash_sql())
+def dedup_minhash(spark, sf):
+    """MinHash+LSH near-dup candidates: shingle → minhash → band → bucket
+    join. Everything is built-in JVM expressions (sequence/transform/md5) —
+    the shuffle carries (doc_id, band digest) pairs only; the join is on
+    band buckets so comparisons are per-bucket, never all-pairs."""
+    d = load(spark, sf, "documents")
+    docs = d.filter(F.length("text") >= _SHINGLE).select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    idx = F.sequence(F.lit(1), F.length("t") - _SHINGLE + 1)
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col("t").substr(i, F.lit(_SHINGLE)))
+            )
+        ).alias("sh"),
+    )
+    mh = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("sh")), "utf-8"))
+            ).alias(f"m{j}")
+            for j in range(_N_MINHASH)
+        ]
+    )
+    band0 = mh.select(
+        "doc_id",
+        F.md5(F.encode(F.concat("m0", "m1"), "utf-8")).alias("band"),
+        F.lit(0).alias("band_id"),
+    )
+    band1 = mh.select(
+        "doc_id",
+        F.md5(F.encode(F.concat("m2", "m3"), "utf-8")).alias("band"),
+        F.lit(1).alias("band_id"),
+    )
+    bands = band0.unionByName(band1)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "band_id"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_id").alias("band_id_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.band_id == b.band_id_b)
+            & (a.id_a < b.id_b),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band_id").alias("n_bands"))
+    )
+
+
+@_q(
+    "dedup_ngram",
+    f"""WITH docs AS (
+         SELECT doc_id, lang, source, lower(text) AS t FROM documents
+         WHERE length(text) >= 3
+       ),
+       grams AS (
+         SELECT DISTINCT doc_id, lang, source,
+                substring(t, CAST(i AS INT), 3) AS g
+         FROM docs, range(1, 4096) r(i)
+         WHERE i <= length(t) - 2
+       ),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                count(*) AS n_common
+         FROM grams a JOIN grams b
+           ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       )
+       SELECT id_a, id_b,
+              round(CAST(n_common AS DOUBLE)
+                    / (sa.n + sb.n - n_common), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8""",
+)
+def dedup_ngram(spark, sf):
+    """Character-3-gram Jaccard near-dup within (lang, source) buckets —
+    distinct-gram explode + bucket-keyed self-join; the (lang, source)
+    equi-key bounds the pair space per bucket."""
+    d = load(spark, sf, "documents")
+    docs = d.filter(F.length("text") >= 3).select(
+        "doc_id", "lang", "source", F.lower("text").alias("t")
+    )
+    idx = F.sequence(F.lit(1), F.length("t") - 2)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.col("t").substr(i, F.lit(3))))
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), "lang", "source", "g"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("g").alias("g_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (a.g == b.g_b)
+            & (a.lang == b.lang_b)
+            & (a.source == b.source_b)
+            & (a.id_a < b.id_b),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash16_exprs(side: str):
+    """16 per-nibble majority-vote sums over token md5s."""
+    return [
+        F.sum(
+            F.when(
+                F.substring(F.col(f"{side}h"), i + 1, 1).isin(
+                    *"89abcdef"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+
+
+def _simhash16_sql() -> str:
+    bits = ",\n         ".join(
+        f"CASE WHEN sum(CASE WHEN substring(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        f"THEN 1 ELSE 0 END AS b{i}"
+        for i in range(16)
+    )
+    concat = " || ".join(f"CAST(b{i} AS VARCHAR)" for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id,
+         {bits}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash16 FROM bits
+"""
+
+
+@_q("dedup_simhash", _simhash16_sql())
+def dedup_simhash(spark, sf):
+    """SimHash (16-bit oracle-checkable variant): per-token md5 nibbles vote
+    per bit; the doc's signature is the majority sign. One explode + one
+    groupBy — signature bits are plain conditional sums, JVM-side."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.md5(F.encode("tok", "utf-8")).alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    bit_strs = [
+        F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(16)
+    ]
+    return sums.select("doc_id", F.concat(*bit_strs).alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK = 3
+_NQ = 10  # query vectors: vec_id < _NQ
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # NB: duckdb's list_dot_product computes in float32 — cast to DOUBLE
+    # element-wise so the oracle matches Spark's double arithmetic exactly.
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+@_q(
+    "ann_brute",
+    f"""SELECT q_id, n_id, cos FROM (
+         SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                round({_cos_sql("q.embedding", "n.embedding")}, 6) AS cos,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY round({_cos_sql("q.embedding", "n.embedding")}, 6)
+                           DESC, n.vec_id) AS rn
+         FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         WHERE q.vec_id < {_NQ}
+       ) WHERE rn <= {_TOPK}""",
+)
+def ann_brute(spark, sf):
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    full corpus — a single narrow pass over the big side, then a per-query
+    top-k window. At 100 TB the pattern is identical: queries broadcast,
+    corpus never shuffles."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    n = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    j = n.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+    cos = F.round(
+        dot(F.col("qv"), F.col("nv"))
+        / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv")))),
+        6,
+    )
+    scored = j.select("q_id", "n_id", cos.alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id", "cos")
+    )
+
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — data-independent, identical
+    constants on both the Spark and oracle sides."""
+    planes = []
+    for j in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _lsh_sql() -> str:
+    planes = _planes()
+    rows = ",".join(
+        f"({j},{d},{w:.1f})" for j, p in enumerate(planes) for d, w in enumerate(p)
+    )
+    return f"""
+WITH planes(j, d, w) AS (VALUES {rows}),
+comps AS (
+  SELECT vec_id, u.x AS x, u.d AS d
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS d) u
+),
+dots AS (
+  SELECT c.vec_id, p.j, sum(CAST(c.x AS DOUBLE) * p.w) AS dp
+  FROM comps c JOIN planes p ON p.d = c.d - 1
+  GROUP BY c.vec_id, p.j
+),
+bits AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+           AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(vec_id) AS BIGINT) AS min_vec
+FROM bits GROUP BY bucket
+"""
+
+
+@_q("ann_lsh", _lsh_sql())
+def ann_lsh(spark, sf):
+    """Random-hyperplane LSH bucketing: 8 sign bits per vector → buckets.
+    The planes are literal constants (no state to ship); per-vector compute
+    is 8 zip_with dot products, fully JVM-side; the only shuffle is the
+    bucket-count groupBy. The scale path for ANN: candidates come from a
+    bucket equi-join instead of the all-pairs cross join."""
+    e = load(spark, sf, "embeddings")
+    planes = _planes()
+
+    def dot_plane(p: list[float]):
+        arr = F.array(*[F.lit(w) for w in p])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [
+        F.when(dot_plane(p) >= 0, "1").otherwise("0") for p in planes
+    ]
+    bucketed = e.select(
+        "vec_id", F.concat(*bits).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+    )
+
+
+@_q(
+    "dedup_embed",
+    f"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+              round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.35""",
+)
+def dedup_embed(spark, sf):
+    """Embedding-cosine near-dup within label buckets: the label equi-key
+    bounds the pair space (at real scale the key is an LSH bucket)."""
+    e = load(spark, sf, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (a.id_a < b.id_b))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("label", "id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
+    )

@@ -1,0 +1,26 @@
+"""Unit tests for the text-analysis helpers (language ID determinism and
+accuracy on crafted samples — the synthetic corpus has no real-language
+signal, so accuracy is asserted here, not against the documents table)."""
+
+from __future__ import annotations
+
+from caraspark.langid import detect_lang
+
+SAMPLES = {
+    "en": "the quick brown fox jumps over the lazy dog and it is fine",
+    "es": "el perro corre por la calle y los gatos se esconden en un rincón",
+    "de": "der hund läuft durch die straße und das wetter ist nicht schön",
+    "fr": "le chien court dans la rue et les chats se cachent pour dormir",
+    "zh": "今天天气很好我们一起去公园散步吧",
+}
+
+
+def test_langid_accuracy():
+    for lang, text in SAMPLES.items():
+        assert detect_lang(text) == lang, f"{lang}: {detect_lang(text)}"
+
+
+def test_langid_deterministic_und():
+    assert detect_lang("") == "und"
+    assert detect_lang("zzz qqq xxx") == "und"
+    assert detect_lang("zzz qqq xxx") == detect_lang("zzz qqq xxx")
