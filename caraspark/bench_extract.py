@@ -1,0 +1,46 @@
+"""Extraction throughput measurement used by bench.py and the scaling runs."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from caraspark.extract import extract
+
+BENCH_CORPUS = os.environ.get(
+    "CARASPARK_BENCH_CORPUS", "/tmp/caraspark_bench/corpus"
+)
+
+
+def ensure_corpus(spark: SparkSession, n_docs: int, path: str = BENCH_CORPUS) -> int:
+    """Materialize the deterministic corpus once (fixed bytes on disk for
+    every run — the scaling protocol requires byte-identical input)."""
+    from pyspark.sql import functions as F
+
+    from caraspark.corpus import synth_df
+
+    marker = os.path.join(path, "_SUCCESS_N_" + str(n_docs))
+    if not os.path.exists(marker):
+        synth_df(spark, n_docs, include_giant=True).write.mode(
+            "overwrite"
+        ).parquet(path)
+        open(marker, "w").close()
+    return int(spark.read.parquet(path).count())
+
+
+def run_extract_once(spark: SparkSession, corpus_path: str) -> tuple[int, float]:
+    """(docs, wall seconds) for one full extraction pass, measured from
+    first action to write completion (noop sink: full compute, no collect)."""
+    df = spark.read.parquet(corpus_path)
+    n = df.count()  # warms the scan + JVM before the timed stage
+    t0 = time.time()
+    extract(df).write.format("noop").mode("overwrite").save()
+    return n, time.time() - t0
+
+
+def extraction_docs_per_sec(spark: SparkSession, n_docs: int = 4096):
+    n = ensure_corpus(spark, n_docs)
+    docs, wall = run_extract_once(spark, BENCH_CORPUS)
+    return docs / wall, docs, wall

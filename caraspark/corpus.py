@@ -44,7 +44,7 @@ def _gen(include_giant: bool):
                 blob = (
                     HTML_RECIPES[name](rng) if fn_ is None else fn_()
                 )
-                if include_giant and idx > 0 and idx % 997 == 0:
+                if include_giant and idx > 0 and idx % 4999 == 0:
                     name, blob = "pdf_giant", pdf_giant(50_000)
                 rows.append(
                     {

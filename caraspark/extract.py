@@ -101,7 +101,13 @@ _ARROW_SCHEMA = pa.schema(
 def _extract_batches(
     it: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
-    """The Arrow batch UDF: C2–C27 per blob, byte-budgeted output."""
+    """The Arrow batch UDF: C2–C27 per blob, byte-budgeted output.
+
+    Hot-loop discipline: columns in (one C-level ``to_pylist`` per column),
+    columns out (one ``pa.array`` per field) — never per-row Arrow scalars
+    or row dicts; with ~0.4 ms of real work per document, per-row
+    conversion overhead would otherwise dominate the profile.
+    """
     # import inside the worker so the closure pickles only the module name
     from caraspark.pdfengine import process_document
 
@@ -110,55 +116,63 @@ def _extract_batches(
     attempt = ctx.attemptNumber() if ctx is not None else 0
     snapshot = os.environ.get("CARASPARK_SNAPSHOT")
 
-    rows: list[dict] = []
+    cols: dict[str, list] = {f.name: [] for f in _ARROW_SCHEMA}
     pending = 0
 
     def flush():
-        nonlocal rows, pending
-        if rows:
-            yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)
-            rows = []
+        nonlocal pending
+        if cols["url"]:
+            arrays = [
+                pa.array(cols[f.name], type=f.type) for f in _ARROW_SCHEMA
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
+            for v in cols.values():
+                v.clear()
             pending = 0
 
     for batch in it:
-        urls = batch.column("url")
-        tss = batch.column("warc_ts")
-        blobs = batch.column("html")
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        blobs = batch.column("html").to_pylist()
         salts = (
-            batch.column("salt") if "salt" in batch.schema.names else None
+            batch.column("salt").to_pylist()
+            if "salt" in batch.schema.names
+            else None
         )
         for i in range(batch.num_rows):
-            blob = blobs[i].as_py()
+            blob = blobs[i]
             r = process_document(blob if blob is not None else b"")
-            rows.append(
+            cols["url"].append(urls[i])
+            cols["warc_ts"].append(tss[i])
+            cols["text"].append(r.text)
+            cols["verdict"].append({"valid": r.valid, "strict": r.strict})
+            cols["kind"].append(r.kind)
+            cols["errors"].append(r.errors_as_rows())
+            cols["metrics"].append(
                 {
-                    "url": urls[i].as_py(),
-                    "warc_ts": tss[i].as_py(),
-                    "text": r.text,
-                    "verdict": {"valid": r.valid, "strict": r.strict},
-                    "kind": r.kind,
-                    "errors": r.errors_as_rows(),
-                    "metrics": {
-                        "n_objects": r.n_objects,
-                        "n_updates": r.n_updates,
-                        "n_streams": r.n_streams,
-                        "n_holes": r.n_holes,
-                        "bytes_in": r.bytes_in,
-                        "bytes_decoded": r.bytes_decoded,
-                        "parse_ms": r.parse_ms,
-                    },
-                    "flags": {
-                        "encrypted": r.encrypted,
-                        "hybrid": r.hybrid,
-                        "linearized": r.linearized,
-                    },
-                    "version": r.version,
-                    "lineage": {
-                        "partition_id": pid,
-                        "salt": salts[i].as_py() if salts is not None else -1,
-                        "attempt": attempt,
-                        "snapshot": snapshot,
-                    },
+                    "n_objects": r.n_objects,
+                    "n_updates": r.n_updates,
+                    "n_streams": r.n_streams,
+                    "n_holes": r.n_holes,
+                    "bytes_in": r.bytes_in,
+                    "bytes_decoded": r.bytes_decoded,
+                    "parse_ms": r.parse_ms,
+                }
+            )
+            cols["flags"].append(
+                {
+                    "encrypted": r.encrypted,
+                    "hybrid": r.hybrid,
+                    "linearized": r.linearized,
+                }
+            )
+            cols["version"].append(r.version)
+            cols["lineage"].append(
+                {
+                    "partition_id": pid,
+                    "salt": salts[i] if salts is not None else -1,
+                    "attempt": attempt,
+                    "snapshot": snapshot,
                 }
             )
             pending += len(r.text) + r.bytes_in // 4
@@ -171,12 +185,23 @@ def extract(
     df: DataFrame,
     num_partitions: int | None = None,
     n_salts: int = 64,
+    salt: bool = False,
 ) -> DataFrame:
     """documents_raw → extracted (EXTRACTED schema).
 
-    The input shuffle keys on (size_class, salt): documents of similar size
-    co-locate, each size class spreads over ``n_salts`` buckets, so giant
-    documents distribute instead of serializing one task (SURVEY.md §4.3).
+    Default is the NARROW plan: scan partitions feed mapInArrow directly —
+    zero shuffle, scaling limited only by input splits (parquet scans split
+    at spark.sql.files.maxPartitionBytes, so parallelism is already there).
+
+    ``salt=True`` inserts the explicit skew-defeating exchange: partition
+    key (size_class = ceil(log2 bytes), salt = hash(url) % n_salts), so
+    documents of similar size co-locate and giants spread over the cluster
+    instead of clustering in one task (SURVEY.md §4.3). Use it when the
+    input's physical layout clusters big documents (e.g. a crawl segment
+    sorted by host) — measured cost in BENCH/BASELINE.md: the blob shuffle
+    taxes synthetic throughput ~35% because synthetic docs parse ~100x
+    cheaper per byte than real PDFs; at production parse densities the
+    exchange amortizes to noise.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -184,6 +209,8 @@ def extract(
             spark.conf.get("spark.sql.shuffle.partitions", "64")
         )
     pruned = df.select("url", "warc_ts", "html")
+    if not salt:
+        return pruned.mapInArrow(_extract_batches, EXTRACTED)
     keyed = pruned.withColumns(
         {
             "size_class": F.ceil(F.log2(F.length("html") + F.lit(2))).cast("int"),

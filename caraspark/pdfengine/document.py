@@ -129,6 +129,14 @@ def load_document(
         doc.objects[(e.num, e.gen)] = obj
         doc.intervals.append((e.offset, end, f"obj:{e.num}.{e.gen}"))
 
+    # --- decrypt (C18) before object-stream explode and filter decode:
+    # objstm payloads are encrypted as streams; their embedded objects are
+    # not re-encrypted individually [PDF17 §7.6.2]
+    if doc.encrypted:
+        from caraspark.pdfengine.crypto import decrypt_document
+
+        decrypt_document(doc, errors)
+
     # --- explode object streams (C17) [PDF17 §7.5.7]
     comp = [e for e in table.values() if e.kind == "compressed"]
     by_container: dict[int, list[XrefEntry]] = {}

@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession
 
 # Arrow rows per batch for Python-UDF exchange. Extraction re-batches by a
 # BYTE budget inside the UDF; this only caps the row count per IPC message.
-ARROW_BATCH_ROWS = 256
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(

@@ -1,0 +1,257 @@
+"""Exploded side tables over the synthetic corpus: objects, edges, types,
+cleanup (SURVEY.md C20–C25 as corpus-scale queries).
+
+Each is one narrow mapInArrow pass producing normalized rows, then plain
+relational ops on top — the corpus versions of caradoc's single-file
+commands: ``findref`` becomes a filter on the edges table, dangling-ref
+detection becomes a LEFT ANTI join, ``types`` becomes a (url, obj, type)
+table, ``cleanup`` becomes md5-of-canonical-bytes + a fixpoint flag.
+
+PDF parsing isn't SQL-expressible → these are rows-only for the driver;
+their correctness anchors are the pytest golden suite.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from caraspark.corpus import corpus_rows_for_sf, synth_df
+from caraspark.relational import Q
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+_EDGES_DDL = (
+    "url string, src_num int, src_gen int, dst_num int, dst_gen int, "
+    "path string, dangling boolean"
+)
+_EDGES_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("src_num", pa.int32()),
+        ("src_gen", pa.int32()),
+        ("dst_num", pa.int32()),
+        ("dst_gen", pa.int32()),
+        ("path", pa.string()),
+        ("dangling", pa.bool_()),
+    ]
+)
+
+_OBJECTS_DDL = (
+    "url string, num int, gen int, kind string, type_name string, "
+    "body_json string, n_refs int"
+)
+_OBJECTS_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("num", pa.int32()),
+        ("gen", pa.int32()),
+        ("kind", pa.string()),
+        ("type_name", pa.string()),
+        ("body_json", pa.string()),
+        ("n_refs", pa.int32()),
+    ]
+)
+
+_CLEANUP_DDL = "url string, clean_md5 string, clean_bytes bigint, fixpoint boolean"
+_CLEANUP_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("clean_md5", pa.string()),
+        ("clean_bytes", pa.int64()),
+        ("fixpoint", pa.bool_()),
+    ]
+)
+
+
+def _edges_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import load_document
+
+    cols = {f.name: [] for f in _EDGES_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            doc = load_document(blob)
+            known = set(doc.objects)
+            for src, dst, path in doc.edges:
+                cols["url"].append(url)
+                cols["src_num"].append(src[0] if src else None)
+                cols["src_gen"].append(src[1] if src else None)
+                cols["dst_num"].append(dst[0])
+                cols["dst_gen"].append(dst[1])
+                cols["path"].append(path)
+                cols["dangling"].append(dst not in known)
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _EDGES_ARROW],
+                schema=_EDGES_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+def _objects_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from caraspark.pdfengine.api import is_pdf, process_document
+    from caraspark.pdfengine.model import Stream, canonical_json
+
+    cols = {f.name: [] for f in _OBJECTS_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            from caraspark.pdfengine.document import load_document
+            from caraspark.pdfengine.model import Ref
+            from caraspark.pdfengine.typecheck import check_types
+
+            doc = load_document(blob)
+            tres = check_types(doc)
+            refcounts: dict = {}
+            for _src, dst, _p in doc.edges:
+                refcounts[dst] = refcounts.get(dst, 0) + 1
+            for key in sorted(doc.objects):
+                o = doc.objects[key]
+                body = o.d if isinstance(o, Stream) else o
+                kind = (
+                    "stream"
+                    if isinstance(o, Stream)
+                    else type(body).__name__.lower()
+                )
+                cols["url"].append(url)
+                cols["num"].append(key[0])
+                cols["gen"].append(key[1])
+                cols["kind"].append(kind)
+                cols["type_name"].append(tres.assignments.get(key))
+                cols["body_json"].append(canonical_json(body))
+                cols["n_refs"].append(refcounts.get(key, 0))
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _OBJECTS_ARROW],
+                schema=_OBJECTS_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+def _cleanup_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import hashlib
+
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.cleanup import cleanup
+    from caraspark.pdfengine.document import load_document
+
+    cols = {f.name: [] for f in _CLEANUP_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            c1 = cleanup(load_document(blob))
+            c2 = cleanup(load_document(c1))
+            cols["url"].append(url)
+            cols["clean_md5"].append(hashlib.md5(c1).hexdigest())
+            cols["clean_bytes"].append(len(c1))
+            cols["fixpoint"].append(c1 == c2)
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _CLEANUP_ARROW],
+                schema=_CLEANUP_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+def _corpus(spark, sf):
+    return synth_df(spark, corpus_rows_for_sf(sf))
+
+
+@_q("pdf_edges", None)
+def pdf_edges(spark, sf):
+    # C20: the reference graph as a first-class table
+    e = _corpus(spark, sf).mapInArrow(_edges_batches, _EDGES_DDL)
+    return e.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("dangling"), 1).otherwise(0)).alias("n_dangling"),
+        F.sum(F.when(F.col("src_num").isNull(), 1).otherwise(0)).alias(
+            "n_trailer_roots"
+        ),
+    )
+
+
+@_q("pdf_dangling", None)
+def pdf_dangling(spark, sf):
+    # C21 at corpus scale as a real LEFT ANTI join: edge targets with no
+    # matching row in the objects table
+    raw = _corpus(spark, sf)
+    edges = raw.mapInArrow(_edges_batches, _EDGES_DDL)
+    objects = raw.mapInArrow(_objects_batches, _OBJECTS_DDL)
+    tgt = edges.select(
+        "url", F.col("dst_num").alias("num"), F.col("dst_gen").alias("gen"), "path"
+    )
+    missing = tgt.join(
+        objects.select("url", "num", "gen"), ["url", "num", "gen"], "left_anti"
+    )
+    return missing.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_dangling"),
+        F.concat_ws(",", F.sort_array(F.collect_list("path"))).alias("paths"),
+    )
+
+
+@_q("pdf_findref", None)
+def pdf_findref(spark, sf):
+    # C25: reverse reference lookup — who references object 2 0?
+    edges = _corpus(spark, sf).mapInArrow(_edges_batches, _EDGES_DDL)
+    return (
+        edges.filter((F.col("dst_num") == 2) & (F.col("dst_gen") == 0))
+        .select("url", "src_num", "src_gen", "path")
+        .orderBy("url", "src_num", "path")
+    )
+
+
+@_q("pdf_types", None)
+def pdf_types(spark, sf):
+    # C22: per-object inferred types, aggregated per type name
+    objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
+    return (
+        objects.filter(F.col("type_name").isNotNull())
+        .groupBy("type_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.countDistinct("url").alias("n_docs"),
+        )
+    )
+
+
+@_q("pdf_objects", None)
+def pdf_objects(spark, sf):
+    # C6/C17: the exploded canonical objects table
+    objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
+    return objects.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_refs").alias("total_refs"),
+        F.max(F.length("body_json")).alias("max_body_json"),
+    )
+
+
+@_q("pdf_cleanup", None)
+def pdf_cleanup(spark, sf):
+    # C24: canonical re-serialization; fixpoint must hold corpus-wide
+    c = _corpus(spark, sf).mapInArrow(_cleanup_batches, _CLEANUP_DDL)
+    return c.select("url", "clean_md5", "clean_bytes", "fixpoint")

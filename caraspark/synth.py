@@ -586,8 +586,153 @@ def corpus_rows(n_docs: int, seed: int = 42, include_giant: bool = False):
             blob = HTML_RECIPES[name](rng)
         else:
             blob = fn()
-        if include_giant and i > 0 and i % 997 == 0:
+        if include_giant and i > 0 and i % 4999 == 0:
             name, blob = "pdf_giant", pdf_giant(50_000)
         url = f"https://synth.example/{name}/{i}"
         ts = base_ts + timedelta(seconds=i * 37 % 2_592_000)
         yield (url, ts, blob, None, LANGS[i % len(LANGS)])
+
+
+# ---------------------------------------------------------------------------
+# encrypted fixtures (standard security handler, empty passwords)
+# ---------------------------------------------------------------------------
+
+_CRYPT_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4_gen(key: bytes, data: bytes) -> bytes:
+    """Generator-side RC4 (kept separate from the engine's for test
+    independence)."""
+    s = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    x = y = 0
+    for c in data:
+        x = (x + 1) % 256
+        y = (y + s[x]) % 256
+        s[x], s[y] = s[y], s[x]
+        out.append(c ^ s[(s[x] + s[y]) % 256])
+    return bytes(out)
+
+
+def _std_crypt_params(file_id: bytes, r: int, p: int = -44):
+    """O, U and the file key for empty owner+user passwords
+    (Algorithms 2/3/5, Length=128)."""
+    import hashlib
+    import struct
+
+    # Algorithm 3: O from the (empty → padded) owner password
+    key = hashlib.md5(_CRYPT_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:16]).digest()
+    klen = 16 if r >= 3 else 5
+    o = _rc4_gen(key[:klen], _CRYPT_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4_gen(bytes(b ^ i for b in key[:klen]), o)
+
+    # Algorithm 2: the file encryption key (empty user password)
+    h = hashlib.md5()
+    h.update(_CRYPT_PAD)
+    h.update(o[:32])
+    h.update(struct.pack("<i", p))
+    h.update(file_id)
+    fkey = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            fkey = hashlib.md5(fkey[:klen]).digest()
+    fkey = fkey[:klen]
+
+    # Algorithm 4/5: U
+    if r == 2:
+        u = _rc4_gen(fkey, _CRYPT_PAD)
+    else:
+        u = hashlib.md5(_CRYPT_PAD + file_id).digest()
+        u = _rc4_gen(fkey, u)
+        for i in range(1, 20):
+            u = _rc4_gen(bytes(b ^ i for b in fkey), u)
+        u += b"\x00" * 16
+    return o, u, fkey
+
+
+def _objkey_gen(fkey: bytes, num: int, gen: int, aes: bool) -> bytes:
+    import hashlib
+    import struct
+
+    h = hashlib.md5()
+    h.update(fkey)
+    h.update(struct.pack("<i", num)[:3])
+    h.update(struct.pack("<i", gen)[:2])
+    if aes:
+        h.update(b"sAlT")
+    return h.digest()[: min(len(fkey) + 5, 16)]
+
+
+def _hexstr(b: bytes) -> bytes:
+    return b"<" + b.hex().encode() + b">"
+
+
+def _encrypted_pdf(aes: bool) -> bytes:
+    import hashlib
+
+    file_id = hashlib.md5(b"caraspark-fixture-id").digest()
+    r = 4 if aes else 3
+    p = -44
+    o, u, fkey = _std_crypt_params(file_id, r, p)
+    content = b"BT (Hello Encrypted) Tj ET"
+    okey = _objkey_gen(fkey, 4, 0, aes)
+    if aes:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+
+        iv = hashlib.md5(b"iv:4:0").digest()
+        padlen = 16 - len(content) % 16
+        enc = Cipher(algorithms.AES(okey), modes.CBC(iv)).encryptor()
+        payload = iv + enc.update(content + bytes([padlen]) * padlen) + enc.finalize()
+    else:
+        payload = _rc4_gen(okey, content)
+
+    bodies = _base_objects(payload)
+    if aes:
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44"
+            b" /O " + _hexstr(o) + b" /U " + _hexstr(u) +
+            b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
+            b" /StmF /StdCF /StrF /StdCF >>"
+        )
+    else:
+        enc_dict = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44"
+            b" /O " + _hexstr(o) + b" /U " + _hexstr(u) + b" >>"
+        )
+    bodies[5] = _obj(5, enc_dict)
+    trailer_extra = (
+        b" /Encrypt 5 0 R /ID [" + _hexstr(file_id) + _hexstr(file_id) + b"]"
+    )
+    return _assemble(bodies, trailer_extra=trailer_extra)
+
+
+def pdf_encrypted_rc4() -> bytes:
+    return _encrypted_pdf(aes=False)
+
+
+def pdf_encrypted_aes() -> bytes:
+    return _encrypted_pdf(aes=True)
+
+
+PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
+PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes

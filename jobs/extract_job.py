@@ -1,0 +1,116 @@
+"""The production batch job (north_rule delivery form, SURVEY.md EP3′).
+
+    spark-submit --master local[32] --py-files caraspark.zip \
+        jobs/extract_job.py --input <documents_raw parquet> \
+        --output <table dir> [--units 64] [--unit-chunk 16] \
+        [--synth-docs N]  # generate the corpus instead of reading one
+
+Reads documents_raw, runs the extraction pipeline, writes the extracted
+table partitioned by work-unit bucket with snapshot-manifest commits every
+``--unit-chunk`` units — killing the job at any point loses at most one
+chunk of work; rerunning resumes from the last committed snapshot and
+reproduces byte-identical output (idempotent per-bucket dynamic overwrite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from caraspark.extract import extract  # noqa: E402
+from caraspark.manifest import SnapshotManifest  # noqa: E402
+from caraspark.session import get_spark  # noqa: E402
+
+
+def run_job(
+    spark,
+    input_path: str | None,
+    output_dir: str,
+    units: int = 64,
+    unit_chunk: int = 16,
+    synth_docs: int = 0,
+    fail_after_chunks: int | None = None,
+) -> dict:
+    """Returns run stats. ``fail_after_chunks`` is the crash-injection hook
+    used by the resume test."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if synth_docs:
+        from caraspark.corpus import synth_df
+
+        raw = synth_df(spark, synth_docs)
+    else:
+        raw = spark.read.parquet(input_path)
+
+    man = SnapshotManifest(output_dir)
+    todo = man.plan_units(list(range(units)))
+    data_dir = os.path.join(output_dir, "data")
+    t0 = time.time()
+    n_chunks = 0
+    docs_done = 0
+
+    keyed = raw.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
+    )
+    for i in range(0, len(todo), unit_chunk):
+        chunk = todo[i : i + unit_chunk]
+        part = keyed.filter(F.col("bucket").isin(chunk)).drop("bucket")
+        ex = extract(part).withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
+        )
+        ex.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+        n = int(
+            spark.read.parquet(data_dir)
+            .filter(F.col("bucket").isin(chunk))
+            .count()
+        )
+        man.commit({u: {"rows": None, "chunk": n_chunks} for u in chunk})
+        docs_done += n
+        n_chunks += 1
+        if fail_after_chunks is not None and n_chunks >= fail_after_chunks:
+            return {"crashed": True, "chunks": n_chunks, "docs": docs_done}
+    wall = time.time() - t0
+    return {
+        "crashed": False,
+        "chunks": n_chunks,
+        "docs": docs_done,
+        "wall_s": round(wall, 3),
+        "units_done": len(man.committed_units()),
+    }
+
+
+def read_extracted(spark, output_dir: str):
+    """Read ONLY manifest-committed units (the snapshot-consistent view)."""
+    man = SnapshotManifest(output_dir)
+    done = sorted(man.committed_units())
+    df = spark.read.parquet(os.path.join(output_dir, "data"))
+    return df.filter(F.col("bucket").isin(done))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--units", type=int, default=64)
+    ap.add_argument("--unit-chunk", type=int, default=16)
+    ap.add_argument("--synth-docs", type=int, default=0)
+    args = ap.parse_args()
+    spark = get_spark("caraspark-extract-job")
+    stats = run_job(
+        spark,
+        args.input,
+        args.output,
+        units=args.units,
+        unit_chunk=args.unit_chunk,
+        synth_docs=args.synth_docs,
+    )
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""C24 cleanup: canonical re-serialization must be a FIXPOINT —
+serialize→parse→serialize returns identical bytes (SURVEY.md §5.2-3)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from caraspark.pdfengine.cleanup import cleanup
+from caraspark.pdfengine.document import load_document
+from caraspark.synth import PDF_RECIPES
+
+# cleanup is defined over documents the engine accepts (relaxed-valid);
+# hard-broken xref fixtures don't have a canonical form
+FIXPOINT_RECIPES = [
+    "pdf_minimal",
+    "pdf_text_ops",
+    "pdf_flate",
+    "pdf_ahx",
+    "pdf_a85",
+    "pdf_rle",
+    "pdf_chain",
+    "pdf_xrefstream",
+    "pdf_objstm",
+    "pdf_updated",
+    "pdf_hybrid",
+    "pdf_linearized",
+    "pdf_holes",
+    "pdf_junk_header",
+    "pdf_len_mismatch",
+]
+
+
+@pytest.mark.parametrize("name", FIXPOINT_RECIPES)
+def test_cleanup_fixpoint(name):
+    blob = PDF_RECIPES[name]()
+    doc1 = load_document(blob)
+    c1 = cleanup(doc1)
+    doc2 = load_document(c1)
+    # the canonical form itself parses cleanly...
+    fatal = [e for e in doc2.errors if e.code.startswith(("xref.", "obj."))]
+    assert not fatal, f"{name}: canonical form has errors {fatal[:3]}"
+    c2 = cleanup(doc2)
+    assert c1 == c2, f"{name}: cleanup is not a fixpoint"
+
+
+def test_cleanup_preserves_text():
+    from caraspark.pdfengine import process_document
+
+    for name in ("pdf_minimal", "pdf_text_ops", "pdf_flate", "pdf_objstm"):
+        blob = PDF_RECIPES[name]()
+        before = process_document(blob).text
+        after = process_document(cleanup(load_document(blob))).text
+        assert before == after, name
+
+
+def test_cleanup_deterministic_under_mutation_survivors():
+    """Any mutated doc the parser accepts must still reach a fixpoint."""
+    rng = random.Random(7)
+    base = PDF_RECIPES["pdf_minimal"]()
+    for _ in range(25):
+        blob = bytearray(base)
+        blob[rng.randrange(len(blob))] = rng.randrange(256)
+        doc = load_document(bytes(blob))
+        c1 = cleanup(doc)
+        c2 = cleanup(load_document(c1))
+        assert c1 == c2

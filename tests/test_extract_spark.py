@@ -20,7 +20,9 @@ N_DOCS = 64
 
 @pytest.fixture(scope="module")
 def extracted_rows(spark):
-    df = extract(synth_df(spark, N_DOCS, partitions=8), num_partitions=8)
+    # salted mode here; the invariance test below compares against the
+    # narrow mode — covering both plans AND partitioning-independence
+    df = extract(synth_df(spark, N_DOCS, partitions=8), num_partitions=8, salt=True)
     rows = {r["url"]: r for r in df.collect()}
     assert len(rows) == N_DOCS
     return rows
@@ -66,7 +68,7 @@ def test_spark_matches_local_engine(extracted_rows):
 
 
 def test_distribution_invariance(spark, extracted_rows):
-    """repartition(1) vs repartition(8): byte-identical outputs per url."""
+    """narrow/1-partition vs salted/8-partition: byte-identical per url."""
     df1 = extract(synth_df(spark, N_DOCS, partitions=3), num_partitions=1)
     rows1 = {r["url"]: r for r in df1.collect()}
     assert set(rows1) == set(extracted_rows)
