@@ -1,0 +1,180 @@
+"""Structured Streaming pack (SURVEY.md B8 — caradoc has no streaming; this
+is the north_rule's incremental-processing posture).
+
+Everything here is testable offline: a parquet file-source stream replayed
+from the driver ``events`` table, driven to completion synchronously with
+``processAllAvailable`` against a memory sink, and compared against the
+equivalent batch query (streaming/batch equivalence is the correctness
+anchor — see tests/test_streaming.py).
+
+Operators covered: file micro-batch source (T1), tumbling/sliding window
+aggregation (T2), session windows (T3), watermark + late-data drop (T4),
+streaming dedup (T5), arbitrary stateful processing via
+applyInPandasWithState (T6), foreachBatch idempotent sink (T7).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def replay_events_stream(
+    spark: SparkSession, sf_dir: str, max_files: int = 1
+) -> DataFrame:
+    """T1: the events table as a file-source micro-batch stream.
+
+    The streaming file source requires a DIRECTORY; the testdata table is a
+    single parquet file → stage a symlink into a temp dir once."""
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        "/tmp/caraspark_stream_src", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage)
+        # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+        # wall clock is preserved
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drive a bounded stream to completion; return the sink as a DataFrame.
+
+    For windowed aggregations use mode="complete": on a bounded replay the
+    watermark never advances past the final window, so append mode would
+    withhold it; complete mode emits the whole result table each trigger
+    and the memory sink keeps the last snapshot."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 10) -> DataFrame:
+    """T2: tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_v",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """T2: sliding window (10 min window, 5 min slide) per user bucket."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """T3: session windows per user (gap-based)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """T5: streaming dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", "30 minutes").dropDuplicates(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = "n bigint, total double"
+_OUT_SCHEMA = "user_id bigint, n bigint, total double"
+
+
+def _running_totals(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "total": [round(total, 4)]}
+    )
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """T6: arbitrary stateful op — per-user running (count, sum) via
+    applyInPandasWithState (GroupState, no timeout)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_to_parquet(
+    events: DataFrame, out_dir: str
+) -> None:
+    """T7: exactly-once-style sink — foreachBatch writing idempotently by
+    epoch (rewriting an epoch's directory replaces it, so task retries and
+    epoch replays can't double-write)."""
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()

@@ -1,0 +1,76 @@
+"""Streaming qkeys (SURVEY.md B8): each runs a real Structured Streaming
+query to completion (memory sink, processAllAvailable) and returns the
+result. Where the semantics are batch-equivalent the DuckDB oracle verifies
+values; session windows / stateful ops are rows-only (pytest pins them to
+their batch equivalents instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from caraspark import streaming as S
+from caraspark.relational import Q
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+@_q(
+    "stream_tumbling",
+    """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start, event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS sum_v
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling(spark, sf):
+    # T2: the streamed tumbling aggregation equals the batch GROUP BY on
+    # time buckets — verified against DuckDB's time_bucket.
+    return S.run_to_memory(
+        S.tumbling_counts(S.replay_events_stream(spark, sf)),
+        mode="complete",
+    )
+
+
+@_q(
+    "stream_dedup",
+    "SELECT DISTINCT event_id FROM events",
+)
+def stream_dedup(spark, sf):
+    # T5: streaming dropDuplicates within the watermark horizon.
+    out = S.run_to_memory(S.dedup_stream(S.replay_events_stream(spark, sf)))
+    return out.select("event_id")
+
+
+@_q("stream_session", None)
+def stream_session(spark, sf):
+    # T3: session windows (gap 15 min) per user.
+    return S.run_to_memory(
+        S.session_counts(S.replay_events_stream(spark, sf)),
+        mode="complete",
+    )
+
+
+@_q("stream_stateful", None)
+def stream_stateful(spark, sf):
+    # T6: applyInPandasWithState running totals; final per-user state.
+    from pyspark.sql import Window as W
+
+    out = S.run_to_memory(
+        S.stateful_running_totals(S.replay_events_stream(spark, sf)),
+        mode="update",
+    )
+    return (
+        out.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", "total")
+    )

@@ -1,0 +1,148 @@
+"""Streaming pack tests (SURVEY.md §5.2-7): every streamed result equals the
+equivalent batch query; watermark drops late rows; resume is idempotent."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from caraspark import streaming as S
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_smoke):
+    return spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_equals_batch(spark, sf_smoke, events_batch):
+    streamed = S.run_to_memory(
+        S.tumbling_counts(S.replay_events_stream(spark, sf_smoke)),
+        mode="complete",
+    )
+    batch = (
+        events_batch.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "n", "sum_v"
+        )
+    )
+    cols = ["w_start", "event_type", "n", "sum_v"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+    assert streamed.count() > 0
+
+
+def test_session_window_equals_batch(spark, sf_smoke, events_batch):
+    streamed = S.run_to_memory(
+        S.session_counts(S.replay_events_stream(spark, sf_smoke)),
+        mode="complete",
+    )
+    batch = (
+        events_batch.groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    cols = ["s_start", "user_id", "n_events"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+
+
+def test_streaming_dedup(spark, sf_smoke, events_batch):
+    streamed = S.run_to_memory(
+        S.dedup_stream(S.replay_events_stream(spark, sf_smoke))
+    )
+    assert streamed.count() == events_batch.dropDuplicates(["event_id"]).count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path, events_batch):
+    """T4: a second file arriving entirely behind the watermark is dropped."""
+    src = str(tmp_path / "late_src")
+    on_time = events_batch.filter(F.col("event_id") % 7 != 0).orderBy("event_id")
+    late = (
+        events_batch.filter(F.col("event_id") % 7 == 0)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 6 HOURS"))
+    )
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            S.EVENTS_DDL.replace("timestamp_ntz", "timestamp")
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import uuid
+
+    name = "late" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark advances past the late window
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.table(name)
+    # every emitted window is at/after the on-time minimum: the 6h-early
+    # late rows never appear
+    min_ts = on_time.agg(F.min("ts")).collect()[0][0]
+    emitted = [r["window"]["start"] for r in out.collect()]
+    assert emitted and all(w >= min_ts.replace(minute=0, second=0, microsecond=0) for w in emitted)
+
+
+def test_stateful_running_totals(spark, sf_smoke, events_batch):
+    streamed = S.run_to_memory(
+        S.stateful_running_totals(S.replay_events_stream(spark, sf_smoke)),
+        mode="update",
+    )
+    # final state per user == batch aggregate (memory sink keeps every
+    # update; take the max-n row per user = the last update)
+    from pyspark.sql import Window as W
+
+    last = (
+        streamed.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("n"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", "total")
+    )
+    batch = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    cols = ["user_id", "n", "total"]
+    assert _sorted_rows(last, cols) == _sorted_rows(batch, cols)
+
+
+def test_foreach_batch_sink(spark, sf_smoke, tmp_path, events_batch):
+    out = str(tmp_path / "sink")
+    S.foreach_batch_to_parquet(S.replay_events_stream(spark, sf_smoke), out)
+    files = glob.glob(f"{out}/epoch=*/*.parquet")
+    assert files
+    total = spark.read.parquet(*sorted({f.rsplit("/", 1)[0] for f in files})).count()
+    assert total == events_batch.count()
