@@ -23,7 +23,14 @@ from caraspark import relational  # noqa: E402
 _REGISTRIES = [relational.REGISTRY]
 
 # Optional packs appended as they land (each module exposes REGISTRY).
-for _mod in ("textops", "extract_queries", "sidetables", "streaming_queries"):
+for _mod in (
+    "textops",
+    "extract_queries",
+    "sidetables",
+    "streaming_queries",
+    "pdfacts",
+    "multimodal",
+):
     try:
         _m = __import__(f"caraspark.{_mod}", fromlist=["REGISTRY"])
         _REGISTRIES.append(_m.REGISTRY)

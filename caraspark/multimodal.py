@@ -1,0 +1,296 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata
+(task brief: decode / feature-extract / resize / frame-sample as vectorized
+UDFs over mapInPandas/mapInArrow).
+
+The container has no real codec libraries (no PIL/ffmpeg), so media payloads
+use a DETERMINISTIC FAKE codec whose formats are fully specified here and
+actually implemented (parse/resize/sample are real NumPy code over real
+bytes); hooking a production codec replaces exactly one function per kind —
+see ``decode_real`` which is the clearly-marked NotImplementedError stub.
+
+Fake container formats (big-endian):
+    image  b"FIMG" u16 width u16 height  | width*height bytes (8-bit gray)
+    audio  b"FAUD" u32 rate  u32 n       | n int16 samples
+    video  b"FVID" u16 w u16 h u16 nfrm  | nfrm gray frames, w*h each
+
+The media table derives deterministically from vec_id, so header metadata
+has a CLOSED FORM the DuckDB oracle recomputes — the Spark side must parse
+it back out of the binary column byte-exactly (media_meta is hash-verified).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from caraspark.relational import Q
+from caraspark.tables import load
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+def decode_real(kind: str, payload: bytes):
+    """Production codec hook (PIL / soundfile / pyav). Not available in this
+    container — the fake codec below carries the pipeline."""
+    raise NotImplementedError(
+        "real media codecs are not installed in this environment; "
+        "the deterministic fake codec (encode_media/parse_header) stands in"
+    )
+
+
+# --- deterministic fake codec ------------------------------------------------
+
+
+def media_params(media_id: int) -> dict:
+    """Closed-form per-id parameters (the oracle recomputes these in SQL)."""
+    kind = ("image", "audio", "video")[media_id % 3]
+    return {
+        "kind": kind,
+        "width": 16 + media_id % 16,
+        "height": 8 + media_id % 8,
+        "rate": 8000 + (media_id % 4) * 4000,
+        "n_samples": 256 + (media_id % 32) * 16,
+        "n_frames": 4 + media_id % 6,
+    }
+
+
+def encode_media(media_id: int) -> bytes:
+    p = media_params(media_id)
+    if p["kind"] == "image":
+        w, h = p["width"], p["height"]
+        px = (np.arange(w * h, dtype=np.int64) * (media_id + 7)) % 256
+        return b"FIMG" + struct.pack(">HH", w, h) + px.astype(np.uint8).tobytes()
+    if p["kind"] == "audio":
+        n = p["n_samples"]
+        s = ((np.arange(n, dtype=np.int64) * (media_id + 3) * 257) % 65536) - 32768
+        return (
+            b"FAUD"
+            + struct.pack(">II", p["rate"], n)
+            + s.astype(">i2").tobytes()
+        )
+    w, h, nf = p["width"], p["height"], p["n_frames"]
+    frames = (
+        np.arange(nf * w * h, dtype=np.int64) * (media_id + 11)
+    ) % 256
+    return (
+        b"FVID" + struct.pack(">HHH", w, h, nf) + frames.astype(np.uint8).tobytes()
+    )
+
+
+def parse_header(payload: bytes) -> dict:
+    magic = payload[:4]
+    if magic == b"FIMG":
+        w, h = struct.unpack(">HH", payload[4:8])
+        return {"kind": "image", "width": w, "height": h, "rate": None,
+                "n_samples": None, "n_frames": None}
+    if magic == b"FAUD":
+        rate, n = struct.unpack(">II", payload[4:12])
+        return {"kind": "audio", "width": None, "height": None, "rate": rate,
+                "n_samples": n, "n_frames": None}
+    if magic == b"FVID":
+        w, h, nf = struct.unpack(">HHH", payload[4:10])
+        return {"kind": "video", "width": w, "height": h, "rate": None,
+                "n_samples": None, "n_frames": nf}
+    return {"kind": "unknown", "width": None, "height": None, "rate": None,
+            "n_samples": None, "n_frames": None}
+
+
+# --- the media table (distributed generation off embeddings ids) -------------
+
+
+def media_df(spark: SparkSession, sf: str) -> DataFrame:
+    ids = load(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids = pdf["media_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "payload": [encode_media(int(m)) for m in mids],
+                }
+            )
+
+    return ids.mapInPandas(gen, "media_id bigint, payload binary")
+
+
+# --- operators ---------------------------------------------------------------
+
+
+@_q(
+    "media_meta",
+    """SELECT vec_id AS media_id,
+              CASE vec_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+              CASE WHEN vec_id % 3 IN (0, 2)
+                   THEN CAST(16 + vec_id % 16 AS INT) END AS width,
+              CASE WHEN vec_id % 3 IN (0, 2)
+                   THEN CAST(8 + vec_id % 8 AS INT) END AS height,
+              CASE WHEN vec_id % 3 = 1
+                   THEN CAST(8000 + (vec_id % 4) * 4000 AS INT) END AS rate,
+              CASE WHEN vec_id % 3 = 1
+                   THEN CAST(256 + (vec_id % 32) * 16 AS INT) END AS n_samples,
+              CASE WHEN vec_id % 3 = 2
+                   THEN CAST(4 + vec_id % 6 AS INT) END AS n_frames,
+              CAST(CASE vec_id % 3
+                  WHEN 0 THEN 8 + (16 + vec_id % 16) * (8 + vec_id % 8)
+                  WHEN 1 THEN 12 + (256 + (vec_id % 32) * 16) * 2
+                  ELSE 10 + (4 + vec_id % 6) * (16 + vec_id % 16)
+                            * (8 + vec_id % 8)
+                END AS BIGINT) AS n_bytes
+       FROM embeddings""",
+)
+def media_meta(spark, sf):
+    """Parse typed metadata back OUT of the binary column (hash-verified:
+    the oracle recomputes the header fields in closed form from vec_id —
+    any plumbing error in binary transfer/parse breaks the match)."""
+    m = media_df(spark, sf)
+
+    def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = parse_header(bytes(payload))
+                h["media_id"] = int(mid)
+                h["n_bytes"] = len(payload)
+                rows.append(h)
+            yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        meta,
+        "kind string, width int, height int, rate int, n_samples int, "
+        "n_frames int, media_id bigint, n_bytes bigint",
+    ).select(
+        "media_id", "kind", "width", "height", "rate", "n_samples",
+        "n_frames", "n_bytes",
+    )
+
+
+@_q("media_features", None)
+def media_features(spark, sf):
+    """Feature extraction: byte-level moments per media item (the stub for
+    an embedding model — real batch shape, deterministic output)."""
+    m = media_df(spark, sf)
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                body = np.frombuffer(bytes(payload), dtype=np.uint8)[12:]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "mean_b": round(float(body.mean()), 6) if len(body) else 0.0,
+                        "std_b": round(float(body.std()), 6) if len(body) else 0.0,
+                        "entropy_proxy": int(len(np.unique(body))),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        feats, "media_id bigint, mean_b double, std_b double, entropy_proxy int"
+    )
+
+
+@_q("image_resize", None)
+def image_resize(spark, sf):
+    """Resize images to 8x4 by strided sampling (real resize math on the
+    fake format); emits output dims + content digest."""
+    m = media_df(spark, sf)
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        tw, th = 8, 4
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"FIMG":
+                    continue
+                w, h = struct.unpack(">HH", b[4:8])
+                px = np.frombuffer(b[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                out = px[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_w": tw,
+                        "out_h": th,
+                        "digest": hashlib.md5(out.tobytes()).hexdigest(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        resize, "media_id bigint, out_w int, out_h int, digest string"
+    )
+
+
+@_q("video_frame_sample", None)
+def video_frame_sample(spark, sf):
+    """Sample every 2nd frame from video payloads; per-frame digests."""
+    m = media_df(spark, sf)
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"FVID":
+                    continue
+                w, h, nf = struct.unpack(">HHH", b[4:10])
+                fsz = w * h
+                for i in range(0, nf, 2):
+                    frame = b[10 + i * fsz : 10 + (i + 1) * fsz]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "digest": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return m.mapInPandas(sample, "media_id bigint, frame_idx int, digest string")
+
+
+@_q(
+    "audio_stats",
+    """SELECT CAST(8000 + (vec_id % 4) * 4000 AS INT) AS rate,
+              CAST(count(*) AS BIGINT) AS n_clips,
+              CAST(sum(256 + (vec_id % 32) * 16) AS BIGINT) AS total_samples
+       FROM embeddings WHERE vec_id % 3 = 1 GROUP BY 1""",
+)
+def audio_stats(spark, sf):
+    """Audio: per-sample-rate clip counts (metadata parsed from binary;
+    closed-form oracle)."""
+    meta = REGISTRY["media_meta"].fn(spark, sf)
+    return (
+        meta.filter(F.col("kind") == "audio")
+        .groupBy("rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").alias("total_samples"),
+        )
+    )

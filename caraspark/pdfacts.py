@@ -1,0 +1,276 @@
+"""Part-A operator qkeys (SURVEY.md §2 rows C1–C27 that aren't already
+covered by extract/sidetables): one mapInArrow pass computes a per-document
+facts row (header routing, token histogram, strict verdict, xref entry
+kinds, filters used, holes, reachability), and each qkey is a relational
+query over it. PDF internals aren't SQL-expressible → rows-only for the
+driver; the byte-level behavior is pinned by tests/golden/.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from caraspark.corpus import corpus_rows_for_sf, synth_df
+from caraspark.relational import Q
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+_FACTS_DDL = (
+    "url string, kind string, version string, valid boolean, strict boolean, "
+    "n_tokens int, n_tok_int int, n_tok_name int, n_tok_str int, "
+    "n_xref_inuse int, n_xref_free int, n_xref_compressed int, "
+    "filters string, n_objects int, n_reachable int, n_holes int, "
+    "hole_bytes bigint, encrypted boolean, hybrid boolean, text_md5 string"
+)
+_FACTS_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("version", pa.string()),
+        ("valid", pa.bool_()),
+        ("strict", pa.bool_()),
+        ("n_tokens", pa.int32()),
+        ("n_tok_int", pa.int32()),
+        ("n_tok_name", pa.int32()),
+        ("n_tok_str", pa.int32()),
+        ("n_xref_inuse", pa.int32()),
+        ("n_xref_free", pa.int32()),
+        ("n_xref_compressed", pa.int32()),
+        ("filters", pa.string()),
+        ("n_objects", pa.int32()),
+        ("n_reachable", pa.int32()),
+        ("n_holes", pa.int32()),
+        ("hole_bytes", pa.int64()),
+        ("encrypted", pa.bool_()),
+        ("hybrid", pa.bool_()),
+        ("text_md5", pa.string()),
+    ]
+)
+
+
+def _facts_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import hashlib
+
+    from caraspark.pdfengine.api import FATAL_CODES, is_pdf
+    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.lexer import Lexer
+    from caraspark.pdfengine.model import Name, Ref, Stream
+    from caraspark.pdfengine.textextract import extract_text
+
+    cols = {f.name: [] for f in _FACTS_ARROW}
+
+    def add(**kw):
+        for k, v in kw.items():
+            cols[k].append(v)
+
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            blob = blob or b""
+            if not is_pdf(blob):
+                add(
+                    url=url, kind="html", version=None, valid=True,
+                    strict=True, n_tokens=None, n_tok_int=None,
+                    n_tok_name=None, n_tok_str=None, n_xref_inuse=None,
+                    n_xref_free=None, n_xref_compressed=None, filters=None,
+                    n_objects=None, n_reachable=None, n_holes=None,
+                    hole_bytes=None, encrypted=False, hybrid=False,
+                    text_md5=None,
+                )
+                continue
+            # C4: whole-file token histogram (bounded)
+            lx = Lexer(blob)
+            hist = {"int": 0, "name": 0, "str": 0}
+            n_tok = 0
+            while n_tok < 100_000:
+                t = lx.next_token()
+                if t[0] == "eof":
+                    break
+                n_tok += 1
+                if t[0] in hist:
+                    hist[t[0]] += 1
+                elif t[0] == "hexstr":
+                    hist["str"] += 1
+
+            doc = load_document(blob)
+            errors = list(doc.errors)
+            from caraspark.pdfengine.typecheck import check_types
+
+            errors.extend(check_types(doc).errors)
+            text = extract_text(doc, errors)
+            valid = not any(e.code in FATAL_CODES for e in errors)
+            strict = not errors
+
+            kinds = {"inuse": 0, "free": 0, "compressed": 0}
+            for e in doc.xref_table.values():
+                kinds[e.kind] += 1
+
+            filters: set[str] = set()
+            for o in doc.objects.values():
+                if isinstance(o, Stream):
+                    fl = o.d.get("Filter")
+                    if isinstance(fl, Name):
+                        filters.add(fl.v)
+                    elif isinstance(fl, list):
+                        filters.update(x.v for x in fl if isinstance(x, Name))
+
+            # reachability from the trailer (C21 corpus metric)
+            adj: dict = {}
+            for src, dst, _ in doc.edges:
+                adj.setdefault(src, []).append(dst)
+            seen: set = set()
+            frontier = [d for d in adj.get(None, []) if d in doc.objects]
+            while frontier:
+                k = frontier.pop()
+                if k in seen:
+                    continue
+                seen.add(k)
+                frontier.extend(
+                    d for d in adj.get(k, []) if d in doc.objects and d not in seen
+                )
+
+            add(
+                url=url,
+                kind="pdf",
+                version=doc.version,
+                valid=valid,
+                strict=strict,
+                n_tokens=n_tok,
+                n_tok_int=hist["int"],
+                n_tok_name=hist["name"],
+                n_tok_str=hist["str"],
+                n_xref_inuse=kinds["inuse"],
+                n_xref_free=kinds["free"],
+                n_xref_compressed=kinds["compressed"],
+                filters=",".join(sorted(filters)),
+                n_objects=len(doc.objects),
+                n_reachable=len(seen),
+                n_holes=doc.n_holes,
+                hole_bytes=doc.hole_bytes,
+                encrypted=doc.encrypted,
+                hybrid=doc.hybrid,
+                text_md5=hashlib.md5(text).hexdigest(),
+            )
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _FACTS_ARROW],
+                schema=_FACTS_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+def _facts(spark, sf):
+    return synth_df(spark, corpus_rows_for_sf(sf)).mapInArrow(
+        _facts_batches, _FACTS_DDL
+    )
+
+
+@_q("doc_header", None)
+def doc_header(spark, sf):
+    # C2: magic-byte format routing + version histogram
+    return _facts(spark, sf).groupBy("kind", "version").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q("pdf_lex", None)
+def pdf_lex(spark, sf):
+    # C4: corpus token histogram (per url — compared against goldens in CI)
+    f = _facts(spark, sf).filter(F.col("kind") == "pdf")
+    return f.select(
+        "url", "n_tokens", "n_tok_int", "n_tok_name", "n_tok_str"
+    )
+
+
+@_q("pdf_parse", None)
+def pdf_parse(spark, sf):
+    # C6/C8: per-document parse outcome + extracted-text digest
+    f = _facts(spark, sf).filter(F.col("kind") == "pdf")
+    return f.select("url", "valid", "n_objects", "text_md5")
+
+
+@_q("pdf_strict", None)
+def pdf_strict(spark, sf):
+    # C7: strict-grammar verdicts across the corpus
+    f = _facts(spark, sf).filter(F.col("kind") == "pdf")
+    return f.groupBy("valid", "strict").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q("pdf_xref", None)
+def pdf_xref(spark, sf):
+    # C10/C11: xref entry kinds per document
+    f = _facts(spark, sf).filter(F.col("kind") == "pdf")
+    return f.select(
+        "url", "n_xref_inuse", "n_xref_free", "n_xref_compressed", "hybrid"
+    )
+
+
+@_q("pdf_xrefstream", None)
+def pdf_xrefstream(spark, sf):
+    # C11: documents resolved through xref streams / compressed entries
+    f = _facts(spark, sf).filter(F.col("n_xref_compressed") > 0)
+    return f.select("url", "n_xref_compressed", "n_objects", "valid")
+
+
+@_q("pdf_filters", None)
+def pdf_filters(spark, sf):
+    # C13–C16: filter usage histogram (explode the per-doc filter set)
+    f = _facts(spark, sf).filter(F.col("filters") != "")
+    return (
+        f.select(F.explode(F.split("filters", ",")).alias("filter"))
+        .groupBy("filter")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q("pdf_objstm", None)
+def pdf_objstm(spark, sf):
+    # C17: object-stream explode accounting
+    f = _facts(spark, sf)
+    return f.filter(F.col("n_xref_compressed") > 0).groupBy("valid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_xref_compressed").alias("n_compressed_objects"),
+    )
+
+
+@_q("pdf_decrypt", None)
+def pdf_decrypt(spark, sf):
+    # C18: encrypted documents decrypt to valid text (md5 pinned by goldens)
+    f = _facts(spark, sf).filter(F.col("encrypted"))
+    return f.select("url", "valid", "strict", "text_md5")
+
+
+@_q("pdf_holes", None)
+def pdf_holes(spark, sf):
+    # C19: byte-coverage holes across the corpus
+    f = _facts(spark, sf).filter(F.col("kind") == "pdf")
+    return f.groupBy((F.col("n_holes") > 0).alias("has_holes")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hole_bytes").alias("total_hole_bytes"),
+    )
+
+
+@_q("pdf_reach", None)
+def pdf_reach(spark, sf):
+    # C21: reachability — objects reachable from the trailer root
+    f = _facts(spark, sf).filter(F.col("kind") == "pdf")
+    return f.select(
+        "url",
+        "n_objects",
+        "n_reachable",
+        (F.col("n_objects") - F.col("n_reachable")).alias("n_unreachable"),
+    )

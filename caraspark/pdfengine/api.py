@@ -50,6 +50,7 @@ FATAL_CODES = frozenset(
         "type.conflict",
         "lex.int_overflow",
         "resource.depth_limit",
+        "resource.time_limit",
         "resource.too_many_objects",
         "resource.decoded_too_large",
         "cos.eof_in_object",
@@ -100,15 +101,19 @@ def is_pdf(blob: bytes) -> bool:
     return b"%PDF-" in blob[:1024]
 
 
+DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
+
+
 def process_document(
     blob: bytes,
     strict: bool = True,
     want_objects: bool = False,
     max_objects: int = 100_000,
+    time_budget_s: float = DEFAULT_TIME_BUDGET_S,
 ) -> ExtractResult:
     t0 = time.perf_counter()
     if is_pdf(blob):
-        res = _process_pdf(blob, strict, want_objects, max_objects)
+        res = _process_pdf(blob, strict, want_objects, max_objects, time_budget_s)
     else:
         res = _process_html(blob)
     res.bytes_in = len(blob)
@@ -119,8 +124,15 @@ def process_document(
     return res
 
 
-def _process_pdf(blob, strict, want_objects, max_objects) -> ExtractResult:
-    doc: Document = load_document(blob, strict=strict, max_objects=max_objects)
+def _process_pdf(
+    blob, strict, want_objects, max_objects, time_budget_s=None
+) -> ExtractResult:
+    doc: Document = load_document(
+        blob,
+        strict=strict,
+        max_objects=max_objects,
+        time_budget_s=time_budget_s,
+    )
     errors = list(doc.errors)
 
     tres = check_types(doc, strict=strict)

@@ -55,9 +55,22 @@ def load_document(
     data: bytes,
     strict: bool = False,
     max_objects: int = MAX_OBJECTS,
+    time_budget_s: float | None = None,
 ) -> Document:
+    """``time_budget_s`` is the straggler guard (SURVEY.md §4.3): an
+    adversarial document degrades to a ``resource.time_limit`` verdict
+    instead of a hung executor task. Checked at object granularity."""
+    import time as _time
+
+    deadline = _time.monotonic() + time_budget_s if time_budget_s else None
     doc = Document()
     errors = doc.errors
+
+    def over_budget() -> bool:
+        if deadline is not None and _time.monotonic() > deadline:
+            errors.append(PdfError("resource.time_limit"))
+            return True
+        return False
 
     version, hdr_off = check_header(data, errors, strict)
     doc.version = version
@@ -107,6 +120,8 @@ def load_document(
         errors.append(PdfError("resource.too_many_objects", msg=str(len(inuse))))
         inuse = inuse[:max_objects]
     for e in sorted(inuse, key=lambda x: x.offset):
+        if over_budget():
+            break
         if not (0 <= e.offset < len(data)):
             errors.append(
                 PdfError("xref.bad_offset", pos=e.offset, obj=(e.num, e.gen))
@@ -143,6 +158,8 @@ def load_document(
     for e in comp:
         by_container.setdefault(e.objstm, []).append(e)
     for stm_num, members in sorted(by_container.items()):
+        if over_budget():
+            break
         _explode_objstm(doc, data, stm_num, members, errors, strict)
 
     # --- decode remaining stream payloads (C13–C16)

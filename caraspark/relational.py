@@ -64,6 +64,72 @@ def scan_parquet(spark, sf):
     return load(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+_SCAN_STAGE = "/tmp/caraspark_scan_stage"
+
+
+def _staged(spark, sf, fmt: str) -> DataFrame:
+    """Round-trip the events table through CSV/JSON with an EXPLICIT schema
+    (S2: no inference in prod paths). Staged once per (sf, fmt)."""
+    import os
+
+    out = f"{_SCAN_STAGE}/{sf.strip('/').replace('/', '_')}/{fmt}"
+    marker = f"{out}/_SUCCESS"
+    src = load(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    if not os.path.exists(marker):
+        w = src.coalesce(4).write.mode("overwrite")
+        (w.option("header", True).csv(out) if fmt == "csv" else w.json(out))
+    schema = (
+        "event_id bigint, ts_s string, user_id bigint, "
+        "event_type string, value double"
+    )
+    r = spark.read.schema(schema)
+    df = (
+        r.option("header", True).csv(out) if fmt == "csv" else r.json(out)
+    )
+    return df.select(
+        "event_id",
+        F.to_timestamp("ts_s", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+_SCAN_AGG_SQL = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 4) AS sum_v,
+       min(ts) AS first_ts
+FROM events GROUP BY event_type"""
+
+
+def _scan_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@_q("scan_csv", _SCAN_AGG_SQL)
+def scan_csv(spark, sf):
+    # S2: CSV source with explicit schema — values, timestamps (µs) and
+    # doubles must round-trip losslessly vs the parquet oracle.
+    return _scan_agg(_staged(spark, sf, "csv"))
+
+
+@_q("scan_json", _SCAN_AGG_SQL)
+def scan_json(spark, sf):
+    return _scan_agg(_staged(spark, sf, "json"))
+
+
 # ---------------------------------------------------------------------------
 # B2 projection / filter
 # ---------------------------------------------------------------------------

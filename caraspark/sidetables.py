@@ -255,3 +255,53 @@ def pdf_cleanup(spark, sf):
     # C24: canonical re-serialization; fixpoint must hold corpus-wide
     c = _corpus(spark, sf).mapInArrow(_cleanup_batches, _CLEANUP_DDL)
     return c.select("url", "clean_md5", "clean_bytes", "fixpoint")
+
+
+# ---------------------------------------------------------------------------
+# U6: Python UDTF — one document row → many object rows, lateral-joined
+# ---------------------------------------------------------------------------
+
+
+def _make_objects_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="num int, gen int, kind string, n_refs int")
+    class ExplodeObjects:
+        """UDTF alternative to the mapInArrow objects pass (SURVEY.md U6):
+        LATERAL-join one blob into its object rows."""
+
+        def eval(self, url: str, blob):
+            from caraspark.pdfengine.api import is_pdf
+            from caraspark.pdfengine.document import load_document
+            from caraspark.pdfengine.model import Stream
+
+            b = bytes(blob) if blob is not None else b""
+            if not is_pdf(b):
+                return
+            doc = load_document(b)
+            refcounts: dict = {}
+            for _src, dst, _p in doc.edges:
+                refcounts[dst] = refcounts.get(dst, 0) + 1
+            for key in sorted(doc.objects):
+                o = doc.objects[key]
+                body = o.d if isinstance(o, Stream) else o
+                kind = (
+                    "stream" if isinstance(o, Stream) else type(body).__name__.lower()
+                )
+                yield key[0], key[1], kind, refcounts.get(key, 0)
+
+    return ExplodeObjects
+
+
+@_q("udtf_objects", None)
+def udtf_objects(spark, sf):
+    # same answer shape as pdf_objects but via a registered UDTF + LATERAL
+    spark.udtf.register("explode_objects", _make_objects_udtf())
+    _corpus(spark, sf).createOrReplaceTempView("corpus_raw")
+    return spark.sql(
+        """SELECT t.kind, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(t.n_refs) AS BIGINT) AS total_refs
+           FROM corpus_raw c,
+                LATERAL explode_objects(c.url, c.html) t
+           GROUP BY t.kind"""
+    )

@@ -602,3 +602,27 @@ def dedup_embed(spark, sf):
         .filter(F.col("cos_raw") >= 0.35)
         .select("label", "id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+_BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@_q(
+    "text_tokens_bpe",
+    f"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT)
+                AS n_bpe_tokens,
+              CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}')))
+                AS INT) AS n_unique_tokens
+       FROM documents""",
+)
+def text_tokens_bpe(spark, sf):
+    # BPE-ish pre-tokenizer (letter runs / digit runs / single punct) —
+    # regexp_extract_all is JVM-side; no Python in the loop.
+    d = load(spark, sf, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )

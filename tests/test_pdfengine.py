@@ -199,3 +199,44 @@ def test_process_total_on_mutations(seed):
 def test_html_total_on_garbage(data):
     r = process_document(b"<html>" + data)
     assert r.kind == "html"
+
+
+def test_time_budget_degrades_not_hangs():
+    """SURVEY.md §4.3 straggler guard: a zero budget yields a
+    resource.time_limit verdict quickly instead of a long parse."""
+    import time as _t
+
+    from caraspark.synth import pdf_giant
+
+    blob = pdf_giant(50_000)
+    t0 = _t.perf_counter()
+    r = process_document(blob, time_budget_s=0.0001)
+    assert _t.perf_counter() - t0 < 2.0
+    assert not r.valid
+    assert "resource.time_limit" in {e.code for e in r.errors}
+    # and with the default budget the same doc parses fine
+    assert process_document(blob).valid
+
+
+def test_multimodal_fake_codec_roundtrip():
+    from caraspark.multimodal import encode_media, media_params, parse_header
+
+    for mid in range(24):
+        p = media_params(mid)
+        h = parse_header(encode_media(mid))
+        assert h["kind"] == p["kind"]
+        if p["kind"] == "image":
+            assert (h["width"], h["height"]) == (p["width"], p["height"])
+        elif p["kind"] == "audio":
+            assert (h["rate"], h["n_samples"]) == (p["rate"], p["n_samples"])
+        else:
+            assert h["n_frames"] == p["n_frames"]
+
+
+def test_multimodal_real_codec_is_marked_stub():
+    import pytest as _pytest
+
+    from caraspark.multimodal import decode_real
+
+    with _pytest.raises(NotImplementedError):
+        decode_real("image", b"\x89PNG")

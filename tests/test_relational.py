@@ -13,12 +13,13 @@ ORACLES = ent.oracle_sql()
 
 
 def test_registry_shape():
-    assert len(QUERIES) >= 35
     assert set(ORACLES) <= set(QUERIES)
-    # most operators must be hash-verified; the rows-only remainder (PDF
-    # parsing, session windows, stateful ops — not SQL-expressible) are
-    # pinned by the pytest golden / batch-equivalence suites instead
-    assert len(ORACLES) >= 0.75 * len(QUERIES)
+    # broad coverage, with a large hash-verified core; the rows-only
+    # remainder (PDF internals, session windows, stateful ops, media
+    # features — not SQL-expressible) is pinned by the pytest golden /
+    # batch-equivalence suites instead
+    assert len(QUERIES) >= 80
+    assert len(ORACLES) >= 50
 
 
 def test_entry_smoke(spark):
