@@ -49,6 +49,15 @@ class OneOf:
 
 
 @dataclass(frozen=True, slots=True)
+class DictOf:
+    """Homogeneous dictionary: every value has type ``elem`` (keys are
+    names by construction).  Mirrors caradoc's map types used for
+    /Resources sub-dictionaries and name-keyed lookup tables."""
+
+    elem: object
+
+
+@dataclass(frozen=True, slots=True)
 class Class:
     name: str  # key into TYPEDEFS
 
@@ -84,19 +93,19 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Type": Entry(Exact("Catalog"), required=True),
             "Pages": Entry(Class("pages"), required=True),
             "Outlines": Entry(Class("outlines")),
-            "Names": Entry(DICT),
-            "Dests": Entry(DICT),
+            "Names": Entry(Class("names")),
+            "Dests": Entry(DictOf(OneOf((ARRAY, DICT)))),
             "Metadata": Entry(STREAM),
-            "PageLabels": Entry(DICT),
-            "ViewerPreferences": Entry(DICT),
+            "PageLabels": Entry(Class("number_tree")),
+            "ViewerPreferences": Entry(Class("viewer_prefs")),
             "PageLayout": Entry(NAME),
             "PageMode": Entry(NAME),
-            "OpenAction": Entry(OneOf((ARRAY, DICT))),
-            "AcroForm": Entry(DICT),
+            "OpenAction": Entry(OneOf((ARRAY, Class("action")))),
+            "AcroForm": Entry(Class("acroform")),
             "Lang": Entry(STRING),
             "Version": Entry(NAME),
-            "StructTreeRoot": Entry(DICT),
-            "MarkInfo": Entry(DICT),
+            "StructTreeRoot": Entry(Class("struct_tree_root")),
+            "MarkInfo": Entry(Class("mark_info")),
             "OutputIntents": Entry(ARRAY),
             "URI": Entry(DICT),
         }
@@ -131,14 +140,16 @@ TYPEDEFS: dict[str, ClassDef] = {
     ),
     "resources": ClassDef(
         {
-            "Font": Entry(DICT),
-            "XObject": Entry(DICT),
-            "ExtGState": Entry(DICT),
-            "ColorSpace": Entry(DICT),
-            "Pattern": Entry(DICT),
-            "Shading": Entry(DICT),
+            "Font": Entry(DictOf(Class("font"))),
+            "XObject": Entry(
+                DictOf(OneOf((Class("xobject_image"), Class("xobject_form"))))
+            ),
+            "ExtGState": Entry(DictOf(Class("extgstate"))),
+            "ColorSpace": Entry(DictOf(OneOf((NAME, ARRAY)))),
+            "Pattern": Entry(DictOf(OneOf((DICT, STREAM)))),
+            "Shading": Entry(DictOf(OneOf((DICT, STREAM)))),
             "ProcSet": Entry(ArrayOf(NAME)),
-            "Properties": Entry(DICT),
+            "Properties": Entry(DictOf(DICT)),
         }
     ),
     "annot": ClassDef(
@@ -155,7 +166,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
-            "A": Entry(DICT),
+            "A": Entry(Class("action")),
             "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
             "StructParent": Entry(INT),
         }
@@ -168,12 +179,14 @@ TYPEDEFS: dict[str, ClassDef] = {
             "FirstChar": Entry(INT),
             "LastChar": Entry(INT),
             "Widths": Entry(ArrayOf(NUMBER)),
-            "FontDescriptor": Entry(DICT),
+            "FontDescriptor": Entry(Class("fontdescriptor")),
             "Encoding": Entry(OneOf((NAME, DICT))),
             "ToUnicode": Entry(STREAM),
             "Name": Entry(NAME),
-            "DescendantFonts": Entry(ARRAY),
+            "DescendantFonts": Entry(ArrayOf(Class("font"))),
             "CIDSystemInfo": Entry(DICT),
+            "W": Entry(ARRAY),
+            "DW": Entry(NUMBER),
         }
     ),
     "outlines": ClassDef(
@@ -209,6 +222,311 @@ TYPEDEFS: dict[str, ClassDef] = {
             "ModDate": Entry(STRING),
             "Trapped": Entry(NAME),
         }
+    ),
+    # --- name / number trees [PDF17 §7.9.6–7.9.7] --------------------------
+    "names": ClassDef(
+        {
+            "Dests": Entry(Class("name_tree")),
+            "AP": Entry(Class("name_tree")),
+            "JavaScript": Entry(Class("name_tree")),
+            "Pages": Entry(Class("name_tree")),
+            "Templates": Entry(Class("name_tree")),
+            "IDS": Entry(Class("name_tree")),
+            "URLS": Entry(Class("name_tree")),
+            "EmbeddedFiles": Entry(Class("name_tree")),
+            "AlternatePresentations": Entry(Class("name_tree")),
+            "Renditions": Entry(Class("name_tree")),
+        }
+    ),
+    "name_tree": ClassDef(
+        {
+            "Kids": Entry(ArrayOf(Class("name_tree"))),
+            "Names": Entry(ARRAY),  # alternating [key STRING, value ANY]
+            "Limits": Entry(Tuple((STRING, STRING))),
+        }
+    ),
+    "number_tree": ClassDef(
+        {
+            "Kids": Entry(ArrayOf(Class("number_tree"))),
+            "Nums": Entry(ARRAY),  # alternating [key INT, value ANY]
+            "Limits": Entry(Tuple((INT, INT))),
+        }
+    ),
+    # --- font machinery [PDF17 §9.6–9.8] -----------------------------------
+    "fontdescriptor": ClassDef(
+        {
+            "Type": Entry(Exact("FontDescriptor"), required=True),
+            "FontName": Entry(NAME, required=True),
+            "FontFamily": Entry(STRING),
+            "FontStretch": Entry(NAME),
+            "FontWeight": Entry(NUMBER),
+            "Flags": Entry(INT, required=True),
+            "FontBBox": Entry(RECT),
+            "ItalicAngle": Entry(NUMBER, required=True),
+            "Ascent": Entry(NUMBER),
+            "Descent": Entry(NUMBER),
+            "Leading": Entry(NUMBER),
+            "CapHeight": Entry(NUMBER),
+            "XHeight": Entry(NUMBER),
+            "StemV": Entry(NUMBER),
+            "StemH": Entry(NUMBER),
+            "AvgWidth": Entry(NUMBER),
+            "MaxWidth": Entry(NUMBER),
+            "MissingWidth": Entry(NUMBER),
+            "FontFile": Entry(STREAM),
+            "FontFile2": Entry(STREAM),
+            "FontFile3": Entry(STREAM),
+            "CharSet": Entry(STRING),
+        }
+    ),
+    # --- xobjects [PDF17 §8.8–8.10] ----------------------------------------
+    "xobject_image": ClassDef(
+        {
+            "Type": Entry(Exact("XObject")),
+            "Subtype": Entry(Exact("Image"), required=True),
+            "Width": Entry(INT, required=True),
+            "Height": Entry(INT, required=True),
+            "ColorSpace": Entry(OneOf((NAME, ARRAY))),
+            "BitsPerComponent": Entry(INT),
+            "ImageMask": Entry(BOOL),
+            "Mask": Entry(OneOf((STREAM, ArrayOf(INT)))),
+            "SMask": Entry(STREAM),
+            "Decode": Entry(ArrayOf(NUMBER)),
+            "Interpolate": Entry(BOOL),
+            "Intent": Entry(NAME),
+            "Alternates": Entry(ARRAY),
+            "StructParent": Entry(INT),
+            "ID": Entry(STRING),
+            "OPI": Entry(DICT),
+        },
+        is_stream=True,
+    ),
+    "xobject_form": ClassDef(
+        {
+            "Type": Entry(Exact("XObject")),
+            "Subtype": Entry(Exact("Form"), required=True),
+            "BBox": Entry(RECT, required=True),
+            "Matrix": Entry(Tuple((NUMBER,) * 6)),
+            "Resources": Entry(Class("resources")),
+            "Group": Entry(DICT),
+            "Ref": Entry(DICT),
+            "Metadata": Entry(STREAM),
+            "PieceInfo": Entry(DICT),
+            "LastModified": Entry(STRING),
+            "StructParent": Entry(INT),
+            "StructParents": Entry(INT),
+            "FormType": Entry(INT),
+        },
+        is_stream=True,
+    ),
+    # --- graphics state [PDF17 §8.4.5] -------------------------------------
+    "extgstate": ClassDef(
+        {
+            "Type": Entry(Exact("ExtGState")),
+            "LW": Entry(NUMBER),
+            "LC": Entry(INT),
+            "LJ": Entry(INT),
+            "ML": Entry(NUMBER),
+            "D": Entry(Tuple((ArrayOf(NUMBER), NUMBER))),
+            "RI": Entry(NAME),
+            "OP": Entry(BOOL),
+            "op": Entry(BOOL),
+            "OPM": Entry(INT),
+            "Font": Entry(Tuple((Class("font"), NUMBER))),
+            "BM": Entry(OneOf((NAME, ArrayOf(NAME)))),
+            "SMask": Entry(OneOf((NAME, DICT))),
+            "CA": Entry(NUMBER),
+            "ca": Entry(NUMBER),
+            "AIS": Entry(BOOL),
+            "TK": Entry(BOOL),
+            "SA": Entry(BOOL),
+            "FL": Entry(NUMBER),
+            "SM": Entry(NUMBER),
+            "BG": Entry(OneOf((DICT, STREAM, NAME))),
+            "BG2": Entry(OneOf((DICT, STREAM, NAME))),
+            "UCR": Entry(OneOf((DICT, STREAM, NAME))),
+            "UCR2": Entry(OneOf((DICT, STREAM, NAME))),
+            "TR": Entry(ANY),
+            "TR2": Entry(ANY),
+            "HT": Entry(OneOf((DICT, STREAM, NAME))),
+        }
+    ),
+    # --- actions [PDF17 §12.6] ---------------------------------------------
+    "action": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(NAME, required=True),
+            "Next": Entry(OneOf((Class("action"), ArrayOf(Class("action"))))),
+            "D": Entry(OneOf((ARRAY, NAME, STRING))),
+            "URI": Entry(STRING),
+            "IsMap": Entry(BOOL),
+            "F": Entry(OneOf((STRING, Class("filespec")))),
+            "NewWindow": Entry(BOOL),
+            "JS": Entry(OneOf((STRING, STREAM))),
+            "Win": Entry(DICT),
+            "T": Entry(ANY),
+        }
+    ),
+    # --- interactive forms [PDF17 §12.7] -----------------------------------
+    "acroform": ClassDef(
+        {
+            "Fields": Entry(ArrayOf(Class("field")), required=True),
+            "NeedAppearances": Entry(BOOL),
+            "SigFlags": Entry(INT),
+            "CO": Entry(ARRAY),
+            "DR": Entry(Class("resources")),
+            "DA": Entry(STRING),
+            "Q": Entry(INT),
+            "XFA": Entry(OneOf((STREAM, ARRAY))),
+        }
+    ),
+    "field": ClassDef(
+        {
+            # field entries + widget-annotation merge (common in practice)
+            "FT": Entry(NAME),
+            "Parent": Entry(DICT),
+            "Kids": Entry(ArrayOf(Class("field"))),
+            "T": Entry(STRING),
+            "TU": Entry(STRING),
+            "TM": Entry(STRING),
+            "Ff": Entry(INT),
+            "V": Entry(ANY),
+            "DV": Entry(ANY),
+            "AA": Entry(DICT),
+            "Subtype": Entry(NAME),
+            "Rect": Entry(RECT),
+            "MK": Entry(DICT),
+            "DA": Entry(STRING),
+            "Q": Entry(INT),
+            "MaxLen": Entry(INT),
+            "Opt": Entry(ARRAY),
+            "F": Entry(INT),
+            "P": Entry(DICT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+        }
+    ),
+    # --- encryption [PDF17 §7.6] -------------------------------------------
+    "encrypt": ClassDef(
+        {
+            "Filter": Entry(NAME, required=True),
+            "SubFilter": Entry(NAME),
+            "V": Entry(INT),
+            "Length": Entry(INT),
+            "R": Entry(INT),
+            "O": Entry(STRING),
+            "U": Entry(STRING),
+            "P": Entry(INT),
+            "EncryptMetadata": Entry(BOOL),
+            "CF": Entry(DictOf(Class("crypt_filter"))),
+            "StmF": Entry(NAME),
+            "StrF": Entry(NAME),
+            "EFF": Entry(NAME),
+            "OE": Entry(STRING),
+            "UE": Entry(STRING),
+            "Perms": Entry(STRING),
+        }
+    ),
+    "crypt_filter": ClassDef(
+        {
+            "Type": Entry(Exact("CryptFilter")),
+            "CFM": Entry(NAME),
+            "AuthEvent": Entry(NAME),
+            "Length": Entry(INT),
+        }
+    ),
+    # --- file specifications / embedded files [PDF17 §7.11] ----------------
+    "filespec": ClassDef(
+        {
+            "Type": Entry(Exact("Filespec")),
+            "FS": Entry(NAME),
+            "F": Entry(STRING),
+            "UF": Entry(STRING),
+            "DOS": Entry(STRING),
+            "Mac": Entry(STRING),
+            "Unix": Entry(STRING),
+            "ID": Entry(Tuple((STRING, STRING))),
+            "V": Entry(BOOL),
+            "EF": Entry(DictOf(Class("embedded_file"))),
+            "RF": Entry(DICT),
+            "Desc": Entry(STRING),
+            "CI": Entry(DICT),
+        }
+    ),
+    "embedded_file": ClassDef(
+        {
+            "Type": Entry(Exact("EmbeddedFile")),
+            "Subtype": Entry(NAME),
+            "Params": Entry(DICT),
+        },
+        is_stream=True,
+    ),
+    # --- viewer prefs / mark info / structure tree [PDF17 §12.2, 14.7-8] ---
+    "viewer_prefs": ClassDef(
+        {
+            "HideToolbar": Entry(BOOL),
+            "HideMenubar": Entry(BOOL),
+            "HideWindowUI": Entry(BOOL),
+            "FitWindow": Entry(BOOL),
+            "CenterWindow": Entry(BOOL),
+            "DisplayDocTitle": Entry(BOOL),
+            "NonFullScreenPageMode": Entry(NAME),
+            "Direction": Entry(NAME),
+            "ViewArea": Entry(NAME),
+            "ViewClip": Entry(NAME),
+            "PrintArea": Entry(NAME),
+            "PrintClip": Entry(NAME),
+            "PrintScaling": Entry(NAME),
+            "Duplex": Entry(NAME),
+            "PickTrayByPDFSize": Entry(BOOL),
+            "PrintPageRange": Entry(ArrayOf(INT)),
+            "NumCopies": Entry(INT),
+        }
+    ),
+    "mark_info": ClassDef(
+        {
+            "Marked": Entry(BOOL),
+            "UserProperties": Entry(BOOL),
+            "Suspects": Entry(BOOL),
+        }
+    ),
+    "struct_tree_root": ClassDef(
+        {
+            "Type": Entry(Exact("StructTreeRoot")),
+            "K": Entry(OneOf((DICT, ArrayOf(DICT)))),
+            "IDTree": Entry(Class("name_tree")),
+            "ParentTree": Entry(Class("number_tree")),
+            "ParentTreeNextKey": Entry(INT),
+            "RoleMap": Entry(DictOf(NAME)),
+            "ClassMap": Entry(DICT),
+        }
+    ),
+    # --- cross-reference & object streams [PDF17 §7.5.7–7.5.8] -------------
+    # parsed structurally by the xref layer; typedefs give them the same
+    # dict-schema validation every other class gets
+    "objstm": ClassDef(
+        {
+            "Type": Entry(Exact("ObjStm"), required=True),
+            "N": Entry(INT, required=True),
+            "First": Entry(INT, required=True),
+            "Extends": Entry(STREAM),
+        },
+        is_stream=True,
+    ),
+    "xref_stream": ClassDef(
+        {
+            "Type": Entry(Exact("XRef"), required=True),
+            "Size": Entry(INT, required=True),
+            "Index": Entry(ArrayOf(INT)),
+            "Prev": Entry(INT),
+            "W": Entry(ArrayOf(INT), required=True),
+            "Root": Entry(ANY),
+            "Info": Entry(ANY),
+            "ID": Entry(ARRAY),
+            "Encrypt": Entry(ANY),
+            "XRefStm": Entry(INT),
+        },
+        is_stream=True,
     ),
 }
 
@@ -279,6 +597,14 @@ def check_types(doc, strict: bool = False) -> TypeResult:
             for i, x in enumerate(v):
                 check_value(x, texpr.elem, f"{path}[{i}]", objkey)
             return
+        if isinstance(texpr, DictOf):
+            body = v.d if isinstance(v, Stream) else v
+            if not isinstance(body, dict):
+                err("type.mismatch", path, objkey, "expected dict")
+                return
+            for k, x in body.items():
+                check_value(x, texpr.elem, f"{path}/{k}", objkey)
+            return
         if isinstance(texpr, Tuple):
             if not isinstance(v, list) or len(v) != len(texpr.elems):
                 err("type.mismatch", path, objkey, f"expected {len(texpr.elems)}-tuple")
@@ -337,6 +663,14 @@ def check_types(doc, strict: bool = False) -> TypeResult:
     info = trailer.get("Info")
     if isinstance(info, Ref):
         enqueue((info.num, info.gen), Class("info"), "trailer/Info")
+    enc = trailer.get("Encrypt")
+    if isinstance(enc, Ref):
+        enqueue((enc.num, enc.gen), Class("encrypt"), "trailer/Encrypt")
+    elif isinstance(enc, dict):
+        check_value(enc, Class("encrypt"), "trailer/Encrypt", None)
+    fid = trailer.get("ID")
+    if fid is not None:
+        check_value(fid, Tuple((STRING, STRING)), "trailer/ID", None)
 
     # drain
     guard = 0
@@ -404,15 +738,25 @@ def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
         return any(
             _try_match(v, a, doc, sub, enqueue, path, objkey) for a in texpr.alts
         )
+    if isinstance(texpr, DictOf):
+        body = v.d if isinstance(v, Stream) else v
+        return isinstance(body, dict)
     if isinstance(texpr, Class):
         body = v.d if isinstance(v, Stream) else v
         if not isinstance(body, dict):
             return False
         cd = TYPEDEFS[texpr.name]
-        ty = body.get("Type")
-        want = cd.entries.get("Type")
-        if want and isinstance(want.t, Exact):
-            if not (isinstance(ty, Name) and ty.v == want.t.name):
-                return False
+        if cd.is_stream and not isinstance(v, Stream):
+            return False
+        # discriminate on exact /Type and /Subtype constants when declared —
+        # this is how unions of stream classes (image vs form xobject) and
+        # annotation families resolve without backtracking
+        for disc in ("Type", "Subtype"):
+            want = cd.entries.get(disc)
+            if want and isinstance(want.t, Exact):
+                got = body.get(disc)
+                if want.required or disc in body:
+                    if not (isinstance(got, Name) and got.v == want.t.name):
+                        return False
         return True
     return False

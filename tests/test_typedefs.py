@@ -1,0 +1,262 @@
+"""Typedef-corpus coverage tests (SURVEY.md C22 tier-2 classes).
+
+Caradoc's type corpus spans name/number trees, font descriptors, xobjects,
+graphics state, actions, forms and encryption dictionaries
+(``ref:src/type/*.ml`` [P]); these tests pin our table's behavior on both
+accepting and rejecting documents, built byte-level via the synth helpers.
+"""
+
+from __future__ import annotations
+
+from caraspark.pdfengine import process_document
+from caraspark.synth import _assemble, _obj, _stream_obj
+
+
+def _doc(extra: dict[int, bytes], page_extra: bytes = b"") -> bytes:
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R" + page_extra + b" >>",
+        ),
+        4: _stream_obj(4, b"", b"BT (x) Tj ET"),
+    }
+    bodies.update(extra)
+    return _assemble(bodies)
+
+
+def _doc_catalog(catalog_extra: bytes, extra: dict[int, bytes]) -> bytes:
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R" + catalog_extra + b" >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+        ),
+        4: _stream_obj(4, b"", b"BT (x) Tj ET"),
+    }
+    bodies.update(extra)
+    return _assemble(bodies)
+
+
+def _codes(r):
+    return {e["code"] for e in r.errors_as_rows()}
+
+
+# --- fonts and descriptors -------------------------------------------------
+
+
+def test_font_with_descriptor_assigns_and_validates():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /FontDescriptor 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /FontDescriptor /FontName /Helvetica /Flags 32"
+                b" /ItalicAngle 0 /Ascent 718 /Descent -207 /StemV 88"
+                b" /FontBBox [-166 -225 1000 931] >>",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "font"
+    assert r.type_assignments["6.0"] == "fontdescriptor"
+
+
+def test_fontdescriptor_missing_required_is_typed_error():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /F"
+                b" /FontDescriptor 6 0 R >>",
+            ),
+            # missing /FontName, /Flags, /ItalicAngle
+            6: _obj(6, b"<< /Type /FontDescriptor >>"),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+    assert not r.strict
+
+
+def test_font_map_rejects_non_font_value():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /NotAFont >>")},
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- xobjects --------------------------------------------------------------
+
+
+def test_image_and_form_xobjects_discriminate_by_subtype():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Image /Width 2 /Height 2"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8",
+                b"\x00\x01\x02\x03",
+            ),
+            6: _stream_obj(
+                6,
+                b"/Type /XObject /Subtype /Form /BBox [0 0 10 10]"
+                b" /Matrix [1 0 0 1 0 0]",
+                b"",
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Im 5 0 R /Fm 6 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "xobject_image"
+    assert r.type_assignments["6.0"] == "xobject_form"
+
+
+def test_image_missing_width_is_typed_error():
+    blob = _doc(
+        {5: _stream_obj(5, b"/Type /XObject /Subtype /Image /Height 2", b"\x00")},
+        page_extra=b" /Resources << /XObject << /Im 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_form_bbox_wrong_arity_is_typed_error():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5, b"/Type /XObject /Subtype /Form /BBox [0 0 10]", b""
+            )
+        },
+        page_extra=b" /Resources << /XObject << /Fm 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- extgstate -------------------------------------------------------------
+
+
+def test_extgstate_validates():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /ExtGState /CA 0.5 /ca 0.5 /LW 2 /LC 0"
+                b" /BM /Multiply /D [[3 2] 0] >>",
+            )
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "extgstate"
+
+
+def test_extgstate_bad_entry_type_is_typed_error():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /ExtGState /CA (half) >>")},
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- name/number trees, viewer prefs, actions ------------------------------
+
+
+def test_name_tree_and_viewer_prefs_and_action():
+    blob = _doc_catalog(
+        b" /Names << /Dests 5 0 R >>"
+        b" /ViewerPreferences << /HideToolbar true /Direction /L2R >>"
+        b" /OpenAction 7 0 R"
+        b" /PageLabels << /Nums [0 << /S /D >>] >>",
+        {
+            5: _obj(5, b"<< /Kids [6 0 R] >>"),
+            6: _obj(
+                6,
+                b"<< /Names [(a) [3 0 R /Fit]] /Limits [(a) (a)] >>",
+            ),
+            7: _obj(7, b"<< /Type /Action /S /GoTo /D [3 0 R /Fit] >>"),
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "name_tree"
+    assert r.type_assignments["6.0"] == "name_tree"
+    assert r.type_assignments["7.0"] == "action"
+
+
+def test_action_missing_s_is_typed_error():
+    blob = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /D [3 0 R /Fit] >>")},
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_name_tree_limits_must_be_string_pair():
+    blob = _doc_catalog(
+        b" /Names << /Dests 5 0 R >>",
+        {5: _obj(5, b"<< /Names [] /Limits [1 2] >>")},
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- acroform --------------------------------------------------------------
+
+
+def test_acroform_with_field():
+    blob = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 0 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Tx /T (name) /Ff 0 /Rect [0 0 100 20]"
+                b" /Subtype /Widget >>",
+            )
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "field"
+
+
+def test_acroform_missing_fields_is_typed_error():
+    blob = _doc_catalog(b" /AcroForm << /NeedAppearances true >>", {})
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+# --- trailer-level checks --------------------------------------------------
+
+
+def test_trailer_id_must_be_string_pair():
+    blob = _doc({})
+    # splice a malformed /ID into the trailer
+    bad = blob.replace(b" >>\nstartxref", b" /ID [1 2] >>\nstartxref")
+    r = process_document(bad)
+    assert "type.mismatch" in _codes(r)
+
+
+def test_encrypt_dict_requires_filter():
+    blob = _doc({5: _obj(5, b"<< /V 1 /R 2 >>")})
+    bad = blob.replace(b" >>\nstartxref", b" /Encrypt 5 0 R >>\nstartxref")
+    r = process_document(bad)
+    assert "type.missing_required" in _codes(r)
