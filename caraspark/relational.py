@@ -358,31 +358,38 @@ def join_range(spark, sf):
 )
 def join_asof(spark, sf):
     # As-of join: for each purchase, the latest at-or-before 'view' of the
-    # same user — equi-join on the key + range predicate, then row_number
-    # desc → rn=1. The shuffle is on user_id (the equi key), so the
-    # quadratic part is bounded per user; event_id breaks ts ties
-    # deterministically.
-    e = load(spark, sf, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
+    # same user. Implemented as the MERGE form, not join+row_number: union
+    # the two sides, sort per user by (ts, side, event_id) in ONE window,
+    # and carry the last view forward with last(..., ignorenulls). A
+    # join-based as-of materializes |views ≤ ts| rows per purchase
+    # (quadratic per user, lethal on power-law users at corpus scale);
+    # this plan is a single shuffle on user_id and linear work.
+    # Ordering: views sort before purchases at equal ts (ts <= ts counts),
+    # and by event_id among equal-ts views so "last" = max event_id —
+    # matching the oracle's ORDER BY v.ts DESC, v.event_id DESC pick-first.
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "purchase")
     )
-    v = e.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("v_id"),
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("v_ts"),
-        F.col("value").alias("v_value"),
+    side = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", side, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    j = p.join(v, (v.v_user == p.p_user) & (v.v_ts <= p.p_ts))
-    w = W.partitionBy("p_id").orderBy(F.desc("v_ts"), F.desc("v_id"))
+    last_view = F.last(
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("ts").alias("v_ts"), F.col("value").alias("v_value")),
+        ),
+        ignorenulls=True,
+    ).over(w)
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.withColumn("lv", last_view)
+        .filter((F.col("event_type") == "purchase") & F.col("lv").isNotNull())
         .select(
-            "p_id",
-            F.col("v_ts").alias("asof_ts"),
-            F.round("v_value", 4).alias("asof_value"),
+            F.col("event_id").alias("p_id"),
+            F.col("lv.v_ts").alias("asof_ts"),
+            F.round("lv.v_value", 4).alias("asof_value"),
         )
     )
 
@@ -591,13 +598,18 @@ def agg_udaf(spark, sf):
         m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         return float(np.sqrt((m * m).sum(axis=1)).mean())
 
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
     e = load(spark, sf, "embeddings")
     # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
-    # aggregates in one agg() → two single-shuffle aggs joined on the
-    # (tiny, 10-row) group key.
-    norms = e.groupBy("label").agg(F.round(mean_norm("embedding"), 4).alias("avg_norm"))
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    return norms.join(counts, "label").select("label", "avg_norm", "n")
+    # aggregates in one agg(), but two pandas UDFs compose fine → one
+    # scan, one shuffle, no join.
+    return e.groupBy("label").agg(
+        F.round(mean_norm("embedding"), 4).alias("avg_norm"),
+        n_rows("label").alias("n"),
+    )
 
 
 # ---------------------------------------------------------------------------
