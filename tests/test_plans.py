@@ -1,0 +1,165 @@
+"""Physical-plan shape regression tests (SURVEY.md §4).
+
+Correctness tests prove the answers; these prove the PLANS — the
+properties that decide whether the same code survives a 100x scale-up:
+filters reach the parquet scan, projections prune the blob column, small
+dims broadcast, aggregation is partial+final, the extract path is
+shuffle-free, and the hot relational path never drops into a Python UDF.
+A refactor that silently regresses one of these still passes every
+value-equality test; this file is the guard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as ent
+from caraspark.corpus import synth_df
+from caraspark.extract import extract
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return ent.queries()
+
+
+# --- pushdown & pruning ----------------------------------------------------
+
+
+def test_filter_predicates_reach_parquet_scan(spark, sf_smoke, qs):
+    p = plan_of(qs["filter_pred"](spark, sf_smoke))
+    assert "PushedFilters: [" in p
+    # at least one real pushed predicate, not an empty list
+    seg = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert seg.strip(), p
+
+
+def test_projection_prunes_scan_columns(spark, sf_smoke, qs):
+    p = plan_of(qs["proj_basic"](spark, sf_smoke))
+    seg = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    # lineitem has 16 columns; the query needs only a handful
+    assert seg.count(",") < 8, seg
+
+
+def test_extract_scan_never_reads_text_or_lang(spark):
+    df = synth_df(spark, 64)
+    # write/read through parquet so there is a real scan to prune
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/c")
+        p = plan_of(extract(spark.read.parquet(d + "/c")))
+        seg = p.split("ReadSchema:", 1)[1].splitlines()[0]
+        assert "html" in seg and "url" in seg
+        assert "text" not in seg and "lang" not in seg, seg
+
+
+# --- join strategy ---------------------------------------------------------
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_smoke, qs):
+    p = plan_of(qs["join_broadcast"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_and_semi_joins_are_hash_strategies(spark, sf_smoke, qs):
+    for q in ("join_anti", "join_semi"):
+        p = plan_of(qs[q](spark, sf_smoke))
+        assert "Join" in p
+        assert "CartesianProduct" not in p, q
+
+
+def test_range_join_broadcasts_the_tiny_bands_side(spark, sf_smoke, qs):
+    p = plan_of(qs["join_range"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in p  # 4-row build side, by design
+    assert "CartesianProduct" not in p
+
+
+# --- aggregation shape -----------------------------------------------------
+
+
+def test_agg_is_partial_then_final(spark, sf_smoke, qs):
+    p = plan_of(qs["agg_q1"](spark, sf_smoke), "simple")
+    # map-side combine: partial aggregate below the exchange, final above
+    assert "partial_sum" in p, p
+    assert "Exchange hashpartitioning" in p
+
+
+def test_asof_join_is_single_shuffle_no_join_node(spark, sf_smoke, qs):
+    # the merge-form as-of: union + one window, no join, one exchange
+    p = plan_of(qs["join_asof"](spark, sf_smoke), "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+# --- extract path: narrow by default, one exchange when salted -------------
+
+
+def test_extract_narrow_plan_has_no_shuffle(spark):
+    p = plan_of(extract(synth_df(spark, 64)))
+    assert "Exchange" not in p, p
+
+
+def test_extract_salted_plan_has_exactly_one_shuffle(spark):
+    p = plan_of(extract(synth_df(spark, 64), salt=True), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "size_class" in p and "salt" in p
+
+
+# --- stay JVM-side: no Python UDF in the hot relational path ---------------
+
+JVM_ONLY_QKEYS = [
+    "agg_q1",
+    "join_sortmerge",
+    "join_broadcast",
+    "join_asof",
+    "join_anti",
+    "join_semi",
+    "join_range",
+    "win_topk",
+    "win_running",
+    "win_rank",
+    "agg_collect",
+    "agg_rollup",
+    "agg_pivot",
+    "fn_dot",
+    "fn_array",
+    "fn_json",
+    "fn_string",
+    "filter_pred",
+    "sort_topk",
+    "dedup_exact",
+]
+
+
+@pytest.mark.parametrize("qkey", JVM_ONLY_QKEYS)
+def test_relational_pack_has_no_python_eval(spark, sf_smoke, qs, qkey):
+    p = plan_of(qs[qkey](spark, sf_smoke))
+    assert "EvalPython" not in p, f"{qkey} dropped into a Python UDF:\n{p}"
+
+
+# --- whole-stage codegen spans the hot aggregation -------------------------
+
+
+def test_q1_runs_inside_wholestage_codegen(spark, sf_smoke, qs):
+    # AQE finalizes the physical plan only on execution — run it, then
+    # read back the executed plan and check the codegen spans are there
+    df = qs["agg_q1"](spark, sf_smoke)
+    df.collect()
+    p = plan_of(df)
+    # '*' prefixes mark WholeStageCodegen stages in the final AQE plan;
+    # scan → filter → project → partial agg must all sit inside one span
+    final = p.split("== Initial Plan ==")[0]
+    for node in ("* HashAggregate", "* Filter", "* Project"):
+        assert node in final, p
