@@ -20,8 +20,13 @@ and compared byte-for-byte:
       Td/TD/T*/Tm → line break (newline), emitted only if the current
                 line is non-empty
       ET        ends the text object → newline if current line non-empty
-  * string decoding: bytes starting with FE FF → UTF-16BE (BOM dropped),
-    else PDFDocEncoding (Annex D) → unicode; output is UTF-8;
+  * string decoding: if the CURRENT FONT (tracked via ``Tf``, looked up
+    in the page's inheritable /Resources /Font) carries a /ToUnicode
+    CMap, show-strings decode through it (codespace-range splitting,
+    bfchar/bfrange mapping, U+FFFD for unmapped codes — see
+    ``cmap.py``); otherwise bytes starting with FE FF → UTF-16BE (BOM
+    dropped), else PDFDocEncoding (Annex D) → unicode; output is UTF-8;
+    the font (and its CMap) persists across BT/ET within a page;
   * page texts are joined with b"\\x0c" (form feed); a document with no
     extractable text yields b"".
 
@@ -31,6 +36,7 @@ batch UDF with zero shuffle.
 
 from __future__ import annotations
 
+from caraspark.pdfengine.cmap import ToUnicodeCMap, parse_tounicode
 from caraspark.pdfengine.lexer import Lexer
 from caraspark.pdfengine.model import Name, PdfError, Ref, Stream
 from caraspark.pdfengine.parser import TokenStream, parse_object
@@ -101,6 +107,45 @@ def _page_order(doc) -> list[tuple[int, int]]:
     return out
 
 
+def _deref(doc, v):
+    return doc.objects.get((v.num, v.gen)) if isinstance(v, Ref) else v
+
+
+def _page_fonts(doc, page_key) -> dict[str, ToUnicodeCMap | None]:
+    """Font name → ToUnicode CMap (or None) from the page's /Resources,
+    inherited up the /Parent chain per [PDF17 §7.7.3.4]."""
+    fonts: dict[str, ToUnicodeCMap | None] = {}
+    node = doc.objects.get(page_key)
+    node = node.d if isinstance(node, Stream) else node
+    seen: set = set()
+    while isinstance(node, dict):
+        res = _deref(doc, node.get("Resources"))
+        res = res.d if isinstance(res, Stream) else res
+        if isinstance(res, dict):
+            fdict = _deref(doc, res.get("Font"))
+            fdict = fdict.d if isinstance(fdict, Stream) else fdict
+            if isinstance(fdict, dict):
+                break  # nearest /Resources with /Font wins outright
+        parent = node.get("Parent")
+        if not isinstance(parent, Ref) or (parent.num, parent.gen) in seen:
+            return fonts
+        seen.add((parent.num, parent.gen))
+        node = doc.objects.get((parent.num, parent.gen))
+        node = node.d if isinstance(node, Stream) else node
+    else:
+        return fonts
+    for fname, fval in fdict.items():
+        font = _deref(doc, fval)
+        font = font.d if isinstance(font, Stream) else font
+        cm = None
+        if isinstance(font, dict):
+            tu = _deref(doc, font.get("ToUnicode"))
+            if isinstance(tu, Stream) and tu.decoded is not None:
+                cm = parse_tounicode(tu.decoded)
+        fonts[fname] = cm
+    return fonts
+
+
 def _content_bytes(doc, page_key, errors) -> bytes:
     node = doc.objects.get(page_key)
     node = node.d if isinstance(node, Stream) else node
@@ -124,13 +169,18 @@ def _content_bytes(doc, page_key, errors) -> bytes:
     return b"\n".join(parts)
 
 
-def extract_page_text(content: bytes, errors: list) -> str:
+def extract_page_text(
+    content: bytes,
+    errors: list,
+    fonts: dict[str, ToUnicodeCMap | None] | None = None,
+) -> str:
     """Run the text-operator machine over one page's content bytes."""
     lx = Lexer(content, errors=[])  # content-stream lex errors are not
     ts = TokenStream(lx)            # document-validity errors
     operands: list = []
     lines: list[str] = []
     cur: list[str] = []
+    cmap: ToUnicodeCMap | None = None  # of the current font (Tf)
 
     def newline():
         if cur:
@@ -139,7 +189,7 @@ def extract_page_text(content: bytes, errors: list) -> str:
 
     def show(v):
         if isinstance(v, bytes):
-            cur.append(decode_pdf_string(v))
+            cur.append(cmap.decode(v) if cmap else decode_pdf_string(v))
 
     while True:
         tok = ts.next()
@@ -180,9 +230,11 @@ def extract_page_text(content: bytes, errors: list) -> str:
         elif op == "TJ" and operands and isinstance(operands[-1], list):
             for el in operands[-1]:
                 if isinstance(el, bytes):
-                    cur.append(decode_pdf_string(el))
+                    show(el)
                 elif isinstance(el, (int, float)) and el <= KERN_SPACE_THRESHOLD:
                     cur.append(" ")
+        elif op == "Tf" and operands and isinstance(operands[0], Name):
+            cmap = (fonts or {}).get(operands[0].v)
         elif op in ("Td", "TD", "T*", "Tm"):
             newline()
         elif op in ("ET", "BT"):
@@ -199,7 +251,7 @@ def extract_text(doc, errors: list) -> bytes:
     page_texts: list[str] = []
     for pk in pages:
         content = _content_bytes(doc, pk, errors)
-        page_texts.append(extract_page_text(content, errors))
+        page_texts.append(extract_page_text(content, errors, _page_fonts(doc, pk)))
     txt = "\x0c".join(page_texts)
     if not txt.strip("\x0c\n"):
         return b""

@@ -204,6 +204,75 @@ def _oct(b: bytes) -> bytes:
     return "".join(f"\\{c:03o}" for c in b).encode()
 
 
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0003> <0020>
+<0041> <00410042>
+endbfchar
+2 beginbfrange
+<0001> <0002> <0048>
+<0010> <0012> [<0058> <0059> <005A>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def pdf_tounicode() -> bytes:
+    """Type0/Identity-H font with a /ToUnicode CMap (C26 tier-2): hex
+    show-strings of 2-byte CIDs decode through bfchar/bfrange entries;
+    an unmapped CID yields U+FFFD; /F1 text still uses PDFDocEncoding."""
+    content = (
+        b"BT\n"
+        b"/F1 12 Tf\n"
+        b"10 700 Td (Plain:) Tj\n"
+        b"/F2 12 Tf\n"
+        b"0 -14 Td <000100020003 0041> Tj\n"          # HI AB
+        b"0 -14 Td [<001000110012> -250 <0001>] TJ\n"  # XYZ H (kern space)
+        b"0 -14 Td <0999> Tj\n"                        # unmapped -> U+FFFD
+        b"/F1 10 Tf\n"
+        b"0 -14 Td (back to plain) Tj\n"
+        b"ET"
+    )
+    cmap_z = zlib.compress(_TOUNICODE_CMAP)
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >>",
+        ),
+        4: _stream_obj(4, b"", content),
+        5: _obj(
+            5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        ),
+        6: _obj(
+            6,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity"
+            b" /Encoding /Identity-H /DescendantFonts [7 0 R]"
+            b" /ToUnicode 8 0 R >>",
+        ),
+        7: _obj(
+            7,
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /DW 1000 >>",
+        ),
+        8: _stream_obj(8, b"/Filter /FlateDecode", cmap_z),
+    }
+    return _assemble(bodies)
+
+
 def pdf_flate() -> bytes:
     return _assemble(
         _base_objects(zlib.compress(CONTENT_HELLO), b"/Filter /FlateDecode")
@@ -466,6 +535,7 @@ def pdf_giant(n_lines: int = 200_000) -> bytes:
 PDF_RECIPES = {
     "pdf_minimal": pdf_minimal,
     "pdf_text_ops": pdf_text_ops,
+    "pdf_tounicode": pdf_tounicode,
     "pdf_flate": pdf_flate,
     "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
     "pdf_flate_pred_up": lambda: pdf_flate_pred(2),

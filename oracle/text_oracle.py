@@ -452,17 +452,114 @@ def _page_keys(objs) -> list[int]:
     return order
 
 
-def _page_text(content: bytes) -> str:
+def _parse_cmap(data: bytes):
+    """ToUnicode CMap → (codespace ranges, code→str map). Independent
+    twin of caraspark.pdfengine.cmap (same SPEC, separate code)."""
+    toks = list(_tokens(data, 0, len(data)))
+    ranges: list[tuple[bytes, bytes]] = []
+    mapping: dict[bytes, str] = {}
+
+    def u16(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace")
+
+    def bump(dst: bytes, d: int) -> str:
+        if not dst:
+            return "�"
+        if len(dst) >= 2 and len(dst) % 2 == 0:
+            v = int.from_bytes(dst[-2:], "big") + d
+            return "�" if v > 0xFFFF else u16(dst[:-2] + v.to_bytes(2, "big"))
+        v = dst[-1] + d
+        return "�" if v > 0xFF else u16(dst[:-1] + bytes([v]))
+
+    i, n = 0, len(toks)
+    while i < n:
+        kind, v, _p = toks[i]
+        if kind != "kw":
+            i += 1
+            continue
+        if v == "begincodespacerange":
+            i += 1
+            while i + 1 < n and toks[i][0] == "str":
+                lo, hi = toks[i][1], toks[i + 1][1]
+                i += 2
+                if len(lo) == len(hi):
+                    ranges.append((lo, hi))
+        elif v == "beginbfchar":
+            i += 1
+            while i + 1 < n and toks[i][0] == "str":
+                mapping[toks[i][1]] = u16(toks[i + 1][1])
+                i += 2
+        elif v == "beginbfrange":
+            i += 1
+            while i + 1 < n and toks[i][0] == "str":
+                lo, hi = toks[i][1], toks[i + 1][1]
+                i += 2
+                if i >= n or len(lo) != len(hi):
+                    break
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if not (0 <= hi_i - lo_i < 65536):
+                    i += 1
+                    continue
+                w = len(lo)
+                if toks[i][0] == "str":
+                    dst = toks[i][1]
+                    i += 1
+                    for d in range(hi_i - lo_i + 1):
+                        mapping[(lo_i + d).to_bytes(w, "big")] = bump(dst, d)
+                elif toks[i][0] == "[":
+                    i += 1
+                    d = 0
+                    while i < n and toks[i][0] != "]":
+                        if toks[i][0] == "str" and d <= hi_i - lo_i:
+                            mapping[(lo_i + d).to_bytes(w, "big")] = u16(
+                                toks[i][1]
+                            )
+                            d += 1
+                        i += 1
+                    i += 1
+                else:
+                    i += 1
+        else:
+            i += 1
+    return ranges, mapping
+
+
+def _cmap_decode(s: bytes, cm) -> str:
+    ranges, mapping = cm
+    widths = sorted({len(lo) for lo, _ in ranges})
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        code = None
+        for w in widths:
+            cand = s[i : i + w]
+            if len(cand) == w and any(
+                len(lo) == w and lo <= cand <= hi for lo, hi in ranges
+            ):
+                code = cand
+                break
+        if code is None:
+            code = s[i : i + 1]
+        i += len(code)
+        out.append(mapping.get(code, "�"))
+    return "".join(out)
+
+
+def _page_text(content: bytes, fonts: dict | None = None) -> str:
     toks = list(_tokens(content, 0, len(content)))
     vals, _ = [], None
     lines: list[str] = []
     cur: list[str] = []
     stackvals: list = []
+    cmap = None  # ToUnicode of the current font, set by Tf
 
     def nl():
         if cur:
             lines.append("".join(cur))
             cur.clear()
+
+    def dec(b: bytes) -> str:
+        return _cmap_decode(b, cmap) if cmap is not None else _decode_str(b)
 
     i = 0
     n = len(toks)
@@ -483,25 +580,67 @@ def _page_text(content: bytes) -> str:
         if kind == "kw":
             op = v
             if op == "Tj" and stackvals and isinstance(stackvals[-1], bytes):
-                cur.append(_decode_str(stackvals[-1]))
+                cur.append(dec(stackvals[-1]))
             elif op == "'" and stackvals and isinstance(stackvals[-1], bytes):
                 nl()
-                cur.append(_decode_str(stackvals[-1]))
+                cur.append(dec(stackvals[-1]))
             elif op == '"' and stackvals and isinstance(stackvals[-1], bytes):
                 nl()
-                cur.append(_decode_str(stackvals[-1]))
+                cur.append(dec(stackvals[-1]))
             elif op == "TJ" and stackvals and isinstance(stackvals[-1], list):
                 for el in stackvals[-1]:
                     if isinstance(el, bytes):
-                        cur.append(_decode_str(el))
+                        cur.append(dec(el))
                     elif isinstance(el, (int, float)) and el <= -180:
                         cur.append(" ")
+            elif op == "Tf" and stackvals and isinstance(stackvals[0], _NameTok):
+                cmap = (fonts or {}).get(str(stackvals[0]))
             elif op in ("Td", "TD", "T*", "Tm", "BT", "ET"):
                 nl()
             stackvals.clear()
         i += 1
     nl()
     return "\n".join(lines)
+
+
+def _page_fonts(objs, pnum: int) -> dict:
+    """Font name → parsed ToUnicode CMap (or None); nearest /Resources
+    carrying /Font wins, walking up the /Parent chain."""
+
+    def deref(v):
+        return objs.get(v.num, (None, None))[0] if isinstance(v, _Ref) else v
+
+    fonts: dict = {}
+    node = objs.get(pnum, (None, None))[0]
+    seen = set()
+    fdict = None
+    while isinstance(node, dict):
+        res = deref(node.get("Resources"))
+        if isinstance(res, dict):
+            cand = deref(res.get("Font"))
+            if isinstance(cand, dict):
+                fdict = cand
+                break
+        parent = node.get("Parent")
+        if not isinstance(parent, _Ref) or parent.num in seen:
+            break
+        seen.add(parent.num)
+        node = objs.get(parent.num, (None, None))[0]
+    if not isinstance(fdict, dict):
+        return fonts
+    for fname, fval in fdict.items():
+        font = deref(fval)
+        cm = None
+        if isinstance(font, dict):
+            tu = font.get("ToUnicode")
+            if isinstance(tu, _Ref):
+                tv, traw = objs.get(tu.num, (None, None))
+                if traw is not None and isinstance(tv, dict):
+                    decd = _decode(traw, tv, objs)
+                    if decd is not None:
+                        cm = _parse_cmap(decd)
+        fonts[str(fname)] = cm
+    return fonts
 
 
 def _pdf_text(data: bytes) -> bytes:
@@ -538,7 +677,7 @@ def _pdf_text(data: bytes) -> bytes:
                     dec = _decode(traw, tv, objs)
                     if dec is not None:
                         parts.append(dec)
-        texts.append(_page_text(b"\n".join(parts)))
+        texts.append(_page_text(b"\n".join(parts), _page_fonts(objs, pnum)))
     txt = "\x0c".join(texts)
     if not txt.strip("\x0c\n"):
         return b""

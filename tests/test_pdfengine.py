@@ -240,3 +240,54 @@ def test_multimodal_real_codec_is_marked_stub():
 
     with _pytest.raises(NotImplementedError):
         decode_real("image", b"\x89PNG")
+
+
+# --- ToUnicode CMap (C26 tier-2) -------------------------------------------
+
+
+def test_cmap_bfrange_consecutive_and_array():
+    from caraspark.pdfengine.cmap import parse_tounicode
+
+    cm = parse_tounicode(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0001> <0003> <0061> endbfrange\n"
+        b"1 beginbfrange <0010> <0011> [<0058> <0059>] endbfrange\n"
+        b"1 beginbfchar <0041> <00410042> endbfchar"
+    )
+    assert cm.decode(b"\x00\x01\x00\x02\x00\x03") == "abc"
+    assert cm.decode(b"\x00\x10\x00\x11") == "XY"
+    assert cm.decode(b"\x00\x41") == "AB"       # one code, two chars
+    assert cm.decode(b"\x09\x99") == "�"   # unmapped
+
+
+def test_cmap_mixed_code_widths():
+    from caraspark.pdfengine.cmap import parse_tounicode
+
+    # 1-byte codespace 00–7F plus 2-byte 8000–FFFF (CJK-style layout)
+    cm = parse_tounicode(
+        b"2 begincodespacerange <00> <7F> <8000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <41> <0041> endbfchar\n"
+        b"1 beginbfrange <8001> <8002> <0048> endbfrange"
+    )
+    assert cm.decode(b"\x41\x80\x01\x80\x02\x41") == "AHIA"
+
+
+def test_cmap_without_codespace_defaults_to_single_bytes():
+    from caraspark.pdfengine.cmap import parse_tounicode
+
+    cm = parse_tounicode(b"1 beginbfchar <41> <0058> endbfchar")
+    assert cm.decode(b"\x41\x41") == "XX"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_cmap_parse_total_on_garbage(data):
+    from caraspark.pdfengine.cmap import parse_tounicode
+
+    cm = parse_tounicode(data)
+    assert isinstance(cm.decode(data[:32]), str)
+
+
+def test_tounicode_engine_oracle_agree():
+    blob = PDF_RECIPES["pdf_tounicode"]()
+    assert process_document(blob).text == oracle_extract(blob)
