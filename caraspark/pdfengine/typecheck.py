@@ -672,26 +672,45 @@ def check_types(doc, strict: bool = False) -> TypeResult:
     if fid is not None:
         check_value(fid, Tuple((STRING, STRING)), "trailer/ID", None)
 
-    # drain
-    guard = 0
-    while worklist and guard < 1_000_000:
-        guard += 1
-        key, texpr, path = worklist.pop(0)
-        obj = doc.objects.get(key)
-        if obj is None:
-            # dangling refs are already reported by the graph pass
-            continue
-        if isinstance(texpr, Class):
-            prev = res.assignments.get(key)
-            if prev is not None and prev != texpr.name:
-                # two referrers disagree — caradoc intersects; we report
-                if not _class_compatible(prev, texpr.name):
-                    err("type.conflict", path, key, f"{prev} vs {texpr.name}")
+    def drain():
+        guard = 0
+        while worklist and guard < 1_000_000:
+            guard += 1
+            key, texpr, path = worklist.pop(0)
+            obj = doc.objects.get(key)
+            if obj is None:
+                # dangling refs are already reported by the graph pass
                 continue
-            res.assignments[key] = texpr.name
-        check_value(obj, texpr, path, key)
+            if isinstance(texpr, Class):
+                prev = res.assignments.get(key)
+                if prev is not None and prev != texpr.name:
+                    # two referrers disagree — caradoc intersects; we report
+                    if not _class_compatible(prev, texpr.name):
+                        err("type.conflict", path, key, f"{prev} vs {texpr.name}")
+                    continue
+                res.assignments[key] = texpr.name
+            check_value(obj, texpr, path, key)
+
+    drain()
+
+    # structural stream dicts (xref streams, object streams) are reached
+    # through the xref machinery, not the object graph — the BFS never
+    # visits them, but caradoc types them all the same
+    for key in sorted(doc.objects):
+        if key in res.assignments:
+            continue
+        obj = doc.objects[key]
+        body = obj.d if isinstance(obj, Stream) else obj
+        if isinstance(body, dict):
+            t = body.get("Type")
+            if isinstance(t, Name) and t.v in _STRUCTURAL_CLASSES:
+                enqueue(key, Class(_STRUCTURAL_CLASSES[t.v]), f"xref/{t.v}")
+    drain()
 
     return res
+
+
+_STRUCTURAL_CLASSES = {"ObjStm": "objstm", "XRef": "xref_stream"}
 
 
 _PAGE_FAMILY = {("pages", "page"), ("page", "pages")}
