@@ -39,6 +39,23 @@ def stream_tumbling(spark, sf):
 
 
 @_q(
+    "stream_sliding",
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS w_start,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1 AS k) ks
+       GROUP BY 1""",
+)
+def stream_sliding(spark, sf):
+    # T2 sliding variant: width 10 min, slide 5 min — every event lands in
+    # exactly two windows, which is what the oracle's k∈{0,1} cross join
+    # reconstructs relationally.
+    return S.run_to_memory(
+        S.sliding_counts(S.replay_events_stream(spark, sf)),
+        mode="complete",
+    )
+
+
+@_q(
     "stream_dedup",
     "SELECT DISTINCT event_id FROM events",
 )
