@@ -20,6 +20,11 @@ and compared byte-for-byte:
       Td/TD/T*/Tm → line break (newline), emitted only if the current
                 line is non-empty
       ET        ends the text object → newline if current line non-empty
+      BI        inline image: tokens through the ID keyword are
+                consumed, then RAW BYTES are skipped until the next
+                'EI' preceded by a whitespace byte and followed by
+                whitespace/delimiter/EOF (no such EI → rest of stream
+                skipped) — image bytes must never reach the text ops
   * string decoding: if the CURRENT FONT (tracked via ``Tf``, looked up
     in the page's inheritable /Resources /Font) carries a /ToUnicode
     CMap, show-strings decode through it (codespace-range splitting,
@@ -42,6 +47,9 @@ from caraspark.pdfengine.model import Name, PdfError, Ref, Stream
 from caraspark.pdfengine.parser import TokenStream, parse_object
 
 KERN_SPACE_THRESHOLD = -180  # thousandths of text-space units
+
+_WS = b"\x00\t\n\x0c\r "
+_WS_DELIM = b"\x00\t\n\x0c\r ()<>[]{}/%"
 
 # PDFDocEncoding (ISO 32000-1 Annex D.3): latin-1 except 0x18–0x1F and
 # 0x80–0x9F, which map to typographic code points.
@@ -235,6 +243,27 @@ def extract_page_text(
                     cur.append(" ")
         elif op == "Tf" and operands and isinstance(operands[0], Name):
             cmap = (fonts or {}).get(operands[0].v)
+        elif op == "BI":
+            # inline image [PDF17 §8.9.7]: dict tokens through ID, then
+            # raw bytes to a whitespace-delimited EI (see SPEC above)
+            while True:
+                k2, v2, _p2 = ts.next()
+                if k2 == "eof" or (k2 == "kw" and v2 == "ID"):
+                    break
+            ts.buf.clear()
+            data, end = lx.data, lx.end
+            i = lx.pos
+            while True:
+                m = data.find(b"EI", i, end)
+                if m < 0:
+                    lx.pos = end
+                    break
+                if (m == 0 or data[m - 1] in _WS) and (
+                    m + 2 >= end or data[m + 2] in _WS_DELIM
+                ):
+                    lx.pos = m + 2
+                    break
+                i = m + 1
         elif op in ("Td", "TD", "T*", "Tm"):
             newline()
         elif op in ("ET", "BT"):

@@ -204,6 +204,19 @@ def _oct(b: bytes) -> bytes:
     return "".join(f"\\{c:03o}" for c in b).encode()
 
 
+def pdf_inline_image() -> bytes:
+    """Content stream with a BI…ID…EI inline image whose raw bytes contain
+    text-operator lookalikes (and an unbalanced paren) — the extractor
+    must skip the span byte-wise, not lex it (C26 SPEC rule)."""
+    raw = b"\x00\x89(\x50 (fake) Tj ET BT (EInot) Tj \xff\xfe\x00EI\x01"
+    content = (
+        b"BT /F1 12 Tf 10 700 Td (before image) Tj ET\n"
+        b"q BI /W 2 /H 2 /CS /G /BPC 8 /F /AHx ID " + raw + b" EI Q\n"
+        b"BT 10 650 Td (after image) Tj ET"
+    )
+    return _assemble(_base_objects(content))
+
+
 _TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
 12 dict begin
 begincmap
@@ -536,6 +549,7 @@ PDF_RECIPES = {
     "pdf_minimal": pdf_minimal,
     "pdf_text_ops": pdf_text_ops,
     "pdf_tounicode": pdf_tounicode,
+    "pdf_inline_image": pdf_inline_image,
     "pdf_flate": pdf_flate,
     "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
     "pdf_flate_pred_up": lambda: pdf_flate_pred(2),

@@ -595,6 +595,39 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
                         cur.append(" ")
             elif op == "Tf" and stackvals and isinstance(stackvals[0], _NameTok):
                 cmap = (fonts or {}).get(str(stackvals[0]))
+            elif op == "BI":
+                # inline image: skip tokens through ID, then raw bytes to
+                # a whitespace-delimited EI (independent twin of the
+                # engine's SPEC rule)
+                while i < n and not (toks[i][0] == "kw" and toks[i][1] == "ID"):
+                    i += 1
+                raw_at = toks[i][2] if i < n else len(content)
+                i += 1
+                ws = b"\x00\t\n\x0c\r "
+                wsdelim = b"\x00\t\n\x0c\r ()<>[]{}/%"
+                j = raw_at
+                endpos = len(content)
+                while True:
+                    m = content.find(b"EI", j, endpos)
+                    if m < 0:
+                        endpos = None
+                        break
+                    if (m == 0 or content[m - 1] in ws) and (
+                        m + 2 >= endpos or content[m + 2] in wsdelim
+                    ):
+                        endpos = m + 2
+                        break
+                    j = m + 1
+                if endpos is None:
+                    i = n
+                else:
+                    # re-tokenize after EI: raw image bytes may have
+                    # derailed the upfront tokenization (e.g. a lone '(')
+                    toks = list(_tokens(content, endpos, len(content)))
+                    n = len(toks)
+                    i = 0
+                stackvals.clear()
+                continue
             elif op in ("Td", "TD", "T*", "Tm", "BT", "ET"):
                 nl()
             stackvals.clear()

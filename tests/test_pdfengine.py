@@ -291,3 +291,17 @@ def test_cmap_parse_total_on_garbage(data):
 def test_tounicode_engine_oracle_agree():
     blob = PDF_RECIPES["pdf_tounicode"]()
     assert process_document(blob).text == oracle_extract(blob)
+
+
+def test_inline_image_bytes_never_reach_text_ops():
+    blob = PDF_RECIPES["pdf_inline_image"]()
+    r = process_document(blob)
+    assert r.text == b"before image\nafter image"
+    assert r.text == oracle_extract(blob)
+
+
+def test_inline_image_without_ei_skips_rest_of_stream():
+    from caraspark.pdfengine.textextract import extract_page_text
+
+    content = b"BT (kept) Tj ET BI /W 1 ID \x00\x01garbage (lost) Tj"
+    assert extract_page_text(content, []) == "kept"
