@@ -25,6 +25,12 @@ and compared byte-for-byte:
                 'EI' preceded by a whitespace byte and followed by
                 whitespace/delimiter/EOF (no such EI → rest of stream
                 skipped) — image bytes must never reach the text ops
+      Do <name> if the name resolves to a Form XObject with decoded
+                content, the current line is flushed and the form's
+                content runs through the same machine (the form's own
+                /Resources win, else the caller's are inherited);
+                recursion is depth-limited (8) and cycle-guarded —
+                re-entering a form already on the stack is a no-op
   * string decoding: if the CURRENT FONT (tracked via ``Tf``, looked up
     in the page's inheritable /Resources /Font) carries a /ToUnicode
     CMap, show-strings decode through it (codespace-range splitting,
@@ -119,10 +125,38 @@ def _deref(doc, v):
     return doc.objects.get((v.num, v.gen)) if isinstance(v, Ref) else v
 
 
-def _page_fonts(doc, page_key) -> dict[str, ToUnicodeCMap | None]:
-    """Font name → ToUnicode CMap (or None) from the page's /Resources,
-    inherited up the /Parent chain per [PDF17 §7.7.3.4]."""
+def _resources_ctx(doc, res):
+    """Resolved /Resources dict → (fonts: name→CMap|None,
+    xobjects: name→Stream)."""
     fonts: dict[str, ToUnicodeCMap | None] = {}
+    xobjects: dict[str, Stream] = {}
+    if not isinstance(res, dict):
+        return fonts, xobjects
+    fdict = _deref(doc, res.get("Font"))
+    fdict = fdict.d if isinstance(fdict, Stream) else fdict
+    if isinstance(fdict, dict):
+        for fname, fval in fdict.items():
+            font = _deref(doc, fval)
+            font = font.d if isinstance(font, Stream) else font
+            cm = None
+            if isinstance(font, dict):
+                tu = _deref(doc, font.get("ToUnicode"))
+                if isinstance(tu, Stream) and tu.decoded is not None:
+                    cm = parse_tounicode(tu.decoded)
+            fonts[fname] = cm
+    xdict = _deref(doc, res.get("XObject"))
+    xdict = xdict.d if isinstance(xdict, Stream) else xdict
+    if isinstance(xdict, dict):
+        for xname, xval in xdict.items():
+            xo = _deref(doc, xval)
+            if isinstance(xo, Stream):
+                xobjects[xname] = xo
+    return fonts, xobjects
+
+
+def _page_resources(doc, page_key):
+    """The page's /Resources dict, inherited up the /Parent chain per
+    [PDF17 §7.7.3.4] — the nearest /Resources wins outright."""
     node = doc.objects.get(page_key)
     node = node.d if isinstance(node, Stream) else node
     seen: set = set()
@@ -130,28 +164,17 @@ def _page_fonts(doc, page_key) -> dict[str, ToUnicodeCMap | None]:
         res = _deref(doc, node.get("Resources"))
         res = res.d if isinstance(res, Stream) else res
         if isinstance(res, dict):
-            fdict = _deref(doc, res.get("Font"))
-            fdict = fdict.d if isinstance(fdict, Stream) else fdict
-            if isinstance(fdict, dict):
-                break  # nearest /Resources with /Font wins outright
+            return res
         parent = node.get("Parent")
         if not isinstance(parent, Ref) or (parent.num, parent.gen) in seen:
-            return fonts
+            return None
         seen.add((parent.num, parent.gen))
         node = doc.objects.get((parent.num, parent.gen))
         node = node.d if isinstance(node, Stream) else node
-    else:
-        return fonts
-    for fname, fval in fdict.items():
-        font = _deref(doc, fval)
-        font = font.d if isinstance(font, Stream) else font
-        cm = None
-        if isinstance(font, dict):
-            tu = _deref(doc, font.get("ToUnicode"))
-            if isinstance(tu, Stream) and tu.decoded is not None:
-                cm = parse_tounicode(tu.decoded)
-        fonts[fname] = cm
-    return fonts
+    return None
+
+
+MAX_FORM_DEPTH = 8
 
 
 def _content_bytes(doc, page_key, errors) -> bytes:
@@ -181,6 +204,10 @@ def extract_page_text(
     content: bytes,
     errors: list,
     fonts: dict[str, ToUnicodeCMap | None] | None = None,
+    xobjects: dict[str, Stream] | None = None,
+    doc=None,
+    _depth: int = 0,
+    _active: frozenset = frozenset(),
 ) -> str:
     """Run the text-operator machine over one page's content bytes."""
     lx = Lexer(content, errors=[])  # content-stream lex errors are not
@@ -194,6 +221,32 @@ def extract_page_text(
         if cur:
             lines.append("".join(cur))
             cur.clear()
+
+    def do_form(name: str):
+        xo = (xobjects or {}).get(name)
+        if (
+            xo is None
+            or xo.decoded is None
+            or _depth >= MAX_FORM_DEPTH
+            or id(xo) in _active
+        ):
+            return
+        sub = xo.d.get("Subtype")
+        if not (isinstance(sub, Name) and sub.v == "Form"):
+            return
+        f2, x2 = fonts, xobjects
+        if doc is not None:
+            res = _deref(doc, xo.d.get("Resources"))
+            res = res.d if isinstance(res, Stream) else res
+            if isinstance(res, dict):
+                f2, x2 = _resources_ctx(doc, res)
+        newline()
+        sub_text = extract_page_text(
+            xo.decoded, errors, f2, x2, doc, _depth + 1,
+            _active | {id(xo)},
+        )
+        if sub_text:
+            lines.extend(sub_text.split("\n"))
 
     def show(v):
         if isinstance(v, bytes):
@@ -243,6 +296,8 @@ def extract_page_text(
                     cur.append(" ")
         elif op == "Tf" and operands and isinstance(operands[0], Name):
             cmap = (fonts or {}).get(operands[0].v)
+        elif op == "Do" and operands and isinstance(operands[0], Name):
+            do_form(operands[0].v)
         elif op == "BI":
             # inline image [PDF17 §8.9.7]: dict tokens through ID, then
             # raw bytes to a whitespace-delimited EI (see SPEC above)
@@ -280,7 +335,10 @@ def extract_text(doc, errors: list) -> bytes:
     page_texts: list[str] = []
     for pk in pages:
         content = _content_bytes(doc, pk, errors)
-        page_texts.append(extract_page_text(content, errors, _page_fonts(doc, pk)))
+        fonts, xobjects = _resources_ctx(doc, _page_resources(doc, pk))
+        page_texts.append(
+            extract_page_text(content, errors, fonts, xobjects, doc)
+        )
     txt = "\x0c".join(page_texts)
     if not txt.strip("\x0c\n"):
         return b""

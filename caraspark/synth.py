@@ -204,6 +204,50 @@ def _oct(b: bytes) -> bytes:
     return "".join(f"\\{c:03o}" for c in b).encode()
 
 
+def pdf_form_xobject() -> bytes:
+    """Text inside Form XObjects (Do): page → form1 (own resources) →
+    form2 (inherits form1's); form2 re-enters form1 via /Back, which the
+    cycle guard must turn into a no-op."""
+    f1_content = (
+        b"BT /F9 9 Tf 0 0 Td (inside form one) Tj ET\n/Fm2 Do"
+    )
+    f2_content = b"BT 0 0 Td (nested form two) Tj ET\n/Back Do"
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R "
+            b"/Resources << /Font << /F1 8 0 R >> "
+            b"/XObject << /Fm1 5 0 R >> >> >>",
+        ),
+        4: _stream_obj(
+            4,
+            b"",
+            b"BT /F1 12 Tf 10 700 Td (page before) Tj ET\n"
+            b"/Fm1 Do\n"
+            b"BT 10 600 Td (page after) Tj ET",
+        ),
+        5: _stream_obj(
+            5,
+            b"/Type /XObject /Subtype /Form /BBox [0 0 200 100] "
+            b"/Resources << /Font << /F9 8 0 R >> "
+            b"/XObject << /Fm2 6 0 R /Back 5 0 R >> >>",
+            f1_content,
+        ),
+        6: _stream_obj(
+            6,
+            b"/Type /XObject /Subtype /Form /BBox [0 0 100 50]",
+            f2_content,
+        ),
+        8: _obj(
+            8, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        ),
+    }
+    return _assemble(bodies)
+
+
 def pdf_inline_image() -> bytes:
     """Content stream with a BI…ID…EI inline image whose raw bytes contain
     text-operator lookalikes (and an unbalanced paren) — the extractor
@@ -550,6 +594,7 @@ PDF_RECIPES = {
     "pdf_text_ops": pdf_text_ops,
     "pdf_tounicode": pdf_tounicode,
     "pdf_inline_image": pdf_inline_image,
+    "pdf_form_xobject": pdf_form_xobject,
     "pdf_flate": pdf_flate,
     "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
     "pdf_flate_pred_up": lambda: pdf_flate_pred(2),

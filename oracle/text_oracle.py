@@ -545,7 +545,14 @@ def _cmap_decode(s: bytes, cm) -> str:
     return "".join(out)
 
 
-def _page_text(content: bytes, fonts: dict | None = None) -> str:
+def _page_text(
+    content: bytes,
+    fonts: dict | None = None,
+    xobjects: dict | None = None,
+    objs=None,
+    depth: int = 0,
+    active: frozenset = frozenset(),
+) -> str:
     toks = list(_tokens(content, 0, len(content)))
     vals, _ = [], None
     lines: list[str] = []
@@ -560,6 +567,29 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
 
     def dec(b: bytes) -> str:
         return _cmap_decode(b, cmap) if cmap is not None else _decode_str(b)
+
+    def do_form(name: str):
+        ent = (xobjects or {}).get(name)
+        if ent is None or depth >= 8:
+            return
+        xnum, xv, xraw = ent
+        if xnum in active or xraw is None or not isinstance(xv, dict):
+            return
+        if str(xv.get("Subtype")) != "Form":
+            return
+        decd = _decode(xraw, xv, objs)
+        if decd is None:
+            return
+        f2, x2 = fonts, xobjects
+        res = xv.get("Resources")
+        if isinstance(res, _Ref):
+            res = objs.get(res.num, (None, None))[0] if objs else None
+        if isinstance(res, dict):
+            f2, x2 = _res_ctx(objs, res)
+        nl()
+        sub = _page_text(decd, f2, x2, objs, depth + 1, active | {xnum})
+        if sub:
+            lines.extend(sub.split("\n"))
 
     i = 0
     n = len(toks)
@@ -595,6 +625,8 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
                         cur.append(" ")
             elif op == "Tf" and stackvals and isinstance(stackvals[0], _NameTok):
                 cmap = (fonts or {}).get(str(stackvals[0]))
+            elif op == "Do" and stackvals and isinstance(stackvals[0], _NameTok):
+                do_form(str(stackvals[0]))
             elif op == "BI":
                 # inline image: skip tokens through ID, then raw bytes to
                 # a whitespace-delimited EI (independent twin of the
@@ -636,44 +668,57 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
     return "\n".join(lines)
 
 
-def _page_fonts(objs, pnum: int) -> dict:
-    """Font name → parsed ToUnicode CMap (or None); nearest /Resources
-    carrying /Font wins, walking up the /Parent chain."""
+def _res_ctx(objs, res: dict):
+    """Resolved /Resources dict → (fonts: name→cmap|None,
+    xobjects: name→(num, dict, raw))."""
 
     def deref(v):
         return objs.get(v.num, (None, None))[0] if isinstance(v, _Ref) else v
 
     fonts: dict = {}
+    xobjects: dict = {}
+    if not isinstance(res, dict):
+        return fonts, xobjects
+    fdict = deref(res.get("Font"))
+    if isinstance(fdict, dict):
+        for fname, fval in fdict.items():
+            font = deref(fval)
+            cm = None
+            if isinstance(font, dict):
+                tu = font.get("ToUnicode")
+                if isinstance(tu, _Ref):
+                    tv, traw = objs.get(tu.num, (None, None))
+                    if traw is not None and isinstance(tv, dict):
+                        decd = _decode(traw, tv, objs)
+                        if decd is not None:
+                            cm = _parse_cmap(decd)
+            fonts[str(fname)] = cm
+    xdict = deref(res.get("XObject"))
+    if isinstance(xdict, dict):
+        for xname, xval in xdict.items():
+            if isinstance(xval, _Ref):
+                xv, xraw = objs.get(xval.num, (None, None))
+                if isinstance(xv, dict):
+                    xobjects[str(xname)] = (xval.num, xv, xraw)
+    return fonts, xobjects
+
+
+def _page_res(objs, pnum: int):
+    """Nearest /Resources dict, walking up the /Parent chain."""
     node = objs.get(pnum, (None, None))[0]
     seen = set()
-    fdict = None
     while isinstance(node, dict):
-        res = deref(node.get("Resources"))
+        res = node.get("Resources")
+        if isinstance(res, _Ref):
+            res = objs.get(res.num, (None, None))[0]
         if isinstance(res, dict):
-            cand = deref(res.get("Font"))
-            if isinstance(cand, dict):
-                fdict = cand
-                break
+            return res
         parent = node.get("Parent")
         if not isinstance(parent, _Ref) or parent.num in seen:
-            break
+            return None
         seen.add(parent.num)
         node = objs.get(parent.num, (None, None))[0]
-    if not isinstance(fdict, dict):
-        return fonts
-    for fname, fval in fdict.items():
-        font = deref(fval)
-        cm = None
-        if isinstance(font, dict):
-            tu = font.get("ToUnicode")
-            if isinstance(tu, _Ref):
-                tv, traw = objs.get(tu.num, (None, None))
-                if traw is not None and isinstance(tv, dict):
-                    decd = _decode(traw, tv, objs)
-                    if decd is not None:
-                        cm = _parse_cmap(decd)
-        fonts[str(fname)] = cm
-    return fonts
+    return None
 
 
 def _pdf_text(data: bytes) -> bytes:
@@ -710,7 +755,8 @@ def _pdf_text(data: bytes) -> bytes:
                     dec = _decode(traw, tv, objs)
                     if dec is not None:
                         parts.append(dec)
-        texts.append(_page_text(b"\n".join(parts), _page_fonts(objs, pnum)))
+        fonts, xobjects = _res_ctx(objs, _page_res(objs, pnum))
+        texts.append(_page_text(b"\n".join(parts), fonts, xobjects, objs))
     txt = "\x0c".join(texts)
     if not txt.strip("\x0c\n"):
         return b""

@@ -305,3 +305,10 @@ def test_inline_image_without_ei_skips_rest_of_stream():
 
     content = b"BT (kept) Tj ET BI /W 1 ID \x00\x01garbage (lost) Tj"
     assert extract_page_text(content, []) == "kept"
+
+
+def test_form_xobject_text_and_cycle_guard():
+    blob = PDF_RECIPES["pdf_form_xobject"]()
+    r = process_document(blob)
+    assert r.text == b"page before\ninside form one\nnested form two\npage after"
+    assert r.text == oracle_extract(blob)
