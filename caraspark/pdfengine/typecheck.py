@@ -513,6 +513,19 @@ TYPEDEFS: dict[str, ClassDef] = {
         },
         is_stream=True,
     ),
+    # linearization parameter dict [PDF17 Annex F.3.3]
+    "linearized": ClassDef(
+        {
+            "Linearized": Entry(NUMBER, required=True),
+            "L": Entry(INT, required=True),
+            "H": Entry(ArrayOf(INT), required=True),
+            "O": Entry(INT, required=True),
+            "E": Entry(INT, required=True),
+            "N": Entry(INT, required=True),
+            "T": Entry(INT, required=True),
+            "P": Entry(INT),
+        }
+    ),
     "xref_stream": ClassDef(
         {
             "Type": Entry(Exact("XRef"), required=True),
@@ -705,6 +718,8 @@ def check_types(doc, strict: bool = False) -> TypeResult:
             t = body.get("Type")
             if isinstance(t, Name) and t.v in _STRUCTURAL_CLASSES:
                 enqueue(key, Class(_STRUCTURAL_CLASSES[t.v]), f"xref/{t.v}")
+            elif "Linearized" in body:
+                enqueue(key, Class("linearized"), "linearized")
     drain()
 
     return res

@@ -499,7 +499,10 @@ def pdf_hybrid() -> bytes:
 
 def pdf_linearized() -> bytes:
     bodies = _base_objects(CONTENT_HELLO)
-    bodies[5] = _obj(5, b"<< /Linearized 1 /L 1234 /N 1 /O 1 /T 999 >>")
+    bodies[5] = _obj(
+        5,
+        b"<< /Linearized 1 /L 1234 /H [600 120] /O 1 /E 820 /N 1 /T 999 >>",
+    )
     return _assemble(bodies)
 
 

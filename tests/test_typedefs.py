@@ -260,3 +260,24 @@ def test_encrypt_dict_requires_filter():
     bad = blob.replace(b" >>\nstartxref", b" /Encrypt 5 0 R >>\nstartxref")
     r = process_document(bad)
     assert "type.missing_required" in _codes(r)
+
+
+# --- linearization parameter dict ------------------------------------------
+
+
+def test_linearized_dict_is_typed():
+    from caraspark.synth import PDF_RECIPES
+
+    r = process_document(PDF_RECIPES["pdf_linearized"](), want_objects=True)
+    assert r.linearized
+    assert "linearized" in r.type_assignments.values()
+    assert r.valid, r.errors_as_rows()
+
+
+def test_linearized_dict_missing_params_is_typed_error():
+    from caraspark.synth import _assemble, _base_objects, _obj as _o
+
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[5] = _o(5, b"<< /Linearized 1 /L 10 >>")
+    r = process_document(_assemble(bodies))
+    assert "type.missing_required" in _codes(r)
