@@ -34,6 +34,18 @@ _SKIP_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
 _COMMENT_RE = re.compile(rb"[^\r\n]*")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _REGULAR_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+# one C-level match per token for the hot classes: skips any run of
+# whitespace/comments, then classifies number | /name | keyword; the
+# remaining classes (strings, hex, delimiters) fall through to the
+# byte-dispatch below. MUST stay semantically identical to the separate
+# regexes above — the differential token test pins this.
+_MASTER_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb")?"
+)
 _STR_SPECIAL_RE = re.compile(rb"[()\\\r\n]")
 _HEX_BODY_RE = re.compile(rb"[0-9A-Fa-f\x00\t\n\x0c\r ]*")
 _HEXPAIR_RE = re.compile(rb"[0-9A-Fa-f]{2}")
@@ -86,18 +98,14 @@ class Lexer:
                 return
 
     def next_token(self) -> tuple:
-        self.skip_ws()
         data, end = self.data, self.end
-        p = self.pos
-        if p >= end:
-            return ("eof", None, p)
-        c = data[p]
-
-        if c in b"+-.0123456789":
-            m = _NUM_RE.match(data, p, end)
-            if m:
-                self.pos = m.end()
-                lex = m.group()
+        m = _MASTER_RE.match(data, self.pos, end)
+        kind = m.lastgroup
+        if kind is not None:
+            self.pos = m.end()
+            if kind == "num":
+                p = m.start("num")
+                lex = m.group("num")
                 if b"." in lex:
                     return ("real", lex.decode("ascii"), p)
                 v = int(lex)
@@ -107,10 +115,21 @@ class Lexer:
                 # verbatim lexeme survives as a real so bytes round-trip.
                 self._err("lex.int_overflow", p, lex.decode("ascii"))
                 return ("real", lex.decode("ascii"), p)
-            # bare '+' '-' '.' falls through to keyword handling below
+            if kind == "name":
+                p = m.start("name") - 1  # token starts at the '/'
+                raw = m.group("name")
+                if b"#" not in raw:
+                    return ("name", raw.decode("latin-1"), p)
+                return ("name", self._unescape_name(raw, p), p)
+            # kind == 'kw'
+            p = m.start("kw")
+            return ("kw", m.group("kw").decode("latin-1"), p)
 
-        if c == 0x2F:  # '/'
-            return self._lex_name(p)
+        # skip consumed; remaining classes dispatch on the next byte
+        self.pos = p = m.end()
+        if p >= end:
+            return ("eof", None, p)
+        c = data[p]
         if c == 0x28:  # '('
             return self._lex_string(p)
         if c == 0x3C:  # '<'
@@ -142,21 +161,13 @@ class Lexer:
             self.pos = p + 1
             return ("kw", ")", p)
 
-        m = _REGULAR_RE.match(data, p, end)
-        if m:
-            self.pos = m.end()
-            return ("kw", m.group().decode("latin-1"), p)
-        # unreachable: every byte is either regular, whitespace, or delimiter
+        # unreachable: every byte is either matched by the master regex
+        # (regular/ws/comment/name) or one of the delimiters above
         self.pos = p + 1
         return ("kw", chr(c), p)
 
-    def _lex_name(self, p: int) -> tuple:
-        """/Name with #xx unescape [PDF17 §7.3.5]."""
-        m = _REGULAR_RE.match(self.data, p + 1, self.end)
-        raw = m.group() if m else b""
-        self.pos = (m.end() if m else p + 1)
-        if b"#" not in raw:
-            return ("name", raw.decode("latin-1"), p)
+    def _unescape_name(self, raw: bytes, p: int) -> str:
+        """#xx unescape for /Name [PDF17 §7.3.5]; ``p`` is the '/' pos."""
         out = bytearray()
         i, n = 0, len(raw)
         while i < n:
@@ -170,7 +181,7 @@ class Lexer:
                 # relaxed: keep the '#' literally
             out.append(raw[i])
             i += 1
-        return ("name", out.decode("latin-1"), p)
+        return out.decode("latin-1")
 
     def _lex_string(self, p: int) -> tuple:
         """(literal string) with nesting + escapes [PDF17 §7.3.4.2]."""

@@ -71,9 +71,9 @@ _PDFDOC_HIGH = {
     0x98: 0x0178, 0x99: 0x017D, 0x9A: 0x0131, 0x9B: 0x0142,
     0x9C: 0x0153, 0x9D: 0x0161, 0x9E: 0x017E, 0xA0: 0x20AC,
 }
-_PDFDOC_TABLE = {
-    i: chr(_PDFDOC_HIGH.get(i, i)) for i in range(256)
-}
+# latin-1 decode is the identity on bytes; translate() then rewrites the
+# ~40 typographic exceptions at C speed (hot path: every show-string)
+_PDFDOC_TRANS = str.maketrans({chr(k): chr(v) for k, v in _PDFDOC_HIGH.items()})
 
 
 def decode_pdf_string(b: bytes) -> str:
@@ -82,7 +82,7 @@ def decode_pdf_string(b: bytes) -> str:
             return b[2:].decode("utf-16-be")
         except UnicodeDecodeError:
             return b[2:].decode("utf-16-be", "replace")
-    return "".join(_PDFDOC_TABLE[c] for c in b)
+    return b.decode("latin-1").translate(_PDFDOC_TRANS)
 
 
 def _page_order(doc) -> list[tuple[int, int]]:
