@@ -131,7 +131,14 @@ TYPEDEFS: dict[str, ClassDef] = {
             "MediaBox": Entry(RECT),
             "CropBox": Entry(RECT),
             "Rotate": Entry(INT),
-            "Annots": Entry(ArrayOf(Class("annot"))),
+            "Annots": Entry(ArrayOf(OneOf((
+                Class("annot_link"),
+                Class("annot_text"),
+                Class("annot_widget"),
+                Class("annot_freetext"),
+                Class("annot_popup"),
+                Class("annot"),  # generic fallback — must stay last
+            )))),
             "Group": Entry(DICT),
             "Thumb": Entry(STREAM),
             "LastModified": Entry(STRING),
@@ -221,6 +228,137 @@ TYPEDEFS: dict[str, ClassDef] = {
             "CreationDate": Entry(STRING),
             "ModDate": Entry(STRING),
             "Trapped": Entry(NAME),
+        }
+    ),
+    # --- annotation subtypes [PDF17 §12.5.6] -------------------------------
+    # discriminated from the generic fallback by their exact /Subtype;
+    # each repeats the base entries (caradoc's defs do the same — its
+    # type DSL has no inheritance)
+    "annot_link": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Link"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "A": Entry(Class("action")),
+            "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
+            "H": Entry(NAME),
+            "PA": Entry(DICT),
+            "QuadPoints": Entry(ArrayOf(NUMBER)),
+            "BS": Entry(DICT),
+        }
+    ),
+    "annot_text": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Text"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "Open": Entry(BOOL),
+            "Name": Entry(NAME),
+            "State": Entry(STRING),
+            "StateModel": Entry(STRING),
+            "IRT": Entry(DICT),
+            "Popup": Entry(Class("annot_popup")),
+        }
+    ),
+    "annot_widget": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Widget"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "H": Entry(NAME),
+            "MK": Entry(DICT),
+            "A": Entry(Class("action")),
+            "AA": Entry(DICT),
+            "BS": Entry(DICT),
+            # widget/field merge
+            "Parent": Entry(DICT),
+            "Kids": Entry(ARRAY),
+            "FT": Entry(NAME),
+            "T": Entry(STRING),
+            "TU": Entry(STRING),
+            "Ff": Entry(INT),
+            "V": Entry(ANY),
+            "DV": Entry(ANY),
+            "DA": Entry(STRING),
+            "Q": Entry(INT),
+            "MaxLen": Entry(INT),
+            "Opt": Entry(ARRAY),
+        }
+    ),
+    "annot_freetext": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("FreeText"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "DA": Entry(STRING, required=True),
+            "Q": Entry(INT),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "DS": Entry(STRING),
+            "CL": Entry(ArrayOf(NUMBER)),
+            "IT": Entry(NAME),
+            "BE": Entry(DICT),
+            "RD": Entry(RECT),
+            "BS": Entry(DICT),
+            "LE": Entry(NAME),
+        }
+    ),
+    "annot_popup": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Popup"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "Parent": Entry(DICT),
+            "Open": Entry(BOOL),
         }
     ),
     # --- name / number trees [PDF17 §7.9.6–7.9.7] --------------------------
@@ -728,11 +866,19 @@ def check_types(doc, strict: bool = False) -> TypeResult:
 _STRUCTURAL_CLASSES = {"ObjStm": "objstm", "XRef": "xref_stream"}
 
 
-_PAGE_FAMILY = {("pages", "page"), ("page", "pages")}
+_COMPATIBLE = {
+    ("pages", "page"), ("page", "pages"),
+    # a merged field+widget dict is legitimately referenced from both
+    # AcroForm /Fields and the page's /Annots [PDF17 §12.7.1]
+    ("field", "annot_widget"), ("annot_widget", "field"),
+    ("annot", "annot_widget"), ("annot_widget", "annot"),
+}
 
 
 def _class_compatible(a: str, b: str) -> bool:
-    return (a, b) in _PAGE_FAMILY
+    return (a, b) in _COMPATIBLE or (
+        a.startswith("annot") and b.startswith("annot")
+    )
 
 
 def _texpr_tag(t) -> str:

@@ -281,3 +281,63 @@ def test_linearized_dict_missing_params_is_typed_error():
     bodies[5] = _o(5, b"<< /Linearized 1 /L 10 >>")
     r = process_document(_assemble(bodies))
     assert "type.missing_required" in _codes(r)
+
+
+# --- annotation subtypes ---------------------------------------------------
+
+
+def test_annot_subtypes_discriminate():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10]"
+                b" /A << /Type /Action /S /URI /URI (http://x) >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Annot /Subtype /Text /Rect [0 0 5 5]"
+                b" /Open true /Contents (note) >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Annot /Subtype /Ink /Rect [0 0 5 5] >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "annot_link"
+    assert r.type_assignments["6.0"] == "annot_text"
+    assert r.type_assignments["7.0"] == "annot"  # generic fallback
+
+
+def test_freetext_requires_da():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /FreeText /Rect [0 0 5 5] >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_merged_field_widget_referenced_twice_is_not_a_conflict():
+    blob = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] >>",
+        {
+            3: _obj(
+                3,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Contents 4 0 R /Annots [5 0 R] >>",
+            ),
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Widget /Rect [0 0 100 20]"
+                b" /FT /Tx /T (name) >>",
+            ),
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.conflict" not in _codes(r), r.errors_as_rows()
+    assert r.valid, r.errors_as_rows()
