@@ -64,6 +64,42 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
     return plain
 
 
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes | None:
+    """AES-CBC without padding (R5/R6 key wrapping + hash rounds)."""
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+    except ImportError:
+        return None
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    op = c.encryptor() if encrypt else c.decryptor()
+    return op.update(data) + op.finalize()
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes | None:
+    """ISO 32000-2 Algorithm 2.B (revision 6 iterated hash)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        i += 1
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, encrypt=True)
+        if e is None:
+            return None
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def file_key(enc: dict, file_id: bytes, errors: list) -> tuple[bytes, str] | None:
     """Algorithm 2 with the empty user password → (key, cipher kind)."""
     filt = enc.get("Filter")
@@ -77,6 +113,8 @@ def file_key(enc: dict, file_id: bytes, errors: list) -> tuple[bytes, str] | Non
     if not isinstance(r, int) or not isinstance(o, bytes) or not isinstance(p, int):
         errors.append(PdfError("crypt.bad_encrypt_dict"))
         return None
+    if r in (5, 6):
+        return _file_key_v5(enc, r, errors)
     if r not in (2, 3, 4):
         errors.append(PdfError("crypt.unsupported", msg=f"R={r}"))
         return None
@@ -105,10 +143,58 @@ def file_key(enc: dict, file_id: bytes, errors: list) -> tuple[bytes, str] | Non
             entry = cf.get(stmf.v)
             if isinstance(entry, dict) and entry.get("CFM") == Name("AESV2"):
                 cipher = "aesv2"
+    _check_user_password(enc, key, file_id, r, cipher, errors)
     return key, cipher
 
 
+def _check_user_password(enc, key, file_id, r, cipher, errors) -> None:
+    """Algorithm 6: verify /U matches the empty user password."""
+    u = enc.get("U")
+    if not isinstance(u, bytes):
+        return
+    if r == 2:
+        expect = rc4(key, PAD)
+        ok = u[:32] == expect
+    else:
+        h = hashlib.md5(PAD + file_id).digest()
+        x = rc4(key, h)
+        for i in range(1, 20):
+            x = rc4(bytes(b ^ i for b in key), x)
+        ok = u[:16] == x
+    if not ok:
+        errors.append(PdfError("crypt.auth_failed", msg="user password"))
+
+
+def _file_key_v5(enc: dict, r: int, errors: list) -> tuple[bytes, str] | None:
+    """AES-256 revisions: 5 (deprecated AESV3) and 6 (ISO 32000-2).
+    Empty user password: validate against /U, unwrap the key from /UE."""
+    u = enc.get("U")
+    ue = enc.get("UE")
+    if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
+        errors.append(PdfError("crypt.bad_encrypt_dict", msg=f"R={r}"))
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        hv = hash_r6(b"", vsalt)
+        ik = hash_r6(b"", ksalt)
+    else:
+        hv = hashlib.sha256(vsalt).digest()  # empty pw + validation salt
+        ik = hashlib.sha256(ksalt).digest()
+    if hv is None or ik is None:
+        errors.append(PdfError("crypt.unsupported", msg="no AES backend"))
+        return None
+    if hv != u[:32]:
+        errors.append(PdfError("crypt.auth_failed", msg="user password"))
+    fkey = _aes_cbc_raw(ik, b"\x00" * 16, ue[:32], encrypt=False)
+    if fkey is None:
+        errors.append(PdfError("crypt.unsupported", msg="no AES backend"))
+        return None
+    return fkey, "aesv3"
+
+
 def object_key(key: bytes, num: int, gen: int, cipher: str) -> bytes:
+    if cipher == "aesv3":  # AES-256 uses the file key directly [§7.6.3.1]
+        return key
     h = hashlib.md5()
     h.update(key)
     h.update(struct.pack("<i", num)[:3])

@@ -858,6 +858,67 @@ def _encrypted_pdf(aes: bool) -> bytes:
     return _assemble(bodies, trailer_extra=trailer_extra)
 
 
+def pdf_encrypted_aes256() -> bytes:
+    """R6 (ISO 32000-2 AES-256) fixture, empty user password. U/UE are
+    generated with the forward side of Algorithm 2.B + key wrapping; the
+    engine's decrypt path must invert it exactly."""
+    import hashlib
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher,
+        algorithms,
+        modes,
+    )
+
+    def cbc(key: bytes, iv: bytes, data: bytes) -> bytes:
+        e = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        return e.update(data) + e.finalize()
+
+    def h6(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+        k = hashlib.sha256(pw + salt + udata).digest()
+        i = 0
+        while True:
+            i += 1
+            e = cbc(k[:16], k[16:32], (pw + k + udata) * 64)
+            k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
+                sum(e[:16]) % 3
+            ](e).digest()
+            if i >= 64 and e[-1] <= i - 32:
+                return k[:32]
+
+    fkey = hashlib.sha256(b"caraspark-r6-file-key").digest()  # 32 bytes
+    vsalt = hashlib.md5(b"vsalt").digest()[:8]
+    ksalt = hashlib.md5(b"ksalt").digest()[:8]
+    u = h6(b"", vsalt) + vsalt + ksalt
+    ue = cbc(h6(b"", ksalt), b"\x00" * 16, fkey)
+    # owner entries (computed over U per spec; engine validates user only)
+    ovs = hashlib.md5(b"ovs").digest()[:8]
+    oks = hashlib.md5(b"oks").digest()[:8]
+    o = h6(b"", ovs, u) + ovs + oks
+    oe = cbc(h6(b"", oks, u), b"\x00" * 16, fkey)
+
+    content = b"BT (Hello AES-256) Tj ET"
+    iv = hashlib.md5(b"iv:r6:4:0").digest()
+    padlen = 16 - len(content) % 16
+    payload = iv + cbc(fkey, iv, content + bytes([padlen]) * padlen)
+
+    bodies = _base_objects(payload)
+    bodies[5] = _obj(
+        5,
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44"
+        b" /O " + _hexstr(o) + b" /U " + _hexstr(u) +
+        b" /OE " + _hexstr(oe) + b" /UE " + _hexstr(ue) +
+        b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+        b" /Length 32 >> >>"
+        b" /StmF /StdCF /StrF /StdCF >>",
+    )
+    file_id = hashlib.md5(b"caraspark-r6-id").digest()
+    trailer_extra = (
+        b" /Encrypt 5 0 R /ID [" + _hexstr(file_id) + _hexstr(file_id) + b"]"
+    )
+    return _assemble(bodies, trailer_extra=trailer_extra)
+
+
 def pdf_encrypted_rc4() -> bytes:
     return _encrypted_pdf(aes=False)
 
@@ -868,3 +929,4 @@ def pdf_encrypted_aes() -> bytes:
 
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes
+PDF_RECIPES["pdf_encrypted_aes256"] = pdf_encrypted_aes256

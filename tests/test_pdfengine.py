@@ -312,3 +312,29 @@ def test_form_xobject_text_and_cycle_guard():
     r = process_document(blob)
     assert r.text == b"page before\ninside form one\nnested form two\npage after"
     assert r.text == oracle_extract(blob)
+
+
+# --- AES-256 (R6) ----------------------------------------------------------
+
+
+def test_aes256_r6_decrypts():
+    r = process_document(PDF_RECIPES["pdf_encrypted_aes256"]())
+    assert r.encrypted and r.valid and r.strict, r.errors_as_rows()
+    assert r.text == b"Hello AES-256"
+
+
+def test_aes256_wrong_password_hash_is_auth_failure():
+    blob = PDF_RECIPES["pdf_encrypted_aes256"]()
+    # corrupt the /U validation hash (first hex digits after '/U <')
+    at = blob.find(b"/U <") + 4
+    bad = blob[:at] + (b"00" if blob[at:at+2] != b"00" else b"11") + blob[at+2:]
+    r = process_document(bad)
+    assert any(e["code"] == "crypt.auth_failed" for e in r.errors_as_rows())
+
+
+def test_legacy_u_validation_still_accepts_fixtures():
+    for name in ("pdf_encrypted_rc4", "pdf_encrypted_aes"):
+        r = process_document(PDF_RECIPES[name]())
+        assert not any(
+            e["code"] == "crypt.auth_failed" for e in r.errors_as_rows()
+        ), name
