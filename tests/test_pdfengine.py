@@ -338,3 +338,54 @@ def test_legacy_u_validation_still_accepts_fixtures():
         assert not any(
             e["code"] == "crypt.auth_failed" for e in r.errors_as_rows()
         ), name
+
+
+# --- differential property: engine vs oracle on random content streams -----
+
+
+_ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("Tj"), st.binary(max_size=12)),
+        st.tuples(st.just("'"), st.binary(max_size=8)),
+        st.tuples(st.just("TJ"), st.lists(
+            st.one_of(st.binary(max_size=6), st.integers(-500, 100)),
+            max_size=5,
+        )),
+        st.tuples(st.just("Td"), st.none()),
+        st.tuples(st.just("T*"), st.none()),
+        st.tuples(st.just("BT"), st.none()),
+        st.tuples(st.just("ET"), st.none()),
+    ),
+    max_size=30,
+)
+
+
+def _ser_str(b: bytes) -> bytes:
+    # serialize via octal escapes — valid for any byte content
+    return b"(" + "".join(f"\\{c:03o}" for c in b).encode() + b")"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ops_strategy)
+def test_engine_and_oracle_agree_on_random_content_streams(ops):
+    """The frozen SPEC is implemented twice; random operator sequences must
+    extract identically through both (SURVEY.md §5.2 double-witness)."""
+    from caraspark.pdfengine.textextract import extract_page_text
+    from oracle.text_oracle import _page_text
+
+    parts = []
+    for op, arg in ops:
+        if op in ("Tj", "'"):
+            parts.append(_ser_str(arg) + b" " + op.encode())
+        elif op == "TJ":
+            el = b" ".join(
+                _ser_str(x) if isinstance(x, bytes) else str(x).encode()
+                for x in arg
+            )
+            parts.append(b"[" + el + b"] TJ")
+        elif op == "Td":
+            parts.append(b"1 2 Td")
+        else:
+            parts.append(op.encode())
+    content = b"\n".join(parts)
+    assert extract_page_text(content, []) == _page_text(content)
