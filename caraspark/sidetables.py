@@ -250,6 +250,36 @@ def pdf_objects(spark, sf):
     )
 
 
+@_q("pdf_objects_variant", None)
+def pdf_objects_variant(spark, sf):
+    # Spark 4 VARIANT path (SURVEY.md §1.1): canonical-JSON bodies parse
+    # into variant once, then typed drilling happens in the JVM with
+    # variant_get — no re-parse per predicate, shredded binary encoding.
+    # '$d'/'$n' are our canonical-form markers, hence the escaped dollars.
+    objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
+    v = objects.select(
+        "url",
+        "num",
+        F.parse_json("body_json").alias("v"),
+    )
+    typed = v.select(
+        "url",
+        "num",
+        F.expr(r"try_variant_get(v, '$.\$d.Type.\$n', 'string')").alias(
+            "obj_type"
+        ),
+        F.expr(r"try_variant_get(v, '$.\$d.Count', 'long')").alias("count"),
+    )
+    return (
+        typed.filter(F.col("obj_type").isNotNull())
+        .groupBy("obj_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("count"), F.lit(0))).alias("sum_count"),
+        )
+    )
+
+
 @_q("pdf_cleanup", None)
 def pdf_cleanup(spark, sf):
     # C24: canonical re-serialization; fixpoint must hold corpus-wide

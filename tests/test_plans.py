@@ -163,3 +163,24 @@ def test_q1_runs_inside_wholestage_codegen(spark, sf_smoke, qs):
     final = p.split("== Initial Plan ==")[0]
     for node in ("* HashAggregate", "* Filter", "* Project"):
         assert node in final, p
+
+
+# --- session-level scale configs -------------------------------------------
+
+
+def test_aqe_and_skew_handling_enabled(spark):
+    # §4.3: AQE coalesce + skew-join split back up the explicit salting
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+
+
+def test_variant_objects_plan_stays_jvm_side_after_parse(spark, qs):
+    # parse_json runs in the JVM; variant_get drilling must not add any
+    # Python eval beyond the single mapInArrow that parses the PDFs
+    p = plan_of(qs["pdf_objects_variant"](spark, "/root/testdata/sf0.001"))
+    assert p.count("EvalPython") <= 1, p
+    assert "variant_get" in p
