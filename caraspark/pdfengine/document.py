@@ -347,20 +347,57 @@ def _build_graph(doc: Document, errors: list) -> None:
 
 
 def _check_page_tree(doc: Document, start: tuple, errors: list) -> None:
+    """Acyclicity + caradoc's consistency rules: every Kid's /Parent must
+    back-link its parent node, and every Pages /Count must equal the number
+    of leaf pages actually in its subtree [PDF17 §7.7.3.2]."""
     on_path: set = set()
     done: set = set()
+    leafcount: dict = {}
 
-    stack: list = [(start, iter([start]))]
-    # iterative DFS: (node, child-iterator)
-    def kids_of(key):
+    def body_of(key):
         o = doc.objects.get(key)
         o = o.d if isinstance(o, Stream) else o
-        if not isinstance(o, dict):
+        return o if isinstance(o, dict) else None
+
+    def kids_of(key):
+        o = body_of(key)
+        if o is None:
             return []
         kids = o.get("Kids")
         if not isinstance(kids, list):
             return []
         return [(k.num, k.gen) for k in kids if isinstance(k, Ref)]
+
+    def on_pop(node, kids):
+        body = body_of(node)
+        if body is None:
+            return
+        if body.get("Type") == Name("Page"):
+            leafcount[node] = 1
+            return
+        n = sum(leafcount.get(c, 0) for c in kids)
+        leafcount[node] = n
+        declared = body.get("Count")
+        if isinstance(declared, int) and declared != n:
+            errors.append(
+                PdfError(
+                    "tree.count_mismatch",
+                    obj=node,
+                    path="/Count",
+                    msg=f"declared {declared}, actual {n}",
+                )
+            )
+        for c in kids:
+            cb = body_of(c)
+            if cb is None:
+                continue
+            par = cb.get("Parent")
+            if not (
+                isinstance(par, Ref) and (par.num, par.gen) == node
+            ):
+                errors.append(
+                    PdfError("tree.parent_mismatch", obj=c, path="/Parent")
+                )
 
     stack = [(start, 0, kids_of(start))]
     on_path.add(start)
@@ -370,6 +407,7 @@ def _check_page_tree(doc: Document, start: tuple, errors: list) -> None:
             stack.pop()
             on_path.discard(node)
             done.add(node)
+            on_pop(node, kids)
             continue
         stack[-1] = (node, i + 1, kids)
         child = kids[i]

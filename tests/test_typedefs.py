@@ -341,3 +341,37 @@ def test_merged_field_widget_referenced_twice_is_not_a_conflict():
     r = process_document(blob, want_objects=True)
     assert "type.conflict" not in _codes(r), r.errors_as_rows()
     assert r.valid, r.errors_as_rows()
+
+
+# --- page-tree consistency (C21) -------------------------------------------
+
+
+def test_pages_count_mismatch_detected():
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 7 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+        ),
+        4: _stream_obj(4, b"", b"BT (x) Tj ET"),
+    }
+    r = process_document(_assemble(bodies))
+    assert "tree.count_mismatch" in _codes(r)
+
+
+def test_pages_parent_backlink_mismatch_detected():
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        # Parent points at the catalog, not the pages node
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 1 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+        ),
+        4: _stream_obj(4, b"", b"BT (x) Tj ET"),
+    }
+    r = process_document(_assemble(bodies))
+    assert "tree.parent_mismatch" in _codes(r)
