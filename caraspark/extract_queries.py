@@ -129,6 +129,41 @@ def doc_taxonomy(spark, sf):
     )
 
 
+@_q("corpus_pipeline", None)
+def corpus_pipeline(spark, sf):
+    """The training-data story end-to-end in ONE lazy plan: extract →
+    keep valid docs → score (chars / whitespace tokens / alpha ratio) →
+    exact-dedup on content hash → per-kind corpus stats. One mapInArrow
+    stage plus one dedup shuffle plus one agg — nothing else moves data."""
+    ext = _extracted(spark, sf)
+    txt = ext.filter(F.col("verdict.valid")).select(
+        "url",
+        F.col("text").cast("string").alias("text"),
+    )
+    scored = (
+        txt.withColumns(
+            {
+                "n_chars": F.length("text"),
+                "n_tokens": F.size(F.split(F.trim("text"), r"\s+")),
+                "alpha_ratio": F.when(
+                    F.length("text") > 0,
+                    F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+                    / F.length("text"),
+                ).otherwise(F.lit(0.0)),
+                "fingerprint": F.sha2(F.col("text"), 256),
+            }
+        )
+        .filter(F.col("n_chars") > 0)
+    )
+    deduped = scored.dropDuplicates(["fingerprint"])
+    return deduped.agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+    )
+
+
 @_q("doc_scan", None)
 def doc_scan(spark, sf):
     # C1: metadata-only scan of the corpus — the blob column is pruned;
