@@ -344,6 +344,117 @@ def _build_graph(doc: Document, errors: list) -> None:
         pages = cat.get("Pages") if isinstance(cat, dict) else None
         if isinstance(pages, Ref):
             _check_page_tree(doc, (pages.num, pages.gen), errors)
+        if isinstance(cat, dict):
+            outl = cat.get("Outlines")
+            if isinstance(outl, Ref):
+                _check_outlines(doc, (outl.num, outl.gen), errors)
+            names = _resolve(doc, cat.get("Names"))
+            if isinstance(names, dict):
+                for entry in sorted(names):
+                    tree = names[entry]
+                    if isinstance(tree, (Ref, dict)):
+                        _check_name_tree(doc, tree, f"/Names/{entry}", errors)
+
+
+def _resolve(doc: Document, v):
+    if isinstance(v, Ref):
+        v = doc.objects.get((v.num, v.gen))
+    return v.d if isinstance(v, Stream) else v
+
+
+def _check_outlines(doc: Document, root_key: tuple, errors: list) -> None:
+    """Outline linked-list integrity [PDF17 §12.3.3]: sibling chains must
+    be Prev/Next-consistent, items must back-link /Parent, and chains must
+    terminate (cycle-guarded walk)."""
+    root = _resolve(doc, Ref(*root_key))
+    if not isinstance(root, dict):
+        return
+    seen: set = set()
+    # explicit stack of (parent_key, First ref) — no Python recursion, so
+    # adversarial nesting depth can't blow the interpreter stack
+    stack: list = [(root_key, root.get("First"))]
+    while stack:
+        parent_key, first = stack.pop()
+        if not isinstance(first, Ref):
+            continue
+        prev_key = None
+        cur = (first.num, first.gen)
+        while True:
+            if cur in seen:
+                errors.append(
+                    PdfError("graph.cycle", obj=cur, path="/Outlines")
+                )
+                break
+            seen.add(cur)
+            item = _resolve(doc, Ref(*cur))
+            if not isinstance(item, dict):
+                break
+            par = item.get("Parent")
+            if not (isinstance(par, Ref) and (par.num, par.gen) == parent_key):
+                errors.append(
+                    PdfError("tree.parent_mismatch", obj=cur, path="/Outlines")
+                )
+            pv = item.get("Prev")
+            pv_key = (pv.num, pv.gen) if isinstance(pv, Ref) else None
+            if pv_key != prev_key:
+                errors.append(
+                    PdfError("tree.outline_broken", obj=cur, path="/Prev")
+                )
+            if isinstance(item.get("First"), Ref):
+                stack.append((cur, item.get("First")))
+            nxt = item.get("Next")
+            if not isinstance(nxt, Ref):
+                break
+            prev_key = cur
+            cur = (nxt.num, nxt.gen)
+
+
+def _check_name_tree(doc: Document, tree, path: str, errors: list) -> None:
+    """Name-tree wellformedness [PDF17 §7.9.6]: Names arrays have even
+    length with byte-sorted string keys; /Limits spans the actual keys."""
+    seen: set = set()
+    stack: list = [tree]
+    while stack:
+        node_ref = stack.pop()
+        key = None
+        if isinstance(node_ref, Ref):
+            key = (node_ref.num, node_ref.gen)
+            if key in seen:
+                errors.append(PdfError("graph.cycle", obj=key, path=path))
+                continue
+            seen.add(key)
+        node = _resolve(doc, node_ref)
+        if not isinstance(node, dict):
+            continue
+        names = node.get("Names")
+        keys: list[bytes] = []
+        if isinstance(names, list):
+            if len(names) % 2:
+                errors.append(
+                    PdfError("tree.names_odd", obj=key, path=path)
+                )
+            ks = [x for x in names[0::2] if isinstance(x, bytes)]
+            if ks != sorted(ks):
+                errors.append(
+                    PdfError("tree.names_unsorted", obj=key, path=path)
+                )
+            keys = ks
+        limits = node.get("Limits")
+        if (
+            isinstance(limits, list)
+            and len(limits) == 2
+            and all(isinstance(x, bytes) for x in limits)
+            and keys
+        ):
+            if not (limits[0] <= min(keys) and max(keys) <= limits[1]):
+                errors.append(
+                    PdfError("tree.limits_mismatch", obj=key, path=path)
+                )
+        kids = node.get("Kids")
+        if isinstance(kids, list):
+            for k in kids:
+                if isinstance(k, Ref):
+                    stack.append(k)
 
 
 def _check_page_tree(doc: Document, start: tuple, errors: list) -> None:

@@ -375,3 +375,62 @@ def test_pages_parent_backlink_mismatch_detected():
     }
     r = process_document(_assemble(bodies))
     assert "tree.parent_mismatch" in _codes(r)
+
+
+# --- outline & name-tree integrity -----------------------------------------
+
+
+def test_outline_chain_valid():
+    blob = _doc_catalog(
+        b" /Outlines 5 0 R",
+        {
+            5: _obj(5, b"<< /Type /Outlines /First 6 0 R /Last 7 0 R /Count 2 >>"),
+            6: _obj(6, b"<< /Title (one) /Parent 5 0 R /Next 7 0 R >>"),
+            7: _obj(7, b"<< /Title (two) /Parent 5 0 R /Prev 6 0 R >>"),
+        },
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+
+
+def test_outline_bad_prev_link_detected():
+    blob = _doc_catalog(
+        b" /Outlines 5 0 R",
+        {
+            5: _obj(5, b"<< /Type /Outlines /First 6 0 R /Last 7 0 R >>"),
+            6: _obj(6, b"<< /Title (one) /Parent 5 0 R /Next 7 0 R >>"),
+            # /Prev wrongly points at the root instead of item 6
+            7: _obj(7, b"<< /Title (two) /Parent 5 0 R /Prev 5 0 R >>"),
+        },
+    )
+    r = process_document(blob)
+    assert "tree.outline_broken" in _codes(r)
+
+
+def test_outline_next_cycle_detected():
+    blob = _doc_catalog(
+        b" /Outlines 5 0 R",
+        {
+            5: _obj(5, b"<< /Type /Outlines /First 6 0 R /Last 6 0 R >>"),
+            6: _obj(6, b"<< /Title (loop) /Parent 5 0 R /Next 6 0 R >>"),
+        },
+    )
+    r = process_document(blob)
+    assert "graph.cycle" in _codes(r)
+
+
+def test_name_tree_unsorted_and_limits():
+    blob = _doc_catalog(
+        b" /Names << /Dests 5 0 R >>",
+        {
+            5: _obj(
+                5,
+                b"<< /Names [(b) [3 0 R /Fit] (a) [3 0 R /Fit]]"
+                b" /Limits [(a) (a)] >>",
+            ),
+        },
+    )
+    r = process_document(blob)
+    codes = _codes(r)
+    assert "tree.names_unsorted" in codes
+    assert "tree.limits_mismatch" in codes
