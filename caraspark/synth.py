@@ -204,6 +204,44 @@ def _oct(b: bytes) -> bytes:
     return "".join(f"\\{c:03o}" for c in b).encode()
 
 
+def pdf_multipage() -> bytes:
+    """Three pages under a two-level page tree — pins DFS page order,
+    form-feed page joins, nested /Count consistency, and /Resources
+    inheritance from an interior Pages node."""
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 3 >>"),
+        # interior node with two leaves, carrying the inherited Resources
+        3: _obj(
+            3,
+            b"<< /Type /Pages /Parent 2 0 R /Kids [4 0 R 5 0 R] /Count 2 "
+            b"/Resources << /Font << /F1 10 0 R >> >> >>",
+        ),
+        4: _obj(
+            4,
+            b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 7 0 R >>",
+        ),
+        5: _obj(
+            5,
+            b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 8 0 R >>",
+        ),
+        6: _obj(
+            6,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 9 0 R >>",
+        ),
+        7: _stream_obj(7, b"", b"BT /F1 12 Tf (page one) Tj ET"),
+        8: _stream_obj(8, b"", b"BT (page two) Tj ET"),
+        9: _stream_obj(9, b"", b"BT (page three) Tj ET"),
+        10: _obj(
+            10, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        ),
+    }
+    return _assemble(bodies)
+
+
 def pdf_form_xobject() -> bytes:
     """Text inside Form XObjects (Do): page → form1 (own resources) →
     form2 (inherits form1's); form2 re-enters form1 via /Back, which the
@@ -598,6 +636,7 @@ PDF_RECIPES = {
     "pdf_tounicode": pdf_tounicode,
     "pdf_inline_image": pdf_inline_image,
     "pdf_form_xobject": pdf_form_xobject,
+    "pdf_multipage": pdf_multipage,
     "pdf_flate": pdf_flate,
     "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
     "pdf_flate_pred_up": lambda: pdf_flate_pred(2),

@@ -389,3 +389,11 @@ def test_engine_and_oracle_agree_on_random_content_streams(ops):
             parts.append(op.encode())
     content = b"\n".join(parts)
     assert extract_page_text(content, []) == _page_text(content)
+
+
+def test_multipage_order_and_form_feeds():
+    blob = PDF_RECIPES["pdf_multipage"]()
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.text == b"page one\x0cpage two\x0cpage three"
+    assert r.text == oracle_extract(blob)
