@@ -729,12 +729,35 @@ def html_empty(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_table(rng: random.Random) -> bytes:
+    """Data table + pre block: every row/cell boundary is a block flush;
+    link-heavy footer row must drop on link density."""
+    rows = "".join(
+        f"<tr><td>{rng.choice(_WORDS)}</td><td>{rng.randrange(1000)}</td>"
+        f"<td>{_para(rng, 6)}</td></tr>"
+        for _ in range(5)
+    )
+    navrow = (
+        "<tr><td>" + "".join(f"<a href='/{i}'>p{i}</a> " for i in range(12))
+        + "</td></tr>"
+    )
+    return (
+        "<html><body>"
+        f"<h1>{_para(rng, 4)}</h1>"
+        f"<table>{rows}{navrow}</table>"
+        f"<pre>  raw   spacing   collapses  </pre>"
+        f"<p>{_para(rng, 30)}</p>"
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
     "html_entities": html_entities,
     "html_malformed": html_malformed,
     "html_empty": html_empty,
+    "html_table": html_table,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]
