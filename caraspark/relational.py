@@ -1011,3 +1011,71 @@ def fn_hash(spark, sf):
         F.sha2(F.encode("c_name", "utf-8"), 256).alias("name_sha"),
         F.base64(F.encode("c_name", "utf-8")).alias("name_b64"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B10 subqueries & CTEs (Catalyst decorrelation — SURVEY.md §4.2 row 8)
+# ---------------------------------------------------------------------------
+
+
+def _sql_over_views(spark, sf, sql: str, tables: tuple[str, ...]) -> DataFrame:
+    for t in tables:
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+_SUB_SCALAR_SQL = """SELECT c_custkey, round(c_acctbal, 2) AS bal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)"""
+
+
+@_q("sub_scalar", _SUB_SCALAR_SQL)
+def sub_scalar(spark, sf):
+    # scalar subquery: Catalyst plans one extra aggregate + broadcast of
+    # the single-row result — no per-row re-evaluation
+    return _sql_over_views(spark, sf, _SUB_SCALAR_SQL, ("customer",))
+
+
+_SUB_EXISTS_SQL = """SELECT s_suppkey, s_name
+       FROM supplier s
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_suppkey = s.s_suppkey
+                       AND l.l_quantity > 49)"""
+
+
+@_q("sub_exists", _SUB_EXISTS_SQL)
+def sub_exists(spark, sf):
+    # correlated EXISTS decorrelates to a LEFT SEMI join on the
+    # correlation key — the shuffle is on l_suppkey, never row-at-a-time
+    return _sql_over_views(spark, sf, _SUB_EXISTS_SQL, ("supplier", "lineitem"))
+
+
+_SUB_IN_SQL = """SELECT p_partkey, p_name
+       FROM part
+       WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                               WHERE l_partkey IS NOT NULL
+                                 AND l_quantity > 45)"""
+
+
+@_q("sub_in", _SUB_IN_SQL)
+def sub_in(spark, sf):
+    # NOT IN decorrelates to a null-aware anti join (C21 dangling-ref
+    # shape expressed in SQL)
+    return _sql_over_views(spark, sf, _SUB_IN_SQL, ("part", "lineitem"))
+
+
+_CTE_SQL = """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(l_extendedprice * (1 - l_discount)) AS total
+           FROM lineitem GROUP BY l_suppkey
+       )
+       SELECT s.s_suppkey, s.s_name, round(rev.total, 2) AS revenue
+       FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+       WHERE rev.total > (SELECT avg(total) FROM rev)"""
+
+
+@_q("cte_basic", _CTE_SQL)
+def cte_basic(spark, sf):
+    # CTE referenced twice (join side + scalar subquery): Catalyst inlines
+    # or reuses the subplan; either plan is one agg over lineitem + a join
+    return _sql_over_views(spark, sf, _CTE_SQL, ("supplier", "lineitem"))
