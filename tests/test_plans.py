@@ -184,3 +184,39 @@ def test_variant_objects_plan_stays_jvm_side_after_parse(spark, qs):
     p = plan_of(qs["pdf_objects_variant"](spark, "/root/testdata/sf0.001"))
     assert p.count("EvalPython") <= 1, p
     assert "variant_get" in p
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_smoke):
+    # §4.2 bucketing: co-located joins. Two tables bucketed+sorted on the
+    # join key must sort-merge-join with ZERO exchanges — at cluster scale
+    # this is the difference between a full shuffle of the fact table and
+    # none at all. Broadcast is disabled so the bucket path is what's
+    # being planned.
+    import shutil
+
+    from caraspark.tables import load
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a prior session may have left managed-table files without catalog
+    # entries (in-memory catalog, on-disk warehouse) — clear them
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    load(spark, sf_smoke, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("orders_b")
+    load(spark, sf_smoke, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("lineitem_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = spark.table("orders_b"), spark.table("lineitem_b")
+        p = plan_of(
+            o.join(li, o.o_orderkey == li.l_orderkey), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p, p
+    assert "Exchange" not in p, p
