@@ -1079,3 +1079,26 @@ def cte_basic(spark, sf):
     # CTE referenced twice (join side + scalar subquery): Catalyst inlines
     # or reuses the subplan; either plan is one agg over lineitem + a join
     return _sql_over_views(spark, sf, _CTE_SQL, ("supplier", "lineitem"))
+
+
+@_q(
+    "win_ntile",
+    """SELECT c_custkey,
+              CAST(ntile(4) OVER w AS INT)        AS quartile,
+              round(percent_rank() OVER w, 6)     AS pr,
+              round(cume_dist() OVER w, 6)        AS cd
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey)""",
+)
+def win_ntile(spark, sf):
+    # distribution-style window functions complete the W1 family; same
+    # single hash-exchange on the partition key as every other window
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
