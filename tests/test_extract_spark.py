@@ -98,3 +98,13 @@ def test_column_pruning_on_parquet(spark, tmp_path):
     read_schema = physical.split("ReadSchema:")[-1].splitlines()[0]
     assert "html" not in read_schema
     assert q.count() == 16
+
+
+def test_quarter_million_docs_extract_without_oom(spark):
+    """Memory regression guard: 250k docs incl. giant skew docs must flow
+    through the byte-budgeted Arrow batches on a small local session."""
+    from caraspark.corpus import synth_df
+    from caraspark.extract import extract
+
+    df = synth_df(spark, 250_000, include_giant=True)
+    extract(df).write.format("noop").mode("overwrite").save()

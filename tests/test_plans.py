@@ -220,3 +220,11 @@ def test_bucketed_join_needs_no_exchange(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in p, p
     assert "Exchange" not in p, p
+
+
+def test_global_topk_uses_take_ordered(spark, sf_smoke, qs):
+    # O2: orderBy().limit(k) must plan as TakeOrderedAndProject — a
+    # per-partition heap + single k-row merge, never a global sort
+    p = plan_of(qs["sort_topk"](spark, sf_smoke), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p, p
