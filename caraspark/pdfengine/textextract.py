@@ -17,7 +17,11 @@ and compared byte-for-byte:
       "  a c s  word/char spacing + show→ newline, then append
       TJ <arr>  strings appended in order; a numeric kern element
                 v <= -180 (thousandths of text space) → one space
-      Td/TD/T*/Tm → line break (newline), emitted only if the current
+      Td/TD tx ty → ty != 0: line break (newline, emitted only if the
+                current line is non-empty); ty == 0 and tx != 0: a
+                single space (horizontal positioning inside a justified
+                line must not split it); both zero: nothing
+      T*/Tm     → line break (newline), emitted only if the current
                 line is non-empty
       ET        ends the text object → newline if current line non-empty
       BI        inline image: tokens through the ID keyword are
@@ -319,7 +323,18 @@ def extract_page_text(
                     lx.pos = m + 2
                     break
                 i = m + 1
-        elif op in ("Td", "TD", "T*", "Tm"):
+        elif op in ("Td", "TD"):
+            tx = operands[0] if len(operands) > 0 else 0
+            ty = operands[1] if len(operands) > 1 else 0
+            if not isinstance(tx, (int, float)):
+                tx = 0
+            if not isinstance(ty, (int, float)):
+                ty = 0
+            if ty != 0:
+                newline()
+            elif tx != 0 and cur and not cur[-1].endswith(" "):
+                cur.append(" ")
+        elif op in ("T*", "Tm"):
             newline()
         elif op in ("ET", "BT"):
             newline()

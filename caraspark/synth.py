@@ -204,6 +204,19 @@ def _oct(b: bytes) -> bytes:
     return "".join(f"\\{c:03o}" for c in b).encode()
 
 
+def pdf_justified() -> bytes:
+    """Horizontal-only Td positioning inside a justified line: same-line
+    jumps become single spaces, vertical moves line breaks (C26 rule)."""
+    content = (
+        b"BT /F1 11 Tf 10 700 Td\n"
+        b"(Justified) Tj 52 0 Td (text) Tj 24 0 Td (line.) Tj\n"
+        b"0 -14 Td (Second line) Tj\n"
+        b"0 0 Td (, appended.) Tj\n"
+        b"ET"
+    )
+    return _assemble(_base_objects(content))
+
+
 def pdf_multipage() -> bytes:
     """Three pages under a two-level page tree — pins DFS page order,
     form-feed page joins, nested /Count consistency, and /Resources
@@ -637,6 +650,7 @@ PDF_RECIPES = {
     "pdf_inline_image": pdf_inline_image,
     "pdf_form_xobject": pdf_form_xobject,
     "pdf_multipage": pdf_multipage,
+    "pdf_justified": pdf_justified,
     "pdf_flate": pdf_flate,
     "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
     "pdf_flate_pred_up": lambda: pdf_flate_pred(2),

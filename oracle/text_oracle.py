@@ -660,7 +660,18 @@ def _page_text(
                     i = 0
                 stackvals.clear()
                 continue
-            elif op in ("Td", "TD", "T*", "Tm", "BT", "ET"):
+            elif op in ("Td", "TD"):
+                tx = stackvals[0] if len(stackvals) > 0 else 0
+                ty = stackvals[1] if len(stackvals) > 1 else 0
+                if not isinstance(tx, (int, float)):
+                    tx = 0
+                if not isinstance(ty, (int, float)):
+                    ty = 0
+                if ty != 0:
+                    nl()
+                elif tx != 0 and cur and not cur[-1].endswith(" "):
+                    cur.append(" ")
+            elif op in ("T*", "Tm", "BT", "ET"):
                 nl()
             stackvals.clear()
         i += 1

@@ -351,7 +351,7 @@ _ops_strategy = st.lists(
             st.one_of(st.binary(max_size=6), st.integers(-500, 100)),
             max_size=5,
         )),
-        st.tuples(st.just("Td"), st.none()),
+        st.tuples(st.just("Td"), st.tuples(st.integers(-5, 5), st.integers(-5, 5))),
         st.tuples(st.just("T*"), st.none()),
         st.tuples(st.just("BT"), st.none()),
         st.tuples(st.just("ET"), st.none()),
@@ -384,7 +384,7 @@ def test_engine_and_oracle_agree_on_random_content_streams(ops):
             )
             parts.append(b"[" + el + b"] TJ")
         elif op == "Td":
-            parts.append(b"1 2 Td")
+            parts.append(b"%d %d Td" % arg)
         else:
             parts.append(op.encode())
     content = b"\n".join(parts)
@@ -396,4 +396,11 @@ def test_multipage_order_and_form_feeds():
     r = process_document(blob)
     assert r.valid and r.strict, r.errors_as_rows()
     assert r.text == b"page one\x0cpage two\x0cpage three"
+    assert r.text == oracle_extract(blob)
+
+
+def test_justified_horizontal_td_is_space_not_newline():
+    blob = PDF_RECIPES["pdf_justified"]()
+    r = process_document(blob)
+    assert r.text == b"Justified text line.\nSecond line, appended."
     assert r.text == oracle_extract(blob)
