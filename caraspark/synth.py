@@ -614,6 +614,22 @@ def pdf_type_err() -> bytes:
     return _assemble(bodies)
 
 
+def pdf_truncated() -> bytes:
+    """File cut mid-body (no startxref / trailer): parser must degrade to a
+    typed invalid verdict, never an exception."""
+    full = pdf_minimal()
+    return full[: int(len(full) * 0.55)]
+
+
+def pdf_bad_a85() -> bytes:
+    """ASCII85 content stream with corrupt payload bytes → filter error +
+    undecoded content, document otherwise relaxed-valid."""
+    blob = bytearray(pdf_a85())
+    i = blob.find(b"stream\n") + 7
+    blob[i : i + 4] = b"\x00\xff\x00\xff"
+    return bytes(blob)
+
+
 def pdf_junk_header() -> bytes:
     return _assemble(_base_objects(CONTENT_HELLO), junk_before=b"GARBAGE!!\n")
 
@@ -673,6 +689,8 @@ PDF_RECIPES = {
     "pdf_holes": pdf_holes,
     "pdf_type_err": pdf_type_err,
     "pdf_junk_header": pdf_junk_header,
+    "pdf_truncated": pdf_truncated,
+    "pdf_bad_a85": pdf_bad_a85,
     "pdf_prev_loop": pdf_prev_loop,
     "pdf_int_overflow": pdf_int_overflow,
     "pdf_deep_nest": lambda: pdf_deep_nest(2000),

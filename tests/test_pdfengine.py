@@ -83,6 +83,8 @@ EXPECTED_CODES = {
     "pdf_int_overflow": "lex.int_overflow",
     "pdf_deep_nest": "resource.depth_limit",
     "pdf_type_err": "type.mismatch",
+    "pdf_truncated": "xref.no_startxref",
+    "pdf_bad_a85": "filter.ascii85_error",
 }
 
 
