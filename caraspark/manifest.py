@@ -41,9 +41,29 @@ class SnapshotManifest:
         with open(os.path.join(self.mdir, name)) as f:
             return json.load(f)
 
-    def committed_units(self) -> set[int]:
-        snap = self.current_snapshot()
+    def committed_units(self, snapshot_id: int | None = None) -> set[int]:
+        snap = (
+            self.snapshot(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
         return set(map(int, snap["units"])) if snap else set()
+
+    def snapshot(self, snapshot_id: int) -> dict | None:
+        """Time travel: load a specific snapshot from the chain."""
+        p = os.path.join(self.mdir, f"snapshot-{snapshot_id:06d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        """All committed snapshot ids, oldest first."""
+        out = []
+        for name in os.listdir(self.mdir):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                out.append(int(name[len("snapshot-"):-len(".json")]))
+        return sorted(out)
 
     # -- write side
     def commit(self, new_units: dict[int, dict]) -> dict:

@@ -84,10 +84,11 @@ def run_job(
     }
 
 
-def read_extracted(spark, output_dir: str):
-    """Read ONLY manifest-committed units (the snapshot-consistent view)."""
+def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
+    """Read ONLY manifest-committed units (the snapshot-consistent view).
+    ``snapshot_id`` time-travels to an earlier commit of the chain."""
     man = SnapshotManifest(output_dir)
-    done = sorted(man.committed_units())
+    done = sorted(man.committed_units(snapshot_id))
     df = spark.read.parquet(os.path.join(output_dir, "data"))
     return df.filter(F.col("bucket").isin(done))
 

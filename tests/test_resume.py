@@ -49,3 +49,25 @@ def test_rerun_is_noop(spark, tmp_path):
     stats = run_job(spark, None, out, units=4, unit_chunk=4, synth_docs=32)
     assert stats["chunks"] == 0  # nothing left to plan
     assert read_extracted(spark, out).count() == 32
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Every snapshot in the chain stays readable: an earlier snapshot id
+    yields exactly the rows committed at that point (Iceberg-style)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from extract_job import read_extracted, run_job
+
+    out = str(tmp_path / "tt")
+    run_job(spark, None, out, units=8, unit_chunk=4, synth_docs=400)
+    from caraspark.manifest import SnapshotManifest
+
+    man = SnapshotManifest(out)
+    sids = man.snapshots()
+    assert len(sids) >= 2  # 8 units / chunk 4 → ≥2 commits
+    n_prev = read_extracted(spark, out, snapshot_id=sids[0]).count()
+    n_cur = read_extracted(spark, out).count()
+    assert 0 < n_prev < n_cur == 400
+    # unit sets are monotone along the chain
+    assert man.committed_units(sids[0]) < man.committed_units(sids[-1])
