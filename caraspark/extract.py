@@ -185,7 +185,8 @@ def extract(
     df: DataFrame,
     num_partitions: int | None = None,
     n_salts: int = 64,
-    salt: bool = False,
+    salt: bool | str = False,
+    giant_threshold: int = 4 << 20,
 ) -> DataFrame:
     """documents_raw → extracted (EXTRACTED schema).
 
@@ -202,6 +203,19 @@ def extract(
     taxes synthetic throughput ~35% because synthetic docs parse ~100x
     cheaper per byte than real PDFs; at production parse densities the
     exchange amortizes to noise.
+
+    ``salt="giants"`` is the scale-preferred middle ground: only documents
+    ≥ ``giant_threshold`` bytes take the salting exchange; everything else
+    stays on the narrow zero-shuffle path, and the two branches union.
+    At crawl-realistic skew (giants are a sub-percent tail of rows) this
+    shuffles a sub-percent of bytes instead of all of them, while still
+    guaranteeing no task inherits a cluster of giants from the input
+    layout. Cost model vs full salting at 100 TB: the blob column is
+    scanned once per branch (each branch's filter discards the other's
+    rows post-scan — `length(html)` cannot prune at the footer), so
+    selective salting trades one extra columnar scan for removing a
+    100 TB shuffle (write + fetch + read); shuffle bytes drop to the
+    giant tail only, and the small-doc branch keeps input locality.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -217,5 +231,16 @@ def extract(
             "salt": F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int"),
         }
     )
+    if salt == "giants":
+        nbytes = F.coalesce(F.length("html"), F.lit(0))
+        small = pruned.filter(nbytes < giant_threshold).mapInArrow(
+            _extract_batches, EXTRACTED
+        )
+        giants = (
+            keyed.filter(nbytes >= giant_threshold)
+            .repartition(num_partitions, "size_class", "salt")
+            .mapInArrow(_extract_batches, EXTRACTED)
+        )
+        return small.unionByName(giants)
     salted = keyed.repartition(num_partitions, "size_class", "salt")
     return salted.mapInArrow(_extract_batches, EXTRACTED)

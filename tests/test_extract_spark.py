@@ -80,6 +80,30 @@ def test_distribution_invariance(spark, extracted_rows):
         assert [e["code"] for e in a["errors"]] == [e["code"] for e in b["errors"]]
 
 
+def test_giants_mode_invariance(spark, extracted_rows):
+    """salt="giants" (selective: only docs over the threshold shuffle)
+    produces byte-identical results to the fully-salted reference rows —
+    including docs that sit exactly at the routing boundary."""
+    df = extract(
+        synth_df(spark, N_DOCS, partitions=5),
+        num_partitions=4,
+        salt="giants",
+        giant_threshold=600,  # mid-corpus: both branches get real traffic
+    )
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == set(extracted_rows)
+    routed_giant = 0
+    for url, a in rows.items():
+        b = extracted_rows[url]
+        assert bytes(a["text"] or b"") == bytes(b["text"] or b"")
+        assert a["verdict"] == b["verdict"]
+        assert [e["code"] for e in a["errors"]] == [e["code"] for e in b["errors"]]
+        if a["lineage"]["salt"] >= 0:
+            routed_giant += 1
+    # both branches actually ran (narrow rows carry salt=-1)
+    assert 0 < routed_giant < N_DOCS
+
+
 def test_lineage_populated(extracted_rows):
     pids = {r["lineage"]["partition_id"] for r in extracted_rows.values()}
     assert all(p >= 0 for p in pids)

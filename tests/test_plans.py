@@ -117,6 +117,19 @@ def test_extract_salted_plan_has_exactly_one_shuffle(spark):
     assert "size_class" in p and "salt" in p
 
 
+def test_extract_giants_plan_shuffles_only_the_giant_branch(spark):
+    # selective salting: one union of two branches — the small-doc branch
+    # is narrow (no exchange above its scan), the giant branch carries the
+    # single salting exchange
+    p = plan_of(
+        extract(synth_df(spark, 64), salt="giants", giant_threshold=1024),
+        "simple",
+    )
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Union" in p, p
+    assert "size_class" in p and "salt" in p
+
+
 # --- stay JVM-side: no Python UDF in the hot relational path ---------------
 
 JVM_ONLY_QKEYS = [
