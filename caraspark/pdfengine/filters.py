@@ -1,7 +1,9 @@
 """Stream filters (SURVEY.md C13–C16; ISO 32000-1 §7.4).
 
 Capability parity: caradoc's ``src/stream/`` filter set [P?] — FlateDecode,
-ASCIIHexDecode, ASCII85Decode, RunLengthDecode, plus TIFF/PNG predictor undo.
+ASCIIHexDecode, ASCII85Decode, RunLengthDecode, plus TIFF/PNG predictor undo;
+beyond it, LZWDecode [PDF17 §7.4.4] with /EarlyChange (the remaining
+non-image filter family of the spec).
 Implementation: zlib/binascii/base64 (C-speed) per stream; predictors in
 NumPy — Sub/Up/Average vectorize per row; Paeth is row-sequential but
 column-vectorized.
@@ -22,12 +24,14 @@ from caraspark.pdfengine.model import Name, PdfError, Ref
 
 SUPPORTED = {
     "FlateDecode",
+    "LZWDecode",
     "ASCIIHexDecode",
     "ASCII85Decode",
     "RunLengthDecode",
 }
 _ALIASES = {  # PDF 1.1 short forms [PDF17 Table H.1]
     "Fl": "FlateDecode",
+    "LZW": "LZWDecode",
     "AHx": "ASCIIHexDecode",
     "A85": "ASCII85Decode",
     "RL": "RunLengthDecode",
@@ -84,6 +88,10 @@ def _apply_one(data, name, parms, errors, objkey, resolver):
         if name == "FlateDecode":
             out = zlib.decompress(data)
             return _undo_predictor(out, parms, errors, objkey, resolver)
+        if name == "LZWDecode":
+            early = _get_int(parms, "EarlyChange", 1, resolver)
+            out = _lzw(data, early=1 if early else 0)
+            return _undo_predictor(out, parms, errors, objkey, resolver)
         if name == "ASCIIHexDecode":
             return _ascii_hex(data)
         if name == "ASCII85Decode":
@@ -121,6 +129,50 @@ def _ascii_85(data: bytes) -> bytes:
     if compact.startswith(b"<~"):
         compact = compact[2:]
     return base64.a85decode(compact, adobe=False)
+
+
+def _lzw(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode [PDF17 §7.4.4]: MSB-first variable-width codes (9→12 bits),
+    256=clear-table, 257=EOD; /EarlyChange (default 1) widens the code one
+    entry before the table fills, matching the TIFF-heritage encoders."""
+    CLEAR, EOD = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = list(base)
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("lzw: bad initial code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK special case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("lzw: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _run_length(data: bytes) -> bytes:

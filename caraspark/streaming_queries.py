@@ -65,9 +65,32 @@ def stream_dedup(spark, sf):
     return out.select("event_id")
 
 
-@_q("stream_session", None)
+@_q(
+    "stream_session",
+    """WITH o AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 15 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+       ),
+       g AS (
+         SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o
+       )
+       SELECT min(ts) AS s_start, user_id,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM g GROUP BY user_id, sid""",
+)
 def stream_session(spark, sf):
-    # T3: session windows (gap 15 min) per user.
+    # T3: session windows (gap 15 min) per user. Oracle: gaps-and-islands —
+    # Spark merges a new event into a session iff it starts strictly before
+    # session end (last_ts + gap), so an island breaks where the gap to the
+    # previous event is >= 15 min; session start == min(ts) of the island.
     return S.run_to_memory(
         S.session_counts(S.replay_events_stream(spark, sf)),
         mode="complete",

@@ -400,6 +400,76 @@ def pdf_flate_pred(tag: int = 2) -> bytes:
     )
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder (fixture generation only; the engine and oracle each have
+    independent decoders). Serialization widths mirror the decoder's state
+    machine exactly: width bumps when decoder-table-size + early fills the
+    current code space [PDF17 §7.4.4]."""
+    codes = [256]
+    d = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    w = b""
+    for i in range(len(data)):
+        wc = w + data[i : i + 1]
+        if wc in d:
+            w = wc
+            continue
+        codes.append(d[w])
+        d[wc] = nxt
+        nxt += 1
+        w = data[i : i + 1]
+        if nxt >= 4000:  # clear well below the 12-bit ceiling: codes past
+            codes.append(256)  # 4095 are unrepresentable
+            d = {bytes([j]): j for j in range(256)}
+            nxt = 258
+    if w:
+        codes.append(d[w])
+    codes.append(257)
+
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = 9
+    tsize = 258  # decoder's table size after it reads each code
+    fresh = True  # decoder makes no insertion on the first code after clear
+    for c in codes:
+        buf = (buf << width) | c
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+        if c == 256:
+            tsize, width, fresh = 258, 9, True
+            continue
+        if c == 257:
+            break
+        if fresh:
+            fresh = False
+        else:
+            tsize += 1
+        if tsize + early >= (1 << width) and width < 12:
+            width += 1
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def pdf_lzw() -> bytes:
+    return _assemble(
+        _base_objects(_lzw_encode(CONTENT_HELLO), b"/Filter /LZWDecode")
+    )
+
+
+def pdf_lzw_wide() -> bytes:
+    # enough distinct digrams to cross the 9->10 bit width boundary (table
+    # past 511 entries) so EarlyChange handling is actually exercised
+    words = " ".join(f"w{i:03d}" for i in range(220)).encode()
+    content = b"BT (" + words[:480] + b") Tj T* (" + words[480:960] + b") Tj ET"
+    return _assemble(
+        _base_objects(_lzw_encode(content), b"/Filter /LZWDecode")
+    )
+
+
 def pdf_ahx() -> bytes:
     return _assemble(
         _base_objects(_ahx_encode(CONTENT_HELLO), b"/Filter /ASCIIHexDecode")
@@ -672,6 +742,8 @@ PDF_RECIPES = {
     "pdf_flate_pred_up": lambda: pdf_flate_pred(2),
     "pdf_flate_pred_avg": lambda: pdf_flate_pred(3),
     "pdf_flate_pred_paeth": lambda: pdf_flate_pred(4),
+    "pdf_lzw": pdf_lzw,
+    "pdf_lzw_wide": pdf_lzw_wide,
     "pdf_ahx": pdf_ahx,
     "pdf_a85": pdf_a85,
     "pdf_rle": pdf_rle,

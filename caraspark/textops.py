@@ -565,6 +565,114 @@ def ann_lsh(spark, sf):
     )
 
 
+_NPROBE = 2
+_IVF_MOD = 97  # centroid sample: vec_id % 97 == 0 (deterministic coarse quantizer)
+
+
+def _ivf_sql() -> str:
+    cos_ec = _cos_sql("e.embedding", "c.cv")
+    cos_pl = _cos_sql("p.qv", "l.nv")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {_IVF_MOD} = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.c_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cos_ec}, 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS qv, c_id FROM assign
+  WHERE vec_id < {_NQ} AND rn <= {_NPROBE}
+),
+lists AS (
+  SELECT vec_id AS n_id, embedding AS nv, c_id FROM assign WHERE rn = 1
+),
+scored AS (
+  SELECT p.q_id, l.n_id, round({cos_pl}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY p.q_id
+           ORDER BY round({cos_pl}, 6) DESC, l.n_id) AS rn
+  FROM probes p JOIN lists l ON l.c_id = p.c_id AND l.n_id <> p.q_id
+)
+SELECT q_id, n_id, cos FROM scored WHERE rn <= {_TOPK}
+"""
+
+
+@_q("ann_ivf", _ivf_sql())
+def ann_ivf(spark, sf):
+    """IVF-style ANN: a deterministic sampled coarse quantizer (vec_id %
+    97 == 0) partitions the corpus into inverted lists; queries probe their
+    nprobe=2 nearest lists and brute-force only those candidates.
+
+    Scale shape: centroids broadcast (small by construction); list
+    assignment is ONE hash aggregation with map-side partial combine
+    (max_by via struct max — no window, no sort over the corpus); the
+    candidate join broadcasts the probe set so the big side never
+    shuffles. At 10^12 vectors the per-query work is |corpus|/K * nprobe
+    instead of |corpus|."""
+    e = load(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") % _IVF_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def cosine(x, y):
+        return F.round(
+            dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))), 6
+        )
+
+    pairs = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "c_id",
+        cosine(F.col("embedding"), F.col("cv")).alias("cosr"),
+    )
+    # nearest list per vector: partial-aggregatable struct-max, tie → min c_id
+    lists = (
+        pairs.groupBy("vec_id", "embedding")
+        .agg(F.max(F.struct(F.col("cosr"), (-F.col("c_id")).alias("nc"))).alias("m"))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("nv"),
+            (-F.col("m.nc")).alias("c_id"),
+        )
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("cosr"), F.asc("c_id"))
+    probes = (
+        pairs.filter(F.col("vec_id") < _NQ)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("c_id").alias("pc_id"),
+        )
+    )
+    cands = lists.join(
+        F.broadcast(probes),
+        (F.col("c_id") == F.col("pc_id")) & (F.col("n_id") != F.col("q_id")),
+    )
+    scored = cands.select(
+        "q_id", "n_id", cosine(F.col("qv"), F.col("nv")).alias("cos")
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id", "cos")
+    )
+
+
 @_q(
     "dedup_embed",
     f"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

@@ -374,6 +374,56 @@ def _decode(raw: bytes, d: dict, objs) -> bytes | None:
                 body = data.split(b"~>")[0]
                 body = bytes(c for c in body if c not in b"\x00\t\n\x0c\r ")
                 data = base64.a85decode(body)
+            elif name in ("LZWDecode", "LZW"):
+                early = 1
+                if isinstance(p, dict) and p.get("EarlyChange") == 0:
+                    early = 0
+                # independent impl: bit-cursor over the whole stream,
+                # dict-of-ints table (vs the engine's rolling buffer + list)
+                bits = len(data) * 8
+                pos = 0
+                tbl: dict[int, bytes] = {}
+                nxt, w = 258, 9
+                res = bytearray()
+                last: bytes | None = None
+                while pos + w <= bits:
+                    code = 0
+                    for k in range(w):
+                        b_idx, b_off = divmod(pos + k, 8)
+                        code = (code << 1) | ((data[b_idx] >> (7 - b_off)) & 1)
+                    pos += w
+                    if code == 256:
+                        tbl.clear()
+                        nxt, w = 258, 9
+                        last = None
+                        continue
+                    if code == 257:
+                        break
+                    if code < 256:
+                        seq = bytes([code])
+                    elif code in tbl:
+                        seq = tbl[code]
+                    elif code == nxt and last is not None:
+                        seq = last + last[:1]
+                    else:
+                        return None
+                    if last is not None:
+                        tbl[nxt] = last + seq[:1]
+                        nxt += 1
+                    res += seq
+                    last = seq
+                    if nxt + early >= (1 << w) and w < 12:
+                        w += 1
+                data = bytes(res)
+                if isinstance(p, dict):
+                    pred = p.get("Predictor", 1)
+                    if isinstance(pred, int) and pred >= 10:
+                        cols = p.get("Columns", 1)
+                        colors = p.get("Colors", 1)
+                        bpc = p.get("BitsPerComponent", 8)
+                        bpp = max(1, (colors * bpc + 7) // 8)
+                        rowlen = (cols * colors * bpc + 7) // 8
+                        data = _undo_png_predictor(data, rowlen, bpp)
             elif name in ("RunLengthDecode", "RL"):
                 out = bytearray()
                 i2 = 0
