@@ -95,8 +95,10 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Outlines": Entry(Class("outlines")),
             "Names": Entry(Class("names")),
             "Dests": Entry(DictOf(OneOf((ARRAY, DICT)))),
-            "Metadata": Entry(STREAM),
+            "Metadata": Entry(Class("metadata_stream")),
             "PageLabels": Entry(Class("number_tree")),
+            "OCProperties": Entry(Class("ocproperties")),
+            "Threads": Entry(ArrayOf(Class("thread"))),
             "ViewerPreferences": Entry(Class("viewer_prefs")),
             "PageLayout": Entry(NAME),
             "PageMode": Entry(NAME),
@@ -143,6 +145,9 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Thumb": Entry(STREAM),
             "LastModified": Entry(STRING),
             "StructParents": Entry(INT),
+            "Trans": Entry(Class("transition")),
+            "B": Entry(ArrayOf(Class("bead"))),
+            "Metadata": Entry(Class("metadata_stream")),
         }
     ),
     "resources": ClassDef(
@@ -156,7 +161,9 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Pattern": Entry(DictOf(OneOf((DICT, STREAM)))),
             "Shading": Entry(DictOf(OneOf((DICT, STREAM)))),
             "ProcSet": Entry(ArrayOf(NAME)),
-            "Properties": Entry(DictOf(DICT)),
+            "Properties": Entry(
+                DictOf(OneOf((Class("ocg"), Class("ocmd"), DICT)))
+            ),
         }
     ),
     "annot": ClassDef(
@@ -628,10 +635,116 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Suspects": Entry(BOOL),
         }
     ),
+    # --- optional content (layers) [PDF17 §8.11] ---------------------------
+    "ocg": ClassDef(
+        {
+            "Type": Entry(Exact("OCG"), required=True),
+            "Name": Entry(STRING, required=True),
+            "Intent": Entry(OneOf((NAME, ArrayOf(NAME)))),
+            "Usage": Entry(DICT),
+        }
+    ),
+    "ocmd": ClassDef(
+        {
+            "Type": Entry(Exact("OCMD"), required=True),
+            "OCGs": Entry(OneOf((Class("ocg"), ArrayOf(Class("ocg"))))),
+            "P": Entry(NAME),
+            "VE": Entry(ARRAY),
+        }
+    ),
+    "oc_config": ClassDef(
+        {
+            "Name": Entry(STRING),
+            "Creator": Entry(STRING),
+            "BaseState": Entry(NAME),
+            "ON": Entry(ArrayOf(Class("ocg"))),
+            "OFF": Entry(ArrayOf(Class("ocg"))),
+            "Intent": Entry(OneOf((NAME, ArrayOf(NAME)))),
+            "AS": Entry(ARRAY),
+            "Order": Entry(ARRAY),
+            "ListMode": Entry(NAME),
+            "RBGroups": Entry(ARRAY),
+            "Locked": Entry(ArrayOf(Class("ocg"))),
+        }
+    ),
+    "ocproperties": ClassDef(
+        {
+            "OCGs": Entry(ArrayOf(Class("ocg")), required=True),
+            "D": Entry(Class("oc_config"), required=True),
+            "Configs": Entry(ArrayOf(Class("oc_config"))),
+        }
+    ),
+    # --- article threads [PDF17 §12.4.3] -----------------------------------
+    "thread": ClassDef(
+        {
+            "Type": Entry(Exact("Thread")),
+            "F": Entry(Class("bead"), required=True),
+            "I": Entry(DICT),
+        }
+    ),
+    "bead": ClassDef(
+        {
+            "Type": Entry(Exact("Bead")),
+            "T": Entry(Class("thread")),
+            "N": Entry(Class("bead"), required=True),
+            "V": Entry(Class("bead"), required=True),
+            "P": Entry(DICT, required=True),
+            "R": Entry(RECT, required=True),
+        }
+    ),
+    # --- page labels [PDF17 §12.4.2] (leaf values of the /PageLabels tree) -
+    "page_label": ClassDef(
+        {
+            "Type": Entry(Exact("PageLabel")),
+            "S": Entry(NAME),
+            "P": Entry(STRING),
+            "St": Entry(INT),
+        }
+    ),
+    # --- presentation transitions [PDF17 §12.4.4] --------------------------
+    "transition": ClassDef(
+        {
+            "Type": Entry(Exact("Trans")),
+            "S": Entry(NAME),
+            "D": Entry(NUMBER),
+            "Dm": Entry(NAME),
+            "M": Entry(NAME),
+            "Di": Entry(OneOf((INT, NAME))),
+            "SS": Entry(NUMBER),
+            "B": Entry(BOOL),
+        }
+    ),
+    # --- metadata stream [PDF17 §14.3.2] -----------------------------------
+    "metadata_stream": ClassDef(
+        {
+            "Type": Entry(Exact("Metadata"), required=True),
+            "Subtype": Entry(Exact("XML"), required=True),
+        },
+        is_stream=True,
+    ),
+    # --- logical structure [PDF17 §14.7.2] ---------------------------------
+    "structelem": ClassDef(
+        {
+            "Type": Entry(Exact("StructElem")),
+            "S": Entry(NAME, required=True),
+            "P": Entry(DICT, required=True),
+            "ID": Entry(STRING),
+            "Pg": Entry(DICT),
+            "K": Entry(ANY),
+            "A": Entry(ANY),
+            "C": Entry(OneOf((NAME, ArrayOf(NAME)))),
+            "T": Entry(STRING),
+            "Lang": Entry(STRING),
+            "Alt": Entry(STRING),
+            "ActualText": Entry(STRING),
+        }
+    ),
     "struct_tree_root": ClassDef(
         {
             "Type": Entry(Exact("StructTreeRoot")),
-            "K": Entry(OneOf((DICT, ArrayOf(DICT)))),
+            "K": Entry(
+                OneOf((Class("structelem"), ArrayOf(Class("structelem"))))
+            ),
             "IDTree": Entry(Class("name_tree")),
             "ParentTree": Entry(Class("number_tree")),
             "ParentTreeNextKey": Entry(INT),

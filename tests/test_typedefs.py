@@ -434,3 +434,116 @@ def test_name_tree_unsorted_and_limits():
     codes = _codes(r)
     assert "tree.names_unsorted" in codes
     assert "tree.limits_mismatch" in codes
+
+
+# --- optional content, threads, page labels, transitions, structure --------
+
+
+def test_optional_content_groups_validate():
+    blob = _doc_catalog(
+        b" /OCProperties << /OCGs [5 0 R] /D << /BaseState /ON"
+        b" /ON [5 0 R] >> >>",
+        {5: _obj(5, b"<< /Type /OCG /Name (Layer 1) >>")},
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "ocg"
+
+
+def test_ocg_missing_name_rejected():
+    blob = _doc_catalog(
+        b" /OCProperties << /OCGs [5 0 R] /D << >> >>",
+        {5: _obj(5, b"<< /Type /OCG >>")},
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_ocmd_in_resources_properties():
+    blob = _doc(
+        {
+            5: _obj(5, b"<< /Type /OCMD /OCGs [6 0 R] >>"),
+            6: _obj(6, b"<< /Type /OCG /Name (base) >>"),
+        },
+        page_extra=b" /Resources << /Properties << /MC0 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "ocmd"
+    assert r.type_assignments["6.0"] == "ocg"
+
+
+def test_article_thread_beads_validate():
+    blob = _doc_catalog(
+        b" /Threads [5 0 R]",
+        {
+            5: _obj(5, b"<< /Type /Thread /F 6 0 R >>"),
+            6: _obj(
+                6,
+                b"<< /Type /Bead /T 5 0 R /N 6 0 R /V 6 0 R /P 3 0 R"
+                b" /R [0 0 100 100] >>",
+            ),
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "thread"
+    assert r.type_assignments["6.0"] == "bead"
+
+
+def test_bead_missing_page_rejected():
+    blob = _doc_catalog(
+        b" /Threads [5 0 R]",
+        {
+            5: _obj(5, b"<< /Type /Thread /F 6 0 R >>"),
+            6: _obj(6, b"<< /Type /Bead /N 6 0 R /V 6 0 R >>"),
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_page_transition_and_metadata_stream():
+    blob = _doc(
+        {
+            5: _obj(5, b"<< /Type /Trans /S /Dissolve /D 2.5 >>"),
+            6: _stream_obj(
+                6,
+                b"/Type /Metadata /Subtype /XML",
+                b"<?xpacket?><x/>",
+            ),
+        },
+        page_extra=b" /Trans 5 0 R /Metadata 6 0 R",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "transition"
+    assert r.type_assignments["6.0"] == "metadata_stream"
+
+
+def test_metadata_wrong_subtype_rejected():
+    blob = _doc(
+        {6: _stream_obj(6, b"/Type /Metadata /Subtype /JPEG", b"x")},
+        page_extra=b" /Metadata 6 0 R",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.mismatch" in _codes(r)
+
+
+def test_struct_tree_elems_validate():
+    blob = _doc_catalog(
+        b" /StructTreeRoot 5 0 R",
+        {
+            5: _obj(5, b"<< /Type /StructTreeRoot /K 6 0 R >>"),
+            6: _obj(
+                6,
+                b"<< /Type /StructElem /S /Document /P 5 0 R"
+                b" /K [7 0 R] >>",
+            ),
+            7: _obj(7, b"<< /Type /StructElem /S /P /P 6 0 R >>"),
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "struct_tree_root"
+    assert r.type_assignments["6.0"] == "structelem"
