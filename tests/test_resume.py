@@ -71,3 +71,63 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert 0 < n_prev < n_cur == 400
     # unit sets are monotone along the chain
     assert man.committed_units(sids[0]) < man.committed_units(sids[-1])
+
+
+def test_rollback_and_expire(spark, tmp_path):
+    """Rollback publishes a new snapshot with an ancestor's unit set (readers
+    flip atomically); expire_snapshots drops old history and GCs data
+    buckets nothing retained references."""
+    import os
+
+    from caraspark.manifest import SnapshotManifest
+
+    out = str(tmp_path / "tbl")
+    run_job(spark, None, out, units=UNITS, unit_chunk=2, synth_docs=N_DOCS)
+    man = SnapshotManifest(out)
+    sids = man.snapshots()
+    assert len(sids) == 4  # 8 units / chunk 2
+
+    n_first = read_extracted(spark, out, snapshot_id=sids[0]).count()
+    n_cur = read_extracted(spark, out).count()
+    assert 0 < n_first < n_cur == N_DOCS
+
+    # rollback to the first commit: new snapshot, old unit set
+    snap = man.rollback(sids[0])
+    assert snap["snapshot_id"] == sids[-1] + 1
+    assert snap["rolled_back_to"] == sids[0]
+    assert read_extracted(spark, out).count() == n_first
+    assert man.snapshots() == sids + [snap["snapshot_id"]]
+
+    # roll forward again (the full snapshot is still on the chain)
+    man.rollback(sids[-1])
+    assert read_extracted(spark, out).count() == N_DOCS
+
+    # plant an orphan bucket (simulated crashed uncommitted attempt)
+    orphan = os.path.join(out, "data", "bucket=99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("junk")
+
+    res = man.expire_snapshots(keep_last=1)
+    assert "bucket=99" in res["orphan_buckets"]
+    assert not os.path.exists(orphan)
+    assert len(man.snapshots()) == 1  # only the live snapshot retained
+    # the current view still reads everything
+    assert read_extracted(spark, out).count() == N_DOCS
+
+
+def test_expire_keeps_all_committed_buckets(spark, tmp_path):
+    """GC must never delete a bucket the retained snapshot references."""
+    import os
+
+    from caraspark.manifest import SnapshotManifest
+
+    out = str(tmp_path / "tbl2")
+    run_job(spark, None, out, units=UNITS, unit_chunk=4, synth_docs=N_DOCS)
+    man = SnapshotManifest(out)
+    before = read_extracted(spark, out).count()
+    res = man.expire_snapshots(keep_last=1)
+    assert res["orphan_buckets"] == []
+    assert read_extracted(spark, out).count() == before
+    data = os.path.join(out, "data")
+    assert len([d for d in os.listdir(data) if d.startswith("bucket=")]) == UNITS
