@@ -730,7 +730,16 @@ TYPEDEFS: dict[str, ClassDef] = {
             "P": Entry(DICT, required=True),
             "ID": Entry(STRING),
             "Pg": Entry(DICT),
-            "K": Entry(ANY),
+            # kids: MCID int, marked-content/object refs (dict), child
+            # elems, or an array mixing those [PDF17 §14.7.4.2]
+            "K": Entry(
+                OneOf((
+                    INT,
+                    Class("structelem"),
+                    ArrayOf(OneOf((INT, Class("structelem"), DICT))),
+                    DICT,
+                ))
+            ),
             "A": Entry(ANY),
             "C": Entry(OneOf((NAME, ArrayOf(NAME)))),
             "T": Entry(STRING),
@@ -1001,9 +1010,11 @@ def _texpr_tag(t) -> str:
 def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
     """Non-reporting structural probe used by OneOf."""
     if isinstance(v, Ref):
-        # can't see through without committing; accept and enqueue the
-        # strongest alternative (class/stream propagate, prims don't)
-        if isinstance(texpr, (Class, Prim)):
+        # can't see through without committing; accept and defer — classes
+        # and prims enqueue directly, a nested union enqueues whole and is
+        # re-probed at drain time against the resolved object (the same
+        # deferral check_value applies to refs)
+        if isinstance(texpr, (Class, Prim, OneOf)):
             enqueue((v.num, v.gen), texpr, path)
             return True
         return False

@@ -255,6 +255,55 @@ def pdf_multipage() -> bytes:
     return _assemble(bodies)
 
 
+def pdf_tagged() -> bytes:
+    """Tagged PDF with interactive-features structures: logical structure
+    tree (StructTreeRoot → StructElems), optional-content groups wired
+    through /OCProperties and resource /Properties, a page /Trans
+    transition, an article thread/bead pair, and an XMP metadata stream —
+    exercises the tier-2 typedef classes in the corpus itself."""
+    xmp = b"<?xpacket begin=''?><x:xmpmeta xmlns:x='adobe:ns:meta/'/>"
+    bodies = {
+        1: _obj(
+            1,
+            b"<< /Type /Catalog /Pages 2 0 R /StructTreeRoot 5 0 R "
+            b"/MarkInfo << /Marked true >> "
+            b"/OCProperties << /OCGs [8 0 R] /D << /BaseState /ON /ON [8 0 R] >> >> "
+            b"/Threads [9 0 R] /Metadata 11 0 R >>",
+        ),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /StructParents 0 "
+            b"/Trans << /Type /Trans /S /Dissolve /D 1.5 >> "
+            b"/Resources << /Properties << /MC0 8 0 R >> >> >>",
+        ),
+        4: _stream_obj(
+            4,
+            b"",
+            b"/OC /MC0 BDC BT (tagged layer text) Tj ET EMC",
+        ),
+        5: _obj(5, b"<< /Type /StructTreeRoot /K 6 0 R >>"),
+        6: _obj(
+            6,
+            b"<< /Type /StructElem /S /Document /P 5 0 R /K [7 0 R] >>",
+        ),
+        7: _obj(
+            7,
+            b"<< /Type /StructElem /S /P /P 6 0 R /Pg 3 0 R /K 0 >>",
+        ),
+        8: _obj(8, b"<< /Type /OCG /Name (Layer 1) >>"),
+        9: _obj(9, b"<< /Type /Thread /F 10 0 R >>"),
+        10: _obj(
+            10,
+            b"<< /Type /Bead /T 9 0 R /N 10 0 R /V 10 0 R /P 3 0 R "
+            b"/R [0 0 612 792] >>",
+        ),
+        11: _stream_obj(11, b"/Type /Metadata /Subtype /XML", xmp),
+    }
+    return _assemble(bodies)
+
+
 def pdf_form_xobject() -> bytes:
     """Text inside Form XObjects (Do): page → form1 (own resources) →
     form2 (inherits form1's); form2 re-enters form1 via /Back, which the
@@ -736,6 +785,7 @@ PDF_RECIPES = {
     "pdf_inline_image": pdf_inline_image,
     "pdf_form_xobject": pdf_form_xobject,
     "pdf_multipage": pdf_multipage,
+    "pdf_tagged": pdf_tagged,
     "pdf_justified": pdf_justified,
     "pdf_flate": pdf_flate,
     "pdf_flate_pred_sub": lambda: pdf_flate_pred(1),
