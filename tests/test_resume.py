@@ -131,3 +131,29 @@ def test_expire_keeps_all_committed_buckets(spark, tmp_path):
     assert read_extracted(spark, out).count() == before
     data = os.path.join(out, "data")
     assert len([d for d in os.listdir(data) if d.startswith("bucket=")]) == UNITS
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    """compact_table rewrites fragmented buckets to one file each, commits
+    a new snapshot, and leaves the readable table byte-identical."""
+    from caraspark.maintenance import bucket_file_counts, compact_table
+
+    out = str(tmp_path / "tbl3")
+    run_job(spark, None, out, units=4, unit_chunk=1, synth_docs=N_DOCS)
+    before_counts = bucket_file_counts(out)
+    assert any(n > 1 for n in before_counts.values()), before_counts
+    ref = _table_fingerprint(read_extracted(spark, out))
+
+    res = compact_table(spark, out)
+    assert res["compacted_buckets"], res
+    after_counts = bucket_file_counts(out)
+    assert all(n == 1 for n in after_counts.values()), after_counts
+    assert _table_fingerprint(read_extracted(spark, out)) == ref
+
+    # second pass is a no-op and does not grow the snapshot chain
+    from caraspark.manifest import SnapshotManifest
+
+    sid = SnapshotManifest(out).current_snapshot()["snapshot_id"]
+    res2 = compact_table(spark, out)
+    assert res2["compacted_buckets"] == []
+    assert SnapshotManifest(out).current_snapshot()["snapshot_id"] == sid
