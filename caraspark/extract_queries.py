@@ -117,6 +117,31 @@ def doc_stats(spark, sf):
     )
 
 
+@_q("partition_metrics", None)
+def partition_metrics(spark, sf):
+    """north_rule: per-partition lineage + parse-error metrics — the view an
+    operator watches on a 1000-executor run (which partitions were slow,
+    error-dense, or retried). Pure rollup over the lineage/metrics structs
+    every extracted row already carries; one map-side-combined hash agg."""
+    ex = _extracted(spark, sf)
+    return (
+        ex.groupBy(
+            F.col("lineage.partition_id").alias("partition_id"),
+            F.col("lineage.attempt").alias("attempt"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("metrics.bytes_in").alias("bytes_in"),
+            F.round(F.sum("metrics.parse_ms"), 3).alias("parse_ms_total"),
+            F.sum(F.when(~F.col("verdict.valid"), 1).otherwise(0)).alias(
+                "n_invalid"
+            ),
+            F.sum(F.size("errors")).alias("n_errors"),
+        )
+        .orderBy("partition_id", "attempt")
+    )
+
+
 @_q("doc_taxonomy", None)
 def doc_taxonomy(spark, sf):
     # C27: the error taxonomy as a first-class table — explode + count

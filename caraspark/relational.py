@@ -518,6 +518,30 @@ def agg_rollup(spark, sf):
 
 
 @_q(
+    "agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT)  AS n,
+              round(sum(l_quantity), 4) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def agg_grouping_sets(spark, sf):
+    """G4: explicit GROUPING SETS — disjoint subtotal shapes that neither
+    rollup nor cube expresses (per-flag, per-status, grand total, but no
+    (flag, status) cell). SQL surface: Catalyst expands to one Expand +
+    hash aggregate, partials map-side."""
+    li = load(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(count(*) AS BIGINT)  AS n,
+                  round(sum(l_quantity), 4) AS sum_qty
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@_q(
     "agg_collect",
     """SELECT l_orderkey,
               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
