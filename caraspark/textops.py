@@ -608,15 +608,21 @@ def ann_ivf(spark, sf):
     97 == 0) partitions the corpus into inverted lists; queries probe their
     nprobe=2 nearest lists and brute-force only those candidates.
 
-    Scale shape: centroids broadcast (small by construction); list
-    assignment is ONE hash aggregation with map-side partial combine
-    (max_by via struct max — no window, no sort over the corpus); the
-    candidate join broadcasts the probe set so the big side never
-    shuffles. At 10^12 vectors the per-query work is |corpus|/K * nprobe
+    Scale shape: the coarse quantizer is SMALL by construction, so its
+    vectors load to the driver (exactly how production IVF ships a
+    trained quantizer) and list assignment happens per-row with JVM
+    expressions — ``sort_array`` over K (cosine, -c_id) structs — a
+    NARROW stage: zero shuffle, zero aggregation over the corpus. The
+    candidate join broadcasts the probe set so the big side still never
+    shuffles; the only exchange in the whole plan is the final tiny
+    top-k. At 10^12 vectors the per-query work is |corpus|/K * nprobe
     instead of |corpus|."""
     e = load(spark, sf, "embeddings")
-    cents = e.filter(F.col("vec_id") % _IVF_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") % _IVF_MOD == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        .collect(),
+        key=lambda r: r["c_id"],
     )
 
     def dot(x, y):
@@ -631,32 +637,36 @@ def ann_ivf(spark, sf):
             dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))), 6
         )
 
-    pairs = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "c_id",
-        cosine(F.col("embedding"), F.col("cv")).alias("cosr"),
+    # per-row candidate structs; sort desc → [0] is the nearest list,
+    # [0:nprobe] are the probe lists; ties break to min c_id via -c_id
+    cand = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    cosine(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in r["cv"]]),
+                    ).alias("cosr"),
+                    F.lit(-int(r["c_id"])).cast("long").alias("nc"),
+                )
+                for r in cent_rows
+            ]
+        ),
+        False,
     )
-    # nearest list per vector: partial-aggregatable struct-max, tie → min c_id
-    lists = (
-        pairs.groupBy("vec_id", "embedding")
-        .agg(F.max(F.struct(F.col("cosr"), (-F.col("c_id")).alias("nc"))).alias("m"))
-        .select(
-            F.col("vec_id").alias("n_id"),
-            F.col("embedding").alias("nv"),
-            (-F.col("m.nc")).alias("c_id"),
-        )
+    lists = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        (-cand[0]["nc"]).alias("c_id"),
     )
-    wq = W.partitionBy("vec_id").orderBy(F.desc("cosr"), F.asc("c_id"))
     probes = (
-        pairs.filter(F.col("vec_id") < _NQ)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _NPROBE)
+        e.filter(F.col("vec_id") < _NQ)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
-            F.col("c_id").alias("pc_id"),
+            F.explode(F.slice(cand, 1, _NPROBE)).alias("pc"),
         )
+        .select("q_id", "qv", (-F.col("pc.nc")).alias("pc_id"))
     )
     cands = lists.join(
         F.broadcast(probes),

@@ -100,8 +100,25 @@ def main() -> None:
     ap.add_argument("--units", type=int, default=64)
     ap.add_argument("--unit-chunk", type=int, default=16)
     ap.add_argument("--synth-docs", type=int, default=0)
+    ap.add_argument("--compact", action="store_true",
+                    help="compact fragmented buckets instead of extracting")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="expire all but the newest N snapshots (+orphan GC)")
+    ap.add_argument("--rollback", type=int, default=None,
+                    help="roll the table back to this snapshot id")
     args = ap.parse_args()
     spark = get_spark("caraspark-extract-job")
+    if args.rollback is not None:
+        print(SnapshotManifest(args.output).rollback(args.rollback))
+        return
+    if args.compact:
+        from caraspark.maintenance import compact_table
+
+        print(compact_table(spark, args.output))
+        return
+    if args.expire_keep is not None:
+        print(SnapshotManifest(args.output).expire_snapshots(args.expire_keep))
+        return
     stats = run_job(
         spark,
         args.input,

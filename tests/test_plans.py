@@ -241,3 +241,31 @@ def test_global_topk_uses_take_ordered(spark, sf_smoke, qs):
     p = plan_of(qs["sort_topk"](spark, sf_smoke), "simple")
     assert "TakeOrderedAndProject" in p, p
     assert "Sort " not in p, p
+
+
+# --- newest queries: IVF ANN and grouping sets -----------------------------
+
+
+def test_ann_ivf_plan_is_narrow_plus_one_topk_exchange(spark, sf_smoke):
+    """List assignment is per-row JVM expressions (driver-loaded coarse
+    quantizer): NO aggregate, sort-merge join, or window over the corpus.
+    The single exchange is the final top-k keyed on the tiny query set."""
+    qs = ent.queries()
+    p = plan_of(qs["ann_ivf"](spark, sf_smoke), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "SortAggregate" not in p and "HashAggregate" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_agg_grouping_sets_expands_with_partial_agg(spark, sf_smoke):
+    qs = ent.queries()
+    p = plan_of(qs["agg_grouping_sets"](spark, sf_smoke), "formatted")
+    assert "Expand" in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final
+
+
+def test_partition_metrics_single_aggregation(spark, sf_smoke):
+    qs = ent.queries()
+    p = plan_of(qs["partition_metrics"](spark, sf_smoke), "simple")
+    assert p.count("Exchange hashpartitioning") <= 1, p

@@ -24,3 +24,30 @@ def test_langid_deterministic_und():
     assert detect_lang("") == "und"
     assert detect_lang("zzz qqq xxx") == "und"
     assert detect_lang("zzz qqq xxx") == detect_lang("zzz qqq xxx")
+
+
+def test_ann_ivf_distribution_invariance(spark, sf_smoke):
+    """Same top-k at 1 vs 16 input partitions: the struct-max assignment
+    and rounded cosines leave no room for partitioning order to leak."""
+    from caraspark.tables import load
+    from caraspark.textops import ann_ivf
+
+    base = [tuple(r) for r in ann_ivf(spark, sf_smoke).collect()]
+
+    import caraspark.tables as T
+
+    orig = T.load
+
+    def load16(s, sf, name):
+        return orig(s, sf, name).repartition(16)
+
+    T.load = load16
+    try:
+        import caraspark.textops as X
+
+        X.load = load16
+        many = [tuple(r) for r in ann_ivf(spark, sf_smoke).collect()]
+    finally:
+        T.load = orig
+        X.load = orig
+    assert sorted(base) == sorted(many)
