@@ -170,7 +170,14 @@ def _file_key_v5(enc: dict, r: int, errors: list) -> tuple[bytes, str] | None:
     Empty user password: validate against /U, unwrap the key from /UE."""
     u = enc.get("U")
     ue = enc.get("UE")
-    if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
+    # /UE must hold a full 32-byte wrapped key; a truncated value (corrupt
+    # or hostile input) would otherwise blow up AES-CBC on block alignment
+    if (
+        not isinstance(u, bytes)
+        or len(u) < 48
+        or not isinstance(ue, bytes)
+        or len(ue) < 32
+    ):
         errors.append(PdfError("crypt.bad_encrypt_dict", msg=f"R={r}"))
         return None
     vsalt, ksalt = u[32:40], u[40:48]

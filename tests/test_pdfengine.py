@@ -459,3 +459,17 @@ def test_justified_horizontal_td_is_space_not_newline():
     r = process_document(blob)
     assert r.text == b"Justified text line.\nSecond line, appended."
     assert r.text == oracle_extract(blob)
+
+
+def test_truncated_ue_is_taxonomy_not_crash():
+    """A corrupt /UE shorter than the 32-byte wrapped key must surface as
+    crypt.bad_encrypt_dict, not an AES block-alignment exception (found by
+    mutation fuzzing)."""
+    from caraspark.pdfengine.crypto import _file_key_v5
+
+    errors = []
+    out = _file_key_v5(
+        {"U": b"\x00" * 48, "UE": b"\x00" * 17}, 6, errors
+    )
+    assert out is None
+    assert errors and errors[0].code == "crypt.bad_encrypt_dict"
