@@ -34,6 +34,11 @@ class Exact:
 
 
 @dataclass(frozen=True, slots=True)
+class ExactInt:
+    n: int  # an integer constant discriminator, e.g. /PatternType 1
+
+
+@dataclass(frozen=True, slots=True)
 class ArrayOf:
     elem: object
 
@@ -158,8 +163,10 @@ TYPEDEFS: dict[str, ClassDef] = {
             ),
             "ExtGState": Entry(DictOf(Class("extgstate"))),
             "ColorSpace": Entry(DictOf(OneOf((NAME, ARRAY)))),
-            "Pattern": Entry(DictOf(OneOf((DICT, STREAM)))),
-            "Shading": Entry(DictOf(OneOf((DICT, STREAM)))),
+            "Pattern": Entry(
+                DictOf(OneOf((Class("pattern_tiling"), Class("pattern_shading"))))
+            ),
+            "Shading": Entry(DictOf(Class("shading"))),
             "ProcSet": Entry(ArrayOf(NAME)),
             "Properties": Entry(
                 DictOf(OneOf((Class("ocg"), Class("ocmd"), DICT)))
@@ -463,6 +470,67 @@ TYPEDEFS: dict[str, ClassDef] = {
             "FormType": Entry(INT),
         },
         is_stream=True,
+    ),
+    # --- functions [PDF17 §7.10]: sampled (0, stream), exponential (2),
+    # stitching (3), PostScript calculator (4, stream) — discriminated by
+    # /FunctionType, shared Domain/Range frame
+    "function": ClassDef(
+        {
+            "FunctionType": Entry(INT, required=True),
+            "Domain": Entry(ArrayOf(NUMBER), required=True),
+            "Range": Entry(ArrayOf(NUMBER)),
+            "Size": Entry(ArrayOf(INT)),          # type 0
+            "BitsPerSample": Entry(INT),          # type 0
+            "Order": Entry(INT),                  # type 0
+            "Encode": Entry(ArrayOf(NUMBER)),     # types 0, 3
+            "Decode": Entry(ArrayOf(NUMBER)),     # type 0
+            "C0": Entry(ArrayOf(NUMBER)),         # type 2
+            "C1": Entry(ArrayOf(NUMBER)),         # type 2
+            "N": Entry(NUMBER),                   # type 2
+            "Functions": Entry(ArrayOf(Class("function"))),  # type 3
+            "Bounds": Entry(ArrayOf(NUMBER)),     # type 3
+            # stream entries (Filter/Length) permitted by open classes
+        }
+    ),
+    # --- shadings and patterns [PDF17 §8.7.4.3, §8.7.3] --------------------
+    "shading": ClassDef(
+        {
+            "ShadingType": Entry(INT, required=True),  # 1–7
+            "ColorSpace": Entry(OneOf((NAME, ARRAY)), required=True),
+            "Background": Entry(ArrayOf(NUMBER)),
+            "BBox": Entry(RECT),
+            "AntiAlias": Entry(BOOL),
+            "Domain": Entry(ArrayOf(NUMBER)),
+            "Coords": Entry(ArrayOf(NUMBER)),      # types 2, 3
+            "Extend": Entry(Tuple((BOOL, BOOL))),  # types 2, 3
+            "Matrix": Entry(ArrayOf(NUMBER)),      # type 1
+            "Function": Entry(
+                OneOf((Class("function"), ArrayOf(Class("function"))))
+            ),
+        }
+    ),
+    "pattern_tiling": ClassDef(
+        {
+            "Type": Entry(Exact("Pattern")),
+            "PatternType": Entry(ExactInt(1), required=True),
+            "PaintType": Entry(INT, required=True),
+            "TilingType": Entry(INT, required=True),
+            "BBox": Entry(RECT, required=True),
+            "XStep": Entry(NUMBER, required=True),
+            "YStep": Entry(NUMBER, required=True),
+            "Resources": Entry(Class("resources"), required=True),
+            "Matrix": Entry(ArrayOf(NUMBER)),
+        },
+        is_stream=True,
+    ),
+    "pattern_shading": ClassDef(
+        {
+            "Type": Entry(Exact("Pattern")),
+            "PatternType": Entry(ExactInt(2), required=True),
+            "Shading": Entry(Class("shading"), required=True),
+            "Matrix": Entry(ArrayOf(NUMBER)),
+            "ExtGState": Entry(Class("extgstate")),
+        }
     ),
     # --- graphics state [PDF17 §8.4.5] -------------------------------------
     "extgstate": ClassDef(
@@ -863,6 +931,14 @@ def check_types(doc, strict: bool = False) -> TypeResult:
             if not (isinstance(v, Name) and v.v == texpr.name):
                 err("type.mismatch", path, objkey, f"expected /{texpr.name}")
             return
+        if isinstance(texpr, ExactInt):
+            if not (
+                isinstance(v, int)
+                and not isinstance(v, bool)
+                and v == texpr.n
+            ):
+                err("type.mismatch", path, objkey, f"expected {texpr.n}")
+            return
         if isinstance(texpr, ArrayOf):
             if not isinstance(v, list):
                 err("type.mismatch", path, objkey, "expected array")
@@ -1022,6 +1098,10 @@ def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
         return _matches_prim(v, texpr.kind, doc)
     if isinstance(texpr, Exact):
         return isinstance(v, Name) and v.v == texpr.name
+    if isinstance(texpr, ExactInt):
+        return (
+            isinstance(v, int) and not isinstance(v, bool) and v == texpr.n
+        )
     if isinstance(texpr, ArrayOf):
         if not isinstance(v, list):
             return False
@@ -1052,15 +1132,24 @@ def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
         cd = TYPEDEFS[texpr.name]
         if cd.is_stream and not isinstance(v, Stream):
             return False
-        # discriminate on exact /Type and /Subtype constants when declared —
-        # this is how unions of stream classes (image vs form xobject) and
-        # annotation families resolve without backtracking
-        for disc in ("Type", "Subtype"):
-            want = cd.entries.get(disc)
-            if want and isinstance(want.t, Exact):
+        # discriminate on declared constant entries (/Type, /Subtype,
+        # /PatternType, …) — this is how unions of stream classes (image
+        # vs form xobject), annotation families, and pattern kinds resolve
+        # without backtracking
+        for disc, want in cd.entries.items():
+            if isinstance(want.t, Exact):
                 got = body.get(disc)
                 if want.required or disc in body:
                     if not (isinstance(got, Name) and got.v == want.t.name):
+                        return False
+            elif isinstance(want.t, ExactInt):
+                got = body.get(disc)
+                if want.required or disc in body:
+                    if not (
+                        isinstance(got, int)
+                        and not isinstance(got, bool)
+                        and got == want.t.n
+                    ):
                         return False
         return True
     return False

@@ -547,3 +547,100 @@ def test_struct_tree_elems_validate():
     assert r.valid, r.errors_as_rows()
     assert r.type_assignments["5.0"] == "struct_tree_root"
     assert r.type_assignments["6.0"] == "structelem"
+
+
+# --- shadings, patterns, functions -----------------------------------------
+
+
+def test_shading_with_function_validates():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /ShadingType 2 /ColorSpace /DeviceRGB"
+                b" /Coords [0 0 1 1] /Function 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0]"
+                b" /C1 [1 1 1] /N 1 >>",
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /Sh0 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "shading"
+    assert r.type_assignments["6.0"] == "function"
+
+
+def test_stitching_function_children_typed():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /ShadingType 3 /ColorSpace /DeviceGray"
+                b" /Coords [0 0 0 1 1 1] /Function 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /FunctionType 3 /Domain [0 1] /Functions [7 0 R]"
+                b" /Bounds [] /Encode [0 1] >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /FunctionType 2 /Domain [0 1] /N 2 >>",
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "function"
+    assert r.type_assignments["7.0"] == "function"
+
+
+def test_shading_missing_colorspace_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /ShadingType 2 /Coords [0 0 1 1] >>")},
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_tiling_and_shading_patterns_discriminate():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /Pattern /PatternType 1 /PaintType 1 /TilingType 1"
+                b" /BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >>",
+                b"0 0 10 10 re f",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Pattern /PatternType 2 /Shading 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /ShadingType 2 /ColorSpace /DeviceRGB"
+                b" /Coords [0 0 1 1] >>",
+            ),
+        },
+        page_extra=b" /Resources << /Pattern << /P1 5 0 R /P2 6 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "pattern_tiling"
+    assert r.type_assignments["6.0"] == "pattern_shading"
+    assert r.type_assignments["7.0"] == "shading"
+
+
+def test_shading_pattern_missing_shading_rejected():
+    blob = _doc(
+        {6: _obj(6, b"<< /Type /Pattern /PatternType 2 >>")},
+        page_extra=b" /Resources << /Pattern << /P 6 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
