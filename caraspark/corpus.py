@@ -86,3 +86,27 @@ def sf_of(sf_dir: str) -> float:
 
 def corpus_rows_for_sf(sf_dir: str) -> int:
     return {0.001: 128, 0.01: 384, 0.1: 1536}.get(sf_of(sf_dir), 256)
+
+
+def from_binary_files(spark: SparkSession, path: str) -> DataFrame:
+    """documents_raw from LOOSE files via the binaryFile source (SURVEY.md
+    S3): url = file path, warc_ts = filesystem mtime, blob = content.
+    Feeds the same extract pipeline as parquet corpora — the on-ramp for a
+    directory of crawled PDFs/HTML before they're compacted into a table.
+    Column pruning applies: binaryFile supports pathGlobFilter and
+    recursiveFileLookup, and Spark prunes `content` when only metadata
+    columns are selected."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

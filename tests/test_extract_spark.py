@@ -132,3 +132,25 @@ def test_quarter_million_docs_extract_without_oom(spark):
 
     df = synth_df(spark, 250_000, include_giant=True)
     extract(df).write.format("noop").mode("overwrite").save()
+
+
+def test_binaryfile_source_feeds_extract(spark, tmp_path):
+    """S3: loose files on disk → binaryFile source → the same extract
+    pipeline, byte-identical to processing the blobs directly."""
+    from caraspark.corpus import from_binary_files
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    d = tmp_path / "loose" / "sub"
+    d.mkdir(parents=True)
+    names = ["pdf_minimal", "pdf_flate", "pdf_lzw", "pdf_xrefstream"]
+    for n in names:
+        (d / f"{n}.pdf").write_bytes(PDF_RECIPES[n]())
+
+    df = from_binary_files(spark, str(tmp_path / "loose"))
+    out = {r["url"].rsplit("/", 1)[1]: r for r in extract(df).collect()}
+    assert len(out) == len(names)
+    for n in names:
+        expected = process_document(PDF_RECIPES[n]()).text
+        assert bytes(out[f"{n}.pdf"]["text"]) == expected
+        assert out[f"{n}.pdf"]["verdict"]["valid"]
