@@ -97,7 +97,12 @@ def stream_session(spark, sf):
     )
 
 
-@_q("stream_stateful", None)
+@_q(
+    "stream_stateful",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total
+       FROM events GROUP BY user_id""",
+)
 def stream_stateful(spark, sf):
     # T6: applyInPandasWithState running totals; final per-user state.
     from pyspark.sql import Window as W

@@ -146,3 +146,56 @@ def test_foreach_batch_sink(spark, sf_smoke, tmp_path, events_batch):
     assert files
     total = spark.read.parquet(*sorted({f.rsplit("/", 1)[0] for f in files})).count()
     assert total == events_batch.count()
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path, events_batch):
+    """T7 core claim: kill the query, append new input, restart with the
+    SAME checkpoint — every event lands in the sink exactly once (committed
+    epochs are not replayed; new data flows)."""
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    half1 = events_batch.filter(F.col("event_id") % 2 == 0)
+    half2 = events_batch.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events_batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def write_epoch(df, epoch_id):
+            df.write.mode("overwrite").parquet(
+                os.path.join(out, f"epoch={epoch_id}")
+            )
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_once()  # phase 1: half the events, then the query dies
+    # append phase-2 files while no query is running
+    half2.write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    epoch_dirs = sorted(
+        {f.rsplit("/", 1)[0] for f in glob.glob(f"{out}/epoch=*/*.parquet")}
+    )
+    got = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(*epoch_dirs).select("event_id").collect()
+    )
+    want = sorted(r["event_id"] for r in events_batch.collect())
+    assert got == want  # exactly once: no loss, no duplicates
