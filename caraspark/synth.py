@@ -1074,6 +1074,81 @@ def _encrypted_pdf(aes: bool) -> bytes:
     return _assemble(bodies, trailer_extra=trailer_extra)
 
 
+def pdf_encrypted_objstm() -> bytes:
+    """RC4-128 (R3) file whose catalog+pages live inside an /ObjStm, with a
+    string entry (/Lang) in the compressed catalog. Pins the spec's
+    decryption layering [PDF17 §7.6.2]: the ObjStm payload is encrypted
+    ONCE as a stream with the container's object key; embedded objects and
+    their strings are NOT re-encrypted individually, and the xref stream
+    is never encrypted."""
+    import hashlib
+
+    file_id = hashlib.md5(b"caraspark-objstm-id").digest()
+    o, u, fkey = _std_crypt_params(file_id, 3, -44)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def put(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(body)
+
+    inner1 = b"<< /Type /Catalog /Pages 2 0 R /Lang (en-US) >>"
+    inner2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    hdr = f"1 0 2 {len(inner1) + 1}".encode()
+    payload = hdr + b"\n" + inner1 + b"\n" + inner2
+    put(
+        6,
+        _stream_obj(
+            6,
+            f"/Type /ObjStm /N 2 /First {len(hdr) + 1}".encode(),
+            _rc4_gen(_objkey_gen(fkey, 6, 0, False), payload),
+        ),
+    )
+    put(
+        3,
+        _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>",
+        ),
+    )
+    content = b"BT (Hello ObjStm Crypt) Tj ET"
+    put(
+        4,
+        _stream_obj(4, b"", _rc4_gen(_objkey_gen(fkey, 4, 0, False), content)),
+    )
+    put(
+        5,
+        _obj(
+            5,
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 /O "
+            + _hexstr(o) + b" /U " + _hexstr(u) + b" >>",
+        ),
+    )
+    xref_off = len(out)
+
+    def row(t: int, b2: int, c: int) -> bytes:
+        return bytes([t]) + b2.to_bytes(2, "big") + bytes([c])
+
+    rows = [
+        row(0, 0, 255),          # 0 free
+        row(2, 6, 0),            # 1 compressed in 6[0]
+        row(2, 6, 1),            # 2 compressed in 6[1]
+        row(1, offsets[3], 0),
+        row(1, offsets[4], 0),
+        row(1, offsets[5], 0),
+        row(1, offsets[6], 0),
+        row(1, xref_off, 0),     # 7 = this xref stream
+    ]
+    d = (
+        b"/Type /XRef /Size 8 /W [1 2 1] /Index [0 8] /Root 1 0 R"
+        b" /Encrypt 5 0 R /ID [" + _hexstr(file_id) + _hexstr(file_id) + b"]"
+    )
+    put(7, _stream_obj(7, d, b"".join(rows)))
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    return bytes(out)
+
+
 def pdf_encrypted_aes256() -> bytes:
     """R6 (ISO 32000-2 AES-256) fixture, empty user password. U/UE are
     generated with the forward side of Algorithm 2.B + key wrapping; the
@@ -1143,6 +1218,7 @@ def pdf_encrypted_aes() -> bytes:
     return _encrypted_pdf(aes=True)
 
 
+PDF_RECIPES["pdf_encrypted_objstm"] = pdf_encrypted_objstm
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes
 PDF_RECIPES["pdf_encrypted_aes256"] = pdf_encrypted_aes256

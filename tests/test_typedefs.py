@@ -644,3 +644,20 @@ def test_shading_pattern_missing_shading_rejected():
     )
     r = process_document(blob, want_objects=True)
     assert "type.missing_required" in _codes(r)
+
+
+def test_encrypted_objstm_strings_not_double_decrypted():
+    """PDF17 §7.6.2 layering: the ObjStm payload decrypts once as a
+    stream; embedded strings must come out intact, not re-decrypted."""
+    from caraspark.synth import pdf_encrypted_objstm
+
+    r = process_document(pdf_encrypted_objstm(), want_objects=True)
+    assert r.valid and r.strict and r.encrypted, r.errors_as_rows()
+    assert r.text == b"Hello ObjStm Crypt"
+    assert r.type_assignments["1.0"] == "catalog"
+    assert r.type_assignments["6.0"] == "objstm"
+    import json
+
+    cat = json.loads(r.objects_json["1.0"])
+    # canonical JSON hex-encodes PDF byte-strings under "$s"
+    assert cat["$d"]["Lang"]["$s"] == b"en-US".hex()  # intact, byte-exact
