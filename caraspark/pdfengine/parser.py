@@ -189,7 +189,13 @@ def parse_object(
                 return value
             if isinstance(container, list):
                 container.append(value)
-            else:  # dict with pending key
+            elif pending_key is None:
+                # a container value landed in dict KEY position
+                # (e.g. << [1 2] /X >>) — keys must be names; drop it
+                errors.append(
+                    PdfError("cos.dict_key_not_name", pos, msg=kind)
+                )
+            else:
                 container[pending_key] = value
                 pending_key = None
 

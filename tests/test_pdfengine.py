@@ -473,3 +473,15 @@ def test_truncated_ue_is_taxonomy_not_crash():
     )
     assert out is None
     assert errors and errors[0].code == "crypt.bad_encrypt_dict"
+
+
+def test_container_in_dict_key_position_is_taxonomy():
+    """<< [1 2] /X 1 >> — a container landing in key position must record
+    cos.dict_key_not_name and never store a None key (hypothesis find:
+    None keys later crashed sorted() in graph building)."""
+    errors = []
+    ts = TokenStream(Lexer(b"<< [1 2] /X 1 >>"))
+    obj = parse_object(ts, errors)
+    assert None not in obj
+    assert obj.get("X") == 1
+    assert any(e.code == "cos.dict_key_not_name" for e in errors)
