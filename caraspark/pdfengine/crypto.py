@@ -53,6 +53,10 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
         )
     except ImportError:
         return None
+    if len(key) not in (16, 24, 32):
+        # a corrupt /Length can shorten the derived key below AES's
+        # minimum; surface as crypt.unsupported (None), never a raise
+        return None
     if len(data) < 32 or len(data) % 16:
         return b""
     iv, body = data[:16], data[16:]
@@ -120,7 +124,11 @@ def file_key(enc: dict, file_id: bytes, errors: list) -> tuple[bytes, str] | Non
         return None
     nbytes = 5
     if r >= 3:
-        nbytes = max(5, min(16, int(enc.get("Length", 40)) // 8))
+        length = enc.get("Length", 40)
+        if not isinstance(length, int) or isinstance(length, bool):
+            errors.append(PdfError("crypt.bad_encrypt_dict", msg="Length"))
+            length = 40
+        nbytes = max(5, min(16, length // 8))
 
     h = hashlib.md5()
     h.update(PAD)  # empty user password → the pad alone

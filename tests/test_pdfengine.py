@@ -485,3 +485,16 @@ def test_container_in_dict_key_position_is_taxonomy():
     assert None not in obj
     assert obj.get("X") == 1
     assert any(e.code == "cos.dict_key_not_name" for e in errors)
+
+
+def test_corrupt_length_aes_key_is_taxonomy_not_crash():
+    """Mutation find #2: a corrupted /Length (e.g. 80) derives a short
+    file key that AES rejects with a raise; it must surface as a
+    crypt.* taxonomy code instead."""
+    from caraspark.synth import pdf_encrypted_aes
+
+    # same byte width so xref offsets stay valid; 48 bits → 6-byte key
+    blob = pdf_encrypted_aes().replace(b"/Length 128", b"/Length 048")
+    r = process_document(blob)
+    assert r.kind == "pdf"
+    assert any(e.code.startswith("crypt.") for e in r.errors)
