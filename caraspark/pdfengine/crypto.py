@@ -248,9 +248,18 @@ def decrypt_document(doc, errors: list) -> None:
     key, cipher = fk
     enc_key = (enc_ref.num, enc_ref.gen) if isinstance(enc_ref, Ref) else None
 
+    str_fail_reported = False
+
     def walk_strings(o, okey):
+        nonlocal str_fail_reported
         if isinstance(o, bytes):
             out = decrypt_bytes(o, okey, cipher)
+            if out is None and not str_fail_reported:
+                # keep ciphertext, but say so (once per document)
+                str_fail_reported = True
+                errors.append(
+                    PdfError("crypt.unsupported", msg=f"strings/{cipher}")
+                )
             return o if out is None else out
         if isinstance(o, list):
             return [walk_strings(x, okey) for x in o]
