@@ -22,6 +22,7 @@ explicitly"):
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Iterator
 
@@ -100,6 +101,7 @@ _ARROW_SCHEMA = pa.schema(
 
 def _extract_batches(
     it: Iterator[pa.RecordBatch],
+    want_text: bool = True,
 ) -> Iterator[pa.RecordBatch]:
     """The Arrow batch UDF: C2–C27 per blob, byte-budgeted output.
 
@@ -109,7 +111,10 @@ def _extract_batches(
     conversion overhead would otherwise dominate the profile.
     """
     # import inside the worker so the closure pickles only the module name
-    from caraspark.pdfengine import process_document
+    from caraspark.pdfengine import process_document as _pd
+
+    def process_document(blob):
+        return _pd(blob, want_text=want_text)
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
@@ -175,7 +180,7 @@ def _extract_batches(
                     "snapshot": snapshot,
                 }
             )
-            pending += len(r.text) + r.bytes_in // 4
+            pending += len(r.text or b"") + r.bytes_in // 4
             if pending >= OUTPUT_BATCH_BYTES:
                 yield from flush()
     yield from flush()
@@ -187,6 +192,7 @@ def extract(
     n_salts: int = 64,
     salt: bool | str = False,
     giant_threshold: int = 4 << 20,
+    want_text: bool = True,
 ) -> DataFrame:
     """documents_raw → extracted (EXTRACTED schema).
 
@@ -217,6 +223,7 @@ def extract(
     100 TB shuffle (write + fetch + read); shuffle bytes drop to the
     giant tail only, and the small-doc branch keeps input locality.
     """
+    udf = functools.partial(_extract_batches, want_text=want_text)
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(
@@ -224,7 +231,7 @@ def extract(
         )
     pruned = df.select("url", "warc_ts", "html")
     if not salt:
-        return pruned.mapInArrow(_extract_batches, EXTRACTED)
+        return pruned.mapInArrow(udf, EXTRACTED)
     keyed = pruned.withColumns(
         {
             "size_class": F.ceil(F.log2(F.length("html") + F.lit(2))).cast("int"),
@@ -234,13 +241,13 @@ def extract(
     if salt == "giants":
         nbytes = F.coalesce(F.length("html"), F.lit(0))
         small = pruned.filter(nbytes < giant_threshold).mapInArrow(
-            _extract_batches, EXTRACTED
+            udf, EXTRACTED
         )
         giants = (
             keyed.filter(nbytes >= giant_threshold)
             .repartition(num_partitions, "size_class", "salt")
-            .mapInArrow(_extract_batches, EXTRACTED)
+            .mapInArrow(udf, EXTRACTED)
         )
         return small.unionByName(giants)
     salted = keyed.repartition(num_partitions, "size_class", "salt")
-    return salted.mapInArrow(_extract_batches, EXTRACTED)
+    return salted.mapInArrow(udf, EXTRACTED)

@@ -110,12 +110,21 @@ def process_document(
     want_objects: bool = False,
     max_objects: int = 100_000,
     time_budget_s: float = DEFAULT_TIME_BUDGET_S,
+    want_text: bool = True,
 ) -> ExtractResult:
+    """``want_text=False`` is the projection-pushdown fast path for
+    metrics-only corpus queries: parsing, xref resolution, decryption and
+    type checking all run, but content-stream text assembly is skipped and
+    ``text`` is None. Caveat, by design: content-stream-level error codes
+    (``content.*`` and text-side ``filter.*``) are then not collected, so
+    the verdict covers document STRUCTURE only."""
     t0 = time.perf_counter()
     if is_pdf(blob):
-        res = _process_pdf(blob, strict, want_objects, max_objects, time_budget_s)
+        res = _process_pdf(
+            blob, strict, want_objects, max_objects, time_budget_s, want_text
+        )
     else:
-        res = _process_html(blob)
+        res = _process_html(blob, want_text)
     res.bytes_in = len(blob)
     res.parse_ms = (time.perf_counter() - t0) * 1000.0
     res.errors.sort(key=lambda e: e.sort_key())
@@ -125,7 +134,8 @@ def process_document(
 
 
 def _process_pdf(
-    blob, strict, want_objects, max_objects, time_budget_s=None
+    blob, strict, want_objects, max_objects, time_budget_s=None,
+    want_text=True,
 ) -> ExtractResult:
     doc: Document = load_document(
         blob,
@@ -138,7 +148,7 @@ def _process_pdf(
     tres = check_types(doc, strict=strict)
     errors.extend(tres.errors)
 
-    text = extract_text(doc, errors)
+    text = extract_text(doc, errors) if want_text else None
 
     n_streams = 0
     bytes_decoded = 0
@@ -175,9 +185,9 @@ def _process_pdf(
     return res
 
 
-def _process_html(blob) -> ExtractResult:
+def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
-    text = extract_html_text(blob)
+    text = extract_html_text(blob) if want_text else None
     if not text:
         errors.append(PdfError("html.no_content", pos=0))
     return ExtractResult(kind="html", text=text, errors=errors)

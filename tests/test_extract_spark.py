@@ -154,3 +154,27 @@ def test_binaryfile_source_feeds_extract(spark, tmp_path):
         expected = process_document(PDF_RECIPES[n]()).text
         assert bytes(out[f"{n}.pdf"]["text"]) == expected
         assert out[f"{n}.pdf"]["verdict"]["valid"]
+
+
+def test_want_text_false_stats_only_path(spark):
+    """Projection pushdown THROUGH the operator: want_text=False skips text
+    assembly (text IS NULL for every row) while structural metrics match
+    the full run exactly."""
+    full = {
+        r["url"]: r
+        for r in extract(synth_df(spark, 48, partitions=4)).collect()
+    }
+    stats = {
+        r["url"]: r
+        for r in extract(
+            synth_df(spark, 48, partitions=4), want_text=False
+        ).collect()
+    }
+    assert set(full) == set(stats)
+    for url, s in stats.items():
+        assert s["text"] is None
+        f = full[url]
+        assert s["metrics"]["n_objects"] == f["metrics"]["n_objects"]
+        assert s["metrics"]["bytes_in"] == f["metrics"]["bytes_in"]
+        assert s["kind"] == f["kind"]
+        assert s["flags"] == f["flags"]
