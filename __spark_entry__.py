@@ -10,19 +10,24 @@ only assembles the registries.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from caraspark import relational  # noqa: E402
 
 _REGISTRIES = [relational.REGISTRY]
 
 # Optional packs appended as they land (each module exposes REGISTRY).
+# A broken module must never silently shrink the registry: import errors
+# are printed to stderr so the driver log shows the missing pack.
 for _mod in (
     "textops",
     "extract_queries",
@@ -34,8 +39,30 @@ for _mod in (
     try:
         _m = __import__(f"caraspark.{_mod}", fromlist=["REGISTRY"])
         _REGISTRIES.append(_m.REGISTRY)
-    except ImportError:
-        pass
+    except Exception as exc:  # noqa: BLE001 — loud, never silent
+        print(
+            f"__spark_entry__: FAILED to import caraspark.{_mod}: "
+            f"{type(exc).__name__}: {exc} — its qkeys are MISSING from the "
+            "registry",
+            file=sys.stderr,
+        )
+
+
+def _driver_verified_keys() -> set[str]:
+    """qkeys that already have a row in any prior round's CORRECTNESS file.
+
+    The driver only runs a prefix of the registry each round, so keys it has
+    never seen are moved to the front (see ``_merged``). Reading the committed
+    ``CORRECTNESS_r*.json`` files makes the ordering self-adapting per round.
+    """
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path, encoding="utf-8") as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def _merged():
@@ -45,7 +72,16 @@ def _merged():
             if k in out:
                 raise KeyError(f"duplicate qkey {k!r}")
             out[k] = q
-    return out
+    # Prioritize never-driver-verified keys (hash-oracle ones first, since a
+    # hash row is stronger evidence than rows-only), then previously-verified
+    # keys. Ties keep registration order, so the result is deterministic.
+    seen = _driver_verified_keys()
+
+    def rank(item):
+        k, q = item
+        return (k in seen, q.sql is None)
+
+    return dict(sorted(out.items(), key=rank))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -4,15 +4,18 @@ At 10^12 documents the extract job's incremental chunk commits leave each
 bucket directory with one file per task per chunk; scan efficiency decays
 with file count (footer reads, scheduler overhead, tiny row groups).
 ``compact_table`` rewrites over-fragmented buckets to one file each and
-publishes the result as a new snapshot commit, reusing the job's
-idempotent dynamic-partition-overwrite path.
+publishes the result as a new snapshot commit.
 
-Consistency note (documented limitation of the directory-keyed layout,
-same as the extract job itself): readers key on bucket IDs from the
-manifest, not file names, so a reader racing the rewrite of one bucket
-can observe that bucket mid-swap. Iceberg closes this gap with file-level
-manifests; this layer keeps unit-level granularity and points swap-in at
-the same call sites (SURVEY.md S4).
+Crash-durability and reader isolation (Iceberg's rewrite-then-expire
+story): the rewrite lands in a FRESH generation directory
+``data/gen=<new snapshot id>/bucket=<k>`` — never in place — and becomes
+visible only when the manifest commit swings CURRENT. A crash mid-rewrite
+leaves an orphan generation that no snapshot references (age-guarded GC in
+``SnapshotManifest.expire_snapshots`` removes it later); the old
+generation's files remain the durable copy for every retained snapshot
+until expire deletes them. Readers resolve concrete per-unit paths from
+their snapshot (``unit_paths``), so a reader racing the compaction never
+observes a half-rewritten bucket.
 """
 
 from __future__ import annotations
@@ -25,19 +28,21 @@ from caraspark.manifest import SnapshotManifest
 
 
 def bucket_file_counts(table_dir: str) -> dict[int, int]:
-    """Parquet part files per committed bucket directory."""
+    """Parquet part files per committed unit, at its current generation."""
     man = SnapshotManifest(table_dir)
-    data = os.path.join(table_dir, "data")
     out: dict[int, int] = {}
-    for u in sorted(man.committed_units()):
-        d = os.path.join(data, f"bucket={u}")
+    snap = man.current_snapshot()
+    if not snap:
+        return out
+    for path in man.unit_paths():
+        u = int(os.path.basename(path).split("=", 1)[1])
         out[u] = (
             sum(
                 1
-                for f in os.listdir(d)
+                for f in os.listdir(path)
                 if f.endswith(".parquet") and not f.startswith(".")
             )
-            if os.path.isdir(d)
+            if os.path.isdir(path)
             else 0
         )
     return out
@@ -50,15 +55,16 @@ def compact_table(
     max_tasks: int = 64,
 ) -> dict:
     """Rewrite every committed bucket holding more than
-    ``target_files_per_bucket`` parquet files down to one file, then
-    commit a snapshot marking them compacted.
+    ``target_files_per_bucket`` parquet files down to one file in a new
+    generation, then commit a snapshot pointing those units at it.
 
-    Plan shape: one scan of just the fragmented buckets → one exchange
-    keyed on bucket (each bucket lands wholly in one task, so
-    ``partitionBy`` emits exactly one file per bucket directory) → dynamic
-    partition overwrite. Untouched buckets are never read or rewritten.
+    Plan shape: one path-pruned scan of just the fragmented buckets → one
+    exchange keyed on bucket (each bucket lands wholly in one task, so
+    ``partitionBy`` emits exactly one file per bucket directory) → write to
+    the fresh generation dir. Untouched buckets are never read or
+    rewritten; old files are deleted only by ``expire_snapshots`` after the
+    commit is durable.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     man = SnapshotManifest(table_dir)
     snap = man.current_snapshot()
     if snap is None:
@@ -72,18 +78,34 @@ def compact_table(
         }
 
     data = os.path.join(table_dir, "data")
-    df = spark.read.parquet(data).filter(F.col("bucket").isin(frag))
+    new_gen = snap["snapshot_id"] + 1  # == the committing snapshot's id
+    gen_dir = os.path.join(data, f"gen={new_gen}")
+    frag_set = set(frag)
+    src_paths = [
+        p
+        for p in man.unit_paths()
+        if int(os.path.basename(p).split("=", 1)[1]) in frag_set
+        and os.path.isdir(p)
+    ]
+    df = (
+        spark.read.option("basePath", data).parquet(*src_paths).drop("gen")
+    )
     (
         df.repartition(min(len(frag), max_tasks), "bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(data)
+        .parquet(gen_dir)
     )
     units = {
-        u: {**(snap["units"].get(str(u)) or {}), "compacted": True}
+        u: {
+            **(snap["units"].get(str(u)) or {}),
+            "gen": new_gen,
+            "compacted": True,
+        }
         for u in frag
     }
     new_snap = man.commit(units)
+    assert new_snap["snapshot_id"] == new_gen
     return {
         "compacted_buckets": frag,
         "files_before": sum(counts[u] for u in frag),

@@ -8,11 +8,23 @@ call site touches only ``plan_units`` / ``commit`` / ``read_current``; an
 Iceberg catalog implementation can replace this module wholesale.
 
 Layout:
-    <table>/data/bucket=<k>/*.parquet      work-unit output (dynamic
-                                           partition overwrite → idempotent)
+    <table>/data/gen=<g>/bucket=<k>/*.parquet
+                                           work-unit output. gen 0 is the
+                                           extract job's output (dynamic
+                                           partition overwrite → idempotent
+                                           rerun); compaction rewrites land
+                                           in fresh generations (g = the
+                                           committing snapshot id), never in
+                                           place — see maintenance.py.
     <table>/_manifest/snapshot-<n>.json    {snapshot_id, parent, units: {...}}
     <table>/_manifest/CURRENT              name of the live snapshot (atomic
                                            os.replace swap)
+
+Each unit's manifest meta records its generation (absent → 0); readers
+resolve CONCRETE paths via ``unit_paths`` and read only those, so a reader
+holding a snapshot is unaffected by concurrent compaction: old generations
+stay on disk until ``expire_snapshots`` GCs them, exactly like Iceberg's
+rewrite-then-expire story.
 
 A reader trusts ONLY units listed in the current snapshot: files written by
 a crashed, uncommitted attempt are invisible and get overwritten on rerun.
@@ -56,6 +68,28 @@ class SnapshotManifest:
             return None
         with open(p) as f:
             return json.load(f)
+
+    def unit_paths(self, snapshot_id: int | None = None) -> list[str]:
+        """Concrete data directories of every committed unit, gen-aware.
+
+        The returned paths all have the uniform ``data/gen=<g>/bucket=<k>``
+        depth, so Spark can read them with ``basePath=<table>/data`` and
+        recover both partition columns.
+        """
+        snap = (
+            self.snapshot(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if not snap:
+            return []
+        data = os.path.join(self.table_dir, "data")
+        return [
+            os.path.join(
+                data, f"gen={int((meta or {}).get('gen', 0))}", f"bucket={int(u)}"
+            )
+            for u, meta in sorted(snap["units"].items(), key=lambda kv: int(kv[0]))
+        ]
 
     def snapshots(self) -> list[int]:
         """All committed snapshot ids, oldest first."""
@@ -118,15 +152,28 @@ class SnapshotManifest:
         )
 
     def expire_snapshots(
-        self, keep_last: int = 2, gc_orphans: bool = True
+        self,
+        keep_last: int = 2,
+        gc_orphans: bool = True,
+        orphan_min_age_s: float = 3 * 3600.0,
     ) -> dict:
         """Retention: drop all but the newest ``keep_last`` snapshot files
         (CURRENT always retained), then optionally delete data buckets no
         retained snapshot references — crashed uncommitted attempts and
         buckets only reachable from expired history. Expired parents leave
         dangling ``parent`` pointers on retained snapshots, as in Iceberg;
-        time travel is only valid within the retained window."""
+        time travel is only valid within the retained window.
+
+        Orphan GC skips buckets whose newest file is younger than
+        ``orphan_min_age_s`` (default 3 h), mirroring Iceberg's
+        ``remove_orphan_files`` age cutoff: a concurrently running extract
+        job's written-but-not-yet-committed buckets must not be deleted out
+        from under its upcoming snapshot commit. Pass ``0`` only when no
+        concurrent writers can exist. Directory names that don't parse as
+        ``bucket=<int>`` (e.g. a null-partition dir) are reported, not
+        deleted, and never abort the sweep."""
         import shutil
+        import time
 
         ids = self.snapshots()
         cur = self.current_snapshot()
@@ -138,19 +185,57 @@ class SnapshotManifest:
             os.remove(os.path.join(self.mdir, f"snapshot-{i:06d}.json"))
 
         orphans: list[str] = []
+        skipped: list[str] = []
         if gc_orphans:
-            referenced: set[int] = set()
-            for i in keep:
-                referenced |= self.committed_units(i)
+            referenced: set[str] = set()
             data_dir = os.path.join(self.table_dir, "data")
-            if os.path.isdir(data_dir):
-                for name in os.listdir(data_dir):
-                    if not name.startswith("bucket="):
+            for i in keep:
+                referenced |= {
+                    os.path.relpath(p, data_dir) for p in self.unit_paths(i)
+                }
+            now = time.time()
+
+            def _sweep(parent: str, names: list[str]) -> None:
+                for name in names:
+                    rel = os.path.join(parent, name) if parent else name
+                    prefix = "bucket=" if parent else "gen="
+                    path = os.path.join(data_dir, rel)
+                    if not name.startswith(prefix):
                         continue
-                    if int(name.split("=", 1)[1]) not in referenced:
-                        shutil.rmtree(os.path.join(data_dir, name))
-                        orphans.append(name)
-        return {"expired": expired, "orphan_buckets": sorted(orphans)}
+                    try:
+                        int(name.split("=", 1)[1])
+                    except ValueError:
+                        skipped.append(rel)
+                        continue
+                    if not parent:
+                        # recurse into the generation's bucket dirs
+                        _sweep(name, sorted(os.listdir(path)))
+                        if not os.listdir(path):  # generation fully GC'd
+                            os.rmdir(path)
+                        continue
+                    if rel in referenced:
+                        continue
+                    newest = max(
+                        (
+                            os.path.getmtime(os.path.join(root, f))
+                            for root, _, files in os.walk(path)
+                            for f in files
+                        ),
+                        default=os.path.getmtime(path),
+                    )
+                    if now - newest < orphan_min_age_s:
+                        skipped.append(rel)
+                        continue
+                    shutil.rmtree(path)
+                    orphans.append(rel)
+
+            if os.path.isdir(data_dir):
+                _sweep("", sorted(os.listdir(data_dir)))
+        return {
+            "expired": expired,
+            "orphan_buckets": sorted(orphans),
+            "skipped_buckets": sorted(skipped),
+        }
 
     def plan_units(self, all_units: list[int]) -> list[int]:
         done = self.committed_units()

@@ -6,8 +6,11 @@
 never an exception. Verdict semantics:
 
   valid  — no error whose code is in FATAL_CODES (relaxed acceptance);
-  strict — zero recorded errors of any kind (caradoc's strict grammar +
-           full type check stance [LangSec16 §III–IV]).
+  strict — zero recorded VALIDATION errors (caradoc's strict grammar +
+           full type check stance [LangSec16 §III–IV]). Extraction-phase
+           ``extract.*`` warnings are excluded: caradoc validates in one
+           command and extracts in another, and excluding them keeps the
+           verdict identical between full and want_text=False runs.
 
 Errors are sorted by (pos, code, path, msg) — deterministic output under any
 partitioning (SURVEY.md §5.2-5 distribution invariance).
@@ -129,7 +132,12 @@ def process_document(
     res.parse_ms = (time.perf_counter() - t0) * 1000.0
     res.errors.sort(key=lambda e: e.sort_key())
     res.valid = not any(e.code in FATAL_CODES for e in res.errors)
-    res.strict = not res.errors
+    # strict is a VALIDATION verdict (caradoc validates structure/types;
+    # text extraction is a separate command whose warnings don't change
+    # validation). Excluding extraction-phase ``extract.*`` codes also makes
+    # the verdict invariant under want_text on/off, so stats-mode and full
+    # runs can never disagree on it.
+    res.strict = all(e.code.startswith("extract.") for e in res.errors)
     return res
 
 
@@ -187,7 +195,14 @@ def _process_pdf(
 
 def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
-    text = extract_html_text(blob) if want_text else None
-    if not text:
+    if want_text:
+        text = extract_html_text(blob)
+        has_content = bool(text)
+    else:
+        # Stats mode skips text materialization but must agree with the full
+        # run on the error taxonomy: probe emptiness without keeping content.
+        text = None
+        has_content = bool(extract_html_text(blob))
+    if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
     return ExtractResult(kind="html", text=text, errors=errors)

@@ -28,6 +28,43 @@ from caraspark.manifest import SnapshotManifest  # noqa: E402
 from caraspark.session import get_spark  # noqa: E402
 
 
+def stage_input(spark, raw, stage_dir: str, units: int) -> str:
+    """Stage the input ONCE as bucket-partitioned parquet so every chunk
+    iteration reads only its own bucket directories (footer-level partition
+    pruning, zero re-scans of the full corpus).
+
+    The round-1 loop filtered the FULL input per chunk — with
+    units/unit_chunk = 64/16 the whole 100 TB corpus would be scanned 4×
+    (worse with smaller chunks). Staging costs one scan + one shuffle-free
+    write (each task fans its rows out to its buckets' directories), after
+    which every chunk read is path-pruned to chunk_size/units of the data.
+
+    Resume reuses an existing complete stage (``_STAGED`` marker — written
+    by us after the job commit, since dynamic partition-overwrite mode
+    omits Spark's ``_SUCCESS``): the staged layout is deterministic for an
+    immutable input, which is already a prerequisite of byte-identical
+    resume.
+    """
+    marker = os.path.join(stage_dir, "_STAGED")
+    if os.path.exists(marker):
+        return stage_dir
+    keyed = raw.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
+    )
+    keyed.write.mode("overwrite").partitionBy("bucket").parquet(stage_dir)
+    with open(marker, "w") as f:
+        f.write(str(units))
+    return stage_dir
+
+
+def chunk_input(spark, stage_dir: str, chunk: list[int]):
+    """The per-chunk input DataFrame: reads ONLY the chunk's staged bucket
+    directories (asserted by tests/test_resume.py::test_chunk_scan_is_pruned
+    via ``inputFiles()``)."""
+    paths = [os.path.join(stage_dir, f"bucket={u}") for u in chunk]
+    return spark.read.parquet(*[p for p in paths if os.path.isdir(p)])
+
+
 def run_job(
     spark,
     input_path: str | None,
@@ -40,40 +77,47 @@ def run_job(
     """Returns run stats. ``fail_after_chunks`` is the crash-injection hook
     used by the resume test."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if synth_docs:
-        from caraspark.corpus import synth_df
-
-        raw = synth_df(spark, synth_docs)
-    else:
-        raw = spark.read.parquet(input_path)
 
     man = SnapshotManifest(output_dir)
     todo = man.plan_units(list(range(units)))
     data_dir = os.path.join(output_dir, "data")
+    gen_dir = os.path.join(data_dir, "gen=0")
+    stage_dir = os.path.join(output_dir, "_stage")
     t0 = time.time()
     n_chunks = 0
     docs_done = 0
 
-    keyed = raw.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
-    )
+    if todo:
+        if synth_docs:
+            from caraspark.corpus import synth_df
+
+            raw = synth_df(spark, synth_docs)
+        else:
+            raw = spark.read.parquet(input_path)
+        stage_input(spark, raw, stage_dir, units)
+
     for i in range(0, len(todo), unit_chunk):
         chunk = todo[i : i + unit_chunk]
-        part = keyed.filter(F.col("bucket").isin(chunk)).drop("bucket")
+        part = chunk_input(spark, stage_dir, chunk)
         ex = extract(part).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
         )
-        ex.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
-        n = int(
-            spark.read.parquet(data_dir)
-            .filter(F.col("bucket").isin(chunk))
-            .count()
-        )
+        ex.write.mode("overwrite").partitionBy("bucket").parquet(gen_dir)
+        out_paths = [
+            p
+            for u in chunk
+            if os.path.isdir(p := os.path.join(gen_dir, f"bucket={u}"))
+        ]
+        n = int(spark.read.parquet(*out_paths).count()) if out_paths else 0
         man.commit({u: {"rows": None, "chunk": n_chunks} for u in chunk})
         docs_done += n
         n_chunks += 1
         if fail_after_chunks is not None and n_chunks >= fail_after_chunks:
             return {"crashed": True, "chunks": n_chunks, "docs": docs_done}
+    if todo:
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
     wall = time.time() - t0
     return {
         "crashed": False,
@@ -85,12 +129,19 @@ def run_job(
 
 
 def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
-    """Read ONLY manifest-committed units (the snapshot-consistent view).
+    """Read ONLY manifest-committed units (the snapshot-consistent view),
+    at the CONCRETE per-unit paths the snapshot records (gen-aware) — a
+    reader is therefore unaffected by concurrent compaction rewrites.
     ``snapshot_id`` time-travels to an earlier commit of the chain."""
     man = SnapshotManifest(output_dir)
-    done = sorted(man.committed_units(snapshot_id))
-    df = spark.read.parquet(os.path.join(output_dir, "data"))
-    return df.filter(F.col("bucket").isin(done))
+    paths = man.unit_paths(snapshot_id)
+    if not paths:
+        return spark.createDataFrame([], "url string")
+    df = (
+        spark.read.option("basePath", os.path.join(output_dir, "data"))
+        .parquet(*[p for p in paths if os.path.isdir(p)])
+    )
+    return df.drop("gen")
 
 
 def main() -> None:

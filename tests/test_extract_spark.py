@@ -178,3 +178,18 @@ def test_want_text_false_stats_only_path(spark):
         assert s["metrics"]["bytes_in"] == f["metrics"]["bytes_in"]
         assert s["kind"] == f["kind"]
         assert s["flags"] == f["flags"]
+        # verdict must agree between modes for EVERY doc kind (regression:
+        # want_text=False used to add html.no_content to every HTML doc and
+        # flip strict=False); the VALIDATION error taxonomy must agree too —
+        # stats mode may only lack extraction-phase ``extract.*`` warnings,
+        # which by contract never affect the verdict
+        assert s["verdict"] == f["verdict"], url
+        s_errs = [(e["code"], e["pos"]) for e in (s["errors"] or [])]
+        f_errs = [
+            (e["code"], e["pos"])
+            for e in (f["errors"] or [])
+            if not e["code"].startswith("extract.")
+        ]
+        assert not any(c.startswith("extract.") for c, _ in s_errs), url
+        assert s_errs == f_errs, url
+    assert any(s["kind"] == "html" for s in stats.values())

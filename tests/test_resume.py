@@ -103,14 +103,26 @@ def test_rollback_and_expire(spark, tmp_path):
     assert read_extracted(spark, out).count() == N_DOCS
 
     # plant an orphan bucket (simulated crashed uncommitted attempt)
-    orphan = os.path.join(out, "data", "bucket=99")
+    orphan = os.path.join(out, "data", "gen=0", "bucket=99")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
         f.write("junk")
 
+    # a stray non-integer dir must be reported, never deleted or fatal
+    stray = os.path.join(out, "data", "gen=0", "bucket=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(stray)
+
+    # default age cutoff protects the fresh (concurrent-writer-shaped) orphan
     res = man.expire_snapshots(keep_last=1)
-    assert "bucket=99" in res["orphan_buckets"]
+    assert "gen=0/bucket=99" in res["skipped_buckets"]
+    assert os.path.exists(orphan)
+
+    # explicit no-concurrent-writers mode GCs it
+    res = man.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    assert "gen=0/bucket=99" in res["orphan_buckets"]
     assert not os.path.exists(orphan)
+    assert "gen=0/bucket=__HIVE_DEFAULT_PARTITION__" in res["skipped_buckets"]
+    assert os.path.exists(stray)
     assert len(man.snapshots()) == 1  # only the live snapshot retained
     # the current view still reads everything
     assert read_extracted(spark, out).count() == N_DOCS
@@ -126,11 +138,11 @@ def test_expire_keeps_all_committed_buckets(spark, tmp_path):
     run_job(spark, None, out, units=UNITS, unit_chunk=4, synth_docs=N_DOCS)
     man = SnapshotManifest(out)
     before = read_extracted(spark, out).count()
-    res = man.expire_snapshots(keep_last=1)
+    res = man.expire_snapshots(keep_last=1, orphan_min_age_s=0)
     assert res["orphan_buckets"] == []
     assert read_extracted(spark, out).count() == before
-    data = os.path.join(out, "data")
-    assert len([d for d in os.listdir(data) if d.startswith("bucket=")]) == UNITS
+    gen0 = os.path.join(out, "data", "gen=0")
+    assert len([d for d in os.listdir(gen0) if d.startswith("bucket=")]) == UNITS
 
 
 def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
@@ -157,3 +169,51 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     res2 = compact_table(spark, out)
     assert res2["compacted_buckets"] == []
     assert SnapshotManifest(out).current_snapshot()["snapshot_id"] == sid
+
+    # crash-durability: the rewrite landed in a NEW generation; the old
+    # gen-0 files are still the durable copy for pre-compaction snapshots
+    import os
+
+    man = SnapshotManifest(out)
+    gen_new = os.path.join(out, "data", f"gen={res['snapshot_id']}")
+    assert os.path.isdir(gen_new)
+    for u in res["compacted_buckets"]:
+        assert os.path.isdir(os.path.join(out, "data", "gen=0", f"bucket={u}"))
+    pre_sid = res["snapshot_id"] - 1
+    assert _table_fingerprint(read_extracted(spark, out, snapshot_id=pre_sid)) == ref
+
+    # expire drops pre-compaction history, then GC deletes the old copies
+    man.expire_snapshots(keep_last=1, orphan_min_age_s=0)
+    for u in res["compacted_buckets"]:
+        assert not os.path.isdir(
+            os.path.join(out, "data", "gen=0", f"bucket={u}")
+        )
+    assert _table_fingerprint(read_extracted(spark, out)) == ref
+
+
+def test_chunk_scan_is_pruned(spark, tmp_path):
+    """A chunk's input scan must read ONLY its own staged bucket
+    directories — never the full corpus (the round-1 loop re-scanned the
+    whole input once per chunk)."""
+    import os
+
+    from caraspark.corpus import synth_df
+    from jobs.extract_job import chunk_input, stage_input
+
+    stage = str(tmp_path / "stage")
+    raw = synth_df(spark, 64)
+    stage_input(spark, raw, stage, units=8)
+    assert os.path.exists(os.path.join(stage, "_STAGED"))
+
+    chunk = [1, 3]
+    df = chunk_input(spark, stage, chunk)
+    files = df.inputFiles()
+    assert files, "chunk read no files"
+    allowed = {f"bucket={u}" for u in chunk}
+    for f in files:
+        part = next(p for p in f.split(os.sep) if p.startswith("bucket="))
+        assert part in allowed, f"scan leaked outside the chunk: {f}"
+    # staging is reused, not rewritten, on resume
+    mtime = os.path.getmtime(os.path.join(stage, "_STAGED"))
+    stage_input(spark, raw, stage, units=8)
+    assert os.path.getmtime(os.path.join(stage, "_STAGED")) == mtime

@@ -216,9 +216,21 @@ def main() -> None:
         # the criterion targets SOFTWARE scaling with executor count; the
         # bare zero-coordination probe is a ceiling no framework can beat
         # on this VM in this window, so the hw-normalized value is the
-        # faithful software number when the raw one is noise-bound
-        "pass": exec_eff >= 0.8
-        or (hw.get("hw_eff") and exec_eff / hw["hw_eff"] >= 0.8),
+        # faithful software number when the raw one is noise-bound.
+        # Gate metric (single, explicit): raw efficiency divided by a
+        # FLOORED ceiling max(hw_eff, 0.8) — flooring stops a noisy low
+        # probe (e.g. 0.69) from passing a genuinely bad raw number
+        # (0.8 * 0.69 = 0.55 would otherwise squeak through), and a
+        # failed probe degrades to gating on the raw value alone.
+        "gate_metric": "raw_over_floored_hw_ceiling",
+        "gate_value": round(
+            exec_eff / max(hw["hw_eff"], 0.8) if hw.get("hw_eff") else exec_eff,
+            3,
+        ),
+        "pass": bool(
+            (exec_eff / max(hw["hw_eff"], 0.8) if hw.get("hw_eff") else exec_eff)
+            >= 0.8
+        ),
     }
     print(json.dumps(summary))
     if "--no-report" not in sys.argv:
@@ -255,7 +267,8 @@ can only lower the reported efficiency, never inflate it.
 | **Scaling efficiency = aggregate / (4 x single), raw** | **{s["value"]}** |
 | Hardware ceiling, same session (`tools/hw_probe.py`: bare multiprocessing, zero coordination, same per-doc work) | {s["hw_ceiling"]} |
 | **Scaling efficiency, hardware-normalized = raw / ceiling** | **{s["value_hw_normalized"]}** |
-| Gate ≥ 0.8 (raw or hw-normalized) | **{"PASS" if s["pass"] else "FAIL"}** |
+| Gate metric: raw / max(hw ceiling, 0.8) — floored so a noisy low probe can't excuse a bad raw number | **{s["gate_value"]}** |
+| Gate ≥ 0.8 | **{"PASS" if s["pass"] else "FAIL"}** |
 
 The shared VM's all-core capability fluctuates with co-tenant load (the
 bare-Python probe's own 8→32 scaling has been measured anywhere from
