@@ -2,8 +2,17 @@
 covered by extract/sidetables): one mapInArrow pass computes a per-document
 facts row (header routing, token histogram, strict verdict, xref entry
 kinds, filters used, holes, reachability), and each qkey is a relational
-query over it. PDF internals aren't SQL-expressible → rows-only for the
-driver; the byte-level behavior is pinned by tests/golden/.
+query over it.
+
+SQL oracles: the synth corpus is deterministic per recipe position
+(``idx % 47`` → recipe; every PDF blob byte-identical across idx, every
+HTML fact column constant), so the whole facts table is closed-form —
+a 47-row frozen per-recipe lookup (``pdfacts_expected.RECIPE_FACTS``,
+generated once by tools/gen_pdfacts_expected.py and pinned in git)
+cross-joined with a generated idx series. Each qkey's oracle is plain SQL
+over that reconstruction, which hash-verifies the full distributed
+pipeline against the frozen per-recipe engine behavior. Byte-level ground
+truth stays independently pinned by tests/golden/.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ import pyarrow as pa
 from pyspark.sql import functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
+from caraspark.pdfacts_expected import RECIPE_FACTS
 from caraspark.relational import Q
 
 REGISTRY: dict[str, Q] = {}
@@ -60,110 +70,155 @@ _FACTS_ARROW = pa.schema(
 )
 
 
-def _facts_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+_REC_COLS = [
+    "rid", "name", "kind", "version", "valid", "strict", "n_tokens",
+    "n_tok_int", "n_tok_name", "n_tok_str", "n_xref_inuse", "n_xref_free",
+    "n_xref_compressed", "filters", "n_objects", "n_reachable", "n_holes",
+    "hole_bytes", "encrypted", "hybrid", "text_md5",
+]
+
+
+def _facts_cte() -> str:
+    """DuckDB CTE reconstructing the facts table in closed form: corpus
+    size derived from the sf-scaled customer table, recipe assignment is
+    idx % 47, per-recipe values from the frozen lookup."""
+    values = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(r[c]) for c in _REC_COLS) + ")"
+        for r in RECIPE_FACTS
+    )
+    return f"""WITH nrows AS (
+  SELECT CASE (SELECT count(*) FROM customer)
+         WHEN 150 THEN 128 WHEN 1500 THEN 384 WHEN 15000 THEN 1536
+         ELSE 256 END AS n
+),
+rec ({", ".join(_REC_COLS)}) AS (VALUES
+    {values}),
+facts AS (
+  SELECT 'https://synth.example/' || r.name || '/' || t.range AS url, r.*
+  FROM range(0, 4096) t, rec r, nrows
+  WHERE t.range < nrows.n AND r.rid = t.range % {len(RECIPE_FACTS)}
+)"""
+
+
+def doc_facts(url: str, blob: bytes) -> dict:
+    """Per-document facts row (pure function — shared by the Spark batch
+    UDF and tools/gen_pdfacts_expected.py, which freezes the per-recipe
+    values the SQL oracles compare against)."""
     import hashlib
 
     from caraspark.pdfengine.api import FATAL_CODES, is_pdf
     from caraspark.pdfengine.document import load_document
     from caraspark.pdfengine.lexer import Lexer
-    from caraspark.pdfengine.model import Name, Ref, Stream
+    from caraspark.pdfengine.model import Name, Stream
     from caraspark.pdfengine.textextract import extract_text
+    from caraspark.pdfengine.typecheck import check_types
 
+    blob = blob or b""
+    if not is_pdf(blob):
+        return dict(
+            url=url, kind="html", version=None, valid=True,
+            strict=True, n_tokens=None, n_tok_int=None,
+            n_tok_name=None, n_tok_str=None, n_xref_inuse=None,
+            n_xref_free=None, n_xref_compressed=None, filters=None,
+            n_objects=None, n_reachable=None, n_holes=None,
+            hole_bytes=None, encrypted=False, hybrid=False,
+            text_md5=None,
+        )
+    # C4: whole-file token histogram (bounded)
+    lx = Lexer(blob)
+    hist = {"int": 0, "name": 0, "str": 0}
+    n_tok = 0
+    while n_tok < 100_000:
+        t = lx.next_token()
+        if t[0] == "eof":
+            break
+        n_tok += 1
+        if t[0] in hist:
+            hist[t[0]] += 1
+        elif t[0] == "hexstr":
+            hist["str"] += 1
+
+    doc = load_document(blob)
+    errors = list(doc.errors)
+    errors.extend(check_types(doc).errors)
+    text = extract_text(doc, errors)
+    valid = not any(e.code in FATAL_CODES for e in errors)
+    # same contract as api.process_document: strict is a VALIDATION verdict;
+    # extraction-phase ``extract.*`` warnings don't affect it
+    strict = all(e.code.startswith("extract.") for e in errors)
+
+    kinds = {"inuse": 0, "free": 0, "compressed": 0}
+    for e in doc.xref_table.values():
+        kinds[e.kind] += 1
+
+    filters: set[str] = set()
+    for o in doc.objects.values():
+        if isinstance(o, Stream):
+            fl = o.d.get("Filter")
+            if isinstance(fl, Name):
+                filters.add(fl.v)
+            elif isinstance(fl, list):
+                filters.update(x.v for x in fl if isinstance(x, Name))
+
+    # reachability from the trailer (C21 corpus metric)
+    adj: dict = {}
+    for src, dst, _ in doc.edges:
+        adj.setdefault(src, []).append(dst)
+    seen: set = set()
+    frontier = [d for d in adj.get(None, []) if d in doc.objects]
+    while frontier:
+        k = frontier.pop()
+        if k in seen:
+            continue
+        seen.add(k)
+        frontier.extend(
+            d for d in adj.get(k, []) if d in doc.objects and d not in seen
+        )
+
+    return dict(
+        url=url,
+        kind="pdf",
+        version=doc.version,
+        valid=valid,
+        strict=strict,
+        n_tokens=n_tok,
+        n_tok_int=hist["int"],
+        n_tok_name=hist["name"],
+        n_tok_str=hist["str"],
+        n_xref_inuse=kinds["inuse"],
+        n_xref_free=kinds["free"],
+        n_xref_compressed=kinds["compressed"],
+        filters=",".join(sorted(filters)),
+        n_objects=len(doc.objects),
+        n_reachable=len(seen),
+        n_holes=doc.n_holes,
+        hole_bytes=doc.hole_bytes,
+        encrypted=doc.encrypted,
+        hybrid=doc.hybrid,
+        text_md5=hashlib.md5(text).hexdigest(),
+    )
+
+
+def _facts_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     cols = {f.name: [] for f in _FACTS_ARROW}
-
-    def add(**kw):
-        for k, v in kw.items():
-            cols[k].append(v)
 
     for batch in it:
         urls = batch.column("url").to_pylist()
         blobs = batch.column("html").to_pylist()
         for url, blob in zip(urls, blobs):
-            blob = blob or b""
-            if not is_pdf(blob):
-                add(
-                    url=url, kind="html", version=None, valid=True,
-                    strict=True, n_tokens=None, n_tok_int=None,
-                    n_tok_name=None, n_tok_str=None, n_xref_inuse=None,
-                    n_xref_free=None, n_xref_compressed=None, filters=None,
-                    n_objects=None, n_reachable=None, n_holes=None,
-                    hole_bytes=None, encrypted=False, hybrid=False,
-                    text_md5=None,
-                )
-                continue
-            # C4: whole-file token histogram (bounded)
-            lx = Lexer(blob)
-            hist = {"int": 0, "name": 0, "str": 0}
-            n_tok = 0
-            while n_tok < 100_000:
-                t = lx.next_token()
-                if t[0] == "eof":
-                    break
-                n_tok += 1
-                if t[0] in hist:
-                    hist[t[0]] += 1
-                elif t[0] == "hexstr":
-                    hist["str"] += 1
-
-            doc = load_document(blob)
-            errors = list(doc.errors)
-            from caraspark.pdfengine.typecheck import check_types
-
-            errors.extend(check_types(doc).errors)
-            text = extract_text(doc, errors)
-            valid = not any(e.code in FATAL_CODES for e in errors)
-            strict = not errors
-
-            kinds = {"inuse": 0, "free": 0, "compressed": 0}
-            for e in doc.xref_table.values():
-                kinds[e.kind] += 1
-
-            filters: set[str] = set()
-            for o in doc.objects.values():
-                if isinstance(o, Stream):
-                    fl = o.d.get("Filter")
-                    if isinstance(fl, Name):
-                        filters.add(fl.v)
-                    elif isinstance(fl, list):
-                        filters.update(x.v for x in fl if isinstance(x, Name))
-
-            # reachability from the trailer (C21 corpus metric)
-            adj: dict = {}
-            for src, dst, _ in doc.edges:
-                adj.setdefault(src, []).append(dst)
-            seen: set = set()
-            frontier = [d for d in adj.get(None, []) if d in doc.objects]
-            while frontier:
-                k = frontier.pop()
-                if k in seen:
-                    continue
-                seen.add(k)
-                frontier.extend(
-                    d for d in adj.get(k, []) if d in doc.objects and d not in seen
-                )
-
-            add(
-                url=url,
-                kind="pdf",
-                version=doc.version,
-                valid=valid,
-                strict=strict,
-                n_tokens=n_tok,
-                n_tok_int=hist["int"],
-                n_tok_name=hist["name"],
-                n_tok_str=hist["str"],
-                n_xref_inuse=kinds["inuse"],
-                n_xref_free=kinds["free"],
-                n_xref_compressed=kinds["compressed"],
-                filters=",".join(sorted(filters)),
-                n_objects=len(doc.objects),
-                n_reachable=len(seen),
-                n_holes=doc.n_holes,
-                hole_bytes=doc.hole_bytes,
-                encrypted=doc.encrypted,
-                hybrid=doc.hybrid,
-                text_md5=hashlib.md5(text).hexdigest(),
-            )
+            row = doc_facts(url, blob)
+            for k, v in row.items():
+                cols[k].append(v)
         if cols["url"]:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[f.name], f.type) for f in _FACTS_ARROW],
@@ -179,7 +234,13 @@ def _facts(spark, sf):
     )
 
 
-@_q("doc_header", None)
+@_q(
+    "doc_header",
+    _facts_cte()
+    + """
+SELECT kind, version, CAST(count(*) AS BIGINT) AS n
+FROM facts GROUP BY kind, version""",
+)
 def doc_header(spark, sf):
     # C2: magic-byte format routing + version histogram
     return _facts(spark, sf).groupBy("kind", "version").agg(
@@ -187,7 +248,13 @@ def doc_header(spark, sf):
     )
 
 
-@_q("pdf_lex", None)
+@_q(
+    "pdf_lex",
+    _facts_cte()
+    + """
+SELECT url, n_tokens, n_tok_int, n_tok_name, n_tok_str
+FROM facts WHERE kind = 'pdf'""",
+)
 def pdf_lex(spark, sf):
     # C4: corpus token histogram (per url — compared against goldens in CI)
     f = _facts(spark, sf).filter(F.col("kind") == "pdf")
@@ -196,21 +263,38 @@ def pdf_lex(spark, sf):
     )
 
 
-@_q("pdf_parse", None)
+@_q(
+    "pdf_parse",
+    _facts_cte()
+    + """
+SELECT url, valid, n_objects, text_md5 FROM facts WHERE kind = 'pdf'""",
+)
 def pdf_parse(spark, sf):
     # C6/C8: per-document parse outcome + extracted-text digest
     f = _facts(spark, sf).filter(F.col("kind") == "pdf")
     return f.select("url", "valid", "n_objects", "text_md5")
 
 
-@_q("pdf_strict", None)
+@_q(
+    "pdf_strict",
+    _facts_cte()
+    + """
+SELECT valid, strict, CAST(count(*) AS BIGINT) AS n
+FROM facts WHERE kind = 'pdf' GROUP BY valid, strict""",
+)
 def pdf_strict(spark, sf):
     # C7: strict-grammar verdicts across the corpus
     f = _facts(spark, sf).filter(F.col("kind") == "pdf")
     return f.groupBy("valid", "strict").agg(F.count(F.lit(1)).alias("n"))
 
 
-@_q("pdf_xref", None)
+@_q(
+    "pdf_xref",
+    _facts_cte()
+    + """
+SELECT url, n_xref_inuse, n_xref_free, n_xref_compressed, hybrid
+FROM facts WHERE kind = 'pdf'""",
+)
 def pdf_xref(spark, sf):
     # C10/C11: xref entry kinds per document
     f = _facts(spark, sf).filter(F.col("kind") == "pdf")
@@ -219,14 +303,27 @@ def pdf_xref(spark, sf):
     )
 
 
-@_q("pdf_xrefstream", None)
+@_q(
+    "pdf_xrefstream",
+    _facts_cte()
+    + """
+SELECT url, n_xref_compressed, n_objects, valid
+FROM facts WHERE n_xref_compressed > 0""",
+)
 def pdf_xrefstream(spark, sf):
     # C11: documents resolved through xref streams / compressed entries
     f = _facts(spark, sf).filter(F.col("n_xref_compressed") > 0)
     return f.select("url", "n_xref_compressed", "n_objects", "valid")
 
 
-@_q("pdf_filters", None)
+@_q(
+    "pdf_filters",
+    _facts_cte()
+    + """
+SELECT f.filter AS filter, CAST(count(*) AS BIGINT) AS n_docs
+FROM facts, unnest(string_split(facts.filters, ',')) AS f(filter)
+WHERE facts.filters <> '' GROUP BY f.filter""",
+)
 def pdf_filters(spark, sf):
     # C13–C16: filter usage histogram (explode the per-doc filter set)
     f = _facts(spark, sf).filter(F.col("filters") != "")
@@ -237,7 +334,14 @@ def pdf_filters(spark, sf):
     )
 
 
-@_q("pdf_objstm", None)
+@_q(
+    "pdf_objstm",
+    _facts_cte()
+    + """
+SELECT valid, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_xref_compressed) AS BIGINT) AS n_compressed_objects
+FROM facts WHERE n_xref_compressed > 0 GROUP BY valid""",
+)
 def pdf_objstm(spark, sf):
     # C17: object-stream explode accounting
     f = _facts(spark, sf)
@@ -247,14 +351,26 @@ def pdf_objstm(spark, sf):
     )
 
 
-@_q("pdf_decrypt", None)
+@_q(
+    "pdf_decrypt",
+    _facts_cte()
+    + """
+SELECT url, valid, strict, text_md5 FROM facts WHERE encrypted""",
+)
 def pdf_decrypt(spark, sf):
     # C18: encrypted documents decrypt to valid text (md5 pinned by goldens)
     f = _facts(spark, sf).filter(F.col("encrypted"))
     return f.select("url", "valid", "strict", "text_md5")
 
 
-@_q("pdf_holes", None)
+@_q(
+    "pdf_holes",
+    _facts_cte()
+    + """
+SELECT n_holes > 0 AS has_holes, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(hole_bytes) AS BIGINT) AS total_hole_bytes
+FROM facts WHERE kind = 'pdf' GROUP BY n_holes > 0""",
+)
 def pdf_holes(spark, sf):
     # C19: byte-coverage holes across the corpus
     f = _facts(spark, sf).filter(F.col("kind") == "pdf")
@@ -264,7 +380,14 @@ def pdf_holes(spark, sf):
     )
 
 
-@_q("pdf_reach", None)
+@_q(
+    "pdf_reach",
+    _facts_cte()
+    + """
+SELECT url, n_objects, n_reachable,
+       n_objects - n_reachable AS n_unreachable
+FROM facts WHERE kind = 'pdf'""",
+)
 def pdf_reach(spark, sf):
     # C21: reachability — objects reachable from the trailer root
     f = _facts(spark, sf).filter(F.col("kind") == "pdf")

@@ -77,8 +77,17 @@ _STRIP_STREAM_KEYS = {"Filter", "DecodeParms", "DP", "Length"}
 _STRIP_TRAILER_KEYS = {"Prev", "XRefStm", "Size"}
 
 
-def cleanup(doc) -> bytes:
-    """Document → canonical bytes (classic xref, dense renumbering)."""
+def cleanup(doc, reencode: str = "none") -> bytes:
+    """Document → canonical bytes (classic xref, dense renumbering).
+
+    ``reencode="none"`` (default) emits decoded stream payloads with a
+    recomputed /Length — self-consistent, but larger than caradoc's
+    canonical form, which re-compresses stream data. ``reencode="flate"``
+    Flate-encodes every stream payload (fixed zlib level 6, so output is
+    deterministic and the serialize→parse→serialize fixpoint holds in both
+    modes — pinned by tests/test_cleanup.py)."""
+    if reencode not in ("none", "flate"):
+        raise ValueError(f"unknown reencode mode {reencode!r}")
     keys = []
     for k in sorted(doc.objects):
         o = doc.objects[k]
@@ -102,6 +111,11 @@ def cleanup(doc) -> bytes:
                 for kk, vv in o.d.items()
                 if kk not in _STRIP_STREAM_KEYS
             }
+            if reencode == "flate":
+                import zlib
+
+                payload = zlib.compress(payload, 6)
+                d["Filter"] = Name("FlateDecode")
             d["Length"] = len(payload)
             out += ser_obj(d, renum)
             out += b"\nstream\n" + payload + b"\nendstream"

@@ -92,6 +92,27 @@ STREAM = Prim("stream")
 
 RECT = Tuple((NUMBER, NUMBER, NUMBER, NUMBER))
 
+# Color-space families [PDF17 §8.6]: device/named spaces are bare names;
+# parameterized families are discriminated arrays. Nested base spaces are
+# checked shallowly (NAME | ARRAY) — the DSL's frozen dataclasses can't
+# express unbounded recursion, matching caradoc's bounded CS descent.
+_CS_BASE = OneOf((NAME, ARRAY))
+_CS_FUNC = OneOf((Class("function"), ArrayOf(Class("function"))))
+COLORSPACE = OneOf(
+    (
+        NAME,
+        Tuple((Exact("ICCBased"), Class("colorspace_icc"))),
+        Tuple((Exact("Indexed"), _CS_BASE, INT, OneOf((STRING, STREAM)))),
+        Tuple((Exact("Separation"), NAME, _CS_BASE, _CS_FUNC)),
+        Tuple((Exact("DeviceN"), ArrayOf(NAME), _CS_BASE, _CS_FUNC)),
+        Tuple((Exact("DeviceN"), ArrayOf(NAME), _CS_BASE, _CS_FUNC, DICT)),
+        Tuple((Exact("CalRGB"), DICT)),
+        Tuple((Exact("CalGray"), DICT)),
+        Tuple((Exact("Lab"), DICT)),
+        Tuple((Exact("Pattern"), _CS_BASE)),
+    )
+)
+
 TYPEDEFS: dict[str, ClassDef] = {
     "catalog": ClassDef(
         {
@@ -157,12 +178,14 @@ TYPEDEFS: dict[str, ClassDef] = {
     ),
     "resources": ClassDef(
         {
-            "Font": Entry(DictOf(Class("font"))),
+            "Font": Entry(
+                DictOf(OneOf((Class("font_type0"), Class("font"))))
+            ),
             "XObject": Entry(
                 DictOf(OneOf((Class("xobject_image"), Class("xobject_form"))))
             ),
             "ExtGState": Entry(DictOf(Class("extgstate"))),
-            "ColorSpace": Entry(DictOf(OneOf((NAME, ARRAY)))),
+            "ColorSpace": Entry(DictOf(COLORSPACE)),
             "Pattern": Entry(
                 DictOf(OneOf((Class("pattern_tiling"), Class("pattern_shading"))))
             ),
@@ -201,13 +224,108 @@ TYPEDEFS: dict[str, ClassDef] = {
             "LastChar": Entry(INT),
             "Widths": Entry(ArrayOf(NUMBER)),
             "FontDescriptor": Entry(Class("fontdescriptor")),
-            "Encoding": Entry(OneOf((NAME, DICT))),
+            "Encoding": Entry(OneOf((NAME, Class("encoding")))),
             "ToUnicode": Entry(STREAM),
             "Name": Entry(NAME),
-            "DescendantFonts": Entry(ArrayOf(Class("font"))),
+            "DescendantFonts": Entry(
+                ArrayOf(OneOf((Class("font_cid"), Class("font"))))
+            ),
             "CIDSystemInfo": Entry(DICT),
             "W": Entry(ARRAY),
             "DW": Entry(NUMBER),
+        }
+    ),
+    # --- composite (Type0/CID) fonts [PDF17 §9.7] --------------------------
+    "font_type0": ClassDef(
+        {
+            "Type": Entry(Exact("Font"), required=True),
+            "Subtype": Entry(Exact("Type0"), required=True),
+            "BaseFont": Entry(NAME, required=True),
+            # a predefined CMap name or an embedded CMap stream
+            "Encoding": Entry(OneOf((NAME, STREAM)), required=True),
+            # spec: a one-element array holding the CIDFont
+            "DescendantFonts": Entry(
+                Tuple((Class("font_cid"),)), required=True
+            ),
+            "ToUnicode": Entry(STREAM),
+        }
+    ),
+    "font_cid": ClassDef(
+        {
+            "Type": Entry(Exact("Font"), required=True),
+            "Subtype": Entry(
+                OneOf((Exact("CIDFontType0"), Exact("CIDFontType2"))),
+                required=True,
+            ),
+            "BaseFont": Entry(NAME, required=True),
+            "CIDSystemInfo": Entry(Class("cid_system_info"), required=True),
+            "FontDescriptor": Entry(Class("fontdescriptor")),
+            "DW": Entry(NUMBER),
+            "W": Entry(ARRAY),
+            "DW2": Entry(Tuple((NUMBER, NUMBER))),
+            "W2": Entry(ARRAY),
+            "CIDToGIDMap": Entry(OneOf((NAME, STREAM))),
+        }
+    ),
+    "cid_system_info": ClassDef(
+        {
+            "Registry": Entry(STRING, required=True),
+            "Ordering": Entry(STRING, required=True),
+            "Supplement": Entry(INT, required=True),
+        }
+    ),
+    # --- simple-font encoding dict with /Differences [PDF17 §9.6.6] --------
+    "encoding": ClassDef(
+        {
+            "Type": Entry(Exact("Encoding")),
+            "BaseEncoding": Entry(NAME),
+            # alternating char codes and glyph names
+            "Differences": Entry(ArrayOf(OneOf((INT, NAME)))),
+        }
+    ),
+    # --- ICC profile stream [PDF17 §8.6.5.5] -------------------------------
+    "colorspace_icc": ClassDef(
+        {
+            "N": Entry(INT, required=True),
+            "Alternate": Entry(OneOf((NAME, ARRAY))),
+            "Range": Entry(ArrayOf(NUMBER)),
+            "Metadata": Entry(STREAM),
+        },
+        is_stream=True,
+    ),
+    # --- signature dict [PDF17 §12.8.1] ------------------------------------
+    # /Type is optional per spec but serves as the union discriminator for
+    # field /V dispatch (same pragmatic stance caradoc takes on /Type use)
+    "sig": ClassDef(
+        {
+            "Type": Entry(Exact("Sig"), required=True),
+            "Filter": Entry(NAME, required=True),
+            "SubFilter": Entry(NAME),
+            "Contents": Entry(STRING, required=True),
+            "ByteRange": Entry(ArrayOf(INT), required=True),
+            "Cert": Entry(OneOf((STRING, ArrayOf(STRING)))),
+            "Reference": Entry(ARRAY),
+            "Changes": Entry(Tuple((INT, INT, INT))),
+            "M": Entry(STRING),
+            "Name": Entry(STRING),
+            "Location": Entry(STRING),
+            "Reason": Entry(STRING),
+            "ContactInfo": Entry(STRING),
+            "R": Entry(INT),
+            "V": Entry(INT),
+            "Prop_Build": Entry(DICT),
+            "Prop_AuthTime": Entry(INT),
+            "Prop_AuthType": Entry(NAME),
+        }
+    ),
+    # --- embedded-file stream params [PDF17 §7.11.4.4] ---------------------
+    "ef_params": ClassDef(
+        {
+            "Size": Entry(INT),
+            "CreationDate": Entry(STRING),
+            "ModDate": Entry(STRING),
+            "Mac": Entry(DICT),
+            "CheckSum": Entry(STRING),
         }
     ),
     "outlines": ClassDef(
@@ -321,7 +439,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "T": Entry(STRING),
             "TU": Entry(STRING),
             "Ff": Entry(INT),
-            "V": Entry(ANY),
+            "V": Entry(OneOf((Class("sig"), ANY))),
             "DV": Entry(ANY),
             "DA": Entry(STRING),
             "Q": Entry(INT),
@@ -385,7 +503,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Templates": Entry(Class("name_tree")),
             "IDS": Entry(Class("name_tree")),
             "URLS": Entry(Class("name_tree")),
-            "EmbeddedFiles": Entry(Class("name_tree")),
+            "EmbeddedFiles": Entry(Class("name_tree_files")),
             "AlternatePresentations": Entry(Class("name_tree")),
             "Renditions": Entry(Class("name_tree")),
         }
@@ -394,6 +512,15 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "Kids": Entry(ArrayOf(Class("name_tree"))),
             "Names": Entry(ARRAY),  # alternating [key STRING, value ANY]
+            "Limits": Entry(Tuple((STRING, STRING))),
+        }
+    ),
+    # value-typed tree for /EmbeddedFiles: alternating [name STRING,
+    # filespec] — descends into filespec → /EF → embedded_file → ef_params
+    "name_tree_files": ClassDef(
+        {
+            "Kids": Entry(ArrayOf(Class("name_tree_files"))),
+            "Names": Entry(ArrayOf(OneOf((STRING, Class("filespec"))))),
             "Limits": Entry(Tuple((STRING, STRING))),
         }
     ),
@@ -438,7 +565,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Subtype": Entry(Exact("Image"), required=True),
             "Width": Entry(INT, required=True),
             "Height": Entry(INT, required=True),
-            "ColorSpace": Entry(OneOf((NAME, ARRAY))),
+            "ColorSpace": Entry(COLORSPACE),
             "BitsPerComponent": Entry(INT),
             "ImageMask": Entry(BOOL),
             "Mask": Entry(OneOf((STREAM, ArrayOf(INT)))),
@@ -496,7 +623,7 @@ TYPEDEFS: dict[str, ClassDef] = {
     "shading": ClassDef(
         {
             "ShadingType": Entry(INT, required=True),  # 1–7
-            "ColorSpace": Entry(OneOf((NAME, ARRAY)), required=True),
+            "ColorSpace": Entry(COLORSPACE, required=True),
             "Background": Entry(ArrayOf(NUMBER)),
             "BBox": Entry(RECT),
             "AntiAlias": Entry(BOOL),
@@ -603,7 +730,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "TU": Entry(STRING),
             "TM": Entry(STRING),
             "Ff": Entry(INT),
-            "V": Entry(ANY),
+            "V": Entry(OneOf((Class("sig"), ANY))),
             "DV": Entry(ANY),
             "AA": Entry(DICT),
             "Subtype": Entry(NAME),
@@ -670,7 +797,7 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "Type": Entry(Exact("EmbeddedFile")),
             "Subtype": Entry(NAME),
-            "Params": Entry(DICT),
+            "Params": Entry(Class("ef_params")),
         },
         is_stream=True,
     ),
@@ -1070,6 +1197,9 @@ _COMPATIBLE = {
     # AcroForm /Fields and the page's /Annots [PDF17 §12.7.1]
     ("field", "annot_widget"), ("annot_widget", "field"),
     ("annot", "annot_widget"), ("annot_widget", "annot"),
+    # composite-font dispatch: generic referrers may still say "font"
+    ("font", "font_type0"), ("font_type0", "font"),
+    ("font", "font_cid"), ("font_cid", "font"),
 }
 
 

@@ -542,6 +542,26 @@ def agg_grouping_sets(spark, sf):
 
 
 @_q(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(count(*) AS BIGINT)  AS n,
+              round(sum(l_quantity), 4) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark, sf):
+    """G4 (cube cell): every subtotal combination — (flag,status), (flag),
+    (status), grand total. Same physical shape as rollup: one Expand (4
+    grouping ids) feeding a partial+final hash aggregate, so the fan-out
+    multiplies map-side rows by the number of grouping sets, never the
+    shuffle count."""
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@_q(
     "agg_collect",
     """SELECT l_orderkey,
               string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
@@ -633,6 +653,54 @@ def agg_udaf(spark, sf):
     return e.groupBy("label").agg(
         F.round(mean_norm("embedding"), 4).alias("avg_norm"),
         n_rows("label").alias("n"),
+    )
+
+
+@_q(
+    "agg_grouped_map",
+    """SELECT o_orderkey,
+              o_custkey,
+              (CAST(round(o_totalprice * 100) AS BIGINT)
+               - sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey)
+                 / CAST(count(*) OVER (PARTITION BY o_custkey) AS DOUBLE))
+              / 100.0 AS price_dev
+       FROM orders""",
+)
+def agg_grouped_map(spark, sf):
+    """U4: batch grouped-map ``applyInPandas`` — the per-group regroup
+    mechanism (whole group as one pandas frame in, transformed frame out).
+    Demo semantics: each order's deviation from its customer's mean price.
+    Scale shape: ONE shuffle on the group key; each group must fit in one
+    executor's memory (fine for per-customer / per-doc groups — this is
+    the same regroup the per-doc object pipeline uses). Prefer window
+    functions when the computation is expressible JVM-side; grouped-map is
+    for genuinely imperative per-group logic.
+
+    Both sides aggregate exact integer cents and then apply the SAME
+    sequence of correctly-rounded double ops (int-sum ÷ count, subtract,
+    ÷100), so the doubles are bit-identical. A plain avg(double) differs
+    in the last ulp between pandas and the oracle, and any explicit
+    round(…, k) reintroduces half-way ties that numpy (half-even) and SQL
+    engines (half-away) break differently."""
+    import numpy as np
+
+    def dev(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(pdf["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        mean_cents = cents.sum() / len(cents)  # exact int sum, one fp divide
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "price_dev": (cents - mean_cents) / 100.0,
+            }
+        )
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        dev, "o_orderkey bigint, o_custkey bigint, price_dev double"
     )
 
 
@@ -826,6 +894,42 @@ def set_intersect(spark, sf):
     c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.intersect(s)
+
+
+@_q(
+    "set_except_all",
+    """SELECT o_custkey AS ck FROM orders
+       EXCEPT ALL
+       SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000""",
+)
+def set_except_all(spark, sf):
+    """O4 (ALL variant): bag difference — keeps multiplicities (a customer
+    with 5 orders, 2 of them >200k, appears 3 times). Catalyst plans this
+    as one shuffle on the value with per-key count arithmetic, not a
+    distinct."""
+    o = load(spark, sf, "orders")
+    a = o.select(F.col("o_custkey").alias("ck"))
+    b = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("ck")
+    )
+    return a.exceptAll(b)
+
+
+@_q(
+    "set_intersect_all",
+    """SELECT o_custkey AS ck FROM orders
+       INTERSECT ALL
+       SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'""",
+)
+def set_intersect_all(spark, sf):
+    """O4 (ALL variant): bag intersection — multiplicity is min(count_a,
+    count_b) per value."""
+    o = load(spark, sf, "orders")
+    a = o.select(F.col("o_custkey").alias("ck"))
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("ck")
+    )
+    return a.intersectAll(b)
 
 
 # ---------------------------------------------------------------------------

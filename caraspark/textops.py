@@ -602,6 +602,47 @@ SELECT q_id, n_id, cos FROM scored WHERE rn <= {_TOPK}
 """
 
 
+def ivf_quantizer_udfs(spark, centroids, c_ids, nprobe: int = _NPROBE):
+    """Build (assign, probe) pandas UDFs for a coarse quantizer.
+
+    The quantizer ships to executors as ONE broadcast variable — plan size
+    and per-row cost are independent of K (the previous design embedded
+    every centroid as K·dim literal expressions inside a per-row
+    ``sort_array``, which was lethal at a production K of thousands).
+    Per Arrow batch the work is one (batch × K) BLAS matmul +
+    ``argsort``; ordering matches the oracle: round(cosine, 6) DESC,
+    c_id ASC (ties break via stable sort over ascending c_id columns).
+
+    ``assign(embedding) -> c_id`` — nearest inverted list per vector.
+    ``probe(embedding) -> array<c_id>`` — the nprobe nearest lists.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in centroids])
+    cid = np.asarray(c_ids, dtype=np.int64)
+    order = np.argsort(cid)
+    C, cid = C[order], cid[order]  # ascending c_id → stable-sort tiebreak
+    cn = np.sqrt((C * C).sum(axis=1))
+    bc = spark.sparkContext.broadcast((C, cid, cn))
+
+    def _ranked(vs, k: int):
+        Cv, cidv, cnv = bc.value
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        xn = np.sqrt((X * X).sum(axis=1))
+        cos = np.round((X @ Cv.T) / np.outer(xn, cnv), 6)
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        return cidv[top]
+
+    assign = F.pandas_udf(
+        lambda vs: pd.Series(_ranked(vs, 1)[:, 0]), "long"
+    )
+    probe = F.pandas_udf(
+        lambda vs: pd.Series(list(_ranked(vs, nprobe))), "array<long>"
+    )
+    return assign, probe
+
+
 @_q("ann_ivf", _ivf_sql())
 def ann_ivf(spark, sf):
     """IVF-style ANN: a deterministic sampled coarse quantizer (vec_id %
@@ -610,19 +651,23 @@ def ann_ivf(spark, sf):
 
     Scale shape: the coarse quantizer is SMALL by construction, so its
     vectors load to the driver (exactly how production IVF ships a
-    trained quantizer) and list assignment happens per-row with JVM
-    expressions — ``sort_array`` over K (cosine, -c_id) structs — a
-    NARROW stage: zero shuffle, zero aggregation over the corpus. The
-    candidate join broadcasts the probe set so the big side still never
-    shuffles; the only exchange in the whole plan is the final tiny
-    top-k. At 10^12 vectors the per-query work is |corpus|/K * nprobe
-    instead of |corpus|."""
+    trained quantizer) and travel to executors as a broadcast variable;
+    list assignment is a vectorized pandas UDF (NumPy matmul per Arrow
+    batch) — a NARROW stage: zero shuffle, zero aggregation over the
+    corpus, plan size independent of K. The candidate join broadcasts the
+    probe set so the big side still never shuffles; the only exchange in
+    the whole plan is the final tiny top-k. At 10^12 vectors the
+    per-query work is |corpus|/K * nprobe instead of |corpus|."""
     e = load(spark, sf, "embeddings")
-    cent_rows = sorted(
+    cent_rows = (
         e.filter(F.col("vec_id") % _IVF_MOD == 0)
         .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
-        .collect(),
-        key=lambda r: r["c_id"],
+        .collect()
+    )
+    assign_udf, probe_udf = ivf_quantizer_udfs(
+        spark,
+        [r["cv"] for r in cent_rows],
+        [r["c_id"] for r in cent_rows],
     )
 
     def dot(x, y):
@@ -637,36 +682,18 @@ def ann_ivf(spark, sf):
             dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y))), 6
         )
 
-    # per-row candidate structs; sort desc → [0] is the nearest list,
-    # [0:nprobe] are the probe lists; ties break to min c_id via -c_id
-    cand = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    cosine(
-                        F.col("embedding"),
-                        F.array(*[F.lit(float(v)) for v in r["cv"]]),
-                    ).alias("cosr"),
-                    F.lit(-int(r["c_id"])).cast("long").alias("nc"),
-                )
-                for r in cent_rows
-            ]
-        ),
-        False,
-    )
     lists = e.select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("nv"),
-        (-cand[0]["nc"]).alias("c_id"),
+        assign_udf(F.col("embedding")).alias("c_id"),
     )
     probes = (
         e.filter(F.col("vec_id") < _NQ)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
-            F.explode(F.slice(cand, 1, _NPROBE)).alias("pc"),
+            F.explode(probe_udf(F.col("embedding"))).alias("pc_id"),
         )
-        .select("q_id", "qv", (-F.col("pc.nc")).alias("pc_id"))
     )
     cands = lists.join(
         F.broadcast(probes),

@@ -32,17 +32,30 @@ FIXPOINT_RECIPES = [
 ]
 
 
+@pytest.mark.parametrize("reencode", ["none", "flate"])
 @pytest.mark.parametrize("name", FIXPOINT_RECIPES)
-def test_cleanup_fixpoint(name):
+def test_cleanup_fixpoint(name, reencode):
     blob = PDF_RECIPES[name]()
     doc1 = load_document(blob)
-    c1 = cleanup(doc1)
+    c1 = cleanup(doc1, reencode=reencode)
     doc2 = load_document(c1)
     # the canonical form itself parses cleanly...
     fatal = [e for e in doc2.errors if e.code.startswith(("xref.", "obj."))]
     assert not fatal, f"{name}: canonical form has errors {fatal[:3]}"
-    c2 = cleanup(doc2)
+    c2 = cleanup(doc2, reencode=reencode)
     assert c1 == c2, f"{name}: cleanup is not a fixpoint"
+
+
+def test_cleanup_flate_mode_compresses_and_preserves_text():
+    from caraspark.pdfengine import process_document
+
+    for name in ("pdf_text_ops", "pdf_flate", "pdf_objstm"):
+        blob = PDF_RECIPES[name]()
+        out = cleanup(load_document(blob), reencode="flate")
+        assert b"/Filter /FlateDecode" in out, name
+        before = process_document(blob).text
+        after = process_document(out).text
+        assert before == after, name
 
 
 def test_cleanup_preserves_text():

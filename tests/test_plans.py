@@ -247,8 +247,8 @@ def test_global_topk_uses_take_ordered(spark, sf_smoke, qs):
 
 
 def test_ann_ivf_plan_is_narrow_plus_one_topk_exchange(spark, sf_smoke):
-    """List assignment is per-row JVM expressions (driver-loaded coarse
-    quantizer): NO aggregate, sort-merge join, or window over the corpus.
+    """List assignment is a vectorized pandas UDF fed by a broadcast
+    quantizer: NO aggregate, sort-merge join, or window over the corpus.
     The single exchange is the final top-k keyed on the tiny query set."""
     qs = ent.queries()
     p = plan_of(qs["ann_ivf"](spark, sf_smoke), "simple")
@@ -256,6 +256,55 @@ def test_ann_ivf_plan_is_narrow_plus_one_topk_exchange(spark, sf_smoke):
     assert "SortMergeJoin" not in p, p
     assert "SortAggregate" not in p and "HashAggregate" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ann_ivf_plan_size_independent_of_k(spark, sf_smoke):
+    """The quantizer ships as a broadcast variable, never as literal
+    expressions: the physical plan must not grow with K (the old design
+    embedded K*dim float literals per row, lethal at production K)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from caraspark.tables import load
+    from caraspark.textops import ivf_quantizer_udfs
+
+    e = load(spark, sf_smoke, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+
+    def plan_for(k):
+        C = rng.standard_normal((k, dim))
+        assign, probe = ivf_quantizer_udfs(spark, list(C), list(range(k)))
+        df = e.select(
+            F.col("vec_id"),
+            assign(F.col("embedding")).alias("c_id"),
+            probe(F.col("embedding")).alias("probes"),
+        )
+        return plan_of(df, "simple")
+
+    p8, p256 = plan_for(8), plan_for(256)
+    assert abs(len(p256) - len(p8)) < 200, (len(p8), len(p256))
+    assert "Exchange" not in p256, p256  # assignment stage stays narrow
+
+    # and the K=256 assignment is correct vs a NumPy reference
+    C = rng.standard_normal((256, dim))
+    assign, _ = ivf_quantizer_udfs(spark, list(C), list(range(256)))
+    rows = (
+        e.select("vec_id", "embedding", assign(F.col("embedding")).alias("c"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cos = np.round(
+        (X @ C.T)
+        / np.outer(
+            np.sqrt((X * X).sum(axis=1)), np.sqrt((C * C).sum(axis=1))
+        ),
+        6,
+    )
+    expect = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+    got = np.array([r["c"] for r in rows])
+    assert (expect == got).all()
 
 
 def test_agg_grouping_sets_expands_with_partial_agg(spark, sf_smoke):

@@ -661,3 +661,249 @@ def test_encrypted_objstm_strings_not_double_decrypted():
     cat = json.loads(r.objects_json["1.0"])
     # canonical JSON hex-encodes PDF byte-strings under "$s"
     assert cat["$d"]["Lang"]["$s"] == b"en-US".hex()  # intact, byte-exact
+
+
+# --- composite (Type0/CID) fonts [PDF17 §9.7] ------------------------------
+
+
+def test_type0_cid_font_chain_validates():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /AB+Mincho"
+                b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AB+Mincho"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                b" /Supplement 7 >> /DW 1000 /CIDToGIDMap /Identity"
+                b" /FontDescriptor 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /FontDescriptor /FontName /AB+Mincho /Flags 4"
+                b" /ItalicAngle 0 /Ascent 880 /Descent -120 /StemV 50"
+                b" /FontBBox [0 -120 1000 880] >>",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "font_type0"
+    assert r.type_assignments["6.0"] == "font_cid"
+
+
+def test_cid_font_missing_system_info_rejected():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+                b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+            ),
+            # missing required /CIDSystemInfo
+            6: _obj(
+                6,
+                b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /X >>",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+    assert not r.strict
+
+
+def test_type0_missing_descendants_rejected():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+                b" /Encoding /Identity-H >>",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+# --- encoding dict with /Differences [PDF17 §9.6.6] ------------------------
+
+
+def test_encoding_differences_validates():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /F"
+                b" /Encoding 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+                b" /Differences [ 24 /breve /caron 39 /quotesingle ] >>",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "encoding"
+
+
+def test_encoding_differences_rejects_string_element():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /F"
+                b" /Encoding 6 0 R >>",
+            ),
+            # (breve) is a string, not an int or glyph name
+            6: _obj(6, b"<< /Type /Encoding /Differences [ 24 (breve) ] >>"),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- color-space families [PDF17 §8.6] -------------------------------------
+
+
+def test_colorspace_families_validate():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5, b"/N 3 /Alternate /DeviceRGB", b"\x00" * 8
+            ),
+        },
+        page_extra=(
+            b" /Resources << /ColorSpace <<"
+            b" /CS0 /DeviceGray"
+            b" /CS1 [/ICCBased 5 0 R]"
+            b" /CS2 [/Indexed /DeviceRGB 1 <000000FFFFFF>]"
+            b" /CS3 [/CalRGB << /WhitePoint [0.95 1 1.09] >>]"
+            b" >> >>"
+        ),
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "colorspace_icc"
+
+
+def test_iccbased_missing_n_rejected():
+    blob = _doc(
+        {5: _stream_obj(5, b"/Alternate /DeviceRGB", b"\x00" * 8)},
+        page_extra=(
+            b" /Resources << /ColorSpace << /CS1 [/ICCBased 5 0 R] >> >>"
+        ),
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_unknown_colorspace_family_rejected():
+    blob = _doc(
+        {},
+        page_extra=(
+            b" /Resources << /ColorSpace << /CS1 [/NoSuchFamily 1 2] >> >>"
+        ),
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- signature dicts [PDF17 §12.8.1] ---------------------------------------
+
+
+def test_signature_field_validates():
+    blob = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 3 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /SubFilter /adbe.pkcs7.detached"
+                b" /Contents <DEADBEEF> /ByteRange [0 840 960 240]"
+                b" /Reason (approval) /M (D:20260101000000Z) >>",
+            ),
+        },
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "sig"
+
+
+def test_signature_missing_byterange_rejected():
+    blob = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /Contents <DEADBEEF> >>",
+            ),
+        },
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+    assert not r.strict
+
+
+# --- embedded-file /Params [PDF17 §7.11.4.4] -------------------------------
+
+
+def test_embedded_file_params_validate():
+    blob = _doc_catalog(
+        b" /Names << /EmbeddedFiles << /Names [(a.txt) 5 0 R] >> >>",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Filespec /F (a.txt) /EF << /F 6 0 R >> >>",
+            ),
+            6: _stream_obj(
+                6,
+                b"/Type /EmbeddedFile /Subtype /text#2Fplain"
+                b" /Params << /Size 5 /CheckSum <00FF>"
+                b" /CreationDate (D:20260101000000Z) >>",
+                b"hello",
+            ),
+        },
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+
+
+def test_embedded_file_params_bad_size_rejected():
+    blob = _doc_catalog(
+        b" /Names << /EmbeddedFiles << /Names [(a.txt) 5 0 R] >> >>",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Filespec /F (a.txt) /EF << /F 6 0 R >> >>",
+            ),
+            6: _stream_obj(
+                6,
+                b"/Type /EmbeddedFile /Params << /Size (five) >>",
+                b"hello",
+            ),
+        },
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
