@@ -6,9 +6,11 @@ through the full mapInArrow extraction pipeline, and the oracle SQL predicts
 the extracted text in closed form — so the whole engine (routing, HTML
 strip, Arrow plumbing, salting) is value-hash-checked against DuckDB.
 
-The PDF-side operators are verified by the committed byte goldens in
-tests/ (they are not SQL-expressible); their qkeys here run the real
-pipeline over the synthetic corpus and get the driver's rows-only check.
+The PDF-side operators run the real pipeline over the synthetic corpus
+and hash-verify against frozen per-recipe/per-idx expected results
+(caraspark/oracle_freeze.py); byte-level ground truth stays pinned by the
+committed goldens in tests/. Only partition_metrics remains rows-only —
+its parse_ms timings are inherently nondeterministic.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.extract import extract
+from caraspark.oracle_freeze import corpus_cte, perdoc_cte
 from caraspark.relational import Q, REGISTRY as _REL  # reuse the dataclass
 from caraspark.tables import load
 
@@ -88,7 +91,13 @@ def doc_extract_roundtrip(spark, sf):
     )
 
 
-@_q("doc_extract", None)  # PDF semantics aren't SQL-expressible → rows-only
+@_q(
+    "doc_extract",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, valid, strict, kind, text_len AS text_bytes, text_md5
+FROM perdoc""",
+)  # oracle: frozen per-recipe/per-idx extraction results (oracle_freeze)
 def doc_extract(spark, sf):
     ex = _extracted(spark, sf)
     return ex.select(
@@ -101,7 +110,20 @@ def doc_extract(spark, sf):
     )
 
 
-@_q("doc_stats", None)
+@_q(
+    "doc_stats",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN strict THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
+       CAST(sum(n_objects) AS BIGINT) AS total_objects,
+       CAST(sum(n_streams) AS BIGINT) AS total_streams,
+       CAST(sum(bytes_in) AS BIGINT) AS bytes_in,
+       CAST(sum(bytes_decoded) AS BIGINT) AS bytes_decoded,
+       CAST(max(n_updates) AS INT) AS max_updates
+FROM perdoc GROUP BY kind""",
+)
 def doc_stats(spark, sf):
     # C23: corpus-level stats fold over extraction metrics
     ex = _extracted(spark, sf)
@@ -142,7 +164,14 @@ def partition_metrics(spark, sf):
     )
 
 
-@_q("doc_taxonomy", None)
+@_q(
+    "doc_taxonomy",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT c.code, CAST(count(*) AS BIGINT) AS n
+FROM perdoc, unnest(string_split(perdoc.err_codes, ',')) AS c(code)
+WHERE perdoc.err_codes <> '' GROUP BY c.code""",
+)
 def doc_taxonomy(spark, sf):
     # C27: the error taxonomy as a first-class table — explode + count
     ex = _extracted(spark, sf)
@@ -154,12 +183,36 @@ def doc_taxonomy(spark, sf):
     )
 
 
-@_q("corpus_pipeline", None)
+@_q(
+    "corpus_pipeline",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()},
+kept AS (
+  SELECT text_sha256,
+         min(text_chars) AS n_chars,
+         min(text_tokens) AS n_tokens,
+         min(text_alpha) AS n_alpha
+  FROM perdoc
+  WHERE valid AND text_chars > 0
+  GROUP BY text_sha256
+)
+SELECT CAST(count(*) AS BIGINT) AS docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_chars,
+       CAST(sum(n_alpha) AS BIGINT) / CAST(sum(n_chars) AS DOUBLE)
+           AS alpha_ratio
+FROM kept""",
+)
 def corpus_pipeline(spark, sf):
     """The training-data story end-to-end in ONE lazy plan: extract →
-    keep valid docs → score (chars / whitespace tokens / alpha ratio) →
-    exact-dedup on content hash → per-kind corpus stats. One mapInArrow
-    stage plus one dedup shuffle plus one agg — nothing else moves data."""
+    keep valid docs → score (chars / whitespace tokens / alpha chars) →
+    exact-dedup on content hash → corpus stats. One mapInArrow stage plus
+    one dedup shuffle plus one agg — nothing else moves data.
+
+    Ratios are corpus-level exact-integer sums with ONE double division
+    (sum-of-per-doc-double-ratios would be summation-order-dependent and
+    unhashable across engines); dedup keeps any representative — identical
+    fingerprints have identical metrics, so the aggregate is well-defined."""
     ext = _extracted(spark, sf)
     txt = ext.filter(F.col("verdict.valid")).select(
         "url",
@@ -170,11 +223,9 @@ def corpus_pipeline(spark, sf):
             {
                 "n_chars": F.length("text"),
                 "n_tokens": F.size(F.split(F.trim("text"), r"\s+")),
-                "alpha_ratio": F.when(
-                    F.length("text") > 0,
-                    F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
-                    / F.length("text"),
-                ).otherwise(F.lit(0.0)),
+                "n_alpha": F.length(
+                    F.regexp_replace("text", r"[^A-Za-z]", "")
+                ),
                 "fingerprint": F.sha2(F.col("text"), 256),
             }
         )
@@ -183,13 +234,26 @@ def corpus_pipeline(spark, sf):
     deduped = scored.dropDuplicates(["fingerprint"])
     return deduped.agg(
         F.count(F.lit(1)).alias("docs_kept"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum("n_chars").cast("long")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+        (
+            F.sum("n_alpha").cast("long")
+            / F.sum("n_chars").cast("double")
+        ).alias("alpha_ratio"),
     )
 
 
-@_q("doc_scan", None)
+@_q(
+    "doc_scan",
+    f"""WITH {corpus_cte()},
+langs (li, lang) AS (VALUES (0, 'en'), (1, 'es'), (2, 'zh'), (3, 'de'),
+                            (4, 'fr'))
+SELECT l.lang, CAST(count(*) AS BIGINT) AS n
+FROM docs d JOIN langs l ON l.li = d.idx % 5 GROUP BY l.lang""",
+)
 def doc_scan(spark, sf):
     # C1: metadata-only scan of the corpus — the blob column is pruned;
     # only url/lang reach the executors (check ReadSchema in .explain)

@@ -7,8 +7,12 @@ commands: ``findref`` becomes a filter on the edges table, dangling-ref
 detection becomes a LEFT ANTI join, ``types`` becomes a (url, obj, type)
 table, ``cleanup`` becomes md5-of-canonical-bytes + a fixpoint flag.
 
-PDF parsing isn't SQL-expressible → these are rows-only for the driver;
-their correctness anchors are the pytest golden suite.
+Each qkey hash-verifies against a closed-form DuckDB oracle over the
+frozen per-recipe corpus reconstruction (caraspark/oracle_freeze.py):
+PDF parsing itself isn't SQL-expressible, but the synth corpus is
+deterministic per recipe, so the expected edge/object/type/cleanup rows
+are pinned in git and any drift in the distributed pipeline breaks the
+value hash. Byte-level anchors remain the pytest golden suite.
 """
 
 from __future__ import annotations
@@ -19,6 +23,14 @@ import pyarrow as pa
 from pyspark.sql import functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
+from caraspark.oracle_freeze import (
+    corpus_cte,
+    extras_cte,
+    findref_cte,
+    objkind_cte,
+    types_cte,
+    variant_cte,
+)
 from caraspark.relational import Q
 
 REGISTRY: dict[str, Q] = {}
@@ -182,7 +194,15 @@ def _corpus(spark, sf):
     return synth_df(spark, corpus_rows_for_sf(sf))
 
 
-@_q("pdf_edges", None)
+@_q(
+    "pdf_edges",
+    f"""WITH {corpus_cte()},
+{extras_cte()}
+SELECT d.url, CAST(x.n_edges AS BIGINT) AS n_edges,
+       CAST(x.n_dangling AS BIGINT) AS n_dangling,
+       CAST(x.n_trailer_roots AS BIGINT) AS n_trailer_roots
+FROM docs d JOIN px x ON x.rid = d.rid WHERE x.n_edges > 0""",
+)
 def pdf_edges(spark, sf):
     # C20: the reference graph as a first-class table
     e = _corpus(spark, sf).mapInArrow(_edges_batches, _EDGES_DDL)
@@ -195,7 +215,14 @@ def pdf_edges(spark, sf):
     )
 
 
-@_q("pdf_dangling", None)
+@_q(
+    "pdf_dangling",
+    f"""WITH {corpus_cte()},
+{extras_cte()}
+SELECT d.url, CAST(x.n_dangling AS BIGINT) AS n_dangling,
+       x.dangling_paths AS paths
+FROM docs d JOIN px x ON x.rid = d.rid WHERE x.n_dangling > 0""",
+)
 def pdf_dangling(spark, sf):
     # C21 at corpus scale as a real LEFT ANTI join: edge targets with no
     # matching row in the objects table
@@ -214,7 +241,13 @@ def pdf_dangling(spark, sf):
     )
 
 
-@_q("pdf_findref", None)
+@_q(
+    "pdf_findref",
+    f"""WITH {corpus_cte()},
+{findref_cte()}
+SELECT d.url, f.src_num, f.src_gen, f.path
+FROM docs d JOIN fr f ON f.rid = d.rid""",
+)
 def pdf_findref(spark, sf):
     # C25: reverse reference lookup — who references object 2 0?
     edges = _corpus(spark, sf).mapInArrow(_edges_batches, _EDGES_DDL)
@@ -225,7 +258,14 @@ def pdf_findref(spark, sf):
     )
 
 
-@_q("pdf_types", None)
+@_q(
+    "pdf_types",
+    f"""WITH {corpus_cte()},
+{types_cte()}
+SELECT t.type_name, CAST(sum(t.cnt) AS BIGINT) AS n_objects,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM docs d JOIN ty t ON t.rid = d.rid GROUP BY t.type_name""",
+)
 def pdf_types(spark, sf):
     # C22: per-object inferred types, aggregated per type name
     objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
@@ -239,7 +279,15 @@ def pdf_types(spark, sf):
     )
 
 
-@_q("pdf_objects", None)
+@_q(
+    "pdf_objects",
+    f"""WITH {corpus_cte()},
+{objkind_cte()}
+SELECT o.okind AS kind, CAST(sum(o.n_obj) AS BIGINT) AS n,
+       CAST(sum(o.refs) AS BIGINT) AS total_refs,
+       CAST(max(o.maxb) AS INT) AS max_body_json
+FROM docs d JOIN ok o ON o.rid = d.rid GROUP BY o.okind""",
+)
 def pdf_objects(spark, sf):
     # C6/C17: the exploded canonical objects table
     objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
@@ -250,7 +298,14 @@ def pdf_objects(spark, sf):
     )
 
 
-@_q("pdf_objects_variant", None)
+@_q(
+    "pdf_objects_variant",
+    f"""WITH {corpus_cte()},
+{variant_cte()}
+SELECT v.obj_type, CAST(sum(v.n_obj) AS BIGINT) AS n,
+       CAST(sum(v.cnt_sum) AS BIGINT) AS sum_count
+FROM docs d JOIN va v ON v.rid = d.rid GROUP BY v.obj_type""",
+)
 def pdf_objects_variant(spark, sf):
     # Spark 4 VARIANT path (SURVEY.md §1.1): canonical-JSON bodies parse
     # into variant once, then typed drilling happens in the JVM with
@@ -280,7 +335,14 @@ def pdf_objects_variant(spark, sf):
     )
 
 
-@_q("pdf_cleanup", None)
+@_q(
+    "pdf_cleanup",
+    f"""WITH {corpus_cte()},
+{extras_cte()}
+SELECT d.url, x.clean_md5, CAST(x.clean_bytes AS BIGINT) AS clean_bytes,
+       x.fixpoint
+FROM docs d JOIN px x ON x.rid = d.rid""",
+)
 def pdf_cleanup(spark, sf):
     # C24: canonical re-serialization; fixpoint must hold corpus-wide
     c = _corpus(spark, sf).mapInArrow(_cleanup_batches, _CLEANUP_DDL)
@@ -323,7 +385,14 @@ def _make_objects_udtf():
     return ExplodeObjects
 
 
-@_q("udtf_objects", None)
+@_q(
+    "udtf_objects",
+    f"""WITH {corpus_cte()},
+{objkind_cte()}
+SELECT o.okind AS kind, CAST(sum(o.n_obj) AS BIGINT) AS n,
+       CAST(sum(o.refs) AS BIGINT) AS total_refs
+FROM docs d JOIN ok o ON o.rid = d.rid GROUP BY o.okind""",
+)
 def udtf_objects(spark, sf):
     # same answer shape as pdf_objects but via a registered UDTF + LATERAL
     spark.udtf.register("explode_objects", _make_objects_udtf())

@@ -56,21 +56,187 @@ def build_expected() -> list[dict]:
     return out
 
 
+def build_extras():
+    """Per-recipe extraction/edge/object/cleanup extras (PDF recipes), the
+    object-kind/type/variant/findref row freezes, and per-idx HTML
+    extraction results (HTML blobs vary per idx; 1536 idx covers every sf
+    the driver uses)."""
+    import hashlib
+
+    from caraspark.pdfengine.api import process_document
+    from caraspark.pdfengine.cleanup import cleanup
+    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.model import Stream, canonical_json
+    from caraspark.pdfengine.typecheck import check_types
+
+    recipes = recipe_list()
+    extras, types_rows, objkind_rows, variant_rows, findref_rows = (
+        [], [], [], [], []
+    )
+    for rid, (name, fn_) in enumerate(recipes):
+        if fn_ is None:
+            continue
+        blob = fn_()
+        res = process_document(blob)
+        doc = load_document(blob)
+        tres = check_types(doc)
+        known = set(doc.objects)
+        n_trailer = sum(1 for s, _, _ in doc.edges if s is None)
+        dangle = sorted(p for _, d, p in doc.edges if d not in known)
+        c1 = cleanup(doc)
+        fixpoint = cleanup(load_document(c1)) == c1
+        extras.append(
+            {
+                "rid": rid,
+                "valid": res.valid,
+                "strict": res.strict,
+                "n_objects": res.n_objects,
+                "n_streams": res.n_streams,
+                "n_updates": res.n_updates,
+                "bytes_in": len(blob),
+                "bytes_decoded": res.bytes_decoded,
+                "text_len": None if res.text is None else len(res.text),
+                "text_md5": (
+                    None
+                    if res.text is None
+                    else hashlib.md5(res.text).hexdigest()
+                ),
+                "err_codes": ",".join(sorted(e.code for e in res.errors)),
+                **_text_metrics(res.text),
+                "n_edges": len(doc.edges),
+                "n_dangling": len(dangle),
+                "n_trailer_roots": n_trailer,
+                "dangling_paths": ",".join(dangle),
+                "clean_md5": hashlib.md5(c1).hexdigest(),
+                "clean_bytes": len(c1),
+                "fixpoint": fixpoint,
+            }
+        )
+        tcount: dict[str, int] = {}
+        for cls in tres.assignments.values():
+            tcount[cls] = tcount.get(cls, 0) + 1
+        for cls in sorted(tcount):
+            types_rows.append((rid, cls, tcount[cls]))
+
+        refcounts: dict = {}
+        for _s, d, _p in doc.edges:
+            refcounts[d] = refcounts.get(d, 0) + 1
+        kinds: dict[str, list[int]] = {}
+        vcount: dict[str, list[int]] = {}
+        for key in sorted(doc.objects):
+            o = doc.objects[key]
+            body = o.d if isinstance(o, Stream) else o
+            kind = (
+                "stream" if isinstance(o, Stream) else type(body).__name__.lower()
+            )
+            k = kinds.setdefault(kind, [0, 0, 0])
+            k[0] += 1
+            k[1] += refcounts.get(key, 0)
+            k[2] = max(k[2], len(canonical_json(body)))
+            if isinstance(body, dict):
+                t = body.get("Type")
+                tname = getattr(t, "v", None)
+                if tname is not None:
+                    vc = vcount.setdefault(tname, [0, 0])
+                    vc[0] += 1
+                    cnt = body.get("Count")
+                    if isinstance(cnt, int) and not isinstance(cnt, bool):
+                        vc[1] += cnt
+        for kind in sorted(kinds):
+            n, refs, maxb = kinds[kind]
+            objkind_rows.append((rid, kind, n, refs, maxb))
+        for tname in sorted(vcount):
+            n, sc = vcount[tname]
+            variant_rows.append((rid, tname, n, sc))
+        for s, d, p in doc.edges:
+            if d == (2, 0) and s is not None:
+                findref_rows.append((rid, s[0], s[1], p))
+
+    import random
+
+    html_idx = []
+    for idx in range(1536):
+        name, fn_ = recipes[idx % len(recipes)]
+        if fn_ is not None:
+            continue
+        blob = HTML_RECIPES[name](random.Random(f"42:{idx}"))
+        res = process_document(blob)
+        html_idx.append(
+            {
+                "idx": idx,
+                "valid": res.valid,
+                "strict": res.strict,
+                "n_objects": res.n_objects,
+                "n_streams": res.n_streams,
+                "n_updates": res.n_updates,
+                "bytes_in": len(blob),
+                "bytes_decoded": res.bytes_decoded,
+                "text_len": None if res.text is None else len(res.text),
+                "text_md5": (
+                    None
+                    if res.text is None
+                    else hashlib.md5(res.text).hexdigest()
+                ),
+                "err_codes": ",".join(sorted(e.code for e in res.errors)),
+                **_text_metrics(res.text),
+            }
+        )
+    return extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx
+
+
+def _text_metrics(text: bytes | None) -> dict:
+    """Mirror corpus_pipeline's JVM expressions exactly: utf-8 decode (cast
+    binary->string), whitespace-split token count on the trimmed string,
+    [A-Za-z]-only char count, sha256 of the string's utf-8 bytes."""
+    import hashlib
+    import re
+
+    if text is None:
+        return {
+            "text_sha256": None, "text_tokens": None, "text_alpha": None,
+            "text_chars": None,
+        }
+    txt = text.decode("utf-8", "replace")
+    return {
+        "text_sha256": hashlib.sha256(txt.encode("utf-8")).hexdigest(),
+        "text_tokens": len(re.split(r"\s+", txt.strip())),
+        "text_alpha": len(re.sub(r"[^A-Za-z]", "", txt)),
+        "text_chars": len(txt),  # length() on STRING counts chars, not bytes
+    }
+
+
 def main() -> None:
     rows = build_expected()
+    extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx = (
+        build_extras()
+    )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "caraspark", "pdfacts_expected.py",
     )
-    body = pprint.pformat(rows, width=78, sort_dicts=False)
+
+    def fmt(v):
+        return pprint.pformat(v, width=78, sort_dicts=False)
+
     with open(path, "w") as f:
         f.write(
             '"""FROZEN per-recipe expected facts (generated by\n'
             "tools/gen_pdfacts_expected.py — regenerate only after an intended\n"
             'behavior change; see that tool\'s docstring)."""\n\n'
-            f"RECIPE_FACTS = {body}\n"
+            f"RECIPE_FACTS = {fmt(rows)}\n\n"
+            f"RECIPE_EXTRAS = {fmt(extras)}\n\n"
+            f"TYPES_ROWS = {fmt(types_rows)}\n\n"
+            f"OBJKIND_ROWS = {fmt(objkind_rows)}\n\n"
+            f"VARIANT_ROWS = {fmt(variant_rows)}\n\n"
+            f"FINDREF_ROWS = {fmt(findref_rows)}\n\n"
+            f"HTML_IDX = {fmt(html_idx)}\n"
         )
-    print(f"wrote {len(rows)} recipes -> {path}")
+    print(
+        f"wrote {len(rows)} recipes, {len(extras)} extras, "
+        f"{len(types_rows)} type rows, {len(objkind_rows)} objkinds, "
+        f"{len(variant_rows)} variants, {len(findref_rows)} findrefs, "
+        f"{len(html_idx)} html idx -> {path}"
+    )
 
 
 if __name__ == "__main__":
