@@ -14,13 +14,20 @@ BENCH_CORPUS = os.environ.get(
 )
 
 
-def ensure_corpus(spark: SparkSession, n_docs: int, path: str = BENCH_CORPUS) -> int:
+def corpus_path(n_docs: int) -> str:
+    """Size-namespaced corpus dir: two benchmarks asking for different
+    sizes must never clobber each other's bytes (a concurrent bench.py run
+    once overwrote the scaling protocol's 200k corpus mid-measurement)."""
+    return f"{BENCH_CORPUS}_{n_docs}"
+
+
+def ensure_corpus(spark: SparkSession, n_docs: int, path: str | None = None) -> int:
     """Materialize the deterministic corpus once (fixed bytes on disk for
     every run — the scaling protocol requires byte-identical input)."""
-    from pyspark.sql import functions as F
-
     from caraspark.corpus import synth_df
 
+    if path is None:
+        path = corpus_path(n_docs)
     marker = os.path.join(path, "_SUCCESS_N_" + str(n_docs))
     if not os.path.exists(marker):
         synth_df(spark, n_docs, include_giant=True).write.mode(
@@ -51,5 +58,5 @@ def run_extract_once(spark: SparkSession, corpus_path: str, *, repeats: int = 1
 
 def extraction_docs_per_sec(spark: SparkSession, n_docs: int = 4096):
     n = ensure_corpus(spark, n_docs)
-    docs, wall = run_extract_once(spark, BENCH_CORPUS, repeats=3)
+    docs, wall = run_extract_once(spark, corpus_path(n_docs), repeats=3)
     return docs / wall, docs, wall

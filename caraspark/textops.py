@@ -126,10 +126,53 @@ def text_fingerprint(spark, sf):
     )
 
 
-@_q("text_langid", None)  # heuristic scorer → rows-only; accuracy in pytest
+def _langid_sql() -> str:
+    """INDEPENDENT reimplementation of the langid heuristic in DuckDB SQL —
+    a genuine cross-implementation oracle (not a frozen regression table).
+    Integer stopword hit-counts share one denominator, so the argmax
+    compares ints and the alphabetical CASE order (de<en<es<fr) mirrors
+    detect_lang's alphabetical-min tiebreak exactly."""
+    from caraspark.langid import PROFILES
+
+    def inlist(lang):
+        return ", ".join("'" + w + "'" for w in sorted(PROFILES[lang]))
+
+    g = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(text) > 0
+              AND length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]',
+                                        '', 'g')) > 0.05 * length(text)
+              THEN TRUE ELSE FALSE END AS is_cjk,
+         len(ws) AS n_toks,
+         len(list_filter(ws, x -> x IN ({inlist('de')}))) AS h_de,
+         len(list_filter(ws, x -> x IN ({inlist('en')}))) AS h_en,
+         len(list_filter(ws, x -> x IN ({inlist('es')}))) AS h_es,
+         len(list_filter(ws, x -> x IN ({inlist('fr')}))) AS h_fr
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE WHEN is_cjk THEN 'zh'
+            WHEN n_toks = 0 THEN 'und'
+            WHEN {g} = 0 THEN 'und'
+            WHEN h_de = {g} THEN 'de'
+            WHEN h_en = {g} THEN 'en'
+            WHEN h_es = {g} THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM hits"""
+
+
+@_q("text_langid", _langid_sql())
 def text_langid(spark, sf):
     """Language ID via stopword/character n-gram heuristic in a vectorized
-    pandas UDF (iterator form amortizes the profile table)."""
+    pandas UDF (iterator form amortizes the profile table). Hash-verified
+    against an independent SQL reimplementation (``_langid_sql``)."""
     def _langid_batch(texts):
         from caraspark.langid import detect_lang
 

@@ -314,6 +314,36 @@ def test_agg_grouping_sets_expands_with_partial_agg(spark, sf_smoke):
     assert p.count("HashAggregate") >= 2, p  # partial + final
 
 
+def test_agg_cube_one_expand_one_exchange(spark, sf_smoke):
+    """CUBE fans out map-side rows (4 grouping sets), never shuffles more
+    than once: Expand → partial agg → ONE exchange → final agg."""
+    qs = ent.queries()
+    p = plan_of(qs["agg_cube"](spark, sf_smoke), "formatted")
+    assert "Expand" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert plan_of(qs["agg_cube"](spark, sf_smoke), "simple").count(
+        "Exchange hashpartitioning"
+    ) == 1
+
+
+def test_agg_grouped_map_single_shuffle(spark, sf_smoke):
+    """Batch grouped-map applyInPandas: ONE shuffle on the group key, the
+    whole group crosses to Python as one Arrow frame."""
+    qs = ent.queries()
+    p = plan_of(qs["agg_grouped_map"](spark, sf_smoke), "simple")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_set_all_variants_single_shuffle(spark, sf_smoke):
+    """exceptAll/intersectAll plan as one value-keyed shuffle with count
+    arithmetic — no distinct, no join explosion."""
+    qs = ent.queries()
+    for k in ("set_except_all", "set_intersect_all"):
+        p = plan_of(qs[k](spark, sf_smoke), "simple")
+        assert p.count("Exchange hashpartitioning") == 1, (k, p)
+
+
 def test_partition_metrics_single_aggregation(spark, sf_smoke):
     qs = ent.queries()
     p = plan_of(qs["partition_metrics"](spark, sf_smoke), "simple")

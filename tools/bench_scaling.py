@@ -18,7 +18,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-CORPUS = "/tmp/caraspark_bench/corpus"
+# size-namespaced via bench_extract.corpus_path at orchestration time —
+# a fixed path was once clobbered by a concurrent bench.py regenerating a
+# smaller corpus into the same directory
+CORPUS = "/tmp/caraspark_bench/corpus_200000"
 
 
 def child(master: str, corpus: str, mode: str, repeats: int = 5) -> None:
