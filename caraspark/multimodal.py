@@ -181,10 +181,41 @@ def media_meta(spark, sf):
     )
 
 
-@_q("media_features", None)
+_MF_BODY = """CASE e.vec_id % 3
+        WHEN 0 THEN list_transform(
+            range(4, (16 + e.vec_id % 16) * (8 + e.vec_id % 8)),
+            i -> i * (e.vec_id + 7) % 256)
+        WHEN 2 THEN list_transform(
+            range(2, (4 + e.vec_id % 6) * (16 + e.vec_id % 16)
+                     * (8 + e.vec_id % 8)),
+            i -> i * (e.vec_id + 11) % 256)
+        ELSE flatten(list_transform(
+            range(0, 256 + (e.vec_id % 32) * 16),
+            -- samples are (u - 32768) as big-endian int16; the stored
+            -- two's-complement value is therefore (u + 32768) % 65536
+            k -> [((k * (e.vec_id + 3) * 257 % 65536 + 32768) % 65536) // 256,
+                  (k * (e.vec_id + 3) * 257 % 65536 + 32768) % 65536 % 256]))
+    END"""
+
+
+@_q(
+    "media_features",
+    f"""SELECT media_id,
+           CAST(list_aggregate(body, 'sum') AS BIGINT) AS sum_b,
+           CAST(list_aggregate(list_transform(body, b -> b * b), 'sum')
+                AS BIGINT) AS sumsq_b,
+           CAST(len(body) AS INT) AS n_b,
+           CAST(len(list_distinct(body)) AS INT) AS entropy_proxy
+    FROM (SELECT e.vec_id AS media_id, {{body}} AS body
+          FROM embeddings e) t""".format(body=_MF_BODY),
+)
 def media_features(spark, sf):
     """Feature extraction: byte-level moments per media item (the stub for
-    an embedding model — real batch shape, deterministic output)."""
+    an embedding model — real batch shape, deterministic output). Moments
+    are EXACT integer sums (mean/std are one division away, but float
+    moments can't hash across engines); the oracle reconstructs each
+    kind's body bytes arithmetically — audio int16 samples become their
+    big-endian byte pairs."""
     m = media_df(spark, sf)
 
     def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,30 +223,44 @@ def media_features(spark, sf):
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 body = np.frombuffer(bytes(payload), dtype=np.uint8)[12:]
+                b64 = body.astype(np.int64)
                 rows.append(
                     {
                         "media_id": int(mid),
-                        "mean_b": round(float(body.mean()), 6) if len(body) else 0.0,
-                        "std_b": round(float(body.std()), 6) if len(body) else 0.0,
+                        "sum_b": int(b64.sum()),
+                        "sumsq_b": int((b64 * b64).sum()),
+                        "n_b": int(len(body)),
                         "entropy_proxy": int(len(np.unique(body))),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return m.mapInPandas(
-        feats, "media_id bigint, mean_b double, std_b double, entropy_proxy int"
+        feats,
+        "media_id bigint, sum_b bigint, sumsq_b bigint, n_b int, "
+        "entropy_proxy int",
     )
 
 
-@_q("image_resize", None)
+@_q(
+    "image_resize",
+    """SELECT vec_id AS media_id, CAST(8 AS INT) AS out_w,
+              CAST(4 AS INT) AS out_h,
+              list_transform(range(0, 32), k -> CAST(
+                  ((((k // 8) * (8 + vec_id % 8)) // 4) * (16 + vec_id % 16)
+                   + ((k % 8) * (16 + vec_id % 16)) // 8)
+                  * (vec_id + 7) % 256 AS INT)) AS pixels
+       FROM embeddings WHERE vec_id % 3 = 0""",
+)
 def image_resize(spark, sf):
     """Resize images to 8x4 by strided sampling (real resize math on the
-    fake format); emits output dims + content digest."""
+    fake format); emits output dims + resized pixels. Hash-verified: the
+    fake codec's pixels are arithmetic in media_id, so the oracle
+    reconstructs the strided sample closed-form — any error in binary
+    transfer, header parse, or the stride math breaks the match."""
     m = media_df(spark, sf)
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         tw, th = 8, 4
         for pdf in it:
             rows = []
@@ -233,25 +278,37 @@ def image_resize(spark, sf):
                         "media_id": int(mid),
                         "out_w": tw,
                         "out_h": th,
-                        "digest": hashlib.md5(out.tobytes()).hexdigest(),
+                        "pixels": out.reshape(-1).astype("int32").tolist(),
                     }
                 )
             if rows:
                 yield pd.DataFrame(rows)
 
     return m.mapInPandas(
-        resize, "media_id bigint, out_w int, out_h int, digest string"
+        resize, "media_id bigint, out_w int, out_h int, pixels array<int>"
     )
 
 
-@_q("video_frame_sample", None)
+@_q(
+    "video_frame_sample",
+    """SELECT e.vec_id AS media_id, CAST(f.i AS INT) AS frame_idx,
+              CAST(list_aggregate(list_transform(
+                  range(f.i * (16 + e.vec_id % 16) * (8 + e.vec_id % 8),
+                        (f.i + 1) * (16 + e.vec_id % 16) * (8 + e.vec_id % 8)),
+                  j -> j * (e.vec_id + 11) % 256), 'sum') AS BIGINT)
+                  AS checksum
+       FROM embeddings e,
+            unnest(range(0, 4 + e.vec_id % 6)) AS f(i)
+       WHERE e.vec_id % 3 = 2 AND f.i % 2 = 0""",
+)
 def video_frame_sample(spark, sf):
-    """Sample every 2nd frame from video payloads; per-frame digests."""
+    """Sample every 2nd frame from video payloads; per-frame byte
+    checksums. Hash-verified closed-form like image_resize (an md5 digest
+    can't be recomputed in SQL; the exact byte-sum over each sampled frame
+    pins the same content)."""
     m = media_df(spark, sf)
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -261,18 +318,22 @@ def video_frame_sample(spark, sf):
                 w, h, nf = struct.unpack(">HHH", b[4:10])
                 fsz = w * h
                 for i in range(0, nf, 2):
-                    frame = b[10 + i * fsz : 10 + (i + 1) * fsz]
+                    frame = np.frombuffer(
+                        b[10 + i * fsz : 10 + (i + 1) * fsz], dtype=np.uint8
+                    )
                     rows.append(
                         {
                             "media_id": int(mid),
                             "frame_idx": i,
-                            "digest": hashlib.md5(frame).hexdigest(),
+                            "checksum": int(frame.sum(dtype=np.int64)),
                         }
                     )
             if rows:
                 yield pd.DataFrame(rows)
 
-    return m.mapInPandas(sample, "media_id bigint, frame_idx int, digest string")
+    return m.mapInPandas(
+        sample, "media_id bigint, frame_idx int, checksum bigint"
+    )
 
 
 @_q(

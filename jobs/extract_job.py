@@ -47,7 +47,11 @@ def stage_input(spark, raw, stage_dir: str, units: int) -> str:
     """
     marker = os.path.join(stage_dir, "_STAGED")
     if os.path.exists(marker):
-        return stage_dir
+        with open(marker) as f:
+            staged_units = f.read().strip()
+        if staged_units == str(units):
+            return stage_dir
+        # stale stage from a run with a different unit count — restage
     keyed = raw.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
     )
@@ -155,6 +159,10 @@ def main() -> None:
                     help="compact fragmented buckets instead of extracting")
     ap.add_argument("--expire-keep", type=int, default=None,
                     help="expire all but the newest N snapshots (+orphan GC)")
+    ap.add_argument("--expire-age", type=float, default=3 * 3600.0,
+                    help="orphan GC age cutoff in seconds (protects a "
+                         "concurrent writer's uncommitted buckets); pass 0 "
+                         "only when no concurrent writers can exist")
     ap.add_argument("--rollback", type=int, default=None,
                     help="roll the table back to this snapshot id")
     args = ap.parse_args()
@@ -168,7 +176,11 @@ def main() -> None:
         print(compact_table(spark, args.output))
         return
     if args.expire_keep is not None:
-        print(SnapshotManifest(args.output).expire_snapshots(args.expire_keep))
+        print(
+            SnapshotManifest(args.output).expire_snapshots(
+                args.expire_keep, orphan_min_age_s=args.expire_age
+            )
+        )
         return
     stats = run_job(
         spark,
