@@ -311,9 +311,9 @@ def dedup_minhash(spark, sf):
     )
 
 
-@_q(
-    "dedup_ngram",
-    f"""WITH docs AS (
+def _ngram_pair_ctes() -> str:
+    """Shared CTE chain producing (id_a, id_b, jac) candidate pairs."""
+    return """docs AS (
          SELECT doc_id, lang, source, lower(text) AS t FROM documents
          WHERE length(text) >= 3
        ),
@@ -331,19 +331,19 @@ def dedup_minhash(spark, sf):
            ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
           AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id
-       )
-       SELECT id_a, id_b,
-              round(CAST(n_common AS DOUBLE)
-                    / (sa.n + sb.n - n_common), 6) AS jaccard
-       FROM inter
-       JOIN sizes sa ON sa.doc_id = id_a
-       JOIN sizes sb ON sb.doc_id = id_b
-       WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8""",
-)
-def dedup_ngram(spark, sf):
-    """Character-3-gram Jaccard near-dup within (lang, source) buckets —
-    distinct-gram explode + bucket-keyed self-join; the (lang, source)
-    equi-key bounds the pair space per bucket."""
+       ),
+       pairs AS (
+         SELECT id_a, id_b,
+                CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+       )"""
+
+
+def _ngram_pairs(spark, sf, threshold: float):
+    """Spark side of the shared pair generation: distinct-gram explode +
+    (lang, source)-bucketed self-join + Jaccard filter."""
     d = load(spark, sf, "documents")
     docs = d.filter(F.length("text") >= 3).select(
         "doc_id", "lang", "source", F.lower("text").alias("t")
@@ -354,13 +354,13 @@ def dedup_ngram(spark, sf):
         "lang",
         "source",
         F.explode(
-            F.array_distinct(F.transform(idx, lambda i: F.col("t").substr(i, F.lit(3))))
+            F.array_distinct(
+                F.transform(idx, lambda i: F.col("t").substr(i, F.lit(3)))
+            )
         ).alias("g"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(
-        F.col("doc_id").alias("id_a"), "lang", "source", "g"
-    )
+    a = grams.select(F.col("doc_id").alias("id_a"), "lang", "source", "g")
     b = grams.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
@@ -380,7 +380,7 @@ def dedup_ngram(spark, sf):
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    j = (
+    return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -388,9 +388,151 @@ def dedup_ngram(spark, sf):
             F.col("n_common").cast("double")
             / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+@_q(
+    "dedup_ngram",
+    f"""WITH {_ngram_pair_ctes()}
+       SELECT id_a, id_b, round(jac, 6) AS jaccard
+       FROM pairs WHERE jac >= 0.8""",
+)
+def dedup_ngram(spark, sf):
+    """Character-3-gram Jaccard near-dup within (lang, source) buckets —
+    distinct-gram explode + bucket-keyed self-join; the (lang, source)
+    equi-key bounds the pair space per bucket."""
+    j = _ngram_pairs(spark, sf, 0.8)
     return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b) pair edges → (doc_id, comp) where comp is the minimum
+    node id of each connected component, via alternating large-star /
+    small-star rounds (see dedup_clusters docstring for the scale
+    rationale and the lineage-truncation requirement)."""
+    und = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def directed(e):
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _normalize(emitted):
+        return (
+            emitted.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+        )
+
+    def large_star(e):
+        # for each u: m = min over FULL neighborhood ∪ {u};
+        # attach every strictly-larger neighbor to m
+        d = directed(e)
+        mins = (
+            d.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        emitted = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        return _normalize(emitted)
+
+    def small_star(e):
+        # for each u: m = min over SMALLER-OR-EQUAL neighbors ∪ {u};
+        # attach those neighbors AND u itself to m (without the self
+        # emission a lone edge (1,2) would vanish: node 2 emits only the
+        # dropped self-loop (1,1))
+        d = directed(e).filter(F.col("v") <= F.col("u"))
+        mins = (
+            d.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        emitted = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(mins.select(F.col("u").alias("x"), F.col("m").alias("y")))
+        )
+        return _normalize(emitted)
+
+    def fingerprint(e):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(und)
+    for _ in range(50):  # O(log n) expected; hard cap is a safety net
+        nxt = small_star(large_star(und)).localCheckpoint()
+        nfp = fingerprint(nxt)
+        und = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError("dedup_clusters: star rounds did not converge")
+
+    return (
+        directed(und)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("doc_id"), F.least("u", "mv").alias("comp")
+        )
+    )
+
+
+@_q(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_ngram_pair_ctes()},
+       cand AS (SELECT id_a, id_b FROM pairs WHERE jac >= 0.5),
+       e2 AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+       reach (n, m) AS (
+         SELECT u, u FROM e2
+         UNION
+         SELECT e2.v, reach.m FROM reach JOIN e2 ON e2.u = reach.n
+       )
+       SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS comp
+       FROM reach GROUP BY n""",
+)
+def dedup_clusters(spark, sf):
+    """Duplicate-cluster assignment: connected components over the n-gram
+    near-dup pair graph (threshold 0.5 so clusters CHAIN — a~b~c without
+    a~c), via the alternating large-star/small-star algorithm.
+
+    Scale shape: this is the O(log n)-round MapReduce connected-components
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — each round is one groupBy(min) + one join, both keyed on
+    node id; no component ever materializes on one machine, and round
+    count grows logarithmically where naive label propagation needs
+    O(diameter) rounds. Each round's edge set is ``localCheckpoint``-ed:
+    caching alone is NOT enough for iterative DataFrames — the logical
+    plan keeps growing and Catalyst re-analysis time explodes
+    exponentially with round count; checkpointing truncates the lineage
+    so every round plans against a flat scan. The driver loop only
+    compares two scalar aggregates per round (count + order-insensitive
+    xxhash sum) for the convergence test.
+
+    Oracle: DuckDB recursive-CTE transitive closure + min-reachable-id —
+    an independent algorithm computing the same components."""
+    pairs = _ngram_pairs(spark, sf, 0.5).select("id_a", "id_b")
+    return connected_components(pairs)
 
 
 def _simhash16_exprs(side: str):

@@ -51,3 +51,25 @@ def test_ann_ivf_distribution_invariance(spark, sf_smoke):
         T.load = orig
         X.load = orig
     assert sorted(base) == sorted(many)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """large-star/small-star: chains collapse to the component min, and a
+    lone edge survives (regression: small-star without the self emission
+    annihilated single-edge components)."""
+    from caraspark.textops import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, lone edge (10, 11), star 20-(21, 22)
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 21), (22, 20)],
+        "id_a long, id_b long",
+    )
+    rows = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(pairs).collect()
+    }
+    assert rows == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
