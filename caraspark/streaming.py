@@ -123,6 +123,46 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def clickview_join(
+    clicks: DataFrame, views: DataFrame, lookback_min: int = 240
+) -> DataFrame:
+    """Stream-stream INNER join with a time-range condition: each click
+    pairs with the same user's views in the preceding ``lookback_min``
+    minutes. Both sides carry watermarks, so Spark bounds the join state
+    to watermark + range — the canonical micro-batch join whose state
+    never grows with stream length. On a bounded replay the inner join
+    emits every match regardless of watermark progress (only state
+    CLEANUP depends on it), so the result is batch-equivalent."""
+    a = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    b = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("v_user"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {lookback_min} MINUTES")
+        )
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("click_id", "view_id")
+
+
 _STATE_SCHEMA = "n bigint, total double"
 _OUT_SCHEMA = "user_id bigint, n bigint, total double"
 

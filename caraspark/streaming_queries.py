@@ -66,6 +66,25 @@ def stream_dedup(spark, sf):
 
 
 @_q(
+    "stream_join",
+    """SELECT a.event_id AS click_id, b.event_id AS view_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'view'
+        AND b.ts BETWEEN a.ts - INTERVAL 240 MINUTE AND a.ts""",
+)
+def stream_join(spark, sf):
+    # T-surface widening: stream-stream inner join with time-range state
+    # bounds (see streaming.clickview_join); batch-equivalent → SQL oracle.
+    return S.run_to_memory(
+        S.clickview_join(
+            S.replay_events_stream(spark, sf),
+            S.replay_events_stream(spark, sf),
+        )
+    )
+
+
+@_q(
     "stream_session",
     """WITH o AS (
          SELECT user_id, ts,

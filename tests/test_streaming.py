@@ -199,3 +199,33 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path, events_batch):
     )
     want = sorted(r["event_id"] for r in events_batch.collect())
     assert got == want  # exactly once: no loss, no duplicates
+
+
+def test_stream_stream_join_equals_batch(spark, sf_smoke, events_batch):
+    """T-surface: stream-stream inner join with a time-range condition
+    emits exactly the batch join's pairs on a bounded replay."""
+    streamed = S.run_to_memory(
+        S.clickview_join(
+            S.replay_events_stream(spark, sf_smoke),
+            S.replay_events_stream(spark, sf_smoke),
+        )
+    )
+    a = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    b = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    batch = a.join(
+        b,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 240 MINUTES"))
+        & (F.col("vts") <= F.col("cts")),
+    ).select("click_id", "view_id")
+    cols = ["click_id", "view_id"]
+    assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
+    assert streamed.count() > 0
