@@ -5,9 +5,9 @@ kinds, filters used, holes, reachability), and each qkey is a relational
 query over it.
 
 SQL oracles: the synth corpus is deterministic per recipe position
-(``idx % 47`` → recipe; every PDF blob byte-identical across idx, every
+(``idx % R`` → recipe; every PDF blob byte-identical across idx, every
 HTML fact column constant), so the whole facts table is closed-form —
-a 47-row frozen per-recipe lookup (``pdfacts_expected.RECIPE_FACTS``,
+an R-row frozen per-recipe lookup (``pdfacts_expected.RECIPE_FACTS``,
 generated once by tools/gen_pdfacts_expected.py and pinned in git)
 cross-joined with a generated idx series. Each qkey's oracle is plain SQL
 over that reconstruction, which hash-verifies the full distributed

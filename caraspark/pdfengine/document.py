@@ -178,11 +178,77 @@ def load_document(
         d = o.d if isinstance(o, Stream) else o
         if isinstance(d, dict) and "Linearized" in d:
             doc.linearized = True
+            _linearization_check(doc, key, d, data, errors)
             break
 
     _interval_check(doc, data, errors)
     _build_graph(doc, errors)
     return doc
+
+
+def _linearization_check(doc, lin_key, lin, data, errors) -> None:
+    """Cross-check the linearization parameter dict against the actual
+    file [PDF17 Annex F]: /L is the exact file length; /O names a page
+    object; /N matches the page count; /E and /T are in-bounds offsets;
+    /H is a 2- or 4-int hint array; and the parameter dict is physically
+    first. None of these is FATAL (viewers ignore broken hints), but each
+    inconsistency breaks ``strict`` like any other validation error."""
+    n = len(data)
+    length = lin.get("L")
+    if not (isinstance(length, int) and not isinstance(length, bool)
+            and length == n):
+        errors.append(PdfError(
+            "linear.bad_length", obj=lin_key, msg=f"/L {length!r} != {n}"
+        ))
+    for k in ("E", "T"):
+        v = lin.get(k)
+        if not (isinstance(v, int) and not isinstance(v, bool)
+                and 0 < v <= n):
+            errors.append(PdfError(
+                "linear.bad_offset", obj=lin_key, path=f"/{k}", msg=repr(v)
+            ))
+    page_nums = set()
+    for key in doc.objects:
+        o = doc.objects[key]
+        d = o.d if isinstance(o, Stream) else o
+        if isinstance(d, dict):
+            t = d.get("Type")
+            if getattr(t, "v", None) == "Page":
+                page_nums.add(key[0])
+    first = lin.get("O")
+    if not (isinstance(first, int) and not isinstance(first, bool)
+            and first in page_nums):
+        errors.append(PdfError(
+            "linear.bad_first_page", obj=lin_key, msg=f"/O {first!r}"
+        ))
+    n_pages = lin.get("N")
+    if not (isinstance(n_pages, int) and not isinstance(n_pages, bool)
+            and n_pages == len(page_nums)):
+        errors.append(PdfError(
+            "linear.bad_page_count", obj=lin_key,
+            msg=f"/N {n_pages!r} != {len(page_nums)}",
+        ))
+    hints = lin.get("H")
+    if not (
+        isinstance(hints, list)
+        and len(hints) in (2, 4)
+        and all(
+            isinstance(h, int) and not isinstance(h, bool) and 0 <= h
+            for h in hints
+        )
+    ):
+        errors.append(PdfError("linear.bad_hints", obj=lin_key))
+    # physical position: the parameter dict must be the first object
+    offs = {
+        (e.num, e.gen): e.offset
+        for e in doc.xref_table.values()
+        if e.kind == "inuse" and e.offset >= 0
+    }
+    lin_off = offs.get(lin_key)
+    if lin_off is not None and any(
+        o < lin_off for k, o in offs.items() if k != lin_key
+    ):
+        errors.append(PdfError("linear.not_first", obj=lin_key, pos=lin_off))
 
 
 def _explode_objstm(

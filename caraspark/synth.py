@@ -668,10 +668,44 @@ def pdf_hybrid() -> bytes:
 
 
 def pdf_linearized() -> bytes:
+    """A CONSISTENT linearized file: the parameter dict is physically
+    first (object 1), /L is patched post-assembly to the exact length via
+    a fixed-width placeholder (how real linearizers do it), /O names the
+    page object, /N matches, /E and /T are patched to real in-file
+    offsets. Passes every cross-check in document._linearization_check."""
+    bodies = {
+        1: _obj(
+            1,
+            b"<< /Linearized 1 /L 0000000000 /H [600 120] /O 4"
+            b" /E 0000000000 /N 1 /T 0000000000 >>",
+        ),
+        2: _obj(2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        3: _obj(3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        4: _obj(
+            4,
+            b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R >>",
+        ),
+        5: _stream_obj(5, b"", CONTENT_HELLO),
+    }
+    blob = _assemble(bodies, root=2)
+    xref_off = blob.rindex(b"xref\n")
+    first_entry = xref_off + len(b"xref\n0 6\n")
+    blob = blob.replace(b"/L 0000000000", b"/L %010d" % len(blob), 1)
+    blob = blob.replace(b"/E 0000000000", b"/E %010d" % xref_off, 1)
+    blob = blob.replace(b"/T 0000000000", b"/T %010d" % first_entry, 1)
+    return blob
+
+
+def pdf_linearized_bad() -> bytes:
+    """Every linearization cross-check violated at once: wrong /L, /O
+    names the catalog (not a page), out-of-range /E and /T, and the
+    parameter dict is physically last."""
     bodies = _base_objects(CONTENT_HELLO)
     bodies[5] = _obj(
         5,
-        b"<< /Linearized 1 /L 1234 /H [600 120] /O 1 /E 820 /N 1 /T 999 >>",
+        b"<< /Linearized 1 /L 1234 /H [600 120] /O 1 /E 999999 /N 1"
+        b" /T 999999 >>",
     )
     return _assemble(bodies)
 
@@ -803,6 +837,7 @@ PDF_RECIPES = {
     "pdf_updated": pdf_updated,
     "pdf_hybrid": pdf_hybrid,
     "pdf_linearized": pdf_linearized,
+    "pdf_linearized_bad": pdf_linearized_bad,
     "pdf_bad_xref_offset": pdf_bad_xref_offset,
     "pdf_len_mismatch": pdf_len_mismatch,
     "pdf_dangling_ref": pdf_dangling_ref,

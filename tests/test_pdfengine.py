@@ -498,3 +498,23 @@ def test_corrupt_length_aes_key_is_taxonomy_not_crash():
     r = process_document(blob)
     assert r.kind == "pdf"
     assert any(e.code.startswith("crypt.") for e in r.errors)
+
+
+def test_linearization_cross_checks():
+    """PDF17 Annex F cross-checks: a consistent linearized file is strict;
+    the all-wrong variant flags every inconsistency without going invalid
+    (viewers ignore broken hints, so none of these codes is FATAL)."""
+    good = process_document(PDF_RECIPES["pdf_linearized"]())
+    assert good.linearized and good.valid and good.strict, (
+        good.errors_as_rows()
+    )
+
+    bad = process_document(PDF_RECIPES["pdf_linearized_bad"]())
+    codes = {e.code for e in bad.errors}
+    assert {
+        "linear.bad_length",
+        "linear.bad_first_page",
+        "linear.bad_offset",
+        "linear.not_first",
+    } <= codes
+    assert bad.linearized and bad.valid and not bad.strict

@@ -149,8 +149,11 @@ def build_extras():
             n, sc = vcount[tname]
             variant_rows.append((rid, tname, n, sc))
         for s, d, p in doc.edges:
-            if d == (2, 0) and s is not None:
-                findref_rows.append((rid, s[0], s[1], p))
+            # the findref query includes trailer-root edges (src NULL)
+            if d == (2, 0):
+                findref_rows.append(
+                    (rid, s[0] if s else None, s[1] if s else None, p)
+                )
 
     import random
 
