@@ -116,3 +116,38 @@ def extract_html_text(html: bytes) -> bytes:
     if not p.blocks:
         return b""
     return "\n".join(p.blocks).encode("utf-8")
+
+
+class _FoundContent(Exception):
+    """Internal early-exit signal for ``html_has_content``."""
+
+
+class _Prober(_Extractor):
+    def _flush(self) -> None:
+        super()._flush()
+        if self.blocks:
+            raise _FoundContent
+
+
+def html_has_content(html: bytes) -> bool:
+    """Exactly ``bool(extract_html_text(html))`` but stops parsing at the
+    FIRST block the SPEC would emit — the cheap emptiness probe the
+    want_text=False stats mode uses so it never pays full extraction just
+    to keep its error taxonomy aligned with the full run."""
+    try:
+        src = html.decode("utf-8")
+    except UnicodeDecodeError:
+        src = html.decode("utf-8", "replace")
+    p = _Prober()
+    try:
+        p.feed(src)
+        p.close()
+    except _FoundContent:
+        return True
+    except Exception:  # noqa: BLE001 — same totality stance as extraction
+        pass
+    try:
+        p._flush()
+    except _FoundContent:
+        return True
+    return bool(p.blocks)

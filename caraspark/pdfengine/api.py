@@ -200,9 +200,11 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         has_content = bool(text)
     else:
         # Stats mode skips text materialization but must agree with the full
-        # run on the error taxonomy: probe emptiness without keeping content.
+        # run on the error taxonomy: early-exit emptiness probe, no content.
+        from caraspark.htmlengine import html_has_content
+
         text = None
-        has_content = bool(extract_html_text(blob))
+        has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
     return ExtractResult(kind="html", text=text, errors=errors)

@@ -193,3 +193,20 @@ def test_want_text_false_stats_only_path(spark):
         assert not any(c.startswith("extract.") for c, _ in s_errs), url
         assert s_errs == f_errs, url
     assert any(s["kind"] == "html" for s in stats.values())
+
+
+def test_html_has_content_matches_full_extraction():
+    """The early-exit probe must agree with bool(extract_html_text) on
+    every HTML recipe plus edge inputs — mode-invariant verdicts depend on
+    this equivalence."""
+    import random
+
+    from caraspark.htmlengine import extract_html_text, html_has_content
+    from caraspark.synth import HTML_RECIPES
+
+    cases = [b"", b"<html></html>", b"not html at all", b"\xff\xfe\x00"]
+    for name, fn in sorted(HTML_RECIPES.items()):
+        for seed in range(5):
+            cases.append(fn(random.Random(f"probe:{name}:{seed}")))
+    for blob in cases:
+        assert html_has_content(blob) == bool(extract_html_text(blob)), blob[:60]
