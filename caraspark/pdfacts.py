@@ -228,10 +228,23 @@ def _facts_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 v.clear()
 
 
+_FACTS_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _facts(spark, sf):
-    return synth_df(spark, corpus_rows_for_sf(sf)).mapInArrow(
-        _facts_batches, _FACTS_DDL
-    )
+    """Session-scoped cache: a driver correctness run executes a dozen
+    facts-pack qkeys back-to-back — one engine pass over the corpus,
+    persisted, instead of recomputing per query."""
+    key = (spark.sparkContext.applicationId, sf)
+    df = _FACTS_CACHE.get(key)
+    if df is None:
+        df = (
+            synth_df(spark, corpus_rows_for_sf(sf))
+            .mapInArrow(_facts_batches, _FACTS_DDL)
+            .persist()
+        )
+        _FACTS_CACHE[key] = df
+    return df
 
 
 @_q(

@@ -190,8 +190,26 @@ def _cleanup_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 v.clear()
 
 
+_SIDE_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def _corpus(spark, sf):
     return synth_df(spark, corpus_rows_for_sf(sf))
+
+
+def _cached(spark, sf, which: str):
+    """Session-scoped cache of the exploded side tables (edges/objects):
+    several qkeys consume each, and the engine pass dominates their cost."""
+    key = (spark.sparkContext.applicationId, sf, which)
+    df = _SIDE_CACHE.get(key)
+    if df is None:
+        batches, ddl = {
+            "edges": (_edges_batches, _EDGES_DDL),
+            "objects": (_objects_batches, _OBJECTS_DDL),
+        }[which]
+        df = _corpus(spark, sf).mapInArrow(batches, ddl).persist()
+        _SIDE_CACHE[key] = df
+    return df
 
 
 @_q(
@@ -205,7 +223,7 @@ FROM docs d JOIN px x ON x.rid = d.rid WHERE x.n_edges > 0""",
 )
 def pdf_edges(spark, sf):
     # C20: the reference graph as a first-class table
-    e = _corpus(spark, sf).mapInArrow(_edges_batches, _EDGES_DDL)
+    e = _cached(spark, sf, "edges")
     return e.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum(F.when(F.col("dangling"), 1).otherwise(0)).alias("n_dangling"),
@@ -226,9 +244,8 @@ FROM docs d JOIN px x ON x.rid = d.rid WHERE x.n_dangling > 0""",
 def pdf_dangling(spark, sf):
     # C21 at corpus scale as a real LEFT ANTI join: edge targets with no
     # matching row in the objects table
-    raw = _corpus(spark, sf)
-    edges = raw.mapInArrow(_edges_batches, _EDGES_DDL)
-    objects = raw.mapInArrow(_objects_batches, _OBJECTS_DDL)
+    edges = _cached(spark, sf, "edges")
+    objects = _cached(spark, sf, "objects")
     tgt = edges.select(
         "url", F.col("dst_num").alias("num"), F.col("dst_gen").alias("gen"), "path"
     )
@@ -250,7 +267,7 @@ FROM docs d JOIN fr f ON f.rid = d.rid""",
 )
 def pdf_findref(spark, sf):
     # C25: reverse reference lookup — who references object 2 0?
-    edges = _corpus(spark, sf).mapInArrow(_edges_batches, _EDGES_DDL)
+    edges = _cached(spark, sf, "edges")
     return (
         edges.filter((F.col("dst_num") == 2) & (F.col("dst_gen") == 0))
         .select("url", "src_num", "src_gen", "path")
@@ -268,7 +285,7 @@ FROM docs d JOIN ty t ON t.rid = d.rid GROUP BY t.type_name""",
 )
 def pdf_types(spark, sf):
     # C22: per-object inferred types, aggregated per type name
-    objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
+    objects = _cached(spark, sf, "objects")
     return (
         objects.filter(F.col("type_name").isNotNull())
         .groupBy("type_name")
@@ -290,7 +307,7 @@ FROM docs d JOIN ok o ON o.rid = d.rid GROUP BY o.okind""",
 )
 def pdf_objects(spark, sf):
     # C6/C17: the exploded canonical objects table
-    objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
+    objects = _cached(spark, sf, "objects")
     return objects.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_refs").alias("total_refs"),
@@ -311,7 +328,7 @@ def pdf_objects_variant(spark, sf):
     # into variant once, then typed drilling happens in the JVM with
     # variant_get — no re-parse per predicate, shredded binary encoding.
     # '$d'/'$n' are our canonical-form markers, hence the escaped dollars.
-    objects = _corpus(spark, sf).mapInArrow(_objects_batches, _OBJECTS_DDL)
+    objects = _cached(spark, sf, "objects")
     v = objects.select(
         "url",
         "num",
