@@ -91,7 +91,7 @@ _REC_COLS = [
 def _facts_cte() -> str:
     """DuckDB CTE reconstructing the facts table in closed form: corpus
     size derived from the sf-scaled customer table, recipe assignment is
-    idx % 47, per-recipe values from the frozen lookup."""
+    idx % R, per-recipe values from the frozen lookup."""
     values = ",\n    ".join(
         "(" + ", ".join(_sql_lit(r[c]) for c in _REC_COLS) + ")"
         for r in RECIPE_FACTS

@@ -348,3 +348,14 @@ def test_partition_metrics_single_aggregation(spark, sf_smoke):
     qs = ent.queries()
     p = plan_of(qs["partition_metrics"](spark, sf_smoke), "simple")
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_dedup_clusters_final_plan_is_truncated(spark, sf_smoke):
+    """Iterative star rounds localCheckpoint every round: the final plan
+    must read a checkpointed RDD scan, not the whole pair-generation
+    lineage (whose re-analysis cost grows with round count)."""
+    qs = ent.queries()
+    p = plan_of(qs["dedup_clusters"](spark, sf_smoke), "simple")
+    assert "ExistingRDD" in p, p
+    assert "SortMergeJoin" not in p, p  # final comp agg is one groupBy
+    assert p.count("Exchange hashpartitioning") == 1, p
