@@ -675,11 +675,11 @@ _N_PLANES = 8
 _DIM = 64
 
 
-def _planes() -> list[list[float]]:
+def _planes(n: int = None) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 — data-independent, identical
     constants on both the Spark and oracle sides."""
     planes = []
-    for j in range(_N_PLANES):
+    for j in range(_N_PLANES if n is None else n):
         row = []
         for d in range(_DIM):
             h = hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()
@@ -931,6 +931,132 @@ def dedup_embed(spark, sf):
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.35)
         .select("label", "id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+_EMB_BANDS = 4          # LSH tables
+_EMB_BITS_PER_BAND = 4  # signature bits per table
+
+
+def _embed_lsh_sql() -> str:
+    nplanes = _EMB_BANDS * _EMB_BITS_PER_BAND
+    planes = _planes(nplanes)
+    rows = ",".join(
+        f"({j},{d},{w:.1f})"
+        for j, p in enumerate(planes)
+        for d, w in enumerate(p)
+    )
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH planes(j, d, w) AS (VALUES {rows}),
+comps AS (
+  SELECT vec_id, u.x AS x, u.d AS d
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS d) u
+),
+dots AS (
+  SELECT c.vec_id, p.j, sum(CAST(c.x AS DOUBLE) * p.w) AS dp
+  FROM comps c JOIN planes p ON p.d = c.d - 1
+  GROUP BY c.vec_id, p.j
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+           AS bits
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, t.b AS band_id,
+         substring(bits, t.b * {_EMB_BITS_PER_BAND} + 1,
+                   {_EMB_BITS_PER_BAND}) AS bucket
+  FROM sig, (SELECT unnest(range(0, {_EMB_BANDS})) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.band_id = c.band_id AND a.bucket = c.bucket
+   AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, round({cos}, 6) AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos} >= 0.35"""
+
+
+@_q("dedup_embed_lsh", _embed_lsh_sql())
+def dedup_embed_lsh(spark, sf):
+    """Embedding near-dup at the REAL scale shape: banded random-hyperplane
+    LSH candidate generation (4 tables x 4 sign bits), bucket equi-joins
+    per band, exact cosine verification on candidates only. Unlike
+    dedup_embed's label-bucket stand-in, nothing here assumes a curated
+    grouping key — the only shuffles are the band-bucket join and the
+    candidate distinct; the corpus never self-joins all-pairs. Hyperplanes
+    are data-independent md5 constants, so the oracle rebuilds the
+    identical signatures."""
+    e = load(spark, sf, "embeddings")
+    planes = _planes(_EMB_BANDS * _EMB_BITS_PER_BAND)
+
+    def dot_plane(p):
+        arr = F.array(*[F.lit(w) for w in p])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), arr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = [F.when(dot_plane(p) >= 0, "1").otherwise("0") for p in planes]
+    sig = e.select("vec_id", F.concat(*bits).alias("bits"))
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.substring(
+                            "bits",
+                            b * _EMB_BITS_PER_BAND + 1,
+                            _EMB_BITS_PER_BAND,
+                        ),
+                    )
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "bucket")
+    c = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bucket_b")
+    )
+    cand = (
+        a.join(c, (a.bucket == c.bucket_b) & (a.id_a < c.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
     )
 
 
