@@ -34,19 +34,21 @@ def _q(name: str, sql):
     return deco
 
 
-_EXTRACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EXTRACT_CACHE: dict = {}
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-scoped cache: one extraction pass serves every doc_* qkey
-    in a correctness/bench run instead of re-running the engine per
-    query."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _EXTRACT_CACHE.get(key)
-    if df is None:
-        df = extract(synth_df(spark, corpus_rows_for_sf(sf_dir))).persist()
-        _EXTRACT_CACHE[key] = df
-    return df
+    """Session-scoped cache (qcache): one extraction pass serves every
+    doc_* qkey in a correctness/bench run instead of re-running the
+    engine per query."""
+    from caraspark.qcache import get_or_persist
+
+    return get_or_persist(
+        _EXTRACT_CACHE,
+        spark,
+        sf_dir,
+        lambda: extract(synth_df(spark, corpus_rows_for_sf(sf_dir))),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,16 +70,6 @@ _FACTS_ARROW = pa.schema(
 )
 
 
-def _sql_lit(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, int):
-        return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
-
-
 _REC_COLS = [
     "rid", "name", "kind", "version", "valid", "strict", "n_tokens",
     "n_tok_int", "n_tok_name", "n_tok_str", "n_xref_inuse", "n_xref_free",
@@ -90,19 +80,13 @@ _REC_COLS = [
 
 def _facts_cte() -> str:
     """DuckDB CTE reconstructing the facts table in closed form: corpus
-    size derived from the sf-scaled customer table, recipe assignment is
-    idx % R, per-recipe values from the frozen lookup."""
-    values = ",\n    ".join(
-        "(" + ", ".join(_sql_lit(r[c]) for c in _REC_COLS) + ")"
-        for r in RECIPE_FACTS
-    )
-    return f"""WITH nrows AS (
-  SELECT CASE (SELECT count(*) FROM customer)
-         WHEN 150 THEN 128 WHEN 1500 THEN 384 WHEN 15000 THEN 1536
-         ELSE 256 END AS n
-),
-rec ({", ".join(_REC_COLS)}) AS (VALUES
-    {values}),
+    size derived from the sf-scaled customer table (shared NROWS_CTE),
+    recipe assignment is idx % R, per-recipe values from the frozen
+    lookup (shared VALUES builder in oracle_freeze)."""
+    from caraspark.oracle_freeze import NROWS_CTE, values_cte
+
+    return f"""WITH {NROWS_CTE},
+{values_cte("rec", _REC_COLS, RECIPE_FACTS)},
 facts AS (
   SELECT 'https://synth.example/' || r.name || '/' || t.range AS url, r.*
   FROM range(0, 4096) t, rec r, nrows
@@ -228,23 +212,23 @@ def _facts_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 v.clear()
 
 
-_FACTS_CACHE: dict[tuple[str, str], object] = {}
+_FACTS_CACHE: dict = {}
 
 
 def _facts(spark, sf):
-    """Session-scoped cache: a driver correctness run executes a dozen
-    facts-pack qkeys back-to-back — one engine pass over the corpus,
+    """Session-scoped cache (qcache): a driver correctness run executes a
+    dozen facts-pack qkeys back-to-back — one engine pass over the corpus,
     persisted, instead of recomputing per query."""
-    key = (spark.sparkContext.applicationId, sf)
-    df = _FACTS_CACHE.get(key)
-    if df is None:
-        df = (
-            synth_df(spark, corpus_rows_for_sf(sf))
-            .mapInArrow(_facts_batches, _FACTS_DDL)
-            .persist()
-        )
-        _FACTS_CACHE[key] = df
-    return df
+    from caraspark.qcache import get_or_persist
+
+    return get_or_persist(
+        _FACTS_CACHE,
+        spark,
+        sf,
+        lambda: synth_df(spark, corpus_rows_for_sf(sf)).mapInArrow(
+            _facts_batches, _FACTS_DDL
+        ),
+    )
 
 
 @_q(

@@ -190,7 +190,7 @@ def _cleanup_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 v.clear()
 
 
-_SIDE_CACHE: dict[tuple[str, str, str], object] = {}
+_SIDE_CACHE: dict = {}
 
 
 def _corpus(spark, sf):
@@ -198,18 +198,21 @@ def _corpus(spark, sf):
 
 
 def _cached(spark, sf, which: str):
-    """Session-scoped cache of the exploded side tables (edges/objects):
-    several qkeys consume each, and the engine pass dominates their cost."""
-    key = (spark.sparkContext.applicationId, sf, which)
-    df = _SIDE_CACHE.get(key)
-    if df is None:
-        batches, ddl = {
-            "edges": (_edges_batches, _EDGES_DDL),
-            "objects": (_objects_batches, _OBJECTS_DDL),
-        }[which]
-        df = _corpus(spark, sf).mapInArrow(batches, ddl).persist()
-        _SIDE_CACHE[key] = df
-    return df
+    """Session-scoped cache (qcache) of the exploded side tables
+    (edges/objects): several qkeys consume each, and the engine pass
+    dominates their cost."""
+    from caraspark.qcache import get_or_persist
+
+    batches, ddl = {
+        "edges": (_edges_batches, _EDGES_DDL),
+        "objects": (_objects_batches, _OBJECTS_DDL),
+    }[which]
+    return get_or_persist(
+        _SIDE_CACHE,
+        spark,
+        (sf, which),
+        lambda: _corpus(spark, sf).mapInArrow(batches, ddl),
+    )
 
 
 @_q(

@@ -689,7 +689,9 @@ def pdf_linearized() -> bytes:
         5: _stream_obj(5, b"", CONTENT_HELLO),
     }
     blob = _assemble(bodies, root=2)
-    xref_off = blob.rindex(b"xref\n")
+    # anchor on "\nxref\n" — a bare rindex(b"xref\n") matches inside the
+    # trailing "startxref\n" line instead of the xref section
+    xref_off = blob.rindex(b"\nxref\n") + 1
     first_entry = xref_off + len(b"xref\n0 6\n")
     blob = blob.replace(b"/L 0000000000", b"/L %010d" % len(blob), 1)
     blob = blob.replace(b"/E 0000000000", b"/E %010d" % xref_off, 1)

@@ -51,7 +51,13 @@ def stage_input(spark, raw, stage_dir: str, units: int) -> str:
             staged_units = f.read().strip()
         if staged_units == str(units):
             return stage_dir
-        # stale stage from a run with a different unit count — restage
+        # stale stage from a run with a different unit count — remove it
+        # entirely: under dynamic partition overwrite, a rewrite touches
+        # only buckets that receive rows, so old-hash bucket dirs would
+        # otherwise survive and be read as chunk input
+        import shutil
+
+        shutil.rmtree(stage_dir, ignore_errors=True)
     keyed = raw.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
     )
@@ -64,9 +70,19 @@ def stage_input(spark, raw, stage_dir: str, units: int) -> str:
 def chunk_input(spark, stage_dir: str, chunk: list[int]):
     """The per-chunk input DataFrame: reads ONLY the chunk's staged bucket
     directories (asserted by tests/test_resume.py::test_chunk_scan_is_pruned
-    via ``inputFiles()``)."""
-    paths = [os.path.join(stage_dir, f"bucket={u}") for u in chunk]
-    return spark.read.parquet(*[p for p in paths if os.path.isdir(p)])
+    via ``inputFiles()``). A chunk whose buckets all received zero rows has
+    no directories at all — that's an empty input, not an error (zero
+    paths would make spark.read.parquet raise UNABLE_TO_INFER_SCHEMA)."""
+    from caraspark.schemas import DOCUMENTS_RAW
+
+    paths = [
+        p
+        for u in chunk
+        if os.path.isdir(p := os.path.join(stage_dir, f"bucket={u}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], DOCUMENTS_RAW)
+    return spark.read.parquet(*paths)
 
 
 def run_job(
@@ -138,12 +154,13 @@ def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
     reader is therefore unaffected by concurrent compaction rewrites.
     ``snapshot_id`` time-travels to an earlier commit of the chain."""
     man = SnapshotManifest(output_dir)
-    paths = man.unit_paths(snapshot_id)
+    paths = [p for p in man.unit_paths(snapshot_id) if os.path.isdir(p)]
     if not paths:
+        # no committed units, or none of them produced any rows
         return spark.createDataFrame([], "url string")
     df = (
         spark.read.option("basePath", os.path.join(output_dir, "data"))
-        .parquet(*[p for p in paths if os.path.isdir(p)])
+        .parquet(*paths)
     )
     return df.drop("gen")
 

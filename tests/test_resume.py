@@ -217,3 +217,34 @@ def test_chunk_scan_is_pruned(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(stage, "_STAGED"))
     stage_input(spark, raw, stage, units=8)
     assert os.path.getmtime(os.path.join(stage, "_STAGED")) == mtime
+
+
+def test_sparse_corpus_with_empty_chunks(spark, tmp_path):
+    """units >> docs: chunks whose buckets all received zero rows must
+    commit as empty, not crash (zero parquet paths used to raise
+    UNABLE_TO_INFER_SCHEMA)."""
+    out = str(tmp_path / "sparse")
+    stats = run_job(spark, None, out, units=64, unit_chunk=16, synth_docs=16)
+    assert not stats["crashed"] and stats["units_done"] == 64
+    assert read_extracted(spark, out).count() == 16
+
+
+def test_restage_clears_stale_buckets(spark, tmp_path):
+    """A unit-count change must fully rebuild the stage: under dynamic
+    partition overwrite, old-hash bucket dirs that receive no rows would
+    otherwise survive and be read as chunk input."""
+    import os
+
+    from caraspark.corpus import synth_df
+    from jobs.extract_job import stage_input
+
+    stage = str(tmp_path / "stage")
+    raw = synth_df(spark, 64)
+    stage_input(spark, raw, stage, units=16)
+    before = {d for d in os.listdir(stage) if d.startswith("bucket=")}
+    assert before
+    stage_input(spark, raw, stage, units=4)
+    after = {d for d in os.listdir(stage) if d.startswith("bucket=")}
+    assert all(int(d.split("=")[1]) < 4 for d in after), after
+    with open(os.path.join(stage, "_STAGED")) as f:
+        assert f.read().strip() == "4"

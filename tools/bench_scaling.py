@@ -18,10 +18,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# size-namespaced via bench_extract.corpus_path at orchestration time —
-# a fixed path was once clobbered by a concurrent bench.py regenerating a
-# smaller corpus into the same directory
-CORPUS = "/tmp/caraspark_bench/corpus_200000"
+# resolved per-run via bench_extract.corpus_path(n_docs) — a fixed path
+# was once clobbered by a concurrent bench regenerating a different size
+# into the same directory
 
 
 def child(master: str, corpus: str, mode: str, repeats: int = 5) -> None:
@@ -74,9 +73,10 @@ def main() -> None:
         else ["narrow", "salted", "giants"]
     )
 
-    from caraspark.bench_extract import ensure_corpus
+    from caraspark.bench_extract import corpus_path, ensure_corpus
     from caraspark.session import get_spark
 
+    CORPUS = corpus_path(n_docs)
     spark = get_spark("scaling-gen", master="local[32]")
     n = ensure_corpus(spark, n_docs, CORPUS)
     print(f"corpus: {n} docs at {CORPUS}", file=sys.stderr)
