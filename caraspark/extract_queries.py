@@ -152,6 +152,37 @@ def doc_stats(spark, sf):
     )
 
 
+@_q(
+    "partition_lineage",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT CAST((idx * 8) // (SELECT n FROM nrows) AS INT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bytes_in) AS BIGINT) AS bytes_in,
+       CAST(sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_invalid
+FROM perdoc GROUP BY 1""",
+)
+def partition_lineage(spark, sf):
+    """north_rule per-partition lineage, HASH-VERIFIED: with an explicit
+    8-partition range corpus, Spark's range partition p holds exactly
+    idx ∈ [p·n/8, (p+1)·n/8), so the oracle reconstructs the partition
+    assignment closed-form. A mismatch means lineage.partition_id is not
+    flowing faithfully through the narrow extract stage (the timing
+    columns stay in the rows-only partition_metrics sibling)."""
+    n = corpus_rows_for_sf(sf)
+    ex = extract(synth_df(spark, n, partitions=8))
+    return ex.groupBy(
+        F.col("lineage.partition_id").alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("metrics.bytes_in").alias("bytes_in"),
+        F.sum(F.when(~F.col("verdict.valid"), 1).otherwise(0)).alias(
+            "n_invalid"
+        ),
+    )
+
+
 @_q("partition_metrics", None)
 def partition_metrics(spark, sf):
     """north_rule: per-partition lineage + parse-error metrics — the view an

@@ -503,6 +503,29 @@ def agg_approx(spark, sf):
 
 
 @_q(
+    "agg_approx_check",
+    """SELECT l_returnflag, TRUE AS within_5pct
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_approx_check(spark, sf):
+    """G3 hash coverage via a PROPERTY oracle: the sketch estimate itself
+    can't be predicted by another engine, but its accuracy contract can —
+    Spark emits whether each group's HLL estimate (rsd 0.02) lands within
+    5% of the exact distinct count; the oracle asserts TRUE per group. A
+    hash mismatch means the sketch violated its error bound."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("within_5pct")
+    )
+
+
+@_q(
     "agg_rollup",
     """SELECT l_returnflag, l_linestatus,
               CAST(count(*) AS BIGINT)  AS n,
