@@ -504,15 +504,17 @@ def agg_approx(spark, sf):
 
 @_q(
     "agg_approx_check",
-    """SELECT l_returnflag, TRUE AS within_5pct
+    """SELECT l_returnflag, TRUE AS within_10pct
        FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_approx_check(spark, sf):
     """G3 hash coverage via a PROPERTY oracle: the sketch estimate itself
     can't be predicted by another engine, but its accuracy contract can —
     Spark emits whether each group's HLL estimate (rsd 0.02) lands within
-    5% of the exact distinct count; the oracle asserts TRUE per group. A
-    hash mismatch means the sketch violated its error bound."""
+    10% of the exact distinct count; the oracle asserts TRUE per group.
+    The margin is 5 sigma (a 5%/2.5-sigma bound would deterministically
+    fail on ~4% of fresh datasets through no code defect); a hash mismatch
+    therefore means the sketch genuinely violated its error contract."""
     li = load(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
         (
@@ -520,8 +522,8 @@ def agg_approx_check(spark, sf):
                 F.approx_count_distinct("l_partkey", 0.02)
                 - F.countDistinct("l_partkey")
             )
-            <= 0.05 * F.countDistinct("l_partkey")
-        ).alias("within_5pct")
+            <= 0.10 * F.countDistinct("l_partkey")
+        ).alias("within_10pct")
     )
 
 

@@ -48,12 +48,13 @@ def stage_input(spark, raw, stage_dir: str, units: int) -> str:
     marker = os.path.join(stage_dir, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as f:
-            staged_units = f.read().strip()
-        if staged_units == str(units):
-            return stage_dir
-        # stale stage from a run with a different unit count — remove it
+            if f.read().strip() == str(units):
+                return stage_dir
+    if os.path.exists(stage_dir):
+        # stale or incomplete stage (different unit count, or a crash
+        # between the parquet write and the marker write) — remove it
         # entirely: under dynamic partition overwrite, a rewrite touches
-        # only buckets that receive rows, so old-hash bucket dirs would
+        # only buckets that receive rows, so leftover bucket dirs would
         # otherwise survive and be read as chunk input
         import shutil
 

@@ -238,6 +238,9 @@ def test_restage_clears_stale_buckets(spark, tmp_path):
     from caraspark.corpus import synth_df
     from jobs.extract_job import stage_input
 
+    # the job sets dynamic overwrite; pin it here so the test is
+    # meaningful in isolation (static mode would wipe the stage anyway)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     stage = str(tmp_path / "stage")
     raw = synth_df(spark, 64)
     stage_input(spark, raw, stage, units=16)
@@ -248,3 +251,25 @@ def test_restage_clears_stale_buckets(spark, tmp_path):
     assert all(int(d.split("=")[1]) < 4 for d in after), after
     with open(os.path.join(stage, "_STAGED")) as f:
         assert f.read().strip() == "4"
+
+
+def test_restage_after_marker_crash(spark, tmp_path):
+    """A staging run that crashed between the parquet write and the marker
+    write must be fully rebuilt, not merged with (dynamic overwrite keeps
+    old bucket dirs that receive no new rows → double reads)."""
+    import os
+
+    from caraspark.corpus import synth_df
+    from jobs.extract_job import chunk_input, stage_input
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stage = str(tmp_path / "stage")
+    raw = synth_df(spark, 16)
+    stage_input(spark, raw, stage, units=4)
+    os.remove(os.path.join(stage, "_STAGED"))  # simulate the crash window
+    stage_input(spark, raw, stage, units=64)
+    total = sum(
+        chunk_input(spark, stage, list(range(i, i + 16))).count()
+        for i in range(0, 64, 16)
+    )
+    assert total == 16  # no doc read twice

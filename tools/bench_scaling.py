@@ -225,6 +225,7 @@ def main() -> None:
         # probe (e.g. 0.69) from passing a genuinely bad raw number
         # (0.8 * 0.69 = 0.55 would otherwise squeak through), and a
         # failed probe degrades to gating on the raw value alone.
+        "corpus": CORPUS,
         "gate_metric": "raw_over_floored_hw_ceiling",
         "gate_value": round(
             exec_eff / max(hw["hw_eff"], 0.8) if hw.get("hw_eff") else exec_eff,
@@ -247,7 +248,7 @@ def _write_report(s: dict) -> None:
 
 Same job (`caraspark.extract` over the committed deterministic corpus,
 seed 42, incl. pdf_giant skew docs), byte-identical parquet input at
-`{CORPUS}`, each config in its own process, taskset-pinned, best of 5 timed
+`{s["corpus"]}`, each config in its own process, taskset-pinned, best of 5 timed
 runs after a warmup pass. noop sink: full distributed compute, no collect.
 
 ## Headline (gate) — N → 4N executors
