@@ -52,6 +52,80 @@ def replay_events_stream(
     )
 
 
+def replay_events_stream_flushed(
+    spark: SparkSession, sf_dir: str, flush_minutes: int = 360
+) -> DataFrame:
+    """T1 variant for OUTER stream-stream joins: the events file plus two
+    far-future sentinel micro-batches that drive the watermark past all
+    real data.
+
+    Append-mode outer joins only emit null-extended rows once the global
+    watermark proves no future match is possible, and the watermark
+    computed at the END of batch k takes effect in batch k+1 — so a
+    single-batch replay would never emit them. Staging order (by mtime,
+    one file per trigger):
+
+      batch 1: the real events file          (watermark → max_ts − delay)
+      batch 2: sentinel @ max_ts+flush       (watermark → far future)
+      batch 3: sentinel @ max_ts+flush+1min  (data batch under the
+               far-future watermark → ALL remaining outer rows emit here,
+               and ``processAllAvailable`` provably waits for it, unlike
+               the best-effort no-data cleanup batch)
+
+    Sentinel rows carry negative event_ids so queries can filter them out
+    of results. Deterministic: sentinel timestamps derive from the real
+    file's max ts (parquet footer stats), content is fixed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        "/tmp/caraspark_stream_flush",
+        f"{src.strip('/').replace('/', '_')}_f{flush_minutes}",
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "0_events.parquet")
+        if not os.path.lexists(link):
+            os.symlink(src, link)
+        tbl = pq.read_table(src, columns=["ts"])
+        max_ts = pa.compute.max(tbl["ts"]).as_py()
+        schema = pq.read_schema(src).remove_metadata()
+        from datetime import timedelta
+
+        for i, (minute, ids) in enumerate(
+            [(flush_minutes, (-1, -2)), (flush_minutes + 1, (-3, -4))]
+        ):
+            t = max_ts + timedelta(minutes=minute)
+            sent = pa.table(
+                {
+                    "event_id": pa.array(list(ids), pa.int64()),
+                    "ts": pa.array([t, t], schema.field("ts").type),
+                    "user_id": pa.array([-1, -1], pa.int64()),
+                    "event_type": pa.array(["click", "view"]),
+                    "value": pa.array([0.0, 0.0], pa.float64()),
+                    "props": pa.array(["{}", "{}"]),
+                },
+                schema=schema,
+            )
+            pq.write_table(sent, os.path.join(stage, f"{i + 1}_flush.parquet"))
+        # FileStreamSource (latestFirst=false) picks oldest-mtime first:
+        # pin the intended batch order explicitly.
+        base = os.path.getmtime(link)
+        for i, name in enumerate(["1_flush.parquet", "2_flush.parquet"]):
+            p = os.path.join(stage, name)
+            os.utime(p, (base + 10 * (i + 1), base + 10 * (i + 1)))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drive a bounded stream to completion; return the sink as a DataFrame.
 
@@ -160,6 +234,47 @@ def clickview_join(
         )
         & (F.col("view_ts") <= F.col("click_ts")),
         "inner",
+    ).select("click_id", "view_id")
+
+
+def clickview_join_outer(
+    clicks: DataFrame, views: DataFrame, lookback_min: int = 240
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with a time-range condition: every
+    click emits — paired with each same-user view in the preceding
+    ``lookback_min`` minutes, or null-extended if none exists. Unlike the
+    inner form, the null-extended rows are only released when the global
+    watermark passes the click's match window (view_ts ≤ click_ts), so
+    the source must keep advancing the watermark past the data — use
+    ``replay_events_stream_flushed`` for bounded replays. State stays
+    bounded to watermark + range exactly as in the inner join."""
+    a = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    b = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("v_user"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {lookback_min} MINUTES")
+        )
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "leftOuter",
     ).select("click_id", "view_id")
 
 

@@ -85,6 +85,29 @@ def stream_join(spark, sf):
 
 
 @_q(
+    "stream_join_outer",
+    """SELECT a.event_id AS click_id, b.event_id AS view_id
+       FROM (SELECT * FROM events WHERE event_type = 'click') a
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+         ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL 240 MINUTE AND a.ts""",
+)
+def stream_join_outer(spark, sf):
+    # Stream-stream LEFT OUTER join: null-extended rows only emit once the
+    # watermark passes each click's match window, so the replay appends
+    # far-future sentinel batches (negative event_ids, filtered here) that
+    # push the watermark past all real data — see
+    # streaming.replay_events_stream_flushed for the 3-batch schedule.
+    out = S.run_to_memory(
+        S.clickview_join_outer(
+            S.replay_events_stream_flushed(spark, sf),
+            S.replay_events_stream_flushed(spark, sf),
+        )
+    )
+    return out.filter(F.col("click_id") >= 0)
+
+
+@_q(
     "stream_session",
     """WITH o AS (
          SELECT user_id, ts,

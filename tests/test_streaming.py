@@ -229,3 +229,41 @@ def test_stream_stream_join_equals_batch(spark, sf_smoke, events_batch):
     cols = ["click_id", "view_id"]
     assert _sorted_rows(streamed, cols) == _sorted_rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_stream_stream_outer_join_equals_batch(spark, sf_smoke, events_batch):
+    """LEFT OUTER stream-stream join: the flush-staged replay advances the
+    watermark past all real data, so every unmatched click's null-extended
+    row actually emits — the result equals the batch left join exactly."""
+    streamed = S.run_to_memory(
+        S.clickview_join_outer(
+            S.replay_events_stream_flushed(spark, sf_smoke),
+            S.replay_events_stream_flushed(spark, sf_smoke),
+        )
+    ).filter(F.col("click_id") >= 0)
+    a = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    b = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    batch = a.join(
+        b,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 240 MINUTES"))
+        & (F.col("vts") <= F.col("cts")),
+        "leftOuter",
+    ).select("click_id", "view_id")
+    cols = ["click_id", "view_id"]
+
+    def rows(df):  # None-safe sort (null-extended view_id)
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        return sorted((tuple(r) for r in df.select(*cols).collect()), key=key)
+
+    assert rows(streamed) == rows(batch)
+    # the outer rows are the point: some clicks must be view-less
+    assert streamed.filter(F.col("view_id").isNull()).count() > 0
