@@ -24,6 +24,7 @@ lands, and why the plan survives 100x data.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -438,6 +439,63 @@ def join_cross(spark, sf):
     r = load(spark, sf, "region")
     et = load(spark, sf, "events").select(F.col("event_type").alias("et")).distinct()
     return r.crossJoin(et).select("r_name", F.col("et").alias("event_type"))
+
+
+_BUCKET_STAGE = "/tmp/caraspark_bucketed"
+
+
+def bucketed_table(
+    spark: SparkSession, sf: str, table: str, key: str, n: int = 8
+) -> DataFrame:
+    """Stage ``table`` as a bucketed+sorted catalog table (once per sf per
+    session) and return it.
+
+    This is the co-located-join layout for 100 TB: pay ONE shuffle at
+    ingest (`bucketBy` on the join key, same bucket count on every table
+    that joins on it), and every subsequent join/aggregate on that key is
+    exchange-free — both sides' scans already satisfy the required
+    HashPartitioning. The `repartition(n, key)` before the write uses the
+    same murmur3-pmod hash as the bucket assignment, so each bucket lands
+    in exactly one file. (Joins still carry LOCAL per-partition Sort
+    nodes — Spark ≥3 only trusts bucket sort order under a legacy conf —
+    but those never shuffle; eliminating the Exchange is the 100 TB win.)
+    Production analog: Iceberg `bucket(n, key)` partition transforms /
+    Hive bucketed tables."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:8]
+    name = f"caraspark_{table}_b{n}_{tag}"
+    if not spark.catalog.tableExists(name):
+        (
+            load(spark, sf, table)
+            .repartition(n, F.col(key))
+            .write.bucketBy(n, key)
+            .sortBy(key)
+            .option("path", f"{_BUCKET_STAGE}/{tag}/{table}_b{n}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@_q(
+    "join_bucketed",
+    """SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+)
+def join_bucketed(spark, sf):
+    # Big×big equi-join with ZERO exchanges: both sides staged bucketed on
+    # the join key (see bucketed_table), so the sort-merge join reads
+    # co-located buckets directly — the plan has no Exchange at all.
+    # The merge hint pins the big×big strategy (at test scale Catalyst
+    # would broadcast the small orders side, which disables the bucketed
+    # scan; at 100 TB neither side broadcasts and SMJ is what runs).
+    # tests/test_plans.py pins that shape.
+    o = bucketed_table(spark, sf, "orders", "o_orderkey")
+    li = bucketed_table(spark, sf, "lineitem", "l_orderkey")
+    return o.hint("merge").join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,16 @@ def test_bucketed_join_needs_no_exchange(spark, sf_smoke):
     assert "Exchange" not in p, p
 
 
+def test_join_bucketed_qkey_zero_exchange_bucket_scans(spark, sf_smoke, qs):
+    # The registered join_bucketed query: staged bucketed tables on both
+    # sides, merge hint pinning the big×big strategy → SMJ whose scans are
+    # bucketed (8/8 selected) with no Exchange anywhere in the plan.
+    p = plan_of(qs["join_bucketed"](spark, sf_smoke), "simple")
+    assert "SortMergeJoin" in p, p
+    assert "Exchange" not in p, p
+    assert p.count("Bucketed: true") == 2, p
+
+
 def test_global_topk_uses_take_ordered(spark, sf_smoke, qs):
     # O2: orderBy().limit(k) must plan as TakeOrderedAndProject — a
     # per-partition heap + single k-row merge, never a global sort
