@@ -16,7 +16,9 @@ and compared byte-for-byte:
       '  <str>  next-line + show        → newline, then append
       "  a c s  word/char spacing + show→ newline, then append
       TJ <arr>  strings appended in order; a numeric kern element
-                v <= -180 (thousandths of text space) → one space
+                v <= -0.18 × repw(font) (thousandths of text space,
+                scaled by the CURRENT font's representative glyph
+                width — see "font metrics" below) → one space
       Td/TD tx ty → ty != 0: line break (newline, emitted only if the
                 current line is non-empty); ty == 0 and tx != 0: a
                 single space (horizontal positioning inside a justified
@@ -42,6 +44,20 @@ and compared byte-for-byte:
     ``cmap.py``); otherwise bytes starting with FE FF → UTF-16BE (BOM
     dropped), else PDFDocEncoding (Annex D) → unicode; output is UTF-8;
     the font (and its CMap) persists across BT/ET within a page;
+  * font metrics: each font carries a representative glyph width
+    ``repw`` in glyph-space units [PDF17 §9.7.4.3], used to scale the
+    TJ kern-space threshold (narrow fonts need smaller kerns to open a
+    visual space). repw(font):
+      - Type0 font: the first /DescendantFonts entry's /W array,
+        folded left-to-right — item ``c [w1 … wn]`` contributes the
+        numeric wi (count n'); item ``c1 c2 w`` (all numeric)
+        contributes (c2−c1+1) copies of w without materializing;
+        malformed items resync by one element; inner elements are
+        taken literally (no deref). repw = Σ(n·w)/Σn. If /W is absent
+        or contributes nothing: /DW if numeric, else 1000.
+      - simple font: mean of the numeric entries of /Widths (the
+        array deref'd if indirect), else 1000.
+      - no/unknown font: 1000 → threshold −180, the historical rule.
   * page texts are joined with b"\\x0c" (form feed); a document with no
     extractable text yields b"".
 
@@ -56,7 +72,9 @@ from caraspark.pdfengine.lexer import Lexer
 from caraspark.pdfengine.model import Name, PdfError, Ref, Stream
 from caraspark.pdfengine.parser import TokenStream, parse_object
 
-KERN_SPACE_THRESHOLD = -180  # thousandths of text-space units
+# Kern-space threshold for a 1000-unit (full-width) font; per-font the
+# effective threshold is -0.18 × repw(font) — see SPEC "font metrics".
+KERN_SPACE_THRESHOLD = -180
 
 _WS = b"\x00\t\n\x0c\r "
 _WS_DELIM = b"\x00\t\n\x0c\r ()<>[]{}/%"
@@ -129,10 +147,71 @@ def _deref(doc, v):
     return doc.objects.get((v.num, v.gen)) if isinstance(v, Ref) else v
 
 
+def _rep_width(doc, font) -> float:
+    """Representative glyph width per the SPEC "font metrics" rule."""
+    if not isinstance(font, dict):
+        return 1000.0
+    sub = font.get("Subtype")
+    if isinstance(sub, Name) and sub.v == "Type0":
+        desc = _deref(doc, font.get("DescendantFonts"))
+        desc = desc.d if isinstance(desc, Stream) else desc
+        cid = None
+        if isinstance(desc, list) and desc:
+            cid = _deref(doc, desc[0])
+            cid = cid.d if isinstance(cid, Stream) else cid
+        if isinstance(cid, dict):
+            w = _deref(doc, cid.get("W"))
+            w = w.d if isinstance(w, Stream) else w
+            total, cnt = 0.0, 0
+            if isinstance(w, list):
+                i = 0
+                while i < len(w):
+                    c = w[i]
+                    if (
+                        isinstance(c, (int, float))
+                        and i + 1 < len(w)
+                        and isinstance(w[i + 1], list)
+                    ):
+                        for wi in w[i + 1]:
+                            if isinstance(wi, (int, float)):
+                                total += wi
+                                cnt += 1
+                        i += 2
+                    elif (
+                        isinstance(c, (int, float))
+                        and i + 2 < len(w)
+                        and isinstance(w[i + 1], (int, float))
+                        and isinstance(w[i + 2], (int, float))
+                    ):
+                        n = int(w[i + 1]) - int(c) + 1
+                        if n > 0:
+                            total += n * w[i + 2]
+                            cnt += n
+                        i += 3
+                    else:
+                        i += 1  # malformed: resync by one element
+            if cnt > 0:
+                return total / cnt
+            dw = cid.get("DW")
+            if isinstance(dw, (int, float)):
+                return float(dw)
+        return 1000.0
+    widths = _deref(doc, font.get("Widths"))
+    widths = widths.d if isinstance(widths, Stream) else widths
+    if isinstance(widths, list):
+        nums = [x for x in widths if isinstance(x, (int, float))]
+        if nums:
+            total = 0.0
+            for x in nums:
+                total += x
+            return total / len(nums)
+    return 1000.0
+
+
 def _resources_ctx(doc, res):
-    """Resolved /Resources dict → (fonts: name→CMap|None,
-    xobjects: name→Stream)."""
-    fonts: dict[str, ToUnicodeCMap | None] = {}
+    """Resolved /Resources dict → (fonts: name→(CMap|None, kern
+    threshold), xobjects: name→Stream)."""
+    fonts: dict[str, tuple[ToUnicodeCMap | None, float]] = {}
     xobjects: dict[str, Stream] = {}
     if not isinstance(res, dict):
         return fonts, xobjects
@@ -147,7 +226,7 @@ def _resources_ctx(doc, res):
                 tu = _deref(doc, font.get("ToUnicode"))
                 if isinstance(tu, Stream) and tu.decoded is not None:
                     cm = parse_tounicode(tu.decoded)
-            fonts[fname] = cm
+            fonts[fname] = (cm, -0.18 * _rep_width(doc, font))
     xdict = _deref(doc, res.get("XObject"))
     xdict = xdict.d if isinstance(xdict, Stream) else xdict
     if isinstance(xdict, dict):
@@ -220,6 +299,7 @@ def extract_page_text(
     lines: list[str] = []
     cur: list[str] = []
     cmap: ToUnicodeCMap | None = None  # of the current font (Tf)
+    kern_thr: float = float(KERN_SPACE_THRESHOLD)  # scaled per font
 
     def newline():
         if cur:
@@ -296,10 +376,12 @@ def extract_page_text(
             for el in operands[-1]:
                 if isinstance(el, bytes):
                     show(el)
-                elif isinstance(el, (int, float)) and el <= KERN_SPACE_THRESHOLD:
+                elif isinstance(el, (int, float)) and el <= kern_thr:
                     cur.append(" ")
         elif op == "Tf" and operands and isinstance(operands[0], Name):
-            cmap = (fonts or {}).get(operands[0].v)
+            cmap, kern_thr = (fonts or {}).get(
+                operands[0].v, (None, float(KERN_SPACE_THRESHOLD))
+            )
         elif op == "Do" and operands and isinstance(operands[0], Name):
             do_form(operands[0].v)
         elif op == "BI":

@@ -430,6 +430,74 @@ def pdf_tounicode() -> bytes:
     return _assemble(bodies)
 
 
+def pdf_cid_widths() -> bytes:
+    """Font-metric-scaled kern spacing (C26 SPEC "font metrics"):
+
+    * /F2 Type0 whose CIDFont carries an INDIRECT /W mixing both formats,
+      ``1 [400 600] 16 31 500`` → repw (400+600+16·500)/18 = 500 →
+      threshold −90: kern −120 opens a space (it would not at the
+      full-width default), −80 does not.
+    * /F3 Type0 with /DW 2000 and no /W → threshold −360: kern −200 is
+      NOT a space (it would be at the default), −400 is.
+    * /F1 simple font with /Widths [250 333 500] → repw 361 → threshold
+      −64.98: kern −70 spaces, −60 does not.
+    """
+    content = (
+        b"BT\n"
+        b"/F2 12 Tf\n"
+        b"10 700 Td [<0001> -120 <0002> -80 <0010> -200 <0011>] TJ\n"
+        b"/F3 12 Tf\n"
+        b"0 -14 Td [<0001> -200 <0002> -400 <0010>] TJ\n"
+        b"/F1 10 Tf\n"
+        b"0 -14 Td [(A) -70 (B) -60 (C)] TJ\n"
+        b"ET"
+    )
+    cmap_z = zlib.compress(_TOUNICODE_CMAP)
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R /F2 6 0 R /F3 9 0 R >> >> >>",
+        ),
+        4: _stream_obj(4, b"", content),
+        5: _obj(
+            5,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /FirstChar 65 /LastChar 67 /Widths [250 333 500] >>",
+        ),
+        6: _obj(
+            6,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity"
+            b" /Encoding /Identity-H /DescendantFonts [7 0 R]"
+            b" /ToUnicode 8 0 R >>",
+        ),
+        7: _obj(
+            7,
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /DW 1000 /W 11 0 R >>",
+        ),
+        8: _stream_obj(8, b"/Filter /FlateDecode", cmap_z),
+        9: _obj(
+            9,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Wide"
+            b" /Encoding /Identity-H /DescendantFonts [10 0 R]"
+            b" /ToUnicode 8 0 R >>",
+        ),
+        10: _obj(
+            10,
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthW"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /DW 2000 >>",
+        ),
+        11: _obj(11, b"[1 [400 600] 16 31 500]"),
+    }
+    return _assemble(bodies)
+
+
 def pdf_flate() -> bytes:
     return _assemble(
         _base_objects(zlib.compress(CONTENT_HELLO), b"/Filter /FlateDecode")
@@ -818,6 +886,7 @@ PDF_RECIPES = {
     "pdf_minimal": pdf_minimal,
     "pdf_text_ops": pdf_text_ops,
     "pdf_tounicode": pdf_tounicode,
+    "pdf_cid_widths": pdf_cid_widths,
     "pdf_inline_image": pdf_inline_image,
     "pdf_form_xobject": pdf_form_xobject,
     "pdf_multipage": pdf_multipage,

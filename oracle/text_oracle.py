@@ -609,6 +609,7 @@ def _page_text(
     cur: list[str] = []
     stackvals: list = []
     cmap = None  # ToUnicode of the current font, set by Tf
+    kthr = -180.0  # kern-space threshold, scaled per font (Tf)
 
     def nl():
         if cur:
@@ -671,10 +672,12 @@ def _page_text(
                 for el in stackvals[-1]:
                     if isinstance(el, bytes):
                         cur.append(dec(el))
-                    elif isinstance(el, (int, float)) and el <= -180:
+                    elif isinstance(el, (int, float)) and el <= kthr:
                         cur.append(" ")
             elif op == "Tf" and stackvals and isinstance(stackvals[0], _NameTok):
-                cmap = (fonts or {}).get(str(stackvals[0]))
+                cmap, kthr = (fonts or {}).get(
+                    str(stackvals[0]), (None, -180.0)
+                )
             elif op == "Do" and stackvals and isinstance(stackvals[0], _NameTok):
                 do_form(str(stackvals[0]))
             elif op == "BI":
@@ -729,8 +732,62 @@ def _page_text(
     return "\n".join(lines)
 
 
+def _rep_w(objs, font: dict) -> float:
+    """Representative glyph width — independent twin of the engine's SPEC
+    "font metrics" rule (Type0: fold /W, else /DW; simple: mean /Widths;
+    fallback 1000)."""
+
+    def deref(v):
+        return objs.get(v.num, (None, None))[0] if isinstance(v, _Ref) else v
+
+    def is_num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    if str(font.get("Subtype")) == "Type0":
+        dfs = deref(font.get("DescendantFonts"))
+        cid = deref(dfs[0]) if isinstance(dfs, list) and dfs else None
+        if isinstance(cid, dict):
+            warr = deref(cid.get("W"))
+            total = 0.0
+            cnt = 0
+            if isinstance(warr, list):
+                i, m = 0, len(warr)
+                while i < m:
+                    a = warr[i]
+                    b = warr[i + 1] if i + 1 < m else None
+                    c = warr[i + 2] if i + 2 < m else None
+                    if is_num(a) and isinstance(b, list):
+                        for wi in b:
+                            if is_num(wi):
+                                total += wi
+                                cnt += 1
+                        i += 2
+                    elif is_num(a) and is_num(b) and is_num(c):
+                        span = int(b) - int(a) + 1
+                        if span > 0:
+                            total += span * c
+                            cnt += span
+                        i += 3
+                    else:
+                        i += 1
+            if cnt:
+                return total / cnt
+            if is_num(cid.get("DW")):
+                return float(cid["DW"])
+        return 1000.0
+    ws = deref(font.get("Widths"))
+    if isinstance(ws, list):
+        nums = [w for w in ws if is_num(w)]
+        if nums:
+            total = 0.0
+            for w in nums:
+                total += w
+            return total / len(nums)
+    return 1000.0
+
+
 def _res_ctx(objs, res: dict):
-    """Resolved /Resources dict → (fonts: name→cmap|None,
+    """Resolved /Resources dict → (fonts: name→(cmap|None, kern thr),
     xobjects: name→(num, dict, raw))."""
 
     def deref(v):
@@ -745,6 +802,7 @@ def _res_ctx(objs, res: dict):
         for fname, fval in fdict.items():
             font = deref(fval)
             cm = None
+            thr = -180.0
             if isinstance(font, dict):
                 tu = font.get("ToUnicode")
                 if isinstance(tu, _Ref):
@@ -753,7 +811,8 @@ def _res_ctx(objs, res: dict):
                         decd = _decode(traw, tv, objs)
                         if decd is not None:
                             cm = _parse_cmap(decd)
-            fonts[str(fname)] = cm
+                thr = -0.18 * _rep_w(objs, font)
+            fonts[str(fname)] = (cm, thr)
     xdict = deref(res.get("XObject"))
     if isinstance(xdict, dict):
         for xname, xval in xdict.items():

@@ -518,3 +518,51 @@ def test_linearization_cross_checks():
         "linear.not_first",
     } <= codes
     assert bad.linearized and bad.valid and not bad.strict
+
+
+def test_rep_width_fold_rules():
+    """SPEC "font metrics": the /W fold handles both item formats, skips
+    malformed items by one element, falls back to /DW then 1000, and
+    simple fonts average /Widths."""
+    from caraspark.pdfengine.textextract import _rep_width
+
+    class _Doc:  # no indirect objects needed for inline values
+        objects: dict = {}
+        trailer: dict = {}
+
+    d = _Doc()
+
+    def t0(cid):
+        return {
+            "Subtype": Name("Type0"),
+            "DescendantFonts": [cid],
+        }
+
+    # c [w...] format
+    assert _rep_width(d, t0({"W": [1, [400, 600]]})) == 500.0
+    # c1 c2 w range format (no materialization: wide ranges are O(1))
+    assert _rep_width(d, t0({"W": [0, 9_999_999, 250]})) == 250.0
+    # mixed, in document order
+    assert _rep_width(d, t0({"W": [1, [400, 600], 16, 31, 500]})) == 500.0
+    # malformed leading junk resyncs by one element
+    assert _rep_width(d, t0({"W": [Name("x"), 1, [300]]})) == 300.0
+    # empty/absent /W -> /DW -> 1000
+    assert _rep_width(d, t0({"W": [], "DW": 750})) == 750.0
+    assert _rep_width(d, t0({})) == 1000.0
+    # inverted range contributes nothing
+    assert _rep_width(d, t0({"W": [5, 1, 900], "DW": 640})) == 640.0
+    # simple font: mean of numeric /Widths entries
+    assert _rep_width(d, {"Widths": [250, 333, 500]}) == 361.0
+    assert _rep_width(d, {"Widths": [Name("j"), 200, 400]}) == 300.0
+    assert _rep_width(d, {"Widths": []}) == 1000.0
+    assert _rep_width(d, {}) == 1000.0
+    # threshold backward compatibility at full width
+    assert -0.18 * _rep_width(d, {}) == -180.0
+
+
+def test_cid_widths_scaled_kern_goldens():
+    """pdf_cid_widths end-to-end: narrow CID font opens a space at -120,
+    wide /DW font refuses one at -200, simple /Widths font at -70."""
+    r = process_document(PDF_RECIPES["pdf_cid_widths"]())
+    assert r.valid and r.strict
+    assert r.text == b"H IX Y\nHI X\nA BC"
