@@ -96,9 +96,10 @@ def compact_table(
         .partitionBy("bucket")
         .parquet(gen_dir)
     )
+    cur_units = man.units_map()
     units = {
         u: {
-            **(snap["units"].get(str(u)) or {}),
+            **(cur_units.get(str(u)) or {}),
             "gen": new_gen,
             "compacted": True,
         }

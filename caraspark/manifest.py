@@ -16,9 +16,24 @@ Layout:
                                            in fresh generations (g = the
                                            committing snapshot id), never in
                                            place — see maintenance.py.
-    <table>/_manifest/snapshot-<n>.json    {snapshot_id, parent, units: {...}}
+    <table>/_manifest/snapshot-<n>.json    {snapshot_id, parent,
+                                            segments: [names]}
+    <table>/_manifest/segment-….json       immutable unit-map fragment
+                                           {unit: meta, …}
     <table>/_manifest/CURRENT              name of the live snapshot (atomic
                                            os.replace swap)
+
+A snapshot lists SEGMENTS (Iceberg: manifest list → manifest files), and a
+commit writes only its new units as one fresh segment, reusing the
+parent's segment list verbatim — write amplification per commit is
+O(new units + chain bookkeeping), not O(all units ever committed), which
+is what keeps a 10^12-doc table's incremental chunk commits cheap. Later
+segments shadow earlier ones (a re-committed unit, e.g. after compaction,
+wins), and when a chain accumulates more than
+``SEGMENT_COMPACT_THRESHOLD`` segments the commit folds them into one —
+the manifest-compaction analog of Iceberg's ``rewrite_manifests``.
+Legacy snapshots with an inline ``units`` map are still readable and get
+folded into a segment on the next commit.
 
 Each unit's manifest meta records its generation (absent → 0); readers
 resolve CONCRETE paths via ``unit_paths`` and read only those, so a reader
@@ -37,6 +52,9 @@ import os
 import time
 
 
+SEGMENT_COMPACT_THRESHOLD = 16
+
+
 class SnapshotManifest:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
@@ -53,13 +71,32 @@ class SnapshotManifest:
         with open(os.path.join(self.mdir, name)) as f:
             return json.load(f)
 
-    def committed_units(self, snapshot_id: int | None = None) -> set[int]:
+    def _load_segment(self, name: str) -> dict[str, dict]:
+        with open(os.path.join(self.mdir, name)) as f:
+            return json.load(f)
+
+    def _resolve_units(self, snap: dict | None) -> dict[str, dict]:
+        """Unit map of a snapshot: segments merged in list order (later
+        shadows earlier); legacy inline ``units`` passes through."""
+        if snap is None:
+            return {}
+        if "segments" not in snap:
+            return dict(snap.get("units", {}))
+        out: dict[str, dict] = {}
+        for name in snap["segments"]:
+            out.update(self._load_segment(name))
+        return out
+
+    def units_map(self, snapshot_id: int | None = None) -> dict[str, dict]:
         snap = (
             self.snapshot(snapshot_id)
             if snapshot_id is not None
             else self.current_snapshot()
         )
-        return set(map(int, snap["units"])) if snap else set()
+        return self._resolve_units(snap)
+
+    def committed_units(self, snapshot_id: int | None = None) -> set[int]:
+        return set(map(int, self.units_map(snapshot_id)))
 
     def snapshot(self, snapshot_id: int) -> dict | None:
         """Time travel: load a specific snapshot from the chain."""
@@ -76,19 +113,13 @@ class SnapshotManifest:
         depth, so Spark can read them with ``basePath=<table>/data`` and
         recover both partition columns.
         """
-        snap = (
-            self.snapshot(snapshot_id)
-            if snapshot_id is not None
-            else self.current_snapshot()
-        )
-        if not snap:
-            return []
+        units = self.units_map(snapshot_id)
         data = os.path.join(self.table_dir, "data")
         return [
             os.path.join(
                 data, f"gen={int((meta or {}).get('gen', 0))}", f"bucket={int(u)}"
             )
-            for u, meta in sorted(snap["units"].items(), key=lambda kv: int(kv[0]))
+            for u, meta in sorted(units.items(), key=lambda kv: int(kv[0]))
         ]
 
     def snapshots(self) -> list[int]:
@@ -117,18 +148,59 @@ class SnapshotManifest:
         os.replace(cur_tmp, os.path.join(self.mdir, "CURRENT"))  # the commit
         return snap
 
+    def _write_segment(
+        self, sid: int, tag: str, units: dict[str, dict]
+    ) -> str:
+        """Durably write one immutable unit-map fragment; returns its name.
+        Segments land BEFORE the snapshot that references them publishes,
+        so a crash mid-commit leaves only invisible files (GC'd by
+        ``expire_snapshots``)."""
+        name = f"segment-{sid:06d}-{tag}.json"
+        tmp = os.path.join(self.mdir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(units, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.mdir, name))
+        return name
+
+    def _parent_segments(self, sid: int, parent: dict | None) -> list[str]:
+        """Parent's segment list, folding a legacy inline map if needed."""
+        if parent is None:
+            return []
+        if "segments" in parent:
+            return list(parent["segments"])
+        if parent.get("units"):
+            return [self._write_segment(sid, "fold", parent["units"])]
+        return []
+
     def commit(self, new_units: dict[int, dict]) -> dict:
-        """Append units to the chain atomically. Returns the new snapshot."""
+        """Append units to the chain atomically. Returns the new snapshot.
+
+        Writes ONE new segment holding just ``new_units`` and reuses the
+        parent's segments; folds the whole list into a single segment
+        once it exceeds ``SEGMENT_COMPACT_THRESHOLD``."""
         parent = self.current_snapshot()
-        units = dict(parent["units"]) if parent else {}
-        for k, meta in new_units.items():
-            units[str(k)] = meta
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        segs = self._parent_segments(sid, parent)
+        segs.append(
+            self._write_segment(
+                sid,
+                f"a{len(segs):03d}",
+                {str(k): meta for k, meta in new_units.items()},
+            )
+        )
+        if len(segs) > SEGMENT_COMPACT_THRESHOLD:
+            merged: dict[str, dict] = {}
+            for name in segs:
+                merged.update(self._load_segment(name))
+            segs = [self._write_segment(sid, "merged", merged)]
         return self._publish(
             {
-                "snapshot_id": (parent["snapshot_id"] + 1) if parent else 1,
+                "snapshot_id": sid,
                 "parent": parent["snapshot_id"] if parent else None,
                 "committed_at": time.time(),
-                "units": units,
+                "segments": segs,
             }
         )
 
@@ -141,13 +213,14 @@ class SnapshotManifest:
         if target is None:
             raise ValueError(f"no snapshot {snapshot_id} on the chain")
         parent = self.current_snapshot()
+        sid = parent["snapshot_id"] + 1
         return self._publish(
             {
-                "snapshot_id": parent["snapshot_id"] + 1,
+                "snapshot_id": sid,
                 "parent": parent["snapshot_id"],
                 "rolled_back_to": snapshot_id,
                 "committed_at": time.time(),
-                "units": dict(target["units"]),
+                "segments": self._parent_segments(sid, target),
             }
         )
 
@@ -183,6 +256,33 @@ class SnapshotManifest:
         expired = [i for i in ids if i not in keep]
         for i in expired:
             os.remove(os.path.join(self.mdir, f"snapshot-{i:06d}.json"))
+
+        # Segment GC: drop fragments no retained snapshot references.
+        # The same min-age guard as the data sweep protects a concurrent
+        # committer's just-written (not-yet-published) segments.
+        referenced_segs: set[str] = set()
+        for i in keep:
+            s = self.snapshot(i)
+            if s:
+                referenced_segs |= set(s.get("segments", []))
+        expired_segments: list[str] = []
+        now0 = time.time()
+        for name in sorted(os.listdir(self.mdir)):
+            stale_tmp = name.startswith("segment-") and name.endswith(
+                ".json.tmp"
+            )
+            if not (
+                stale_tmp
+                or (name.startswith("segment-") and name.endswith(".json"))
+            ):
+                continue
+            if name in referenced_segs:
+                continue
+            p = os.path.join(self.mdir, name)
+            if now0 - os.path.getmtime(p) < orphan_min_age_s:
+                continue
+            os.remove(p)
+            expired_segments.append(name)
 
         orphans: list[str] = []
         skipped: list[str] = []
@@ -233,6 +333,7 @@ class SnapshotManifest:
                 _sweep("", sorted(os.listdir(data_dir)))
         return {
             "expired": expired,
+            "expired_segments": expired_segments,
             "orphan_buckets": sorted(orphans),
             "skipped_buckets": sorted(skipped),
         }

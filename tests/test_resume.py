@@ -273,3 +273,85 @@ def test_restage_after_marker_crash(spark, tmp_path):
         for i in range(0, 64, 16)
     )
     assert total == 16  # no doc read twice
+
+
+def test_manifest_segments_bound_commit_cost(tmp_path):
+    """A long chain writes O(new units) per commit: every snapshot's
+    segment list stays within the compaction threshold, the newest
+    commit's own segment holds only its new units, and the resolved map
+    equals naive accumulation with later commits shadowing earlier."""
+    import json
+    import os
+
+    from caraspark.manifest import SEGMENT_COMPACT_THRESHOLD, SnapshotManifest
+
+    man = SnapshotManifest(str(tmp_path / "tbl"))
+    naive: dict[str, dict] = {}
+    for i in range(3 * SEGMENT_COMPACT_THRESHOLD + 5):
+        new = {i: {"rows": i}, 0: {"rows": -i}}  # unit 0 re-commits forever
+        man.commit(new)
+        naive.update({str(k): m for k, m in new.items()})
+        snap = man.current_snapshot()
+        assert len(snap["segments"]) <= SEGMENT_COMPACT_THRESHOLD
+        # the commit's own segment carries ONLY the new units — except on
+        # the periodic fold commit, whose last segment is the merged map
+        if "merged" not in snap["segments"][-1]:
+            own = json.load(
+                open(os.path.join(man.mdir, snap["segments"][-1]))
+            )
+            assert len(own) <= len(new)
+    assert man.units_map() == naive  # shadowing: latest meta wins
+    assert man.units_map()["0"] == {"rows": -(3 * SEGMENT_COMPACT_THRESHOLD + 4)}
+
+
+def test_manifest_legacy_inline_units_fold(tmp_path):
+    """A legacy snapshot with an inline units map reads through units_map
+    and folds into a segment on the next commit; rollback to it works."""
+    import json
+    import os
+
+    from caraspark.manifest import SnapshotManifest
+
+    man = SnapshotManifest(str(tmp_path / "tbl"))
+    legacy = {
+        "snapshot_id": 1,
+        "parent": None,
+        "committed_at": 0.0,
+        "units": {"3": {"rows": 30}, "7": {"rows": 70}},
+    }
+    man._publish(legacy)
+    assert man.committed_units() == {3, 7}
+    man.commit({9: {"rows": 90}})
+    snap = man.current_snapshot()
+    assert "units" not in snap and len(snap["segments"]) == 2
+    assert man.units_map() == {
+        "3": {"rows": 30},
+        "7": {"rows": 70},
+        "9": {"rows": 90},
+    }
+    rb = man.rollback(1)
+    assert man.committed_units(rb["snapshot_id"]) == {3, 7}
+
+
+def test_expire_gcs_unreferenced_segments(tmp_path):
+    """Segments only reachable from expired snapshots are deleted (age 0);
+    every segment a retained snapshot references survives, and the
+    retained unit map is intact afterwards."""
+    import os
+
+    from caraspark.manifest import SnapshotManifest
+
+    man = SnapshotManifest(str(tmp_path / "tbl"))
+    for i in range(20):
+        man.commit({i: {"rows": i}})
+    before = {
+        n for n in os.listdir(man.mdir) if n.startswith("segment-")
+    }
+    res = man.expire_snapshots(
+        keep_last=1, gc_orphans=False, orphan_min_age_s=0.0
+    )
+    assert res["expired_segments"], res
+    kept = set(man.current_snapshot()["segments"])
+    after = {n for n in os.listdir(man.mdir) if n.startswith("segment-")}
+    assert kept <= after < before
+    assert man.committed_units() == set(range(20))
