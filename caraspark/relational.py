@@ -740,6 +740,34 @@ def agg_udaf(spark, sf):
 
 
 @_q(
+    "agg_salted_distinct",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def agg_salted_distinct(spark, sf):
+    """Explicit skew handling for COUNT(DISTINCT) over a hot key
+    (north_rule: "partitioning / shuffle / skew handled explicitly").
+
+    A handful of event_type values means a naive distinct-aggregation
+    funnels every row of a hot key through one reducer, and unlike
+    algebraic aggs, distinct state can't fully combine map-side. The
+    salted two-phase form spreads each hot key over 16 buckets keyed by
+    ``pmod(hash(user_id), 16)``: phase 1 counts distincts per
+    (key, salt) — correct because a given user_id always lands in
+    exactly one salt bucket — and phase 2 sums the per-salt counts.
+    Both exchanges carry (key, salt) cardinality ≤ 16·|keys| rows of
+    final state; no single task ever owns a whole hot key."""
+    e = load(spark, sf, "events")
+    salted = e.groupBy(
+        "event_type", F.pmod(F.hash("user_id"), F.lit(16)).alias("salt")
+    ).agg(F.countDistinct("user_id").alias("nd"))
+    return salted.groupBy("event_type").agg(
+        F.sum("nd").cast("long").alias("n_users")
+    )
+
+
+@_q(
     "agg_grouped_map",
     """SELECT o_orderkey,
               o_custkey,

@@ -235,6 +235,28 @@ def test_bucketed_join_needs_no_exchange(spark, sf_smoke):
     assert "Exchange" not in p, p
 
 
+def test_agg_salted_distinct_two_phase(spark, sf_smoke, qs):
+    # Skew-spread distinct: phase 1 keys the exchange on (event_type, salt)
+    # so no single task owns a hot key; phase 2 reduces 16 rows per key.
+    p = plan_of(qs["agg_salted_distinct"](spark, sf_smoke), "formatted")
+    # the salt column survives as Catalyst's _groupingexpression; countDistinct
+    # expands to a dedup stage, so three exchanges: (key,salt,user), (key,salt),
+    # then key-only — the last carries only <=16 pre-combined rows per key
+    assert "_groupingexpression" in p, p
+    assert p.count("- Exchange") == 3, p
+    assert "partial_count(distinct user_id" in p, p
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert len(keys) == 3, keys
+    # every exchange that can see raw-row cardinality is salted
+    assert "user_id" in keys[0] and "_groupingexpression" in keys[0], keys
+    assert "_groupingexpression" in keys[1], keys
+    assert "user_id" not in keys[2] and "_groupingexpression" not in keys[2], keys
+    # map-side combine before the unsalted final exchange
+    assert "partial_sum(nd" in p, p
+
+
 def test_join_bucketed_qkey_zero_exchange_bucket_scans(spark, sf_smoke, qs):
     # The registered join_bucketed query: staged bucketed tables on both
     # sides, merge hint pinning the big×big strategy → SMJ whose scans are
