@@ -7,11 +7,32 @@ link-density block heuristics over a tolerant stdlib ``html.parser`` parse
 FROZEN SPEC (implemented twice — here and independently in ``oracle/`` —
 and compared byte-for-byte per url):
 
+* DECODE (v2 charset sniff — Common-Crawl pages are not all UTF-8):
+  1. UTF-8 BOM (EF BB BF) → strip it, decode utf-8 with errors=replace.
+  2. UTF-16 BOM (FF FE / FE FF) → decode utf-16-le / utf-16-be from after
+     the BOM, errors=replace.
+  3. Else scan the first 1024 RAW bytes, ASCII-lowercased, for the first
+     ``charset\\s*=\\s*["']?([a-z0-9_\\-]+)`` match (covers both
+     ``<meta charset=X>`` and http-equiv content-type forms). Normalize:
+     utf8/utf-8 → utf-8; latin1/latin-1/iso-8859-1/iso8859-1/
+     windows-1252/cp1252/ansi → cp1252; any other label that Python's
+     codec registry resolves → that codec; unresolvable → utf-8.
+     Decode with errors=replace.
+  4. No declaration → strict utf-8; on UnicodeDecodeError → cp1252
+     (errors=replace), the browser-style legacy fallback.
 * Parse with html.parser, convert_charrefs=True (entities & charrefs decode
   to unicode before any counting).
 * DROP subtrees rooted at: script style noscript template nav header footer
   aside iframe svg math form button select option object embed head title
   — nesting-counted per tag so unclosed tags can't leak boilerplate in.
+* ATTRIBUTE DROP (v2 DOM heuristic, Readability-style): a non-DROP,
+  non-self-closing element whose ``class`` or ``id`` attribute value,
+  lowercased, contains any token from BOILER_TOKENS as a substring opens
+  an attr-drop region rooted at that tag name with depth 1. While the
+  region is active EVERYTHING is discarded and the ONLY events considered
+  are opens (+1) and closes (−1) of the root tag name; the region ends
+  when depth returns to 0. Regions don't nest and don't touch the
+  tag-DROP counter.
 * BLOCK boundaries: p div h1–h6 li ul ol table tr td th article section
   main blockquote pre dl dt dd figure figcaption br hr — both open and
   close (and self-closing) flush the current block.
@@ -24,6 +45,8 @@ and compared byte-for-byte per url):
 
 from __future__ import annotations
 
+import codecs
+import re
 from html.parser import HTMLParser
 
 DROP_TAGS = frozenset(
@@ -35,6 +58,43 @@ BLOCK_TAGS = frozenset(
        main blockquote pre dl dt dd figure figcaption br hr""".split()
 )
 LINK_DENSITY_MAX = 0.66
+BOILER_TOKENS = (
+    "comment sidebar footer advert banner menu breadcrumb social share "
+    "related sponsor cookie popup promo widget"
+).split()
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([a-z0-9_\-]+)")
+_CP1252_LABELS = frozenset(
+    "latin1 latin-1 iso-8859-1 iso8859-1 windows-1252 cp1252 ansi".split()
+)
+
+
+def decode_html(blob: bytes) -> str:
+    """Charset-sniffed decode per the SPEC's v2 DECODE rules."""
+    if blob.startswith(b"\xef\xbb\xbf"):
+        return blob[3:].decode("utf-8", "replace")
+    if blob.startswith(b"\xff\xfe"):
+        return blob[2:].decode("utf-16-le", "replace")
+    if blob.startswith(b"\xfe\xff"):
+        return blob[2:].decode("utf-16-be", "replace")
+    m = _CHARSET_RE.search(blob[:1024].lower())
+    if m:
+        label = m.group(1).decode("ascii")
+        if label in ("utf8", "utf-8"):
+            codec = "utf-8"
+        elif label in _CP1252_LABELS:
+            codec = "cp1252"
+        else:
+            try:
+                codecs.lookup(label)
+                codec = label
+            except LookupError:
+                codec = "utf-8"
+        return blob.decode(codec, "replace")
+    try:
+        return blob.decode("utf-8")
+    except UnicodeDecodeError:
+        return blob.decode("cp1252", "replace")
 
 
 class _Extractor(HTMLParser):
@@ -46,6 +106,8 @@ class _Extractor(HTMLParser):
         self._a_depth = 0
         self._link_chars = 0
         self._total_chars = 0
+        self._attr_tag: str | None = None  # attr-drop region root tag
+        self._attr_depth = 0
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -60,12 +122,29 @@ class _Extractor(HTMLParser):
             return
         self.blocks.append(text)
 
+    @staticmethod
+    def _is_boiler(attrs) -> bool:
+        for k, v in attrs:
+            if k in ("class", "id") and v:
+                low = v.lower()
+                if any(tok in low for tok in BOILER_TOKENS):
+                    return True
+        return False
+
     # -- parser events
     def handle_starttag(self, tag, attrs):
+        if self._attr_tag is not None:
+            if tag == self._attr_tag:
+                self._attr_depth += 1
+            return
         if tag in DROP_TAGS:
             self._drop_depth += 1
             return
         if self._drop_depth:
+            return
+        if self._is_boiler(attrs):
+            self._attr_tag = tag
+            self._attr_depth = 1
             return
         if tag in BLOCK_TAGS:
             self._flush()
@@ -73,6 +152,12 @@ class _Extractor(HTMLParser):
             self._a_depth += 1
 
     def handle_endtag(self, tag):
+        if self._attr_tag is not None:
+            if tag == self._attr_tag:
+                self._attr_depth -= 1
+                if self._attr_depth == 0:
+                    self._attr_tag = None
+            return
         if tag in DROP_TAGS:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -85,13 +170,13 @@ class _Extractor(HTMLParser):
             self._a_depth -= 1
 
     def handle_startendtag(self, tag, attrs):
-        if self._drop_depth:
+        if self._attr_tag is not None or self._drop_depth:
             return
         if tag in BLOCK_TAGS:
             self._flush()
 
     def handle_data(self, data):
-        if self._drop_depth or not data:
+        if self._attr_tag is not None or self._drop_depth or not data:
             return
         self._buf.append(data)
         n = len("".join(data.split()))
@@ -102,10 +187,7 @@ class _Extractor(HTMLParser):
 
 def extract_html_text(html: bytes) -> bytes:
     """blob → extracted main-content text bytes (UTF-8), per the SPEC."""
-    try:
-        src = html.decode("utf-8")
-    except UnicodeDecodeError:
-        src = html.decode("utf-8", "replace")
+    src = decode_html(html)
     p = _Extractor()
     try:
         p.feed(src)
@@ -134,10 +216,7 @@ def html_has_content(html: bytes) -> bool:
     FIRST block the SPEC would emit — the cheap emptiness probe the
     want_text=False stats mode uses so it never pays full extraction just
     to keep its error taxonomy aligned with the full run."""
-    try:
-        src = html.decode("utf-8")
-    except UnicodeDecodeError:
-        src = html.decode("utf-8", "replace")
+    src = decode_html(html)
     p = _Prober()
     try:
         p.feed(src)

@@ -1011,6 +1011,53 @@ def html_table(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_cp1252(rng: random.Random) -> bytes:
+    """Declared windows-1252 page with bytes that are NOT valid UTF-8
+    (smart quotes, em-dash, é) — exercises the v2 meta-charset sniff."""
+    return (
+        "<html><head><meta http-equiv='Content-Type' "
+        "content='text/html; charset=windows-1252'></head><body>"
+        f"<p>Café “legacy encodings” — still everywhere.</p>"
+        f"<p>{_para(rng, 20)}</p></body></html>"
+    ).encode("cp1252")
+
+
+def html_utf16(rng: random.Random) -> bytes:
+    """UTF-16-LE page with BOM — the meta tag is unreadable as ASCII, only
+    the BOM identifies the encoding."""
+    return (
+        "﻿<html><head><meta charset='utf-16'></head><body>"
+        f"<p>wide päge 漢字テスト</p><p>{_para(rng, 18)}</p></body></html>"
+    ).encode("utf-16-le")
+
+
+def html_enc_fallback(rng: random.Random) -> bytes:
+    """No declaration, invalid UTF-8 bytes → cp1252 browser-style
+    fallback (v2 DECODE rule 4)."""
+    return (
+        f"<html><body><p>caf\xe9 na\xefve r\xe9sum\xe9</p>"
+        f"<p>{_para(rng, 16)}</p></body></html>"
+    ).encode("cp1252")
+
+
+def html_boilerplate(rng: random.Random) -> bytes:
+    """class/id boilerplate regions (Readability-style attr drop): sidebar
+    with nested same-tag divs, comments, ad banner, menu list — plus an
+    unclosed promo div at the tail; only the article paragraphs survive."""
+    junk = _para(rng, 12)
+    paras = "\n".join(f"<p>{_para(rng, 22)}</p>" for _ in range(3))
+    return (
+        "<html><body>"
+        f"<div class='sidebar'><div><p>{junk}</p></div><p>widget row</p></div>"
+        f"<ul id='TopMenu'><li>home</li><li>about</li></ul>"
+        f"<div class='content'>{paras}</div>"
+        f"<div id='user-comments'><p>first!</p><p>{junk}</p></div>"
+        f"<div class='ad-banner'><p>buy {junk}</p></div>"
+        f"<div class='promo'><p>unclosed tail {junk}</p>"
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
@@ -1018,6 +1065,10 @@ HTML_RECIPES = {
     "html_malformed": html_malformed,
     "html_empty": html_empty,
     "html_table": html_table,
+    "html_cp1252": html_cp1252,
+    "html_utf16": html_utf16,
+    "html_enc_fallback": html_enc_fallback,
+    "html_boilerplate": html_boilerplate,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]

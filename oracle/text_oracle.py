@@ -897,29 +897,87 @@ _BLOCK = frozenset(
 )
 
 
+_BOILER = (
+    "comment sidebar footer advert banner menu breadcrumb social share "
+    "related sponsor cookie popup promo widget"
+).split()
+
+
+def _sniff_codec(blob: bytes):
+    """SPEC v2 DECODE, oracle witness: returns (codec, byte_offset, strict).
+
+    strict=True means try that codec strict-first with a cp1252/replace
+    fallback (the no-declaration branch); otherwise decode with replace.
+    """
+    import re as _re
+
+    for bom, codec in (
+        (b"\xef\xbb\xbf", "utf-8"),
+        (b"\xff\xfe", "utf-16-le"),
+        (b"\xfe\xff", "utf-16-be"),
+    ):
+        if blob[: len(bom)] == bom:
+            return codec, len(bom), False
+    m = _re.search(
+        rb"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", blob[:1024], _re.I
+    )
+    if m is None:
+        return "utf-8", 0, True
+    label = m.group(1).lower().decode("ascii")
+    if label in ("utf-8", "utf8"):
+        return "utf-8", 0, False
+    if label in (
+        "latin1", "latin-1", "iso-8859-1", "iso8859-1",
+        "windows-1252", "cp1252", "ansi",
+    ):
+        return "cp1252", 0, False
+    import codecs as _codecs
+
+    try:
+        _codecs.lookup(label)
+    except LookupError:
+        return "utf-8", 0, False
+    return label, 0, False
+
+
+def _decode_page(blob: bytes) -> str:
+    codec, off, strict = _sniff_codec(blob)
+    if strict:
+        try:
+            return blob.decode(codec)
+        except UnicodeDecodeError:
+            return blob.decode("cp1252", "replace")
+    return blob[off:].decode(codec, "replace")
+
+
+def _boilerplate_attrs(attrs) -> bool:
+    for tok in _BOILER:
+        for name, val in attrs:
+            if name in ("id", "class") and val and tok in val.lower():
+                return True
+    return False
+
+
 class _Tokenizer(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.events: list[tuple] = []
 
     def handle_starttag(self, tag, attrs):
-        self.events.append(("open", tag))
+        self.events.append(("open", tag, attrs))
 
     def handle_endtag(self, tag):
-        self.events.append(("close", tag))
+        self.events.append(("close", tag, None))
 
     def handle_startendtag(self, tag, attrs):
-        self.events.append(("selfclose", tag))
+        self.events.append(("selfclose", tag, attrs))
 
     def handle_data(self, data):
-        self.events.append(("text", data))
+        self.events.append(("text", data, None))
 
 
 def _html_text(blob: bytes) -> bytes:
-    try:
-        src = blob.decode("utf-8")
-    except UnicodeDecodeError:
-        src = blob.decode("utf-8", "replace")
+    src = _decode_page(blob)
     tk = _Tokenizer()
     try:
         tk.feed(src)
@@ -942,12 +1000,28 @@ def _html_text(blob: bytes) -> bytes:
         if text and not (t > 0 and l / t > 0.66):
             blocks.append(text)
 
-    for ev, val in tk.events:
+    # attr-drop region state (SPEC v2): opaque while active — only the
+    # root tag's own open/close events are counted
+    region_tag = None
+    region_n = 0
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
         if ev == "open":
             if val in _DROP:
                 drop += 1
             elif drop == 0:
-                if val in _BLOCK:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                elif val in _BLOCK:
                     flush()
                 elif val == "a":
                     a_depth += 1

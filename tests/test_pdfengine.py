@@ -566,3 +566,88 @@ def test_cid_widths_scaled_kern_goldens():
     r = process_document(PDF_RECIPES["pdf_cid_widths"]())
     assert r.valid and r.strict
     assert r.text == b"H IX Y\nHI X\nA BC"
+
+
+# ---------------------------------------------------------------------------
+# HTML SPEC v2: charset sniff + attribute boilerplate drop
+# ---------------------------------------------------------------------------
+
+
+def test_charset_sniff_rules():
+    """Every DECODE branch of the v2 spec, engine-side."""
+    from caraspark.htmlengine import decode_html
+
+    # 1: utf-8 BOM stripped
+    assert decode_html(b"\xef\xbb\xbfabc") == "abc"
+    # 2: utf-16 BOMs (the -le/-be codecs don't write one; prepend)
+    assert decode_html(b"\xff\xfe" + "x漢".encode("utf-16-le")) == "x漢"
+    assert decode_html(b"\xfe\xff" + "x漢".encode("utf-16-be")) == "x漢"
+    # 3: declared charsets, both meta forms, case-insensitive, quoted or not
+    assert decode_html(b"<meta charset='windows-1252'>caf\xe9") == (
+        "<meta charset='windows-1252'>café"
+    )
+    assert "café" in decode_html(
+        b"<meta http-equiv=Content-Type content='text/html; CHARSET=Latin-1'>"
+        b"caf\xe9"
+    )
+    sj = "<meta charset=shift_jis>日本".encode("shift_jis")
+    assert decode_html(sj).endswith("日本")
+    # unknown label -> utf-8
+    assert decode_html(b"<meta charset='x-klingon'>ok").endswith("ok")
+    # declaration only honored within the first 1024 bytes
+    far = b"<p>" + b" " * 1100 + b"<meta charset='utf-16'>caf\xe9"
+    assert "café" in decode_html(far)  # falls to rule 4 -> cp1252
+    # 4: strict utf-8 default, cp1252 fallback
+    assert decode_html("ünï".encode("utf-8")) == "ünï"
+    assert decode_html(b"caf\xe9 plain") == "café plain"
+
+
+def test_attr_drop_regions():
+    from caraspark.htmlengine import extract_html_text as x
+
+    # nested same-tag inside the region must not end it early
+    h = (b"<body><div class='sidebar'><div><p>junk</p></div><p>junk2</p>"
+         b"</div><p>keep</p></body>")
+    assert x(h) == b"keep"
+    # unclosed region drops to EOF
+    assert x(b"<body><p>keep</p><div id='advert-1'><p>a</p><p>b</p>") == b"keep"
+    # DROP tag precedence: nav with boiler class still counts as tag-drop
+    assert x(b"<body><nav class='menu'>n</nav><p>keep</p></body>") == b"keep"
+    # self-closing tags never open a region
+    assert x(b"<body><br class='sidebar'/><p>keep</p></body>") == b"keep"
+    # 'nav' is deliberately NOT a token (class='unavailable' must survive)
+    assert x(b"<body><p class='unavailable'>keep</p></body>") == b"keep"
+    # id matches too; value match is substring, case-insensitive
+    assert x(b"<body><span id='PopupBox'>z</span><p>keep</p></body>") == b"keep"
+
+
+_ATTR_ST = st.sampled_from(
+    ["", " class='sidebar'", " class='x'", " id='user-comments'",
+     " id='main'", " class='Ad-Banner'", " class='unavailable'"]
+)
+_TAG_ST = st.sampled_from(["div", "p", "span", "section", "ul", "nav"])
+_TXT_ST = st.text(
+    alphabet="ab é漢 \n<>&;", min_size=0, max_size=12
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.tuples(_TAG_ST, _ATTR_ST, _TXT_ST), max_size=8),
+       st.sampled_from(["utf-8", "cp1252-decl", "fallback"]))
+def test_html_v2_engine_oracle_agree(frags, enc):
+    """Property differential: random nested fragments with boilerplate
+    attrs under each decode path — the two independent witnesses must
+    emit identical bytes."""
+    from caraspark.htmlengine import extract_html_text
+
+    inner = "".join(f"<{t}{a}>{txt}" for t, a, txt in frags)
+    doc = f"<html><body>{inner}</body></html>"
+    if enc == "utf-8":
+        blob = doc.encode("utf-8")
+    elif enc == "cp1252-decl":
+        blob = ("<meta charset='windows-1252'>" + doc).encode(
+            "cp1252", "replace"
+        )
+    else:
+        blob = doc.encode("cp1252", "replace")  # é -> invalid utf-8 byte
+    assert extract_html_text(blob) == oracle_extract(blob)
