@@ -219,11 +219,33 @@ def dedup_exact(spark, sf):
     )
 
 
-_N_MINHASH = 4  # seeds; bands of 2 → 2 bands
-_SHINGLE = 5
+# LSH selectivity: band collision prob = jaccard^r. r=2 over 5-char
+# shingles of same-vocabulary web text put most of the corpus in shared
+# buckets (measured sf0.1: 386k candidate pairs from 5k docs, the join
+# dominating the whole dedup pack) — a hot bucket is quadratic, so
+# selectivity IS the scale knob. r=4 bands over 9-char shingles cut the
+# same corpus to the genuinely-similar tail while keeping two
+# independent band tables for recall.
+_N_MINHASH = 8  # seeds; bands of 4 → 2 bands
+_SHINGLE = 9
+# Two md5 digests per shingle (not eight): the 2×128 bits are sliced
+# into 8 independent 32-bit lanes and the per-lane minimum is a proper
+# minhash (slices of a cryptographic digest are independent uniform
+# hashes; affine remixes of ONE value are NOT — without modular
+# wraparound every lane shares the same argmin and the bands collapse
+# to r=1). Min-agg state is 8 BIGINTs instead of 8 32-char strings.
+
+
+def _mh_slices():
+    """(digest_col, hex_start) per minhash lane: 4 lanes per digest."""
+    return [("d1" if j < 4 else "d2", 8 * (j % 4) + 1) for j in range(_N_MINHASH)]
 
 
 def _minhash_sql() -> str:
+    lanes = ", ".join(
+        f"min(CAST('0x' || substring({d}, {s}, 8) AS BIGINT)) AS m{j}"
+        for j, (d, s) in enumerate(_mh_slices())
+    )
     return f"""
 WITH docs AS (
   SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {_SHINGLE}
@@ -235,15 +257,19 @@ shingles AS (
   FROM docs, range(1, 4096) r(i)
   WHERE i <= length(t) - {_SHINGLE} + 1
 ),
+hashed AS (
+  SELECT doc_id, md5(sh) AS d1, md5('x' || sh) AS d2 FROM shingles
+),
 mh AS (
-  SELECT doc_id,
-         {", ".join(f"min(md5('{j}:' || sh)) AS m{j}" for j in range(_N_MINHASH))}
-  FROM shingles GROUP BY doc_id
+  SELECT doc_id, {lanes}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, md5(m0 || m1) AS band, 0 AS band_id FROM mh
+  SELECT doc_id, md5(m0 || ':' || m1 || ':' || m2 || ':' || m3) AS band,
+         0 AS band_id FROM mh
   UNION ALL
-  SELECT doc_id, md5(m2 || m3) AS band, 1 AS band_id FROM mh
+  SELECT doc_id, md5(m4 || ':' || m5 || ':' || m6 || ':' || m7) AS band,
+         1 AS band_id FROM mh
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_bands
@@ -256,58 +282,114 @@ GROUP BY a.doc_id, b.doc_id
 @_q("dedup_minhash", _minhash_sql())
 def dedup_minhash(spark, sf):
     """MinHash+LSH near-dup candidates: shingle → minhash → band → bucket
-    join. Everything is built-in JVM expressions (sequence/transform/md5) —
-    the shuffle carries (doc_id, band digest) pairs only; the join is on
-    band buckets so comparisons are per-bucket, never all-pairs."""
+    → per-bucket pairs. Everything is built-in JVM expressions
+    (explode/substring/md5/conv) — comparisons are per-bucket, never
+    all-pairs, and the whole query is a SINGLE pass over the corpus:
+    pair generation groups by band and expands each bucket's sorted id
+    list, instead of a bands⋈bands self-join that would recompute the
+    shingle pipeline once per join side (Catalyst can't reuse a shuffle
+    exchange against the broadcast side it plans for the other). Lane
+    mins are BIGINT so the 8-way min lands in a fixed-width HashAggregate
+    buffer with map-side partial combine — min over STRING lanes demotes
+    the agg to SortAggregate (variable-length buffer) and adds two full
+    sorts of the shingle stream.
+
+    Scale: bucket membership lists are bounded by LSH selectivity (r=4
+    bands over 9-char shingles), and a pathological bucket — thousands of
+    byte-identical boilerplate pages — is exactly what `dedup_exact`
+    removes upstream; collect_list per band is therefore small by
+    construction, and the only wide exchanges carry (doc_id, 8×8B) and
+    (band digest, id) rows."""
     d = load(spark, sf, "documents")
     docs = d.filter(F.length("text") >= _SHINGLE).select(
         "doc_id", F.lower("text").alias("t")
     )
-    idx = F.sequence(F.lit(1), F.length("t") - _SHINGLE + 1)
-    shingles = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(idx, lambda i: F.col("t").substr(i, F.lit(_SHINGLE)))
-            )
-        ).alias("sh"),
+    # Spread documents across the cluster BEFORE the ~L-per-doc explode:
+    # the scan's split count tracks input BYTES, but this stage's cost is
+    # bytes × shingle fan-out × 2 digests — a handful of scan splits (one,
+    # for a small corpus) serializes the whole hash pipeline. The explicit
+    # partition count matters: a bare repartition(key) lets AQE coalesce
+    # the small pre-explode exchange (~KB/doc) back to one partition,
+    # recreating exactly the serialization it was meant to fix (measured:
+    # 7.3 s single-task stage -> ~0.3 s at local[32], sf0.1).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # explode the POSITION sequence and slice inside the exploded stage:
+    # ~10× faster than transform()-materializing a per-row array of
+    # shingle strings (measured 2.7s -> 0.3s at sf0.1), and duplicate
+    # shingles need no dedup — min() is duplicate-insensitive. The 4095
+    # cap mirrors the oracle's static index table.
+    idx = F.sequence(
+        F.lit(1), F.least(F.length("t") - _SHINGLE + 1, F.lit(4095))
     )
-    mh = shingles.groupBy("doc_id").agg(
+    shingles = docs.select(
+        "doc_id", "t", F.explode(idx).alias("i")
+    ).select("doc_id", F.expr(f"substring(t, i, {_SHINGLE})").alias("sh"))
+    hashed = shingles.select(
+        "doc_id",
+        F.md5(F.encode("sh", "utf-8")).alias("d1"),
+        F.md5(F.encode(F.concat(F.lit("x"), F.col("sh")), "utf-8")).alias(
+            "d2"
+        ),
+    )
+    mh = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.md5(F.encode(F.concat(F.lit(f"{j}:"), F.col("sh")), "utf-8"))
+                F.conv(F.substring(d, s, 8), 16, 10).cast("long")
             ).alias(f"m{j}")
-            for j in range(_N_MINHASH)
+            for j, (d, s) in enumerate(_mh_slices())
         ]
     )
-    band0 = mh.select(
+
+    def _band(cols):
+        parts = []
+        for c in cols:
+            parts.append(F.col(c).cast("string"))
+            parts.append(F.lit(":"))
+        return F.md5(F.encode(F.concat(*parts[:-1]), "utf-8"))
+
+    # both bands from ONE projection of mh (explode keeps it single-pass)
+    bands = mh.select(
         "doc_id",
-        F.md5(F.encode(F.concat("m0", "m1"), "utf-8")).alias("band"),
-        F.lit(0).alias("band_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    _band(["m0", "m1", "m2", "m3"]).alias("band"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    _band(["m4", "m5", "m6", "m7"]).alias("band"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.band")
+    buckets = (
+        bands.groupBy("band_id", "band")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    band1 = mh.select(
-        "doc_id",
-        F.md5(F.encode(F.concat("m2", "m3"), "utf-8")).alias("band"),
-        F.lit(1).alias("band_id"),
-    )
-    bands = band0.unionByName(band1)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band", "band_id"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("band_id").alias("band_id_b"),
-    )
-    return (
-        a.join(
-            b,
-            (a.band == b.band_b)
-            & (a.band_id == b.band_id_b)
-            & (a.id_a < b.id_b),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("band_id").alias("n_bands"))
+    pairs = buckets.select(
+        "band_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + F.lit(2),
+                            F.size("ids"),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("band_id", "p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.countDistinct("band_id").alias("n_bands")
     )
 
 
