@@ -30,6 +30,7 @@ _REGISTRIES = [relational.REGISTRY]
 # are printed to stderr so the driver log shows the missing pack.
 for _mod in (
     "textops",
+    "curation",
     "extract_queries",
     "sidetables",
     "streaming_queries",

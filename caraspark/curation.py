@@ -1,0 +1,559 @@
+"""Corpus-curation operators: the post-extraction passes a web-scale
+training-data pipeline runs between "text extracted" and "tokens shipped"
+— PII redaction, URL canonicalization + dedup, quality-filter verdicts
+(Gopher-style rule stack), deterministic stratified sampling, per-language
+n-gram statistics, benchmark decontamination, and domain-mixture weights.
+
+Like ``textops``, every operator is expressed twice: as a JVM-side Spark
+plan and as an independent DuckDB SQL oracle, so the driver hash-verifies
+results end-to-end.  Determinism rules (see memory / SURVEY §8): integer
+arithmetic wherever possible, md5-slice uniforms for sampling (identical
+hex→int path on both engines), at most ONE double division per output
+column in identical operation order, and regex kept to the Java∩RE2
+common subset (no lookaround, no backrefs).
+
+Scale notes are per-operator docstrings; the common theme: every shuffle
+carries digests, counts, or canonical keys — never document payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from caraspark.relational import Q
+from caraspark.tables import load
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Java∩RE2 subset: char classes, bounded repeats, \d, \b all behave
+# identically in both engines.
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def _pii_sql() -> str:
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         substring(text, 1, 40)
+         || ' contact u' || CAST(doc_id AS VARCHAR)
+         || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com ip '
+         || '10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.' || CAST(doc_id % 16 AS VARCHAR)
+         || '.' || CAST(doc_id % 100 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN ''
+                 ELSE ' call +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            END AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_IPV4}', '<IP>', 'g'),
+           '{_RE_PHONE}', '<PHONE>', 'g') AS r
+  FROM synth
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_RE_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_RE_IPV4}')) AS INT)  AS n_ip,
+       CAST(len(regexp_extract_all(t, '{_RE_PHONE}')) AS INT) AS n_phone,
+       md5(r) AS redacted_md5
+FROM red
+"""
+
+
+@_q("text_pii", _pii_sql())
+def text_pii(spark, sf):
+    """PII detection + redaction (emails, IPv4, phone numbers).
+
+    The corpus is synthetic word-salad with no real PII, so the query
+    plants deterministic PII spans derived from ``doc_id`` (identically in
+    Spark and the oracle) and then runs the real detector/redactor over
+    them — the md5 of the redacted text pins replacement byte positions,
+    not just hit counts.
+
+    Scale: pure JVM ``regexp_replace``/``regexp_extract_all`` projections
+    inside the scan stage — zero shuffles, whole-stage codegen; at 100 TB
+    this is scan-bandwidth-bound, exactly what a redaction pass should be.
+    """
+    d = load(spark, sf, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    t = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"), s(did), F.lit("@ex"), s(did % 7), F.lit(".com ip "),
+        F.lit("10."), s(did % 256), F.lit("."), s(did % 16), F.lit("."),
+        s(did % 100),
+        F.when(did % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit(" call +1-555-"), F.lpad(s(did % 10000), 4, "0"))
+        ),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _RE_EMAIL, "<EMAIL>"), _RE_IPV4, "<IP>"
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), 0))  # noqa: E731
+    return d.select(
+        "doc_id",
+        n(_RE_EMAIL).alias("n_email"),
+        n(_RE_IPV4).alias("n_ip"),
+        n(_RE_PHONE).alias("n_phone"),
+        F.md5(F.encode(red, "utf-8")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+
+def _url_sql() -> str:
+    return r"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+         || source || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+         AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(url, '^https?://', ''),
+               '^www\.', ''),
+             '\?.*$', ''),
+           '/$', '') AS c
+  FROM urls
+)
+SELECT c AS canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT)    AS n_urls
+FROM canon GROUP BY c
+"""
+
+
+@_q("dedup_url", _url_sql())
+def dedup_url(spark, sf):
+    """Canonical-URL deduplication: scheme strip, ``www.`` strip, query
+    strip, trailing-slash strip → keep the lowest doc_id per canonical URL.
+
+    The corpus has no URL column, so deterministic crawl-style URLs are
+    derived from (source, doc_id) identically on both engines — scheme,
+    ``www.``, trailing slash and tracking-query variants all collide onto
+    the same canonical form, which is what the operator must prove.
+
+    Scale: the groupBy shuffles only canonical-URL strings (≈60 B/row at
+    crawl scale), never the documents; min/count are map-side-combined.
+    The same shape dedups a 10^12-row crawl frontier.
+    """
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".com/page/"), (did % 50).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(url, "^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-filter verdict
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOP = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+
+def _gopher_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ws,
+         string_split(lower(text), ' ') AS lw,
+         length(replace(text, ' ', '')) AS nsp
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CAST(nsp AS DOUBLE) / len(ws) AS mean_wl,
+         CAST(len(list_filter(lw, x -> list_contains({_GOPHER_STOP!r}, x)))
+              AS DOUBLE) / len(ws) AS stop_ratio,
+         CAST(len(list_distinct(lw)) AS DOUBLE) / len(ws) AS uniq_ratio
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       (n_words >= 20 AND n_words <= 80)   AS ok_len,
+       (mean_wl >= 3.5 AND mean_wl <= 6.0) AS ok_wordlen,
+       (stop_ratio >= 0.05)                AS ok_stop,
+       (uniq_ratio >= 0.4)                 AS ok_diverse,
+       (n_words >= 20 AND n_words <= 80
+        AND mean_wl >= 3.5 AND mean_wl <= 6.0
+        AND stop_ratio >= 0.05 AND uniq_ratio >= 0.4) AS keep
+FROM m
+"""
+
+
+@_q("text_gopher", _gopher_sql())
+def text_gopher(spark, sf):
+    """Gopher-style rule-stack quality verdict (Rae et al. 2021 §A1.1
+    shape): word-count bounds, mean-word-length bounds, stop-word floor,
+    lexical-diversity floor — emitted as per-rule booleans plus the
+    conjunction, so downstream filters can ablate individual rules.
+
+    Determinism: every ratio is exactly one double division of integer
+    numerator/denominator in identical order on both engines; thresholds
+    compare the unrounded value, so there is no rounding-tie surface.
+
+    Scale: pure JVM array expressions in the scan stage, zero shuffles —
+    the verdict is a projection, and at 100 TB the filter feeds partition
+    pruning of every later pass (only ``keep`` rows are re-materialized).
+    """
+    d = load(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    lw = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _GOPHER_STOP])
+    n_words = F.size(ws)
+    nsp = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl = nsp.cast("double") / n_words
+    stop_ratio = (
+        F.size(F.filter(lw, lambda x: F.array_contains(stop, x))).cast("double")
+        / n_words
+    )
+    uniq_ratio = F.size(F.array_distinct(lw)).cast("double") / n_words
+    ok_len = (n_words >= 20) & (n_words <= 80)
+    ok_wordlen = (mean_wl >= 3.5) & (mean_wl <= 6.0)
+    ok_stop = stop_ratio >= 0.05
+    ok_diverse = uniq_ratio >= 0.4
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ok_len.alias("ok_len"),
+        ok_wordlen.alias("ok_wordlen"),
+        ok_stop.alias("ok_stop"),
+        ok_diverse.alias("ok_diverse"),
+        (ok_len & ok_wordlen & ok_stop & ok_diverse).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates (unlisted languages fall back to 0.2)
+_STRAT_RATES = {"en": 0.5, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.3}
+
+
+def _strat_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substring(
+                md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)
+              AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+         CASE lang {cases} ELSE 0.2 END AS rate
+  FROM documents
+)
+WHERE u < rate
+"""
+
+
+@_q("sample_stratified", _strat_sql())
+def sample_stratified(spark, sf):
+    """Deterministic per-language stratified sampling: a uniform in [0,1)
+    is derived from an md5 slice of the doc id (the same hex→int path both
+    engines use for minhash lanes), compared to a per-language keep rate.
+
+    Unlike ``df.sample``, the decision is a pure function of the row — so
+    it is reproducible across runs, partitionings, and engines, and a
+    resumed job re-derives the identical sample (the property a curation
+    pipeline needs for auditable data lineage).
+
+    Scale: a scan-stage filter, zero shuffles; at 100 TB the rate table is
+    a literal CASE (or a broadcast join if per-domain rates number in the
+    millions).
+    """
+    d = load(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(":strat")),
+                        "utf-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        / 4294967296.0
+    )
+    rate = F.lit(0.2)
+    for k, v in _STRAT_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.select("doc_id", "lang", u.alias("u"), rate.alias("rate")).filter(
+        F.col("u") < F.col("rate")
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Per-language top-k n-grams
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+
+
+def _ngram_topk_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT lang, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT lang, w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS g
+  FROM d, range(1, 4096) r(i)
+  WHERE i <= len(w) - 1
+),
+counts AS (
+  SELECT lang, g, count(*) AS n FROM grams GROUP BY lang, g
+),
+ranked AS (
+  SELECT lang, g, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+  FROM counts
+)
+SELECT lang, g AS gram, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+@_q("ngram_topk", _ngram_topk_sql())
+def ngram_topk(spark, sf):
+    """Corpus bigram statistics: top-{k} bigrams per language with a
+    deterministic (count DESC, gram ASC) tiebreak.
+
+    Scale: the heavy stage is the (lang, gram) count — map-side partial
+    combine collapses each task's grams before the exchange, so the
+    shuffle carries distinct grams per task, not one row per token. The
+    final per-language window sees only distinct grams; with a bounded
+    language set a TopK-per-group rewrite (``win_topk`` shape) keeps state
+    at k rows per partition. The 4095-position cap mirrors the oracle's
+    static index table (documents here are far shorter).
+    """
+    d = load(spark, sf, "documents")
+    w = F.split(F.lower("text"), " ")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.least(F.size(w) - 1, F.lit(4095))),
+                F.slice(w, 2, F.least(F.size(w) - 1, F.lit(4095))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") <= _TOPK)
+        .select("lang", "gram", "n", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# 3-word grams here because the synthetic vocabulary is tiny (~40 words) —
+# production decontamination uses 8–13-gram collisions (GPT-3 App. C,
+# PaLM §6.1); the plan shape is identical, only the gram width changes.
+_DECON_N = 3
+
+
+def _decon_sql() -> str:
+    gram = " || ' ' || ".join(
+        f"w[CAST(i + {j} AS INT)]" for j in range(_DECON_N)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, md5({gram}) AS gh
+  FROM d, range(1, 4096) r(i)
+  WHERE i <= len(w) - {_DECON_N} + 1
+),
+bench AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT g.doc_id, g.gh
+  FROM grams g JOIN bench b USING (gh)
+  WHERE g.doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(count(DISTINCT gh) AS BIGINT) AS n_hits
+FROM hits GROUP BY doc_id
+"""
+
+
+@_q("decontaminate", _decon_sql())
+def decontaminate(spark, sf):
+    """Benchmark decontamination: flag training documents sharing any
+    word-{n}-gram with a held-out benchmark set (docs with
+    ``doc_id % 97 = 0`` stand in for the eval suite).
+
+    Scale: the benchmark side is tiny by construction (eval suites are
+    ~10^5 grams at 100 TB corpus scale), so its distinct gram digests are
+    **broadcast** — the corpus side streams through a broadcast hash join
+    with zero shuffle; only matched (doc_id, gram-digest) pairs reach the
+    per-doc count exchange. Grams travel as 16-byte md5 digests, never as
+    text.
+    """
+    d = load(spark, sf, "documents")
+    w = F.split(F.lower("text"), " ")
+    base = d.filter(F.size(w) >= _DECON_N).select("doc_id", w.alias("w"))
+    positions = F.sequence(
+        F.lit(1), F.least(F.size("w") - _DECON_N + 1, F.lit(4095))
+    )
+    gram_h = F.md5(
+        F.encode(
+            F.concat_ws(
+                " ", *[F.expr(f"w[i + {j} - 1]") for j in range(_DECON_N)]
+            ),
+            "utf-8",
+        )
+    )
+    grams = base.select("doc_id", "w", F.explode(positions).alias("i")).select(
+        "doc_id", gram_h.alias("gh")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    )
+    hits = grams.filter(F.col("doc_id") % 97 != 0).join(
+        F.broadcast(bench), "gh"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gh").alias("n_hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture weights
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 0.5  # fraction of total tokens the mixture may keep
+
+
+def _mix_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT lang, source,
+         sum(len(string_split(text, ' '))) AS t
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT sum(CAST(floor(sqrt(t)) AS BIGINT)) AS s, sum(t) AS tt FROM d
+)
+SELECT lang, source, CAST(t AS BIGINT) AS n_tokens,
+       least(CAST(1.0 AS DOUBLE),
+             (CAST({_MIX_BUDGET} AS DOUBLE) * CAST(tt AS DOUBLE)
+              * floor(sqrt(t)))
+             / CAST(s * t AS DOUBLE)) AS weight
+FROM d, tot
+"""
+
+
+@_q("mix_weights", _mix_sql())
+def mix_weights(spark, sf):
+    """Domain-mixture sampling weights under a global token budget:
+    each (lang, source) domain gets a share proportional to sqrt(tokens)
+    (temperature-style upweighting of small domains), capped at 1.0 —
+    the DoReMi/data-mixing shape reduced to its closed deterministic form.
+
+    Determinism: shares use ``floor(sqrt(t))`` so the cross-domain sum is
+    an exact integer (a sum of doubles would be partial-agg-order
+    dependent); the weight is one double division of exactly-representable
+    integer products, identical op order on both engines.
+
+    Scale: per-domain token counts partial-aggregate map-side; the global
+    total is a single-row aggregate broadcast back — the whole query moves
+    O(domains) rows after the first combine.
+    """
+    d = load(spark, sf, "documents")
+    dom = (
+        d.select("lang", "source", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("lang", "source")
+        .agg(F.sum("nt").alias("t"))
+    )
+    tot = dom.agg(
+        F.sum(F.floor(F.sqrt("t")).cast("long")).alias("s"),
+        F.sum("t").alias("tt"),
+    )
+    j = dom.crossJoin(F.broadcast(tot))
+    weight = F.least(
+        F.lit(1.0),
+        (
+            F.lit(_MIX_BUDGET)
+            * F.col("tt").cast("double")
+            * F.floor(F.sqrt("t")).cast("double")
+        )
+        / (F.col("s") * F.col("t")).cast("double"),
+    )
+    return j.select(
+        "lang", "source", F.col("t").alias("n_tokens"), weight.alias("weight")
+    )

@@ -1,0 +1,104 @@
+"""Semantic unit tests for the curation pack — each operator is checked
+against an independent Python recomputation (a third implementation beside
+the Spark plan and the DuckDB oracle), so a shared misunderstanding in the
+twin SQL cannot silently pass parity."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from caraspark import curation as C
+from caraspark.tables import load
+
+
+def test_pii_redaction_matches_python_re(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.text_pii(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    for did in list(docs)[:25]:
+        t = (
+            docs[did][:40]
+            + f" contact u{did}@ex{did % 7}.com ip "
+            + f"10.{did % 256}.{did % 16}.{did % 100}"
+            + ("" if did % 3 == 0 else f" call +1-555-{did % 10000:04d}")
+        )
+        red = re.sub(C._RE_EMAIL, "<EMAIL>", t)
+        red = re.sub(C._RE_IPV4, "<IP>", red)
+        red = re.sub(C._RE_PHONE, "<PHONE>", red)
+        r = rows[did]
+        assert r.n_email == len(re.findall(C._RE_EMAIL, t))
+        assert r.n_ip == len(re.findall(C._RE_IPV4, t))
+        assert r.n_phone == (0 if did % 3 == 0 else 1)
+        assert r.redacted_md5 == hashlib.md5(red.encode()).hexdigest(), did
+
+
+def test_dedup_url_collapses_scheme_and_query_variants(spark, sf_smoke):
+    rows = C.dedup_url(spark, sf_smoke).collect()
+    assert all(not r.canon_url.startswith(("http", "www.")) for r in rows)
+    assert all("?" not in r.canon_url for r in rows)
+    assert all(not r.canon_url.endswith("/") for r in rows)
+    # variants must actually collide: with doc_id % 50 pages per source the
+    # corpus has far more urls than canonical forms
+    assert any(r.n_urls > 1 for r in rows)
+    total = sum(r.n_urls for r in rows)
+    n_docs = load(spark, sf_smoke, "documents").count()
+    assert total == n_docs
+
+
+def test_gopher_flags_split_the_corpus(spark, sf_smoke):
+    rows = C.text_gopher(spark, sf_smoke).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)  # rules must not be vacuous
+    for r in rows[:50]:
+        assert r.keep == (r.ok_len and r.ok_wordlen and r.ok_stop and r.ok_diverse)
+
+
+def test_stratified_sample_is_deterministic_and_near_rate(spark, sf_smoke):
+    a = sorted(r.doc_id for r in C.sample_stratified(spark, sf_smoke).collect())
+    b = sorted(r.doc_id for r in C.sample_stratified(spark, sf_smoke).collect())
+    assert a == b  # pure function of the row, not of the run
+    docs = load(spark, sf_smoke, "documents").groupBy("lang").count().collect()
+    kept = {
+        r.lang: r["count"]
+        for r in C.sample_stratified(spark, sf_smoke)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for row in docs:
+        rate = C._STRAT_RATES.get(row.lang, 0.2)
+        frac = kept.get(row.lang, 0) / row["count"]
+        assert abs(frac - rate) < 0.35  # small strata → wide but bounded band
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark, sf_smoke):
+    rows = C.decontaminate(spark, sf_smoke).collect()
+    assert rows, "synthetic vocabulary should produce 3-gram collisions"
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.n_hits >= 1 for r in rows)
+
+
+def test_mix_weights_respect_budget_and_cap(spark, sf_smoke):
+    rows = C.mix_weights(spark, sf_smoke).collect()
+    assert all(0.0 < r.weight <= 1.0 for r in rows)
+    total = sum(r.n_tokens for r in rows)
+    spent = sum(r.weight * r.n_tokens for r in rows)
+    # uncapped domains spend exactly the sqrt-share of the budget; caps can
+    # only reduce spend below the budget
+    assert spent <= C._MIX_BUDGET * total + 1e-6
+
+
+def test_ngram_topk_rank_contract(spark, sf_smoke):
+    rows = C.ngram_topk(spark, sf_smoke).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= C._TOPK
+        for a, b in zip(rs, rs[1:]):
+            assert a.n > b.n or (a.n == b.n and a.gram < b.gram)
