@@ -391,3 +391,50 @@ def test_dedup_clusters_final_plan_is_truncated(spark, sf_smoke):
     assert "ExistingRDD" in p, p
     assert "SortMergeJoin" not in p, p  # final comp agg is one groupBy
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+# --- curation pack: scan-stage ops stay narrow and JVM-side ----------------
+
+
+@pytest.mark.parametrize("qkey", ["text_pii", "text_gopher", "sample_stratified"])
+def test_curation_scan_ops_are_narrow_jvm_projections(spark, sf_smoke, qs, qkey):
+    """Redaction, quality verdicts, and sampling are per-row projections —
+    at 100 TB they must be scan-bandwidth-bound: zero exchanges, zero
+    Python eval."""
+    p = plan_of(qs[qkey](spark, sf_smoke))
+    assert "Exchange" not in p, f"{qkey} shuffles:\n{p}"
+    assert "EvalPython" not in p, f"{qkey} dropped into Python:\n{p}"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_smoke, qs):
+    """The benchmark gram-digest set is tiny by construction — the corpus
+    side must stream through a broadcast hash join, never shuffle for a
+    sort-merge join against 10^12 rows."""
+    p = plan_of(qs["decontaminate"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_mix_weights_broadcasts_global_total(spark, sf_smoke, qs):
+    # one-row totals side joins via broadcast nested loop, not a cartesian
+    p = plan_of(qs["mix_weights"](spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ngram_topk_counts_partial_then_final(spark, sf_smoke, qs):
+    p = plan_of(qs["ngram_topk"](spark, sf_smoke), "simple")
+    assert "partial_count" in p, p
+    assert "Exchange hashpartitioning" in p, p
+
+
+def test_dedup_minhash_single_scan_hash_agg(spark, sf_smoke, qs):
+    """The reworked minhash is a SINGLE pass: one parquet scan feeds the
+    shingle/lane pipeline (the old bands x bands self-join scanned and
+    re-hashed the corpus once per join side), and the 8-way lane min is a
+    fixed-width HashAggregate — STRING lanes would demote it to a
+    SortAggregate and add two full sorts of the shingle stream."""
+    p = plan_of(qs["dedup_minhash"](spark, sf_smoke), "simple")
+    assert p.count("Scan parquet") == 1, p
+    assert "SortAggregate" not in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
