@@ -557,3 +557,118 @@ def mix_weights(spark, sf):
     return j.select(
         "lang", "source", F.col("t").alias("n_tokens"), weight.alias("weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher §A1.1 repetition rules)
+# ---------------------------------------------------------------------------
+
+
+def _repetition_sql() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+uni AS (
+  SELECT doc_id, g, count(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY doc_id, g
+),
+unistats AS (
+  SELECT doc_id, max(n) AS topn, sum(n) AS totn FROM uni GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS g
+  FROM w, range(1, 4096) r(i)
+  WHERE i <= len(ws) - 1
+),
+bistats AS (
+  SELECT doc_id, count(DISTINCT g) AS nd, count(*) AS nb
+  FROM bi GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(u.topn AS DOUBLE) / u.totn        AS top_word_frac,
+       1.0 - CAST(b.nd AS DOUBLE) / b.nb      AS dup_bigram_frac
+FROM unistats u JOIN bistats b ON u.doc_id = b.doc_id
+"""
+
+
+@_q("text_repetition", _repetition_sql())
+def text_repetition(spark, sf):
+    """Repetition quality signals (the Gopher rules ``text_gopher``'s
+    length/diversity stack doesn't cover): fraction of tokens taken by
+    the single most frequent word, and fraction of duplicated bigrams.
+    Boilerplate and keyword-stuffed spam pages spike both.
+
+    The Spark side stays a zero-shuffle scan-stage projection by
+    computing the per-doc mode with nested higher-order functions
+    (``transform(array_distinct(w), x -> size(filter(w, y -> y = x)))``)
+    — O(distinct x total) per document, bounded by document length, and
+    entirely JVM-side; the oracle computes the same numbers relationally.
+    Both emit one double division per column in identical op order.
+
+    Scale: at 100 TB a narrow per-row projection beats the relational
+    form's two extra exchanges (doc_id-keyed unigram + bigram counts);
+    the quadratic term is bounded by the page-length cap the extraction
+    stage already enforces."""
+    d = load(spark, sf, "documents")
+    w = F.split(F.lower("text"), " ")
+    base = d.filter(F.size(F.split(F.col("text"), " ")) >= 2).select(
+        "doc_id", w.alias("w")
+    )
+    wc = F.col("w")
+    topn = F.array_max(
+        F.transform(
+            F.array_distinct(wc),
+            lambda x: F.size(F.filter(wc, lambda y: y == x)),
+        )
+    )
+    bi = F.zip_with(
+        F.slice(wc, 1, F.size(wc) - 1),
+        F.slice(wc, 2, F.size(wc) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return base.select(
+        "doc_id",
+        (topn.cast("double") / F.size(wc)).alias("top_word_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bi)).cast("double") / F.size(bi)
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def _blocklist_sql() -> str:
+    return """
+SELECT doc_id, source
+FROM documents
+WHERE CAST(substring(source, 4) AS INT) % 3 <> 0
+"""
+
+
+@_q("filter_blocklist", _blocklist_sql())
+def filter_blocklist(spark, sf):
+    """Domain-blocklist filtering: drop every document whose source
+    domain is on a blocklist (every third synthetic source stands in for
+    the spam/adult/malware lists a crawl pipeline maintains).
+
+    The Spark side does it the way 100 TB requires — the blocklist is a
+    TABLE (updated independently of the corpus), applied as a broadcast
+    LEFT ANTI join so the corpus never shuffles; the oracle states the
+    equivalent closed-form predicate. A NOT IN subquery would build the
+    same broadcast, but anti-join semantics are null-safe and the idiom
+    extends to multi-column (host, path-prefix) lists."""
+    d = load(spark, sf, "documents")
+    blocked = (
+        d.select("source")
+        .distinct()
+        .filter(F.substring("source", 4, 10).cast("int") % 3 == 0)
+    )
+    return d.join(F.broadcast(blocked), "source", "left_anti").select(
+        "doc_id", "source"
+    )

@@ -1341,3 +1341,58 @@ def win_ntile(spark, sf):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+_JOIN_SALT_N = 8
+
+
+@_q(
+    "join_salted",
+    """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS seg FROM events)
+       SELECT seg,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              min(value) AS min_v,
+              max(value) AS max_v
+       FROM events e JOIN dim d USING (user_id)
+       GROUP BY seg""",
+)
+def join_salted(spark, sf):
+    """Explicitly salted equi-join for a skewed key (the join-side
+    complement of ``agg_salted_distinct``): the fact side appends
+    ``salt = pmod(event_id, 8)`` and the dim side is replicated once per
+    salt value, so the join exchange partitions on (user_id, salt) — a
+    hot user's rows spread over 8 reducers instead of funneling through
+    one. Correct because each fact row carries exactly one salt and the
+    replicated dim matches all of them; the result is provably the plain
+    join (the oracle IS the unsalted join).
+
+    At 100 TB this is the fact×dim shape where the dim is too big to
+    broadcast and a few keys dominate (the `merge` hint here stands in
+    for that regime — at sf0.01 Catalyst would otherwise broadcast the
+    dim and hide the exchange being demonstrated). AQE skew-split
+    handles moderate skew at runtime; explicit salting is the degree of
+    freedom it lacks: replication factor chosen per-key up front, stable
+    across reuses of the same exchange. The aggregates are exact-int
+    cents + order-insensitive min/max, so partial-agg order cannot leak
+    into the hash."""
+    e = load(spark, sf, "events")
+    dim = (
+        e.select("user_id").distinct().withColumn("seg", F.col("user_id") % 5)
+    )
+    dim_rep = dim.select(
+        "user_id",
+        "seg",
+        F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT_N - 1))).alias("salt"),
+    )
+    fact = e.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(_JOIN_SALT_N))
+    )
+    joined = fact.join(dim_rep.hint("merge"), ["user_id", "salt"])
+    return joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("sum_cents"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )

@@ -102,3 +102,24 @@ def test_ngram_topk_rank_contract(spark, sf_smoke):
         assert len(rs) <= C._TOPK
         for a, b in zip(rs, rs[1:]):
             assert a.n > b.n or (a.n == b.n and a.gram < b.gram)
+
+
+def test_text_repetition_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.text_repetition(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    for did in list(docs)[:20]:
+        w = docs[did].lower().split(" ")
+        top = max(w.count(x) for x in set(w))
+        bi = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        r = rows[did]
+        assert abs(r.top_word_frac - top / len(w)) < 1e-12
+        assert abs(r.dup_bigram_frac - (1.0 - len(set(bi)) / len(bi))) < 1e-12
+
+
+def test_filter_blocklist_drops_every_third_source(spark, sf_smoke):
+    rows = C.filter_blocklist(spark, sf_smoke).collect()
+    assert rows
+    assert all(int(r.source[3:]) % 3 != 0 for r in rows)

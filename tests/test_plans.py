@@ -438,3 +438,30 @@ def test_dedup_minhash_single_scan_hash_agg(spark, sf_smoke, qs):
     assert p.count("Scan parquet") == 1, p
     assert "SortAggregate" not in p, p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_text_repetition_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["text_repetition"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_filter_blocklist_broadcast_anti(spark, sf_smoke, qs):
+    # blocklist applies as a broadcast anti-join: the corpus side never
+    # shuffles, however large
+    p = plan_of(qs["filter_blocklist"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_join_salted_exchange_carries_salt(spark, sf_smoke, qs):
+    """The whole point of the salted join: the join exchange partitions on
+    (user_id, salt), so a hot key spreads over the salt space."""
+    p = plan_of(qs["join_salted"](spark, sf_smoke))
+    assert "SortMergeJoin" in p, p
+    seg = [
+        ln
+        for ln in p.splitlines()
+        if "hashpartitioning" in ln and "salt" in ln
+    ]
+    assert seg, p
