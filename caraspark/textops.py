@@ -228,23 +228,24 @@ def dedup_exact(spark, sf):
 # independent band tables for recall.
 _N_MINHASH = 8  # seeds; bands of 4 → 2 bands
 _SHINGLE = 9
-# Two md5 digests per shingle (not eight): the 2×128 bits are sliced
-# into 8 independent 32-bit lanes and the per-lane minimum is a proper
-# minhash (slices of a cryptographic digest are independent uniform
-# hashes; affine remixes of ONE value are NOT — without modular
-# wraparound every lane shares the same argmin and the bands collapse
-# to r=1). Min-agg state is 8 BIGINTs instead of 8 32-char strings.
+# ONE sha-256 digest per shingle: its 256 bits are sliced into 8
+# independent 32-bit lanes and the per-lane minimum is a proper minhash
+# (slices of a cryptographic digest are independent uniform hashes;
+# affine remixes of ONE value are NOT — without modular wraparound every
+# lane shares the same argmin and the bands collapse to r=1). One hash
+# call per shingle instead of two md5s halves the dominant stage's work;
+# min-agg state is 8 BIGINTs instead of 8 32-char strings.
 
 
 def _mh_slices():
-    """(digest_col, hex_start) per minhash lane: 4 lanes per digest."""
-    return [("d1" if j < 4 else "d2", 8 * (j % 4) + 1) for j in range(_N_MINHASH)]
+    """hex start offset per 32-bit minhash lane of the sha-256 digest."""
+    return [8 * j + 1 for j in range(_N_MINHASH)]
 
 
 def _minhash_sql() -> str:
     lanes = ", ".join(
-        f"min(CAST('0x' || substring({d}, {s}, 8) AS BIGINT)) AS m{j}"
-        for j, (d, s) in enumerate(_mh_slices())
+        f"min(CAST('0x' || substring(dg, {s}, 8) AS BIGINT)) AS m{j}"
+        for j, s in enumerate(_mh_slices())
     )
     return f"""
 WITH docs AS (
@@ -258,7 +259,7 @@ shingles AS (
   WHERE i <= length(t) - {_SHINGLE} + 1
 ),
 hashed AS (
-  SELECT doc_id, md5(sh) AS d1, md5('x' || sh) AS d2 FROM shingles
+  SELECT doc_id, sha256(sh) AS dg FROM shingles
 ),
 mh AS (
   SELECT doc_id, {lanes}
@@ -306,7 +307,7 @@ def dedup_minhash(spark, sf):
     )
     # Spread documents across the cluster BEFORE the ~L-per-doc explode:
     # the scan's split count tracks input BYTES, but this stage's cost is
-    # bytes × shingle fan-out × 2 digests — a handful of scan splits (one,
+    # bytes × shingle fan-out × digest — a handful of scan splits (one,
     # for a small corpus) serializes the whole hash pipeline. The explicit
     # partition count matters: a bare repartition(key) lets AQE coalesce
     # the small pre-explode exchange (~KB/doc) back to one partition,
@@ -325,18 +326,14 @@ def dedup_minhash(spark, sf):
         "doc_id", "t", F.explode(idx).alias("i")
     ).select("doc_id", F.expr(f"substring(t, i, {_SHINGLE})").alias("sh"))
     hashed = shingles.select(
-        "doc_id",
-        F.md5(F.encode("sh", "utf-8")).alias("d1"),
-        F.md5(F.encode(F.concat(F.lit("x"), F.col("sh")), "utf-8")).alias(
-            "d2"
-        ),
+        "doc_id", F.sha2(F.encode("sh", "utf-8"), 256).alias("dg")
     )
     mh = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(F.substring(d, s, 8), 16, 10).cast("long")
+                F.conv(F.substring("dg", s, 8), 16, 10).cast("long")
             ).alias(f"m{j}")
-            for j, (d, s) in enumerate(_mh_slices())
+            for j, s in enumerate(_mh_slices())
         ]
     )
 
