@@ -1,8 +1,10 @@
 """Corpus-curation operators: the post-extraction passes a web-scale
 training-data pipeline runs between "text extracted" and "tokens shipped"
 — PII redaction, URL canonicalization + dedup, quality-filter verdicts
-(Gopher-style rule stack), deterministic stratified sampling, per-language
-n-gram statistics, benchmark decontamination, and domain-mixture weights.
+(Gopher-style rule stack), repetition signals, domain-blocklist filtering,
+deterministic stratified sampling, per-language n-gram statistics,
+benchmark decontamination, domain-mixture weights, and domain-graph
+PageRank for crawl-frontier prioritization.
 
 Like ``textops``, every operator is expressed twice: as a JVM-side Spark
 plan and as an independent DuckDB SQL oracle, so the driver hash-verifies
@@ -671,4 +673,125 @@ def filter_blocklist(spark, sf):
     )
     return d.join(F.broadcast(blocked), "source", "left_anti").select(
         "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-graph PageRank (crawl-frontier prioritization)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000  # ranks as integer micro-units → order-insensitive sums
+
+
+def _pr_graph_sql() -> str:
+    return """
+nodes AS (SELECT DISTINCT source AS node FROM documents),
+links AS (
+  -- n_chars decorrelates the target from the source assignment (which
+  -- is itself doc_id % 20), giving an irregular directed graph
+  SELECT DISTINCT source AS u,
+         'src' || CAST((doc_id + n_chars) % 20 AS VARCHAR) AS v
+  FROM documents
+),
+edges AS (
+  SELECT u, v FROM links
+  WHERE u <> v AND v IN (SELECT node FROM nodes)
+),
+deg AS (SELECT u AS node, count(*) AS deg FROM edges GROUP BY u)
+"""
+
+
+def _pagerank_sql() -> str:
+    its = [f"r0 AS (SELECT node, {_PR_SCALE} AS r FROM nodes)"]
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT n.node,
+         {int(0.15 * _PR_SCALE)} + (85 * COALESCE(s.S, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS node, SUM(p.r // d.deg) AS S
+    FROM edges e
+    JOIN {'r0' if i == 1 else f'it{i - 1}'} p ON p.node = e.u
+    JOIN deg d ON d.node = e.u
+    GROUP BY e.v
+  ) s ON s.node = n.node
+)""")
+    return f"""
+WITH {_pr_graph_sql()},
+{", ".join(its)}
+SELECT node,
+       CAST(r AS BIGINT) AS rank_scaled,
+       CAST(r AS DOUBLE) / {_PR_SCALE}.0 AS rank
+FROM it{_PR_ITERS}
+"""
+
+
+@_q("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark, sf):
+    """PageRank over the domain link graph — the signal a crawl pipeline
+    uses to prioritize its frontier and weight domains. The graph is
+    derived deterministically from the corpus (distinct source →
+    ``src((doc_id + n_chars) % 20)`` links, self-loops dropped); 5 damped
+    power iterations, d = 0.85.
+
+    Determinism: ranks are integer micro-units (10^6 = 1.0); each
+    iteration does only floor divisions and integer sums — a float
+    PageRank's per-node sum would be partial-agg-order dependent, the
+    integer one is exact on both engines. Dangling-node mass is dropped
+    (not redistributed), matching the oracle's closed form; the damping
+    term keeps ranks bounded either way.
+
+    Scale shape: one iteration = one join keyed on the SOURCE node
+    (rank × out-degree share) + one groupBy on the TARGET node — both
+    exchanges carry (node, BIGINT) pairs, never adjacency lists; a
+    web-scale run pre-partitions edges by u so the join side of every
+    iteration reuses one exchange. ``localCheckpoint`` per iteration
+    truncates lineage, exactly as ``dedup_clusters`` documents —
+    without it Catalyst re-analysis grows with iteration count.
+    Fixed iteration count (not convergence-tested) keeps the plan
+    statically analyzable; production runs add the two-scalar
+    convergence probe the connected-components loop uses."""
+    d = load(spark, sf, "documents")
+    nodes = d.select(F.col("source").alias("node")).distinct()
+    links = d.select(
+        F.col("source").alias("u"),
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") + F.col("n_chars")) % 20).cast("string"),
+        ).alias("v"),
+    ).distinct()
+    edges = (
+        links.filter(F.col("u") != F.col("v"))
+        .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    r = nodes.withColumn("r", F.lit(_PR_SCALE).cast("long")).localCheckpoint()
+    base = int(0.15 * _PR_SCALE)
+    for _ in range(_PR_ITERS):
+        shares = (
+            edges.join(r.withColumnRenamed("node", "u"), "u")
+            .join(deg.withColumnRenamed("node", "u"), "u")
+            .select("v", F.expr("r div deg").alias("share"))
+        )
+        contrib = shares.groupBy(F.col("v").alias("node")).agg(
+            F.sum("share").alias("S")
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(S, 0L) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / _PR_SCALE).alias("rank"),
     )

@@ -123,3 +123,33 @@ def test_filter_blocklist_drops_every_third_source(spark, sf_smoke):
     rows = C.filter_blocklist(spark, sf_smoke).collect()
     assert rows
     assert all(int(r.source[3:]) % 3 != 0 for r in rows)
+
+
+def test_pagerank_mass_and_floor(spark, sf_smoke):
+    rows = C.graph_pagerank(spark, sf_smoke).collect()
+    n = len(rows)
+    base = int(0.15 * C._PR_SCALE)
+    assert all(r.rank_scaled >= base for r in rows)
+    # floor divisions and dangling nodes only LOSE mass: total rank is
+    # bounded by the stationary total n * SCALE
+    assert sum(r.rank_scaled for r in rows) <= n * C._PR_SCALE
+    # the derived graph is irregular, so ranks must actually differentiate
+    assert len({r.rank_scaled for r in rows}) > 1
+
+
+def test_pagerank_partitioning_invariant(spark, sf_smoke):
+    a = sorted(map(tuple, C.graph_pagerank(spark, sf_smoke).collect()))
+    import caraspark.curation as cu
+    from caraspark import tables as T
+
+    orig = T.load
+
+    def load16(s, sf, name):
+        return orig(s, sf, name).repartition(16)
+
+    cu.load = load16
+    try:
+        b = sorted(map(tuple, C.graph_pagerank(spark, sf_smoke).collect()))
+    finally:
+        cu.load = orig
+    assert a == b
