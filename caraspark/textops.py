@@ -242,13 +242,15 @@ def _mh_slices():
     return [8 * j + 1 for j in range(_N_MINHASH)]
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE body: shingle sets → lanes → bands (reused by the
+    candidate query and by the exact-Jaccard verification stage)."""
     lanes = ", ".join(
         f"min(CAST('0x' || substring(dg, {s}, 8) AS BIGINT)) AS m{j}"
         for j, s in enumerate(_mh_slices())
     )
     return f"""
-WITH docs AS (
+docs AS (
   SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {_SHINGLE}
 ),
 shingles AS (
@@ -271,13 +273,18 @@ bands AS (
   UNION ALL
   SELECT doc_id, md5(m4 || ':' || m5 || ':' || m6 || ':' || m7) AS band,
          1 AS band_id FROM mh
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-"""
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_id = b.band_id AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()} SELECT id_a, id_b, n_bands FROM cand"
 
 
 @_q("dedup_minhash", _minhash_sql())
@@ -387,6 +394,82 @@ def dedup_minhash(spark, sf):
     ).select("band_id", "p.id_a", "p.id_b")
     return pairs.groupBy("id_a", "id_b").agg(
         F.countDistinct("band_id").alias("n_bands")
+    )
+
+
+def _minhash_verified_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ninter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.ninter AS BIGINT) AS n_inter,
+       CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) AS jaccard,
+       CAST(i.ninter AS DOUBLE) / (za.n + zb.n - i.ninter) >= 0.5 AS is_dup
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+"""
+
+
+@_q("dedup_minhash_verified", _minhash_verified_sql())
+def dedup_minhash_verified(spark, sf):
+    """Stage 2 of the LSH pipeline: exact Jaccard over shingle SETS,
+    computed only for the candidate pairs stage 1 emitted — LSH buckets
+    answer "maybe similar", this answers "how similar", and `is_dup`
+    (jaccard ≥ 0.5) is what feeds `connected_components`.
+
+    Scale: the verification join is candidate-bounded — shingle sets are
+    joined through the candidate pair list, so its cost is
+    O(candidates × shingles/doc), never corpus-quadratic; selectivity of
+    the bands (see `dedup_minhash`) is what keeps the candidate list
+    small. Shingles travel as the 9-char strings here for oracle
+    byte-parity; a production run ships 8-byte digests on the same plan.
+    Jaccard is ONE double division of exact integer counts (|A∩B| /
+    (|A| + |B| - |A∩B|)), identical op order on both engines."""
+    cand = dedup_minhash(spark, sf).select("id_a", "id_b")
+    d = load(spark, sf, "documents")
+    docs = d.filter(F.length("text") >= _SHINGLE).select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    idx = F.sequence(
+        F.lit(1), F.least(F.length("t") - _SHINGLE + 1, F.lit(4095))
+    )
+    shingles = (
+        docs.select("doc_id", "t", F.explode(idx).alias("i"))
+        .select("doc_id", F.expr(f"substring(t, i, {_SHINGLE})").alias("sh"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("id_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("ninter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ninter")
+    )
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("ninter").alias("n_inter"),
+            jac.alias("jaccard"),
+            (jac >= 0.5).alias("is_dup"),
+        )
     )
 
 

@@ -73,3 +73,27 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_minhash_verified_jaccard_matches_python(spark, sf_smoke):
+    """Exact Jaccard recomputed from raw text (third implementation)."""
+    from caraspark.tables import load
+    from caraspark.textops import _SHINGLE, dedup_minhash_verified
+
+    rows = dedup_minhash_verified(spark, sf_smoke).collect()
+    assert rows, "band collisions must survive verification"
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+
+    def shset(t):
+        return {t[i : i + _SHINGLE] for i in range(min(len(t) - _SHINGLE + 1, 4095))}
+
+    for r in rows:
+        a, b = shset(docs[r.id_a]), shset(docs[r.id_b])
+        inter = len(a & b)
+        assert r.n_inter == inter
+        expect = inter / (len(a) + len(b) - inter)
+        assert abs(r.jaccard - expect) < 1e-12
+        assert r.is_dup == (r.jaccard >= 0.5)
