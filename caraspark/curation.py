@@ -795,3 +795,64 @@ def graph_pagerank(spark, sf):
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / _PR_SCALE).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+def _entropy_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), '') AS cs
+  FROM documents WHERE length(text) >= 1
+)
+SELECT doc_id,
+       CAST(len(list_distinct(cs)) AS INT) AS n_distinct,
+       list_reduce(
+         list_transform(
+           list_sort(list_distinct(cs)),
+           c -> (CAST(len(list_filter(cs, y -> y = c)) AS DOUBLE) / len(cs))
+                * log2(CAST(len(cs) AS DOUBLE)
+                       / len(list_filter(cs, y -> y = c)))),
+         (a, b) -> a + b) AS entropy
+FROM t
+"""
+
+
+@_q("text_entropy", _entropy_sql())
+def text_entropy(spark, sf):
+    """Character-level Shannon entropy per document — the quality signal
+    that separates natural text (~4 bits/char) from base64 blobs, markup
+    residue, and single-character spam that length/stopword rules miss.
+
+    Float determinism for a SUM of doubles: both engines fold the
+    per-character terms in SORTED character order (Spark ``aggregate``
+    over ``array_sort(array_distinct(...))``, DuckDB ``list_reduce`` of
+    the same sorted list) — left-to-right in identical order is
+    bit-reproducible where a relational SUM over an exchange is not.
+
+    Scale: zero-shuffle scan projection; O(distinct-chars x length) per
+    document via higher-order functions, bounded by the alphabet."""
+    d = load(spark, sf, "documents")
+    base = d.filter(F.length("text") >= 1).select(
+        "doc_id", F.split(F.lower("text"), "").alias("cs")
+    )
+    cs = F.col("cs")
+    n = F.size(cs)
+
+    def term(c):
+        cnt = F.size(F.filter(cs, lambda y: y == c))
+        return (cnt.cast("double") / n) * F.log2(n.cast("double") / cnt)
+
+    ent = F.aggregate(
+        F.array_sort(F.array_distinct(cs)),
+        F.lit(0.0),
+        lambda acc, c: acc + term(c),
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.array_distinct(cs)).alias("n_distinct"),
+        ent.alias("entropy"),
+    )

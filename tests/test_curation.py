@@ -153,3 +153,23 @@ def test_pagerank_partitioning_invariant(spark, sf_smoke):
     finally:
         cu.load = orig
     assert a == b
+
+
+def test_text_entropy_matches_python(spark, sf_smoke):
+    import math
+
+    rows = {r.doc_id: r for r in C.text_entropy(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    for did in list(docs)[:20]:
+        t = docs[did]
+        n = len(t)
+        ent = sum(
+            (t.count(c) / n) * math.log2(n / t.count(c)) for c in sorted(set(t))
+        )
+        r = rows[did]
+        assert r.n_distinct == len(set(t))
+        assert abs(r.entropy - ent) < 1e-9
+        assert 0.0 < r.entropy < math.log2(r.n_distinct) + 1e-9

@@ -396,7 +396,9 @@ def test_dedup_clusters_final_plan_is_truncated(spark, sf_smoke):
 # --- curation pack: scan-stage ops stay narrow and JVM-side ----------------
 
 
-@pytest.mark.parametrize("qkey", ["text_pii", "text_gopher", "sample_stratified"])
+@pytest.mark.parametrize(
+    "qkey", ["text_pii", "text_gopher", "sample_stratified", "text_entropy"]
+)
 def test_curation_scan_ops_are_narrow_jvm_projections(spark, sf_smoke, qs, qkey):
     """Redaction, quality verdicts, and sampling are per-row projections —
     at 100 TB they must be scan-bandwidth-bound: zero exchanges, zero
