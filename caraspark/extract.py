@@ -40,6 +40,19 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("warc_ts", pa.timestamp("us"), True),
         pa.field("text", pa.large_binary(), True),
         pa.field(
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("start", pa.int64()),
+                        ("end", pa.int64()),
+                        ("label", pa.string()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -150,6 +163,7 @@ def _extract_batches(
             cols["url"].append(urls[i])
             cols["warc_ts"].append(tss[i])
             cols["text"].append(r.text)
+            cols["spans"].append(r.spans_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

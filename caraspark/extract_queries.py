@@ -123,6 +123,87 @@ def doc_extract(spark, sf):
     )
 
 
+_SPAN_LIT = "naïve café — 漢字 span check"  # multibyte: octets ≠ chars
+
+
+@_q(
+    "doc_spans",
+    f"""SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(0 AS BIGINT) AS span_start,
+       CAST(octet_length(encode(text)) AS BIGINT) AS span_end,
+       'block:0' AS label
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS span_start,
+       CAST(octet_length(encode(text)) + 1
+            + octet_length(encode('{_SPAN_LIT}')) AS BIGINT) AS span_end,
+       'block:1' AS label
+FROM documents""",
+)
+def doc_spans(spark, sf):
+    """v3 SPANS, hash-verified closed-form (north_rule "text/spans per
+    document"): two-block HTML wrap — block 0 is documents.text (already
+    single-spaced, so it survives normalization verbatim), block 1 a fixed
+    multibyte literal. The oracle predicts every span's OCTET offsets with
+    octet_length, so a chars-vs-bytes bug anywhere in the span plumbing
+    (engine, Arrow schema, UTF-8 encode) hash-mismatches."""
+    docs = load(spark, sf, "documents")
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>"),
+                F.col("text"),
+                F.lit(f"</p><p>{_SPAN_LIT}</p></main>"),
+                F.lit("<footer>(c) synth</footer></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    s = ex.select("url", F.explode("spans").alias("s"))
+    return s.select(
+        "url",
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+        F.col("s.label").alias("label"),
+    )
+
+
+@_q(
+    "doc_spans_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, CAST(n_spans AS INT) AS n_spans, spans_sig
+FROM perdoc""",
+)
+def doc_spans_sig(spark, sf):
+    """v3 SPANS over the full synth corpus (PDF page spans + HTML block
+    spans) vs the frozen per-recipe/per-idx expected signatures — pins
+    page-tree order, form-feed offsets, and empty-text span semantics."""
+    ex = _extracted(spark, sf)
+    return ex.select(
+        "url",
+        F.size("spans").alias("n_spans"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    "-",
+                    s["start"].cast("string"),
+                    s["end"].cast("string"),
+                    s["label"],
+                ),
+            ),
+        ).alias("spans_sig"),
+    )
+
+
 @_q(
     "doc_stats",
     f"""WITH {corpus_cte()},

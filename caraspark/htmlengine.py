@@ -41,6 +41,11 @@ and compared byte-for-byte per url):
 * Block flush: normalize = " ".join(text.split()); empty → discarded;
   link_chars / total_chars > 0.66 → discarded (link farm);
 * Output = "\n".join(kept blocks) as UTF-8; nothing kept → b"".
+* SPANS (v3, north_rule "extracted text/spans per document"): alongside
+  the text payload, one span per kept block: (start, end, label) with
+  start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
+  label = "block:<i>" (0-based kept-block index). Blocks are joined by a
+  single 1-byte "\n", so start_{i+1} = end_i + 1. Empty output → [].
 """
 
 from __future__ import annotations
@@ -185,8 +190,10 @@ class _Extractor(HTMLParser):
             self._link_chars += n
 
 
-def extract_html_text(html: bytes) -> bytes:
-    """blob → extracted main-content text bytes (UTF-8), per the SPEC."""
+def extract_html_text_spans(
+    html: bytes,
+) -> tuple[bytes, list[tuple[int, int, str]]]:
+    """blob → (text bytes, block spans) per the SPEC (incl. v3 SPANS)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -196,8 +203,19 @@ def extract_html_text(html: bytes) -> bytes:
         pass
     p._flush()
     if not p.blocks:
-        return b""
-    return "\n".join(p.blocks).encode("utf-8")
+        return b"", []
+    spans: list[tuple[int, int, str]] = []
+    off = 0
+    for i, block in enumerate(p.blocks):
+        n = len(block.encode("utf-8"))
+        spans.append((off, off + n, f"block:{i}"))
+        off += n + 1  # the 1-byte "\n" joiner
+    return "\n".join(p.blocks).encode("utf-8"), spans
+
+
+def extract_html_text(html: bytes) -> bytes:
+    """blob → extracted main-content text bytes (UTF-8), per the SPEC."""
+    return extract_html_text_spans(html)[0]
 
 
 class _FoundContent(Exception):

@@ -21,10 +21,10 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from caraspark.htmlengine import extract_html_text
+from caraspark.htmlengine import extract_html_text_spans
 from caraspark.pdfengine.document import Document, load_document
 from caraspark.pdfengine.model import PdfError, Stream, canonical_json
-from caraspark.pdfengine.textextract import extract_text
+from caraspark.pdfengine.textextract import extract_text_spans
 from caraspark.pdfengine.typecheck import check_types
 
 FATAL_CODES = frozenset(
@@ -68,6 +68,10 @@ FATAL_CODES = frozenset(
 class ExtractResult:
     kind: str  # 'pdf' | 'html'
     text: bytes = b""
+    # v3 SPANS: (start, end, label) octet offsets into ``text`` — one per
+    # PDF page ("page:<i>", page-tree order) or kept HTML block
+    # ("block:<i>"); [] when text is b""; None in want_text=False mode.
+    spans: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -96,6 +100,13 @@ class ExtractResult:
                 "msg": e.msg,
             }
             for e in self.errors
+        ]
+
+    def spans_as_rows(self) -> list[dict] | None:
+        if self.spans is None:
+            return None
+        return [
+            {"start": s, "end": e, "label": lbl} for s, e, lbl in self.spans
         ]
 
 
@@ -156,7 +167,9 @@ def _process_pdf(
     tres = check_types(doc, strict=strict)
     errors.extend(tres.errors)
 
-    text = extract_text(doc, errors) if want_text else None
+    text, spans = (
+        extract_text_spans(doc, errors) if want_text else (None, None)
+    )
 
     n_streams = 0
     bytes_decoded = 0
@@ -169,6 +182,7 @@ def _process_pdf(
     res = ExtractResult(
         kind="pdf",
         text=text,
+        spans=spans,
         errors=errors,
         version=doc.version,
         n_objects=len(doc.objects),
@@ -196,7 +210,7 @@ def _process_pdf(
 def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
     if want_text:
-        text = extract_html_text(blob)
+        text, spans = extract_html_text_spans(blob)
         has_content = bool(text)
     else:
         # Stats mode skips text materialization but must agree with the full
@@ -204,7 +218,8 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         from caraspark.htmlengine import html_has_content
 
         text = None
+        spans = None
         has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
-    return ExtractResult(kind="html", text=text, errors=errors)
+    return ExtractResult(kind="html", text=text, spans=spans, errors=errors)

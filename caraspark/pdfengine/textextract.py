@@ -60,6 +60,13 @@ and compared byte-for-byte:
       - no/unknown font: 1000 → threshold −180, the historical rule.
   * page texts are joined with b"\\x0c" (form feed); a document with no
     extractable text yields b"".
+  * SPANS (v3, north_rule "extracted text/spans per document"): one span
+    per page in page-tree order: (start, end, label) with start/end BYTE
+    (octet) offsets into the UTF-8 text payload, end exclusive, label
+    "page:<i>" (0-based). Pages are joined by the 1-byte form feed, so
+    start_{i+1} = end_i + 1; an empty page is a zero-length span. A
+    document whose text is b"" yields [] — spans are offsets into the
+    emitted payload, and there is none.
 
 Everything here is per-document pure compute — it runs inside the Arrow
 batch UDF with zero shuffle.
@@ -426,8 +433,10 @@ def extract_page_text(
     return "\n".join(lines)
 
 
-def extract_text(doc, errors: list) -> bytes:
-    """Whole-document extracted text per the SPEC above → UTF-8 bytes."""
+def extract_text_spans(
+    doc, errors: list
+) -> tuple[bytes, list[tuple[int, int, str]]]:
+    """Whole-document (text, page spans) per the SPEC (incl. v3 SPANS)."""
     pages = _page_order(doc)
     page_texts: list[str] = []
     for pk in pages:
@@ -438,5 +447,16 @@ def extract_text(doc, errors: list) -> bytes:
         )
     txt = "\x0c".join(page_texts)
     if not txt.strip("\x0c\n"):
-        return b""
-    return txt.encode("utf-8")
+        return b"", []
+    spans: list[tuple[int, int, str]] = []
+    off = 0
+    for i, pt in enumerate(page_texts):
+        n = len(pt.encode("utf-8"))
+        spans.append((off, off + n, f"page:{i}"))
+        off += n + 1  # the 1-byte form-feed joiner
+    return txt.encode("utf-8"), spans
+
+
+def extract_text(doc, errors: list) -> bytes:
+    """Whole-document extracted text per the SPEC above → UTF-8 bytes."""
+    return extract_text_spans(doc, errors)[0]

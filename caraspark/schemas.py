@@ -33,6 +33,22 @@ EXTRACTED = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampNTZType(), True),
         T.StructField("text", T.BinaryType(), True),  # byte-exact payload
+        # v3 SPANS: octet offsets into text, end exclusive; one element per
+        # PDF page ("page:<i>") / kept HTML block ("block:<i>"); [] for
+        # empty text, NULL in want_text=False stats mode
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.LongType(), False),
+                        T.StructField("end", T.LongType(), False),
+                        T.StructField("label", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

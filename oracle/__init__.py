@@ -14,4 +14,7 @@ pipeline must reproduce it byte-for-byte on every url (north_rule:
 file is the spec's second witness.
 """
 
-from oracle.text_oracle import oracle_extract  # noqa: F401
+from oracle.text_oracle import (  # noqa: F401
+    oracle_extract,
+    oracle_extract_spans,
+)

@@ -841,7 +841,23 @@ def _page_res(objs, pnum: int):
     return None
 
 
+def _spans_of(parts: list[str], prefix: str) -> list[tuple[int, int, str]]:
+    """SPEC v3 SPANS witness: octet offsets of each part in the payload
+    built by joining parts with a 1-byte separator, end exclusive."""
+    spans = []
+    off = 0
+    for i, p in enumerate(parts):
+        n = len(p.encode("utf-8"))
+        spans.append((off, off + n, f"{prefix}:{i}"))
+        off += n + 1
+    return spans
+
+
 def _pdf_text(data: bytes) -> bytes:
+    return _pdf_text_spans(data)[0]
+
+
+def _pdf_text_spans(data: bytes) -> tuple[bytes, list]:
     objs = _scan_objects(data)
     # explode object streams so compressed catalogs resolve
     for num in sorted(list(objs)):
@@ -879,8 +895,8 @@ def _pdf_text(data: bytes) -> bytes:
         texts.append(_page_text(b"\n".join(parts), fonts, xobjects, objs))
     txt = "\x0c".join(texts)
     if not txt.strip("\x0c\n"):
-        return b""
-    return txt.encode("utf-8")
+        return b"", []
+    return txt.encode("utf-8"), _spans_of(texts, "page")
 
 
 # ---------------------------------------------------------------------------
@@ -977,6 +993,10 @@ class _Tokenizer(HTMLParser):
 
 
 def _html_text(blob: bytes) -> bytes:
+    return _html_text_spans(blob)[0]
+
+
+def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
     src = _decode_page(blob)
     tk = _Tokenizer()
     try:
@@ -1044,11 +1064,18 @@ def _html_text(blob: bytes) -> bytes:
                 if a_depth:
                     link += nws
     flush()
-    return "\n".join(blocks).encode("utf-8") if blocks else b""
+    if not blocks:
+        return b"", []
+    return "\n".join(blocks).encode("utf-8"), _spans_of(blocks, "block")
 
 
 def oracle_extract(blob: bytes) -> bytes:
     """url-invariant: blob → extracted text bytes (the SPEC's 2nd witness)."""
+    return oracle_extract_spans(blob)[0]
+
+
+def oracle_extract_spans(blob: bytes) -> tuple[bytes, list]:
+    """blob → (text bytes, v3 spans) — the SPEC's 2nd witness incl. spans."""
     if b"%PDF-" in blob[:1024]:
-        return _pdf_text(blob)
-    return _html_text(blob)
+        return _pdf_text_spans(blob)
+    return _html_text_spans(blob)

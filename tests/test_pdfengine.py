@@ -651,3 +651,92 @@ def test_html_v2_engine_oracle_agree(frags, enc):
     else:
         blob = doc.encode("cp1252", "replace")  # é -> invalid utf-8 byte
     assert extract_html_text(blob) == oracle_extract(blob)
+
+
+# --- v3 SPANS (north_rule "extracted text/spans per document") -------------
+
+
+def _check_span_tiling(text: bytes, spans):
+    """Structural invariants every span list must satisfy: spans tile the
+    payload exactly, separated by single 1-byte joiners, labels indexed."""
+    if not text:
+        assert spans == []
+        return
+    assert spans, "non-empty text must carry spans"
+    assert spans[0]["start"] == 0
+    for i, s in enumerate(spans):
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+        assert s["label"].endswith(f":{i}")
+        if i:
+            assert s["start"] == spans[i - 1]["end"] + 1
+    assert spans[-1]["end"] == len(text)
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_spans_second_witness(name):
+    """Engine spans == independent-oracle spans on every witnessed doc,
+    plus the tiling invariants on all docs (including unwitnessed ones)."""
+    from oracle import oracle_extract_spans
+
+    blob = _blob(name)
+    r = process_document(blob)
+    _check_span_tiling(r.text, r.spans_as_rows())
+    if not r.valid or r.encrypted:
+        pytest.skip("oracle witnesses valid/plaintext docs only")
+    otext, ospans = oracle_extract_spans(blob)
+    assert r.text == otext
+    assert r.spans == ospans
+
+
+def test_spans_multipage_offsets():
+    from caraspark.synth import pdf_multipage
+
+    r = process_document(pdf_multipage())
+    assert r.text == b"page one\x0cpage two\x0cpage three"
+    assert r.spans == [
+        (0, 8, "page:0"),
+        (9, 17, "page:1"),
+        (18, 28, "page:2"),
+    ]
+
+
+def test_spans_formfeed_inside_page_text():
+    """A literal form feed INSIDE one page's string must not split the
+    span — spans are authoritative page boundaries, not derivable by
+    splitting the payload on \\x0c."""
+    from caraspark.synth import _assemble, _base_objects
+
+    blob = _assemble(_base_objects(b"BT (a\x0cb) Tj ET"))
+    r = process_document(blob)
+    assert r.text == b"a\x0cb"
+    assert r.spans == [(0, 3, "page:0")]
+
+
+def test_spans_html_multibyte_are_octets():
+    from caraspark.htmlengine import extract_html_text_spans
+
+    text, spans = extract_html_text_spans(
+        "<body><p>café</p><p>漢字 x</p></body>".encode("utf-8")
+    )
+    # "café" = 5 octets / 4 chars; "漢字 x" = 8 octets / 4 chars
+    assert text == "café\n漢字 x".encode("utf-8")
+    assert spans == [(0, 5, "block:0"), (6, 14, "block:1")]
+
+
+@pytest.mark.parametrize("name", ["pdf_minimal", sorted(HTML_RECIPES)[0]])
+def test_spans_stats_mode_is_null(name):
+    r = process_document(_blob(name), want_text=False)
+    assert r.text is None and r.spans is None
+    assert r.spans_as_rows() is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_TAG_ST, _ATTR_ST, _TXT_ST), max_size=8))
+def test_html_spans_engine_oracle_agree(frags):
+    """Property differential for spans over random nested fragments."""
+    from caraspark.htmlengine import extract_html_text_spans
+    from oracle import oracle_extract_spans
+
+    inner = "".join(f"<{t}{a}>{txt}" for t, a, txt in frags)
+    blob = f"<html><body>{inner}</body></html>".encode("utf-8")
+    assert extract_html_text_spans(blob) == oracle_extract_spans(blob)

@@ -103,6 +103,7 @@ def build_extras():
                 ),
                 "err_codes": ",".join(sorted(e.code for e in res.errors)),
                 **_text_metrics(res.text),
+                **_span_facts(res.spans),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
                 "n_trailer_roots": n_trailer,
@@ -182,9 +183,21 @@ def build_extras():
                 ),
                 "err_codes": ",".join(sorted(e.code for e in res.errors)),
                 **_text_metrics(res.text),
+                **_span_facts(res.spans),
             }
         )
     return extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx
+
+
+def _span_facts(spans) -> dict:
+    """Mirror doc_spans_sig's JVM expressions: size(spans) and the
+    ";"-joined "start-end-label" signature string ("" for no spans)."""
+    if spans is None:
+        return {"n_spans": None, "spans_sig": None}
+    return {
+        "n_spans": len(spans),
+        "spans_sig": ";".join(f"{s}-{e}-{lbl}" for s, e, lbl in spans),
+    }
 
 
 def _text_metrics(text: bytes | None) -> dict:
