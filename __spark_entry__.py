@@ -36,6 +36,7 @@ for _mod in (
     "streaming_queries",
     "pdfacts",
     "multimodal",
+    "warc",
 ):
     try:
         _m = __import__(f"caraspark.{_mod}", fromlist=["REGISTRY"])

@@ -1,0 +1,332 @@
+"""WARC 1.0 container source/sink (ISO 28500) — Common Crawl's on-disk
+format, the delivery form of the north_rule's "Common-Crawl-style web
+pages" before they're compacted into a documents_raw table.
+
+Format (as Common Crawl ships it): a ``.warc.gz`` file is a CONCATENATION
+OF GZIP MEMBERS, one member per WARC record, so a reader can seek to any
+record boundary without decompressing the whole file. Each record is::
+
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...          (WARC-Type, WARC-Target-URI,
+    \r\n                                     WARC-Date, Content-Length, ...)
+    <Content-Length payload bytes>\r\n\r\n
+
+A ``response`` record's payload is a full HTTP response message; the
+crawled page body follows the first blank line of the HTTP headers.
+
+Scale shape (SURVEY.md S3 family): the WARC FILE is the unit of
+parallelism — Common Crawl segments are ~1 GiB, so a 100 TB crawl is
+~100k files = ~100k independent tasks. ``read_warc`` maps ``binaryFile``
+rows through an Arrow batch parser: zero shuffle, per-task memory bounded
+by one file, and the gzip members stream-decode (``zlib`` multi-member
+loop, never a whole-file bytes copy per record). Everything downstream is
+the same ``documents_raw`` schema the parquet and loose-file sources feed.
+
+Determinism: the writer emits zlib-generated gzip headers (MTIME=0) and
+derives WARC-Record-IDs from md5(url, date) — byte-identical output for
+identical input on any host, which is what lets the roundtrip qkey
+hash-verify the whole writer→parser path against a closed-form oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caraspark.relational import Q
+from caraspark.schemas import DOCUMENTS_RAW
+from caraspark.tables import load
+
+REGISTRY: dict[str, Q] = {}
+
+
+def _q(name: str, sql):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+_CRLF = b"\r\n"
+_WARC_EPOCH = datetime(2026, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# record-level writer / parser (pure bytes — runs inside Arrow batch UDFs)
+# ---------------------------------------------------------------------------
+
+
+def _warc_date(ts: datetime) -> str:
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(url: str, date: str) -> str:
+    h = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def http_response(body: bytes, content_type: str = "text/html") -> bytes:
+    """Minimal deterministic HTTP/1.1 response message around ``body``."""
+    head = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {content_type};"
+        f" charset=utf-8\r\nContent-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode("ascii") + body
+
+
+def build_record(
+    rec_type: str,
+    payload: bytes,
+    url: str | None = None,
+    ts: datetime | None = None,
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """One uncompressed WARC record, trailing CRLF CRLF included."""
+    date = _warc_date(ts or _WARC_EPOCH)
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {rec_type}".encode(),
+        f"WARC-Record-ID: {_record_id(url or rec_type, date)}".encode(),
+        f"WARC-Date: {date}".encode(),
+    ]
+    if url is not None:
+        headers.append(f"WARC-Target-URI: {url}".encode())
+    headers += [
+        f"Content-Type: {content_type}".encode(),
+        f"Content-Length: {len(payload)}".encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    """One gzip member with a zlib-written header (MTIME=0 → deterministic,
+    unlike ``gzip.compress`` which stamps wall-clock time)."""
+    c = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return c.compress(raw) + c.flush()
+
+
+def build_warc(
+    records: list[tuple[str, datetime, bytes]],
+    gzip_members: bool = True,
+    warcinfo: str = "software: caraspark-warc/1.0",
+) -> bytes:
+    """Serialize (url, ts, http_payload) triples into one WARC file's bytes:
+    a leading ``warcinfo`` record, then one ``response`` record per input,
+    each its own gzip member when ``gzip_members`` (the Common Crawl
+    layout) else plain concatenation."""
+    recs = [
+        build_record(
+            "warcinfo",
+            warcinfo.encode() + _CRLF,
+            content_type="application/warc-fields",
+        )
+    ]
+    recs += [
+        build_record("response", payload, url=url, ts=ts)
+        for url, ts, payload in records
+    ]
+    if gzip_members:
+        return b"".join(_gzip_member(r) for r in recs)
+    return b"".join(recs)
+
+
+def _iter_gunzip_members(blob: bytes) -> Iterator[bytes]:
+    """Stream-decode a multi-member gzip blob (or yield plain bytes as-is)."""
+    if not blob.startswith(b"\x1f\x8b"):
+        yield blob
+        return
+    data = blob
+    while data:
+        d = zlib.decompressobj(32 + zlib.MAX_WBITS)
+        yield d.decompress(data)
+        data = d.unused_data
+        if not data.startswith(b"\x1f\x8b"):
+            break
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """All records of one WARC file: dicts with ``rec_type``, ``url``,
+    ``ts`` (naive UTC datetime), ``payload`` (raw record payload), and for
+    response records ``body`` (HTTP message body). Tolerant of plain or
+    per-record-gzip layouts and of junk between records (re-syncs on the
+    next ``WARC/`` magic, mirroring the PDF engine's recovery posture)."""
+    out: list[dict] = []
+    buf = b"".join(_iter_gunzip_members(blob))
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = buf.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = buf.find(_CRLF * 2, start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        lines = buf[start:hdr_end].split(_CRLF)
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1"
+                ).strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen + 4  # payload + trailing CRLF CRLF
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            ts = None
+        rec_type = headers.get("warc-type", "")
+        rec = {
+            "rec_type": rec_type,
+            "url": headers.get("warc-target-uri"),
+            "ts": ts,
+            "payload": payload,
+        }
+        if rec_type == "response":
+            split = payload.find(_CRLF * 2)
+            rec["body"] = payload[split + 4 :] if split >= 0 else payload
+        out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark-side source / sink
+# ---------------------------------------------------------------------------
+
+_RAW_ARROW = pa.schema(
+    [
+        pa.field("url", pa.string(), False),
+        pa.field("warc_ts", pa.timestamp("us"), True),
+        pa.field("html", pa.large_binary(), True),
+        pa.field("text", pa.string(), True),
+        pa.field("lang", pa.string(), True),
+    ]
+)
+
+_WARC_BLOB = pa.schema([pa.field("warc", pa.large_binary(), False)])
+
+
+def _responses_to_raw(batches: Iterator[pa.RecordBatch], col: str):
+    for batch in batches:
+        rows = []
+        for blob in batch.column(col).to_pylist():
+            for rec in parse_warc(blob):
+                if rec["rec_type"] != "response" or rec["url"] is None:
+                    continue
+                rows.append(
+                    {
+                        "url": rec["url"],
+                        "warc_ts": rec["ts"],
+                        "html": rec["body"],
+                        "text": None,
+                        "lang": None,
+                    }
+                )
+                if len(rows) >= 256:
+                    yield pa.RecordBatch.from_pylist(rows, schema=_RAW_ARROW)
+                    rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=_RAW_ARROW)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """documents_raw from a directory of ``.warc`` / ``.warc.gz`` files.
+
+    One binaryFile row per file → one parse task per file (the Common
+    Crawl unit of work); no shuffle anywhere. ``content`` is the only
+    data column read, and only response records survive."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(F.col("content").alias("warc"))
+    )
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        yield from _responses_to_raw(it, "warc")
+
+    return files.mapInArrow(gen, DOCUMENTS_RAW)
+
+
+def warc_sink_df(docs: DataFrame, partitions: int = 8) -> DataFrame:
+    """Serialize (doc_id, payload-bytes) rows into WARC file blobs, one
+    blob per partition-batch — the in-plan form of writing ``part-N.warc.gz``
+    files (tests write these blobs to disk and read them back through
+    ``read_warc``). Input needs columns ``doc_id`` (bigint) and ``body``
+    (binary); url/ts derive deterministically from doc_id."""
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            bodies = batch.column("body").to_pylist()
+            recs = [
+                (
+                    f"https://synth.example/doc/{i}",
+                    _WARC_EPOCH + timedelta(seconds=i % 86400),
+                    http_response(b),
+                )
+                for i, b in zip(ids, bodies)
+            ]
+            if recs:
+                yield pa.RecordBatch.from_pylist(
+                    [{"warc": build_warc(recs)}], schema=_WARC_BLOB
+                )
+
+    return docs.repartition(partitions, "doc_id").mapInArrow(
+        gen, "warc binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# qkey — hash-verified writer→parser roundtrip over the documents table
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "warc_roundtrip",
+    """SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(epoch(TIMESTAMP '2026-01-01'
+                  + INTERVAL (doc_id % 86400) SECOND) AS BIGINT) AS ts_epoch,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_octets,
+       md5(text) AS payload_md5
+FROM documents""",
+)
+def warc_roundtrip(spark, sf):
+    """WARC writer→parser roundtrip, hash-verified: every documents row is
+    serialized into per-record-gzip WARC blobs on the executors
+    (``warc_sink_df``), parsed back through the same Arrow path
+    ``read_warc`` uses, and the recovered (url, timestamp, body) must match
+    a closed-form oracle — md5 over the body pins BYTE identity through the
+    HTTP wrap, gzip member framing, and Content-Length slicing. Plan is
+    narrow end-to-end: one repartition exchange, zero collect."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("body")
+    )
+    blobs = warc_sink_df(docs)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        yield from _responses_to_raw(it, "warc")
+
+    parsed = blobs.mapInArrow(gen, DOCUMENTS_RAW)
+    return parsed.select(
+        "url",
+        F.col("warc_ts").cast("timestamp").cast("long").alias("ts_epoch"),
+        F.length("html").cast("long").alias("n_octets"),
+        F.md5("html").alias("payload_md5"),
+    )
