@@ -205,6 +205,81 @@ def doc_spans_sig(spark, sf):
 
 
 @_q(
+    "doc_outlinks",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(0 AS INTEGER) AS pos,
+       '/p/' || CAST(doc_id + 1 AS VARCHAR) AS href
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(1 AS INTEGER) AS pos,
+       'https://hub.example/t?q=' || CAST(doc_id % 7 AS VARCHAR) AS href
+FROM documents""",
+)
+def doc_outlinks(spark, sf):
+    """v4 OUTLINKS, hash-verified closed-form: each document is wrapped in
+    HTML carrying five anchors of which exactly two survive the SPEC's
+    rules — a duplicate (first-occurrence dedup), a pure fragment, a
+    mailto:, a nav-region link, and a boiler-region link must all be
+    skipped, in document order, with deterministic hrefs derived from
+    doc_id so DuckDB can predict every (url, pos, href) row."""
+    docs = load(spark, sf, "documents")
+    nxt = F.concat(F.lit("/p/"), (F.col("doc_id") + 1).cast("string"))
+    hub = F.concat(
+        F.lit("https://hub.example/t?q="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><main><p>'),
+                F.col("text"),
+                F.lit('</p></main><p><a href="'),
+                nxt,
+                F.lit('">next</a> <a href="'),
+                hub,
+                F.lit('">topic</a> <a href="'),
+                nxt,
+                F.lit('">dup</a> <a href="#top">top</a>'),
+                F.lit('<a href="mailto:x@y.example">mail</a></p>'),
+                F.lit('<nav><a href="/nav-skip">nav</a></nav>'),
+                F.lit('<div id="sidebar"><a href="/boiler-skip">b</a></div>'),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select(
+        "url", F.posexplode("outlinks").alias("pos", "href")
+    ).select("url", F.col("pos").cast("int").alias("pos"), "href")
+
+
+@_q(
+    "doc_outlinks_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, CAST(n_outlinks AS INT) AS n_outlinks, outlinks_sig
+FROM perdoc""",
+)
+def doc_outlinks_sig(spark, sf):
+    """v4 OUTLINKS over the full synth corpus (PDF → empty, HTML link
+    farms / nav menus / paywalled pages) vs the frozen per-recipe/per-idx
+    expected signatures — pins drop-region exclusion, dedup order, and
+    the []-for-PDF contract corpus-wide."""
+    ex = _extracted(spark, sf)
+    return ex.select(
+        "url",
+        F.size("outlinks").alias("n_outlinks"),
+        F.concat_ws(";", "outlinks").alias("outlinks_sig"),
+    )
+
+
+@_q(
     "doc_stats",
     f"""WITH {corpus_cte()},
 {perdoc_cte()}

@@ -41,6 +41,16 @@ and compared byte-for-byte per url):
 * Block flush: normalize = " ".join(text.split()); empty → discarded;
   link_chars / total_chars > 0.66 → discarded (link farm);
 * Output = "\n".join(kept blocks) as UTF-8; nothing kept → b"".
+* OUTLINKS (v4, crawl-frontier feed): every ``href`` of an ``<a>`` open
+  or self-closing tag OUTSIDE drop/boilerplate regions, in document
+  order, exact-string deduped keeping the first occurrence. The value is
+  whitespace-trimmed; empty values, pure fragments (leading ``#``), and
+  ``javascript:`` / ``mailto:`` / ``data:`` schemes (case-insensitive)
+  are skipped. Link-density discard does NOT apply — it is a flush-time
+  property of text blocks, while outlinks are structural — for the same
+  reason a page whose text comes out empty STILL reports its outlinks
+  (a contentless hub page is exactly a crawl-frontier source). PDFs
+  yield []; stats mode (want_text=False) yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -67,6 +77,8 @@ BOILER_TOKENS = (
     "comment sidebar footer advert banner menu breadcrumb social share "
     "related sponsor cookie popup promo widget"
 ).split()
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:")
 
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([a-z0-9_\-]+)")
 _CP1252_LABELS = frozenset(
@@ -113,6 +125,8 @@ class _Extractor(HTMLParser):
         self._total_chars = 0
         self._attr_tag: str | None = None  # attr-drop region root tag
         self._attr_depth = 0
+        self.outlinks: list[str] = []
+        self._seen_links: set[str] = set()
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -136,6 +150,21 @@ class _Extractor(HTMLParser):
                     return True
         return False
 
+    def _collect_href(self, attrs) -> None:
+        for k, v in attrs:
+            if k != "href" or v is None:
+                continue
+            href = v.strip()
+            if not href or href.startswith("#"):
+                return
+            low = href.lower()
+            if any(low.startswith(s) for s in _SKIP_SCHEMES):
+                return
+            if href not in self._seen_links:
+                self._seen_links.add(href)
+                self.outlinks.append(href)
+            return  # first href attr wins, as browsers take the first
+
     # -- parser events
     def handle_starttag(self, tag, attrs):
         if self._attr_tag is not None:
@@ -155,6 +184,7 @@ class _Extractor(HTMLParser):
             self._flush()
         elif tag == "a":
             self._a_depth += 1
+            self._collect_href(attrs)
 
     def handle_endtag(self, tag):
         if self._attr_tag is not None:
@@ -179,6 +209,8 @@ class _Extractor(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+        elif tag == "a":
+            self._collect_href(attrs)
 
     def handle_data(self, data):
         if self._attr_tag is not None or self._drop_depth or not data:
@@ -190,10 +222,11 @@ class _Extractor(HTMLParser):
             self._link_chars += n
 
 
-def extract_html_text_spans(
+def extract_html(
     html: bytes,
-) -> tuple[bytes, list[tuple[int, int, str]]]:
-    """blob → (text bytes, block spans) per the SPEC (incl. v3 SPANS)."""
+) -> tuple[bytes, list[tuple[int, int, str]], list[str]]:
+    """blob → (text bytes, block spans, outlinks) per the SPEC (v3 SPANS,
+    v4 OUTLINKS)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -203,19 +236,26 @@ def extract_html_text_spans(
         pass
     p._flush()
     if not p.blocks:
-        return b"", []
+        return b"", [], p.outlinks
     spans: list[tuple[int, int, str]] = []
     off = 0
     for i, block in enumerate(p.blocks):
         n = len(block.encode("utf-8"))
         spans.append((off, off + n, f"block:{i}"))
         off += n + 1  # the 1-byte "\n" joiner
-    return "\n".join(p.blocks).encode("utf-8"), spans
+    return "\n".join(p.blocks).encode("utf-8"), spans, p.outlinks
+
+
+def extract_html_text_spans(
+    html: bytes,
+) -> tuple[bytes, list[tuple[int, int, str]]]:
+    """blob → (text bytes, block spans) per the SPEC (incl. v3 SPANS)."""
+    return extract_html(html)[:2]
 
 
 def extract_html_text(html: bytes) -> bytes:
     """blob → extracted main-content text bytes (UTF-8), per the SPEC."""
-    return extract_html_text_spans(html)[0]
+    return extract_html(html)[0]
 
 
 class _FoundContent(Exception):

@@ -21,7 +21,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from caraspark.htmlengine import extract_html_text_spans
+from caraspark.htmlengine import extract_html
 from caraspark.pdfengine.document import Document, load_document
 from caraspark.pdfengine.model import PdfError, Stream, canonical_json
 from caraspark.pdfengine.textextract import extract_text_spans
@@ -72,6 +72,10 @@ class ExtractResult:
     # PDF page ("page:<i>", page-tree order) or kept HTML block
     # ("block:<i>"); [] when text is b""; None in want_text=False mode.
     spans: list | None = None
+    # v4 OUTLINKS: href targets of <a> tags outside drop/boiler regions,
+    # document order, first-occurrence deduped; [] for PDFs; None in
+    # want_text=False mode (link harvest rides the text parse).
+    outlinks: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -170,6 +174,7 @@ def _process_pdf(
     text, spans = (
         extract_text_spans(doc, errors) if want_text else (None, None)
     )
+    outlinks: list | None = [] if want_text else None
 
     n_streams = 0
     bytes_decoded = 0
@@ -183,6 +188,7 @@ def _process_pdf(
         kind="pdf",
         text=text,
         spans=spans,
+        outlinks=outlinks,
         errors=errors,
         version=doc.version,
         n_objects=len(doc.objects),
@@ -210,7 +216,7 @@ def _process_pdf(
 def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
     if want_text:
-        text, spans = extract_html_text_spans(blob)
+        text, spans, outlinks = extract_html(blob)
         has_content = bool(text)
     else:
         # Stats mode skips text materialization but must agree with the full
@@ -219,7 +225,10 @@ def _process_html(blob, want_text=True) -> ExtractResult:
 
         text = None
         spans = None
+        outlinks = None
         has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
-    return ExtractResult(kind="html", text=text, spans=spans, errors=errors)
+    return ExtractResult(
+        kind="html", text=text, spans=spans, outlinks=outlinks, errors=errors
+    )

@@ -49,6 +49,8 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v4 OUTLINKS: crawl-frontier hrefs; [] for PDFs, NULL in stats mode
+        T.StructField("outlinks", T.ArrayType(T.StringType()), True),
         T.StructField(
             "verdict",
             T.StructType(

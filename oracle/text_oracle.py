@@ -1069,6 +1069,61 @@ def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
     return "\n".join(blocks).encode("utf-8"), _spans_of(blocks, "block")
 
 
+def _html_outlinks(blob: bytes) -> list[str]:
+    """v4 OUTLINKS, second witness: a separate event pass (not the engine's
+    in-flight collection) — tokenize, walk drop/boiler region state, gather
+    ``href`` of ``a`` open/self-close events, trim, filter fragments and
+    javascript:/mailto:/data: schemes, first-occurrence dedup."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[str] = []
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open" and val in _DROP:
+            drop += 1
+        elif ev == "close" and val in _DROP:
+            drop = max(0, drop - 1)
+        elif ev in ("open", "selfclose") and drop == 0:
+            # v2 precedent: self-closing tags are exempt from boiler regions
+            if ev == "open" and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+                continue
+            if val != "a":
+                continue
+            href = next(
+                (v for k, v in attrs if k == "href" and v is not None), None
+            )
+            if href is None:
+                continue
+            href = href.strip()
+            if (
+                href
+                and not href.startswith("#")
+                and not href.lower().startswith(
+                    ("javascript:", "mailto:", "data:")
+                )
+                and href not in out
+            ):
+                out.append(href)
+    return out
+
+
 def oracle_extract(blob: bytes) -> bytes:
     """url-invariant: blob → extracted text bytes (the SPEC's 2nd witness)."""
     return oracle_extract_spans(blob)[0]
@@ -1079,3 +1134,12 @@ def oracle_extract_spans(blob: bytes) -> tuple[bytes, list]:
     if b"%PDF-" in blob[:1024]:
         return _pdf_text_spans(blob)
     return _html_text_spans(blob)
+
+
+def oracle_extract_full(blob: bytes) -> tuple[bytes, list, list[str]]:
+    """blob → (text bytes, v3 spans, v4 outlinks) — 2nd witness, full."""
+    if b"%PDF-" in blob[:1024]:
+        text, spans = _pdf_text_spans(blob)
+        return text, spans, []
+    text, spans = _html_text_spans(blob)
+    return text, spans, _html_outlinks(blob)

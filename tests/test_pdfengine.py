@@ -740,3 +740,80 @@ def test_html_spans_engine_oracle_agree(frags):
     inner = "".join(f"<{t}{a}>{txt}" for t, a, txt in frags)
     blob = f"<html><body>{inner}</body></html>".encode("utf-8")
     assert extract_html_text_spans(blob) == oracle_extract_spans(blob)
+
+
+# --- v4 OUTLINKS (crawl-frontier feed) --------------------------------------
+
+
+def test_outlinks_rules():
+    from caraspark.htmlengine import extract_html
+
+    links = lambda b: extract_html(b)[2]  # noqa: E731
+    # order + first-occurrence dedup; trim; first href attr wins
+    assert links(
+        b"<body><a href=' /a '>1</a><a href='/b'>2</a>"
+        b"<a href='/a'>3</a><a href='/c' href='/d'>4</a></body>"
+    ) == ["/a", "/b", "/c"]
+    # fragments, empty, and non-crawlable schemes skipped (case-insensitive)
+    assert links(
+        b"<body><a href='#x'>f</a><a href=''>e</a>"
+        b"<a href='JavaScript:void(0)'>j</a><a href='MAILTO:a@b'>m</a>"
+        b"<a href='data:text/plain,x'>d</a><a href='/ok#frag'>k</a></body>"
+    ) == ["/ok#frag"]
+    # drop regions (nav/script/...) and boiler regions exclude links
+    assert links(
+        b"<body><nav><a href='/nav'>n</a></nav>"
+        b"<script>var a='<a href=/s>';</script>"
+        b"<div class='sidebar'><a href='/boiler'>b</a></div>"
+        b"<a class='advert' href='/self-boiler'>x</a>"
+        b"<a href='/keep'>k</a></body>"
+    ) == ["/keep"]
+    # link-density discard of the BLOCK must not suppress its links,
+    # and empty extracted text still reports links (hub page)
+    r = extract_html(b"<body><p><a href='/hub1'>x</a> <a href='/hub2'>y</a></p></body>")
+    assert r[0] == b"" and r[2] == ["/hub1", "/hub2"]
+
+
+def test_outlinks_pdf_and_stats_mode():
+    r = process_document(_blob("pdf_minimal"))
+    assert r.outlinks == []
+    r = process_document(_blob(sorted(HTML_RECIPES)[0]), want_text=False)
+    assert r.outlinks is None
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_outlinks_second_witness(name):
+    """Engine outlinks == independent-oracle outlinks on every recipe."""
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = _blob(name)
+    r = process_document(blob)
+    if not r.valid or r.encrypted:
+        pytest.skip("oracle witnesses valid/plaintext docs only")
+    _, _, olinks = oracle_extract_full(blob)
+    assert r.outlinks == olinks
+
+
+_HREF_ST = st.sampled_from(
+    ["", "#top", "/a", " /a ", "/b?q=1", "javascript:x", "mailto:a@b",
+     "https://e.x/y", "rel/p.html", "DATA:,x"]
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_TAG_ST, _ATTR_ST, _TXT_ST, _HREF_ST), max_size=8
+    )
+)
+def test_html_outlinks_engine_oracle_agree(frags):
+    """Property differential for outlinks: anchors interleaved with random
+    nested fragments and boiler attrs — both witnesses must agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    inner = "".join(
+        f"<{t}{a}>{txt}<a{a} href='{h}'>L</a>" for t, a, txt, h in frags
+    )
+    blob = f"<html><body>{inner}</body></html>".encode("utf-8")
+    assert extract_html(blob) == oracle_extract_full(blob)

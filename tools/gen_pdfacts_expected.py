@@ -104,6 +104,7 @@ def build_extras():
                 "err_codes": ",".join(sorted(e.code for e in res.errors)),
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
+                **_outlink_facts(res.outlinks),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
                 "n_trailer_roots": n_trailer,
@@ -184,9 +185,18 @@ def build_extras():
                 "err_codes": ",".join(sorted(e.code for e in res.errors)),
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
+                **_outlink_facts(res.outlinks),
             }
         )
     return extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx
+
+
+def _outlink_facts(outlinks) -> dict:
+    """Mirror doc_outlinks_sig's JVM expressions: size(outlinks) and the
+    ";"-joined href signature ("" for none)."""
+    if outlinks is None:
+        return {"n_outlinks": None, "outlinks_sig": None}
+    return {"n_outlinks": len(outlinks), "outlinks_sig": ";".join(outlinks)}
 
 
 def _span_facts(spans) -> dict:
