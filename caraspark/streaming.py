@@ -26,6 +26,10 @@ EVENTS_DDL = (
     "event_type string, value double, props string"
 )
 
+DOCUMENTS_DDL = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
 
 def replay_events_stream(
     spark: SparkSession, sf_dir: str, max_files: int = 1
@@ -49,6 +53,27 @@ def replay_events_stream(
         # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
         # wall clock is preserved
         .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def replay_documents_stream(
+    spark: SparkSession, sf_dir: str, max_files: int = 1
+) -> DataFrame:
+    """The documents table as a file-source micro-batch stream — the
+    bounded stand-in for continuous crawl ingest (same symlink staging as
+    ``replay_events_stream``)."""
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage = os.path.join(
+        "/tmp/caraspark_stream_src", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage)
     )
 
 

@@ -161,3 +161,44 @@ def stream_stateful(spark, sf):
         .filter(F.col("rn") == 1)
         .select("user_id", "n", "total")
     )
+
+
+@_q(
+    "stream_extract",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_octets,
+              md5(text) AS text_md5
+       FROM documents""",
+)
+def stream_extract(spark, sf):
+    """Continuous-ingest form of the flagship: the full extraction
+    pipeline (Arrow batch UDF, same ``extract()`` the batch job runs)
+    mapped over a STREAMING DataFrame — documents arrive as file-source
+    micro-batches, each is wrapped in HTML and extracted in-stream, and
+    per-url results append to the sink with no stateful operator at all
+    (the production crawl→extract→append shape). Hash-verified: the
+    wrapped text survives extraction byte-identically, so DuckDB predicts
+    every (url, octets, md5) row closed-form."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>"),
+                F.col("text"),
+                F.lit("</p></main></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    out = extract(raw).select(
+        "url",
+        F.length("text").cast("long").alias("n_octets"),
+        F.md5("text").alias("text_md5"),
+    )
+    return S.run_to_memory(out)

@@ -267,3 +267,40 @@ def test_stream_stream_outer_join_equals_batch(spark, sf_smoke, events_batch):
     assert rows(streamed) == rows(batch)
     # the outer rows are the point: some clicks must be view-less
     assert streamed.filter(F.col("view_id").isNull()).count() > 0
+
+
+def test_stream_extract_equals_batch(spark, sf_smoke):
+    """The in-stream extraction pipeline (mapInArrow over a streaming
+    DataFrame) must produce exactly the batch pipeline's rows — same
+    Arrow UDF, micro-batched input, append sink, no state."""
+    from caraspark.extract import extract
+    from caraspark.streaming_queries import stream_extract
+    from caraspark.tables import load
+
+    streamed = stream_extract(spark, sf_smoke)
+
+    docs = load(spark, sf_smoke, "documents")
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>"),
+                F.col("text"),
+                F.lit("</p></main></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    batch = extract(raw).select(
+        "url",
+        F.length("text").cast("long").alias("n_octets"),
+        F.md5("text").alias("text_md5"),
+    )
+    cols = ["url", "n_octets", "text_md5"]
+    rows = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())  # noqa: E731
+    got, want = rows(streamed), rows(batch)
+    assert got == want
+    assert len(got) > 0
