@@ -67,6 +67,34 @@ def _driver_verified_keys() -> set[str]:
     return seen
 
 
+# Never-driver-verified keys the next round's window should verify FIRST:
+# this round's new operators, then the registry-tail packs (streaming,
+# pdf facts, multimodal) that sit past every earlier module's keys.
+_FRONT = [
+    # this round's new operators
+    "doc_spans", "doc_spans_sig", "doc_outlinks", "doc_outlinks_sig",
+    "doc_title", "doc_title_sig", "warc_roundtrip",
+    # the flagship hash proofs
+    "doc_extract_roundtrip", "doc_extract",
+    # streaming pack
+    "stream_extract", "stream_tumbling", "stream_sliding", "stream_dedup",
+    "stream_join", "stream_join_outer", "stream_session", "stream_stateful",
+    # dedup / ANN pack
+    "dedup_exact", "dedup_minhash", "dedup_minhash_verified", "dedup_ngram",
+    "dedup_clusters", "dedup_simhash", "dedup_embed", "dedup_embed_lsh",
+    "dedup_url", "ann_brute", "ann_lsh", "ann_ivf",
+    # pdf facts pack
+    "pdf_lex", "pdf_parse", "pdf_strict", "pdf_xref", "pdf_xrefstream",
+    "pdf_filters", "pdf_objstm", "pdf_decrypt", "pdf_holes", "pdf_reach",
+    "doc_header",
+    # multimodal pack
+    "media_meta", "media_features", "image_resize", "video_frame_sample",
+    "audio_stats",
+    # corpus-level rollups
+    "doc_stats", "doc_taxonomy", "corpus_pipeline", "pdf_edges", "pdf_types",
+]
+
+
 def _merged():
     out = {}
     for reg in _REGISTRIES:
@@ -74,14 +102,16 @@ def _merged():
             if k in out:
                 raise KeyError(f"duplicate qkey {k!r}")
             out[k] = q
-    # Prioritize never-driver-verified keys (hash-oracle ones first, since a
-    # hash row is stronger evidence than rows-only), then previously-verified
-    # keys. Ties keep registration order, so the result is deterministic.
+    # Prioritize never-driver-verified keys (explicit front-list first, then
+    # hash-oracle ones, since a hash row is stronger evidence than
+    # rows-only), then previously-verified keys. Ties keep registration
+    # order, so the result is deterministic.
     seen = _driver_verified_keys()
+    front = {k: i for i, k in enumerate(_FRONT)}
 
     def rank(item):
         k, q = item
-        return (k in seen, q.sql is None)
+        return (k in seen, front.get(k, len(front)), q.sql is None)
 
     return dict(sorted(out.items(), key=rank))
 

@@ -53,6 +53,7 @@ _ARROW_SCHEMA = pa.schema(
             True,
         ),
         pa.field("outlinks", pa.list_(pa.string()), True),
+        pa.field("title", pa.string(), True),
         pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
@@ -166,6 +167,7 @@ def _extract_batches(
             cols["text"].append(r.text)
             cols["spans"].append(r.spans_as_rows())
             cols["outlinks"].append(r.outlinks)
+            cols["title"].append(r.title)
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

@@ -279,6 +279,66 @@ def doc_outlinks_sig(spark, sf):
     )
 
 
+_TITLE_LIT = "Naïve — 漢字 title"  # multibyte + entity-adjacent chars
+
+
+@_q(
+    "doc_title",
+    f"""SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE '{_TITLE_LIT} ' || CAST(doc_id AS VARCHAR) END AS title
+FROM documents""",
+)
+def doc_title(spark, sf):
+    """v5 TITLE, hash-verified closed-form: docs with doc_id % 3 == 0 get
+    a whitespace-only <title> (normalizes to NULL); the rest get a
+    multibyte title wrapped in stray whitespace plus a SECOND <title>
+    that must be ignored (first-title-wins) — DuckDB predicts every
+    (url, title) row."""
+    docs = load(spark, sf, "documents")
+    title_el = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("<title>   \t </title>")
+    ).otherwise(
+        F.concat(
+            F.lit(f"<title>  {_TITLE_LIT}\n"),
+            F.col("doc_id").cast("string"),
+            F.lit(" </title>"),
+        )
+    )
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                title_el,
+                F.lit("<title>second ignored</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select("url", "title")
+
+
+@_q(
+    "doc_title_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, title FROM perdoc""",
+)
+def doc_title_sig(spark, sf):
+    """v5 TITLE over the full synth corpus (PDF /Info /Title incl. UTF-16BE
+    BOM + PDFDocEncoding, HTML <title> incl. titles inside dropped heads)
+    vs the frozen per-recipe/per-idx expected values."""
+    ex = _extracted(spark, sf)
+    return ex.select("url", "title")
+
+
 @_q(
     "doc_stats",
     f"""WITH {corpus_cte()},

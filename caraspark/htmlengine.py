@@ -51,6 +51,15 @@ and compared byte-for-byte per url):
   reason a page whose text comes out empty STILL reports its outlinks
   (a contentless hub page is exactly a crawl-frontier source). PDFs
   yield []; stats mode (want_text=False) yields None.
+* TITLE (v5, page metadata): the character data of the FIRST <title>
+  element outside boilerplate attr-regions, normalized with
+  " ".join(split); empty after normalization (or no <title>) -> None.
+  Title collection ignores drop regions — <title> itself is a DROP tag
+  (head metadata never enters the text payload) but its text is the
+  page's display name, harvested like outlinks are. An unclosed <title>
+  collects to end of input (both witnesses agree by construction).
+  PDFs take the trailer /Info /Title string instead (decode_pdf_string,
+  same normalization); stats mode (want_text=False) yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -127,6 +136,9 @@ class _Extractor(HTMLParser):
         self._attr_depth = 0
         self.outlinks: list[str] = []
         self._seen_links: set[str] = set()
+        self._title_buf: list[str] = []
+        self._in_title = False
+        self._title_done = False
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -150,6 +162,11 @@ class _Extractor(HTMLParser):
                     return True
         return False
 
+    @property
+    def title(self) -> str | None:
+        t = " ".join("".join(self._title_buf).split())
+        return t or None
+
     def _collect_href(self, attrs) -> None:
         for k, v in attrs:
             if k != "href" or v is None:
@@ -171,6 +188,8 @@ class _Extractor(HTMLParser):
             if tag == self._attr_tag:
                 self._attr_depth += 1
             return
+        if tag == "title" and not self._title_done:
+            self._in_title = True
         if tag in DROP_TAGS:
             self._drop_depth += 1
             return
@@ -193,6 +212,9 @@ class _Extractor(HTMLParser):
                 if self._attr_depth == 0:
                     self._attr_tag = None
             return
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
         if tag in DROP_TAGS:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -213,6 +235,9 @@ class _Extractor(HTMLParser):
             self._collect_href(attrs)
 
     def handle_data(self, data):
+        if self._in_title and data:
+            self._title_buf.append(data)
+            return  # title text never reaches block buffers
         if self._attr_tag is not None or self._drop_depth or not data:
             return
         self._buf.append(data)
@@ -224,9 +249,9 @@ class _Extractor(HTMLParser):
 
 def extract_html(
     html: bytes,
-) -> tuple[bytes, list[tuple[int, int, str]], list[str]]:
-    """blob → (text bytes, block spans, outlinks) per the SPEC (v3 SPANS,
-    v4 OUTLINKS)."""
+) -> tuple[bytes, list[tuple[int, int, str]], list[str], str | None]:
+    """blob → (text bytes, block spans, outlinks, title) per the SPEC
+    (v3 SPANS, v4 OUTLINKS, v5 TITLE)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -236,14 +261,14 @@ def extract_html(
         pass
     p._flush()
     if not p.blocks:
-        return b"", [], p.outlinks
+        return b"", [], p.outlinks, p.title
     spans: list[tuple[int, int, str]] = []
     off = 0
     for i, block in enumerate(p.blocks):
         n = len(block.encode("utf-8"))
         spans.append((off, off + n, f"block:{i}"))
         off += n + 1  # the 1-byte "\n" joiner
-    return "\n".join(p.blocks).encode("utf-8"), spans, p.outlinks
+    return "\n".join(p.blocks).encode("utf-8"), spans, p.outlinks, p.title
 
 
 def extract_html_text_spans(

@@ -76,6 +76,9 @@ class ExtractResult:
     # document order, first-occurrence deduped; [] for PDFs; None in
     # want_text=False mode (link harvest rides the text parse).
     outlinks: list | None = None
+    # v5 TITLE: first <title> text (HTML) / trailer /Info /Title string
+    # (PDF), whitespace-normalized; None if absent/empty or in stats mode.
+    title: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -112,6 +115,25 @@ class ExtractResult:
         return [
             {"start": s, "end": e, "label": lbl} for s, e, lbl in self.spans
         ]
+
+
+def _pdf_info_title(doc) -> str | None:
+    """v5 TITLE, PDF side: trailer /Info (deref) → /Title text string →
+    Annex-D decode → whitespace-normalize; None when absent/not-a-string."""
+    from caraspark.pdfengine.model import Ref
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    info = doc.trailer.get("Info")
+    if isinstance(info, Ref):
+        info = doc.objects.get((info.num, info.gen))
+    if not isinstance(info, dict):
+        return None
+    t = info.get("Title")
+    if isinstance(t, Ref):
+        t = doc.objects.get((t.num, t.gen))
+    if not isinstance(t, (bytes, bytearray)):
+        return None
+    return " ".join(decode_pdf_string(bytes(t)).split()) or None
 
 
 def is_pdf(blob: bytes) -> bool:
@@ -175,6 +197,7 @@ def _process_pdf(
         extract_text_spans(doc, errors) if want_text else (None, None)
     )
     outlinks: list | None = [] if want_text else None
+    title = _pdf_info_title(doc) if want_text else None
 
     n_streams = 0
     bytes_decoded = 0
@@ -189,6 +212,7 @@ def _process_pdf(
         text=text,
         spans=spans,
         outlinks=outlinks,
+        title=title,
         errors=errors,
         version=doc.version,
         n_objects=len(doc.objects),
@@ -216,7 +240,7 @@ def _process_pdf(
 def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
     if want_text:
-        text, spans, outlinks = extract_html(blob)
+        text, spans, outlinks, title = extract_html(blob)
         has_content = bool(text)
     else:
         # Stats mode skips text materialization but must agree with the full
@@ -226,9 +250,15 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         text = None
         spans = None
         outlinks = None
+        title = None
         has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
     return ExtractResult(
-        kind="html", text=text, spans=spans, outlinks=outlinks, errors=errors
+        kind="html",
+        text=text,
+        spans=spans,
+        outlinks=outlinks,
+        title=title,
+        errors=errors,
     )

@@ -51,6 +51,8 @@ EXTRACTED = T.StructType(
         ),
         # v4 OUTLINKS: crawl-frontier hrefs; [] for PDFs, NULL in stats mode
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
+        # v5 TITLE: <title> / PDF Info Title, normalized; NULL if absent
+        T.StructField("title", T.StringType(), True),
         T.StructField(
             "verdict",
             T.StructType(

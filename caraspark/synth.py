@@ -1231,6 +1231,23 @@ def _encrypted_pdf(aes: bool) -> bytes:
     return _assemble(bodies, trailer_extra=trailer_extra)
 
 
+def pdf_info_title() -> bytes:
+    """Document-metadata recipe (v5 TITLE): trailer /Info pointing at an
+    Info dict whose /Title is a UTF-16BE BOM string with non-Latin and
+    surrogate-free typographic chars, plus /Author in PDFDocEncoding —
+    pins the BOM branch of the text-string decode and /Info deref."""
+    bodies = _base_objects(b"BT (Titled body) Tj ET")
+    title = "\xfe\xff".encode("latin-1") + "T\u00eftle \u2014 \u6f22\u5b57".encode(
+        "utf-16-be"
+    )
+    author = b"Caf\xe9 \x93ligature"  # PDFDocEncoding: 0x93 -> U+FB01
+    bodies[5] = _obj(
+        5,
+        b"<< /Title " + _hexstr(title) + b" /Author " + _hexstr(author) + b" >>",
+    )
+    return _assemble(bodies, trailer_extra=b" /Info 5 0 R")
+
+
 def pdf_encrypted_objstm() -> bytes:
     """RC4-128 (R3) file whose catalog+pages live inside an /ObjStm, with a
     string entry (/Lang) in the compressed catalog. Pins the spec's
@@ -1375,6 +1392,7 @@ def pdf_encrypted_aes() -> bytes:
     return _encrypted_pdf(aes=True)
 
 
+PDF_RECIPES["pdf_info_title"] = pdf_info_title
 PDF_RECIPES["pdf_encrypted_objstm"] = pdf_encrypted_objstm
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes

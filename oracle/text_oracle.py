@@ -1124,6 +1124,110 @@ def _html_outlinks(blob: bytes) -> list[str]:
     return out
 
 
+# PDFDocEncoding exceptions (ISO 32000-1 Annex D.3) — spec data, also
+# carried by the engine; the DECODE ALGORITHM here is independent.
+_DOC_ENC_EXC = (
+    "\x18\u02d8 \x19\u02c7 \x1a\u02c6 \x1b\u02d9 \x1c\u02dd \x1d\u02db "
+    "\x1e\u02da \x1f\u02dc \x80\u2022 \x81\u2020 \x82\u2021 \x83\u2026 "
+    "\x84\u2014 \x85\u2013 \x86\u0192 \x87\u2044 \x88\u2039 \x89\u203a "
+    "\x8a\u2212 \x8b\u2030 \x8c\u201e \x8d\u201c \x8e\u201d \x8f\u2018 "
+    "\x90\u2019 \x91\u201a \x92\u2122 \x93\ufb01 \x94\ufb02 \x95\u0141 "
+    "\x96\u0152 \x97\u0160 \x98\u0178 \x99\u017d \x9a\u0131 \x9b\u0142 "
+    "\x9c\u0153 \x9d\u0161 \x9e\u017e \xa0\u20ac"
+).split(" ")
+_DOC_ENC_MAP = {pair[0]: pair[1] for pair in _DOC_ENC_EXC}
+
+
+def _pdf_string_text(b: bytes) -> str:
+    if b[:2] == b"\xfe\xff":
+        try:
+            return b[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b[2:].decode("utf-16-be", "replace")
+    return "".join(_DOC_ENC_MAP.get(c, c) for c in b.decode("latin-1"))
+
+
+def _pdf_info_title(data: bytes) -> str | None:
+    """v5 TITLE, PDF second witness: xref-free — every ``trailer`` dict in
+    byte order (later wins, mirroring incremental-update semantics), with
+    XRef-stream dicts as the fallback carrier; /Info deref via the object
+    scan; /Title decoded per Annex D and whitespace-normalized."""
+    objs = _scan_objects(data)
+    info_num = None
+    for m in re.finditer(rb"trailer\b", data):
+        seg = data[m.end() : m.end() + 4096]
+        toks = list(_tokens(seg, 0, len(seg)))
+        vals, _n = _fold(toks)
+        d = next((v for v in vals if isinstance(v, dict)), None)
+        if isinstance(d, dict) and isinstance(d.get("Info"), _Ref):
+            info_num = d["Info"].num
+    if info_num is None:
+        for num in sorted(objs):
+            v = objs[num][0]
+            if (
+                isinstance(v, dict)
+                and str(v.get("Type")) == "XRef"
+                and isinstance(v.get("Info"), _Ref)
+            ):
+                info_num = v["Info"].num
+    if info_num is None:
+        return None
+    info = objs.get(info_num, (None, None))[0]
+    if not isinstance(info, dict):
+        return None
+    t = info.get("Title")
+    if not isinstance(t, bytes):
+        return None
+    out = " ".join(_pdf_string_text(t).split())
+    return out or None
+
+
+def _html_title(blob: bytes) -> str | None:
+    """v5 TITLE, second witness: first <title> outside boiler regions —
+    a separate event pass; drop regions do NOT suppress it (title is
+    itself a DROP tag), matching the engine's pre-DROP collection."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    parts: list[str] = []
+    collecting = False
+    done = False
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val == "title" and not done:
+                collecting = True
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+        elif ev == "close":
+            if val == "title" and collecting:
+                collecting = False
+                done = True
+            if val in _DROP:
+                drop = max(0, drop - 1)
+        elif ev == "text" and collecting and val:
+            parts.append(val)
+    t = " ".join("".join(parts).split())
+    return t or None
+
+
 def oracle_extract(blob: bytes) -> bytes:
     """url-invariant: blob → extracted text bytes (the SPEC's 2nd witness)."""
     return oracle_extract_spans(blob)[0]
@@ -1136,10 +1240,12 @@ def oracle_extract_spans(blob: bytes) -> tuple[bytes, list]:
     return _html_text_spans(blob)
 
 
-def oracle_extract_full(blob: bytes) -> tuple[bytes, list, list[str]]:
-    """blob → (text bytes, v3 spans, v4 outlinks) — 2nd witness, full."""
+def oracle_extract_full(
+    blob: bytes,
+) -> tuple[bytes, list, list[str], str | None]:
+    """blob → (text, v3 spans, v4 outlinks, v5 title) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
-        return text, spans, []
+        return text, spans, [], _pdf_info_title(blob)
     text, spans = _html_text_spans(blob)
-    return text, spans, _html_outlinks(blob)
+    return text, spans, _html_outlinks(blob), _html_title(blob)

@@ -790,7 +790,7 @@ def test_outlinks_second_witness(name):
     r = process_document(blob)
     if not r.valid or r.encrypted:
         pytest.skip("oracle witnesses valid/plaintext docs only")
-    _, _, olinks = oracle_extract_full(blob)
+    olinks = oracle_extract_full(blob)[2]
     assert r.outlinks == olinks
 
 
@@ -817,3 +817,75 @@ def test_html_outlinks_engine_oracle_agree(frags):
     )
     blob = f"<html><body>{inner}</body></html>".encode("utf-8")
     assert extract_html(blob) == oracle_extract_full(blob)
+
+
+# --- v5 TITLE (document metadata) -------------------------------------------
+
+
+def test_title_rules():
+    from caraspark.htmlengine import extract_html
+
+    title = lambda b: extract_html(b)[3]  # noqa: E731
+    # first title wins; normalization collapses whitespace; entities decode
+    assert title(
+        b"<head><title>  A &amp;\n B </title><title>z</title></head>"
+    ) == "A & B"
+    # whitespace-only / absent -> None
+    assert title(b"<head><title> \t </title></head><p>x</p>") is None
+    assert title(b"<p>x</p>") is None
+    # title inside a boiler attr-region is opaque
+    assert (
+        title(b"<div class='sidebar'><title>hidden</title></div><p>x</p>")
+        is None
+    )
+    # unclosed title collects to EOF (both witnesses by construction)
+    assert title(b"<title>to the end of input") == "to the end of input"
+    # title text never leaks into the text payload
+    text, _, _, t = extract_html(
+        b"<head><title>Me</title></head><body><p>body</p></body>"
+    )
+    assert text == b"body" and t == "Me"
+
+
+def test_title_pdf_info():
+    from caraspark.synth import pdf_info_title
+
+    r = process_document(pdf_info_title())
+    assert r.title == "Tïtle — 漢字"
+    assert r.valid and r.strict
+    # stats mode: title rides the text parse
+    r2 = process_document(pdf_info_title(), want_text=False)
+    assert r2.title is None
+    # no /Info -> None
+    assert process_document(_blob("pdf_minimal")).title is None
+
+
+def test_pdf_string_decode_twins_agree():
+    """PDFDocEncoding + UTF-16BE text-string decode: engine vs oracle on
+    every byte value and on BOM strings."""
+    import random
+
+    from caraspark.pdfengine.textextract import decode_pdf_string
+    from oracle.text_oracle import _pdf_string_text
+
+    assert decode_pdf_string(bytes(range(256))) == _pdf_string_text(
+        bytes(range(256))
+    )
+    rng = random.Random(13)
+    for _ in range(200):
+        b = bytes(rng.randrange(256) for _ in range(rng.randrange(24)))
+        assert decode_pdf_string(b) == _pdf_string_text(b)
+        assert decode_pdf_string(b"\xfe\xff" + b) == _pdf_string_text(
+            b"\xfe\xff" + b
+        )
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_title_second_witness(name):
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = _blob(name)
+    r = process_document(blob)
+    if not r.valid or r.encrypted:
+        pytest.skip("oracle witnesses valid/plaintext docs only")
+    assert r.title == oracle_extract_full(blob)[3]

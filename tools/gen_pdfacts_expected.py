@@ -105,6 +105,7 @@ def build_extras():
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
+                **_title_facts(res.title),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
                 "n_trailer_roots": n_trailer,
@@ -186,9 +187,14 @@ def build_extras():
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
+                **_title_facts(res.title),
             }
         )
     return extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx
+
+
+def _title_facts(title) -> dict:
+    return {"title": title}
 
 
 def _outlink_facts(outlinks) -> dict:
