@@ -856,3 +856,112 @@ def text_entropy(spark, sf):
         F.size(F.array_distinct(cs)).alias("n_distinct"),
         ent.alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence shaping: token-window chunking + greedy packing
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # = size - overlap(16)
+
+
+@_q(
+    "doc_chunks",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens
+  FROM documents
+)
+, starts AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(0, len(tokens) - 1, {_CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s AS INT) AS chunk_start,
+       CAST(least(len(tokens) - s, {_CHUNK_SIZE}) AS INT) AS chunk_tokens,
+       array_to_string(list_slice(tokens, s + 1, s + {_CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM starts""",
+)
+def doc_chunks(spark, sf):
+    """Fixed-token-window chunking with overlap (the standard pre-training
+    shaping step: 64-token windows, stride 48 → 16-token overlap). All
+    JVM-side: split → sequence of starts → posexplode → slice — a single
+    narrow stage per doc, no shuffle, no Python. At 10^12 docs the explode
+    multiplies rows ~len/stride but each task stays independent; the
+    closed-form DuckDB oracle recomputes every window."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("tokens") - 1, F.lit(_CHUNK_STRIDE)
+    )
+    ex = toks.select(
+        "doc_id", "tokens", F.explode(starts).alias("s")
+    )
+    chunk = F.slice("tokens", F.col("s") + 1, F.lit(_CHUNK_SIZE))
+    return ex.select(
+        "doc_id",
+        F.col("s").cast("int").alias("chunk_start"),
+        F.least(
+            F.size("tokens") - F.col("s"), F.lit(_CHUNK_SIZE)
+        ).cast("int").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+_PACK_TARGET = 256  # tokens per packed training sequence
+_PACK_SHARDS = 8
+
+
+@_q(
+    "pack_sequences",
+    f"""WITH sized AS (
+  SELECT doc_id, lang,
+         CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, shard, n_tokens,
+       CAST(floor(
+         (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+         / {_PACK_TARGET}.0) AS BIGINT) AS seq_id
+FROM sized""",
+)
+def pack_sequences(spark, sf):
+    """Greedy sequential packing of documents into ~256-token training
+    sequences: within each (lang, shard) stream, a doc's sequence id is
+    floor(preceding-token-cumsum / target) — deterministic, order-pinned
+    by doc_id. The shard key (pmod(doc_id, 8)) is the scale story: packing
+    needs only LOCAL order, so sharding the window partition bounds every
+    sort run and kills the hot-language skew a bare PARTITION BY lang
+    window would have at 10^12 docs; one exchange on (lang, shard), one
+    bounded sort per partition, zero Python."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return sized.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / _PACK_TARGET)
+        .cast("long")
+        .alias("seq_id"),
+    )

@@ -173,3 +173,56 @@ def test_text_entropy_matches_python(spark, sf_smoke):
         assert r.n_distinct == len(set(t))
         assert abs(r.entropy - ent) < 1e-9
         assert 0.0 < r.entropy < math.log2(r.n_distinct) + 1e-9
+
+
+def test_doc_chunks_tiling(spark, sf_smoke):
+    """Chunk windows must tile each doc: stride-spaced starts, full-size
+    interior chunks, correct short tail, text == the token slice."""
+    rows = C.doc_chunks(spark, sf_smoke).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for did, chunks in by_doc.items():
+        toks = docs[did].strip().split()
+        chunks.sort(key=lambda r: r.chunk_start)
+        assert [c.chunk_start for c in chunks] == list(
+            range(0, len(toks), C._CHUNK_STRIDE)
+        )
+        for c in chunks:
+            want = toks[c.chunk_start : c.chunk_start + C._CHUNK_SIZE]
+            assert c.chunk_text == " ".join(want)
+            assert c.chunk_tokens == len(want)
+
+
+def test_pack_sequences_capacity(spark, sf_smoke):
+    """Within every (lang, shard) stream: seq ids are non-decreasing in
+    doc_id order, a sequence only closes once it reached the target, and
+    every doc lands in the bin its preceding cumsum dictates."""
+    rows = sorted(
+        C.pack_sequences(spark, sf_smoke).collect(),
+        key=lambda r: (r.lang, r.shard, r.doc_id),
+    )
+    streams: dict = {}
+    for r in rows:
+        streams.setdefault((r.lang, r.shard), []).append(r)
+    for stream in streams.values():
+        cum = 0
+        prev_seq = 0
+        for r in stream:
+            assert r.seq_id == cum // C._PACK_TARGET
+            assert r.seq_id >= prev_seq
+            prev_seq = r.seq_id
+            cum += r.n_tokens
+
+
+def test_pack_sequences_single_bounded_exchange(spark, sf_smoke):
+    """The packing plan must shuffle ONCE, on (lang, shard) — the sharded
+    window is the skew story."""
+    plan = C.pack_sequences(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "lang" in plan and "shard" in plan
