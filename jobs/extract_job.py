@@ -166,6 +166,30 @@ def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
     return df.drop("gen")
 
 
+def read_incremental(
+    spark, output_dir: str, from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+):
+    """Incremental consumer view (Iceberg incremental-append read): only
+    the units committed AFTER ``from_snapshot_id`` — a downstream job that
+    checkpoints the last snapshot id it processed re-reads nothing. Path
+    pruning happens at the manifest, so the scan never lists unchanged
+    buckets."""
+    man = SnapshotManifest(output_dir)
+    paths = [
+        p
+        for p in man.changed_unit_paths(from_snapshot_id, to_snapshot_id)
+        if os.path.isdir(p)
+    ]
+    if not paths:
+        return spark.createDataFrame([], "url string")
+    df = (
+        spark.read.option("basePath", os.path.join(output_dir, "data"))
+        .parquet(*paths)
+    )
+    return df.drop("gen")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input")

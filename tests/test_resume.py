@@ -355,3 +355,43 @@ def test_expire_gcs_unreferenced_segments(tmp_path):
     after = {n for n in os.listdir(man.mdir) if n.startswith("segment-")}
     assert kept <= after < before
     assert man.committed_units() == set(range(20))
+
+
+def test_incremental_read_covers_chain_disjointly(spark, tmp_path):
+    """Incremental reads between consecutive snapshots partition the final
+    table: each slice is exactly the rows its commit added, slices are
+    disjoint, and their union is the full snapshot-consistent view. A
+    compaction rewrite surfaces the rewritten units as changed."""
+    from caraspark.maintenance import compact_table
+    from caraspark.manifest import SnapshotManifest
+    from jobs.extract_job import read_incremental
+
+    out = str(tmp_path / "inc")
+    run_job(spark, None, out, units=8, unit_chunk=2, synth_docs=120)
+    man = SnapshotManifest(out)
+    sids = man.snapshots()
+    assert len(sids) >= 3
+
+    full = {r["url"] for r in read_extracted(spark, out).collect()}
+    seen: set = set()
+    prev = 0
+    for sid in sids:
+        inc = read_incremental(spark, out, prev, sid)
+        urls = {r["url"] for r in inc.collect()}
+        assert not (urls & seen), "incremental slices must be disjoint"
+        seen |= urls
+        prev = sid
+    assert seen == full
+
+    # nothing changed since the head → empty increment
+    assert read_incremental(spark, out, sids[-1]).count() == 0
+
+    # a compaction commit reports the rewritten units as changed
+    res = compact_table(spark, out)
+    if res["compacted_buckets"]:
+        inc = read_incremental(spark, out, sids[-1])
+        got = {r["url"] for r in inc.collect()}
+        assert got  # rewritten buckets resurface
+        assert got <= full  # but only with already-known rows
+        # and the full view is unchanged by the rewrite
+        assert {r["url"] for r in read_extracted(spark, out).collect()} == full
