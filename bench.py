@@ -64,7 +64,15 @@ def main() -> None:
     # LLM-pipeline ops, timed but NOT in the headline total — keeps
     # `value` comparable round-over-round while showing these costs
     extra_pack: dict[str, float] = {}
-    for name in ("dedup_minhash", "dedup_simhash", "ann_ivf", "ann_lsh"):
+    for name in (
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_ivf",
+        "ann_lsh",
+        "doc_chunks",
+        "pack_sequences",
+        "warc_roundtrip",
+    ):
         if name not in qs:
             continue
         t0 = time.time()

@@ -467,3 +467,34 @@ def test_join_salted_exchange_carries_salt(spark, sf_smoke, qs):
         if "hashpartitioning" in ln and "salt" in ln
     ]
     assert seg, p
+
+
+def test_doc_chunks_narrow_jvm_explode(spark, sf_smoke, qs):
+    """Chunking is one narrow stage: no shuffle, no Python eval — the
+    explode/slice pipeline stays inside whole-stage codegen territory."""
+    p = plan_of(qs["doc_chunks"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+    assert "Generate" in p, p  # codegen explode
+
+
+def test_warc_roundtrip_single_exchange(spark, sf_smoke, qs):
+    """Writer→parser roundtrip shuffles exactly once (the sink's
+    repartition); both Arrow stages are maps, not aggregations."""
+    df = qs["warc_roundtrip"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    assert "Aggregate" not in p, p
+
+
+def test_extract_output_carries_metadata_columns(spark, sf_smoke):
+    """The extraction schema contract: spans/outlinks/title ride along and
+    project without touching text (column pruning through the UDF
+    boundary keeps downstream metadata-only queries narrow)."""
+    from caraspark.corpus import synth_df
+    from caraspark.extract import extract
+
+    out = extract(synth_df(spark, 8, partitions=2))
+    names = [f.name for f in out.schema.fields]
+    for col in ("spans", "outlinks", "title"):
+        assert col in names
