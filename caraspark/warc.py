@@ -293,6 +293,49 @@ def warc_sink_df(docs: DataFrame, partitions: int = 8) -> DataFrame:
     )
 
 
+def wet_sink_df(extracted: DataFrame, partitions: int = 8) -> DataFrame:
+    """WET-style output (Common Crawl's extracted-text sidecar format):
+    each extracted row becomes a WARC ``conversion`` record whose payload
+    is the extracted text bytes, one file blob per partition-batch. The
+    inverse of the crawl on-ramp: raw WARC in (``read_warc``), extracted
+    WET out. Input needs columns ``url`` (string) and ``text`` (binary)."""
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            urls = batch.column("url").to_pylist()
+            texts = batch.column("text").to_pylist()
+            recs = [
+                build_record(
+                    "conversion",
+                    t or b"",
+                    url=u,
+                    ts=_WARC_EPOCH,
+                    content_type="text/plain",
+                )
+                for u, t in zip(urls, texts)
+            ]
+            if recs:
+                blob = build_record(
+                    "warcinfo",
+                    b"software: caraspark-warc/1.0 (WET)" + _CRLF,
+                    content_type="application/warc-fields",
+                )
+                yield pa.RecordBatch.from_pylist(
+                    [
+                        {
+                            "warc": b"".join(
+                                _gzip_member(r) for r in [blob] + recs
+                            )
+                        }
+                    ],
+                    schema=_WARC_BLOB,
+                )
+
+    return extracted.repartition(partitions, "url").mapInArrow(
+        gen, "warc binary"
+    )
+
+
 # ---------------------------------------------------------------------------
 # qkey — hash-verified writer→parser roundtrip over the documents table
 # ---------------------------------------------------------------------------

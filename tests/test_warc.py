@@ -147,3 +147,39 @@ def test_read_warc_feeds_extract_pipeline(spark, tmp_path):
         (0, 16, "block:0"),
         (17, 29, "block:1"),
     ]
+
+
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """Crawl on-ramp to WET off-ramp: WARC files → read_warc → extract →
+    wet_sink_df → parse back. Every conversion record's payload must be
+    the byte-exact extracted text of its url."""
+    from caraspark.extract import extract
+
+    d = tmp_path / "wet"
+    os.makedirs(d)
+    pages = {
+        f"https://ex.test/w/{i}": (
+            f"<html><head><title>t{i}</title></head><body>"
+            f"<main><p>wet body {i} é漢</p></main></body></html>"
+        ).encode("utf-8")
+        for i in range(6)
+    }
+    blob = W.build_warc(
+        [
+            (u, datetime(2026, 1, 4), W.http_response(b))
+            for u, b in sorted(pages.items())
+        ]
+    )
+    with open(d / "part-0.warc.gz", "wb") as fh:
+        fh.write(blob)
+
+    ex = extract(W.read_warc(spark, str(d)))
+    wet_blobs = [r.warc for r in W.wet_sink_df(ex, partitions=2).collect()]
+    assert wet_blobs
+    got = {}
+    for wb in wet_blobs:
+        for rec in W.parse_warc(wb):
+            if rec["rec_type"] == "conversion":
+                got[rec["url"]] = rec["payload"]
+    want = {u: f"wet body {u.rsplit('/', 1)[1]} é漢".encode() for u in pages}
+    assert got == want
