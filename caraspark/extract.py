@@ -54,6 +54,8 @@ _ARROW_SCHEMA = pa.schema(
         ),
         pa.field("outlinks", pa.list_(pa.string()), True),
         pa.field("title", pa.string(), True),
+        pa.field("canonical", pa.string(), True),
+        pa.field("description", pa.string(), True),
         pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
@@ -168,6 +170,8 @@ def _extract_batches(
             cols["spans"].append(r.spans_as_rows())
             cols["outlinks"].append(r.outlinks)
             cols["title"].append(r.title)
+            cols["canonical"].append(r.canonical)
+            cols["description"].append(r.description)
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

@@ -340,6 +340,79 @@ def doc_title_sig(spark, sf):
 
 
 @_q(
+    "doc_headmeta",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://canon.example/d/' || CAST(doc_id AS VARCHAR)
+            ELSE '/second-loses' END AS canonical,
+       CASE WHEN doc_id % 5 = 0 THEN 'second loses'
+            ELSE 'Desc ' || CAST(doc_id % 11 AS VARCHAR) END AS description
+FROM documents""",
+)
+def doc_headmeta(spark, sf):
+    """v6 HEADMETA, hash-verified closed-form: even doc_ids get a
+    canonical <link> whose first-wins beats the trailing second; odd ids
+    get only a rel=alternate decoy, so the trailing canonical wins —
+    pinning that decoys don't consume the slot. doc_id % 5 == 0 gets a
+    whitespace-only description (skipped, trailing one wins); the rest a
+    real one that beats the trailing."""
+    docs = load(spark, sf, "documents")
+    canon = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href=" https://canon.example/d/'),
+            F.col("doc_id").cast("string"),
+            F.lit(' ">'),
+        ),
+    ).otherwise(F.lit('<link rel="alternate" href="/decoy">'))
+    desc = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit('<meta name="description" content="   ">'),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta name=" DESCRIPTION " content=" Desc  '),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(' ">'),
+        )
+    )
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                canon,
+                desc,
+                F.lit('<link rel="canonical" href="/second-loses">'),
+                F.lit('<meta name="description" content="second loses">'),
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select("url", "canonical", "description")
+
+
+@_q(
+    "doc_headmeta_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, canonical, description FROM perdoc""",
+)
+def doc_headmeta_sig(spark, sf):
+    """v6 HEADMETA over the full synth corpus (PDF /Info /Subject incl.
+    PDFDocEncoding renormalization, HTML canonical/description in dropped
+    heads) vs the frozen per-recipe/per-idx expected values."""
+    ex = _extracted(spark, sf)
+    return ex.select("url", "canonical", "description")
+
+
+@_q(
     "doc_stats",
     f"""WITH {corpus_cte()},
 {perdoc_cte()}

@@ -60,6 +60,15 @@ and compared byte-for-byte per url):
   collects to end of input (both witnesses agree by construction).
   PDFs take the trailer /Info /Title string instead (decode_pdf_string,
   same normalization); stats mode (want_text=False) yields None.
+* HEADMETA (v6, dedup/index metadata): canonical = the trimmed href of
+  the FIRST <link> whose rel list (lowercased, whitespace-split)
+  contains "canonical" and whose href is non-empty; description = the
+  whitespace-normalized content of the FIRST <meta name="description">
+  (name compared trimmed+lowercased) with non-empty content. Both are
+  collected like TITLE: despite tag-drop regions (they live in <head>)
+  but not inside boilerplate attr-regions; first occurrence wins; absent
+  or empty -> None. PDFs map description to /Info /Subject (same Annex-D
+  decode as TITLE) and have no canonical; stats mode yields None/None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -139,6 +148,8 @@ class _Extractor(HTMLParser):
         self._title_buf: list[str] = []
         self._in_title = False
         self._title_done = False
+        self.canonical: str | None = None
+        self.description: str | None = None
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -167,6 +178,19 @@ class _Extractor(HTMLParser):
         t = " ".join("".join(self._title_buf).split())
         return t or None
 
+    def _collect_headmeta(self, tag, attrs) -> None:
+        a = {k: v for k, v in attrs if v is not None}
+        if tag == "link" and self.canonical is None:
+            rel = a.get("rel", "").lower().split()
+            href = a.get("href", "").strip()
+            if "canonical" in rel and href:
+                self.canonical = href
+        elif tag == "meta" and self.description is None:
+            if a.get("name", "").strip().lower() == "description":
+                desc = " ".join(a.get("content", "").split())
+                if desc:
+                    self.description = desc
+
     def _collect_href(self, attrs) -> None:
         for k, v in attrs:
             if k != "href" or v is None:
@@ -190,6 +214,8 @@ class _Extractor(HTMLParser):
             return
         if tag == "title" and not self._title_done:
             self._in_title = True
+        elif tag in ("link", "meta"):
+            self._collect_headmeta(tag, attrs)
         if tag in DROP_TAGS:
             self._drop_depth += 1
             return
@@ -227,7 +253,13 @@ class _Extractor(HTMLParser):
             self._a_depth -= 1
 
     def handle_startendtag(self, tag, attrs):
-        if self._attr_tag is not None or self._drop_depth:
+        if self._attr_tag is not None:
+            return
+        if tag in ("link", "meta"):
+            # head metadata: collected despite drop regions, like TITLE
+            self._collect_headmeta(tag, attrs)
+            return
+        if self._drop_depth:
             return
         if tag in BLOCK_TAGS:
             self._flush()
@@ -249,9 +281,10 @@ class _Extractor(HTMLParser):
 
 def extract_html(
     html: bytes,
-) -> tuple[bytes, list[tuple[int, int, str]], list[str], str | None]:
-    """blob → (text bytes, block spans, outlinks, title) per the SPEC
-    (v3 SPANS, v4 OUTLINKS, v5 TITLE)."""
+) -> tuple:
+    """blob → (text bytes, block spans, outlinks, title, canonical,
+    description) per the SPEC (v3 SPANS, v4 OUTLINKS, v5 TITLE,
+    v6 HEADMETA)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -261,14 +294,21 @@ def extract_html(
         pass
     p._flush()
     if not p.blocks:
-        return b"", [], p.outlinks, p.title
+        return b"", [], p.outlinks, p.title, p.canonical, p.description
     spans: list[tuple[int, int, str]] = []
     off = 0
     for i, block in enumerate(p.blocks):
         n = len(block.encode("utf-8"))
         spans.append((off, off + n, f"block:{i}"))
         off += n + 1  # the 1-byte "\n" joiner
-    return "\n".join(p.blocks).encode("utf-8"), spans, p.outlinks, p.title
+    return (
+        "\n".join(p.blocks).encode("utf-8"),
+        spans,
+        p.outlinks,
+        p.title,
+        p.canonical,
+        p.description,
+    )
 
 
 def extract_html_text_spans(

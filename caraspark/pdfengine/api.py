@@ -79,6 +79,10 @@ class ExtractResult:
     # v5 TITLE: first <title> text (HTML) / trailer /Info /Title string
     # (PDF), whitespace-normalized; None if absent/empty or in stats mode.
     title: str | None = None
+    # v6 HEADMETA: first canonical <link> href (HTML; PDFs have none) and
+    # first <meta name=description> content / PDF /Info /Subject.
+    canonical: str | None = None
+    description: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -117,9 +121,10 @@ class ExtractResult:
         ]
 
 
-def _pdf_info_title(doc) -> str | None:
-    """v5 TITLE, PDF side: trailer /Info (deref) → /Title text string →
-    Annex-D decode → whitespace-normalize; None when absent/not-a-string."""
+def _pdf_info_text(doc, key: str) -> str | None:
+    """v5 TITLE / v6 description, PDF side: trailer /Info (deref) → the
+    requested text-string entry → Annex-D decode → whitespace-normalize;
+    None when absent/not-a-string."""
     from caraspark.pdfengine.model import Ref
     from caraspark.pdfengine.textextract import decode_pdf_string
 
@@ -128,7 +133,7 @@ def _pdf_info_title(doc) -> str | None:
         info = doc.objects.get((info.num, info.gen))
     if not isinstance(info, dict):
         return None
-    t = info.get("Title")
+    t = info.get(key)
     if isinstance(t, Ref):
         t = doc.objects.get((t.num, t.gen))
     if not isinstance(t, (bytes, bytearray)):
@@ -197,7 +202,8 @@ def _process_pdf(
         extract_text_spans(doc, errors) if want_text else (None, None)
     )
     outlinks: list | None = [] if want_text else None
-    title = _pdf_info_title(doc) if want_text else None
+    title = _pdf_info_text(doc, "Title") if want_text else None
+    description = _pdf_info_text(doc, "Subject") if want_text else None
 
     n_streams = 0
     bytes_decoded = 0
@@ -213,6 +219,7 @@ def _process_pdf(
         spans=spans,
         outlinks=outlinks,
         title=title,
+        description=description,
         errors=errors,
         version=doc.version,
         n_objects=len(doc.objects),
@@ -240,7 +247,9 @@ def _process_pdf(
 def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
     if want_text:
-        text, spans, outlinks, title = extract_html(blob)
+        text, spans, outlinks, title, canonical, description = extract_html(
+            blob
+        )
         has_content = bool(text)
     else:
         # Stats mode skips text materialization but must agree with the full
@@ -251,6 +260,8 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         spans = None
         outlinks = None
         title = None
+        canonical = None
+        description = None
         has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
@@ -260,5 +271,7 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         spans=spans,
         outlinks=outlinks,
         title=title,
+        canonical=canonical,
+        description=description,
         errors=errors,
     )

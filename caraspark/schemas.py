@@ -53,6 +53,9 @@ EXTRACTED = T.StructType(
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
         # v5 TITLE: <title> / PDF Info Title, normalized; NULL if absent
         T.StructField("title", T.StringType(), True),
+        # v6 HEADMETA: canonical link href; meta description / PDF Subject
+        T.StructField("canonical", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
         T.StructField(
             "verdict",
             T.StructType(

@@ -1241,9 +1241,11 @@ def pdf_info_title() -> bytes:
         "utf-16-be"
     )
     author = b"Caf\xe9 \x93ligature"  # PDFDocEncoding: 0x93 -> U+FB01
+    subject = b"  A   subject\x85with dashes  "  # 0x85 -> U+2013, renorm
     bodies[5] = _obj(
         5,
-        b"<< /Title " + _hexstr(title) + b" /Author " + _hexstr(author) + b" >>",
+        b"<< /Title " + _hexstr(title) + b" /Author " + _hexstr(author)
+        + b" /Subject " + _hexstr(subject) + b" >>",
     )
     return _assemble(bodies, trailer_extra=b" /Info 5 0 R")
 

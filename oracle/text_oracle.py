@@ -1147,11 +1147,12 @@ def _pdf_string_text(b: bytes) -> str:
     return "".join(_DOC_ENC_MAP.get(c, c) for c in b.decode("latin-1"))
 
 
-def _pdf_info_title(data: bytes) -> str | None:
-    """v5 TITLE, PDF second witness: xref-free — every ``trailer`` dict in
-    byte order (later wins, mirroring incremental-update semantics), with
-    XRef-stream dicts as the fallback carrier; /Info deref via the object
-    scan; /Title decoded per Annex D and whitespace-normalized."""
+def _pdf_info_text(data: bytes, key: str) -> str | None:
+    """v5 TITLE / v6 description, PDF second witness: xref-free — every
+    ``trailer`` dict in byte order (later wins, mirroring
+    incremental-update semantics), with XRef-stream dicts as the fallback
+    carrier; /Info deref via the object scan; the requested Info entry
+    decoded per Annex D and whitespace-normalized."""
     objs = _scan_objects(data)
     info_num = None
     for m in re.finditer(rb"trailer\b", data):
@@ -1175,11 +1176,15 @@ def _pdf_info_title(data: bytes) -> str | None:
     info = objs.get(info_num, (None, None))[0]
     if not isinstance(info, dict):
         return None
-    t = info.get("Title")
+    t = info.get(key)
     if not isinstance(t, bytes):
         return None
     out = " ".join(_pdf_string_text(t).split())
     return out or None
+
+
+def _pdf_info_title(data: bytes) -> str | None:
+    return _pdf_info_text(data, "Title")
 
 
 def _html_title(blob: bytes) -> str | None:
@@ -1228,6 +1233,60 @@ def _html_title(blob: bytes) -> str | None:
     return t or None
 
 
+def _html_headmeta(blob: bytes) -> tuple[str | None, str | None]:
+    """v6 HEADMETA, second witness: first canonical <link> href and first
+    <meta name=description> content — a separate event pass; collected
+    despite drop regions (head metadata), opaque inside boiler regions."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    canonical = description = None
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            continue
+        if ev not in ("open", "selfclose"):
+            continue
+        # collection precedes the boiler-region start, mirroring the
+        # engine's handle_starttag ordering
+        if val in ("link", "meta"):
+            a = {k: v for k, v in attrs if v is not None}
+            if val == "link" and canonical is None:
+                href = a.get("href", "").strip()
+                if "canonical" in a.get("rel", "").lower().split() and href:
+                    canonical = href
+            elif val == "meta" and description is None:
+                if a.get("name", "").strip().lower() == "description":
+                    d = " ".join(a.get("content", "").split())
+                    if d:
+                        description = d
+            if ev == "selfclose":
+                continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+    return canonical, description
+
+
 def oracle_extract(blob: bytes) -> bytes:
     """url-invariant: blob → extracted text bytes (the SPEC's 2nd witness)."""
     return oracle_extract_spans(blob)[0]
@@ -1240,12 +1299,18 @@ def oracle_extract_spans(blob: bytes) -> tuple[bytes, list]:
     return _html_text_spans(blob)
 
 
-def oracle_extract_full(
-    blob: bytes,
-) -> tuple[bytes, list, list[str], str | None]:
-    """blob → (text, v3 spans, v4 outlinks, v5 title) — 2nd witness."""
+def oracle_extract_full(blob: bytes) -> tuple:
+    """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
+    v6 description) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
-        return text, spans, [], _pdf_info_title(blob)
+        return (
+            text, spans, [], _pdf_info_title(blob),
+            None, _pdf_info_text(blob, "Subject"),
+        )
     text, spans = _html_text_spans(blob)
-    return text, spans, _html_outlinks(blob), _html_title(blob)
+    canonical, description = _html_headmeta(blob)
+    return (
+        text, spans, _html_outlinks(blob), _html_title(blob),
+        canonical, description,
+    )

@@ -841,7 +841,7 @@ def test_title_rules():
     # unclosed title collects to EOF (both witnesses by construction)
     assert title(b"<title>to the end of input") == "to the end of input"
     # title text never leaks into the text payload
-    text, _, _, t = extract_html(
+    text, _, _, t, _, _ = extract_html(
         b"<head><title>Me</title></head><body><p>body</p></body>"
     )
     assert text == b"body" and t == "Me"
@@ -889,3 +889,90 @@ def test_title_second_witness(name):
     if not r.valid or r.encrypted:
         pytest.skip("oracle witnesses valid/plaintext docs only")
     assert r.title == oracle_extract_full(blob)[3]
+
+
+# --- v6 HEADMETA (canonical link + meta description) ------------------------
+
+
+def test_headmeta_rules():
+    from caraspark.htmlengine import extract_html
+
+    hm = lambda b: extract_html(b)[4:6]  # noqa: E731
+    # rel list matching, trim, first-wins
+    assert hm(
+        b'<head><link rel="alternate CANONICAL" href=" /c ">'
+        b'<link rel="canonical" href="/later"></head><p>t</p>'
+    ) == ("/c", None)
+    # decoys don't consume the slot; empty content doesn't either
+    assert hm(
+        b'<head><link rel="alternate" href="/no">'
+        b'<meta name="description" content="   ">'
+        b'<link rel="canonical" href="/yes">'
+        b'<meta name="description" content=" a  b "></head><p>t</p>'
+    ) == ("/yes", "a b")
+    # name match is trimmed + case-insensitive; missing attrs are safe
+    assert hm(
+        b'<head><meta name=" Description " content="d"><link rel="canonical">'
+        b"<link href=/x><meta content=zzz></head><p>t</p>"
+    ) == (None, "d")
+    # collected from inside <head> (a DROP region), like title
+    assert hm(
+        b"<head><link rel=canonical href=/in-head></head><p>t</p>"
+    ) == ("/in-head", None)
+    # opaque inside boiler attr-regions
+    assert hm(
+        b'<div class="sidebar"><link rel=canonical href=/no>'
+        b'<meta name=description content=no></div><p>t</p>'
+    ) == (None, None)
+
+
+def test_headmeta_pdf_subject_and_stats_mode():
+    from caraspark.synth import pdf_info_title
+
+    r = process_document(pdf_info_title())
+    assert r.canonical is None
+    assert r.description == "A subject–with dashes"  # 0x85 → en dash
+    r2 = process_document(pdf_info_title(), want_text=False)
+    assert r2.canonical is None and r2.description is None
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_headmeta_second_witness(name):
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = _blob(name)
+    r = process_document(blob)
+    if not r.valid or r.encrypted:
+        pytest.skip("oracle witnesses valid/plaintext docs only")
+    o = oracle_extract_full(blob)
+    assert (r.canonical, r.description) == (o[4], o[5])
+
+
+_META_ST = st.sampled_from(
+    ["", '<link rel="canonical" href="/c1">',
+     '<link rel="alternate canonical" href=" /c2 ">',
+     '<link rel="alternate" href="/no">',
+     '<meta name="description" content="d1">',
+     '<meta name=" DESCRIPTION " content=" d  2 ">',
+     '<meta name="description" content="">',
+     '<link rel="canonical" href="">',
+     '<meta name="keywords" content="k">']
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_TAG_ST, _ATTR_ST, _TXT_ST, _META_ST), max_size=8
+    )
+)
+def test_html_headmeta_engine_oracle_agree(frags):
+    """Property differential for v6: head metadata interleaved with random
+    nested fragments and boiler attrs — both witnesses must agree on the
+    FULL 6-tuple."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    inner = "".join(f"<{t}{a}>{txt}{m}" for t, a, txt, m in frags)
+    blob = f"<html><body>{inner}</body></html>".encode("utf-8")
+    assert extract_html(blob) == oracle_extract_full(blob)

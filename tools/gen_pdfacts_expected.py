@@ -105,7 +105,7 @@ def build_extras():
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
-                **_title_facts(res.title),
+                **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
                 "n_trailer_roots": n_trailer,
@@ -187,14 +187,18 @@ def build_extras():
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
-                **_title_facts(res.title),
+                **_title_facts(res),
             }
         )
     return extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx
 
 
-def _title_facts(title) -> dict:
-    return {"title": title}
+def _title_facts(res) -> dict:
+    return {
+        "title": res.title,
+        "canonical": res.canonical,
+        "description": res.description,
+    }
 
 
 def _outlink_facts(outlinks) -> dict:
