@@ -1244,3 +1244,65 @@ def text_tokens_bpe(spark, sf):
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring detection (token k-grams across documents)
+# ---------------------------------------------------------------------------
+
+_SUB_K = 8  # tokens per rolling window
+
+
+@_q(
+    "dedup_substring",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS s
+  FROM toks WHERE len(t) >= {_SUB_K}
+), grams AS (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(list_slice(t, s + 1, s + {_SUB_K}), ' '))
+             AS gram_md5
+  FROM starts
+), dup AS (
+  SELECT gram_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id, CAST(g.pos AS INT) AS pos, g.gram_md5, d.n_docs
+FROM grams g JOIN dup d USING (gram_md5)""",
+)
+def dedup_substring(spark, sf):
+    """Exact duplicated-substring detection: every 8-token rolling window
+    that appears verbatim in ≥2 distinct documents, reported with its
+    position — the marking pass of substring-level dedup (the remove step
+    is a span-merge over these positions, per-doc local).
+
+    Scale shape: windows are md5'd BEFORE any exchange, so only 16-byte
+    digests shuffle (never the token windows themselves); one groupBy on
+    the digest finds cross-doc duplicates, and the join back to positions
+    reuses the same hash partitioning (digest keys both sides). Window
+    explosion is linear in corpus tokens and stays in whole-stage
+    codegen (transform + slice + concat_ws, zero Python)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= _SUB_K)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _SUB_K),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, _SUB_K))),
+            )
+        ).alias("pos", "gram_md5"),
+    )
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return grams.join(dup, "gram_md5").select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "gram_md5", "n_docs"
+    )

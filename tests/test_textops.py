@@ -97,3 +97,51 @@ def test_minhash_verified_jaccard_matches_python(spark, sf_smoke):
         expect = inter / (len(a) + len(b) - inter)
         assert abs(r.jaccard - expect) < 1e-12
         assert r.is_dup == (r.jaccard >= 0.5)
+
+
+def test_dedup_substring_matches_python(spark, sf_smoke):
+    """Third implementation: recompute duplicated 8-token windows in plain
+    Python over the same table and compare the full (doc, pos) marking."""
+    import hashlib
+    from collections import defaultdict
+
+    from caraspark.textops import _SUB_K, dedup_substring
+    from caraspark.tables import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    grams = defaultdict(set)  # md5 -> {doc_id}
+    positions = []
+    for did, text in docs.items():
+        t = text.strip().split()
+        for s in range(0, len(t) - _SUB_K + 1):
+            g = " ".join(t[s : s + _SUB_K])
+            h = hashlib.md5(g.encode()).hexdigest()
+            grams[h].add(did)
+            positions.append((did, s, h))
+    want = sorted(
+        (d, p, h, len(grams[h]))
+        for d, p, h in positions
+        if len(grams[h]) >= 2
+    )
+    got = sorted(
+        (r.doc_id, r.pos, r.gram_md5, r.n_docs)
+        for r in dedup_substring(spark, sf_smoke).collect()
+    )
+    assert got == want
+    assert got, "smoke corpus should contain cross-doc duplicate windows"
+
+
+def test_dedup_substring_shuffles_digests_only(spark, sf_smoke):
+    """Plan pin: the window strings are hashed before the exchange — no
+    Exchange input carries the token arrays or gram text."""
+    from caraspark.textops import dedup_substring
+
+    df = dedup_substring(spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p, p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "gram_md5" in ln, ln
