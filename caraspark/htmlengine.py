@@ -57,7 +57,10 @@ and compared byte-for-byte per url):
   Title collection ignores drop regions — <title> itself is a DROP tag
   (head metadata never enters the text payload) but its text is the
   page's display name, harvested like outlinks are. An unclosed <title>
-  collects to end of input (both witnesses agree by construction).
+  collects all subsequent character data to end of input — data that
+  simultaneously follows the normal block rules (title collection is a
+  parallel pass, not a detour), keeping the two witnesses' independent
+  state machines equivalent.
   PDFs take the trailer /Info /Title string instead (decode_pdf_string,
   same normalization); stats mode (want_text=False) yields None.
 * HEADMETA (v6, dedup/index metadata): canonical = the trimmed href of
@@ -267,9 +270,14 @@ class _Extractor(HTMLParser):
             self._collect_href(attrs)
 
     def handle_data(self, data):
-        if self._in_title and data:
+        if self._in_title and data and self._attr_tag is None:
+            # title collection runs ALONGSIDE the normal path (no early
+            # return): inside well-formed <head> the drop counter keeps
+            # this data out of blocks anyway, and after unbalanced closes
+            # reset the counter with the title still open, both title AND
+            # blocks see the data — exactly the oracle's two independent
+            # passes' semantics
             self._title_buf.append(data)
-            return  # title text never reaches block buffers
         if self._attr_tag is not None or self._drop_depth or not data:
             return
         self._buf.append(data)

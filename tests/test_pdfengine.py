@@ -976,3 +976,42 @@ def test_html_headmeta_engine_oracle_agree(frags):
     inner = "".join(f"<{t}{a}>{txt}{m}" for t, a, txt, m in frags)
     blob = f"<html><body>{inner}</body></html>".encode("utf-8")
     assert extract_html(blob) == oracle_extract_full(blob)
+
+
+def test_unclosed_title_does_not_eat_body_text():
+    """Regression (fuzz-found): an unclosed <title> whose drop region is
+    reset by an unbalanced close (</style>, </head>) must not suppress
+    body blocks — title collection is a parallel pass, and both witnesses
+    must agree on the full 6-tuple."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    m = (
+        b"<html><head><title>style>p{x}</style></head>"
+        b"<body><main><p>Body text.</p></main>"
+    )
+    e = extract_html(m)
+    assert e[0] == b"Body text."
+    assert e[3] is not None and e[3].startswith("style>")
+    assert e == oracle_extract_full(m)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["<title>", "</title>", "</style>", "</head>", "<p>", "</p>",
+             "<div class='sidebar'>", "</div>", "text ", "<a href='/x'>y</a>",
+             "<link rel=canonical href=/c>", "<meta name=description content=d>"]
+        ),
+        max_size=12,
+    )
+)
+def test_html_pathological_nesting_engine_oracle_agree(parts):
+    """Property differential over adversarial open/close sequences — the
+    unbalanced-close + parallel-pass corner the fuzz campaign hit."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = "".join(parts).encode()
+    assert extract_html(blob) == oracle_extract_full(blob)
