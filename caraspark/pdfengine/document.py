@@ -595,3 +595,59 @@ def _check_page_tree(doc: Document, start: tuple, errors: list) -> None:
             continue
         on_path.add(child)
         stack.append((child, 0, kids_of(child)))
+
+
+def extract_attachments(doc: Document) -> list[dict]:
+    """Embedded files [PDF17 §7.11]: walk catalog /Names /EmbeddedFiles
+    (a Kids/Names name tree), deref each filespec, and return its decoded
+    /EF stream payload.
+
+    Rows: {"name": str, "size": int, "payload": bytes | None} in tree
+    order ("name" is the tree KEY decoded like any text string; the
+    filespec's /F is a display hint, the key is the lookup identity).
+    Streams were already filter-decoded at load; a failed decode yields
+    payload None with size -1, mirroring the verdict taxonomy's posture
+    of degrade-don't-drop. Depth-capped, cycle-safe."""
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    out: list[dict] = []
+    cat = _resolve(doc, doc.trailer.get("Root"))
+    if not isinstance(cat, dict):
+        return out
+    names = _resolve(doc, cat.get("Names"))
+    if not isinstance(names, dict):
+        return out
+    tree = _resolve(doc, names.get("EmbeddedFiles"))
+
+    def walk(node, depth: int) -> None:
+        if not isinstance(node, dict) or depth > 32:
+            return
+        arr = _resolve(doc, node.get("Names"))
+        if isinstance(arr, list):
+            for i in range(0, len(arr) - 1, 2):
+                key, fs = arr[i], _resolve(doc, arr[i + 1])
+                if not isinstance(key, bytes) or not isinstance(fs, dict):
+                    continue
+                ef = _resolve(doc, fs.get("EF"))
+                if not isinstance(ef, dict):
+                    continue
+                stm = ef.get("F", ef.get("UF"))
+                if isinstance(stm, Ref):
+                    stm = doc.objects.get((stm.num, stm.gen))
+                if not isinstance(stm, Stream):
+                    continue
+                payload = stm.decoded
+                out.append(
+                    {
+                        "name": decode_pdf_string(key),
+                        "size": -1 if payload is None else len(payload),
+                        "payload": payload,
+                    }
+                )
+        kids = _resolve(doc, node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in kids:
+                walk(_resolve(doc, kid), depth + 1)
+
+    walk(tree, 0)
+    return out

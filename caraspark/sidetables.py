@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.oracle_freeze import (
+    attach_cte,
     corpus_cte,
     extras_cte,
     findref_cte,
@@ -73,6 +74,18 @@ _OBJECTS_ARROW = pa.schema(
         ("type_name", pa.string()),
         ("body_json", pa.string()),
         ("n_refs", pa.int32()),
+    ]
+)
+
+_ATTACH_DDL = (
+    "url string, att_name string, att_md5 string, att_size bigint"
+)
+_ATTACH_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("att_name", pa.string()),
+        ("att_md5", pa.string()),
+        ("att_size", pa.int64()),
     ]
 )
 
@@ -156,6 +169,37 @@ def _objects_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(cols[f.name], f.type) for f in _OBJECTS_ARROW],
                 schema=_OBJECTS_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+def _attach_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import hashlib
+
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_attachments, load_document
+
+    cols = {f.name: [] for f in _ATTACH_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for a in extract_attachments(load_document(blob)):
+                cols["url"].append(url)
+                cols["att_name"].append(a["name"])
+                cols["att_md5"].append(
+                    None
+                    if a["payload"] is None
+                    else hashlib.md5(a["payload"]).hexdigest()
+                )
+                cols["att_size"].append(a["size"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _ATTACH_ARROW],
+                schema=_ATTACH_ARROW,
             )
             for v in cols.values():
                 v.clear()
@@ -424,3 +468,21 @@ def udtf_objects(spark, sf):
                 LATERAL explode_objects(c.url, c.html) t
            GROUP BY t.kind"""
     )
+
+
+@_q(
+    "pdf_attachments",
+    f"""WITH {corpus_cte()},
+{attach_cte()}
+SELECT d.url, a.att_name, a.att_md5, CAST(a.att_size AS BIGINT) AS att_size
+FROM docs d JOIN att a ON a.rid = d.rid""",
+)
+def pdf_attachments(spark, sf):
+    """Embedded-file attachments across the corpus (PDF17 SS7.11): every
+    /Names /EmbeddedFiles tree entry with the md5 + size of its DECODED
+    /EF stream — pins the name-tree walk, filespec deref, and the filter
+    chain end-to-end against the frozen per-recipe rows. Narrow Arrow
+    stage like every side table; payload bytes never leave the executor
+    (only digests are emitted)."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_attach_batches, _ATTACH_DDL)

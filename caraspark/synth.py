@@ -1250,6 +1250,46 @@ def pdf_info_title() -> bytes:
     return _assemble(bodies, trailer_extra=b" /Info 5 0 R")
 
 
+ATTACH_A = b"attached plain text payload \xc3\xa9"
+ATTACH_Z = bytes(range(256)) * 4  # binary, flate-compressed in the file
+
+
+def pdf_attachments() -> bytes:
+    """Embedded-files recipe [PDF17 SS7.11]: catalog /Names /EmbeddedFiles
+    name tree SPLIT over two Kids leaves (exercises the tree walk, Limits
+    and sortedness), two filespecs — a plain text stream and a
+    FlateDecode binary stream with /Params /Size."""
+    bodies = _base_objects(b"BT (Has attachments) Tj ET")
+    bodies[1] = _obj(
+        1, b"<< /Type /Catalog /Pages 2 0 R /Names 5 0 R >>"
+    )
+    bodies[5] = _obj(5, b"<< /EmbeddedFiles 6 0 R >>")
+    bodies[6] = _obj(6, b"<< /Kids [7 0 R 8 0 R] >>")
+    bodies[7] = _obj(
+        7, b"<< /Limits [(a.txt) (a.txt)] /Names [(a.txt) 9 0 R] >>"
+    )
+    bodies[8] = _obj(
+        8, b"<< /Limits [(z.bin) (z.bin)] /Names [(z.bin) 10 0 R] >>"
+    )
+    bodies[9] = _obj(
+        9, b"<< /Type /Filespec /F (a.txt) /EF << /F 11 0 R >> >>"
+    )
+    bodies[10] = _obj(
+        10, b"<< /Type /Filespec /F (z.bin) /EF << /F 12 0 R >> >>"
+    )
+    bodies[11] = _stream_obj(
+        11, b"/Type /EmbeddedFile /Subtype /text#2Fplain", ATTACH_A
+    )
+    bodies[12] = _stream_obj(
+        12,
+        b"/Type /EmbeddedFile /Filter /FlateDecode /Params << /Size "
+        + str(len(ATTACH_Z)).encode()
+        + b" >>",
+        zlib.compress(ATTACH_Z),
+    )
+    return _assemble(bodies)
+
+
 def pdf_encrypted_objstm() -> bytes:
     """RC4-128 (R3) file whose catalog+pages live inside an /ObjStm, with a
     string entry (/Lang) in the compressed catalog. Pins the spec's
@@ -1395,6 +1435,7 @@ def pdf_encrypted_aes() -> bytes:
 
 
 PDF_RECIPES["pdf_info_title"] = pdf_info_title
+PDF_RECIPES["pdf_attachments"] = pdf_attachments
 PDF_RECIPES["pdf_encrypted_objstm"] = pdf_encrypted_objstm
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes

@@ -1015,3 +1015,43 @@ def test_html_pathological_nesting_engine_oracle_agree(parts):
 
     blob = "".join(parts).encode()
     assert extract_html(blob) == oracle_extract_full(blob)
+
+
+# --- embedded-file attachments [PDF17 §7.11] --------------------------------
+
+
+def test_attachments_walk_and_decode():
+    from caraspark.pdfengine.document import extract_attachments, load_document
+    from caraspark.synth import ATTACH_A, ATTACH_Z, pdf_attachments
+
+    atts = extract_attachments(load_document(pdf_attachments()))
+    assert [(a["name"], a["size"]) for a in atts] == [
+        ("a.txt", len(ATTACH_A)),
+        ("z.bin", len(ATTACH_Z)),
+    ]
+    assert atts[0]["payload"] == ATTACH_A  # plain stream
+    assert atts[1]["payload"] == ATTACH_Z  # FlateDecode stream
+    # the recipe is strict-valid: the name tree satisfies the typedefs
+    r = process_document(_blob("pdf_attachments"))
+    assert r.valid and r.strict
+
+
+def test_attachments_absent_and_degenerate():
+    from caraspark.pdfengine.document import extract_attachments, load_document
+    from caraspark.synth import pdf_minimal
+
+    assert extract_attachments(load_document(pdf_minimal())) == []
+    # degenerate tree shapes must not raise: odd Names arity, non-dict
+    # filespec, missing EF, self-referential Kids (cycle-capped)
+    from caraspark.synth import _assemble, _base_objects, _obj
+
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R /Names 5 0 R >>")
+    bodies[5] = _obj(5, b"<< /EmbeddedFiles 6 0 R >>")
+    bodies[6] = _obj(
+        6,
+        b"<< /Kids [6 0 R] /Names [(odd) (lone) 7 0 R (nofs) null] >>",
+    )
+    bodies[7] = _obj(7, b"<< /Type /Filespec /F (no-ef) >>")
+    atts = extract_attachments(load_document(_assemble(bodies)))
+    assert atts == []

@@ -73,6 +73,7 @@ def build_extras():
     extras, types_rows, objkind_rows, variant_rows, findref_rows = (
         [], [], [], [], []
     )
+    attach_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -157,6 +158,19 @@ def build_extras():
                 findref_rows.append(
                     (rid, s[0] if s else None, s[1] if s else None, p)
                 )
+        from caraspark.pdfengine.document import extract_attachments
+
+        for a in extract_attachments(doc):
+            attach_rows.append(
+                (
+                    rid,
+                    a["name"],
+                    None
+                    if a["payload"] is None
+                    else hashlib.md5(a["payload"]).hexdigest(),
+                    a["size"],
+                )
+            )
 
     import random
 
@@ -190,7 +204,10 @@ def build_extras():
                 **_title_facts(res),
             }
         )
-    return extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx
+    return (
+        extras, types_rows, objkind_rows, variant_rows, findref_rows,
+        html_idx, attach_rows,
+    )
 
 
 def _title_facts(res) -> dict:
@@ -243,9 +260,10 @@ def _text_metrics(text: bytes | None) -> dict:
 
 def main() -> None:
     rows = build_expected()
-    extras, types_rows, objkind_rows, variant_rows, findref_rows, html_idx = (
-        build_extras()
-    )
+    (
+        extras, types_rows, objkind_rows, variant_rows, findref_rows,
+        html_idx, attach_rows,
+    ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "caraspark", "pdfacts_expected.py",
@@ -265,13 +283,14 @@ def main() -> None:
             f"OBJKIND_ROWS = {fmt(objkind_rows)}\n\n"
             f"VARIANT_ROWS = {fmt(variant_rows)}\n\n"
             f"FINDREF_ROWS = {fmt(findref_rows)}\n\n"
-            f"HTML_IDX = {fmt(html_idx)}\n"
+            f"HTML_IDX = {fmt(html_idx)}\n\n"
+            f"ATTACH_ROWS = {fmt(attach_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
         f"{len(types_rows)} type rows, {len(objkind_rows)} objkinds, "
         f"{len(variant_rows)} variants, {len(findref_rows)} findrefs, "
-        f"{len(html_idx)} html idx -> {path}"
+        f"{len(html_idx)} html idx, {len(attach_rows)} attachments -> {path}"
     )
 
 
