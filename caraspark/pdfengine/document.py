@@ -651,3 +651,54 @@ def extract_attachments(doc: Document) -> list[dict]:
 
     walk(tree, 0)
     return out
+
+
+def extract_outline(doc: Document) -> list[dict]:
+    """Document outline (bookmarks) [PDF17 §12.3.3]: depth-first walk of
+    the catalog /Outlines tree — First-child / Next-sibling chains,
+    cycle-guarded and depth-capped (the structural consistency of the
+    chains is separately validated by ``_check_outlines``; this walk is
+    tolerant and extracts what it can reach).
+
+    Rows: {"level": int (0 = top), "pos": int (preorder index),
+    "title": str | None} — titles decoded per Annex D and
+    whitespace-normalized like every other text-string surface."""
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    out: list[dict] = []
+    cat = _resolve(doc, doc.trailer.get("Root"))
+    if not isinstance(cat, dict):
+        return out
+    outlines = _resolve(doc, cat.get("Outlines"))
+    if not isinstance(outlines, dict):
+        return out
+    seen: set = set()
+
+    def key_of(v):
+        return (v.num, v.gen) if isinstance(v, Ref) else None
+
+    def walk(first_ref, level: int) -> None:
+        item_ref = first_ref
+        while isinstance(item_ref, Ref) and level <= 32:
+            k = (item_ref.num, item_ref.gen)
+            if k in seen:
+                return  # sibling or ancestor cycle — stop this chain
+            seen.add(k)
+            item = _resolve(doc, item_ref)
+            if not isinstance(item, dict):
+                return
+            t = item.get("Title")
+            if isinstance(t, Ref):
+                t = doc.objects.get((t.num, t.gen))
+            title = (
+                " ".join(decode_pdf_string(bytes(t)).split()) or None
+                if isinstance(t, (bytes, bytearray))
+                else None
+            )
+            out.append({"level": level, "pos": len(out), "title": title})
+            if key_of(item.get("First")):
+                walk(item.get("First"), level + 1)
+            item_ref = item.get("Next")
+
+    walk(outlines.get("First"), 0)
+    return out

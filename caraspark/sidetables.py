@@ -26,6 +26,7 @@ from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.oracle_freeze import (
     attach_cte,
     corpus_cte,
+    outline_cte,
     extras_cte,
     findref_cte,
     objkind_cte,
@@ -486,3 +487,57 @@ def pdf_attachments(spark, sf):
     (only digests are emitted)."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_attach_batches, _ATTACH_DDL)
+
+
+_OUTLINE_DDL = "url string, pos int, level int, title string"
+_OUTLINE_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pos", pa.int32()),
+        ("level", pa.int32()),
+        ("title", pa.string()),
+    ]
+)
+
+
+def _outline_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_outline, load_document
+
+    cols = {f.name: [] for f in _OUTLINE_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for o in extract_outline(load_document(blob)):
+                cols["url"].append(url)
+                cols["pos"].append(o["pos"])
+                cols["level"].append(o["level"])
+                cols["title"].append(o["title"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _OUTLINE_ARROW],
+                schema=_OUTLINE_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_outline",
+    f"""WITH {corpus_cte()},
+{outline_cte()}
+SELECT d.url, CAST(o.pos AS INT) AS pos, CAST(o.level AS INT) AS level,
+       o.title
+FROM docs d JOIN ol o ON o.rid = d.rid""",
+)
+def pdf_outline(spark, sf):
+    """Document outlines (bookmarks) across the corpus [PDF17 SS12.3.3]:
+    preorder position, nesting level, and Annex-D-decoded title of every
+    reachable outline item — pins the First/Next chain walk and text-
+    string decode against the frozen per-recipe rows. Narrow Arrow stage,
+    no shuffle."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_outline_batches, _OUTLINE_DDL)

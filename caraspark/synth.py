@@ -1290,6 +1290,40 @@ def pdf_attachments() -> bytes:
     return _assemble(bodies)
 
 
+def pdf_outline() -> bytes:
+    """Outline (bookmark) tree recipe [PDF17 SS12.3.3]: two top-level
+    items, the first with two children — consistent First/Last/Next/Prev/
+    Parent/Count links so the structural checks stay green; one title is
+    a UTF-16BE BOM string."""
+    bodies = _base_objects(b"BT (Outlined doc) Tj ET")
+    bodies[1] = _obj(
+        1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>"
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Outlines /First 6 0 R /Last 7 0 R /Count 4 >>",
+    )
+    t16 = "\xfe\xff".encode("latin-1") + "Intro \u2014 \u6982\u8981".encode(
+        "utf-16-be"
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Title " + _hexstr(t16) + b" /Parent 5 0 R /Next 7 0 R"
+        b" /First 8 0 R /Last 9 0 R /Count 2 >>",
+    )
+    bodies[7] = _obj(
+        7, b"<< /Title (Conclusion) /Parent 5 0 R /Prev 6 0 R >>"
+    )
+    bodies[8] = _obj(
+        8,
+        b"<< /Title (  Background   notes ) /Parent 6 0 R /Next 9 0 R >>",
+    )
+    bodies[9] = _obj(
+        9, b"<< /Title (Methods) /Parent 6 0 R /Prev 8 0 R >>"
+    )
+    return _assemble(bodies)
+
+
 def pdf_encrypted_objstm() -> bytes:
     """RC4-128 (R3) file whose catalog+pages live inside an /ObjStm, with a
     string entry (/Lang) in the compressed catalog. Pins the spec's
@@ -1436,6 +1470,7 @@ def pdf_encrypted_aes() -> bytes:
 
 PDF_RECIPES["pdf_info_title"] = pdf_info_title
 PDF_RECIPES["pdf_attachments"] = pdf_attachments
+PDF_RECIPES["pdf_outline"] = pdf_outline
 PDF_RECIPES["pdf_encrypted_objstm"] = pdf_encrypted_objstm
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes

@@ -1055,3 +1055,32 @@ def test_attachments_absent_and_degenerate():
     bodies[7] = _obj(7, b"<< /Type /Filespec /F (no-ef) >>")
     atts = extract_attachments(load_document(_assemble(bodies)))
     assert atts == []
+
+
+def test_outline_walk():
+    from caraspark.pdfengine.document import extract_outline, load_document
+    from caraspark.synth import pdf_outline
+
+    o = extract_outline(load_document(pdf_outline()))
+    assert [(x["pos"], x["level"], x["title"]) for x in o] == [
+        (0, 0, "Intro — 概要"),
+        (1, 1, "Background notes"),
+        (2, 1, "Methods"),
+        (3, 0, "Conclusion"),
+    ]
+    r = process_document(_blob("pdf_outline"))
+    assert r.valid and r.strict
+
+
+def test_outline_cycles_and_missing_titles_are_tolerated():
+    from caraspark.pdfengine.document import extract_outline, load_document
+    from caraspark.synth import _assemble, _base_objects, _obj
+
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>")
+    bodies[5] = _obj(5, b"<< /Type /Outlines /First 6 0 R /Last 7 0 R >>")
+    # 6 -> 7 -> 6 sibling cycle; 7 has no /Title
+    bodies[6] = _obj(6, b"<< /Title (A) /Parent 5 0 R /Next 7 0 R >>")
+    bodies[7] = _obj(7, b"<< /Parent 5 0 R /Next 6 0 R >>")
+    o = extract_outline(load_document(_assemble(bodies)))
+    assert [(x["level"], x["title"]) for x in o] == [(0, "A"), (0, None)]

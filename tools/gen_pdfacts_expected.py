@@ -74,6 +74,7 @@ def build_extras():
         [], [], [], [], []
     )
     attach_rows = []
+    outline_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -158,7 +159,10 @@ def build_extras():
                 findref_rows.append(
                     (rid, s[0] if s else None, s[1] if s else None, p)
                 )
-        from caraspark.pdfengine.document import extract_attachments
+        from caraspark.pdfengine.document import (
+            extract_attachments,
+            extract_outline,
+        )
 
         for a in extract_attachments(doc):
             attach_rows.append(
@@ -171,6 +175,8 @@ def build_extras():
                     a["size"],
                 )
             )
+        for o in extract_outline(doc):
+            outline_rows.append((rid, o["pos"], o["level"], o["title"]))
 
     import random
 
@@ -206,7 +212,7 @@ def build_extras():
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
-        html_idx, attach_rows,
+        html_idx, attach_rows, outline_rows,
     )
 
 
@@ -262,7 +268,7 @@ def main() -> None:
     rows = build_expected()
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
-        html_idx, attach_rows,
+        html_idx, attach_rows, outline_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -284,13 +290,15 @@ def main() -> None:
             f"VARIANT_ROWS = {fmt(variant_rows)}\n\n"
             f"FINDREF_ROWS = {fmt(findref_rows)}\n\n"
             f"HTML_IDX = {fmt(html_idx)}\n\n"
-            f"ATTACH_ROWS = {fmt(attach_rows)}\n"
+            f"ATTACH_ROWS = {fmt(attach_rows)}\n\n"
+            f"OUTLINE_ROWS = {fmt(outline_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
         f"{len(types_rows)} type rows, {len(objkind_rows)} objkinds, "
         f"{len(variant_rows)} variants, {len(findref_rows)} findrefs, "
-        f"{len(html_idx)} html idx, {len(attach_rows)} attachments -> {path}"
+        f"{len(html_idx)} html idx, {len(attach_rows)} attachments, "
+        f"{len(outline_rows)} outline rows -> {path}"
     )
 
 
