@@ -702,3 +702,80 @@ def extract_outline(doc: Document) -> list[dict]:
 
     walk(outlines.get("First"), 0)
     return out
+
+
+def extract_form_fields(doc: Document) -> list[dict]:
+    """AcroForm field values [PDF17 §12.7]: DFS over /AcroForm /Fields
+    with /Kids recursion, building each field's fully-qualified name
+    (dotted /T chain) and its EFFECTIVE value — /V and /FT are
+    inheritable, so a terminal field without its own /V takes the nearest
+    ancestor's (the radio-group pattern). Cycle-guarded, depth-capped.
+
+    Rows: {"pos", "name", "ft", "value"} — value rendered
+    deterministically: text strings per Annex D (whitespace-normalized),
+    names as their string, booleans as true/false, numbers verbatim;
+    absent → None."""
+    from caraspark.pdfengine.model import Name, Real
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    def render(v):
+        if isinstance(v, Ref):
+            v = doc.objects.get((v.num, v.gen))
+        if isinstance(v, (bytes, bytearray)):
+            return " ".join(decode_pdf_string(bytes(v)).split()) or None
+        if isinstance(v, Name):
+            return v.v
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, Real):
+            return v.lexeme
+        return None
+
+    out: list[dict] = []
+    cat = _resolve(doc, doc.trailer.get("Root"))
+    if not isinstance(cat, dict):
+        return out
+    form = _resolve(doc, cat.get("AcroForm"))
+    if not isinstance(form, dict):
+        return out
+    seen: set = set()
+
+    def walk(refs, prefix: str, inh_v, inh_ft, depth: int) -> None:
+        if not isinstance(refs, list) or depth > 32:
+            return
+        for ref in refs:
+            k = (ref.num, ref.gen) if isinstance(ref, Ref) else None
+            if k is None or k in seen:
+                continue
+            seen.add(k)
+            fld = _resolve(doc, ref)
+            if not isinstance(fld, dict):
+                continue
+            t = fld.get("T")
+            if isinstance(t, Ref):
+                t = doc.objects.get((t.num, t.gen))
+            part = (
+                " ".join(decode_pdf_string(bytes(t)).split())
+                if isinstance(t, (bytes, bytearray))
+                else None
+            )
+            name = f"{prefix}.{part}" if prefix and part else (part or prefix)
+            v = fld.get("V", inh_v)
+            ft = fld.get("FT", inh_ft)
+            kids = _resolve(doc, fld.get("Kids"))
+            if isinstance(kids, list) and kids:
+                walk(kids, name, v, ft, depth + 1)
+            else:
+                out.append(
+                    {
+                        "pos": len(out),
+                        "name": name,
+                        "ft": ft.v if isinstance(ft, Name) else None,
+                        "value": render(v),
+                    }
+                )
+
+    walk(_resolve(doc, form.get("Fields")), "", None, None, 0)
+    return out

@@ -26,6 +26,7 @@ from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.oracle_freeze import (
     attach_cte,
     corpus_cte,
+    formfield_cte,
     outline_cte,
     extras_cte,
     findref_cte,
@@ -541,3 +542,62 @@ def pdf_outline(spark, sf):
     no shuffle."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_outline_batches, _OUTLINE_DDL)
+
+
+_FORMFIELD_DDL = (
+    "url string, pos int, fname string, ft string, fvalue string"
+)
+_FORMFIELD_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pos", pa.int32()),
+        ("fname", pa.string()),
+        ("ft", pa.string()),
+        ("fvalue", pa.string()),
+    ]
+)
+
+
+def _formfield_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import (
+        extract_form_fields,
+        load_document,
+    )
+
+    cols = {f.name: [] for f in _FORMFIELD_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for x in extract_form_fields(load_document(blob)):
+                cols["url"].append(url)
+                cols["pos"].append(x["pos"])
+                cols["fname"].append(x["name"])
+                cols["ft"].append(x["ft"])
+                cols["fvalue"].append(x["value"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _FORMFIELD_ARROW],
+                schema=_FORMFIELD_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_formfields",
+    f"""WITH {corpus_cte()},
+{formfield_cte()}
+SELECT d.url, CAST(f.pos AS INT) AS pos, f.fname, f.ft, f.fvalue
+FROM docs d JOIN ff f ON f.rid = d.rid""",
+)
+def pdf_formfields(spark, sf):
+    """AcroForm field values across the corpus [PDF17 SS12.7]: terminal
+    fields with dotted fully-qualified names, inherited /FT and /V
+    resolved (radio-group pattern), values rendered deterministically —
+    hash-verified against frozen per-recipe rows. Narrow Arrow stage."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_formfield_batches, _FORMFIELD_DDL)

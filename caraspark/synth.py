@@ -1324,6 +1324,31 @@ def pdf_outline() -> bytes:
     return _assemble(bodies)
 
 
+def pdf_acroform() -> bytes:
+    """AcroForm recipe [PDF17 SS12.7]: a text field with a UTF-16BE value,
+    a checkbox (name value /Yes), and a radio GROUP whose /V sits on the
+    parent and inherits to the kid widgets (the dotted-name +
+    inheritance path)."""
+    bodies = _base_objects(b"BT (Form doc) Tj ET")
+    bodies[1] = _obj(
+        1, b"<< /Type /Catalog /Pages 2 0 R /AcroForm 5 0 R >>"
+    )
+    bodies[5] = _obj(5, b"<< /Fields [6 0 R 7 0 R 8 0 R] >>")
+    val16 = "\xfe\xff".encode("latin-1") + "J\u00fcrgen".encode("utf-16-be")
+    bodies[6] = _obj(
+        6,
+        b"<< /FT /Tx /T (name) /V " + _hexstr(val16) + b" /MaxLen 64 >>",
+    )
+    bodies[7] = _obj(7, b"<< /FT /Btn /T (subscribed) /V /Yes >>")
+    bodies[8] = _obj(
+        8,
+        b"<< /FT /Btn /T (color) /V /Red /Kids [9 0 R 10 0 R] >>",
+    )
+    bodies[9] = _obj(9, b"<< /Parent 8 0 R /T (opt1) >>")
+    bodies[10] = _obj(10, b"<< /Parent 8 0 R /T (opt2) >>")
+    return _assemble(bodies)
+
+
 def pdf_encrypted_objstm() -> bytes:
     """RC4-128 (R3) file whose catalog+pages live inside an /ObjStm, with a
     string entry (/Lang) in the compressed catalog. Pins the spec's
@@ -1471,6 +1496,7 @@ def pdf_encrypted_aes() -> bytes:
 PDF_RECIPES["pdf_info_title"] = pdf_info_title
 PDF_RECIPES["pdf_attachments"] = pdf_attachments
 PDF_RECIPES["pdf_outline"] = pdf_outline
+PDF_RECIPES["pdf_acroform"] = pdf_acroform
 PDF_RECIPES["pdf_encrypted_objstm"] = pdf_encrypted_objstm
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes

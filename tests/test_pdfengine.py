@@ -1084,3 +1084,38 @@ def test_outline_cycles_and_missing_titles_are_tolerated():
     bodies[7] = _obj(7, b"<< /Parent 5 0 R /Next 6 0 R >>")
     o = extract_outline(load_document(_assemble(bodies)))
     assert [(x["level"], x["title"]) for x in o] == [(0, "A"), (0, None)]
+
+
+def test_form_fields_walk():
+    from caraspark.pdfengine.document import (
+        extract_form_fields,
+        load_document,
+    )
+    from caraspark.synth import pdf_acroform
+
+    ff = extract_form_fields(load_document(pdf_acroform()))
+    assert [(x["name"], x["ft"], x["value"]) for x in ff] == [
+        ("name", "Tx", "Jürgen"),
+        ("subscribed", "Btn", "Yes"),
+        ("color.opt1", "Btn", "Red"),  # /V + /FT inherited from the group
+        ("color.opt2", "Btn", "Red"),
+    ]
+    r = process_document(_blob("pdf_acroform"))
+    assert r.valid and r.strict
+
+
+def test_form_fields_absent_and_cycles():
+    from caraspark.pdfengine.document import (
+        extract_form_fields,
+        load_document,
+    )
+    from caraspark.synth import _assemble, _base_objects, _obj, pdf_minimal
+
+    assert extract_form_fields(load_document(pdf_minimal())) == []
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[1] = _obj(1, b"<< /Type /Catalog /Pages 2 0 R /AcroForm 5 0 R >>")
+    bodies[5] = _obj(5, b"<< /Fields [6 0 R] >>")
+    bodies[6] = _obj(6, b"<< /T (a) /Kids [6 0 R 7 0 R] >>")  # self-kid
+    bodies[7] = _obj(7, b"<< /Parent 6 0 R /T (b) /V (v) >>")
+    ff = extract_form_fields(load_document(_assemble(bodies)))
+    assert [(x["name"], x["value"]) for x in ff] == [("a.b", "v")]

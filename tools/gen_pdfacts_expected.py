@@ -75,6 +75,7 @@ def build_extras():
     )
     attach_rows = []
     outline_rows = []
+    formfield_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -161,6 +162,7 @@ def build_extras():
                 )
         from caraspark.pdfengine.document import (
             extract_attachments,
+            extract_form_fields,
             extract_outline,
         )
 
@@ -177,6 +179,10 @@ def build_extras():
             )
         for o in extract_outline(doc):
             outline_rows.append((rid, o["pos"], o["level"], o["title"]))
+        for ffld in extract_form_fields(doc):
+            formfield_rows.append(
+                (rid, ffld["pos"], ffld["name"], ffld["ft"], ffld["value"])
+            )
 
     import random
 
@@ -212,7 +218,7 @@ def build_extras():
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
-        html_idx, attach_rows, outline_rows,
+        html_idx, attach_rows, outline_rows, formfield_rows,
     )
 
 
@@ -268,7 +274,7 @@ def main() -> None:
     rows = build_expected()
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
-        html_idx, attach_rows, outline_rows,
+        html_idx, attach_rows, outline_rows, formfield_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -291,14 +297,16 @@ def main() -> None:
             f"FINDREF_ROWS = {fmt(findref_rows)}\n\n"
             f"HTML_IDX = {fmt(html_idx)}\n\n"
             f"ATTACH_ROWS = {fmt(attach_rows)}\n\n"
-            f"OUTLINE_ROWS = {fmt(outline_rows)}\n"
+            f"OUTLINE_ROWS = {fmt(outline_rows)}\n\n"
+            f"FORMFIELD_ROWS = {fmt(formfield_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
         f"{len(types_rows)} type rows, {len(objkind_rows)} objkinds, "
         f"{len(variant_rows)} variants, {len(findref_rows)} findrefs, "
         f"{len(html_idx)} html idx, {len(attach_rows)} attachments, "
-        f"{len(outline_rows)} outline rows -> {path}"
+        f"{len(outline_rows)} outline rows, "
+        f"{len(formfield_rows)} form fields -> {path}"
     )
 
 
