@@ -1306,3 +1306,84 @@ def dedup_substring(spark, sf):
     return grams.join(dup, "gram_md5").select(
         "doc_id", F.col("pos").cast("int").alias("pos"), "gram_md5", "n_docs"
     )
+
+
+@_q(
+    "dedup_substring_spans",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUB_K})) AS s
+  FROM toks WHERE len(t) >= {_SUB_K}
+), grams AS (
+  SELECT doc_id, s AS pos,
+         md5(array_to_string(list_slice(t, s + 1, s + {_SUB_K}), ' '))
+             AS gram_md5
+  FROM starts
+), dup AS (
+  SELECT gram_md5 FROM grams
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram_md5)
+), islands AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_pos IS NULL OR pos - prev_pos > {_SUB_K}
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+        FROM marked) x
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_SUB_K} AS INT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM islands GROUP BY doc_id, island""",
+)
+def dedup_substring_spans(spark, sf):
+    """The REMOVE step of substring dedup: duplicated windows merged into
+    maximal per-doc token intervals [span_start, span_end) — overlapping
+    or K-adjacent windows coalesce (gaps-and-islands: a new island starts
+    when the gap to the previous marked position exceeds K).
+
+    Scale shape: everything up to the marking is ``dedup_substring``'s
+    digest-only plan; the merge adds one window over (doc_id, pos) —
+    partition-local sorts bounded by per-doc window counts, and the
+    (doc_id) exchange carries only (int, int) pairs. The output intervals
+    are what a writer subtracts from each doc's token stream."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= _SUB_K)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _SUB_K),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, _SUB_K))),
+            )
+        ).alias("pos", "gram_md5"),
+    )
+    dup = (
+        grams.groupBy("gram_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_md5")
+    )
+    marked = grams.join(dup, "gram_md5").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn("prev_pos", F.lag("pos").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_pos").isNull()
+                | (F.col("pos") - F.col("prev_pos") > _SUB_K),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + _SUB_K).cast("int").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

@@ -145,3 +145,37 @@ def test_dedup_substring_shuffles_digests_only(spark, sf_smoke):
     for ln in p.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "gram_md5" in ln, ln
+
+
+def test_dedup_substring_spans_merge_invariants(spark, sf_smoke):
+    """Spans are maximal disjoint merges of the marked windows: every
+    marked position falls in exactly one span, spans are ≥K tokens apart,
+    and each span's window count matches its marked positions."""
+    from caraspark.textops import (
+        _SUB_K,
+        dedup_substring,
+        dedup_substring_spans,
+    )
+
+    marked: dict = {}
+    for r in dedup_substring(spark, sf_smoke).collect():
+        marked.setdefault(r.doc_id, set()).add(r.pos)
+    spans: dict = {}
+    for r in dedup_substring_spans(spark, sf_smoke).collect():
+        spans.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_windows)
+        )
+    assert set(spans) == set(marked)
+    for did, sp in spans.items():
+        sp.sort()
+        pos = sorted(marked[did])
+        covered = set()
+        for a, b, n in sp:
+            inside = [p for p in pos if a <= p <= b - _SUB_K]
+            assert len(inside) == n
+            assert min(inside) == a and max(inside) == b - _SUB_K
+            covered |= set(inside)
+        assert covered == set(pos)
+        # maximality: consecutive spans separated by more than K
+        for (a1, b1, _), (a2, _, _) in zip(sp, sp[1:]):
+            assert a2 - (b1 - _SUB_K) > _SUB_K
