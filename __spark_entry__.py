@@ -90,10 +90,10 @@ _FRONT = [
     # multimodal pack
     "media_meta", "media_features", "image_resize", "video_frame_sample",
     "audio_stats",
-    # v6 head metadata
-    "doc_headmeta", "doc_headmeta_sig",
+    # v6 head metadata / v7 headings
+    "doc_headmeta", "doc_headmeta_sig", "doc_headings_sig",
     # corpus-level rollups
-    "doc_stats", "doc_taxonomy", "corpus_pipeline",
+    "doc_stats", "doc_taxonomy",
 ]
 
 

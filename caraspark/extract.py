@@ -57,6 +57,13 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("canonical", pa.string(), True),
         pa.field("description", pa.string(), True),
         pa.field(
+            "headings",
+            pa.list_(
+                pa.struct([("block", pa.int32()), ("level", pa.int32())])
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -172,6 +179,7 @@ def _extract_batches(
             cols["title"].append(r.title)
             cols["canonical"].append(r.canonical)
             cols["description"].append(r.description)
+            cols["headings"].append(r.headings_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

@@ -413,6 +413,79 @@ def doc_headmeta_sig(spark, sf):
 
 
 @_q(
+    "doc_headings",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(0 AS INT) AS block, CAST(1 AS INT) AS level
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(2 AS INT) AS block,
+       CAST(2 + doc_id % 5 AS INT) AS level
+FROM documents""",
+)
+def doc_headings(spark, sf):
+    """v7 HEADINGS, hash-verified closed-form: each doc gets an h1 (kept
+    block 0), a body paragraph (block 1), an h(2..6) whose digit derives
+    from doc_id (block 2), a boiler-region h2 and an empty h3 that must
+    emit nothing — DuckDB predicts every (url, block, level) row."""
+    docs = load(spark, sf, "documents")
+    hlevel = (F.col("doc_id") % 5 + 2).cast("string")
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><h1>Top heading</h1><p>"),
+                F.col("text"),
+                F.lit("</p><h"),
+                hlevel,
+                F.lit(">Section "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</h"),
+                hlevel,
+                F.lit('><div class="sidebar"><h2>skip</h2></div>'),
+                F.lit("<h3>   </h3></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    h = ex.select("url", F.explode("headings").alias("h"))
+    return h.select(
+        "url", F.col("h.block").alias("block"), F.col("h.level").alias("level")
+    )
+
+
+@_q(
+    "doc_headings_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, CAST(n_headings AS INT) AS n_headings, headings_sig
+FROM perdoc""",
+)
+def doc_headings_sig(spark, sf):
+    """v7 HEADINGS over the full synth corpus (HTML h1–h6 kept-block
+    structure + PDF outline preorder levels) vs the frozen
+    per-recipe/per-idx expected signatures."""
+    ex = _extracted(spark, sf)
+    return ex.select(
+        "url",
+        F.size("headings").alias("n_headings"),
+        F.concat_ws(
+            ";",
+            F.transform(
+                "headings",
+                lambda h: F.concat_ws(
+                    ":", h["block"].cast("string"), h["level"].cast("string")
+                ),
+            ),
+        ).alias("headings_sig"),
+    )
+
+
+@_q(
     "doc_stats",
     f"""WITH {corpus_cte()},
 {perdoc_cte()}

@@ -72,6 +72,15 @@ and compared byte-for-byte per url):
   but not inside boilerplate attr-regions; first occurrence wins; absent
   or empty -> None. PDFs map description to /Info /Subject (same Annex-D
   decode as TITLE) and have no canonical; stats mode yields None/None.
+* HEADINGS (v7, document structure): one (block, level) pair per KEPT
+  block whose opening tag was h1–h6 — ``block`` is the kept-block index
+  (the same index SPANS labels "block:<i>", so the heading text is the
+  span's payload slice), ``level`` the digit. The opening tag of the
+  current block is tracked from the block-boundary OPEN event (open and
+  self-closing tags set it, close events and flushes clear it); a block
+  discarded by emptiness or link density emits nothing. PDFs map the
+  outline tree instead: (preorder position, nesting level + 1) — levels
+  are 1-based like HTML's. Stats mode yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -153,18 +162,24 @@ class _Extractor(HTMLParser):
         self._title_done = False
         self.canonical: str | None = None
         self.description: str | None = None
+        self.headings: list[tuple[int, int]] = []  # (kept-block idx, level)
+        self._open_block_tag: str | None = None
 
     # -- block lifecycle
     def _flush(self) -> None:
         text = " ".join("".join(self._buf).split())
         link, total = self._link_chars, self._total_chars
+        tag = self._open_block_tag
         self._buf.clear()
         self._link_chars = 0
         self._total_chars = 0
+        self._open_block_tag = None
         if not text:
             return
         if total > 0 and link / total > LINK_DENSITY_MAX:
             return
+        if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            self.headings.append((len(self.blocks), int(tag[1])))
         self.blocks.append(text)
 
     @staticmethod
@@ -230,6 +245,7 @@ class _Extractor(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            self._open_block_tag = tag
         elif tag == "a":
             self._a_depth += 1
             self._collect_href(attrs)
@@ -266,6 +282,7 @@ class _Extractor(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            self._open_block_tag = tag
         elif tag == "a":
             self._collect_href(attrs)
 
@@ -291,8 +308,8 @@ def extract_html(
     html: bytes,
 ) -> tuple:
     """blob → (text bytes, block spans, outlinks, title, canonical,
-    description) per the SPEC (v3 SPANS, v4 OUTLINKS, v5 TITLE,
-    v6 HEADMETA)."""
+    description, headings) per the SPEC (v3 SPANS, v4 OUTLINKS,
+    v5 TITLE, v6 HEADMETA, v7 HEADINGS)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -302,7 +319,9 @@ def extract_html(
         pass
     p._flush()
     if not p.blocks:
-        return b"", [], p.outlinks, p.title, p.canonical, p.description
+        return (
+            b"", [], p.outlinks, p.title, p.canonical, p.description, []
+        )
     spans: list[tuple[int, int, str]] = []
     off = 0
     for i, block in enumerate(p.blocks):
@@ -316,6 +335,7 @@ def extract_html(
         p.title,
         p.canonical,
         p.description,
+        p.headings,
     )
 
 

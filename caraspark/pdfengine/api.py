@@ -83,6 +83,9 @@ class ExtractResult:
     # first <meta name=description> content / PDF /Info /Subject.
     canonical: str | None = None
     description: str | None = None
+    # v7 HEADINGS: (block, level) per kept h1–h6 block (HTML; block is the
+    # spans index) / (preorder pos, level+1) over the outline tree (PDF).
+    headings: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -112,6 +115,11 @@ class ExtractResult:
             }
             for e in self.errors
         ]
+
+    def headings_as_rows(self) -> list[dict] | None:
+        if self.headings is None:
+            return None
+        return [{"block": b, "level": lv} for b, lv in self.headings]
 
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
@@ -204,6 +212,13 @@ def _process_pdf(
     outlinks: list | None = [] if want_text else None
     title = _pdf_info_text(doc, "Title") if want_text else None
     description = _pdf_info_text(doc, "Subject") if want_text else None
+    headings = None
+    if want_text:
+        from caraspark.pdfengine.document import extract_outline
+
+        headings = [
+            (o["pos"], o["level"] + 1) for o in extract_outline(doc)
+        ]
 
     n_streams = 0
     bytes_decoded = 0
@@ -220,6 +235,7 @@ def _process_pdf(
         outlinks=outlinks,
         title=title,
         description=description,
+        headings=headings,
         errors=errors,
         version=doc.version,
         n_objects=len(doc.objects),
@@ -247,9 +263,9 @@ def _process_pdf(
 def _process_html(blob, want_text=True) -> ExtractResult:
     errors: list[PdfError] = []
     if want_text:
-        text, spans, outlinks, title, canonical, description = extract_html(
-            blob
-        )
+        (
+            text, spans, outlinks, title, canonical, description, headings,
+        ) = extract_html(blob)
         has_content = bool(text)
     else:
         # Stats mode skips text materialization but must agree with the full
@@ -262,6 +278,7 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         title = None
         canonical = None
         description = None
+        headings = None
         has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
@@ -273,5 +290,6 @@ def _process_html(blob, want_text=True) -> ExtractResult:
         title=title,
         canonical=canonical,
         description=description,
+        headings=headings,
         errors=errors,
     )

@@ -56,6 +56,19 @@ EXTRACTED = T.StructType(
         # v6 HEADMETA: canonical link href; meta description / PDF Subject
         T.StructField("canonical", T.StringType(), True),
         T.StructField("description", T.StringType(), True),
+        # v7 HEADINGS: kept h1-h6 blocks (block = spans index) / outline
+        T.StructField(
+            "headings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("block", T.IntegerType(), False),
+                        T.StructField("level", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

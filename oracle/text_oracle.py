@@ -997,6 +997,10 @@ def _html_text(blob: bytes) -> bytes:
 
 
 def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
+    return _html_full(blob)[:2]
+
+
+def _html_full(blob: bytes) -> tuple[bytes, list, list]:
     src = _decode_page(blob)
     tk = _Tokenizer()
     try:
@@ -1006,18 +1010,24 @@ def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
         pass
 
     blocks: list[str] = []
+    headings: list[tuple[int, int]] = []
     buf: list[str] = []
     drop = 0
     a_depth = 0
     link = total = 0
+    open_block = [None]  # v7: opening tag of the current block
 
     def flush():
         nonlocal link, total
         text = " ".join("".join(buf).split())
         l, t = link, total
+        tag = open_block[0]
+        open_block[0] = None
         buf.clear()
         link = total = 0
         if text and not (t > 0 and l / t > 0.66):
+            if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                headings.append((len(blocks), int(tag[1])))
             blocks.append(text)
 
     # attr-drop region state (SPEC v2): opaque while active — only the
@@ -1043,6 +1053,7 @@ def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
                     region_tag, region_n = val, 1
                 elif val in _BLOCK:
                     flush()
+                    open_block[0] = val
                 elif val == "a":
                     a_depth += 1
         elif ev == "close":
@@ -1056,6 +1067,7 @@ def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
         elif ev == "selfclose":
             if drop == 0 and val in _BLOCK:
                 flush()
+                open_block[0] = val
         else:  # text
             if drop == 0 and val:
                 buf.append(val)
@@ -1065,8 +1077,12 @@ def _html_text_spans(blob: bytes) -> tuple[bytes, list]:
                     link += nws
     flush()
     if not blocks:
-        return b"", []
-    return "\n".join(blocks).encode("utf-8"), _spans_of(blocks, "block")
+        return b"", [], headings
+    return (
+        "\n".join(blocks).encode("utf-8"),
+        _spans_of(blocks, "block"),
+        headings,
+    )
 
 
 def _html_outlinks(blob: bytes) -> list[str]:
@@ -1301,16 +1317,55 @@ def oracle_extract_spans(blob: bytes) -> tuple[bytes, list]:
 
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
-    v6 description) — 2nd witness."""
+    v6 description, v7 headings) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
             text, spans, [], _pdf_info_title(blob),
             None, _pdf_info_text(blob, "Subject"),
+            _pdf_outline_levels(blob),
         )
-    text, spans = _html_text_spans(blob)
+    text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
     return (
         text, spans, _html_outlinks(blob), _html_title(blob),
-        canonical, description,
+        canonical, description, headings,
     )
+
+
+def _pdf_outline_levels(data: bytes) -> list[tuple[int, int]]:
+    """v7 PDF side, 2nd witness: (preorder position, level+1) over the
+    catalog /Outlines tree — xref-free object scan, iterative walk."""
+    objs = _scan_objects(data)
+    cat = None
+    for num in sorted(objs):
+        v = objs[num][0]
+        if isinstance(v, dict) and str(v.get("Type")) == "Catalog":
+            cat = v
+    if not isinstance(cat, dict):
+        return []
+    ol = cat.get("Outlines")
+    if not isinstance(ol, _Ref):
+        return []
+    root = objs.get(ol.num, (None, None))[0]
+    if not isinstance(root, dict):
+        return []
+    out: list[tuple[int, int]] = []
+    seen: set[int] = set()
+
+    def walk(first, level):
+        cur = first
+        while isinstance(cur, _Ref) and level <= 33:
+            if cur.num in seen:
+                return
+            seen.add(cur.num)
+            item = objs.get(cur.num, (None, None))[0]
+            if not isinstance(item, dict):
+                return
+            out.append((len(out), level))
+            if isinstance(item.get("First"), _Ref):
+                walk(item.get("First"), level + 1)
+            cur = item.get("Next")
+
+    walk(root.get("First"), 1)
+    return out

@@ -841,9 +841,10 @@ def test_title_rules():
     # unclosed title collects to EOF (both witnesses by construction)
     assert title(b"<title>to the end of input") == "to the end of input"
     # title text never leaks into the text payload
-    text, _, _, t, _, _ = extract_html(
+    r = extract_html(
         b"<head><title>Me</title></head><body><p>body</p></body>"
     )
+    text, t = r[0], r[3]
     assert text == b"body" and t == "Me"
 
 
@@ -1119,3 +1120,42 @@ def test_form_fields_absent_and_cycles():
     bodies[7] = _obj(7, b"<< /Parent 6 0 R /T (b) /V (v) >>")
     ff = extract_form_fields(load_document(_assemble(bodies)))
     assert [(x["name"], x["value"]) for x in ff] == [("a.b", "v")]
+
+
+# --- v7 HEADINGS (document structure) ----------------------------------------
+
+
+def test_headings_rules():
+    from caraspark.htmlengine import extract_html
+
+    r = extract_html(
+        b"<body><h1>Top</h1><p>para</p><h2>Sub</h2>"
+        b"<h3 class='sidebar'>boiler</h3><h2>  </h2>"
+        b"<h2><a href=/x>ff gg</a></h2><p>tail</p></body>"
+    )
+    # blocks: Top(0) para(1) Sub(2) tail(3); boiler/empty/linkfarm h's drop
+    assert r[0] == b"Top\npara\nSub\ntail"
+    assert r[6] == [(0, 1), (2, 2)]
+    # heading block index matches the spans index (payload slice = title)
+    s0 = r[1][0]
+    assert r[0][s0[0] : s0[1]] == b"Top"
+
+
+def test_headings_pdf_outline_levels_and_stats_mode():
+    from caraspark.synth import pdf_outline
+
+    r = process_document(pdf_outline())
+    assert r.headings == [(0, 1), (1, 2), (2, 2), (3, 1)]
+    assert process_document(pdf_outline(), want_text=False).headings is None
+    assert process_document(_blob("pdf_minimal")).headings == []
+
+
+@pytest.mark.parametrize("name", ALL_RECIPES)
+def test_headings_second_witness(name):
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = _blob(name)
+    r = process_document(blob)
+    if not r.valid or r.encrypted:
+        pytest.skip("oracle witnesses valid/plaintext docs only")
+    assert r.headings == oracle_extract_full(blob)[6]

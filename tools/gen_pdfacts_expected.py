@@ -227,6 +227,12 @@ def _title_facts(res) -> dict:
         "title": res.title,
         "canonical": res.canonical,
         "description": res.description,
+        "n_headings": None if res.headings is None else len(res.headings),
+        "headings_sig": (
+            None
+            if res.headings is None
+            else ";".join(f"{b}:{lv}" for b, lv in res.headings)
+        ),
     }
 
 
