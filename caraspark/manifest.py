@@ -134,6 +134,21 @@ class SnapshotManifest:
         ``gen``). Cost is two unit-map resolutions — no data files are
         touched, so a 10^12-doc consumer polling a chunk-committing
         producer reads only the new chunk's directories each cycle."""
+        # from_snapshot_id=0 is the explicit "since table creation" sentinel
+        # (every unit counts as changed). Any NON-ZERO id must resolve:
+        # mirroring Iceberg, an incremental read over an expired or mistyped
+        # snapshot errors loudly instead of silently re-reading everything /
+        # reading nothing.
+        if from_snapshot_id and self.snapshot(from_snapshot_id) is None:
+            raise ValueError(
+                f"unknown from_snapshot_id {from_snapshot_id}: snapshot file "
+                "missing (expired or mistyped)"
+            )
+        if to_snapshot_id is not None and self.snapshot(to_snapshot_id) is None:
+            raise ValueError(
+                f"unknown to_snapshot_id {to_snapshot_id}: snapshot file "
+                "missing (expired or mistyped)"
+            )
         old = self.units_map(from_snapshot_id) if from_snapshot_id else {}
         new = self.units_map(to_snapshot_id)
         data = os.path.join(self.table_dir, "data")

@@ -183,8 +183,13 @@ def parse_warc(blob: bytes) -> list[dict]:
         except ValueError:
             pos = hdr_end + 4
             continue
+        if clen < 0:  # hostile/corrupt length must not move pos backwards
+            pos = hdr_end + 4
+            continue
         payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
-        pos = hdr_end + 4 + clen + 4  # payload + trailing CRLF CRLF
+        # Guaranteed forward progress even on absurd lengths: never re-scan
+        # bytes before the end of this record's header block.
+        pos = max(hdr_end + 4 + clen + 4, hdr_end + 4)  # payload + CRLFCRLF
         ts_raw = headers.get("warc-date", "")
         try:
             ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")

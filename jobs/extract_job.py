@@ -149,6 +149,21 @@ def run_job(
     }
 
 
+def _empty_extracted(spark):
+    """Empty DataFrame with the REAL extracted-table schema (EXTRACTED +
+    the ``bucket`` partition column), so nothing-committed / nothing-changed
+    reads are schema-compatible with the normal path — a consumer selecting
+    ``text`` or ``verdict`` must not crash only in the empty case."""
+    from pyspark.sql import types as T
+
+    from caraspark.schemas import EXTRACTED
+
+    schema = T.StructType(
+        list(EXTRACTED.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+    )
+    return spark.createDataFrame([], schema)
+
+
 def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
     """Read ONLY manifest-committed units (the snapshot-consistent view),
     at the CONCRETE per-unit paths the snapshot records (gen-aware) — a
@@ -158,7 +173,7 @@ def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
     paths = [p for p in man.unit_paths(snapshot_id) if os.path.isdir(p)]
     if not paths:
         # no committed units, or none of them produced any rows
-        return spark.createDataFrame([], "url string")
+        return _empty_extracted(spark)
     df = (
         spark.read.option("basePath", os.path.join(output_dir, "data"))
         .parquet(*paths)
@@ -182,7 +197,7 @@ def read_incremental(
         if os.path.isdir(p)
     ]
     if not paths:
-        return spark.createDataFrame([], "url string")
+        return _empty_extracted(spark)
     df = (
         spark.read.option("basePath", os.path.join(output_dir, "data"))
         .parquet(*paths)

@@ -383,8 +383,23 @@ def test_incremental_read_covers_chain_disjointly(spark, tmp_path):
         prev = sid
     assert seen == full
 
-    # nothing changed since the head → empty increment
-    assert read_incremental(spark, out, sids[-1]).count() == 0
+    # nothing changed since the head → empty increment, but with the REAL
+    # extracted schema (ADVICE r2: a consumer selecting text/verdict must
+    # not crash only in the nothing-changed case)
+    empty = read_incremental(spark, out, sids[-1])
+    assert empty.count() == 0
+    full_cols = set(read_extracted(spark, out).columns)
+    assert set(empty.columns) == full_cols
+    assert empty.select("text", "verdict.valid").count() == 0
+
+    # unknown snapshot ids error loudly instead of silently reading
+    # nothing / everything (Iceberg posture)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown from_snapshot_id"):
+        read_incremental(spark, out, 987654)
+    with _pytest.raises(ValueError, match="unknown to_snapshot_id"):
+        read_incremental(spark, out, sids[0], 987654)
 
     # a compaction commit reports the rewritten units as changed
     res = compact_table(spark, out)

@@ -79,6 +79,27 @@ def test_parser_resyncs_over_junk_and_bad_lengths():
     assert parsed[-1]["body"] == b"after junk"
 
 
+def test_parser_terminates_on_negative_content_length():
+    """ADVICE r2 (high): a negative Content-Length moved pos BACKWARDS, so
+    buf.find(b"WARC/", pos) re-found the same header forever — a hostile
+    .warc hung the executor task. Must terminate and still re-sync to the
+    next good record."""
+    hostile = (
+        b"A" * 200
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -100\r\n\r\npayload"
+        + W.build_record(
+            "response",
+            W.http_response(b"survivor"),
+            url="https://ex.test/after-neg",
+            ts=datetime(2026, 1, 2),
+        )
+    )
+    parsed = W.parse_warc(hostile)  # must return, not loop
+    urls = [r["url"] for r in parsed if r["rec_type"] == "response"]
+    assert urls == ["https://ex.test/after-neg"]
+    assert parsed[-1]["body"] == b"survivor"
+
+
 def test_read_warc_files_on_disk(spark, tmp_path):
     """The production path: .warc.gz files in a directory → binaryFile →
     documents_raw. Request/warcinfo records must be dropped."""
