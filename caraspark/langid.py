@@ -1,7 +1,15 @@
 """Language identification — n-gram/stopword heuristic (pure Python data,
-vectorized by the caller's pandas UDF; no external models)."""
+vectorized by the caller's pandas UDF; no external models).
+
+``detect_lang_batch`` is the production path: pandas ``.str.count`` with one
+whole-token regex per language + NumPy argmax — no per-row Python anywhere.
+``detect_lang`` is the scalar spec the batch path must match exactly
+(differential-tested in tests/test_textops.py)."""
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 PROFILES: dict[str, frozenset[str]] = {
     "en": frozenset(
@@ -44,3 +52,33 @@ def detect_lang(t: str) -> str:
     # deterministic tiebreak: alphabetical among max scorers
     top = min(l for l, s in scores.items() if s == best[1])
     return top
+
+
+_LANGS = sorted(PROFILES)  # alphabetical → np.argmax's first-max IS the tiebreak
+# a token equals a stopword iff the word appears with no adjacent non-space;
+# \S/\s use the same Unicode whitespace predicate as str.split()
+_TOKEN_PATTERNS = {
+    lang: r"(?<!\S)(?:" + "|".join(sorted(PROFILES[lang])) + r")(?!\S)"
+    for lang in _LANGS
+}
+
+
+def detect_lang_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized ``detect_lang`` over a pandas Series (NULL → 'und' unless
+    CJK/empty rules say otherwise — callers pass fillna('')). All four
+    stopword scores share one denominator (the token count), so the argmax
+    compares integer hit counts; ``np.argmax`` returns the FIRST maximum,
+    which over alphabetically-ordered languages reproduces the scalar
+    spec's alphabetical-min tiebreak."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy()
+    cjk = t.str.count("[一-鿿]").to_numpy()
+    low = t.str.lower()
+    n_toks = low.str.count(r"\S+").to_numpy()
+    hits = np.stack(
+        [low.str.count(_TOKEN_PATTERNS[lang]).to_numpy() for lang in _LANGS]
+    )
+    pred = np.asarray(_LANGS, dtype=object)[hits.argmax(axis=0)]
+    pred = np.where((n_toks == 0) | (hits.max(axis=0) == 0), "und", pred)
+    pred = np.where(cjk > 0.05 * n_chars, "zh", pred)
+    return pd.Series(pred, index=texts.index, dtype=object)

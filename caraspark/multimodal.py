@@ -244,26 +244,30 @@ def media_features(spark, sf):
 
 @_q(
     "image_resize",
-    """SELECT vec_id AS media_id, CAST(8 AS INT) AS out_w,
-              CAST(4 AS INT) AS out_h,
-              list_transform(range(0, 32), k -> CAST(
-                  ((((k // 8) * (8 + vec_id % 8)) // 4) * (16 + vec_id % 16)
-                   + ((k % 8) * (16 + vec_id % 16)) // 8)
-                  * (vec_id + 7) % 256 AS INT)) AS pixels
-       FROM embeddings WHERE vec_id % 3 = 0""",
+    """SELECT e.vec_id AS media_id, CAST(8 AS INT) AS out_w,
+              CAST(4 AS INT) AS out_h, CAST(p.k AS INT) AS k,
+              CAST(((((p.k // 8) * (8 + e.vec_id % 8)) // 4)
+                        * (16 + e.vec_id % 16)
+                    + ((p.k % 8) * (16 + e.vec_id % 16)) // 8)
+                   * (e.vec_id + 7) % 256 AS INT) AS pixel
+       FROM embeddings e, unnest(range(0, 32)) AS p(k)
+       WHERE e.vec_id % 3 = 0""",
 )
 def image_resize(spark, sf):
     """Resize images to 8x4 by strided sampling (real resize math on the
-    fake format); emits output dims + resized pixels. Hash-verified: the
-    fake codec's pixels are arithmetic in media_id, so the oracle
-    reconstructs the strided sample closed-form — any error in binary
-    transfer, header parse, or the stride math breaks the match."""
+    fake format); one ROW per output pixel (media_id, k, pixel) — scalar
+    columns only, because the driver's result canonicalizer sorts with
+    pandas Categorical, which cannot hash list cells (the one red r2 row).
+    Hash-verified: the fake codec's pixels are arithmetic in media_id, so
+    the oracle reconstructs the strided sample closed-form — any error in
+    binary transfer, header parse, or the stride math breaks the match."""
     m = media_df(spark, sf)
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tw, th = 8, 4
+        ks = np.arange(tw * th, dtype=np.int32)
         for pdf in it:
-            rows = []
+            mids, kcol, pix = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 if b[:4] != b"FIMG":
@@ -272,20 +276,23 @@ def image_resize(spark, sf):
                 px = np.frombuffer(b[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(th) * h) // th
                 xs = (np.arange(tw) * w) // tw
-                out = px[np.ix_(ys, xs)]
-                rows.append(
+                out = px[np.ix_(ys, xs)].reshape(-1).astype(np.int32)
+                mids.append(np.full(tw * th, int(mid), dtype=np.int64))
+                kcol.append(ks)
+                pix.append(out)
+            if mids:
+                yield pd.DataFrame(
                     {
-                        "media_id": int(mid),
-                        "out_w": tw,
-                        "out_h": th,
-                        "pixels": out.reshape(-1).astype("int32").tolist(),
+                        "media_id": np.concatenate(mids),
+                        "out_w": np.int32(tw),
+                        "out_h": np.int32(th),
+                        "k": np.concatenate(kcol),
+                        "pixel": np.concatenate(pix),
                     }
                 )
-            if rows:
-                yield pd.DataFrame(rows)
 
     return m.mapInPandas(
-        resize, "media_id bigint, out_w int, out_h int, pixels array<int>"
+        resize, "media_id bigint, out_w int, out_h int, k int, pixel int"
     )
 
 

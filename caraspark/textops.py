@@ -170,13 +170,15 @@ FROM hits"""
 
 @_q("text_langid", _langid_sql())
 def text_langid(spark, sf):
-    """Language ID via stopword/character n-gram heuristic in a vectorized
-    pandas UDF (iterator form amortizes the profile table). Hash-verified
-    against an independent SQL reimplementation (``_langid_sql``)."""
+    """Language ID via stopword/character n-gram heuristic, fully vectorized
+    (pandas .str.count per language profile + NumPy argmax — no per-row
+    Python; r2 verdict retired the last .map(lambda) here). Hash-verified
+    against an independent SQL reimplementation (``_langid_sql``) and
+    differential-tested against the scalar spec ``detect_lang``."""
     def _langid_batch(texts):
-        from caraspark.langid import detect_lang
+        from caraspark.langid import detect_lang_batch
 
-        return texts.map(lambda t: detect_lang(t or ""))
+        return detect_lang_batch(texts)
 
     # NB: `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't introspect — register with explicit return type and

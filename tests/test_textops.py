@@ -26,6 +26,52 @@ def test_langid_deterministic_und():
     assert detect_lang("zzz qqq xxx") == detect_lang("zzz qqq xxx")
 
 
+def test_langid_batch_matches_scalar_spec():
+    """The vectorized production path must agree with the scalar spec on
+    every sample, on edge cases (ties, odd whitespace, CJK threshold,
+    NULLs), and on hypothesis-generated strings."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from caraspark.langid import detect_lang_batch
+
+    edge = [
+        "",
+        "   ",
+        "\t\nder le\r\n",          # de/fr tie → alphabetical 'de'
+        "the el der le",            # 4-way tie → 'de'
+        "the the the",
+        "LE CHIEN EST LA",          # case folding
+        "一two 一 three",           # CJK just under/over 5%
+        "一一一 filler filler filler filler filler filler filler",
+        "word the word",  # NBSP is unicode whitespace
+        "x\x1cthe\x1cx",            # \x1c is str.split whitespace
+        "(the) the, the.",          # punct-attached ≠ token match
+        None,
+    ]
+    got = detect_lang_batch(pd.Series(edge, dtype=object))
+    want = [detect_lang(t or "") for t in edge]
+    assert list(got) == want
+
+    words = list(SAMPLES.values()) + ["the", "der", "le", "el", "一", "x."]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.sampled_from(words),
+                st.text(alphabet=" \t\nabc一鿿的.,", max_size=20),
+            ),
+            max_size=8,
+        )
+    )
+    def check(parts):
+        t = " ".join(parts)
+        assert detect_lang_batch(pd.Series([t]))[0] == detect_lang(t)
+
+    check()
+
+
 def test_ann_ivf_distribution_invariance(spark, sf_smoke):
     """Same top-k at 1 vs 16 input partitions: the struct-max assignment
     and rounded cosines leave no room for partitioning order to leak."""
