@@ -67,33 +67,41 @@ def _driver_verified_keys() -> set[str]:
     return seen
 
 
-# Never-driver-verified keys the next round's window should verify FIRST:
-# this round's new operators, then the registry-tail packs (streaming,
-# pdf facts, multimodal) that sit past every earlier module's keys.
+# Round-3 driver window: the driver verifies exactly the first 50 registry
+# entries, so _FRONT pins them explicitly. 40 oracle-backed keys have never
+# had a driver row across r01/r02 (the 41st unseen key, partition_metrics,
+# is permanently oracle-free and sorts last — see rank()); image_resize was
+# red in r02 (array-typed output broke the driver canonicalizer) and was
+# flattened to scalar rows, so it must be re-verified; the last 9 are
+# retests of keys whose code paths changed this round (warc parser, extract
+# want= pushdown, minhash hash flag) plus representative anchors.
+# tests/test_registry.py asserts list(_merged())[:50] == _FRONT so the
+# window can't drift silently.
 _FRONT = [
-    # this round's new operators
-    "doc_spans", "doc_spans_sig", "doc_outlinks", "doc_outlinks_sig",
-    "doc_title", "doc_title_sig", "warc_roundtrip",
-    # the flagship hash proofs
-    "doc_extract_roundtrip", "doc_extract",
-    # streaming pack
-    "stream_extract", "stream_tumbling", "stream_sliding", "stream_dedup",
-    "stream_join", "stream_join_outer", "stream_session", "stream_stateful",
-    # dedup / ANN pack
-    "dedup_exact", "dedup_minhash", "dedup_minhash_verified", "dedup_ngram",
-    "dedup_clusters", "dedup_simhash", "dedup_embed", "dedup_embed_lsh",
-    "dedup_url", "ann_brute", "ann_lsh", "ann_ivf",
-    # pdf facts pack
-    "pdf_lex", "pdf_parse", "pdf_strict", "pdf_xref", "pdf_xrefstream",
-    "pdf_filters", "pdf_objstm", "pdf_decrypt", "pdf_holes", "pdf_reach",
-    "doc_header",
-    # multimodal pack
-    "media_meta", "media_features", "image_resize", "video_frame_sample",
-    "audio_stats",
-    # v6 head metadata / v7 headings
-    "doc_headmeta", "doc_headmeta_sig", "doc_headings_sig",
-    # corpus-level rollups
-    "doc_stats", "doc_taxonomy",
+    # -- 40 never-driver-verified oracle-backed keys (registration order) --
+    "join_bucketed", "agg_approx_check", "agg_cube", "agg_salted_distinct",
+    "agg_grouped_map", "set_except_all", "set_intersect_all", "join_salted",
+    "text_fingerprint", "text_langid", "text_tokens_bpe",
+    "dedup_substring", "dedup_substring_spans",
+    "text_pii", "text_gopher", "sample_stratified", "ngram_topk",
+    "decontaminate", "mix_weights", "text_repetition", "filter_blocklist",
+    "graph_pagerank", "text_entropy", "doc_chunks", "pack_sequences",
+    "doc_headings", "partition_lineage", "corpus_pipeline", "doc_scan",
+    "pdf_edges", "pdf_dangling", "pdf_findref", "pdf_types", "pdf_objects",
+    "pdf_objects_variant", "pdf_cleanup", "udtf_objects",
+    "pdf_attachments", "pdf_outline", "pdf_formfields",
+    # -- the one red r02 row, now flattened to scalar columns --
+    "image_resize",
+    # -- retests: code paths touched this round + representative anchors --
+    "warc_roundtrip",          # warc.py negative-Content-Length fix
+    "doc_extract",             # want= projection pushdown lands this round
+    "doc_extract_roundtrip",
+    "dedup_minhash",           # hash-fn flag added (oracle path unchanged)
+    "agg_q1",
+    "stream_stateful",
+    "pdf_decrypt",
+    "media_features",
+    "dedup_exact",
 ]
 
 
@@ -104,16 +112,21 @@ def _merged():
             if k in out:
                 raise KeyError(f"duplicate qkey {k!r}")
             out[k] = q
-    # Prioritize never-driver-verified keys (explicit front-list first, then
-    # hash-oracle ones, since a hash row is stronger evidence than
-    # rows-only), then previously-verified keys. Ties keep registration
-    # order, so the result is deterministic.
+    # _FRONT pins the driver's 50-row window exactly (in order). Behind it:
+    # never-driver-verified keys first (new operators added mid-round queue
+    # for the NEXT window), then previously-verified keys. The two
+    # permanently-oracle-free keys (agg_approx: nondeterministic sketch;
+    # partition_metrics: wall-clock timing columns) sort dead last so they
+    # never burn a window row — each has a hash-verified sibling
+    # (agg_approx_check, partition_lineage) that IS the correctness
+    # evidence. Ties keep registration order, so the result is
+    # deterministic.
     seen = _driver_verified_keys()
     front = {k: i for i, k in enumerate(_FRONT)}
 
     def rank(item):
         k, q = item
-        return (k in seen, front.get(k, len(front)), q.sql is None)
+        return (front.get(k, len(front)), q.sql is None, k in seen)
 
     return dict(sorted(out.items(), key=rank))
 
