@@ -125,7 +125,7 @@ _ARROW_SCHEMA = pa.schema(
 
 def _extract_batches(
     it: Iterator[pa.RecordBatch],
-    want_text: bool = True,
+    want: frozenset = None,
 ) -> Iterator[pa.RecordBatch]:
     """The Arrow batch UDF: C2–C27 per blob, byte-budgeted output.
 
@@ -138,7 +138,7 @@ def _extract_batches(
     from caraspark.pdfengine import process_document as _pd
 
     def process_document(blob):
-        return _pd(blob, want_text=want_text)
+        return _pd(blob, want=want)
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
@@ -223,8 +223,20 @@ def extract(
     salt: bool | str = False,
     giant_threshold: int = 4 << 20,
     want_text: bool = True,
+    want=None,
 ) -> DataFrame:
     """documents_raw → extracted (EXTRACTED schema).
+
+    ``want`` pushes the OUTPUT projection into the UDF: pass an iterable of
+    surface names (``caraspark.pdfengine.api.SURFACES``, plus the
+    "headmeta" alias) and only those surfaces are assembled per document —
+    the rest are NULL columns that never cross the Arrow boundary as data.
+    ``want=None`` keeps the legacy boolean: ``want_text=True`` computes all
+    seven surfaces, ``False`` the stats-only mode. Spark prunes INPUT
+    columns at the scan for free; this is the matching engine-side prune
+    for the computed surfaces, which Catalyst cannot see inside the UDF —
+    a metadata-only consumer at 100 TB should not pay for text assembly,
+    span materialization, or the outline walk on every document.
 
     Default is the NARROW plan: scan partitions feed mapInArrow directly —
     zero shuffle, scaling limited only by input splits (parquet scans split
@@ -253,7 +265,11 @@ def extract(
     100 TB shuffle (write + fetch + read); shuffle bytes drop to the
     giant tail only, and the small-doc branch keeps input locality.
     """
-    udf = functools.partial(_extract_batches, want_text=want_text)
+    from caraspark.pdfengine.api import normalize_want
+
+    udf = functools.partial(
+        _extract_batches, want=normalize_want(want, want_text)
+    )
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(

@@ -156,6 +156,37 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
+# The seven extraction surfaces a consumer can request (SPEC v1–v7).
+# "headmeta" is accepted as an alias for {title, canonical, description}.
+SURFACES = frozenset(
+    {"text", "spans", "outlinks", "title", "canonical", "description",
+     "headings"}
+)
+
+
+def normalize_want(
+    want=None, want_text: bool = True
+) -> frozenset:
+    """Resolve the (want, want_text) pair to the surface set to compute.
+
+    ``want=None`` keeps the legacy switch: want_text=True → all surfaces,
+    want_text=False → none (stats-only). An explicit ``want`` wins and
+    may use the "headmeta" alias. Unknown names raise — a typo'd surface
+    silently computing nothing would look like a data bug downstream."""
+    if want is None:
+        return SURFACES if want_text else frozenset()
+    w = set(want)
+    if "headmeta" in w:
+        w.discard("headmeta")
+        w |= {"title", "canonical", "description"}
+    unknown = w - SURFACES
+    if unknown:
+        raise ValueError(
+            f"unknown extraction surfaces {sorted(unknown)}; "
+            f"valid: {sorted(SURFACES)} + 'headmeta'"
+        )
+    return frozenset(w)
+
 
 def process_document(
     blob: bytes,
@@ -164,20 +195,26 @@ def process_document(
     max_objects: int = 100_000,
     time_budget_s: float = DEFAULT_TIME_BUDGET_S,
     want_text: bool = True,
+    want=None,
 ) -> ExtractResult:
-    """``want_text=False`` is the projection-pushdown fast path for
-    metrics-only corpus queries: parsing, xref resolution, decryption and
-    type checking all run, but content-stream text assembly is skipped and
-    ``text`` is None. Caveat, by design: content-stream-level error codes
+    """``want`` (an iterable of SURFACES names, or the legacy boolean
+    ``want_text``) is the projection-pushdown control: parsing, xref
+    resolution, decryption and type checking ALWAYS run, but each content
+    surface is assembled only when requested, and unrequested surfaces are
+    None in the result — so a stats-only or title-only consumer never pays
+    for text assembly, the outline walk, or span materialization.
+    Caveat of text-less modes, by design: content-stream-level error codes
     (``content.*`` and text-side ``filter.*``) are then not collected, so
-    the verdict covers document STRUCTURE only."""
+    the verdict covers document STRUCTURE only (the strict verdict already
+    excludes ``extract.*`` codes, making it want-invariant)."""
+    wanted = normalize_want(want, want_text)
     t0 = time.perf_counter()
     if is_pdf(blob):
         res = _process_pdf(
-            blob, strict, want_objects, max_objects, time_budget_s, want_text
+            blob, strict, want_objects, max_objects, time_budget_s, wanted
         )
     else:
-        res = _process_html(blob, want_text)
+        res = _process_html(blob, wanted)
     res.bytes_in = len(blob)
     res.parse_ms = (time.perf_counter() - t0) * 1000.0
     res.errors.sort(key=lambda e: e.sort_key())
@@ -193,7 +230,7 @@ def process_document(
 
 def _process_pdf(
     blob, strict, want_objects, max_objects, time_budget_s=None,
-    want_text=True,
+    want=SURFACES,
 ) -> ExtractResult:
     doc: Document = load_document(
         blob,
@@ -206,14 +243,23 @@ def _process_pdf(
     tres = check_types(doc, strict=strict)
     errors.extend(tres.errors)
 
-    text, spans = (
-        extract_text_spans(doc, errors) if want_text else (None, None)
+    # text and spans share one content-stream assembly pass; run it when
+    # either is requested, then drop the unrequested half.
+    if want & {"text", "spans"}:
+        text, spans = extract_text_spans(doc, errors)
+        if "text" not in want:
+            text = None
+        if "spans" not in want:
+            spans = None
+    else:
+        text, spans = None, None
+    outlinks: list | None = [] if "outlinks" in want else None
+    title = _pdf_info_text(doc, "Title") if "title" in want else None
+    description = (
+        _pdf_info_text(doc, "Subject") if "description" in want else None
     )
-    outlinks: list | None = [] if want_text else None
-    title = _pdf_info_text(doc, "Title") if want_text else None
-    description = _pdf_info_text(doc, "Subject") if want_text else None
     headings = None
-    if want_text:
+    if "headings" in want:
         from caraspark.pdfengine.document import extract_outline
 
         headings = [
@@ -260,13 +306,32 @@ def _process_pdf(
     return res
 
 
-def _process_html(blob, want_text=True) -> ExtractResult:
+def _process_html(blob, want=SURFACES) -> ExtractResult:
     errors: list[PdfError] = []
-    if want_text:
+    if want:
+        # HTML extraction is one single-pass parse that produces all seven
+        # surfaces together (the pass itself is the cost; the per-surface
+        # collection is incidental), so any requested surface runs the full
+        # parse and the unrequested ones are nulled afterwards — the saving
+        # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
         ) = extract_html(blob)
         has_content = bool(text)
+        if "text" not in want:
+            text = None
+        if "spans" not in want:
+            spans = None
+        if "outlinks" not in want:
+            outlinks = None
+        if "title" not in want:
+            title = None
+        if "canonical" not in want:
+            canonical = None
+        if "description" not in want:
+            description = None
+        if "headings" not in want:
+            headings = None
     else:
         # Stats mode skips text materialization but must agree with the full
         # run on the error taxonomy: early-exit emptiness probe, no content.

@@ -195,6 +195,80 @@ def test_want_text_false_stats_only_path(spark):
     assert any(s["kind"] == "html" for s in stats.values())
 
 
+def test_want_surface_projection_parity(spark):
+    """want=(surfaces,) mode-parity: every requested surface is byte-equal
+    to the full run's value, every unrequested one is NULL, and the verdict
+    is want-invariant. This is the engine-side analogue of column pruning —
+    Catalyst can't see inside the UDF, so the prune must be correct here."""
+    full = {
+        r["url"]: r
+        for r in extract(synth_df(spark, 48, partitions=4)).collect()
+    }
+    surfaces = ("title", "headings")
+    part = {
+        r["url"]: r
+        for r in extract(
+            synth_df(spark, 48, partitions=4), want=surfaces
+        ).collect()
+    }
+    assert set(full) == set(part)
+    for url, p in part.items():
+        f = full[url]
+        assert p["title"] == f["title"], url
+        assert p["headings"] == f["headings"], url
+        for nulled in ("text", "spans", "outlinks", "canonical",
+                       "description"):
+            assert p[nulled] is None, (url, nulled)
+        assert p["verdict"] == f["verdict"], url
+        assert p["metrics"]["n_objects"] == f["metrics"]["n_objects"]
+    # headmeta alias expands to title+canonical+description
+    hm = {
+        r["url"]: r
+        for r in extract(
+            synth_df(spark, 16, partitions=2), want=("headmeta",)
+        ).collect()
+    }
+    for url, p in hm.items():
+        f = full.get(url)
+        if f is None:
+            continue
+        assert p["title"] == f["title"]
+        assert p["canonical"] == f["canonical"]
+        assert p["description"] == f["description"]
+        assert p["text"] is None and p["spans"] is None
+
+
+def test_want_text_only_matches_full_text(spark):
+    """A text-only consumer gets byte-identical text to the full run (the
+    north-rule invariant survives the pushdown) with spans/outlinks NULL."""
+    full = {
+        r["url"]: bytes(r["text"]) if r["text"] is not None else None
+        for r in extract(synth_df(spark, 48, partitions=4)).collect()
+    }
+    only = {
+        r["url"]: r
+        for r in extract(
+            synth_df(spark, 48, partitions=4), want=("text",)
+        ).collect()
+    }
+    assert set(full) == set(only)
+    for url, p in only.items():
+        got = bytes(p["text"]) if p["text"] is not None else None
+        assert got == full[url], url
+        assert p["spans"] is None and p["outlinks"] is None
+
+
+def test_want_unknown_surface_raises(spark):
+    import pytest as _pytest
+
+    from caraspark.pdfengine.api import normalize_want
+
+    with _pytest.raises(ValueError):
+        normalize_want(("text", "tittle"))
+    assert normalize_want(None, want_text=False) == frozenset()
+    assert "canonical" in normalize_want(("headmeta",))
+
+
 def test_html_has_content_matches_full_extraction():
     """The early-exit probe must agree with bool(extract_html_text) on
     every HTML recipe plus edge inputs — mode-invariant verdicts depend on
