@@ -4,13 +4,27 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Each query is executed with a `noop` write so the
 full plan runs distributed without collecting results to the driver.
 
-Also reports extraction throughput (docs/s) once caraspark.extract lands, and
-the 8-vs-32-core scaling efficiency lives in tools/bench_scaling.py →
+Measurement discipline (round-2 postmortem: the driver's recorded pack was a
+uniform ~2.1x slower than the same-session local run with zero plan changes —
+single-shot timings on a shared VM measure co-tenant CPU steal, not code):
+
+* every headline query is BEST-OF-3 after one untimed warmup of the pack's
+  first query (JVM + parquet footers);
+* extraction throughput is measured FIRST, before the heavy extras pack, so
+  its number never rides on a JVM that just chewed through minhash/LSH;
+* the 4,096-doc extraction corpus is content-hashed and compared against the
+  committed BENCH/corpus_manifest.json — `extract_corpus_pinned` in the
+  output says whether this round's docs/s is byte-comparable to last
+  round's (r1→r2 silently regenerated the corpus with 41→57 recipes, which
+  confounded the throughput delta).
+
+The 8-vs-32-core scaling efficiency lives in tools/bench_scaling.py →
 BENCH/BASELINE.md (BASELINE.md protocol).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -33,13 +47,54 @@ HEADLINE = [
     "fn_json",
 ]
 
+EXTRAS = [
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_ivf",
+    "ann_lsh",
+    "doc_chunks",
+    "pack_sequences",
+    "warc_roundtrip",
+]
+
+REPEATS = 3
+
 
 def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def best_of(fn, repeats: int = REPEATS) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def corpus_fingerprint(spark, path: str) -> str:
+    """Deterministic content hash of the bench corpus: md5 over the
+    url-sorted per-doc (url, md5(html)) stream. Small (4,096 rows) by
+    construction — the collect is the fingerprint, not the benchmark."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(path)
+        .select("url", F.md5(F.col("html").cast("binary")).alias("h"))
+        .orderBy("url")
+        .collect()
+    )
+    acc = hashlib.md5()
+    for r in rows:
+        acc.update(r["url"].encode())
+        acc.update((r["h"] or "").encode())
+    return acc.hexdigest()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    here = os.path.dirname(os.path.abspath(__file__))
     import __spark_entry__ as ent
     from caraspark.session import get_spark
 
@@ -47,9 +102,40 @@ def main() -> None:
     qs = ent.queries()
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict[str, object] = {}
 
-    # warm the JVM + parquet footers once so per-query numbers are compute
+    # ---- extraction throughput FIRST (fresh JVM, nothing heavy ran yet);
+    # bench_extract does its own warmup pass + best-of-3 ----
+    try:
+        from caraspark.bench_extract import (
+            corpus_path,
+            ensure_corpus,
+            extraction_docs_per_sec,
+        )
+
+        n_docs = 4096
+        ensure_corpus(spark, n_docs)
+        sha = corpus_fingerprint(spark, corpus_path(n_docs))
+        pinned = None
+        manifest = os.path.join(here, "BENCH", "corpus_manifest.json")
+        if os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as f:
+                pinned = json.load(f).get("corpus_md5") == sha
+        docs_s, docs, secs = extraction_docs_per_sec(spark, n_docs)
+        extra.update(
+            {
+                "extract_docs_per_sec": round(docs_s, 1),
+                "extract_docs": docs,
+                "extract_sec": round(secs, 3),
+                "extract_corpus_md5": sha,
+                "extract_corpus_pinned": pinned,
+            }
+        )
+        timings["doc_extract"] = round(secs, 3)
+    except ImportError:
+        pass
+
+    # ---- headline pack: one untimed warmup, then best-of-3 per query ----
     for name in ("scan_parquet",):
         if name in qs:
             run_noop(qs[name](spark, sf_dir))
@@ -57,36 +143,27 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        run_noop(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of(lambda: run_noop(qs[name](spark, sf_dir)))
 
-    # LLM-pipeline ops, timed but NOT in the headline total — keeps
-    # `value` comparable round-over-round while showing these costs
+    # ---- LLM-pipeline ops, timed (single-shot: each is many seconds, and
+    # they are excluded from the headline total) ----
     extra_pack: dict[str, float] = {}
-    for name in (
-        "dedup_minhash",
-        "dedup_simhash",
-        "ann_ivf",
-        "ann_lsh",
-        "doc_chunks",
-        "pack_sequences",
-        "warc_roundtrip",
-    ):
+    for name in EXTRAS:
         if name not in qs:
             continue
         t0 = time.time()
         run_noop(qs[name](spark, sf_dir))
         extra_pack[name] = round(time.time() - t0, 3)
 
-    # extraction throughput (flagship), if the extract pack is present
+    # production-hash minhash variant: same plan shape, xxhash64 lanes
     try:
-        from caraspark.bench_extract import extraction_docs_per_sec
+        from caraspark.relational import load
+        from caraspark.textops import minhash_candidates
 
-        docs_s, n_docs, secs = extraction_docs_per_sec(spark)
-        extra = {"extract_docs_per_sec": round(docs_s, 1), "extract_docs": n_docs,
-                 "extract_sec": round(secs, 3)}
-        timings["doc_extract"] = round(secs, 3)
+        t0 = time.time()
+        run_noop(minhash_candidates(load(spark, sf_dir, "documents"),
+                                    hash_fn="xxh"))
+        extra_pack["dedup_minhash_xxh"] = round(time.time() - t0, 3)
     except ImportError:
         pass
 
@@ -95,6 +172,7 @@ def main() -> None:
         "metric": "headline_pack_total",
         "value": total,
         "unit": "sec",
+        "repeats": REPEATS,
         "queries": timings,
         "queries_extra": extra_pack,
         "sf": sf_dir,

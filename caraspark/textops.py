@@ -309,8 +309,21 @@ def dedup_minhash(spark, sf):
     byte-identical boilerplate pages — is exactly what `dedup_exact`
     removes upstream; collect_list per band is therefore small by
     construction, and the only wide exchanges carry (doc_id, 8×8B) and
-    (band digest, id) rows."""
-    d = load(spark, sf, "documents")
+    (band digest, id) rows.
+
+    hash_fn="sha2" (the registered qkey) keeps lane hashes DuckDB-
+    reproducible for the oracle; production runs should pass
+    hash_fn="xxh" — same plan shape, but 8 seeded xxhash64 lanes replace
+    the sha2-256 digest+hex-slice, removing the dominant per-shingle CPU
+    cost (BENCH extras time both)."""
+    return minhash_candidates(load(spark, sf, "documents"), hash_fn="sha2")
+
+
+def minhash_candidates(d, hash_fn: str = "sha2"):
+    """(documents df) → (id_a, id_b, n_bands) LSH candidate pairs; the
+    plan-shape contract of `dedup_minhash`'s docstring holds for both
+    hash_fn values (pinned in test_plans.py)."""
+    spark = d.sparkSession
     docs = d.filter(F.length("text") >= _SHINGLE).select(
         "doc_id", F.lower("text").alias("t")
     )
@@ -334,17 +347,31 @@ def dedup_minhash(spark, sf):
     shingles = docs.select(
         "doc_id", "t", F.explode(idx).alias("i")
     ).select("doc_id", F.expr(f"substring(t, i, {_SHINGLE})").alias("sh"))
-    hashed = shingles.select(
-        "doc_id", F.sha2(F.encode("sh", "utf-8"), 256).alias("dg")
-    )
-    mh = hashed.groupBy("doc_id").agg(
-        *[
+    if hash_fn == "sha2":
+        # oracle-reproducible lanes: one sha2-256 hex digest per shingle,
+        # eight 8-hex-char slices → BIGINT lanes
+        hashed = shingles.select(
+            "doc_id", F.sha2(F.encode("sh", "utf-8"), 256).alias("dg")
+        )
+        lanes = [
             F.min(
                 F.conv(F.substring("dg", s, 8), 16, 10).cast("long")
             ).alias(f"m{j}")
             for j, s in enumerate(_mh_slices())
         ]
-    )
+        mh = hashed.groupBy("doc_id").agg(*lanes)
+    elif hash_fn == "xxh":
+        # production lanes: 8 seeded xxhash64 values per shingle — pure
+        # JVM codegen, no hex round-trip, ~an order of magnitude cheaper
+        # per shingle than sha2-256; the lane-index literal is the seed
+        mh = shingles.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), "sh")).alias(f"m{j}")
+                for j in range(len(_mh_slices()))
+            ]
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'sha2' or 'xxh', got {hash_fn!r}")
 
     def _band(cols):
         parts = []

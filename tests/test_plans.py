@@ -442,6 +442,46 @@ def test_dedup_minhash_single_scan_hash_agg(spark, sf_smoke, qs):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
 
 
+def test_dedup_minhash_xxh_same_plan_no_sha2(spark, sf_smoke, qs):
+    """hash_fn='xxh' (the production path) must keep the qkey's plan-shape
+    contract — single scan, fixed-width HashAggregate, no join — while
+    replacing the sha2 digest+hex-slice with seeded xxhash64 lanes."""
+    from caraspark.relational import load
+    from caraspark.textops import minhash_candidates
+
+    df = minhash_candidates(load(spark, sf_smoke, "documents"), hash_fn="xxh")
+    p = plan_of(df, "simple")
+    assert p.count("Scan parquet") == 1, p
+    assert "SortAggregate" not in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+    assert "sha2" not in p, p
+    assert "xxhash64" in p, p
+
+
+def test_dedup_minhash_xxh_finds_identical_docs(spark):
+    """Identical texts share every shingle, hence every lane min and every
+    band, under ANY hash family — the xxh path must pair them with
+    n_bands = 2, and must not pair the unrelated doc."""
+    from caraspark.textops import minhash_candidates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 8),
+        (2, "the quick brown fox jumps over the lazy dog " * 8),
+        (3, "completely different content about spark shuffles " * 8),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in minhash_candidates(d, hash_fn="xxh").collect()
+    }
+    assert got == {(1, 2): 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_candidates(d, hash_fn="md5")
+
+
 def test_text_repetition_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["text_repetition"](spark, sf_smoke))
     assert "Exchange" not in p, p
