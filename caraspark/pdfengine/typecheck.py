@@ -98,6 +98,23 @@ RECT = Tuple((NUMBER, NUMBER, NUMBER, NUMBER))
 # express unbounded recursion, matching caradoc's bounded CS descent.
 _CS_BASE = OneOf((NAME, ARRAY))
 _CS_FUNC = OneOf((Class("function"), ArrayOf(Class("function"))))
+
+# Action family [PDF17 §12.6.4]: subtypes discriminated by exact /S, the
+# generic open class LAST as the fallback for subtypes without a dedicated
+# def (SubmitForm, Hide, Trans, ...). Same union-with-fallback pattern as
+# the annotation family.
+_ACTION_ALTS = (
+    Class("action_goto"),
+    Class("action_gotor"),
+    Class("action_launch"),
+    Class("action_uri"),
+    Class("action_javascript"),
+    Class("action_named"),
+    Class("action_rendition"),
+    Class("action"),  # generic fallback — must stay last
+)
+ACTION = OneOf(_ACTION_ALTS)
+_ACTION_OR_ARRAY = OneOf(_ACTION_ALTS + (ArrayOf(ACTION),))
 COLORSPACE = OneOf(
     (
         NAME,
@@ -128,7 +145,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "ViewerPreferences": Entry(Class("viewer_prefs")),
             "PageLayout": Entry(NAME),
             "PageMode": Entry(NAME),
-            "OpenAction": Entry(OneOf((ARRAY, Class("action")))),
+            "OpenAction": Entry(OneOf((ARRAY,) + _ACTION_ALTS)),
             "AcroForm": Entry(Class("acroform")),
             "Lang": Entry(STRING),
             "Version": Entry(NAME),
@@ -165,6 +182,8 @@ TYPEDEFS: dict[str, ClassDef] = {
                 Class("annot_widget"),
                 Class("annot_freetext"),
                 Class("annot_popup"),
+                Class("annot_screen"),
+                Class("annot_movie"),
                 Class("annot"),  # generic fallback — must stay last
             )))),
             "Group": Entry(DICT),
@@ -210,7 +229,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
-            "A": Entry(Class("action")),
+            "A": Entry(ACTION),
             "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
             "StructParent": Entry(INT),
         }
@@ -346,7 +365,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Last": Entry(Class("outline_item")),
             "Count": Entry(INT),
             "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
-            "A": Entry(DICT),
+            "A": Entry(ACTION),
         }
     ),
     "info": ClassDef(
@@ -381,7 +400,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
             "StructParent": Entry(INT),
-            "A": Entry(Class("action")),
+            "A": Entry(ACTION),
             "Dest": Entry(OneOf((ARRAY, NAME, STRING))),
             "H": Entry(NAME),
             "PA": Entry(DICT),
@@ -429,7 +448,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "StructParent": Entry(INT),
             "H": Entry(NAME),
             "MK": Entry(DICT),
-            "A": Entry(Class("action")),
+            "A": Entry(ACTION),
             "AA": Entry(DICT),
             "BS": Entry(DICT),
             # widget/field merge
@@ -491,6 +510,49 @@ TYPEDEFS: dict[str, ClassDef] = {
             "StructParent": Entry(INT),
             "Parent": Entry(DICT),
             "Open": Entry(BOOL),
+        }
+    ),
+    "annot_screen": ClassDef(
+        {
+            # §12.5.6.18: region of a page for playing media renditions
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Screen"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "T": Entry(STRING),
+            "MK": Entry(DICT),
+            "A": Entry(ACTION),
+            "AA": Entry(DICT),
+        }
+    ),
+    "annot_movie": ClassDef(
+        {
+            # §13.4 movie annotation (deprecated in 2.0, present in crawls)
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Movie"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(DICT),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "T": Entry(STRING),
+            "Movie": Entry(Class("movie"), required=True),
+            "A": Entry(OneOf((BOOL, DICT))),
         }
     ),
     # --- name / number trees [PDF17 §7.9.6–7.9.7] --------------------------
@@ -603,7 +665,12 @@ TYPEDEFS: dict[str, ClassDef] = {
     # /FunctionType, shared Domain/Range frame
     "function": ClassDef(
         {
-            "FunctionType": Entry(INT, required=True),
+            # types 1/5/6/7 don't exist: a wrong discriminator is a type
+            # error, not an open INT
+            "FunctionType": Entry(
+                OneOf((ExactInt(0), ExactInt(2), ExactInt(3), ExactInt(4))),
+                required=True,
+            ),
             "Domain": Entry(ArrayOf(NUMBER), required=True),
             "Range": Entry(ArrayOf(NUMBER)),
             "Size": Entry(ArrayOf(INT)),          # type 0
@@ -622,7 +689,10 @@ TYPEDEFS: dict[str, ClassDef] = {
     # --- shadings and patterns [PDF17 §8.7.4.3, §8.7.3] --------------------
     "shading": ClassDef(
         {
-            "ShadingType": Entry(INT, required=True),  # 1–7
+            "ShadingType": Entry(
+                OneOf(tuple(ExactInt(i) for i in range(1, 8))),
+                required=True,
+            ),
             "ColorSpace": Entry(COLORSPACE, required=True),
             "Background": Entry(ArrayOf(NUMBER)),
             "BBox": Entry(RECT),
@@ -634,6 +704,13 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Function": Entry(
                 OneOf((Class("function"), ArrayOf(Class("function"))))
             ),
+            # mesh shadings (4–7) are STREAMS of packed vertex data;
+            # their decode frame rides the same open class
+            "BitsPerCoordinate": Entry(INT),       # types 4–7
+            "BitsPerComponent": Entry(INT),        # types 4–7
+            "BitsPerFlag": Entry(INT),             # types 4, 6, 7
+            "Decode": Entry(ArrayOf(NUMBER)),      # types 4–7
+            "VerticesPerRow": Entry(INT),          # type 5
         }
     ),
     "pattern_tiling": ClassDef(
@@ -692,19 +769,138 @@ TYPEDEFS: dict[str, ClassDef] = {
         }
     ),
     # --- actions [PDF17 §12.6] ---------------------------------------------
+    # generic fallback for subtypes without a dedicated def (SubmitForm,
+    # Hide, Trans, ...); the dedicated subtypes below are discriminated
+    # from it by their exact /S and enforce the per-subtype REQUIRED
+    # entries the open class cannot (a /URI action without /URI is a type
+    # error in caradoc's rules, not merely an empty link)
     "action": ClassDef(
         {
             "Type": Entry(Exact("Action")),
             "S": Entry(NAME, required=True),
-            "Next": Entry(OneOf((Class("action"), ArrayOf(Class("action"))))),
+            "Next": Entry(_ACTION_OR_ARRAY),
             "D": Entry(OneOf((ARRAY, NAME, STRING))),
             "URI": Entry(STRING),
             "IsMap": Entry(BOOL),
             "F": Entry(OneOf((STRING, Class("filespec")))),
             "NewWindow": Entry(BOOL),
             "JS": Entry(OneOf((STRING, STREAM))),
-            "Win": Entry(DICT),
+            "Win": Entry(Class("launch_win")),
             "T": Entry(ANY),
+        }
+    ),
+    # --- action subtypes [PDF17 §12.6.4.2–.16] ------------------------------
+    "action_goto": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("GoTo"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "D": Entry(OneOf((ARRAY, NAME, STRING)), required=True),
+        }
+    ),
+    "action_gotor": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("GoToR"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "F": Entry(OneOf((STRING, Class("filespec"))), required=True),
+            "D": Entry(OneOf((ARRAY, NAME, STRING)), required=True),
+            "NewWindow": Entry(BOOL),
+        }
+    ),
+    "action_launch": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Launch"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            # §12.6.4.6: at least one of F / Win / Mac / Unix must be
+            # present; the DSL's per-entry required flag can't express
+            # "one-of", matching caradoc's per-entry checks
+            "F": Entry(OneOf((STRING, Class("filespec")))),
+            "Win": Entry(Class("launch_win")),
+            "Mac": Entry(ANY),
+            "Unix": Entry(ANY),
+            "NewWindow": Entry(BOOL),
+        }
+    ),
+    "action_uri": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("URI"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "URI": Entry(STRING, required=True),
+            "IsMap": Entry(BOOL),
+        }
+    ),
+    "action_javascript": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("JavaScript"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "JS": Entry(OneOf((STRING, STREAM)), required=True),
+        }
+    ),
+    "action_named": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Named"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "N": Entry(NAME, required=True),
+        }
+    ),
+    "action_rendition": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Rendition"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "R": Entry(Class("rendition")),
+            "AN": Entry(DICT),  # the screen annotation (by ref)
+            "OP": Entry(INT),
+            "JS": Entry(OneOf((STRING, STREAM))),
+        }
+    ),
+    # launch parameter dictionary [PDF17 §12.6.4.6 table 203]
+    "launch_win": ClassDef(
+        {
+            "F": Entry(STRING, required=True),
+            "D": Entry(STRING),
+            "O": Entry(STRING),
+            "P": Entry(STRING),
+        }
+    ),
+    # --- multimedia [PDF17 §13.2] -------------------------------------------
+    "rendition": ClassDef(
+        {
+            "Type": Entry(Exact("Rendition")),
+            "S": Entry(OneOf((Exact("MR"), Exact("SR"))), required=True),
+            "N": Entry(STRING),
+            "C": Entry(Class("media_clip")),  # selector renditions: /R
+            "R": Entry(ARRAY),
+            "P": Entry(DICT),
+            "MH": Entry(DICT),
+            "BE": Entry(DICT),
+        }
+    ),
+    "media_clip": ClassDef(
+        {
+            "Type": Entry(Exact("MediaClip")),
+            "S": Entry(OneOf((Exact("MCD"), Exact("MCS"))), required=True),
+            "N": Entry(STRING),
+            "D": Entry(OneOf((STRING, Class("filespec"), STREAM))),
+            "CT": Entry(STRING),
+            "P": Entry(DICT),
+            "Alt": Entry(ARRAY),
+            "MH": Entry(DICT),
+            "BE": Entry(DICT),
+        }
+    ),
+    # movie dictionary [PDF17 §13.4, deprecated in 2.0 but common in crawls]
+    "movie": ClassDef(
+        {
+            "F": Entry(OneOf((STRING, Class("filespec"))), required=True),
+            "Aspect": Entry(Tuple((INT, INT))),
+            "Rotate": Entry(INT),
+            "Poster": Entry(OneOf((BOOL, STREAM))),
         }
     ),
     # --- interactive forms [PDF17 §12.7] -----------------------------------

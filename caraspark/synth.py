@@ -1493,6 +1493,117 @@ def pdf_encrypted_aes() -> bytes:
     return _encrypted_pdf(aes=True)
 
 
+def pdf_actions() -> bytes:
+    """Action-subtype recipe [PDF17 SS12.6.4]: link annots carrying URI
+    (chained via /Next to a Named action), inline GoTo, GoToR, and a
+    Launch with a Win parameter dict; the catalog OpenAction is a
+    JavaScript action. Exercises every dedicated action class plus the
+    generic fallback (SubmitForm)."""
+    bodies = _base_objects(b"BT (Actions doc) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /OpenAction 9 0 R >>",
+    )
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [5 0 R 6 0 R 7 0 R] >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Annot /Subtype /Link /Rect [10 10 100 30] "
+        b"/A 8 0 R >>",
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /Annot /Subtype /Link /Rect [10 40 100 60] "
+        b"/A << /Type /Action /S /GoTo /D [3 0 R /Fit] >> >>",
+    )
+    bodies[7] = _obj(
+        7,
+        b"<< /Type /Annot /Subtype /Link /Rect [10 70 100 90] "
+        b"/A << /S /GoToR /F (other.pdf) /D [0 /Fit] /NewWindow true "
+        b"/Next << /S /Launch /Win << /F (reader.exe) /P (doc.txt) >> "
+        b"/NewWindow false >> >> >>",
+    )
+    bodies[8] = _obj(
+        8,
+        b"<< /Type /Action /S /URI /URI (https://example.org/a?b=c) "
+        b"/IsMap false /Next 10 0 R >>",
+    )
+    bodies[9] = _obj(
+        9,
+        b"<< /Type /Action /S /JavaScript /JS (app.alert(1);) "
+        b"/Next << /S /SubmitForm /F (https://example.org/post) >> >>",
+    )
+    bodies[10] = _obj(10, b"<< /Type /Action /S /Named /N /NextPage >>")
+    return _assemble(bodies)
+
+
+def pdf_multimedia() -> bytes:
+    """Multimedia recipe [PDF17 SS12.5.6.18, SS13.2, SS13.4 + SS7.10,
+    SS8.7.4.3]: a Screen annot whose Rendition action targets a media
+    rendition + clip, a (deprecated-but-crawled) Movie annot, a type-4
+    free-form mesh shading stream, and an axial shading whose /Function
+    is a type-3 stitch of two type-2 exponentials."""
+    bodies = _base_objects(b"BT (Media doc) Tj ET")
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [5 0 R 6 0 R] "
+        b"/Resources << /Shading << /Sh0 9 0 R /Sh1 10 0 R >> >> >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Annot /Subtype /Screen /Rect [0 0 320 240] "
+        b"/T (Player) /A 7 0 R >>",
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /Annot /Subtype /Movie /Rect [0 250 320 490] "
+        b"/T (Trailer) /Movie << /F (trailer.avi) /Aspect [320 240] "
+        b"/Rotate 0 /Poster false >> /A true >>",
+    )
+    bodies[7] = _obj(
+        7,
+        b"<< /Type /Action /S /Rendition /OP 0 /R 8 0 R /AN 5 0 R >>",
+    )
+    bodies[8] = _obj(
+        8,
+        b"<< /Type /Rendition /S /MR /N (clip) "
+        b"/C << /Type /MediaClip /S /MCD /N (m) /D (movie.mp4) "
+        b"/CT (video/mp4) >> >>",
+    )
+    # type-4 free-form Gouraud mesh: 2 triangles, 16-bit coords, 8-bit RGB
+    mesh = bytes(
+        [0, 0x00, 0x00, 0x00, 0x00, 255, 0, 0]
+        + [0, 0xFF, 0xFF, 0x00, 0x00, 0, 255, 0]
+        + [0, 0x7F, 0xFF, 0xFF, 0xFF, 0, 0, 255]
+        + [1, 0x00, 0x10, 0x00, 0x20, 255, 255, 0]
+    )
+    bodies[9] = _stream_obj(
+        9,
+        b"/ShadingType 4 /ColorSpace /DeviceRGB /BitsPerCoordinate 16 "
+        b"/BitsPerComponent 8 /BitsPerFlag 8 "
+        b"/Decode [0 1 0 1 0 1 0 1 0 1]",
+        mesh,
+    )
+    bodies[10] = _obj(
+        10,
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 612 0] "
+        b"/Extend [true false] /Function 11 0 R >>",
+    )
+    bodies[11] = _obj(
+        11,
+        b"<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] "
+        b"/Encode [0 1 0 1] /Functions ["
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [1 0 0] /C1 [0 1 0] /N 1 >> "
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [0 1 0] /C1 [0 0 1] /N 2 >>"
+        b"] >>",
+    )
+    return _assemble(bodies)
+
+
 PDF_RECIPES["pdf_info_title"] = pdf_info_title
 PDF_RECIPES["pdf_attachments"] = pdf_attachments
 PDF_RECIPES["pdf_outline"] = pdf_outline
@@ -1501,3 +1612,5 @@ PDF_RECIPES["pdf_encrypted_objstm"] = pdf_encrypted_objstm
 PDF_RECIPES["pdf_encrypted_rc4"] = pdf_encrypted_rc4
 PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes
 PDF_RECIPES["pdf_encrypted_aes256"] = pdf_encrypted_aes256
+PDF_RECIPES["pdf_actions"] = pdf_actions
+PDF_RECIPES["pdf_multimedia"] = pdf_multimedia

@@ -198,7 +198,7 @@ def test_name_tree_and_viewer_prefs_and_action():
     assert r.valid and r.strict, r.errors_as_rows()
     assert r.type_assignments["5.0"] == "name_tree"
     assert r.type_assignments["6.0"] == "name_tree"
-    assert r.type_assignments["7.0"] == "action"
+    assert r.type_assignments["7.0"] == "action_goto"
 
 
 def test_action_missing_s_is_typed_error():
@@ -907,3 +907,144 @@ def test_embedded_file_params_bad_size_rejected():
     )
     r = process_document(blob)
     assert "type.mismatch" in _codes(r)
+
+
+# --- action subtypes [PDF17 §12.6.4] ----------------------------------------
+
+
+def test_action_subtypes_assign_dedicated_classes():
+    from caraspark.synth import PDF_RECIPES
+
+    r = process_document(PDF_RECIPES["pdf_actions"](), want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    a = r.type_assignments
+    assert a["8.0"] == "action_uri"
+    assert a["9.0"] == "action_javascript"
+    assert a["10.0"] == "action_named"
+    assert a["5.0"] == a["6.0"] == a["7.0"] == "annot_link"
+
+
+def test_uri_action_missing_uri_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+                    b" /A << /S /URI /IsMap false >> >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+    assert not r.valid
+
+
+def test_gotor_action_missing_dest_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+                    b" /A << /S /GoToR /F (other.pdf) >> >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_javascript_action_js_wrong_type_rejected():
+    blob = _doc_catalog(
+        b" /OpenAction << /S /JavaScript /JS 42 >>",
+        {},
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+def test_named_action_via_next_chain_assigns():
+    blob = _doc_catalog(
+        b" /OpenAction << /S /URI /URI (https://x) /Next 5 0 R >>",
+        {5: _obj(5, b"<< /Type /Action /S /Named /N /LastPage >>")},
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action_named"
+
+
+def test_unknown_action_subtype_falls_back_to_generic():
+    blob = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /S /ResetForm /Flags 1 >>")},
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action"
+
+
+def test_launch_win_param_missing_f_rejected():
+    blob = _doc_catalog(
+        b" /OpenAction << /S /Launch /Win << /P (doc.txt) >> >>",
+        {},
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+# --- screen/movie annots + multimedia [PDF17 §12.5.6.18, §13.2, §13.4] ------
+
+
+def test_multimedia_recipe_assigns_all_classes():
+    from caraspark.synth import PDF_RECIPES
+
+    r = process_document(PDF_RECIPES["pdf_multimedia"](), want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    a = r.type_assignments
+    assert a["5.0"] == "annot_screen"
+    assert a["6.0"] == "annot_movie"
+    assert a["7.0"] == "action_rendition"
+    assert a["8.0"] == "rendition"
+    assert a["9.0"] == "shading" and a["10.0"] == "shading"
+    assert a["11.0"] == "function"
+
+
+def test_movie_annot_missing_movie_dict_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /Movie /Rect [0 0 9 9]"
+                    b" /T (x) >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_movie_f_wrong_type_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /Movie /Rect [0 0 9 9]"
+                    b" /Movie << /F 7 /Aspect [1 2] >> >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+# --- function/shading discriminator corners [PDF17 §7.10, §8.7.4.3] ---------
+
+
+def test_function_type_5_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /ShadingType 2 /ColorSpace /DeviceRGB"
+                    b" /Coords [0 0 1 1] /Function << /FunctionType 5"
+                    b" /Domain [0 1] >> >>")},
+        page_extra=b" /Resources << /Shading << /S0 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+def test_shading_type_9_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /ShadingType 9 /ColorSpace /DeviceRGB >>")},
+        page_extra=b" /Resources << /Shading << /S0 5 0 R >> >>",
+    )
+    r = process_document(blob)
+    assert "type.mismatch" in _codes(r)
+
+
+def test_mesh_shading_stream_accepts_decode_frame():
+    from caraspark.synth import PDF_RECIPES
+
+    r = process_document(PDF_RECIPES["pdf_multimedia"]())
+    assert r.valid and r.strict, r.errors_as_rows()
