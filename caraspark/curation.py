@@ -965,3 +965,232 @@ def pack_sequences(spark, sf):
         .cast("long")
         .alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL feature extraction (crawl-frontier / domain-policy inputs)
+# ---------------------------------------------------------------------------
+
+
+def _urlfeat_sql() -> str:
+    return r"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+         || source || (CASE WHEN doc_id % 4 = 0 THEN '.org' ELSE '.com' END)
+         || '/a/b' || repeat('/c', CAST(doc_id % 3 AS INT))
+         || '/page' || CAST(doc_id % 50 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN '?utm_source=feed&ref=' || CAST(doc_id % 9 AS VARCHAR)
+                  ELSE '' END)
+         AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+       regexp_replace(
+         regexp_extract(url, '^[a-z]+://([^/?]+)', 1), '^www\.', '')
+         AS host,
+       regexp_extract(url, '\.([a-z]+)(?:/|$)', 1) AS tld,
+       CAST(len(regexp_extract_all(
+           regexp_replace(url, '\?.*$', ''), '/[^/]')) - 1 AS INT)
+         AS path_depth,
+       CAST(len(regexp_extract_all(url, '[?&][^&=]+=')) AS INT) AS n_params
+FROM urls
+"""
+
+
+@_q("url_features", _urlfeat_sql())
+def url_features(spark, sf):
+    """URL decomposition features (scheme, www-stripped host, TLD, path
+    depth, query-param count) — the inputs a crawl-frontier scheduler and
+    per-domain quality policies key on. Same deterministic (source,
+    doc_id)-derived URLs as `dedup_url`, extended with TLD and path-depth
+    variation so every feature column exercises >1 value.
+
+    Scale: a pure projection — five regexp_extract/replace expressions in
+    the scan stage, zero shuffles, whole-stage codegen; the regexes stay
+    in the Java∩RE2 subset so DuckDB computes the identical strings."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 4 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/a/b"),
+        F.repeat(F.lit("/c"), (did % 3).cast("int")),
+        F.lit("/page"), (did % 50).cast("string"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), (did % 9).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    no_query = F.regexp_replace(url, r"\?.*$", "")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[a-z]+://([^/?]+)", 1), r"^www\.", ""
+        ).alias("host"),
+        F.regexp_extract(url, r"\.([a-z]+)(?:/|$)", 1).alias("tld"),
+        (
+            F.size(F.regexp_extract_all(no_query, F.lit(r"/[^/]"), F.lit(0)))
+            - 1
+        ).cast("int").alias("path_depth"),
+        F.size(
+            F.regexp_extract_all(url, F.lit(r"[?&][^&=]+="), F.lit(0))
+        ).cast("int").alias("n_params"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style quality rules (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _c4_sql() -> str:
+    return r"""
+WITH synth AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN ' function() { return 1; }'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ' enable javascript to view'
+                  ELSE '' END)
+         || repeat('. Sentence here', CAST(doc_id % 5 AS INT))
+         || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END)
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[.!?]')) AS INT) AS n_sentences,
+       t NOT LIKE '%{%'                                 AS ok_braces,
+       t NOT LIKE '%lorem ipsum%'                       AS ok_lorem,
+       NOT regexp_matches(t, '\bjavascript\b')          AS ok_js,
+       len(regexp_extract_all(t, '[.!?]')) >= 3         AS ok_sentences,
+       (t LIKE '%.' OR t LIKE '%!' OR t LIKE '%?')      AS ok_terminal,
+       (t NOT LIKE '%{%' AND t NOT LIKE '%lorem ipsum%'
+        AND NOT regexp_matches(t, '\bjavascript\b')
+        AND len(regexp_extract_all(t, '[.!?]')) >= 3
+        AND (t LIKE '%.' OR t LIKE '%!' OR t LIKE '%?')) AS keep
+FROM synth
+"""
+
+
+@_q("text_c4_filter", _c4_sql())
+def text_c4_filter(spark, sf):
+    """C4-style document filters (Raffel et al. 2020 §2.2): curly-brace
+    (code) rejection, "lorem ipsum" placeholder rejection, the
+    ``javascript`` boilerplate word, a ≥3-sentence floor, and
+    terminal-punctuation ending — per-rule booleans plus the conjunction,
+    like `text_gopher`, so ablations can flip one rule at a time.
+
+    The word-salad corpus has no punctuation or code, so deterministic
+    rule triggers are planted from ``doc_id`` (identically in both
+    engines), same pattern as `text_pii`'s planted PII.
+
+    Scale: pure scan-stage string predicates, zero shuffles, all
+    whole-stage codegen; at 100 TB this is the cheapest pass in the
+    curation stack and runs fused with the scan."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 11 == 0, F.lit(" lorem ipsum dolor")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 0, F.lit(" function() { return 1; }")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 7 == 0, F.lit(" enable javascript to view")).otherwise(
+            F.lit("")
+        ),
+        F.repeat(F.lit(". Sentence here"), (did % 5).cast("int")),
+        F.when(did % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    n_sent = F.size(F.regexp_extract_all(t, F.lit(r"[.!?]"), F.lit(0)))
+    ok_braces = ~t.contains("{")
+    ok_lorem = ~t.contains("lorem ipsum")
+    ok_js = F.regexp_extract(t, r"\bjavascript\b", 0) == ""
+    ok_sentences = n_sent >= 3
+    ok_terminal = t.rlike(r"[.!?]$")
+    return d.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sentences"),
+        ok_braces.alias("ok_braces"),
+        ok_lorem.alias("ok_lorem"),
+        ok_js.alias("ok_js"),
+        ok_sentences.alias("ok_sentences"),
+        ok_terminal.alias("ok_terminal"),
+        (ok_braces & ok_lorem & ok_js & ok_sentences & ok_terminal).alias(
+            "keep"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token fraction (corpus-unigram quality signal)
+# ---------------------------------------------------------------------------
+
+# a token is "rare" when count(token) * RARITY_DEN < total_tokens — an
+# integer-exact relative threshold (1/RARITY_DEN of the corpus mass)
+_RARITY_DEN = 100
+
+
+def _rarity_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+vocab AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+),
+total AS (SELECT sum(c) AS n FROM vocab)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.c * {_RARITY_DEN} < (SELECT n FROM total)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN v.c * {_RARITY_DEN} < (SELECT n FROM total)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+FROM toks t JOIN vocab v ON v.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+@_q("text_rarity", _rarity_sql())
+def text_rarity(spark, sf):
+    """Corpus-unigram rarity signal: the fraction of a document's tokens
+    whose global corpus frequency is below 1/_RARITY_DEN of total token mass —
+    a deterministic stand-in for LM-perplexity quality scoring (documents
+    dominated by rare tokens are boilerplate-ish/noisy; transcendental
+    log-prob sums would not reproduce bit-exactly across engines, the
+    integer threshold does; exactly ONE double division per row).
+
+    Scale: two-pass unigram shape — (1) explode + groupBy(token) builds
+    the vocab (the only wide exchange; carries (token, count)), (2) the
+    corpus re-joins the vocab on token. The vocab is Zipf-bounded (~10^7
+    rows at 100 TB ≪ corpus), so Spark broadcasts it and pass 2 stays
+    shuffle-free on the corpus side; the global total rides a broadcast
+    scalar (crossJoin of a 1-row agg, not a driver collect).
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    rare = (
+        vocab.crossJoin(F.broadcast(total))
+        .select("w", ((F.col("c") * _RARITY_DEN) < F.col("n")).alias("is_rare"))
+    )
+    joined = toks.join(F.broadcast(rare), "w")
+    n_rare = F.sum(F.when(F.col("is_rare"), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_rare.cast("bigint").alias("n_rare"),
+        (n_rare.cast("double") / F.count(F.lit(1))).alias("rare_frac"),
+    )

@@ -226,3 +226,94 @@ def test_pack_sequences_single_bounded_exchange(spark, sf_smoke):
     plan = C.pack_sequences(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "lang" in plan and "shard" in plan
+
+
+def test_url_features_matches_python_urlparse(spark, sf_smoke):
+    from urllib.parse import parse_qsl, urlsplit
+
+    rows = {r.doc_id: r for r in C.url_features(spark, sf_smoke).collect()}
+    srcs = {
+        r.doc_id: r.source
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    for did in list(srcs)[:40]:
+        url = (
+            ("http://" if did % 3 == 0 else "https://")
+            + ("www." if did % 2 == 0 else "")
+            + srcs[did]
+            + (".org" if did % 4 == 0 else ".com")
+            + "/a/b" + "/c" * (did % 3)
+            + f"/page{did % 50}"
+            + (f"?utm_source=feed&ref={did % 9}" if did % 5 == 0 else "")
+        )
+        sp = urlsplit(url)
+        r = rows[did]
+        assert r.scheme == sp.scheme, did
+        assert r.host == sp.netloc.removeprefix("www."), did
+        assert r.tld == sp.netloc.rsplit(".", 1)[1], did
+        assert r.path_depth == len([s for s in sp.path.split("/") if s]), did
+        assert r.n_params == len(parse_qsl(sp.query)), did
+
+
+def test_c4_filter_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.text_c4_filter(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for did in list(docs)[:40]:
+        t = (
+            docs[did]
+            + (" lorem ipsum dolor" if did % 11 == 0 else "")
+            + (" function() { return 1; }" if did % 13 == 0 else "")
+            + (" enable javascript to view" if did % 7 == 0 else "")
+            + ". Sentence here" * (did % 5)
+            + ("." if did % 2 == 0 else "")
+        )
+        r = rows[did]
+        n_sent = sum(t.count(c) for c in ".!?")
+        assert r.n_sentences == n_sent, did
+        assert r.ok_braces == ("{" not in t), did
+        assert r.ok_lorem == ("lorem ipsum" not in t), did
+        assert r.ok_js == (re.search(r"\bjavascript\b", t) is None), did
+        assert r.ok_sentences == (n_sent >= 3), did
+        assert r.ok_terminal == t.endswith((".", "!", "?")), did
+        assert r.keep == (
+            r.ok_braces and r.ok_lorem and r.ok_js
+            and r.ok_sentences and r.ok_terminal
+        ), did
+    # the planted triggers must exercise both polarities of every rule
+    for col in ("ok_braces", "ok_lorem", "ok_js", "ok_sentences",
+                "ok_terminal", "keep"):
+        vals = {getattr(r, col) for r in rows.values()}
+        assert vals == {True, False}, col
+
+
+def test_text_rarity_matches_python(spark, sf_smoke):
+    from collections import Counter
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+        if r.text
+    }
+    vocab = Counter(w for t in docs.values() for w in t.split(" "))
+    total = sum(vocab.values())
+    rows = {r.doc_id: r for r in C.text_rarity(spark, sf_smoke).collect()}
+    assert set(rows) == set(docs)
+    for did, t in list(docs.items())[:40]:
+        ws = t.split(" ")
+        n_rare = sum(1 for w in ws if vocab[w] * C._RARITY_DEN < total)
+        r = rows[did]
+        assert r.n_tokens == len(ws), did
+        assert r.n_rare == n_rare, did
+        assert abs(r.rare_frac - n_rare / len(ws)) < 1e-12, did
+    # the threshold must split the corpus (otherwise the signal is vacuous)
+    fracs = {r.n_rare > 0 for r in rows.values()}
+    assert fracs == {True, False}

@@ -538,3 +538,19 @@ def test_extract_output_carries_metadata_columns(spark, sf_smoke):
     names = [f.name for f in out.schema.fields]
     for col in ("spans", "outlinks", "title"):
         assert col in names
+
+
+def test_url_features_and_c4_are_narrow_jvm(spark, sf_smoke, qs):
+    for k in ("url_features", "text_c4_filter"):
+        p = plan_of(qs[k](spark, sf_smoke))
+        assert "Exchange" not in p, (k, p)
+        assert "EvalPython" not in p, (k, p)
+
+
+def test_text_rarity_vocab_broadcast_join(spark, sf_smoke, qs):
+    """The rarity re-join must broadcast the Zipf-bounded vocab — the
+    corpus token stream never sort-merge-shuffles for the join; the only
+    hash exchanges build the vocab and the final per-doc agg."""
+    p = plan_of(qs["text_rarity"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
