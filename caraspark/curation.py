@@ -1194,3 +1194,115 @@ def text_rarity(spark, sf):
         n_rare.cast("bigint").alias("n_rare"),
         (n_rare.cast("double") / F.count(F.lit(1))).alias("rare_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness verdict (crawl-frontier gate)
+# ---------------------------------------------------------------------------
+
+
+def _robots_sql() -> str:
+    return r"""
+WITH urls AS (
+  SELECT doc_id, source,
+         '/a/b' || repeat('/c', CAST(doc_id % 3 AS INT))
+         || '/page' || CAST(doc_id % 50 AS VARCHAR) AS path
+  FROM documents
+),
+rules AS (
+  SELECT source, prefix, disallow FROM (
+    SELECT DISTINCT source,
+           CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS n
+    FROM documents
+  ), (VALUES (1), (2), (3)) v(rid),
+  LATERAL (
+    SELECT CASE v.rid WHEN 1 THEN '/' WHEN 2 THEN '/a'
+                      ELSE '/a/b/c' END AS prefix,
+           CASE v.rid WHEN 1 THEN n % 5 = 0 WHEN 2 THEN n % 3 = 0
+                      ELSE n % 2 = 0 END AS disallow
+  )
+),
+matched AS (
+  SELECT u.doc_id, u.path, r.prefix, r.disallow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.disallow ASC
+         ) AS rn
+  FROM urls u JOIN rules r
+    ON r.source = u.source AND starts_with(u.path, r.prefix)
+)
+SELECT doc_id, path, prefix AS matched_prefix, NOT disallow AS allowed
+FROM matched WHERE rn = 1
+"""
+
+
+@_q("crawl_robots", _robots_sql())
+def crawl_robots(spark, sf):
+    """robots.txt politeness verdict per URL: longest-matching rule wins,
+    allow beats disallow on equal length (the Google REP tie-break) —
+    the gate every crawl frontier applies before fetch. Per-domain rule
+    stacks are synthesized deterministically from the source id (root /
+    "/a" / "/a/b/c" prefixes whose polarity varies by domain) so deeper
+    rules genuinely override shallower ones in both engines.
+
+    Scale: the rules table is tiny by construction (robots rules per
+    domain ≪ URLs per domain), so it BROADCASTS and the URL side never
+    shuffles for the match; the winner is picked by a map-side-combinable
+    max(struct(prefix_len, allow)) — no window, so the only exchange
+    carries (doc_id, 13-byte winner struct) for the final combine."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    path = F.concat(
+        F.lit("/a/b"),
+        F.repeat(F.lit("/c"), (did % 3).cast("int")),
+        F.lit("/page"), (did % 50).cast("string"),
+    )
+    n = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    rules = (
+        d.select("source").distinct()
+        .select(
+            "source",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("/").alias("prefix"),
+                        (n % 5 == 0).alias("disallow"),
+                    ),
+                    F.struct(
+                        F.lit("/a").alias("prefix"),
+                        (n % 3 == 0).alias("disallow"),
+                    ),
+                    F.struct(
+                        F.lit("/a/b/c").alias("prefix"),
+                        (n % 2 == 0).alias("disallow"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select("source", "r.prefix", "r.disallow")
+    )
+    urls = d.select("doc_id", "source", path.alias("path"))
+    m = urls.join(
+        F.broadcast(rules),
+        (urls.source == rules.source) & urls.path.startswith(rules.prefix),
+    )
+    # lexicographic max over (prefix length, allow, prefix) == longest
+    # rule, allow-wins tie-break; carrying the prefix in the struct lets
+    # one agg return the winner's identity too
+    win = F.max(
+        F.struct(
+            F.length("prefix").alias("l"),
+            (~F.col("disallow")).alias("allow"),
+            F.col("prefix").alias("p"),
+        )
+    ).alias("w")
+    return (
+        m.groupBy("doc_id", "path")
+        .agg(win)
+        .select(
+            "doc_id",
+            "path",
+            F.col("w.p").alias("matched_prefix"),
+            F.col("w.allow").alias("allowed"),
+        )
+    )

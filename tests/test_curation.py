@@ -317,3 +317,29 @@ def test_text_rarity_matches_python(spark, sf_smoke):
     # the threshold must split the corpus (otherwise the signal is vacuous)
     fracs = {r.n_rare > 0 for r in rows.values()}
     assert fracs == {True, False}
+
+
+def test_crawl_robots_matches_python_longest_match(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.crawl_robots(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.source
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    assert set(rows) == set(docs)
+    for did, src in docs.items():
+        n = int(src.removeprefix("src"))
+        path = "/a/b" + "/c" * (did % 3) + f"/page{did % 50}"
+        rules = [("/", n % 5 == 0), ("/a", n % 3 == 0),
+                 ("/a/b/c", n % 2 == 0)]
+        matches = [(p, dis) for p, dis in rules if path.startswith(p)]
+        # longest prefix wins; allow beats disallow on equal length
+        best = max(matches, key=lambda r: (len(r[0]), not r[1]))
+        r = rows[did]
+        assert r.path == path, did
+        assert r.matched_prefix == best[0], did
+        assert r.allowed == (not best[1]), did
+    # both verdicts occur, and at least one doc is decided by the deep rule
+    assert {r.allowed for r in rows.values()} == {True, False}
+    assert any(r.matched_prefix == "/a/b/c" for r in rows.values())

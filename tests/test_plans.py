@@ -554,3 +554,14 @@ def test_text_rarity_vocab_broadcast_join(spark, sf_smoke, qs):
     p = plan_of(qs["text_rarity"](spark, sf_smoke))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_crawl_robots_broadcasts_rules_no_url_shuffle_for_join(
+    spark, sf_smoke, qs
+):
+    """Robots rules broadcast; the URL side must not exchange for the
+    match — the only hashpartitioning exchange is the final per-doc
+    winner combine (and it carries a 3-field struct, not paths×rules)."""
+    p = plan_of(qs["crawl_robots"](spark, sf_smoke), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
