@@ -63,6 +63,9 @@ _ARROW_SCHEMA = pa.schema(
             ),
             True,
         ),
+        pa.field("og_title", pa.string(), True),
+        pa.field("og_description", pa.string(), True),
+        pa.field("og_image", pa.string(), True),
         pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
@@ -180,6 +183,9 @@ def _extract_batches(
             cols["canonical"].append(r.canonical)
             cols["description"].append(r.description)
             cols["headings"].append(r.headings_as_rows())
+            cols["og_title"].append(r.og_title)
+            cols["og_description"].append(r.og_description)
+            cols["og_image"].append(r.og_image)
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

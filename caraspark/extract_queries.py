@@ -413,6 +413,104 @@ def doc_headmeta_sig(spark, sf):
 
 
 @_q(
+    "doc_ogmeta",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Og Title ' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE 'trail title' END AS og_title,
+       CASE WHEN doc_id % 3 = 0 THEN 'visible desc'
+            ELSE 'Desc ' || CAST(doc_id % 11 AS VARCHAR) END
+         AS og_description,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE '/img/' || CAST(doc_id % 13 AS VARCHAR) || '.png' END
+         AS og_image
+FROM documents""",
+)
+def doc_ogmeta(spark, sf):
+    """v8 OGMETA, hash-verified closed-form: even doc_ids carry a real
+    og:title whose first-wins beats the trailing decoy; odd ids get an
+    empty-content og:title first (skipped — must not consume the slot),
+    so the trailing one wins. doc_id % 3 == 0 hides its first
+    og:description inside a boiler sidebar (opaque), so the later visible
+    one wins. doc_id % 5 == 0 has no og:image at all (NULL); the rest
+    carry a trimmed-URL og:image plus a second one that must lose."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    ogt = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<meta property=" OG:Title " content=" Og  Title '),
+            (did % 7).cast("string"),
+            F.lit(' ">'),
+        ),
+    ).otherwise(F.lit('<meta property="og:title" content="   ">'))
+    ogd = F.when(
+        did % 3 == 0,
+        F.lit(
+            '<div class="sidebar">'
+            '<meta property="og:description" content="hidden"><p>menu</p>'
+            "</div>"
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta property="og:description" content=" Desc  '),
+            (did % 11).cast("string"),
+            F.lit(' ">'),
+        )
+    )
+    # %5==0 docs carry NO og:image at all (not even the losing decoy), so
+    # the expected value is NULL rather than the decoy winning by default
+    ogi = F.when(did % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<meta property="og:image" content=" /img/'),
+            (did % 13).cast("string"),
+            F.lit('.png ">'),
+            F.lit('<meta property="og:image" content="/loses.png">'),
+        )
+    )
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                ogt,
+                ogi,
+                F.lit("</head><body>"),
+                ogd,
+                F.lit('<meta property="og:title" content="trail title">'),
+                F.lit(
+                    '<meta property="og:description"'
+                    ' content="visible desc">'
+                ),
+                F.lit("<p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select("url", "og_title", "og_description", "og_image")
+
+
+@_q(
+    "doc_ogmeta_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, og_title, og_description, og_image FROM perdoc""",
+)
+def doc_ogmeta_sig(spark, sf):
+    """v8 OGMETA over the full synth corpus (html_ogmeta recipe carries
+    real og tags + decoys; every other recipe and all PDFs must be NULL)
+    vs the frozen per-recipe/per-idx expected values."""
+    ex = _extracted(spark, sf)
+    return ex.select("url", "og_title", "og_description", "og_image")
+
+
+@_q(
     "doc_headings",
     """SELECT CAST(doc_id AS VARCHAR) AS url,
        CAST(0 AS INT) AS block, CAST(1 AS INT) AS level

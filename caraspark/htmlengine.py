@@ -72,6 +72,14 @@ and compared byte-for-byte per url):
   but not inside boilerplate attr-regions; first occurrence wins; absent
   or empty -> None. PDFs map description to /Info /Subject (same Annex-D
   decode as TITLE) and have no canonical; stats mode yields None/None.
+* OGMETA (v8, social/share metadata): the FIRST <meta property="og:X">
+  (property compared trimmed+lowercased) with non-empty content, for
+  X in {title, description, image} independently — og:title and
+  og:description whitespace-normalized like v6 description, og:image
+  trimmed like v6 canonical (it is a URL). Collection placement is
+  identical to HEADMETA: despite tag-drop regions, opaque inside
+  boilerplate attr-regions, first occurrence wins per property. PDFs
+  have no OG metadata (all three None); unrequested surface -> None.
 * HEADINGS (v7, document structure): one (block, level) pair per KEPT
   block whose opening tag was h1–h6 — ``block`` is the kept-block index
   (the same index SPANS labels "block:<i>", so the heading text is the
@@ -162,6 +170,9 @@ class _Extractor(HTMLParser):
         self._title_done = False
         self.canonical: str | None = None
         self.description: str | None = None
+        self.og_title: str | None = None
+        self.og_description: str | None = None
+        self.og_image: str | None = None
         self.headings: list[tuple[int, int]] = []  # (kept-block idx, level)
         self._open_block_tag: str | None = None
 
@@ -203,11 +214,26 @@ class _Extractor(HTMLParser):
             href = a.get("href", "").strip()
             if "canonical" in rel and href:
                 self.canonical = href
-        elif tag == "meta" and self.description is None:
-            if a.get("name", "").strip().lower() == "description":
+        elif tag == "meta":
+            if self.description is None and (
+                a.get("name", "").strip().lower() == "description"
+            ):
                 desc = " ".join(a.get("content", "").split())
                 if desc:
                     self.description = desc
+            prop = a.get("property", "").strip().lower()
+            if prop == "og:title" and self.og_title is None:
+                t = " ".join(a.get("content", "").split())
+                if t:
+                    self.og_title = t
+            elif prop == "og:description" and self.og_description is None:
+                t = " ".join(a.get("content", "").split())
+                if t:
+                    self.og_description = t
+            elif prop == "og:image" and self.og_image is None:
+                u = a.get("content", "").strip()
+                if u:
+                    self.og_image = u
 
     def _collect_href(self, attrs) -> None:
         for k, v in attrs:
@@ -308,8 +334,9 @@ def extract_html(
     html: bytes,
 ) -> tuple:
     """blob → (text bytes, block spans, outlinks, title, canonical,
-    description, headings) per the SPEC (v3 SPANS, v4 OUTLINKS,
-    v5 TITLE, v6 HEADMETA, v7 HEADINGS)."""
+    description, headings, ogmeta) per the SPEC (v3 SPANS, v4 OUTLINKS,
+    v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8 OGMETA); ogmeta is the
+    (og_title, og_description, og_image) triple."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -318,9 +345,11 @@ def extract_html(
     except Exception:  # noqa: BLE001 — parser must be total on garbage
         pass
     p._flush()
+    og = (p.og_title, p.og_description, p.og_image)
     if not p.blocks:
         return (
-            b"", [], p.outlinks, p.title, p.canonical, p.description, []
+            b"", [], p.outlinks, p.title, p.canonical, p.description, [],
+            og,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -336,6 +365,7 @@ def extract_html(
         p.canonical,
         p.description,
         p.headings,
+        og,
     )
 
 

@@ -86,6 +86,11 @@ class ExtractResult:
     # v7 HEADINGS: (block, level) per kept h1–h6 block (HTML; block is the
     # spans index) / (preorder pos, level+1) over the outline tree (PDF).
     headings: list | None = None
+    # v8 OGMETA: first non-empty <meta property="og:{title,description,
+    # image}"> content (HTML); PDFs have none. None when not requested.
+    og_title: str | None = None
+    og_description: str | None = None
+    og_image: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -156,11 +161,11 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The seven extraction surfaces a consumer can request (SPEC v1–v7).
+# The eight extraction surfaces a consumer can request (SPEC v1–v8).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
-     "headings"}
+     "headings", "ogmeta"}
 )
 
 
@@ -309,13 +314,14 @@ def _process_pdf(
 def _process_html(blob, want=SURFACES) -> ExtractResult:
     errors: list[PdfError] = []
     if want:
-        # HTML extraction is one single-pass parse that produces all seven
+        # HTML extraction is one single-pass parse that produces all eight
         # surfaces together (the pass itself is the cost; the per-surface
         # collection is incidental), so any requested surface runs the full
         # parse and the unrequested ones are nulled afterwards — the saving
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
+            og,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -332,6 +338,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             description = None
         if "headings" not in want:
             headings = None
+        if "ogmeta" not in want:
+            og = (None, None, None)
     else:
         # Stats mode skips text materialization but must agree with the full
         # run on the error taxonomy: early-exit emptiness probe, no content.
@@ -344,6 +352,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         canonical = None
         description = None
         headings = None
+        og = (None, None, None)
         has_content = html_has_content(blob)
     if not has_content:
         errors.append(PdfError("html.no_content", pos=0))
@@ -356,5 +365,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         canonical=canonical,
         description=description,
         headings=headings,
+        og_title=og[0],
+        og_description=og[1],
+        og_image=og[2],
         errors=errors,
     )

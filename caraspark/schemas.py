@@ -69,6 +69,10 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v8 OGMETA: first og:title / og:description / og:image metas
+        T.StructField("og_title", T.StringType(), True),
+        T.StructField("og_description", T.StringType(), True),
+        T.StructField("og_image", T.StringType(), True),
         T.StructField(
             "verdict",
             T.StructType(

@@ -1058,6 +1058,31 @@ def html_boilerplate(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_ogmeta(rng: random.Random) -> bytes:
+    """v8 OGMETA recipe: og:title/og:description/og:image in <head>
+    (collected despite head's tag-drop), an empty-content og:title decoy
+    FIRST (must not consume the first-wins slot), a second og:image that
+    must lose, and an og:description inside a boiler sidebar (opaque —
+    the later in-head one wins)."""
+    t = _para(rng, 4).rstrip(".")
+    desc = _para(rng, 9)
+    img = f"/img/{rng.randrange(1000)}.png"
+    paras = "\n".join(f"<p>{_para(rng, 18)}</p>" for _ in range(2))
+    return (
+        "<html><head>"
+        "<meta property='og:title' content='   '>"
+        f"<meta property=' OG:Title ' content=' {t}   here '>"
+        f"<meta property='og:image' content=' {img} '>"
+        "<meta property='og:image' content='/loses.png'>"
+        "</head><body>"
+        f"<div class='sidebar'><meta property='og:description' "
+        f"content='hidden'><p>menu {t}</p></div>"
+        f"<meta property='og:description' content=' {desc} '>"
+        f"<div class='content'>{paras}</div>"
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
@@ -1069,6 +1094,7 @@ HTML_RECIPES = {
     "html_utf16": html_utf16,
     "html_enc_fallback": html_enc_fallback,
     "html_boilerplate": html_boilerplate,
+    "html_ogmeta": html_ogmeta,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]

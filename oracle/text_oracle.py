@@ -1315,21 +1315,73 @@ def oracle_extract_spans(blob: bytes) -> tuple[bytes, list]:
     return _html_text_spans(blob)
 
 
+def _html_ogmeta(blob: bytes) -> tuple:
+    """v8 OGMETA, second witness: first non-empty <meta property="og:X">
+    content per X in {title, description, image} — its own event pass;
+    collected despite drop regions, opaque inside boiler regions, same
+    placement contract as v6 HEADMETA."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    og = {"og:title": None, "og:description": None, "og:image": None}
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            continue
+        if ev not in ("open", "selfclose"):
+            continue
+        if val == "meta":
+            a = {k: v for k, v in attrs if v is not None}
+            prop = a.get("property", "").strip().lower()
+            if prop in og and og[prop] is None:
+                c = a.get("content", "")
+                c = c.strip() if prop == "og:image" else " ".join(c.split())
+                if c:
+                    og[prop] = c
+            if ev == "selfclose":
+                continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+    return (og["og:title"], og["og:description"], og["og:image"])
+
+
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
-    v6 description, v7 headings) — 2nd witness."""
+    v6 description, v7 headings, v8 ogmeta triple) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
             text, spans, [], _pdf_info_title(blob),
             None, _pdf_info_text(blob, "Subject"),
             _pdf_outline_levels(blob),
+            (None, None, None),
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
     return (
         text, spans, _html_outlinks(blob), _html_title(blob),
         canonical, description, headings,
+        _html_ogmeta(blob),
     )
 
 

@@ -957,7 +957,14 @@ _META_ST = st.sampled_from(
      '<meta name=" DESCRIPTION " content=" d  2 ">',
      '<meta name="description" content="">',
      '<link rel="canonical" href="">',
-     '<meta name="keywords" content="k">']
+     '<meta name="keywords" content="k">',
+     '<meta property="og:title" content="OT 1">',
+     '<meta property=" OG:TITLE " content=" OT  2 ">',
+     '<meta property="og:title" content="  ">',
+     '<meta property="og:description" content=" od ">',
+     '<meta property="og:image" content=" /i.png ">',
+     '<meta property="og:image" content="">',
+     '<meta property="og:video" content="/v.mp4">']
 )
 
 
@@ -1003,7 +1010,9 @@ def test_unclosed_title_does_not_eat_body_text():
         st.sampled_from(
             ["<title>", "</title>", "</style>", "</head>", "<p>", "</p>",
              "<div class='sidebar'>", "</div>", "text ", "<a href='/x'>y</a>",
-             "<link rel=canonical href=/c>", "<meta name=description content=d>"]
+             "<link rel=canonical href=/c>", "<meta name=description content=d>",
+             "<meta property=og:title content=ot>",
+             "<meta property=og:image content=/i.png>"]
         ),
         max_size=12,
     )
@@ -1159,3 +1168,47 @@ def test_headings_second_witness(name):
     if not r.valid or r.encrypted:
         pytest.skip("oracle witnesses valid/plaintext docs only")
     assert r.headings == oracle_extract_full(blob)[6]
+
+
+def test_html_ogmeta_first_wins_and_decoys():
+    """v8 OGMETA decoy matrix: empty content doesn't consume the slot,
+    boiler-region og is opaque, first non-empty wins per property,
+    og:image is trimmed not normalized, unknown og:* ignored."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = (
+        b"<html><head>"
+        b"<meta property='og:title' content='   '>"
+        b"<meta property=' OG:Title ' content=' A  B '>"
+        b"<meta property='og:title' content='loses'>"
+        b"<meta property='og:video' content='/v.mp4'>"
+        b"<meta property='og:image' content=' /i.png '>"
+        b"</head><body>"
+        b"<div class='sidebar'><meta property='og:description'"
+        b" content='hidden'></div>"
+        b"<meta property='og:description' content=' d  1 '>"
+        b"<p>body</p></body></html>"
+    )
+    e = extract_html(blob)
+    assert e[7] == ("A B", "d 1", "/i.png")
+    assert e == oracle_extract_full(blob)
+
+
+def test_ogmeta_none_for_pdfs_and_stats_mode():
+    from caraspark.synth import PDF_RECIPES
+
+    r = process_document(PDF_RECIPES["pdf_minimal"]())
+    assert (r.og_title, r.og_description, r.og_image) == (None, None, None)
+    r2 = process_document(
+        b"<html><head><meta property='og:title' content='x'></head>"
+        b"<body><p>t</p></body></html>",
+        want_text=False,
+    )
+    assert (r2.og_title, r2.og_description, r2.og_image) == (None, None, None)
+    r3 = process_document(
+        b"<html><head><meta property='og:title' content='x'></head>"
+        b"<body><p>t</p></body></html>",
+        want=("ogmeta",),
+    )
+    assert r3.og_title == "x" and r3.text is None

@@ -227,6 +227,9 @@ def _title_facts(res) -> dict:
         "title": res.title,
         "canonical": res.canonical,
         "description": res.description,
+        "og_title": res.og_title,
+        "og_description": res.og_description,
+        "og_image": res.og_image,
         "n_headings": None if res.headings is None else len(res.headings),
         "headings_sig": (
             None
