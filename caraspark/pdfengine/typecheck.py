@@ -146,6 +146,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "PageLayout": Entry(NAME),
             "PageMode": Entry(NAME),
             "OpenAction": Entry(OneOf((ARRAY,) + _ACTION_ALTS)),
+            "AA": Entry(Class("addl_actions")),
             "AcroForm": Entry(Class("acroform")),
             "Lang": Entry(STRING),
             "Version": Entry(NAME),
@@ -191,6 +192,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "LastModified": Entry(STRING),
             "StructParents": Entry(INT),
             "Trans": Entry(Class("transition")),
+            "AA": Entry(Class("addl_actions")),
             "B": Entry(ArrayOf(Class("bead"))),
             "Metadata": Entry(Class("metadata_stream")),
         }
@@ -225,7 +227,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -395,7 +397,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -418,7 +420,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -441,7 +443,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -449,7 +451,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "H": Entry(NAME),
             "MK": Entry(DICT),
             "A": Entry(ACTION),
-            "AA": Entry(DICT),
+            "AA": Entry(Class("addl_actions")),
             "BS": Entry(DICT),
             # widget/field merge
             "Parent": Entry(DICT),
@@ -476,7 +478,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -503,7 +505,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -523,7 +525,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -531,7 +533,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "T": Entry(STRING),
             "MK": Entry(DICT),
             "A": Entry(ACTION),
-            "AA": Entry(DICT),
+            "AA": Entry(Class("addl_actions")),
         }
     ),
     "annot_movie": ClassDef(
@@ -545,7 +547,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "NM": Entry(STRING),
             "M": Entry(STRING),
             "F": Entry(INT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
             "Border": Entry(ARRAY),
             "C": Entry(ArrayOf(NUMBER)),
@@ -868,6 +870,30 @@ TYPEDEFS: dict[str, ClassDef] = {
             "P": Entry(STRING),
         }
     ),
+    # additional-actions dictionary [PDF17 §12.6.3 tables 194–197]: the
+    # union of the catalog (WC/WS/DS/WP/DP), page (O/C), annotation
+    # (E/X/D/U/Fo/Bl/PO/PC/PV/PI) and form-field (K/F/V/C) trigger slots,
+    # every one an action; the class stays open so exotic triggers pass
+    "addl_actions": ClassDef(
+        {
+            k: Entry(ACTION)
+            for k in (
+                "WC", "WS", "DS", "WP", "DP",
+                "O", "C",
+                "E", "X", "D", "U", "Fo", "Bl", "PO", "PC", "PV", "PI",
+                "K", "F", "V",
+            )
+        }
+    ),
+    # appearance dictionary [PDF17 §12.5.5]: /N required; each slot is a
+    # form XObject stream or a state-name → stream sub-dictionary
+    "appearance": ClassDef(
+        {
+            "N": Entry(OneOf((STREAM, DictOf(STREAM))), required=True),
+            "R": Entry(OneOf((STREAM, DictOf(STREAM)))),
+            "D": Entry(OneOf((STREAM, DictOf(STREAM)))),
+        }
+    ),
     # --- multimedia [PDF17 §13.2] -------------------------------------------
     "rendition": ClassDef(
         {
@@ -928,7 +954,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Ff": Entry(INT),
             "V": Entry(OneOf((Class("sig"), ANY))),
             "DV": Entry(ANY),
-            "AA": Entry(DICT),
+            "AA": Entry(Class("addl_actions")),
             "Subtype": Entry(NAME),
             "Rect": Entry(RECT),
             "MK": Entry(DICT),
@@ -938,7 +964,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Opt": Entry(ARRAY),
             "F": Entry(INT),
             "P": Entry(DICT),
-            "AP": Entry(DICT),
+            "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
         }
     ),

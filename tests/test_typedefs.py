@@ -1048,3 +1048,52 @@ def test_mesh_shading_stream_accepts_decode_frame():
 
     r = process_document(PDF_RECIPES["pdf_multimedia"]())
     assert r.valid and r.strict, r.errors_as_rows()
+
+
+def test_additional_actions_dict_typechecks_triggers():
+    blob = _doc_catalog(
+        b" /AA << /WC 5 0 R /DS << /S /JavaScript /JS (x();) >> >>",
+        {5: _obj(5, b"<< /Type /Action /S /JavaScript /JS (y();) >>")},
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action_javascript"
+
+
+def test_additional_actions_bad_trigger_rejected():
+    blob = _doc_catalog(
+        b" /AA << /WC << /S /URI >> >>",  # URI action missing /URI
+        {},
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
+
+
+def test_appearance_dict_n_required_and_states():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Widget /Rect [0 0 9 9]"
+                b" /FT /Btn /T (cb) /AS /Off"
+                b" /AP << /N << /Yes 6 0 R /Off 7 0 R >> >> >>",
+            ),
+            6: _stream_obj(6, b"/Type /XObject /Subtype /Form"
+                              b" /BBox [0 0 9 9]", b""),
+            7: _stream_obj(7, b"/Type /XObject /Subtype /Form"
+                              b" /BBox [0 0 9 9]", b""),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert r.valid and r.strict, r.errors_as_rows()
+
+
+def test_appearance_missing_n_rejected():
+    blob = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+                    b" /AP << /R 4 0 R >> >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob)
+    assert "type.missing_required" in _codes(r)
