@@ -52,9 +52,12 @@ EXTRAS = [
     "dedup_simhash",
     "ann_ivf",
     "ann_lsh",
+    "ann_pq",
     "doc_chunks",
     "pack_sequences",
     "warc_roundtrip",
+    "crawl_robots",
+    "text_rarity",
 ]
 
 REPEATS = 3
