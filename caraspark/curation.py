@@ -1306,3 +1306,94 @@ def crawl_robots(spark, sf):
             F.col("w.allow").alias("allowed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap.xml build + re-parse (crawl-frontier ingestion)
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_sql() -> str:
+    return r"""
+WITH entries AS (
+  SELECT source, doc_id,
+         '<url><loc>https://' || source || '.example/p'
+           || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2026-01-'
+           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || '</lastmod><priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+           || '</priority></url>' AS entry
+  FROM documents
+),
+sitemaps AS (
+  SELECT source,
+         '<urlset>' || string_agg(entry, '' ORDER BY doc_id) || '</urlset>'
+           AS xml
+  FROM entries GROUP BY source
+),
+parsed AS (
+  SELECT source, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS u
+  FROM sitemaps
+)
+SELECT source,
+       regexp_extract(u, '<loc>(.*?)</loc>', 1) AS loc,
+       CAST(regexp_extract(u, '<lastmod>2026-01-(\d\d)</lastmod>', 1)
+            AS INT) AS lastmod_day,
+       CAST(regexp_extract(u, '<priority>0\.(\d)</priority>', 1) AS INT)
+         AS priority_decile
+FROM parsed
+"""
+
+
+@_q("crawl_sitemap", _sitemap_sql())
+def crawl_sitemap(spark, sf):
+    """sitemap.xml roundtrip: build one sitemap blob per host from its
+    document inventory, then re-parse the blob back into frontier rows
+    (loc / lastmod / priority) with the same regex pipeline a crawl
+    ingestor runs on fetched sitemaps.  Building-then-parsing (rather
+    than parsing a stored fixture) makes the qkey self-verifying: any
+    drift in the parse regexes breaks the hash against the oracle's
+    independently-built blobs.
+
+    Scale: one groupBy(source) builds the blobs — the sitemap protocol
+    caps a file at 50k URLs, so the per-host collect_list is bounded by
+    spec, exactly the bound a production sitemap writer relies on; the
+    parse stage is JVM ``regexp_extract_all`` + explode (no Python), and
+    the explode returns to per-URL rows so downstream stages never carry
+    the blob.  Regexes stay in the Java∩RE2 subset (non-greedy dot, no
+    lookaround)."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example/p"),
+        did.cast("string"), F.lit("</loc><lastmod>2026-01-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        d.select("source", F.struct(did.alias("doc_id"), entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s.e)
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = sitemaps.select(
+        "source",
+        F.explode(F.regexp_extract_all("xml", F.lit(r"<url>(.*?)</url>"), 1)).alias("u"),
+    )
+    return parsed.select(
+        "source",
+        F.regexp_extract("u", r"<loc>(.*?)</loc>", 1).alias("loc"),
+        F.regexp_extract("u", r"<lastmod>2026-01-(\d\d)</lastmod>", 1)
+        .cast("int")
+        .alias("lastmod_day"),
+        F.regexp_extract("u", r"<priority>0\.(\d)</priority>", 1)
+        .cast("int")
+        .alias("priority_decile"),
+    )

@@ -343,3 +343,24 @@ def test_crawl_robots_matches_python_longest_match(spark, sf_smoke):
     # both verdicts occur, and at least one doc is decided by the deep rule
     assert {r.allowed for r in rows.values()} == {True, False}
     assert any(r.matched_prefix == "/a/b/c" for r in rows.values())
+
+
+def test_crawl_sitemap_roundtrips_every_document(spark, sf_smoke):
+    docs = {
+        (r.doc_id, r.source)
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    rows = C.crawl_sitemap(spark, sf_smoke).collect()
+    # one frontier row per document, loc reconstructs the doc identity
+    assert len(rows) == len(docs)
+    seen = set()
+    for r in rows:
+        assert r.loc.startswith(f"https://{r.source}.example/p"), r
+        did = int(r.loc.rsplit("p", 1)[1])
+        assert (did, r.source) in docs, r
+        assert r.lastmod_day == did % 28 + 1, r
+        assert r.priority_decile == did % 10, r
+        seen.add((did, r.source))
+    assert seen == docs

@@ -577,3 +577,13 @@ def test_ann_pq_broadcast_queries_no_corpus_shuffle(spark, sf_smoke, qs):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_crawl_sitemap_single_exchange_no_join(spark, sf_smoke, qs):
+    """Sitemap build+parse is one groupBy(source) exchange (the blob
+    assembly); the re-parse is a JVM regexp projection + explode over the
+    grouped result — no joins, no second shuffle, no Python."""
+    p = plan_of(qs["crawl_sitemap"](spark, sf_smoke))
+    assert p.count("hashpartitioning") == 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
