@@ -1630,3 +1630,148 @@ def ann_pq(spark, sf):
         .filter(F.col("rn") <= _TOPK)
         .select("q_id", "n_id", "l2")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering over embeddings (semantic bucketing / mixture balance)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8          # clusters
+_KM_SCALE = 1_000_000  # fixed-point quantization: q = floor(x * SCALE)
+
+
+def _kmeans_sql() -> str:
+    """Unrolled 2-assignment / 1-update integer Lloyd's.
+
+    Determinism contract (why this reproduces bit-exactly on two engines):
+    embeddings quantize to BIGINT fixed-point (floor of an exact double
+    product), distances and centroid sums are pure integer arithmetic
+    (order-insensitive), the centroid mean is a FLOORED integer division
+    spelled with the dividend-sign-portable pmod formula, and ties break
+    on ascending centroid id."""
+    fd = "(sum(t.q) - ((sum(t.q) % count(*)) + count(*)) % count(*))"
+    return f"""
+WITH comps AS (
+  SELECT vec_id, u.d - 1 AS d,
+         CAST(floor(CAST(u.x AS DOUBLE) * {_KM_SCALE}) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS d) u
+),
+c0 AS (SELECT vec_id AS cid, d, q AS cq FROM comps WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT t.vec_id, c.cid,
+         CAST(sum((t.q - c.cq) * (t.q - c.cq)) AS BIGINT) AS dist2
+  FROM comps t JOIN c0 c ON c.d = t.d
+  GROUP BY t.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d1
+),
+c1 AS (
+  SELECT a.cid, t.d, CAST({fd} // count(*) AS BIGINT) AS cq
+  FROM comps t JOIN a1 a ON a.vec_id = t.vec_id AND a.rn = 1
+  GROUP BY a.cid, t.d
+),
+d2 AS (
+  SELECT t.vec_id, c.cid,
+         CAST(sum((t.q - c.cq) * (t.q - c.cq)) AS BIGINT) AS dist2
+  FROM comps t JOIN c1 c ON c.d = t.d
+  GROUP BY t.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d2
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist2 FROM a2 WHERE rn = 1
+"""
+
+
+def kmeans_assign_udf(spark, cents, cids):
+    """Vectorized nearest-centroid assignment over PRE-QUANTIZED (int64
+    fixed-point) vectors.
+
+    Centroids ship as ONE broadcast variable (int64 matrix sorted by
+    ascending cluster id so ``argmin``'s first-minimum rule IS the
+    ascending-id tie-break); per Arrow batch the work is an exact int64
+    (batch × K × dim) squared-distance reduce — no floats anywhere, so
+    the result is order-independent and engine-portable."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.stack([np.asarray(c, dtype=np.int64) for c in cents])
+    cid = np.asarray(cids, dtype=np.int64)
+    order = np.argsort(cid)
+    C, cid = C[order], cid[order]
+    bc = spark.sparkContext.broadcast((C, cid))
+
+    def _assign(vs):  # pd.Series of int64 arrays -> pd.DataFrame (struct)
+        Cv, cidv = bc.value
+        X = np.stack([np.asarray(v, dtype=np.int64) for v in vs])
+        D = ((X[:, None, :] - Cv[None, :, :]) ** 2).sum(axis=2)
+        j = D.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": cidv[j], "dist2": D[np.arange(len(j)), j]}
+        )
+
+    return F.pandas_udf(_assign, "cluster long, dist2 long")
+
+
+@_q("cluster_kmeans", _kmeans_sql())
+def cluster_kmeans(spark, sf):
+    """k-means over the embedding corpus (K=8, one Lloyd update, final
+    assignment): the semantic-bucketing primitive behind cluster-balanced
+    data mixing and SemDeDup-style semantic dedup.  Vectors quantize to
+    int64 fixed-point so every distance and centroid sum is exact integer
+    arithmetic — the oracle reproduces the identical clustering with
+    unrolled SQL CTEs (see ``_kmeans_sql``).
+
+    Scale: assignment is a NARROW stage — the K×dim centroid matrix
+    broadcasts and a pandas UDF does one exact int64 matmul-shaped reduce
+    per Arrow batch (ann_ivf's quantizer pattern; textops.py:1022), zero
+    shuffle over the corpus.  The centroid update explodes to fixed-width
+    (vec_id, d, q) rows with map-side partial aggregation, so the only
+    corpus-wide exchange carries (cluster, dim, partial-sum) — and the
+    K×dim result legitimately collects to the driver between iterations,
+    exactly how production k-means (MLlib, FAISS training) ships
+    centroids.  Iteration count is fixed (production k-means on 10^12
+    rows runs a fixed budget, not to convergence)."""
+    e = load(spark, sf, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+    )
+    qe = e.select("vec_id", quant.alias("qv"))
+    comps = qe.select("vec_id", F.posexplode("qv").alias("d", "q"))
+
+    init = qe.filter(F.col("vec_id") < _KM_K).collect()  # K rows, tiny
+    a1_udf = kmeans_assign_udf(
+        spark, [r["qv"] for r in init], [r["vec_id"] for r in init]
+    )
+    a1 = qe.select("vec_id", a1_udf("qv").alias("a")).select(
+        "vec_id", F.col("a.cluster").alias("cluster")
+    )
+    upd = (
+        comps.join(a1, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(
+            F.expr(
+                "(sum(q) - pmod(sum(q), count(1))) div count(1)"
+            ).alias("cq")
+        )
+        .collect()  # K×dim rows: the per-iteration centroid ship
+    )
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in upd:
+        by_cid.setdefault(r["cluster"], {})[r["d"]] = r["cq"]
+    cids = sorted(by_cid)
+    cents = [
+        [by_cid[c][d] for d in sorted(by_cid[c])] for c in cids
+    ]
+    a2_udf = kmeans_assign_udf(spark, cents, cids)
+    return qe.select("vec_id", a2_udf("qv").alias("a")).select(
+        "vec_id", "a.cluster", "a.dist2"
+    )

@@ -587,3 +587,15 @@ def test_crawl_sitemap_single_exchange_no_join(spark, sf_smoke, qs):
     assert p.count("hashpartitioning") == 1, p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_cluster_kmeans_final_assignment_is_narrow(spark, sf_smoke, qs):
+    """After the (driver-shipped, K×dim) centroid update, the returned
+    assignment plan must be a pure narrow stage: scan → quantize → Arrow
+    pandas UDF against the broadcast centroid matrix.  No join and no
+    exchange anywhere — at 10^12 vectors this stage's cost is one int64
+    reduce per vector, full stop."""
+    p = plan_of(qs["cluster_kmeans"](spark, sf_smoke))
+    assert "ArrowEvalPython" in p, p
+    assert "Join" not in p, p
+    assert "hashpartitioning" not in p, p

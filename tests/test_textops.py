@@ -272,3 +272,50 @@ def test_ann_pq_codes_shape_and_recall(spark, sf_smoke):
     # chance overlap is TOPK/N ≈ 0.6%; the deterministic corpus gives the
     # two-stage pipeline a stable recall well above half
     assert hits / total >= 0.5, hits / total
+
+
+def test_cluster_kmeans_matches_python_lloyd(spark, sf_smoke):
+    """Independent pure-Python Lloyd's (same quantization, floored-mean
+    update, ascending-id tie-break) must reproduce every assignment and
+    distance bit-exactly."""
+    import math
+
+    from caraspark.tables import load
+    from caraspark.textops import _KM_K, _KM_SCALE, cluster_kmeans
+
+    vecs = {
+        r.vec_id: [math.floor(float(x) * _KM_SCALE) for x in r.embedding]
+        for r in load(spark, sf_smoke, "embeddings").collect()
+    }
+
+    def assign(cents):
+        out = {}
+        for vid, q in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q, c)), cid)
+                for cid, c in cents.items()
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    c0 = {vid: vecs[vid] for vid in sorted(vecs) if vid < _KM_K}
+    a1 = assign(c0)
+    members: dict[int, list[int]] = {}
+    for vid, (cid, _) in a1.items():
+        members.setdefault(cid, []).append(vid)
+    c1 = {
+        cid: [
+            sum(vecs[v][d] for v in vs) // len(vs)
+            for d in range(len(next(iter(vecs.values()))))
+        ]
+        for cid, vs in members.items()
+    }
+    want = assign(c1)
+
+    rows = {r.vec_id: r for r in cluster_kmeans(spark, sf_smoke).collect()}
+    assert set(rows) == set(vecs)
+    for vid, (cid, d2) in want.items():
+        assert rows[vid].cluster == cid, vid
+        assert rows[vid].dist2 == d2, vid
+    # the clustering must be non-trivial: >1 cluster survives the update
+    assert len({r.cluster for r in rows.values()}) > 1
