@@ -1775,3 +1775,52 @@ def cluster_kmeans(spark, sf):
     return qe.select("vec_id", a2_udf("qv").alias("a")).select(
         "vec_id", "a.cluster", "a.dist2"
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: LSH cosine edges → connected components → keep verdict
+# ---------------------------------------------------------------------------
+
+
+def _semantic_sql() -> str:
+    return f"""
+WITH RECURSIVE lsh AS ({_embed_lsh_sql()}),
+e2 AS (SELECT id_a AS u, id_b AS v FROM lsh
+       UNION SELECT id_b, id_a FROM lsh),
+reach (n, m) AS (
+  SELECT u, u FROM e2
+  UNION
+  SELECT e2.v, reach.m FROM reach JOIN e2 ON e2.u = reach.n
+),
+comp AS (SELECT n AS vec_id, min(m) AS comp FROM reach GROUP BY n)
+SELECT e.vec_id,
+       CAST(coalesce(c.comp, e.vec_id) AS BIGINT) AS comp,
+       coalesce(c.comp, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+"""
+
+
+@_q("dedup_semantic", _semantic_sql())
+def dedup_semantic(spark, sf):
+    """SemDeDup-style semantic deduplication: hyperplane-LSH candidate
+    pairs above the cosine threshold become edges, connected components
+    group mutually-similar vectors into semantic clusters, and exactly
+    one representative per cluster (the minimum id) gets ``keep=true`` —
+    every vector appears in the output so the verdict is a total
+    function over the corpus.
+
+    Scale: candidate generation is the banded-LSH bucket join (no
+    all-pairs — see dedup_embed_lsh), components converge in O(log n)
+    alternating-star rounds with per-round lineage truncation (see
+    dedup_clusters), and the final verdict is one equi-join on vec_id
+    carrying (id, comp) pairs only — embeddings never travel past the
+    edge stage."""
+    edges = dedup_embed_lsh(spark, sf).select("id_a", "id_b")
+    comp = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
+    e = load(spark, sf, "embeddings").select("vec_id")
+    c = F.coalesce("comp", F.col("vec_id"))
+    return e.join(comp, "vec_id", "left").select(
+        "vec_id",
+        c.cast("bigint").alias("comp"),
+        (c == F.col("vec_id")).alias("keep"),
+    )

@@ -319,3 +319,42 @@ def test_cluster_kmeans_matches_python_lloyd(spark, sf_smoke):
         assert rows[vid].dist2 == d2, vid
     # the clustering must be non-trivial: >1 cluster survives the update
     assert len({r.cluster for r in rows.values()}) > 1
+
+
+def test_dedup_semantic_partitions_corpus_with_one_keeper_per_cluster(
+    spark, sf_smoke
+):
+    """keep=true exactly once per component, the keeper is the minimum
+    member, components agree with a pure-Python union-find over the same
+    edge list, and every vector gets a verdict."""
+    from caraspark.tables import load
+    from caraspark.textops import dedup_embed_lsh, dedup_semantic
+
+    edges = [
+        (r.id_a, r.id_b) for r in dedup_embed_lsh(spark, sf_smoke).collect()
+    ]
+    all_ids = {
+        r.vec_id for r in load(spark, sf_smoke, "embeddings").collect()
+    }
+    parent = {v: v for v in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in all_ids}
+
+    rows = {r.vec_id: r for r in dedup_semantic(spark, sf_smoke).collect()}
+    assert set(rows) == all_ids
+    for vid, comp in want.items():
+        assert rows[vid].comp == comp, vid
+        assert rows[vid].keep == (vid == comp), vid
+    # non-degenerate on the synthetic corpus: some dups AND some keepers
+    keeps = sum(1 for r in rows.values() if r.keep)
+    assert 0 < keeps < len(rows)
