@@ -97,7 +97,34 @@ RECT = Tuple((NUMBER, NUMBER, NUMBER, NUMBER))
 # checked shallowly (NAME | ARRAY) — the DSL's frozen dataclasses can't
 # express unbounded recursion, matching caradoc's bounded CS descent.
 _CS_BASE = OneOf((NAME, ARRAY))
-_CS_FUNC = OneOf((Class("function"), ArrayOf(Class("function"))))
+
+# Function family [PDF17 §7.10]: subtypes discriminated by exact
+# /FunctionType with per-type REQUIRED entries (caradoc checks these
+# per-variant; a single open class would let a sampled function without
+# /Size pass). No generic fallback: types 1/5/6/7 don't exist, so a dict
+# matching no alternative is a type error by construction.
+_FUNC_ALTS = (
+    Class("function_sampled"),      # type 0 (stream)
+    Class("function_exponential"),  # type 2
+    Class("function_stitching"),    # type 3
+    Class("function_postscript"),   # type 4 (stream)
+)
+FUNCTION = OneOf(_FUNC_ALTS)
+_FUNC_OR_ARRAY = OneOf(_FUNC_ALTS + (ArrayOf(FUNCTION),))
+_CS_FUNC = _FUNC_OR_ARRAY
+
+# Shading family [PDF17 §8.7.4.3]: function-based (1), axial (2), radial
+# (3), lattice-form mesh (5, needs /VerticesPerRow), free-form/Coons/
+# tensor meshes (4/6/7, streams needing /BitsPerFlag). Exhaustive — no
+# open fallback.
+_SHADING_ALTS = (
+    Class("shading_fnbased"),
+    Class("shading_axial"),
+    Class("shading_radial"),
+    Class("shading_lattice"),
+    Class("shading_mesh"),
+)
+SHADING = OneOf(_SHADING_ALTS)
 
 # Action family [PDF17 §12.6.4]: subtypes discriminated by exact /S, the
 # generic open class LAST as the fallback for subtypes without a dedicated
@@ -210,7 +237,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Pattern": Entry(
                 DictOf(OneOf((Class("pattern_tiling"), Class("pattern_shading"))))
             ),
-            "Shading": Entry(DictOf(Class("shading"))),
+            "Shading": Entry(DictOf(SHADING)),
             "ProcSet": Entry(ArrayOf(NAME)),
             "Properties": Entry(
                 DictOf(OneOf((Class("ocg"), Class("ocmd"), DICT)))
@@ -662,58 +689,130 @@ TYPEDEFS: dict[str, ClassDef] = {
         },
         is_stream=True,
     ),
-    # --- functions [PDF17 §7.10]: sampled (0, stream), exponential (2),
-    # stitching (3), PostScript calculator (4, stream) — discriminated by
-    # /FunctionType, shared Domain/Range frame
-    "function": ClassDef(
+    # --- functions [PDF17 §7.10]: one class per /FunctionType so the
+    # per-type required entries (§7.10.2–.5 tables 39–42) are enforced,
+    # not merely permitted
+    "function_sampled": ClassDef(
         {
-            # types 1/5/6/7 don't exist: a wrong discriminator is a type
-            # error, not an open INT
-            "FunctionType": Entry(
-                OneOf((ExactInt(0), ExactInt(2), ExactInt(3), ExactInt(4))),
-                required=True,
-            ),
+            "FunctionType": Entry(ExactInt(0), required=True),
+            "Domain": Entry(ArrayOf(NUMBER), required=True),
+            "Range": Entry(ArrayOf(NUMBER), required=True),
+            "Size": Entry(ArrayOf(INT), required=True),
+            "BitsPerSample": Entry(INT, required=True),
+            "Order": Entry(OneOf((ExactInt(1), ExactInt(3)))),
+            "Encode": Entry(ArrayOf(NUMBER)),
+            "Decode": Entry(ArrayOf(NUMBER)),
+        },
+        is_stream=True,
+    ),
+    "function_exponential": ClassDef(
+        {
+            "FunctionType": Entry(ExactInt(2), required=True),
             "Domain": Entry(ArrayOf(NUMBER), required=True),
             "Range": Entry(ArrayOf(NUMBER)),
-            "Size": Entry(ArrayOf(INT)),          # type 0
-            "BitsPerSample": Entry(INT),          # type 0
-            "Order": Entry(INT),                  # type 0
-            "Encode": Entry(ArrayOf(NUMBER)),     # types 0, 3
-            "Decode": Entry(ArrayOf(NUMBER)),     # type 0
-            "C0": Entry(ArrayOf(NUMBER)),         # type 2
-            "C1": Entry(ArrayOf(NUMBER)),         # type 2
-            "N": Entry(NUMBER),                   # type 2
-            "Functions": Entry(ArrayOf(Class("function"))),  # type 3
-            "Bounds": Entry(ArrayOf(NUMBER)),     # type 3
-            # stream entries (Filter/Length) permitted by open classes
+            "C0": Entry(ArrayOf(NUMBER)),
+            "C1": Entry(ArrayOf(NUMBER)),
+            "N": Entry(NUMBER, required=True),
         }
     ),
-    # --- shadings and patterns [PDF17 §8.7.4.3, §8.7.3] --------------------
-    "shading": ClassDef(
+    "function_stitching": ClassDef(
+        {
+            "FunctionType": Entry(ExactInt(3), required=True),
+            "Domain": Entry(ArrayOf(NUMBER), required=True),
+            "Range": Entry(ArrayOf(NUMBER)),
+            "Functions": Entry(ArrayOf(FUNCTION), required=True),
+            "Bounds": Entry(ArrayOf(NUMBER), required=True),
+            "Encode": Entry(ArrayOf(NUMBER), required=True),
+        }
+    ),
+    "function_postscript": ClassDef(
+        {
+            "FunctionType": Entry(ExactInt(4), required=True),
+            "Domain": Entry(ArrayOf(NUMBER), required=True),
+            # §7.10.5: Range is required for calculator functions
+            "Range": Entry(ArrayOf(NUMBER), required=True),
+        },
+        is_stream=True,
+    ),
+    # --- shadings and patterns [PDF17 §8.7.4.3, §8.7.3]: one class per
+    # geometry family so each one's required plumbing (Coords for axial/
+    # radial, vertex-decode frame for meshes, VerticesPerRow for
+    # lattices) is enforced per §8.7.4.5 tables 78–83
+    "shading_fnbased": ClassDef(
+        {
+            "ShadingType": Entry(ExactInt(1), required=True),
+            "ColorSpace": Entry(COLORSPACE, required=True),
+            "Background": Entry(ArrayOf(NUMBER)),
+            "BBox": Entry(RECT),
+            "AntiAlias": Entry(BOOL),
+            "Domain": Entry(ArrayOf(NUMBER)),
+            "Matrix": Entry(ArrayOf(NUMBER)),
+            "Function": Entry(_FUNC_OR_ARRAY, required=True),
+        }
+    ),
+    "shading_axial": ClassDef(
+        {
+            "ShadingType": Entry(ExactInt(2), required=True),
+            "ColorSpace": Entry(COLORSPACE, required=True),
+            "Background": Entry(ArrayOf(NUMBER)),
+            "BBox": Entry(RECT),
+            "AntiAlias": Entry(BOOL),
+            "Domain": Entry(ArrayOf(NUMBER)),
+            "Coords": Entry(
+                Tuple((NUMBER, NUMBER, NUMBER, NUMBER)), required=True
+            ),
+            "Extend": Entry(Tuple((BOOL, BOOL))),
+            "Function": Entry(_FUNC_OR_ARRAY, required=True),
+        }
+    ),
+    "shading_radial": ClassDef(
+        {
+            "ShadingType": Entry(ExactInt(3), required=True),
+            "ColorSpace": Entry(COLORSPACE, required=True),
+            "Background": Entry(ArrayOf(NUMBER)),
+            "BBox": Entry(RECT),
+            "AntiAlias": Entry(BOOL),
+            "Domain": Entry(ArrayOf(NUMBER)),
+            "Coords": Entry(
+                Tuple((NUMBER, NUMBER, NUMBER, NUMBER, NUMBER, NUMBER)),
+                required=True,
+            ),
+            "Extend": Entry(Tuple((BOOL, BOOL))),
+            "Function": Entry(_FUNC_OR_ARRAY, required=True),
+        }
+    ),
+    "shading_lattice": ClassDef(
+        {
+            "ShadingType": Entry(ExactInt(5), required=True),
+            "ColorSpace": Entry(COLORSPACE, required=True),
+            "Background": Entry(ArrayOf(NUMBER)),
+            "BBox": Entry(RECT),
+            "AntiAlias": Entry(BOOL),
+            "BitsPerCoordinate": Entry(INT, required=True),
+            "BitsPerComponent": Entry(INT, required=True),
+            "VerticesPerRow": Entry(INT, required=True),
+            "Decode": Entry(ArrayOf(NUMBER), required=True),
+            "Function": Entry(_FUNC_OR_ARRAY),
+        },
+        is_stream=True,
+    ),
+    "shading_mesh": ClassDef(
         {
             "ShadingType": Entry(
-                OneOf(tuple(ExactInt(i) for i in range(1, 8))),
+                OneOf((ExactInt(4), ExactInt(6), ExactInt(7))),
                 required=True,
             ),
             "ColorSpace": Entry(COLORSPACE, required=True),
             "Background": Entry(ArrayOf(NUMBER)),
             "BBox": Entry(RECT),
             "AntiAlias": Entry(BOOL),
-            "Domain": Entry(ArrayOf(NUMBER)),
-            "Coords": Entry(ArrayOf(NUMBER)),      # types 2, 3
-            "Extend": Entry(Tuple((BOOL, BOOL))),  # types 2, 3
-            "Matrix": Entry(ArrayOf(NUMBER)),      # type 1
-            "Function": Entry(
-                OneOf((Class("function"), ArrayOf(Class("function"))))
-            ),
-            # mesh shadings (4–7) are STREAMS of packed vertex data;
-            # their decode frame rides the same open class
-            "BitsPerCoordinate": Entry(INT),       # types 4–7
-            "BitsPerComponent": Entry(INT),        # types 4–7
-            "BitsPerFlag": Entry(INT),             # types 4, 6, 7
-            "Decode": Entry(ArrayOf(NUMBER)),      # types 4–7
-            "VerticesPerRow": Entry(INT),          # type 5
-        }
+            "BitsPerCoordinate": Entry(INT, required=True),
+            "BitsPerComponent": Entry(INT, required=True),
+            "BitsPerFlag": Entry(INT, required=True),
+            "Decode": Entry(ArrayOf(NUMBER), required=True),
+            "Function": Entry(_FUNC_OR_ARRAY),
+        },
+        is_stream=True,
     ),
     "pattern_tiling": ClassDef(
         {
@@ -733,7 +832,7 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "Type": Entry(Exact("Pattern")),
             "PatternType": Entry(ExactInt(2), required=True),
-            "Shading": Entry(Class("shading"), required=True),
+            "Shading": Entry(SHADING, required=True),
             "Matrix": Entry(ArrayOf(NUMBER)),
             "ExtGState": Entry(Class("extgstate")),
         }
@@ -1488,20 +1587,28 @@ def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
         # /PatternType, …) — this is how unions of stream classes (image
         # vs form xobject), annotation families, and pattern kinds resolve
         # without backtracking
+        def _const_ok(got, t) -> bool:
+            if isinstance(t, Exact):
+                return isinstance(got, Name) and got.v == t.name
+            return (
+                isinstance(got, int)
+                and not isinstance(got, bool)
+                and got == t.n
+            )
+
         for disc, want in cd.entries.items():
-            if isinstance(want.t, Exact):
-                got = body.get(disc)
+            if isinstance(want.t, (Exact, ExactInt)):
                 if want.required or disc in body:
-                    if not (isinstance(got, Name) and got.v == want.t.name):
+                    if not _const_ok(body.get(disc), want.t):
                         return False
-            elif isinstance(want.t, ExactInt):
-                got = body.get(disc)
+            elif isinstance(want.t, OneOf) and want.t.alts and all(
+                isinstance(a, (Exact, ExactInt)) for a in want.t.alts
+            ):
+                # a constant-set discriminator (e.g. mesh /ShadingType in
+                # {4,6,7}) resolves the union exactly like a single constant
                 if want.required or disc in body:
-                    if not (
-                        isinstance(got, int)
-                        and not isinstance(got, bool)
-                        and got == want.t.n
-                    ):
+                    got = body.get(disc)
+                    if not any(_const_ok(got, a) for a in want.t.alts):
                         return False
         return True
     return False

@@ -570,8 +570,8 @@ def test_shading_with_function_validates():
     )
     r = process_document(blob, want_objects=True)
     assert r.valid and r.strict, r.errors_as_rows()
-    assert r.type_assignments["5.0"] == "shading"
-    assert r.type_assignments["6.0"] == "function"
+    assert r.type_assignments["5.0"] == "shading_axial"
+    assert r.type_assignments["6.0"] == "function_exponential"
 
 
 def test_stitching_function_children_typed():
@@ -596,8 +596,8 @@ def test_stitching_function_children_typed():
     )
     r = process_document(blob, want_objects=True)
     assert r.valid, r.errors_as_rows()
-    assert r.type_assignments["6.0"] == "function"
-    assert r.type_assignments["7.0"] == "function"
+    assert r.type_assignments["6.0"] == "function_stitching"
+    assert r.type_assignments["7.0"] == "function_exponential"
 
 
 def test_shading_missing_colorspace_rejected():
@@ -625,7 +625,11 @@ def test_tiling_and_shading_patterns_discriminate():
             7: _obj(
                 7,
                 b"<< /ShadingType 2 /ColorSpace /DeviceRGB"
-                b" /Coords [0 0 1 1] >>",
+                b" /Coords [0 0 1 1] /Function 8 0 R >>",
+            ),
+            8: _obj(
+                8,
+                b"<< /FunctionType 2 /Domain [0 1] /N 1 >>",
             ),
         },
         page_extra=b" /Resources << /Pattern << /P1 5 0 R /P2 6 0 R >> >>",
@@ -634,7 +638,7 @@ def test_tiling_and_shading_patterns_discriminate():
     assert r.valid, r.errors_as_rows()
     assert r.type_assignments["5.0"] == "pattern_tiling"
     assert r.type_assignments["6.0"] == "pattern_shading"
-    assert r.type_assignments["7.0"] == "shading"
+    assert r.type_assignments["7.0"] == "shading_axial"
 
 
 def test_shading_pattern_missing_shading_rejected():
@@ -996,8 +1000,8 @@ def test_multimedia_recipe_assigns_all_classes():
     assert a["6.0"] == "annot_movie"
     assert a["7.0"] == "action_rendition"
     assert a["8.0"] == "rendition"
-    assert a["9.0"] == "shading" and a["10.0"] == "shading"
-    assert a["11.0"] == "function"
+    assert a["9.0"] == "shading_mesh" and a["10.0"] == "shading_axial"
+    assert a["11.0"] == "function_stitching"
 
 
 def test_movie_annot_missing_movie_dict_rejected():
@@ -1097,3 +1101,131 @@ def test_appearance_missing_n_rejected():
     )
     r = process_document(blob)
     assert "type.missing_required" in _codes(r)
+
+
+# --- function/shading per-subtype required entries [PDF17 §7.10, §8.7.4.5] --
+
+
+def test_sampled_function_requires_stream_and_size():
+    # a type-0 function as a plain dict (not a stream) matches no union
+    # alternative — the sample table has nowhere to live
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /ShadingType 1 /ColorSpace /DeviceGray /Function 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /FunctionType 0 /Domain [0 1] /Range [0 1]"
+                b" /Size [2] /BitsPerSample 8 >>",
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.mismatch" in _codes(r)
+
+    # as a stream but missing /Size: the discriminator still resolves the
+    # class, so the error is the precise missing_required, not a mismatch
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /ShadingType 1 /ColorSpace /DeviceGray /Function 6 0 R >>",
+            ),
+            6: _stream_obj(
+                6,
+                b"/FunctionType 0 /Domain [0 1] /Range [0 1]"
+                b" /BitsPerSample 8",
+                b"\x00\xff",
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+    assert r.type_assignments["6.0"] == "function_sampled"
+
+
+def test_nonexistent_function_type_rejected():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /ShadingType 1 /ColorSpace /DeviceGray /Function 6 0 R >>",
+            ),
+            6: _obj(6, b"<< /FunctionType 1 /Domain [0 1] >>"),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.mismatch" in _codes(r)
+
+
+def test_mesh_shading_requires_bits_per_flag():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/ShadingType 6 /ColorSpace /DeviceRGB"
+                b" /BitsPerCoordinate 16 /BitsPerComponent 8"
+                b" /Decode [0 1 0 1 0 1 0 1 0 1]",
+                b"\x00" * 8,
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+    assert r.type_assignments["5.0"] == "shading_mesh"
+
+
+def test_lattice_shading_requires_vertices_per_row():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/ShadingType 5 /ColorSpace /DeviceRGB"
+                b" /BitsPerCoordinate 16 /BitsPerComponent 8"
+                b" /Decode [0 1 0 1 0 1 0 1 0 1]",
+                b"\x00" * 8,
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+    assert r.type_assignments["5.0"] == "shading_lattice"
+
+    # with VerticesPerRow present the lattice is strict-clean
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/ShadingType 5 /ColorSpace /DeviceRGB"
+                b" /BitsPerCoordinate 16 /BitsPerComponent 8"
+                b" /VerticesPerRow 2 /Decode [0 1 0 1 0 1 0 1 0 1]",
+                b"\x00" * 8,
+            ),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+
+
+def test_postscript_function_requires_range():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /ShadingType 1 /ColorSpace /DeviceGray /Function 6 0 R >>",
+            ),
+            6: _stream_obj(6, b"/FunctionType 4 /Domain [0 1]", b"{ dup }"),
+        },
+        page_extra=b" /Resources << /Shading << /S 5 0 R >> >>",
+    )
+    r = process_document(blob, want_objects=True)
+    assert "type.missing_required" in _codes(r)
+    assert r.type_assignments["6.0"] == "function_postscript"
