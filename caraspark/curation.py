@@ -1397,3 +1397,248 @@ def crawl_sitemap(spark, sf):
         .cast("int")
         .alias("priority_decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (RefinedWeb / CCNet style)
+# ---------------------------------------------------------------------------
+
+# Number of synthetic paragraphs planted per document, and the modulus that
+# makes paragraph 0 collide across every doc in the same residue class.
+_PARA_PER_DOC = 4
+_PARA_SHARED_MOD = 5
+
+
+def _para_dedup_sql() -> str:
+    return f"""
+WITH paras AS (
+  SELECT doc_id, g.i AS para_idx,
+         CASE WHEN g.i = 0
+              THEN 'shared header ' || CAST(doc_id % {_PARA_SHARED_MOD} AS VARCHAR)
+              ELSE substring(text, 1 + 30 * g.i, 30)
+                   || ' p' || CAST(doc_id AS VARCHAR)
+         END AS para
+  FROM documents,
+       (SELECT unnest(range({_PARA_PER_DOC})) AS i) g
+  WHERE length(text) >= 30 * {_PARA_PER_DOC}
+),
+counted AS (
+  SELECT md5(para) AS para_md5, count(DISTINCT doc_id) AS n_docs
+  FROM paras GROUP BY md5(para)
+)
+SELECT p.doc_id, CAST(p.para_idx AS INT) AS para_idx, c.para_md5,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       c.n_docs > 1 AS dup
+FROM paras p JOIN counted c ON md5(p.para) = c.para_md5
+"""
+
+
+@_q("dedup_paragraph", _para_dedup_sql())
+def dedup_paragraph(spark, sf):
+    """Paragraph-level exact deduplication (the RefinedWeb/CCNet pass that
+    removes paragraphs repeated verbatim across documents — nav footers,
+    cookie banners, license blurbs).  The synthetic corpus has no newline
+    structure, so the query plants deterministic paragraphs (identically
+    in both engines): paragraph 0 is a shared header colliding across the
+    ``doc_id % 5`` residue class — always a duplicate — and paragraphs
+    1–3 are doc-unique text slices suffixed with the doc id — never
+    duplicates, so both polarities of the verdict are exercised on every
+    document.  Production use splits ``text`` on ``\\n{{2,}}`` instead of
+    planting; the counting plan below is unchanged.
+
+    Scale: the only wide exchanges carry 16-byte md5 digests — the
+    paragraph groupBy aggregates (digest, partial distinct-doc count)
+    with map-side combine, and the verdict re-join is digest-keyed.
+    Paragraph text itself never shuffles: md5 is computed in the scan
+    stage and the join back to (doc_id, para_idx) keys on the digest.
+    countDistinct(doc_id) is Spark's two-level expand aggregate —
+    fixed-width rows, no per-key state explosion."""
+    d = load(spark, sf, "documents").filter(
+        F.length("text") >= 30 * _PARA_PER_DOC
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(_PARA_PER_DOC - 1))).alias(
+        "para_idx"
+    )
+    paras = d.select("doc_id", "text", idx).select(
+        "doc_id",
+        F.col("para_idx").cast("int").alias("para_idx"),
+        F.md5(
+            F.when(
+                F.col("para_idx") == 0,
+                F.concat(
+                    F.lit("shared header "),
+                    (F.col("doc_id") % _PARA_SHARED_MOD).cast("string"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.substring(
+                        "text", F.lit(1) + 30 * F.col("para_idx"), F.lit(30)
+                    ),
+                    F.lit(" p"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ).alias("para_md5"),
+    )
+    counted = paras.groupBy("para_md5").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return paras.join(counted, "para_md5").select(
+        "doc_id",
+        "para_idx",
+        "para_md5",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("n_docs") > 1).alias("dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-host cap sampling (crawl-curation domain cap)
+# ---------------------------------------------------------------------------
+
+_HOST_CAP = 40
+
+
+def _sample_host_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_HOST_CAP}
+"""
+
+
+@_q("sample_per_host", _sample_host_sql())
+def sample_per_host(spark, sf):
+    """Per-host document cap: keep at most {_HOST_CAP} documents per host,
+    chosen by md5(doc_id) order — the standard crawl-curation guard
+    against a handful of giant hosts dominating the training mix.  The
+    hash order makes the kept set a deterministic uniform sample of each
+    host (not a crawl-order prefix), identical across engines and stable
+    under re-partitioning.
+
+    Scale: one exchange on the host key; rows carry (doc_id, source,
+    16-byte order key) — never text.  Catalyst's WindowGroupLimit rule
+    inserts a PARTIAL top-cap-per-host pass before the exchange (plan-
+    pinned in tests/test_plans.py), so each mapper ships at most
+    cap×hosts rows and a 10^9-page host contributes cap rows per task
+    rather than 10^9 — the giant-host skew story is capped by
+    construction, no salting needed."""
+    d = load(spark, sf, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "source", rk.alias("rk"))
+        .filter(F.col("rk") <= _HOST_CAP)
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 term scoring (integer-exact rational form)
+# ---------------------------------------------------------------------------
+
+# Query terms drawn from the synthetic word-salad vocabulary.
+_BM25_TERMS = ("hash", "merge", "batch")
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+WITH stats AS (
+  SELECT count(*) AS n,
+         sum(len(string_split(text, ' '))) AS a
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT d.doc_id, q.term,
+         len(list_filter(string_split(d.text, ' '), x -> x = q.term)) AS tf,
+         len(string_split(d.text, ' ')) AS dl
+  FROM documents d, (VALUES {terms}) q(term)
+  WHERE length(d.text) > 0
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term
+)
+SELECT t.doc_id, t.term,
+       CAST(t.tf AS BIGINT) AS tf,
+       CAST(t.dl AS BIGINT) AS dl,
+       CAST(f.df AS BIGINT) AS df,
+       round(CAST(44 * s.a * t.tf * (2 * s.n - 2 * f.df + 1) AS DOUBLE)
+             / ((20 * s.a * t.tf + 6 * s.a + 18 * t.dl * s.n)
+                * (2 * f.df + 1)), 6) AS score
+FROM tf t JOIN df f ON f.term = t.term, stats s
+WHERE t.tf > 0
+"""
+
+
+@_q("search_bm25", _bm25_sql())
+def search_bm25(spark, sf):
+    """BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query-term set,
+    in integer-exact rational form: with A = total corpus tokens and N =
+    doc count, the Robertson idf surrogate (N-df+0.5)/(df+0.5) and the
+    tf saturation term tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) clear to the
+    single rational
+    44·A·tf·(2N-2df+1) / ((20·A·tf + 6A + 18·dl·N)·(2df+1)),
+    so both engines do exact BIGINT arithmetic and exactly ONE double
+    division per output row (the house determinism rule — no
+    transcendental log, which would not reproduce bit-exactly).  Emitted
+    per (doc, term) so no cross-term double summation order exists.
+
+    Scale: tf and dl are computed per document in the scan stage with
+    ``F.size(F.filter(...))`` over the split array — the corpus NEVER
+    shuffles.  The only exchanges are two tiny aggregates: per-term df
+    (|terms| rows) and the corpus (N, A) scalar — both broadcast back.
+    This is the telescoped shape of a production sparse scorer: postings
+    stay where the documents are, statistics travel."""
+    d = (
+        load(spark, sf, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("dl"))
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("a")
+    )
+    per_term = [
+        d.select(
+            "doc_id",
+            F.lit(t).alias("term"),
+            F.size(
+                F.filter("toks", lambda x: x == F.lit(t))
+            ).cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+        for t in _BM25_TERMS
+    ]
+    tf = per_term[0]
+    for extra in per_term[1:]:
+        tf = tf.unionByName(extra)
+    tf = tf.filter(F.col("tf") > 0)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(df_tbl), "term").crossJoin(F.broadcast(stats))
+    num = 44 * F.col("a") * F.col("tf") * (
+        2 * F.col("n") - 2 * F.col("df") + 1
+    )
+    den = (
+        20 * F.col("a") * F.col("tf")
+        + 6 * F.col("a")
+        + 18 * F.col("dl") * F.col("n")
+    ) * (2 * F.col("df") + 1)
+    return j.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("dl").cast("bigint").alias("dl"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(num.cast("double") / den, 6).alias("score"),
+    )

@@ -364,3 +364,114 @@ def test_crawl_sitemap_roundtrips_every_document(spark, sf_smoke):
         assert r.priority_decile == did % 10, r
         seen.add((did, r.source))
     assert seen == docs
+
+
+def test_dedup_paragraph_both_polarities(spark, sf_smoke):
+    """Paragraph 0 (shared header per doc_id%5 class) must always be a
+    duplicate; paragraphs 1-3 carry the doc id and must never be."""
+    rows = C.dedup_paragraph(spark, sf_smoke).collect()
+    assert rows, "corpus too short for planted paragraphs"
+    by_class: dict[int, set[str]] = {}
+    for r in rows:
+        if r.para_idx == 0:
+            assert r.dup and r.n_docs > 1, r
+            by_class.setdefault(r.doc_id % 5, set()).add(r.para_md5)
+        else:
+            assert not r.dup and r.n_docs == 1, r
+    # one digest per residue class — the header really is shared
+    assert all(len(v) == 1 for v in by_class.values()), by_class
+    # and distinct classes have distinct headers
+    digests = [next(iter(v)) for v in by_class.values()]
+    assert len(set(digests)) == len(digests)
+
+
+def test_dedup_paragraph_matches_python(spark, sf_smoke):
+    rows = C.dedup_paragraph(spark, sf_smoke).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+        if len(r.text) >= 30 * C._PARA_PER_DOC
+    }
+    expect: dict[tuple[int, int], str] = {}
+    counts: dict[str, set[int]] = {}
+    for did, text in docs.items():
+        for i in range(C._PARA_PER_DOC):
+            para = (
+                f"shared header {did % C._PARA_SHARED_MOD}"
+                if i == 0
+                else text[30 * i : 30 * i + 30] + f" p{did}"
+            )
+            h = hashlib.md5(para.encode()).hexdigest()
+            expect[(did, i)] = h
+            counts.setdefault(h, set()).add(did)
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[(r.doc_id, r.para_idx)] == r.para_md5, r
+        assert r.n_docs == len(counts[r.para_md5]), r
+
+
+def test_sample_per_host_cap_and_order(spark, sf_smoke):
+    rows = C.sample_per_host(spark, sf_smoke).collect()
+    docs = [
+        (r.doc_id, r.source)
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "source").collect()
+    ]
+    by_host: dict[str, list[int]] = {}
+    for did, src in docs:
+        by_host.setdefault(src, []).append(did)
+    kept: dict[str, list] = {}
+    for r in rows:
+        kept.setdefault(r.source, []).append(r)
+    for src, dids in by_host.items():
+        order = sorted(dids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        want = order[: C._HOST_CAP]
+        got = sorted(kept.get(src, []), key=lambda r: r.rk)
+        assert [r.doc_id for r in got] == want, src
+        assert [r.rk for r in got] == list(range(1, len(want) + 1)), src
+
+
+def test_search_bm25_matches_python(spark, sf_smoke):
+    rows = {(r.doc_id, r.term): r for r in C.search_bm25(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+        if len(r.text) > 0
+    }
+    n = len(docs)
+    a = sum(len(t) for t in docs.values())
+    for term in C._BM25_TERMS:
+        df = sum(1 for t in docs.values() if term in t)
+        for did, toks in docs.items():
+            tf, dl = toks.count(term), len(toks)
+            if tf == 0:
+                assert (did, term) not in rows
+                continue
+            r = rows[(did, term)]
+            assert (r.tf, r.dl, r.df) == (tf, dl, df), r
+            score = round(
+                44 * a * tf * (2 * n - 2 * df + 1)
+                / ((20 * a * tf + 6 * a + 18 * dl * n) * (2 * df + 1)),
+                6,
+            )
+            assert abs(r.score - score) < 1e-9, (r, score)
+
+
+def test_search_bm25_monotone_in_tf(spark, sf_smoke):
+    """Within one term at fixed dl, more occurrences never score lower —
+    the saturation form is increasing in tf."""
+    rows = C.search_bm25(spark, sf_smoke).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    checked = 0
+    for rs in by_term.values():
+        by_dl: dict[int, list] = {}
+        for r in rs:
+            by_dl.setdefault(r.dl, []).append(r)
+        for group in by_dl.values():
+            group.sort(key=lambda r: r.tf)
+            for lo, hi in zip(group, group[1:]):
+                if hi.tf > lo.tf:
+                    assert hi.score >= lo.score, (lo, hi)
+                    checked += 1
+    assert checked > 0

@@ -599,3 +599,38 @@ def test_cluster_kmeans_final_assignment_is_narrow(spark, sf_smoke, qs):
     assert "ArrowEvalPython" in p, p
     assert "Join" not in p, p
     assert "hashpartitioning" not in p, p
+
+
+def test_search_bm25_corpus_never_shuffles(spark, sf_smoke, qs):
+    """BM25's tf/dl are scan-stage array ops; the only exchanges build
+    the |terms|-row df table and the (N, A) scalar, both broadcast back.
+    A SortMergeJoin or a corpus-keyed hashpartitioning would mean the
+    postings are travelling to the statistics instead of vice versa."""
+    p = plan_of(qs["search_bm25"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row stats crossJoin
+
+
+def test_dedup_paragraph_exchanges_carry_digests(spark, sf_smoke, qs):
+    """The paragraph groupBy and the verdict re-join key on the 16-byte
+    md5 — paragraph text must be hashed in the scan stage and never
+    appear in an exchange's output schema."""
+    p = plan_of(qs["dedup_paragraph"](spark, sf_smoke))
+    assert "md5" in p, p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_sample_per_host_partial_group_limit_before_exchange(
+    spark, sf_smoke, qs
+):
+    """One exchange on the host key, rows are (doc_id, source, hash key) —
+    the window never sees document text — and Catalyst must insert the
+    Partial WindowGroupLimit BEFORE the exchange: each mapper ships at
+    most cap rows per host, which is the whole giant-host skew story."""
+    p = plan_of(qs["sample_per_host"](spark, sf_smoke))
+    assert p.count("hashpartitioning(source") == 1, p
+    assert "row_number(), 40, Partial" in p, p
+    assert "text" not in p, p
