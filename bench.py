@@ -170,6 +170,19 @@ def main() -> None:
     except ImportError:
         pass
 
+    # production-hash simhash variant: same plan shape, one xxhash64 per
+    # token + shift-and-mask bit votes instead of md5 hex nibble probes
+    try:
+        from caraspark.relational import load
+        from caraspark.textops import simhash_signatures
+
+        t0 = time.time()
+        run_noop(simhash_signatures(load(spark, sf_dir, "documents"),
+                                    hash_fn="xxh"))
+        extra_pack["dedup_simhash_xxh"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_pack_total",

@@ -769,22 +769,47 @@ SELECT doc_id, {concat} AS simhash16 FROM bits
 def dedup_simhash(spark, sf):
     """SimHash (16-bit oracle-checkable variant): per-token md5 nibbles vote
     per bit; the doc's signature is the majority sign. One explode + one
-    groupBy — signature bits are plain conditional sums, JVM-side."""
-    d = load(spark, sf, "documents")
+    groupBy — signature bits are plain conditional sums, JVM-side.
+
+    hash_fn="md5" (the registered qkey) keeps the per-bit votes DuckDB-
+    reproducible; production runs call ``simhash_signatures(df,
+    hash_fn="xxh")`` — identical plan shape (pinned in test_plans.py),
+    but ONE xxhash64 call per token replaces the md5 hex digest and the
+    16 substring/isin nibble probes with 16 shift-and-mask bit reads."""
+    return simhash_signatures(load(spark, sf, "documents"), hash_fn="md5")
+
+
+def simhash_signatures(d, hash_fn: str = "md5"):
+    """(documents df) → (doc_id, simhash16) signatures; the plan-shape
+    contract of `dedup_simhash`'s docstring holds for both hash_fn
+    values."""
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", F.md5(F.encode("tok", "utf-8")).alias("h"))
-    sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
-                ).otherwise(-1)
-            ).alias(f"s{i}")
+    if hash_fn == "md5":
+        # oracle-reproducible votes: hex nibble i's top bit decides
+        hashed = toks.select(
+            "doc_id", F.md5(F.encode("tok", "utf-8")).alias("h")
+        )
+        votes = [
+            F.when(
+                F.substring("h", i + 1, 1).isin(*list("89abcdef")), 1
+            ).otherwise(-1)
             for i in range(16)
         ]
+    elif hash_fn == "xxh":
+        # production votes: one 64-bit hash per token, bit i read with a
+        # shift-and-mask — pure codegen long arithmetic, no hex strings
+        hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+        votes = [
+            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+            for i in range(16)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
+    sums = hashed.groupBy("doc_id").agg(
+        *[F.sum(votes[i]).alias(f"s{i}") for i in range(16)]
     )
     bit_strs = [
         F.when(F.col(f"s{i}") > 0, "1").otherwise("0") for i in range(16)

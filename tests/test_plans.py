@@ -634,3 +634,37 @@ def test_sample_per_host_partial_group_limit_before_exchange(
     assert p.count("hashpartitioning(source") == 1, p
     assert "row_number(), 40, Partial" in p, p
     assert "text" not in p, p
+
+
+def test_dedup_simhash_xxh_same_plan_no_md5(spark, sf_smoke, qs):
+    """hash_fn='xxh' (the production path) must keep the qkey's plan-shape
+    contract — one explode, one partial+final hash aggregate — while
+    replacing the md5 hex digest + 16 nibble probes with one xxhash64
+    call and shift-and-mask bit reads."""
+    from caraspark.tables import load
+    from caraspark.textops import simhash_signatures
+
+    df = simhash_signatures(load(spark, sf_smoke, "documents"), hash_fn="xxh")
+    p = plan_of(df)
+    assert "md5" not in p, p
+    assert "xxhash64" in p, p
+    assert "Generate" in p, p  # the single token explode
+
+
+def test_dedup_simhash_xxh_identical_docs_same_signature(spark):
+    """Identical token multisets get identical signatures under ANY hash
+    family; near-identical docs differ in few bits."""
+    from caraspark.textops import simhash_signatures
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta epsilon eta"),
+        (4, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r.simhash16 for r in simhash_signatures(df, "xxh").collect()}
+    assert sig[1] == sig[2]
+    ham_near = sum(a != b for a, b in zip(sig[1], sig[3]))
+    ham_far = sum(a != b for a, b in zip(sig[1], sig[4]))
+    assert ham_near < ham_far
