@@ -1849,3 +1849,119 @@ def dedup_semantic(spark, sf):
         c.cast("bigint").alias("comp"),
         (c == F.col("vec_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization with a fixed ordered merge table
+# ---------------------------------------------------------------------------
+
+# Ordered merge rules (a, b) -> ab over the space-separated character
+# representation of a word; later rules may consume earlier rules' outputs
+# (('as','h') stacks on ('a','s')), which is exactly how trained BPE merge
+# lists compose.
+_BPE_MERGES = [
+    ("a", "s"), ("as", "h"), ("a", "t"), ("b", "at"),
+    ("e", "r"), ("l", "e"), ("r", "o"), ("w", "o"),
+]
+_BPE_W = 32  # words tokenized per document
+
+
+def _bpe_merge_sql(expr: str) -> str:
+    # every token wrapped ~tok~ so a rule can only match WHOLE adjacent
+    # tokens — bare-space separation lets '~r ~o' match the tail of
+    # token 'er', silently merging across a token boundary
+    out = f"regexp_replace({expr}, '(.)', '~\\1~', 'g')"
+    for a, b in _BPE_MERGES:
+        out = f"replace({out}, '~{a}~~{b}~', '~{a}{b}~')"
+    return out
+
+
+def _bpe_merges_sql() -> str:
+    merged = _bpe_merge_sql("w")
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                    1, {_BPE_W}) AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         list_transform(ws, w -> {merged}) AS ms,
+         CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+              AS BIGINT) AS n_chars_tok
+  FROM words WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(len(ms) AS BIGINT) AS n_words,
+       n_chars_tok,
+       CAST(list_aggregate(list_transform(ms,
+                m -> len(string_split(m, '~~'))), 'sum') AS BIGINT) AS n_bpe,
+       round(CAST(list_aggregate(list_transform(ms,
+                m -> len(string_split(m, '~~'))), 'sum') AS DOUBLE)
+             / n_chars_tok, 6) AS ratio,
+       md5(array_to_string(ms, '|')) AS toks_md5
+FROM tok
+"""
+
+
+@_q("tokenize_bpe", _bpe_merges_sql())
+def tokenize_bpe(spark, sf):
+    """BPE tokenization with a fixed ordered merge table — the real merge
+    step `text_tokens_bpe`'s pre-tokenizer feeds in a production
+    pipeline.  Each word becomes its ``~``-wrapped character sequence
+    (``hash`` → ``~h~~a~~s~~h~``); each (a, b) -> ab rule rewrites
+    ``~a~~b~`` → ``~ab~`` exhaustively in table order via left-to-right
+    non-overlapping string replacement (identical semantics in Java's
+    and DuckDB's ``replace``).  The per-token wrapping is load-bearing:
+    bare-space separation would let a rule match ACROSS a token boundary
+    (``l er o`` contains ``r o``, wrongly merging the tail of ``er``
+    with ``o`` — caught by the rules-stack test).  Rules stack —
+    ('as','h') consumes ('a','s')'s output, as trained merge lists do.
+    Emits per-doc token counts, the chars→tokens compression ratio
+    (exactly ONE double division), and an md5 over the full token
+    stream so the oracle pins every merge decision, not just counts.
+
+    Scale: pure scan-stage JVM codegen — the merge loop is a fixed
+    chain of ``replace`` calls inside one whole-stage-codegen projection
+    over the words array; no explode, no shuffle, no Python.  A 50k-rule
+    production table compiles the same shape (replace chains are linear
+    in rules, not data), or drops the word's merge loop into a
+    dictionary-broadcast pandas UDF while keeping this exact contract."""
+    d = load(spark, sf, "documents")
+    words = F.slice(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)),
+        1,
+        _BPE_W,
+    ).alias("ws")
+
+    def merge(col):
+        out = F.regexp_replace(col, "(.)", "~$1~")
+        for a, b in _BPE_MERGES:
+            out = F.replace(out, F.lit(f"~{a}~~{b}~"), F.lit(f"~{a}{b}~"))
+        return out
+
+    tok = d.select("doc_id", words).filter(F.size("ws") > 0).select(
+        "doc_id",
+        F.transform("ws", merge).alias("ms"),
+        F.aggregate(
+            F.transform("ws", F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_tok"),
+    )
+    n_bpe = F.aggregate(
+        F.transform("ms", lambda m: F.size(F.split(m, "~~"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return tok.select(
+        "doc_id",
+        F.size("ms").cast("bigint").alias("n_words"),
+        F.col("n_chars_tok").cast("bigint").alias("n_chars_tok"),
+        n_bpe.cast("bigint").alias("n_bpe"),
+        F.round(
+            n_bpe.cast("double") / F.col("n_chars_tok"), 6
+        ).alias("ratio"),
+        F.md5(F.concat_ws("|", "ms")).alias("toks_md5"),
+    )

@@ -668,3 +668,13 @@ def test_dedup_simhash_xxh_identical_docs_same_signature(spark):
     ham_near = sum(a != b for a, b in zip(sig[1], sig[3]))
     ham_far = sum(a != b for a, b in zip(sig[1], sig[4]))
     assert ham_near < ham_far
+
+
+def test_tokenize_bpe_is_narrow_jvm(spark, sf_smoke, qs):
+    """The merge chain is a scan-stage projection: no exchange, no
+    Python eval, no explode — token counts and the stream md5 come out
+    of one whole-stage-codegen pass over the words array."""
+    p = plan_of(qs["tokenize_bpe"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+    assert "Generate" not in p, p

@@ -358,3 +358,64 @@ def test_dedup_semantic_partitions_corpus_with_one_keeper_per_cluster(
     # non-degenerate on the synthetic corpus: some dups AND some keepers
     keeps = sum(1 for r in rows.values() if r.keep)
     assert 0 < keeps < len(rows)
+
+
+def test_tokenize_bpe_matches_python(spark, sf_smoke):
+    """Third implementation: classic iterative BPE merge application per
+    rule over the char sequence must equal the replace-chain result."""
+    import hashlib
+
+    from caraspark import textops as T
+    from caraspark.tables import load
+
+    import re
+
+    rows = {r.doc_id: r for r in T.tokenize_bpe(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+        if re.findall(r"[a-z0-9]+", r.text.lower())
+    }
+    assert set(rows) == set(docs)
+    n_toks = 0
+    for did in list(docs)[:40]:
+        ws = re.findall(r"[a-z0-9]+", docs[did].lower())[: T._BPE_W]
+        merged = []
+        for w in ws:
+            toks = list(w)
+            for a, b in T._BPE_MERGES:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            merged.append("~" + "~~".join(toks) + "~")
+            n_toks += len(toks)
+        r = rows[did]
+        assert r.n_words == len(ws), did
+        assert r.n_chars_tok == sum(len(w) for w in ws), did
+        assert r.n_bpe == sum(m.count("~~") + 1 for m in merged), did
+        assert r.toks_md5 == hashlib.md5("|".join(merged).encode()).hexdigest(), did
+    assert n_toks > 0
+
+
+def test_tokenize_bpe_rules_stack_and_token_boundaries(spark):
+    """('as','h') must consume ('a','s')'s output — hash -> h|as|h ->
+    h|ash (2) — and a rule must NOT match across a token boundary:
+    lero -> l|er|o (3), where bare-space separation would wrongly find
+    'r o' inside 'er o' and emit l|ero. batch -> bat|c|h (3)."""
+    from caraspark import textops as T
+
+    df = spark.createDataFrame([(1, "hash batch lero")], "doc_id long, text string")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.selectExpr("doc_id", "text", "'en' lang", "'src0' source",
+                      "length(text) n_chars").write.parquet(os.path.join(d, "documents.parquet"))
+        out = {x.doc_id: x for x in T.tokenize_bpe(spark, d).collect()}
+    assert out[1].n_bpe == 2 + 3 + 3, out[1]
