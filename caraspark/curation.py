@@ -1642,3 +1642,102 @@ def search_bm25(spark, sf):
         F.col("df").cast("bigint").alias("df"),
         F.round(num.cast("double") / den, 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection (language-ID's orthographic sibling)
+# ---------------------------------------------------------------------------
+
+def _script_sql() -> str:
+    # RE2 script classes; the Spark side uses Java's \p{IsXxx} spelling of
+    # the SAME Unicode script property, so the semantics match exactly.
+    return r"""
+WITH synth AS (
+  SELECT doc_id,
+         substring(text, 1, 60)
+         || repeat('ж', CAST(doc_id % 5 AS INT))
+         || repeat('中', CAST(doc_id % 3 AS INT))
+         || repeat('λ', CAST(doc_id % 2 AS INT)) AS t
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT)    AS n_latin,
+         CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT)      AS n_han,
+         CAST(len(regexp_extract_all(t, '\p{Greek}')) AS BIGINT)    AS n_greek
+  FROM synth
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+       CASE WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han, n_greek)
+                 THEN 'cyrillic'
+            WHEN n_greek = greatest(n_latin, n_cyrillic, n_han, n_greek)
+                 THEN 'greek'
+            WHEN n_han = greatest(n_latin, n_cyrillic, n_han, n_greek)
+                 THEN 'han'
+            ELSE 'latin' END AS main_script,
+       round(CAST(n_cyrillic + n_han + n_greek AS DOUBLE)
+             / greatest(n_latin + n_cyrillic + n_han + n_greek, 1), 6)
+           AS nonlatin_frac
+FROM counted
+"""
+
+
+@_q("text_script", _script_sql())
+def text_script(spark, sf):
+    """Unicode-script detection — the orthographic signal a language-ID
+    stage consults before any stopword model runs (Cyrillic text can't
+    be English no matter what the n-grams say).  The ASCII synthetic
+    corpus has no non-Latin characters, so the query plants
+    deterministic Cyrillic/Han/Greek runs derived from ``doc_id``
+    (identically in both engines) and counts per-script characters with
+    the engines' spellings of the SAME Unicode script property
+    (Java ``\\p{IsCyrillic}`` ≡ RE2 ``\\p{Cyrillic}``).  ``main_script``
+    breaks count ties alphabetically; ``nonlatin_frac`` is exactly ONE
+    double division.
+
+    Scale: pure scan-stage regexp counting — no exchange, no Python;
+    the per-script counters are the same shape fastText-style langid
+    uses for its script gate, and at 100 TB this column costs one
+    codegen pass over bytes already in cache for extraction."""
+    d = load(spark, sf, "documents")
+    t = F.concat(
+        F.substring("text", 1, 60),
+        F.expr("repeat('ж', cast(doc_id % 5 as int))"),
+        F.expr("repeat('中', cast(doc_id % 3 as int))"),
+        F.expr("repeat('λ', cast(doc_id % 2 as int))"),
+    )
+    counts = {
+        "n_latin": r"\p{IsLatin}",
+        "n_cyrillic": r"\p{IsCyrillic}",
+        "n_han": r"\p{IsHan}",
+        "n_greek": r"\p{IsGreek}",
+    }
+    c = d.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(name)
+            for name, pat in counts.items()
+        ],
+    )
+    mx = F.greatest("n_latin", "n_cyrillic", "n_han", "n_greek")
+    total = F.greatest(
+        F.col("n_latin") + F.col("n_cyrillic") + F.col("n_han")
+        + F.col("n_greek"),
+        F.lit(1),
+    )
+    return c.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_han", "n_greek",
+        F.when(F.col("n_cyrillic") == mx, "cyrillic")
+        .when(F.col("n_greek") == mx, "greek")
+        .when(F.col("n_han") == mx, "han")
+        .otherwise("latin")
+        .alias("main_script"),
+        F.round(
+            (F.col("n_cyrillic") + F.col("n_han") + F.col("n_greek"))
+            .cast("double") / total,
+            6,
+        ).alias("nonlatin_frac"),
+    )

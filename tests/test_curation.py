@@ -475,3 +475,30 @@ def test_search_bm25_monotone_in_tf(spark, sf_smoke):
                     assert hi.score >= lo.score, (lo, hi)
                     checked += 1
     assert checked > 0
+
+
+def test_text_script_matches_python(spark, sf_smoke):
+    import unicodedata  # noqa: F401 — regex module unavailable; count directly
+
+    rows = {r.doc_id: r for r in C.text_script(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    }
+    assert set(rows) == set(docs)
+    for did in list(docs)[:40]:
+        t = docs[did][:60] + "ж" * (did % 5) + "中" * (did % 3) + "λ" * (did % 2)
+        n_lat = sum(1 for ch in t if ("a" <= ch <= "z") or ("A" <= ch <= "Z"))
+        n_cyr = t.count("ж")
+        n_han = t.count("中")
+        n_grk = t.count("λ")
+        r = rows[did]
+        assert (r.n_latin, r.n_cyrillic, r.n_han, r.n_greek) == (
+            n_lat, n_cyr, n_han, n_grk), did
+        mx = max(n_lat, n_cyr, n_han, n_grk)
+        want = ("cyrillic" if n_cyr == mx else
+                "greek" if n_grk == mx else
+                "han" if n_han == mx else "latin")
+        assert r.main_script == want, did
+        tot = max(n_lat + n_cyr + n_han + n_grk, 1)
+        assert abs(r.nonlatin_frac - round((n_cyr + n_han + n_grk) / tot, 6)) < 1e-9

@@ -678,3 +678,11 @@ def test_tokenize_bpe_is_narrow_jvm(spark, sf_smoke, qs):
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
     assert "Generate" not in p, p
+
+
+def test_text_script_is_narrow_jvm(spark, sf_smoke, qs):
+    """Script counting is a scan-stage regexp projection — no exchange,
+    no Python eval."""
+    p = plan_of(qs["text_script"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
