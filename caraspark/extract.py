@@ -66,6 +66,7 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("og_title", pa.string(), True),
         pa.field("og_description", pa.string(), True),
         pa.field("og_image", pa.string(), True),
+        pa.field("anchors", pa.list_(pa.string()), True),
         pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
@@ -186,6 +187,7 @@ def _extract_batches(
             cols["og_title"].append(r.og_title)
             cols["og_description"].append(r.og_description)
             cols["og_image"].append(r.og_image)
+            cols["anchors"].append(r.anchors)
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())
@@ -238,7 +240,7 @@ def extract(
     "headmeta" alias) and only those surfaces are assembled per document —
     the rest are NULL columns that never cross the Arrow boundary as data.
     ``want=None`` keeps the legacy boolean: ``want_text=True`` computes all
-    seven surfaces, ``False`` the stats-only mode. Spark prunes INPUT
+    nine surfaces, ``False`` the stats-only mode. Spark prunes INPUT
     columns at the scan for free; this is the matching engine-side prune
     for the computed surfaces, which Catalyst cannot see inside the UDF —
     a metadata-only consumer at 100 TB should not pay for text assembly,

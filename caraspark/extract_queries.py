@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.extract import extract
-from caraspark.oracle_freeze import corpus_cte, perdoc_cte
+from caraspark.oracle_freeze import anchors_cte, corpus_cte, perdoc_cte
 from caraspark.relational import Q, REGISTRY as _REL  # reuse the dataclass
 from caraspark.tables import load
 
@@ -763,3 +763,139 @@ def doc_scan(spark, sf):
     # only url/lang reach the executors (check ReadSchema in .explain)
     df = synth_df(spark, corpus_rows_for_sf(sf))
     return df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "doc_anchors",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       '/p/' || CAST(doc_id + 1 AS VARCHAR) AS href,
+       'read w' || CAST(doc_id % 5 AS VARCHAR) || ' now' AS anchor
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, '/e/' || CAST(doc_id AS VARCHAR), ''
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, '/o/' || CAST(doc_id AS VARCHAR),
+       'out tail'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, '/i/' || CAST(doc_id AS VARCHAR), 'in'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 4, '/u/' || CAST(doc_id AS VARCHAR),
+       'tail ' || CAST(doc_id % 7 AS VARCHAR)
+FROM documents""",
+)
+def doc_anchors(spark, sf):
+    """v9 ANCHORS, hash-verified closed-form: each document is wrapped in
+    HTML carrying the anchor-text edge matrix — a styled anchor whose
+    nested inline tags normalize into one string, a duplicate href whose
+    different text must LOSE (capture binds to the first element), a
+    textless anchor (""), a nested pair (inner text is the inner
+    element's; the outer resumes around it), a boiler-region anchor (no
+    row at all), and an anchor left open to end of input — with
+    deterministic text derived from doc_id so DuckDB predicts every
+    (url, pos, href, anchor) row."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>"),
+                F.col("text"),
+                F.lit('</p></main><p><a href="/p/'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">read <b>w'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('</b> now</a> <a href="/p/'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">different loses</a> <a href="/e/'),
+                did,
+                F.lit('"></a> <a href="/o/'),
+                did,
+                F.lit('">out <a href="/i/'),
+                did,
+                F.lit('">in</a> tail</a></p>'),
+                F.lit('<div class="promo"><a href="/skip">no</a></div>'),
+                F.lit('<p><a href="/u/'),
+                did,
+                F.lit('">tail '),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    z = F.arrays_zip("outlinks", "anchors")
+    return ex.select("url", F.posexplode(z).alias("pos", "oa")).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("oa.outlinks").alias("href"),
+        F.col("oa.anchors").alias("anchor"),
+    )
+
+
+@_q(
+    "doc_anchors_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, CAST(n_outlinks AS INT) AS n_outlinks, anchors_sig
+FROM perdoc""",
+)
+def doc_anchors_sig(spark, sf):
+    """v9 ANCHORS over the full synth corpus (link farms, nav menus, the
+    html_anchors edge-matrix recipe, []-for-PDF) vs the frozen
+    per-recipe/per-idx md5 signatures — the hex digest keeps control
+    bytes out of SQL literals while still pinning every capture byte."""
+    ex = _extracted(spark, sf)
+    return ex.select(
+        "url",
+        F.size("outlinks").alias("n_outlinks"),
+        F.md5(F.encode(F.concat_ws("\x1f", "anchors"), "utf-8")).alias(
+            "anchors_sig"
+        ),
+    )
+
+
+@_q(
+    "anchor_text_agg",
+    f"""WITH {corpus_cte()},
+{anchors_cte()}
+SELECT a.href,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT d.idx) AS BIGINT) AS n_docs,
+       min(a.anchor) AS anchor_min,
+       max(a.anchor) AS anchor_max
+FROM docs d JOIN an a ON a.idx = d.idx
+GROUP BY a.href""",
+)
+def anchor_text_agg(spark, sf):
+    """Anchor-text aggregation across the corpus — the classic web-graph
+    signal (what OTHER pages call a URL beats what the URL says about
+    itself).  Explodes the per-doc (outlink, anchor) pairs and groups by
+    target href: reference counts, distinct referrers, and lexicographic
+    min/max anchor text as the deterministic summary pair.
+
+    Scale: the exploded exchange carries (href, anchor) short strings —
+    never document payloads — with map-side partial aggregation; at
+    100 TB this is the same shape as the minhash band groupBy, keyed by
+    target URL, and per-key state is four fixed-width accumulators.
+    PDFs contribute nothing (empty arrays explode to no rows)."""
+    ex = _extracted(spark, sf)
+    z = F.explode(F.arrays_zip("outlinks", "anchors")).alias("oa")
+    pairs = ex.select("url", z).select(
+        "url",
+        F.col("oa.outlinks").alias("href"),
+        F.col("oa.anchors").alias("anchor"),
+    )
+    return pairs.groupBy("href").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.countDistinct("url").cast("bigint").alias("n_docs"),
+        F.min("anchor").alias("anchor_min"),
+        F.max("anchor").alias("anchor_max"),
+    )

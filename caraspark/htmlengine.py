@@ -89,6 +89,16 @@ and compared byte-for-byte per url):
   discarded by emptiness or link density emits nothing. PDFs map the
   outline tree instead: (preorder position, nesting level + 1) — levels
   are 1-based like HTML's. Stats mode yields None.
+* ANCHORS (v9, web-graph signal): one string per OUTLINK, parallel by
+  index — the whitespace-normalized visible character data of the FIRST
+  anchor element that created the outlink (v4 first-occurrence dedup
+  binds the capture to that element; later duplicates contribute no
+  text). Text binds to the INNERMOST open anchor element only (browsers
+  auto-close <a> on a nested <a>, so per-element capture matches what
+  each anchor would have contained); data inside drop/boilerplate
+  regions is excluded exactly as for blocks; a self-closing or textless
+  anchor yields ""; an anchor still open at end of input captures to
+  EOF. PDFs yield [] (mirroring OUTLINKS); stats mode yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -164,6 +174,8 @@ class _Extractor(HTMLParser):
         self._attr_tag: str | None = None  # attr-drop region root tag
         self._attr_depth = 0
         self.outlinks: list[str] = []
+        self.anchors: list[str] = []  # v9: parallel to outlinks
+        self._a_stack: list[tuple[int, list[str]] | None] = []
         self._seen_links: set[str] = set()
         self._title_buf: list[str] = []
         self._in_title = False
@@ -235,20 +247,36 @@ class _Extractor(HTMLParser):
                 if u:
                     self.og_image = u
 
-    def _collect_href(self, attrs) -> None:
+    def _collect_href(self, attrs) -> int | None:
+        """Record the anchor's href if it is a new outlink; return the
+        outlink index when THIS element created it (v9 anchor capture
+        binds to the first element per href), else None."""
         for k, v in attrs:
             if k != "href" or v is None:
                 continue
             href = v.strip()
             if not href or href.startswith("#"):
-                return
+                return None
             low = href.lower()
             if any(low.startswith(s) for s in _SKIP_SCHEMES):
-                return
+                return None
             if href not in self._seen_links:
                 self._seen_links.add(href)
                 self.outlinks.append(href)
-            return  # first href attr wins, as browsers take the first
+                self.anchors.append("")
+                return len(self.outlinks) - 1
+            return None  # first href attr wins, as browsers take the first
+        return None
+
+    def _finish_anchor(self, entry) -> None:
+        if entry is not None:
+            idx, parts = entry
+            self.anchors[idx] = " ".join("".join(parts).split())
+
+    def _finalize_anchors(self) -> None:
+        """EOF with anchors still open: capture ends at end of input."""
+        while self._a_stack:
+            self._finish_anchor(self._a_stack.pop())
 
     # -- parser events
     def handle_starttag(self, tag, attrs):
@@ -274,7 +302,8 @@ class _Extractor(HTMLParser):
             self._open_block_tag = tag
         elif tag == "a":
             self._a_depth += 1
-            self._collect_href(attrs)
+            rec = self._collect_href(attrs)
+            self._a_stack.append(None if rec is None else (rec, []))
 
     def handle_endtag(self, tag):
         if self._attr_tag is not None:
@@ -296,6 +325,8 @@ class _Extractor(HTMLParser):
             self._flush()
         elif tag == "a" and self._a_depth:
             self._a_depth -= 1
+            if self._a_stack:
+                self._finish_anchor(self._a_stack.pop())
 
     def handle_startendtag(self, tag, attrs):
         if self._attr_tag is not None:
@@ -310,6 +341,7 @@ class _Extractor(HTMLParser):
             self._flush()
             self._open_block_tag = tag
         elif tag == "a":
+            # self-closing anchor: href recorded, no text to capture
             self._collect_href(attrs)
 
     def handle_data(self, data):
@@ -328,15 +360,21 @@ class _Extractor(HTMLParser):
         self._total_chars += n
         if self._a_depth:
             self._link_chars += n
+            # v9: text binds to the INNERMOST open anchor element only —
+            # browsers auto-close <a> on a nested <a>, so per-element
+            # capture matches what each anchor would have contained
+            if self._a_stack and self._a_stack[-1] is not None:
+                self._a_stack[-1][1].append(data)
 
 
 def extract_html(
     html: bytes,
 ) -> tuple:
     """blob → (text bytes, block spans, outlinks, title, canonical,
-    description, headings, ogmeta) per the SPEC (v3 SPANS, v4 OUTLINKS,
-    v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8 OGMETA); ogmeta is the
-    (og_title, og_description, og_image) triple."""
+    description, headings, ogmeta, anchors) per the SPEC (v3 SPANS,
+    v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8 OGMETA,
+    v9 ANCHORS); ogmeta is the (og_title, og_description, og_image)
+    triple; anchors is parallel to outlinks."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -345,11 +383,12 @@ def extract_html(
     except Exception:  # noqa: BLE001 — parser must be total on garbage
         pass
     p._flush()
+    p._finalize_anchors()
     og = (p.og_title, p.og_description, p.og_image)
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
-            og,
+            og, p.anchors,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -366,6 +405,7 @@ def extract_html(
         p.description,
         p.headings,
         og,
+        p.anchors,
     )
 
 

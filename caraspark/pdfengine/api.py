@@ -91,6 +91,10 @@ class ExtractResult:
     og_title: str | None = None
     og_description: str | None = None
     og_image: str | None = None
+    # v9 ANCHORS: visible text of the first anchor element per outlink,
+    # parallel to ``outlinks`` (HTML); [] for PDFs. None when not
+    # requested / stats mode.
+    anchors: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -165,7 +169,7 @@ DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
-     "headings", "ogmeta"}
+     "headings", "ogmeta", "anchors"}
 )
 
 
@@ -259,6 +263,7 @@ def _process_pdf(
     else:
         text, spans = None, None
     outlinks: list | None = [] if "outlinks" in want else None
+    anchors: list | None = [] if "anchors" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -284,6 +289,7 @@ def _process_pdf(
         text=text,
         spans=spans,
         outlinks=outlinks,
+        anchors=anchors,
         title=title,
         description=description,
         headings=headings,
@@ -314,14 +320,14 @@ def _process_pdf(
 def _process_html(blob, want=SURFACES) -> ExtractResult:
     errors: list[PdfError] = []
     if want:
-        # HTML extraction is one single-pass parse that produces all eight
+        # HTML extraction is one single-pass parse that produces all nine
         # surfaces together (the pass itself is the cost; the per-surface
         # collection is incidental), so any requested surface runs the full
         # parse and the unrequested ones are nulled afterwards — the saving
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
-            og,
+            og, anchors,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -330,6 +336,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             spans = None
         if "outlinks" not in want:
             outlinks = None
+        if "anchors" not in want:
+            anchors = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -348,6 +356,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         text = None
         spans = None
         outlinks = None
+        anchors = None
         title = None
         canonical = None
         description = None
@@ -361,6 +370,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         text=text,
         spans=spans,
         outlinks=outlinks,
+        anchors=anchors,
         title=title,
         canonical=canonical,
         description=description,

@@ -73,6 +73,9 @@ EXTRACTED = T.StructType(
         T.StructField("og_title", T.StringType(), True),
         T.StructField("og_description", T.StringType(), True),
         T.StructField("og_image", T.StringType(), True),
+        # v9 ANCHORS: anchor text per outlink (parallel arrays); [] for
+        # PDFs, NULL in stats mode / when not requested
+        T.StructField("anchors", T.ArrayType(T.StringType()), True),
         T.StructField(
             "verdict",
             T.StructType(

@@ -1083,6 +1083,33 @@ def html_ogmeta(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_anchors(rng: random.Random) -> bytes:
+    """v9 ANCHORS recipe: the per-outlink anchor-text edge matrix — a
+    styled anchor (nested inline tags join into one normalized text), a
+    duplicate href whose DIFFERENT text must lose (first element wins),
+    a textless anchor (""), a nested anchor pair (inner captures its own
+    text, outer resumes around it), a boiler-region anchor (no outlink,
+    no text), and an anchor left open at end of body (captures to EOF
+    through the closing block tags)."""
+    w1 = _para(rng, 3).rstrip(".")
+    w2 = _para(rng, 2).rstrip(".")
+    n = rng.randrange(100)
+    paras = "\n".join(f"<p>{_para(rng, 16)}</p>" for _ in range(2))
+    return (
+        "<html><body>"
+        f"<p>intro {_para(rng, 12)}</p>"
+        f"<p><a href='/first/{n}'>read <b>{w1}</b> now</a> and "
+        f"<a href='/first/{n}'>different {w2} loses</a></p>"
+        f"<p><a href='/empty/{n}'></a> gap "
+        f"<a href='/outer/{n}'>outer {w2} <a href='/inner/{n}'>inner "
+        f"{w1}</a> tail</a></p>"
+        f"<div class='promo'><a href='/boiler/{n}'>never {w1}</a></div>"
+        f"{paras}"
+        f"<p><a href='/open/{n}'>unclosed {w2}</p>"
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
@@ -1095,6 +1122,7 @@ HTML_RECIPES = {
     "html_enc_fallback": html_enc_fallback,
     "html_boilerplate": html_boilerplate,
     "html_ogmeta": html_ogmeta,
+    "html_anchors": html_anchors,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]

@@ -1365,9 +1365,90 @@ def _html_ogmeta(blob: bytes) -> tuple:
     return (og["og:title"], og["og:description"], og["og:image"])
 
 
+def _html_anchors(blob: bytes) -> list[str]:
+    """v9 ANCHORS, second witness: a separate event pass (not the
+    engine's in-flight capture) — walk drop/boiler region state, push a
+    capture per ``a`` open (bound to the outlink index when THIS element
+    created the first occurrence of its href, else inert), bind text
+    events to the innermost open capture, pop on ``a`` close, finalize
+    leftovers at EOF."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    hrefs: list[str] = []
+    texts: list[str] = []
+    stack: list = []  # None | [outlink_idx, parts]
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def record(attrs) -> int | None:
+        href = next(
+            (v for k, v in attrs if k == "href" and v is not None), None
+        )
+        if href is None:
+            return None
+        href = href.strip()
+        if (
+            href
+            and not href.startswith("#")
+            and not href.lower().startswith(
+                ("javascript:", "mailto:", "data:")
+            )
+            and href not in hrefs
+        ):
+            hrefs.append(href)
+            texts.append("")
+            return len(hrefs) - 1
+        return None
+
+    def finish(entry) -> None:
+        if entry is not None:
+            texts[entry[0]] = " ".join("".join(entry[1]).split())
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                elif val == "a":
+                    idx = record(attrs)
+                    stack.append(None if idx is None else [idx, []])
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            elif drop == 0 and val == "a" and stack:
+                finish(stack.pop())
+        elif ev == "selfclose":
+            if drop == 0 and val == "a":
+                record(attrs)  # href counts, no text capture
+        else:  # text
+            if drop == 0 and val and stack and stack[-1] is not None:
+                stack[-1][1].append(val)
+    while stack:
+        finish(stack.pop())
+    return texts
+
+
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
-    v6 description, v7 headings, v8 ogmeta triple) — 2nd witness."""
+    v6 description, v7 headings, v8 ogmeta triple, v9 anchors) — 2nd
+    witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1375,6 +1456,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None, _pdf_info_text(blob, "Subject"),
             _pdf_outline_levels(blob),
             (None, None, None),
+            [],
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1382,6 +1464,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         text, spans, _html_outlinks(blob), _html_title(blob),
         canonical, description, headings,
         _html_ogmeta(blob),
+        _html_anchors(blob),
     )
 
 

@@ -1010,6 +1010,7 @@ def test_unclosed_title_does_not_eat_body_text():
         st.sampled_from(
             ["<title>", "</title>", "</style>", "</head>", "<p>", "</p>",
              "<div class='sidebar'>", "</div>", "text ", "<a href='/x'>y</a>",
+             "<a href='/y'>w ", "</a>", "<a href='/x'>again ",
              "<link rel=canonical href=/c>", "<meta name=description content=d>",
              "<meta property=og:title content=ot>",
              "<meta property=og:image content=/i.png>"]
@@ -1212,3 +1213,53 @@ def test_ogmeta_none_for_pdfs_and_stats_mode():
         want=("ogmeta",),
     )
     assert r3.og_title == "x" and r3.text is None
+
+
+# --- v9 ANCHORS (per-outlink anchor text) ------------------------------------
+
+
+def test_anchor_rules():
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = (
+        b"<body><p><a href='/x'>First <b>bold</b>  text </a>"
+        b"<a href='/x'>dup loses</a> <a href='#f'>frag</a>"
+        b"<a href='/y'></a> <a href='/z'>outer <a href='/w'>inner</a>"
+        b" tail</a><div class='promo'><a href='/b'>no</a></div>"
+        b"<a href='/open'>to eof"
+    )
+    e = extract_html(blob)
+    assert e[2] == ["/x", "/y", "/z", "/w", "/open"]
+    assert e[8] == [
+        "First bold text", "", "outer tail", "inner", "to eof",
+    ]
+    assert e == oracle_extract_full(blob)
+
+
+def test_anchor_text_skips_drop_and_boiler_regions_inside_anchor():
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    blob = (
+        b"<body><p><a href='/x'>keep <script>skip()</script>"
+        b"<span class='sidebar'>skip too</span> end</a></p></body>"
+    )
+    e = extract_html(blob)
+    assert e[8] == ["keep end"]
+    assert e == oracle_extract_full(blob)
+
+
+def test_anchor_stats_mode_and_pdf_contract():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = b"<body><p>real text here <a href='/x'>y</a></p></body>"
+    full = process_document(html)
+    assert full.anchors == ["y"]
+    stats = process_document(html, want_text=False)
+    assert stats.anchors is None
+    no_anchor = process_document(html, want={"text"})
+    assert no_anchor.anchors is None and no_anchor.text
+    pdf = process_document(PDF_RECIPES["pdf_minimal"]())
+    assert pdf.anchors == [] and pdf.outlinks == []

@@ -20,6 +20,7 @@ Rerun (only after an INTENDED behavior change, with golden diffs reviewed):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pprint
 import sys
@@ -76,6 +77,7 @@ def build_extras():
     attach_rows = []
     outline_rows = []
     formfield_rows = []
+    anchor_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -108,6 +110,7 @@ def build_extras():
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
+                **_anchor_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -193,6 +196,10 @@ def build_extras():
             continue
         blob = HTML_RECIPES[name](random.Random(f"42:{idx}"))
         res = process_document(blob)
+        for pos, (href, anchor) in enumerate(
+            zip(res.outlinks, res.anchors)
+        ):
+            anchor_rows.append((idx, pos, href, anchor))
         html_idx.append(
             {
                 "idx": idx,
@@ -213,12 +220,13 @@ def build_extras():
                 **_text_metrics(res.text),
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
+                **_anchor_facts(res),
                 **_title_facts(res),
             }
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
-        html_idx, attach_rows, outline_rows, formfield_rows,
+        html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
     )
 
 
@@ -236,6 +244,19 @@ def _title_facts(res) -> dict:
             if res.headings is None
             else ";".join(f"{b}:{lv}" for b, lv in res.headings)
         ),
+    }
+
+
+def _anchor_facts(res) -> dict:
+    """Mirror doc_anchors_sig's JVM expression: md5 over the \x1f-joined
+    anchor list (hex digest so no control byte ever reaches a SQL
+    literal); None when the surface was not computed."""
+    if res.anchors is None:
+        return {"anchors_sig": None}
+    return {
+        "anchors_sig": hashlib.md5(
+            "\x1f".join(res.anchors).encode("utf-8")
+        ).hexdigest()
     }
 
 
@@ -283,7 +304,7 @@ def main() -> None:
     rows = build_expected()
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
-        html_idx, attach_rows, outline_rows, formfield_rows,
+        html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -307,7 +328,8 @@ def main() -> None:
             f"HTML_IDX = {fmt(html_idx)}\n\n"
             f"ATTACH_ROWS = {fmt(attach_rows)}\n\n"
             f"OUTLINE_ROWS = {fmt(outline_rows)}\n\n"
-            f"FORMFIELD_ROWS = {fmt(formfield_rows)}\n"
+            f"FORMFIELD_ROWS = {fmt(formfield_rows)}\n\n"
+            f"ANCHOR_ROWS = {fmt(anchor_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -315,7 +337,8 @@ def main() -> None:
         f"{len(variant_rows)} variants, {len(findref_rows)} findrefs, "
         f"{len(html_idx)} html idx, {len(attach_rows)} attachments, "
         f"{len(outline_rows)} outline rows, "
-        f"{len(formfield_rows)} form fields -> {path}"
+        f"{len(formfield_rows)} form fields, "
+        f"{len(anchor_rows)} anchor rows -> {path}"
     )
 
 
