@@ -212,6 +212,14 @@ TYPEDEFS: dict[str, ClassDef] = {
                 Class("annot_popup"),
                 Class("annot_screen"),
                 Class("annot_movie"),
+                Class("annot_line"),
+                Class("annot_geom"),
+                Class("annot_textmarkup"),
+                Class("annot_ink"),
+                Class("annot_poly"),
+                Class("annot_stamp"),
+                Class("annot_fileattachment"),
+                Class("annot_sound"),
                 Class("annot"),  # generic fallback — must stay last
             )))),
             "Group": Entry(DICT),
@@ -520,6 +528,272 @@ TYPEDEFS: dict[str, ClassDef] = {
             "RD": Entry(RECT),
             "BS": Entry(DICT),
             "LE": Entry(NAME),
+        }
+    ),
+    # --- markup annotations [PDF17 §12.5.6.7–12.5.6.16]: each family has
+    # spec-REQUIRED geometry/payload keys the generic fallback cannot
+    # enforce (a /Line without /L or an /Ink without /InkList would pass
+    # an open class) — mirroring caradoc's per-subtype annotation defs.
+    "annot_line": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            "Subtype": Entry(Exact("Line"), required=True),
+            "L": Entry(ArrayOf(NUMBER), required=True),
+            "LE": Entry(ArrayOf(NAME)),
+            "IC": Entry(ArrayOf(NUMBER)),
+            "LL": Entry(NUMBER),
+            "LLE": Entry(NUMBER),
+            "Cap": Entry(BOOL),
+            "LLO": Entry(NUMBER),
+            "CP": Entry(NAME),
+            "Measure": Entry(DICT),
+            "CO": Entry(ArrayOf(NUMBER)),
+        }
+    ),
+    "annot_geom": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            # Square and Circle share every entry (§12.5.6.8)
+            "Subtype": Entry(
+                OneOf((Exact("Square"), Exact("Circle"))), required=True
+            ),
+            "IC": Entry(ArrayOf(NUMBER)),
+            "BE": Entry(DICT),
+            "RD": Entry(RECT),
+        }
+    ),
+    "annot_textmarkup": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            # Highlight/Underline/Squiggly/StrikeOut (§12.5.6.10)
+            "Subtype": Entry(
+                OneOf((
+                    Exact("Highlight"), Exact("Underline"),
+                    Exact("Squiggly"), Exact("StrikeOut"),
+                )),
+                required=True,
+            ),
+            "QuadPoints": Entry(ArrayOf(NUMBER), required=True),
+        }
+    ),
+    "annot_ink": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            "Subtype": Entry(Exact("Ink"), required=True),
+            "InkList": Entry(ArrayOf(ArrayOf(NUMBER)), required=True),
+        }
+    ),
+    "annot_poly": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            # Polygon and PolyLine share /Vertices (§12.5.6.9)
+            "Subtype": Entry(
+                OneOf((Exact("Polygon"), Exact("PolyLine"))), required=True
+            ),
+            "Vertices": Entry(ArrayOf(NUMBER), required=True),
+            "LE": Entry(ArrayOf(NAME)),
+            "IC": Entry(ArrayOf(NUMBER)),
+            "BE": Entry(DICT),
+            "Measure": Entry(DICT),
+        }
+    ),
+    "annot_stamp": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            "Subtype": Entry(Exact("Stamp"), required=True),
+            "Name": Entry(NAME),
+        }
+    ),
+    "annot_fileattachment": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            "Subtype": Entry(Exact("FileAttachment"), required=True),
+            "FS": Entry(Class("filespec"), required=True),
+            "Name": Entry(NAME),
+        }
+    ),
+    "annot_sound": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            # §12.5.6.2 markup-annotation common entries
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "BS": Entry(DICT),
+            "Subtype": Entry(Exact("Sound"), required=True),
+            "Sound": Entry(STREAM, required=True),
+            "Name": Entry(NAME),
         }
     ),
     "annot_popup": ClassDef(

@@ -1668,3 +1668,72 @@ PDF_RECIPES["pdf_encrypted_aes"] = pdf_encrypted_aes
 PDF_RECIPES["pdf_encrypted_aes256"] = pdf_encrypted_aes256
 PDF_RECIPES["pdf_actions"] = pdf_actions
 PDF_RECIPES["pdf_multimedia"] = pdf_multimedia
+
+
+def pdf_markup_annots() -> bytes:
+    """Markup-annotation recipe [PDF17 SS12.5.6.7-16]: one annotation per
+    dedicated markup class — Line (/L), Circle, Highlight (/QuadPoints),
+    Ink (/InkList), Polygon (/Vertices), Stamp, FileAttachment (/FS
+    filespec) and Sound (/Sound stream) — all carrying the SS12.5.6.2
+    common markup entries, so every per-subtype REQUIRED key is
+    exercised with its spec-valid shape."""
+    bodies = _base_objects(b"BT (Markup doc) Tj ET")
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R "
+        b"/Annots [5 0 R 6 0 R 7 0 R 8 0 R 9 0 R 10 0 R 11 0 R 13 0 R] >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Annot /Subtype /Line /Rect [0 0 100 100] "
+        b"/L [10 10 90 90] /LE [/OpenArrow /None] /T (ruler) "
+        b"/Contents (a line) >>",
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /Annot /Subtype /Circle /Rect [0 110 100 210] "
+        b"/IC [1 0 0] /CA 0.5 /Subj (geometry) >>",
+    )
+    bodies[7] = _obj(
+        7,
+        b"<< /Type /Annot /Subtype /Highlight /Rect [0 220 100 320] "
+        b"/QuadPoints [0 220 100 220 0 320 100 320] "
+        b"/Contents (important) >>",
+    )
+    bodies[8] = _obj(
+        8,
+        b"<< /Type /Annot /Subtype /Ink /Rect [0 330 100 430] "
+        b"/InkList [[0 330 50 380 100 430] [10 340 20 350]] >>",
+    )
+    bodies[9] = _obj(
+        9,
+        b"<< /Type /Annot /Subtype /Polygon /Rect [0 440 100 540] "
+        b"/Vertices [0 440 100 440 50 540] /IC [0 1 0] >>",
+    )
+    bodies[10] = _obj(
+        10,
+        b"<< /Type /Annot /Subtype /Stamp /Rect [0 550 100 650] "
+        b"/Name /Approved /T (review) >>",
+    )
+    bodies[11] = _obj(
+        11,
+        b"<< /Type /Annot /Subtype /FileAttachment "
+        b"/Rect [110 0 140 30] /FS 12 0 R /Name /Paperclip "
+        b"/Contents (see attachment) >>",
+    )
+    bodies[12] = _obj(
+        12, b"<< /Type /Filespec /F (notes.txt) /UF (notes.txt) >>"
+    )
+    bodies[13] = _obj(
+        13,
+        b"<< /Type /Annot /Subtype /Sound /Rect [110 40 140 70] "
+        b"/Sound 14 0 R /Name /Speaker >>",
+    )
+    bodies[14] = _stream_obj(
+        14, b"/R 8000 /C 1 /B 8 /E /Raw", bytes(range(16))
+    )
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_markup_annots"] = pdf_markup_annots

@@ -301,7 +301,8 @@ def test_annot_subtypes_discriminate():
             ),
             7: _obj(
                 7,
-                b"<< /Type /Annot /Subtype /Ink /Rect [0 0 5 5] >>",
+                # Caret has no dedicated def — the generic fallback's case
+                b"<< /Type /Annot /Subtype /Caret /Rect [0 0 5 5] >>",
             ),
         },
         page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
@@ -1229,3 +1230,85 @@ def test_postscript_function_requires_range():
     r = process_document(blob, want_objects=True)
     assert "type.missing_required" in _codes(r)
     assert r.type_assignments["6.0"] == "function_postscript"
+
+
+# --- markup annotations [PDF17 §12.5.6.7–12.5.6.16] --------------------------
+
+
+def test_markup_annots_recipe_assigns_all_classes():
+    from caraspark.synth import PDF_RECIPES
+
+    r = process_document(PDF_RECIPES["pdf_markup_annots"]())
+    assert r.valid and r.strict and not r.errors
+    got = set(r.type_assignments.values())
+    for cls in (
+        "annot_line", "annot_geom", "annot_textmarkup", "annot_ink",
+        "annot_poly", "annot_stamp", "annot_fileattachment", "annot_sound",
+    ):
+        assert cls in got, cls
+
+
+def test_line_annot_missing_l_falls_to_generic_with_error():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Line /Rect [0 0 9 9] >>",
+            )
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.type_assignments["5.0"] == "annot_line"
+    assert "type.missing_required" in _codes(r)
+
+
+def test_textmarkup_requires_quadpoints():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /StrikeOut /Rect [0 0 9 9] >>",
+            )
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.type_assignments["5.0"] == "annot_textmarkup"
+    assert "type.missing_required" in _codes(r)
+
+
+def test_fileattachment_fs_must_be_filespec():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /FileAttachment "
+                b"/Rect [0 0 9 9] /FS (plain-string) >>",
+            )
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert any(c.startswith("type.") for c in _codes(r))
+
+
+def test_geom_and_poly_unions_accept_both_subtypes():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Square /Rect [0 0 9 9] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Annot /Subtype /PolyLine /Rect [0 0 9 9] "
+                b"/Vertices [0 0 5 5 9 0] >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R 6 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.type_assignments["5.0"] == "annot_geom"
+    assert r.type_assignments["6.0"] == "annot_poly"
+    assert not r.errors
