@@ -58,6 +58,12 @@ EXTRAS = [
     "warc_roundtrip",
     "crawl_robots",
     "text_rarity",
+    "dedup_paragraph",
+    "sample_per_host",
+    "search_bm25",
+    "tokenize_bpe",
+    "text_script",
+    "anchor_text_agg",
 ]
 
 REPEATS = 3
