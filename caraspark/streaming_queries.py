@@ -202,3 +202,75 @@ def stream_extract(spark, sf):
         F.md5("text").alias("text_md5"),
     )
     return S.run_to_memory(out)
+
+
+@_q(
+    "stream_anchor_agg",
+    """WITH hub AS (
+  SELECT '/hub/' || CAST(doc_id % 7 AS VARCHAR) AS href,
+         'w' || CAST(doc_id % 5 AS VARCHAR) || ' topic' AS anchor
+  FROM documents
+  UNION ALL
+  SELECT '/p/' || CAST(doc_id + 1 AS VARCHAR), 'next'
+  FROM documents
+)
+SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
+       min(anchor) AS anchor_min, max(anchor) AS anchor_max
+FROM hub GROUP BY href""",
+)
+def stream_anchor_agg(spark, sf):
+    """Streaming web-graph rollup over the v9 ANCHORS surface: documents
+    arrive as micro-batches, each is wrapped with two deterministic
+    anchors (a colliding /hub/{id%7} link whose text varies by id%5, and
+    a unique next-page link), extracted IN-STREAM by the same Arrow UDF
+    the batch job runs, and the exploded (href, anchor) pairs feed a
+    stateful streaming aggregation keyed by target href (complete mode —
+    the running web-graph view a crawl scheduler consults).  DuckDB
+    predicts every (href, n_refs, anchor_min, anchor_max) row
+    closed-form.  (No countDistinct column: streaming forbids exact
+    distinct aggregation, and v4's per-doc first-occurrence dedup already
+    makes every doc contribute a href at most once, so n_refs IS the
+    referrer count here.)
+
+    Scale: state is per-href fixed-width (a count + two bounded strings);
+    the stream never materializes document payloads past the extraction
+    batch, and the shuffle carries (href, anchor) pairs only — the same
+    exchange shape as the batch anchor_text_agg."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>"),
+                F.col("text"),
+                F.lit('</p></main><p><a href="/hub/'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('">w'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(' topic</a> <a href="/p/'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">next</a></p></body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    pairs = (
+        extract(raw)
+        .select("url", F.explode(F.arrays_zip("outlinks", "anchors")).alias("oa"))
+        .select(
+            "url",
+            F.col("oa.outlinks").alias("href"),
+            F.col("oa.anchors").alias("anchor"),
+        )
+    )
+    out = pairs.groupBy("href").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs"),
+        F.min("anchor").alias("anchor_min"),
+        F.max("anchor").alias("anchor_max"),
+    )
+    return S.run_to_memory(out, mode="complete")
