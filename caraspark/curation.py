@@ -1741,3 +1741,437 @@ def text_script(spark, sf):
             6,
         ).alias("nonlatin_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 5  # character k-gram length over normalized text
+_WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a print)
+
+
+def _winnow_sql() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+base AS (
+  SELECT doc_id, s, least(length(s) - {k - 1}, 4095) AS p
+  FROM d WHERE length(s) >= {k + w - 1}
+),
+grams AS (
+  SELECT doc_id, p, CAST(i AS INT) AS pos,
+         CAST('0x' || substring(md5(substring(s, CAST(i AS INT), {k})), 1, 12)
+              AS BIGINT) AS h
+  FROM base, range(1, 4096) r(i)
+  WHERE i <= p
+),
+win AS (
+  SELECT doc_id, p, pos, h,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS l1,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS l2,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS l3,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS r1,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS r2,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS r3
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, pos, h,
+         (   (pos + 3 <= p AND r3 > h)
+          OR (pos >= 2 AND pos + 2 <= p AND l1 >= h AND r2 > h)
+          OR (pos >= 3 AND pos + 1 <= p AND l2 >= h AND r1 > h)
+          OR (pos >= 4 AND l3 >= h)
+         ) AS selected
+  FROM win
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       round(CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS sel_density,
+       md5(string_agg(
+             CASE WHEN selected
+                  THEN CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR)
+             END, ',' ORDER BY pos)) AS fp_sig
+FROM sel GROUP BY doc_id
+"""
+
+
+@_q("fingerprint_winnow", _winnow_sql())
+def fingerprint_winnow(spark, sf):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of w consecutive hashes, and select
+    the minimum of each window (rightmost position on ties).  The
+    selected (pos, hash) set is a ~2/(w+1)-density fingerprint with the
+    paper's guarantee: any shared substring of length >= k+w-1 between
+    two documents yields at least one shared fingerprint.
+
+    The rightmost-min rule is expressed declaratively: position i is
+    selected iff SOME full window [i-a, i+(w-1-a)] has all left
+    neighbours >= h[i] and all right neighbours strictly > h[i] — one OR
+    term per split a, each a pair of bounded ROWS-frame window minimums,
+    so the whole operator stays in JVM whole-stage codegen.
+
+    Scale: all computation is within-document — the only exchange keys
+    on doc_id and carries (pos, 8-byte hash) pairs, never text; output is
+    a constant-density sample of positions (~2/(w+1)), so downstream
+    digest joins see a 3x-reduced stream. Candidate pairing over the
+    fingerprints reuses the banded-bucket pattern of dedup_minhash
+    (never an all-pairs join).
+    """
+    k, w = _WINNOW_K, _WINNOW_W
+    d = load(spark, sf, "documents")
+    s = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
+    base = d.select("doc_id", s.alias("s")).filter(
+        F.length("s") >= k + w - 1
+    )
+    p = F.least(F.length("s") - (k - 1), F.lit(4095))
+    grams = base.select(
+        "doc_id",
+        p.alias("p"),
+        F.explode(F.sequence(F.lit(1), p)).alias("pos"),
+        "s",
+    ).select(
+        "doc_id",
+        "p",
+        F.col("pos").cast("int").alias("pos"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.col("s").substr(F.col("pos"), F.lit(k)), "utf-8"
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    ws = W.partitionBy("doc_id").orderBy("pos")
+    win = grams.select(
+        "doc_id",
+        "p",
+        "pos",
+        "h",
+        F.min("h").over(ws.rowsBetween(-1, -1)).alias("l1"),
+        F.min("h").over(ws.rowsBetween(-2, -1)).alias("l2"),
+        F.min("h").over(ws.rowsBetween(-3, -1)).alias("l3"),
+        F.min("h").over(ws.rowsBetween(1, 1)).alias("r1"),
+        F.min("h").over(ws.rowsBetween(1, 2)).alias("r2"),
+        F.min("h").over(ws.rowsBetween(1, 3)).alias("r3"),
+    )
+    pos, h, pp = F.col("pos"), F.col("h"), F.col("p")
+    selected = (
+        ((pos + 3 <= pp) & (F.col("r3") > h))
+        | ((pos >= 2) & (pos + 2 <= pp) & (F.col("l1") >= h) & (F.col("r2") > h))
+        | ((pos >= 3) & (pos + 1 <= pp) & (F.col("l2") >= h) & (F.col("r1") > h))
+        | ((pos >= 4) & (F.col("l3") >= h))
+    )
+    sel = win.select("doc_id", "pos", "h", selected.alias("selected"))
+    n_sel = F.sum(F.when(F.col("selected"), 1).otherwise(0))
+    pair = F.when(F.col("selected"), F.struct(F.col("pos"), F.col("h")))
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        n_sel.cast("bigint").alias("n_selected"),
+        F.round(n_sel.cast("double") / F.count(F.lit(1)), 6).alias(
+            "sel_density"
+        ),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(pair)),
+                        lambda x: F.concat_ws(
+                            ":",
+                            x["pos"].cast("string"),
+                            x["h"].cast("string"),
+                        ),
+                    ),
+                ),
+                "utf-8",
+            )
+        ).alias("fp_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (scale path for the exact digest join)
+# ---------------------------------------------------------------------------
+
+# Deliberately small bit-space so the sf0.01 corpus exercises real false
+# positives (load ~0.3 -> per-probe FP ~3%); production sizes m to the
+# benchmark-gram count (m ~= 1.44 * k * n_grams bits for target FP) — the
+# arithmetic below is unchanged, only the constant grows.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_sql() -> str:
+    gram = " || ' ' || ".join(
+        f"w[CAST(i + {j} AS INT)]" for j in range(_DECON_N)
+    )
+    probes = ", ".join(
+        f"CAST('0x' || substring(md5(gh || ':{j}'), 1, 12) AS BIGINT)"
+        f" % {_BLOOM_M} AS p{j}"
+        for j in range(_BLOOM_K)
+    )
+    allin = " AND ".join(
+        f"p{j} IN (SELECT bit FROM bits)" for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5({gram}) AS gh
+  FROM d, range(1, 4096) r(i)
+  WHERE i <= len(w) - {_DECON_N} + 1
+),
+bench AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0
+),
+bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substring(md5(gh || ':' || CAST(j AS VARCHAR)), 1, 12)
+              AS BIGINT) % {_BLOOM_M} AS bit
+  FROM bench, range(0, {_BLOOM_K}) s(j)
+),
+corpus AS (
+  SELECT doc_id, gh, {probes}
+  FROM grams WHERE doc_id % 97 <> 0
+),
+flags AS (
+  SELECT doc_id, gh,
+         ({allin}) AS bloom_hit,
+         gh IN (SELECT gh FROM bench) AS exact_hit
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits_bloom,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits_exact,
+       CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       max(bloom_hit) AS bloom_flag,
+       max(exact_hit) AS contaminated
+FROM flags GROUP BY doc_id
+"""
+
+
+def _bloom_probe(gh_col, j):
+    """j-th Bloom probe position: md5(gram-digest || ':j') sliced to a
+    48-bit int, modulo the bit-space — identical hex->int path in DuckDB."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(gh_col, F.lit(f":{j}")), "utf-8")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@_q("decontaminate_bloom", _bloom_sql())
+def decontaminate_bloom(spark, sf):
+    """Bloom-filter benchmark decontamination — the constant-memory scale
+    path beside the exact digest join of ``decontaminate``.  The held-out
+    set's word-3-gram digests are hashed through k=3 probe positions
+    into an m=4096-bit space; a corpus gram is flagged when ALL k of its
+    positions are set.  No false negatives by construction (every exact
+    hit is also a bloom hit — asserted per row), and the measured
+    false-positive count is emitted so the operator's precision is
+    observable, not assumed.
+
+    Scale: at 10^12 docs the eval-suite bloom bitmap is a few hundred MB
+    — it rides to every executor as a broadcast (here: the set-bit table
+    broadcast-joined k times, the same plan shape), so the corpus side
+    never shuffles before the per-doc count; the exchange carries only
+    (doc_id, 1-byte flags). The exact variant must broadcast every
+    benchmark DIGEST (16 bytes x n_grams); the bloom variant is ~40x
+    smaller at equal n — that ratio is why production dedup gates run
+    bloom-first, exact-join only on the flagged survivors.
+    """
+    d = load(spark, sf, "documents")
+    w = F.split(F.lower("text"), " ")
+    base = d.filter(F.size(w) >= _DECON_N).select("doc_id", w.alias("w"))
+    positions = F.sequence(
+        F.lit(1), F.least(F.size("w") - _DECON_N + 1, F.lit(4095))
+    )
+    gram_h = F.md5(
+        F.encode(
+            F.concat_ws(
+                " ", *[F.expr(f"w[i + {j} - 1]") for j in range(_DECON_N)]
+            ),
+            "utf-8",
+        )
+    )
+    grams = (
+        base.select("doc_id", "w", F.explode(positions).alias("i"))
+        .select("doc_id", gram_h.alias("gh"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_probe(F.col("gh"), j) for j in range(_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("bset", F.lit(1))
+    )
+    bench_mark = bench.withColumn("bexact", F.lit(1))
+    corpus = grams.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        "gh",
+        *[_bloom_probe(F.col("gh"), j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    )
+    for j in range(_BLOOM_K):
+        corpus = corpus.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"p{j}"),
+                                    F.col("bset").alias(f"m{j}"))),
+            f"p{j}",
+            "left",
+        )
+    flagged = corpus.join(F.broadcast(bench_mark), "gh", "left").select(
+        "doc_id",
+        (
+            sum(
+                [F.coalesce(F.col(f"m{j}"), F.lit(0)) for j in range(_BLOOM_K)],
+                F.lit(0),
+            )
+            == _BLOOM_K
+        ).alias("bloom_hit"),
+        (F.coalesce(F.col("bexact"), F.lit(0)) == 1).alias("exact_hit"),
+    )
+    bh, eh = F.col("bloom_hit"), F.col("exact_hit")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(bh, 1).otherwise(0)).cast("bigint").alias("n_hits_bloom"),
+        F.sum(F.when(eh, 1).otherwise(0)).cast("bigint").alias("n_hits_exact"),
+        F.sum(F.when(bh & ~eh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.max(bh).alias("bloom_flag"),
+        F.max(eh).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier prioritization (what gets fetched next, per host)
+# ---------------------------------------------------------------------------
+
+_FRONTIER_BUDGET = 3  # fetches scheduled per host per cycle
+
+
+def _frontier_sql() -> str:
+    return f"""
+WITH urls AS (
+  SELECT doc_id, source,
+         3 + CAST(doc_id % 3 AS INT) AS depth,
+         doc_id % 7 <> 0 AS allowed
+  FROM documents
+),
+hosts AS (
+  SELECT source, count(*) AS host_docs FROM urls GROUP BY source
+),
+scored AS (
+  SELECT u.doc_id, u.source, u.depth, h.host_docs,
+         CAST(h.host_docs * 10 - u.depth * 25 + u.doc_id % 50 AS BIGINT)
+           AS priority
+  FROM urls u JOIN hosts h USING (source)
+  WHERE u.allowed
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, source, depth, CAST(host_docs AS BIGINT) AS host_docs,
+       priority, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_FRONTIER_BUDGET}
+"""
+
+
+@_q("crawl_frontier", _frontier_sql())
+def crawl_frontier(spark, sf):
+    """Crawl-frontier scheduling: compose the politeness gate, a host
+    authority proxy, and URL depth into an integer priority, then emit
+    the next fetch batch — the top _FRONTIER_BUDGET allowed URLs per
+    host.  The
+    synthetic corpus stands in deterministically: depth mirrors
+    ``crawl_robots``'s path construction (3 + doc_id % 3 segments), the
+    politeness verdict is the ``doc_id % 7`` residue, and host authority
+    is the host's document count (a degree proxy; production swaps in
+    ``graph_pagerank``'s rank column — same join shape).
+
+    Integer scoring end-to-end (priority = host_docs*10 - depth*25 +
+    doc_id%50), so both engines rank identical values with the
+    deterministic (priority DESC, doc_id) tiebreak.
+
+    Scale: one count aggregate keyed on host (bounded by the ~10^8-host
+    web, digests+counts only), broadcast back over the URL stream, and a
+    per-host top-k window.  The window's per-host state is k rows —
+    Spark's WindowExec with a rank filter stops accumulating beyond the
+    frame, and hot mega-hosts are exactly the rows the budget truncates,
+    so the skew a naive global sort would suffer never materializes
+    (same bounded-window trick as ``sample_per_host``).
+    """
+    d = load(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        "source",
+        (F.lit(3) + (F.col("doc_id") % 3).cast("int")).alias("depth"),
+        (F.col("doc_id") % 7 != 0).alias("allowed"),
+    )
+    hosts = urls.groupBy("source").agg(F.count(F.lit(1)).alias("host_docs"))
+    scored = (
+        urls.filter("allowed")
+        .join(F.broadcast(hosts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "depth",
+            F.col("host_docs").cast("bigint").alias("host_docs"),
+            (
+                F.col("host_docs") * 10
+                - F.col("depth") * 25
+                + F.col("doc_id") % 50
+            )
+            .cast("bigint")
+            .alias("priority"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _FRONTIER_BUDGET)
+        .select("doc_id", "source", "depth", "host_docs", "priority", "rk")
+    )

@@ -502,3 +502,116 @@ def test_text_script_matches_python(spark, sf_smoke):
         assert r.main_script == want, did
         tot = max(n_lat + n_cyr + n_han + n_grk, 1)
         assert abs(r.nonlatin_frac - round((n_cyr + n_han + n_grk) / tot, 6)) < 1e-9
+
+
+def _winnow_py(s: str, k: int = 5, w: int = 4):
+    """Textbook winnowing (Schleimer et al. Fig. 5 semantics, rightmost
+    min on ties) — the third implementation beside Spark and DuckDB."""
+    n = min(len(s) - k + 1, 4095)
+    hs = [
+        int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:12], 16)
+        for i in range(n)
+    ]
+    sel = set()
+    for p in range(0, n - w + 1):
+        window = hs[p:p + w]
+        m = min(window)
+        idx = p + max(i for i in range(w) if window[i] == m)
+        sel.add((idx + 1, hs[idx]))  # 1-based positions, as in the qkey
+    return n, sel
+
+
+def test_fingerprint_winnow_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.fingerprint_winnow(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for d in docs:
+        s = re.sub(r"[^a-z0-9]", "", d.text.lower())
+        if len(s) < C._WINNOW_K + C._WINNOW_W - 1:
+            assert d.doc_id not in rows
+            continue
+        n, sel = _winnow_py(s, C._WINNOW_K, C._WINNOW_W)
+        r = rows[d.doc_id]
+        assert r.n_grams == n, d.doc_id
+        assert r.n_selected == len(sel), d.doc_id
+        joined = ",".join(
+            f"{pos}:{h}" for pos, h in sorted(sel)
+        )
+        assert r.fp_sig == hashlib.md5(joined.encode()).hexdigest(), d.doc_id
+        # 5e-7: Spark rounds HALF_UP, Python rounds half-even (matters on
+        # exact ties like 49/128) — the DuckDB oracle pins the exact value
+        assert abs(r.sel_density - len(sel) / n) <= 6e-7
+        checked += 1
+    assert checked >= 40  # nearly every smoke doc exercises the operator
+
+
+def test_fingerprint_winnow_density_bounds(spark, sf_smoke):
+    # every w-window selects >=1 print and a print can't repeat within a
+    # window, so density lives in [1/w, 1]; expectation is 2/(w+1)
+    for r in C.fingerprint_winnow(spark, sf_smoke).collect():
+        assert 1.0 / C._WINNOW_W <= r.sel_density <= 1.0
+
+
+def _grams3_py(text: str):
+    w = text.lower().split(" ")
+    return {
+        hashlib.md5(" ".join(w[i:i + 3]).encode()).hexdigest()
+        for i in range(min(len(w) - 2, 4095))
+    }
+
+
+def test_decontaminate_bloom_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.decontaminate_bloom(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    bench = set()
+    for d in docs:
+        if d.doc_id % 97 == 0 and len(d.text.split(" ")) >= 3:
+            bench |= _grams3_py(d.text)
+    bits = {
+        int(hashlib.md5(f"{gh}:{j}".encode()).hexdigest()[:12], 16) % C._BLOOM_M
+        for gh in bench
+        for j in range(C._BLOOM_K)
+    }
+    for d in docs:
+        if d.doc_id % 97 == 0 or len(d.text.split(" ")) < 3:
+            assert d.doc_id not in rows
+            continue
+        gset = _grams3_py(d.text)
+        n_bloom = sum(
+            1
+            for gh in gset
+            if all(
+                int(hashlib.md5(f"{gh}:{j}".encode()).hexdigest()[:12], 16)
+                % C._BLOOM_M
+                in bits
+                for j in range(C._BLOOM_K)
+            )
+        )
+        n_exact = len(gset & bench)
+        r = rows[d.doc_id]
+        assert r.n_grams == len(gset), d.doc_id
+        assert r.n_hits_bloom == n_bloom, d.doc_id
+        assert r.n_hits_exact == n_exact, d.doc_id
+        assert r.n_false_pos == n_bloom - n_exact, d.doc_id
+
+
+def test_decontaminate_bloom_no_false_negatives(spark, sf_smoke):
+    for r in C.decontaminate_bloom(spark, sf_smoke).collect():
+        assert r.n_hits_exact <= r.n_hits_bloom
+        assert (not r.contaminated) or r.bloom_flag
+
+
+def test_crawl_frontier_budget_politeness_order(spark, sf_smoke):
+    rows = C.crawl_frontier(spark, sf_smoke).collect()
+    assert rows
+    by_host: dict = {}
+    for r in rows:
+        assert r.doc_id % 7 != 0  # politeness gate
+        assert 1 <= r.rk <= C._FRONTIER_BUDGET
+        assert r.priority == r.host_docs * 10 - r.depth * 25 + r.doc_id % 50
+        by_host.setdefault(r.source, []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1)), host
+        pris = [(r.priority, -r.doc_id) for r in rs]
+        assert pris == sorted(pris, reverse=True), host
