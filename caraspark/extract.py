@@ -68,6 +68,21 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("og_image", pa.string(), True),
         pa.field("anchors", pa.list_(pa.string()), True),
         pa.field(
+            "tables",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("table", pa.int32()),
+                        ("row", pa.int32()),
+                        ("col", pa.int32()),
+                        ("header", pa.bool_()),
+                        ("cell", pa.string()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -188,6 +203,7 @@ def _extract_batches(
             cols["og_description"].append(r.og_description)
             cols["og_image"].append(r.og_image)
             cols["anchors"].append(r.anchors)
+            cols["tables"].append(r.tables_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())
@@ -240,7 +256,7 @@ def extract(
     "headmeta" alias) and only those surfaces are assembled per document —
     the rest are NULL columns that never cross the Arrow boundary as data.
     ``want=None`` keeps the legacy boolean: ``want_text=True`` computes all
-    nine surfaces, ``False`` the stats-only mode. Spark prunes INPUT
+    ten surfaces, ``False`` the stats-only mode. Spark prunes INPUT
     columns at the scan for free; this is the matching engine-side prune
     for the computed surfaces, which Catalyst cannot see inside the UDF —
     a metadata-only consumer at 100 TB should not pay for text assembly,

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.extract import extract
-from caraspark.oracle_freeze import anchors_cte, corpus_cte, perdoc_cte
+from caraspark.oracle_freeze import (
+    anchors_cte,
+    corpus_cte,
+    perdoc_cte,
+    tables_cte,
+)
 from caraspark.relational import Q, REGISTRY as _REL  # reuse the dataclass
 from caraspark.tables import load
 
@@ -898,4 +903,150 @@ def anchor_text_agg(spark, sf):
         F.countDistinct("url").cast("bigint").alias("n_docs"),
         F.min("anchor").alias("anchor_min"),
         F.max("anchor").alias("anchor_max"),
+    )
+
+
+@_q(
+    "doc_tables",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       CAST(0 AS INTEGER) AS tbl, CAST(0 AS INTEGER) AS trow,
+       CAST(0 AS INTEGER) AS tcol, TRUE AS header,
+       'k' || CAST(doc_id % 5 AS VARCHAR) AS cell
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 0, 0, 1, TRUE, 'v' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, 0, 1, 0, FALSE, 'name' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, 0, 1, 1, FALSE, CAST(doc_id AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 4, 0, 2, 0, FALSE, '' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 5, 1, 0, 0, FALSE,
+       'n' || CAST(doc_id % 3 AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 6, 0, 2, 1, FALSE, 'xy' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 7, 2, 0, 0, FALSE,
+       'implicit ' || CAST(doc_id % 7 AS VARCHAR)
+FROM documents""",
+)
+def doc_tables(spark, sf):
+    """v10 TABLES, hash-verified closed-form: each document is wrapped in
+    HTML carrying the table edge matrix — a header row (th cells), a data
+    row, an empty cell, a NESTED table inside a cell (the inner cell
+    emits before the suspended outer cell closes as "xy"), a
+    boiler-region table (no rows, no index), and a trailing table whose
+    cell opens with no <tr> (implicit row 0) and stays open to end of
+    input — with deterministic text derived from doc_id so DuckDB
+    predicts every (url, pos, tbl, trow, tcol, header, cell) row,
+    ``pos`` being the spec's cell-close emission order."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><table><tr><th>k"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("</th><th>v</th></tr><tr><td>name</td><td>"),
+                did,
+                F.lit("</td></tr><tr><td></td><td>x<table><tr><td>n"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("</td></tr></table>y</td></tr></table>"),
+                F.lit('<div class="sidebar"><table><tr><td>no</td></tr>'),
+                F.lit("</table></div><table><td>implicit "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select("url", F.posexplode("tables").alias("pos", "t")).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.table").alias("tbl"),
+        F.col("t.row").alias("trow"),
+        F.col("t.col").alias("tcol"),
+        F.col("t.header").alias("header"),
+        F.col("t.cell").alias("cell"),
+    )
+
+
+@_q(
+    "doc_tables_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, CAST(n_cells AS INT) AS n_cells, tables_sig
+FROM perdoc""",
+)
+def doc_tables_sig(spark, sf):
+    """v10 TABLES over the full synth corpus (the html_table recipe's data
+    grid + link-farm row, the unclosed-table recipe, []-for-PDF) vs the
+    frozen per-recipe/per-idx md5 signatures over the canonical
+    "table:row:col:header:cell" strings in emission order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "tables",
+        lambda x: F.concat_ws(
+            ":",
+            x["table"].cast("string"),
+            x["row"].cast("string"),
+            x["col"].cast("string"),
+            x["header"].cast("int").cast("string"),
+            x["cell"],
+        ),
+    )
+    return ex.select(
+        "url",
+        F.size("tables").alias("n_cells"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "tables_sig"
+        ),
+    )
+
+
+@_q(
+    "table_shape",
+    f"""WITH {corpus_cte()},
+{tables_cte()}
+SELECT d.url, t.tbl,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(max(t.trow) + 1 AS INT) AS n_rows,
+       CAST(max(t.tcol) + 1 AS INT) AS n_cols,
+       CAST(sum(CASE WHEN t.theader THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_headers
+FROM docs d JOIN tb t ON t.idx = d.idx
+GROUP BY d.url, t.tbl""",
+)
+def table_shape(spark, sf):
+    """Structured-data harvest over the corpus: per extracted table, its
+    grid shape (cell count, row/column extents, header-cell count) — the
+    aggregate a dataset builder runs to find well-formed data tables
+    worth lifting into training examples.
+
+    Scale: the explode emits one short row per CELL (the document payload
+    never re-shuffles; mapInArrow already reduced blobs to cell strings),
+    and the groupBy keys on (url, table) with map-side combine and four
+    fixed-width accumulators — the same bounded-state shape as
+    anchor_text_agg."""
+    ex = _extracted(spark, sf)
+    t = ex.select("url", F.explode("tables").alias("t"))
+    return t.groupBy(
+        "url", F.col("t.table").alias("tbl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.max("t.row") + 1).alias("n_rows"),
+        (F.max("t.col") + 1).alias("n_cols"),
+        F.sum(F.col("t.header").cast("int")).cast("bigint").alias(
+            "n_headers"
+        ),
     )

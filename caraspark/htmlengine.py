@@ -99,6 +99,26 @@ and compared byte-for-byte per url):
   regions is excluded exactly as for blocks; a self-closing or textless
   anchor yields ""; an anchor still open at end of input captures to
   EOF. PDFs yield [] (mirroring OUTLINKS); stats mode yields None.
+* TABLES (v10, structured-data surface): one (table, row, col, header,
+  cell) tuple per table cell OPENED outside drop/boilerplate regions.
+  ``table`` is the 0-based count of <table> opens (outside those regions,
+  self-closing included — an index per element, cells or not); all other
+  events bind to the INNERMOST open table element (stack).  Within it:
+  <tr> open closes any open cell, advances the 0-based row counter and
+  resets the column; <td>/<th> open closes any open cell, implicitly
+  opens row 0 when no <tr> preceded, advances the 0-based column and
+  opens a cell (header = the tag is th); the cell's text is the
+  whitespace-normalized character data seen while it is open (drop/
+  boiler regions excluded as for blocks — and data binds only when the
+  INNERMOST table has the open cell: a nested table suspends its outer
+  cell's capture until it closes).  A cell closes at </td>/</th>/</tr>,
+  at </table> (which pops the table), or at end of input (all stacked
+  tables close innermost-first).  Self-closing <td>/<th> emit an
+  empty-text cell; self-closing <tr> advances the row.  EVERY opened
+  cell emits exactly one tuple in cell-CLOSE order, empty text included
+  (grid position is the payload); link-density discard does NOT apply
+  (structural surface, same stance as OUTLINKS).  PDFs yield []; stats
+  mode (want_text=False) yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -187,6 +207,11 @@ class _Extractor(HTMLParser):
         self.og_image: str | None = None
         self.headings: list[tuple[int, int]] = []  # (kept-block idx, level)
         self._open_block_tag: str | None = None
+        # v10 TABLES: (table, row, col, header, cell) per opened cell
+        self.tables: list[tuple[int, int, int, bool, str]] = []
+        self._tbl_count = 0
+        # stack frames: [tbl_idx, row, col, cell_open, is_th, parts]
+        self._tbl_stack: list[list] = []
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -204,6 +229,39 @@ class _Extractor(HTMLParser):
         if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
             self.headings.append((len(self.blocks), int(tag[1])))
         self.blocks.append(text)
+
+    # -- v10 table lifecycle (parallel pass, like title/anchors)
+    def _cell_close(self) -> None:
+        if self._tbl_stack:
+            t = self._tbl_stack[-1]
+            if t[3]:
+                self.tables.append(
+                    (t[0], t[1], t[2], t[4], " ".join("".join(t[5]).split()))
+                )
+                t[3] = False
+                t[5] = []
+
+    def _cell_open(self, tag: str) -> None:
+        t = self._tbl_stack[-1]
+        self._cell_close()
+        if t[1] < 0:
+            t[1] = 0  # cell before any <tr>: implicit row 0
+        t[2] += 1
+        t[3] = True
+        t[4] = tag == "th"
+        t[5] = []
+
+    def _row_open(self) -> None:
+        t = self._tbl_stack[-1]
+        self._cell_close()
+        t[1] += 1
+        t[2] = -1
+
+    def _finalize_tables(self) -> None:
+        """EOF with tables still open: cells close innermost-first."""
+        while self._tbl_stack:
+            self._cell_close()
+            self._tbl_stack.pop()
 
     @staticmethod
     def _is_boiler(attrs) -> bool:
@@ -300,6 +358,14 @@ class _Extractor(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             self._open_block_tag = tag
+            if tag == "table":
+                self._tbl_stack.append([self._tbl_count, -1, -1, False,
+                                        False, []])
+                self._tbl_count += 1
+            elif tag == "tr" and self._tbl_stack:
+                self._row_open()
+            elif tag in ("td", "th") and self._tbl_stack:
+                self._cell_open(tag)
         elif tag == "a":
             self._a_depth += 1
             rec = self._collect_href(attrs)
@@ -323,6 +389,11 @@ class _Extractor(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
+            if tag in ("td", "th", "tr"):
+                self._cell_close()
+            elif tag == "table" and self._tbl_stack:
+                self._cell_close()
+                self._tbl_stack.pop()
         elif tag == "a" and self._a_depth:
             self._a_depth -= 1
             if self._a_stack:
@@ -340,6 +411,14 @@ class _Extractor(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             self._open_block_tag = tag
+            if tag == "table":
+                self._tbl_count += 1  # index per element; no cells possible
+            elif tag == "tr" and self._tbl_stack:
+                self._row_open()
+            elif tag in ("td", "th") and self._tbl_stack:
+                # self-closing cell: opened and closed in place, empty text
+                self._cell_open(tag)
+                self._cell_close()
         elif tag == "a":
             # self-closing anchor: href recorded, no text to capture
             self._collect_href(attrs)
@@ -356,6 +435,10 @@ class _Extractor(HTMLParser):
         if self._attr_tag is not None or self._drop_depth or not data:
             return
         self._buf.append(data)
+        # v10: cell capture binds to the INNERMOST open table's open cell
+        # only — a nested table suspends the outer cell until it closes
+        if self._tbl_stack and self._tbl_stack[-1][3]:
+            self._tbl_stack[-1][5].append(data)
         n = len("".join(data.split()))
         self._total_chars += n
         if self._a_depth:
@@ -371,10 +454,11 @@ def extract_html(
     html: bytes,
 ) -> tuple:
     """blob → (text bytes, block spans, outlinks, title, canonical,
-    description, headings, ogmeta, anchors) per the SPEC (v3 SPANS,
-    v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8 OGMETA,
-    v9 ANCHORS); ogmeta is the (og_title, og_description, og_image)
-    triple; anchors is parallel to outlinks."""
+    description, headings, ogmeta, anchors, tables) per the SPEC (v3
+    SPANS, v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8 OGMETA,
+    v9 ANCHORS, v10 TABLES); ogmeta is the (og_title, og_description,
+    og_image) triple; anchors is parallel to outlinks; tables is the
+    (table, row, col, header, cell) tuple list."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -384,11 +468,12 @@ def extract_html(
         pass
     p._flush()
     p._finalize_anchors()
+    p._finalize_tables()
     og = (p.og_title, p.og_description, p.og_image)
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
-            og, p.anchors,
+            og, p.anchors, p.tables,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -406,6 +491,7 @@ def extract_html(
         p.headings,
         og,
         p.anchors,
+        p.tables,
     )
 
 

@@ -95,6 +95,9 @@ class ExtractResult:
     # parallel to ``outlinks`` (HTML); [] for PDFs. None when not
     # requested / stats mode.
     anchors: list | None = None
+    # v10 TABLES: (table, row, col, header, cell) per opened table cell
+    # (HTML); [] for PDFs. None when not requested / stats mode.
+    tables: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -129,6 +132,14 @@ class ExtractResult:
         if self.headings is None:
             return None
         return [{"block": b, "level": lv} for b, lv in self.headings]
+
+    def tables_as_rows(self) -> list[dict] | None:
+        if self.tables is None:
+            return None
+        return [
+            {"table": t, "row": r, "col": c, "header": h, "cell": s}
+            for t, r, c, h, s in self.tables
+        ]
 
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
@@ -165,11 +176,11 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The eight extraction surfaces a consumer can request (SPEC v1–v8).
+# The extraction surfaces a consumer can request (SPEC v1–v10).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
-     "headings", "ogmeta", "anchors"}
+     "headings", "ogmeta", "anchors", "tables"}
 )
 
 
@@ -264,6 +275,7 @@ def _process_pdf(
         text, spans = None, None
     outlinks: list | None = [] if "outlinks" in want else None
     anchors: list | None = [] if "anchors" in want else None
+    tables: list | None = [] if "tables" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -290,6 +302,7 @@ def _process_pdf(
         spans=spans,
         outlinks=outlinks,
         anchors=anchors,
+        tables=tables,
         title=title,
         description=description,
         headings=headings,
@@ -320,14 +333,14 @@ def _process_pdf(
 def _process_html(blob, want=SURFACES) -> ExtractResult:
     errors: list[PdfError] = []
     if want:
-        # HTML extraction is one single-pass parse that produces all nine
+        # HTML extraction is one single-pass parse that produces all ten
         # surfaces together (the pass itself is the cost; the per-surface
         # collection is incidental), so any requested surface runs the full
         # parse and the unrequested ones are nulled afterwards — the saving
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
-            og, anchors,
+            og, anchors, tables,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -338,6 +351,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             outlinks = None
         if "anchors" not in want:
             anchors = None
+        if "tables" not in want:
+            tables = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -357,6 +372,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         spans = None
         outlinks = None
         anchors = None
+        tables = None
         title = None
         canonical = None
         description = None
@@ -371,6 +387,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         spans=spans,
         outlinks=outlinks,
         anchors=anchors,
+        tables=tables,
         title=title,
         canonical=canonical,
         description=description,

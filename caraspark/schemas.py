@@ -76,6 +76,23 @@ EXTRACTED = T.StructType(
         # v9 ANCHORS: anchor text per outlink (parallel arrays); [] for
         # PDFs, NULL in stats mode / when not requested
         T.StructField("anchors", T.ArrayType(T.StringType()), True),
+        # v10 TABLES: (table, row, col, header, cell) per opened table
+        # cell; [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "tables",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("table", T.IntegerType(), False),
+                        T.StructField("row", T.IntegerType(), False),
+                        T.StructField("col", T.IntegerType(), False),
+                        T.StructField("header", T.BooleanType(), False),
+                        T.StructField("cell", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

@@ -274,3 +274,66 @@ def stream_anchor_agg(spark, sf):
         F.max("anchor").alias("anchor_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_tables",
+    """WITH cells AS (
+  SELECT CAST(0 AS INTEGER) AS trow, TRUE AS header,
+         'grp' || CAST(doc_id % 5 AS VARCHAR) AS cell
+  FROM documents
+  UNION ALL
+  SELECT CAST(1 AS INTEGER), FALSE, CAST(doc_id % 11 AS VARCHAR)
+  FROM documents
+)
+SELECT trow, header, CAST(count(*) AS BIGINT) AS n_cells,
+       min(cell) AS cell_min, max(cell) AS cell_max
+FROM cells GROUP BY trow, header""",
+)
+def stream_tables(spark, sf):
+    """Streaming rollup over the v10 TABLES surface: documents arrive as
+    micro-batches, each wrapped with a deterministic 2-row table (a
+    header cell keyed by doc_id%5 and a data cell keyed by doc_id%11),
+    extracted IN-STREAM by the same Arrow UDF the batch job runs; the
+    exploded cells feed a stateful aggregation keyed by (row, header) —
+    complete mode.  DuckDB predicts every row closed-form.
+
+    Scale: two fixed-width state rows total; the stream materializes
+    (row, header, short cell string) triples only — the same
+    bounded-state shape as stream_anchor_agg."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><table><tr><th>grp"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("</th></tr><tr><td>"),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit("</td></tr></table></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    cells = (
+        extract(raw)
+        .select(F.explode("tables").alias("t"))
+        .select(
+            F.col("t.row").alias("trow"),
+            F.col("t.header").alias("header"),
+            F.col("t.cell").alias("cell"),
+        )
+    )
+    out = cells.groupBy("trow", "header").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("cell").alias("cell_min"),
+        F.max("cell").alias("cell_max"),
+    )
+    return S.run_to_memory(out, mode="complete")

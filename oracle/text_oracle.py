@@ -1447,8 +1447,8 @@ def _html_anchors(blob: bytes) -> list[str]:
 
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
-    v6 description, v7 headings, v8 ogmeta triple, v9 anchors) — 2nd
-    witness."""
+    v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
+    v10 tables) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1456,6 +1456,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None, _pdf_info_text(blob, "Subject"),
             _pdf_outline_levels(blob),
             (None, None, None),
+            [],
             [],
         )
     text, spans, headings = _html_full(blob)
@@ -1465,6 +1466,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         canonical, description, headings,
         _html_ogmeta(blob),
         _html_anchors(blob),
+        _html_tables(blob),
     )
 
 
@@ -1503,4 +1505,99 @@ def _pdf_outline_levels(data: bytes) -> list[tuple[int, int]]:
             cur = item.get("Next")
 
     walk(root.get("First"), 1)
+    return out
+
+
+def _html_tables(blob: bytes) -> list[tuple[int, int, int, bool, str]]:
+    """v10 TABLES, second witness: a separate event pass — walk the
+    drop/boiler region state, keep a stack of open table elements, count
+    <table> opens for the index, advance row/col counters on <tr> and
+    <td>/<th> opens (implicit row 0 before any <tr>), bind text to the
+    innermost table's open cell, and emit one tuple per opened cell at
+    cell-close time (close tag, sibling open, </table>, or EOF)."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[tuple[int, int, int, bool, str]] = []
+    stack: list[list] = []  # [idx, row, col, cell_open, is_th, parts]
+    count = 0
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def close_cell() -> None:
+        if stack and stack[-1][3]:
+            t = stack[-1]
+            out.append(
+                (t[0], t[1], t[2], t[4], " ".join("".join(t[5]).split()))
+            )
+            t[3] = False
+            t[5] = []
+
+    def open_cell(tag: str) -> None:
+        close_cell()
+        t = stack[-1]
+        if t[1] < 0:
+            t[1] = 0
+        t[2] += 1
+        t[3] = True
+        t[4] = tag == "th"
+        t[5] = []
+
+    def open_row() -> None:
+        close_cell()
+        stack[-1][1] += 1
+        stack[-1][2] = -1
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                elif val == "table":
+                    stack.append([count, -1, -1, False, False, []])
+                    count += 1
+                elif val == "tr" and stack:
+                    open_row()
+                elif val in ("td", "th") and stack:
+                    open_cell(val)
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            elif drop == 0:
+                if val in ("td", "th", "tr"):
+                    close_cell()
+                elif val == "table" and stack:
+                    close_cell()
+                    stack.pop()
+        elif ev == "selfclose":
+            if drop == 0:
+                if val == "table":
+                    count += 1  # index per element, no cells possible
+                elif val == "tr" and stack:
+                    open_row()
+                elif val in ("td", "th") and stack:
+                    open_cell(val)
+                    close_cell()
+        else:  # text
+            if drop == 0 and val and stack and stack[-1][3]:
+                stack[-1][5].append(val)
+    while stack:
+        close_cell()
+        stack.pop()
     return out

@@ -1013,9 +1013,11 @@ def test_unclosed_title_does_not_eat_body_text():
              "<a href='/y'>w ", "</a>", "<a href='/x'>again ",
              "<link rel=canonical href=/c>", "<meta name=description content=d>",
              "<meta property=og:title content=ot>",
-             "<meta property=og:image content=/i.png>"]
+             "<meta property=og:image content=/i.png>",
+             "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+             "<th>", "</th>", "<td/>", "<table class='sidebar'>", "cell "]
         ),
-        max_size=12,
+        max_size=14,
     )
 )
 def test_html_pathological_nesting_engine_oracle_agree(parts):
@@ -1263,3 +1265,47 @@ def test_anchor_stats_mode_and_pdf_contract():
     assert no_anchor.anchors is None and no_anchor.text
     pdf = process_document(PDF_RECIPES["pdf_minimal"]())
     assert pdf.anchors == [] and pdf.outlinks == []
+
+
+def test_html_v10_tables_semantics():
+    """v10 TABLES: the spec's edge matrix — header cells, implicit row 0,
+    nested-table suspension, self-closing cells, boiler/drop exclusion,
+    EOF close — engine and oracle byte-agree on every tuple."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<body><table><tr><th>h</th><td>a<b>b</b></td></tr>"
+         b"<tr><td>c<table><tr><td>i</td></tr></table>d</td></tr></table>"
+         b"<div class='promo'><table><tr><td>no</td></tr></table></div>"
+         b"<script><table><tr><td>no2</td></tr></table></script>"
+         b"<table/><table><td/>"
+         b"<td>eof cell")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[9] == [
+        (0, 0, 0, True, "h"),
+        (0, 0, 1, False, "ab"),
+        (1, 0, 0, False, "i"),     # inner emits before the outer resumes
+        (0, 1, 0, False, "cd"),
+        # boiler + dropped tables emit nothing and take no index;
+        # the self-closing <table/> takes index 2 with no cells
+        (3, 0, 0, False, ""),      # self-closing cell, implicit row 0
+        (3, 0, 1, False, "eof cell"),
+    ]
+
+
+def test_html_v10_tables_want_projection():
+    """tables obeys the want= projection like every other surface."""
+    from caraspark.pdfengine.api import process_document
+
+    b = b"<table><tr><td>x</td></tr></table><p>body text</p>"
+    full = process_document(b)
+    assert full.tables == [(0, 0, 0, False, "x")]
+    only = process_document(b, want=("tables",))
+    assert only.tables == full.tables and only.text is None
+    none = process_document(b, want=("text",))
+    assert none.tables is None and none.text == b"x\nbody text"
+    stats = process_document(b, want_text=False)
+    assert stats.tables is None
+    pdf = process_document(b"%PDF-1.4\n1 0 obj null endobj")
+    assert pdf.tables == []

@@ -78,6 +78,7 @@ def build_extras():
     outline_rows = []
     formfield_rows = []
     anchor_rows = []
+    table_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -111,6 +112,7 @@ def build_extras():
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
                 **_anchor_facts(res),
+                **_table_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -200,6 +202,8 @@ def build_extras():
             zip(res.outlinks, res.anchors)
         ):
             anchor_rows.append((idx, pos, href, anchor))
+        for tbl, row, col, header, cell in res.tables:
+            table_rows.append((idx, tbl, row, col, header, cell))
         html_idx.append(
             {
                 "idx": idx,
@@ -221,12 +225,14 @@ def build_extras():
                 **_span_facts(res.spans),
                 **_outlink_facts(res.outlinks),
                 **_anchor_facts(res),
+                **_table_facts(res),
                 **_title_facts(res),
             }
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
+        table_rows,
     )
 
 
@@ -257,6 +263,23 @@ def _anchor_facts(res) -> dict:
         "anchors_sig": hashlib.md5(
             "\x1f".join(res.anchors).encode("utf-8")
         ).hexdigest()
+    }
+
+
+def _table_facts(res) -> dict:
+    """Mirror doc_tables_sig's JVM expression: md5 over the \x1f-joined
+    "table:row:col:header(0/1):cell" canonical strings in emission
+    order; None when the surface was not computed."""
+    if res.tables is None:
+        return {"n_cells": None, "tables_sig": None}
+    return {
+        "n_cells": len(res.tables),
+        "tables_sig": hashlib.md5(
+            "\x1f".join(
+                f"{t}:{r}:{c}:{1 if h else 0}:{cell}"
+                for t, r, c, h, cell in res.tables
+            ).encode("utf-8")
+        ).hexdigest(),
     }
 
 
@@ -305,6 +328,7 @@ def main() -> None:
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
+        table_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -329,7 +353,8 @@ def main() -> None:
             f"ATTACH_ROWS = {fmt(attach_rows)}\n\n"
             f"OUTLINE_ROWS = {fmt(outline_rows)}\n\n"
             f"FORMFIELD_ROWS = {fmt(formfield_rows)}\n\n"
-            f"ANCHOR_ROWS = {fmt(anchor_rows)}\n"
+            f"ANCHOR_ROWS = {fmt(anchor_rows)}\n\n"
+            f"TABLE_ROWS = {fmt(table_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -338,7 +363,8 @@ def main() -> None:
         f"{len(html_idx)} html idx, {len(attach_rows)} attachments, "
         f"{len(outline_rows)} outline rows, "
         f"{len(formfield_rows)} form fields, "
-        f"{len(anchor_rows)} anchor rows -> {path}"
+        f"{len(anchor_rows)} anchor rows, "
+        f"{len(table_rows)} table rows -> {path}"
     )
 
 
