@@ -2175,3 +2175,75 @@ def crawl_frontier(spark, sf):
         .filter(F.col("rk") <= _FRONTIER_BUDGET)
         .select("doc_id", "source", "depth", "host_docs", "priority", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact unigram surprisal (CCNet-style LM quality proxy)
+# ---------------------------------------------------------------------------
+
+
+def _surprisal_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+vocab AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+),
+total AS (SELECT sum(c) AS n FROM vocab),
+bits AS (
+  SELECT w, CAST(length(printf('%b',
+                   CAST((SELECT n FROM total) // c AS BIGINT))) - 1
+                 AS BIGINT) AS b
+  FROM vocab
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(b.b) AS BIGINT) AS total_bits,
+       round(CAST(sum(b.b) AS DOUBLE) / count(*), 6) AS bits_per_token
+FROM toks t JOIN bits b ON b.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+@_q("text_surprisal", _surprisal_sql())
+def text_surprisal(spark, sf):
+    """Unigram-LM surprisal in INTEGER bits: each token scores
+    floor(log2(N / c(w))) — the whole-bit information content of the
+    token under the corpus unigram model — and a document's quality
+    signal is the per-token mean (the CCNet idea: wiki-like prose scores
+    low, boilerplate/noise scores high).  Transcendental-free: the floor
+    log2 is the length of the integer's binary-string rendering minus
+    one (``bin``/``printf('%b')`` — exact in both engines), the quotient
+    is integer division, and the only double is the final ONE division
+    per row.
+
+    Scale: identical two-pass unigram shape as ``text_rarity`` — the
+    vocab groupBy is the single wide exchange (Zipf-bounded (token,
+    count) pairs), the per-token bit table is broadcast back over the
+    corpus re-join, and the total rides a broadcast 1-row aggregate —
+    the corpus side never shuffles; at 100 TB the vocab fits executor
+    memory (~10^7 rows) exactly as production CCNet's LM tables do.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            (F.length(F.expr("bin(n DIV c)")) - 1)
+            .cast("bigint")
+            .alias("b"),
+        )
+    )
+    joined = toks.join(F.broadcast(bits), "w")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("b").cast("bigint").alias("total_bits"),
+        F.round(
+            F.sum("b").cast("double") / F.count(F.lit(1)), 6
+        ).alias("bits_per_token"),
+    )

@@ -378,3 +378,151 @@ def warc_roundtrip(spark, sf):
         F.length("html").cast("long").alias("n_octets"),
         F.md5("html").alias("payload_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX index build (the Common Crawl cdx-*.gz sidecar)
+# ---------------------------------------------------------------------------
+
+# framing-arithmetic constants, derived from the REAL builders at import so
+# the oracle's closed-form byte counts can never drift from the writer:
+#   record_len = _CDX_REC_CONST + len(url) + digits(payload_len) + payload_len
+#   payload_len = _CDX_HTTP_CONST + digits(body_len) + body_len
+_CDX_WARCINFO_LEN = len(
+    build_record(
+        "warcinfo",
+        b"software: caraspark-warc/1.0" + _CRLF,
+        content_type="application/warc-fields",
+    )
+)
+_CDX_HTTP_CONST = len(http_response(b"")) - 1  # minus the '0' length digit
+_CDX_REC_CONST = (
+    len(build_record("response", b"", url="", ts=_WARC_EPOCH)) - 1
+)
+
+
+def _cdx_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS blen, md5(text) AS dg
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, dg,
+         'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         strftime(TIMESTAMP '2026-01-01'
+                  + INTERVAL (doc_id % 86400) SECOND, '%Y%m%d%H%M%S') AS ts14,
+         {_CDX_HTTP_CONST} + length(CAST(blen AS VARCHAR)) + blen AS plen
+  FROM d
+),
+g AS (
+  SELECT *,
+         {_CDX_REC_CONST} + length(url)
+           + length(CAST(plen AS VARCHAR)) + plen AS rec_len
+  FROM f
+)
+SELECT 'example,synth)/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+       ts14, url, 'text/html' AS mime, CAST(200 AS INTEGER) AS status,
+       dg AS digest,
+       CAST(rec_len AS BIGINT) AS rlen,
+       CAST({_CDX_WARCINFO_LEN} + coalesce(sum(rec_len) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS roffset,
+       'crawl-' || source || '.warc' AS warc_file
+FROM g
+"""
+
+
+@_q("warc_cdx", _cdx_sql())
+def warc_cdx(spark, sf):
+    """CDX index build — the lookup sidecar a crawl archive ships beside
+    its WARC files (SURT key, 14-digit timestamp, payload digest, and the
+    (file, offset, length) triple a replayer seeks to).  Documents are
+    framed through the REAL record builder on the executors (actual byte
+    counts + payload md5, one file per host with records in doc_id
+    order), while the oracle predicts every byte count closed-form from
+    the import-time framing constants — writer drift breaks the hash.
+
+    The SURT key is computed genuinely (host split, segment reversal,
+    path re-append) in JVM expressions, not assumed from the synth URL
+    shape.
+
+    Scale: the per-record map is the same narrow pass as the WARC sink;
+    the only exchange is the per-file window (partition by archive file,
+    order by position) whose running sum assigns offsets — at 100 TB
+    that is one bounded-state window per ~1 GB archive file, exactly how
+    production cdx-writers stream their indexes; no payload bytes ever
+    shuffle (the window rows carry url + 3 integers + a digest)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("body")
+    )
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("source", pa.string()),
+                ("url", pa.string()),
+                ("ts14", pa.string()),
+                ("rec_len", pa.int64()),
+                ("digest", pa.string()),
+            ]
+        )
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            srcs = batch.column("source").to_pylist()
+            bodies = batch.column("body").to_pylist()
+            rows = []
+            for i, s, b in zip(ids, srcs, bodies):
+                url = f"https://synth.example/doc/{i}"
+                ts = _WARC_EPOCH + timedelta(seconds=i % 86400)
+                rec = build_record(
+                    "response", http_response(b), url=url, ts=ts
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "source": s,
+                        "url": url,
+                        "ts14": ts.strftime("%Y%m%d%H%M%S"),
+                        "rec_len": len(rec),
+                        "digest": hashlib.md5(b).hexdigest(),
+                    }
+                )
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    framed = docs.mapInArrow(
+        gen,
+        "doc_id bigint, source string, url string, ts14 string, "
+        "rec_len bigint, digest string",
+    )
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"https://[^/]+(/.*)", 1)
+    surt = F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, r"\."))), F.lit(")"), path
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return framed.select(
+        surt.alias("surt"),
+        "ts14",
+        "url",
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        "digest",
+        F.col("rec_len").alias("rlen"),
+        (
+            F.lit(_CDX_WARCINFO_LEN)
+            + F.coalesce(F.sum("rec_len").over(w), F.lit(0))
+        ).cast("bigint").alias("roffset"),
+        F.concat(F.lit("crawl-"), F.col("source"), F.lit(".warc")).alias(
+            "warc_file"
+        ),
+    )

@@ -615,3 +615,34 @@ def test_crawl_frontier_budget_politeness_order(spark, sf_smoke):
         assert [r.rk for r in rs] == list(range(1, len(rs) + 1)), host
         pris = [(r.priority, -r.doc_id) for r in rs]
         assert pris == sorted(pris, reverse=True), host
+
+
+def test_text_surprisal_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.text_surprisal(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    counts: dict = {}
+    for d in docs:
+        if d.text:
+            for w in d.text.lower().split(" "):
+                counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+    for d in docs:
+        if not d.text:
+            assert d.doc_id not in rows
+            continue
+        toks = d.text.lower().split(" ")
+        bits = sum((n // counts[w]).bit_length() - 1 for w in toks)
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(toks), d.doc_id
+        assert r.total_bits == bits, d.doc_id
+        assert abs(r.bits_per_token - bits / len(toks)) <= 6e-7, d.doc_id
+
+
+def test_text_surprisal_rare_scores_higher(spark, sf_smoke):
+    # a doc's mean surprisal orders with its rare-token fraction by
+    # construction of the signal; check the extremes are consistent
+    srows = {r.doc_id: r.bits_per_token
+             for r in C.text_surprisal(spark, sf_smoke).collect()}
+    assert max(srows.values()) > min(srows.values())  # signal is non-flat
+    for v in srows.values():
+        assert v >= 0.0

@@ -204,3 +204,42 @@ def test_wet_sink_roundtrip(spark, tmp_path):
                 got[rec["url"]] = rec["payload"]
     want = {u: f"wet body {u.rsplit('/', 1)[1]} é漢".encode() for u in pages}
     assert got == want
+
+
+def test_warc_cdx_offsets_seek_to_records(spark):
+    """End-to-end CDX property: build the REAL uncompressed per-host WARC
+    files the index describes, then blob[roffset : roffset+rlen] must be
+    exactly one parseable response record for the right url with the
+    digest's payload."""
+    import hashlib
+
+    rows = W.warc_cdx(spark, "/root/testdata/sf0.001").collect()
+    docs = {
+        r.doc_id: (r.source, r.text)
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    files: dict[str, bytes] = {}
+    for src in sorted({s for s, _ in docs.values()}):
+        recs = [
+            (
+                f"https://synth.example/doc/{i}",
+                W._WARC_EPOCH + timedelta(seconds=i % 86400),
+                W.http_response(t.encode("utf-8")),
+            )
+            for i, (s, t) in sorted(docs.items())
+            if s == src
+        ]
+        files[f"crawl-{src}.warc"] = W.build_warc(recs, gzip_members=False)
+    assert len(rows) == len(docs)
+    for r in rows:
+        blob = files[r.warc_file]
+        sl = blob[r.roffset : r.roffset + r.rlen]
+        assert sl.startswith(b"WARC/1.0"), r.url
+        assert f"WARC-Target-URI: {r.url}".encode() in sl
+        parsed = W.parse_warc(sl)
+        assert len(parsed) == 1 and parsed[0]["url"] == r.url
+        assert hashlib.md5(parsed[0]["body"]).hexdigest() == r.digest
+        # surt key: reversed host + path
+        assert r.surt == "example,synth)/doc/" + r.url.rsplit("/", 1)[1]
