@@ -64,6 +64,10 @@ EXTRAS = [
     "tokenize_bpe",
     "text_script",
     "anchor_text_agg",
+    "fingerprint_winnow",
+    "text_surprisal",
+    "table_shape",
+    "warc_cdx",
 ]
 
 REPEATS = 3
