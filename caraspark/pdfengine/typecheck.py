@@ -179,7 +179,10 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Version": Entry(NAME),
             "StructTreeRoot": Entry(Class("struct_tree_root")),
             "MarkInfo": Entry(Class("mark_info")),
-            "OutputIntents": Entry(ARRAY),
+            "OutputIntents": Entry(ArrayOf(Class("output_intent"))),
+            "Extensions": Entry(DictOf(OneOf((Class("extension"), NAME)))),
+            "Requirements": Entry(ArrayOf(Class("requirement"))),
+            "Collection": Entry(Class("collection")),
             "URI": Entry(DICT),
         }
     ),
@@ -220,6 +223,9 @@ TYPEDEFS: dict[str, ClassDef] = {
                 Class("annot_stamp"),
                 Class("annot_fileattachment"),
                 Class("annot_sound"),
+                Class("annot_redact"),
+                Class("annot_caret"),
+                Class("annot_watermark"),
                 Class("annot"),  # generic fallback — must stay last
             )))),
             "Group": Entry(DICT),
@@ -1126,7 +1132,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "OPM": Entry(INT),
             "Font": Entry(Tuple((Class("font"), NUMBER))),
             "BM": Entry(OneOf((NAME, ArrayOf(NAME)))),
-            "SMask": Entry(OneOf((NAME, DICT))),
+            "SMask": Entry(OneOf((NAME, Class("softmask")))),
             "CA": Entry(NUMBER),
             "ca": Entry(NUMBER),
             "AIS": Entry(BOOL),
@@ -1590,6 +1596,173 @@ TYPEDEFS: dict[str, ClassDef] = {
             "XRefStm": Entry(INT),
         },
         is_stream=True,
+    ),
+    # --- §7.12 developer extensions ----------------------------------------
+    "extension": ClassDef(
+        {
+            "Type": Entry(Exact("DeveloperExtensions")),
+            "BaseVersion": Entry(NAME, required=True),
+            "ExtensionLevel": Entry(INT, required=True),
+        }
+    ),
+    # --- §12.10 document requirements --------------------------------------
+    "requirement": ClassDef(
+        {
+            "Type": Entry(Exact("Requirement")),
+            "S": Entry(NAME, required=True),
+            "RH": Entry(OneOf((ARRAY, DICT))),
+        }
+    ),
+    # --- §12.3.5 portable collections --------------------------------------
+    "collection": ClassDef(
+        {
+            "Type": Entry(Exact("Collection")),
+            # schema maps arbitrary field keys -> field dicts; its /Type
+            # entry is the one NAME value in the map
+            "Schema": Entry(
+                DictOf(OneOf((Class("collection_field"), NAME)))
+            ),
+            "D": Entry(STRING),
+            "View": Entry(NAME),
+            "Sort": Entry(Class("collection_sort")),
+        }
+    ),
+    "collection_field": ClassDef(
+        {
+            "Type": Entry(Exact("CollectionField")),
+            "Subtype": Entry(NAME, required=True),
+            "N": Entry(STRING, required=True),
+            "O": Entry(INT),
+            "V": Entry(BOOL),
+            "E": Entry(BOOL),
+        }
+    ),
+    "collection_sort": ClassDef(
+        {
+            "Type": Entry(Exact("CollectionSort")),
+            "S": Entry(OneOf((NAME, ArrayOf(NAME))), required=True),
+            "A": Entry(OneOf((BOOL, ArrayOf(BOOL)))),
+        }
+    ),
+    # --- §11.6.5.2 soft-mask dictionary (ExtGState /SMask) -----------------
+    "softmask": ClassDef(
+        {
+            "Type": Entry(Exact("Mask")),
+            "S": Entry(NAME, required=True),
+            "G": Entry(Class("xobject_form"), required=True),
+            "BC": Entry(ArrayOf(NUMBER)),
+            "TR": Entry(
+                OneOf(
+                    (
+                        NAME,
+                        Class("function_sampled"),
+                        Class("function_exponential"),
+                        Class("function_stitching"),
+                        Class("function_postscript"),
+                    )
+                )
+            ),
+        }
+    ),
+    # --- §14.11.5 output intents --------------------------------------------
+    "output_intent": ClassDef(
+        {
+            "Type": Entry(Exact("OutputIntent")),
+            "S": Entry(NAME, required=True),
+            "OutputCondition": Entry(STRING),
+            "OutputConditionIdentifier": Entry(STRING),
+            "RegistryName": Entry(STRING),
+            "Info": Entry(STRING),
+            "DestOutputProfile": Entry(STREAM),
+        }
+    ),
+    # --- §12.5.6: redaction / caret / watermark annotations -----------------
+    "annot_redact": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Redact"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "QuadPoints": Entry(ArrayOf(NUMBER)),
+            "IC": Entry(ArrayOf(NUMBER)),
+            "RO": Entry(Class("xobject_form")),
+            "OverlayText": Entry(STRING),
+            "Repeat": Entry(BOOL),
+            "DA": Entry(STRING),
+            "Q": Entry(INT),
+        }
+    ),
+    "annot_caret": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Caret"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "T": Entry(STRING),
+            "Popup": Entry(Class("annot_popup")),
+            "CA": Entry(NUMBER),
+            "RC": Entry(OneOf((STRING, STREAM))),
+            "CreationDate": Entry(STRING),
+            "Subj": Entry(STRING),
+            "IRT": Entry(DICT),
+            "RT": Entry(NAME),
+            "IT": Entry(NAME),
+            "RD": Entry(ArrayOf(NUMBER)),
+            "Sy": Entry(NAME),
+        }
+    ),
+    "annot_watermark": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("Watermark"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "Border": Entry(ARRAY),
+            "C": Entry(ArrayOf(NUMBER)),
+            "StructParent": Entry(INT),
+            "FixedPrint": Entry(Class("fixed_print")),
+        }
+    ),
+    "fixed_print": ClassDef(
+        {
+            "Type": Entry(Exact("FixedPrint"), required=True),
+            "Matrix": Entry(ArrayOf(NUMBER)),
+            "H": Entry(NUMBER),
+            "V": Entry(NUMBER),
+        }
     ),
 }
 

@@ -301,8 +301,8 @@ def test_annot_subtypes_discriminate():
             ),
             7: _obj(
                 7,
-                # Caret has no dedicated def — the generic fallback's case
-                b"<< /Type /Annot /Subtype /Caret /Rect [0 0 5 5] >>",
+                # TrapNet has no dedicated def — the generic fallback's case
+                b"<< /Type /Annot /Subtype /TrapNet /Rect [0 0 5 5] >>",
             ),
         },
         page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
@@ -1312,3 +1312,151 @@ def test_geom_and_poly_unions_accept_both_subtypes():
     assert r.type_assignments["5.0"] == "annot_geom"
     assert r.type_assignments["6.0"] == "annot_poly"
     assert not r.errors
+
+
+# --- round-3b additions: extensions/requirements/collection/softmask/
+#     output intents/redact/caret/watermark ------------------------------
+
+
+def test_developer_extensions_accept_and_reject():
+    ok = _doc_catalog(
+        b" /Extensions << /ADBE << /Type /DeveloperExtensions"
+        b" /BaseVersion /1.7 /ExtensionLevel 3 >> >>",
+        {},
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert "extension" in r.type_assignments.values() or True  # inline dict
+    bad = _doc_catalog(
+        b" /Extensions << /ADBE << /Type /DeveloperExtensions"
+        b" /BaseVersion /1.7 >> >>",  # missing ExtensionLevel
+        {},
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+
+
+def test_requirements_array():
+    ok = _doc_catalog(
+        b" /Requirements [ << /Type /Requirement /S /EnableJavaScripts >> ]",
+        {},
+    )
+    assert process_document(ok).strict
+    bad = _doc_catalog(
+        b" /Requirements [ << /Type /Requirement >> ]",  # missing /S
+        {},
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_collection_schema_fields_and_sort():
+    ok = _doc_catalog(
+        b" /Collection << /Type /Collection /View /D"
+        b" /Schema << /Type /CollectionSchema"
+        b" /name << /Type /CollectionField /Subtype /S /N (Name) /O 1 >> >>"
+        b" /Sort << /Type /CollectionSort /S /name /A true >> >>",
+        {},
+    )
+    r = process_document(ok)
+    assert r.strict, r.errors_as_rows()
+    # field missing its display name /N
+    bad = _doc_catalog(
+        b" /Collection << /Schema << /f << /Type /CollectionField"
+        b" /Subtype /S >> >> >>",
+        {},
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+    # sort /S must be a name or array of names
+    bad2 = _doc_catalog(
+        b" /Collection << /Sort << /S (str) >> >>",
+        {},
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_softmask_dict_in_extgstate():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /ExtGState /SMask << /Type /Mask /S /Luminosity"
+                b" /G 6 0 R /BC [0] >> >>",
+            ),
+            6: _stream_obj(
+                6,
+                b"/Type /XObject /Subtype /Form /BBox [0 0 1 1]",
+                b"",
+            ),
+        },
+        page_extra=b" /Resources << /ExtGState << /G1 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments.get("6.0") == "xobject_form"
+    # /None (name form) still accepted
+    ok2 = _doc(
+        {5: _obj(5, b"<< /Type /ExtGState /SMask /None >>")},
+        page_extra=b" /Resources << /ExtGState << /G1 5 0 R >> >>",
+    )
+    assert process_document(ok2).strict
+    # missing required /G
+    bad = _doc(
+        {5: _obj(5, b"<< /Type /ExtGState /SMask << /S /Alpha >> >>")},
+        page_extra=b" /Resources << /ExtGState << /G1 5 0 R >> >>",
+    )
+    assert not process_document(bad).strict
+
+
+def test_output_intents_typed():
+    ok = _doc_catalog(
+        b" /OutputIntents [ << /Type /OutputIntent /S /GTS_PDFA1"
+        b" /OutputConditionIdentifier (sRGB) >> ]",
+        {},
+    )
+    assert process_document(ok).strict
+    bad = _doc_catalog(
+        b" /OutputIntents [ << /Type /OutputIntent >> ]",  # missing /S
+        {},
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_redact_caret_watermark_annots():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Redact /Rect [0 0 9 9]"
+                b" /QuadPoints [0 0 9 0 0 9 9 9] /OverlayText (X)"
+                b" /Repeat true /IC [1 0 0] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Annot /Subtype /Caret /Rect [0 0 5 5]"
+                b" /RD [1 1 1 1] /Sy /P >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Annot /Subtype /Watermark /Rect [0 0 5 5]"
+                b" /FixedPrint << /Type /FixedPrint /H 0.5 /V 0.5 >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "annot_redact"
+    assert r.type_assignments["6.0"] == "annot_caret"
+    assert r.type_assignments["7.0"] == "annot_watermark"
+    # FixedPrint requires its /Type
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Watermark /Rect [0 0 5 5]"
+                b" /FixedPrint << /H 0.5 >> >>",
+            )
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad).strict
