@@ -68,6 +68,10 @@ EXTRAS = [
     "text_surprisal",
     "table_shape",
     "warc_cdx",
+    "quality_logit",
+    "sample_dsir",
+    "lm_bigram",
+    "search_postings",
 ]
 
 REPEATS = 3

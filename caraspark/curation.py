@@ -2247,3 +2247,402 @@ def text_surprisal(spark, sf):
             F.sum("b").cast("double") / F.count(F.lit(1)), 6
         ).alias("bits_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-weight quality classifier (fastText/DCLM-style filter, integerized)
+# ---------------------------------------------------------------------------
+
+_QL_THRESH = 420  # splits the synthetic corpus ~50/50 (median score 420)
+
+
+def _quality_logit_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text,' ')) AS n_tok,
+         len(list_filter(string_split(lower(text),' '),
+             x -> list_contains({_GOPHER_STOP!r}, x))) AS stop_cnt,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         len(list_filter(string_split(text,' '), x -> length(x) > 12))
+           AS n_long,
+         length(text) AS l
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tok,
+       CAST(stop_cnt*1000 // n_tok AS BIGINT) AS stop_m,
+       CAST(n_digit*1000 // l AS BIGINT) AS digit_m,
+       CAST(n_upper*1000 // l AS BIGINT) AS upper_m,
+       CAST(n_long AS INT) AS n_long,
+       CAST(6*(stop_cnt*1000 // n_tok) - 4*(n_digit*1000 // l)
+            - 3*(n_upper*1000 // l) - 40*n_long + n_tok AS BIGINT) AS score,
+       (6*(stop_cnt*1000 // n_tok) - 4*(n_digit*1000 // l)
+        - 3*(n_upper*1000 // l) - 40*n_long + n_tok) >= {_QL_THRESH} AS keep
+FROM f
+"""
+
+
+@_q("quality_logit", _quality_logit_sql())
+def quality_logit(spark, sf):
+    """Fixed-weight linear quality classifier — the shape of the
+    fastText/DCLM "model-based quality filter" stage, with the learned
+    hashed-ngram weights replaced by a fixed interpretable weight vector
+    over integer features (per-mille stopword rate, digit rate, uppercase
+    rate, long-token count, token count).  Production swaps the weight
+    table for trained coefficients; the plan — featurize in the scan,
+    dot-product, threshold — is byte-identical.
+
+    Integer-exact: every ratio is a per-mille integer division (DuckDB
+    ``//`` == Spark ``DIV``), the score is a BIGINT dot product, and the
+    verdict compares integers — no float surface at all.
+
+    Scale: pure projection in the scan stage, zero shuffles, zero joins —
+    at 100 TB this runs at I/O speed and its ``keep`` column drives
+    partition-pruned re-materialization exactly like ``text_gopher``.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    stop = F.array(*[F.lit(s) for s in _GOPHER_STOP])
+    feats = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "),
+                lambda x: F.array_contains(stop, x),
+            )
+        ).alias("stop_cnt"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^A-Z]", "")).alias("n_upper"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 12)
+        ).alias("n_long"),
+        F.length("text").alias("l"),
+    )
+    scored = feats.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr("CAST(stop_cnt*1000 DIV n_tok AS BIGINT)").alias("stop_m"),
+        F.expr("CAST(n_digit*1000 DIV l AS BIGINT)").alias("digit_m"),
+        F.expr("CAST(n_upper*1000 DIV l AS BIGINT)").alias("upper_m"),
+        F.col("n_long").cast("int").alias("n_long"),
+        F.expr(
+            "CAST(6*(stop_cnt*1000 DIV n_tok) - 4*(n_digit*1000 DIV l)"
+            " - 3*(n_upper*1000 DIV l) - 40*n_long + n_tok AS BIGINT)"
+        ).alias("score"),
+    )
+    return scored.withColumn("keep", F.col("score") >= F.lit(_QL_THRESH))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (integer-exact bit-surprisal log-ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_SHARDS = 8
+_DSIR_CAP = 25  # keep budget per shard
+
+
+def _dsir_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text),' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+raw AS (SELECT w, count(*) AS cr FROM toks GROUP BY w),
+tgt AS (SELECT w, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w),
+tot AS (SELECT sum(cr) AS n, count(*) AS v FROM raw),
+ntg AS (SELECT COALESCE(sum(ct), 0) AS n FROM tgt),
+bits AS (
+  SELECT r.w,
+         CAST(length(printf('%b',
+                CAST((SELECT n FROM tot) // r.cr AS BIGINT))) - 1
+              AS BIGINT) AS br,
+         CAST(length(printf('%b',
+                CAST(((SELECT n FROM ntg) + (SELECT v FROM tot))
+                     // (COALESCE(t.ct, 0) + 1) AS BIGINT))) - 1
+              AS BIGINT) AS bt
+  FROM raw r LEFT JOIN tgt t USING (w)
+),
+perdoc AS (
+  SELECT t.doc_id,
+         CAST(t.doc_id % {_DSIR_SHARDS} AS INT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(b.br) AS BIGINT) AS raw_bits,
+         CAST(sum(b.bt) AS BIGINT) AS tgt_bits,
+         CAST(sum(b.br - b.bt) AS BIGINT) AS weight_bits
+  FROM toks t JOIN bits b USING (w)
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY shard ORDER BY weight_bits DESC, doc_id
+         ) AS rk
+  FROM perdoc
+)
+SELECT doc_id, shard, n_tokens, raw_bits, tgt_bits, weight_bits,
+       CAST(rk AS INT) AS rk, rk <= {_DSIR_CAP} AS keep
+FROM ranked
+"""
+
+
+@_q("sample_dsir", _dsir_sql())
+def sample_dsir(spark, sf):
+    """DSIR-style importance weighting (Xie et al. 2023, *Data Selection
+    for Language Models via Importance Resampling*): score each document
+    by the log-likelihood ratio of a target-domain unigram model (here:
+    the ``lang='en'`` slice) over the raw-corpus unigram model, then keep
+    the most target-like documents.  Integer-exact: both likelihoods are
+    whole-bit surprisals — floor(log2(N/c(w))) via the binary-rendering
+    trick shared with ``text_surprisal`` — with add-one smoothing
+    (c_tgt+1 over N_tgt+V) so target-unseen tokens stay defined, and the
+    per-doc weight is the BIGINT bit difference, so both engines rank
+    identical values with the (weight DESC, doc_id) tiebreak.
+
+    The keep verdict is a per-shard top-{_DSIR_CAP} (shard = doc_id %
+    {_DSIR_SHARDS}) rather than a global sort: DSIR's sampled-resampling
+    at production scale is per-partition by construction, and the
+    bounded window keeps per-shard state at k rows.
+
+    Scale: two Zipf-bounded vocab aggregates (one filtered), a broadcast
+    bits table re-joined over the token stream — the corpus side never
+    shuffles (same shape as ``text_surprisal``/``text_rarity``) — then a
+    per-shard bounded top-k window over (doc_id, 4×BIGINT) rows only.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    raw = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.agg(
+        F.sum("cr").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    ntg = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    bits = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ntg))
+        .select(
+            "w",
+            (F.length(F.expr("bin(n DIV cr)")) - 1).cast("bigint").alias("br"),
+            (
+                F.length(F.expr("bin((nt + v) DIV (coalesce(ct, 0) + 1))")) - 1
+            ).cast("bigint").alias("bt"),
+        )
+    )
+    perdoc = (
+        toks.join(F.broadcast(bits), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("br").cast("bigint").alias("raw_bits"),
+            F.sum("bt").cast("bigint").alias("tgt_bits"),
+            (F.sum("br") - F.sum("bt")).cast("bigint").alias("weight_bits"),
+        )
+        .withColumn("shard", (F.col("doc_id") % _DSIR_SHARDS).cast("int"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.desc("weight_bits"), F.asc("doc_id"))
+    )
+    return (
+        perdoc.withColumn("rk", rk.cast("int"))
+        .withColumn("keep", F.col("rk") <= _DSIR_CAP)
+        .select(
+            "doc_id", "shard", "n_tokens", "raw_bits", "tgt_bits",
+            "weight_bits", "rk", "keep",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional surprisal (order-2 LM quality proxy)
+# ---------------------------------------------------------------------------
+
+
+def _lm_bigram_sql() -> str:
+    return """
+WITH ws AS (
+  SELECT doc_id, string_split(lower(text),' ') AS a
+  FROM documents WHERE length(text) > 0
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(a)-1),
+                               i -> a[i+1] || ' ' || a[i+2])) AS b
+  FROM ws WHERE len(a) >= 2
+),
+c12 AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+c1 AS (
+  SELECT string_split(b, ' ')[1] AS w1, sum(c) AS c1
+  FROM c12 GROUP BY 1
+),
+bits AS (
+  SELECT c12.b,
+         CAST(length(printf('%b', CAST(c1.c1 // c12.c AS BIGINT))) - 1
+              AS BIGINT) AS bb
+  FROM c12 JOIN c1 ON string_split(c12.b, ' ')[1] = c1.w1
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(b.bb) AS BIGINT) AS total_bits,
+       round(CAST(sum(b.bb) AS DOUBLE) / count(*), 6) AS bits_per_bigram
+FROM bg g JOIN bits b USING (b)
+GROUP BY g.doc_id
+"""
+
+
+@_q("lm_bigram", _lm_bigram_sql())
+def lm_bigram(spark, sf):
+    """Order-2 LM surprisal: each bigram scores floor(log2(c(w1) /
+    c(w1,w2))) — the whole-bit conditional information of w2 given w1
+    under the corpus bigram model (c(w1) counts w1's occurrences as a
+    bigram left-hand side, so the model is self-normalized) — and the
+    per-doc mean extends ``text_surprisal``'s CCNet-style quality proxy
+    to word order: scrambled or templated text that a unigram model
+    can't tell apart scores visibly differently here.
+
+    Bigram formation is a zero-shuffle array transform in the scan stage
+    (``transform(sequence(...))`` over the split array — no self-join,
+    no per-doc window), identical index arithmetic in DuckDB's 1-based
+    ``list_transform(range(...))``.  The floor-log2 is the shared
+    binary-rendering trick; one double division per row at the end.
+
+    Scale: the bigram-vocab groupBy is the wide exchange — Zipf-bounded
+    (bigram, count) pairs, never documents; c(w1) folds from c12 (one
+    more vocab-sized aggregate, not a corpus pass); the bits table joins
+    back over the bigram stream (broadcast at bench scale; production
+    md5s the bigram to a fixed-width digest before the exchange when the
+    order-2 vocab outgrows executor memory, the ``dedup_substring``
+    trick — the plan shape is unchanged).
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    ws = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("a")
+    ).filter(F.size("a") >= 2)
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a)-2),"
+                " i -> concat(a[i], ' ', a[i+1]))"
+            )
+        ).alias("b"),
+    )
+    c12 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    c1 = (
+        c12.select(F.split("b", " ").getItem(0).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").alias("c1"))
+    )
+    bits = (
+        c12.withColumn("w1", F.split("b", " ").getItem(0))
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "b",
+            (F.length(F.expr("bin(c1 DIV c)")) - 1).cast("bigint").alias("bb"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(bits), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bb").cast("bigint").alias("total_bits"),
+            F.round(
+                F.sum("bb").cast("double") / F.count(F.lit(1)), 6
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (posting lists for corpus search)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_HEAD = 5
+
+
+def _postings_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text),' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT w, doc_id, count(*) AS c FROM toks
+  WHERE length(w) >= 3 AND regexp_matches(w, '^[a-z]+$')
+  GROUP BY w, doc_id
+),
+agg AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS tf_total
+  FROM tf GROUP BY w
+),
+rk AS (
+  SELECT w, doc_id,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id) AS r
+  FROM tf
+),
+hd AS (
+  SELECT w, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS head
+  FROM rk WHERE r <= {_POSTINGS_HEAD} GROUP BY w
+)
+SELECT a.w AS term, a.df, a.tf_total, h.head
+FROM agg a JOIN hd h ON a.w = h.w
+"""
+
+
+@_q("search_postings", _postings_sql())
+def search_postings(spark, sf):
+    """Inverted-index build: per alphabetic term (length ≥ 3), document
+    frequency, total term frequency, and the head of the ascending
+    doc-id posting list ({_POSTINGS_HEAD} entries, comma-joined — the
+    impact-ordered prefix a WAND/top-k query evaluator reads first).
+    This is the batch index-construction half of the search surface
+    whose query half is ``search_bm25``.
+
+    Determinism: counts are exact integers; the posting head is sorted
+    ascending by doc_id in both engines (``sort_array`` vs ordered
+    ``string_agg``), so the joined string is byte-identical.
+
+    Scale: the (term, doc_id) partial-count aggregate is the single
+    corpus-wide exchange and map-side combines first (tf rows, never
+    text); df/tf roll up from tf (vocab-sized input); the head window
+    holds at most {_POSTINGS_HEAD} rows of state per term after the rank
+    filter.  At 100 TB the posting lists themselves would stream to a
+    bucketed sink keyed on term — this qkey materializes only the
+    fixed-width head, which is what makes the output hashable.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter((F.length("w") >= 3) & F.col("w").rlike("^[a-z]+$"))
+    tf = toks.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    agg = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tf_total"),
+    )
+    r = F.row_number().over(W.partitionBy("w").orderBy(F.asc("doc_id")))
+    hd = (
+        tf.withColumn("r", r)
+        .filter(F.col("r") <= _POSTINGS_HEAD)
+        .groupBy("w")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("head")
+        )
+    )
+    return agg.join(hd, "w").select(
+        F.col("w").alias("term"), "df", "tf_total", "head"
+    )

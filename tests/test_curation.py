@@ -646,3 +646,124 @@ def test_text_surprisal_rare_scores_higher(spark, sf_smoke):
     assert max(srows.values()) > min(srows.values())  # signal is non-flat
     for v in srows.values():
         assert v >= 0.0
+
+
+def test_quality_logit_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.quality_logit(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        if not d.text:
+            assert d.doc_id not in rows
+            continue
+        toks = d.text.split(" ")
+        n_tok = len(toks)
+        stop_cnt = sum(1 for w in d.text.lower().split(" ") if w in C._GOPHER_STOP)
+        n_digit = sum(c.isdigit() for c in d.text)
+        n_upper = sum("A" <= c <= "Z" for c in d.text)
+        n_long = sum(len(w) > 12 for w in toks)
+        length = len(d.text)
+        stop_m = stop_cnt * 1000 // n_tok
+        digit_m = n_digit * 1000 // length
+        upper_m = n_upper * 1000 // length
+        score = 6 * stop_m - 4 * digit_m - 3 * upper_m - 40 * n_long + n_tok
+        r = rows[d.doc_id]
+        assert (r.n_tok, r.stop_m, r.digit_m, r.upper_m, r.n_long) == (
+            n_tok, stop_m, digit_m, upper_m, n_long,
+        ), d.doc_id
+        assert r.score == score, d.doc_id
+        assert r.keep == (score >= C._QL_THRESH), d.doc_id
+
+
+def test_quality_logit_splits_the_corpus(spark, sf_smoke):
+    rows = C.quality_logit(spark, sf_smoke).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)  # the threshold is load-bearing
+
+
+def _unigram_counts(texts):
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_sample_dsir_matches_python(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "lang"
+    ).collect()
+    texts = [d.text for d in docs if d.text]
+    raw = _unigram_counts(texts)
+    tgt = _unigram_counts([d.text for d in docs if d.text and d.lang == "en"])
+    n_raw = sum(raw.values())
+    n_tgt = sum(tgt.values())
+    v = len(raw)
+    rows = {r.doc_id: r for r in C.sample_dsir(spark, sf_smoke).collect()}
+    perdoc = {}
+    for d in docs:
+        if not d.text:
+            assert d.doc_id not in rows
+            continue
+        toks = d.text.lower().split(" ")
+        rb = sum((n_raw // raw[w]).bit_length() - 1 for w in toks)
+        tb = sum(
+            ((n_tgt + v) // (tgt.get(w, 0) + 1)).bit_length() - 1 for w in toks
+        )
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.raw_bits, r.tgt_bits) == (len(toks), rb, tb), d.doc_id
+        assert r.weight_bits == rb - tb, d.doc_id
+        assert r.shard == d.doc_id % C._DSIR_SHARDS, d.doc_id
+        perdoc.setdefault(r.shard, []).append((r.weight_bits, r.doc_id, r.rk, r.keep))
+    # per-shard rank = position under (weight DESC, doc_id ASC); keep = top CAP
+    for shard, entries in perdoc.items():
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        for want_rk, (_, did, got_rk, keep) in enumerate(entries, start=1):
+            assert got_rk == want_rk, (shard, did)
+            assert keep == (want_rk <= C._DSIR_CAP), (shard, did)
+
+
+def test_lm_bigram_matches_python(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    c12: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    grams = {}
+    for d in docs:
+        if not d.text:
+            continue
+        a = d.text.lower().split(" ")
+        bg = [f"{a[i]} {a[i+1]}" for i in range(len(a) - 1)]
+        if not bg:
+            continue
+        grams[d.doc_id] = bg
+        for b in bg:
+            c12[b] = c12.get(b, 0) + 1
+            c1[b.split(" ")[0]] = c1.get(b.split(" ")[0], 0) + 1
+    rows = {r.doc_id: r for r in C.lm_bigram(spark, sf_smoke).collect()}
+    assert set(rows) == set(grams)
+    for did, bg in grams.items():
+        bits = sum((c1[b.split(" ")[0]] // c12[b]).bit_length() - 1 for b in bg)
+        r = rows[did]
+        assert r.n_bigrams == len(bg), did
+        assert r.total_bits == bits, did
+        assert abs(r.bits_per_bigram - bits / len(bg)) <= 6e-7, did
+
+
+def test_search_postings_matches_python(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    tf: dict[str, dict[int, int]] = {}
+    pat = re.compile(r"^[a-z]+$")
+    for d in docs:
+        if not d.text:
+            continue
+        for w in d.text.lower().split(" "):
+            if len(w) >= 3 and pat.match(w):
+                tf.setdefault(w, {}).setdefault(d.doc_id, 0)
+                tf[w][d.doc_id] += 1
+    rows = {r.term: r for r in C.search_postings(spark, sf_smoke).collect()}
+    assert set(rows) == set(tf)
+    for w, per in tf.items():
+        r = rows[w]
+        assert r.df == len(per), w
+        assert r.tf_total == sum(per.values()), w
+        head = ",".join(str(i) for i in sorted(per)[: C._POSTINGS_HEAD])
+        assert r.head == head, w

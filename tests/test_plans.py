@@ -686,3 +686,36 @@ def test_text_script_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["text_script"](spark, sf_smoke))
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
+
+
+def test_quality_logit_is_narrow_jvm(spark, sf_smoke, qs):
+    # featurize + dot-product + threshold is a pure scan-stage projection
+    p = plan_of(qs["quality_logit"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_sample_dsir_vocab_broadcast_no_corpus_smj(spark, sf_smoke, qs):
+    """Both unigram models and the bits table broadcast back over the
+    token stream (text_surprisal shape) — the corpus side never
+    sort-merge-shuffles; the wide exchanges build the two vocab aggs,
+    the per-doc combine, and the per-shard top-k window."""
+    p = plan_of(qs["sample_dsir"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_lm_bigram_zero_shuffle_gram_formation(spark, sf_smoke, qs):
+    """Bigrams form via transform(sequence(...)) in the scan — no
+    self-join and no per-doc window; the bits re-join broadcasts."""
+    p = plan_of(qs["lm_bigram"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window" not in p, p
+
+
+def test_search_postings_all_jvm_no_cartesian(spark, sf_smoke, qs):
+    p = plan_of(qs["search_postings"](spark, sf_smoke))
+    assert "EvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
