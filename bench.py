@@ -72,6 +72,7 @@ EXTRAS = [
     "sample_dsir",
     "lm_bigram",
     "search_postings",
+    "graph_hostgraph",
 ]
 
 REPEATS = 3

@@ -2302,10 +2302,21 @@ def quality_logit(spark, sf):
     at 100 TB this runs at I/O speed and its ``keep`` column drives
     partition-pruned re-materialization exactly like ``text_gopher``.
     """
-    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    return quality_features(
+        load(spark, sf, "documents").filter(F.length("text") > 0)
+    )
+
+
+def quality_features(d, extra=()):
+    """The quality_logit projection over an arbitrary documents-shaped
+    DataFrame (needs ``doc_id`` and ``text``) — stateless, so the same
+    column expressions run unchanged over a STREAMING DataFrame
+    (``stream_quality``).  ``extra`` names passthrough columns (e.g.
+    ``lang``) kept alongside the features."""
     stop = F.array(*[F.lit(s) for s in _GOPHER_STOP])
     feats = d.select(
         "doc_id",
+        *extra,
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
         F.size(
             F.filter(
@@ -2322,6 +2333,7 @@ def quality_logit(spark, sf):
     )
     scored = feats.select(
         "doc_id",
+        *extra,
         F.col("n_tok").cast("int").alias("n_tok"),
         F.expr("CAST(stop_cnt*1000 DIV n_tok AS BIGINT)").alias("stop_m"),
         F.expr("CAST(n_digit*1000 DIV l AS BIGINT)").alias("digit_m"),
@@ -2645,4 +2657,74 @@ def search_postings(spark, sf):
     )
     return agg.join(hd, "w").select(
         F.col("w").alias("term"), "df", "tf_total", "head"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-graph contraction (page-level links -> host-level web graph)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^https://([a-z0-9]+)\.example/"
+
+
+def _hostgraph_sql() -> str:
+    return f"""
+WITH links AS (
+  SELECT source AS src_host,
+         'https://src' || CAST((doc_id + k*3) % 20 AS VARCHAR)
+         || '.example/p' || CAST(doc_id AS VARCHAR) AS href
+  FROM documents
+  CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2) ks
+),
+e AS (
+  SELECT src_host,
+         regexp_extract(href, '{_HOST_RE}', 1) AS dst_host
+  FROM links
+)
+SELECT src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       src_host = dst_host AS self_loop
+FROM e GROUP BY src_host, dst_host
+"""
+
+
+@_q("graph_hostgraph", _hostgraph_sql())
+def graph_hostgraph(spark, sf):
+    """Host-graph contraction: collapse page-level outlinks into the
+    host→host edge list — the standard pre-pass before host-level
+    PageRank / harmonic centrality (``graph_pagerank`` consumes exactly
+    this shape) and the spam-mass / link-farm features a crawl scheduler
+    scores hosts with.  Target hosts are parsed GENUINELY from absolute
+    URLs with the same regex in both engines; the synthetic corpus
+    stands in with three deterministic absolute outlinks per document
+    ((doc_id + 3k) % 20 — the k=0 link is intra-host, because real
+    web graphs are dominated by same-host links; the flag surfaces the
+    self-loop edges host-level PageRank must drop or damp).
+
+    Scale: the rollup exchanges (host, host) short strings with map-side
+    partial counts — at 10^12 pages the page-level link stream contracts
+    ~10^3× before the shuffle (hosts are ~10^8, host-pairs Zipf-bounded),
+    which is WHY production link analysis contracts first; per-key state
+    is one counter.
+    """
+    d = load(spark, sf, "documents")
+    links = d.select(
+        F.col("source").alias("src_host"),
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+    ).select(
+        "src_host",
+        F.concat(
+            F.lit("https://src"),
+            ((F.col("doc_id") + F.col("k") * 3) % 20).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("href"),
+    )
+    e = links.select(
+        "src_host", F.regexp_extract("href", _HOST_RE, 1).alias("dst_host")
+    )
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        (F.col("src_host") == F.col("dst_host")).alias("self_loop"),
     )

@@ -337,3 +337,58 @@ def stream_tables(spark, sf):
         F.max("cell").alias("cell_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_quality",
+    """WITH f AS (
+  SELECT doc_id, lang,
+         len(string_split(text,' ')) AS n_tok,
+         len(list_filter(string_split(lower(text),' '),
+             x -> list_contains(['the','a','of','and','to','in','is','on','for','it'], x))) AS stop_cnt,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         len(list_filter(string_split(text,' '), x -> length(x) > 12)) AS n_long,
+         length(text) AS l
+  FROM documents WHERE length(text) > 0
+),
+s AS (
+  SELECT lang,
+         6*(stop_cnt*1000 // n_tok) - 4*(n_digit*1000 // l)
+         - 3*(n_upper*1000 // l) - 40*n_long + n_tok AS score
+  FROM f
+)
+SELECT lang, score >= 420 AS keep,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS score_sum,
+       CAST(min(score) AS BIGINT) AS score_min,
+       CAST(max(score) AS BIGINT) AS score_max
+FROM s GROUP BY lang, keep""",
+)
+def stream_quality(spark, sf):
+    """Streaming quality-filter monitor: documents arrive as file-source
+    micro-batches, the ``quality_logit`` projection scores each batch
+    statelessly (the same column expressions — ``quality_features`` is
+    shared code, not a re-implementation), and a stateful aggregation
+    keyed by (lang, keep) maintains the running accept/reject mix a
+    production ingest pipeline alarms on (complete mode).  DuckDB
+    predicts every row closed-form from the batch-equivalent SQL —
+    streaming a stateless projection then folding commutative aggregates
+    is order-insensitive by construction.
+
+    Scale: state is |langs|×2 fixed-width rows; the shuffle carries
+    (lang, bool, BIGINT) partial aggregates only — documents never leave
+    the featurize stage.
+    """
+    from caraspark.curation import _QL_THRESH, quality_features
+
+    docs = S.replay_documents_stream(spark, sf).filter(F.length("text") > 0)
+    scored = quality_features(docs, extra=("lang",))
+    out = scored.groupBy("lang", "keep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+        F.min("score").cast("bigint").alias("score_min"),
+        F.max("score").cast("bigint").alias("score_max"),
+    )
+    assert _QL_THRESH == 420  # oracle literal above must track the constant
+    return S.run_to_memory(out, mode="complete")

@@ -767,3 +767,18 @@ def test_search_postings_matches_python(spark, sf_smoke):
         assert r.tf_total == sum(per.values()), w
         head = ",".join(str(i) for i in sorted(per)[: C._POSTINGS_HEAD])
         assert r.head == head, w
+
+
+def test_graph_hostgraph_matches_python(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "source").collect()
+    edges: dict[tuple, int] = {}
+    for d in docs:
+        for k in range(3):
+            dst = f"src{(d.doc_id + k * 3) % 20}"
+            edges[(d.source, dst)] = edges.get((d.source, dst), 0) + 1
+    rows = {(r.src_host, r.dst_host): r for r in C.graph_hostgraph(spark, sf_smoke).collect()}
+    assert set(rows) == set(edges)
+    for key, n in edges.items():
+        assert rows[key].n_links == n, key
+        assert rows[key].self_loop == (key[0] == key[1]), key
+    assert any(r.self_loop for r in rows.values())  # self-loops exercised

@@ -719,3 +719,12 @@ def test_search_postings_all_jvm_no_cartesian(spark, sf_smoke, qs):
     p = plan_of(qs["search_postings"](spark, sf_smoke))
     assert "EvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_graph_hostgraph_single_contraction_exchange(spark, sf_smoke, qs):
+    """Host extraction + edge rollup: one hashpartitioning exchange over
+    (host, host) pairs, all JVM regex — no Python, no join at all."""
+    p = plan_of(qs["graph_hostgraph"](spark, sf_smoke))
+    assert "EvalPython" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 2, p  # partial+final agg exchange only

@@ -304,3 +304,31 @@ def test_stream_extract_equals_batch(spark, sf_smoke):
     got, want = rows(streamed), rows(batch)
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_quality_equals_batch_rollup(spark, sf_smoke):
+    """The streamed quality monitor must equal the batch groupBy over the
+    SAME shared projection (quality_features) — stateless featurize +
+    commutative fold is order-insensitive across micro-batches."""
+    from caraspark.curation import quality_features
+    from caraspark.streaming_queries import stream_quality
+    from caraspark.tables import load
+
+    streamed = {
+        (r.lang, r.keep): (r.n_docs, r.score_sum, r.score_min, r.score_max)
+        for r in stream_quality(spark, sf_smoke).collect()
+    }
+    docs = load(spark, sf_smoke, "documents").filter(F.length("text") > 0)
+    batch = {
+        (r.lang, r.keep): (r.n_docs, r.score_sum, r.score_min, r.score_max)
+        for r in quality_features(docs, extra=("lang",))
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("score").cast("bigint").alias("score_sum"),
+            F.min("score").cast("bigint").alias("score_min"),
+            F.max("score").cast("bigint").alias("score_max"),
+        )
+        .collect()
+    }
+    assert streamed == batch
