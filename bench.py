@@ -73,6 +73,7 @@ EXTRAS = [
     "lm_bigram",
     "search_postings",
     "graph_hostgraph",
+    "list_stats",
 ]
 
 REPEATS = 3

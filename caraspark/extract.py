@@ -83,6 +83,21 @@ _ARROW_SCHEMA = pa.schema(
             True,
         ),
         pa.field(
+            "lists",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("list", pa.int32()),
+                        ("item", pa.int32()),
+                        ("depth", pa.int32()),
+                        ("ordered", pa.bool_()),
+                        ("item_text", pa.string()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -204,6 +219,7 @@ def _extract_batches(
             cols["og_image"].append(r.og_image)
             cols["anchors"].append(r.anchors)
             cols["tables"].append(r.tables_as_rows())
+            cols["lists"].append(r.lists_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

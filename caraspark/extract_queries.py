@@ -22,6 +22,7 @@ from caraspark.extract import extract
 from caraspark.oracle_freeze import (
     anchors_cte,
     corpus_cte,
+    lists_cte,
     perdoc_cte,
     tables_cte,
 )
@@ -1049,4 +1050,145 @@ def table_shape(spark, sf):
         F.sum(F.col("t.header").cast("int")).cast("bigint").alias(
             "n_headers"
         ),
+    )
+
+
+@_q(
+    "doc_lists",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       CAST(0 AS INTEGER) AS lst, CAST(0 AS INTEGER) AS item,
+       CAST(0 AS INTEGER) AS depth, FALSE AS ordered,
+       'i' || CAST(doc_id % 5 AS VARCHAR) AS item_text
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 0, 1, 0, FALSE, '' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, 1, 0, 1, TRUE,
+       'n' || CAST(doc_id % 2 AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, 0, 2, 0, FALSE,
+       'o' || CAST(doc_id % 3 AS VARCHAR) || ' z'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 4, 3, 0, 0, TRUE,
+       'tail ' || CAST(doc_id % 7 AS VARCHAR)
+FROM documents""",
+)
+def doc_lists(spark, sf):
+    """v11 LISTS, hash-verified closed-form: each document is wrapped in
+    HTML carrying the list edge matrix — an unordered list with a text
+    item, a self-closing empty item, and an item whose NESTED <ol>
+    suspends it (the inner item emits first, the outer item's capture
+    resumes for the trailing " z"); a self-closing <ul/> (consumes list
+    index 2, no items); a boiler-region list (no tuples, no index); and
+    a trailing <ol> whose single item stays open to end of input — with
+    deterministic text derived from doc_id so DuckDB predicts every
+    (url, pos, lst, item, depth, ordered, item_text) row, ``pos`` being
+    the spec's item-close emission order."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><ul><li>i"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("</li><li/><li>o"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("<ol><li>n"),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit("</li></ol> z</li></ul><ul/>"),
+                F.lit('<div class="sidebar"><ul><li>no</li></ul></div>'),
+                F.lit("<ol><li>tail "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select("url", F.posexplode("lists").alias("pos", "t")).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.list").alias("lst"),
+        F.col("t.item").alias("item"),
+        F.col("t.depth").alias("depth"),
+        F.col("t.ordered").alias("ordered"),
+        F.col("t.item_text").alias("item_text"),
+    )
+
+
+@_q(
+    "doc_lists_sig",
+    f"""WITH {corpus_cte()},
+{perdoc_cte()}
+SELECT url, CAST(n_items AS INT) AS n_items, lists_sig
+FROM perdoc""",
+)
+def doc_lists_sig(spark, sf):
+    """v11 LISTS over the full synth corpus (the html_lists edge-matrix
+    recipe, nav/drop-region lists across the other recipes, []-for-PDF)
+    vs the frozen per-recipe/per-idx md5 signatures over the canonical
+    "list:item:depth:ordered:item_text" strings in emission order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "lists",
+        lambda x: F.concat_ws(
+            ":",
+            x["list"].cast("string"),
+            x["item"].cast("string"),
+            x["depth"].cast("string"),
+            x["ordered"].cast("int").cast("string"),
+            x["item_text"],
+        ),
+    )
+    return ex.select(
+        "url",
+        F.size("lists").alias("n_items"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "lists_sig"
+        ),
+    )
+
+
+@_q(
+    "list_stats",
+    f"""WITH {corpus_cte()},
+{lists_cte()}
+SELECT d.url, t.depth, t.ordered,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT t.lst) AS BIGINT) AS n_lists,
+       CAST(max(t.item) + 1 AS INT) AS max_len,
+       CAST(sum(length(t.itext)) AS BIGINT) AS text_chars
+FROM docs d JOIN ls t ON t.idx = d.idx
+GROUP BY d.url, t.depth, t.ordered""",
+)
+def list_stats(spark, sf):
+    """List-structure profile over the corpus: per document, per nesting
+    depth, per ordered/unordered — item count, distinct lists, longest
+    list, and total item-text length.  This is the structure signal a
+    dataset builder uses to find enumeration-rich pages (how-to steps,
+    rankings, glossaries) worth lifting into instruction-style training
+    examples.
+
+    Scale: the explode emits one short row per ITEM (blobs were already
+    reduced to item strings by mapInArrow); the groupBy keys on (url,
+    depth, ordered) with map-side combine and four fixed-width
+    accumulators — bounded state, the table_shape shape."""
+    ex = _extracted(spark, sf)
+    t = ex.select("url", F.explode("lists").alias("t"))
+    return t.groupBy(
+        "url", F.col("t.depth").alias("depth"),
+        F.col("t.ordered").alias("ordered"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("t.list").cast("bigint").alias("n_lists"),
+        (F.max("t.item") + 1).cast("int").alias("max_len"),
+        F.sum(F.length("t.item_text")).cast("bigint").alias("text_chars"),
     )

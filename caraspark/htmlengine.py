@@ -119,6 +119,27 @@ and compared byte-for-byte per url):
   (grid position is the payload); link-density discard does NOT apply
   (structural surface, same stance as OUTLINKS).  PDFs yield []; stats
   mode (want_text=False) yields None.
+* LISTS (v11, document-structure surface): one (list, item, depth,
+  ordered, item_text) tuple per <li> OPENED outside drop/boilerplate
+  regions while a list element is open.  ``list`` is the 0-based count
+  of <ul>/<ol> opens (outside those regions, self-closing included — an
+  index per element, items or not); all other events bind to the
+  INNERMOST open list element (stack).  ``depth`` is the number of list
+  elements already open when that list opened (0 = top level);
+  ``ordered`` = the innermost list's tag is <ol>.  <li> open closes any
+  open item of the innermost list, advances its 0-based item counter and
+  opens an item; the item's text is the whitespace-normalized character
+  data seen while it is open (drop/boiler regions excluded as for
+  blocks — and data binds only when the INNERMOST list has the open
+  item: a nested list suspends its outer item's capture until it
+  closes).  An item closes at </li>, at a sibling <li> open, at
+  </ul>/</ol> (which pops the list), or at end of input (stacked lists
+  close innermost-first).  Self-closing <li> emits an empty-text item;
+  <li> outside any open list emits nothing.  EVERY opened item emits
+  exactly one tuple in item-CLOSE order, empty text included;
+  link-density discard does NOT apply (structural surface, same stance
+  as OUTLINKS/TABLES).  PDFs yield []; stats mode (want_text=False)
+  yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -212,6 +233,11 @@ class _Extractor(HTMLParser):
         self._tbl_count = 0
         # stack frames: [tbl_idx, row, col, cell_open, is_th, parts]
         self._tbl_stack: list[list] = []
+        # v11 LISTS: (list, item, depth, ordered, item_text) per opened item
+        self.lists: list[tuple[int, int, int, bool, str]] = []
+        self._lst_count = 0
+        # stack frames: [lst_idx, item, depth, ordered, item_open, parts]
+        self._lst_stack: list[list] = []
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -262,6 +288,37 @@ class _Extractor(HTMLParser):
         while self._tbl_stack:
             self._cell_close()
             self._tbl_stack.pop()
+
+    # -- v11 list lifecycle (parallel pass, like tables)
+    def _item_close(self) -> None:
+        if self._lst_stack:
+            s = self._lst_stack[-1]
+            if s[4]:
+                self.lists.append(
+                    (s[0], s[1], s[2], s[3], " ".join("".join(s[5]).split()))
+                )
+                s[4] = False
+                s[5] = []
+
+    def _item_open(self) -> None:
+        s = self._lst_stack[-1]
+        self._item_close()
+        s[1] += 1
+        s[4] = True
+        s[5] = []
+
+    def _list_open(self, tag: str) -> None:
+        self._lst_stack.append(
+            [self._lst_count, -1, len(self._lst_stack), tag == "ol",
+             False, []]
+        )
+        self._lst_count += 1
+
+    def _finalize_lists(self) -> None:
+        """EOF with lists still open: items close innermost-first."""
+        while self._lst_stack:
+            self._item_close()
+            self._lst_stack.pop()
 
     @staticmethod
     def _is_boiler(attrs) -> bool:
@@ -366,6 +423,10 @@ class _Extractor(HTMLParser):
                 self._row_open()
             elif tag in ("td", "th") and self._tbl_stack:
                 self._cell_open(tag)
+            elif tag in ("ul", "ol"):
+                self._list_open(tag)
+            elif tag == "li" and self._lst_stack:
+                self._item_open()
         elif tag == "a":
             self._a_depth += 1
             rec = self._collect_href(attrs)
@@ -394,6 +455,11 @@ class _Extractor(HTMLParser):
             elif tag == "table" and self._tbl_stack:
                 self._cell_close()
                 self._tbl_stack.pop()
+            elif tag == "li":
+                self._item_close()
+            elif tag in ("ul", "ol") and self._lst_stack:
+                self._item_close()
+                self._lst_stack.pop()
         elif tag == "a" and self._a_depth:
             self._a_depth -= 1
             if self._a_stack:
@@ -419,6 +485,12 @@ class _Extractor(HTMLParser):
                 # self-closing cell: opened and closed in place, empty text
                 self._cell_open(tag)
                 self._cell_close()
+            elif tag in ("ul", "ol"):
+                self._lst_count += 1  # index per element; no items possible
+            elif tag == "li" and self._lst_stack:
+                # self-closing item: opened and closed in place, empty text
+                self._item_open()
+                self._item_close()
         elif tag == "a":
             # self-closing anchor: href recorded, no text to capture
             self._collect_href(attrs)
@@ -439,6 +511,10 @@ class _Extractor(HTMLParser):
         # only — a nested table suspends the outer cell until it closes
         if self._tbl_stack and self._tbl_stack[-1][3]:
             self._tbl_stack[-1][5].append(data)
+        # v11: item capture binds to the INNERMOST open list's open item
+        # only — a nested list suspends the outer item until it closes
+        if self._lst_stack and self._lst_stack[-1][4]:
+            self._lst_stack[-1][5].append(data)
         n = len("".join(data.split()))
         self._total_chars += n
         if self._a_depth:
@@ -454,11 +530,12 @@ def extract_html(
     html: bytes,
 ) -> tuple:
     """blob → (text bytes, block spans, outlinks, title, canonical,
-    description, headings, ogmeta, anchors, tables) per the SPEC (v3
-    SPANS, v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8 OGMETA,
-    v9 ANCHORS, v10 TABLES); ogmeta is the (og_title, og_description,
-    og_image) triple; anchors is parallel to outlinks; tables is the
-    (table, row, col, header, cell) tuple list."""
+    description, headings, ogmeta, anchors, tables, lists) per the SPEC
+    (v3 SPANS, v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8
+    OGMETA, v9 ANCHORS, v10 TABLES, v11 LISTS); ogmeta is the (og_title,
+    og_description, og_image) triple; anchors is parallel to outlinks;
+    tables is the (table, row, col, header, cell) tuple list; lists is
+    the (list, item, depth, ordered, item_text) tuple list."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -469,11 +546,12 @@ def extract_html(
     p._flush()
     p._finalize_anchors()
     p._finalize_tables()
+    p._finalize_lists()
     og = (p.og_title, p.og_description, p.og_image)
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
-            og, p.anchors, p.tables,
+            og, p.anchors, p.tables, p.lists,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -492,6 +570,7 @@ def extract_html(
         og,
         p.anchors,
         p.tables,
+        p.lists,
     )
 
 

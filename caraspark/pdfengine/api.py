@@ -98,6 +98,9 @@ class ExtractResult:
     # v10 TABLES: (table, row, col, header, cell) per opened table cell
     # (HTML); [] for PDFs. None when not requested / stats mode.
     tables: list | None = None
+    # v11 LISTS: (list, item, depth, ordered, item_text) per opened <li>
+    # (HTML); [] for PDFs. None when not requested / stats mode.
+    lists: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -141,6 +144,14 @@ class ExtractResult:
             for t, r, c, h, s in self.tables
         ]
 
+    def lists_as_rows(self) -> list[dict] | None:
+        if self.lists is None:
+            return None
+        return [
+            {"list": l, "item": i, "depth": d, "ordered": o, "item_text": s}
+            for l, i, d, o, s in self.lists
+        ]
+
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
             return None
@@ -176,11 +187,11 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The extraction surfaces a consumer can request (SPEC v1–v10).
+# The extraction surfaces a consumer can request (SPEC v1–v11).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
-     "headings", "ogmeta", "anchors", "tables"}
+     "headings", "ogmeta", "anchors", "tables", "lists"}
 )
 
 
@@ -276,6 +287,7 @@ def _process_pdf(
     outlinks: list | None = [] if "outlinks" in want else None
     anchors: list | None = [] if "anchors" in want else None
     tables: list | None = [] if "tables" in want else None
+    lists: list | None = [] if "lists" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -303,6 +315,7 @@ def _process_pdf(
         outlinks=outlinks,
         anchors=anchors,
         tables=tables,
+        lists=lists,
         title=title,
         description=description,
         headings=headings,
@@ -333,14 +346,14 @@ def _process_pdf(
 def _process_html(blob, want=SURFACES) -> ExtractResult:
     errors: list[PdfError] = []
     if want:
-        # HTML extraction is one single-pass parse that produces all ten
+        # HTML extraction is one single-pass parse that produces all the
         # surfaces together (the pass itself is the cost; the per-surface
         # collection is incidental), so any requested surface runs the full
         # parse and the unrequested ones are nulled afterwards — the saving
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
-            og, anchors, tables,
+            og, anchors, tables, lists,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -353,6 +366,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             anchors = None
         if "tables" not in want:
             tables = None
+        if "lists" not in want:
+            lists = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -373,6 +388,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         outlinks = None
         anchors = None
         tables = None
+        lists = None
         title = None
         canonical = None
         description = None
@@ -388,6 +404,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         outlinks=outlinks,
         anchors=anchors,
         tables=tables,
+        lists=lists,
         title=title,
         canonical=canonical,
         description=description,

@@ -93,6 +93,23 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v11 LISTS: (list, item, depth, ordered, item_text) per opened
+        # <li>; [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "lists",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("list", T.IntegerType(), False),
+                        T.StructField("item", T.IntegerType(), False),
+                        T.StructField("depth", T.IntegerType(), False),
+                        T.StructField("ordered", T.BooleanType(), False),
+                        T.StructField("item_text", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

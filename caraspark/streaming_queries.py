@@ -392,3 +392,67 @@ def stream_quality(spark, sf):
     )
     assert _QL_THRESH == 420  # oracle literal above must track the constant
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_lists",
+    """WITH items AS (
+  SELECT CAST(0 AS INTEGER) AS depth, FALSE AS ordered,
+         'step' || CAST(doc_id % 4 AS VARCHAR) AS itext
+  FROM documents
+  UNION ALL
+  SELECT CAST(1 AS INTEGER), TRUE, CAST(doc_id % 9 AS VARCHAR)
+  FROM documents
+)
+SELECT depth, ordered, CAST(count(*) AS BIGINT) AS n_items,
+       min(itext) AS item_min, max(itext) AS item_max
+FROM items GROUP BY depth, ordered""",
+)
+def stream_lists(spark, sf):
+    """Streaming rollup over the v11 LISTS surface: documents arrive as
+    micro-batches, each wrapped with a deterministic nested list (an
+    unordered outer item keyed by doc_id%4 carrying an ordered inner
+    item keyed by doc_id%9), extracted IN-STREAM by the same Arrow UDF
+    the batch job runs; the exploded items feed a stateful aggregation
+    keyed by (depth, ordered) — complete mode.  DuckDB predicts every
+    row closed-form.
+
+    Scale: two fixed-width state rows total; the stream materializes
+    (depth, ordered, short item string) triples only — the same
+    bounded-state shape as stream_tables."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><ul><li>step"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("<ol><li>"),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("</li></ol></li></ul></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    items = (
+        extract(raw)
+        .select(F.explode("lists").alias("t"))
+        .select(
+            F.col("t.depth").alias("depth"),
+            F.col("t.ordered").alias("ordered"),
+            F.col("t.item_text").alias("itext"),
+        )
+    )
+    out = items.groupBy("depth", "ordered").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("itext").alias("item_min"),
+        F.max("itext").alias("item_max"),
+    )
+    return S.run_to_memory(out, mode="complete")

@@ -1110,6 +1110,36 @@ def html_anchors(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_lists(rng: random.Random) -> bytes:
+    """v11 LISTS recipe: the list-item edge matrix — a top-level <ul>
+    with a styled item (nested inline tags normalize into one text), a
+    self-closing empty item, and an item carrying a NESTED <ol> (the
+    inner items emit before the suspended outer item closes); a
+    self-closing <ul/> (consumes a list index, no items possible); a
+    boiler-region list (no tuples); a drop-region (<nav>) list (no
+    tuples); a stray <li> outside any list (ignored); and an <ol> whose
+    last item stays open to end of input (captures through the closing
+    block tags)."""
+    w1 = _para(rng, 3).rstrip(".")
+    w2 = _para(rng, 2).rstrip(".")
+    n = rng.randrange(100)
+    paras = "\n".join(f"<p>{_para(rng, 14)}</p>" for _ in range(2))
+    return (
+        "<html><body>"
+        f"<p>intro {_para(rng, 12)}</p>"
+        f"<ul><li>first <b>{w1}</b> item</li><li/>"
+        f"<li>outer {w2}<ol><li>inner {w1}</li><li>inner2</li></ol>"
+        f" resumed</li></ul>"
+        "<ul/>"
+        f"<div class='sidebar'><ul><li>boiler {w1}</li></ul></div>"
+        f"<nav><ul><li>nav {w2}</li></ul></nav>"
+        f"<li>stray {n}</li>"
+        f"{paras}"
+        f"<ol><li>alpha {w2}</li><li>open tail {n}"
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
@@ -1123,6 +1153,7 @@ HTML_RECIPES = {
     "html_boilerplate": html_boilerplate,
     "html_ogmeta": html_ogmeta,
     "html_anchors": html_anchors,
+    "html_lists": html_lists,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]

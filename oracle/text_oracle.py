@@ -1448,7 +1448,7 @@ def _html_anchors(blob: bytes) -> list[str]:
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
-    v10 tables) — 2nd witness."""
+    v10 tables, v11 lists) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1456,6 +1456,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None, _pdf_info_text(blob, "Subject"),
             _pdf_outline_levels(blob),
             (None, None, None),
+            [],
             [],
             [],
         )
@@ -1467,6 +1468,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_ogmeta(blob),
         _html_anchors(blob),
         _html_tables(blob),
+        _html_lists(blob),
     )
 
 
@@ -1599,5 +1601,90 @@ def _html_tables(blob: bytes) -> list[tuple[int, int, int, bool, str]]:
                 stack[-1][5].append(val)
     while stack:
         close_cell()
+        stack.pop()
+    return out
+
+
+def _html_lists(blob: bytes) -> list[tuple[int, int, int, bool, str]]:
+    """v11 LISTS, second witness: a separate event pass — walk the
+    drop/boiler region state, keep a stack of open list elements (<ul>/
+    <ol>), count list opens for the index, record each list's nesting
+    depth at its own open, advance the innermost list's 0-based item
+    counter on <li> opens, bind text to the innermost list's open item,
+    and emit one tuple per opened item at item-close time (</li>,
+    sibling <li> open, list close, or EOF)."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[tuple[int, int, int, bool, str]] = []
+    stack: list[list] = []  # [idx, item, depth, ordered, item_open, parts]
+    count = 0
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def close_item() -> None:
+        if stack and stack[-1][4]:
+            s = stack[-1]
+            out.append(
+                (s[0], s[1], s[2], s[3], " ".join("".join(s[5]).split()))
+            )
+            s[4] = False
+            s[5] = []
+
+    def open_item() -> None:
+        close_item()
+        s = stack[-1]
+        s[1] += 1
+        s[4] = True
+        s[5] = []
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                elif val in ("ul", "ol"):
+                    stack.append([count, -1, len(stack), val == "ol",
+                                  False, []])
+                    count += 1
+                elif val == "li" and stack:
+                    open_item()
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            elif drop == 0:
+                if val == "li":
+                    close_item()
+                elif val in ("ul", "ol") and stack:
+                    close_item()
+                    stack.pop()
+        elif ev == "selfclose":
+            if drop == 0:
+                if val in ("ul", "ol"):
+                    count += 1  # index per element, no items possible
+                elif val == "li" and stack:
+                    open_item()
+                    close_item()
+        else:  # text
+            if drop == 0 and val and stack and stack[-1][4]:
+                stack[-1][5].append(val)
+    while stack:
+        close_item()
         stack.pop()
     return out

@@ -1015,9 +1015,11 @@ def test_unclosed_title_does_not_eat_body_text():
              "<meta property=og:title content=ot>",
              "<meta property=og:image content=/i.png>",
              "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
-             "<th>", "</th>", "<td/>", "<table class='sidebar'>", "cell "]
+             "<th>", "</th>", "<td/>", "<table class='sidebar'>", "cell ",
+             "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>", "<li/>",
+             "<ul/>", "<ol class='menu'>", "item "]
         ),
-        max_size=14,
+        max_size=16,
     )
 )
 def test_html_pathological_nesting_engine_oracle_agree(parts):

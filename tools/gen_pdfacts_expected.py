@@ -79,6 +79,7 @@ def build_extras():
     formfield_rows = []
     anchor_rows = []
     table_rows = []
+    list_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -113,6 +114,7 @@ def build_extras():
                 **_outlink_facts(res.outlinks),
                 **_anchor_facts(res),
                 **_table_facts(res),
+                **_list_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -204,6 +206,8 @@ def build_extras():
             anchor_rows.append((idx, pos, href, anchor))
         for tbl, row, col, header, cell in res.tables:
             table_rows.append((idx, tbl, row, col, header, cell))
+        for lst, item, depth, ordered, itext in res.lists:
+            list_rows.append((idx, lst, item, depth, ordered, itext))
         html_idx.append(
             {
                 "idx": idx,
@@ -226,13 +230,14 @@ def build_extras():
                 **_outlink_facts(res.outlinks),
                 **_anchor_facts(res),
                 **_table_facts(res),
+                **_list_facts(res),
                 **_title_facts(res),
             }
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows,
+        table_rows, list_rows,
     )
 
 
@@ -263,6 +268,23 @@ def _anchor_facts(res) -> dict:
         "anchors_sig": hashlib.md5(
             "\x1f".join(res.anchors).encode("utf-8")
         ).hexdigest()
+    }
+
+
+def _list_facts(res) -> dict:
+    """Mirror doc_lists_sig's JVM expression: md5 over the \x1f-joined
+    "list:item:depth:ordered(0/1):item_text" canonical strings in
+    emission order; None when the surface was not computed."""
+    if res.lists is None:
+        return {"n_items": None, "lists_sig": None}
+    return {
+        "n_items": len(res.lists),
+        "lists_sig": hashlib.md5(
+            "\x1f".join(
+                f"{l}:{i}:{d}:{1 if o else 0}:{t}"
+                for l, i, d, o, t in res.lists
+            ).encode("utf-8")
+        ).hexdigest(),
     }
 
 
@@ -328,7 +350,7 @@ def main() -> None:
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows,
+        table_rows, list_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -354,7 +376,8 @@ def main() -> None:
             f"OUTLINE_ROWS = {fmt(outline_rows)}\n\n"
             f"FORMFIELD_ROWS = {fmt(formfield_rows)}\n\n"
             f"ANCHOR_ROWS = {fmt(anchor_rows)}\n\n"
-            f"TABLE_ROWS = {fmt(table_rows)}\n"
+            f"TABLE_ROWS = {fmt(table_rows)}\n\n"
+            f"LIST_ROWS = {fmt(list_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -364,7 +387,8 @@ def main() -> None:
         f"{len(outline_rows)} outline rows, "
         f"{len(formfield_rows)} form fields, "
         f"{len(anchor_rows)} anchor rows, "
-        f"{len(table_rows)} table rows -> {path}"
+        f"{len(table_rows)} table rows, "
+        f"{len(list_rows)} list rows -> {path}"
     )
 
 
