@@ -184,6 +184,8 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Requirements": Entry(ArrayOf(Class("requirement"))),
             "Collection": Entry(Class("collection")),
             "URI": Entry(DICT),
+            "Perms": Entry(Class("perms")),
+            "SpiderInfo": Entry(Class("webcapture_info")),
         }
     ),
     "pages": ClassDef(
@@ -226,9 +228,12 @@ TYPEDEFS: dict[str, ClassDef] = {
                 Class("annot_redact"),
                 Class("annot_caret"),
                 Class("annot_watermark"),
+                Class("annot_trapnet"),
+                Class("annot_printermark"),
+                Class("annot_3d"),
                 Class("annot"),  # generic fallback — must stay last
             )))),
-            "Group": Entry(DICT),
+            "Group": Entry(Class("group_transparency")),
             "Thumb": Entry(STREAM),
             "LastModified": Entry(STRING),
             "StructParents": Entry(INT),
@@ -236,6 +241,10 @@ TYPEDEFS: dict[str, ClassDef] = {
             "AA": Entry(Class("addl_actions")),
             "B": Entry(ArrayOf(Class("bead"))),
             "Metadata": Entry(Class("metadata_stream")),
+            "PresSteps": Entry(Class("nav_node")),
+            "BoxColorInfo": Entry(Class("box_color_info")),
+            "SeparationInfo": Entry(Class("separation_info")),
+            "PieceInfo": Entry(DICT),
         }
     ),
     "resources": ClassDef(
@@ -958,7 +967,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "BBox": Entry(RECT, required=True),
             "Matrix": Entry(Tuple((NUMBER,) * 6)),
             "Resources": Entry(Class("resources")),
-            "Group": Entry(DICT),
+            "Group": Entry(Class("group_transparency")),
             "Ref": Entry(DICT),
             "Metadata": Entry(STREAM),
             "PieceInfo": Entry(DICT),
@@ -1526,13 +1535,19 @@ TYPEDEFS: dict[str, ClassDef] = {
             "P": Entry(DICT, required=True),
             "ID": Entry(STRING),
             "Pg": Entry(DICT),
-            # kids: MCID int, marked-content/object refs (dict), child
-            # elems, or an array mixing those [PDF17 §14.7.4.2]
+            # kids: MCID int, marked-content/object refs (typed MCR/OBJR,
+            # generic dict last), child elems, or an array mixing those
+            # [PDF17 §14.7.4.2–14.7.4.3]
             "K": Entry(
                 OneOf((
                     INT,
                     Class("structelem"),
-                    ArrayOf(OneOf((INT, Class("structelem"), DICT))),
+                    ArrayOf(OneOf((
+                        INT, Class("structelem"), Class("mcr"),
+                        Class("objr"), DICT,
+                    ))),
+                    Class("mcr"),
+                    Class("objr"),
                     DICT,
                 ))
             ),
@@ -1762,6 +1777,137 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Matrix": Entry(ArrayOf(NUMBER)),
             "H": Entry(NUMBER),
             "V": Entry(NUMBER),
+        }
+    ),
+    # --- transparency group attributes [PDF17 §11.6.6] ---------------------
+    "group_transparency": ClassDef(
+        {
+            "Type": Entry(Exact("Group")),
+            "S": Entry(Exact("Transparency"), required=True),
+            "CS": Entry(COLORSPACE),
+            "I": Entry(BOOL),
+            "K": Entry(BOOL),
+        }
+    ),
+    # --- structure-tree content references [PDF17 §14.7.4.3] ---------------
+    "mcr": ClassDef(
+        {
+            "Type": Entry(Exact("MCR"), required=True),
+            "MCID": Entry(INT, required=True),
+            "Pg": Entry(DICT),
+            "Stm": Entry(STREAM),
+            "StmOwn": Entry(ANY),
+        }
+    ),
+    "objr": ClassDef(
+        {
+            "Type": Entry(Exact("OBJR"), required=True),
+            "Obj": Entry(ANY, required=True),
+            "Pg": Entry(DICT),
+        }
+    ),
+    # --- permissions [PDF17 §12.8.4] ----------------------------------------
+    "perms": ClassDef(
+        {
+            "DocMDP": Entry(Class("sig")),
+            "UR3": Entry(Class("sig")),
+        }
+    ),
+    # --- Web Capture [PDF17 §14.10.2] ---------------------------------------
+    "webcapture_info": ClassDef(
+        {
+            "V": Entry(NUMBER, required=True),
+            "C": Entry(ArrayOf(DICT)),
+        }
+    ),
+    # --- sub-page navigation [PDF17 §12.4.4.2] ------------------------------
+    "nav_node": ClassDef(
+        {
+            "Type": Entry(Exact("NavNode")),
+            "NA": Entry(OneOf(_ACTION_ALTS)),
+            "PA": Entry(OneOf(_ACTION_ALTS)),
+            "Next": Entry(Class("nav_node")),
+            "Prev": Entry(Class("nav_node")),
+            "Dur": Entry(NUMBER),
+        }
+    ),
+    # --- prepress support [PDF17 §14.11.2–14.11.6] --------------------------
+    "box_style": ClassDef(
+        {
+            "C": Entry(ArrayOf(NUMBER)),
+            "W": Entry(NUMBER),
+            "S": Entry(NAME),
+            "D": Entry(ArrayOf(NUMBER)),
+        }
+    ),
+    "box_color_info": ClassDef(
+        {
+            "CropBox": Entry(Class("box_style")),
+            "BleedBox": Entry(Class("box_style")),
+            "TrimBox": Entry(Class("box_style")),
+            "ArtBox": Entry(Class("box_style")),
+        }
+    ),
+    "separation_info": ClassDef(
+        {
+            "Pages": Entry(ArrayOf(DICT), required=True),
+            "DeviceColorant": Entry(
+                OneOf((NAME, STRING)), required=True
+            ),
+            "ColorSpace": Entry(ARRAY),
+        }
+    ),
+    "annot_trapnet": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("TrapNet"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "LastModified": Entry(STRING),
+            "Version": Entry(ARRAY),
+            "AnnotStates": Entry(ArrayOf(NAME)),
+            "FontFauxing": Entry(ArrayOf(DICT)),
+        }
+    ),
+    "annot_printermark": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("PrinterMark"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "MN": Entry(NAME),
+        }
+    ),
+    # --- 3D artwork annotation [PDF17 §13.6.2] -------------------------------
+    "annot_3d": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("3D"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "3DD": Entry(OneOf((STREAM, DICT)), required=True),
+            "3DV": Entry(ANY),
+            "3DA": Entry(DICT),
+            "3DI": Entry(BOOL),
+            "3DB": Entry(RECT),
         }
     ),
 }

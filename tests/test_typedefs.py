@@ -301,8 +301,8 @@ def test_annot_subtypes_discriminate():
             ),
             7: _obj(
                 7,
-                # TrapNet has no dedicated def — the generic fallback's case
-                b"<< /Type /Annot /Subtype /TrapNet /Rect [0 0 5 5] >>",
+                # RichMedia has no dedicated def — the generic fallback's case
+                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 5 5] >>",
             ),
         },
         page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
@@ -1460,3 +1460,168 @@ def test_redact_caret_watermark_annots():
         page_extra=b" /Annots [5 0 R]",
     )
     assert not process_document(bad).strict
+
+
+# --- round-3c additions: transparency groups / struct content refs /
+#     perms / web capture / nav nodes / prepress / trapnet-printermark-3D ----
+
+
+def test_transparency_group_on_page_and_form():
+    blob = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Form /BBox [0 0 1 1]"
+                b" /Group << /Type /Group /S /Transparency /CS /DeviceRGB"
+                b" /I true /K false >>",
+                b"",
+            ),
+        },
+        page_extra=(
+            b" /Resources << /XObject << /X1 5 0 R >> >>"
+            b" /Group << /S /Transparency >>"
+        ),
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments.get("5.0") == "xobject_form"
+    # /S must be /Transparency exactly
+    bad = _doc({}, page_extra=b" /Group << /S /Opacity >>")
+    assert "type.mismatch" in _codes(process_document(bad))
+    # missing required /S
+    bad2 = _doc({}, page_extra=b" /Group << /Type /Group >>")
+    assert "type.missing_required" in _codes(process_document(bad2))
+
+
+def test_structelem_mcr_objr_kids():
+    blob = _doc_catalog(
+        b" /StructTreeRoot 8 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /StructElem /S /P /P 8 0 R"
+                b" /K [ 6 0 R 7 0 R 0 ] >>",
+            ),
+            6: _obj(6, b"<< /Type /MCR /MCID 2 /Pg 3 0 R >>"),
+            7: _obj(7, b"<< /Type /OBJR /Obj 4 0 R >>"),
+            8: _obj(8, b"<< /Type /StructTreeRoot /K 5 0 R >>"),
+        },
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "mcr"
+    assert r.type_assignments["7.0"] == "objr"
+    # MCR without its required MCID
+    bad = _doc_catalog(
+        b" /StructTreeRoot 8 0 R",
+        {
+            5: _obj(5, b"<< /Type /StructElem /S /P /P 8 0 R /K [6 0 R] >>"),
+            6: _obj(6, b"<< /Type /MCR /Pg 3 0 R >>"),
+            8: _obj(8, b"<< /Type /StructTreeRoot /K 5 0 R >>"),
+        },
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+    # OBJR without its required /Obj
+    bad2 = _doc_catalog(
+        b" /StructTreeRoot 8 0 R",
+        {
+            5: _obj(5, b"<< /Type /StructElem /S /P /P 8 0 R /K [6 0 R] >>"),
+            6: _obj(6, b"<< /Type /OBJR >>"),
+            8: _obj(8, b"<< /Type /StructTreeRoot /K 5 0 R >>"),
+        },
+    )
+    assert "type.missing_required" in _codes(process_document(bad2))
+
+
+def test_perms_and_webcapture_info():
+    ok = _doc_catalog(
+        b" /Perms << >> /SpiderInfo << /V 1.0 /C [ << >> ] >>",
+        {},
+    )
+    r = process_document(ok)
+    assert r.strict, r.errors_as_rows()
+    # SpiderInfo requires /V
+    bad = _doc_catalog(b" /SpiderInfo << /C [] >>", {})
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_nav_node_chain_on_page():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /NavNode"
+                b" /NA << /S /GoTo /D [3 0 R /Fit] >>"
+                b" /Next 6 0 R /Dur 2 >>",
+            ),
+            6: _obj(6, b"<< /Type /NavNode /Prev 5 0 R >>"),
+        },
+        page_extra=b" /PresSteps 5 0 R",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "nav_node"
+    assert r.type_assignments["6.0"] == "nav_node"
+    # /Dur must be a number
+    bad = _doc(
+        {5: _obj(5, b"<< /Type /NavNode /Dur (two) >>")},
+        page_extra=b" /PresSteps 5 0 R",
+    )
+    assert "type.mismatch" in _codes(process_document(bad))
+
+
+def test_box_color_info_and_separation_info():
+    blob = _doc(
+        {},
+        page_extra=(
+            b" /BoxColorInfo << /CropBox << /C [0 1 0] /W 2 /S /S"
+            b" /D [3 1] >> >>"
+            b" /SeparationInfo << /Pages [3 0 R]"
+            b" /DeviceColorant /Cyan >>"
+        ),
+    )
+    r = process_document(blob)
+    assert r.strict, r.errors_as_rows()
+    # SeparationInfo requires /Pages and /DeviceColorant
+    bad = _doc({}, page_extra=b" /SeparationInfo << /Pages [3 0 R] >>")
+    assert "type.missing_required" in _codes(process_document(bad))
+    # box style /W must be a number
+    bad2 = _doc(
+        {}, page_extra=b" /BoxColorInfo << /TrimBox << /W (thick) >> >>"
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_trapnet_printermark_3d_annots():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /TrapNet /Rect [0 0 9 9]"
+                b" /LastModified (D:20240101) /AnnotStates [/N]"
+                b" /FontFauxing [] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Annot /Subtype /PrinterMark /Rect [0 0 9 9]"
+                b" /MN /ColorBar >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Annot /Subtype /3D /Rect [0 0 9 9]"
+                b" /3DD << /Type /3D >> /3DI true /3DB [0 0 9 9] >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "annot_trapnet"
+    assert r.type_assignments["6.0"] == "annot_printermark"
+    assert r.type_assignments["7.0"] == "annot_3d"
+    # 3D annotation requires its /3DD artwork
+    bad = _doc(
+        {5: _obj(5, b"<< /Type /Annot /Subtype /3D /Rect [0 0 9 9] >>")},
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
