@@ -362,3 +362,142 @@ def audio_stats(spark, sf):
             F.sum("n_samples").alias("total_samples"),
         )
     )
+
+
+@_q(
+    "dedup_phash",
+    """WITH imgs AS (
+      SELECT vec_id AS media_id,
+             CAST(16 + vec_id % 16 AS BIGINT) AS w,
+             CAST(8 + vec_id % 8 AS BIGINT) AS h
+      FROM embeddings WHERE vec_id % 3 = 0),
+    px AS (
+      SELECT media_id, w, h, p.k AS k,
+             (p.k * (media_id + 7)) % 256 AS v
+      FROM imgs, unnest(range(0, w * h)) AS p(k)),
+    cells AS (
+      SELECT media_id,
+             ((k // w) * 4) // h AS bi,
+             ((k % w) * 8) // w AS bj,
+             SUM(v) AS s, COUNT(*) AS n
+      FROM px
+      GROUP BY media_id, ((k // w) * 4) // h, ((k % w) * 8) // w),
+    tot AS (SELECT media_id, SUM(s) AS st, SUM(n) AS ntot
+            FROM cells GROUP BY 1),
+    bits AS (
+      SELECT c.media_id,
+             CASE WHEN c.s * t.ntot > t.st * c.n THEN 1 ELSE 0 END
+               * (CAST(1 AS BIGINT) << CAST(bi * 8 + bj AS INT)) AS bv
+      FROM cells c JOIN tot t USING (media_id)),
+    hsh AS (SELECT media_id, CAST(SUM(bv) AS BIGINT) AS ahash
+            FROM bits GROUP BY 1),
+    bands AS (
+      SELECT media_id, ahash, b.i AS band,
+             (ahash >> CAST(b.i * 8 AS INT)) & 255 AS bv
+      FROM hsh, unnest(range(0, 4)) AS b(i)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, bb.media_id AS id_b,
+             a.ahash AS ha, bb.ahash AS hb
+      FROM bands a JOIN bands bb
+        ON a.band = bb.band AND a.bv = bb.bv
+           AND a.media_id < bb.media_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 4""",
+)
+def dedup_phash(spark, sf):
+    """Perceptual near-dup image pairs via average-hash + banded LSH.
+
+    Stage 1 (one Arrow pass over the binary payloads): a 32-bit aHash per
+    image — 4x8 block grid, bit set iff block mean > global mean. The
+    threshold is EXACT integer math (``s_block * n_total > s_total *
+    n_block``) so the DuckDB oracle recomputes every bit closed-form from
+    the fake codec's pixel arithmetic; float means would not hash across
+    engines.
+
+    Stage 2 (all JVM): the 4 hash bytes are LSH bands — explode to
+    (band, byte), self-equi-join on band value (images within Hamming
+    distance <= 4 of each other on a 32-bit hash must agree on at least
+    one whole byte by pigeonhole, so banding finds ALL such pairs —
+    the filter is exact, not probabilistic), then ``bit_count(xor)``
+    computes true Hamming distance on candidates only.
+
+    100 TB shape: the only shuffle is the band-bucket equi-join (no
+    all-pairs); hashes are 8-byte BIGINTs, so the exchange never carries
+    pixels. Mirrors the dedup_minhash band discipline (textops.py).
+    """
+    m = media_df(spark, sf)
+
+    def ah(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"FIMG":
+                    continue
+                w, h = struct.unpack(">HH", b[4:8])
+                flat = np.frombuffer(b[8 : 8 + w * h], dtype=np.uint8).astype(
+                    np.int64
+                )
+                bi = (np.arange(h, dtype=np.int64) * 4) // h
+                bj = (np.arange(w, dtype=np.int64) * 8) // w
+                idx = (bi[:, None] * 8 + bj[None, :]).ravel()
+                s = np.bincount(idx, weights=flat, minlength=32).astype(
+                    np.int64
+                )
+                n = np.bincount(idx, minlength=32).astype(np.int64)
+                bits = s * (w * h) > flat.sum() * n
+                mids.append(int(mid))
+                hs.append(
+                    int((bits.astype(np.int64) << np.arange(32)).sum())
+                )
+            if mids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.array(mids, dtype=np.int64),
+                        "ahash": np.array(hs, dtype=np.int64),
+                    }
+                )
+
+    hdf = m.mapInPandas(ah, "media_id bigint, ahash bigint")
+    bands = hdf.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("ahash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "ahash", "b.band", "b.bv")
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .select("id_a", "id_b", "hamming")
+    )

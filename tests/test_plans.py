@@ -728,3 +728,19 @@ def test_graph_hostgraph_single_contraction_exchange(spark, sf_smoke, qs):
     assert "EvalPython" not in p, p
     assert "Join" not in p, p
     assert p.count("Exchange") <= 2, p  # partial+final agg exchange only
+
+
+def test_dedup_phash_band_join_is_equi_not_cartesian(spark, sf_smoke, qs):
+    """The pHash near-dup join must be the banded LSH equi-join (hash
+    bytes as bands), never an all-pairs product: at 10^12 images a
+    cartesian candidate set is the scale-killer the banding exists to
+    prevent. Only 8-byte hashes may cross the exchange — the payload
+    column must not appear above the aHash projection."""
+    df = qs["dedup_phash"](spark, sf_smoke)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p, p
+    rows = df.collect()
+    assert all(r.hamming <= 4 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
