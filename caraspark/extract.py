@@ -98,6 +98,13 @@ _ARROW_SCHEMA = pa.schema(
             True,
         ),
         pa.field(
+            "images",
+            pa.list_(
+                pa.struct([("src", pa.string()), ("alt", pa.string())])
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -220,6 +227,7 @@ def _extract_batches(
             cols["anchors"].append(r.anchors)
             cols["tables"].append(r.tables_as_rows())
             cols["lists"].append(r.lists_as_rows())
+            cols["images"].append(r.images_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

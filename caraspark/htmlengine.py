@@ -140,6 +140,20 @@ and compared byte-for-byte per url):
   link-density discard does NOT apply (structural surface, same stance
   as OUTLINKS/TABLES).  PDFs yield []; stats mode (want_text=False)
   yields None.
+* IMAGES (v12, multimodal-mining surface): one (src, alt) pair per
+  <img> tag OPENED (open or self-closing) outside drop/boilerplate
+  regions, in document order — the raw material for image-text-pair
+  mining at corpus scale.  ``src`` is the whitespace-trimmed value of
+  the FIRST ``src`` attribute ("" when absent/empty — the element still
+  counts: index is per element, like v10/v11); ``alt`` is the
+  whitespace-normalized value of the FIRST ``alt`` attribute ("" when
+  absent).  No dedup (unlike OUTLINKS — repeated images are a layout
+  signal) and no scheme filtering (a ``data:`` src IS the image);
+  link-density discard does not apply (structural surface, same stance
+  as OUTLINKS/TABLES/LISTS).  A boiler-classed <img> opens an
+  attr-drop region like any other tag (checked BEFORE collection, the
+  shared v2 ordering) and therefore emits nothing.  PDFs yield [];
+  stats mode (want_text=False) yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -238,6 +252,8 @@ class _Extractor(HTMLParser):
         self._lst_count = 0
         # stack frames: [lst_idx, item, depth, ordered, item_open, parts]
         self._lst_stack: list[list] = []
+        # v12 IMAGES: (src, alt) per <img> element, document order
+        self.images: list[tuple[str, str]] = []
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -393,6 +409,18 @@ class _Extractor(HTMLParser):
         while self._a_stack:
             self._finish_anchor(self._a_stack.pop())
 
+    def _collect_img(self, attrs) -> None:
+        """v12: one (src, alt) per element; first attr occurrence wins."""
+        src = next(
+            (v for k, v in attrs if k == "src" and v is not None), ""
+        ).strip()
+        alt = " ".join(
+            next(
+                (v for k, v in attrs if k == "alt" and v is not None), ""
+            ).split()
+        )
+        self.images.append((src, alt))
+
     # -- parser events
     def handle_starttag(self, tag, attrs):
         if self._attr_tag is not None:
@@ -431,6 +459,8 @@ class _Extractor(HTMLParser):
             self._a_depth += 1
             rec = self._collect_href(attrs)
             self._a_stack.append(None if rec is None else (rec, []))
+        elif tag == "img":
+            self._collect_img(attrs)
 
     def handle_endtag(self, tag):
         if self._attr_tag is not None:
@@ -494,6 +524,8 @@ class _Extractor(HTMLParser):
         elif tag == "a":
             # self-closing anchor: href recorded, no text to capture
             self._collect_href(attrs)
+        elif tag == "img":
+            self._collect_img(attrs)
 
     def handle_data(self, data):
         if self._in_title and data and self._attr_tag is None:
@@ -530,12 +562,13 @@ def extract_html(
     html: bytes,
 ) -> tuple:
     """blob → (text bytes, block spans, outlinks, title, canonical,
-    description, headings, ogmeta, anchors, tables, lists) per the SPEC
-    (v3 SPANS, v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS, v8
-    OGMETA, v9 ANCHORS, v10 TABLES, v11 LISTS); ogmeta is the (og_title,
-    og_description, og_image) triple; anchors is parallel to outlinks;
-    tables is the (table, row, col, header, cell) tuple list; lists is
-    the (list, item, depth, ordered, item_text) tuple list."""
+    description, headings, ogmeta, anchors, tables, lists, images) per
+    the SPEC (v3 SPANS, v4 OUTLINKS, v5 TITLE, v6 HEADMETA, v7 HEADINGS,
+    v8 OGMETA, v9 ANCHORS, v10 TABLES, v11 LISTS, v12 IMAGES); ogmeta is
+    the (og_title, og_description, og_image) triple; anchors is parallel
+    to outlinks; tables is the (table, row, col, header, cell) tuple
+    list; lists is the (list, item, depth, ordered, item_text) tuple
+    list; images is the (src, alt) pair list in document order."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -551,7 +584,7 @@ def extract_html(
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
-            og, p.anchors, p.tables, p.lists,
+            og, p.anchors, p.tables, p.lists, p.images,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -571,6 +604,7 @@ def extract_html(
         p.anchors,
         p.tables,
         p.lists,
+        p.images,
     )
 
 

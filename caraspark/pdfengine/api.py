@@ -101,6 +101,9 @@ class ExtractResult:
     # v11 LISTS: (list, item, depth, ordered, item_text) per opened <li>
     # (HTML); [] for PDFs. None when not requested / stats mode.
     lists: list | None = None
+    # v12 IMAGES: (src, alt) per <img> element in document order (HTML);
+    # [] for PDFs. None when not requested / stats mode.
+    images: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -152,6 +155,11 @@ class ExtractResult:
             for l, i, d, o, s in self.lists
         ]
 
+    def images_as_rows(self) -> list[dict] | None:
+        if self.images is None:
+            return None
+        return [{"src": s, "alt": a} for s, a in self.images]
+
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
             return None
@@ -187,11 +195,11 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The extraction surfaces a consumer can request (SPEC v1–v11).
+# The extraction surfaces a consumer can request (SPEC v1–v12).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
-     "headings", "ogmeta", "anchors", "tables", "lists"}
+     "headings", "ogmeta", "anchors", "tables", "lists", "images"}
 )
 
 
@@ -288,6 +296,7 @@ def _process_pdf(
     anchors: list | None = [] if "anchors" in want else None
     tables: list | None = [] if "tables" in want else None
     lists: list | None = [] if "lists" in want else None
+    images: list | None = [] if "images" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -316,6 +325,7 @@ def _process_pdf(
         anchors=anchors,
         tables=tables,
         lists=lists,
+        images=images,
         title=title,
         description=description,
         headings=headings,
@@ -353,7 +363,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
-            og, anchors, tables, lists,
+            og, anchors, tables, lists, images,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -368,6 +378,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             tables = None
         if "lists" not in want:
             lists = None
+        if "images" not in want:
+            images = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -389,6 +401,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         anchors = None
         tables = None
         lists = None
+        images = None
         title = None
         canonical = None
         description = None
@@ -405,6 +418,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         anchors=anchors,
         tables=tables,
         lists=lists,
+        images=images,
         title=title,
         canonical=canonical,
         description=description,

@@ -110,6 +110,20 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v12 IMAGES: (src, alt) per <img> element in document order;
+        # [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "images",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("src", T.StringType(), False),
+                        T.StructField("alt", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

@@ -1448,7 +1448,7 @@ def _html_anchors(blob: bytes) -> list[str]:
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
-    v10 tables, v11 lists) — 2nd witness."""
+    v10 tables, v11 lists, v12 images) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1456,6 +1456,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None, _pdf_info_text(blob, "Subject"),
             _pdf_outline_levels(blob),
             (None, None, None),
+            [],
             [],
             [],
             [],
@@ -1469,7 +1470,63 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_anchors(blob),
         _html_tables(blob),
         _html_lists(blob),
+        _html_images(blob),
     )
+
+
+def _html_images(blob: bytes) -> list[tuple[str, str]]:
+    """v12 IMAGES, second witness: its own event pass — walk the
+    drop/boiler region state and emit one (trimmed src, normalized alt)
+    pair per <img> open or self-close outside those regions, in document
+    order; no dedup, no scheme filtering, first attr occurrence wins."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[tuple[str, str]] = []
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def record(attrs) -> None:
+        s = next(
+            (v for k, v in attrs if k == "src" and v is not None), ""
+        ).strip()
+        a = " ".join(
+            next(
+                (v for k, v in attrs if k == "alt" and v is not None), ""
+            ).split()
+        )
+        out.append((s, a))
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                elif val == "img":
+                    record(attrs)
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+        elif ev == "selfclose":
+            if drop == 0 and val == "img":
+                record(attrs)
+    return out
 
 
 def _pdf_outline_levels(data: bytes) -> list[tuple[int, int]]:

@@ -80,6 +80,7 @@ def build_extras():
     anchor_rows = []
     table_rows = []
     list_rows = []
+    img_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -115,6 +116,7 @@ def build_extras():
                 **_anchor_facts(res),
                 **_table_facts(res),
                 **_list_facts(res),
+                **_img_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -208,6 +210,8 @@ def build_extras():
             table_rows.append((idx, tbl, row, col, header, cell))
         for lst, item, depth, ordered, itext in res.lists:
             list_rows.append((idx, lst, item, depth, ordered, itext))
+        for pos, (isrc, ialt) in enumerate(res.images):
+            img_rows.append((idx, pos, isrc, ialt))
         html_idx.append(
             {
                 "idx": idx,
@@ -231,14 +235,29 @@ def build_extras():
                 **_anchor_facts(res),
                 **_table_facts(res),
                 **_list_facts(res),
+                **_img_facts(res),
                 **_title_facts(res),
             }
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows,
+        table_rows, list_rows, img_rows,
     )
+
+
+def _img_facts(res) -> dict:
+    """Mirror doc_images_sig's JVM expression: md5 over the \x1f-joined
+    "src:alt" canonical strings in document order; None when the surface
+    was not computed."""
+    if res.images is None:
+        return {"n_images": None, "images_sig": None}
+    return {
+        "n_images": len(res.images),
+        "images_sig": hashlib.md5(
+            "\x1f".join(f"{s}:{a}" for s, a in res.images).encode("utf-8")
+        ).hexdigest(),
+    }
 
 
 def _title_facts(res) -> dict:
@@ -350,7 +369,7 @@ def main() -> None:
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows,
+        table_rows, list_rows, img_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -377,7 +396,8 @@ def main() -> None:
             f"FORMFIELD_ROWS = {fmt(formfield_rows)}\n\n"
             f"ANCHOR_ROWS = {fmt(anchor_rows)}\n\n"
             f"TABLE_ROWS = {fmt(table_rows)}\n\n"
-            f"LIST_ROWS = {fmt(list_rows)}\n"
+            f"LIST_ROWS = {fmt(list_rows)}\n\n"
+            f"IMG_ROWS = {fmt(img_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -388,7 +408,8 @@ def main() -> None:
         f"{len(formfield_rows)} form fields, "
         f"{len(anchor_rows)} anchor rows, "
         f"{len(table_rows)} table rows, "
-        f"{len(list_rows)} list rows -> {path}"
+        f"{len(list_rows)} list rows, "
+        f"{len(img_rows)} img rows -> {path}"
     )
 
 
