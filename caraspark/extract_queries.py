@@ -22,6 +22,7 @@ from caraspark.extract import extract
 from caraspark.oracle_freeze import (
     anchors_cte,
     corpus_cte,
+    images_cte,
     lists_cte,
     perdoc_cte,
     tables_cte,
@@ -1191,4 +1192,137 @@ def list_stats(spark, sf):
         F.countDistinct("t.list").cast("bigint").alias("n_lists"),
         (F.max("t.item") + 1).cast("int").alias("max_len"),
         F.sum(F.length("t.item_text")).cast("bigint").alias("text_chars"),
+    )
+
+
+@_q(
+    "doc_images",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       '/i/' || CAST(doc_id % 7 AS VARCHAR) || '.png' AS src,
+       'a ' || CAST(doc_id % 3 AS VARCHAR) AS alt
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1,
+       '/p' || CAST(doc_id % 5 AS VARCHAR) || '.gif', '' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, '', 'only' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, 'data:image/gif;base64,R0', 'inline'
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 4,
+       '/i/' || CAST(doc_id % 7 AS VARCHAR) || '.png', 'dup'
+FROM documents""",
+)
+def doc_images(spark, sf):
+    """v12 IMAGES, hash-verified closed-form: each document is wrapped
+    in HTML carrying the img edge matrix — a src+alt image (alt with
+    collapsible whitespace), a whitespace-padded self-closing src with
+    no alt, an alt-only element, a data: URI (kept — no scheme filter),
+    a boiler-div image (excluded, no index), and an exact duplicate of
+    the first src (kept — no dedup) — with deterministic values derived
+    from doc_id so DuckDB predicts every (url, pos, src, alt) row,
+    ``pos`` being document order."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><img src='/i/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".png' alt='a  "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("'><img src=' /p"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".gif '/><img alt='only'>"),
+                F.lit("<img src='data:image/gif;base64,R0' alt='inline'>"),
+                F.lit("<div class='sidebar'><img src='/no.png'></div>"),
+                F.lit("<img src='/i/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".png' alt='dup'>"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select(
+        "url", F.posexplode("images").alias("pos", "t")
+    ).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.src").alias("src"),
+        F.col("t.alt").alias("alt"),
+    )
+
+
+@_q(
+    "doc_images_sig",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, CAST(n_images AS INT) AS n_images, images_sig
+FROM perdoc""".format(corpus=corpus_cte(), perdoc=perdoc_cte()),
+)
+def doc_images_sig(spark, sf):
+    """v12 IMAGES over the full synth corpus (the html_images edge-matrix
+    recipe, incidental imgs across the other recipes, []-for-PDF) vs the
+    frozen per-recipe/per-idx md5 signatures over the canonical
+    "src:alt" strings in document order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "images", lambda x: F.concat_ws(":", x["src"], x["alt"])
+    )
+    return ex.select(
+        "url",
+        F.size("images").alias("n_images"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "images_sig"
+        ),
+    )
+
+
+@_q(
+    "img_stats",
+    f"""WITH {{corpus}},
+{{images}}
+SELECT d.url,
+       CAST(count(*) AS BIGINT) AS n_imgs,
+       CAST(sum(CASE WHEN t.alt <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alt,
+       CAST(sum(CASE WHEN t.src LIKE 'data:%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_data,
+       CAST(count(DISTINCT CASE WHEN t.src <> '' THEN t.src END)
+            AS BIGINT) AS n_uniq_src
+FROM docs d JOIN im t ON t.idx = d.idx
+GROUP BY d.url""".format(corpus=corpus_cte(), images=images_cte()),
+)
+def img_stats(spark, sf):
+    """Image inventory profile per document: element count, alt-text
+    coverage (the image-text-pair mining yield signal), inline data:
+    URIs, and distinct non-empty srcs (repeats = layout chrome, unique
+    = content figures).  This is how a multimodal dataset builder finds
+    alt-rich pages worth pairing before ever fetching image bytes.
+
+    Scale: the explode emits one short (url, src, alt) row per IMAGE
+    (blobs already reduced by mapInArrow); groupBy(url) with map-side
+    combine; the only distinct is per-group over short strings."""
+    ex = _extracted(spark, sf)
+    t = ex.select("url", F.explode("images").alias("t"))
+    return t.groupBy("url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+        F.sum((F.col("t.alt") != "").cast("int"))
+        .cast("bigint")
+        .alias("n_alt"),
+        F.sum(F.col("t.src").startswith("data:").cast("int"))
+        .cast("bigint")
+        .alias("n_data"),
+        F.countDistinct(
+            F.when(F.col("t.src") != "", F.col("t.src"))
+        ).cast("bigint").alias("n_uniq_src"),
     )

@@ -456,3 +456,64 @@ def stream_lists(spark, sf):
         F.max("itext").alias("item_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_images",
+    """WITH imgs AS (
+  SELECT TRUE AS has_alt,
+         '/s/' || CAST(doc_id % 6 AS VARCHAR) || '.png' AS src
+  FROM documents
+  UNION ALL
+  SELECT FALSE, 'data:g' || CAST(doc_id % 3 AS VARCHAR) FROM documents
+)
+SELECT has_alt, CAST(count(*) AS BIGINT) AS n_imgs,
+       min(src) AS src_min, max(src) AS src_max
+FROM imgs GROUP BY has_alt""",
+)
+def stream_images(spark, sf):
+    """Streaming rollup over the v12 IMAGES surface: documents arrive as
+    micro-batches, each wrapped with one alt-carrying path image and one
+    alt-less data: URI image, extracted IN-STREAM by the same Arrow UDF
+    the batch job runs; the exploded elements feed a stateful
+    aggregation keyed by alt presence — complete mode.  DuckDB predicts
+    every row closed-form.
+
+    Scale: two fixed-width state rows total; the stream materializes
+    (bool, short src string) pairs only — the same bounded-state shape
+    as stream_lists/stream_tables."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><img src='/s/"),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit(".png' alt='y'><img src='data:g"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("'></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    elems = (
+        extract(raw)
+        .select(F.explode("images").alias("t"))
+        .select(
+            (F.col("t.alt") != "").alias("has_alt"),
+            F.col("t.src").alias("src"),
+        )
+    )
+    out = elems.groupBy("has_alt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+        F.min("src").alias("src_min"),
+        F.max("src").alias("src_max"),
+    )
+    return S.run_to_memory(out, mode="complete")

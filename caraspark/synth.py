@@ -1140,6 +1140,39 @@ def html_lists(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_images(rng: random.Random) -> bytes:
+    """v12 IMAGES recipe: the img edge matrix — src+alt in content, a
+    whitespace-padded self-closing src inside a <figure>, alt-only and
+    bare <img> (index per element, "" fields), a data: URI (kept —
+    unlike OUTLINKS there is no scheme filter), an exact duplicate src
+    (kept — no dedup), duplicate src ATTRIBUTES (first wins), a
+    boiler-div image and a <nav> image (both excluded), a boiler-CLASSED
+    <img> opening an attr-region that swallows a nested image until two
+    </img> closes end it, and a post-region image that is collected
+    again."""
+    w = _para(rng, 3).rstrip(".")
+    n = rng.randrange(100)
+    paras = "\n".join(f"<p>{_para(rng, 14)}</p>" for _ in range(2))
+    return (
+        "<html><body>"
+        f"<p>intro {_para(rng, 12)}</p>"
+        f"<img src='/img/{n}.png' alt='hero  {w}'>"
+        f"<figure><img src=' /pad{n}.jpg '/>"
+        f"<figcaption>cap {w}</figcaption></figure>"
+        "<img alt='altonly'><img>"
+        "<img src='data:image/gif;base64,R0lGOD' alt='inline'>"
+        f"<img src='/img/{n}.png' alt='dup kept'>"
+        f"<img src='/first{n}.png' src='/second.png' alt='first attr wins'>"
+        "<div class='sidebar'><img src='/boiler.png' alt='no'></div>"
+        "<nav><img src='/nav.png'></nav>"
+        f"{paras}"
+        "<img class='advert' src='/regionroot.png'>"
+        "<img src='/swallowed.png'></img></img>"
+        f"<img src='/after-region{n}.png' alt='tail'>"
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
@@ -1154,6 +1187,7 @@ HTML_RECIPES = {
     "html_ogmeta": html_ogmeta,
     "html_anchors": html_anchors,
     "html_lists": html_lists,
+    "html_images": html_images,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]

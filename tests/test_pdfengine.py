@@ -1017,7 +1017,10 @@ def test_unclosed_title_does_not_eat_body_text():
              "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
              "<th>", "</th>", "<td/>", "<table class='sidebar'>", "cell ",
              "<ul>", "</ul>", "<ol>", "</ol>", "<li>", "</li>", "<li/>",
-             "<ul/>", "<ol class='menu'>", "item "]
+             "<ul/>", "<ol class='menu'>", "item ",
+             "<img src='/a.png' alt='x y'>", "<img src=' /b '/>", "<img>",
+             "</img>", "<img class='advert' src='/r'>",
+             "<img src='/a.png' src='/2nd' alt=''>"]
         ),
         max_size=16,
     )
@@ -1311,3 +1314,56 @@ def test_html_v10_tables_want_projection():
     assert stats.tables is None
     pdf = process_document(b"%PDF-1.4\n1 0 obj null endobj")
     assert pdf.tables == []
+
+
+def test_html_v12_images_semantics():
+    """v12 IMAGES: the spec's edge matrix — trim/normalize, index per
+    element (empty src/alt still count), data: kept, duplicates kept,
+    first attr occurrence wins, boiler/drop exclusion, boiler-classed
+    <img> opens an attr-region — engine and oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<body><p>t <img src='/a.png' alt=' hero  shot '> u</p>"
+         b"<img src=' /b.jpg '/><img alt='only'><img>"
+         b"<img src='data:image/gif;base64,R0' alt='inline'>"
+         b"<img src='/a.png' alt='dup'>"
+         b"<img src='/first.png' src='/second.png'>"
+         b"<div class='sidebar'><img src='/no1'></div>"
+         b"<nav><img src='/no2'></nav>"
+         b"<img class='advert' src='/root'><img src='/inside'></img></img>"
+         b"<img src='/after' alt='tail'></body>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[11] == [
+        ("/a.png", "hero shot"),
+        ("/b.jpg", ""),
+        ("", "only"),
+        ("", ""),
+        ("data:image/gif;base64,R0", "inline"),
+        ("/a.png", "dup"),
+        ("/first.png", ""),
+        ("/after", "tail"),
+    ]
+
+
+def test_html_v12_images_want_projection():
+    """images obeys the want= projection like every other surface."""
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = b"<body><p>real text</p><img src='/x.png' alt='a'></body>"
+    full = process_document(html)
+    assert full.images == [("/x.png", "a")]
+    only = process_document(html, want={"images"})
+    assert only.images == [("/x.png", "a")] and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.images is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.images is None
+    pdf = process_document(PDF_RECIPES["pdf_minimal"]())
+    assert pdf.images == []
+    pdf_stats = process_document(
+        PDF_RECIPES["pdf_minimal"](), want_text=False
+    )
+    assert pdf_stats.images is None
