@@ -74,6 +74,10 @@ EXTRAS = [
     "search_postings",
     "graph_hostgraph",
     "list_stats",
+    "img_stats",
+    "imgtext_pairs",
+    "ppl_buckets",
+    "dedup_phash",
 ]
 
 REPEATS = 3

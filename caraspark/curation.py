@@ -2728,3 +2728,131 @@ def graph_hostgraph(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_links"),
         (F.col("src_host") == F.col("dst_host")).alias("self_loop"),
     )
+
+
+def _ppl_buckets_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+vocab AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+),
+total AS (SELECT sum(c) AS n FROM vocab),
+bits AS (
+  SELECT w, CAST(length(printf('%b',
+                   CAST((SELECT n FROM total) // c AS BIGINT))) - 1
+                 AS BIGINT) AS b
+  FROM vocab
+),
+perdoc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(b.b) AS BIGINT) AS total_bits
+  FROM toks t JOIN bits b ON b.w = t.w
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT p.doc_id, d.lang,
+         CAST(p.total_bits * 1000000 // p.n_tokens AS BIGINT) AS bpt_micro
+  FROM perdoc p JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, bpt_micro, count(*) AS c FROM scored GROUP BY lang, bpt_micro
+),
+cum AS (
+  SELECT lang, bpt_micro,
+         sum(c) OVER (PARTITION BY lang ORDER BY bpt_micro) AS cw,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN cw * 3 >= n THEN bpt_micro END) AS cut1,
+         min(CASE WHEN cw * 3 >= 2 * n THEN bpt_micro END) AS cut2
+  FROM cum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.bpt_micro,
+       CASE WHEN s.bpt_micro <= c.cut1 THEN 'head'
+            WHEN s.bpt_micro <= c.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c USING (lang)
+"""
+
+
+@_q("ppl_buckets", _ppl_buckets_sql())
+def ppl_buckets(spark, sf):
+    """CCNet-style head/middle/tail quality buckets per language: each
+    document's unigram-LM surprisal (``text_surprisal``'s exact integer
+    bits, as micro-bits-per-token so no float ever orders anything) is
+    bucketed against its language's EXACT tercile cutoffs — head = the
+    lowest-perplexity (wiki-like) third, tail = the noisiest.  Cutoff
+    semantics are value thresholds (ties share a bucket), the production
+    CCNet stance — cut_k = the smallest score whose cumulative count
+    reaches ceil(k*n/3), via integer ``cum*3 >= k*n``.
+
+    Scale (the part that matters): a naive per-lang NTILE window sorts
+    every document of a language in ONE task — the classic skew killer
+    when one lang is half the corpus.  Instead the cutoffs come from the
+    score HISTOGRAM: groupBy (lang, score) first (map-side combine,
+    Zipf-bounded distinct scores), run the cumulative window over those
+    aggregated rows only, reduce to a 2-value cutoff row per lang, and
+    broadcast-join the cutoffs back — the corpus-sized side is never
+    sorted and never shuffled beyond the surprisal join it already pays.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    bits = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        (F.length(F.expr("bin(n DIV c)")) - 1).cast("bigint").alias("b"),
+    )
+    perdoc = (
+        toks.join(F.broadcast(bits), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("b").cast("bigint").alias("total_bits"),
+        )
+    )
+    scored = perdoc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        # integer DIV, not double `/`: a double quotient that lands an
+        # epsilon below an exact integer would truncate differently than
+        # the oracle's exact `//`
+        F.expr("total_bits * 1000000L DIV n_tokens")
+        .cast("bigint")
+        .alias("bpt_micro"),
+    )
+    hist = scored.groupBy("lang", "bpt_micro").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = W.partitionBy("lang").orderBy("bpt_micro")
+    cum = hist.select(
+        "lang",
+        "bpt_micro",
+        F.sum("c").over(wc).alias("cw"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cw") * 3 >= F.col("n"), F.col("bpt_micro"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cw") * 3 >= 2 * F.col("n"), F.col("bpt_micro"))
+        ).alias("cut2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "bpt_micro",
+        F.when(F.col("bpt_micro") <= F.col("cut1"), "head")
+        .when(F.col("bpt_micro") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -1326,3 +1326,45 @@ def img_stats(spark, sf):
             F.when(F.col("t.src") != "", F.col("t.src"))
         ).cast("bigint").alias("n_uniq_src"),
     )
+
+
+@_q(
+    "imgtext_pairs",
+    f"""WITH {{corpus}},
+{{images}}
+SELECT d.url, t.src, t.alt,
+       CAST(len(string_split(t.alt, ' ')) AS INT) AS alt_tokens
+FROM docs d JOIN im t ON t.idx = d.idx
+WHERE t.src <> '' AND t.src NOT LIKE 'data:%'
+  AND length(t.alt) >= 8
+  AND len(string_split(t.alt, ' ')) >= 2""".format(
+        corpus=corpus_cte(), images=images_cte()
+    ),
+)
+def imgtext_pairs(spark, sf):
+    """Image-text pair mining over the v12 IMAGES surface: keep (url,
+    src, alt) rows whose alt text is substantive — non-empty fetchable
+    src (data: URIs excluded: nothing to fetch), >= 8 chars and >= 2
+    tokens of alt — the CLIP/LAION-style candidate set a multimodal
+    dataset builder hands to the image fetcher.
+
+    Scale: pure scan-stage work — the explode emits one short row per
+    image and every predicate is a JVM string op on already-extracted
+    columns; no shuffle at all (the output is the pair stream)."""
+    ex = _extracted(spark, sf)
+    t = ex.select("url", F.explode("images").alias("t")).select(
+        "url",
+        F.col("t.src").alias("src"),
+        F.col("t.alt").alias("alt"),
+    )
+    return t.filter(
+        (F.col("src") != "")
+        & ~F.col("src").startswith("data:")
+        & (F.length("alt") >= 8)
+        & (F.size(F.split("alt", " ")) >= 2)
+    ).select(
+        "url",
+        "src",
+        "alt",
+        F.size(F.split("alt", " ")).cast("int").alias("alt_tokens"),
+    )

@@ -744,3 +744,24 @@ def test_dedup_phash_band_join_is_equi_not_cartesian(spark, sf_smoke, qs):
     rows = df.collect()
     assert all(r.hamming <= 4 for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_ppl_buckets_cutoffs_broadcast_corpus_never_sorted(spark, sf_smoke, qs):
+    """The tercile cutoffs must come from the score HISTOGRAM (window
+    over aggregated rows) and return to the corpus via a broadcast join
+    — a per-lang NTILE over documents would sort half the corpus in one
+    task at 100 TB. The doc-sized side must see no Sort above its agg."""
+    df = qs["ppl_buckets"](spark, sf_smoke)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    rows = df.collect()
+    assert {r.bucket for r in rows} == {"head", "middle", "tail"}
+    # per lang, head count <= ceil(n/3) can be violated only by ties;
+    # cutoff semantics guarantee cumulative(head) * 3 >= n
+    from collections import Counter
+    by_lang = Counter((r.lang, r.bucket) for r in rows)
+    langs = {r.lang for r in rows}
+    for lang in langs:
+        n = sum(v for (l, b), v in by_lang.items() if l == lang)
+        head = by_lang.get((lang, "head"), 0)
+        assert head * 3 >= n - 2 * by_lang.get((lang, "middle"), 0) - 1 or head > 0
