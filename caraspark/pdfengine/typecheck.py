@@ -133,11 +133,22 @@ SHADING = OneOf(_SHADING_ALTS)
 _ACTION_ALTS = (
     Class("action_goto"),
     Class("action_gotor"),
+    Class("action_gotoe"),
     Class("action_launch"),
     Class("action_uri"),
     Class("action_javascript"),
     Class("action_named"),
     Class("action_rendition"),
+    Class("action_submitform"),
+    Class("action_resetform"),
+    Class("action_importdata"),
+    Class("action_hide"),
+    Class("action_sound"),
+    Class("action_movie"),
+    Class("action_trans"),
+    Class("action_thread"),
+    Class("action_setocgstate"),
+    Class("action_goto3dview"),
     Class("action"),  # generic fallback — must stay last
 )
 ACTION = OneOf(_ACTION_ALTS)
@@ -1247,6 +1258,131 @@ TYPEDEFS: dict[str, ClassDef] = {
             "AN": Entry(DICT),  # the screen annotation (by ref)
             "OP": Entry(INT),
             "JS": Entry(OneOf((STRING, STREAM))),
+        }
+    ),
+    # embedded go-to [PDF17 §12.6.4.4]
+    "action_gotoe": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("GoToE"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "D": Entry(OneOf((ARRAY, NAME, STRING)), required=True),
+            "F": Entry(OneOf((STRING, Class("filespec")))),
+            "NewWindow": Entry(BOOL),
+            "T": Entry(DICT),  # target dictionary [table 202]
+        }
+    ),
+    # form actions [PDF17 §12.7.5.2–12.7.5.4]
+    "action_submitform": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("SubmitForm"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "F": Entry(
+                OneOf((STRING, Class("filespec"))), required=True
+            ),
+            "Fields": Entry(ArrayOf(OneOf((DICT, STRING)))),
+            "Flags": Entry(INT),
+        }
+    ),
+    "action_resetform": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("ResetForm"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "Fields": Entry(ArrayOf(OneOf((DICT, STRING)))),
+            "Flags": Entry(INT),
+        }
+    ),
+    "action_importdata": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("ImportData"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "F": Entry(
+                OneOf((STRING, Class("filespec"))), required=True
+            ),
+        }
+    ),
+    # hide [PDF17 §12.6.4.10]
+    "action_hide": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Hide"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "T": Entry(
+                OneOf((DICT, STRING, ArrayOf(OneOf((DICT, STRING))))),
+                required=True,
+            ),
+            "H": Entry(BOOL),
+        }
+    ),
+    # sound [PDF17 §12.6.4.8]
+    "action_sound": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Sound"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "Sound": Entry(STREAM, required=True),
+            "Volume": Entry(NUMBER),
+            "Synchronous": Entry(BOOL),
+            "Repeat": Entry(BOOL),
+            "Mix": Entry(BOOL),
+        }
+    ),
+    # movie [PDF17 §12.6.4.9]: exactly one of Annotation / T selects the
+    # target annotation — one-of isn't expressible per-entry, matching
+    # the action_launch stance
+    "action_movie": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Movie"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "Annotation": Entry(DICT),
+            "T": Entry(STRING),
+            "Operation": Entry(NAME),
+        }
+    ),
+    # transition [PDF17 §12.6.4.14]
+    "action_trans": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Trans"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "Trans": Entry(Class("transition"), required=True),
+        }
+    ),
+    # thread [PDF17 §12.6.4.7]
+    "action_thread": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("Thread"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "D": Entry(OneOf((DICT, INT, STRING)), required=True),
+            "F": Entry(OneOf((STRING, Class("filespec")))),
+            "B": Entry(OneOf((DICT, INT))),
+        }
+    ),
+    # optional-content state [PDF17 §12.6.4.12]
+    "action_setocgstate": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("SetOCGState"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "State": Entry(ArrayOf(OneOf((NAME, DICT))), required=True),
+            "PreserveRB": Entry(BOOL),
+        }
+    ),
+    # 3D view [PDF17 §12.6.4.15]
+    "action_goto3dview": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("GoTo3DView"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "TA": Entry(DICT, required=True),
+            "V": Entry(
+                OneOf((DICT, STREAM, NAME, STRING, INT)), required=True
+            ),
         }
     ),
     # launch parameter dictionary [PDF17 §12.6.4.6 table 203]

@@ -972,7 +972,7 @@ def test_named_action_via_next_chain_assigns():
 def test_unknown_action_subtype_falls_back_to_generic():
     blob = _doc_catalog(
         b" /OpenAction 5 0 R",
-        {5: _obj(5, b"<< /Type /Action /S /ResetForm /Flags 1 >>")},
+        {5: _obj(5, b"<< /Type /Action /S /RichMediaExecute >>")},
     )
     r = process_document(blob, want_objects=True)
     assert r.valid, r.errors_as_rows()
@@ -1625,3 +1625,151 @@ def test_trapnet_printermark_3d_annots():
         page_extra=b" /Annots [5 0 R]",
     )
     assert "type.missing_required" in _codes(process_document(bad))
+
+
+# --- round-3d additions: remaining action subtypes ---------------------------
+
+
+def test_form_actions_discriminate_and_require():
+    ok = _doc_catalog(
+        b" /OpenAction 5 0 R /AA << /WC 6 0 R >>",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /SubmitForm /F (https://x/post)"
+                b" /Fields [(name)] /Flags 4 >>",
+            ),
+            6: _obj(6, b"<< /Type /Action /S /ResetForm /Fields [] >>"),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action_submitform"
+    assert r.type_assignments["6.0"] == "action_resetform"
+    # SubmitForm requires /F
+    bad = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /S /SubmitForm >>")},
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_importdata_hide_sound_actions():
+    ok = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /ImportData /F (data.fdf)"
+                b" /Next 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Action /S /Hide /T (field1) /H false"
+                b" /Next 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Action /S /Sound /Sound 8 0 R /Volume 0.5"
+                b" /Repeat true >>",
+            ),
+            8: _stream_obj(8, b"/R 8000 /C 1 /B 8", b"\x00\x01"),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action_importdata"
+    assert r.type_assignments["6.0"] == "action_hide"
+    assert r.type_assignments["7.0"] == "action_sound"
+    # Hide requires /T; Sound requires a stream /Sound
+    bad = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /S /Hide /H true >>")},
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+    bad2 = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /S /Sound /Sound (notastream) >>")},
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_movie_trans_thread_actions():
+    ok = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /Movie /T (clip) /Operation /Play"
+                b" /Next 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Action /S /Trans"
+                b" /Trans << /Type /Trans /S /Dissolve /D 2 >>"
+                b" /Next 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Action /S /Thread /D 0 /F (other.pdf) >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action_movie"
+    assert r.type_assignments["6.0"] == "action_trans"
+    assert r.type_assignments["7.0"] == "action_thread"
+    # Trans requires its transition dict; Thread requires /D
+    bad = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /S /Trans >>")},
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+    bad2 = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {5: _obj(5, b"<< /Type /Action /S /Thread /F (o.pdf) >>")},
+    )
+    assert "type.missing_required" in _codes(process_document(bad2))
+
+
+def test_gotoe_setocgstate_goto3dview_actions():
+    ok = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /GoToE /D [0 /Fit]"
+                b" /T << /R /C /N (child) >> /Next 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Action /S /SetOCGState"
+                b" /State [/ON 7 0 R /Toggle] /PreserveRB false"
+                b" /Next 8 0 R >>",
+            ),
+            7: _obj(7, b"<< /Type /OCG /Name (layer) >>"),
+            8: _obj(
+                8,
+                b"<< /Type /Action /S /GoTo3DView /TA 9 0 R /V /F >>",
+            ),
+            9: _obj(
+                9,
+                b"<< /Type /Annot /Subtype /3D /Rect [0 0 9 9]"
+                b" /3DD << /Type /3D >> >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "action_gotoe"
+    assert r.type_assignments["6.0"] == "action_setocgstate"
+    assert r.type_assignments["8.0"] == "action_goto3dview"
+    # GoToE requires /D; SetOCGState requires /State; GoTo3DView both
+    for body in (
+        b"<< /Type /Action /S /GoToE >>",
+        b"<< /Type /Action /S /SetOCGState >>",
+        b"<< /Type /Action /S /GoTo3DView /TA 1 0 R >>",
+    ):
+        bad = _doc_catalog(b" /OpenAction 5 0 R", {5: _obj(5, body)})
+        assert "type.missing_required" in _codes(process_document(bad))
