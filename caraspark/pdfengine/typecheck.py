@@ -255,13 +255,17 @@ TYPEDEFS: dict[str, ClassDef] = {
             "PresSteps": Entry(Class("nav_node")),
             "BoxColorInfo": Entry(Class("box_color_info")),
             "SeparationInfo": Entry(Class("separation_info")),
-            "PieceInfo": Entry(DICT),
+            "PieceInfo": Entry(DictOf(Class("piece_entry"))),
         }
     ),
     "resources": ClassDef(
         {
             "Font": Entry(
-                DictOf(OneOf((Class("font_type0"), Class("font"))))
+                DictOf(OneOf((
+                    Class("font_type0"),
+                    Class("font_type3"),
+                    Class("font"),
+                )))
             ),
             "XObject": Entry(
                 DictOf(OneOf((Class("xobject_image"), Class("xobject_form"))))
@@ -818,7 +822,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IT": Entry(NAME),
             "BS": Entry(DICT),
             "Subtype": Entry(Exact("Sound"), required=True),
-            "Sound": Entry(STREAM, required=True),
+            "Sound": Entry(Class("sound_stream"), required=True),
             "Name": Entry(NAME),
         }
     ),
@@ -881,7 +885,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "StructParent": Entry(INT),
             "T": Entry(STRING),
             "Movie": Entry(Class("movie"), required=True),
-            "A": Entry(OneOf((BOOL, DICT))),
+            "A": Entry(OneOf((BOOL, Class("movie_activation")))),
         }
     ),
     # --- name / number trees [PDF17 §7.9.6–7.9.7] --------------------------
@@ -981,7 +985,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Group": Entry(Class("group_transparency")),
             "Ref": Entry(DICT),
             "Metadata": Entry(STREAM),
-            "PieceInfo": Entry(DICT),
+            "PieceInfo": Entry(DictOf(Class("piece_entry"))),
             "LastModified": Entry(STRING),
             "StructParent": Entry(INT),
             "StructParents": Entry(INT),
@@ -1323,7 +1327,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Type": Entry(Exact("Action")),
             "S": Entry(Exact("Sound"), required=True),
             "Next": Entry(_ACTION_OR_ARRAY),
-            "Sound": Entry(STREAM, required=True),
+            "Sound": Entry(Class("sound_stream"), required=True),
             "Volume": Entry(NUMBER),
             "Synchronous": Entry(BOOL),
             "Repeat": Entry(BOOL),
@@ -2044,6 +2048,60 @@ TYPEDEFS: dict[str, ClassDef] = {
             "3DA": Entry(DICT),
             "3DI": Entry(BOOL),
             "3DB": Entry(RECT),
+        }
+    ),
+    # --- sound object [PDF17 §13.3] ------------------------------------------
+    "sound_stream": ClassDef(
+        {
+            "Type": Entry(Exact("Sound")),
+            "R": Entry(NUMBER, required=True),  # sampling rate
+            "C": Entry(INT),                    # channels
+            "B": Entry(INT),                    # bits per sample
+            "E": Entry(NAME),                   # encoding format
+            "CO": Entry(NAME),
+            "CP": Entry(ANY),
+        }
+    ),
+    # --- movie activation [PDF17 §13.4 table 296] ----------------------------
+    "movie_activation": ClassDef(
+        {
+            "Start": Entry(OneOf((INT, STRING, ARRAY))),
+            "Duration": Entry(OneOf((INT, STRING, ARRAY))),
+            "Rate": Entry(NUMBER),
+            "Volume": Entry(NUMBER),
+            "ShowControls": Entry(BOOL),
+            "Mode": Entry(NAME),
+            "Synchronous": Entry(BOOL),
+            "FWScale": Entry(Tuple((INT, INT))),
+            "FWPosition": Entry(Tuple((NUMBER, NUMBER))),
+        }
+    ),
+    # --- Type 3 (user-defined glyph procedure) fonts [PDF17 §9.6.5] ----------
+    "font_type3": ClassDef(
+        {
+            "Type": Entry(Exact("Font"), required=True),
+            "Subtype": Entry(Exact("Type3"), required=True),
+            "Name": Entry(NAME),
+            "FontBBox": Entry(RECT, required=True),
+            "Matrix": Entry(Tuple((NUMBER,) * 6)),
+            "FontMatrix": Entry(Tuple((NUMBER,) * 6), required=True),
+            "CharProcs": Entry(DictOf(STREAM), required=True),
+            "Encoding": Entry(
+                OneOf((NAME, Class("encoding"))), required=True
+            ),
+            "FirstChar": Entry(INT, required=True),
+            "LastChar": Entry(INT, required=True),
+            "Widths": Entry(ArrayOf(NUMBER), required=True),
+            "FontDescriptor": Entry(Class("fontdescriptor")),
+            "Resources": Entry(Class("resources")),
+            "ToUnicode": Entry(STREAM),
+        }
+    ),
+    # --- page-piece data [PDF17 §14.5] ---------------------------------------
+    "piece_entry": ClassDef(
+        {
+            "LastModified": Entry(STRING, required=True),
+            "Private": Entry(ANY),
         }
     ),
 }

@@ -1773,3 +1773,128 @@ def test_gotoe_setocgstate_goto3dview_actions():
     ):
         bad = _doc_catalog(b" /OpenAction 5 0 R", {5: _obj(5, body)})
         assert "type.missing_required" in _codes(process_document(bad))
+
+
+# --- round-3e additions: sound stream / movie activation / Type3 fonts /
+#     PieceInfo ---------------------------------------------------------------
+
+
+def test_sound_stream_typed_in_annot_and_action():
+    blob = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Sound /Rect [0 0 9 9]"
+                b" /Sound 6 0 R >>",
+            ),
+            6: _stream_obj(6, b"/Type /Sound /R 8000 /C 1 /B 8", b"\x00"),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(blob, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "sound_stream"
+    # missing required sampling rate /R
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Sound /Rect [0 0 9 9]"
+                b" /Sound 6 0 R >>",
+            ),
+            6: _stream_obj(6, b"/Type /Sound /C 1", b"\x00"),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_movie_activation_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Movie /Rect [0 0 9 9]"
+                b" /Movie << /F (m.avi) >>"
+                b" /A << /Rate 1 /Mode /Once /FWScale [1 2]"
+                b" /ShowControls true >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok)
+    assert r.strict, r.errors_as_rows()
+    # /A true (boolean form) still accepted
+    ok2 = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Movie /Rect [0 0 9 9]"
+                b" /Movie << /F (m.avi) >> /A true >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert process_document(ok2).strict
+    # FWScale must be a 2-integer tuple
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Movie /Rect [0 0 9 9]"
+                b" /Movie << /F (m.avi) >> /A << /FWScale [1] >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert "type.mismatch" in _codes(process_document(bad))
+
+
+def test_font_type3_discriminates_and_requires():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10]"
+                b" /FontMatrix [0.001 0 0 0.001 0 0]"
+                b" /CharProcs << /a 6 0 R >>"
+                b" /Encoding << /Differences [97 /a] >>"
+                b" /FirstChar 97 /LastChar 97 /Widths [500] >>",
+            ),
+            6: _stream_obj(6, b"", b"0 0 d0"),
+        },
+        page_extra=b" /Resources << /Font << /F3 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "font_type3"
+    # missing CharProcs/FontMatrix must fail the typed path
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10]"
+                b" /FirstChar 97 /LastChar 97 /Widths [500]"
+                b" /Encoding /WinAnsiEncoding >>",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F3 5 0 R >> >>",
+    )
+    assert not process_document(bad).strict
+
+
+def test_piece_info_entries_typed():
+    ok = _doc(
+        {},
+        page_extra=(
+            b" /PieceInfo << /MyApp << /LastModified (D:20240101)"
+            b" /Private (x) >> >>"
+        ),
+    )
+    assert process_document(ok).strict
+    # every piece entry requires /LastModified
+    bad = _doc(
+        {},
+        page_extra=b" /PieceInfo << /MyApp << /Private (x) >> >>",
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
