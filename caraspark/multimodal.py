@@ -364,9 +364,7 @@ def audio_stats(spark, sf):
     )
 
 
-@_q(
-    "dedup_phash",
-    """WITH imgs AS (
+_PHASH_CTES = """imgs AS (
       SELECT vec_id AS media_id,
              CAST(16 + vec_id % 16 AS BIGINT) AS w,
              CAST(8 + vec_id % 8 AS BIGINT) AS h
@@ -400,7 +398,12 @@ def audio_stats(spark, sf):
              a.ahash AS ha, bb.ahash AS hb
       FROM bands a JOIN bands bb
         ON a.band = bb.band AND a.bv = bb.bv
-           AND a.media_id < bb.media_id)
+           AND a.media_id < bb.media_id)"""
+
+
+@_q(
+    "dedup_phash",
+    f"""WITH {_PHASH_CTES}
     SELECT id_a, id_b,
            CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= 4""",
@@ -500,4 +503,39 @@ def dedup_phash(spark, sf):
         )
         .filter(F.col("hamming") <= 4)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+@_q(
+    "dedup_phash_clusters",
+    f"""WITH RECURSIVE {_PHASH_CTES},
+    pr AS (SELECT id_a, id_b FROM cand
+           WHERE bit_count(xor(ha, hb)) <= 4),
+    e2 AS (SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+    reach (n, m) AS (
+      SELECT u, u FROM e2
+      UNION
+      SELECT e2.v, reach.m FROM reach JOIN e2 ON e2.u = reach.n
+    )
+    SELECT n AS media_id, CAST(min(m) AS BIGINT) AS comp
+    FROM reach GROUP BY n""",
+)
+def dedup_phash_clusters(spark, sf):
+    """Perceptual-dup cluster assignment: connected components over the
+    aHash near-dup pair graph (Hamming <= 4 chains transitively — a~b~c
+    without a~c), reusing the alternating large-star/small-star engine
+    (``textops.connected_components``, Kiveris et al.) — O(log n)
+    rounds, per-round lineage truncation, no component ever on one
+    machine.  Only images that appear in at least one near-dup pair get
+    a row (the keeper per cluster is the minimum media_id — the dedup
+    policy's canonical representative).
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same pair
+    CTEs — an independent algorithm computing the same components."""
+    from caraspark.textops import connected_components
+
+    pairs = REGISTRY["dedup_phash"].fn(spark, sf).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("media_id"), "comp"
     )

@@ -601,3 +601,29 @@ def pdf_formfields(spark, sf):
     hash-verified against frozen per-recipe rows. Narrow Arrow stage."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_formfield_batches, _FORMFIELD_DDL)
+
+
+@_q(
+    "pdf_images",
+    f"""WITH {corpus_cte()},
+{types_cte()}
+SELECT d.url, CAST(t.cnt AS BIGINT) AS n_images
+FROM docs d JOIN ty t ON t.rid = d.rid
+WHERE t.type_name = 'xobject_image'""",
+)
+def pdf_images(spark, sf):
+    """Per-document image-XObject inventory (the PDF side of the
+    multimodal mining story: which documents carry raster images worth
+    decoding, before any pixel bytes move).  Rides the cached typed
+    objects table — the type checker already classified every object, so
+    this is a filter + per-url count, no second engine pass.
+
+    Scale: the filter prunes to image objects in the scan; the groupBy
+    keys on url with map-side combine — one narrow exchange of (url,
+    count) pairs."""
+    objects = _cached(spark, sf, "objects")
+    return (
+        objects.filter(F.col("type_name") == "xobject_image")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_images"))
+    )

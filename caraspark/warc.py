@@ -526,3 +526,139 @@ def warc_cdx(spark, sf):
             "warc_file"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT off-ramp (the Common Crawl metadata sidecar) + roundtrip qkey
+# ---------------------------------------------------------------------------
+
+
+def _wat_payload(url: str, title: str, links: list[str]) -> bytes:
+    """The WAT record payload: one compact JSON envelope per response —
+    keys emitted in a FIXED order (links, title, url) with no whitespace,
+    so the byte stream is deterministic and a SQL oracle can recompute
+    its digest by plain string concatenation.  Mirrors the shape of
+    Common Crawl's Envelope.Payload-Metadata.HTTP-Response-Metadata
+    .HTML-Metadata (links + head title), flattened."""
+    body = (
+        '{"links":['
+        + ",".join('"' + l + '"' for l in links)
+        + '],"title":"' + title + '","url":"' + url + '"}'
+    )
+    return body.encode("utf-8")
+
+
+def wat_sink_df(meta: DataFrame, partitions: int = 8) -> DataFrame:
+    """WAT-style output: each (url, title, outlinks) row becomes a WARC
+    ``metadata`` record carrying the JSON envelope, one file blob per
+    partition-batch — completing the crawl triad next to ``warc_sink_df``
+    (raw) and ``wet_sink_df`` (extracted text).  Deterministic bytes:
+    fixed timestamp, fixed key order, per-record gzip members."""
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            urls = batch.column("url").to_pylist()
+            titles = batch.column("title").to_pylist()
+            links = batch.column("outlinks").to_pylist()
+            recs = [
+                build_record(
+                    "metadata",
+                    _wat_payload(u, t or "", ln or []),
+                    url=u,
+                    ts=_WARC_EPOCH,
+                    content_type="application/json",
+                )
+                for u, t, ln in zip(urls, titles, links)
+            ]
+            if recs:
+                info = build_record(
+                    "warcinfo",
+                    b"software: caraspark-warc/1.0 (WAT)" + _CRLF,
+                    content_type="application/warc-fields",
+                )
+                yield pa.RecordBatch.from_pylist(
+                    [
+                        {
+                            "warc": b"".join(
+                                _gzip_member(r) for r in [info] + recs
+                            )
+                        }
+                    ],
+                    schema=_WARC_BLOB,
+                )
+
+    return meta.repartition(partitions, "url").mapInArrow(
+        gen, "warc binary"
+    )
+
+
+@_q(
+    "warc_wat",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(
+           '{"links":["/n/' || CAST(doc_id % 7 AS VARCHAR)
+           || '","/x/' || CAST(doc_id % 3 AS VARCHAR)
+           || '"],"title":"t' || CAST(doc_id % 5 AS VARCHAR)
+           || '","url":"' || CAST(doc_id AS VARCHAR) || '"}'
+       )) AS BIGINT) AS n_octets,
+       md5('{"links":["/n/' || CAST(doc_id % 7 AS VARCHAR)
+           || '","/x/' || CAST(doc_id % 3 AS VARCHAR)
+           || '"],"title":"t' || CAST(doc_id % 5 AS VARCHAR)
+           || '","url":"' || CAST(doc_id AS VARCHAR) || '"}'
+       ) AS payload_md5
+FROM documents""",
+)
+def warc_wat(spark, sf):
+    """WAT writer→parser roundtrip, hash-verified: per document a
+    deterministic (title, outlinks) metadata row is serialized into WAT
+    blobs on the executors (``wat_sink_df``), parsed back through the
+    same ``parse_warc`` path the reader uses, and the recovered JSON
+    payload's md5 must match the oracle's closed-form concat — pinning
+    byte identity through the JSON envelope, the metadata-record
+    framing, and the gzip members.  Plan: one repartition exchange,
+    narrow Arrow stages, zero collect."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    meta = docs.select(
+        did.alias("url"),
+        F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")).alias(
+            "title"
+        ),
+        F.array(
+            F.concat(F.lit("/n/"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("/x/"), (F.col("doc_id") % 3).cast("string")),
+        ).alias("outlinks"),
+    )
+    blobs = wat_sink_df(meta)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            rows = []
+            for blob in batch.column("warc").to_pylist():
+                for rec in parse_warc(bytes(blob)):
+                    if rec["rec_type"] != "metadata":
+                        continue
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "n_octets": len(rec["payload"]),
+                            "payload_md5": hashlib.md5(
+                                rec["payload"]
+                            ).hexdigest(),
+                        }
+                    )
+            if rows:
+                yield pa.RecordBatch.from_pylist(
+                    rows,
+                    schema=pa.schema(
+                        [
+                            ("url", pa.string()),
+                            ("n_octets", pa.int64()),
+                            ("payload_md5", pa.string()),
+                        ]
+                    ),
+                )
+
+    return blobs.mapInArrow(
+        gen, "url string, n_octets bigint, payload_md5 string"
+    )

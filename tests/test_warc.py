@@ -243,3 +243,22 @@ def test_warc_cdx_offsets_seek_to_records(spark):
         assert hashlib.md5(parsed[0]["body"]).hexdigest() == r.digest
         # surt key: reversed host + path
         assert r.surt == "example,synth)/doc/" + r.url.rsplit("/", 1)[1]
+
+
+def test_wat_payload_and_sink_roundtrip_bytes():
+    """WAT JSON envelope: fixed key order, no whitespace, byte-stable;
+    the metadata record parses back with the exact payload."""
+    from caraspark.warc import _wat_payload, build_record, parse_warc
+    from caraspark.warc import _gzip_member, _WARC_EPOCH
+
+    p = _wat_payload("u1", "Title X", ["/a", "/b"])
+    assert p == b'{"links":["/a","/b"],"title":"Title X","url":"u1"}'
+    assert _wat_payload("u", "", []) == b'{"links":[],"title":"","url":"u"}'
+    rec = build_record(
+        "metadata", p, url="u1", ts=_WARC_EPOCH,
+        content_type="application/json",
+    )
+    parsed = parse_warc(_gzip_member(rec))
+    assert len(parsed) == 1
+    assert parsed[0]["rec_type"] == "metadata"
+    assert parsed[0]["payload"] == p
