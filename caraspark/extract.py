@@ -104,6 +104,7 @@ _ARROW_SCHEMA = pa.schema(
             ),
             True,
         ),
+        pa.field("jsonld", pa.list_(pa.string()), True),
         pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
@@ -228,6 +229,7 @@ def _extract_batches(
             cols["tables"].append(r.tables_as_rows())
             cols["lists"].append(r.lists_as_rows())
             cols["images"].append(r.images_as_rows())
+            cols["jsonld"].append(r.jsonld)
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

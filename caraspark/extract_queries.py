@@ -23,6 +23,7 @@ from caraspark.oracle_freeze import (
     anchors_cte,
     corpus_cte,
     images_cte,
+    jsonld_cte,
     lists_cte,
     perdoc_cte,
     tables_cte,
@@ -1367,4 +1368,128 @@ def imgtext_pairs(spark, sf):
         "src",
         "alt",
         F.size(F.split("alt", " ")).cast("int").alias("alt_tokens"),
+    )
+
+
+@_q(
+    "doc_jsonld",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       '{"@type":"Article","k":' || CAST(doc_id % 9 AS VARCHAR)
+       || ',"s": "v' || CAST(doc_id % 4 AS VARCHAR) || '"}' AS payload
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, '' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2,
+       '{"n":' || CAST(doc_id % 6 AS VARCHAR) || '}'
+FROM documents""",
+)
+def doc_jsonld(spark, sf):
+    """v13 JSONLD, hash-verified closed-form: each document is wrapped in
+    HTML carrying the ld+json edge matrix — a payload with internal
+    spacing (preserved — only ends stripped), a self-closing match (""),
+    a <nav>-wrapped match (collected: the surface ignores tag-drop
+    regions), a plain script and a boiler-region match (both excluded) —
+    with deterministic JSON derived from doc_id so DuckDB predicts every
+    (url, pos, payload) row."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit(
+                    '</p><script type="application/ld+json"> '
+                    '{"@type":"Article","k":'
+                ),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit(',"s": "v'),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit('"} </script>'),
+                F.lit('<script type="application/ld+json"/>'),
+                F.lit("<script>ignore();</script>"),
+                F.lit(
+                    '<div class="promo">'
+                    '<script type="application/ld+json">{"x":1}</script>'
+                    "</div>"
+                ),
+                F.lit('<nav><script type="application/ld+json">{"n":'),
+                (F.col("doc_id") % 6).cast("string"),
+                F.lit("}</script></nav>"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select(
+        "url", F.posexplode("jsonld").alias("pos", "payload")
+    ).select(
+        "url", F.col("pos").cast("int").alias("pos"), "payload"
+    )
+
+
+@_q(
+    "doc_jsonld_sig",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, CAST(n_jsonld AS INT) AS n_jsonld, jsonld_sig
+FROM perdoc""".format(corpus=corpus_cte(), perdoc=perdoc_cte()),
+)
+def doc_jsonld_sig(spark, sf):
+    """v13 JSONLD over the full synth corpus (the html_jsonld edge-matrix
+    recipe, []-elsewhere/[]-for-PDF) vs the frozen per-recipe/per-idx md5
+    signatures over the \x1f-joined raw payloads in document order."""
+    ex = _extracted(spark, sf)
+    return ex.select(
+        "url",
+        F.size("jsonld").alias("n_jsonld"),
+        F.md5(F.encode(F.concat_ws("\x1f", F.col("jsonld")), "utf-8")).alias(
+            "jsonld_sig"
+        ),
+    )
+
+
+@_q(
+    "jsonld_types",
+    f"""WITH {{corpus}},
+{{jsonld}}
+SELECT regexp_extract(t.payload, '"@type":\s*"([^"]+)"', 1) AS ld_type,
+       CAST(count(*) AS BIGINT) AS n_payloads,
+       CAST(count(DISTINCT d.url) AS BIGINT) AS n_docs
+FROM docs d JOIN jl t ON t.idx = d.idx
+WHERE t.payload <> ''
+GROUP BY regexp_extract(t.payload, '"@type":\s*"([^"]+)"', 1)""".format(
+        corpus=corpus_cte(), jsonld=jsonld_cte()
+    ),
+)
+def jsonld_types(spark, sf):
+    """schema.org @type census over the corpus's ld+json payloads — the
+    first structured-data question a dataset builder asks (which pages
+    carry Article/Product/Recipe markup worth targeted parsing).  A
+    regex pull of the @type field keeps it engine-agnostic (payloads are
+    UNTRUSTED web JSON — a full json parse belongs behind a quarantine
+    UDF, not in the census scan).
+
+    Scale: explode emits one short payload row per script element; the
+    regexp and the groupBy on the extracted type are scan-stage + one
+    narrow (type, count) exchange with map-side combine."""
+    ex = _extracted(spark, sf)
+    t = ex.select("url", F.explode("jsonld").alias("payload")).filter(
+        F.col("payload") != ""
+    )
+    typed = t.select(
+        "url",
+        F.regexp_extract(
+            "payload", '"@type":\s*"([^"]+)"', 1
+        ).alias("ld_type"),
+    )
+    return typed.groupBy("ld_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.countDistinct("url").cast("bigint").alias("n_docs"),
     )

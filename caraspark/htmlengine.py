@@ -154,6 +154,20 @@ and compared byte-for-byte per url):
   attr-drop region like any other tag (checked BEFORE collection, the
   shared v2 ordering) and therefore emits nothing.  PDFs yield [];
   stats mode (want_text=False) yields None.
+* JSONLD (v13, structured-data surface): one string per
+  ``<script type="application/ld+json">`` element — the element's raw
+  character data, stripped of leading/trailing whitespace (INTERNAL
+  whitespace preserved: the payload is JSON, not prose), in document
+  order; "" when the element is empty after stripping.  The type
+  attribute is compared trimmed + ASCII-lowercased, first attr
+  occurrence wins.  Like TITLE, collection runs DESPITE tag-drop
+  regions (script is itself a DROP tag — the payload never enters the
+  text) but is opaque inside boilerplate attr-drop regions.  A matching
+  script still open at end of input still EMITS one entry, but its
+  payload is "" — html.parser never flushes unterminated CDATA content,
+  in both witnesses by construction.  Self-closing matching scripts
+  emit "".  Non-matching scripts collect nothing.
+  PDFs yield []; stats mode (want_text=False) yields None.
 * SPANS (v3, north_rule "extracted text/spans per document"): alongside
   the text payload, one span per kept block: (start, end, label) with
   start/end BYTE (octet) offsets into the UTF-8 payload, end exclusive,
@@ -254,6 +268,10 @@ class _Extractor(HTMLParser):
         self._lst_stack: list[list] = []
         # v12 IMAGES: (src, alt) per <img> element, document order
         self.images: list[tuple[str, str]] = []
+        # v13 JSONLD: raw stripped payload per ld+json script element
+        self.jsonld: list[str] = []
+        self._ld_open = False
+        self._ld_buf: list[str] = []
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -409,6 +427,13 @@ class _Extractor(HTMLParser):
         while self._a_stack:
             self._finish_anchor(self._a_stack.pop())
 
+    @staticmethod
+    def _is_ldjson(attrs) -> bool:
+        t = next(
+            (v for k, v in attrs if k == "type" and v is not None), ""
+        )
+        return t.strip().lower() == "application/ld+json"
+
     def _collect_img(self, attrs) -> None:
         """v12: one (src, alt) per element; first attr occurrence wins."""
         src = next(
@@ -431,6 +456,10 @@ class _Extractor(HTMLParser):
             self._in_title = True
         elif tag in ("link", "meta"):
             self._collect_headmeta(tag, attrs)
+        elif tag == "script" and self._is_ldjson(attrs):
+            # v13: collected despite drop regions, like TITLE
+            self._ld_open = True
+            self._ld_buf = []
         if tag in DROP_TAGS:
             self._drop_depth += 1
             return
@@ -472,6 +501,10 @@ class _Extractor(HTMLParser):
         if tag == "title" and self._in_title:
             self._in_title = False
             self._title_done = True
+        if tag == "script" and self._ld_open:
+            self.jsonld.append("".join(self._ld_buf).strip())
+            self._ld_open = False
+            self._ld_buf = []
         if tag in DROP_TAGS:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -502,6 +535,10 @@ class _Extractor(HTMLParser):
             # head metadata: collected despite drop regions, like TITLE
             self._collect_headmeta(tag, attrs)
             return
+        if tag == "script":
+            if self._is_ldjson(attrs):
+                self.jsonld.append("")  # self-closing: opened+closed empty
+            return
         if self._drop_depth:
             return
         if tag in BLOCK_TAGS:
@@ -528,6 +565,10 @@ class _Extractor(HTMLParser):
             self._collect_img(attrs)
 
     def handle_data(self, data):
+        if self._ld_open and data and self._attr_tag is None:
+            # v13 runs ALONGSIDE the normal path, like TITLE (the drop
+            # counter keeps script data out of blocks anyway)
+            self._ld_buf.append(data)
         if self._in_title and data and self._attr_tag is None:
             # title collection runs ALONGSIDE the normal path (no early
             # return): inside well-formed <head> the drop counter keeps
@@ -568,7 +609,8 @@ def extract_html(
     the (og_title, og_description, og_image) triple; anchors is parallel
     to outlinks; tables is the (table, row, col, header, cell) tuple
     list; lists is the (list, item, depth, ordered, item_text) tuple
-    list; images is the (src, alt) pair list in document order."""
+    list; images is the (src, alt) pair list in document order; jsonld
+    is the raw stripped ld+json payload list (v13)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -580,11 +622,14 @@ def extract_html(
     p._finalize_anchors()
     p._finalize_tables()
     p._finalize_lists()
+    if p._ld_open:  # matching script still open at EOF
+        p.jsonld.append("".join(p._ld_buf).strip())
+        p._ld_open = False
     og = (p.og_title, p.og_description, p.og_image)
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
-            og, p.anchors, p.tables, p.lists, p.images,
+            og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -605,6 +650,7 @@ def extract_html(
         p.tables,
         p.lists,
         p.images,
+        p.jsonld,
     )
 
 

@@ -104,6 +104,9 @@ class ExtractResult:
     # v12 IMAGES: (src, alt) per <img> element in document order (HTML);
     # [] for PDFs. None when not requested / stats mode.
     images: list | None = None
+    # v13 JSONLD: raw stripped ld+json script payloads in document order
+    # (HTML); [] for PDFs. None when not requested / stats mode.
+    jsonld: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -195,11 +198,12 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The extraction surfaces a consumer can request (SPEC v1–v12).
+# The extraction surfaces a consumer can request (SPEC v1–v13).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
-     "headings", "ogmeta", "anchors", "tables", "lists", "images"}
+     "headings", "ogmeta", "anchors", "tables", "lists", "images",
+     "jsonld"}
 )
 
 
@@ -297,6 +301,7 @@ def _process_pdf(
     tables: list | None = [] if "tables" in want else None
     lists: list | None = [] if "lists" in want else None
     images: list | None = [] if "images" in want else None
+    jsonld: list | None = [] if "jsonld" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -326,6 +331,7 @@ def _process_pdf(
         tables=tables,
         lists=lists,
         images=images,
+        jsonld=jsonld,
         title=title,
         description=description,
         headings=headings,
@@ -363,7 +369,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
-            og, anchors, tables, lists, images,
+            og, anchors, tables, lists, images, jsonld,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -380,6 +386,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             lists = None
         if "images" not in want:
             images = None
+        if "jsonld" not in want:
+            jsonld = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -402,6 +410,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         tables = None
         lists = None
         images = None
+        jsonld = None
         title = None
         canonical = None
         description = None
@@ -419,6 +428,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         tables=tables,
         lists=lists,
         images=images,
+        jsonld=jsonld,
         title=title,
         canonical=canonical,
         description=description,

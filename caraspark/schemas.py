@@ -124,6 +124,11 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v13 JSONLD: raw stripped ld+json payloads in document order;
+        # [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "jsonld", T.ArrayType(T.StringType(), False), True
+        ),
         T.StructField(
             "verdict",
             T.StructType(

@@ -1173,6 +1173,43 @@ def html_images(rng: random.Random) -> bytes:
     ).encode()
 
 
+def html_jsonld(rng: random.Random) -> bytes:
+    """v13 JSONLD recipe: the ld+json edge matrix — a schema.org Article
+    payload with internal whitespace (preserved; only ends stripped), an
+    uppercase/padded type attr (still matches), a duplicate type attr
+    (first occurrence wins), a plain <script> (not collected), a
+    self-closing match and an empty match (both ""), a boiler-region
+    match (excluded), a <nav>-wrapped match (COLLECTED — like TITLE the
+    surface ignores tag-drop regions), and an unclosed match at EOF
+    (emits "" — html.parser never flushes unterminated CDATA)."""
+    n = rng.randrange(100)
+    w = _para(rng, 2).rstrip(".")
+    paras = "\n".join(f"<p>{_para(rng, 14)}</p>" for _ in range(2))
+    return (
+        "<html><head>"
+        '<script type="application/ld+json">\n'
+        f'{{"@type": "Article",\n "name": "a{n}"}}\n'
+        "</script>"
+        "</head><body>"
+        f"<p>intro {_para(rng, 12)}</p>"
+        '<script type=" APPLICATION/LD+JSON ">'
+        f'{{"pad":{n % 7}}}</script>'
+        '<script type="application/ld+json" type="text/plain">'
+        f'{{"firstwins":{n % 3}}}</script>'
+        f"<script>var x = {n};</script>"
+        '<script type="application/ld+json"/>'
+        '<script type="application/ld+json">   </script>'
+        '<div class="sidebar"><script type="application/ld+json">'
+        '{"boiler":1}</script></div>'
+        '<nav><script type="application/ld+json">'
+        f'{{"innav":{n % 5}}}</script></nav>'
+        f"{paras}"
+        '<script type="application/ld+json">'
+        f'{{"tail": "t{n}"'
+        "</body></html>"
+    ).encode()
+
+
 HTML_RECIPES = {
     "html_article": html_article,
     "html_linkfarm": html_linkfarm,
@@ -1188,6 +1225,7 @@ HTML_RECIPES = {
     "html_anchors": html_anchors,
     "html_lists": html_lists,
     "html_images": html_images,
+    "html_jsonld": html_jsonld,
 }
 
 LANGS = ["en", "es", "zh", "de", "fr"]

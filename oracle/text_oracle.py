@@ -1448,7 +1448,7 @@ def _html_anchors(blob: bytes) -> list[str]:
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
-    v10 tables, v11 lists, v12 images) — 2nd witness."""
+    v10 tables, v11 lists, v12 images, v13 jsonld) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1456,6 +1456,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None, _pdf_info_text(blob, "Subject"),
             _pdf_outline_levels(blob),
             (None, None, None),
+            [],
             [],
             [],
             [],
@@ -1471,7 +1472,68 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_tables(blob),
         _html_lists(blob),
         _html_images(blob),
+        _html_jsonld(blob),
     )
+
+
+def _html_jsonld(blob: bytes) -> list[str]:
+    """v13 JSONLD, second witness: its own event pass — one stripped raw
+    payload per <script type="application/ld+json"> element, collected
+    DESPITE tag-drop regions (like TITLE) but opaque inside boilerplate
+    attr-drop regions; self-closing matches emit ""; an open match at
+    EOF captures to end of input."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[str] = []
+    buf: list[str] = []
+    open_ = False
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def is_ld(attrs) -> bool:
+        t = next(
+            (v for k, v in attrs if k == "type" and v is not None), ""
+        )
+        return t.strip().lower() == "application/ld+json"
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val == "script" and is_ld(attrs):
+                open_, buf = True, []
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+        elif ev == "close":
+            if val == "script" and open_:
+                out.append("".join(buf).strip())
+                open_, buf = False, []
+            if val in _DROP:
+                drop = max(0, drop - 1)
+        elif ev == "selfclose":
+            if val == "script" and is_ld(attrs):
+                out.append("")
+        else:  # text
+            if open_ and val:
+                buf.append(val)
+    if open_:
+        out.append("".join(buf).strip())
+    return out
 
 
 def _html_images(blob: bytes) -> list[tuple[str, str]]:

@@ -1020,7 +1020,11 @@ def test_unclosed_title_does_not_eat_body_text():
              "<ul/>", "<ol class='menu'>", "item ",
              "<img src='/a.png' alt='x y'>", "<img src=' /b '/>", "<img>",
              "</img>", "<img class='advert' src='/r'>",
-             "<img src='/a.png' src='/2nd' alt=''>"]
+             "<img src='/a.png' src='/2nd' alt=''>",
+             '<script type="application/ld+json">{"a":1}</script>',
+             '<script type="application/ld+json">', "</script>",
+             '<script type="application/ld+json"/>', "<script>junk()",
+             '<script type=" LD+JSON ">no</script>']
         ),
         max_size=16,
     )
@@ -1367,3 +1371,57 @@ def test_html_v12_images_want_projection():
         PDF_RECIPES["pdf_minimal"](), want_text=False
     )
     assert pdf_stats.images is None
+
+
+def test_html_v13_jsonld_semantics():
+    """v13 JSONLD: the spec's edge matrix — internal whitespace
+    preserved / ends stripped, case-insensitive padded type attr, first
+    attr occurrence wins, plain scripts ignored, self-closing and empty
+    matches emit "", boiler regions excluded, tag-drop regions NOT
+    excluded (like TITLE), unclosed match at EOF emits "" (html.parser
+    never flushes unterminated CDATA) — engine and oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b'<body><p>t u v</p>'
+         b'<script type="application/ld+json">\n {"a": 1,\n "b": 2} \n'
+         b'</script>'
+         b'<script type=" APPLICATION/LD+JSON ">{"pad":1}</script>'
+         b'<script type="application/ld+json" type="text/plain">'
+         b'{"first":1}</script>'
+         b'<script>var x;</script>'
+         b'<script type="application/ld+json"/>'
+         b'<script type="application/ld+json"></script>'
+         b'<div class="sidebar">'
+         b'<script type="application/ld+json">{"no":1}</script></div>'
+         b'<nav><script type="application/ld+json">{"nav":1}</script></nav>'
+         b'<script type="application/ld+json">{"tail":1')
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[12] == [
+        '{"a": 1,\n "b": 2}',
+        '{"pad":1}',
+        '{"first":1}',
+        "",
+        "",
+        '{"nav":1}',
+        "",  # unclosed at EOF: entry emitted, CDATA never flushed
+    ]
+
+
+def test_html_v13_jsonld_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b'<body><p>real text</p>'
+            b'<script type="application/ld+json">{"x":1}</script></body>')
+    full = process_document(html)
+    assert full.jsonld == ['{"x":1}']
+    only = process_document(html, want={"jsonld"})
+    assert only.jsonld == ['{"x":1}'] and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.jsonld is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.jsonld is None
+    pdf = process_document(PDF_RECIPES["pdf_minimal"]())
+    assert pdf.jsonld == []

@@ -81,6 +81,7 @@ def build_extras():
     table_rows = []
     list_rows = []
     img_rows = []
+    jsonld_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -117,6 +118,7 @@ def build_extras():
                 **_table_facts(res),
                 **_list_facts(res),
                 **_img_facts(res),
+                **_jsonld_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -212,6 +214,8 @@ def build_extras():
             list_rows.append((idx, lst, item, depth, ordered, itext))
         for pos, (isrc, ialt) in enumerate(res.images):
             img_rows.append((idx, pos, isrc, ialt))
+        for pos, payload in enumerate(res.jsonld):
+            jsonld_rows.append((idx, pos, payload))
         html_idx.append(
             {
                 "idx": idx,
@@ -236,13 +240,14 @@ def build_extras():
                 **_table_facts(res),
                 **_list_facts(res),
                 **_img_facts(res),
+                **_jsonld_facts(res),
                 **_title_facts(res),
             }
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows, img_rows,
+        table_rows, list_rows, img_rows, jsonld_rows,
     )
 
 
@@ -256,6 +261,19 @@ def _img_facts(res) -> dict:
         "n_images": len(res.images),
         "images_sig": hashlib.md5(
             "\x1f".join(f"{s}:{a}" for s, a in res.images).encode("utf-8")
+        ).hexdigest(),
+    }
+
+
+def _jsonld_facts(res) -> dict:
+    """Mirror doc_jsonld_sig's JVM expression: md5 over the \x1f-joined
+    raw payloads in document order; None when not computed."""
+    if res.jsonld is None:
+        return {"n_jsonld": None, "jsonld_sig": None}
+    return {
+        "n_jsonld": len(res.jsonld),
+        "jsonld_sig": hashlib.md5(
+            "\x1f".join(res.jsonld).encode("utf-8")
         ).hexdigest(),
     }
 
@@ -369,7 +387,7 @@ def main() -> None:
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows, img_rows,
+        table_rows, list_rows, img_rows, jsonld_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -397,7 +415,8 @@ def main() -> None:
             f"ANCHOR_ROWS = {fmt(anchor_rows)}\n\n"
             f"TABLE_ROWS = {fmt(table_rows)}\n\n"
             f"LIST_ROWS = {fmt(list_rows)}\n\n"
-            f"IMG_ROWS = {fmt(img_rows)}\n"
+            f"IMG_ROWS = {fmt(img_rows)}\n\n"
+            f"JSONLD_ROWS = {fmt(jsonld_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -409,7 +428,8 @@ def main() -> None:
         f"{len(anchor_rows)} anchor rows, "
         f"{len(table_rows)} table rows, "
         f"{len(list_rows)} list rows, "
-        f"{len(img_rows)} img rows -> {path}"
+        f"{len(img_rows)} img rows, "
+        f"{len(jsonld_rows)} jsonld rows -> {path}"
     )
 
 
