@@ -517,3 +517,56 @@ def stream_images(spark, sf):
         F.max("src").alias("src_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_jsonld",
+    """WITH p AS (
+  SELECT '{"k":' || CAST(doc_id % 8 AS VARCHAR) || '}' AS payload
+  FROM documents
+  UNION ALL
+  SELECT '' FROM documents
+)
+SELECT payload <> '' AS nonempty, CAST(count(*) AS BIGINT) AS n_payloads,
+       min(payload) AS p_min, max(payload) AS p_max
+FROM p GROUP BY payload <> ''""",
+)
+def stream_jsonld(spark, sf):
+    """Streaming rollup over the v13 JSONLD surface: documents arrive as
+    micro-batches, each wrapped with one ld+json payload and one empty
+    match, extracted IN-STREAM by the same Arrow UDF; the exploded
+    payloads feed a stateful aggregation keyed by non-emptiness —
+    complete mode, two fixed-width state rows, same bounded-state shape
+    as the other per-surface stream rollups."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit('</p><script type="application/ld+json">{"k":'),
+                (F.col("doc_id") % 8).cast("string"),
+                F.lit("}</script>"),
+                F.lit('<script type="application/ld+json"></script>'),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    p = (
+        extract(raw)
+        .select(F.explode("jsonld").alias("payload"))
+        .select((F.col("payload") != "").alias("nonempty"), "payload")
+    )
+    out = p.groupBy("nonempty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.min("payload").alias("p_min"),
+        F.max("payload").alias("p_max"),
+    )
+    return S.run_to_memory(out, mode="complete")
