@@ -2856,3 +2856,60 @@ def ppl_buckets(spark, sf):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@_q(
+    "text_mojibake",
+    """WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                 THEN ' Ã©Ã¨ â€œquotedâ€ Â nbsp' ELSE '' END AS s
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(length(s) - length(replace(s, 'Ã', '')) AS BIGINT) AS n_ctilde,
+       CAST((length(s) - length(replace(s, 'â€', ''))) // 2 AS BIGINT)
+         AS n_smart,
+       CAST(length(s) - length(replace(s, 'Â', '')) AS BIGINT) AS n_nbsp,
+       (length(s) - length(replace(s, 'Ã', ''))
+        + (length(s) - length(replace(s, 'â€', ''))) // 2
+        + length(s) - length(replace(s, 'Â', ''))) > 0 AS mojibake
+FROM t""",
+)
+def text_mojibake(spark, sf):
+    """Mojibake (double-encoded UTF-8) detection: count the classic
+    UTF-8-bytes-read-as-Latin-1 marker sequences — 'Ã'+continuation
+    (é→Ã©), 'â€' (smart quotes →â€œ/â€), 'Â' (nbsp →Â ) — via the exact
+    replace-and-measure idiom (length minus length-after-replace), one
+    deterministic mojibake suffix injected per doc_id%5==0 row so the
+    detector's arithmetic is pinned on real hits.  A cleaning pipeline
+    routes flagged docs to a re-decode pass (ftfy-style) instead of
+    paying it for every document.
+
+    Scale: pure scan-stage char arithmetic — three replaces per doc, no
+    regex, no UDF, no shuffle (the output is the per-doc flag stream)."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" Ã©Ã¨ â€œquotedâ€ Â nbsp")
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", s.alias("s"))
+    n_ctilde = (
+        F.length("s") - F.length(F.replace(F.col("s"), F.lit("Ã")))
+    ).cast("bigint")
+    n_smart = (
+        (F.length("s") - F.length(F.replace(F.col("s"), F.lit("â€"))))
+        / 2
+    ).cast("bigint")
+    n_nbsp = (
+        F.length("s") - F.length(F.replace(F.col("s"), F.lit("Â")))
+    ).cast("bigint")
+    return t.select(
+        "doc_id",
+        n_ctilde.alias("n_ctilde"),
+        n_smart.alias("n_smart"),
+        n_nbsp.alias("n_nbsp"),
+        ((n_ctilde + n_smart + n_nbsp) > 0).alias("mojibake"),
+    )

@@ -196,6 +196,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Collection": Entry(Class("collection")),
             "URI": Entry(DICT),
             "Perms": Entry(Class("perms")),
+            "DSS": Entry(Class("dss")),
             "SpiderInfo": Entry(Class("webcapture_info")),
         }
     ),
@@ -971,7 +972,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Alternates": Entry(ARRAY),
             "StructParent": Entry(INT),
             "ID": Entry(STRING),
-            "OPI": Entry(DICT),
+            "OPI": Entry(Class("opi")),
         },
         is_stream=True,
     ),
@@ -1586,7 +1587,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Type": Entry(Exact("OCG"), required=True),
             "Name": Entry(STRING, required=True),
             "Intent": Entry(OneOf((NAME, ArrayOf(NAME)))),
-            "Usage": Entry(DICT),
+            "Usage": Entry(Class("ocg_usage")),
         }
     ),
     "ocmd": ClassDef(
@@ -2102,6 +2103,63 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "LastModified": Entry(STRING, required=True),
             "Private": Entry(ANY),
+        }
+    ),
+    # --- optional-content usage [PDF17 §8.11.4.4 table 102] ------------------
+    "ocg_usage": ClassDef(
+        {
+            "CreatorInfo": Entry(DICT),
+            "Language": Entry(DICT),
+            "Export": Entry(DICT),
+            "Zoom": Entry(DICT),
+            "Print": Entry(DICT),
+            "View": Entry(Class("ocg_usage_view")),
+            "User": Entry(DICT),
+            "PageElement": Entry(DICT),
+        }
+    ),
+    "ocg_usage_view": ClassDef(
+        {
+            "ViewState": Entry(NAME, required=True),
+        }
+    ),
+    # --- document security store [PDF 2.0 §12.8.4.3] -------------------------
+    "dss": ClassDef(
+        {
+            "Type": Entry(Exact("DSS")),
+            "VRI": Entry(DictOf(Class("vri"))),
+            "Certs": Entry(ArrayOf(STREAM)),
+            "OCSPs": Entry(ArrayOf(STREAM)),
+            "CRLs": Entry(ArrayOf(STREAM)),
+        }
+    ),
+    "vri": ClassDef(
+        {
+            "Type": Entry(Exact("VRI")),
+            "Cert": Entry(ArrayOf(STREAM)),
+            "OCSP": Entry(ArrayOf(STREAM)),
+            "CRL": Entry(ArrayOf(STREAM)),
+            "TU": Entry(STRING),
+            "TS": Entry(STREAM),
+        }
+    ),
+    # --- OPI proxy [PDF17 §14.11.7] -------------------------------------------
+    "opi": ClassDef(
+        {
+            "1.3": Entry(DICT),
+            "2.0": Entry(Class("opi20")),
+        }
+    ),
+    "opi20": ClassDef(
+        {
+            "Type": Entry(Exact("OPI")),
+            "Version": Entry(NUMBER, required=True),
+            "F": Entry(OneOf((STRING, Class("filespec"))), required=True),
+            "MainImage": Entry(STRING),
+            "CropRect": Entry(Tuple((INT,) * 4)),
+            "Overprint": Entry(BOOL),
+            "Inks": Entry(OneOf((NAME, ARRAY))),
+            "Size": Entry(Tuple((NUMBER, NUMBER))),
         }
     ),
 }

@@ -1898,3 +1898,89 @@ def test_piece_info_entries_typed():
         page_extra=b" /PieceInfo << /MyApp << /Private (x) >> >>",
     )
     assert "type.missing_required" in _codes(process_document(bad))
+
+
+# --- round-3f additions: OCG usage / DSS+VRI / OPI ---------------------------
+
+
+def test_ocg_usage_typed():
+    ok = _doc_catalog(
+        b" /OCProperties << /OCGs [5 0 R] /D << /Order [5 0 R] >> >>",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /OCG /Name (layer)"
+                b" /Usage << /View << /ViewState /ON >>"
+                b" /Print << /PrintState /ON >> >> >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "ocg"
+    # View usage requires /ViewState
+    bad = _doc_catalog(
+        b" /OCProperties << /OCGs [5 0 R] /D << >> >>",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /OCG /Name (l) /Usage << /View << >> >> >>",
+            ),
+        },
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_dss_and_vri_typed():
+    ok = _doc_catalog(
+        b" /DSS 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /DSS /Certs [6 0 R]"
+                b" /VRI << /A1B2 << /Type /VRI /Cert [6 0 R] >> >> >>",
+            ),
+            6: _stream_obj(6, b"", b"\x30\x82"),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "dss"
+    # Certs must be an array of streams
+    bad = _doc_catalog(
+        b" /DSS 5 0 R",
+        {5: _obj(5, b"<< /Type /DSS /Certs [(notastream)] >>")},
+    )
+    assert "type.mismatch" in _codes(process_document(bad))
+
+
+def test_opi_20_typed_in_image_xobject():
+    ok = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Image /Width 2 /Height 2"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                b" /OPI << /2.0 << /Type /OPI /Version 2.0"
+                b" /F (proxy.tif) /CropRect [0 0 2 2] >> >>",
+                b"\x00\x01\x02\x03",
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Im 5 0 R >> >>",
+    )
+    r = process_document(ok)
+    assert r.strict, r.errors_as_rows()
+    # OPI 2.0 requires /Version and /F
+    bad = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Image /Width 2 /Height 2"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                b" /OPI << /2.0 << /Type /OPI /Version 2.0 >> >>",
+                b"\x00\x01\x02\x03",
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Im 5 0 R >> >>",
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
