@@ -2913,3 +2913,61 @@ def text_mojibake(spark, sf):
         n_nbsp.alias("n_nbsp"),
         ((n_ctilde + n_smart + n_nbsp) > 0).alias("mojibake"),
     )
+
+
+def _host_reputation_sql() -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, lang,
+         len(string_split(text,' ')) AS n_tok,
+         len(list_filter(string_split(lower(text),' '),
+             x -> list_contains({_GOPHER_STOP!r}, x))) AS stop_cnt,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         len(list_filter(string_split(text,' '), x -> length(x) > 12))
+           AS n_long,
+         length(text) AS l
+  FROM documents WHERE length(text) > 0
+),
+scored AS (
+  SELECT source, lang,
+         6*(stop_cnt*1000 // n_tok) - 4*(n_digit*1000 // l)
+         - 3*(n_upper*1000 // l) - 40*n_long + n_tok AS score
+  FROM f
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score >= {_QL_THRESH} THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS keep_permille,
+       CAST(sum(score) AS BIGINT) AS score_sum,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM scored GROUP BY source
+"""
+
+
+@_q("host_reputation", _host_reputation_sql())
+def host_reputation(spark, sf):
+    """Host-level curation table: per source host, document count,
+    quality-classifier keep rate (exact per-mille), total quality score
+    and language spread — the table a crawl planner uses to gate
+    recrawl frequency and to drop chronically low-quality hosts before
+    per-document filtering ever runs.
+
+    Scale: the per-doc featurization is the quality_logit scan stage;
+    the rollup is one groupBy(source) with map-side combine and four
+    fixed-width accumulators — host cardinality (~10^7 at web scale)
+    fits a standard shuffle, and a hot host skews nothing because its
+    partial aggregates combine map-side."""
+    scored = quality_features(
+        load(spark, sf, "documents").filter(F.length("text") > 0),
+        extra=("source", "lang"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            f"CAST(sum(CASE WHEN score >= {_QL_THRESH} THEN 1 ELSE 0 END)"
+            " * 1000 DIV count(*) AS BIGINT)"
+        ).alias("keep_permille"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
