@@ -105,6 +105,7 @@ _ARROW_SCHEMA = pa.schema(
             True,
         ),
         pa.field("jsonld", pa.list_(pa.string()), True),
+        pa.field("robots_meta", pa.string(), True),
         pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
@@ -230,6 +231,7 @@ def _extract_batches(
             cols["lists"].append(r.lists_as_rows())
             cols["images"].append(r.images_as_rows())
             cols["jsonld"].append(r.jsonld)
+            cols["robots_meta"].append(r.robots_meta)
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

@@ -1493,3 +1493,79 @@ def jsonld_types(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
         F.countDistinct("url").cast("bigint").alias("n_docs"),
     )
+
+
+@_q(
+    "doc_robots",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 3 WHEN 0 THEN 'index, follow'
+            WHEN 1 THEN 'noindex,nofollow'
+            ELSE 'noarchive , nosnippet' END AS robots_meta
+FROM documents""",
+)
+def doc_robots(spark, sf):
+    """v14 ROBOTSMETA, hash-verified closed-form: each document is
+    wrapped in HTML carrying the robots edge matrix — an empty-content
+    decoy (must not take the first-wins slot), a case-mangled winner
+    (captured lowercased + whitespace-normalized), a later robots that
+    loses, and a boiler-region robots that is never seen — with the
+    directive chosen by doc_id so DuckDB predicts every row."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    winner = (
+        F.when(F.col("doc_id") % 3 == 0, "index,   Follow")
+        .when(F.col("doc_id") % 3 == 1, "NOINDEX,NOFOLLOW")
+        .otherwise("NoArchive , NoSnippet")
+    )
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><meta name='robots' content='  '>"),
+                F.lit("<meta name=' ROBOTS ' content=' "),
+                winner,
+                F.lit(" '><meta name='robots' content='loses'>"),
+                F.lit("</head><body>"),
+                F.lit("<div class='promo'>"
+                      "<meta name='robots' content='hidden'></div>"),
+                F.lit("<p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select("url", "robots_meta")
+
+
+@_q(
+    "filter_noindex",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, robots_meta,
+       position('noindex' IN robots_meta) > 0 AS excluded
+FROM perdoc WHERE robots_meta IS NOT NULL""".format(
+        corpus=corpus_cte(), perdoc=perdoc_cte()
+    ),
+)
+def filter_noindex(spark, sf):
+    """Crawl-compliance filter over the real corpus: every document that
+    declares a robots meta, with the exclusion verdict a lawful training
+    pipeline must apply (noindex pages never enter the dataset).  The
+    directive string itself is hash-verified against the frozen per-idx
+    facts, so the whole chain — charset decode, meta harvest, first-wins,
+    lowercasing — is pinned, not just the flag.
+
+    Scale: scan-stage predicate on an already-extracted scalar column —
+    zero shuffle; in the jobs pipeline this is the partition-pruning
+    predicate in front of every downstream consumer."""
+    ex = _extracted(spark, sf)
+    return ex.filter(F.col("robots_meta").isNotNull()).select(
+        "url",
+        "robots_meta",
+        F.col("robots_meta").contains("noindex").alias("excluded"),
+    )

@@ -154,6 +154,15 @@ and compared byte-for-byte per url):
   attr-drop region like any other tag (checked BEFORE collection, the
   shared v2 ordering) and therefore emits nothing.  PDFs yield [];
   stats mode (want_text=False) yields None.
+* ROBOTSMETA (v14, crawl-compliance signal): the content of the FIRST
+  ``<meta name="robots">`` (name compared trimmed + lowercased) with
+  non-empty content, lowercased and whitespace-normalized (directive
+  lists are case-insensitive comma tokens) — the noindex/nofollow
+  surface a compliant corpus pipeline must honor before a page enters
+  training data.  Collection placement is identical to HEADMETA:
+  despite tag-drop regions, opaque inside boilerplate attr-drop
+  regions, first occurrence wins; absent or empty -> None.  PDFs have
+  no robots meta (None); stats mode yields None.
 * JSONLD (v13, structured-data surface): one string per
   ``<script type="application/ld+json">`` element — the element's raw
   character data, stripped of leading/trailing whitespace (INTERNAL
@@ -251,6 +260,7 @@ class _Extractor(HTMLParser):
         self._title_done = False
         self.canonical: str | None = None
         self.description: str | None = None
+        self.robots_meta: str | None = None  # v14
         self.og_title: str | None = None
         self.og_description: str | None = None
         self.og_image: str | None = None
@@ -382,6 +392,12 @@ class _Extractor(HTMLParser):
                 desc = " ".join(a.get("content", "").split())
                 if desc:
                     self.description = desc
+            if self.robots_meta is None and (
+                a.get("name", "").strip().lower() == "robots"
+            ):
+                rb = " ".join(a.get("content", "").lower().split())
+                if rb:
+                    self.robots_meta = rb
             prop = a.get("property", "").strip().lower()
             if prop == "og:title" and self.og_title is None:
                 t = " ".join(a.get("content", "").split())
@@ -610,7 +626,8 @@ def extract_html(
     to outlinks; tables is the (table, row, col, header, cell) tuple
     list; lists is the (list, item, depth, ordered, item_text) tuple
     list; images is the (src, alt) pair list in document order; jsonld
-    is the raw stripped ld+json payload list (v13)."""
+    is the raw stripped ld+json payload list (v13); robots_meta is the
+    first robots-meta content, lowercased+normalized (v14)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -630,6 +647,7 @@ def extract_html(
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
+            p.robots_meta,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -651,6 +669,7 @@ def extract_html(
         p.lists,
         p.images,
         p.jsonld,
+        p.robots_meta,
     )
 
 

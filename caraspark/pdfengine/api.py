@@ -107,6 +107,9 @@ class ExtractResult:
     # v13 JSONLD: raw stripped ld+json script payloads in document order
     # (HTML); [] for PDFs. None when not requested / stats mode.
     jsonld: list | None = None
+    # v14 ROBOTSMETA: first <meta name=robots> content, lowercased +
+    # normalized (HTML); None for PDFs / absent / stats mode.
+    robots_meta: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -198,12 +201,12 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The extraction surfaces a consumer can request (SPEC v1–v13).
+# The extraction surfaces a consumer can request (SPEC v1–v14).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
-     "jsonld"}
+     "jsonld", "robots"}
 )
 
 
@@ -369,7 +372,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         # is in what crosses the Arrow boundary, not the parse.
         (
             text, spans, outlinks, title, canonical, description, headings,
-            og, anchors, tables, lists, images, jsonld,
+            og, anchors, tables, lists, images, jsonld, robots_meta,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -388,6 +391,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             images = None
         if "jsonld" not in want:
             jsonld = None
+        if "robots" not in want:
+            robots_meta = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -411,6 +416,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         lists = None
         images = None
         jsonld = None
+        robots_meta = None
         title = None
         canonical = None
         description = None
@@ -429,6 +435,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         lists=lists,
         images=images,
         jsonld=jsonld,
+        robots_meta=robots_meta,
         title=title,
         canonical=canonical,
         description=description,

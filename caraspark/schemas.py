@@ -129,6 +129,9 @@ EXTRACTED = T.StructType(
         T.StructField(
             "jsonld", T.ArrayType(T.StringType(), False), True
         ),
+        # v14 ROBOTSMETA: first robots-meta content, lowercased; NULL for
+        # PDFs / absent / stats mode
+        T.StructField("robots_meta", T.StringType(), True),
         T.StructField(
             "verdict",
             T.StructType(

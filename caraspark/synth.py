@@ -1063,10 +1063,16 @@ def html_ogmeta(rng: random.Random) -> bytes:
     (collected despite head's tag-drop), an empty-content og:title decoy
     FIRST (must not consume the first-wins slot), a second og:image that
     must lose, and an og:description inside a boiler sidebar (opaque —
-    the later in-head one wins)."""
+    the later in-head one wins).  Since v14 also carries the robots-meta
+    edge matrix: an empty-content robots decoy, the case-mangled winner
+    (lowercased + normalized on capture), a second robots that loses,
+    and a boiler-region robots that is never seen."""
     t = _para(rng, 4).rstrip(".")
     desc = _para(rng, 9)
     img = f"/img/{rng.randrange(1000)}.png"
+    rb = ["index, follow", "NOINDEX,NOFOLLOW", "NoArchive , NoSnippet"][
+        rng.randrange(3)
+    ]
     paras = "\n".join(f"<p>{_para(rng, 18)}</p>" for _ in range(2))
     return (
         "<html><head>"
@@ -1074,9 +1080,13 @@ def html_ogmeta(rng: random.Random) -> bytes:
         f"<meta property=' OG:Title ' content=' {t}   here '>"
         f"<meta property='og:image' content=' {img} '>"
         "<meta property='og:image' content='/loses.png'>"
+        "<meta name='robots' content='  '>"
+        f"<meta name=' Robots ' content='  {rb}  '>"
+        "<meta name='robots' content='all-loses'>"
         "</head><body>"
         f"<div class='sidebar'><meta property='og:description' "
-        f"content='hidden'><p>menu {t}</p></div>"
+        f"content='hidden'><meta name='robots' content='boiler-hidden'>"
+        f"<p>menu {t}</p></div>"
         f"<meta property='og:description' content=' {desc} '>"
         f"<div class='content'>{paras}</div>"
         "</body></html>"

@@ -1448,7 +1448,8 @@ def _html_anchors(blob: bytes) -> list[str]:
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
-    v10 tables, v11 lists, v12 images, v13 jsonld) — 2nd witness."""
+    v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta) —
+    2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1461,6 +1462,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             [],
             [],
             [],
+            None,
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1473,7 +1475,57 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_lists(blob),
         _html_images(blob),
         _html_jsonld(blob),
+        _html_robots(blob),
     )
+
+
+def _html_robots(blob: bytes) -> str | None:
+    """v14 ROBOTSMETA, second witness: its own event pass — the first
+    non-empty <meta name="robots"> content, lowercased + normalized;
+    same placement contract as v6 HEADMETA."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    robots = None
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            continue
+        if ev not in ("open", "selfclose"):
+            continue
+        if val == "meta" and robots is None:
+            a = {k: v for k, v in attrs if v is not None}
+            if a.get("name", "").strip().lower() == "robots":
+                rb = " ".join(a.get("content", "").lower().split())
+                if rb:
+                    robots = rb
+            if ev == "selfclose":
+                continue
+        elif ev == "selfclose":
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+    return robots
 
 
 def _html_jsonld(blob: bytes) -> list[str]:

@@ -1024,7 +1024,10 @@ def test_unclosed_title_does_not_eat_body_text():
              '<script type="application/ld+json">{"a":1}</script>',
              '<script type="application/ld+json">', "</script>",
              '<script type="application/ld+json"/>', "<script>junk()",
-             '<script type=" LD+JSON ">no</script>']
+             '<script type=" LD+JSON ">no</script>',
+             "<meta name='robots' content='NOINDEX, nofollow'>",
+             "<meta name=' Robots ' content='all'>",
+             "<meta name='robots' content=''>"]
         ),
         max_size=16,
     )
@@ -1425,3 +1428,38 @@ def test_html_v13_jsonld_want_projection():
     assert stats.jsonld is None
     pdf = process_document(PDF_RECIPES["pdf_minimal"]())
     assert pdf.jsonld == []
+
+
+def test_html_v14_robots_meta_semantics():
+    """v14 ROBOTSMETA: first-wins with empty-content decoys skipped,
+    trimmed+lowercased name match, lowercased+normalized capture,
+    boiler regions opaque, tag-drop regions transparent — engine and
+    oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<head><meta name='robots' content='   '>"
+         b"<meta name=' ROBOTS ' content=' NOINDEX,  NoFollow '>"
+         b"<meta name='robots' content='loses'></head>"
+         b"<body><div class='sidebar'>"
+         b"<meta name='robots' content='hidden'></div><p>t</p></body>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[13] == "noindex, nofollow"
+
+
+def test_html_v14_robots_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<head><meta name='robots' content='noindex'></head>"
+            b"<body><p>real text</p></body>")
+    full = process_document(html)
+    assert full.robots_meta == "noindex"
+    only = process_document(html, want={"robots"})
+    assert only.robots_meta == "noindex" and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.robots_meta is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.robots_meta is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).robots_meta is None

@@ -286,6 +286,7 @@ def _title_facts(res) -> dict:
         "og_title": res.og_title,
         "og_description": res.og_description,
         "og_image": res.og_image,
+        "robots_meta": res.robots_meta,
         "n_headings": None if res.headings is None else len(res.headings),
         "headings_sig": (
             None
