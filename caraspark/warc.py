@@ -533,17 +533,31 @@ def warc_cdx(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def _wat_json_str(s: str) -> str:
+    """Minimal JSON string escaping (backslash, quote, control chars) —
+    hand-rolled so the byte stream stays a deterministic concat the SQL
+    oracle can mirror; full json.dumps would also escape non-ASCII,
+    changing bytes the oracle can't cheaply reproduce."""
+    out = s.replace("\\", "\\\\").replace('"', '\\"')
+    return "".join(
+        c if c >= " " else "\\u%04x" % ord(c) for c in out
+    )
+
+
 def _wat_payload(url: str, title: str, links: list[str]) -> bytes:
     """The WAT record payload: one compact JSON envelope per response —
     keys emitted in a FIXED order (links, title, url) with no whitespace,
     so the byte stream is deterministic and a SQL oracle can recompute
-    its digest by plain string concatenation.  Mirrors the shape of
-    Common Crawl's Envelope.Payload-Metadata.HTTP-Response-Metadata
-    .HTML-Metadata (links + head title), flattened."""
+    its digest by plain string concatenation (oracle values contain no
+    escapable chars; real-world values are escaped here).  Mirrors the
+    shape of Common Crawl's Envelope.Payload-Metadata
+    .HTTP-Response-Metadata.HTML-Metadata (links + head title),
+    flattened."""
     body = (
         '{"links":['
-        + ",".join('"' + l + '"' for l in links)
-        + '],"title":"' + title + '","url":"' + url + '"}'
+        + ",".join('"' + _wat_json_str(l) + '"' for l in links)
+        + '],"title":"' + _wat_json_str(title)
+        + '","url":"' + _wat_json_str(url) + '"}'
     )
     return body.encode("utf-8")
 

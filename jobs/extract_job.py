@@ -222,6 +222,14 @@ def main() -> None:
                          "only when no concurrent writers can exist")
     ap.add_argument("--rollback", type=int, default=None,
                     help="roll the table back to this snapshot id")
+    ap.add_argument("--wet", metavar="DIR", default=None,
+                    help="after (or instead of) extracting, write the "
+                         "current snapshot's text as WET-style WARC "
+                         "conversion records to DIR")
+    ap.add_argument("--wat", metavar="DIR", default=None,
+                    help="write the current snapshot's (url, title, "
+                         "outlinks) metadata as WAT-style WARC records "
+                         "to DIR")
     args = ap.parse_args()
     spark = get_spark("caraspark-extract-job")
     if args.rollback is not None:
@@ -238,6 +246,22 @@ def main() -> None:
                 args.expire_keep, orphan_min_age_s=args.expire_age
             )
         )
+        return
+    if args.wet or args.wat:
+        # off-ramps read the CURRENT snapshot — run after an extract pass
+        from caraspark.warc import wat_sink_df, wet_sink_df
+
+        snap = read_extracted(spark, args.output)
+        if args.wet:
+            wet_sink_df(snap.select("url", "text")).write.mode(
+                "overwrite"
+            ).parquet(args.wet)
+            print({"wet_files": spark.read.parquet(args.wet).count()})
+        if args.wat:
+            wat_sink_df(
+                snap.select("url", "title", "outlinks")
+            ).write.mode("overwrite").parquet(args.wat)
+            print({"wat_files": spark.read.parquet(args.wat).count()})
         return
     stats = run_job(
         spark,

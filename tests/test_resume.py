@@ -410,3 +410,47 @@ def test_incremental_read_covers_chain_disjointly(spark, tmp_path):
         assert got <= full  # but only with already-known rows
         # and the full view is unchanged by the rewrite
         assert {r["url"] for r in read_extracted(spark, out).collect()} == full
+
+
+def test_wet_wat_offramps_roundtrip(spark, tmp_path):
+    """The job's --wet/--wat off-ramps: the snapshot's text and metadata
+    serialize to WARC conversion/metadata records that parse back with
+    byte-identical payloads per url."""
+    from caraspark.warc import parse_warc, wat_sink_df, wet_sink_df
+
+    out = str(tmp_path / "tbl")
+    run_job(spark, None, out, units=4, unit_chunk=4, synth_docs=48)
+    snap = read_extracted(spark, out)
+    expected = {
+        r["url"]: (r["text"] or b"")
+        for r in snap.select("url", "text").collect()
+    }
+
+    wet = wet_sink_df(snap.select("url", "text"), partitions=2)
+    got = {}
+    for row in wet.collect():
+        for rec in parse_warc(bytes(row["warc"])):
+            if rec["rec_type"] == "conversion":
+                got[rec["url"]] = rec["payload"]
+    assert got == expected
+
+    wat = wat_sink_df(
+        snap.select("url", "title", "outlinks"), partitions=2
+    )
+    meta = {
+        r["url"]: (r["title"], list(r["outlinks"] or []))
+        for r in snap.select("url", "title", "outlinks").collect()
+    }
+    seen = set()
+    for row in wat.collect():
+        for rec in parse_warc(bytes(row["warc"])):
+            if rec["rec_type"] != "metadata":
+                continue
+            t, links = meta[rec["url"]]
+            body = rec["payload"].decode("utf-8")
+            assert body.startswith('{"links":[')
+            assert f'"title":"{t or ""}"' in body
+            for ln in links:
+                assert f'"{ln}"' in body
+            seen.add(rec["url"])
+    assert seen == set(meta)
