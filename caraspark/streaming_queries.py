@@ -570,3 +570,50 @@ def stream_jsonld(spark, sf):
         F.max("payload").alias("p_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_robots",
+    """SELECT CASE doc_id % 3 WHEN 1 THEN 'noindex,nofollow'
+           WHEN 2 THEN 'index, follow' ELSE 'all' END AS robots_meta,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY CASE doc_id % 3 WHEN 1 THEN 'noindex,nofollow'
+           WHEN 2 THEN 'index, follow' ELSE 'all' END""",
+)
+def stream_robots(spark, sf):
+    """Streaming compliance monitor over the v14 ROBOTSMETA surface:
+    pages arrive as micro-batches, each carrying a deterministic robots
+    meta, extracted IN-STREAM; the per-directive document counts are the
+    live dashboard a crawl operator watches to see noindex rates shift —
+    complete mode, three fixed-width state rows."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    directive = (
+        F.when(F.col("doc_id") % 3 == 1, "NOINDEX,NOFOLLOW")
+        .when(F.col("doc_id") % 3 == 2, "index,  Follow")
+        .otherwise("ALL")
+    )
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><meta name='robots' content='"),
+                directive,
+                F.lit("'></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    out = (
+        extract(raw)
+        .groupBy("robots_meta")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return S.run_to_memory(out, mode="complete")
