@@ -765,3 +765,27 @@ def test_ppl_buckets_cutoffs_broadcast_corpus_never_sorted(spark, sf_smoke, qs):
         n = sum(v for (l, b), v in by_lang.items() if l == lang)
         head = by_lang.get((lang, "head"), 0)
         assert head * 3 >= n - 2 * by_lang.get((lang, "middle"), 0) - 1 or head > 0
+
+
+def test_filter_noindex_is_scan_stage_no_shuffle(spark, sf_smoke, qs):
+    """The compliance filter must stay a scan-stage predicate over the
+    extracted robots_meta column: it may add NO exchange beyond the ones
+    the extraction pipeline itself performs (the salting repartition) —
+    at 10^12 docs this runs in front of every consumer."""
+    from caraspark.extract_queries import _extracted
+
+    base = plan_of(_extracted(spark, sf_smoke)).count("Exchange")
+    p = plan_of(qs["filter_noindex"](spark, sf_smoke))
+    assert p.count("Exchange") <= base, p
+    assert "Sort" not in p, p
+    rows = qs["filter_noindex"](spark, sf_smoke).collect()
+    assert all((r.excluded == ("noindex" in r.robots_meta)) for r in rows)
+
+
+def test_host_reputation_partial_then_final_agg(spark, sf_smoke, qs):
+    """The host rollup must combine map-side (hot hosts produce partial
+    aggregates everywhere, never one giant group in one task)."""
+    p = plan_of(qs["host_reputation"](spark, sf_smoke), "simple")
+    assert "partial" in p, p
+    rows = qs["host_reputation"](spark, sf_smoke).collect()
+    assert all(0 <= r.keep_permille <= 1000 for r in rows)
