@@ -1274,7 +1274,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "D": Entry(OneOf((ARRAY, NAME, STRING)), required=True),
             "F": Entry(OneOf((STRING, Class("filespec")))),
             "NewWindow": Entry(BOOL),
-            "T": Entry(DICT),  # target dictionary [table 202]
+            "T": Entry(Class("gotoe_target")),  # [table 202]
         }
     ),
     # form actions [PDF17 §12.7.5.2–12.7.5.4]
@@ -1625,7 +1625,7 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "Type": Entry(Exact("Thread")),
             "F": Entry(Class("bead"), required=True),
-            "I": Entry(DICT),
+            "I": Entry(Class("thread_info")),
         }
     ),
     "bead": ClassDef(
@@ -2103,6 +2103,27 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "LastModified": Entry(STRING, required=True),
             "Private": Entry(ANY),
+        }
+    ),
+    # --- embedded go-to target [PDF17 §12.6.4.4 table 202] -------------------
+    "gotoe_target": ClassDef(
+        {
+            "R": Entry(OneOf((Exact("P"), Exact("C"))), required=True),
+            "N": Entry(STRING),
+            "P": Entry(OneOf((INT, STRING))),
+            "A": Entry(OneOf((INT, STRING))),
+            "T": Entry(Class("gotoe_target")),  # recursive chain
+        }
+    ),
+    # --- article-thread information dictionary [PDF17 §12.4.3] ---------------
+    "thread_info": ClassDef(
+        {
+            "Title": Entry(STRING),
+            "Author": Entry(STRING),
+            "Subject": Entry(STRING),
+            "Keywords": Entry(STRING),
+            "CreationDate": Entry(STRING),
+            "ModDate": Entry(STRING),
         }
     ),
     # --- optional-content usage [PDF17 §8.11.4.4 table 102] ------------------

@@ -1984,3 +1984,82 @@ def test_opi_20_typed_in_image_xobject():
         page_extra=b" /Resources << /XObject << /Im 5 0 R >> >>",
     )
     assert "type.missing_required" in _codes(process_document(bad))
+
+
+# --- round-3g additions: GoToE targets / thread info --------------------------
+
+
+def test_gotoe_target_chain_typed():
+    ok = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /GoToE /D [0 /Fit]"
+                b" /T << /R /C /N (child)"
+                b" /T << /R /P /P 0 /A (att1) >> >> >>",
+            ),
+        },
+    )
+    r = process_document(ok)
+    assert r.strict, r.errors_as_rows()
+    # target /R is required and must be /P or /C
+    bad = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /GoToE /D [0 /Fit]"
+                b" /T << /N (child) >> >>",
+            ),
+        },
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+    bad2 = _doc_catalog(
+        b" /OpenAction 5 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Action /S /GoToE /D [0 /Fit]"
+                b" /T << /R /X >> >>",
+            ),
+        },
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_thread_info_typed():
+    ok = _doc_catalog(
+        b" /Threads [5 0 R]",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Thread /F 6 0 R"
+                b" /I << /Title (story) /Author (a) >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Bead /T 5 0 R /N 6 0 R /V 6 0 R /P 3 0 R"
+                b" /R [0 0 9 9] >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "thread"
+    # info /Title must be a string
+    bad = _doc_catalog(
+        b" /Threads [5 0 R]",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Thread /F 6 0 R /I << /Title /NotAString >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Bead /T 5 0 R /N 6 0 R /V 6 0 R /P 3 0 R"
+                b" /R [0 0 9 9] >>",
+            ),
+        },
+    )
+    assert "type.mismatch" in _codes(process_document(bad))
