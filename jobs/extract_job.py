@@ -94,9 +94,14 @@ def run_job(
     unit_chunk: int = 16,
     synth_docs: int = 0,
     fail_after_chunks: int | None = None,
+    honor_robots: bool = False,
 ) -> dict:
     """Returns run stats. ``fail_after_chunks`` is the crash-injection hook
-    used by the resume test."""
+    used by the resume test. ``honor_robots`` drops pages whose extracted
+    robots meta declares ``noindex`` BEFORE they land in the snapshot —
+    the exclusion is a scan-stage predicate on the already-extracted
+    column (v14 SPEC), so compliance costs no extra pass; the dropped
+    count is reported per run."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     man = SnapshotManifest(output_dir)
@@ -117,12 +122,20 @@ def run_job(
             raw = spark.read.parquet(input_path)
         stage_input(spark, raw, stage_dir, units)
 
+    n_noindex = 0
     for i in range(0, len(todo), unit_chunk):
         chunk = todo[i : i + unit_chunk]
         part = chunk_input(spark, stage_dir, chunk)
         ex = extract(part).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
         )
+        if honor_robots:
+            keep = F.col("robots_meta").isNull() | ~F.col(
+                "robots_meta"
+            ).contains("noindex")
+            dropped = ex.filter(~keep)
+            n_noindex += int(dropped.count())
+            ex = ex.filter(keep)
         ex.write.mode("overwrite").partitionBy("bucket").parquet(gen_dir)
         out_paths = [
             p
@@ -140,13 +153,16 @@ def run_job(
 
         shutil.rmtree(stage_dir, ignore_errors=True)
     wall = time.time() - t0
-    return {
+    stats = {
         "crashed": False,
         "chunks": n_chunks,
         "docs": docs_done,
         "wall_s": round(wall, 3),
         "units_done": len(man.committed_units()),
     }
+    if honor_robots:
+        stats["noindex_dropped"] = n_noindex
+    return stats
 
 
 def _empty_extracted(spark):
@@ -222,6 +238,9 @@ def main() -> None:
                          "only when no concurrent writers can exist")
     ap.add_argument("--rollback", type=int, default=None,
                     help="roll the table back to this snapshot id")
+    ap.add_argument("--honor-robots", action="store_true",
+                    help="drop noindex pages (v14 robots meta) before "
+                         "they land in the snapshot")
     ap.add_argument("--wet", metavar="DIR", default=None,
                     help="after (or instead of) extracting, write the "
                          "current snapshot's text as WET-style WARC "
@@ -270,6 +289,7 @@ def main() -> None:
         units=args.units,
         unit_chunk=args.unit_chunk,
         synth_docs=args.synth_docs,
+        honor_robots=args.honor_robots,
     )
     print(stats)
 

@@ -454,3 +454,31 @@ def test_wet_wat_offramps_roundtrip(spark, tmp_path):
                 assert f'"{ln}"' in body
             seen.add(rec["url"])
     assert seen == set(meta)
+
+
+def test_honor_robots_drops_noindex_before_commit(spark, tmp_path):
+    """--honor-robots: pages declaring noindex never reach the snapshot;
+    the run reports the dropped count; compliant pages are unaffected."""
+    import pyspark.sql.functions as F
+
+    from caraspark.schemas import DOCUMENTS_RAW
+
+    rows = []
+    for i in range(24):
+        directive = "noindex,nofollow" if i % 3 == 0 else "index, follow"
+        html = (
+            f"<html><head><meta name='robots' content='{directive}'>"
+            f"</head><body><p>doc {i} body text</p></body></html>"
+        ).encode()
+        rows.append((f"u{i}", None, html, None, "en"))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, DOCUMENTS_RAW).write.parquet(src)
+    out = str(tmp_path / "tbl")
+    stats = run_job(spark, src, out, units=4, unit_chunk=4,
+                    honor_robots=True)
+    assert stats["noindex_dropped"] == 8
+    snap = read_extracted(spark, out)
+    assert snap.count() == 16
+    assert snap.filter(
+        F.col("robots_meta").contains("noindex")
+    ).count() == 0
