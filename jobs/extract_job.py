@@ -129,13 +129,17 @@ def run_job(
         ex = extract(part).withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
         )
+        n_in = 0
         if honor_robots:
-            keep = F.col("robots_meta").isNull() | ~F.col(
-                "robots_meta"
-            ).contains("noindex")
-            dropped = ex.filter(~keep)
-            n_noindex += int(dropped.count())
-            ex = ex.filter(keep)
+            # extraction is 1:1 per input row, so the dropped count is
+            # (staged input rows) - (written rows) — both come from
+            # parquet footers; counting the filtered-out side directly
+            # would run the extraction UDF a second time per chunk
+            n_in = int(part.count())
+            ex = ex.filter(
+                F.col("robots_meta").isNull()
+                | ~F.col("robots_meta").contains("noindex")
+            )
         ex.write.mode("overwrite").partitionBy("bucket").parquet(gen_dir)
         out_paths = [
             p
@@ -143,6 +147,8 @@ def run_job(
             if os.path.isdir(p := os.path.join(gen_dir, f"bucket={u}"))
         ]
         n = int(spark.read.parquet(*out_paths).count()) if out_paths else 0
+        if honor_robots:
+            n_noindex += n_in - n
         man.commit({u: {"rows": None, "chunk": n_chunks} for u in chunk})
         docs_done += n
         n_chunks += 1
