@@ -328,8 +328,11 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Type": Entry(Exact("Font"), required=True),
             "Subtype": Entry(Exact("Type0"), required=True),
             "BaseFont": Entry(NAME, required=True),
-            # a predefined CMap name or an embedded CMap stream
-            "Encoding": Entry(OneOf((NAME, STREAM)), required=True),
+            # a predefined CMap name or an embedded CMap stream (typed:
+            # the stream form must carry CMapName + CIDSystemInfo)
+            "Encoding": Entry(
+                OneOf((NAME, Class("cmap_stream"))), required=True
+            ),
             # spec: a one-element array holding the CIDFont
             "DescendantFonts": Entry(
                 Tuple((Class("font_cid"),)), required=True
@@ -391,7 +394,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Contents": Entry(STRING, required=True),
             "ByteRange": Entry(ArrayOf(INT), required=True),
             "Cert": Entry(OneOf((STRING, ArrayOf(STRING)))),
-            "Reference": Entry(ARRAY),
+            "Reference": Entry(ArrayOf(Class("sig_ref"))),
             "Changes": Entry(Tuple((INT, INT, INT))),
             "M": Entry(STRING),
             "Name": Entry(STRING),
@@ -1165,13 +1168,39 @@ TYPEDEFS: dict[str, ClassDef] = {
             "SA": Entry(BOOL),
             "FL": Entry(NUMBER),
             "SM": Entry(NUMBER),
-            "BG": Entry(OneOf((DICT, STREAM, NAME))),
-            "BG2": Entry(OneOf((DICT, STREAM, NAME))),
-            "UCR": Entry(OneOf((DICT, STREAM, NAME))),
-            "UCR2": Entry(OneOf((DICT, STREAM, NAME))),
-            "TR": Entry(ANY),
-            "TR2": Entry(ANY),
-            "HT": Entry(OneOf((DICT, STREAM, NAME))),
+            # black-generation / undercolor-removal: a function; the "2"
+            # variants additionally admit /Default [PDF17 table 58]
+            "BG": Entry(OneOf(_FUNC_ALTS)),
+            "BG2": Entry(OneOf(_FUNC_ALTS + (Exact("Default"),))),
+            "UCR": Entry(OneOf(_FUNC_ALTS)),
+            "UCR2": Entry(OneOf(_FUNC_ALTS + (Exact("Default"),))),
+            # transfer: function, 4-tuple of functions, or /Identity
+            # (/Default additionally allowed in TR2)
+            "TR": Entry(
+                OneOf(
+                    _FUNC_ALTS
+                    + (ArrayOf(FUNCTION), Exact("Identity"))
+                )
+            ),
+            "TR2": Entry(
+                OneOf(
+                    _FUNC_ALTS
+                    + (ArrayOf(FUNCTION), Exact("Identity"), Exact("Default"))
+                )
+            ),
+            # halftone: /Default or a typed halftone dict/stream [§10.5]
+            "HT": Entry(
+                OneOf(
+                    (
+                        NAME,
+                        Class("halftone_type1"),
+                        Class("halftone_type5"),
+                        Class("halftone_type6"),
+                        Class("halftone_type10"),
+                        Class("halftone_type16"),
+                    )
+                )
+            ),
         }
     ),
     # --- actions [PDF17 §12.6] ---------------------------------------------
@@ -1431,7 +1460,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "N": Entry(STRING),
             "C": Entry(Class("media_clip")),  # selector renditions: /R
             "R": Entry(ARRAY),
-            "P": Entry(DICT),
+            "P": Entry(Class("media_play_params")),
             "MH": Entry(DICT),
             "BE": Entry(DICT),
         }
@@ -2183,6 +2212,176 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Size": Entry(Tuple((NUMBER, NUMBER))),
         }
     ),
+    # --- signature reference dictionaries [PDF17 §12.8.2 table 253] ----------
+    # /Reference in a signature is an array of these; the transform method
+    # discriminates which params class applies (caradoc types each MDP
+    # variant's params separately — an /Action-less FieldMDP is an error).
+    "sig_ref": ClassDef(
+        {
+            "Type": Entry(Exact("SigRef")),
+            "TransformMethod": Entry(
+                OneOf((Exact("DocMDP"), Exact("UR"), Exact("FieldMDP"))),
+                required=True,
+            ),
+            "TransformParams": Entry(
+                OneOf(
+                    (
+                        Class("transform_docmdp"),
+                        Class("transform_ur"),
+                        Class("transform_fieldmdp"),
+                    )
+                )
+            ),
+            "Data": Entry(ANY),
+            "DigestMethod": Entry(NAME),
+        }
+    ),
+    # The spec discriminates params by the SIBLING /TransformMethod, which
+    # the per-value DSL cannot see; closing the three classes lets the
+    # union probe discriminate by key-set instead (closed = exhaustive).
+    # DocMDP params [table 254]: /P access level is exactly 1, 2 or 3
+    "transform_docmdp": ClassDef(
+        {
+            "Type": Entry(Exact("TransformParams")),
+            "P": Entry(OneOf((ExactInt(1), ExactInt(2), ExactInt(3)))),
+            "V": Entry(NAME),
+        },
+        closed=True,
+    ),
+    # usage-rights params [table 255]
+    "transform_ur": ClassDef(
+        {
+            "Type": Entry(Exact("TransformParams")),
+            "Document": Entry(ArrayOf(NAME)),
+            "Msg": Entry(STRING),
+            "V": Entry(NAME),
+            "Annots": Entry(ArrayOf(NAME)),
+            "Form": Entry(ArrayOf(NAME)),
+            "Signature": Entry(ArrayOf(NAME)),
+            "EF": Entry(ArrayOf(NAME)),
+            "P": Entry(BOOL),
+        },
+        closed=True,
+    ),
+    # FieldMDP params [table 256]: /Action required; Include/Exclude need
+    # the field-name list
+    "transform_fieldmdp": ClassDef(
+        {
+            "Type": Entry(Exact("TransformParams")),
+            "Action": Entry(
+                OneOf((Exact("All"), Exact("Include"), Exact("Exclude"))),
+                required=True,
+            ),
+            "Fields": Entry(ArrayOf(STRING)),
+            "V": Entry(NAME),
+        },
+        closed=True,
+    ),
+    # --- embedded CMap streams [PDF17 §9.7.5.3 table 120] --------------------
+    # a Type0 font's /Encoding may be a predefined CMap NAME or an embedded
+    # CMap stream; the stream form requires its own name + CIDSystemInfo
+    "cmap_stream": ClassDef(
+        {
+            "Type": Entry(Exact("CMap")),
+            "CMapName": Entry(NAME, required=True),
+            "CIDSystemInfo": Entry(Class("cid_system_info"), required=True),
+            "WMode": Entry(OneOf((ExactInt(0), ExactInt(1)))),
+            "UseCMap": Entry(OneOf((NAME, Class("cmap_stream")))),
+        },
+        is_stream=True,
+    ),
+    # --- halftones [PDF17 §10.5 tables 128-132] -------------------------------
+    # discriminated by exact /HalftoneType with per-type REQUIRED entries;
+    # types 2/3/4 don't exist, so a dict matching no alternative is a type
+    # error by construction (same exhaustive posture as shading/function)
+    "halftone_type1": ClassDef(
+        {
+            "Type": Entry(Exact("Halftone")),
+            "HalftoneType": Entry(ExactInt(1), required=True),
+            "HalftoneName": Entry(STRING),
+            "Frequency": Entry(NUMBER, required=True),
+            "Angle": Entry(NUMBER, required=True),
+            "SpotFunction": Entry(
+                OneOf((NAME,) + _FUNC_ALTS), required=True
+            ),
+            "AccurateScreens": Entry(BOOL),
+            "TransferFunction": Entry(OneOf((Exact("Identity"),) + _FUNC_ALTS)),
+        }
+    ),
+    # type 5: one sub-halftone per colorant (open class — colorant names are
+    # arbitrary keys) plus a REQUIRED /Default
+    "halftone_type5": ClassDef(
+        {
+            "Type": Entry(Exact("Halftone")),
+            "HalftoneType": Entry(ExactInt(5), required=True),
+            "HalftoneName": Entry(STRING),
+            "Default": Entry(
+                OneOf(
+                    (
+                        Class("halftone_type1"),
+                        Class("halftone_type6"),
+                        Class("halftone_type10"),
+                        Class("halftone_type16"),
+                    )
+                ),
+                required=True,
+            ),
+        }
+    ),
+    "halftone_type6": ClassDef(
+        {
+            "Type": Entry(Exact("Halftone")),
+            "HalftoneType": Entry(ExactInt(6), required=True),
+            "HalftoneName": Entry(STRING),
+            "Width": Entry(INT, required=True),
+            "Height": Entry(INT, required=True),
+            "TransferFunction": Entry(OneOf((Exact("Identity"),) + _FUNC_ALTS)),
+        },
+        is_stream=True,
+    ),
+    "halftone_type10": ClassDef(
+        {
+            "Type": Entry(Exact("Halftone")),
+            "HalftoneType": Entry(ExactInt(10), required=True),
+            "HalftoneName": Entry(STRING),
+            "Xsquare": Entry(INT, required=True),
+            "Ysquare": Entry(INT, required=True),
+            "TransferFunction": Entry(OneOf((Exact("Identity"),) + _FUNC_ALTS)),
+        },
+        is_stream=True,
+    ),
+    "halftone_type16": ClassDef(
+        {
+            "Type": Entry(Exact("Halftone")),
+            "HalftoneType": Entry(ExactInt(16), required=True),
+            "HalftoneName": Entry(STRING),
+            "Width": Entry(INT, required=True),
+            "Height": Entry(INT, required=True),
+            "Width2": Entry(INT),
+            "Height2": Entry(INT),
+            "TransferFunction": Entry(OneOf((Exact("Identity"),) + _FUNC_ALTS)),
+        },
+        is_stream=True,
+    ),
+    # --- media play parameters [PDF17 §13.2.5 tables 275-276] -----------------
+    "media_play_params": ClassDef(
+        {
+            "Type": Entry(Exact("MediaPlayParams")),
+            "PL": Entry(DICT),  # media players dictionary [table 273]
+            "MH": Entry(Class("media_play_be")),
+            "BE": Entry(Class("media_play_be")),
+        }
+    ),
+    "media_play_be": ClassDef(
+        {
+            "V": Entry(INT),  # volume 0..100
+            "C": Entry(BOOL),  # show controls
+            "F": Entry(INT),  # fit style 0..5
+            "D": Entry(DICT),  # duration dictionary
+            "A": Entry(BOOL),  # autoplay
+            "RC": Entry(NUMBER),  # repeat count
+        }
+    ),
 }
 
 
@@ -2448,6 +2647,12 @@ def _try_match(v, texpr, doc, sub, enqueue, path, objkey) -> bool:
             return False
         cd = TYPEDEFS[texpr.name]
         if cd.is_stream and not isinstance(v, Stream):
+            return False
+        # a closed class declares its entries exhaustively, so an
+        # undeclared key rules the alternative out — this lets unions of
+        # same-shape param dicts (signature transform params) discriminate
+        # by key-set when no constant entry distinguishes them
+        if cd.closed and any(k not in cd.entries for k in body):
             return False
         # discriminate on declared constant entries (/Type, /Subtype,
         # /PatternType, …) — this is how unions of stream classes (image

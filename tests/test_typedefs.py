@@ -2063,3 +2063,321 @@ def test_thread_info_typed():
         },
     )
     assert "type.mismatch" in _codes(process_document(bad))
+
+
+# --- round-3h additions: sig refs / CMap streams / halftones / play params ---
+
+
+def test_sig_reference_docmdp_chain_typed():
+    ok = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 3 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /Contents <DEADBEEF> /ByteRange [0 840 960 240]"
+                b" /Reference [<< /Type /SigRef /TransformMethod /DocMDP"
+                b" /TransformParams << /Type /TransformParams /P 2 /V /1.2 >>"
+                b" /DigestMethod /SHA256 >>] >>",
+            ),
+        },
+    )
+    r = process_document(ok)
+    assert r.strict, r.errors_as_rows()
+    # /TransformMethod is required on every reference entry
+    bad = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 3 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /Contents <DEADBEEF> /ByteRange [0 840 960 240]"
+                b" /Reference [<< /Type /SigRef >>] >>",
+            ),
+        },
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+    # DocMDP /P outside {1,2,3} is a type error, not a warning
+    bad2 = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 3 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /Contents <DEADBEEF> /ByteRange [0 840 960 240]"
+                b" /Reference [<< /TransformMethod /DocMDP"
+                b" /TransformParams << /P 5 >> >>] >>",
+            ),
+        },
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_sig_reference_fieldmdp_requires_action():
+    bad = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 3 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /Contents <DEADBEEF> /ByteRange [0 840 960 240]"
+                b" /Reference [<< /TransformMethod /FieldMDP"
+                b" /TransformParams << /Fields [(T1)] >> >>] >>",
+            ),
+        },
+    )
+    # /Fields rules out the closed DocMDP/UR param classes; the missing
+    # required /Action rules out FieldMDP — no union alternative matches
+    assert "type.mismatch" in _codes(process_document(bad))
+    ok = _doc_catalog(
+        b" /AcroForm << /Fields [5 0 R] /SigFlags 3 >>",
+        {
+            5: _obj(
+                5,
+                b"<< /FT /Sig /T (Sig1) /V 6 0 R /Subtype /Widget"
+                b" /Rect [0 0 0 0] /P 3 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Sig /Filter /Adobe.PPKLite"
+                b" /Contents <DEADBEEF> /ByteRange [0 840 960 240]"
+                b" /Reference [<< /TransformMethod /FieldMDP"
+                b" /TransformParams << /Action /Include /Fields [(T1)] >>"
+                b" >>] >>",
+            ),
+        },
+    )
+    assert process_document(ok).strict, process_document(ok).errors_as_rows()
+
+
+def test_type0_embedded_cmap_stream_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /AB+Mincho"
+                b" /Encoding 8 0 R /DescendantFonts [6 0 R] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AB+Mincho"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                b" /Supplement 7 >> /FontDescriptor 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /FontDescriptor /FontName /AB+Mincho /Flags 4"
+                b" /ItalicAngle 0 /Ascent 880 /Descent -120 /StemV 50"
+                b" /FontBBox [0 -120 1000 880] >>",
+            ),
+            8: _stream_obj(
+                8,
+                b"/Type /CMap /CMapName /Custom-H /WMode 0"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                b" /Supplement 7 >>",
+                b"%cmap body",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["8.0"] == "cmap_stream"
+    # embedded CMap without /CMapName is a typed error
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /AB+Mincho"
+                b" /Encoding 8 0 R /DescendantFonts [6 0 R] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AB+Mincho"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                b" /Supplement 7 >> /FontDescriptor 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /FontDescriptor /FontName /AB+Mincho /Flags 4"
+                b" /ItalicAngle 0 /Ascent 880 /Descent -120 /StemV 50"
+                b" /FontBBox [0 -120 1000 880] >>",
+            ),
+            8: _stream_obj(
+                8,
+                b"/Type /CMap /WMode 0"
+                b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1)"
+                b" /Supplement 7 >>",
+                b"%cmap body",
+            ),
+        },
+        page_extra=b" /Resources << /Font << /F1 5 0 R >> >>",
+    )
+    assert "type.missing_required" in _codes(process_document(bad))
+
+
+def test_halftone_type1_in_extgstate_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /ExtGState /HT 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Halftone /HalftoneType 1 /Frequency 60"
+                b" /Angle 45 /SpotFunction /Round"
+                b" /AccurateScreens true >>",
+            ),
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "halftone_type1"
+    # missing required /Frequency → no alternative matches
+    bad = _doc(
+        {
+            5: _obj(5, b"<< /Type /ExtGState /HT 6 0 R >>"),
+            6: _obj(
+                6,
+                b"<< /Type /Halftone /HalftoneType 1 /Angle 45"
+                b" /SpotFunction /Round >>",
+            ),
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    assert not process_document(bad).strict
+    # nonexistent HalftoneType 3 matches no alternative
+    bad2 = _doc(
+        {
+            5: _obj(5, b"<< /Type /ExtGState /HT 6 0 R >>"),
+            6: _obj(
+                6,
+                b"<< /Type /Halftone /HalftoneType 3 /Frequency 60"
+                b" /Angle 45 /SpotFunction /Round >>",
+            ),
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_halftone_type5_requires_default():
+    ok = _doc(
+        {
+            5: _obj(5, b"<< /Type /ExtGState /HT 6 0 R >>"),
+            6: _obj(
+                6,
+                b"<< /Type /Halftone /HalftoneType 5"
+                b" /Cyan << /HalftoneType 1 /Frequency 60 /Angle 15"
+                b" /SpotFunction /Round >>"
+                b" /Default << /HalftoneType 1 /Frequency 60 /Angle 45"
+                b" /SpotFunction /Round >> >>",
+            ),
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "halftone_type5"
+    bad = _doc(
+        {
+            5: _obj(5, b"<< /Type /ExtGState /HT 6 0 R >>"),
+            6: _obj(6, b"<< /Type /Halftone /HalftoneType 5 >>"),
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    assert not process_document(bad).strict
+
+
+def test_extgstate_transfer_function_typed():
+    # /TR may be /Identity; /TR2 additionally /Default; a string is an error
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /ExtGState /TR /Identity /TR2 /Default"
+                b" /BG2 /Default >>",
+            )
+        },
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    assert process_document(ok).strict
+    bad = _doc(
+        {5: _obj(5, b"<< /Type /ExtGState /TR (linear) >>")},
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    assert "type.mismatch" in _codes(process_document(bad))
+    # /BG (without the 2) does NOT admit /Default
+    bad2 = _doc(
+        {5: _obj(5, b"<< /Type /ExtGState /BG /Default >>")},
+        page_extra=b" /Resources << /ExtGState << /GS1 5 0 R >> >>",
+    )
+    assert "type.mismatch" in _codes(process_document(bad2))
+
+
+def test_media_play_params_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Screen /Rect [0 0 100 100]"
+                b" /T (scr) /A 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Action /S /Rendition /OP 0 /R 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Rendition /S /MR /N (clip)"
+                b" /C << /Type /MediaClip /S /MCD /N (m)"
+                b" /CT (video\\057mp4) >>"
+                b" /P << /Type /MediaPlayParams"
+                b" /MH << /V 75 /C true /F 2 /A true /RC 0 >> >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.strict, r.errors_as_rows()
+    assert r.type_assignments["7.0"] == "rendition"
+    # volume must be an integer
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Screen /Rect [0 0 100 100]"
+                b" /T (scr) /A 6 0 R >>",
+            ),
+            6: _obj(6, b"<< /Type /Action /S /Rendition /OP 0 /R 7 0 R >>"),
+            7: _obj(
+                7,
+                b"<< /Type /Rendition /S /MR"
+                b" /P << /MH << /V (loud) >> >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert "type.mismatch" in _codes(process_document(bad))
