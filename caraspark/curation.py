@@ -2971,3 +2971,93 @@ def host_reputation(spark, sf):
         F.sum("score").cast("bigint").alias("score_sum"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, integer-exact)
+# ---------------------------------------------------------------------------
+
+# Java∩RE2-safe classes (SURVEY §8 determinism rules).
+_RE_READ_WORD = "[A-Za-z0-9]+"
+_RE_READ_SYL = "[AEIOUYaeiouy]+"
+_RE_READ_SENT = "[.!?]"
+
+
+def _readability_sql() -> str:
+    return f"""
+WITH synth AS (
+  SELECT doc_id, lang,
+         text || repeat('. Short sentence here',
+                        CAST(doc_id % 5 AS INT)) || '.' AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(t, '{_RE_READ_WORD}')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(t, '{_RE_READ_SYL}')) AS BIGINT)
+           AS n_syllables,
+         CAST(len(regexp_extract_all(t, '{_RE_READ_SENT}')) AS BIGINT)
+           AS n_sentences
+  FROM synth
+)
+SELECT doc_id, lang, n_words, n_syllables, n_sentences,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT)
+         AS flesch_milli,
+       (206835 - (1015 * n_words) // n_sentences
+               - (84600 * n_syllables) // n_words) >= 60000 AS readable
+FROM c
+"""
+
+
+@_q("text_readability", _readability_sql())
+def text_readability(spark, sf):
+    """Flesch reading-ease readability signal (Flesch 1948; the CCNet /
+    Gopher quality stacks both keep a sentence-length + word-length
+    proxy): words, vowel-group syllable proxy, sentence count, and the
+    206.835 - 1.015*(W/S) - 84.6*(Syl/W) score in INTEGER MILLI-UNITS —
+    every division is integer floor division in identical order in both
+    engines, so the score is hash-exact with zero float drift
+    (SURVEY §8).  The word-salad corpus carries no punctuation, so a
+    deterministic sentence tail is planted from doc_id (same pattern as
+    `text_c4_filter`); `readable` is the ≥60.0 ("plain English") cut.
+
+    Scale: three scan-stage regexp counts + integer arithmetic, zero
+    shuffles, whole-stage codegen; at 100 TB this fuses with the
+    extraction scan like every other per-doc quality signal."""
+    d = load(spark, sf, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.lit(". Short sentence here"), (F.col("doc_id") % 5).cast("int")
+        ),
+        F.lit("."),
+    )
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(t, F.lit(_RE_READ_WORD), F.lit(0)))
+        .cast("bigint")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit(_RE_READ_SYL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_syllables"),
+        F.size(F.regexp_extract_all(t, F.lit(_RE_READ_SENT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_sentences"),
+    )
+    flesch = (
+        F.lit(206835).cast("bigint")
+        - F.expr("(1015 * n_words) div n_sentences")
+        - F.expr("(84600 * n_syllables) div n_words")
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        flesch.alias("flesch_milli"),
+        (flesch >= 60000).alias("readable"),
+    )

@@ -1457,7 +1457,7 @@ def doc_jsonld_sig(spark, sf):
 
 @_q(
     "jsonld_types",
-    f"""WITH {{corpus}},
+    rf"""WITH {{corpus}},
 {{jsonld}}
 SELECT regexp_extract(t.payload, '"@type":\s*"([^"]+)"', 1) AS ld_type,
        CAST(count(*) AS BIGINT) AS n_payloads,
@@ -1486,7 +1486,7 @@ def jsonld_types(spark, sf):
     typed = t.select(
         "url",
         F.regexp_extract(
-            "payload", '"@type":\s*"([^"]+)"', 1
+            "payload", r'"@type":\s*"([^"]+)"', 1
         ).alias("ld_type"),
     )
     return typed.groupBy("ld_type").agg(

@@ -1965,3 +1965,69 @@ def tokenize_bpe(spark, sf):
         ).alias("ratio"),
         F.md5(F.concat_ws("|", "ms")).alias("toks_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (storage-scale embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _quant_sql() -> str:
+    # Identical operation ORDER to the Spark plan (SURVEY §8): one
+    # max-abs per vector, then per-element floor(x * 127.0 / scale + 0.5)
+    # — every step IEEE double in the same sequence, so hash-exact.
+    return """
+WITH s AS (
+  SELECT vec_id,
+         embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(u.d - 1 AS INT) AS pos,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(u.x AS DOUBLE) * 127.0 / scale + 0.5)
+            END AS INT) AS q,
+       round(scale, 6) AS scale_r
+FROM s,
+     LATERAL (SELECT unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS d) u
+"""
+
+
+@_q("embed_quantize", _quant_sql())
+def embed_quantize(spark, sf):
+    """Symmetric int8 quantization of the embedding column — the storage
+    format a 100 TB embedding lake actually ships (4x smaller than fp32,
+    and ANN distance kernels run on int8 SIMD).  Per vector: one max-abs
+    scale, then q = floor(x * 127 / scale + 0.5) per element; output is
+    FLATTENED to one (vec_id, pos, q) row per element — never an array
+    column (the round-2 `image_resize` driver-canonicalizer lesson).
+
+    Determinism: float→double widening + the same three IEEE ops in the
+    same order in both engines; the only rounding is an explicit floor.
+
+    Scale: posexplode is a zero-shuffle scan-stage generator; the
+    quantized rows are written partition-local (in the lake layout this
+    is a column swap, not a shuffle).  Downstream ANN (`ann_pq`,
+    `ann_ivf`) reads q + scale_r and never touches fp32 again."""
+    e = load(spark, sf, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    ex = s.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+        "scale",
+    )
+    q = F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("x").cast("double") * 127.0 / F.col("scale") + 0.5)
+    )
+    return ex.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        q.cast("int").alias("q"),
+        F.round("scale", 6).alias("scale_r"),
+    )

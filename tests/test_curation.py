@@ -782,3 +782,24 @@ def test_graph_hostgraph_matches_python(spark, sf_smoke):
         assert rows[key].n_links == n, key
         assert rows[key].self_loop == (key[0] == key[1]), key
     assert any(r.self_loop for r in rows.values())  # self-loops exercised
+
+
+def test_readability_matches_python_re(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.text_readability(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for did in list(docs)[:40]:
+        t = docs[did] + ". Short sentence here" * (did % 5) + "."
+        n_w = len(re.findall(C._RE_READ_WORD, t))
+        n_sy = len(re.findall(C._RE_READ_SYL, t))
+        n_se = len(re.findall(C._RE_READ_SENT, t))
+        flesch = 206835 - (1015 * n_w) // n_se - (84600 * n_sy) // n_w
+        r = rows[did]
+        assert (r.n_words, r.n_syllables, r.n_sentences) == (n_w, n_sy, n_se)
+        assert r.flesch_milli == flesch, did
+        assert r.readable == (flesch >= 60000)

@@ -419,3 +419,31 @@ def test_tokenize_bpe_rules_stack_and_token_boundaries(spark):
                       "length(text) n_chars").write.parquet(os.path.join(d, "documents.parquet"))
         out = {x.doc_id: x for x in T.tokenize_bpe(spark, d).collect()}
     assert out[1].n_bpe == 2 + 3 + 3, out[1]
+
+
+def test_embed_quantize_matches_numpy(spark, sf_smoke):
+    import math
+
+    from caraspark import textops as TO
+    from caraspark.tables import load as _load
+
+    out = TO.embed_quantize(spark, sf_smoke).collect()
+    embs = {
+        r.vec_id: r.embedding
+        for r in _load(spark, sf_smoke, "embeddings").collect()
+    }
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r.vec_id, {})[r.pos] = r
+    assert set(by_vec) == set(embs)
+    for vid in list(embs)[:20]:
+        v = embs[vid]
+        scale = max(abs(float(x)) for x in v)
+        got = by_vec[vid]
+        assert len(got) == len(v)
+        for pos, x in enumerate(v):
+            exp = 0 if scale == 0 else math.floor(float(x) * 127.0 / scale + 0.5)
+            assert got[pos].q == exp, (vid, pos)
+            assert abs(got[pos].scale_r - round(scale, 6)) < 1e-9
+            # int8 range by construction
+            assert -127 <= got[pos].q <= 127
