@@ -3061,3 +3061,77 @@ def text_readability(spark, sf):
         flesch.alias("flesch_milli"),
         (flesch >= 60000).alias("readable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typographic normalization (pre-tokenization canonical text)
+# ---------------------------------------------------------------------------
+
+# the replace chain every tokenizer-prep pass ships: smart quotes → ASCII,
+# en/em dashes → hyphen, ellipsis → dots, NBSP → space. Applied in a fixed
+# order in BOTH engines; the marker set below is also what n_special counts.
+_NORM_PAIRS = [
+    ("“", '"'), ("”", '"'),
+    ("‘", "'"), ("’", "'"),
+    ("—", "-"), ("–", "-"),
+    ("…", "..."), (" ", " "),
+]
+_NORM_CHARS = "".join(p[0] for p in _NORM_PAIRS)
+
+
+def _normalize_sql() -> str:
+    planted = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN ' “quoted” text' "
+        "WHEN 1 THEN ' — em–dash ‘x’' "
+        "WHEN 2 THEN ' wait… more' "
+        "ELSE ' nbsp run' END"
+    )
+    norm = "t"
+    for a, b in _NORM_PAIRS:
+        norm = f"replace({norm}, '{a}', '{b.replace(chr(39), chr(39) * 2)}')"
+    return f"""
+WITH synth AS (
+  SELECT doc_id, substring(text, 1, 80) || {planted} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) - length(translate(t, '{_NORM_CHARS}', '')) AS INT)
+         AS n_special,
+       md5({norm}) AS norm_md5
+FROM synth
+"""
+
+
+@_q("text_normalize", _normalize_sql())
+def text_normalize(spark, sf):
+    """Typographic normalization — the canonical-text pass that runs
+    before tokenization in every production corpus build (curly quotes,
+    en/em dashes, ellipsis, NBSP all collapse to ASCII so BPE merge
+    tables see one surface form).  Emits the count of typographic marks
+    and the md5 of the normalized text; the replace chain applies in a
+    FIXED order in both engines, so the digest is hash-exact.  The
+    word-salad corpus is pure ASCII, so deterministic unicode markers
+    are planted from doc_id (same pattern as `text_pii`).
+
+    Scale: scan-stage string kernels (translate + 8 replaces), all
+    whole-stage codegen, zero shuffles, no UDF — fuses with the
+    extraction scan like the rest of the quality stack."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.substring("text", 1, 80),
+        F.when(did % 4 == 0, F.lit(" “quoted” text"))
+        .when(did % 4 == 1, F.lit(" — em–dash ‘x’"))
+        .when(did % 4 == 2, F.lit(" wait… more"))
+        .otherwise(F.lit(" nbsp run")),
+    )
+    norm = t
+    for a, b in _NORM_PAIRS:
+        norm = F.replace(norm, F.lit(a), F.lit(b))
+    return d.select(
+        "doc_id",
+        (
+            F.length(t) - F.length(F.translate(t, _NORM_CHARS, ""))
+        ).cast("int").alias("n_special"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -779,3 +779,142 @@ def extract_form_fields(doc: Document) -> list[dict]:
 
     walk(_resolve(doc, form.get("Fields")), "", None, None, 0)
     return out
+
+
+def extract_javascript(doc: Document) -> list[dict]:
+    """JavaScript inventory [PDF17 SS12.6.4.16, SS7.7.4]: every /S
+    /JavaScript action reachable from the catalog — /OpenAction (with its
+    /Next chain), the catalog additional-actions dict /AA, the /Names
+    /JavaScript name tree, and page-annotation /A chains + /AA dicts.
+    Hostile-PDF triage (the LangSec'16 motivation: script-bearing
+    documents are the ones a validator must surface, cf. Caradoc's
+    strict-mode posture toward active content) wants this as a side
+    table: which documents carry script, from which hook, and what.
+
+    Rows: {"pos", "source", "js_len", "js_md5", "js_head"} in a
+    deterministic walk order (catalog hooks, then name tree, then pages);
+    /JS payloads may be PDF strings or streams — streams use the decoded
+    bytes (latin-1 text like any PDF text surface), a failed stream
+    decode yields js_len -1 (degrade-don't-drop). Cycle-guarded via
+    visited action ids, depth-capped like every other tree walk."""
+    import hashlib
+
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def js_text(v):
+        # raw object lookup first: _resolve unwraps a Stream to its dict,
+        # but /JS needs the payload (same posture as extract_attachments)
+        if isinstance(v, Ref):
+            v = doc.objects.get((v.num, v.gen))
+        if isinstance(v, Stream):
+            if v.decoded is None:
+                return None, -1
+            txt = v.decoded.decode("latin-1")
+            return txt, len(txt)
+        if isinstance(v, bytes):
+            txt = decode_pdf_string(v)
+            return txt, len(txt)
+        return None, None
+
+    def emit(source: str, action) -> None:
+        txt, n = js_text(action.get("JS"))
+        if n is None:
+            return
+        out.append(
+            {
+                "pos": len(out),
+                "source": source,
+                "js_len": n,
+                "js_md5": (
+                    None
+                    if txt is None
+                    else hashlib.md5(txt.encode("utf-8")).hexdigest()
+                ),
+                "js_head": None if txt is None else txt[:32],
+            }
+        )
+
+    def walk_action(source: str, v, depth: int) -> None:
+        a = _resolve(doc, v)
+        if not isinstance(a, dict) or depth > 32 or id(a) in seen:
+            return
+        seen.add(id(a))
+        s = a.get("S")
+        if isinstance(s, Name) and s.v == "JavaScript":
+            emit(source, a)
+        nxt = _resolve(doc, a.get("Next"))
+        if isinstance(nxt, dict):
+            walk_action(source, nxt, depth + 1)
+        elif isinstance(nxt, list):
+            for n in nxt:
+                walk_action(source, n, depth + 1)
+
+    def walk_aa(source: str, v) -> None:
+        aa = _resolve(doc, v)
+        if not isinstance(aa, dict):
+            return
+        for k in sorted(aa):
+            walk_action(f"{source}:{k}", aa[k], 0)
+
+    cat = _resolve(doc, doc.trailer.get("Root"))
+    if not isinstance(cat, dict):
+        return out
+    walk_action("OpenAction", cat.get("OpenAction"), 0)
+    walk_aa("AA", cat.get("AA"))
+
+    names = _resolve(doc, cat.get("Names"))
+    if isinstance(names, dict):
+        tree = _resolve(doc, names.get("JavaScript"))
+
+        def walk_tree(node, depth: int) -> None:
+            if not isinstance(node, dict) or depth > 32:
+                return
+            arr = _resolve(doc, node.get("Names"))
+            if isinstance(arr, list):
+                for i in range(0, len(arr) - 1, 2):
+                    key = arr[i]
+                    if isinstance(key, bytes):
+                        walk_action(
+                            f"Names:{decode_pdf_string(key)}",
+                            arr[i + 1],
+                            0,
+                        )
+            kids = _resolve(doc, node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk_tree(_resolve(doc, kid), depth + 1)
+
+        walk_tree(tree, 0)
+
+    # page annotations, in page-tree order (same traversal the text
+    # extractor uses: /Kids DFS, cycle-guarded)
+    pages: list = []
+    stack = [(_resolve(doc, cat.get("Pages")), 0)]
+    seen_pages: set[int] = set()
+    while stack:
+        node, depth = stack.pop()
+        if not isinstance(node, dict) or depth > 64 or id(node) in seen_pages:
+            continue
+        seen_pages.add(id(node))
+        t = node.get("Type")
+        if isinstance(t, Name) and t.v == "Page":
+            pages.append(node)
+            continue
+        kids = _resolve(doc, node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in reversed(kids):
+                stack.append((_resolve(doc, kid), depth + 1))
+    for pi, page in enumerate(pages):
+        annots = _resolve(doc, page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for ai, av in enumerate(annots):
+            annot = _resolve(doc, av)
+            if not isinstance(annot, dict):
+                continue
+            walk_action(f"Annot:{pi}.{ai}:A", annot.get("A"), 0)
+            walk_aa(f"Annot:{pi}.{ai}:AA", annot.get("AA"))
+    return out

@@ -194,7 +194,8 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Extensions": Entry(DictOf(OneOf((Class("extension"), NAME)))),
             "Requirements": Entry(ArrayOf(Class("requirement"))),
             "Collection": Entry(Class("collection")),
-            "URI": Entry(DICT),
+            "URI": Entry(Class("uri_dict")),
+            "Legal": Entry(Class("legal")),
             "Perms": Entry(Class("perms")),
             "DSS": Entry(Class("dss")),
             "SpiderInfo": Entry(Class("webcapture_info")),
@@ -257,6 +258,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "BoxColorInfo": Entry(Class("box_color_info")),
             "SeparationInfo": Entry(Class("separation_info")),
             "PieceInfo": Entry(DictOf(Class("piece_entry"))),
+            "VP": Entry(ArrayOf(Class("viewport"))),
         }
     ),
     "resources": ClassDef(
@@ -602,7 +604,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Cap": Entry(BOOL),
             "LLO": Entry(NUMBER),
             "CP": Entry(NAME),
-            "Measure": Entry(DICT),
+            "Measure": Entry(Class("measure_rl")),
             "CO": Entry(ArrayOf(NUMBER)),
         }
     ),
@@ -738,7 +740,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "LE": Entry(ArrayOf(NAME)),
             "IC": Entry(ArrayOf(NUMBER)),
             "BE": Entry(DICT),
-            "Measure": Entry(DICT),
+            "Measure": Entry(Class("measure_rl")),
         }
     ),
     "annot_stamp": ClassDef(
@@ -1988,6 +1990,81 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "V": Entry(NUMBER, required=True),
             "C": Entry(ArrayOf(DICT)),
+        }
+    ),
+    # --- measurement & geospatial viewports [PDF17 §12.9] -------------------
+    "viewport": ClassDef(
+        {
+            "Type": Entry(Exact("Viewport")),
+            "BBox": Entry(RECT, required=True),
+            "Name": Entry(STRING),
+            "Measure": Entry(Class("measure_rl")),
+        }
+    ),
+    "measure_rl": ClassDef(
+        {
+            "Type": Entry(Exact("Measure")),
+            "Subtype": Entry(NAME),  # RL (rectilinear) is the 1.7 subtype
+            "R": Entry(STRING, required=True),  # scale ratio text
+            "X": Entry(ArrayOf(Class("number_format")), required=True),
+            "Y": Entry(ArrayOf(Class("number_format"))),
+            "D": Entry(ArrayOf(Class("number_format")), required=True),
+            "A": Entry(ArrayOf(Class("number_format")), required=True),
+            "T": Entry(ArrayOf(Class("number_format"))),
+            "S": Entry(ArrayOf(Class("number_format"))),
+            "O": Entry(Tuple((NUMBER, NUMBER))),
+            "CYX": Entry(NUMBER),
+        }
+    ),
+    "number_format": ClassDef(
+        {
+            "Type": Entry(Exact("NumberFormat")),
+            "U": Entry(STRING, required=True),  # unit label
+            "C": Entry(NUMBER, required=True),  # conversion factor
+            "F": Entry(NAME),   # fraction display: D, F, R, T
+            "D": Entry(INT),    # denominator precision
+            "FD": Entry(BOOL),
+            "RT": Entry(STRING),
+            "RD": Entry(STRING),
+            "PS": Entry(STRING),
+            "SS": Entry(STRING),
+            "O": Entry(NAME),   # label position S (suffix) | P (prefix)
+        }
+    ),
+    # --- legal-content attestation [PDF17 §12.8.5] --------------------------
+    # every counter entry reports content that weakens a certification
+    # signature's guarantee (scripts, external refs, device-dependence)
+    "legal": ClassDef(
+        {
+            "JavaScriptActions": Entry(INT),
+            "LaunchActions": Entry(INT),
+            "URIActions": Entry(INT),
+            "MovieActions": Entry(INT),
+            "SoundActions": Entry(INT),
+            "HideAnnotationActions": Entry(INT),
+            "GoToRemoteActions": Entry(INT),
+            "AlternateImages": Entry(INT),
+            "ExternalStreams": Entry(INT),
+            "TrueTypeFonts": Entry(INT),
+            "ExternalRefXobjects": Entry(INT),
+            "ExternalOPIdicts": Entry(INT),
+            "NonEmbeddedFonts": Entry(INT),
+            "DevDepGS_OP": Entry(INT),
+            "DevDepGS_HT": Entry(INT),
+            "DevDepGS_TR": Entry(INT),
+            "DevDepGS_UCR": Entry(INT),
+            "DevDepGS_BG": Entry(INT),
+            "DevDepGS_FL": Entry(INT),
+            "Annotations": Entry(INT),
+            "OptionalContent": Entry(INT),
+            "Attestation": Entry(STRING),
+        }
+    ),
+    # --- catalog URI dict [PDF17 §12.6.4.7]: base for relative URI actions --
+    "uri_dict": ClassDef(
+        {
+            "Type": Entry(Exact("URI")),
+            "Base": Entry(STRING),
         }
     ),
     # --- sub-page navigation [PDF17 §12.4.4.2] ------------------------------

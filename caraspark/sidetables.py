@@ -27,6 +27,7 @@ from caraspark.oracle_freeze import (
     attach_cte,
     corpus_cte,
     formfield_cte,
+    js_cte,
     outline_cte,
     extras_cte,
     findref_cte,
@@ -627,3 +628,66 @@ def pdf_images(spark, sf):
         .groupBy("url")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_images"))
     )
+
+
+_JS_DDL = (
+    "url string, pos int, source string, js_len int, js_md5 string, "
+    "js_head string"
+)
+_JS_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pos", pa.int32()),
+        ("source", pa.string()),
+        ("js_len", pa.int32()),
+        ("js_md5", pa.string()),
+        ("js_head", pa.string()),
+    ]
+)
+
+
+def _js_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_javascript, load_document
+
+    cols = {f.name: [] for f in _JS_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for j in extract_javascript(load_document(blob)):
+                cols["url"].append(url)
+                cols["pos"].append(j["pos"])
+                cols["source"].append(j["source"])
+                cols["js_len"].append(j["js_len"])
+                cols["js_md5"].append(j["js_md5"])
+                cols["js_head"].append(j["js_head"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _JS_ARROW],
+                schema=_JS_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_javascript",
+    f"""WITH {corpus_cte()},
+{js_cte()}
+SELECT d.url, j.pos, j.source, j.js_len, j.js_md5, j.js_head
+FROM docs d JOIN js j ON j.rid = d.rid""",
+)
+def pdf_javascript(spark, sf):
+    """JavaScript inventory across the corpus [PDF17 SS12.6.4.16]: every
+    /S /JavaScript action reachable from the catalog (OpenAction chains,
+    catalog /AA, the /Names /JavaScript name tree, annotation /A + /AA),
+    with payload length/md5/head — the hostile-PDF triage table (the
+    LangSec motivation: surface active content, don't just render it).
+    Hash-verified against frozen per-recipe rows; stream-backed /JS
+    payloads pin the filter chain too. Narrow Arrow stage like every
+    side table; only digests and 32-char heads leave the executor."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_js_batches, _JS_DDL)

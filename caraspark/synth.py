@@ -1850,3 +1850,112 @@ def pdf_markup_annots() -> bytes:
 
 
 PDF_RECIPES["pdf_markup_annots"] = pdf_markup_annots
+
+
+def pdf_javascript() -> bytes:
+    """JavaScript-bearing recipe [PDF17 SS12.6.4.16, SS7.7.4]: a /Names
+    /JavaScript name tree (one Kids level, one string-JS and one
+    Flate-stream-JS entry), a catalog /AA document-action (WC
+    will-close), an OpenAction JS whose /Next chains a second JS, and a
+    widget annotation with both /A and an /AA keystroke action — every
+    hook ``extract_javascript`` walks, so the side table pins tree
+    descent, stream decode, chain follow, and annot order at once."""
+    bodies = _base_objects(b"BT (JS doc) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /OpenAction 5 0 R "
+        b"/AA << /WC 6 0 R >> /Names << /JavaScript 7 0 R >> >>",
+    )
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [11 0 R] >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Action /S /JavaScript /JS (console.println(1);) "
+        b"/Next << /S /JavaScript /JS (this.closeDoc();) >> >>",
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /Action /S /JavaScript "
+        b"/JS (app.response('closing');) >>",
+    )
+    bodies[7] = _obj(7, b"<< /Kids [8 0 R] >>")
+    bodies[8] = _obj(
+        8,
+        b"<< /Limits [(init) (setup)] "
+        b"/Names [(init) 9 0 R (setup) 10 0 R] >>",
+    )
+    bodies[9] = _obj(
+        9,
+        b"<< /S /JavaScript /JS (var g = 1;) >>",
+    )
+    js_payload = zlib.compress(b"function setup() { return 42; }")
+    bodies[10] = (
+        f"10 0 obj\n<< /S /JavaScript /JS 12 0 R >>\nendobj\n".encode()
+    )
+    bodies[12] = _stream_obj(
+        12, b"/Filter /FlateDecode", js_payload
+    )
+    bodies[11] = _obj(
+        11,
+        b"<< /Type /Annot /Subtype /Widget /Rect [10 10 60 30] "
+        b"/A << /S /JavaScript /JS (event.target.value;) >> "
+        b"/AA << /K << /S /JavaScript /JS (AFNumber_Keystroke();) >> >> "
+        b">>",
+    )
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_javascript"] = pdf_javascript
+
+
+def pdf_measure() -> bytes:
+    """Measurement/geospatial recipe [PDF17 SS12.9 + SS12.8.5 + SS12.6.4.7]:
+    a page /VP viewport whose rectilinear /Measure carries X/D/A
+    number-format arrays (fraction display, unit chaining), a Line annot
+    with its own /Measure, a catalog /Legal attestation (the
+    active-content counters a certifying signature attests to — this doc
+    declares its own JavaScript count honestly: zero), and a typed
+    catalog /URI base dict. Exercises viewport, measure_rl,
+    number_format, legal, and uri_dict typedefs."""
+    bodies = _base_objects(b"BT (Site plan) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R "
+        b"/URI << /Type /URI /Base (https://maps.example/) >> "
+        b"/Legal << /JavaScriptActions 0 /LaunchActions 0 /URIActions 1 "
+        b"/NonEmbeddedFonts 1 /Annotations 1 "
+        b"/Attestation (reviewed; counts are accurate) >> >>",
+    )
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [7 0 R] /VP [5 0 R] >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Viewport /BBox [72 72 540 720] /Name (Plan view) "
+        b"/Measure 6 0 R >>",
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /Measure /Subtype /RL /R (1 in = 40 ft) "
+        b"/X [ << /Type /NumberFormat /U (ft) /C 40.0 /D 100 /F /D >> ] "
+        b"/D [ << /Type /NumberFormat /U (ft) /C 1.0 /F /F /D 8 >> "
+        b"     << /Type /NumberFormat /U (in) /C 12.0 /F /F /D 8 "
+        b"        /O /S >> ] "
+        b"/A [ << /Type /NumberFormat /U (acres) /C 0.000022957 >> ] "
+        b"/O [0 1] >>",
+    )
+    bodies[7] = _obj(
+        7,
+        b"<< /Type /Annot /Subtype /Line /Rect [100 100 300 120] "
+        b"/L [100 110 300 110] /Cap true /LL 6 "
+        b"/Contents (property line) /Measure 6 0 R >>",
+    )
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_measure"] = pdf_measure

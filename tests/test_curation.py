@@ -803,3 +803,32 @@ def test_readability_matches_python_re(spark, sf_smoke):
         assert (r.n_words, r.n_syllables, r.n_sentences) == (n_w, n_sy, n_se)
         assert r.flesch_milli == flesch, did
         assert r.readable == (flesch >= 60000)
+
+
+def test_normalize_matches_python(spark, sf_smoke):
+    rows = {r.doc_id: r for r in C.text_normalize(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    plant = [
+        " “quoted” text",
+        " — em–dash ‘x’",
+        " wait… more",
+        "\xa0nbsp\xa0run",
+    ]
+    import hashlib
+
+    for did in list(docs)[:40]:
+        t = docs[did][:80] + plant[did % 4]
+        n_special = sum(t.count(c) for c, _ in C._NORM_PAIRS)
+        norm = t
+        for a, b in C._NORM_PAIRS:
+            norm = norm.replace(a, b)
+        r = rows[did]
+        assert r.n_special == n_special, did
+        assert r.norm_md5 == hashlib.md5(norm.encode()).hexdigest(), did
+        # the normalized text is pure-ASCII by construction
+        norm.encode("ascii")

@@ -1463,3 +1463,52 @@ def test_html_v14_robots_want_projection():
     stats = process_document(html, want_text=False)
     assert stats.robots_meta is None
     assert process_document(PDF_RECIPES["pdf_minimal"]()).robots_meta is None
+
+
+def test_javascript_inventory_walks_every_hook():
+    import hashlib
+
+    from caraspark.pdfengine.document import extract_javascript, load_document
+    from caraspark.synth import pdf_javascript
+
+    rows = extract_javascript(load_document(pdf_javascript()))
+    assert [(r["pos"], r["source"]) for r in rows] == [
+        (0, "OpenAction"),
+        (1, "OpenAction"),        # /Next chain
+        (2, "AA:WC"),
+        (3, "Names:init"),
+        (4, "Names:setup"),       # stream-backed /JS (FlateDecode)
+        (5, "Annot:0.0:A"),
+        (6, "Annot:0.0:AA:K"),
+    ]
+    setup = rows[4]
+    assert setup["js_len"] == len("function setup() { return 42; }")
+    assert setup["js_head"] == "function setup() { return 42; }"
+    assert (
+        setup["js_md5"]
+        == hashlib.md5(b"function setup() { return 42; }").hexdigest()
+    )
+    # strict-valid: action dicts + name tree satisfy the typedefs
+    r = process_document(_blob("pdf_javascript"))
+    assert r.valid and r.strict
+
+
+def test_javascript_inventory_degenerate_shapes():
+    from caraspark.pdfengine.document import extract_javascript, load_document
+    from caraspark.synth import _assemble, _base_objects, _obj, pdf_minimal
+
+    assert extract_javascript(load_document(pdf_minimal())) == []
+    # cyclic /Next chain, non-string /JS, self-referential name tree —
+    # must terminate and skip, never raise
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /OpenAction 5 0 R "
+        b"/Names << /JavaScript 6 0 R >> >>",
+    )
+    bodies[5] = _obj(
+        5, b"<< /S /JavaScript /JS 99 0 R /Next 5 0 R >>"
+    )
+    bodies[6] = _obj(6, b"<< /Kids [6 0 R] /Names [(a) null (b)] >>")
+    rows = extract_javascript(load_document(_assemble(bodies)))
+    assert rows == []  # /JS unresolvable -> no row; cycles capped

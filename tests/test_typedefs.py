@@ -2381,3 +2381,124 @@ def test_media_play_params_typed():
         page_extra=b" /Annots [5 0 R]",
     )
     assert "type.mismatch" in _codes(process_document(bad))
+
+
+# --- measurement viewports, legal attestation, URI base [§12.9/12.8.5] -----
+
+
+def test_viewport_measure_number_format_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Viewport /BBox [72 72 540 720] "
+                b"/Measure 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Measure /Subtype /RL /R (1 in = 40 ft) "
+                b"/X [ << /Type /NumberFormat /U (ft) /C 40.0 >> ] "
+                b"/D [ << /Type /NumberFormat /U (ft) /C 1.0 >> ] "
+                b"/A [ << /Type /NumberFormat /U (sq ft) /C 1600.0 >> ] "
+                b">>",
+            ),
+        },
+        page_extra=b" /VP [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "viewport"
+    assert r.type_assignments["6.0"] == "measure_rl"
+
+
+def test_viewport_requires_bbox():
+    bad = _doc(
+        {5: _obj(5, b"<< /Type /Viewport /Name (no bbox) >>")},
+        page_extra=b" /VP [5 0 R]",
+    )
+    r = process_document(bad, want_objects=True)
+    assert not r.strict
+    assert any("type." in c for c in _codes(r))
+
+
+def test_measure_requires_axis_formats():
+    # /X missing → measure_rl can't match
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Viewport /BBox [0 0 10 10] /Measure 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Measure /Subtype /RL /R (scale) "
+                b"/D [ << /U (ft) /C 1.0 >> ] "
+                b"/A [ << /U (sq ft) /C 1.0 >> ] >>",
+            ),
+        },
+        page_extra=b" /VP [5 0 R]",
+    )
+    r = process_document(bad, want_objects=True)
+    assert not r.strict
+
+
+def test_number_format_requires_unit_and_factor():
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Viewport /BBox [0 0 10 10] /Measure 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Measure /Subtype /RL /R (scale) "
+                b"/X [ << /Type /NumberFormat /U (ft) >> ] "
+                b"/D [ << /U (ft) /C 1.0 >> ] "
+                b"/A [ << /U (a) /C 1.0 >> ] >>",
+            ),
+        },
+        page_extra=b" /VP [5 0 R]",
+    )
+    r = process_document(bad, want_objects=True)
+    assert not r.strict  # /C missing from the X number format
+
+
+def test_legal_and_uri_dict_typed():
+    ok = _doc_catalog(
+        b" /URI << /Type /URI /Base (https://ex.org/) >>"
+        b" /Legal << /JavaScriptActions 2 /Annotations 1"
+        b" /Attestation (counts verified) >>",
+        {},
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # non-integer counter breaks strict
+    bad = _doc_catalog(
+        b" /Legal << /JavaScriptActions (two) >>",
+        {},
+    )
+    rb = process_document(bad, want_objects=True)
+    assert not rb.strict
+
+
+def test_line_annot_measure_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Line /Rect [0 0 50 10] "
+                b"/L [0 5 50 5] /Measure 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Measure /Subtype /RL /R (1:100) "
+                b"/X [ << /U (m) /C 1.0 >> ] "
+                b"/D [ << /U (m) /C 1.0 >> ] "
+                b"/A [ << /U (sq m) /C 1.0 >> ] >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "measure_rl"

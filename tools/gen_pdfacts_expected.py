@@ -77,6 +77,7 @@ def build_extras():
     attach_rows = []
     outline_rows = []
     formfield_rows = []
+    js_rows = []
     anchor_rows = []
     table_rows = []
     list_rows = []
@@ -174,6 +175,7 @@ def build_extras():
         from caraspark.pdfengine.document import (
             extract_attachments,
             extract_form_fields,
+            extract_javascript,
             extract_outline,
         )
 
@@ -193,6 +195,13 @@ def build_extras():
         for ffld in extract_form_fields(doc):
             formfield_rows.append(
                 (rid, ffld["pos"], ffld["name"], ffld["ft"], ffld["value"])
+            )
+        for j in extract_javascript(doc):
+            js_rows.append(
+                (
+                    rid, j["pos"], j["source"], j["js_len"], j["js_md5"],
+                    j["js_head"],
+                )
             )
 
     import random
@@ -247,7 +256,7 @@ def build_extras():
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows, img_rows, jsonld_rows,
+        table_rows, list_rows, img_rows, jsonld_rows, js_rows,
     )
 
 
@@ -388,7 +397,7 @@ def main() -> None:
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows, img_rows, jsonld_rows,
+        table_rows, list_rows, img_rows, jsonld_rows, js_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -417,7 +426,8 @@ def main() -> None:
             f"TABLE_ROWS = {fmt(table_rows)}\n\n"
             f"LIST_ROWS = {fmt(list_rows)}\n\n"
             f"IMG_ROWS = {fmt(img_rows)}\n\n"
-            f"JSONLD_ROWS = {fmt(jsonld_rows)}\n"
+            f"JSONLD_ROWS = {fmt(jsonld_rows)}\n\n"
+            f"JS_ROWS = {fmt(js_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -430,7 +440,8 @@ def main() -> None:
         f"{len(table_rows)} table rows, "
         f"{len(list_rows)} list rows, "
         f"{len(img_rows)} img rows, "
-        f"{len(jsonld_rows)} jsonld rows -> {path}"
+        f"{len(jsonld_rows)} jsonld rows, "
+        f"{len(js_rows)} js rows -> {path}"
     )
 
 
