@@ -96,12 +96,13 @@ _FRONT = [
     "warc_roundtrip",          # warc.py negative-Content-Length fix
     "doc_extract",             # want= projection pushdown lands this round
     "doc_extract_roundtrip",
-    "dedup_minhash",           # hash-fn flag added (oracle path unchanged)
-    "agg_q1",
-    "stream_stateful",
-    "pdf_decrypt",
-    "media_features",
-    "dedup_exact",
+    # -- late-round-3 operators, never driver-verified --
+    "text_readability",
+    "embed_quantize",
+    "pdf_javascript",
+    "text_normalize",
+    "doc_alternates_sig",      # SPEC v15 over the full corpus
+    "hreflang_census",
 ]
 
 

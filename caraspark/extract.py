@@ -107,6 +107,19 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("jsonld", pa.list_(pa.string()), True),
         pa.field("robots_meta", pa.string(), True),
         pa.field(
+            "alternates",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("hreflang", pa.string()),
+                        ("type", pa.string()),
+                        ("href", pa.string()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -232,6 +245,7 @@ def _extract_batches(
             cols["images"].append(r.images_as_rows())
             cols["jsonld"].append(r.jsonld)
             cols["robots_meta"].append(r.robots_meta)
+            cols["alternates"].append(r.alternates_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.extract import extract
 from caraspark.oracle_freeze import (
+    alt_cte,
     anchors_cte,
     corpus_cte,
     images_cte,
@@ -1568,4 +1569,126 @@ def filter_noindex(spark, sf):
         "url",
         "robots_meta",
         F.col("robots_meta").contains("noindex").alias("excluded"),
+    )
+
+
+@_q(
+    "doc_alternates",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       'fr-' || CAST(doc_id % 4 AS VARCHAR) AS hreflang,
+       '' AS ltype,
+       '/fr/' || CAST(doc_id % 9 AS VARCHAR) AS href
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, '', 'application/rss+xml',
+       '/feed' || CAST(doc_id % 3 AS VARCHAR) || '.xml' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, '', '', '/print' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, '', '', '' FROM documents""",
+)
+def doc_alternates(spark, sf):
+    """v15 ALTERNATES, hash-verified closed-form: each document is
+    wrapped in HTML carrying the alternates edge matrix — a
+    case-mangled hreflang alternate (lowercased on capture, padded href
+    trimmed), a type-tagged feed alternate, a multi-token rel
+    containing alternate, a bare rel=alternate (empty triple — the
+    element still counts), a stylesheet link that must NOT count, and a
+    boiler-region alternate that is never seen — with deterministic
+    values from doc_id so DuckDB predicts every (url, pos, hreflang,
+    ltype, href) row."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><link rel='alternate' hreflang=' FR-"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(" ' href=' /fr/"),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit(" '><link rel='alternate' "
+                      "type=' Application/RSS+XML ' href='/feed"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".xml'><link rel='alternate nofollow' href='/print'>"
+                      "<link rel='alternate'>"
+                      "<link rel='stylesheet' href='/css'>"
+                      "</head><body>"
+                      "<div class='promo'>"
+                      "<link rel='alternate' hreflang='xx' href='/never'>"
+                      "</div><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw)
+    return ex.select(
+        "url", F.posexplode("alternates").alias("pos", "t")
+    ).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.hreflang").alias("hreflang"),
+        F.col("t.type").alias("ltype"),
+        F.col("t.href").alias("href"),
+    )
+
+
+@_q(
+    "doc_alternates_sig",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, CAST(n_alternates AS INT) AS n_alternates, alternates_sig
+FROM perdoc""".format(corpus=corpus_cte(), perdoc=perdoc_cte()),
+)
+def doc_alternates_sig(spark, sf):
+    """v15 ALTERNATES over the full synth corpus (the html_ogmeta
+    edge-matrix rows, []-for-PDF) vs the frozen per-recipe/per-idx md5
+    signatures over the canonical "hreflang:type:href" triples in
+    document order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "alternates",
+        lambda x: F.concat_ws(":", x["hreflang"], x["type"], x["href"]),
+    )
+    return ex.select(
+        "url",
+        F.size("alternates").alias("n_alternates"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "alternates_sig"
+        ),
+    )
+
+
+@_q(
+    "hreflang_census",
+    f"""WITH {{corpus}},
+{{alts}}
+SELECT t.hreflang,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT d.url) AS BIGINT) AS n_docs
+FROM docs d JOIN al t ON t.idx = d.idx
+WHERE t.hreflang <> ''
+GROUP BY t.hreflang""".format(corpus=corpus_cte(), alts=alt_cte()),
+)
+def hreflang_census(spark, sf):
+    """hreflang census over the corpus — the first multilingual
+    crawl-planning question (which language alternates exist and how
+    many pages declare them; the crawl frontier expands along exactly
+    these edges).
+
+    Scale: explode emits one short triple row per alternate element;
+    the filter and groupBy on the language tag are scan-stage + one
+    narrow (tag, count) exchange with map-side combine."""
+    ex = _extracted(spark, sf)
+    t = ex.select(
+        "url", F.explode("alternates").alias("t")
+    ).filter(F.col("t.hreflang") != "")
+    return t.groupBy(F.col("t.hreflang").alias("hreflang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct("url").cast("bigint").alias("n_docs"),
     )

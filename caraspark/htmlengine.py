@@ -163,6 +163,19 @@ and compared byte-for-byte per url):
   despite tag-drop regions, opaque inside boilerplate attr-drop
   regions, first occurrence wins; absent or empty -> None.  PDFs have
   no robots meta (None); stats mode yields None.
+* ALTERNATES (v15, multilingual/feed crawl-planning surface): one
+  (hreflang, type, href) triple per ``<link>`` element (open or
+  self-closing) whose ``rel`` token list contains ``alternate`` —
+  hreflang alternates drive multilingual crawl expansion, and
+  ``type``-tagged alternates (application/rss+xml, application/atom+xml)
+  are the feed-discovery surface.  ``hreflang`` and ``type`` are
+  trimmed + lowercased ("" when absent), ``href`` is trimmed ("" when
+  absent — the element still counts; index is per element, the v12
+  stance).  Attribute lookup uses the shared HEADMETA dict contract
+  (last attribute occurrence wins).  No dedup, no first-wins, document
+  order.  Collection placement is identical to HEADMETA: despite
+  tag-drop regions, opaque inside boilerplate attr-drop regions.  PDFs
+  yield []; stats mode (want_text=False) yields None.
 * JSONLD (v13, structured-data surface): one string per
   ``<script type="application/ld+json">`` element — the element's raw
   character data, stripped of leading/trailing whitespace (INTERNAL
@@ -278,6 +291,7 @@ class _Extractor(HTMLParser):
         self._lst_stack: list[list] = []
         # v12 IMAGES: (src, alt) per <img> element, document order
         self.images: list[tuple[str, str]] = []
+        self.alternates: list[tuple[str, str, str]] = []
         # v13 JSONLD: raw stripped payload per ld+json script element
         self.jsonld: list[str] = []
         self._ld_open = False
@@ -380,11 +394,19 @@ class _Extractor(HTMLParser):
 
     def _collect_headmeta(self, tag, attrs) -> None:
         a = {k: v for k, v in attrs if v is not None}
-        if tag == "link" and self.canonical is None:
+        if tag == "link":
             rel = a.get("rel", "").lower().split()
             href = a.get("href", "").strip()
-            if "canonical" in rel and href:
+            if self.canonical is None and "canonical" in rel and href:
                 self.canonical = href
+            if "alternate" in rel:  # v15: per element, no dedup
+                self.alternates.append(
+                    (
+                        a.get("hreflang", "").strip().lower(),
+                        a.get("type", "").strip().lower(),
+                        href,
+                    )
+                )
         elif tag == "meta":
             if self.description is None and (
                 a.get("name", "").strip().lower() == "description"
@@ -627,7 +649,9 @@ def extract_html(
     list; lists is the (list, item, depth, ordered, item_text) tuple
     list; images is the (src, alt) pair list in document order; jsonld
     is the raw stripped ld+json payload list (v13); robots_meta is the
-    first robots-meta content, lowercased+normalized (v14)."""
+    first robots-meta content, lowercased+normalized (v14); alternates
+    is the (hreflang, type, href) triple list per rel=alternate link
+    element (v15)."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -647,7 +671,7 @@ def extract_html(
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
-            p.robots_meta,
+            p.robots_meta, p.alternates,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -670,6 +694,7 @@ def extract_html(
         p.images,
         p.jsonld,
         p.robots_meta,
+        p.alternates,
     )
 
 

@@ -110,6 +110,10 @@ class ExtractResult:
     # v14 ROBOTSMETA: first <meta name=robots> content, lowercased +
     # normalized (HTML); None for PDFs / absent / stats mode.
     robots_meta: str | None = None
+    # v15 ALTERNATES: (hreflang, type, href) per rel=alternate link
+    # element in document order (HTML); [] for PDFs. None when not
+    # requested / stats mode.
+    alternates: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -166,6 +170,14 @@ class ExtractResult:
             return None
         return [{"src": s, "alt": a} for s, a in self.images]
 
+    def alternates_as_rows(self) -> list[dict] | None:
+        if self.alternates is None:
+            return None
+        return [
+            {"hreflang": hl, "type": t, "href": h}
+            for hl, t, h in self.alternates
+        ]
+
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
             return None
@@ -201,12 +213,12 @@ def is_pdf(blob: bytes) -> bool:
 
 DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 
-# The extraction surfaces a consumer can request (SPEC v1–v14).
+# The extraction surfaces a consumer can request (SPEC v1–v15).
 # "headmeta" is accepted as an alias for {title, canonical, description}.
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
-     "jsonld", "robots"}
+     "jsonld", "robots", "alternates"}
 )
 
 
@@ -305,6 +317,7 @@ def _process_pdf(
     lists: list | None = [] if "lists" in want else None
     images: list | None = [] if "images" in want else None
     jsonld: list | None = [] if "jsonld" in want else None
+    alternates: list | None = [] if "alternates" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -335,6 +348,7 @@ def _process_pdf(
         lists=lists,
         images=images,
         jsonld=jsonld,
+        alternates=alternates,
         title=title,
         description=description,
         headings=headings,
@@ -373,6 +387,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         (
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
+            alternates,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -393,6 +408,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             jsonld = None
         if "robots" not in want:
             robots_meta = None
+        if "alternates" not in want:
+            alternates = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -417,6 +434,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         images = None
         jsonld = None
         robots_meta = None
+        alternates = None
         title = None
         canonical = None
         description = None
@@ -436,6 +454,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         images=images,
         jsonld=jsonld,
         robots_meta=robots_meta,
+        alternates=alternates,
         title=title,
         canonical=canonical,
         description=description,

@@ -132,6 +132,21 @@ EXTRACTED = T.StructType(
         # v14 ROBOTSMETA: first robots-meta content, lowercased; NULL for
         # PDFs / absent / stats mode
         T.StructField("robots_meta", T.StringType(), True),
+        # v15 ALTERNATES: (hreflang, type, href) per rel=alternate link
+        # element; [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "alternates",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("hreflang", T.StringType(), False),
+                        T.StructField("type", T.StringType(), False),
+                        T.StructField("href", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

@@ -617,3 +617,55 @@ def stream_robots(spark, sf):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_alternates",
+    """WITH alts AS (
+  SELECT 'fr-' || CAST(doc_id % 4 AS VARCHAR) AS hreflang FROM documents
+  UNION ALL
+  SELECT '' FROM documents
+)
+SELECT hreflang, CAST(count(*) AS BIGINT) AS n_links
+FROM alts GROUP BY hreflang""",
+)
+def stream_alternates(spark, sf):
+    """Streaming rollup over the v15 ALTERNATES surface: documents
+    arrive as micro-batches, each wrapped with one hreflang alternate
+    and one feed alternate (empty hreflang), extracted IN-STREAM by the
+    same Arrow UDF the batch job runs; the exploded triples feed a
+    stateful per-language-tag count — the live multilingual-coverage
+    dashboard a crawl operator watches while a frontier expands.
+    Complete mode; DuckDB predicts every row closed-form.
+
+    Scale: one fixed-width state row per language tag (~10^2 at web
+    scale); the stream materializes short tag strings only — the same
+    bounded-state shape as stream_images/stream_robots."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><link rel='alternate' hreflang='fr-"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("' href='/fr'>"
+                      "<link rel='alternate' type='application/rss+xml' "
+                      "href='/feed.xml'></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    out = (
+        extract(raw)
+        .select(F.explode("alternates").alias("t"))
+        .groupBy(F.col("t.hreflang").alias("hreflang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+    )
+    return S.run_to_memory(out, mode="complete")

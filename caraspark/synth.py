@@ -1066,13 +1066,21 @@ def html_ogmeta(rng: random.Random) -> bytes:
     the later in-head one wins).  Since v14 also carries the robots-meta
     edge matrix: an empty-content robots decoy, the case-mangled winner
     (lowercased + normalized on capture), a second robots that loses,
-    and a boiler-region robots that is never seen."""
+    and a boiler-region robots that is never seen.  Since v15 also
+    carries the alternates edge matrix: a case-mangled hreflang
+    alternate (lowercased on capture, href trimmed), a type-tagged feed
+    alternate with no hreflang, a multi-token rel containing alternate,
+    a bare rel=alternate with no attrs (counts as an empty triple), a
+    stylesheet link that must NOT count, a drop-region (nav) alternate
+    that IS collected (head-metadata contract), and a boiler-region
+    alternate that is never seen."""
     t = _para(rng, 4).rstrip(".")
     desc = _para(rng, 9)
     img = f"/img/{rng.randrange(1000)}.png"
     rb = ["index, follow", "NOINDEX,NOFOLLOW", "NoArchive , NoSnippet"][
         rng.randrange(3)
     ]
+    hl = ["fr-FR", "de", "pt-BR"][rng.randrange(3)]
     paras = "\n".join(f"<p>{_para(rng, 18)}</p>" for _ in range(2))
     return (
         "<html><head>"
@@ -1083,9 +1091,17 @@ def html_ogmeta(rng: random.Random) -> bytes:
         "<meta name='robots' content='  '>"
         f"<meta name=' Robots ' content='  {rb}  '>"
         "<meta name='robots' content='all-loses'>"
+        f"<link rel='alternate' hreflang=' {hl} ' href=' /{hl}/page '>"
+        "<link rel='alternate' type=' Application/RSS+XML ' "
+        "href='/feed.xml'>"
+        "<link rel='alternate nofollow' href='/print'>"
+        "<link rel='alternate'>"
+        "<link rel='stylesheet' href='/style.css'>"
         "</head><body>"
+        "<nav><link rel='alternate' hreflang='es' href='/es'></nav>"
         f"<div class='sidebar'><meta property='og:description' "
         f"content='hidden'><meta name='robots' content='boiler-hidden'>"
+        f"<link rel='alternate' hreflang='it' href='/it'>"
         f"<p>menu {t}</p></div>"
         f"<meta property='og:description' content=' {desc} '>"
         f"<div class='content'>{paras}</div>"

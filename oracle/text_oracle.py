@@ -1448,8 +1448,8 @@ def _html_anchors(blob: bytes) -> list[str]:
 def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
-    v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta) —
-    2nd witness."""
+    v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta,
+    v15 alternates) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1463,6 +1463,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             [],
             [],
             None,
+            [],
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1476,6 +1477,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_images(blob),
         _html_jsonld(blob),
         _html_robots(blob),
+        _html_alternates(blob),
     )
 
 
@@ -1858,4 +1860,59 @@ def _html_lists(blob: bytes) -> list[tuple[int, int, int, bool, str]]:
     while stack:
         close_item()
         stack.pop()
+    return out
+
+
+def _html_alternates(blob: bytes) -> list[tuple[str, str, str]]:
+    """v15 ALTERNATES, second witness: own event pass with the HEADMETA
+    placement contract — <link rel~=alternate> collected despite drop
+    regions, opaque inside boiler regions; one (hreflang, type, href)
+    triple per element in document order, last attr occurrence wins
+    (the shared headmeta dict contract), no dedup."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[tuple[str, str, str]] = []
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            continue
+        if ev not in ("open", "selfclose"):
+            continue
+        if val == "link":
+            a = {k: v for k, v in attrs if v is not None}
+            if "alternate" in a.get("rel", "").lower().split():
+                out.append(
+                    (
+                        a.get("hreflang", "").strip().lower(),
+                        a.get("type", "").strip().lower(),
+                        a.get("href", "").strip(),
+                    )
+                )
+            if ev == "selfclose":
+                continue
+        if ev == "open":
+            # a drop tag never opens a boiler region, even with boiler
+            # attrs — mirrors handle_starttag's DROP-before-boiler order
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
     return out

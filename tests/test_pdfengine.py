@@ -1512,3 +1512,51 @@ def test_javascript_inventory_degenerate_shapes():
     bodies[6] = _obj(6, b"<< /Kids [6 0 R] /Names [(a) null (b)] >>")
     rows = extract_javascript(load_document(_assemble(bodies)))
     assert rows == []  # /JS unresolvable -> no row; cycles capped
+
+
+def test_html_v15_alternates_semantics():
+    """v15 ALTERNATES: per-element triples in document order, lowercased
+    hreflang/type, trimmed href, multi-token rel match, bare alternate
+    counts as an empty triple, stylesheet excluded, boiler regions
+    opaque, tag-drop (nav) regions transparent — engine and oracle
+    byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<head>"
+         b"<link rel='alternate' hreflang=' FR-fr ' href=' /fr '>"
+         b"<link rel='ALTERNATE stylesheet' type=' Application/RSS+XML '"
+         b" href='/feed.xml'>"
+         b"<link rel='alternate'>"
+         b"<link rel='stylesheet' href='/css'>"
+         b"<link rel='canonical' href='/c'></head>"
+         b"<body><nav><link rel='alternate' hreflang='es' href='/es'>"
+         b"</nav><div class='promo'>"
+         b"<link rel='alternate' hreflang='de' href='/de'></div>"
+         b"<p>real body text</p></body>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[14] == [
+        ("fr-fr", "", "/fr"),
+        ("", "application/rss+xml", "/feed.xml"),
+        ("", "", ""),
+        ("es", "", "/es"),
+    ]
+    assert e[4] == "/c"  # canonical untouched by the shared link branch
+
+
+def test_html_v15_alternates_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<head><link rel='alternate' hreflang='de' href='/de'></head>"
+            b"<body><p>real text</p></body>")
+    full = process_document(html)
+    assert full.alternates == [("de", "", "/de")]
+    only = process_document(html, want={"alternates"})
+    assert only.alternates == [("de", "", "/de")] and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.alternates is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.alternates is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).alternates == []

@@ -83,6 +83,7 @@ def build_extras():
     list_rows = []
     img_rows = []
     jsonld_rows = []
+    alt_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -120,6 +121,7 @@ def build_extras():
                 **_list_facts(res),
                 **_img_facts(res),
                 **_jsonld_facts(res),
+                **_alt_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -225,6 +227,8 @@ def build_extras():
             img_rows.append((idx, pos, isrc, ialt))
         for pos, payload in enumerate(res.jsonld):
             jsonld_rows.append((idx, pos, payload))
+        for pos, (hl, t, h) in enumerate(res.alternates):
+            alt_rows.append((idx, pos, hl, t, h))
         html_idx.append(
             {
                 "idx": idx,
@@ -250,13 +254,14 @@ def build_extras():
                 **_list_facts(res),
                 **_img_facts(res),
                 **_jsonld_facts(res),
+                **_alt_facts(res),
                 **_title_facts(res),
             }
         )
     return (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows, img_rows, jsonld_rows, js_rows,
+        table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
     )
 
 
@@ -270,6 +275,22 @@ def _img_facts(res) -> dict:
         "n_images": len(res.images),
         "images_sig": hashlib.md5(
             "\x1f".join(f"{s}:{a}" for s, a in res.images).encode("utf-8")
+        ).hexdigest(),
+    }
+
+
+def _alt_facts(res) -> dict:
+    """Mirror doc_alternates_sig's JVM expression: md5 over the
+    \x1f-joined "hreflang:type:href" canonical triples in document
+    order; None when the surface was not computed."""
+    if res.alternates is None:
+        return {"n_alternates": None, "alternates_sig": None}
+    return {
+        "n_alternates": len(res.alternates),
+        "alternates_sig": hashlib.md5(
+            "\x1f".join(
+                f"{hl}:{t}:{h}" for hl, t, h in res.alternates
+            ).encode("utf-8")
         ).hexdigest(),
     }
 
@@ -397,7 +418,7 @@ def main() -> None:
     (
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
-        table_rows, list_rows, img_rows, jsonld_rows, js_rows,
+        table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -427,7 +448,8 @@ def main() -> None:
             f"LIST_ROWS = {fmt(list_rows)}\n\n"
             f"IMG_ROWS = {fmt(img_rows)}\n\n"
             f"JSONLD_ROWS = {fmt(jsonld_rows)}\n\n"
-            f"JS_ROWS = {fmt(js_rows)}\n"
+            f"JS_ROWS = {fmt(js_rows)}\n\n"
+            f"ALT_ROWS = {fmt(alt_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -441,7 +463,8 @@ def main() -> None:
         f"{len(list_rows)} list rows, "
         f"{len(img_rows)} img rows, "
         f"{len(jsonld_rows)} jsonld rows, "
-        f"{len(js_rows)} js rows -> {path}"
+        f"{len(js_rows)} js rows, "
+        f"{len(alt_rows)} alternate rows -> {path}"
     )
 
 
