@@ -78,6 +78,11 @@ EXTRAS = [
     "imgtext_pairs",
     "ppl_buckets",
     "dedup_phash",
+    "text_readability",
+    "text_normalize",
+    "embed_quantize",
+    "pdf_javascript",
+    "hreflang_census",
 ]
 
 REPEATS = 3

@@ -3135,3 +3135,46 @@ def text_normalize(spark, sf):
         ).cast("int").alias("n_special"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length distribution (tokenization planning)
+# ---------------------------------------------------------------------------
+
+
+def _seqlen_sql() -> str:
+    return """
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE length(text) > 0
+)
+SELECT lang, CAST(floor(log2(n_tok)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(n_tok) AS BIGINT) AS tok_min,
+       CAST(max(n_tok) AS BIGINT) AS tok_max
+FROM t GROUP BY lang, CAST(floor(log2(n_tok)) AS INT)
+"""
+
+
+@_q("seq_length_hist", _seqlen_sql())
+def seq_length_hist(spark, sf):
+    """Per-language log2-bucketed sequence-length histogram — the
+    distribution every tokenization/packing plan starts from (bucket
+    boundaries pick the packing target length; the tail buckets are the
+    documents `doc_chunks` must split).  log2 of an integer is the same
+    IEEE double in both engines, so the floor bucket is hash-exact.
+
+    Scale: one scan-stage split+size per doc, then a groupBy on
+    (lang, bucket) — ~10^2 groups at any corpus size, map-side combine
+    makes the exchange negligible."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    n_tok = F.size(F.split("text", " "))
+    t = d.select("lang", n_tok.alias("n_tok"))
+    bucket = F.floor(F.log2("n_tok")).cast("int")
+    return t.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("n_tok").cast("bigint").alias("tok_min"),
+        F.max("n_tok").cast("bigint").alias("tok_max"),
+    )

@@ -974,7 +974,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Decode": Entry(ArrayOf(NUMBER)),
             "Interpolate": Entry(BOOL),
             "Intent": Entry(NAME),
-            "Alternates": Entry(ARRAY),
+            "Alternates": Entry(ArrayOf(Class("alternate_image"))),
             "StructParent": Entry(INT),
             "ID": Entry(STRING),
             "OPI": Entry(Class("opi")),
@@ -1989,7 +1989,7 @@ TYPEDEFS: dict[str, ClassDef] = {
     "webcapture_info": ClassDef(
         {
             "V": Entry(NUMBER, required=True),
-            "C": Entry(ArrayOf(DICT)),
+            "C": Entry(ArrayOf(Class("webcapture_command"))),
         }
     ),
     # --- measurement & geospatial viewports [PDF17 §12.9] -------------------
@@ -2150,11 +2150,64 @@ TYPEDEFS: dict[str, ClassDef] = {
             "F": Entry(INT),
             "AP": Entry(Class("appearance")),
             "AS": Entry(NAME),
-            "3DD": Entry(OneOf((STREAM, DICT)), required=True),
-            "3DV": Entry(ANY),
-            "3DA": Entry(DICT),
+            "3DD": Entry(
+                OneOf((Class("threed_stream"), Class("threed_ref"))),
+                required=True,
+            ),
+            "3DV": Entry(OneOf((INT, STRING, NAME, Class("threed_view")))),
+            "3DA": Entry(Class("threed_activation")),
             "3DI": Entry(BOOL),
             "3DB": Entry(RECT),
+        }
+    ),
+    # --- 3D artwork [PDF17 §13.6.3-13.6.5] ----------------------------------
+    "threed_stream": ClassDef(
+        {
+            "Type": Entry(Exact("3D")),
+            "Subtype": Entry(
+                OneOf((Exact("U3D"), Exact("PRC"))), required=True
+            ),
+            "VA": Entry(ArrayOf(Class("threed_view"))),
+            "DV": Entry(OneOf((INT, STRING, NAME, Class("threed_view")))),
+            "Resources": Entry(Class("name_tree")),
+            "OnInstantiate": Entry(STREAM),
+            "AN": Entry(DICT),  # animation style
+        },
+        is_stream=True,
+    ),
+    "threed_ref": ClassDef(
+        {
+            "Type": Entry(Exact("3DRef")),
+            "3DD": Entry(Class("threed_stream"), required=True),
+        }
+    ),
+    "threed_view": ClassDef(
+        {
+            "Type": Entry(Exact("3DView")),
+            "XN": Entry(STRING, required=True),  # external name
+            "IN": Entry(STRING),                 # internal name
+            "MS": Entry(OneOf((Exact("M"), Exact("U3D")))),
+            "C2W": Entry(ArrayOf(NUMBER)),       # 12-number camera matrix
+            "U3DPath": Entry(OneOf((STRING, ArrayOf(STRING)))),
+            "CO": Entry(NUMBER),                 # center of orbit distance
+            "P": Entry(DICT),                    # projection
+            "O": Entry(STREAM),                  # overlay XObject
+            "BG": Entry(DICT),                   # background
+            "RM": Entry(DICT),                   # render mode
+            "LS": Entry(DICT),                   # lighting scheme
+            "SA": Entry(ARRAY),                  # node states
+            "NA": Entry(ARRAY),
+            "NR": Entry(BOOL),
+        }
+    ),
+    "threed_activation": ClassDef(
+        {
+            "A": Entry(NAME),    # activation circumstance PO|PV|XA
+            "AIS": Entry(NAME),  # artwork instantiation state I|L
+            "D": Entry(NAME),    # deactivation PC|PI|XD
+            "DIS": Entry(NAME),  # deactivation state U|I|L
+            "TB": Entry(BOOL),   # toolbar
+            "NP": Entry(BOOL),   # navigation panel
         }
     ),
     # --- sound object [PDF17 §13.3] ------------------------------------------
@@ -2444,7 +2497,7 @@ TYPEDEFS: dict[str, ClassDef] = {
     "media_play_params": ClassDef(
         {
             "Type": Entry(Exact("MediaPlayParams")),
-            "PL": Entry(DICT),  # media players dictionary [table 273]
+            "PL": Entry(Class("media_players")),  # [table 273]
             "MH": Entry(Class("media_play_be")),
             "BE": Entry(Class("media_play_be")),
         }
@@ -2457,6 +2510,54 @@ TYPEDEFS: dict[str, ClassDef] = {
             "D": Entry(DICT),  # duration dictionary
             "A": Entry(BOOL),  # autoplay
             "RC": Entry(NUMBER),  # repeat count
+        }
+    ),
+    # --- media players [PDF17 §13.2.7] --------------------------------------
+    "media_players": ClassDef(
+        {
+            "Type": Entry(Exact("MediaPlayers")),
+            "MU": Entry(ArrayOf(Class("media_player_info"))),  # must-use
+            "A": Entry(ArrayOf(Class("media_player_info"))),   # may-use
+            "NU": Entry(ArrayOf(Class("media_player_info"))),  # never-use
+        }
+    ),
+    "media_player_info": ClassDef(
+        {
+            "Type": Entry(Exact("MediaPlayerInfo")),
+            "PID": Entry(Class("software_identifier"), required=True),
+            "MH": Entry(DICT),
+            "BE": Entry(DICT),
+        }
+    ),
+    "software_identifier": ClassDef(
+        {
+            "Type": Entry(Exact("SoftwareIdentifier")),
+            "U": Entry(STRING, required=True),  # URI identifying the software
+            "L": Entry(ARRAY),                  # lower version bound
+            "LI": Entry(BOOL),
+            "H": Entry(ARRAY),                  # upper version bound
+            "HI": Entry(BOOL),
+            "OS": Entry(ArrayOf(STRING)),       # operating systems
+        }
+    ),
+    # --- web capture commands [PDF17 §14.10.5.2] ----------------------------
+    "webcapture_command": ClassDef(
+        {
+            "URL": Entry(STRING, required=True),
+            "L": Entry(INT),   # level
+            "F": Entry(INT),   # flags
+            "P": Entry(OneOf((STRING, STREAM))),  # POST data
+            "CT": Entry(STRING),
+            "H": Entry(STRING),  # additional headers
+            "S": Entry(DICT),    # command settings
+        }
+    ),
+    # --- alternate images [PDF17 §8.9.5.4] ----------------------------------
+    "alternate_image": ClassDef(
+        {
+            "Image": Entry(Class("xobject_image"), required=True),
+            "DefaultForPrinting": Entry(BOOL),
+            "OC": Entry(DICT),
         }
     ),
 }

@@ -1975,3 +1975,78 @@ def pdf_measure() -> bytes:
 
 
 PDF_RECIPES["pdf_measure"] = pdf_measure
+
+
+def pdf_3d_media() -> bytes:
+    """Rich-media recipe [PDF17 SS13.6 + SS13.2.7 + SS14.10.5 + SS8.9.5.4]:
+    a 3D annot whose U3D artwork stream carries a named view (camera
+    matrix, orbit center) and an activation dict; a Screen annot whose
+    rendition names required/preferred media players via software
+    identifiers; a catalog SpiderInfo with a typed web-capture command;
+    and a page image carrying a print-preferred /Alternates entry —
+    exercising threed_stream/threed_view/threed_activation,
+    media_players/media_player_info/software_identifier,
+    webcapture_command, and alternate_image typedefs."""
+    bodies = _base_objects(b"BT (Rich media) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /SpiderInfo << /V 1.0 "
+        b"/C [ << /URL (https://crawl.example/start) /L 2 /F 1 "
+        b"/CT (text/html) >> ] >> >>",
+    )
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [5 0 R 9 0 R] "
+        b"/Resources << /XObject << /Im0 11 0 R >> >> >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Annot /Subtype /3D /Rect [50 400 350 700] "
+        b"/3DD 6 0 R /3DV 7 0 R "
+        b"/3DA << /A /PV /AIS /L /D /PI /TB false /NP true >> "
+        b"/3DI false /3DB [60 410 340 690] >>",
+    )
+    bodies[6] = _stream_obj(
+        6,
+        b"/Type /3D /Subtype /U3D /VA [7 0 R] /DV 7 0 R",
+        b"U3D\x00synthetic-artwork-bytes",
+    )
+    bodies[7] = _obj(
+        7,
+        b"<< /Type /3DView /XN (DefaultView) /IN (v0) /MS /M "
+        b"/C2W [1 0 0 0 1 0 0 0 1 0 -20 50] /CO 120.0 /NR true >>",
+    )
+    bodies[9] = _obj(
+        9,
+        b"<< /Type /Annot /Subtype /Screen /Rect [0 0 320 240] "
+        b"/T (Player) /A << /S /Rendition /OP 0 /AN 9 0 R /R 10 0 R >> >>",
+    )
+    bodies[10] = _obj(
+        10,
+        b"<< /Type /Rendition /S /MR /N (intro clip) "
+        b"/C << /Type /MediaClip /S /MCD /N (clip) /D (intro.mp4) "
+        b"/CT (video/mp4) >> "
+        b"/P << /Type /MediaPlayParams /PL << /Type /MediaPlayers "
+        b"/MU [ << /Type /MediaPlayerInfo /PID << "
+        b"/Type /SoftwareIdentifier "
+        b"/U (vnd.adobe.swname:AAPL_QuickTime) /L [7 6 5] /LI true "
+        b"/OS [(MACOS) (WIN)] >> >> ] >> "
+        b"/BE << /V 80 /C true /A false /RC 1 >> >> >>",
+    )
+    bodies[11] = (
+        b"11 0 obj\n<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        b"/Alternates [ << /Image 12 0 R /DefaultForPrinting true >> ] "
+        b"/Length 4 >>\nstream\n\x10\x20\x30\x40\nendstream\nendobj\n"
+    )
+    bodies[12] = _stream_obj(
+        12,
+        b"/Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray",
+        bytes(range(16)),
+    )
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_3d_media"] = pdf_3d_media

@@ -2031,3 +2031,59 @@ def embed_quantize(spark, sf):
         q.cast("int").alias("q"),
         F.round("scale", 6).alias("scale_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation: recall of the IVF scale path vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    # compose the two frozen query definitions — the oracle evaluates the
+    # SAME brute/ivf semantics the individual qkeys pin, then joins them
+    return f"""
+WITH b AS ({REGISTRY["ann_brute"].sql}),
+v AS ({_ivf_sql()})
+SELECT b.q_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN v.n_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN v.n_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000 // count(*) AS BIGINT) AS recall_permille
+FROM b LEFT JOIN v ON v.q_id = b.q_id AND v.n_id = b.n_id
+GROUP BY b.q_id
+"""
+
+
+@_q("ann_recall", _ann_recall_sql())
+def ann_recall(spark, sf):
+    """ANN evaluation harness: per-query recall of the IVF scale path
+    (`ann_ivf`) against exact brute-force ground truth (`ann_brute`) —
+    the number every production vector index ships with (recall@k vs
+    nprobe is THE tuning curve; FAISS publishes exactly this).  Recall
+    is an exact integer per-mille (hits * 1000 DIV k), so the result is
+    hash-stable with zero float drift.
+
+    Scale: ground truth only needs the (small) query set — brute
+    broadcasts queries, IVF probes its lists; the final join carries
+    O(queries x k) id pairs, negligible at any corpus size.  The same
+    composition evaluates any candidate generator against any ground
+    truth without touching either plan."""
+    b = ann_brute(spark, sf).select("q_id", "n_id")
+    v = ann_ivf(spark, sf).select(
+        F.col("q_id").alias("vq"), F.col("n_id").alias("vn")
+    )
+    j = b.join(
+        v, (b.q_id == F.col("vq")) & (b.n_id == F.col("vn")), "left_outer"
+    )
+    hits = F.sum(
+        F.when(F.col("vn").isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return j.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        hits.alias("n_hits"),
+        F.expr(
+            "CAST(sum(CASE WHEN vn IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 1000 DIV count(*) AS BIGINT)"
+        ).alias("recall_permille"),
+    )

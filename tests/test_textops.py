@@ -447,3 +447,25 @@ def test_embed_quantize_matches_numpy(spark, sf_smoke):
             assert abs(got[pos].scale_r - round(scale, 6)) < 1e-9
             # int8 range by construction
             assert -127 <= got[pos].q <= 127
+
+
+def test_ann_recall_bounds_and_ground_truth(spark, sf_smoke):
+    from caraspark import textops as TO
+
+    rows = {r.q_id: r for r in TO.ann_recall(spark, sf_smoke).collect()}
+    brute = TO.ann_brute(spark, sf_smoke).collect()
+    by_q = {}
+    for r in brute:
+        by_q.setdefault(r.q_id, set()).add(r.n_id)
+    ivf = TO.ann_ivf(spark, sf_smoke).collect()
+    ivf_q = {}
+    for r in ivf:
+        ivf_q.setdefault(r.q_id, set()).add(r.n_id)
+    assert set(rows) == set(by_q)
+    for q, truth in by_q.items():
+        r = rows[q]
+        hits = len(truth & ivf_q.get(q, set()))
+        assert r.k == len(truth)
+        assert r.n_hits == hits
+        assert r.recall_permille == hits * 1000 // len(truth)
+        assert 0 <= r.recall_permille <= 1000

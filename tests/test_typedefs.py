@@ -1535,7 +1535,8 @@ def test_structelem_mcr_objr_kids():
 
 def test_perms_and_webcapture_info():
     ok = _doc_catalog(
-        b" /Perms << >> /SpiderInfo << /V 1.0 /C [ << >> ] >>",
+        b" /Perms << >> /SpiderInfo << /V 1.0"
+        b" /C [ << /URL (https://ex.org/) /L 1 >> ] >>",
         {},
     )
     r = process_document(ok)
@@ -1543,6 +1544,11 @@ def test_perms_and_webcapture_info():
     # SpiderInfo requires /V
     bad = _doc_catalog(b" /SpiderInfo << /C [] >>", {})
     assert "type.missing_required" in _codes(process_document(bad))
+    # a capture command requires its /URL
+    bad2 = _doc_catalog(
+        b" /SpiderInfo << /V 1.0 /C [ << /L 1 >> ] >>", {}
+    )
+    assert not process_document(bad2).strict
 
 
 def test_nav_node_chain_on_page():
@@ -1609,8 +1615,9 @@ def test_trapnet_printermark_3d_annots():
             7: _obj(
                 7,
                 b"<< /Type /Annot /Subtype /3D /Rect [0 0 9 9]"
-                b" /3DD << /Type /3D >> /3DI true /3DB [0 0 9 9] >>",
+                b" /3DD 8 0 R /3DI true /3DB [0 0 9 9] >>",
             ),
+            8: _stream_obj(8, b"/Type /3D /Subtype /U3D", b"u3d-bytes"),
         },
         page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
     )
@@ -2502,3 +2509,153 @@ def test_line_annot_measure_typed():
     r = process_document(ok, want_objects=True)
     assert r.valid and r.strict, r.errors_as_rows()
     assert r.type_assignments["6.0"] == "measure_rl"
+
+
+# --- round-3j: 3D artwork, media players, capture commands, alt images ------
+
+
+def test_threed_stream_views_and_activation_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /3D /Rect [0 0 99 99]"
+                b" /3DD 6 0 R /3DV 7 0 R"
+                b" /3DA << /A /PO /AIS /L /TB true >> >>",
+            ),
+            6: _stream_obj(
+                6,
+                b"/Type /3D /Subtype /U3D /VA [7 0 R] /DV 7 0 R",
+                b"u3d-payload",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /3DView /XN (Default) /IN (v0) /MS /M"
+                b" /C2W [1 0 0 0 1 0 0 0 1 0 0 0] /CO 42.5 >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "threed_stream"
+    assert r.type_assignments["7.0"] == "threed_view"
+    # a 3D view requires its external name /XN
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /3D /Rect [0 0 9 9]"
+                b" /3DD 6 0 R >>",
+            ),
+            6: _stream_obj(
+                6, b"/Type /3D /Subtype /U3D /VA [7 0 R]", b"x"
+            ),
+            7: _obj(7, b"<< /Type /3DView /IN (no-xn) >>"),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad).strict
+    # the 3D stream requires a /Subtype (U3D or PRC)
+    bad2 = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /3D /Rect [0 0 9 9]"
+                b" /3DD 6 0 R >>",
+            ),
+            6: _stream_obj(6, b"/Type /3D", b"x"),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad2).strict
+
+
+def test_media_players_software_identifier_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Screen /Rect [0 0 9 9]"
+                b" /A << /S /Rendition /OP 0 /R 6 0 R >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Rendition /S /MR /N (clip)"
+                b" /C << /Type /MediaClip /S /MCD /D (m.mp4) >>"
+                b" /P 7 0 R >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /MediaPlayParams /PL 8 0 R"
+                b" /BE << /V 75 /A true >> >>",
+            ),
+            8: _obj(
+                8,
+                b"<< /Type /MediaPlayers /MU [ << /Type /MediaPlayerInfo"
+                b" /PID << /Type /SoftwareIdentifier"
+                b" /U (vnd.adobe.swname:AAPL_QuickTime)"
+                b" /L [5 0 0] /OS [(MACOS)] >> >> ] >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["8.0"] == "media_players"
+    # a player info requires its /PID software identifier
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Screen /Rect [0 0 9 9]"
+                b" /A << /S /Rendition /OP 0 /R 6 0 R >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Rendition /S /MR"
+                b" /P << /Type /MediaPlayParams /PL << /Type /MediaPlayers"
+                b" /MU [ << /Type /MediaPlayerInfo >> ] >> >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad).strict
+
+
+def test_alternate_images_typed():
+    ok = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Image /Width 2 /Height 2"
+                b" /BitsPerComponent 8 /ColorSpace /DeviceGray"
+                b" /Alternates [ << /Image 6 0 R"
+                b" /DefaultForPrinting true >> ]",
+                b"\x00\x01\x02\x03",
+            ),
+            6: _stream_obj(
+                6,
+                b"/Type /XObject /Subtype /Image /Width 4 /Height 4"
+                b" /BitsPerComponent 8 /ColorSpace /DeviceGray",
+                bytes(16),
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Im0 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "xobject_image"
+    # an alternate entry requires its /Image stream
+    bad = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Image /Width 2 /Height 2"
+                b" /Alternates [ << /DefaultForPrinting true >> ]",
+                b"\x00",
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Im0 5 0 R >> >>",
+    )
+    assert not process_document(bad).strict
