@@ -78,6 +78,11 @@ class ClassDef:
     entries: dict  # key → Entry
     closed: bool = False  # strict: unknown entries are errors
     is_stream: bool = False
+    # value type for keys NOT in ``entries`` — map-like dicts whose key
+    # set is data (collection items [PDF17 §7.11.6]: field-name-keyed
+    # values). Mutually exclusive with closed. None = undeclared keys
+    # are opaque (the open-class default).
+    rest: object = None
 
 
 ANY = Prim("any")
@@ -478,7 +483,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "H": Entry(NAME),
             "PA": Entry(DICT),
             "QuadPoints": Entry(ArrayOf(NUMBER)),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
         }
     ),
     "annot_text": ClassDef(
@@ -523,7 +528,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "MK": Entry(DICT),
             "A": Entry(ACTION),
             "AA": Entry(Class("addl_actions")),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             # widget/field merge
             "Parent": Entry(DICT),
             "Kids": Entry(ARRAY),
@@ -560,9 +565,9 @@ TYPEDEFS: dict[str, ClassDef] = {
             "DS": Entry(STRING),
             "CL": Entry(ArrayOf(NUMBER)),
             "IT": Entry(NAME),
-            "BE": Entry(DICT),
+            "BE": Entry(Class("border_effect")),
             "RD": Entry(RECT),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             "LE": Entry(NAME),
         }
     ),
@@ -594,7 +599,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             "Subtype": Entry(Exact("Line"), required=True),
             "L": Entry(ArrayOf(NUMBER), required=True),
             "LE": Entry(ArrayOf(NAME)),
@@ -632,13 +637,13 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             # Square and Circle share every entry (§12.5.6.8)
             "Subtype": Entry(
                 OneOf((Exact("Square"), Exact("Circle"))), required=True
             ),
             "IC": Entry(ArrayOf(NUMBER)),
-            "BE": Entry(DICT),
+            "BE": Entry(Class("border_effect")),
             "RD": Entry(RECT),
         }
     ),
@@ -666,7 +671,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             # Highlight/Underline/Squiggly/StrikeOut (§12.5.6.10)
             "Subtype": Entry(
                 OneOf((
@@ -702,7 +707,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             "Subtype": Entry(Exact("Ink"), required=True),
             "InkList": Entry(ArrayOf(ArrayOf(NUMBER)), required=True),
         }
@@ -731,7 +736,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             # Polygon and PolyLine share /Vertices (§12.5.6.9)
             "Subtype": Entry(
                 OneOf((Exact("Polygon"), Exact("PolyLine"))), required=True
@@ -739,7 +744,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Vertices": Entry(ArrayOf(NUMBER), required=True),
             "LE": Entry(ArrayOf(NAME)),
             "IC": Entry(ArrayOf(NUMBER)),
-            "BE": Entry(DICT),
+            "BE": Entry(Class("border_effect")),
             "Measure": Entry(Class("measure_rl")),
         }
     ),
@@ -767,7 +772,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             "Subtype": Entry(Exact("Stamp"), required=True),
             "Name": Entry(NAME),
         }
@@ -796,7 +801,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             "Subtype": Entry(Exact("FileAttachment"), required=True),
             "FS": Entry(Class("filespec"), required=True),
             "Name": Entry(NAME),
@@ -826,7 +831,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "IRT": Entry(DICT),
             "RT": Entry(NAME),
             "IT": Entry(NAME),
-            "BS": Entry(DICT),
+            "BS": Entry(Class("border_style")),
             "Subtype": Entry(Exact("Sound"), required=True),
             "Sound": Entry(Class("sound_stream"), required=True),
             "Name": Entry(NAME),
@@ -902,8 +907,8 @@ TYPEDEFS: dict[str, ClassDef] = {
             "JavaScript": Entry(Class("name_tree")),
             "Pages": Entry(Class("name_tree")),
             "Templates": Entry(Class("name_tree")),
-            "IDS": Entry(Class("name_tree")),
-            "URLS": Entry(Class("name_tree")),
+            "IDS": Entry(Class("name_tree_capture")),
+            "URLS": Entry(Class("name_tree_capture")),
             "EmbeddedFiles": Entry(Class("name_tree_files")),
             "AlternatePresentations": Entry(Class("name_tree")),
             "Renditions": Entry(Class("name_tree")),
@@ -989,7 +994,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Matrix": Entry(Tuple((NUMBER,) * 6)),
             "Resources": Entry(Class("resources")),
             "Group": Entry(Class("group_transparency")),
-            "Ref": Entry(DICT),
+            "Ref": Entry(Class("ref_xobject")),
             "Metadata": Entry(STREAM),
             "PieceInfo": Entry(DictOf(Class("piece_entry"))),
             "LastModified": Entry(STRING),
@@ -1463,8 +1468,9 @@ TYPEDEFS: dict[str, ClassDef] = {
             "C": Entry(Class("media_clip")),  # selector renditions: /R
             "R": Entry(ARRAY),
             "P": Entry(Class("media_play_params")),
-            "MH": Entry(DICT),
-            "BE": Entry(DICT),
+            "SP": Entry(Class("media_screen_params")),
+            "MH": Entry(Class("rendition_be")),
+            "BE": Entry(Class("rendition_be")),
         }
     ),
     "media_clip": ClassDef(
@@ -1474,10 +1480,10 @@ TYPEDEFS: dict[str, ClassDef] = {
             "N": Entry(STRING),
             "D": Entry(OneOf((STRING, Class("filespec"), STREAM))),
             "CT": Entry(STRING),
-            "P": Entry(DICT),
+            "P": Entry(Class("media_permissions")),
             "Alt": Entry(ARRAY),
-            "MH": Entry(DICT),
-            "BE": Entry(DICT),
+            "MH": Entry(Class("media_clip_be")),
+            "BE": Entry(Class("media_clip_be")),
         }
     ),
     # movie dictionary [PDF17 §13.4, deprecated in 2.0 but common in crawls]
@@ -1572,7 +1578,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "EF": Entry(DictOf(Class("embedded_file"))),
             "RF": Entry(DICT),
             "Desc": Entry(STRING),
-            "CI": Entry(DICT),
+            "CI": Entry(Class("collection_item")),
         }
     ),
     "embedded_file": ClassDef(
@@ -2507,7 +2513,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "V": Entry(INT),  # volume 0..100
             "C": Entry(BOOL),  # show controls
             "F": Entry(INT),  # fit style 0..5
-            "D": Entry(DICT),  # duration dictionary
+            "D": Entry(Class("media_duration")),
             "A": Entry(BOOL),  # autoplay
             "RC": Entry(NUMBER),  # repeat count
         }
@@ -2558,6 +2564,238 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Image": Entry(Class("xobject_image"), required=True),
             "DefaultForPrinting": Entry(BOOL),
             "OC": Entry(DICT),
+        }
+    ),
+    # --- media selection criteria [PDF17 §13.2.4.2, tables 268-270] ---------
+    "media_criteria": ClassDef(
+        {
+            "Type": Entry(Exact("MediaCriteria")),
+            "A": Entry(BOOL),  # audio descriptions required
+            "C": Entry(BOOL),  # text captions required
+            "O": Entry(BOOL),  # audio overdubs required
+            "S": Entry(BOOL),  # subtitles required
+            "R": Entry(INT),   # minimum bit rate (bits/s)
+            "D": Entry(Class("min_bit_depth")),
+            "Z": Entry(Class("min_screen_size")),
+            "V": Entry(ArrayOf(Class("software_identifier"))),  # viewers
+            # PDF version range: [min] or [min max]
+            "P": Entry(OneOf((Tuple((NAME,)), Tuple((NAME, NAME))))),
+            "L": Entry(ArrayOf(STRING)),  # languages (RFC 3066)
+        }
+    ),
+    "min_bit_depth": ClassDef(
+        {
+            "Type": Entry(Exact("MinBitDepth")),
+            "V": Entry(INT, required=True),  # ≥0; 0 = no constraint
+            "M": Entry(INT),                 # monitor index
+        }
+    ),
+    "min_screen_size": ClassDef(
+        {
+            "Type": Entry(Exact("MinScreenSize")),
+            "V": Entry(Tuple((INT, INT)), required=True),
+            "M": Entry(INT),
+        }
+    ),
+    # --- media permissions / durations / offsets [PDF17 §13.2.5-13.2.6] ----
+    "media_permissions": ClassDef(
+        {
+            "Type": Entry(Exact("MediaPermissions")),
+            # TEMPNEVER | TEMPEXTRACT | TEMPACCESS | TEMPALWAYS (string,
+            # not name — table 275)
+            "TF": Entry(STRING),
+        }
+    ),
+    "media_duration": ClassDef(
+        {
+            "Type": Entry(Exact("MediaDuration")),
+            "S": Entry(
+                OneOf((Exact("I"), Exact("F"), Exact("T"))), required=True
+            ),
+            "T": Entry(Class("timespan")),  # required when /S /T
+        }
+    ),
+    "timespan": ClassDef(
+        {
+            "Type": Entry(Exact("Timespan")),
+            "S": Entry(Exact("S"), required=True),
+            "V": Entry(NUMBER, required=True),  # seconds
+        }
+    ),
+    # tables 276-279 merged: /S discriminates time (/T timespan), frame
+    # (/F int ≥0) and marker (/M string) offsets — same union-with-
+    # discriminator shape the action family uses
+    "media_offset": ClassDef(
+        {
+            "Type": Entry(Exact("MediaOffset")),
+            "S": Entry(
+                OneOf((Exact("T"), Exact("F"), Exact("M"))), required=True
+            ),
+            "T": Entry(Class("timespan")),
+            "F": Entry(INT),
+            "M": Entry(STRING),
+        }
+    ),
+    # --- media screen parameters [PDF17 §13.2.8, tables 284-286] -----------
+    "media_screen_params": ClassDef(
+        {
+            "Type": Entry(Exact("MediaScreenParams")),
+            "MH": Entry(Class("media_screen_be")),
+            "BE": Entry(Class("media_screen_be")),
+        }
+    ),
+    "media_screen_be": ClassDef(
+        {
+            "W": Entry(INT),  # window type 0-3 (floating/fullscreen/...)
+            "B": Entry(Tuple((NUMBER, NUMBER, NUMBER))),  # background RGB
+            "O": Entry(NUMBER),  # opacity 0.0-1.0
+            "M": Entry(INT),     # monitor specifier
+            "F": Entry(Class("floating_window")),
+        }
+    ),
+    "floating_window": ClassDef(
+        {
+            "Type": Entry(Exact("FWParams")),
+            "D": Entry(Tuple((INT, INT)), required=True),  # [width height]
+            "RT": Entry(INT),  # relative-to 0-3
+            "P": Entry(INT),   # position 0-8
+            "O": Entry(INT),   # off-screen policy 0-2
+            "T": Entry(BOOL),  # title bar
+            "UC": Entry(BOOL),  # user-closeable
+            "R": Entry(INT),   # resize policy 0-2
+            "TT": Entry(ArrayOf(STRING)),  # multilanguage titles
+        }
+    ),
+    # per-rendition MH/BE holder [PDF17 table 272]: the only entry is the
+    # selection-criteria dict
+    "rendition_be": ClassDef(
+        {
+            "C": Entry(Class("media_criteria")),
+        }
+    ),
+    # media-clip MH/BE holder: MCD carries /BU (base URL, table 266), MCS
+    # carries /B and /E section offsets (table 267) — merged like the clip
+    # class itself
+    "media_clip_be": ClassDef(
+        {
+            "BU": Entry(STRING),
+            "B": Entry(Class("media_offset")),
+            "E": Entry(Class("media_offset")),
+        }
+    ),
+    # --- annotation border dictionaries [PDF17 §12.5.4, tables 166-167] ----
+    "border_style": ClassDef(
+        {
+            "Type": Entry(Exact("Border")),
+            "W": Entry(NUMBER),
+            # S | D | B | I | U; other names shall be treated as /S, so
+            # the entry stays an open NAME (per table 166 note)
+            "S": Entry(NAME),
+            "D": Entry(ArrayOf(NUMBER)),  # dash array
+        }
+    ),
+    "border_effect": ClassDef(
+        {
+            "S": Entry(OneOf((Exact("S"), Exact("C")))),  # solid | cloudy
+            "I": Entry(NUMBER),  # cloud intensity 0-2
+        }
+    ),
+    # --- reference XObjects [PDF17 §8.10.4, table 98] -----------------------
+    "ref_xobject": ClassDef(
+        {
+            "F": Entry(
+                OneOf((STRING, Class("filespec"))), required=True
+            ),
+            "Page": Entry(OneOf((INT, STRING)), required=True),
+            "ID": Entry(Tuple((STRING, STRING))),
+        }
+    ),
+    # --- collection items [PDF17 §7.11.6, tables 57-58]: keys other than
+    # /Type are the collection schema's field names; values are typed via
+    # ``rest`` (string/number data or a subitem carrying a sort prefix)
+    "collection_item": ClassDef(
+        {
+            "Type": Entry(Exact("CollectionItem")),
+        },
+        rest=OneOf((STRING, NUMBER, Class("collection_subitem"))),
+    ),
+    "collection_subitem": ClassDef(
+        {
+            "Type": Entry(Exact("CollectionSubitem")),
+            "D": Entry(OneOf((STRING, NUMBER))),  # the data value
+            "P": Entry(STRING),                   # display prefix
+        }
+    ),
+    # --- web capture content sets [PDF17 §14.10.4, tables 349-352] ----------
+    # page sets (SPS) and image sets (SIS) discriminate on /S exactly like
+    # the shading/action families; they are the values of the catalog's
+    # /Names /IDS and /URLS name trees
+    "webcapture_pageset": ClassDef(
+        {
+            "Type": Entry(Exact("SpiderContentSet")),
+            "S": Entry(Exact("SPS"), required=True),
+            "ID": Entry(STRING, required=True),  # MD5 digest string
+            "O": Entry(ArrayOf(Class("page")), required=True),
+            "SI": Entry(
+                OneOf((
+                    Class("webcapture_sourceinfo"),
+                    ArrayOf(Class("webcapture_sourceinfo")),
+                )),
+                required=True,
+            ),
+            "CT": Entry(STRING),
+            "TS": Entry(STRING),  # timestamp (date string)
+            "T": Entry(STRING),   # title
+            "TID": Entry(STRING),  # thumbnail-digest
+        }
+    ),
+    "webcapture_imageset": ClassDef(
+        {
+            "Type": Entry(Exact("SpiderContentSet")),
+            "S": Entry(Exact("SIS"), required=True),
+            "ID": Entry(STRING, required=True),
+            "O": Entry(ArrayOf(Class("xobject_image")), required=True),
+            "SI": Entry(
+                OneOf((
+                    Class("webcapture_sourceinfo"),
+                    ArrayOf(Class("webcapture_sourceinfo")),
+                )),
+                required=True,
+            ),
+            "CT": Entry(STRING),
+            "TS": Entry(STRING),
+            "R": Entry(OneOf((INT, ArrayOf(INT))), required=True),
+        }
+    ),
+    "webcapture_sourceinfo": ClassDef(
+        {
+            "AU": Entry(
+                OneOf((STRING, Class("url_alias"))), required=True
+            ),
+            "TS": Entry(STRING),  # last-change timestamp
+            "E": Entry(STRING),   # expiration
+            "S": Entry(INT),      # submission form type 0-2
+            "C": Entry(Class("webcapture_command")),
+        }
+    ),
+    "url_alias": ClassDef(
+        {
+            "U": Entry(STRING, required=True),
+            # chains of URLs that redirected/aliased to /U
+            "C": Entry(ArrayOf(ArrayOf(STRING))),
+        }
+    ),
+    # value-typed name tree for /IDS and /URLS: alternating [key STRING,
+    # content set] — same shape as name_tree_files for /EmbeddedFiles
+    "name_tree_capture": ClassDef(
+        {
+            "Kids": Entry(ArrayOf(Class("name_tree_capture"))),
+            "Names": Entry(ArrayOf(OneOf((
+                STRING,
+                Class("webcapture_pageset"),
+                Class("webcapture_imageset"),
+            )))),
+            "Limits": Entry(Tuple((STRING, STRING))),
         }
     ),
 }
@@ -2688,6 +2926,10 @@ def check_types(doc, strict: bool = False) -> TypeResult:
                 check_value(body[k], entry.t, f"{path}/{k}", objkey)
             elif entry.required:
                 err("type.missing_required", f"{path}/{k}", objkey, cls_name)
+        if cd.rest is not None:
+            for k in body:
+                if k not in cd.entries:
+                    check_value(body[k], cd.rest, f"{path}/{k}", objkey)
         if strict and cd.closed:
             for k in body:
                 if k not in cd.entries:

@@ -2659,3 +2659,322 @@ def test_alternate_images_typed():
         page_extra=b" /Resources << /XObject << /Im0 5 0 R >> >>",
     )
     assert not process_document(bad).strict
+
+
+# --- border styles / effects [PDF17 §12.5.4] --------------------------------
+
+
+def test_border_style_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+                b" /BS << /Type /Border /W 2 /S /D /D [3 2] >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # /W must be a number, /D a dash array of numbers
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+                b" /BS << /W (two) >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    rb = process_document(bad)
+    assert "type.mismatch" in _codes(rb)
+    assert not rb.strict
+
+
+def test_border_effect_typed():
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Square /Rect [0 0 9 9]"
+                b" /BE << /S /C /I 1 >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # /S is restricted to S (solid) | C (cloudy)
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Square /Rect [0 0 9 9]"
+                b" /BE << /S /X >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad).strict
+
+
+# --- media selection criteria / durations / offsets [PDF17 §13.2] ----------
+
+
+def _screen_rendition(rendition_body: bytes) -> bytes:
+    return _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Screen /Rect [0 0 9 9]"
+                b" /A << /S /Rendition /OP 0 /R 6 0 R >> >>",
+            ),
+            6: _obj(6, rendition_body),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+
+
+def test_media_criteria_chain_typed():
+    ok = _screen_rendition(
+        b"<< /Type /Rendition /S /MR /N (clip)"
+        b" /C << /Type /MediaClip /S /MCD /D (m.mp4) >>"
+        b" /BE << /C << /Type /MediaCriteria /A true /R 4800"
+        b" /D << /Type /MinBitDepth /V 8 >>"
+        b" /Z << /Type /MinScreenSize /V [640 480] >>"
+        b" /L [(en-US)] /P [/1.5 /1.7] >> >> >>"
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "rendition"
+    # a MinBitDepth dict requires its /V
+    bad = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /MH << /C << /Type /MediaCriteria"
+        b" /D << /Type /MinBitDepth >> >> >> >>"
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    assert not rb.strict
+
+
+def test_media_duration_and_offset_typed():
+    ok = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /C << /Type /MediaClip /S /MCS /D (m.mp4)"
+        b" /BE << /B << /Type /MediaOffset /S /T"
+        b" /T << /Type /Timespan /S /S /V 1.5 >> >>"
+        b" /E << /Type /MediaOffset /S /F /F 240 >> >> >>"
+        b" /P << /Type /MediaPlayParams"
+        b" /BE << /D << /Type /MediaDuration /S /T"
+        b" /T << /Type /Timespan /S /S /V 5.5 >> >> >> >> >>"
+    )
+    r = process_document(ok)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # an offset discriminator outside T|F|M is a mismatch
+    bad = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /C << /Type /MediaClip /S /MCS"
+        b" /BE << /B << /Type /MediaOffset /S /X >> >> >>"
+        b" >>"
+    )
+    assert not process_document(bad).strict
+    # a timespan's /V must be a number
+    bad2 = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /P << /Type /MediaPlayParams"
+        b" /BE << /D << /Type /MediaDuration /S /T"
+        b" /T << /Type /Timespan /S /S /V (five) >> >> >> >> >>"
+    )
+    rb2 = process_document(bad2)
+    assert "type.mismatch" in _codes(rb2)
+
+
+def test_media_clip_permissions_typed():
+    ok = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /C << /Type /MediaClip /S /MCD /D (m.mp4)"
+        b" /P << /Type /MediaPermissions /TF (TEMPACCESS) >>"
+        b" /BE << /BU (http://base/) >> >> >>"
+    )
+    r = process_document(ok)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # /TF is a string (table 275), not a name
+    bad = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /C << /Type /MediaClip /S /MCD"
+        b" /P << /Type /MediaPermissions /TF /TEMPACCESS >> >> >>"
+    )
+    assert not process_document(bad).strict
+
+
+def test_media_screen_params_floating_window_typed():
+    ok = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /SP << /Type /MediaScreenParams"
+        b" /BE << /W 0 /B [1.0 1.0 1.0] /O 0.5 /M 0"
+        b" /F << /Type /FWParams /D [320 240] /RT 0 /P 4"
+        b" /T true /UC true /R 1 /TT [(en) (Clip)] >> >> >> >>"
+    )
+    r = process_document(ok)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # a floating window requires its /D [width height]
+    bad = _screen_rendition(
+        b"<< /Type /Rendition /S /MR"
+        b" /SP << /Type /MediaScreenParams"
+        b" /BE << /F << /Type /FWParams >> >> >> >>"
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+
+
+# --- reference XObjects [PDF17 §8.10.4] -------------------------------------
+
+
+def test_ref_xobject_typed():
+    ok = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Form /BBox [0 0 10 10]"
+                b" /Ref << /F (other.pdf) /Page 0 /ID [(a) (b)] >>",
+                b"0 0 10 10 re f",
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Fm0 5 0 R >> >>",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "xobject_form"
+    # /Page is required (int index or named destination string)
+    bad = _doc(
+        {
+            5: _stream_obj(
+                5,
+                b"/Type /XObject /Subtype /Form /BBox [0 0 10 10]"
+                b" /Ref << /F (other.pdf) >>",
+                b"",
+            ),
+        },
+        page_extra=b" /Resources << /XObject << /Fm0 5 0 R >> >>",
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+
+
+# --- collection items: rest-typed map dicts [PDF17 §7.11.6] -----------------
+
+
+def _attachment_doc(filespec_extra: bytes) -> bytes:
+    return _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /FileAttachment /Rect [0 0 9 9]"
+                b" /FS 6 0 R >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Filespec /F (a.txt)" + filespec_extra + b" >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+
+
+def test_collection_item_rest_typed():
+    # keys other than /Type are schema field names; values may be string,
+    # number, or a subitem dict carrying a sort prefix
+    ok = _attachment_doc(
+        b" /CI << /Type /CollectionItem /Title (doc) /Size 123"
+        b" /Order << /Type /CollectionSubitem /D 5 /P (No. ) >> >>"
+    )
+    r = process_document(ok)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # an array-valued field is outside the rest union
+    bad = _attachment_doc(b" /CI << /Type /CollectionItem /Tags [1 2] >>")
+    rb = process_document(bad)
+    assert "type.mismatch" in _codes(rb)
+    assert not rb.strict
+    # a subitem's /D must be string or number
+    bad2 = _attachment_doc(
+        b" /CI << /Type /CollectionItem"
+        b" /Order << /Type /CollectionSubitem /D [1] >> >>"
+    )
+    assert not process_document(bad2).strict
+
+
+# --- web capture content sets [PDF17 §14.10.4] -------------------------------
+
+
+def test_webcapture_pageset_typed():
+    ok = _doc_catalog(
+        b" /Names << /IDS 5 0 R >>",
+        {
+            5: _obj(5, b"<< /Names [(d1) 6 0 R] >>"),
+            6: _obj(
+                6,
+                b"<< /Type /SpiderContentSet /S /SPS /ID (md5digest)"
+                b" /O [3 0 R] /SI << /AU (http://example.com/) >>"
+                b" /T (Example) /TS (D:20260101000000Z) >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "webcapture_pageset"
+    # source information is required
+    bad = _doc_catalog(
+        b" /Names << /IDS 5 0 R >>",
+        {
+            5: _obj(5, b"<< /Names [(d1) 6 0 R] >>"),
+            6: _obj(
+                6,
+                b"<< /Type /SpiderContentSet /S /SPS /ID (x) /O [3 0 R] >>",
+            ),
+        },
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    assert not rb.strict
+
+
+def test_webcapture_imageset_and_url_alias_typed():
+    ok = _doc_catalog(
+        b" /Names << /URLS 5 0 R >>",
+        {
+            5: _obj(5, b"<< /Names [(http://e.com/i.gif) 6 0 R] >>"),
+            6: _obj(
+                6,
+                b"<< /Type /SpiderContentSet /S /SIS /ID (digest)"
+                b" /O [7 0 R] /R 1"
+                b" /SI [ << /AU << /U (http://e.com/i.gif)"
+                b" /C [[(http://e.com/old.gif)]] >> /S 0 >> ] >>",
+            ),
+            7: _stream_obj(
+                7,
+                b"/Type /XObject /Subtype /Image /Width 1 /Height 1"
+                b" /BitsPerComponent 8 /ColorSpace /DeviceGray",
+                b"\x00",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "webcapture_imageset"
+    # a url_alias requires its /U
+    bad = _doc_catalog(
+        b" /Names << /URLS 5 0 R >>",
+        {
+            5: _obj(5, b"<< /Names [(u) 6 0 R] >>"),
+            6: _obj(
+                6,
+                b"<< /Type /SpiderContentSet /S /SIS /ID (d) /O [] /R 1"
+                b" /SI << /AU << /C [[(x)]] >> >> >>",
+            ),
+        },
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
