@@ -2050,3 +2050,119 @@ def pdf_3d_media() -> bytes:
 
 
 PDF_RECIPES["pdf_3d_media"] = pdf_3d_media
+
+
+def pdf_webcapture() -> bytes:
+    """Web-capture / collection recipe [PDF17 SS14.10.4 + SS7.11.6 +
+    SS12.5.4 + SS8.10.4 + SS13.2.4-13.2.8]: catalog /Names /IDS and
+    /URLS name trees holding an SPS page set (url-alias source info with
+    a redirect chain) and an SIS image set; a Square annot carrying
+    typed /BS border-style and /BE border-effect dicts; a FileAttachment
+    whose filespec /CI is a rest-typed collection item (string, number
+    and sort-prefixed subitem fields); a form XObject /Ref reference to
+    an external page; and a Screen rendition exercising the full media
+    selection chain — criteria (min bit depth / screen size), clip
+    permissions + section offsets (timespan and frame), play-param
+    duration, and screen params with a floating window. Exercises the
+    round-3k typedefs: webcapture_pageset/imageset/sourceinfo,
+    url_alias, name_tree_capture, collection_item/subitem,
+    border_style/effect, ref_xobject, media_criteria, min_bit_depth,
+    min_screen_size, media_permissions, media_duration, timespan,
+    media_offset, media_screen_params, media_screen_be,
+    floating_window, rendition_be, media_clip_be."""
+    bodies = _base_objects(b"BT (Captured site) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R "
+        b"/Names << /IDS 5 0 R /URLS 7 0 R >> >>",
+    )
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [10 0 R 11 0 R 13 0 R] "
+        b"/Resources << /XObject << /Fm0 15 0 R >> >> >>",
+    )
+    bodies[5] = _obj(
+        5, b"<< /Names [(c4f1d-digest-1) 6 0 R] "
+        b"/Limits [(c4f1d-digest-1) (c4f1d-digest-1)] >>"
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /SpiderContentSet /S /SPS /ID (c4f1d-digest-1) "
+        b"/O [3 0 R] /T (Example Capture) /TS (D:20260301120000Z) "
+        b"/CT (text/html) "
+        b"/SI << /AU << /U (https://example.com/page) "
+        b"/C [[(https://example.com/old) (https://example.com/older)]] >> "
+        b"/TS (D:20260301110000Z) /S 0 "
+        b"/C << /URL (https://example.com/page) /L 1 >> >> >>",
+    )
+    bodies[7] = _obj(7, b"<< /Names [(https://example.com/logo.gif) 8 0 R] >>")
+    bodies[8] = _obj(
+        8,
+        b"<< /Type /SpiderContentSet /S /SIS /ID (c4f1d-digest-2) "
+        b"/O [9 0 R] /R 1 "
+        b"/SI [ << /AU (https://example.com/logo.gif) /S 0 >> ] >>",
+    )
+    bodies[9] = _stream_obj(
+        9,
+        b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/BitsPerComponent 8 /ColorSpace /DeviceGray",
+        b"\x11\x22\x33\x44",
+    )
+    bodies[10] = _obj(
+        10,
+        b"<< /Type /Annot /Subtype /Square /Rect [10 10 110 110] "
+        b"/Contents (captured region) /IC [1.0 1.0 0.9] "
+        b"/BS << /Type /Border /W 2 /S /D /D [4 2] >> "
+        b"/BE << /S /C /I 1 >> >>",
+    )
+    bodies[11] = _obj(
+        11,
+        b"<< /Type /Annot /Subtype /Screen /Rect [120 10 440 250] "
+        b"/T (Site tour) /A << /S /Rendition /OP 0 /R 12 0 R >> >>",
+    )
+    bodies[12] = _obj(
+        12,
+        b"<< /Type /Rendition /S /MR /N (tour) "
+        b"/C << /Type /MediaClip /S /MCS /N (tour-section) /D (tour.mp4) "
+        b"/CT (video/mp4) "
+        b"/P << /Type /MediaPermissions /TF (TEMPACCESS) >> "
+        b"/BE << /B << /Type /MediaOffset /S /T "
+        b"/T << /Type /Timespan /S /S /V 2.5 >> >> "
+        b"/E << /Type /MediaOffset /S /F /F 480 >> >> >> "
+        b"/P << /Type /MediaPlayParams "
+        b"/BE << /V 80 /C true /A false "
+        b"/D << /Type /MediaDuration /S /T "
+        b"/T << /Type /Timespan /S /S /V 30.0 >> >> >> >> "
+        b"/SP << /Type /MediaScreenParams "
+        b"/BE << /W 0 /B [0.0 0.0 0.0] /O 0.9 /M 0 "
+        b"/F << /Type /FWParams /D [320 240] /RT 0 /P 4 /O 1 "
+        b"/T true /UC true /R 1 /TT [(en) (Tour)] >> >> >> "
+        b"/BE << /C << /Type /MediaCriteria /A false /C false /R 2400 "
+        b"/D << /Type /MinBitDepth /V 8 /M 0 >> "
+        b"/Z << /Type /MinScreenSize /V [640 480] /M 0 >> "
+        b"/L [(en-US)] >> >> >>",
+    )
+    bodies[13] = _obj(
+        13,
+        b"<< /Type /Annot /Subtype /FileAttachment /Rect [460 10 480 30] "
+        b"/Contents (captured asset) /FS 14 0 R /Name /Paperclip >>",
+    )
+    bodies[14] = _obj(
+        14,
+        b"<< /Type /Filespec /F (report.csv) /UF (report.csv) "
+        b"/Desc (crawl report) "
+        b"/CI << /Type /CollectionItem /Title (Q3 crawl report) "
+        b"/Size 1234 "
+        b"/Order << /Type /CollectionSubitem /D 3 /P (No. ) >> >> >>",
+    )
+    bodies[15] = _stream_obj(
+        15,
+        b"/Type /XObject /Subtype /Form /BBox [0 0 200 200] "
+        b"/Ref << /F (master-site.pdf) /Page 0 /ID [(aa11) (bb22)] >>",
+        b"0 0 200 200 re S",
+    )
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_webcapture"] = pdf_webcapture
