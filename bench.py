@@ -83,6 +83,7 @@ EXTRAS = [
     "embed_quantize",
     "pdf_javascript",
     "hreflang_census",
+    "url_resolve",
 ]
 
 REPEATS = 3

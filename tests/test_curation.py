@@ -832,3 +832,14 @@ def test_normalize_matches_python(spark, sf_smoke):
         assert r.norm_md5 == hashlib.md5(norm.encode()).hexdigest(), did
         # the normalized text is pure-ASCII by construction
         norm.encode("ascii")
+
+
+def test_url_resolve_matches_python_urljoin(spark, sf_smoke):
+    """Third implementation: every resolution class must agree with
+    urllib's RFC 3986 resolver (fragments stripped on both sides)."""
+    from urllib.parse import urldefrag, urljoin
+
+    rows = {r.doc_id: r for r in C.url_resolve(spark, sf_smoke).collect()}
+    for did, r in sorted(rows.items())[:60]:
+        want = urldefrag(urljoin(r.base, r.href))[0]
+        assert r.abs_url == want, (did, r.base, r.href, r.abs_url, want)

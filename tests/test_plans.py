@@ -789,3 +789,11 @@ def test_host_reputation_partial_then_final_agg(spark, sf_smoke, qs):
     assert "partial" in p, p
     rows = qs["host_reputation"](spark, sf_smoke).collect()
     assert all(0 <= r.keep_permille <= 1000 for r in rows)
+
+
+def test_url_resolve_is_narrow_jvm(spark, sf_smoke, qs):
+    """Reference resolution is a scan-stage regex chain: zero exchanges,
+    zero Python eval — the shape that costs nothing at 10^12 outlinks."""
+    p = plan_of(qs["url_resolve"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
