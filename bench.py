@@ -84,6 +84,7 @@ EXTRAS = [
     "pdf_javascript",
     "hreflang_census",
     "url_resolve",
+    "frontier_feed",
 ]
 
 REPEATS = 3

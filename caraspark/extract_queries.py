@@ -1692,3 +1692,88 @@ def hreflang_census(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_links"),
         F.countDistinct("url").cast("bigint").alias("n_docs"),
     )
+
+
+@_q(
+    "frontier_feed",
+    """WITH pages AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example/sec' || CAST(doc_id % 3 AS VARCHAR)
+         || '/page' || CAST(doc_id AS VARCHAR) || '.html' AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS INTEGER) AS pos,
+       '/p/' || CAST(doc_id + 1 AS VARCHAR) AS href,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR)
+       || '.example/p/' || CAST(doc_id + 1 AS VARCHAR) AS abs_url,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+FROM pages
+UNION ALL
+SELECT url, CAST(1 AS INTEGER) AS pos,
+       '../deep/dive' || CAST(doc_id % 4 AS VARCHAR) || '.html' AS href,
+       'https://site' || CAST(doc_id % 7 AS VARCHAR)
+       || '.example/deep/dive' || CAST(doc_id % 4 AS VARCHAR)
+       || '.html' AS abs_url,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+FROM pages
+UNION ALL
+SELECT url, CAST(2 AS INTEGER) AS pos,
+       'https://hub.example/t?q=' || CAST(doc_id % 7 AS VARCHAR) AS href,
+       'https://hub.example/t?q=' || CAST(doc_id % 7 AS VARCHAR) AS abs_url,
+       'hub.example' AS host
+FROM pages""",
+)
+def frontier_feed(spark, sf):
+    """Extraction → resolution frontier feed, the end-to-end composition a
+    crawler runs per fetched page: real v4 OUTLINKS extraction (want=
+    projection: only the outlinks surface is assembled), RFC 3986
+    resolution of each href against the page URL (`resolve_url`), and the
+    host key a frontier shards on. The synthetic corpus plants one
+    root-relative link, one ../ climb, and one absolute hub link per page
+    (plus a fragment decoy the SPEC drops), so the closed form predicts
+    every (url, pos, href, abs_url, host) row.
+
+    Scale: the Arrow extract stage is the only Python; resolution and
+    host parsing are scan-stage regex on the exploded rows — posexplode
+    is narrow, so the whole feed runs with ZERO exchanges (plan-pinned).
+    Cites ref: crawl-frontier construction over 10^12 pages."""
+    from caraspark.curation import resolve_url
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".example/sec"), (did % 3).cast("string"),
+        F.lit("/page"), did.cast("string"), F.lit(".html"),
+    )
+    raw = docs.select(
+        page_url.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>t</p></main><p><a href='/p/"),
+                (did + 1).cast("string"),
+                F.lit("'>next</a> <a href='../deep/dive"),
+                (did % 4).cast("string"),
+                F.lit(".html'>deep</a> <a href='https://hub.example/t?q="),
+                (did % 7).cast("string"),
+                F.lit("'>hub</a> <a href='#frag'>skip</a></p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    ex = extract(raw, want=("outlinks",))
+    links = ex.select(
+        "url", F.posexplode("outlinks").alias("pos", "href")
+    )
+    abs_url = resolve_url(F.col("url"), F.col("href"))
+    return links.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        "href",
+        abs_url.alias("abs_url"),
+        F.regexp_extract(abs_url, r"^[a-z]+://([^/?#]*)", 1).alias("host"),
+    )

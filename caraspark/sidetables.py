@@ -657,6 +657,13 @@ def _js_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for url, blob in zip(urls, blobs):
             if blob is None or not is_pdf(blob):
                 continue
+            # Sound byte-level prune before the full parse: a /JavaScript
+            # (or abbreviated /JS) action name needs either a literal "/J"
+            # or a #-escaped name byte somewhere in the file — a blob with
+            # neither provably has no JS and skips xref+object loading
+            # entirely. At crawl scale almost every PDF prunes here.
+            if b"/J" not in blob and b"#" not in blob:
+                continue
             for j in extract_javascript(load_document(blob)):
                 cols["url"].append(url)
                 cols["pos"].append(j["pos"])

@@ -1560,3 +1560,24 @@ def test_html_v15_alternates_want_projection():
     stats = process_document(html, want_text=False)
     assert stats.alternates is None
     assert process_document(PDF_RECIPES["pdf_minimal"]()).alternates == []
+
+
+def test_javascript_prune_keeps_escaped_names():
+    """The sidetable's byte-level prune (skip when neither b"/J" nor b"#"
+    appears) must be SOUND: a doc whose /JavaScript name is #-escaped has
+    no literal "/J" but does carry "#", so it survives the prune and the
+    lexer's escape normalization still finds the action."""
+    from caraspark.pdfengine.document import extract_javascript, load_document
+    from caraspark.synth import _assemble, _base_objects, _obj
+
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R "
+        b"/OpenAction << /S /#4Aava#53cript /#4AS (app.alert(1);) >> >>",
+    )
+    blob = _assemble(bodies)
+    assert b"/J" not in blob  # the #-escape is load-bearing for the prune
+    assert b"#" in blob
+    rows = extract_javascript(load_document(blob))
+    assert len(rows) == 1 and rows[0]["source"] == "OpenAction"

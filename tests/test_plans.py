@@ -797,3 +797,12 @@ def test_url_resolve_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["url_resolve"](spark, sf_smoke))
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
+
+
+def test_frontier_feed_zero_exchange_one_arrow_stage(spark, sf_smoke, qs):
+    """Extraction → resolution → host parse runs as ONE narrow pipeline:
+    the Arrow extract UDF is the only Python stage, posexplode and the
+    resolution regex chain stay in the same task — no exchange anywhere."""
+    p = plan_of(qs["frontier_feed"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert p.count("ArrowEvalPython") <= 1
