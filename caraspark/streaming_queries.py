@@ -669,3 +669,66 @@ def stream_alternates(spark, sf):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_frontier",
+    """WITH links AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+  FROM documents
+  UNION ALL
+  SELECT 'hub.example' FROM documents
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_links
+FROM links GROUP BY host""",
+)
+def stream_frontier(spark, sf):
+    """Streaming frontier feed: the batch `frontier_feed` composition run
+    over micro-batches — outlinks extracted IN-STREAM by the same Arrow
+    UDF, each href resolved with the SAME `resolve_url` column chain the
+    batch path uses (one root-relative link + one absolute hub link per
+    page), then a stateful per-host link count (complete mode) — the live
+    view a frontier scheduler shards politeness budgets from.
+
+    Scale: resolution is stateless scan-stage regex inside the micro-
+    batch; state is one BIGINT per host and the only shuffle carries
+    (host, partial-count) pairs — same bounded-state shape as
+    stream_anchor_agg."""
+    from caraspark.curation import resolve_url
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".example/sec"), (did % 3).cast("string"),
+        F.lit("/page"), did.cast("string"), F.lit(".html"),
+    )
+    raw = docs.select(
+        page_url.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><main><p>t</p></main><p><a href='/p/"),
+                (did + 1).cast("string"),
+                F.lit("'>next</a> <a href='https://hub.example/t?q="),
+                (did % 7).cast("string"),
+                F.lit("'>hub</a></p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    links = (
+        extract(raw, want=("outlinks",))
+        .select("url", F.explode("outlinks").alias("href"))
+    )
+    abs_url = resolve_url(F.col("url"), F.col("href"))
+    hosts = links.select(
+        F.regexp_extract(abs_url, r"^[a-z]+://([^/?#]*)", 1).alias("host")
+    )
+    out = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links")
+    )
+    return S.run_to_memory(out, mode="complete")

@@ -332,3 +332,22 @@ def test_stream_quality_equals_batch_rollup(spark, sf_smoke):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_frontier_matches_closed_form(spark, sf_smoke):
+    """Every doc contributes exactly one resolved link to its own site
+    host (root-relative /p/ link) and one to hub.example (absolute) —
+    the streamed per-host counts must equal that closed form."""
+    from caraspark.streaming_queries import stream_frontier
+    from caraspark.tables import load
+
+    got = {r.host: r.n_links for r in stream_frontier(spark, sf_smoke).collect()}
+    dids = [
+        r.doc_id
+        for r in load(spark, sf_smoke, "documents").select("doc_id").collect()
+    ]
+    want: dict[str, int] = {}
+    for did in dids:
+        want[f"site{did % 7}.example"] = want.get(f"site{did % 7}.example", 0) + 1
+        want["hub.example"] = want.get("hub.example", 0) + 1
+    assert got == want
