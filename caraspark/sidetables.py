@@ -177,6 +177,20 @@ def _objects_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 v.clear()
 
 
+def _prune_skip(blob: bytes, *tokens: bytes) -> bool:
+    """Sound byte-level prune before a full parse: skip a document only
+    when NONE of the feature's marker names appears literally, there are
+    no #-escaped names anywhere (an escaped marker carries '#'), and no
+    /ObjStm object streams (a name INSIDE a compressed object stream is
+    invisible in the raw bytes, but the ObjStm's own stream dict can
+    never itself be compressed [PDF17 §7.5.7], so its /Type /ObjStm
+    marker always is visible; encryption never touches names). At crawl
+    scale almost every PDF prunes, skipping xref+object loading."""
+    if b"#" in blob or b"/ObjStm" in blob:
+        return False
+    return not any(t in blob for t in tokens)
+
+
 def _attach_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     import hashlib
 
@@ -189,6 +203,8 @@ def _attach_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         blobs = batch.column("html").to_pylist()
         for url, blob in zip(urls, blobs):
             if blob is None or not is_pdf(blob):
+                continue
+            if _prune_skip(blob, b"/EmbeddedFiles"):
                 continue
             for a in extract_attachments(load_document(blob)):
                 cols["url"].append(url)
@@ -513,6 +529,8 @@ def _outline_batches(it):
         for url, blob in zip(urls, blobs):
             if blob is None or not is_pdf(blob):
                 continue
+            if _prune_skip(blob, b"/Outlines"):
+                continue
             for o in extract_outline(load_document(blob)):
                 cols["url"].append(url)
                 cols["pos"].append(o["pos"])
@@ -572,6 +590,8 @@ def _formfield_batches(it):
         blobs = batch.column("html").to_pylist()
         for url, blob in zip(urls, blobs):
             if blob is None or not is_pdf(blob):
+                continue
+            if _prune_skip(blob, b"/AcroForm"):
                 continue
             for x in extract_form_fields(load_document(blob)):
                 cols["url"].append(url)
@@ -657,12 +677,9 @@ def _js_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for url, blob in zip(urls, blobs):
             if blob is None or not is_pdf(blob):
                 continue
-            # Sound byte-level prune before the full parse: a /JavaScript
-            # (or abbreviated /JS) action name needs either a literal "/J"
-            # or a #-escaped name byte somewhere in the file — a blob with
-            # neither provably has no JS and skips xref+object loading
-            # entirely. At crawl scale almost every PDF prunes here.
-            if b"/J" not in blob and b"#" not in blob:
+            # a /JavaScript (or abbreviated /JS) action name needs a
+            # literal "/J" somewhere in plaintext — see _prune_skip
+            if _prune_skip(blob, b"/J"):
                 continue
             for j in extract_javascript(load_document(blob)):
                 cols["url"].append(url)

@@ -1581,3 +1581,24 @@ def test_javascript_prune_keeps_escaped_names():
     assert b"#" in blob
     rows = extract_javascript(load_document(blob))
     assert len(rows) == 1 and rows[0]["source"] == "OpenAction"
+
+
+def test_prune_skip_never_drops_objstm_or_escaped_docs():
+    """_prune_skip must be SOUND: a doc whose marker name could hide
+    inside a compressed object stream (any /ObjStm present) or behind a
+    #-escape is never skipped, regardless of token; a plain doc without
+    the marker is."""
+    from caraspark.sidetables import _prune_skip
+    from caraspark.synth import PDF_RECIPES, pdf_minimal
+
+    # object streams present → never skip (marker may be compressed)
+    objstm = PDF_RECIPES["pdf_objstm"]()
+    assert b"/ObjStm" in objstm
+    assert not _prune_skip(objstm, b"/NoSuchNameAnywhere")
+    # escape byte present → never skip
+    assert not _prune_skip(b"%PDF-1.4 /X#4A", b"/NoSuchNameAnywhere")
+    # plain doc without the marker → skip; with it → keep
+    plain = pdf_minimal()
+    assert b"#" not in plain and b"/ObjStm" not in plain
+    assert _prune_skip(plain, b"/EmbeddedFiles")
+    assert not _prune_skip(plain, b"/Catalog")
