@@ -131,6 +131,26 @@ def scan_json(spark, sf):
     return _scan_agg(_staged(spark, sf, "json"))
 
 
+@_q("scan_orc", _SCAN_AGG_SQL)
+def scan_orc(spark, sf):
+    """S-family: ORC source/sink roundtrip — the second columnar format
+    Spark ships built-in (predicate pushdown + column pruning like
+    parquet; TIMESTAMP_NTZ round-trips natively, no string staging)."""
+    import os
+
+    out = f"{_SCAN_STAGE}/{sf.strip('/').replace('/', '_')}/orc"
+    src = load(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        src.coalesce(4).write.mode("overwrite").orc(out)
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    return _scan_agg(spark.read.schema(schema).orc(out))
+
+
 # ---------------------------------------------------------------------------
 # B2 projection / filter
 # ---------------------------------------------------------------------------

@@ -806,3 +806,48 @@ def test_frontier_feed_zero_exchange_one_arrow_stage(spark, sf_smoke, qs):
     p = plan_of(qs["frontier_feed"](spark, sf_smoke))
     assert "Exchange" not in p, p
     assert p.count("ArrowEvalPython") <= 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
+    """Scale feature pin: when a selective dim filter joins a fact on a
+    shuffle join, Catalyst injects a runtime bloom filter — the fact side
+    is pre-filtered by might_contain(bloom(dim keys)) BEFORE the exchange,
+    so at 100 TB the shuffle carries only rows that can match. Broadcast
+    thresholds are disabled to force the shuffle-join regime the feature
+    exists for; confs restored after."""
+    from caraspark.tables import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load(spark, sf_smoke, "lineitem")
+        o = load(spark, sf_smoke, "orders").filter(
+            "o_orderpriority = '1-URGENT' and o_totalprice > 200000"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_of(j)
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
