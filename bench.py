@@ -210,6 +210,19 @@ def main() -> None:
     except ImportError:
         pass
 
+    # production-hash substring-dedup variant: 8-byte xxhash64 window
+    # keys instead of 32-char md5 hex digests in every exchange
+    try:
+        from caraspark.relational import load
+        from caraspark.textops import substring_marks
+
+        t0 = time.time()
+        run_noop(substring_marks(load(spark, sf_dir, "documents"),
+                                 hash_fn="xxh"))
+        extra_pack["dedup_substring_xxh"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_pack_total",

@@ -1339,7 +1339,20 @@ def dedup_substring(spark, sf):
     reuses the same hash partitioning (digest keys both sides). Window
     explosion is linear in corpus tokens and stays in whole-stage
     codegen (transform + slice + concat_ws, zero Python)."""
-    docs = load(spark, sf, "documents")
+    return substring_marks(load(spark, sf, "documents"))
+
+
+def substring_marks(docs, hash_fn: str = "md5"):
+    """Duplicated-window marking over a documents frame. hash_fn="md5" is
+    the DuckDB-reproducible qkey path (hex digest column ``gram_md5``);
+    hash_fn="xxh" is the production path — ONE xxhash64 BIGINT per
+    window replaces the md5 hex string, so every exchange carries 8-byte
+    integers instead of 32-char digests (same plan shape, plan-pinned)."""
+    win = lambda t, i: F.concat_ws(" ", F.slice(t, i + 1, _SUB_K))  # noqa
+    if hash_fn == "xxh":
+        h = lambda t, i: F.xxhash64(win(t, i))  # noqa: E731
+    else:
+        h = lambda t, i: F.md5(win(t, i))  # noqa: E731
     toks = docs.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= _SUB_K)
@@ -1348,7 +1361,7 @@ def dedup_substring(spark, sf):
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("t") - _SUB_K),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, _SUB_K))),
+                lambda i: h(F.col("t"), i),
             )
         ).alias("pos", "gram_md5"),
     )

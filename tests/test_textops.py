@@ -469,3 +469,36 @@ def test_ann_recall_bounds_and_ground_truth(spark, sf_smoke):
         assert r.n_hits == hits
         assert r.recall_permille == hits * 1000 // len(truth)
         assert 0 <= r.recall_permille <= 1000
+
+
+def test_substring_marks_xxh_same_plan_no_md5(spark, sf_smoke):
+    """Production-hash path: same single-groupBy + digest-join plan, but
+    the exchanged key is an 8-byte xxhash64 BIGINT — no md5 anywhere."""
+    from caraspark.tables import load
+    from caraspark.textops import substring_marks
+
+    docs = load(spark, sf_smoke, "documents")
+    p = (
+        substring_marks(docs, hash_fn="xxh")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in p and "md5(" not in p, p  # alias gram_md5 remains
+    assert "EvalPython" not in p
+
+
+def test_substring_marks_xxh_finds_planted_duplicate(spark, sf_smoke):
+    """Two docs sharing a verbatim 8-token run must mark the shared
+    windows under the xxh path exactly as under md5."""
+    from caraspark.textops import substring_marks
+
+    shared = "w0 w1 w2 w3 w4 w5 w6 w7"
+    df = spark.createDataFrame(
+        [(1, f"a b c {shared}"), (2, f"{shared} x y z"), (3, "lone text only")],
+        "doc_id long, text string",
+    )
+    for fn in ("md5", "xxh"):
+        got = {
+            (r.doc_id, r.pos)
+            for r in substring_marks(df, hash_fn=fn).collect()
+        }
+        assert got == {(1, 3), (2, 0)}, (fn, got)
