@@ -85,6 +85,7 @@ EXTRAS = [
     "hreflang_census",
     "url_resolve",
     "frontier_feed",
+    "ann_ivfpq",
 ]
 
 REPEATS = 3

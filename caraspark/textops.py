@@ -2100,3 +2100,186 @@ def ann_recall(spark, sf):
             " * 1000 DIV count(*) AS BIGINT)"
         ).alias("recall_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed billion-scale ANN shape (coarse lists × ADC codes)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_sql() -> str:
+    cos_ec = _cos_sql("e.embedding", "c.cv")
+    l2_code = _l2_sql("sv.v", "cw.w")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {_IVF_MOD} = 0
+),
+assign AS (
+  SELECT e.vec_id, c.c_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cos_ec}, 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+probes AS (
+  SELECT vec_id AS q_id, c_id FROM assign
+  WHERE vec_id < {_NQ} AND rn <= {_NPROBE}
+),
+lists AS (
+  SELECT vec_id AS n_id, c_id FROM assign WHERE rn = 1
+),
+ss AS (SELECT unnest(range({_PQ_M})) AS m),
+cw AS (
+  SELECT ss.m, e.vec_id AS j,
+         list_slice(e.embedding, ss.m * {_PQ_D} + 1,
+                    ss.m * {_PQ_D} + {_PQ_D}) AS w
+  FROM embeddings e, ss
+  WHERE e.vec_id % {_PQ_MOD} = 0 AND e.vec_id <= {_PQ_MAX_ID}
+),
+subv AS (
+  SELECT e.vec_id, ss.m,
+         list_slice(e.embedding, ss.m * {_PQ_D} + 1,
+                    ss.m * {_PQ_D} + {_PQ_D}) AS v
+  FROM embeddings e, ss
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT sv.vec_id, sv.m, cw.j,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.m
+             ORDER BY round({l2_code}, 6) ASC, cw.j ASC) AS rn
+    FROM subv sv JOIN cw ON cw.m = sv.m
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT sv.vec_id AS q_id, cw.m, cw.j, {l2_code} AS d
+  FROM subv sv JOIN cw ON cw.m = sv.m
+  WHERE sv.vec_id < {_NQ}
+),
+adc AS (
+  SELECT qt.q_id, c.vec_id AS n_id, round(sum(qt.d), 6) AS adc
+  FROM codes c
+  JOIN lists l ON l.n_id = c.vec_id
+  JOIN probes p ON p.c_id = l.c_id
+  JOIN qtab qt ON qt.q_id = p.q_id AND qt.m = c.m AND qt.j = c.j
+  WHERE c.vec_id <> qt.q_id
+  GROUP BY qt.q_id, c.vec_id
+),
+shortlist AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.q_id, s.n_id,
+         round({_l2_sql("qe.embedding", "ne.embedding")}, 6) AS l2
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.q_id
+  JOIN embeddings ne ON ne.vec_id = s.n_id
+)
+SELECT q_id, n_id, l2 FROM (
+  SELECT q_id, n_id, l2,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY l2 ASC, n_id ASC) AS rn
+  FROM rerank
+) WHERE rn <= {_TOPK}
+"""
+
+
+@_q("ann_ivfpq", _ivfpq_sql())
+def ann_ivfpq(spark, sf):
+    """IVF-PQ: the production billion-vector ANN composition — `ann_ivf`'s
+    coarse quantizer prunes the corpus to nprobe inverted lists, and
+    inside those lists stage-1 scoring reads ONLY `ann_pq`'s 8-byte code
+    rows via the query's broadcast ADC distance table; exact L2 re-ranks
+    the per-query shortlist. Per-query work drops from |corpus| to
+    (|corpus|/K × nprobe) list membership × table lookups, and the
+    scoring scan never touches a raw vector.
+
+    Scale shape: both quantizers ship as broadcast variables (driver-
+    loaded, small by construction — how FAISS ships trained indexes);
+    list-assign + PQ-encode are ONE narrow pandas-UDF stage over the
+    corpus; the exploded (query × probed-list) table broadcasts, so the
+    coded corpus never shuffles for scoring; raw vectors are touched for
+    only |queries| × shortlist rows via broadcast joins."""
+    e = load(spark, sf, "embeddings")
+    cent_rows = (
+        e.filter(F.col("vec_id") % _IVF_MOD == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+        .collect()
+    )
+    assign_udf, _probe_arr = ivf_quantizer_udfs(
+        spark, [r["cv"] for r in cent_rows], [r["c_id"] for r in cent_rows]
+    )
+    cb_rows = (
+        e.filter(
+            (F.col("vec_id") % _PQ_MOD == 0) & (F.col("vec_id") <= _PQ_MAX_ID)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    encode, dtable = pq_udfs(
+        spark,
+        [r["embedding"] for r in cb_rows],
+        [r["vec_id"] for r in cb_rows],
+    )
+    coded = e.select(
+        F.col("vec_id").alias("n_id"),
+        assign_udf(F.col("embedding")).alias("c_id"),
+        encode(F.col("embedding")).alias("codes"),
+    )
+    qprobe = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"),
+        dtable(F.col("embedding")).alias("dt"),
+        F.explode(_probe_arr(F.col("embedding"))).alias("c_id"),
+    )
+    joined = coded.join(F.broadcast(qprobe), "c_id").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    adc = F.round(
+        F.expr(
+            f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0 AS DOUBLE), "
+            f"(acc, m) -> acc + dt[m * {_PQ_K} + codes[m]])"
+        ),
+        6,
+    )
+    wk = W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    shortlist = (
+        joined.select("q_id", "n_id", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("q_id", "n_id")
+    )
+
+    def l2(x, y):
+        return F.aggregate(
+            F.zip_with(
+                x,
+                y,
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qe = e.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("qv"))
+    ne = e.select(F.col("vec_id").alias("n_id"),
+                  F.col("embedding").alias("nv"))
+    rer = (
+        ne.join(F.broadcast(shortlist), "n_id")
+        .join(F.broadcast(qe), "q_id")
+        .select("q_id", "n_id", F.round(l2(F.col("qv"), F.col("nv")), 6)
+                .alias("l2"))
+    )
+    wk2 = W.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("n_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(wk2))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id", "l2")
+    )

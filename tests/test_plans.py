@@ -851,3 +851,12 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ann_ivfpq_broadcast_only_no_corpus_smj(spark, sf_smoke, qs):
+    """IVF-PQ must keep the coded corpus unshuffled for scoring: probe
+    and shortlist sides broadcast, no sort-merge join anywhere; the only
+    exchanges are the tiny per-query window sorts."""
+    p = plan_of(qs["ann_ivfpq"](spark, sf_smoke))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
