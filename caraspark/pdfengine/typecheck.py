@@ -204,6 +204,8 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Perms": Entry(Class("perms")),
             "DSS": Entry(Class("dss")),
             "SpiderInfo": Entry(Class("webcapture_info")),
+            # PDF 2.0 associated files [ISO 32000-2 §14.13]
+            "AF": Entry(ArrayOf(Class("filespec"))),
         }
     ),
     "pages": ClassDef(
@@ -222,6 +224,7 @@ TYPEDEFS: dict[str, ClassDef] = {
         {
             "Type": Entry(Exact("Page"), required=True),
             "Parent": Entry(DICT, required=True),
+            "AF": Entry(ArrayOf(Class("filespec"))),
             "Contents": Entry(OneOf((STREAM, ArrayOf(STREAM)))),
             "Resources": Entry(Class("resources")),
             "MediaBox": Entry(RECT),
@@ -979,6 +982,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Decode": Entry(ArrayOf(NUMBER)),
             "Interpolate": Entry(BOOL),
             "Intent": Entry(NAME),
+            "AF": Entry(ArrayOf(Class("filespec"))),
             "Alternates": Entry(ArrayOf(Class("alternate_image"))),
             "StructParent": Entry(INT),
             "ID": Entry(STRING),
@@ -995,6 +999,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Resources": Entry(Class("resources")),
             "Group": Entry(Class("group_transparency")),
             "Ref": Entry(Class("ref_xobject")),
+            "AF": Entry(ArrayOf(Class("filespec"))),
             "Metadata": Entry(STREAM),
             "PieceInfo": Entry(DictOf(Class("piece_entry"))),
             "LastModified": Entry(STRING),
@@ -1579,6 +1584,11 @@ TYPEDEFS: dict[str, ClassDef] = {
             "RF": Entry(DICT),
             "Desc": Entry(STRING),
             "CI": Entry(Class("collection_item")),
+            # PDF 2.0: how this file relates to its host (Source, Data,
+            # Alternative, Supplement, EncryptedPayload, FormData, Schema,
+            # Unspecified) — open NAME, new relationships are legal
+            "AFRelationship": Entry(NAME),
+            "AF": Entry(ArrayOf(Class("filespec"))),
         }
     ),
     "embedded_file": ClassDef(
@@ -1729,7 +1739,14 @@ TYPEDEFS: dict[str, ClassDef] = {
                     DICT,
                 ))
             ),
-            "A": Entry(ANY),
+            # attribute objects, or array of them interleaved with
+            # revision ints [PDF17 §14.7.5.2]
+            "A": Entry(
+                OneOf((
+                    Class("struct_attr"),
+                    ArrayOf(OneOf((Class("struct_attr"), INT))),
+                ))
+            ),
             "C": Entry(OneOf((NAME, ArrayOf(NAME)))),
             "T": Entry(STRING),
             "Lang": Entry(STRING),
@@ -1748,6 +1765,14 @@ TYPEDEFS: dict[str, ClassDef] = {
             "ParentTreeNextKey": Entry(INT),
             "RoleMap": Entry(DictOf(NAME)),
             "ClassMap": Entry(DICT),
+        }
+    ),
+    # structure attribute object [PDF17 §14.7.5, PDF2.0 §14.7.6]: /O names
+    # the owning application/standard (Layout, List, PrintField, Table,
+    # XML-1.00, ...); the remaining keys are owner-defined attribute data
+    "struct_attr": ClassDef(
+        {
+            "O": Entry(NAME, required=True),
         }
     ),
     # --- cross-reference & object streams [PDF17 §7.5.7–7.5.8] -------------

@@ -2978,3 +2978,61 @@ def test_webcapture_imageset_and_url_alias_typed():
     )
     rb = process_document(bad)
     assert "type.missing_required" in _codes(rb)
+
+
+# --- structure attributes / PDF 2.0 associated files -------------------------
+
+
+def test_struct_attr_typed():
+    base = (
+        b"<< /Type /StructElem /S /P /P 5 0 R /K 0 "
+        b"/A %s >>"
+    )
+    tree = lambda a: _doc_catalog(  # noqa: E731
+        b" /StructTreeRoot 5 0 R",
+        {
+            5: _obj(5, b"<< /Type /StructTreeRoot /K [6 0 R] >>"),
+            6: _obj(6, base % a),
+        },
+    )
+    # single attribute object, and array form with revision ints
+    ok = tree(b"<< /O /Layout /SpaceBefore 12 >>")
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["6.0"] == "structelem"
+    ok2 = tree(b"[ << /O /List /ListNumbering /Decimal >> 0 ]")
+    assert process_document(ok2).strict
+    # /O owner is required
+    bad = tree(b"<< /SpaceBefore 12 >>")
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    assert not rb.strict
+
+
+def test_associated_files_typed():
+    ok = _doc_catalog(
+        b" /AF [5 0 R]",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Filespec /F (invoice.xml) /UF (invoice.xml)"
+                b" /AFRelationship /Data >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "filespec"
+    # an /AF entry that is not a filespec is a mismatch
+    bad = _doc_catalog(
+        b" /AF [5 0 R]",
+        {5: _obj(5, b"<< /Type /NotAFilespec >>")},
+    )
+    rb = process_document(bad)
+    assert "type.mismatch" in _codes(rb)
+    # /AFRelationship must be a name, not a string
+    bad2 = _doc_catalog(
+        b" /AF [5 0 R]",
+        {5: _obj(5, b"<< /Type /Filespec /F (a) /AFRelationship (Data) >>")},
+    )
+    assert not process_document(bad2).strict
