@@ -95,13 +95,19 @@ def run_job(
     synth_docs: int = 0,
     fail_after_chunks: int | None = None,
     honor_robots: bool = False,
+    min_quality: int | None = None,
 ) -> dict:
     """Returns run stats. ``fail_after_chunks`` is the crash-injection hook
     used by the resume test. ``honor_robots`` drops pages whose extracted
     robots meta declares ``noindex`` BEFORE they land in the snapshot —
     the exclusion is a scan-stage predicate on the already-extracted
     column (v14 SPEC), so compliance costs no extra pass; the dropped
-    count is reported per run."""
+    count is reported per run. ``min_quality`` gates each chunk on the
+    shared quality-classifier score (``curation.quality_features``, the
+    same integer arithmetic ``quality_logit``/``stream_quality`` pin):
+    empty-text rows and rows scoring below the threshold never reach the
+    snapshot; the chunk is persisted so the extraction UDF still runs
+    once per document."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     man = SnapshotManifest(output_dir)
@@ -140,14 +146,32 @@ def run_job(
                 F.col("robots_meta").isNull()
                 | ~F.col("robots_meta").contains("noindex")
             )
+        persisted = None
+        if min_quality is not None:
+            from caraspark.curation import quality_features
+
+            persisted = ex = ex.persist()
+            if not honor_robots:
+                n_in = int(part.count())
+            keep = (
+                quality_features(
+                    ex.filter(F.length("text") > 0)
+                    .select(F.col("url").alias("doc_id"), "text")
+                )
+                .filter(F.col("score") >= int(min_quality))
+                .select(F.col("doc_id").alias("url"))
+            )
+            ex = ex.join(keep, "url", "left_semi")
         ex.write.mode("overwrite").partitionBy("bucket").parquet(gen_dir)
+        if persisted is not None:
+            persisted.unpersist()
         out_paths = [
             p
             for u in chunk
             if os.path.isdir(p := os.path.join(gen_dir, f"bucket={u}"))
         ]
         n = int(spark.read.parquet(*out_paths).count()) if out_paths else 0
-        if honor_robots:
+        if honor_robots or min_quality is not None:
             n_noindex += n_in - n
         man.commit({u: {"rows": None, "chunk": n_chunks} for u in chunk})
         docs_done += n
@@ -166,8 +190,11 @@ def run_job(
         "wall_s": round(wall, 3),
         "units_done": len(man.committed_units()),
     }
-    if honor_robots:
+    if honor_robots and min_quality is None:
         stats["noindex_dropped"] = n_noindex
+    elif min_quality is not None:
+        # combined compliance+quality drop count when both gates are on
+        stats["filtered_dropped"] = n_noindex
     return stats
 
 
@@ -247,6 +274,10 @@ def main() -> None:
     ap.add_argument("--honor-robots", action="store_true",
                     help="drop noindex pages (v14 robots meta) before "
                          "they land in the snapshot")
+    ap.add_argument("--min-quality", type=int, default=None,
+                    help="drop pages whose quality-classifier score "
+                         "(curation.quality_features) is below this "
+                         "integer threshold before the snapshot commit")
     ap.add_argument("--wet", metavar="DIR", default=None,
                     help="after (or instead of) extracting, write the "
                          "current snapshot's text as WET-style WARC "
@@ -296,6 +327,7 @@ def main() -> None:
         unit_chunk=args.unit_chunk,
         synth_docs=args.synth_docs,
         honor_robots=args.honor_robots,
+        min_quality=args.min_quality,
     )
     print(stats)
 

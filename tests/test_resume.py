@@ -482,3 +482,37 @@ def test_honor_robots_drops_noindex_before_commit(spark, tmp_path):
     assert snap.filter(
         F.col("robots_meta").contains("noindex")
     ).count() == 0
+
+
+def test_min_quality_gates_snapshot_commit(spark, tmp_path):
+    """--min-quality: rows scoring below the shared quality-classifier
+    threshold (and empty-text rows) never reach the snapshot; every
+    committed row re-scores at/above the threshold; the run reports the
+    dropped count."""
+    import pyspark.sql.functions as F
+
+    from caraspark.curation import quality_features
+    from caraspark.schemas import DOCUMENTS_RAW
+
+    rows = []
+    for i in range(24):
+        if i % 4 == 0:  # digit/uppercase-heavy junk the classifier rejects
+            body = "1234 5678 90AB CDEF " * 6
+        else:  # stopword-rich plain prose it keeps
+            body = ("the and of to a in that it is was " * 5) + f"doc {i}"
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        rows.append((f"u{i}", None, html, None, "en"))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, DOCUMENTS_RAW).write.parquet(src)
+    out = str(tmp_path / "tbl")
+    threshold = 0
+    stats = run_job(spark, src, out, units=4, unit_chunk=4,
+                    min_quality=threshold)
+    snap = read_extracted(spark, out)
+    n_kept = snap.count()
+    assert stats["filtered_dropped"] == 24 - n_kept
+    assert 0 < n_kept < 24
+    rescored = quality_features(
+        snap.select(F.col("url").alias("doc_id"), "text")
+    )
+    assert rescored.filter(F.col("score") < threshold).count() == 0
