@@ -3350,3 +3350,93 @@ def url_resolve(spark, sf):
         href.alias("href"),
         resolve_url(base, href).alias("abs_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-line fractions (the remaining Gopher repetition signals)
+# ---------------------------------------------------------------------------
+
+
+def _dup_lines_sql() -> str:
+    return """
+WITH lined AS (
+  SELECT doc_id,
+         list_concat(
+           list_concat(
+             ['u' || CAST(doc_id AS VARCHAR) || ' alpha line',
+              'u' || CAST(doc_id AS VARCHAR) || ' beta line',
+              'subscribe to our newsletter today'],
+             CASE WHEN doc_id % 3 = 0
+                  THEN ['subscribe to our newsletter today']
+                  ELSE [] END),
+           CASE WHEN doc_id % 5 = 0
+                THEN ['u' || CAST(doc_id AS VARCHAR) || ' alpha line']
+                ELSE [] END) AS lines
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(lines) AS n,
+         len(list_distinct(lines)) AS nd,
+         list_sum(list_transform(lines, x -> len(x))) AS tc,
+         list_sum(list_transform(list_distinct(lines), x -> len(x))) AS dc
+  FROM lined
+)
+SELECT doc_id,
+       CAST(n AS INT)  AS n_lines,
+       CAST(n - nd AS INT) AS n_dup_lines,
+       CAST((n - nd) * 1000 // n AS BIGINT)   AS dup_line_permille,
+       CAST((tc - dc) * 1000 // tc AS BIGINT) AS dup_char_permille
+FROM stats
+"""
+
+
+@_q("text_dup_lines", _dup_lines_sql())
+def text_dup_lines(spark, sf):
+    """The two Gopher repetition signals `text_repetition` doesn't cover
+    (Rae et al. 2021 §A1.1): fraction of duplicated LINES and fraction of
+    characters inside duplicated lines — navigation chrome and templated
+    boilerplate repeat whole lines, which word/bigram fractions miss.
+    Deterministic planted lines (a shared promo line duplicated for
+    doc_id%3==0, a self-duplicate for doc_id%5==0) exercise both
+    polarities; fractions are exact integer per-mille (zero float drift).
+
+    Scale: pure scan-stage array HOFs (array_distinct + transform +
+    aggregate) — per-row work bounded by line count, zero shuffles, no
+    Python; the relational spelling would add two doc_id-keyed
+    exchanges."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    u = F.concat(F.lit("u"), did.cast("string"))
+    alpha = F.concat(u, F.lit(" alpha line"))
+    promo = F.lit("subscribe to our newsletter today")
+    lines = F.concat(
+        F.array(alpha, F.concat(u, F.lit(" beta line")), promo),
+        F.when(did % 3 == 0, F.array(promo)).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.when(did % 5 == 0, F.array(alpha)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    chars = lambda a: F.aggregate(  # noqa: E731
+        F.transform(a, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    t = d.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("nd"),
+        chars(lines).alias("tc"),
+        chars(F.array_distinct(lines)).alias("dc"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_lines"),
+        (F.col("n") - F.col("nd")).cast("int").alias("n_dup_lines"),
+        F.expr("CAST((n - nd) * 1000 DIV n AS BIGINT)")
+        .alias("dup_line_permille"),
+        F.expr("CAST((tc - dc) * 1000 DIV tc AS BIGINT)")
+        .alias("dup_char_permille"),
+    )

@@ -843,3 +843,29 @@ def test_url_resolve_matches_python_urljoin(spark, sf_smoke):
     for did, r in sorted(rows.items())[:60]:
         want = urldefrag(urljoin(r.base, r.href))[0]
         assert r.abs_url == want, (did, r.base, r.href, r.abs_url, want)
+
+
+def test_text_dup_lines_matches_python(spark, sf_smoke):
+    """Third implementation of the Gopher line-repetition fractions."""
+    rows = {r.doc_id: r for r in C.text_dup_lines(spark, sf_smoke).collect()}
+    for did, r in sorted(rows.items())[:40]:
+        lines = [f"u{did} alpha line", f"u{did} beta line",
+                 "subscribe to our newsletter today"]
+        if did % 3 == 0:
+            lines.append("subscribe to our newsletter today")
+        if did % 5 == 0:
+            lines.append(f"u{did} alpha line")
+        n, nd = len(lines), len(dict.fromkeys(lines))
+        tc = sum(map(len, lines))
+        dc = sum(map(len, dict.fromkeys(lines)))
+        assert (r.n_lines, r.n_dup_lines) == (n, n - nd), did
+        assert r.dup_line_permille == (n - nd) * 1000 // n, did
+        assert r.dup_char_permille == (tc - dc) * 1000 // tc, did
+
+
+def test_text_dup_lines_is_narrow_jvm(spark, sf_smoke):
+    p = (
+        C.text_dup_lines(spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p and "EvalPython" not in p, p
