@@ -206,6 +206,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "SpiderInfo": Entry(Class("webcapture_info")),
             # PDF 2.0 associated files [ISO 32000-2 §14.13]
             "AF": Entry(ArrayOf(Class("filespec"))),
+            "DPartRoot": Entry(Class("dpart_root")),
         }
     ),
     "pages": ClassDef(
@@ -225,6 +226,7 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Type": Entry(Exact("Page"), required=True),
             "Parent": Entry(DICT, required=True),
             "AF": Entry(ArrayOf(Class("filespec"))),
+            "DPart": Entry(Class("dpart")),  # PDF 2.0 back-pointer
             "Contents": Entry(OneOf((STREAM, ArrayOf(STREAM)))),
             "Resources": Entry(Class("resources")),
             "MediaBox": Entry(RECT),
@@ -1752,6 +1754,10 @@ TYPEDEFS: dict[str, ClassDef] = {
             "Lang": Entry(STRING),
             "Alt": Entry(STRING),
             "ActualText": Entry(STRING),
+            # PDF 2.0 [ISO 32000-2 §14.7.4.2, §14.9.4]
+            "NS": Entry(Class("namespace")),
+            "PhoneticAlphabet": Entry(NAME),
+            "Phoneme": Entry(STRING),
         }
     ),
     "struct_tree_root": ClassDef(
@@ -1765,6 +1771,39 @@ TYPEDEFS: dict[str, ClassDef] = {
             "ParentTreeNextKey": Entry(INT),
             "RoleMap": Entry(DictOf(NAME)),
             "ClassMap": Entry(DICT),
+            # PDF 2.0 [ISO 32000-2 §14.7.4]
+            "Namespaces": Entry(ArrayOf(Class("namespace"))),
+        }
+    ),
+    # PDF 2.0 structure namespace [ISO 32000-2 §14.7.4.2]
+    "namespace": ClassDef(
+        {
+            "Type": Entry(Exact("Namespace")),
+            "NS": Entry(STRING, required=True),
+            "Schema": Entry(OneOf((STREAM, Class("filespec")))),
+            "RoleMapNS": Entry(DICT),
+        }
+    ),
+    # PDF 2.0 document parts [ISO 32000-2 §14.12]: an out-of-band tree
+    # partitioning the page sequence (print runs, statements, invoices)
+    "dpart_root": ClassDef(
+        {
+            "Type": Entry(Exact("DPartRoot"), required=True),
+            "DPartRootNode": Entry(Class("dpart"), required=True),
+            "NodeNameList": Entry(ArrayOf(NAME)),
+            "RecordLevel": Entry(INT),
+        }
+    ),
+    "dpart": ClassDef(
+        {
+            "Type": Entry(Exact("DPart"), required=True),
+            "Parent": Entry(DICT, required=True),
+            # child nodes come as an ARRAY OF ARRAYS of DPart dicts
+            "DParts": Entry(ArrayOf(ArrayOf(Class("dpart")))),
+            "Start": Entry(Class("page")),
+            "End": Entry(Class("page")),
+            "DPM": Entry(DICT),  # part metadata — application data, open
+            "AF": Entry(ArrayOf(Class("filespec"))),
         }
     ),
     # structure attribute object [PDF17 §14.7.5, PDF2.0 §14.7.6]: /O names

@@ -3036,3 +3036,63 @@ def test_associated_files_typed():
         {5: _obj(5, b"<< /Type /Filespec /F (a) /AFRelationship (Data) >>")},
     )
     assert not process_document(bad2).strict
+
+
+def test_pdf2_namespaces_and_dparts_typed():
+    """PDF 2.0: structure namespaces on the struct tree and a document-
+    parts tree partitioning the page sequence."""
+    ok = _doc_catalog(
+        b" /StructTreeRoot 5 0 R /DPartRoot 8 0 R",
+        {
+            5: _obj(
+                5,
+                b"<< /Type /StructTreeRoot /K [6 0 R]"
+                b" /Namespaces [7 0 R] >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /StructElem /S /P /P 5 0 R /K 0 /NS 7 0 R"
+                b" /PhoneticAlphabet /ipa /Phoneme (h@loU) >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /Namespace"
+                b" /NS (http://iso.org/pdf2/ssn) >>",
+            ),
+            8: _obj(
+                8,
+                b"<< /Type /DPartRoot /DPartRootNode 9 0 R"
+                b" /NodeNameList [/root /doc] /RecordLevel 1 >>",
+            ),
+            9: _obj(
+                9,
+                b"<< /Type /DPart /Parent 8 0 R /DParts [[10 0 R]] >>",
+            ),
+            10: _obj(
+                10,
+                b"<< /Type /DPart /Parent 9 0 R /Start 3 0 R /End 3 0 R"
+                b" /DPM << /invoice (A-17) >> >>",
+            ),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["7.0"] == "namespace"
+    assert r.type_assignments["8.0"] == "dpart_root"
+    assert r.type_assignments["10.0"] == "dpart"
+    # a namespace requires its /NS string
+    bad = _doc_catalog(
+        b" /StructTreeRoot 5 0 R",
+        {
+            5: _obj(5, b"<< /Type /StructTreeRoot /Namespaces [6 0 R] >>"),
+            6: _obj(6, b"<< /Type /Namespace >>"),
+        },
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    # a DPartRoot requires its root node
+    bad2 = _doc_catalog(
+        b" /DPartRoot 5 0 R",
+        {5: _obj(5, b"<< /Type /DPartRoot >>")},
+    )
+    assert not process_document(bad2).strict
