@@ -2283,3 +2283,86 @@ def ann_ivfpq(spark, sf):
         .filter(F.col("rn") <= _TOPK)
         .select("q_id", "n_id", "l2")
     )
+
+
+def _ann_recall_pq_sql() -> str:
+    l2_qn = _l2_sql("q.embedding", "n.embedding")
+    return f"""
+WITH t AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({l2_qn}, 6) ASC, n.vec_id ASC) AS rn
+    FROM embeddings q CROSS JOIN embeddings n
+    WHERE q.vec_id < {_NQ} AND n.vec_id <> q.vec_id
+  ) WHERE rn <= {_TOPK}
+),
+g AS ({_ivfpq_sql()})
+SELECT t.q_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000 // count(*) AS BIGINT) AS recall_permille
+FROM t LEFT JOIN g ON g.q_id = t.q_id AND g.n_id = t.n_id
+GROUP BY t.q_id
+"""
+
+
+@_q("ann_recall_pq", _ann_recall_pq_sql())
+def ann_recall_pq(spark, sf):
+    """Recall@k of the COMPOSED IVF-PQ path (`ann_ivfpq`) against exact
+    L2 brute-force ground truth — the tuning number for the two knobs
+    the composition stacks (nprobe coverage × ADC shortlist width).
+    Integer per-mille, hash-stable.
+
+    Scale: ground truth broadcasts the query set over the corpus (exact
+    L2 + per-query window); the comparison join carries O(queries × k)
+    id pairs — evaluation cost is one corpus scan regardless of index
+    shape."""
+
+    def l2(x, y):
+        return F.aggregate(
+            F.zip_with(
+                x,
+                y,
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    n = e.select(F.col("vec_id").alias("n_id"),
+                 F.col("embedding").alias("nv"))
+    wk = W.partitionBy("q_id").orderBy(
+        F.asc(F.round(l2(F.col("qv"), F.col("nv")), 6)), F.asc("n_id")
+    )
+    truth = (
+        n.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _TOPK)
+        .select("q_id", "n_id")
+    )
+    got = ann_ivfpq(spark, sf).select(
+        F.col("q_id").alias("gq"), F.col("n_id").alias("gn")
+    )
+    j = truth.join(
+        got,
+        (truth.q_id == F.col("gq")) & (truth.n_id == F.col("gn")),
+        "left_outer",
+    )
+    return j.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.when(F.col("gn").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_hits"),
+        F.expr(
+            "CAST(sum(CASE WHEN gn IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 1000 DIV count(*) AS BIGINT)"
+        ).alias("recall_permille"),
+    )

@@ -502,3 +502,16 @@ def test_substring_marks_xxh_finds_planted_duplicate(spark, sf_smoke):
             for r in substring_marks(df, hash_fn=fn).collect()
         }
         assert got == {(1, 3), (2, 0)}, (fn, got)
+
+
+def test_ann_recall_pq_shape_and_bounds(spark, sf_smoke):
+    """The composed-index recall harness: one row per query, k == TOPK,
+    per-mille within [0, 1000], and the index finds SOMETHING (the
+    composition isn't degenerate)."""
+    from caraspark.textops import _NQ, _TOPK, ann_recall_pq
+
+    rows = ann_recall_pq(spark, sf_smoke).collect()
+    assert len(rows) == _NQ
+    assert all(r.k == _TOPK for r in rows)
+    assert all(0 <= r.recall_permille <= 1000 for r in rows)
+    assert sum(r.n_hits for r in rows) > 0
