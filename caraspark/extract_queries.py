@@ -1777,3 +1777,75 @@ def frontier_feed(spark, sf):
         abs_url.alias("abs_url"),
         F.regexp_extract(abs_url, r"^[a-z]+://([^/?#]*)", 1).alias("host"),
     )
+
+
+@_q(
+    "doc_refresh",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 3
+            WHEN 0 THEN '0; url=/p/' || CAST(doc_id + 1 AS VARCHAR)
+            WHEN 1 THEN '5;url=https://m.example/page'
+                        || CAST(doc_id AS VARCHAR)
+            ELSE NULL END AS refresh_meta,
+       doc_id % 3 = 0 AS is_instant_redirect
+FROM documents""",
+)
+def doc_refresh(spark, sf):
+    """v16 REFRESH, hash-verified closed-form: each document is wrapped
+    in HTML carrying the refresh edge matrix — an empty-content decoy
+    (must not take the first-wins slot), a case-mangled winner
+    (`<meta HTTP-EQUIV=Refresh>` captured lowercased + normalized), a
+    later refresh that loses, and a boiler-region refresh that is never
+    seen; one doc class carries NO refresh (NULL). The instant-redirect
+    verdict (delay 0) is the signal a crawl pipeline keys on: such pages
+    are navigation stubs, not content, and should be re-enqueued at the
+    target instead of entering the dataset."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    winner = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("0;   URL=/p/"), (F.col("doc_id") + 1).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("5;url=HTTPS://m.example/page"), did),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    raw = docs.select(
+        did.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><meta http-equiv='refresh' content=' '>"),
+                F.when(
+                    winner.isNotNull(),
+                    F.concat(
+                        F.lit("<meta HTTP-EQUIV=' Refresh ' content=' "),
+                        winner,
+                        F.lit(" '><meta http-equiv='refresh'"
+                              " content='9;url=/loses'>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body>"),
+                F.lit("<div class='promo'><meta http-equiv='refresh'"
+                      " content='1;url=/hidden'></div>"),
+                F.lit("<p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("refresh",))
+    return ex.select(
+        "url",
+        "refresh_meta",
+        (
+            F.col("refresh_meta").isNotNull()
+            & F.col("refresh_meta").startswith("0;")
+        ).alias("is_instant_redirect"),
+    )

@@ -274,6 +274,7 @@ class _Extractor(HTMLParser):
         self.canonical: str | None = None
         self.description: str | None = None
         self.robots_meta: str | None = None  # v14
+        self.refresh_meta: str | None = None  # v16
         self.og_title: str | None = None
         self.og_description: str | None = None
         self.og_image: str | None = None
@@ -420,6 +421,12 @@ class _Extractor(HTMLParser):
                 rb = " ".join(a.get("content", "").lower().split())
                 if rb:
                     self.robots_meta = rb
+            if self.refresh_meta is None and (
+                a.get("http-equiv", "").strip().lower() == "refresh"
+            ):
+                rf = " ".join(a.get("content", "").lower().split())
+                if rf:
+                    self.refresh_meta = rf
             prop = a.get("property", "").strip().lower()
             if prop == "og:title" and self.og_title is None:
                 t = " ".join(a.get("content", "").split())
@@ -651,7 +658,9 @@ def extract_html(
     is the raw stripped ld+json payload list (v13); robots_meta is the
     first robots-meta content, lowercased+normalized (v14); alternates
     is the (hreflang, type, href) triple list per rel=alternate link
-    element (v15)."""
+    element (v15); refresh_meta is the first http-equiv=refresh content,
+    lowercased+normalized — the soft-redirect signal (v16), HEADMETA
+    placement contract."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -671,7 +680,7 @@ def extract_html(
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
-            p.robots_meta, p.alternates,
+            p.robots_meta, p.alternates, p.refresh_meta,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -695,6 +704,7 @@ def extract_html(
         p.jsonld,
         p.robots_meta,
         p.alternates,
+        p.refresh_meta,
     )
 
 

@@ -114,6 +114,10 @@ class ExtractResult:
     # element in document order (HTML); [] for PDFs. None when not
     # requested / stats mode.
     alternates: list | None = None
+    # v16 REFRESH: first <meta http-equiv=refresh> content, lowercased +
+    # normalized — the soft-redirect signal (HTML); None for PDFs /
+    # absent / stats mode.
+    refresh_meta: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -218,7 +222,7 @@ DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
-     "jsonld", "robots", "alternates"}
+     "jsonld", "robots", "alternates", "refresh"}
 )
 
 
@@ -387,7 +391,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         (
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
-            alternates,
+            alternates, refresh_meta,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -410,6 +414,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             robots_meta = None
         if "alternates" not in want:
             alternates = None
+        if "refresh" not in want:
+            refresh_meta = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -435,6 +441,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         jsonld = None
         robots_meta = None
         alternates = None
+        refresh_meta = None
         title = None
         canonical = None
         description = None
@@ -455,6 +462,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         jsonld=jsonld,
         robots_meta=robots_meta,
         alternates=alternates,
+        refresh_meta=refresh_meta,
         title=title,
         canonical=canonical,
         description=description,

@@ -132,6 +132,9 @@ EXTRACTED = T.StructType(
         # v14 ROBOTSMETA: first robots-meta content, lowercased; NULL for
         # PDFs / absent / stats mode
         T.StructField("robots_meta", T.StringType(), True),
+        # v16 REFRESH: first http-equiv=refresh content, lowercased; NULL
+        # for PDFs / absent
+        T.StructField("refresh_meta", T.StringType(), True),
         # v15 ALTERNATES: (hreflang, type, href) per rel=alternate link
         # element; [] for PDFs, NULL in stats mode / when not requested
         T.StructField(

@@ -732,3 +732,55 @@ def stream_frontier(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_links")
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_refresh",
+    """SELECT CASE doc_id % 4
+         WHEN 0 THEN '0; url=/moved'
+         WHEN 1 THEN '30' END AS refresh_meta,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def stream_refresh(spark, sf):
+    """Streaming soft-redirect monitor over the v16 REFRESH surface:
+    pages arrive as micro-batches with a deterministic refresh meta
+    (instant redirect / delayed reload / none), extracted IN-STREAM; the
+    per-directive live counts are the redirect-rate dashboard a crawl
+    operator watches — complete mode, three fixed-width state rows."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    tag = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<meta http-equiv='refresh' content='0;   URL=/Moved'>"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("<meta http-equiv='refresh' content='30'>"),
+        )
+        .otherwise(F.lit(""))
+    )
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                tag,
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    out = (
+        extract(raw, want=("refresh",))
+        .groupBy("refresh_meta")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return S.run_to_memory(out, mode="complete")

@@ -1027,7 +1027,10 @@ def test_unclosed_title_does_not_eat_body_text():
              '<script type=" LD+JSON ">no</script>',
              "<meta name='robots' content='NOINDEX, nofollow'>",
              "<meta name=' Robots ' content='all'>",
-             "<meta name='robots' content=''>"]
+             "<meta name='robots' content=''>",
+             "<meta http-equiv='refresh' content='0; URL=/next'>",
+             "<meta http-equiv=' Refresh ' content='5'>",
+             "<meta http-equiv='refresh' content=''>"]
         ),
         max_size=16,
     )
@@ -1602,3 +1605,38 @@ def test_prune_skip_never_drops_objstm_or_escaped_docs():
     assert b"#" not in plain and b"/ObjStm" not in plain
     assert _prune_skip(plain, b"/EmbeddedFiles")
     assert not _prune_skip(plain, b"/Catalog")
+
+
+def test_html_v16_refresh_meta_semantics():
+    """v16 REFRESH: first-wins with empty-content decoys skipped,
+    trimmed+lowercased http-equiv match, lowercased+normalized capture,
+    boiler regions opaque — engine and oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<head><meta http-equiv='refresh' content='  '>"
+         b"<meta HTTP-EQUIV=' Refresh ' content=' 0;   URL=/Next '>"
+         b"<meta http-equiv='refresh' content='9;url=/loses'></head>"
+         b"<body><div class='sidebar'>"
+         b"<meta http-equiv='refresh' content='1;url=/hidden'></div>"
+         b"<p>t</p></body>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[15] == "0; url=/next"
+
+
+def test_html_v16_refresh_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<head><meta http-equiv='refresh' content='0;url=/n'></head>"
+            b"<body><p>real text</p></body>")
+    full = process_document(html)
+    assert full.refresh_meta == "0;url=/n"
+    only = process_document(html, want={"refresh"})
+    assert only.refresh_meta == "0;url=/n" and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.refresh_meta is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.refresh_meta is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).refresh_meta is None
