@@ -1849,3 +1849,32 @@ def doc_refresh(spark, sf):
             & F.col("refresh_meta").startswith("0;")
         ).alias("is_instant_redirect"),
     )
+
+
+@_q(
+    "filter_refresh",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, refresh_meta,
+       refresh_meta LIKE '0;%' AS is_instant_redirect
+FROM perdoc WHERE refresh_meta IS NOT NULL""".format(
+        corpus=corpus_cte(), perdoc=perdoc_cte()
+    ),
+)
+def filter_refresh(spark, sf):
+    """Soft-redirect filter over the REAL corpus (v16 corpus pinning):
+    every document declaring a meta refresh, with the instant-redirect
+    verdict a crawl pipeline applies (delay-0 pages are navigation
+    stubs — re-enqueue the target, don't train on the stub). The
+    directive string hash-verifies against the frozen per-idx facts, so
+    the charset-decode → meta-harvest → first-wins → lowercase chain is
+    pinned corpus-wide.
+
+    Scale: scan-stage predicate on an already-extracted scalar column —
+    zero shuffle."""
+    ex = _extracted(spark, sf)
+    return ex.filter(F.col("refresh_meta").isNotNull()).select(
+        "url",
+        "refresh_meta",
+        F.col("refresh_meta").startswith("0;").alias("is_instant_redirect"),
+    )

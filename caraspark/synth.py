@@ -1073,13 +1073,17 @@ def html_ogmeta(rng: random.Random) -> bytes:
     a bare rel=alternate with no attrs (counts as an empty triple), a
     stylesheet link that must NOT count, a drop-region (nav) alternate
     that IS collected (head-metadata contract), and a boiler-region
-    alternate that is never seen."""
+    alternate that is never seen.  Since v16 also carries the refresh
+    edge matrix: an empty-content refresh decoy, the case-mangled
+    winner (lowercased + normalized), a later refresh that loses, and a
+    boiler-region refresh that is never seen."""
     t = _para(rng, 4).rstrip(".")
     desc = _para(rng, 9)
     img = f"/img/{rng.randrange(1000)}.png"
     rb = ["index, follow", "NOINDEX,NOFOLLOW", "NoArchive , NoSnippet"][
         rng.randrange(3)
     ]
+    rf = ["0;   URL=/Moved", "30", "5; url=/Next?v=2"][rng.randrange(3)]
     hl = ["fr-FR", "de", "pt-BR"][rng.randrange(3)]
     paras = "\n".join(f"<p>{_para(rng, 18)}</p>" for _ in range(2))
     return (
@@ -1091,6 +1095,9 @@ def html_ogmeta(rng: random.Random) -> bytes:
         "<meta name='robots' content='  '>"
         f"<meta name=' Robots ' content='  {rb}  '>"
         "<meta name='robots' content='all-loses'>"
+        "<meta http-equiv='refresh' content='   '>"
+        f"<meta HTTP-EQUIV=' Refresh ' content=' {rf} '>"
+        "<meta http-equiv='refresh' content='99;url=/loses'>"
         f"<link rel='alternate' hreflang=' {hl} ' href=' /{hl}/page '>"
         "<link rel='alternate' type=' Application/RSS+XML ' "
         "href='/feed.xml'>"
@@ -1101,6 +1108,7 @@ def html_ogmeta(rng: random.Random) -> bytes:
         "<nav><link rel='alternate' hreflang='es' href='/es'></nav>"
         f"<div class='sidebar'><meta property='og:description' "
         f"content='hidden'><meta name='robots' content='boiler-hidden'>"
+        f"<meta http-equiv='refresh' content='1;url=/boiler-hidden'>"
         f"<link rel='alternate' hreflang='it' href='/it'>"
         f"<p>menu {t}</p></div>"
         f"<meta property='og:description' content=' {desc} '>"

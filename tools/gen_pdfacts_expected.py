@@ -317,6 +317,7 @@ def _title_facts(res) -> dict:
         "og_description": res.og_description,
         "og_image": res.og_image,
         "robots_meta": res.robots_meta,
+        "refresh_meta": res.refresh_meta,
         "n_headings": None if res.headings is None else len(res.headings),
         "headings_sig": (
             None
