@@ -107,6 +107,7 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("jsonld", pa.list_(pa.string()), True),
         pa.field("robots_meta", pa.string(), True),
         pa.field("refresh_meta", pa.string(), True),
+        pa.field("base_href", pa.string(), True),
         pa.field(
             "alternates",
             pa.list_(
@@ -247,6 +248,7 @@ def _extract_batches(
             cols["jsonld"].append(r.jsonld)
             cols["robots_meta"].append(r.robots_meta)
             cols["refresh_meta"].append(r.refresh_meta)
+            cols["base_href"].append(r.base_href)
             cols["alternates"].append(r.alternates_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)

@@ -1878,3 +1878,108 @@ def filter_refresh(spark, sf):
         "refresh_meta",
         F.col("refresh_meta").startswith("0;").alias("is_instant_redirect"),
     )
+
+
+@_q(
+    "doc_base",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE doc_id % 3
+            WHEN 0 THEN '/Docs/V' || CAST(doc_id % 7 AS VARCHAR) || '/'
+            WHEN 1 THEN 'https://CDN.example/r' || CAST(doc_id % 5 AS VARCHAR)
+                        || '/'
+            ELSE NULL END AS base_href,
+       CASE doc_id % 3
+            WHEN 0 THEN 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                        || '.example/Docs/V' || CAST(doc_id % 7 AS VARCHAR)
+                        || '/'
+            WHEN 1 THEN 'https://CDN.example/r' || CAST(doc_id % 5 AS VARCHAR)
+                        || '/'
+            ELSE 'https://site' || CAST(doc_id % 4 AS VARCHAR)
+                 || '.example/a/page' || CAST(doc_id AS VARCHAR) || '.html'
+            END AS effective_base
+FROM documents""",
+)
+def doc_base(spark, sf):
+    """v17 BASEHREF, hash-verified closed-form: each document carries the
+    base edge matrix — an href-less <base target> decoy, a case-preserved
+    trimmed winner (root-relative or absolute by doc class; one class has
+    NO base), and a later base that loses. ``effective_base`` composes
+    v17 with `resolve_url`: the base href resolved against the page URL
+    (RFC 3986 — a relative base is itself resolved first), falling back
+    to the page URL — exactly the base every outlink on the page resolves
+    against."""
+    from caraspark.curation import resolve_url
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://site"), (did % 4).cast("string"),
+        F.lit(".example/a/page"), did.cast("string"), F.lit(".html"),
+    )
+    winner = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("/Docs/V"), (did % 7).cast("string"), F.lit("/")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("https://CDN.example/r"), (did % 5).cast("string"),
+                F.lit("/"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    raw = docs.select(
+        did.cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><base target='_blank'>"),
+                F.when(
+                    winner.isNotNull(),
+                    F.concat(
+                        F.lit("<base href=' "), winner,
+                        F.lit(" '><base href='/base-loses/'>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("base",)).select("url", "base_href")
+    udid = F.col("url").cast("long")
+    page_url_out = F.concat(
+        F.lit("https://site"), (udid % 4).cast("string"),
+        F.lit(".example/a/page"), F.col("url"), F.lit(".html"),
+    )
+    eff = resolve_url(
+        page_url_out, F.coalesce(F.col("base_href"), F.lit(""))
+    )
+    return ex.select("url", "base_href", eff.alias("effective_base"))
+
+
+@_q(
+    "filter_base",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, base_href
+FROM perdoc WHERE base_href IS NOT NULL""".format(
+        corpus=corpus_cte(), perdoc=perdoc_cte()
+    ),
+)
+def filter_base(spark, sf):
+    """v17 corpus pinning: every document declaring a <base href>, with
+    the trimmed case-preserved value hash-verified against the frozen
+    per-idx facts — pins the decode → head-harvest → first-wins chain
+    corpus-wide. Scan-stage predicate on an extracted scalar, zero
+    shuffle."""
+    ex = _extracted(spark, sf)
+    return ex.filter(F.col("base_href").isNotNull()).select(
+        "url", "base_href"
+    )

@@ -275,6 +275,7 @@ class _Extractor(HTMLParser):
         self.description: str | None = None
         self.robots_meta: str | None = None  # v14
         self.refresh_meta: str | None = None  # v16
+        self.base_href: str | None = None  # v17
         self.og_title: str | None = None
         self.og_description: str | None = None
         self.og_image: str | None = None
@@ -408,6 +409,11 @@ class _Extractor(HTMLParser):
                         href,
                     )
                 )
+        elif tag == "base":
+            if self.base_href is None:
+                b = a.get("href", "").strip()
+                if b:
+                    self.base_href = b
         elif tag == "meta":
             if self.description is None and (
                 a.get("name", "").strip().lower() == "description"
@@ -499,7 +505,7 @@ class _Extractor(HTMLParser):
             return
         if tag == "title" and not self._title_done:
             self._in_title = True
-        elif tag in ("link", "meta"):
+        elif tag in ("link", "meta", "base"):
             self._collect_headmeta(tag, attrs)
         elif tag == "script" and self._is_ldjson(attrs):
             # v13: collected despite drop regions, like TITLE
@@ -576,7 +582,7 @@ class _Extractor(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if self._attr_tag is not None:
             return
-        if tag in ("link", "meta"):
+        if tag in ("link", "meta", "base"):
             # head metadata: collected despite drop regions, like TITLE
             self._collect_headmeta(tag, attrs)
             return
@@ -660,7 +666,9 @@ def extract_html(
     is the (hreflang, type, href) triple list per rel=alternate link
     element (v15); refresh_meta is the first http-equiv=refresh content,
     lowercased+normalized — the soft-redirect signal (v16), HEADMETA
-    placement contract."""
+    placement contract; base_href is the first non-empty <base href>,
+    trimmed but case-preserved (v17) — the resolution base browsers use
+    for every relative URL on the page."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -680,7 +688,7 @@ def extract_html(
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
-            p.robots_meta, p.alternates, p.refresh_meta,
+            p.robots_meta, p.alternates, p.refresh_meta, p.base_href,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -705,6 +713,7 @@ def extract_html(
         p.robots_meta,
         p.alternates,
         p.refresh_meta,
+        p.base_href,
     )
 
 

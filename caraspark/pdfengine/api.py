@@ -118,6 +118,10 @@ class ExtractResult:
     # normalized — the soft-redirect signal (HTML); None for PDFs /
     # absent / stats mode.
     refresh_meta: str | None = None
+    # v17 BASEHREF: first non-empty <base href>, trimmed, case-preserved
+    # — the page's URL-resolution base (HTML); None for PDFs / absent /
+    # stats mode.
+    base_href: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -222,7 +226,7 @@ DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
-     "jsonld", "robots", "alternates", "refresh"}
+     "jsonld", "robots", "alternates", "refresh", "base"}
 )
 
 
@@ -391,7 +395,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         (
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
-            alternates, refresh_meta,
+            alternates, refresh_meta, base_href,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -416,6 +420,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             alternates = None
         if "refresh" not in want:
             refresh_meta = None
+        if "base" not in want:
+            base_href = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -442,6 +448,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         robots_meta = None
         alternates = None
         refresh_meta = None
+        base_href = None
         title = None
         canonical = None
         description = None
@@ -463,6 +470,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         robots_meta=robots_meta,
         alternates=alternates,
         refresh_meta=refresh_meta,
+        base_href=base_href,
         title=title,
         canonical=canonical,
         description=description,

@@ -135,6 +135,9 @@ EXTRACTED = T.StructType(
         # v16 REFRESH: first http-equiv=refresh content, lowercased; NULL
         # for PDFs / absent
         T.StructField("refresh_meta", T.StringType(), True),
+        # v17 BASEHREF: first <base href>, trimmed, case-preserved; NULL
+        # for PDFs / absent
+        T.StructField("base_href", T.StringType(), True),
         # v15 ALTERNATES: (hreflang, type, href) per rel=alternate link
         # element; [] for PDFs, NULL in stats mode / when not requested
         T.StructField(

@@ -1076,7 +1076,9 @@ def html_ogmeta(rng: random.Random) -> bytes:
     alternate that is never seen.  Since v16 also carries the refresh
     edge matrix: an empty-content refresh decoy, the case-mangled
     winner (lowercased + normalized), a later refresh that loses, and a
-    boiler-region refresh that is never seen."""
+    boiler-region refresh that is never seen.  Since v17 also carries
+    the base-href matrix: an href-less <base target> decoy, the
+    case-preserved trimmed winner, and a later base that loses."""
     t = _para(rng, 4).rstrip(".")
     desc = _para(rng, 9)
     img = f"/img/{rng.randrange(1000)}.png"
@@ -1084,6 +1086,9 @@ def html_ogmeta(rng: random.Random) -> bytes:
         rng.randrange(3)
     ]
     rf = ["0;   URL=/Moved", "30", "5; url=/Next?v=2"][rng.randrange(3)]
+    bh = ["/Docs/Sub/", "https://CDN.example/root/", "../up/"][
+        rng.randrange(3)
+    ]
     hl = ["fr-FR", "de", "pt-BR"][rng.randrange(3)]
     paras = "\n".join(f"<p>{_para(rng, 18)}</p>" for _ in range(2))
     return (
@@ -1098,6 +1103,9 @@ def html_ogmeta(rng: random.Random) -> bytes:
         "<meta http-equiv='refresh' content='   '>"
         f"<meta HTTP-EQUIV=' Refresh ' content=' {rf} '>"
         "<meta http-equiv='refresh' content='99;url=/loses'>"
+        "<base target='_blank'>"
+        f"<base href=' {bh} '>"
+        "<base href='/base-loses/'>"
         f"<link rel='alternate' hreflang=' {hl} ' href=' /{hl}/page '>"
         "<link rel='alternate' type=' Application/RSS+XML ' "
         "href='/feed.xml'>"

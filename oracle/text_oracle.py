@@ -1449,7 +1449,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
     v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta,
-    v15 alternates, v16 refresh_meta) — 2nd witness."""
+    v15 alternates, v16 refresh_meta, v17 base_href) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1464,6 +1464,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             [],
             None,
             [],
+            None,
             None,
         )
     text, spans, headings = _html_full(blob)
@@ -1480,6 +1481,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_robots(blob),
         _html_alternates(blob),
         _html_refresh(blob),
+        _html_base(blob),
     )
 
 
@@ -1579,6 +1581,54 @@ def _html_refresh(blob: bytes) -> str | None:
             elif drop == 0 and _boilerplate_attrs(attrs):
                 region_tag, region_n = val, 1
     return refresh
+
+
+def _html_base(blob: bytes) -> str | None:
+    """v17 BASEHREF, second witness: its own event pass — the first
+    non-empty <base href>, trimmed, case-preserved (URLs are
+    case-sensitive past the authority); HEADMETA placement contract."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    base = None
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            continue
+        if ev not in ("open", "selfclose"):
+            continue
+        if val == "base" and base is None:
+            a = {k: v for k, v in attrs if v is not None}
+            b = a.get("href", "").strip()
+            if b:
+                base = b
+            if ev == "selfclose":
+                continue
+        elif ev == "selfclose":
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+    return base
 
 
 def _html_jsonld(blob: bytes) -> list[str]:

@@ -1030,7 +1030,9 @@ def test_unclosed_title_does_not_eat_body_text():
              "<meta name='robots' content=''>",
              "<meta http-equiv='refresh' content='0; URL=/next'>",
              "<meta http-equiv=' Refresh ' content='5'>",
-             "<meta http-equiv='refresh' content=''>"]
+             "<meta http-equiv='refresh' content=''>",
+             "<base href=' /B/dir/ '>", "<base target='x'>",
+             "<base href='../Up/'/>"]
         ),
         max_size=16,
     )
@@ -1640,3 +1642,41 @@ def test_html_v16_refresh_want_projection():
     stats = process_document(html, want_text=False)
     assert stats.refresh_meta is None
     assert process_document(PDF_RECIPES["pdf_minimal"]()).refresh_meta is None
+
+
+def test_html_v17_base_href_semantics():
+    """v17 BASEHREF: first-wins with href-less decoys skipped, trimmed
+    but case-preserved, drop regions transparent (head contract), boiler
+    regions opaque — engine and oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<head><base target='_blank'>"
+         b"<base href=' /Docs/Sub/ '>"
+         b"<base href='/loses/'></head>"
+         b"<body><div class='sidebar'><base href='/hidden/'></div>"
+         b"<p>t</p></body>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[16] == "/Docs/Sub/"
+    # drop-region (nav) base IS collected; boiler stays opaque
+    b2 = (b"<nav><base href='https://CDN.example/A/'></nav><p>t</p>")
+    e2 = extract_html(b2)
+    assert e2 == oracle_extract_full(b2)
+    assert e2[16] == "https://CDN.example/A/"
+
+
+def test_html_v17_base_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<head><base href='/b/'></head><body><p>real text</p></body>")
+    full = process_document(html)
+    assert full.base_href == "/b/"
+    only = process_document(html, want={"base"})
+    assert only.base_href == "/b/" and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.base_href is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.base_href is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).base_href is None

@@ -318,6 +318,7 @@ def _title_facts(res) -> dict:
         "og_image": res.og_image,
         "robots_meta": res.robots_meta,
         "refresh_meta": res.refresh_meta,
+        "base_href": res.base_href,
         "n_headings": None if res.headings is None else len(res.headings),
         "headings_sig": (
             None
