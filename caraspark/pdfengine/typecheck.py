@@ -254,6 +254,7 @@ TYPEDEFS: dict[str, ClassDef] = {
                 Class("annot_trapnet"),
                 Class("annot_printermark"),
                 Class("annot_3d"),
+                Class("annot_richmedia"),
                 Class("annot"),  # generic fallback — must stay last
             )))),
             "Group": Entry(Class("group_transparency")),
@@ -2228,6 +2229,114 @@ TYPEDEFS: dict[str, ClassDef] = {
             "3DA": Entry(Class("threed_activation")),
             "3DI": Entry(BOOL),
             "3DB": Entry(RECT),
+        }
+    ),
+    # --- rich media [ISO 32000-2 §13.7 / Adobe Supplement EL3] --------------
+    "annot_richmedia": ClassDef(
+        {
+            "Type": Entry(Exact("Annot")),
+            "Subtype": Entry(Exact("RichMedia"), required=True),
+            "Rect": Entry(RECT, required=True),
+            "Contents": Entry(STRING),
+            "P": Entry(DICT),
+            "NM": Entry(STRING),
+            "M": Entry(STRING),
+            "F": Entry(INT),
+            "AP": Entry(Class("appearance")),
+            "AS": Entry(NAME),
+            "RichMediaContent": Entry(
+                Class("richmedia_content"), required=True
+            ),
+            "RichMediaSettings": Entry(Class("richmedia_settings")),
+        }
+    ),
+    "richmedia_content": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaContent")),
+            # name tree of asset filespecs — same value-typed shape as
+            # /EmbeddedFiles
+            "Assets": Entry(Class("name_tree_files")),
+            "Configurations": Entry(
+                ArrayOf(Class("richmedia_configuration")), required=True
+            ),
+            "Views": Entry(ArrayOf(Class("threed_view"))),
+        }
+    ),
+    "richmedia_configuration": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaConfiguration")),
+            "Subtype": Entry(
+                OneOf((
+                    Exact("3D"), Exact("Flash"), Exact("Sound"),
+                    Exact("Video"),
+                ))
+            ),
+            "Name": Entry(STRING),
+            "Instances": Entry(ArrayOf(Class("richmedia_instance"))),
+        }
+    ),
+    "richmedia_instance": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaInstance")),
+            "Subtype": Entry(
+                OneOf((
+                    Exact("3D"), Exact("Flash"), Exact("Sound"),
+                    Exact("Video"),
+                )),
+                required=True,
+            ),
+            "Params": Entry(Class("richmedia_params")),
+            "Asset": Entry(Class("filespec")),
+        }
+    ),
+    "richmedia_params": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaParams")),
+            "FlashVars": Entry(OneOf((STRING, STREAM))),
+            "Binding": Entry(NAME),  # None|Foreground|Background|Material
+            "BindingMaterialName": Entry(STRING),
+            "CuePoints": Entry(ARRAY),
+            "Settings": Entry(OneOf((STRING, STREAM))),
+        }
+    ),
+    "richmedia_settings": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaSettings")),
+            "Activation": Entry(Class("richmedia_activation")),
+            "Deactivation": Entry(Class("richmedia_deactivation")),
+        }
+    ),
+    "richmedia_activation": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaActivation")),
+            # explicit action | page open | page visible
+            "Condition": Entry(
+                OneOf((Exact("XA"), Exact("PO"), Exact("PV")))
+            ),
+            "Animation": Entry(DICT),
+            "View": Entry(Class("threed_view")),
+            "Presentation": Entry(Class("richmedia_presentation")),
+            "Scripts": Entry(ArrayOf(Class("filespec"))),
+        }
+    ),
+    "richmedia_deactivation": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaDeactivation")),
+            # explicit action | page close | page invisible
+            "Condition": Entry(
+                OneOf((Exact("XD"), Exact("PC"), Exact("PI")))
+            ),
+        }
+    ),
+    "richmedia_presentation": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaPresentation")),
+            "Style": Entry(OneOf((Exact("Embedded"), Exact("Windowed")))),
+            "Window": Entry(DICT),
+            "Transparent": Entry(BOOL),
+            "NavigationPane": Entry(BOOL),
+            "Toolbar": Entry(BOOL),
+            "PassContextClick": Entry(BOOL),
         }
     ),
     # --- 3D artwork [PDF17 §13.6.3-13.6.5] ----------------------------------

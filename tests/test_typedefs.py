@@ -301,8 +301,8 @@ def test_annot_subtypes_discriminate():
             ),
             7: _obj(
                 7,
-                # RichMedia has no dedicated def — the generic fallback's case
-                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 5 5] >>",
+                # an unknown/custom subtype takes the generic fallback
+                b"<< /Type /Annot /Subtype /VendorCustom /Rect [0 0 5 5] >>",
             ),
         },
         page_extra=b" /Annots [5 0 R 6 0 R 7 0 R]",
@@ -3096,3 +3096,90 @@ def test_pdf2_namespaces_and_dparts_typed():
         {5: _obj(5, b"<< /Type /DPartRoot >>")},
     )
     assert not process_document(bad2).strict
+
+
+def test_richmedia_annotation_typed():
+    """RichMedia [ISO 32000-2 §13.7]: content with configurations and
+    instances, activation/deactivation settings, asset name tree."""
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 320 240]"
+                b" /RichMediaContent 6 0 R"
+                b" /RichMediaSettings << /Type /RichMediaSettings"
+                b" /Activation << /Type /RichMediaActivation /Condition /PO"
+                b" /Presentation << /Type /RichMediaPresentation"
+                b" /Style /Embedded /Toolbar false /NavigationPane false"
+                b" /Transparent false /PassContextClick false >> >>"
+                b" /Deactivation << /Type /RichMediaDeactivation"
+                b" /Condition /PC >> >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /RichMediaContent"
+                b" /Assets << /Names [(clip.mp4) 8 0 R] >>"
+                b" /Configurations [7 0 R] >>",
+            ),
+            7: _obj(
+                7,
+                b"<< /Type /RichMediaConfiguration /Subtype /Video"
+                b" /Name (main) /Instances [ << /Type /RichMediaInstance"
+                b" /Subtype /Video /Asset 8 0 R"
+                b" /Params << /Type /RichMediaParams /Binding /Background"
+                b" /FlashVars (autoplay=0) >> >> ] >>",
+            ),
+            8: _obj(
+                8,
+                b"<< /Type /Filespec /F (clip.mp4) /UF (clip.mp4) >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "annot_richmedia"
+    assert r.type_assignments["6.0"] == "richmedia_content"
+    assert r.type_assignments["7.0"] == "richmedia_configuration"
+    # content is required on the annotation
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /RichMedia"
+                b" /Rect [0 0 9 9] >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    assert not rb.strict
+    # an instance requires its /Subtype; activation condition is an enum
+    bad2 = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 9 9]"
+                b" /RichMediaContent << /Type /RichMediaContent"
+                b" /Configurations [ << /Instances"
+                b" [ << /Type /RichMediaInstance >> ] >> ] >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad2).strict
+    bad3 = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 9 9]"
+                b" /RichMediaContent << /Type /RichMediaContent"
+                b" /Configurations [] >>"
+                b" /RichMediaSettings << /Activation"
+                b" << /Condition /NOPE >> >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R]",
+    )
+    assert not process_document(bad3).strict
