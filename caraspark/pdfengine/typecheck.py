@@ -154,6 +154,7 @@ _ACTION_ALTS = (
     Class("action_thread"),
     Class("action_setocgstate"),
     Class("action_goto3dview"),
+    Class("action_richmedia"),
     Class("action"),  # generic fallback — must stay last
 )
 ACTION = OneOf(_ACTION_ALTS)
@@ -1432,6 +1433,24 @@ TYPEDEFS: dict[str, ClassDef] = {
             "V": Entry(
                 OneOf((DICT, STREAM, NAME, STRING, INT)), required=True
             ),
+        }
+    ),
+    # RichMediaExecute [ISO 32000-2 §12.6.4.17]
+    "action_richmedia": ClassDef(
+        {
+            "Type": Entry(Exact("Action")),
+            "S": Entry(Exact("RichMediaExecute"), required=True),
+            "Next": Entry(_ACTION_OR_ARRAY),
+            "TA": Entry(Class("annot_richmedia"), required=True),
+            "TI": Entry(Class("richmedia_instance")),
+            "CMD": Entry(Class("richmedia_command"), required=True),
+        }
+    ),
+    "richmedia_command": ClassDef(
+        {
+            "Type": Entry(Exact("RichMediaCommand")),
+            "C": Entry(STRING, required=True),  # script command name
+            "A": Entry(ANY),  # arguments: bool/int/real/string or array
         }
     ),
     # launch parameter dictionary [PDF17 §12.6.4.6 table 203]

@@ -2182,3 +2182,62 @@ def pdf_webcapture() -> bytes:
 
 
 PDF_RECIPES["pdf_webcapture"] = pdf_webcapture
+
+
+def pdf_richmedia() -> bytes:
+    """RichMedia recipe [ISO 32000-2 SS13.7 + SS12.6.4.17]: a RichMedia
+    annotation whose content carries a filespec-valued asset name tree,
+    a video configuration with an instance (binding params, FlashVars),
+    activation-on-page-open / deactivation-on-page-close settings with
+    an embedded presentation, plus a widget whose RichMediaExecute
+    action targets the annotation with a play command. Exercises
+    annot_richmedia, richmedia_content/configuration/instance/params,
+    richmedia_settings/activation/deactivation/presentation,
+    action_richmedia, and richmedia_command."""
+    bodies = _base_objects(b"BT (Rich media page) Tj ET")
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Annots [5 0 R 9 0 R] >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Annot /Subtype /RichMedia /Rect [50 300 370 540] "
+        b"/NM (rm0) /RichMediaContent 6 0 R "
+        b"/RichMediaSettings << /Type /RichMediaSettings "
+        b"/Activation << /Type /RichMediaActivation /Condition /PO "
+        b"/Presentation << /Type /RichMediaPresentation /Style /Embedded "
+        b"/Toolbar false /NavigationPane false /Transparent false "
+        b"/PassContextClick false >> >> "
+        b"/Deactivation << /Type /RichMediaDeactivation "
+        b"/Condition /PC >> >> >>",
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /RichMediaContent "
+        b"/Assets << /Names [(intro.mp4) 8 0 R] >> "
+        b"/Configurations [7 0 R] >>",
+    )
+    bodies[7] = _obj(
+        7,
+        b"<< /Type /RichMediaConfiguration /Subtype /Video /Name (main) "
+        b"/Instances [ << /Type /RichMediaInstance /Subtype /Video "
+        b"/Asset 8 0 R /Params << /Type /RichMediaParams "
+        b"/Binding /Background /FlashVars (autoplay=0&loop=1) >> >> ] >>",
+    )
+    bodies[8] = _obj(
+        8,
+        b"<< /Type /Filespec /F (intro.mp4) /UF (intro.mp4) "
+        b"/Desc (intro clip) /AFRelationship /Supplement >>",
+    )
+    bodies[9] = _obj(
+        9,
+        b"<< /Type /Annot /Subtype /Widget /Rect [50 250 150 280] "
+        b"/T (PlayButton) /A << /Type /Action /S /RichMediaExecute "
+        b"/TA 5 0 R /CMD << /Type /RichMediaCommand /C (play) "
+        b"/A [true 1] >> >> >>",
+    )
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_richmedia"] = pdf_richmedia

@@ -972,7 +972,7 @@ def test_named_action_via_next_chain_assigns():
 def test_unknown_action_subtype_falls_back_to_generic():
     blob = _doc_catalog(
         b" /OpenAction 5 0 R",
-        {5: _obj(5, b"<< /Type /Action /S /RichMediaExecute >>")},
+        {5: _obj(5, b"<< /Type /Action /S /VendorCustomOp >>")},
     )
     r = process_document(blob, want_objects=True)
     assert r.valid, r.errors_as_rows()
@@ -3183,3 +3183,48 @@ def test_richmedia_annotation_typed():
         page_extra=b" /Annots [5 0 R]",
     )
     assert not process_document(bad3).strict
+
+
+def test_richmedia_execute_action_typed():
+    """RichMediaExecute [ISO 32000-2 §12.6.4.17]: target annotation and
+    command are required; the command's /C script name is required."""
+    ok = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Widget /Rect [0 0 20 20]"
+                b" /A << /Type /Action /S /RichMediaExecute /TA 6 0 R"
+                b" /CMD << /Type /RichMediaCommand /C (play)"
+                b" /A [true 2] >> >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 320 240]"
+                b" /RichMediaContent << /Type /RichMediaContent"
+                b" /Configurations [] >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R 6 0 R]",
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    # the command and its /C are required
+    bad = _doc(
+        {
+            5: _obj(
+                5,
+                b"<< /Type /Annot /Subtype /Widget /Rect [0 0 20 20]"
+                b" /A << /S /RichMediaExecute /TA 6 0 R"
+                b" /CMD << /Type /RichMediaCommand >> >> >>",
+            ),
+            6: _obj(
+                6,
+                b"<< /Type /Annot /Subtype /RichMedia /Rect [0 0 9 9]"
+                b" /RichMediaContent << /Configurations [] >> >>",
+            ),
+        },
+        page_extra=b" /Annots [5 0 R 6 0 R]",
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    assert not rb.strict
