@@ -1532,7 +1532,11 @@ TYPEDEFS: dict[str, ClassDef] = {
             "DR": Entry(Class("resources")),
             "DA": Entry(STRING),
             "Q": Entry(INT),
-            "XFA": Entry(OneOf((STREAM, ARRAY))),
+            # whole-form stream, or alternating (packet-name, stream)
+            # array [XFA spec / ISO 32000-1 §12.7.8]
+            "XFA": Entry(
+                OneOf((STREAM, ArrayOf(OneOf((STRING, STREAM)))))
+            ),
         }
     ),
     "field": ClassDef(
@@ -1675,11 +1679,22 @@ TYPEDEFS: dict[str, ClassDef] = {
             "ON": Entry(ArrayOf(Class("ocg"))),
             "OFF": Entry(ArrayOf(Class("ocg"))),
             "Intent": Entry(OneOf((NAME, ArrayOf(NAME)))),
-            "AS": Entry(ARRAY),
+            # usage applications [PDF17 §8.11.4.4 table 103]
+            "AS": Entry(ArrayOf(Class("oc_usage_app"))),
             "Order": Entry(ARRAY),
             "ListMode": Entry(NAME),
             "RBGroups": Entry(ARRAY),
             "Locked": Entry(ArrayOf(Class("ocg"))),
+        }
+    ),
+    "oc_usage_app": ClassDef(
+        {
+            "Event": Entry(
+                OneOf((Exact("View"), Exact("Print"), Exact("Export"))),
+                required=True,
+            ),
+            "OCGs": Entry(ArrayOf(Class("ocg"))),
+            "Category": Entry(ArrayOf(NAME), required=True),
         }
     ),
     "ocproperties": ClassDef(

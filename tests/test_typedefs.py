@@ -3228,3 +3228,34 @@ def test_richmedia_execute_action_typed():
     rb = process_document(bad)
     assert "type.missing_required" in _codes(rb)
     assert not rb.strict
+
+
+def test_oc_usage_application_and_xfa_typed():
+    """OC usage applications [PDF17 §8.11.4.4]: /Event and /Category are
+    required; XFA packet arrays alternate (name-string, stream)."""
+    ok = _doc_catalog(
+        b" /OCProperties << /OCGs [5 0 R] /D << /Name (cfg)"
+        b" /AS [ << /Event /View /Category [/View] /OCGs [5 0 R] >> ] >> >>"
+        b" /AcroForm << /Fields [] /XFA [(template) 6 0 R] >>",
+        {
+            5: _obj(5, b"<< /Type /OCG /Name (layer-1) >>"),
+            6: _stream_obj(6, b"", b"<template/>"),
+        },
+    )
+    r = process_document(ok, want_objects=True)
+    assert r.valid and r.strict, r.errors_as_rows()
+    assert r.type_assignments["5.0"] == "ocg"
+    # a usage application without /Category is rejected
+    bad = _doc_catalog(
+        b" /OCProperties << /OCGs [5 0 R] /D <<"
+        b" /AS [ << /Event /View >> ] >> >>",
+        {5: _obj(5, b"<< /Type /OCG /Name (l) >>")},
+    )
+    rb = process_document(bad)
+    assert "type.missing_required" in _codes(rb)
+    # an XFA array with a non-string, non-stream member is a mismatch
+    bad2 = _doc_catalog(
+        b" /AcroForm << /Fields [] /XFA [(template) 42] >>",
+        {},
+    )
+    assert not process_document(bad2).strict
