@@ -223,8 +223,25 @@ def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
     if not paths:
         # no committed units, or none of them produced any rows
         return _empty_extracted(spark)
+    from pyspark.sql import types as T
+
+    from caraspark.schemas import EXTRACTED
+
+    # Read with the CURRENT table schema pinned (schema evolution): a
+    # snapshot written before a surface column existed still reads — the
+    # missing parquet columns come back NULL — so new consumers never
+    # crash on old data (and time travel to pre-surface snapshots keeps
+    # working after the engine grows columns).
+    schema = T.StructType(
+        list(EXTRACTED.fields)
+        + [
+            T.StructField("gen", T.LongType(), True),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+    )
     df = (
         spark.read.option("basePath", os.path.join(output_dir, "data"))
+        .schema(schema)
         .parquet(*paths)
     )
     return df.drop("gen")

@@ -63,6 +63,8 @@ def test_snapshot_time_travel(spark, tmp_path):
     run_job(spark, None, out, units=8, unit_chunk=4, synth_docs=400)
     from caraspark.manifest import SnapshotManifest
 
+    from caraspark.manifest import SnapshotManifest
+
     man = SnapshotManifest(out)
     sids = man.snapshots()
     assert len(sids) >= 2  # 8 units / chunk 4 → ≥2 commits
@@ -83,6 +85,8 @@ def test_rollback_and_expire(spark, tmp_path):
 
     out = str(tmp_path / "tbl")
     run_job(spark, None, out, units=UNITS, unit_chunk=2, synth_docs=N_DOCS)
+    from caraspark.manifest import SnapshotManifest
+
     man = SnapshotManifest(out)
     sids = man.snapshots()
     assert len(sids) == 4  # 8 units / chunk 2
@@ -136,6 +140,8 @@ def test_expire_keeps_all_committed_buckets(spark, tmp_path):
 
     out = str(tmp_path / "tbl2")
     run_job(spark, None, out, units=UNITS, unit_chunk=4, synth_docs=N_DOCS)
+    from caraspark.manifest import SnapshotManifest
+
     man = SnapshotManifest(out)
     before = read_extracted(spark, out).count()
     res = man.expire_snapshots(keep_last=1, orphan_min_age_s=0)
@@ -173,6 +179,8 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     # crash-durability: the rewrite landed in a NEW generation; the old
     # gen-0 files are still the durable copy for pre-compaction snapshots
     import os
+
+    from caraspark.manifest import SnapshotManifest
 
     man = SnapshotManifest(out)
     gen_new = os.path.join(out, "data", f"gen={res['snapshot_id']}")
@@ -368,6 +376,8 @@ def test_incremental_read_covers_chain_disjointly(spark, tmp_path):
 
     out = str(tmp_path / "inc")
     run_job(spark, None, out, units=8, unit_chunk=2, synth_docs=120)
+    from caraspark.manifest import SnapshotManifest
+
     man = SnapshotManifest(out)
     sids = man.snapshots()
     assert len(sids) >= 3
@@ -516,3 +526,45 @@ def test_min_quality_gates_snapshot_commit(spark, tmp_path):
         snap.select(F.col("url").alias("doc_id"), "text")
     )
     assert rescored.filter(F.col("score") < threshold).count() == 0
+
+
+def test_read_extracted_schema_evolution_old_snapshot(spark, tmp_path):
+    """A snapshot written BEFORE a surface column existed must still read
+    under the grown schema: the missing columns come back NULL instead of
+    crashing consumers that select them."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "tbl")
+    stats = run_job(spark, None, out, units=4, unit_chunk=4, synth_docs=24)
+    assert not stats["crashed"]
+    # simulate an old-era bucket: rewrite bucket files without the two
+    # newest surface columns (as a pre-v16 engine would have written)
+    snap = read_extracted(spark, out)
+    old_cols = [
+        c for c in snap.columns
+        if c not in ("refresh_meta", "base_href", "bucket")
+    ]
+    from caraspark.manifest import SnapshotManifest
+
+    man = SnapshotManifest(out)
+    victim = man.unit_paths()[0]
+    old_rows = (
+        spark.read.parquet(victim).select(*old_cols).collect()
+    )
+    old_schema = spark.read.parquet(victim).select(*old_cols).schema
+    import shutil
+
+    shutil.rmtree(victim)
+    spark.createDataFrame(old_rows, old_schema).write.parquet(victim)
+    evolved = read_extracted(spark, out)
+    got = evolved.select("url", "refresh_meta", "base_href", "text")
+    rows = got.collect()
+    assert len(rows) == 24
+    assert all(r.refresh_meta is None or isinstance(r.refresh_meta, str)
+               for r in rows)
+    # every row from the rewritten bucket reads NULL for the new columns
+    n_old = spark.read.parquet(victim).count()
+    n_null = evolved.filter(
+        F.col("refresh_meta").isNull() & F.col("base_href").isNull()
+    ).count()
+    assert n_null >= n_old > 0
