@@ -213,25 +213,16 @@ def _empty_extracted(spark):
     return spark.createDataFrame([], schema)
 
 
-def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
-    """Read ONLY manifest-committed units (the snapshot-consistent view),
-    at the CONCRETE per-unit paths the snapshot records (gen-aware) — a
-    reader is therefore unaffected by concurrent compaction rewrites.
-    ``snapshot_id`` time-travels to an earlier commit of the chain."""
-    man = SnapshotManifest(output_dir)
-    paths = [p for p in man.unit_paths(snapshot_id) if os.path.isdir(p)]
-    if not paths:
-        # no committed units, or none of them produced any rows
-        return _empty_extracted(spark)
+def _read_pinned(spark, output_dir: str, paths: list[str]):
+    """Read committed unit paths with the CURRENT table schema pinned
+    (schema evolution): a snapshot written before a surface column
+    existed still reads — the missing parquet columns come back NULL —
+    so new consumers never crash on old data, and time travel to
+    pre-surface snapshots keeps working as the engine grows columns."""
     from pyspark.sql import types as T
 
     from caraspark.schemas import EXTRACTED
 
-    # Read with the CURRENT table schema pinned (schema evolution): a
-    # snapshot written before a surface column existed still reads — the
-    # missing parquet columns come back NULL — so new consumers never
-    # crash on old data (and time travel to pre-surface snapshots keeps
-    # working after the engine grows columns).
     schema = T.StructType(
         list(EXTRACTED.fields)
         + [
@@ -245,6 +236,19 @@ def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
         .parquet(*paths)
     )
     return df.drop("gen")
+
+
+def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
+    """Read ONLY manifest-committed units (the snapshot-consistent view),
+    at the CONCRETE per-unit paths the snapshot records (gen-aware) — a
+    reader is therefore unaffected by concurrent compaction rewrites.
+    ``snapshot_id`` time-travels to an earlier commit of the chain."""
+    man = SnapshotManifest(output_dir)
+    paths = [p for p in man.unit_paths(snapshot_id) if os.path.isdir(p)]
+    if not paths:
+        # no committed units, or none of them produced any rows
+        return _empty_extracted(spark)
+    return _read_pinned(spark, output_dir, paths)
 
 
 def read_incremental(
@@ -264,11 +268,7 @@ def read_incremental(
     ]
     if not paths:
         return _empty_extracted(spark)
-    df = (
-        spark.read.option("basePath", os.path.join(output_dir, "data"))
-        .parquet(*paths)
-    )
-    return df.drop("gen")
+    return _read_pinned(spark, output_dir, paths)
 
 
 def main() -> None:
