@@ -3194,6 +3194,11 @@ def seq_length_hist(spark, sf):
 # root are removed). The SEG pattern [^/]*[^./][^/]* is any segment with at
 # least one non-dot char, so ".." can never be consumed as a segment.
 _DOT_SEG_STEPS: tuple[tuple[str, str], ...] = (
+    # a global pass removes every OTHER member of a consecutive /./ run
+    # (non-overlapping scan), so K consecutive ./ segments need
+    # ceil(log2(K))+1 passes — 4 passes cover runs up to 8
+    (r"/\./", "/"),
+    (r"/\./", "/"),
     (r"/\./", "/"),
     (r"/\./", "/"),
     (r"/\.$", "/"),
@@ -3201,6 +3206,9 @@ _DOT_SEG_STEPS: tuple[tuple[str, str], ...] = (
     (r"/[^/]*[^./][^/]*/\.\./", "/"),
     (r"/[^/]*[^./][^/]*/\.\.$", "/"),
 ) + (
+    # root overflow removes ONE leading /../ per anchored pass
+    (r"^/\.\./", "/"),
+    (r"^/\.\./", "/"),
     (r"^/\.\./", "/"),
     (r"^/\.\./", "/"),
     (r"^/\.\.$", "/"),

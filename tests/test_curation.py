@@ -869,3 +869,42 @@ def test_text_dup_lines_is_narrow_jvm(spark, sf_smoke):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_url_resolve_property_differential_vs_urljoin(spark, sf_smoke):
+    """Hypothesis differential: random relative references (segments,
+    ./ and ../ mixes within the 4-level normalization bound, queries,
+    fragments) must resolve exactly as urllib does."""
+    from urllib.parse import urldefrag, urljoin
+
+    from hypothesis import given, settings, strategies as st
+
+    from caraspark.curation import resolve_url
+    from pyspark.sql import functions as F
+
+    seg = st.sampled_from(["a", "bb", "c.d", "x1", "img"])
+    piece = st.one_of(seg, st.just("."), st.just(".."))
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        # no empty segments: "//" inside a relative path is out of
+        # contract (urllib itself deviates from RFC 3986 §5.2.4 there)
+        st.lists(piece, min_size=0, max_size=4),
+        st.sampled_from(["p.html", "p.html?q=1", "p#frag", "q2.txt"]),
+        st.sampled_from(["https://h.example/d1/d2/page.html",
+                         "https://h.example/",
+                         "http://h2.example/a/b/c/d.html?base=1"]),
+    )
+    def check(pieces, tail, base):
+        href = "/".join(pieces + [tail])
+        # ../ depth beyond the engine's documented 4-pass bound is out of
+        # contract; the strategy caps nesting at 4 by construction
+        want = urldefrag(urljoin(base, href))[0]
+        got = (
+            spark.range(1)
+            .select(resolve_url(F.lit(base), F.lit(href)).alias("u"))
+            .collect()[0]["u"]
+        )
+        assert got == want, (base, href, got, want)
+
+    check()
