@@ -3285,7 +3285,7 @@ def _resolve_sql_expr(base: str, href: str) -> str:
     )
 
 
-_RESOLVE_CASES_SQL = """CASE CAST(doc_id % 12 AS INT)
+_RESOLVE_CASES_SQL = """CASE CAST(doc_id % 14 AS INT)
       WHEN 0 THEN 'https://other.example/abs'
       WHEN 1 THEN 'http://lower.example/Case?k=v'
       WHEN 2 THEN '//cdn.example/lib.js'
@@ -3297,7 +3297,9 @@ _RESOLVE_CASES_SQL = """CASE CAST(doc_id % 12 AS INT)
       WHEN 8 THEN '../../../over.html'
       WHEN 9 THEN '?q=2'
       WHEN 10 THEN 'p#frag'
-      ELSE 'a/./b/../c.html' END"""
+      WHEN 11 THEN 'a/./b/../c.html'
+      WHEN 12 THEN '././././p.html'
+      ELSE '../../../../deep.html' END"""
 
 
 def _url_resolve_sql() -> str:
@@ -3322,9 +3324,9 @@ def url_resolve(spark, sf):
     that turns per-page relative hrefs into the absolute URLs a crawl
     frontier enqueues. Deterministic (base, href) case matrix from doc_id
     covers every resolution class: absolute (verbatim), scheme-relative,
-    root-relative, plain/./-prefixed relative, 1-3 level ../ climbs
-    (including root overflow), query-only, fragment-bearing, and interior
-    dot segments.
+    root-relative, plain/./-prefixed relative, 1-4 level ../ climbs
+    (including root overflow past the base depth), query-only,
+    fragment-bearing, interior dot segments, and consecutive ./ runs.
 
     Scale: pure scan-stage projection — a fixed chain of ~20 regex
     kernels in whole-stage codegen, zero shuffles/joins/Python; both
@@ -3339,18 +3341,20 @@ def url_resolve(spark, sf):
         F.when(did % 4 == 0, F.lit("?bq=1")).otherwise(F.lit("")),
     )
     href = (
-        F.when(did % 12 == 0, F.lit("https://other.example/abs"))
-        .when(did % 12 == 1, F.lit("http://lower.example/Case?k=v"))
-        .when(did % 12 == 2, F.lit("//cdn.example/lib.js"))
-        .when(did % 12 == 3, F.lit("/rooted/x"))
-        .when(did % 12 == 4, F.lit("rel.html"))
-        .when(did % 12 == 5, F.lit("./same/dir"))
-        .when(did % 12 == 6, F.lit("../up.html"))
-        .when(did % 12 == 7, F.lit("../../up2.html"))
-        .when(did % 12 == 8, F.lit("../../../over.html"))
-        .when(did % 12 == 9, F.lit("?q=2"))
-        .when(did % 12 == 10, F.lit("p#frag"))
-        .otherwise(F.lit("a/./b/../c.html"))
+        F.when(did % 14 == 0, F.lit("https://other.example/abs"))
+        .when(did % 14 == 1, F.lit("http://lower.example/Case?k=v"))
+        .when(did % 14 == 2, F.lit("//cdn.example/lib.js"))
+        .when(did % 14 == 3, F.lit("/rooted/x"))
+        .when(did % 14 == 4, F.lit("rel.html"))
+        .when(did % 14 == 5, F.lit("./same/dir"))
+        .when(did % 14 == 6, F.lit("../up.html"))
+        .when(did % 14 == 7, F.lit("../../up2.html"))
+        .when(did % 14 == 8, F.lit("../../../over.html"))
+        .when(did % 14 == 9, F.lit("?q=2"))
+        .when(did % 14 == 10, F.lit("p#frag"))
+        .when(did % 14 == 11, F.lit("a/./b/../c.html"))
+        .when(did % 14 == 12, F.lit("././././p.html"))
+        .otherwise(F.lit("../../../../deep.html"))
     )
     return d.select(
         "doc_id",
