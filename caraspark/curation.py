@@ -1282,6 +1282,15 @@ def crawl_robots(spark, sf):
         .select("source", "r.prefix", "r.disallow")
     )
     urls = d.select("doc_id", "source", path.alias("path"))
+    return robots_match(urls, rules)
+
+
+def robots_match(urls, rules):
+    """Longest-matching-rule robots verdict over (doc_id, source, path)
+    urls and (source, prefix, disallow) rule stacks — the Google REP
+    semantics: the longest matching prefix wins, allow wins exact-length
+    ties. One broadcast join + one map-side-combinable max(struct) per
+    URL; no window, no per-host sort."""
     m = urls.join(
         F.broadcast(rules),
         (urls.source == rules.source) & urls.path.startswith(rules.prefix),

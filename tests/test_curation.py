@@ -908,3 +908,50 @@ def test_url_resolve_property_differential_vs_urljoin(spark, sf_smoke):
         assert got == want, (base, href, got, want)
 
     check()
+
+
+def test_robots_match_property_differential(spark):
+    """Hypothesis differential for the longest-match/allow-wins verdict:
+    random rule stacks (duplicate prefixes with conflicting polarity
+    included) against random paths must agree with a direct Python
+    implementation of the REP semantics."""
+    from hypothesis import given, settings, strategies as st
+
+    from caraspark.curation import robots_match
+
+    prefix = st.sampled_from(["/", "/a", "/a/", "/a/b", "/a/bb", "/ab", "/b"])
+    rule = st.tuples(prefix, st.booleans())
+    path = st.sampled_from(
+        ["/", "/a", "/a/b", "/a/bb/c", "/ab/x", "/b/y", "/c"]
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(rule, min_size=1, max_size=6, unique=True),
+           st.lists(path, min_size=1, max_size=4, unique=True))
+    def check(rules, paths):
+        urls = spark.createDataFrame(
+            [(i, "h", p) for i, p in enumerate(paths)],
+            "doc_id long, source string, path string",
+        )
+        rdf = spark.createDataFrame(
+            [("h", pre, dis) for pre, dis in rules],
+            "source string, prefix string, disallow boolean",
+        )
+        got = {
+            (r.doc_id, r.path): (r.matched_prefix, r.allowed)
+            for r in robots_match(urls, rdf).collect()
+        }
+        want = {}
+        for i, p in enumerate(paths):
+            matches = [(pre, dis) for pre, dis in rules if p.startswith(pre)]
+            if not matches:
+                continue
+            # REP: longest wins; allow wins ties; deterministic final
+            # tie-break on the prefix string (mirrors the struct max)
+            pre, dis = max(
+                matches, key=lambda m: (len(m[0]), not m[1], m[0])
+            )
+            want[(i, p)] = (pre, not dis)
+        assert got == want, (rules, paths, got, want)
+
+    check()
