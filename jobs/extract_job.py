@@ -271,6 +271,32 @@ def read_incremental(
     return _read_pinned(spark, output_dir, paths)
 
 
+def frontier_df(snap):
+    """The crawl-frontier view of an extracted snapshot: one row per
+    (page, outlink) with the absolute target URL and its host shard key.
+    Resolution is base-aware — the v17 <base href> (itself resolved
+    against the page URL when relative) is the effective base every href
+    on the page resolves against, falling back to the page URL.
+    Scan-stage regex over the exploded rows; posexplode is narrow, so
+    the whole view adds zero exchanges to the snapshot read."""
+    from caraspark.curation import resolve_url
+
+    links = snap.select(
+        "url", "base_href", F.posexplode("outlinks").alias("pos", "href")
+    )
+    eff = resolve_url(
+        F.col("url"), F.coalesce(F.col("base_href"), F.lit(""))
+    )
+    abs_url = resolve_url(eff, F.col("href"))
+    return links.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        "href",
+        abs_url.alias("abs_url"),
+        F.regexp_extract(abs_url, r"^[a-z]+://([^/?#]*)", 1).alias("host"),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input")
@@ -303,6 +329,10 @@ def main() -> None:
                     help="write the current snapshot's (url, title, "
                          "outlinks) metadata as WAT-style WARC records "
                          "to DIR")
+    ap.add_argument("--frontier", metavar="DIR", default=None,
+                    help="write the next crawl wave: every outlink of "
+                         "the current snapshot resolved to an absolute "
+                         "URL (base-aware) with its host shard key")
     args = ap.parse_args()
     spark = get_spark("caraspark-extract-job")
     if args.rollback is not None:
@@ -320,7 +350,7 @@ def main() -> None:
             )
         )
         return
-    if args.wet or args.wat:
+    if args.wet or args.wat or args.frontier:
         # off-ramps read the CURRENT snapshot — run after an extract pass
         from caraspark.warc import wat_sink_df, wet_sink_df
 
@@ -335,6 +365,10 @@ def main() -> None:
                 snap.select("url", "title", "outlinks")
             ).write.mode("overwrite").parquet(args.wat)
             print({"wat_files": spark.read.parquet(args.wat).count()})
+        if args.frontier:
+            frontier_df(snap).write.mode("overwrite").parquet(args.frontier)
+            print({"frontier_rows":
+                   spark.read.parquet(args.frontier).count()})
         return
     stats = run_job(
         spark,

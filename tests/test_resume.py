@@ -568,3 +568,46 @@ def test_read_extracted_schema_evolution_old_snapshot(spark, tmp_path):
         F.col("refresh_meta").isNull() & F.col("base_href").isNull()
     ).count()
     assert n_null >= n_old > 0
+
+
+def test_frontier_offramp_resolves_outlinks(spark, tmp_path):
+    """--frontier: the snapshot's outlinks come back as absolute URLs
+    resolved base-aware against each page, with host shard keys."""
+    import pyspark.sql.functions as F
+
+    from caraspark.schemas import DOCUMENTS_RAW
+    from jobs.extract_job import frontier_df
+
+    rows = []
+    for i in range(12):
+        base = "<base href='/Sub/'>" if i % 2 == 0 else ""
+        html = (
+            f"<html><head>{base}</head><body>"
+            f"<p>doc {i}</p><a href='next{i}.html'>n</a>"
+            f"<a href='https://hub.example/t'>hub</a></body></html>"
+        ).encode()
+        rows.append((f"https://s{i % 3}.example/d/p{i}.html",
+                     None, html, None, "en"))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, DOCUMENTS_RAW).write.parquet(src)
+    out = str(tmp_path / "tbl")
+    stats = run_job(spark, src, out, units=4, unit_chunk=4)
+    assert not stats["crashed"]
+    got = {
+        (r.url, r.href): (r.abs_url, r.host)
+        for r in frontier_df(read_extracted(spark, out)).collect()
+    }
+    assert len(got) == 24
+    for i in range(12):
+        url = f"https://s{i % 3}.example/d/p{i}.html"
+        want_rel = (
+            f"https://s{i % 3}.example/Sub/next{i}.html"
+            if i % 2 == 0
+            else f"https://s{i % 3}.example/d/next{i}.html"
+        )
+        assert got[(url, f"next{i}.html")] == (
+            want_rel, f"s{i % 3}.example"
+        ), i
+        assert got[(url, "https://hub.example/t")] == (
+            "https://hub.example/t", "hub.example"
+        )
