@@ -87,8 +87,16 @@ def compact_table(
         if int(os.path.basename(p).split("=", 1)[1]) in frag_set
         and os.path.isdir(p)
     ]
+    from caraspark.schemas import extracted_read_schema
+
+    # pinned read schema: compacting a mix of old- and new-era buckets
+    # must not inherit the first file's (possibly pre-surface) schema —
+    # old rows upgrade to the current schema with NULL surface columns
     df = (
-        spark.read.option("basePath", data).parquet(*src_paths).drop("gen")
+        spark.read.option("basePath", data)
+        .schema(extracted_read_schema())
+        .parquet(*src_paths)
+        .drop("gen")
     )
     (
         df.repartition(min(len(frag), max_tasks), "bucket")

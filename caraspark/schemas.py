@@ -206,3 +206,20 @@ EXTRACTED = T.StructType(
         ),
     ]
 )
+
+
+def extracted_read_schema():
+    """The pinned read schema for snapshot consumers and compaction:
+    EXTRACTED plus the physical partition columns. Reading old-era files
+    through this schema fills missing surface columns with NULL (schema
+    evolution) instead of inheriting whatever the first file happens to
+    carry."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        list(EXTRACTED.fields)
+        + [
+            T.StructField("gen", T.LongType(), True),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+    )

@@ -219,20 +219,11 @@ def _read_pinned(spark, output_dir: str, paths: list[str]):
     existed still reads — the missing parquet columns come back NULL —
     so new consumers never crash on old data, and time travel to
     pre-surface snapshots keeps working as the engine grows columns."""
-    from pyspark.sql import types as T
+    from caraspark.schemas import extracted_read_schema
 
-    from caraspark.schemas import EXTRACTED
-
-    schema = T.StructType(
-        list(EXTRACTED.fields)
-        + [
-            T.StructField("gen", T.LongType(), True),
-            T.StructField("bucket", T.IntegerType(), True),
-        ]
-    )
     df = (
         spark.read.option("basePath", os.path.join(output_dir, "data"))
-        .schema(schema)
+        .schema(extracted_read_schema())
         .parquet(*paths)
     )
     return df.drop("gen")

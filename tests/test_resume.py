@@ -611,3 +611,30 @@ def test_frontier_offramp_resolves_outlinks(spark, tmp_path):
         assert got[(url, "https://hub.example/t")] == (
             "https://hub.example/t", "hub.example"
         )
+
+
+def test_compaction_upgrades_old_era_buckets(spark, tmp_path):
+    """Compacting a bucket written before a surface column existed must
+    rewrite it under the current schema (NULL surface columns), not
+    inherit the old file's schema."""
+    from caraspark.maintenance import compact_table
+    from caraspark.manifest import SnapshotManifest
+
+    out = str(tmp_path / "tbl")
+    stats = run_job(spark, None, out, units=4, unit_chunk=2, synth_docs=16)
+    assert not stats["crashed"]
+    man = SnapshotManifest(out)
+    victim = man.unit_paths()[0]
+    # rewrite the bucket as an OLD-era fragment pair (no newest columns,
+    # two files → fragmented, so compaction picks it up)
+    old = spark.read.parquet(victim).drop("refresh_meta", "base_href")
+    rows, schema = old.collect(), old.schema
+    import shutil
+
+    shutil.rmtree(victim)
+    spark.createDataFrame(rows, schema).repartition(2).write.parquet(victim)
+    res = compact_table(spark, out)
+    assert res["compacted_buckets"]
+    snap = read_extracted(spark, out)
+    assert snap.count() == 16
+    assert "refresh_meta" in snap.columns and "base_href" in snap.columns
