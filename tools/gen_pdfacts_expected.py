@@ -78,6 +78,7 @@ def build_extras():
     outline_rows = []
     formfield_rows = []
     js_rows = []
+    action_rows = []
     anchor_rows = []
     table_rows = []
     list_rows = []
@@ -175,6 +176,7 @@ def build_extras():
                     (rid, s[0] if s else None, s[1] if s else None, p)
                 )
         from caraspark.pdfengine.document import (
+            extract_actions,
             extract_attachments,
             extract_form_fields,
             extract_javascript,
@@ -204,6 +206,10 @@ def build_extras():
                     rid, j["pos"], j["source"], j["js_len"], j["js_md5"],
                     j["js_head"],
                 )
+            )
+        for act in extract_actions(doc):
+            action_rows.append(
+                (rid, act["pos"], act["source"], act["s"], act["target"])
             )
 
     import random
@@ -262,6 +268,7 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
+        action_rows,
     )
 
 
@@ -421,6 +428,7 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
+        action_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -451,6 +459,7 @@ def main() -> None:
             f"IMG_ROWS = {fmt(img_rows)}\n\n"
             f"JSONLD_ROWS = {fmt(jsonld_rows)}\n\n"
             f"JS_ROWS = {fmt(js_rows)}\n\n"
+            f"ACTION_ROWS = {fmt(action_rows)}\n\n"
             f"ALT_ROWS = {fmt(alt_rows)}\n"
         )
     print(
@@ -466,6 +475,7 @@ def main() -> None:
         f"{len(img_rows)} img rows, "
         f"{len(jsonld_rows)} jsonld rows, "
         f"{len(js_rows)} js rows, "
+        f"{len(action_rows)} action rows, "
         f"{len(alt_rows)} alternate rows -> {path}"
     )
 
