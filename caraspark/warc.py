@@ -140,15 +140,29 @@ def build_warc(
 
 
 def _iter_gunzip_members(blob: bytes) -> Iterator[bytes]:
-    """Stream-decode a multi-member gzip blob (or yield plain bytes as-is)."""
+    """Stream-decode a multi-member gzip blob (or yield plain bytes as-is).
+
+    Degrade-don't-crash on corrupt members (routine in crawled archives):
+    a member that fails to decompress is skipped and the scan RE-SYNCS on
+    the next gzip magic, so one bad member can't take out the rest of the
+    file — the same salvage posture parse_warc applies to junk between
+    records."""
     if not blob.startswith(b"\x1f\x8b"):
         yield blob
         return
     data = blob
     while data:
         d = zlib.decompressobj(32 + zlib.MAX_WBITS)
-        yield d.decompress(data)
-        data = d.unused_data
+        try:
+            yield d.decompress(data)
+            data = d.unused_data
+        except zlib.error:
+            # salvage and re-sync past the corrupt member's header
+            nxt = data.find(b"\x1f\x8b\x08", 3)
+            if nxt < 0:
+                break
+            data = data[nxt:]
+            continue
         if not data.startswith(b"\x1f\x8b"):
             break
 

@@ -262,3 +262,35 @@ def test_wat_payload_and_sink_roundtrip_bytes():
     assert len(parsed) == 1
     assert parsed[0]["rec_type"] == "metadata"
     assert parsed[0]["payload"] == p
+
+
+def test_parse_warc_salvages_past_corrupt_gzip_member():
+    """A corrupt member must not crash the parse NOR take out the
+    members behind it — skip and re-sync on the next gzip magic."""
+    from datetime import datetime
+
+    from caraspark.warc import (
+        _gzip_member,
+        build_record,
+        http_response,
+        parse_warc,
+    )
+
+    recs = [
+        build_record(
+            "response",
+            http_response(f"<p>doc {i}</p>".encode()),
+            url=f"https://e.example/p{i}",
+            ts=datetime(2026, 1, 1, 0, 0, i),
+        )
+        for i in range(3)
+    ]
+    m0, m1, m2 = (_gzip_member(r) for r in recs)
+    corrupt = m1[:10] + bytes([m1[10] ^ 0xFF]) + m1[11:]
+    blob = m0 + corrupt + m2
+    got = parse_warc(blob)
+    urls = [r["url"] for r in got]
+    assert "https://e.example/p0" in urls
+    assert "https://e.example/p2" in urls
+    # determinism under the salvage path
+    assert parse_warc(blob) == got
