@@ -91,16 +91,19 @@ def encode_media(media_id: int) -> bytes:
 
 
 def parse_header(payload: bytes) -> dict:
+    """Total on hostile bytes: a truncated header (magic present but the
+    fixed-width fields cut short) classifies as unknown instead of
+    raising struct.error out of the executor task."""
     magic = payload[:4]
-    if magic == b"FIMG":
+    if magic == b"FIMG" and len(payload) >= 8:
         w, h = struct.unpack(">HH", payload[4:8])
         return {"kind": "image", "width": w, "height": h, "rate": None,
                 "n_samples": None, "n_frames": None}
-    if magic == b"FAUD":
+    if magic == b"FAUD" and len(payload) >= 12:
         rate, n = struct.unpack(">II", payload[4:12])
         return {"kind": "audio", "width": None, "height": None, "rate": rate,
                 "n_samples": n, "n_frames": None}
-    if magic == b"FVID":
+    if magic == b"FVID" and len(payload) >= 10:
         w, h, nf = struct.unpack(">HHH", payload[4:10])
         return {"kind": "video", "width": w, "height": h, "rate": None,
                 "n_samples": None, "n_frames": nf}
@@ -270,9 +273,11 @@ def image_resize(spark, sf):
             mids, kcol, pix = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] != b"FIMG":
+                if b[:4] != b"FIMG" or len(b) < 8:
                     continue
                 w, h = struct.unpack(">HH", b[4:8])
+                if w == 0 or h == 0 or len(b) < 8 + w * h:
+                    continue  # truncated/hostile body: skip, don't crash
                 px = np.frombuffer(b[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(th) * h) // th
                 xs = (np.arange(tw) * w) // tw
@@ -320,10 +325,12 @@ def video_frame_sample(spark, sf):
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] != b"FVID":
+                if b[:4] != b"FVID" or len(b) < 10:
                     continue
                 w, h, nf = struct.unpack(">HHH", b[4:10])
                 fsz = w * h
+                if fsz == 0 or len(b) < 10 + nf * fsz:
+                    continue  # truncated/hostile body: skip, don't crash
                 for i in range(0, nf, 2):
                     frame = np.frombuffer(
                         b[10 + i * fsz : 10 + (i + 1) * fsz], dtype=np.uint8
@@ -436,9 +443,11 @@ def dedup_phash(spark, sf):
             mids, hs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] != b"FIMG":
+                if b[:4] != b"FIMG" or len(b) < 8:
                     continue
                 w, h = struct.unpack(">HH", b[4:8])
+                if w == 0 or h == 0 or len(b) < 8 + w * h:
+                    continue  # truncated/hostile body: skip, don't crash
                 flat = np.frombuffer(b[8 : 8 + w * h], dtype=np.uint8).astype(
                     np.int64
                 )
