@@ -109,6 +109,13 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("refresh_meta", pa.string(), True),
         pa.field("base_href", pa.string(), True),
         pa.field(
+            "forms",
+            pa.list_(
+                pa.struct([("method", pa.string()), ("action", pa.string())])
+            ),
+            True,
+        ),
+        pa.field(
             "alternates",
             pa.list_(
                 pa.struct(
@@ -249,6 +256,7 @@ def _extract_batches(
             cols["robots_meta"].append(r.robots_meta)
             cols["refresh_meta"].append(r.refresh_meta)
             cols["base_href"].append(r.base_href)
+            cols["forms"].append(r.forms_as_rows())
             cols["alternates"].append(r.alternates_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)

@@ -1983,3 +1983,96 @@ def filter_base(spark, sf):
     return ex.filter(F.col("base_href").isNotNull()).select(
         "url", "base_href"
     )
+
+
+@_q(
+    "doc_forms",
+    """WITH pages AS (
+  SELECT doc_id,
+         'https://f' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example/app/page' || CAST(doc_id AS VARCHAR) || '.html'
+           AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS INTEGER) AS pos, 'post' AS method,
+       '/Login' || CAST(doc_id % 5 AS VARCHAR) AS action,
+       'https://f' || CAST(doc_id % 4 AS VARCHAR) || '.example/Login'
+       || CAST(doc_id % 5 AS VARCHAR) AS abs_action
+FROM pages
+UNION ALL
+SELECT url, CAST(1 AS INTEGER) AS pos, 'get' AS method,
+       'search' || CAST(doc_id % 3 AS VARCHAR) || '.php' AS action,
+       'https://f' || CAST(doc_id % 4 AS VARCHAR) || '.example/app/search'
+       || CAST(doc_id % 3 AS VARCHAR) || '.php' AS abs_action
+FROM pages""",
+)
+def doc_forms(spark, sf):
+    """v18 FORMS, hash-verified closed-form: each page carries the form
+    edge matrix — a case-mangled POST login form with padded action, a
+    method-less relative search form (default 'get'), plus a nav form, a
+    boiler-div form, a self-boiler form and a nested inner form that must
+    all be excluded. ``abs_action`` composes v18 with `resolve_url` — the
+    POST endpoint census a crawl-compliance pipeline keys on."""
+    from caraspark.curation import resolve_url
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://f"), (did % 4).cast("string"),
+        F.lit(".example/app/page"), did.cast("string"), F.lit(".html"),
+    )
+    raw = docs.select(
+        page_url.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>t</p>"
+                      "<form method=' POST ' action=' /Login"),
+                (did % 5).cast("string"),
+                F.lit(" '><input></form><form action='search"),
+                (did % 3).cast("string"),
+                F.lit(".php'><input></form>"
+                      "<nav><form action='/nav'></form></nav>"
+                      "<div class='sidebar'><form action='/b'></form></div>"
+                      "<form class='promo' action='/ad'></form>"
+                      "</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("forms",))
+    t = ex.select("url", F.posexplode("forms").alias("pos", "t"))
+    abs_action = resolve_url(F.col("url"), F.col("t.action"))
+    return t.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.method").alias("method"),
+        F.col("t.action").alias("action"),
+        abs_action.alias("abs_action"),
+    )
+
+
+@_q(
+    "doc_forms_sig",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, CAST(n_forms AS INT) AS n_forms, forms_sig
+FROM perdoc""".format(corpus=corpus_cte(), perdoc=perdoc_cte()),
+)
+def doc_forms_sig(spark, sf):
+    """v18 FORMS over the full synth corpus (the html_forms edge-matrix
+    recipe, []-for-PDF) vs the frozen per-recipe/per-idx md5 signatures
+    over the canonical "method:action" strings in document order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "forms", lambda x: F.concat_ws(":", x["method"], x["action"])
+    )
+    return ex.select(
+        "url",
+        F.size("forms").alias("n_forms"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "forms_sig"
+        ),
+    )

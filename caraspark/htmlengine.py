@@ -276,6 +276,7 @@ class _Extractor(HTMLParser):
         self.robots_meta: str | None = None  # v14
         self.refresh_meta: str | None = None  # v16
         self.base_href: str | None = None  # v17
+        self.forms: list = []  # v18: (method, action) per <form> element
         self.og_title: str | None = None
         self.og_description: str | None = None
         self.og_image: str | None = None
@@ -485,6 +486,18 @@ class _Extractor(HTMLParser):
         )
         return t.strip().lower() == "application/ld+json"
 
+    def _collect_form(self, attrs) -> None:
+        """v18: one (method, action) per <form> element; method lowercased
+        with the HTML default 'get', action trimmed case-preserved (a
+        URL — resolve_url composes); first attr occurrence wins."""
+        m = next(
+            (v for k, v in attrs if k == "method" and v is not None), ""
+        ).strip().lower() or "get"
+        a = next(
+            (v for k, v in attrs if k == "action" and v is not None), ""
+        ).strip()
+        self.forms.append((m, a))
+
     def _collect_img(self, attrs) -> None:
         """v12: one (src, alt) per element; first attr occurrence wins."""
         src = next(
@@ -511,6 +524,12 @@ class _Extractor(HTMLParser):
             # v13: collected despite drop regions, like TITLE
             self._ld_open = True
             self._ld_buf = []
+        if tag == "form" and not self._drop_depth:
+            # v18: the form SUBTREE is chrome (tag-drop), but the element
+            # itself is the interactivity signal — collect it unless the
+            # enclosing context is dropped/boiler or it is boiler itself
+            if not self._is_boiler(attrs):
+                self._collect_form(attrs)
         if tag in DROP_TAGS:
             self._drop_depth += 1
             return
@@ -585,6 +604,11 @@ class _Extractor(HTMLParser):
         if tag in ("link", "meta", "base"):
             # head metadata: collected despite drop regions, like TITLE
             self._collect_headmeta(tag, attrs)
+            return
+        if tag == "form":
+            # v18: self-closing form — element-level signal, no subtree
+            if not self._drop_depth and not self._is_boiler(attrs):
+                self._collect_form(attrs)
             return
         if tag == "script":
             if self._is_ldjson(attrs):
@@ -668,7 +692,10 @@ def extract_html(
     lowercased+normalized — the soft-redirect signal (v16), HEADMETA
     placement contract; base_href is the first non-empty <base href>,
     trimmed but case-preserved (v17) — the resolution base browsers use
-    for every relative URL on the page."""
+    for every relative URL on the page; forms is the (method, action)
+    pair list per <form> element outside drop/boiler regions (v18) — the
+    page-interactivity signal (login walls, search UIs) and the POST
+    endpoint census."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -689,6 +716,7 @@ def extract_html(
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
             p.robots_meta, p.alternates, p.refresh_meta, p.base_href,
+            p.forms,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -714,6 +742,7 @@ def extract_html(
         p.alternates,
         p.refresh_meta,
         p.base_href,
+        p.forms,
     )
 
 

@@ -122,6 +122,9 @@ class ExtractResult:
     # — the page's URL-resolution base (HTML); None for PDFs / absent /
     # stats mode.
     base_href: str | None = None
+    # v18 FORMS: (method, action) per <form> element outside drop/boiler
+    # contexts (HTML); [] for PDFs. None when not requested / stats mode.
+    forms: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -186,6 +189,11 @@ class ExtractResult:
             for hl, t, h in self.alternates
         ]
 
+    def forms_as_rows(self) -> list[dict] | None:
+        if self.forms is None:
+            return None
+        return [{"method": m, "action": a} for m, a in self.forms]
+
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
             return None
@@ -226,7 +234,7 @@ DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
-     "jsonld", "robots", "alternates", "refresh", "base"}
+     "jsonld", "robots", "alternates", "refresh", "base", "forms"}
 )
 
 
@@ -326,6 +334,7 @@ def _process_pdf(
     images: list | None = [] if "images" in want else None
     jsonld: list | None = [] if "jsonld" in want else None
     alternates: list | None = [] if "alternates" in want else None
+    forms: list | None = [] if "forms" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -357,6 +366,7 @@ def _process_pdf(
         images=images,
         jsonld=jsonld,
         alternates=alternates,
+        forms=forms,
         title=title,
         description=description,
         headings=headings,
@@ -395,7 +405,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         (
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
-            alternates, refresh_meta, base_href,
+            alternates, refresh_meta, base_href, forms,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -422,6 +432,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             refresh_meta = None
         if "base" not in want:
             base_href = None
+        if "forms" not in want:
+            forms = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -449,6 +461,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         alternates = None
         refresh_meta = None
         base_href = None
+        forms = None
         title = None
         canonical = None
         description = None
@@ -471,6 +484,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         alternates=alternates,
         refresh_meta=refresh_meta,
         base_href=base_href,
+        forms=forms,
         title=title,
         canonical=canonical,
         description=description,

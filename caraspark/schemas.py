@@ -138,6 +138,19 @@ EXTRACTED = T.StructType(
         # v17 BASEHREF: first <base href>, trimmed, case-preserved; NULL
         # for PDFs / absent
         T.StructField("base_href", T.StringType(), True),
+        # v18 FORMS: (method, action) per form element; [] for PDFs
+        T.StructField(
+            "forms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("method", T.StringType(), False),
+                        T.StructField("action", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         # v15 ALTERNATES: (hreflang, type, href) per rel=alternate link
         # element; [] for PDFs, NULL in stats mode / when not requested
         T.StructField(

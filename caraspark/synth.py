@@ -2241,3 +2241,34 @@ def pdf_richmedia() -> bytes:
 
 
 PDF_RECIPES["pdf_richmedia"] = pdf_richmedia
+
+
+def html_forms(rng: random.Random) -> bytes:
+    """v18 FORMS recipe: the form edge matrix — a POST login form with a
+    padded action (trimmed, case preserved), a method-less search form
+    (default 'get'), an UPPERCASE-method form (lowercased), an
+    attribute-less form (("get", "")), a nav form and a boiler-div form
+    (both excluded), a boiler-CLASSED form (its own attrs exclude it),
+    and a nested inner form (inside the outer's dropped subtree —
+    excluded). Form subtrees stay dropped from the text surface."""
+    w = _para(rng, 3).rstrip(".")
+    n = rng.randrange(100)
+    paras = "\n".join(f"<p>{_para(rng, 14)}</p>" for _ in range(2))
+    return (
+        "<html><body>"
+        f"<p>intro {_para(rng, 10)}</p>"
+        f"<form method='POST' action=' /Login{n} '>"
+        f"<input name='u'><input name='p'></form>"
+        f"<form action='search{n}.php'><input name='q'></form>"
+        "<form method=' PUT ' action='/api'></form>"
+        "<form></form>"
+        "<nav><form action='/nav-box'></form></nav>"
+        "<div class='sidebar'><form action='/side'></form></div>"
+        "<form class='promo' action='/ad'></form>"
+        f"<form action='/outer{n}'><form action='/inner'></form></form>"
+        f"{paras}"
+        "</body></html>"
+    ).encode()
+
+
+HTML_RECIPES["html_forms"] = html_forms

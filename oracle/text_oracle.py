@@ -1449,7 +1449,8 @@ def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
     v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta,
-    v15 alternates, v16 refresh_meta, v17 base_href) — 2nd witness."""
+    v15 alternates, v16 refresh_meta, v17 base_href, v18 forms) — 2nd
+    witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1466,6 +1467,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             [],
             None,
             None,
+            [],
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1482,6 +1484,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_alternates(blob),
         _html_refresh(blob),
         _html_base(blob),
+        _html_forms(blob),
     )
 
 
@@ -1743,6 +1746,62 @@ def _html_images(blob: bytes) -> list[tuple[str, str]]:
         elif ev == "selfclose":
             if drop == 0 and val == "img":
                 record(attrs)
+    return out
+
+
+def _html_forms(blob: bytes) -> list[tuple[str, str]]:
+    """v18 FORMS, second witness: its own event pass — one (method
+    lowercased, default 'get'; action trimmed case-preserved) pair per
+    <form> open or self-close outside drop/boiler regions, in document
+    order; no dedup."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    out: list[tuple[str, str]] = []
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def record(attrs) -> None:
+        m = next(
+            (v for k, v in attrs if k == "method" and v is not None), ""
+        ).strip().lower() or "get"
+        a = next(
+            (v for k, v in attrs if k == "action" and v is not None), ""
+        ).strip()
+        out.append((m, a))
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        # the form element records BEFORE its own tag-drop opens (the
+        # subtree is chrome; the element is the signal)
+        if (
+            ev in ("open", "selfclose")
+            and val == "form"
+            and drop == 0
+            and not _boilerplate_attrs(attrs)
+        ):
+            record(attrs)
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
     return out
 
 

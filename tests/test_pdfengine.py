@@ -1032,7 +1032,9 @@ def test_unclosed_title_does_not_eat_body_text():
              "<meta http-equiv=' Refresh ' content='5'>",
              "<meta http-equiv='refresh' content=''>",
              "<base href=' /B/dir/ '>", "<base target='x'>",
-             "<base href='../Up/'/>"]
+             "<base href='../Up/'/>",
+             "<form method='POST' action='/x'>", "</form>",
+             "<form action='q.php'/>", "<form class='promo' action='/a'>"]
         ),
         max_size=16,
     )
@@ -1721,3 +1723,44 @@ def test_action_census_covers_every_hook():
     assert got[("Annot:0.0:A", "GoToR")] == "other.pdf"
     assert got[("Outline:0:A", "SubmitForm")] == "https://collect.example/p"
     assert [r["pos"] for r in rows] == list(range(len(rows)))
+
+
+def test_html_v18_forms_semantics():
+    """v18 FORMS: element collected despite its own tag-drop, method
+    lowercased with 'get' default, action trimmed case-preserved, nav/
+    boiler/self-boiler/nested forms excluded — engine and oracle agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<body><form method=' POST ' action=' /Login '><input></form>"
+         b"<form action='q.php'></form><form></form>"
+         b"<nav><form action='/n'></form></nav>"
+         b"<div class='sidebar'><form action='/b'></form></div>"
+         b"<form class='promo' action='/ad'></form>"
+         b"<form action='/outer'><form action='/inner'></form></form>"
+         b"<p>t</p></body>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[17] == [("post", "/Login"), ("get", "q.php"), ("get", ""),
+                     ("get", "/outer")]
+    # form subtree text stays dropped
+    b2 = b"<body><form action='/x'><p>chrome text</p></form><p>real</p></body>"
+    e2 = extract_html(b2)
+    assert e2 == oracle_extract_full(b2)
+    assert e2[0] == b"real" and e2[17] == [("get", "/x")]
+
+
+def test_html_v18_forms_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = b"<body><form action='/s'></form><p>real text</p></body>"
+    full = process_document(html)
+    assert full.forms == [("get", "/s")]
+    only = process_document(html, want={"forms"})
+    assert only.forms == [("get", "/s")] and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.forms is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.forms is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).forms == []

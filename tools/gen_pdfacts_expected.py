@@ -121,6 +121,7 @@ def build_extras():
                 **_table_facts(res),
                 **_list_facts(res),
                 **_img_facts(res),
+                **_form_facts(res),
                 **_jsonld_facts(res),
                 **_alt_facts(res),
                 **_title_facts(res),
@@ -259,6 +260,7 @@ def build_extras():
                 **_table_facts(res),
                 **_list_facts(res),
                 **_img_facts(res),
+                **_form_facts(res),
                 **_jsonld_facts(res),
                 **_alt_facts(res),
                 **_title_facts(res),
@@ -282,6 +284,19 @@ def _img_facts(res) -> dict:
         "n_images": len(res.images),
         "images_sig": hashlib.md5(
             "\x1f".join(f"{s}:{a}" for s, a in res.images).encode("utf-8")
+        ).hexdigest(),
+    }
+
+
+def _form_facts(res) -> dict:
+    """Mirror doc_forms_sig's JVM expression: md5 over the \x1f-joined
+    "method:action" canonical strings in document order."""
+    if res.forms is None:
+        return {"n_forms": None, "forms_sig": None}
+    return {
+        "n_forms": len(res.forms),
+        "forms_sig": hashlib.md5(
+            "\x1f".join(f"{m}:{a}" for m, a in res.forms).encode("utf-8")
         ).hexdigest(),
     }
 
