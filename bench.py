@@ -225,6 +225,19 @@ def main() -> None:
     except ImportError:
         pass
 
+    # production-hash winnowing variant: one xxhash64 per gram instead of
+    # md5 digest + hex slice + conv() base parse
+    try:
+        from caraspark.curation import winnow_fingerprints
+        from caraspark.relational import load
+
+        t0 = time.time()
+        run_noop(winnow_fingerprints(load(spark, sf_dir, "documents"),
+                                     hash_fn="xxh"))
+        extra_pack["fingerprint_winnow_xxh"] = round(time.time() - t0, 3)
+    except ImportError:
+        pass
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_pack_total",

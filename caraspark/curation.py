@@ -1834,6 +1834,12 @@ def fingerprint_winnow(spark, sf):
     term per split a, each a pair of bounded ROWS-frame window minimums,
     so the whole operator stays in JVM whole-stage codegen.
 
+    hash_fn="md5" (the registered qkey) keeps the per-gram hash DuckDB-
+    reproducible (md5 hex slice, base-16 parse). The production lane is
+    ``winnow_fingerprints(d, hash_fn="xxh")`` — identical plan shape
+    (pinned in test_plans.py), but one xxhash64 call per gram replaces
+    the md5 digest + 12-nibble hex slice + string base conversion.
+
     Scale: all computation is within-document — the only exchange keys
     on doc_id and carries (pos, 8-byte hash) pairs, never text; output is
     a constant-density sample of positions (~2/(w+1)), so downstream
@@ -1841,13 +1847,34 @@ def fingerprint_winnow(spark, sf):
     fingerprints reuses the banded-bucket pattern of dedup_minhash
     (never an all-pairs join).
     """
+    return winnow_fingerprints(load(spark, sf, "documents"), hash_fn="md5")
+
+
+def winnow_fingerprints(d, hash_fn: str = "md5"):
+    """Winnowing over a documents DataFrame; see fingerprint_winnow for
+    the algorithm and the hash_fn lane contract (pinned in
+    test_plans.py)."""
     k, w = _WINNOW_K, _WINNOW_W
-    d = load(spark, sf, "documents")
     s = F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")
     base = d.select("doc_id", s.alias("s")).filter(
         F.length("s") >= k + w - 1
     )
     p = F.least(F.length("s") - (k - 1), F.lit(4095))
+    gram = F.col("s").substr(F.col("pos"), F.lit(k))
+    if hash_fn == "md5":
+        h = (
+            F.conv(
+                F.substring(F.md5(F.encode(gram, "utf-8")), 1, 12), 16, 10
+            )
+            .cast("long")
+            .alias("h")
+        )
+    elif hash_fn == "xxh":
+        # production lane: one 8-byte xxhash64 per gram — no hex digest,
+        # no base-16 string parse; same downstream plan.
+        h = F.xxhash64(gram).alias("h")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
     grams = base.select(
         "doc_id",
         p.alias("p"),
@@ -1857,21 +1884,7 @@ def fingerprint_winnow(spark, sf):
         "doc_id",
         "p",
         F.col("pos").cast("int").alias("pos"),
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.encode(
-                        F.col("s").substr(F.col("pos"), F.lit(k)), "utf-8"
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        h,
     )
     ws = W.partitionBy("doc_id").orderBy("pos")
     win = grams.select(

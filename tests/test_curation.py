@@ -552,6 +552,42 @@ def test_fingerprint_winnow_density_bounds(spark, sf_smoke):
         assert 1.0 / C._WINNOW_W <= r.sel_density <= 1.0
 
 
+def test_winnow_xxh_same_plan_no_md5_per_gram(spark, sf_smoke):
+    """hash_fn='xxh' (the production lane) must keep the qkey's plan-shape
+    contract — single scan, window-only exchange, no join — while one
+    xxhash64 per gram replaces the md5 digest + hex slice + conv() base
+    parse (the only md5 left is the once-per-doc fp_sig aggregate)."""
+    import contextlib
+    import io
+
+    df = C.winnow_fingerprints(load(spark, sf_smoke, "documents"), hash_fn="xxh")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert p.count("Scan parquet") == 1, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+    assert "xxhash64" in p, p
+    assert "conv(" not in p, p
+
+
+def test_winnow_xxh_identical_docs_same_fingerprint(spark):
+    """Identical normalized texts winnow to identical (pos, hash) sets
+    under ANY hash family — the xxh lane must give them equal fp_sig and
+    the unrelated doc a different one; density bounds hold per doc."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 6),
+        (2, "The Quick Brown Fox! jumps over the lazy dog " * 6),
+        (3, "completely different content about spark shuffles " * 6),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in C.winnow_fingerprints(d, hash_fn="xxh").collect()}
+    assert got[1].fp_sig == got[2].fp_sig  # normalization strips case/punct
+    assert got[3].fp_sig != got[1].fp_sig
+    for r in got.values():
+        assert 1.0 / C._WINNOW_W <= r.sel_density <= 1.0
+
+
 def _grams3_py(text: str):
     w = text.lower().split(" ")
     return {
