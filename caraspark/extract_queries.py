@@ -2076,3 +2076,132 @@ def doc_forms_sig(spark, sf):
             "forms_sig"
         ),
     )
+
+
+@_q(
+    "dedup_canonical",
+    """WITH pages AS (
+  SELECT doc_id,
+         'https://s' || CAST(doc_id % 5 AS VARCHAR) || '.example/a/page'
+         || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         's' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'https://canon.example/c/'
+                   || CAST(doc_id % 17 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+              THEN 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example/b/c' || CAST(doc_id % 17 AS VARCHAR)
+              ELSE 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example/a/page' || CAST(doc_id AS VARCHAR)
+                   || '.html'
+         END AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, min(url) AS keep_url,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM pages GROUP BY canonical_url""",
+)
+def dedup_canonical(spark, sf):
+    """Canonical-URL deduplication — the publisher-declared dedup signal a
+    web pipeline applies BEFORE any content hashing: pages sharing an
+    effective rel=canonical target are one logical document (mirrors,
+    tracking-parameter variants, cross-site syndication), and the cluster
+    representative is the deterministic min page URL.
+
+    Composes three pinned pieces end-to-end: v6 HEADMETA canonical
+    extraction (want= projection: only canonical+base are assembled), the
+    v17 effective base (base href itself resolved against the page URL),
+    and RFC 3986 `resolve_url` — a RELATIVE canonical resolves against
+    the effective base, exactly as browsers and crawlers do. Pages with
+    no canonical fall back to their own URL (fragment-stripped
+    self-cluster). The edge matrix plants one absolute cross-site cluster
+    class (doc_id%3==0: syndication — n_hosts > 1), one base-relative
+    class (%3==1: `<base href='/b/'>` + href `c{k}` → `/b/c{k}`), and one
+    canonical-free class (%3==2), plus a losing second canonical decoy,
+    so DuckDB predicts every (canonical_url, keep_url, n_pages, n_hosts)
+    row in closed form.
+
+    Scale: the Arrow extract stage computes TWO surfaces (want=
+    projection pushdown), resolution is scan-stage regex, and the
+    exchanges key on the canonical URL (plus the distinct-host level)
+    carrying (url-min, count, host) partials with map-side combine —
+    never HTML payloads. The lexicographic-min keeper puts a STRING in
+    the aggregation buffer, so Catalyst plans a sort-based aggregate —
+    inherent to min-URL semantics (a fixed-width keeper key would need a
+    join back to recover the URL, a worse trade at 10^12 rows); skew (a
+    single giant canonical target, e.g. a parked-domain landing page) is
+    bounded because all three aggregates are partially aggregable."""
+    from caraspark.curation import resolve_url
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://s"), (did % 5).cast("string"),
+        F.lit(".example/a/page"), did.cast("string"), F.lit(".html"),
+    )
+    canon_link = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href=" https://canon.example/c/'),
+                (did % 17).cast("string"),
+                F.lit(' ">'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<base href='/b/'>"),
+                F.lit('<link rel="canonical" href="c'),
+                (did % 17).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit('<link rel="alternate" href="/not-canonical">'))
+    )
+    # the losing-second decoy only on classes that HAVE a canonical —
+    # on the canonical-free class it would win the first-wins slot
+    decoy = F.when(
+        did % 3 != 2, F.lit('<link rel="canonical" href="/second-loses">')
+    ).otherwise(F.lit(""))
+    raw = docs.select(
+        page_url.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                canon_link,
+                decoy,
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("canonical", "base"))
+    eff_base = F.when(
+        F.col("base_href").isNotNull(),
+        resolve_url(F.col("url"), F.col("base_href")),
+    ).otherwise(F.col("url"))
+    eff_canon = F.when(
+        F.col("canonical").isNotNull() & (F.col("canonical") != ""),
+        resolve_url(eff_base, F.col("canonical")),
+    ).otherwise(F.regexp_replace(F.col("url"), "#.*$", ""))
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/?#]*)", 1)
+    return (
+        ex.select(
+            eff_canon.alias("canonical_url"),
+            F.col("url"),
+            host.alias("host"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("url").alias("keep_url"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+    )

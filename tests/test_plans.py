@@ -860,3 +860,19 @@ def test_ann_ivfpq_broadcast_only_no_corpus_smj(spark, sf_smoke, qs):
     p = plan_of(qs["ann_ivfpq"](spark, sf_smoke))
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_dedup_canonical_one_exchange_two_surface_extract(spark, sf_smoke, qs):
+    """Canonical dedup is extract → resolve → groupBy: the Arrow stage is
+    the only Python (want= pushdown assembles just canonical+base), the
+    resolution chain is scan-stage regex, exchanges key on the canonical
+    URL (plus the distinct-host level) carrying only short strings with
+    map-side partial aggregation — HTML payloads never shuffle. The
+    lexicographic-min keeper puts a STRING in the aggregation buffer, so
+    the aggregate is sort-based by construction (documented tradeoff:
+    min-URL semantics cannot hash-aggregate); no join anywhere."""
+    p = plan_of(qs["dedup_canonical"](spark, sf_smoke), "simple")
+    assert p.count("ArrowEvalPython") <= 1, p
+    assert p.count("Exchange") <= 2, p  # canonical + (canonical,host) levels
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+    assert "partial_min" in p or "partial_count" in p, p  # map-side combine
