@@ -108,6 +108,8 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("robots_meta", pa.string(), True),
         pa.field("refresh_meta", pa.string(), True),
         pa.field("base_href", pa.string(), True),
+        pa.field("next_href", pa.string(), True),
+        pa.field("prev_href", pa.string(), True),
         pa.field(
             "forms",
             pa.list_(
@@ -256,6 +258,8 @@ def _extract_batches(
             cols["robots_meta"].append(r.robots_meta)
             cols["refresh_meta"].append(r.refresh_meta)
             cols["base_href"].append(r.base_href)
+            cols["next_href"].append(r.next_href)
+            cols["prev_href"].append(r.prev_href)
             cols["forms"].append(r.forms_as_rows())
             cols["alternates"].append(r.alternates_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})

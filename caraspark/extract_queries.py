@@ -2205,3 +2205,121 @@ def dedup_canonical(spark, sf):
             F.countDistinct("host").cast("bigint").alias("n_hosts"),
         )
     )
+
+
+@_q(
+    "doc_pagination",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 <> 2
+            THEN '/s' || CAST(doc_id % 7 AS VARCHAR) || '/page'
+                 || CAST(doc_id + 1 AS VARCHAR) || '.html' END AS next_href,
+       CASE WHEN doc_id % 2 = 0
+            THEN '?p=' || CAST(doc_id % 5 AS VARCHAR) END AS prev_href,
+       CASE WHEN doc_id % 3 <> 2
+            THEN 'https://p' || CAST(doc_id % 4 AS VARCHAR) || '.example/s'
+                 || CAST(doc_id % 7 AS VARCHAR) || '/page'
+                 || CAST(doc_id + 1 AS VARCHAR) || '.html' END AS abs_next,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://p' || CAST(doc_id % 4 AS VARCHAR) || '.example/s'
+                 || CAST(doc_id % 7 AS VARCHAR) || '/page'
+                 || CAST(doc_id AS VARCHAR) || '.html?p='
+                 || CAST(doc_id % 5 AS VARCHAR) END AS abs_prev
+FROM documents""",
+)
+def doc_pagination(spark, sf):
+    """v19 PAGINATION, hash-verified closed-form: each page carries the
+    pagination edge matrix — an empty-href rel=next decoy, a case-mangled
+    multi-token winner (one doc class has NO next: the series tail), a
+    losing second, a nav-wrapped rel=Previous synonym winner (one class
+    has no prev: the series head), a losing rel=prev, and a boiler-div
+    rel=next that must stay hidden. ``abs_next``/``abs_prev`` compose v19
+    with `resolve_url` (RFC 3986 — the query-only prev ref keeps the page
+    path) — the exact series-walk frontier a crawler enqueues."""
+    from caraspark.curation import resolve_url
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    has_next = did % 3 != 2
+    has_prev = did % 2 == 0
+    next_ref = F.concat(
+        F.lit("/s"), (did % 7).cast("string"), F.lit("/page"),
+        (did + 1).cast("string"), F.lit(".html"),
+    )
+    prev_ref = F.concat(F.lit("?p="), (did % 5).cast("string"))
+    raw = docs.select(
+        did.cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><link rel='next' href=''>"),
+                F.when(
+                    has_next,
+                    F.concat(
+                        F.lit("<link rel=' NEXT alternate ' href=' "),
+                        next_ref,
+                        F.lit(" '><link rel='next' href='/next-loses'>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    has_prev,
+                    F.concat(
+                        F.lit("<nav><link rel='Previous' href='"),
+                        prev_ref,
+                        F.lit("'></nav><link rel='prev' href='/prev-loses'>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body>"
+                      "<div class='promo'><link rel='next' href='/hid'>"
+                      "</div><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("pagination",)).select(
+        "url", "next_href", "prev_href"
+    )
+    udid = F.col("url").cast("long")
+    page_url = F.concat(
+        F.lit("https://p"), (udid % 4).cast("string"), F.lit(".example/s"),
+        (udid % 7).cast("string"), F.lit("/page"), F.col("url"),
+        F.lit(".html"),
+    )
+    return ex.select(
+        "url",
+        "next_href",
+        "prev_href",
+        F.when(
+            F.col("next_href").isNotNull(),
+            resolve_url(page_url, F.col("next_href")),
+        ).alias("abs_next"),
+        F.when(
+            F.col("prev_href").isNotNull(),
+            resolve_url(page_url, F.col("prev_href")),
+        ).alias("abs_prev"),
+    )
+
+
+@_q(
+    "filter_pagination",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, next_href, prev_href
+FROM perdoc
+WHERE next_href IS NOT NULL OR prev_href IS NOT NULL""".format(
+        corpus=corpus_cte(), perdoc=perdoc_cte()
+    ),
+)
+def filter_pagination(spark, sf):
+    """v19 corpus pinning: every document in a paginated series (the
+    html_pagination edge-matrix recipe), with both first-wins hrefs
+    hash-verified against the frozen per-idx facts — pins the decode →
+    head-harvest → rel-token → first-wins chain corpus-wide. Scan-stage
+    predicate on extracted scalars, zero shuffle."""
+    ex = _extracted(spark, sf)
+    return ex.filter(
+        F.col("next_href").isNotNull() | F.col("prev_href").isNotNull()
+    ).select("url", "next_href", "prev_href")

@@ -176,6 +176,21 @@ and compared byte-for-byte per url):
   order.  Collection placement is identical to HEADMETA: despite
   tag-drop regions, opaque inside boilerplate attr-drop regions.  PDFs
   yield []; stats mode (want_text=False) yields None.
+* PAGINATION (v19, crawl-sequencing signal): the trimmed,
+  CASE-PRESERVED href of the FIRST ``<link>`` element (open or
+  self-closing) whose ``rel`` token list (lowercased,
+  whitespace-split — the shared v6/v15 rel contract) contains ``next``
+  (-> next_href) and, independently, ``prev`` OR its HTML-spec
+  non-conforming synonym ``previous`` (-> prev_href) with a non-empty
+  href — the paginated-series surface (WHATWG HTML §4.6.6.10-11) a
+  crawler uses to walk multi-page articles and listings in order, and
+  a dedup pipeline uses to avoid treating page 2..N as near-dup decoys
+  of page 1.  Empty-href elements are skipped (the NEXT matching
+  element may still win, the v6 canonical stance); one element whose
+  rel holds both tokens can win both slots.  Collection placement is
+  identical to HEADMETA: despite tag-drop regions, opaque inside
+  boilerplate attr-drop regions, first occurrence wins per slot.
+  PDFs have no pagination links (None/None); stats mode yields None.
 * JSONLD (v13, structured-data surface): one string per
   ``<script type="application/ld+json">`` element — the element's raw
   character data, stripped of leading/trailing whitespace (INTERNAL
@@ -277,6 +292,8 @@ class _Extractor(HTMLParser):
         self.refresh_meta: str | None = None  # v16
         self.base_href: str | None = None  # v17
         self.forms: list = []  # v18: (method, action) per <form> element
+        self.next_href: str | None = None  # v19 PAGINATION
+        self.prev_href: str | None = None  # v19 PAGINATION
         self.og_title: str | None = None
         self.og_description: str | None = None
         self.og_image: str | None = None
@@ -410,6 +427,13 @@ class _Extractor(HTMLParser):
                         href,
                     )
                 )
+            if href:  # v19: first-wins per slot, empty decoys skipped
+                if self.next_href is None and "next" in rel:
+                    self.next_href = href
+                if self.prev_href is None and (
+                    "prev" in rel or "previous" in rel
+                ):
+                    self.prev_href = href
         elif tag == "base":
             if self.base_href is None:
                 b = a.get("href", "").strip()
@@ -695,7 +719,10 @@ def extract_html(
     for every relative URL on the page; forms is the (method, action)
     pair list per <form> element outside drop/boiler regions (v18) — the
     page-interactivity signal (login walls, search UIs) and the POST
-    endpoint census."""
+    endpoint census; next_href/prev_href are the first non-empty
+    rel=next / rel=prev(|previous) link hrefs, trimmed, case-preserved
+    (v19 PAGINATION) — the paginated-series walk order, HEADMETA
+    placement contract."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -716,7 +743,7 @@ def extract_html(
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
             p.robots_meta, p.alternates, p.refresh_meta, p.base_href,
-            p.forms,
+            p.forms, p.next_href, p.prev_href,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -743,6 +770,8 @@ def extract_html(
         p.refresh_meta,
         p.base_href,
         p.forms,
+        p.next_href,
+        p.prev_href,
     )
 
 

@@ -125,6 +125,11 @@ class ExtractResult:
     # v18 FORMS: (method, action) per <form> element outside drop/boiler
     # contexts (HTML); [] for PDFs. None when not requested / stats mode.
     forms: list | None = None
+    # v19 PAGINATION: first non-empty rel=next / rel=prev(|previous)
+    # link hrefs, trimmed, case-preserved — the paginated-series walk
+    # order (HTML); None for PDFs / absent / stats mode.
+    next_href: str | None = None
+    prev_href: str | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -234,7 +239,8 @@ DEFAULT_TIME_BUDGET_S = 60.0  # straggler guard; parse degrades, never hangs
 SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
-     "jsonld", "robots", "alternates", "refresh", "base", "forms"}
+     "jsonld", "robots", "alternates", "refresh", "base", "forms",
+     "pagination"}
 )
 
 
@@ -405,7 +411,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         (
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
-            alternates, refresh_meta, base_href, forms,
+            alternates, refresh_meta, base_href, forms, next_href,
+            prev_href,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -434,6 +441,9 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             base_href = None
         if "forms" not in want:
             forms = None
+        if "pagination" not in want:
+            next_href = None
+            prev_href = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -462,6 +472,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         refresh_meta = None
         base_href = None
         forms = None
+        next_href = None
+        prev_href = None
         title = None
         canonical = None
         description = None
@@ -485,6 +497,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         refresh_meta=refresh_meta,
         base_href=base_href,
         forms=forms,
+        next_href=next_href,
+        prev_href=prev_href,
         title=title,
         canonical=canonical,
         description=description,

@@ -138,6 +138,10 @@ EXTRACTED = T.StructType(
         # v17 BASEHREF: first <base href>, trimmed, case-preserved; NULL
         # for PDFs / absent
         T.StructField("base_href", T.StringType(), True),
+        # v19 PAGINATION: first rel=next / rel=prev(|previous) link
+        # hrefs, trimmed, case-preserved; NULL for PDFs / absent
+        T.StructField("next_href", T.StringType(), True),
+        T.StructField("prev_href", T.StringType(), True),
         # v18 FORMS: (method, action) per form element; [] for PDFs
         T.StructField(
             "forms",

@@ -2272,3 +2272,32 @@ def html_forms(rng: random.Random) -> bytes:
 
 
 HTML_RECIPES["html_forms"] = html_forms
+
+
+def html_pagination(rng: random.Random) -> bytes:
+    """v19 PAGINATION recipe: the pagination edge matrix — an empty-href
+    rel=next decoy (skipped; a later element may still win), a
+    case-mangled multi-token winner (' NEXT alternate ', padded href
+    trimmed case-preserved — and the same element feeds v15 ALTERNATES),
+    a losing second rel=next, a nav-wrapped rel=Previous winner (the
+    'previous' spec synonym, collected DESPITE the tag-drop region), a
+    losing rel=prev, and a boiler-div rel=next in the body (opaque
+    region — excluded)."""
+    n = rng.randrange(2, 98)
+    paras = "\n".join(f"<p>{_para(rng, 14)}</p>" for _ in range(2))
+    return (
+        "<html><head>"
+        "<link rel='next' href=''>"
+        f"<link rel=' NEXT alternate ' href=' /page{n + 1}.html '>"
+        "<link rel='next' href='/next-loses'>"
+        f"<nav><link rel='Previous' href='?p={n - 1}'></nav>"
+        "<link rel='prev' href='/prev-loses'>"
+        "</head><body>"
+        "<div class='sidebar'><link rel='next' href='/boiler-hidden'></div>"
+        f"<p>page {_para(rng, 10)}</p>"
+        f"{paras}"
+        "</body></html>"
+    ).encode()
+
+
+HTML_RECIPES["html_pagination"] = html_pagination

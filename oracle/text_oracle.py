@@ -1449,8 +1449,8 @@ def oracle_extract_full(blob: bytes) -> tuple:
     """blob → (text, v3 spans, v4 outlinks, v5 title, v6 canonical,
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
     v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta,
-    v15 alternates, v16 refresh_meta, v17 base_href, v18 forms) — 2nd
-    witness."""
+    v15 alternates, v16 refresh_meta, v17 base_href, v18 forms,
+    v19 next_href, v19 prev_href) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1468,6 +1468,8 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None,
             None,
             [],
+            None,
+            None,
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1485,6 +1487,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_refresh(blob),
         _html_base(blob),
         _html_forms(blob),
+        *_html_pagination(blob),
     )
 
 
@@ -1632,6 +1635,60 @@ def _html_base(blob: bytes) -> str | None:
             elif drop == 0 and _boilerplate_attrs(attrs):
                 region_tag, region_n = val, 1
     return base
+
+
+def _html_pagination(blob: bytes) -> tuple[str | None, str | None]:
+    """v19 PAGINATION, second witness: own event pass — the first
+    non-empty <link> href whose rel token list contains "next"
+    (-> next_href) and, independently, "prev" or the spec synonym
+    "previous" (-> prev_href); trimmed, case-preserved; empty-href
+    decoys skipped; HEADMETA placement contract (collected despite drop
+    regions, opaque inside boiler regions)."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    nxt: str | None = None
+    prv: str | None = None
+    drop = 0
+    region_tag = None
+    region_n = 0
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            continue
+        if ev not in ("open", "selfclose"):
+            continue
+        if val == "link":
+            a = {k: v for k, v in attrs if v is not None}
+            rel = a.get("rel", "").lower().split()
+            href = a.get("href", "").strip()
+            if href:
+                if nxt is None and "next" in rel:
+                    nxt = href
+                if prv is None and ("prev" in rel or "previous" in rel):
+                    prv = href
+            if ev == "selfclose":
+                continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0 and _boilerplate_attrs(attrs):
+                region_tag, region_n = val, 1
+    return nxt, prv
 
 
 def _html_jsonld(blob: bytes) -> list[str]:

@@ -1034,7 +1034,11 @@ def test_unclosed_title_does_not_eat_body_text():
              "<base href=' /B/dir/ '>", "<base target='x'>",
              "<base href='../Up/'/>",
              "<form method='POST' action='/x'>", "</form>",
-             "<form action='q.php'/>", "<form class='promo' action='/a'>"]
+             "<form action='q.php'/>", "<form class='promo' action='/a'>",
+             "<link rel='next' href='/p2'>", "<link rel='next' href=''>",
+             "<link rel=' NEXT alternate ' href=' /P3 '/>",
+             "<link rel='Previous' href='?p=1'>",
+             "<link rel='prev next' href='/both'>"]
         ),
         max_size=16,
     )
@@ -1764,3 +1768,56 @@ def test_html_v18_forms_want_projection():
     stats = process_document(html, want_text=False)
     assert stats.forms is None
     assert process_document(PDF_RECIPES["pdf_minimal"]()).forms == []
+
+
+def test_html_v19_pagination_semantics():
+    """v19 PAGINATION: first-wins per slot, empty-href decoys skipped,
+    rel token contract with the 'previous' synonym, nav-wrapped links
+    collected (HEADMETA despite tag-drop), boiler regions opaque —
+    engine and oracle agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<html><head><link rel='next' href=''>"
+         b"<link rel=' NEXT alternate ' href=' /Page2 '>"
+         b"<link rel='next' href='/next-loses'>"
+         b"<nav><link rel='Previous' href='?p=0'></nav>"
+         b"<link rel='prev' href='/prev-loses'>"
+         b"</head><body>"
+         b"<div class='sidebar'><link rel='next' href='/hid'></div>"
+         b"<p>t</p></body></html>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[18] == "/Page2" and e[19] == "?p=0"
+    # the multi-token winner also feeds v15 ALTERNATES (rel holds both)
+    assert ("", "", "/Page2") in e[14]
+    # boiler region opaque: hidden link BEFORE the real one must not win
+    b2 = (b"<body><div class='promo'><link rel='next' href='/hid'></div>"
+          b"<link rel='next' href='/real'><p>x</p></body>")
+    e2 = extract_html(b2)
+    assert e2 == oracle_extract_full(b2)
+    assert e2[18] == "/real" and e2[19] is None
+    # one element can win both slots
+    b3 = b"<link rel='next prev' href='/both'><p>x</p>"
+    e3 = extract_html(b3)
+    assert e3 == oracle_extract_full(b3)
+    assert e3[18] == e3[19] == "/both"
+
+
+def test_html_v19_pagination_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<body><link rel='next' href='/n'>"
+            b"<link rel='prev' href='/p'><p>real text</p></body>")
+    full = process_document(html)
+    assert full.next_href == "/n" and full.prev_href == "/p"
+    only = process_document(html, want={"pagination"})
+    assert only.next_href == "/n" and only.prev_href == "/p"
+    assert only.text is None
+    none = process_document(html, want={"text"})
+    assert none.next_href is None and none.prev_href is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.next_href is None and stats.prev_href is None
+    pdf = process_document(PDF_RECIPES["pdf_minimal"]())
+    assert pdf.next_href is None and pdf.prev_href is None

@@ -341,6 +341,8 @@ def _title_facts(res) -> dict:
         "robots_meta": res.robots_meta,
         "refresh_meta": res.refresh_meta,
         "base_href": res.base_href,
+        "next_href": res.next_href,
+        "prev_href": res.prev_href,
         "n_headings": None if res.headings is None else len(res.headings),
         "headings_sig": (
             None
