@@ -20,6 +20,8 @@ carries digests, counts, or canonical keys — never document payloads.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -3474,3 +3476,100 @@ def text_dup_lines(spark, sf):
         F.expr("CAST((tc - dc) * 1000 DIV tc AS BIGINT)")
         .alias("dup_char_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pagination-series assembly (SPEC v19 downstream): multi-page documents
+# ---------------------------------------------------------------------------
+
+
+def assemble_series(
+    pages: DataFrame,
+    url_col: str = "url",
+    next_col: str = "next_url",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(url, next_url) pagination edges → (url, series_id, pos): every
+    page labeled with its series head and 0-based position along the
+    rel=next chain — the reassembly step that turns page 2..N of a
+    multi-page article back into ONE training document (and stops exact/
+    near dedup from scoring series members as decoy duplicates).
+
+    Semantics: an edge u→v ("u's next is v") makes u the parent of v;
+    only targets that are themselves pages attach (a next pointing
+    outside the corpus is a frontier edge, not a series edge). When
+    several pages claim the same next target, the lexicographically
+    smallest parent wins — deterministic under any partitioning. A page
+    with no attached parent is a series head (series_id = itself,
+    pos = 0). Pages trapped in a rel=next CYCLE (hostile/broken markup:
+    no walk reaches a head) resolve to series_id NULL / pos NULL rather
+    than looping forever.
+
+    Scale shape: pointer doubling — each round replaces every page's
+    known ancestor with that ancestor's ancestor, doubling the walked
+    distance, so a chain of length L resolves in ceil(log2 L) rounds.
+    An acyclic chain can never be longer than the page count, so the
+    round count is fixed up front at ceil(log2 n) + 1 (capped by
+    ``max_rounds``; 40 covers 2^40-page chains) from ONE driver scalar
+    — no per-round convergence probe, no driver traffic inside the
+    loop. Each round is ONE self-join keyed on the ancestor id;
+    exchanges carry (url, anc, BIGINT) rows only; ``localCheckpoint``
+    truncates lineage per round."""
+    u, n = F.col(url_col), F.col(next_col)
+    nodes = pages.select(u.alias("u")).distinct()
+    parents = (
+        pages.filter(n.isNotNull())
+        .select(n.alias("u"), F.col(url_col).alias("p"))
+        .join(nodes, "u", "left_semi")
+        .groupBy("u")
+        .agg(F.min("p").alias("p"))
+    )
+    # state: anc = furthest known ancestor, d = walked distance,
+    # done = anc is a head (no parent of its own)
+    state = (
+        nodes.join(parents, "u", "left")
+        .select(
+            "u",
+            F.coalesce("p", "u").alias("anc"),
+            F.when(F.col("p").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    heads = state.filter(F.col("d") == 0).select(F.col("u").alias("anc"))
+    n_total = nodes.count()
+    rounds = min(max_rounds, max(1, math.ceil(math.log2(max(2, n_total))) + 1))
+    for _ in range(rounds):
+        jumped = (
+            state.alias("s")
+            .join(
+                state.select(
+                    F.col("u").alias("anc"),
+                    F.col("anc").alias("anc2"),
+                    F.col("d").alias("d2"),
+                ).alias("j"),
+                "anc",
+            )
+            .select(
+                F.col("s.u").alias("u"),
+                F.when(F.col("d2") > 0, F.col("anc2"))
+                .otherwise(F.col("anc"))
+                .alias("anc"),
+                (F.col("s.d") + F.col("d2")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+        state = jumped
+    resolved = state.join(heads, "anc", "left_semi")
+    cyclic = state.join(heads, "anc", "left_anti").select(
+        "u",
+        F.lit(None).cast("string").alias("series_id"),
+        F.lit(None).cast("long").alias("pos"),
+    )
+    return resolved.select(
+        "u",
+        F.col("anc").alias("series_id"),
+        F.col("d").alias("pos"),
+    ).unionByName(cyclic).withColumnRenamed("u", url_col)

@@ -2323,3 +2323,62 @@ def filter_pagination(spark, sf):
     return ex.filter(
         F.col("next_href").isNotNull() | F.col("prev_href").isNotNull()
     ).select("url", "next_href", "prev_href")
+
+
+@_q(
+    "doc_series",
+    """SELECT 'https://s.example/p' || CAST(doc_id AS VARCHAR) || '.html'
+         AS url,
+       'https://s.example/p' || CAST(doc_id - (doc_id % 4) AS VARCHAR)
+         || '.html' AS series_id,
+       CAST(doc_id % 4 AS BIGINT) AS pos
+FROM documents""",
+)
+def doc_series(spark, sf):
+    """Pagination-series assembly end-to-end: pages carry a RELATIVE
+    rel=next link to the following page (every 4th page is a series
+    tail with no next), the v19 surface is extracted, resolved absolute
+    against the page URL (RFC 3986), and `assemble_series` pointer-
+    doubles the chains back into (series head, 0-based position) — the
+    reassembly a training pipeline runs before treating page 2..N as
+    duplicate decoys. Closed-form oracle: doc_id's series head is
+    doc_id - doc_id%4."""
+    from caraspark.curation import assemble_series, resolve_url
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://s.example/p"), did.cast("string"), F.lit(".html")
+    )
+    raw = docs.select(
+        page_url.alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                F.when(
+                    did % 4 != 3,
+                    F.concat(
+                        F.lit("<link rel='next' href='p"),
+                        (did + 1).cast("string"),
+                        F.lit(".html'>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("pagination",)).select("url", "next_href")
+    edges = ex.select(
+        "url",
+        F.when(
+            F.col("next_href").isNotNull(),
+            resolve_url(F.col("url"), F.col("next_href")),
+        ).alias("next_url"),
+    )
+    return assemble_series(edges)

@@ -991,3 +991,25 @@ def test_robots_match_property_differential(spark):
         assert got == want, (rules, paths, got, want)
 
     check()
+
+
+def test_assemble_series_edge_matrix(spark):
+    """Pointer doubling: chain positions, lone/frontier heads,
+    deterministic min-parent pick on contested next targets, and
+    rel=next cycles resolving to NULL instead of looping."""
+    rows = [("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a3", None),
+            ("b0", "b1"), ("b1", None), ("c", None),
+            ("x", "y"), ("y", "x"),
+            ("m1", "t"), ("m2", "t"), ("t", None),
+            ("f", "outside-corpus")]
+    df = spark.createDataFrame(rows, "url string, next_url string")
+    got = {r.url: (r.series_id, r.pos) for r in C.assemble_series(df).collect()}
+    assert got == {
+        "a0": ("a0", 0), "a1": ("a0", 1), "a2": ("a0", 2), "a3": ("a0", 3),
+        "b0": ("b0", 0), "b1": ("b0", 1),
+        "c": ("c", 0),
+        "f": ("f", 0),                      # next outside corpus: frontier
+        "m1": ("m1", 0), "m2": ("m2", 0),   # contested target:
+        "t": ("m1", 1),                     #   min parent wins
+        "x": (None, None), "y": (None, None),  # cycle: never a head
+    }
