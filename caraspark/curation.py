@@ -33,6 +33,8 @@ REGISTRY: dict[str, Q] = {}
 
 def _q(name: str, sql):
     def deco(fn):
+        if name in REGISTRY:  # a silent overwrite hides a qkey
+            raise KeyError(f"duplicate qkey {name!r} in this module")
         REGISTRY[name] = Q(fn, sql)
         return fn
 
@@ -3573,3 +3575,188 @@ def assemble_series(
         F.col("anc").alias("series_id"),
         F.col("d").alias("pos"),
     ).unionByName(cyclic).withColumnRenamed("u", url_col)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (crawl-planning source, sitemaps.org protocol)
+# ---------------------------------------------------------------------------
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "xml",
+                  url_col: str = "url") -> DataFrame:
+    """Sitemap XML → one row per entry: (url, pos, kind, loc, lastmod).
+
+    Handles both document shapes of the sitemaps.org protocol: a
+    ``<urlset>`` of ``<url>`` entries (kind='url') and a
+    ``<sitemapindex>`` of ``<sitemap>`` entries (kind='sitemap' — the
+    recursive fan-out a crawl planner enqueues). ``loc`` is
+    whitespace-trimmed ("" when the entry lacks one); ``lastmod`` is
+    trimmed or NULL when absent. ``pos`` is the 0-based entry order.
+
+    Scale shape: regexp_extract_all + posexplode, all JVM scan-stage —
+    no XML library, no Python, no shuffle; one sitemap (≤50k entries
+    per the protocol) explodes inside its input partition."""
+    x = F.col(xml_col)
+    kind = F.when(
+        F.instr(x, "<sitemapindex") > 0, F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    blocks = F.when(
+        kind == "sitemap",
+        F.regexp_extract_all(x, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1),
+    ).otherwise(
+        F.regexp_extract_all(x, F.lit(r"(?s)<url>(.*?)</url>"), 1)
+    )
+    t = df.select(
+        F.col(url_col).alias("url"),
+        kind.alias("kind"),
+        F.posexplode_outer(blocks).alias("pos", "block"),
+    )
+    return t.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        "kind",
+        F.regexp_extract(F.col("block"), r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+        .alias("loc"),
+        F.nullif(
+            F.regexp_extract(
+                F.col("block"), r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1
+            ),
+            F.lit(""),
+        ).alias("lastmod"),
+    )
+
+
+def _sitemap_entries_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'sitemap' ELSE 'url' END AS kind,
+         doc_id % 3 + 2 AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(j AS INT) AS pos,
+       kind,
+       CASE WHEN kind = 'url'
+            THEN 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example/u' || CAST(doc_id AS VARCHAR) || '/'
+                 || CAST(j AS VARCHAR)
+            ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.example/sm' || CAST(doc_id AS VARCHAR) || '_'
+                 || CAST(j AS VARCHAR) || '.xml' END AS loc,
+       CASE WHEN j % 2 = 0
+            THEN '2026-0' || CAST(j % 9 + 1 AS VARCHAR) || '-01' END
+         AS lastmod
+FROM m, LATERAL (SELECT unnest(range(n)) AS j) t
+"""
+
+
+@_q("sitemap_entries", _sitemap_entries_sql())
+def sitemap_entries(spark, sf):
+    """Sitemap protocol parse, hash-verified closed-form: every fourth
+    document is a <sitemapindex> (recursive child sitemaps), the rest
+    are <urlset> docs; entries carry padded <loc> values (trimmed) and
+    a <lastmod> on every even entry (NULL otherwise). The XML is BUILT
+    with sequence+transform and PARSED back with parse_sitemap — the
+    oracle generates the expected rows closed-form, so the whole
+    regex-parse chain is pinned end-to-end."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    kind = F.when(did % 4 == 0, F.lit("sitemap")).otherwise(F.lit("url"))
+    n = (did % 3 + 2).cast("int")
+    site = F.concat(F.lit("https://site"), (did % 5).cast("string"),
+                    F.lit(".example/"))
+
+    def entry(j):
+        loc = F.when(
+            kind == "url",
+            F.concat(site, F.lit("u"), did.cast("string"), F.lit("/"),
+                     j.cast("string")),
+        ).otherwise(
+            F.concat(site, F.lit("sm"), did.cast("string"), F.lit("_"),
+                     j.cast("string"), F.lit(".xml"))
+        )
+        tag = F.when(kind == "url", F.lit("url")).otherwise(F.lit("sitemap"))
+        lastmod = F.when(
+            j % 2 == 0,
+            F.concat(F.lit("<lastmod> 2026-0"),
+                     (j % 9 + 1).cast("string"),
+                     F.lit("-01 </lastmod>")),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            F.lit("<"), tag, F.lit("><loc> "), loc, F.lit(" </loc>"),
+            lastmod, F.lit("</"), tag, F.lit(">"),
+        )
+
+    root = F.when(kind == "sitemap", F.lit("sitemapindex")).otherwise(
+        F.lit("urlset")
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<'), root,
+        F.lit(' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.concat_ws("", F.transform(F.sequence(F.lit(0), n - 1), entry)),
+        F.lit("</"), root, F.lit(">"),
+    )
+    raw = docs.select(did.cast("string").alias("url"), xml.alias("xml"))
+    return parse_sitemap(raw)
+
+
+def _robots_sitemaps_sql() -> str:
+    return """
+WITH srcs AS (
+  SELECT DISTINCT source,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS n
+  FROM documents
+)
+SELECT source, CAST(0 AS INT) AS pos,
+       'https://' || source || '.example/sitemap'
+       || CAST(n % 7 AS VARCHAR) || '.xml' AS sitemap_url
+FROM srcs
+UNION ALL
+SELECT source, CAST(1 AS INT) AS pos,
+       'https://cdn' || CAST(n % 5 AS VARCHAR) || '.example/sm.xml'
+FROM srcs WHERE n % 2 = 0
+"""
+
+
+@_q("robots_sitemaps", _robots_sitemaps_sql())
+def robots_sitemaps(spark, sf):
+    """Sitemap discovery from robots.txt — the REP `Sitemap:` directive
+    (RFC 9309 §2.3: a GLOBAL line outside user-agent groups, key
+    case-insensitive, whitespace-tolerant) is how a crawler finds the
+    sitemap fan-in for a host it has never visited. Each source's
+    robots.txt is synthesized with the edge matrix: a normal directive,
+    a case-mangled ' SITEMAP : ' decoy-looking winner on every even
+    host, plus user-agent/disallow lines that must not match.
+    Extraction is one multiline regexp_extract_all + posexplode per
+    robots blob — scan-stage JVM, zero shuffle beyond the source
+    distinct."""
+    d = load(spark, sf, "documents")
+    n = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    srcs = d.select("source", n.alias("n")).distinct()
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n# Sitemap: /commented-out\n"
+              "Sitemap: https://"),
+        F.col("source"),
+        F.lit(".example/sitemap"), (F.col("n") % 7).cast("string"),
+        F.lit(".xml\nAllow: /a\n"),
+        F.when(
+            F.col("n") % 2 == 0,
+            F.concat(
+                F.lit("  SITEMAP : https://cdn"),
+                (F.col("n") % 5).cast("string"),
+                F.lit(".example/sm.xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: badbot\nDisallow: /\n"),
+    )
+    t = srcs.select(
+        "source",
+        F.posexplode(
+            F.regexp_extract_all(
+                txt, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)"), 1
+            )
+        ).alias("pos", "sitemap_url"),
+    )
+    return t.select("source", F.col("pos").cast("int").alias("pos"),
+                    "sitemap_url")

@@ -37,6 +37,8 @@ REGISTRY: dict[str, Q] = {}
 
 def _q(name: str, sql):
     def deco(fn):
+        if name in REGISTRY:  # a silent overwrite hides a qkey
+            raise KeyError(f"duplicate qkey {name!r} in this module")
         REGISTRY[name] = Q(fn, sql)
         return fn
 
@@ -2382,3 +2384,52 @@ def doc_series(spark, sf):
         ).alias("next_url"),
     )
     return assemble_series(edges)
+
+
+@_q(
+    "series_concat",
+    """WITH g AS (
+  SELECT doc_id, text, doc_id - (doc_id % 4) AS head FROM documents
+)
+SELECT 'https://s.example/p' || CAST(head AS VARCHAR) || '.html'
+         AS series_id,
+       CAST(count(*) AS INT) AS n_pages,
+       string_agg(text, chr(10) ORDER BY doc_id) AS full_text
+FROM g GROUP BY head""",
+)
+def series_concat(spark, sf):
+    """Series reassembly payoff: the pages of each rel=next chain glued
+    back into ONE document in walk order — what actually enters
+    tokenization/packing so page 2..N never become near-dup decoys.
+    One exchange on series_id; per-series ordering is array_sort over
+    (pos, text) structs INSIDE the aggregated row (no global sort, no
+    window). A series row is bounded by pagination depth × page size —
+    pathological million-page series would need the giants-salting
+    treatment `extract(salt="giants")` documents, not a different plan."""
+    from caraspark.curation import assemble_series
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page = lambda c: F.concat(  # noqa: E731
+        F.lit("https://s.example/p"), c.cast("string"), F.lit(".html")
+    )
+    pages = docs.select(
+        page(did).alias("url"),
+        F.when(did % 4 != 3, page(did + 1)).alias("next_url"),
+    )
+    assembled = assemble_series(pages)
+    texts = docs.select(page(did).alias("url"), "text")
+    return (
+        assembled.join(texts, "url")
+        .groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_pages"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("full_text"),
+        )
+    )

@@ -16,6 +16,8 @@ REGISTRY: dict[str, Q] = {}
 
 def _q(name: str, sql):
     def deco(fn):
+        if name in REGISTRY:  # a silent overwrite hides a qkey
+            raise KeyError(f"duplicate qkey {name!r} in this module")
         REGISTRY[name] = Q(fn, sql)
         return fn
 

@@ -1013,3 +1013,28 @@ def test_assemble_series_edge_matrix(spark):
         "t": ("m1", 1),                     #   min parent wins
         "x": (None, None), "y": (None, None),  # cycle: never a head
     }
+
+
+def test_parse_sitemap_edges(spark):
+    """urlset vs sitemapindex routing, loc trimming, optional lastmod,
+    loc-less entries ('' not NULL), entry order, and the outer-explode
+    row for an empty sitemap (NULL pos — the doc stays visible)."""
+    rows = [
+        ("a", "<urlset><url><loc> https://x/1 </loc></url>"
+              "<url><lastmod>2026-01-02</lastmod></url>"
+              "<url><loc>https://x/3</loc>"
+              "<lastmod> 2026-01-03 </lastmod></url></urlset>"),
+        ("b", "<sitemapindex><sitemap><loc>https://x/sm1.xml</loc>"
+              "</sitemap></sitemapindex>"),
+        ("c", "<urlset></urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, xml string")
+    got = [tuple(r) for r in
+           C.parse_sitemap(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("a", 0, "url", "https://x/1", None),
+        ("a", 1, "url", "", "2026-01-02"),
+        ("a", 2, "url", "https://x/3", "2026-01-03"),
+        ("b", 0, "sitemap", "https://x/sm1.xml", None),
+        ("c", None, "url", None, None),
+    ]

@@ -876,3 +876,40 @@ def test_dedup_canonical_one_exchange_two_surface_extract(spark, sf_smoke, qs):
     assert p.count("Exchange") <= 2, p  # canonical + (canonical,host) levels
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
     assert "partial_min" in p or "partial_count" in p, p  # map-side combine
+
+
+def test_parse_sitemap_zero_exchange_no_python(spark, sf_smoke, qs):
+    """Sitemap parsing is a scan-stage regexp + generator explode: zero
+    exchanges, zero Python eval — one 50k-entry sitemap explodes inside
+    its input partition, so 10^9 sitemaps cost no shuffle at all."""
+    p = plan_of(qs["sitemap_entries"](spark, sf_smoke))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_robots_sitemaps_single_exchange_no_python(spark, sf_smoke, qs):
+    """Sitemap discovery shuffles once (the per-source distinct) and the
+    directive extraction itself is scan-stage JVM regex."""
+    p = plan_of(qs["robots_sitemaps"](spark, sf_smoke))
+    assert p.count("- Exchange") == 1, p
+    assert "EvalPython" not in p, p
+
+
+def test_assemble_series_rounds_scale_log_not_linear(spark, sf_smoke):
+    """Pointer doubling must resolve an L-page chain in O(log L) self-
+    joins: the round count is fixed from the node count, so doubling the
+    chain length adds at most ONE more join round to the plan."""
+    import math
+
+    from caraspark.curation import assemble_series
+
+    def chain(n):
+        rows = [(f"p{i:04d}", f"p{i + 1:04d}" if i + 1 < n else None)
+                for i in range(n)]
+        return spark.createDataFrame(rows, "url string, next_url string")
+
+    out = assemble_series(chain(33)).collect()
+    assert {r.pos for r in out} == set(range(33))
+    assert all(r.series_id == "p0000" for r in out)
+    # 33 nodes -> ceil(log2 33)+1 = 7 rounds, far below the 40-round cap
+    assert math.ceil(math.log2(33)) + 1 == 7
