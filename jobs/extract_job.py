@@ -242,6 +242,101 @@ def read_extracted(spark, output_dir: str, snapshot_id: int | None = None):
     return _read_pinned(spark, output_dir, paths)
 
 
+def upsert_recrawl(
+    spark, output_dir: str, new_raw, units: int = 64, max_tasks: int = 64
+) -> dict:
+    """MERGE a re-crawl batch into the snapshot table by url: a
+    re-fetched page REPLACES its old row, a never-seen url appends —
+    the write mode a living web corpus needs between full rebuilds
+    (Iceberg MERGE INTO semantics on the bucket lake).
+
+    Plan shape: the batch is extracted once and bucketed with the
+    table's own url hash; only buckets that actually RECEIVED new rows
+    are read back (path-pruned, pinned schema) and rewritten into a
+    fresh generation — a 1%-of-hosts re-crawl rewrites ~1% of a 100 TB
+    table, never the rest. Old versions drop via a LEFT ANTI join on
+    url against the batch (broadcast when the batch is small). Within
+    the batch, the LATEST fetch per url wins (warc_ts desc, md5(html)
+    tiebreak so equal-timestamp duplicates stay deterministic). The
+    only driver traffic is the touched-bucket id list (bounded by
+    ``units``). Readers pinned to older snapshots are unaffected:
+    the rewrite lands in a new gen dir and old files are deleted only
+    by ``expire_snapshots``."""
+    from pyspark.sql import Window as W
+
+    from caraspark.schemas import extracted_read_schema
+
+    man = SnapshotManifest(output_dir)
+    snap = man.current_snapshot()
+    data = os.path.join(output_dir, "data")
+
+    w = W.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.md5("html").desc()
+    )
+    latest = (
+        new_raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ex = extract(latest).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(units)).cast("int")
+    )
+    ex = ex.persist()
+    touched = sorted(
+        r.bucket for r in ex.select("bucket").distinct().collect()
+    )
+    if not touched:
+        ex.unpersist()
+        return {
+            "upserted": 0,
+            "touched_buckets": [],
+            "snapshot_id": snap["snapshot_id"] if snap else None,
+        }
+    new_gen = (snap["snapshot_id"] + 1) if snap else 1
+    gen_dir = os.path.join(data, f"gen={new_gen}")
+    touched_set = set(touched)
+    src_paths = [
+        p
+        for p in (man.unit_paths() if snap else [])
+        if int(os.path.basename(p).split("=", 1)[1]) in touched_set
+        and os.path.isdir(p)
+    ]
+    merged = ex
+    if src_paths:
+        old = (
+            spark.read.option("basePath", data)
+            .schema(extracted_read_schema())
+            .parquet(*src_paths)
+            .drop("gen")
+        )
+        keep = old.join(ex.select("url"), "url", "left_anti")
+        merged = keep.unionByName(
+            ex.select(*keep.columns), allowMissingColumns=False
+        )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.repartition(min(len(touched), max_tasks), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(gen_dir)
+    )
+    n = int(ex.count())
+    ex.unpersist()
+    cur_units = man.units_map()
+    new_snap = man.commit(
+        {
+            u: {**(cur_units.get(str(u)) or {}), "gen": new_gen,
+                "upsert": True}
+            for u in touched
+        }
+    )
+    return {
+        "upserted": n,
+        "touched_buckets": touched,
+        "snapshot_id": new_snap["snapshot_id"],
+    }
+
+
 def read_incremental(
     spark, output_dir: str, from_snapshot_id: int,
     to_snapshot_id: int | None = None,
@@ -324,6 +419,11 @@ def main() -> None:
                     help="write the next crawl wave: every outlink of "
                          "the current snapshot resolved to an absolute "
                          "URL (base-aware) with its host shard key")
+    ap.add_argument("--upsert", metavar="PARQUET", default=None,
+                    help="MERGE a re-crawl batch (raw pages parquet) "
+                         "into the snapshot by url: re-fetched pages "
+                         "replace their old rows, new urls append; only "
+                         "receiving buckets are rewritten")
     args = ap.parse_args()
     spark = get_spark("caraspark-extract-job")
     if args.rollback is not None:
@@ -333,6 +433,10 @@ def main() -> None:
         from caraspark.maintenance import compact_table
 
         print(compact_table(spark, args.output))
+        return
+    if args.upsert is not None:
+        batch = spark.read.parquet(args.upsert)
+        print(upsert_recrawl(spark, args.output, batch, units=args.units))
         return
     if args.expire_keep is not None:
         print(

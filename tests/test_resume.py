@@ -638,3 +638,68 @@ def test_compaction_upgrades_old_era_buckets(spark, tmp_path):
     snap = read_extracted(spark, out)
     assert snap.count() == 16
     assert "refresh_meta" in snap.columns and "base_href" in snap.columns
+
+
+def test_upsert_recrawl_merges_by_url(spark, tmp_path):
+    """Re-crawl MERGE: a re-fetched url replaces its old row, a new url
+    appends, the latest fetch wins inside the batch, untouched buckets
+    keep their generation (never rewritten), and the pre-upsert
+    snapshot still time-travels to the old bytes."""
+    import datetime
+
+    from caraspark.manifest import SnapshotManifest
+    from jobs.extract_job import upsert_recrawl
+
+    out = str(tmp_path / "t")
+    run_job(spark, None, out, units=UNITS, unit_chunk=UNITS, synth_docs=32)
+    before = {r.url: bytes(r.text or b"")
+              for r in read_extracted(spark, out).select("url", "text").collect()}
+    man = SnapshotManifest(out)
+    snap0 = man.current_snapshot()["snapshot_id"]
+    gens0 = {int(u): int((m or {}).get("gen", 0))
+             for u, m in man.units_map().items()}
+
+    target = sorted(before)[0]
+    ts = datetime.datetime(2026, 8, 19, 12, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (target, ts, b"<html><body><p>recrawled body</p></body></html>",
+             None, "en"),
+            ("https://new.example/page", ts,
+             b"<html><body><p>brand new</p></body></html>", None, "en"),
+            ("https://dup.example/page", ts - datetime.timedelta(days=1),
+             b"<html><body><p>stale fetch</p></body></html>", None, "en"),
+            ("https://dup.example/page", ts,
+             b"<html><body><p>fresh fetch</p></body></html>", None, "en"),
+        ],
+        "url string, warc_ts timestamp_ntz, html binary, text string,"
+        " lang string",
+    )
+    stats = upsert_recrawl(spark, out, batch, units=UNITS)
+    assert stats["upserted"] == 3  # in-batch dup collapsed
+
+    after = {r.url: bytes(r.text or b"")
+             for r in read_extracted(spark, out).select("url", "text").collect()}
+    assert len(after) == len(before) + 2
+    assert after[target] == b"recrawled body"          # replaced, not duped
+    assert after["https://new.example/page"] == b"brand new"
+    assert after["https://dup.example/page"] == b"fresh fetch"
+    for u, t in before.items():
+        if u != target:
+            assert after[u] == t                        # untouched rows intact
+
+    # only touched buckets moved generation
+    gens1 = {int(u): int((m or {}).get("gen", 0))
+             for u, m in man.units_map().items()}
+    touched = set(stats["touched_buckets"])
+    for u, g in gens1.items():
+        if u in touched:
+            assert g == stats["snapshot_id"]
+        else:
+            assert g == gens0[u]
+
+    # pre-upsert snapshot still reads the OLD bytes (reader isolation)
+    old_view = {r.url: bytes(r.text or b"")
+                for r in read_extracted(spark, out, snapshot_id=snap0)
+                .select("url", "text").collect()}
+    assert old_view == before
