@@ -357,6 +357,72 @@ def read_incremental(
     return _read_pinned(spark, output_dir, paths)
 
 
+def snapshot_diff(
+    spark, output_dir: str, from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+):
+    """CDC view between two snapshots: one row per url whose content
+    moved, labeled ``change`` in {added, removed, changed} (with the
+    new row's text alongside; removed rows carry NULL text) — what a
+    downstream index/dedup/training-mix job consumes after an upsert
+    instead of re-reading the table.
+
+    Cost scales with the DELTA, not the table: only units whose
+    generation moved between the snapshots (``changed_unit_paths``,
+    two manifest resolutions, zero data files) are read — at both
+    snapshot versions — and full-outer-joined on url inside those
+    buckets. A compaction-only rewrite reads its buckets but emits
+    zero rows (the md5 comparison sees identical content). Unknown
+    snapshot ids error loudly, mirroring Iceberg."""
+    man = SnapshotManifest(output_dir)
+    changed = man.changed_unit_paths(from_snapshot_id, to_snapshot_id)
+    units = {os.path.basename(p) for p in changed}
+    if not units:
+        return spark.createDataFrame(
+            [], "url string, change string, text binary"
+        )
+    old_paths = [
+        p
+        for p in man.unit_paths(from_snapshot_id)
+        if os.path.basename(p) in units and os.path.isdir(p)
+    ] if from_snapshot_id else []
+    new_paths = [
+        p
+        for p in man.unit_paths(to_snapshot_id)
+        if os.path.basename(p) in units and os.path.isdir(p)
+    ]
+
+    def side(paths, tag):
+        if not paths:
+            return spark.createDataFrame(
+                [], f"url string, sig_{tag} string, text_{tag} binary"
+            )
+        return _read_pinned(spark, output_dir, paths).select(
+            "url",
+            F.md5(F.coalesce(F.col("text"), F.lit(b""))).alias(f"sig_{tag}"),
+            F.col("text").alias(f"text_{tag}"),
+        )
+
+    old = side(old_paths, "old")
+    new = side(new_paths, "new")
+    j = old.join(new, "url", "full_outer")
+    return (
+        j.filter(
+            F.col("sig_old").isNull()
+            | F.col("sig_new").isNull()
+            | (F.col("sig_old") != F.col("sig_new"))
+        )
+        .select(
+            "url",
+            F.when(F.col("sig_old").isNull(), F.lit("added"))
+            .when(F.col("sig_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+            F.col("text_new").alias("text"),
+        )
+    )
+
+
 def frontier_df(snap):
     """The crawl-frontier view of an extracted snapshot: one row per
     (page, outlink) with the absolute target URL and its host shard key.

@@ -703,3 +703,49 @@ def test_upsert_recrawl_merges_by_url(spark, tmp_path):
                 for r in read_extracted(spark, out, snapshot_id=snap0)
                 .select("url", "text").collect()}
     assert old_view == before
+
+
+def test_snapshot_diff_after_upsert(spark, tmp_path):
+    """CDC between snapshots: the upserted batch shows up as exactly one
+    'changed' + the appended 'added' rows, nothing else; a compaction-only
+    rewrite diffs to zero rows; unknown snapshot ids raise."""
+    import datetime
+
+    import pytest
+
+    from caraspark.maintenance import compact_table
+    from caraspark.manifest import SnapshotManifest
+    from jobs.extract_job import snapshot_diff, upsert_recrawl
+
+    out = str(tmp_path / "t")
+    run_job(spark, None, out, units=UNITS, unit_chunk=UNITS, synth_docs=32)
+    man = SnapshotManifest(out)
+    snap0 = man.current_snapshot()["snapshot_id"]
+    target = sorted(
+        r.url for r in read_extracted(spark, out).select("url").collect()
+    )[0]
+    ts = datetime.datetime(2026, 8, 19, 12, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (target, ts, b"<html><body><p>rewritten</p></body></html>",
+             None, "en"),
+            ("https://new.example/p", ts,
+             b"<html><body><p>fresh page</p></body></html>", None, "en"),
+        ],
+        "url string, warc_ts timestamp_ntz, html binary, text string,"
+        " lang string",
+    )
+    upsert_recrawl(spark, out, batch, units=UNITS)
+    diff = {r.url: (r.change, bytes(r.text or b""))
+            for r in snapshot_diff(spark, out, snap0).collect()}
+    assert diff == {
+        target: ("changed", b"rewritten"),
+        "https://new.example/p": ("added", b"fresh page"),
+    }
+    # compaction-only rewrite: generations move, content doesn't
+    snap1 = man.current_snapshot()["snapshot_id"]
+    compact_table(spark, out)
+    if man.current_snapshot()["snapshot_id"] != snap1:
+        assert snapshot_diff(spark, out, snap1).count() == 0
+    with pytest.raises(ValueError):
+        snapshot_diff(spark, out, 9999)
