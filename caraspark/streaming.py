@@ -358,3 +358,37 @@ def foreach_batch_to_parquet(
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def stream_ingest_lake(
+    pages: DataFrame, table_dir: str, units: int = 8
+) -> None:
+    """Continuous crawl ingest: every micro-batch of raw pages MERGES
+    into the snapshot lake via ``upsert_recrawl`` — re-fetched urls
+    replace their rows, new urls append, only receiving buckets are
+    rewritten, and each epoch commits one snapshot (so the lake stays
+    time-travelable mid-stream and `snapshot_diff` doubles as the CDC
+    feed between epochs).
+
+    Delivery: the checkpoint makes each source file process exactly
+    once across query restarts; an epoch REPLAY after a crash re-merges
+    the same batch, which is content-stable (identical rows replace
+    themselves) — the snapshot chain records the replay rather than
+    corrupting data, the same at-least-once-but-idempotent posture as
+    ``foreach_batch_to_parquet``."""
+    from jobs.extract_job import upsert_recrawl
+
+    def merge_epoch(df: DataFrame, epoch_id: int) -> None:
+        upsert_recrawl(df.sparkSession, table_dir, df, units=units)
+
+    q = (
+        pages.writeStream.outputMode("append")
+        .foreachBatch(merge_epoch)
+        .option("checkpointLocation", os.path.join(table_dir, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()

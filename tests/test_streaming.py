@@ -351,3 +351,61 @@ def test_stream_frontier_matches_closed_form(spark, sf_smoke):
         want[f"site{did % 7}.example"] = want.get(f"site{did % 7}.example", 0) + 1
         want["hub.example"] = want.get("hub.example", 0) + 1
     assert got == want
+
+
+def test_stream_ingest_lake_merges_epochs(spark, tmp_path):
+    """Crawl-ingest stream: epoch 1 seeds the lake, epoch 2 (a later
+    query sharing the checkpoint) re-crawls one url and adds another —
+    the table converges to latest-fetch-wins with no duplicates and the
+    pre-epoch-2 snapshot still time-travels."""
+    import datetime
+
+    from caraspark.manifest import SnapshotManifest
+    from caraspark.streaming import stream_ingest_lake
+    from jobs.extract_job import read_extracted
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "lake")
+    ts = datetime.datetime(2026, 8, 19, 9, 0, 0)
+    ddl = ("url string, warc_ts timestamp_ntz, html binary, text string,"
+           " lang string")
+
+    def page(u, body):
+        return (u, ts, f"<html><body><p>{body}</p></body></html>".encode(),
+                None, "en")
+
+    spark.createDataFrame(
+        [page("https://a.example/", "alpha one"),
+         page("https://b.example/", "beta one")], ddl
+    ).coalesce(1).write.parquet(str(src / "batch1"))
+
+    def ingest():
+        pages = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        stream_ingest_lake(pages, table, units=4)
+
+    ingest()
+    t1 = {r.url: bytes(r.text) for r in
+          read_extracted(spark, table).select("url", "text").collect()}
+    assert t1 == {"https://a.example/": b"alpha one",
+                  "https://b.example/": b"beta one"}
+    snap1 = SnapshotManifest(table).current_snapshot()["snapshot_id"]
+
+    spark.createDataFrame(
+        [page("https://a.example/", "alpha two"),
+         page("https://c.example/", "gamma one")], ddl
+    ).coalesce(1).write.parquet(str(src / "batch2"))
+    ingest()  # checkpoint: only the new file is processed
+    t2 = {r.url: bytes(r.text) for r in
+          read_extracted(spark, table).select("url", "text").collect()}
+    assert t2 == {"https://a.example/": b"alpha two",
+                  "https://b.example/": b"beta one",
+                  "https://c.example/": b"gamma one"}
+    old = {r.url: bytes(r.text) for r in
+           read_extracted(spark, table, snapshot_id=snap1)
+           .select("url", "text").collect()}
+    assert old == t1
