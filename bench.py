@@ -87,6 +87,11 @@ EXTRAS = [
     "frontier_feed",
     "ann_ivfpq",
     "pdf_actions",
+    "doc_series",
+    "series_concat",
+    "sitemap_entries",
+    "robots_sitemaps",
+    "feed_entries",
 ]
 
 REPEATS = 3

@@ -3760,3 +3760,158 @@ def robots_sitemaps(spark, sf):
     )
     return t.select("source", F.col("pos").cast("int").alias("pos"),
                     "sitemap_url")
+
+
+# ---------------------------------------------------------------------------
+# Feed parsing (RSS 2.0 / Atom — the payload behind v15 feed discovery)
+# ---------------------------------------------------------------------------
+
+
+def parse_feed(df: DataFrame, xml_col: str = "xml",
+               url_col: str = "url") -> DataFrame:
+    """Feed XML → one row per entry: (url, pos, kind, title, link, ts).
+
+    RSS 2.0 ``<item>`` blocks (link/pubDate are element TEXT) and Atom
+    ``<entry>`` blocks (link is the href ATTRIBUTE of the first <link>;
+    timestamp is <updated>) — the two shapes v15 ALTERNATES discovers
+    via type=application/rss+xml|atom+xml. Titles unwrap one optional
+    CDATA shell and trim; missing fields are "" (title/link) or NULL
+    (ts). ``pos`` is the 0-based entry order.
+
+    Scale shape: regexp_extract_all + posexplode, all JVM scan-stage,
+    zero shuffle — same posture as `parse_sitemap`."""
+    x = F.col(xml_col)
+    kind = F.when(F.instr(x, "<feed") > 0, F.lit("atom")).otherwise(
+        F.lit("rss")
+    )
+    blocks = F.when(
+        kind == "atom",
+        F.regexp_extract_all(x, F.lit(r"(?s)<entry\b[^>]*>(.*?)</entry>"), 1),
+    ).otherwise(
+        F.regexp_extract_all(x, F.lit(r"(?s)<item\b[^>]*>(.*?)</item>"), 1)
+    )
+    t = df.select(
+        F.col(url_col).alias("url"),
+        kind.alias("kind"),
+        F.posexplode_outer(blocks).alias("pos", "block"),
+    )
+    b = F.col("block")
+    raw_title = F.regexp_extract(b, r"(?s)<title[^>]*>(.*?)</title>", 1)
+    title = F.trim(
+        F.regexp_replace(
+            F.trim(raw_title), r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1"
+        )
+    )
+    link = F.when(
+        F.col("kind") == "atom",
+        F.regexp_extract(b, "<link\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)", 1),
+    ).otherwise(
+        F.trim(F.regexp_extract(b, r"(?s)<link[^>]*>(.*?)</link>", 1))
+    )
+    ts = F.when(
+        F.col("kind") == "atom",
+        F.regexp_extract(b, r"(?s)<updated[^>]*>\s*(.*?)\s*</updated>", 1),
+    ).otherwise(
+        F.regexp_extract(b, r"(?s)<pubDate[^>]*>\s*(.*?)\s*</pubDate>", 1)
+    )
+    return t.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        "kind",
+        title.alias("title"),
+        link.alias("link"),
+        F.nullif(ts, F.lit("")).alias("ts"),
+    )
+
+
+def _feed_entries_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'atom' ELSE 'rss' END AS kind,
+         doc_id % 4 + 1 AS n
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(j AS INT) AS pos,
+       kind,
+       'Post ' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+         AS title,
+       'https://blog' || CAST(doc_id % 7 AS VARCHAR) || '.example/'
+         || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) AS link,
+       CASE WHEN kind = 'atom'
+            THEN '2026-08-' || lpad(CAST(j % 28 + 1 AS VARCHAR), 2, '0')
+                 || 'T12:00:00Z'
+            WHEN j % 2 = 0
+            THEN 'Mon, ' || lpad(CAST(j % 28 + 1 AS VARCHAR), 2, '0')
+                 || ' Aug 2026 12:00:00 GMT'
+            END AS ts
+FROM m, LATERAL (SELECT unnest(range(n)) AS j) t
+"""
+
+
+@_q("feed_entries", _feed_entries_sql())
+def feed_entries(spark, sf):
+    """Feed parse, hash-verified closed-form: every third document is an
+    Atom feed (href-attribute links, <updated> stamps), the rest RSS
+    (text links, <pubDate> on even entries only — odd entries pin the
+    NULL path); even RSS titles arrive CDATA-wrapped and must unwrap.
+    The XML is BUILT with sequence+transform and PARSED back with
+    parse_feed, so the whole chain is pinned against the generator."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    is_atom = did % 3 == 0
+    n = (did % 4 + 1).cast("int")
+
+    def entry(j):
+        title = F.concat(F.lit("Post "), did.cast("string"), F.lit("/"),
+                         j.cast("string"))
+        wrapped = F.when(
+            ~is_atom & (j % 2 == 0),
+            F.concat(F.lit("<![CDATA["), title, F.lit("]]>")),
+        ).otherwise(title)
+        link = F.concat(
+            F.lit("https://blog"), (did % 7).cast("string"),
+            F.lit(".example/"), did.cast("string"), F.lit("/"),
+            j.cast("string"),
+        )
+        day = F.lpad((j % 28 + 1).cast("string"), 2, "0")
+        return F.when(
+            is_atom,
+            F.concat(
+                F.lit("<entry><title>"), wrapped,
+                F.lit("</title><link rel='alternate' href='"), link,
+                F.lit("'/><updated> 2026-08-"), day,
+                F.lit("T12:00:00Z </updated></entry>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("<item><title> "), wrapped,
+                F.lit(" </title><link> "), link, F.lit(" </link>"),
+                F.when(
+                    j % 2 == 0,
+                    F.concat(F.lit("<pubDate>Mon, "), day,
+                             F.lit(" Aug 2026 12:00:00 GMT</pubDate>")),
+                ).otherwise(F.lit("")),
+                F.lit("</item>"),
+            )
+        )
+
+    body = F.concat_ws("", F.transform(F.sequence(F.lit(0), n - 1), entry))
+    xml = F.when(
+        is_atom,
+        F.concat(
+            F.lit('<?xml version="1.0"?><feed '
+                  'xmlns="http://www.w3.org/2005/Atom">'
+                  "<title>site</title>"),
+            body, F.lit("</feed>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+                  "<title>site</title><link>https://x</link>"),
+            body, F.lit("</channel></rss>"),
+        )
+    )
+    raw = docs.select(did.cast("string").alias("url"), xml.alias("xml"))
+    return parse_feed(raw)

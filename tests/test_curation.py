@@ -1038,3 +1038,34 @@ def test_parse_sitemap_edges(spark):
         ("b", 0, "sitemap", "https://x/sm1.xml", None),
         ("c", None, "url", None, None),
     ]
+
+
+def test_parse_feed_edges(spark):
+    """RSS vs Atom routing, CDATA title unwrap, attribute vs text links,
+    missing-field defaults ('' title/link, NULL ts), and the outer row
+    for an entry-less feed."""
+    rows = [
+        ("r", "<rss><channel><title>chan</title><link>https://c</link>"
+              "<item><title><![CDATA[Hello & Co]]></title>"
+              "<link> https://c/1 </link>"
+              "<pubDate>Mon, 01 Aug 2026 00:00:00 GMT</pubDate></item>"
+              "<item><link>https://c/2</link></item>"
+              "</channel></rss>"),
+        ("a", "<feed><title>site</title>"
+              "<entry><title>First</title>"
+              "<link rel='alternate' href='https://a/1'/>"
+              "<updated>2026-08-01T00:00:00Z</updated></entry>"
+              "<entry><title>NoLink</title></entry></feed>"),
+        ("e", "<rss><channel><title>empty</title></channel></rss>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, xml string")
+    got = [tuple(r) for r in
+           C.parse_feed(df).orderBy("url", "pos").collect()]
+    assert got == [
+        ("a", 0, "atom", "First", "https://a/1", "2026-08-01T00:00:00Z"),
+        ("a", 1, "atom", "NoLink", "", None),
+        ("e", None, "rss", None, None, None),
+        ("r", 0, "rss", "Hello & Co", "https://c/1",
+         "Mon, 01 Aug 2026 00:00:00 GMT"),
+        ("r", 1, "rss", "", "https://c/2", None),
+    ]
