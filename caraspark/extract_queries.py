@@ -2185,20 +2185,31 @@ def dedup_canonical(spark, sf):
         F.col("lang"),
     )
     ex = extract(raw, want=("canonical", "base"))
+    # two-STEP resolution on purpose: resolve_url embeds its base operand
+    # at many points of its CASE/regex chain, so composing
+    # resolve_url(resolve_url(url, base), canonical) as one expression
+    # re-inlines the whole inner tree at every reference — the generated
+    # method topped Janino's 64 KB limit and the stage fell back to
+    # interpreted eval. Aliasing eff_base first makes it a multiply-
+    # referenced non-cheap alias, which CollapseProject refuses to
+    # inline: two compact codegen'd Projects instead of one giant one.
     eff_base = F.when(
         F.col("base_href").isNotNull(),
         resolve_url(F.col("url"), F.col("base_href")),
     ).otherwise(F.col("url"))
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/?#]*)", 1)
+    based = ex.select(
+        "url", "canonical", host.alias("host"), eff_base.alias("eff_base")
+    )
     eff_canon = F.when(
         F.col("canonical").isNotNull() & (F.col("canonical") != ""),
-        resolve_url(eff_base, F.col("canonical")),
+        resolve_url(F.col("eff_base"), F.col("canonical")),
     ).otherwise(F.regexp_replace(F.col("url"), "#.*$", ""))
-    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/?#]*)", 1)
     return (
-        ex.select(
+        based.select(
             eff_canon.alias("canonical_url"),
             F.col("url"),
-            host.alias("host"),
+            F.col("host"),
         )
         .groupBy("canonical_url")
         .agg(

@@ -653,6 +653,43 @@ def extract_attachments(doc: Document) -> list[dict]:
     return out
 
 
+def extract_revisions(doc: Document) -> list[dict]:
+    """Per-revision forensic surface over the incremental-update chain
+    (C12 walk, [PDF17 §7.5.6]): one row per trailer, rev 0 = NEWEST
+    (walk order). ``kind`` discriminates classic table trailers from
+    xref-STREAM trailers (/Type /XRef); ``size`` is the declared /Size;
+    ``has_prev`` marks a chained older revision and ``has_xrefstm`` the
+    hybrid bridge; ``n_won`` counts the in-use xref entries this
+    revision still OWNS in the live table (newest-first first-writer-
+    wins) — the incremental-update diff an analyst reads to see what a
+    later save actually touched (signature-defeating object swaps land
+    exactly here)."""
+    from collections import Counter
+
+    won = Counter(
+        e.update_idx for e in doc.xref_table.values() if e.kind != "free"
+    )
+    rows = []
+    for i, t in enumerate(doc.trailers):
+        ty = t.get("Type")
+        size = t.get("Size")
+        rows.append(
+            {
+                "rev": i,
+                "kind": (
+                    "stream"
+                    if getattr(ty, "v", None) == "XRef"
+                    else "classic"
+                ),
+                "size": size if isinstance(size, int) else None,
+                "has_prev": "Prev" in t,
+                "has_xrefstm": "XRefStm" in t,
+                "n_won": int(won.get(i, 0)),
+            }
+        )
+    return rows
+
+
 def extract_outline(doc: Document) -> list[dict]:
     """Document outline (bookmarks) [PDF17 §12.3.3]: depth-first walk of
     the catalog /Outlines tree — First-child / Next-sibling chains,

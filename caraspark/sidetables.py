@@ -30,6 +30,7 @@ from caraspark.oracle_freeze import (
     formfield_cte,
     js_cte,
     outline_cte,
+    revision_cte,
     extras_cte,
     findref_cte,
     objkind_cte,
@@ -783,3 +784,69 @@ def pdf_actions(spark, sf):
     names and 64-char target heads leave the executor."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_act_batches, _ACT_DDL)
+
+
+_REV_DDL = (
+    "url string, rev int, kind string, size int, has_prev boolean,"
+    " has_xrefstm boolean, n_won int"
+)
+_REV_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("rev", pa.int32()),
+        ("kind", pa.string()),
+        ("size", pa.int32()),
+        ("has_prev", pa.bool_()),
+        ("has_xrefstm", pa.bool_()),
+        ("n_won", pa.int32()),
+    ]
+)
+
+
+def _rev_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_revisions, load_document
+
+    cols = {f.name: [] for f in _REV_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for rv in extract_revisions(load_document(blob)):
+                cols["url"].append(url)
+                cols["rev"].append(rv["rev"])
+                cols["kind"].append(rv["kind"])
+                cols["size"].append(rv["size"])
+                cols["has_prev"].append(rv["has_prev"])
+                cols["has_xrefstm"].append(rv["has_xrefstm"])
+                cols["n_won"].append(rv["n_won"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _REV_ARROW],
+                schema=_REV_ARROW,
+            )
+            cols = {f.name: [] for f in _REV_ARROW}
+
+
+@_q(
+    "pdf_revisions",
+    f"""WITH {corpus_cte()},
+{revision_cte()}
+SELECT d.url, CAST(r.rev AS INT) AS rev, r.rkind AS kind,
+       CAST(r.rsize AS INT) AS size, r.has_prev, r.has_xrefstm,
+       CAST(r.n_won AS INT) AS n_won
+FROM docs d JOIN rv r ON r.rid = d.rid""",
+)
+def pdf_revisions(spark, sf):
+    """Incremental-update forensics across the corpus (C12 chain,
+    [PDF17 §7.5.6]): one row per revision with its trailer kind
+    (classic vs xref-stream), declared /Size, /Prev and hybrid /XRefStm
+    flags, and n_won — the in-use xref entries the revision still owns
+    under newest-first first-writer-wins, i.e. what each later save
+    actually touched (signature-defeating object swaps surface exactly
+    here). Narrow Arrow stage; only fixed-width facts leave the
+    executor."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_rev_batches, _REV_DDL)

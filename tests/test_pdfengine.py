@@ -1821,3 +1821,27 @@ def test_html_v19_pagination_want_projection():
     assert stats.next_href is None and stats.prev_href is None
     pdf = process_document(PDF_RECIPES["pdf_minimal"]())
     assert pdf.next_href is None and pdf.prev_href is None
+
+
+def test_extract_revisions_update_chain():
+    """Per-revision forensics: the incremental-update recipe shows the
+    newest save owning exactly the objects it rewrote, classic vs
+    xref-stream trailer kinds discriminate, and the hybrid flag rides
+    the /XRefStm bridge."""
+    from caraspark.pdfengine.document import extract_revisions, load_document
+    from caraspark.synth import PDF_RECIPES
+
+    upd = extract_revisions(load_document(PDF_RECIPES["pdf_updated"]()))
+    assert [r["rev"] for r in upd] == [0, 1]
+    assert upd[0]["has_prev"] and not upd[1]["has_prev"]
+    assert upd[0]["n_won"] >= 1  # the rewritten object belongs to rev 0
+    assert all(r["kind"] == "classic" for r in upd)
+
+    xs = extract_revisions(load_document(PDF_RECIPES["pdf_xrefstream"]()))
+    assert xs[0]["kind"] == "stream" and not xs[0]["has_xrefstm"]
+
+    hy = extract_revisions(load_document(PDF_RECIPES["pdf_hybrid"]()))
+    assert hy[0]["kind"] == "classic" and hy[0]["has_xrefstm"]
+
+    # totality: revisions of garbage = no trailers, empty list
+    assert extract_revisions(load_document(b"%PDF-1.4\ngarbage")) == []

@@ -66,7 +66,7 @@ def build_extras():
 
     from caraspark.pdfengine.api import process_document
     from caraspark.pdfengine.cleanup import cleanup
-    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.document import extract_revisions, load_document
     from caraspark.pdfengine.model import Stream, canonical_json
     from caraspark.pdfengine.typecheck import check_types
 
@@ -75,6 +75,7 @@ def build_extras():
         [], [], [], [], []
     )
     attach_rows = []
+    revision_rows = []
     outline_rows = []
     formfield_rows = []
     js_rows = []
@@ -212,6 +213,11 @@ def build_extras():
             action_rows.append(
                 (rid, act["pos"], act["source"], act["s"], act["target"])
             )
+        for rv in extract_revisions(doc):
+            revision_rows.append(
+                (rid, rv["rev"], rv["kind"], rv["size"],
+                 rv["has_prev"], rv["has_xrefstm"], rv["n_won"])
+            )
 
     import random
 
@@ -270,7 +276,7 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows,
+        action_rows, revision_rows,
     )
 
 
@@ -445,7 +451,7 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows,
+        action_rows, revision_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -477,7 +483,8 @@ def main() -> None:
             f"JSONLD_ROWS = {fmt(jsonld_rows)}\n\n"
             f"JS_ROWS = {fmt(js_rows)}\n\n"
             f"ACTION_ROWS = {fmt(action_rows)}\n\n"
-            f"ALT_ROWS = {fmt(alt_rows)}\n"
+            f"ALT_ROWS = {fmt(alt_rows)}\n\n"
+            f"REVISION_ROWS = {fmt(revision_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -493,7 +500,8 @@ def main() -> None:
         f"{len(jsonld_rows)} jsonld rows, "
         f"{len(js_rows)} js rows, "
         f"{len(action_rows)} action rows, "
-        f"{len(alt_rows)} alternate rows -> {path}"
+        f"{len(alt_rows)} alternate rows, "
+        f"{len(revision_rows)} revision rows -> {path}"
     )
 
 
