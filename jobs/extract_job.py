@@ -436,16 +436,29 @@ def frontier_df(snap):
     links = snap.select(
         "url", "base_href", F.posexplode("outlinks").alias("pos", "href")
     )
+    # three-step aliasing on purpose: resolve_url embeds its base operand
+    # at many points of its CASE/regex chain, so composing the effective
+    # base INTO the outlink resolution (and that into the host regex)
+    # re-inlines each inner tree at every reference — the generated
+    # method topped Janino's 64 KB limit and the stage fell back to
+    # interpreted eval. Multiply-referenced non-cheap aliases survive
+    # CollapseProject, keeping each Project's codegen compact.
     eff = resolve_url(
         F.col("url"), F.coalesce(F.col("base_href"), F.lit(""))
     )
-    abs_url = resolve_url(eff, F.col("href"))
-    return links.select(
+    based = links.select("url", "pos", "href", eff.alias("eff_base"))
+    resolved = based.select(
+        "url", "pos", "href",
+        resolve_url(F.col("eff_base"), F.col("href")).alias("abs_url"),
+    )
+    return resolved.select(
         "url",
         F.col("pos").cast("int").alias("pos"),
         "href",
-        abs_url.alias("abs_url"),
-        F.regexp_extract(abs_url, r"^[a-z]+://([^/?#]*)", 1).alias("host"),
+        "abs_url",
+        F.regexp_extract(
+            F.col("abs_url"), r"^[a-z]+://([^/?#]*)", 1
+        ).alias("host"),
     )
 
 
