@@ -913,3 +913,28 @@ def test_assemble_series_rounds_scale_log_not_linear(spark, sf_smoke):
     assert all(r.series_id == "p0000" for r in out)
     # 33 nodes -> ceil(log2 33)+1 = 7 rounds, far below the 40-round cap
     assert math.ceil(math.log2(33)) + 1 == 7
+
+
+def test_url_resolution_compositions_stay_codegen(spark, sf_smoke, qs):
+    """Regression guard for the Janino 64 KB method limit: with codegen
+    fallback DISABLED, a resolve_url composition that re-inlines its
+    inner tree (the bug fixed in dedup_canonical / frontier_df) fails
+    loudly here instead of silently running interpreted in production."""
+    from pyspark.sql import functions as F
+
+    from jobs.extract_job import frontier_df
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        qs["dedup_canonical"](spark, sf_smoke).collect()
+        snap = spark.createDataFrame(
+            [("https://a.example/x/", "/b/", ["c1.html", "../up"])],
+            "url string, base_href string, outlinks array<string>",
+        )
+        rows = {r.href: r.abs_url for r in frontier_df(snap).collect()}
+        assert rows == {
+            "c1.html": "https://a.example/b/c1.html",
+            "../up": "https://a.example/up",
+        }
+    finally:
+        spark.conf.unset("spark.sql.codegen.fallback")
