@@ -3915,3 +3915,52 @@ def feed_entries(spark, sf):
     )
     raw = docs.select(did.cast("string").alias("url"), xml.alias("xml"))
     return parse_feed(raw)
+
+
+def _schedule_sql() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 5 + 1
+           AS delay_s,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+           AS slot
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS url, source AS host,
+       CAST(delay_s AS INT) AS delay_s,
+       CAST(slot AS INT) AS slot,
+       CAST(slot * delay_s AS BIGINT) AS fetch_at_s
+FROM f
+"""
+
+
+@_q("crawl_schedule", _schedule_sql())
+def crawl_schedule(spark, sf):
+    """Politeness scheduling: the frontier's URLs are assigned per-host
+    fetch SLOTS under that host's crawl-delay — slot k fetches at
+    k x delay seconds, which is exactly the sequential budget a
+    compliant crawler must spend per host (and the number that tells a
+    wave planner which hosts BOUND the wave: max(fetch_at) per host).
+    Deterministic slot order = url order within host.
+
+    Scale shape: ONE exchange keyed on host + one window (row_number
+    over the host partition) — the per-host sequence is the semantics,
+    so the shuffle is inherent; everything else is scan-stage
+    arithmetic. A pathological million-page host makes a long TASK, not
+    a broken plan — and that host is genuinely a million delays long:
+    the skew IS the politeness constraint. Wave planners cap it
+    upstream (sample_per_host), not here."""
+    d = load(spark, sf, "documents")
+    delay = (
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 5 + 1
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    slot = (F.row_number().over(w) - 1).cast("int")
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("source").alias("host"),
+        delay.alias("delay_s"),
+        slot.alias("slot"),
+        (slot.cast("bigint") * delay.cast("bigint")).alias("fetch_at_s"),
+    )

@@ -786,3 +786,63 @@ def stream_refresh(spark, sf):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_pagination",
+    """SELECT CASE WHEN doc_id % 3 <> 2 AND doc_id % 2 = 0 THEN 'middle'
+            WHEN doc_id % 3 <> 2 THEN 'head'
+            WHEN doc_id % 2 = 0 THEN 'tail'
+            ELSE 'standalone' END AS role,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def stream_pagination(spark, sf):
+    """Streaming series-role census over the v19 PAGINATION surface:
+    pages arrive as micro-batches carrying rel=next/prev links (the
+    doc_pagination class matrix), both hrefs extracted IN-STREAM, each
+    page classified head / middle / tail / standalone — the live view
+    that tells a crawler how much multi-page reassembly the current
+    wave will need. Complete mode, four fixed-width state rows; the
+    only shuffle carries (role, partial-count) pairs."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    did = F.col("doc_id")
+    raw = docs.select(
+        did.cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                F.when(
+                    did % 3 != 2,
+                    F.concat(F.lit("<link rel='next' href='/p"),
+                             (did + 1).cast("string"), F.lit("'>")),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 2 == 0,
+                    F.concat(F.lit("<link rel='prev' href='/p"),
+                             (did - 1).cast("string"), F.lit("'>")),
+                ).otherwise(F.lit("")),
+                F.lit("</head><body><p>t</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("pagination",))
+    role = (
+        F.when(
+            F.col("next_href").isNotNull() & F.col("prev_href").isNotNull(),
+            F.lit("middle"),
+        )
+        .when(F.col("next_href").isNotNull(), F.lit("head"))
+        .when(F.col("prev_href").isNotNull(), F.lit("tail"))
+        .otherwise(F.lit("standalone"))
+    )
+    out = ex.select(role.alias("role")).groupBy("role").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return S.run_to_memory(out, mode="complete")
