@@ -71,3 +71,43 @@ def test_cleanup_fixpoint_through_cli(pdf, tmp_path, capsys):
     assert main(["cleanup", pdf("pdf_junk_header"), "--out", str(clean)]) == 0
     # the cleaned file parses valid+strict (normal form)
     assert main(["stats", str(clean)]) == 0
+
+
+def test_spark_submit_pyfiles_delivery(tmp_path):
+    """North-rule delivery form end-to-end: build caraspark.zip, launch
+    the job via real `spark-submit --py-files` from a cwd where the
+    package is NOT importable, and read the committed snapshot back.
+    Proves the zip is self-contained (a missing module fails the
+    subprocess, not some later import)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "caraspark.zip")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from build_pyfiles import build
+
+    assert build(zip_path) > 0
+    out_dir = str(tmp_path / "table")
+    job = str(tmp_path / "extract_job.py")
+    shutil.copy(os.path.join(repo, "jobs", "extract_job.py"), job)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", zip_path,
+         job, "--synth-docs", "16", "--units", "4", "--unit-chunk", "4",
+         "--output", out_dir],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    from jobs.extract_job import read_extracted
+
+    from caraspark.session import get_spark
+
+    spark = get_spark("pyfiles-check")
+    assert read_extracted(spark, out_dir).count() == 16
