@@ -460,3 +460,32 @@ def extract_text_spans(
 def extract_text(doc, errors: list) -> bytes:
     """Whole-document extracted text per the SPEC above → UTF-8 bytes."""
     return extract_text_spans(doc, errors)[0]
+
+
+def extract_pages(doc) -> list[dict]:
+    """Per-page facts over the page-tree walk (the page-granular view of
+    `extract_text_spans` — same order, same content assembly, same
+    operator machine): 0-based page index, the page object's num.gen,
+    assembled content-stream byte count, and the UTF-8 length + md5 of
+    that page's extracted text. Pins the tree DFS, /Contents assembly
+    and per-page resource contexts independently of the whole-document
+    form-feed join."""
+    import hashlib
+
+    rows: list[dict] = []
+    errors: list = []  # page-level extraction warnings don't gate validity
+    for i, pk in enumerate(_page_order(doc)):
+        content = _content_bytes(doc, pk, errors)
+        fonts, xobjects = _resources_ctx(doc, _page_resources(doc, pk))
+        t = extract_page_text(content, errors, fonts, xobjects, doc)
+        enc = t.encode("utf-8")
+        rows.append(
+            {
+                "page": i,
+                "obj": f"{pk[0]}.{pk[1]}",
+                "content_bytes": len(content),
+                "text_len": len(enc),
+                "text_md5": hashlib.md5(enc).hexdigest(),
+            }
+        )
+    return rows

@@ -30,6 +30,7 @@ from caraspark.oracle_freeze import (
     formfield_cte,
     js_cte,
     outline_cte,
+    pages_cte,
     revision_cte,
     extras_cte,
     findref_cte,
@@ -850,3 +851,67 @@ def pdf_revisions(spark, sf):
     executor."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_rev_batches, _REV_DDL)
+
+
+_PAGES_DDL = (
+    "url string, page int, obj string, content_bytes int, text_len int,"
+    " text_md5 string"
+)
+_PAGES_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("page", pa.int32()),
+        ("obj", pa.string()),
+        ("content_bytes", pa.int32()),
+        ("text_len", pa.int32()),
+        ("text_md5", pa.string()),
+    ]
+)
+
+
+def _pages_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.textextract import extract_pages
+
+    cols = {f.name: [] for f in _PAGES_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for pg in extract_pages(load_document(blob)):
+                cols["url"].append(url)
+                cols["page"].append(pg["page"])
+                cols["obj"].append(pg["obj"])
+                cols["content_bytes"].append(pg["content_bytes"])
+                cols["text_len"].append(pg["text_len"])
+                cols["text_md5"].append(pg["text_md5"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _PAGES_ARROW],
+                schema=_PAGES_ARROW,
+            )
+            cols = {f.name: [] for f in _PAGES_ARROW}
+
+
+@_q(
+    "pdf_pages",
+    f"""WITH {corpus_cte()},
+{pages_cte()}
+SELECT d.url, CAST(p.page AS INT) AS page, p.pobj AS obj,
+       CAST(p.content_bytes AS INT) AS content_bytes,
+       CAST(p.text_len AS INT) AS text_len, p.text_md5
+FROM docs d JOIN pg p ON p.rid = d.rid""",
+)
+def pdf_pages(spark, sf):
+    """Per-page text facts across the corpus: the page-granular view of
+    the extraction pipeline (tree-order page index, page object id,
+    assembled /Contents byte count, per-page text length + md5) — pins
+    the page-tree DFS, multi-stream /Contents assembly, and per-page
+    resource contexts against the frozen rows, independently of the
+    whole-document form-feed join the goldens pin. Narrow Arrow stage;
+    digests only."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_pages_batches, _PAGES_DDL)

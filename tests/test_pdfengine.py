@@ -1845,3 +1845,30 @@ def test_extract_revisions_update_chain():
 
     # totality: revisions of garbage = no trailers, empty list
     assert extract_revisions(load_document(b"%PDF-1.4\ngarbage")) == []
+
+
+def test_extract_pages_agrees_with_document_spans():
+    """Per-page facts must agree with the whole-document extraction on
+    every PDF recipe: same page count as the page:<i> spans, and each
+    span's byte length equals that page's text_len (the form-feed join
+    is the only difference between the two views)."""
+    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.textextract import (
+        extract_pages,
+        extract_text_spans,
+    )
+    from caraspark.synth import PDF_RECIPES
+
+    checked = 0
+    for name, fn in PDF_RECIPES.items():
+        doc = load_document(fn())
+        rows = extract_pages(doc)
+        _, spans = extract_text_spans(doc, [])
+        if not spans:
+            continue
+        assert len(spans) == len(rows), name
+        for (s, e, lbl), r in zip(spans, rows):
+            assert lbl == f"page:{r['page']}", name
+            assert e - s == r["text_len"], (name, lbl)
+        checked += 1
+    assert checked >= 30  # most recipes produce text

@@ -76,6 +76,7 @@ def build_extras():
     )
     attach_rows = []
     revision_rows = []
+    page_rows = []
     outline_rows = []
     formfield_rows = []
     js_rows = []
@@ -218,6 +219,13 @@ def build_extras():
                 (rid, rv["rev"], rv["kind"], rv["size"],
                  rv["has_prev"], rv["has_xrefstm"], rv["n_won"])
             )
+        from caraspark.pdfengine.textextract import extract_pages
+
+        for pg in extract_pages(doc):
+            page_rows.append(
+                (rid, pg["page"], pg["obj"], pg["content_bytes"],
+                 pg["text_len"], pg["text_md5"])
+            )
 
     import random
 
@@ -276,7 +284,7 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows,
+        action_rows, revision_rows, page_rows,
     )
 
 
@@ -451,7 +459,7 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows,
+        action_rows, revision_rows, page_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -484,7 +492,8 @@ def main() -> None:
             f"JS_ROWS = {fmt(js_rows)}\n\n"
             f"ACTION_ROWS = {fmt(action_rows)}\n\n"
             f"ALT_ROWS = {fmt(alt_rows)}\n\n"
-            f"REVISION_ROWS = {fmt(revision_rows)}\n"
+            f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
+            f"PAGE_ROWS = {fmt(page_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -501,7 +510,8 @@ def main() -> None:
         f"{len(js_rows)} js rows, "
         f"{len(action_rows)} action rows, "
         f"{len(alt_rows)} alternate rows, "
-        f"{len(revision_rows)} revision rows -> {path}"
+        f"{len(revision_rows)} revision rows, "
+        f"{len(page_rows)} page rows -> {path}"
     )
 
 
