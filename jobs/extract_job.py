@@ -357,6 +357,32 @@ def read_incremental(
     return _read_pinned(spark, output_dir, paths)
 
 
+def export_jsonl(
+    snap, out_dir: str, partitions: int = 8, columns: list | None = None
+) -> None:
+    """Training-data delivery off-ramp: the snapshot as gzip'd JSONL
+    shards — the format tokenizer pipelines actually ingest. Entirely
+    JVM-side (`to_json` + the gzip text writer; no Python, no UDF) and
+    deterministic: rows shard by url hash and sort within shards, and
+    Hadoop's gzip stream carries no timestamp, so re-exporting the same
+    snapshot reproduces byte-identical shard payloads."""
+    from pyspark.sql import functions as F
+
+    cols = columns or ["url", "kind", "title", "text"]
+    fields = [
+        F.col(c).cast("string").alias(c) if c == "text" else F.col(c)
+        for c in cols
+    ]
+    (
+        snap.repartition(partitions, "url")
+        .sortWithinPartitions("url")
+        .select(F.to_json(F.struct(*fields)).alias("value"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out_dir)
+    )
+
+
 def snapshot_diff(
     spark, output_dir: str, from_snapshot_id: int,
     to_snapshot_id: int | None = None,
@@ -498,6 +524,9 @@ def main() -> None:
                     help="write the next crawl wave: every outlink of "
                          "the current snapshot resolved to an absolute "
                          "URL (base-aware) with its host shard key")
+    ap.add_argument("--jsonl", metavar="DIR", default=None,
+                    help="export the current snapshot as gzip'd JSONL "
+                         "shards (url/kind/title/text)")
     ap.add_argument("--upsert", metavar="PARQUET", default=None,
                     help="MERGE a re-crawl batch (raw pages parquet) "
                          "into the snapshot by url: re-fetched pages "
@@ -523,6 +552,11 @@ def main() -> None:
                 args.expire_keep, orphan_min_age_s=args.expire_age
             )
         )
+        return
+    if args.jsonl:
+        export_jsonl(read_extracted(spark, args.output), args.jsonl)
+        print({"jsonl_rows":
+               spark.read.json(args.jsonl).count()})
         return
     if args.wet or args.wat or args.frontier:
         # off-ramps read the CURRENT snapshot — run after an extract pass

@@ -749,3 +749,34 @@ def test_snapshot_diff_after_upsert(spark, tmp_path):
         assert snapshot_diff(spark, out, snap1).count() == 0
     with pytest.raises(ValueError):
         snapshot_diff(spark, out, 9999)
+
+
+def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path):
+    """JSONL off-ramp: every snapshot row survives the export (url set
+    and text bytes round-trip through spark.read.json), shards are
+    gzip'd, and re-exporting the same snapshot reproduces byte-identical
+    payloads (stable sharding + in-shard sort + timestamp-free gzip)."""
+    import glob
+    import hashlib
+
+    from jobs.extract_job import export_jsonl
+
+    out = str(tmp_path / "t")
+    run_job(spark, None, out, units=4, unit_chunk=4, synth_docs=24)
+    snap = read_extracted(spark, out)
+    want = {r.url: bytes(r.text or b"").decode("utf-8", "replace")
+            for r in snap.select("url", "text").collect()}
+
+    def export(d):
+        export_jsonl(read_extracted(spark, out), d, partitions=3)
+        files = sorted(glob.glob(d + "/part-*.gz"))
+        assert files, "no gzip shards written"
+        return {hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in files}
+
+    h1 = export(str(tmp_path / "j1"))
+    got = {r.url: r.text or ""
+           for r in spark.read.json(str(tmp_path / "j1")).collect()}
+    assert got == want
+    h2 = export(str(tmp_path / "j2"))
+    assert h1 == h2
