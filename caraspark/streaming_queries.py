@@ -846,3 +846,66 @@ def stream_pagination(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_sitemap",
+    """WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'sitemap' ELSE 'url' END AS kind,
+         doc_id % 3 + 2 AS n
+  FROM documents
+)
+SELECT kind, CAST(sum(n) AS BIGINT) AS n_entries,
+       CAST(count(*) AS BIGINT) AS n_sitemaps
+FROM m GROUP BY kind""",
+)
+def stream_sitemap(spark, sf):
+    """Streaming sitemap-ingest monitor: sitemap documents arrive as
+    micro-batches (the sitemap_entries class matrix — every fourth doc a
+    recursive <sitemapindex>), parsed IN-STREAM by the same scan-stage
+    regex chain the batch path uses, rolled up to live per-kind entry
+    and document counts — the queue-depth view a crawl planner watches
+    while sitemap discovery is running. Complete mode, two fixed-width
+    state rows."""
+    from caraspark.curation import parse_sitemap
+
+    docs = S.replay_documents_stream(spark, sf)
+    did = F.col("doc_id")
+    kind = F.when(did % 4 == 0, F.lit("sitemap")).otherwise(F.lit("url"))
+    n = (did % 3 + 2).cast("int")
+    site = F.concat(F.lit("https://site"), (did % 5).cast("string"),
+                    F.lit(".example/"))
+
+    def entry(j):
+        loc = F.when(
+            kind == "url",
+            F.concat(site, F.lit("u"), did.cast("string"), F.lit("/"),
+                     j.cast("string")),
+        ).otherwise(
+            F.concat(site, F.lit("sm"), did.cast("string"), F.lit("_"),
+                     j.cast("string"), F.lit(".xml"))
+        )
+        tag = F.when(kind == "url", F.lit("url")).otherwise(F.lit("sitemap"))
+        return F.concat(F.lit("<"), tag, F.lit("><loc>"), loc,
+                        F.lit("</loc></"), tag, F.lit(">"))
+
+    root = F.when(kind == "sitemap", F.lit("sitemapindex")).otherwise(
+        F.lit("urlset")
+    )
+    xml = F.concat(
+        F.lit("<"), root, F.lit(">"),
+        F.concat_ws("", F.transform(F.sequence(F.lit(0), n - 1), entry)),
+        F.lit("</"), root, F.lit(">"),
+    )
+    raw = docs.select(did.cast("string").alias("url"), xml.alias("xml"))
+    entries = parse_sitemap(raw)
+    # streaming forbids COUNT(DISTINCT): count each sitemap once via its
+    # pos=0 entry instead (every doc in the matrix has >= 2 entries)
+    out = entries.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sitemaps"),
+    )
+    return S.run_to_memory(out, mode="complete")

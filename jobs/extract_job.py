@@ -96,6 +96,7 @@ def run_job(
     fail_after_chunks: int | None = None,
     honor_robots: bool = False,
     min_quality: int | None = None,
+    codec: str = "zstd",
 ) -> dict:
     """Returns run stats. ``fail_after_chunks`` is the crash-injection hook
     used by the resume test. ``honor_robots`` drops pages whose extracted
@@ -107,8 +108,13 @@ def run_job(
     same integer arithmetic ``quality_logit``/``stream_quality`` pin):
     empty-text rows and rows scoring below the threshold never reach the
     snapshot; the chunk is persisted so the extraction UDF still runs
-    once per document."""
+    once per document. ``codec`` sets the snapshot's parquet compression
+    — zstd by default: at corpus scale the table is column-compressed
+    text, where zstd typically halves snappy's footprint for a few
+    percent of write CPU, and scan cost is decompression-bound on IO the
+    smaller files win back."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.parquet.compression.codec", codec)
 
     man = SnapshotManifest(output_dir)
     todo = man.plan_units(list(range(units)))
@@ -524,6 +530,9 @@ def main() -> None:
                     help="write the next crawl wave: every outlink of "
                          "the current snapshot resolved to an absolute "
                          "URL (base-aware) with its host shard key")
+    ap.add_argument("--codec", default="zstd",
+                    help="parquet compression codec for the snapshot "
+                         "(zstd | snappy | gzip | lz4 | none)")
     ap.add_argument("--jsonl", metavar="DIR", default=None,
                     help="export the current snapshot as gzip'd JSONL "
                          "shards (url/kind/title/text)")
@@ -587,6 +596,7 @@ def main() -> None:
         synth_docs=args.synth_docs,
         honor_robots=args.honor_robots,
         min_quality=args.min_quality,
+        codec=args.codec,
     )
     print(stats)
 

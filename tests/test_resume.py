@@ -780,3 +780,18 @@ def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path):
     assert got == want
     h2 = export(str(tmp_path / "j2"))
     assert h1 == h2
+
+
+def test_snapshot_codec_is_zstd_by_default(spark, tmp_path):
+    """The snapshot's parquet files are zstd-compressed by default (the
+    right footprint/CPU trade for column-compressed text at corpus
+    scale); a snappy run honors the override."""
+    import glob
+
+    out = str(tmp_path / "z")
+    run_job(spark, None, out, units=2, unit_chunk=2, synth_docs=8)
+    assert glob.glob(out + "/data/gen=0/bucket=*/*.zstd.parquet")
+    out2 = str(tmp_path / "s")
+    run_job(spark, None, out2, units=2, unit_chunk=2, synth_docs=8,
+            codec="snappy")
+    assert glob.glob(out2 + "/data/gen=0/bucket=*/*.snappy.parquet")
