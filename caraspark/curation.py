@@ -3511,12 +3511,17 @@ def assemble_series(
     known ancestor with that ancestor's ancestor, doubling the walked
     distance, so a chain of length L resolves in ceil(log2 L) rounds.
     An acyclic chain can never be longer than the page count, so the
-    round count is fixed up front at ceil(log2 n) + 1 (capped by
-    ``max_rounds``; 40 covers 2^40-page chains) from ONE driver scalar
-    — no per-round convergence probe, no driver traffic inside the
-    loop. Each round is ONE self-join keyed on the ancestor id;
-    exchanges carry (url, anc, BIGINT) rows only; ``localCheckpoint``
-    truncates lineage per round."""
+    round count is bounded up front at ceil(log2 n) + 1 (capped by
+    ``max_rounds``; 40 covers 2^40-page chains), and the loop EXITS
+    EARLY when sum(d) stops moving — real pagination chains are a few
+    pages, so typical runs use ceil(log2 max_chain) + 1 rounds, not the
+    worst-case bound. The probe is one 1-row aggregate over the rows
+    the per-round ``localCheckpoint`` has ALREADY materialized (the
+    2-scalar driver-traffic pattern `connected_components` documents);
+    only a rel=next cycle (sum keeps doubling, never stable) runs to
+    the bound, and those rows resolve to NULL afterwards. Each round is
+    ONE self-join keyed on the ancestor id; exchanges carry
+    (url, anc, BIGINT) rows only."""
     u, n = F.col(url_col), F.col(next_col)
     nodes = pages.select(u.alias("u")).distinct()
     parents = (
@@ -3543,6 +3548,7 @@ def assemble_series(
     heads = state.filter(F.col("d") == 0).select(F.col("u").alias("anc"))
     n_total = nodes.count()
     rounds = min(max_rounds, max(1, math.ceil(math.log2(max(2, n_total))) + 1))
+    prev_total = None
     for _ in range(rounds):
         jumped = (
             state.alias("s")
@@ -3564,6 +3570,10 @@ def assemble_series(
             .localCheckpoint()
         )
         state = jumped
+        total = state.agg(F.sum("d")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
     resolved = state.join(heads, "anc", "left_semi")
     cyclic = state.join(heads, "anc", "left_anti").select(
         "u",
