@@ -653,6 +653,59 @@ def extract_attachments(doc: Document) -> list[dict]:
     return out
 
 
+def extract_fonts(doc: Document) -> list[dict]:
+    """Font census [PDF17 §9]: every object type-checked as a font-family
+    class, in (num, gen) order — the name, subtype and embedding status a
+    rendering-fidelity or text-extraction-coverage audit keys on (a
+    non-embedded font means extraction depended on external metrics; a
+    Type0 font means CMap-mediated text). Rows: {"obj", "subtype",
+    "base_font", "embedded"} — ``embedded`` is True when the font (or its
+    descendant, for Type0) carries a descriptor with any /FontFile*."""
+    from caraspark.pdfengine.model import Name, Ref, Stream
+    from caraspark.pdfengine.typecheck import check_types
+
+    def deref(v):
+        if isinstance(v, Ref):
+            v = doc.objects.get((v.num, v.gen))
+        return v.d if isinstance(v, Stream) else v
+
+    def has_fontfile(font: dict) -> bool:
+        fd = deref(font.get("FontDescriptor"))
+        if isinstance(fd, dict) and any(
+            k in fd for k in ("FontFile", "FontFile2", "FontFile3")
+        ):
+            return True
+        desc = deref(font.get("DescendantFonts"))
+        if isinstance(desc, list):
+            for df in desc:
+                df = deref(df)
+                if isinstance(df, dict) and has_fontfile(df):
+                    return True
+        return False
+
+    tres = check_types(doc)
+    rows: list[dict] = []
+    for key in sorted(doc.objects):
+        cls = tres.assignments.get(key)
+        if cls not in ("font", "font_type0", "font_cid", "font_type3"):
+            continue
+        o = doc.objects[key]
+        d = o.d if isinstance(o, Stream) else o
+        if not isinstance(d, dict):
+            continue
+        sub = d.get("Subtype")
+        base = d.get("BaseFont")
+        rows.append(
+            {
+                "obj": f"{key[0]}.{key[1]}",
+                "subtype": sub.v if isinstance(sub, Name) else None,
+                "base_font": base.v if isinstance(base, Name) else None,
+                "embedded": has_fontfile(d),
+            }
+        )
+    return rows
+
+
 def extract_revisions(doc: Document) -> list[dict]:
     """Per-revision forensic surface over the incremental-update chain
     (C12 walk, [PDF17 §7.5.6]): one row per trailer, rev 0 = NEWEST

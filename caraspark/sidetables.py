@@ -29,6 +29,7 @@ from caraspark.oracle_freeze import (
     corpus_cte,
     formfield_cte,
     js_cte,
+    fonts_cte,
     outline_cte,
     pages_cte,
     revision_cte,
@@ -915,3 +916,64 @@ def pdf_pages(spark, sf):
     digests only."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_pages_batches, _PAGES_DDL)
+
+
+_FONTS_DDL = (
+    "url string, obj string, subtype string, base_font string,"
+    " embedded boolean"
+)
+_FONTS_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("obj", pa.string()),
+        ("subtype", pa.string()),
+        ("base_font", pa.string()),
+        ("embedded", pa.bool_()),
+    ]
+)
+
+
+def _fonts_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_fonts, load_document
+
+    cols = {f.name: [] for f in _FONTS_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            if _prune_skip(blob, b"/Font"):
+                continue
+            for ft in extract_fonts(load_document(blob)):
+                cols["url"].append(url)
+                cols["obj"].append(ft["obj"])
+                cols["subtype"].append(ft["subtype"])
+                cols["base_font"].append(ft["base_font"])
+                cols["embedded"].append(ft["embedded"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _FONTS_ARROW],
+                schema=_FONTS_ARROW,
+            )
+            cols = {f.name: [] for f in _FONTS_ARROW}
+
+
+@_q(
+    "pdf_fonts",
+    f"""WITH {corpus_cte()},
+{fonts_cte()}
+SELECT d.url, f.fobj AS obj, f.subtype, f.base_font, f.embedded
+FROM docs d JOIN ft f ON f.rid = d.rid""",
+)
+def pdf_fonts(spark, sf):
+    """Font census across the corpus [PDF17 §9]: every type-checked
+    font-family object with its subtype, BaseFont and EMBEDDING status
+    (descriptor /FontFile*, Type0 resolved through its descendant) —
+    the rendering-fidelity / extraction-coverage audit surface: a
+    non-embedded font means text extraction depended on external
+    metrics. Byte-level /Font prune skips fontless documents before any
+    parse; narrow Arrow stage, fixed-width facts only."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_fonts_batches, _FONTS_DDL)

@@ -2301,3 +2301,70 @@ def html_pagination(rng: random.Random) -> bytes:
 
 
 HTML_RECIPES["html_pagination"] = html_pagination
+
+
+def pdf_embedded_font() -> bytes:
+    """Font-census discriminator recipe: one EMBEDDED Type1 font (its
+    FontDescriptor carries a /FontFile stream — fake Type1 program
+    bytes, flate-compressed) next to a non-embedded standard-14 fallback,
+    plus a Type0 whose EMBEDDING lives on the DESCENDANT CIDFont's
+    descriptor (/FontFile2) — the three embedding shapes
+    `extract_fonts` discriminates."""
+    content = (
+        b"BT /F1 12 Tf 10 700 Td (embedded) Tj "
+        b"/F2 12 Tf 0 -14 Td (standard) Tj ET"
+    )
+    prog = zlib.compress(b"%!PS-AdobeFont-1.0: SynthEmbedded fake-program")
+    glyf = zlib.compress(b"\x00\x01\x00\x00fake-truetype")
+    bodies = {
+        1: _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        2: _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        3: _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R /F2 7 0 R /F3 8 0 R >> >> >>",
+        ),
+        4: _stream_obj(4, b"", content),
+        5: _obj(
+            5,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthEmbedded"
+            b" /FirstChar 32 /LastChar 126 /FontDescriptor 6 0 R >>",
+        ),
+        6: _obj(
+            6,
+            b"<< /Type /FontDescriptor /FontName /SynthEmbedded /Flags 4"
+            b" /FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 900"
+            b" /Descent -200 /CapHeight 700 /StemV 80 /FontFile 10 0 R >>",
+        ),
+        7: _obj(
+            7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        ),
+        8: _obj(
+            8,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID-Emb"
+            b" /Encoding /Identity-H /DescendantFonts [9 0 R] >>",
+        ),
+        9: _obj(
+            9,
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID-Emb"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /DW 1000 /FontDescriptor 11 0 R >>",
+        ),
+        10: _stream_obj(
+            10,
+            b"/Filter /FlateDecode /Length1 46",
+            prog,
+        ),
+        11: _obj(
+            11,
+            b"<< /Type /FontDescriptor /FontName /SynthCID-Emb /Flags 4"
+            b" /FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 900"
+            b" /Descent -200 /CapHeight 700 /StemV 80 /FontFile2 12 0 R >>",
+        ),
+        12: _stream_obj(12, b"/Filter /FlateDecode /Length1 17", glyf),
+    }
+    return _assemble(bodies)
+
+
+PDF_RECIPES["pdf_embedded_font"] = pdf_embedded_font

@@ -1872,3 +1872,26 @@ def test_extract_pages_agrees_with_document_spans():
             assert e - s == r["text_len"], (name, lbl)
         checked += 1
     assert checked >= 30  # most recipes produce text
+
+
+def test_extract_fonts_embedding_discrimination():
+    """Font census: the embedded-font recipe discriminates all three
+    embedding shapes — Type1 with descriptor /FontFile (embedded),
+    standard-14 fallback (not), and Type0 embedded THROUGH its
+    descendant CIDFont's /FontFile2."""
+    from caraspark.pdfengine.document import extract_fonts, load_document
+    from caraspark.synth import PDF_RECIPES
+
+    rows = {
+        r["base_font"]: r
+        for r in extract_fonts(
+            load_document(PDF_RECIPES["pdf_embedded_font"]())
+        )
+    }
+    assert rows["SynthEmbedded"]["embedded"] is True
+    assert rows["SynthEmbedded"]["subtype"] == "Type1"
+    assert rows["Helvetica"]["embedded"] is False
+    t0 = rows["SynthCID-Emb"]
+    assert t0["embedded"] is True  # via descendant descriptor
+    # garbage-totality: no fonts, no crash
+    assert extract_fonts(load_document(b"%PDF-1.4\njunk")) == []

@@ -77,6 +77,7 @@ def build_extras():
     attach_rows = []
     revision_rows = []
     page_rows = []
+    font_rows = []
     outline_rows = []
     formfield_rows = []
     js_rows = []
@@ -226,6 +227,13 @@ def build_extras():
                 (rid, pg["page"], pg["obj"], pg["content_bytes"],
                  pg["text_len"], pg["text_md5"])
             )
+        from caraspark.pdfengine.document import extract_fonts
+
+        for ft in extract_fonts(doc):
+            font_rows.append(
+                (rid, ft["obj"], ft["subtype"], ft["base_font"],
+                 ft["embedded"])
+            )
 
     import random
 
@@ -284,7 +292,7 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows, page_rows,
+        action_rows, revision_rows, page_rows, font_rows,
     )
 
 
@@ -459,7 +467,7 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows, page_rows,
+        action_rows, revision_rows, page_rows, font_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -493,7 +501,8 @@ def main() -> None:
             f"ACTION_ROWS = {fmt(action_rows)}\n\n"
             f"ALT_ROWS = {fmt(alt_rows)}\n\n"
             f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
-            f"PAGE_ROWS = {fmt(page_rows)}\n"
+            f"PAGE_ROWS = {fmt(page_rows)}\n\n"
+            f"FONT_ROWS = {fmt(font_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -511,7 +520,8 @@ def main() -> None:
         f"{len(action_rows)} action rows, "
         f"{len(alt_rows)} alternate rows, "
         f"{len(revision_rows)} revision rows, "
-        f"{len(page_rows)} page rows -> {path}"
+        f"{len(page_rows)} page rows, "
+        f"{len(font_rows)} font rows -> {path}"
     )
 
 
