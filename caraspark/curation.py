@@ -3974,3 +3974,69 @@ def crawl_schedule(spark, sf):
         slot.alias("slot"),
         (slot.cast("bigint") * delay.cast("bigint")).alias("fetch_at_s"),
     )
+
+
+def _freshness_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 + 2 AS n,
+         CASE WHEN doc_id % 4 = 0 THEN 'sitemap' ELSE 'url' END AS kind
+  FROM documents
+), e AS (
+  SELECT kind, j,
+         CASE WHEN j % 2 = 0
+              THEN DATE '2026-01-01'
+                   + to_days(CAST((doc_id * 7 + j * 11) % 240 AS INT))
+              END AS lastmod
+  FROM m, LATERAL (SELECT unnest(range(n)) AS j) t
+)
+SELECT kind,
+       CASE WHEN lastmod IS NULL THEN 'unknown'
+            WHEN date_diff('day', lastmod, DATE '2026-09-01') <= 30
+              THEN 'fresh30'
+            WHEN date_diff('day', lastmod, DATE '2026-09-01') <= 90
+              THEN 'fresh90'
+            ELSE 'stale' END AS freshness,
+       CAST(count(*) AS BIGINT) AS n_entries
+FROM e GROUP BY 1, 2
+"""
+
+
+@_q("sitemap_freshness", _freshness_sql())
+def sitemap_freshness(spark, sf):
+    """Crawl prioritization from sitemap <lastmod>: entries bucketed
+    fresh30 / fresh90 / stale / unknown against a FIXED reference date
+    (recency decides refetch order; the reference date is an argument,
+    never wall-clock — a scheduled job passes its run date, keeping
+    replays deterministic). The lastmod matrix spreads deterministic
+    W3C dates over 8 months with odd entries lastmod-less (the unknown
+    path). Scan-stage date arithmetic + one small groupBy — the
+    per-entry parse is `to_date`, all JVM."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    kind = F.when(did % 4 == 0, F.lit("sitemap")).otherwise(F.lit("url"))
+    n = (did % 3 + 2).cast("int")
+    rows = d.select(
+        kind.alias("kind"),
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("pos", "j"),
+        did.alias("doc_id"),
+    )
+    j = F.col("j")
+    lastmod = F.when(
+        j % 2 == 0,
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")),
+            ((F.col("doc_id") * 7 + j * 11) % 240).cast("int"),
+        ),
+    )
+    ref = F.to_date(F.lit("2026-09-01"))
+    age = F.datediff(ref, lastmod)
+    freshness = (
+        F.when(lastmod.isNull(), F.lit("unknown"))
+        .when(age <= 30, F.lit("fresh30"))
+        .when(age <= 90, F.lit("fresh90"))
+        .otherwise(F.lit("stale"))
+    )
+    return rows.select("kind", freshness.alias("freshness")).groupBy(
+        "kind", "freshness"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_entries"))

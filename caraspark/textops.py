@@ -2368,3 +2368,66 @@ def ann_recall_pq(spark, sf):
             " * 1000 DIV count(*) AS BIGINT)"
         ).alias("recall_permille"),
     )
+
+
+def _dedup_latest_sql() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id, text,
+         CAST('2026-08-01' AS TIMESTAMP)
+           + to_hours(CAST(doc_id % 48 AS INT)) AS fetched_at
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text,
+         CAST('2026-08-01' AS TIMESTAMP)
+           + to_hours(CAST(doc_id % 48 + 72 AS INT))
+  FROM documents WHERE doc_id % 3 = 0
+), r AS (
+  SELECT md5(text) AS h, doc_id, fetched_at,
+         row_number() OVER (
+           PARTITION BY md5(text)
+           ORDER BY fetched_at DESC, doc_id DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n
+  FROM u
+)
+SELECT h, CAST(n AS BIGINT) AS n, doc_id AS keeper
+FROM r WHERE rn = 1 AND n > 1
+"""
+
+
+@_q("dedup_exact_latest", _dedup_latest_sql())
+def dedup_exact_latest(spark, sf):
+    """Exact dedup with the PRODUCTION keeper policy: when several
+    fetches carry byte-identical text, keep the LATEST fetch
+    (fetched_at desc, doc_id desc tiebreak) — `dedup_exact` keeps the
+    min id, which is right for stable corpora but wrong for re-crawled
+    ones where the newest copy carries the freshest metadata. One
+    groupBy on the 16-byte digest using max_by over a (fetched_at,
+    doc_id) struct — map-side-combinable partial aggregates, no window,
+    no sort; only digests and one struct per group shuffle."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    base_ts = F.to_timestamp(F.lit("2026-08-01"))
+    orig = d.select(
+        "doc_id", "text",
+        (base_ts + F.make_interval(hours=(F.col("doc_id") % 48).cast("int")))
+        .alias("fetched_at"),
+    )
+    recrawl = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        (base_ts
+         + F.make_interval(hours=(F.col("doc_id") % 48 + 72).cast("int")))
+        .alias("fetched_at"),
+    )
+    u = orig.unionByName(recrawl)
+    return (
+        u.groupBy(F.md5(F.encode("text", "utf-8")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max_by(
+                F.col("doc_id"), F.struct("fetched_at", "doc_id")
+            ).alias("keeper"),
+        )
+        .filter(F.col("n") > 1)
+    )
