@@ -2444,3 +2444,88 @@ def series_concat(spark, sf):
             ).alias("full_text"),
         )
     )
+
+
+def markdown_df(ex):
+    """Markdown view of extracted documents, composed ENTIRELY from the
+    already-extracted surfaces (no re-parse): v3 SPANS slice the text
+    payload back into blocks (byte-offset substring over the BINARY
+    column — spans are octet offsets by SPEC), v7 HEADINGS prefix their
+    blocks with #×level, and blocks rejoin in order with blank-line
+    separators — the delivery shape markdown-trained LLM corpora use.
+    All JVM: posexplode + binary substring + broadcast-size heading join
+    + one url-keyed aggregate with in-row array_sort."""
+    spans = ex.select(
+        "url",
+        "text",
+        F.posexplode("spans").alias("i", "s"),
+    ).select(
+        "url",
+        F.col("s.label").alias("label"),
+        F.regexp_extract("s.label", r"block:(\d+)", 1).cast("int")
+        .alias("block"),
+        F.decode(
+            F.expr("substring(text, s.start + 1, s.end - s.start)"),
+            "utf-8",
+        ).alias("body"),
+    ).filter(F.col("label").startswith("block:"))
+    heads = ex.select(
+        "url", F.explode("headings").alias("h")
+    ).select("url", F.col("h.block").alias("block"),
+             F.col("h.level").alias("level"))
+    lines = spans.join(heads, ["url", "block"], "left").select(
+        "url",
+        "block",
+        F.concat(
+            F.when(
+                F.col("level").isNotNull(),
+                F.concat(F.repeat(F.lit("#"), F.col("level")), F.lit(" ")),
+            ).otherwise(F.lit("")),
+            F.col("body"),
+        ).alias("line"),
+    )
+    return lines.groupBy("url").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("markdown")
+    )
+
+
+@_q(
+    "doc_markdown",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       '# Title ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+       || 'para one ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+       || '## Sec ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10)
+       || 'para two' AS markdown
+FROM documents""",
+)
+def doc_markdown(spark, sf):
+    """Markdown delivery composition, hash-verified closed-form: pages
+    carry a known block/heading structure (h1 + para + h2 + para); the
+    markdown view must reproduce the exact #-prefixed, blank-line-joined
+    document — pinning spans-slice-back + heading-join + ordered
+    reassembly end to end."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        did.cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><h1>Title "), did.cast("string"),
+                F.lit("</h1><p>para one "), did.cast("string"),
+                F.lit("</p><h2>Sec "), (did % 5).cast("string"),
+                F.lit("</h2><p>para two</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("text", "spans", "headings"))
+    return markdown_df(ex)
