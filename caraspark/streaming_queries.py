@@ -909,3 +909,56 @@ def stream_sitemap(spark, sf):
         .alias("n_sitemaps"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_feed",
+    """WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'atom' ELSE 'rss' END AS kind,
+         doc_id % 4 + 1 AS n
+  FROM documents
+)
+SELECT kind, CAST(sum(n) AS BIGINT) AS n_entries,
+       CAST(count(*) AS BIGINT) AS n_feeds
+FROM m GROUP BY kind""",
+)
+def stream_feed(spark, sf):
+    """Streaming feed-ingest monitor: RSS/Atom documents arrive as
+    micro-batches (the feed_entries class matrix), parsed IN-STREAM by
+    the batch parse_feed chain, rolled up to live per-kind entry and
+    feed counts (pos=0 counting, the stream_sitemap stance). Complete
+    mode, two fixed-width state rows."""
+    from caraspark.curation import parse_feed
+
+    docs = S.replay_documents_stream(spark, sf)
+    did = F.col("doc_id")
+    is_atom = did % 3 == 0
+    n = (did % 4 + 1).cast("int")
+
+    def entry(j):
+        return F.when(
+            is_atom,
+            F.concat(F.lit("<entry><title>p"), j.cast("string"),
+                     F.lit("</title><link href='/"), j.cast("string"),
+                     F.lit("'/></entry>")),
+        ).otherwise(
+            F.concat(F.lit("<item><title>p"), j.cast("string"),
+                     F.lit("</title><link>/"), j.cast("string"),
+                     F.lit("</link></item>")),
+        )
+
+    body = F.concat_ws("", F.transform(F.sequence(F.lit(0), n - 1), entry))
+    xml = F.when(
+        is_atom, F.concat(F.lit("<feed>"), body, F.lit("</feed>"))
+    ).otherwise(
+        F.concat(F.lit("<rss><channel>"), body, F.lit("</channel></rss>"))
+    )
+    raw = docs.select(did.cast("string").alias("url"), xml.alias("xml"))
+    out = parse_feed(raw).groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_feeds"),
+    )
+    return S.run_to_memory(out, mode="complete")

@@ -692,3 +692,58 @@ def warc_wat(spark, sf):
     return blobs.mapInArrow(
         gen, "url string, n_octets bigint, payload_md5 string"
     )
+
+
+@_q(
+    "warc_wet",
+    """SELECT CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_octets,
+       md5(text) AS payload_md5
+FROM documents""",
+)
+def warc_wet(spark, sf):
+    """WET writer→parser roundtrip, hash-verified: every row's extracted
+    text is serialized into WET conversion-record blobs on the executors
+    (``wet_sink_df``, the Common Crawl extracted-text sidecar), parsed
+    back through the same ``parse_warc`` path, and the recovered payload
+    md5 must match the closed-form oracle — byte identity through the
+    conversion framing, warcinfo header record, and gzip members. Same
+    narrow plan shape as warc_roundtrip / warc_wat."""
+    docs = load(spark, sf, "documents")
+    ext = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("text"),
+    )
+    blobs = wet_sink_df(ext)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            rows = []
+            for blob in batch.column("warc").to_pylist():
+                for rec in parse_warc(bytes(blob)):
+                    if rec["rec_type"] != "conversion":
+                        continue
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "n_octets": len(rec["payload"]),
+                            "payload_md5": hashlib.md5(
+                                rec["payload"]
+                            ).hexdigest(),
+                        }
+                    )
+            if rows:
+                yield pa.RecordBatch.from_pylist(
+                    rows,
+                    schema=pa.schema(
+                        [
+                            ("url", pa.string()),
+                            ("n_octets", pa.int64()),
+                            ("payload_md5", pa.string()),
+                        ]
+                    ),
+                )
+
+    return blobs.mapInArrow(
+        gen, "url string, n_octets bigint, payload_md5 string"
+    )
