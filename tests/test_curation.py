@@ -1069,3 +1069,170 @@ def test_parse_feed_edges(spark):
          "Mon, 01 Aug 2026 00:00:00 GMT"),
         ("r", 1, "rss", "", "https://c/2", None),
     ]
+
+
+def _py_parse_feed(url, xml):
+    """Independent reference for parse_feed's documented semantics (kind
+    sniff, first-closing-tag blocks, CDATA unwrap, first-href atom link,
+    ""-vs-NULL field contract)."""
+    kind = "atom" if "<feed" in xml else "rss"
+    pat = (r"(?s)<entry\b[^>]*>(.*?)</entry>" if kind == "atom"
+           else r"(?s)<item\b[^>]*>(.*?)</item>")
+    blocks = re.findall(pat, xml)
+    if not blocks:
+        return [(url, None, kind, None, None, None)]
+    rows = []
+    for pos, b in enumerate(blocks):
+        m = re.search(r"(?s)<title[^>]*>(.*?)</title>", b)
+        t = (m.group(1) if m else "").strip(" ")
+        mc = re.match(r"(?s)^<!\[CDATA\[(.*)\]\]>$", t)
+        if mc:
+            t = mc.group(1).strip(" ")
+        if kind == "atom":
+            ml = re.search(r"<link\b[^>]*?href\s*=\s*[\"']([^\"']*)", b)
+            link = ml.group(1) if ml else ""
+            mt = re.search(r"(?s)<updated[^>]*>\s*(.*?)\s*</updated>", b)
+        else:
+            ml = re.search(r"(?s)<link[^>]*>(.*?)</link>", b)
+            link = (ml.group(1) if ml else "").strip(" ")
+            mt = re.search(r"(?s)<pubDate[^>]*>\s*(.*?)\s*</pubDate>", b)
+        ts = mt.group(1) if mt else ""
+        rows.append((url, pos, kind, t, link, ts or None))
+    return rows
+
+
+def test_parse_feed_property_differential(spark):
+    """Hypothesis differential: random hostile feeds — CDATA shells,
+    attribute-bearing tags, hrefless decoy links ahead of the real one,
+    junk elements between fields, missing titles/links/stamps, both
+    quote styles — must parse exactly as an independent Python
+    implementation of the documented semantics says."""
+    from hypothesis import given, settings, strategies as st
+
+    title_st = st.one_of(
+        st.none(),
+        st.sampled_from(["T one", "x &amp; y", "  padded  ", "", "a]]x"]),
+    )
+    entry_st = st.fixed_dictionaries({
+        "title": title_st,
+        "cdata": st.booleans(),
+        "tattr": st.booleans(),
+        "link": st.one_of(st.none(),
+                          st.sampled_from(["https://h/a", "/rel/1", ""])),
+        "decoy": st.booleans(),
+        "quote": st.sampled_from(['"', "'"]),
+        "ts": st.one_of(st.none(),
+                        st.sampled_from(["2026-08-01T00:00:00Z",
+                                         "  padded ts  "])),
+        "junk": st.sampled_from(["", "\n  ", "<guid>g</guid>",
+                                 "plain text"]),
+    })
+    doc_st = st.tuples(st.sampled_from(["atom", "rss"]),
+                       st.lists(entry_st, min_size=0, max_size=3))
+
+    def render(kind, entries):
+        out = []
+        for e in entries:
+            t = ""
+            if e["title"] is not None:
+                body = e["title"]
+                if e["cdata"]:
+                    body = f"<![CDATA[{body}]]>"
+                attr = ' type="text"' if e["tattr"] else ""
+                t = f"<title{attr}>{body}</title>"
+            if kind == "atom":
+                link = '<link rel="self"/>' if e["decoy"] else ""
+                if e["link"] is not None:
+                    q = e["quote"]
+                    link += f"<link rel={q}alternate{q} href={q}{e['link']}{q}/>"
+                ts = (f"<updated>{e['ts']}</updated>"
+                      if e["ts"] is not None else "")
+                out.append(f"<entry>{e['junk']}{t}{link}{ts}</entry>")
+            else:
+                link = (f"<link>{e['link']}</link>"
+                        if e["link"] is not None else "")
+                ts = (f"<pubDate>{e['ts']}</pubDate>"
+                      if e["ts"] is not None else "")
+                out.append(f"<item>{t}{e['junk']}{link}{ts}</item>")
+        inner = "\n".join(out)
+        if kind == "atom":
+            return f'<feed xmlns="http://www.w3.org/2005/Atom">{inner}</feed>'
+        return f"<rss><channel><title>ch</title>{inner}</channel></rss>"
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc_st, min_size=1, max_size=3))
+    def check(docs):
+        rows = [(str(i), render(k, es)) for i, (k, es) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "url string, xml string")
+        got = sorted(
+            tuple(r) for r in C.parse_feed(df).collect()
+        )
+        want = sorted(
+            row for url, xml in rows for row in _py_parse_feed(url, xml)
+        )
+        assert got == want, (rows, got, want)
+
+    check()
+
+
+def _py_parse_sitemap(url, xml):
+    """Independent reference for parse_sitemap's documented semantics."""
+    kind = "sitemap" if "<sitemapindex" in xml else "url"
+    pat = (r"(?s)<sitemap>(.*?)</sitemap>" if kind == "sitemap"
+           else r"(?s)<url>(.*?)</url>")
+    blocks = re.findall(pat, xml)
+    if not blocks:
+        return [(url, None, kind, None, None)]
+    rows = []
+    for pos, b in enumerate(blocks):
+        ml = re.search(r"(?s)<loc>\s*(.*?)\s*</loc>", b)
+        loc = ml.group(1) if ml else ""
+        mm = re.search(r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", b)
+        lm = mm.group(1) if mm else ""
+        rows.append((url, pos, kind, loc, lm or None))
+    return rows
+
+
+def test_parse_sitemap_property_differential(spark):
+    """Hypothesis differential for parse_sitemap: random urlset /
+    sitemapindex docs with padded or missing <loc>, optional <lastmod>,
+    decoy children (priority/changefreq) and inter-entry junk must
+    agree with the independent Python reference."""
+    from hypothesis import given, settings, strategies as st
+
+    entry_st = st.fixed_dictionaries({
+        "loc": st.one_of(st.none(),
+                         st.sampled_from(["https://s/x", "  /pad  ", ""])),
+        "lastmod": st.one_of(st.none(),
+                             st.sampled_from(["2026-08-19",
+                                              " 2026-01-01 "])),
+        "junk": st.sampled_from(["", "<priority>0.5</priority>",
+                                 "<changefreq>daily</changefreq>", "\n "]),
+    })
+    doc_st = st.tuples(st.sampled_from(["url", "sitemap"]),
+                       st.lists(entry_st, min_size=0, max_size=3))
+
+    def render(kind, entries):
+        tag = "sitemap" if kind == "sitemap" else "url"
+        root = "sitemapindex" if kind == "sitemap" else "urlset"
+        out = []
+        for e in entries:
+            loc = (f"<loc>{e['loc']}</loc>" if e["loc"] is not None else "")
+            lm = (f"<lastmod>{e['lastmod']}</lastmod>"
+                  if e["lastmod"] is not None else "")
+            out.append(f"<{tag}>{loc}{e['junk']}{lm}</{tag}>")
+        return (f'<{root} xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{"".join(out)}</{root}>')
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc_st, min_size=1, max_size=3))
+    def check(docs):
+        rows = [(str(i), render(k, es)) for i, (k, es) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "url string, xml string")
+        got = sorted(tuple(r) for r in C.parse_sitemap(df).collect())
+        want = sorted(
+            row for url, xml in rows for row in _py_parse_sitemap(url, xml)
+        )
+        assert got == want, (rows, got, want)
+
+    check()
