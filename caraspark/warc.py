@@ -91,8 +91,11 @@ def build_record(
     url: str | None = None,
     ts: datetime | None = None,
     content_type: str = "application/http; msgtype=response",
+    extra_headers: list[str] | None = None,
 ) -> bytes:
-    """One uncompressed WARC record, trailing CRLF CRLF included."""
+    """One uncompressed WARC record, trailing CRLF CRLF included.
+    ``extra_headers`` carries record-type-specific named fields (e.g. the
+    WARC-Profile / WARC-Refers-To-* block of a ``revisit`` record)."""
     date = _warc_date(ts or _WARC_EPOCH)
     headers = [
         b"WARC/1.0",
@@ -102,6 +105,8 @@ def build_record(
     ]
     if url is not None:
         headers.append(f"WARC-Target-URI: {url}".encode())
+    for h in extra_headers or []:
+        headers.append(h.encode())
     headers += [
         f"Content-Type: {content_type}".encode(),
         f"Content-Length: {len(payload)}".encode(),
@@ -221,6 +226,12 @@ def parse_warc(blob: bytes) -> list[dict]:
         if rec_type == "response":
             split = payload.find(_CRLF * 2)
             rec["body"] = payload[split + 4 :] if split >= 0 else payload
+        elif rec_type == "revisit":
+            # WARC 1.1 §6.7.2 identical-payload-digest: no body is stored;
+            # the record points at the capture that has the bytes.
+            rec["refers_to"] = headers.get("warc-refers-to-target-uri")
+            dg = headers.get("warc-payload-digest", "")
+            rec["payload_digest"] = dg.partition(":")[2] or dg or None
         out.append(rec)
     return out
 
@@ -747,3 +758,204 @@ def warc_wet(spark, sf):
     return blobs.mapInArrow(
         gen, "url string, n_octets bigint, payload_md5 string"
     )
+
+# ---------------------------------------------------------------------------
+# Revisit records (WARC 1.1 §6.7) — fetch-time dedup + digest-join resolution
+# ---------------------------------------------------------------------------
+
+_REVISIT_PROFILE = (
+    "WARC-Profile: "
+    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+)
+
+
+def build_revisit_record(
+    url: str,
+    ts: datetime,
+    digest_hex: str,
+    refers_to_uri: str,
+    refers_to_date: str,
+) -> bytes:
+    """A ``revisit`` record for an identical-payload re-fetch: the HTTP
+    response HEADERS are kept (they may differ between fetches) but the
+    body is NOT stored — WARC-Payload-Digest + WARC-Refers-To-Target-URI
+    point at the capture that has the bytes. This is how Common Crawl
+    avoids re-storing the ~60% of fetches whose payload did not change
+    between monthly crawls."""
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    return build_record(
+        "revisit",
+        head,
+        url=url,
+        ts=ts,
+        content_type="application/http; msgtype=response",
+        extra_headers=[
+            _REVISIT_PROFILE,
+            f"WARC-Payload-Digest: md5:{digest_hex}",
+            f"WARC-Refers-To-Target-URI: {refers_to_uri}",
+            f"WARC-Refers-To-Date: {refers_to_date}",
+        ],
+    )
+
+
+def _revisit_sql() -> str:
+    return """
+SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END AS kind,
+       CASE WHEN doc_id % 3 = 0
+            THEN sha256(text || chr(10) || 'rev2')
+            ELSE sha256(text) END AS payload_sha256,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) END
+         AS refers_to
+FROM documents
+"""
+
+
+@_q("warc_revisit", _revisit_sql())
+def warc_revisit(spark, sf):
+    """Two-crawl WARC with revisit records, resolved by a digest join —
+    hash-verified end to end. Crawl 1 stores every page as a ``response``
+    record; crawl 2 (one day later) re-fetches every url, and the writer
+    emits a full ``response`` only where the payload changed (doc_id%3==0,
+    a ``\\nrev2`` suffix) and a bodyless ``revisit`` record otherwise,
+    exactly as a polite recrawler does. The parser side recovers BOTH
+    record kinds through ``parse_warc`` (revisit rows carry the parsed
+    WARC-Payload-Digest + WARC-Refers-To-Target-URI headers, no bytes),
+    and revisits are RESOLVED by an equi-join on the 16-byte digest
+    against a digest→sha256 lookup built from the crawl-1 responses — the
+    query returns each crawl-2 fetch with the sha256 of the payload a
+    replayer would materialize for it.
+
+    Scale shape: payload bytes cross the executors exactly once (inside
+    the per-file Arrow parse); the resolution join shuffles only
+    (digest, sha256) pairs — 48 bytes a row at 100 TB, never page bodies
+    — and the lookup side is ``distinct`` digests, i.e. the crawl dedup
+    store every production replayer keeps. Identical bodies across
+    different urls collapse to ONE lookup row, so the join can never
+    fan out."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("body")
+    )
+
+    def write(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            bodies = batch.column("body").to_pylist()
+            members: list[bytes] = []
+            for i, b in zip(ids, bodies):
+                b = bytes(b)
+                url = f"https://synth.example/doc/{i}"
+                ts1 = _WARC_EPOCH + timedelta(seconds=i % 86400)
+                ts2 = ts1 + timedelta(days=1)
+                members.append(
+                    _gzip_member(
+                        build_record("response", http_response(b), url, ts1)
+                    )
+                )
+                if i % 3 == 0:
+                    members.append(
+                        _gzip_member(
+                            build_record(
+                                "response",
+                                http_response(b + b"\nrev2"),
+                                url,
+                                ts2,
+                            )
+                        )
+                    )
+                else:
+                    members.append(
+                        _gzip_member(
+                            build_revisit_record(
+                                url,
+                                ts2,
+                                hashlib.md5(b).hexdigest(),
+                                url,
+                                _warc_date(ts1),
+                            )
+                        )
+                    )
+            if members:
+                yield pa.RecordBatch.from_pylist(
+                    [{"warc": b"".join(members)}], schema=_WARC_BLOB
+                )
+
+    blobs = docs.repartition(8, "doc_id").mapInArrow(write, "warc binary")
+
+    rec_schema = pa.schema(
+        [
+            ("rec_type", pa.string()),
+            ("url", pa.string()),
+            ("ts_epoch", pa.int64()),
+            ("digest", pa.string()),
+            ("sha256", pa.string()),
+            ("refers_to", pa.string()),
+        ]
+    )
+
+    def read(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            rows = []
+            for blob in batch.column("warc").to_pylist():
+                for rec in parse_warc(bytes(blob)):
+                    if rec["rec_type"] == "response":
+                        body = rec["body"]
+                        rows.append(
+                            {
+                                "rec_type": "response",
+                                "url": rec["url"],
+                                "ts_epoch": int(
+                                    rec["ts"].timestamp()
+                                ) if rec["ts"] else None,
+                                "digest": hashlib.md5(body).hexdigest(),
+                                "sha256": hashlib.sha256(body).hexdigest(),
+                                "refers_to": None,
+                            }
+                        )
+                    elif rec["rec_type"] == "revisit":
+                        rows.append(
+                            {
+                                "rec_type": "revisit",
+                                "url": rec["url"],
+                                "ts_epoch": int(
+                                    rec["ts"].timestamp()
+                                ) if rec["ts"] else None,
+                                "digest": rec["payload_digest"],
+                                "sha256": None,
+                                "refers_to": rec["refers_to"],
+                            }
+                        )
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=rec_schema)
+
+    parsed = blobs.mapInArrow(
+        read,
+        "rec_type string, url string, ts_epoch bigint, digest string, "
+        "sha256 string, refers_to string",
+    )
+    day2 = int((_WARC_EPOCH + timedelta(days=1)).timestamp())
+    fetch1 = parsed.filter(
+        (F.col("rec_type") == "response") & (F.col("ts_epoch") < day2)
+    )
+    lookup = fetch1.select("digest", "sha256").distinct()
+    f2_resp = parsed.filter(
+        (F.col("rec_type") == "response") & (F.col("ts_epoch") >= day2)
+    ).select(
+        "url",
+        F.lit("response").alias("kind"),
+        F.col("sha256").alias("payload_sha256"),
+        F.lit(None).cast("string").alias("refers_to"),
+    )
+    f2_rev = (
+        parsed.filter(F.col("rec_type") == "revisit")
+        .select("url", "digest", "refers_to")
+        .join(lookup, "digest", "left")
+        .select(
+            "url",
+            F.lit("revisit").alias("kind"),
+            F.col("sha256").alias("payload_sha256"),
+            "refers_to",
+        )
+    )
+    return f2_resp.unionByName(f2_rev)

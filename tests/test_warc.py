@@ -294,3 +294,48 @@ def test_parse_warc_salvages_past_corrupt_gzip_member():
     assert "https://e.example/p2" in urls
     # determinism under the salvage path
     assert parse_warc(blob) == got
+
+
+def test_revisit_record_roundtrip_and_digest_parse():
+    """build_revisit_record → parse_warc: the revisit row carries the
+    parsed refers-to URI and the digest hex with the 'md5:' scheme
+    prefix stripped; no body key is attached (nothing to replay from
+    the record itself)."""
+    from datetime import datetime
+
+    from caraspark.warc import build_revisit_record, parse_warc
+
+    rec = build_revisit_record(
+        "https://e.example/p1",
+        datetime(2026, 1, 2, 0, 0, 7),
+        "0123456789abcdef0123456789abcdef",
+        "https://e.example/p1",
+        "2026-01-01T00:00:07Z",
+    )
+    got = parse_warc(rec)
+    assert len(got) == 1
+    r = got[0]
+    assert r["rec_type"] == "revisit"
+    assert r["url"] == "https://e.example/p1"
+    assert r["refers_to"] == "https://e.example/p1"
+    assert r["payload_digest"] == "0123456789abcdef0123456789abcdef"
+    assert "body" not in r
+    # the kept HTTP headers are the whole payload
+    assert r["payload"].startswith(b"HTTP/1.1 200 OK")
+
+
+def test_revisit_digest_without_scheme_prefix_kept_verbatim():
+    """A bare (scheme-less) WARC-Payload-Digest value must survive the
+    prefix strip — partition(':') on a prefix-less value yields ''
+    in slot 2, and the parser falls back to the raw string."""
+    from caraspark.warc import build_record, parse_warc
+
+    rec = build_record(
+        "revisit",
+        b"HTTP/1.1 200 OK\r\n\r\n",
+        url="https://e.example/x",
+        extra_headers=["WARC-Payload-Digest: deadbeef"],
+    )
+    r = parse_warc(rec)[0]
+    assert r["payload_digest"] == "deadbeef"
+    assert r["refers_to"] is None
