@@ -4040,3 +4040,117 @@ def sitemap_freshness(spark, sf):
     return rows.select("kind", freshness.alias("freshness")).groupBy(
         "kind", "freshness"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_entries"))
+
+
+# ---------------------------------------------------------------------------
+# Change-rate estimation from fetch history (refetch scheduling)
+# ---------------------------------------------------------------------------
+
+
+def change_rate(
+    history: DataFrame,
+    url_col: str = "url",
+    crawl_col: str = "crawl",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Fetch history (url, crawl, payload digest) → per-url change-rate
+    estimate: (url, n_fetches, n_changes, change_permille, bucket).
+
+    A change is a fetch whose digest differs from the PREVIOUS fetch of
+    the same url (lag over the per-url crawl order) — exactly the signal
+    the revisit-record stream provides for free (a revisit ⇒ unchanged).
+    ``change_permille`` = n_changes·1000 div (n_fetches−1), integer
+    arithmetic; the bucket maps the observed rate to a refetch tier
+    (volatile ≥ 800‰, fast ≥ 400‰, slow ≥ 1 change, static otherwise) —
+    the Cho/Garcia-Molina-style frequency estimate a recrawl planner
+    keys wave assignment on.
+
+    Scale shape: ONE exchange keyed on url feeds both the lag window and
+    the follow-up groupBy (same partitioning, Catalyst reuses it);
+    exchanged rows carry (url, crawl, 16-byte digest) — never payloads.
+    A url fetched in every monthly crawl for a decade is ~120 rows:
+    windows stay tiny, skew is impossible by construction."""
+    u, c, d = F.col(url_col), F.col(crawl_col), F.col(digest_col)
+    w = W.partitionBy(url_col).orderBy(crawl_col)
+    per = history.select(
+        u.alias("url"),
+        c.alias("crawl"),
+        (d != F.lag(d).over(w)).cast("int").alias("chg"),
+    )
+    agg = per.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changes"),
+    )
+    permille = F.when(
+        F.col("n_fetches") > 1,
+        (F.col("n_changes") * 1000).cast("long")
+        / (F.col("n_fetches") - 1),
+    ).otherwise(F.lit(0.0))
+    permille = F.floor(permille).cast("long")
+    bucket = (
+        F.when(F.col("change_permille") >= 800, F.lit("volatile"))
+        .when(F.col("change_permille") >= 400, F.lit("fast"))
+        .when(F.col("n_changes") >= 1, F.lit("slow"))
+        .otherwise(F.lit("static"))
+    )
+    return agg.withColumn("change_permille", permille).withColumn(
+        "bucket", bucket
+    )
+
+
+def _crawl_changerate_sql() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id, doc_id % 5 + 1 AS period FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN period = 5 THEN 0
+              ELSE CAST(floor(5 / period) AS BIGINT) END AS n_changes
+  FROM p
+)
+SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(6 AS BIGINT) AS n_fetches,
+       n_changes,
+       n_changes * 1000 // 5 AS change_permille,
+       CASE WHEN n_changes * 1000 // 5 >= 800 THEN 'volatile'
+            WHEN n_changes * 1000 // 5 >= 400 THEN 'fast'
+            WHEN n_changes >= 1 THEN 'slow'
+            ELSE 'static' END AS bucket
+FROM m
+"""
+
+
+@_q("crawl_changerate", _crawl_changerate_sql())
+def crawl_changerate(spark, sf):
+    """Change-rate estimation, hash-verified closed-form: each document
+    simulates SIX crawls whose payload version bumps every `period`-th
+    crawl (period = doc_id%5+1; period 5 never changes — the static
+    tier), digests are md5(text ‖ version), and `change_rate` must
+    recover exactly floor(5/period) changes per url from the lag window
+    — while the oracle derives the same counts arithmetically, never
+    touching digests. Pins the lag/groupBy chain end to end, including
+    the 0-change and every-crawl-changes extremes."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    period = (did % 5 + 1).cast("long")
+    crawls = F.sequence(F.lit(0), F.lit(5))
+    t = d.select(
+        F.concat(
+            F.lit("https://synth.example/doc/"), did.cast("string")
+        ).alias("url"),
+        "text",
+        period.alias("period"),
+        F.explode(crawls).alias("crawl"),
+    )
+    version = F.when(
+        F.col("period") == 5, F.lit(0).cast("long")
+    ).otherwise(F.floor(F.col("crawl") / F.col("period")).cast("long"))
+    hist = t.select(
+        "url",
+        "crawl",
+        F.md5(F.concat(F.col("text"), version.cast("string"))).alias(
+            "digest"
+        ),
+    )
+    return change_rate(hist)

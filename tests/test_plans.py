@@ -938,3 +938,12 @@ def test_url_resolution_compositions_stay_codegen(spark, sf_smoke, qs):
         }
     finally:
         spark.conf.unset("spark.sql.codegen.fallback")
+
+
+def test_change_rate_single_exchange_reused(spark, sf_smoke, qs):
+    """crawl_changerate: the url-keyed exchange feeds BOTH the lag window
+    and the follow-up groupBy — Catalyst must not add a second shuffle
+    (the groupBy key equals the window partition key)."""
+    p = plan_of(qs["crawl_changerate"](spark, sf_smoke), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" in p, p
