@@ -2431,3 +2431,61 @@ def dedup_exact_latest(spark, sf):
         )
         .filter(F.col("n") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (packing / curation pre-pass)
+# ---------------------------------------------------------------------------
+
+# Java∩RE2 common subset (no lookaround): a sentence is a maximal run of
+# non-terminal characters followed by a terminal-punctuation run, plus one
+# trailing unterminated fragment. Leading bare punctuation has no sentence
+# to attach to and is skipped identically by both engines.
+_SENTENCE_RE = r"([^.!?]+[.!?]+|[^.!?]+$)"
+
+
+def _text_sentences_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_SENTENCE_RE}', 1)) AS sent,
+         generate_subscripts(
+             regexp_extract_all(text, '{_SENTENCE_RE}', 1), 1) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS pos,
+       trim(sent) AS sentence,
+       CAST(length(trim(sent)) AS BIGINT) AS n_chars
+FROM s
+WHERE length(trim(sent)) > 0
+"""
+
+
+@_q("text_sentences", _text_sentences_sql())
+def text_sentences(spark, sf):
+    """Sentence segmentation — the packing/curation pre-pass that turns a
+    document into ordered sentence rows: (doc_id, pos, sentence, n_chars).
+    Sentences are terminal-punctuation-run bounded (``Multi?!`` and
+    ``bang..`` stay single sentences), the trailing unterminated fragment
+    is kept, matches are space-trimmed, and whitespace-only matches drop;
+    ``pos`` is the 0-based match index BEFORE the drop so downstream
+    joins can reconstruct adjacency. The twin SQL runs the identical
+    Java∩RE2 regex, so the hash pins both engines' split agreement
+    (probed: trailing-newline `$` behavior matches).
+
+    Scale shape: one regexp_extract_all + posexplode in the scan stage —
+    zero shuffle, zero Python; a document's sentences explode inside its
+    input partition exactly like `doc_chunks`."""
+    d = load(spark, sf, "documents")
+    arr = F.regexp_extract_all("text", F.lit(_SENTENCE_RE), 1)
+    t = d.select(
+        "doc_id", F.posexplode(arr).alias("pos", "sent")
+    )
+    sent = F.trim(F.col("sent"))
+    return t.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        sent.alias("sentence"),
+        F.length(sent).cast("long").alias("n_chars"),
+    ).filter(F.length(sent) > 0)

@@ -947,3 +947,9 @@ def test_change_rate_single_exchange_reused(spark, sf_smoke, qs):
     p = plan_of(qs["crawl_changerate"](spark, sf_smoke), "simple")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Window" in p, p
+
+
+def test_text_sentences_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["text_sentences"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
+    assert "Generate" in p, p  # the posexplode
