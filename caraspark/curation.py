@@ -4154,3 +4154,95 @@ def crawl_changerate(spark, sf):
         ),
     )
     return change_rate(hist)
+
+
+# ---------------------------------------------------------------------------
+# Badword-list content filter (C4 rule 1; list is a synthetic placeholder)
+# ---------------------------------------------------------------------------
+
+
+def badword_filter(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Wordlist content filter — C4's first rule (Raffel et al. 2020
+    §2.2 drops any page containing a listed word). Adds (n_tokens,
+    n_hits, hit_permille, flagged) per row; a token is a maximal
+    [a-z0-9]+ run of the lowercased text (no empty-edge artifacts),
+    hits are whole-word (\\b-bounded) matches of any listed term.
+
+    Scale shape: the list is compiled into ONE alternation regex
+    evaluated in the scan stage — zero shuffle, zero Python, and the
+    \"broadcast\" is the compiled pattern riding the task closure, the
+    right call for the few-hundred-word lists production uses. A list
+    too big to alternate (≫10⁴ terms) switches to the token-explode +
+    broadcast-hash-join shape instead (`filter_blocklist` shows it);
+    the verdict column is identical."""
+    low = F.lower(F.col(text_col))
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    n_tokens = F.size(
+        F.regexp_extract_all(low, F.lit(r"[a-z0-9]+"), F.lit(0))
+    ).cast("long")
+    n_hits = F.size(
+        F.regexp_extract_all(low, F.lit(pat), F.lit(1))
+    ).cast("long")
+    permille = F.when(
+        n_tokens > 0, F.floor(n_hits * 1000 / n_tokens)
+    ).otherwise(F.lit(0)).cast("long")
+    return docs.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        permille.alias("hit_permille"),
+        (n_hits > 0).alias("flagged"),
+    )
+
+
+_BADWORDS_SYNTH = ["xxxblocka", "xxxblockb", "xxxblockc"]
+
+
+def _text_badwords_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS base_tokens,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 0 END AS planted
+  FROM documents
+)
+SELECT doc_id,
+       base_tokens + planted AS n_tokens,
+       CAST(planted AS BIGINT) AS n_hits,
+       CASE WHEN base_tokens + planted > 0
+            THEN planted * 1000 // (base_tokens + planted)
+            ELSE 0 END AS hit_permille,
+       planted > 0 AS flagged
+FROM m
+"""
+
+
+@_q("text_badwords", _text_badwords_sql())
+def text_badwords(spark, sf):
+    """Badword filter, hash-verified closed-form: terms are planted per
+    doc_id residue (%4 → one hit, %6 → two more, %12 → all three) onto
+    the clean word-salad corpus, so the oracle predicts every count
+    arithmetically — only the base token count mirrors the [a-z0-9]+
+    tokenizer. Pins the alternation regex, word boundaries, and the
+    integer permille math; docs with zero hits stay visible
+    (flagged=false), which is what makes the column an ablatable
+    verdict rather than a destructive filter."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.lit(" xxxblocka")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit(" xxxblockb xxxblockc")).otherwise(
+            F.lit("")
+        ),
+    )
+    planted = d.select("doc_id", t.alias("text"))
+    return badword_filter(planted, _BADWORDS_SYNTH).select(
+        "doc_id", "n_tokens", "n_hits", "hit_permille", "flagged"
+    )

@@ -953,3 +953,8 @@ def test_text_sentences_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["text_sentences"](spark, sf_smoke), "simple")
     assert "Exchange" not in p and "EvalPython" not in p, p
     assert "Generate" in p, p  # the posexplode
+
+
+def test_text_badwords_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["text_badwords"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
