@@ -92,6 +92,10 @@ EXTRAS = [
     "sitemap_entries",
     "robots_sitemaps",
     "feed_entries",
+    "warc_revisit",
+    "crawl_changerate",
+    "text_sentences",
+    "text_badwords",
 ]
 
 REPEATS = 3
