@@ -1236,3 +1236,43 @@ def test_parse_sitemap_property_differential(spark):
         assert got == want, (rows, got, want)
 
     check()
+
+
+def test_assemble_series_property_differential(spark):
+    """Hypothesis differential: random next-edge functions (self-loops,
+    cycles, contested targets, frontier edges to pages outside the
+    corpus, None) must label every page exactly as a direct Python walk
+    of the documented semantics — min-parent attach, head = no attached
+    parent, cycle → NULL."""
+    from hypothesis import given, settings, strategies as st
+
+    pages = [f"p{i}" for i in range(6)]
+    nxt = st.one_of(st.none(), st.sampled_from(pages + ["https://ext/x"]))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.tuples(*[nxt] * 6))
+    def check(nexts):
+        rows = list(zip(pages, nexts))
+        df = spark.createDataFrame(rows, "url string, next_url string")
+        got = {
+            r.url: (r.series_id, r.pos)
+            for r in C.assemble_series(df).collect()
+        }
+        # reference: attach v to min(u) over edges u->v with v a page
+        par = {}
+        for u, n in rows:
+            if n in pages:
+                par[n] = min(par[n], u) if n in par else u
+        want = {}
+        for p in pages:
+            v, d, seen = p, 0, set()
+            while v in par and v not in seen:
+                seen.add(v)
+                v, d = par[v], d + 1
+            if v in seen:  # walked into a cycle: never reached a head
+                want[p] = (None, None)
+            else:
+                want[p] = (v, d)
+        assert got == want, (rows, got, want)
+
+    check()

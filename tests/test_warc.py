@@ -339,3 +339,121 @@ def test_revisit_digest_without_scheme_prefix_kept_verbatim():
     r = parse_warc(rec)[0]
     assert r["payload_digest"] == "deadbeef"
     assert r["refers_to"] is None
+
+
+def test_parse_warc_fuzz_recovers_all_records_between_junk():
+    """Hypothesis: any interleaving of well-formed records with junk that
+    lacks the WARC/ magic (and doesn't open the blob with the gzip magic,
+    which by contract flips the framing sniff to gzip mode) must recover
+    EVERY record, in order, with byte-exact bodies — junk can only be
+    skipped, never eat a record."""
+    from datetime import datetime
+
+    from hypothesis import given, settings, strategies as st
+
+    from caraspark.warc import build_record, http_response, parse_warc
+
+    junk = st.sampled_from([
+        b"", b"\r\n\r\n", b"garbage\xff\x00bytes",
+        b"Content-Length: -100\r\n\r\n",
+        b"WARC-Type: response\r\n", b"mid \x1f\x8b\x08 gzip magic",
+    ])
+    item = st.one_of(st.integers(min_value=0, max_value=9),
+                     junk)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(item, min_size=0, max_size=8))
+    def check(items):
+        want = []
+        blob = b""
+        for it in items:
+            if isinstance(it, int):
+                body = f"<p>doc {it}</p>".encode() * (it + 1)
+                blob += build_record(
+                    "response", http_response(body),
+                    url=f"https://e.example/p{it}",
+                    ts=datetime(2026, 1, 1, 0, 0, it),
+                )
+                want.append((f"https://e.example/p{it}", body))
+            else:
+                blob += it
+        got = [(r["url"], r.get("body")) for r in parse_warc(blob)
+               if r["rec_type"] == "response"]
+        assert got == want, (items, got, want)
+        assert parse_warc(blob) == parse_warc(blob)
+
+    check()
+
+
+def test_parse_warc_fuzz_terminates_on_decoy_headers():
+    """Hypothesis: junk containing WARC/ magics, hostile Content-Length
+    lines, and header fragments must never hang or crash the parser —
+    salvage may merge decoys, but parsing terminates deterministically."""
+    from hypothesis import given, settings, strategies as st
+
+    from caraspark.warc import parse_warc
+
+    piece = st.sampled_from([
+        b"WARC/1.0\r\nContent-Length: -7\r\n\r\n",
+        b"WARC/1.0\r\nContent-Length: 999999999\r\n\r\n",
+        b"WARC/", b"\r\n\r\n", b"WARC/1.0\r\nno colon line\r\n\r\nx",
+        b"Content-Length: 5\r\n", b"\x00\xff" * 7,
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nab\r\n\r\n",
+    ])
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=10))
+    def check(pieces):
+        blob = b"".join(pieces)
+        got = parse_warc(blob)
+        assert parse_warc(blob) == got
+        for r in got:
+            assert isinstance(r["payload"], bytes)
+
+    check()
+
+
+def test_parse_warc_fuzz_gzip_member_corruption_subset():
+    """Hypothesis: with per-record gzip members, any subset of corrupted
+    members must cost exactly those members — every intact member's
+    record is recovered."""
+    from datetime import datetime
+
+    from hypothesis import given, settings, strategies as st
+
+    from caraspark.warc import (
+        _gzip_member,
+        build_record,
+        http_response,
+        parse_warc,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.booleans(), min_size=1, max_size=6))
+    def check(corrupt_flags):
+        members = []
+        want = []
+        for i, corrupt in enumerate(corrupt_flags):
+            body = f"<p>member {i}</p>".encode()
+            m = _gzip_member(
+                build_record(
+                    "response", http_response(body),
+                    url=f"https://e.example/m{i}",
+                    ts=datetime(2026, 1, 1, 0, 0, i),
+                )
+            )
+            if corrupt:
+                # flip a byte in the deflate stream, past the 10-byte header
+                k = min(12, len(m) - 9)  # keep the trailer intact
+                m = m[:k] + bytes([m[k] ^ 0xFF]) + m[k + 1:]
+            else:
+                want.append((f"https://e.example/m{i}", body))
+            members.append(m)
+        got = [(r["url"], r.get("body")) for r in parse_warc(b"".join(members))
+               if r["rec_type"] == "response"]
+        # salvage may or may not shed a neighbor's framing bytes, but every
+        # INTACT member must survive
+        for w in want:
+            assert w in got, (corrupt_flags, w, got)
+
+    check()
