@@ -4246,3 +4246,111 @@ def text_badwords(spark, sf):
     return badword_filter(planted, _BADWORDS_SYNTH).select(
         "doc_id", "n_tokens", "n_hits", "hit_permille", "flagged"
     )
+
+
+# ---------------------------------------------------------------------------
+# License detection (open-license corpus filtering)
+# ---------------------------------------------------------------------------
+
+_CC_HREF_RE = r"creativecommons\.org/licenses/([a-z-]+)/([0-9]\.[0-9])"
+_CC_TEXT_RE = r"\bCC BY(?:-[A-Z]{2})* [0-9]\.[0-9]"
+
+
+def detect_license(df: DataFrame, html_col: str = "html_s") -> DataFrame:
+    """License detection over page markup — the filter an open-license
+    corpus build runs before including a page (and a reuse-compliance
+    signal for everything else). Three detectors, strongest first:
+    a creativecommons.org/licenses/<type>/<ver> href (normalized to
+    ``cc-<type>-<ver>``), a plain-text "CC BY[-XX]* d.d" mention
+    (lowercased, space→dash), and a bare rel="license" link (→
+    ``custom`` — some license, unknown terms). ``license`` is NULL when
+    nothing matches; ``has_rel_license`` stays independently visible so
+    ablations can split custom-vs-CC.
+
+    Scale shape: three regexp_extracts + string predicates in the scan
+    stage — zero shuffle, zero Python; patterns sit in the Java∩RE2
+    subset so the twin SQL computes identical strings."""
+    x = F.col(html_col)
+    cc_type = F.regexp_extract(x, _CC_HREF_RE, 1)
+    cc_ver = F.regexp_extract(x, _CC_HREF_RE, 2)
+    cc_href = F.when(
+        cc_type != "", F.concat(F.lit("cc-"), cc_type, F.lit("-"), cc_ver)
+    )
+    mention = F.regexp_extract(x, _CC_TEXT_RE, 0)
+    cc_text = F.when(
+        mention != "", F.lower(F.regexp_replace(mention, " ", "-"))
+    )
+    has_rel = F.instr(x, 'rel="license"') > 0
+    lic = F.coalesce(
+        cc_href, cc_text, F.when(has_rel, F.lit("custom"))
+    )
+    return df.select(
+        "*", has_rel.alias("has_rel_license"), lic.alias("license")
+    )
+
+
+def _doc_license_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'by' WHEN 1 THEN 'by-sa'
+              WHEN 2 THEN 'by-nc' ELSE 'by-nd' END AS t,
+         CASE WHEN doc_id % 2 = 0 THEN '4.0' ELSE '3.0' END AS v
+  FROM documents
+)
+SELECT doc_id,
+       doc_id % 3 = 0 OR (doc_id % 3 = 2 AND doc_id % 7 = 0)
+         AS has_rel_license,
+       CASE WHEN doc_id % 3 = 0 THEN 'cc-' || t || '-' || v
+            WHEN doc_id % 3 = 1 AND doc_id % 5 = 0 THEN 'cc-by-sa-4.0'
+            WHEN doc_id % 3 = 2 AND doc_id % 7 = 0 THEN 'custom'
+            END AS license
+FROM m
+"""
+
+
+@_q("doc_license", _doc_license_sql())
+def doc_license(spark, sf):
+    """License detection, hash-verified closed-form: pages plant one of
+    the three signal shapes by residue — a CC href (type/version matrix
+    over %4 × %2), a bare text mention "CC BY-SA 4.0" with NO href, a
+    rel="license" link to non-CC terms — or nothing (the NULL path).
+    The oracle derives every verdict arithmetically from the residues,
+    so the regex chain, precedence order, and normalization are all
+    pinned against intent rather than a twin regex."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    t = (
+        F.when(did % 4 == 0, F.lit("by"))
+        .when(did % 4 == 1, F.lit("by-sa"))
+        .when(did % 4 == 2, F.lit("by-nc"))
+        .otherwise(F.lit("by-nd"))
+    )
+    v = F.when(did % 2 == 0, F.lit("4.0")).otherwise(F.lit("3.0"))
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a rel="license" href="https://creativecommons.org'
+                      '/licenses/'),
+                t, F.lit("/"), v, F.lit('/">Some rights reserved</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 3 == 1) & (did % 5 == 0),
+            F.lit("<p>Licensed under CC BY-SA 4.0.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            (did % 3 == 2) & (did % 7 == 0),
+            F.lit('<a rel="license" href="https://example.com/terms">'
+                  "Terms</a>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html_s"))
+    return detect_license(pages).select(
+        "doc_id", "has_rel_license", "license"
+    )

@@ -962,3 +962,61 @@ def stream_feed(spark, sf):
         .alias("n_feeds"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_revisit",
+    """SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN sha256(text || 'v2')
+            ELSE sha256(text) END AS payload_sha256
+FROM documents""",
+)
+def stream_revisit(spark, sf):
+    """Stream-STATIC join: continuous crawl ingest resolved against the
+    crawl's digest store. Each arriving fetch carries its payload md5
+    (changed pages — doc_id%3==0, a 'v2' payload bump — miss the store;
+    unchanged pages hit it); a broadcast LEFT join against the static
+    distinct (digest → sha256) lookup classifies every fetch as
+    response-vs-revisit and resolves revisits to the stored payload
+    hash without ever re-reading bytes — the streaming twin of
+    `warc_revisit`'s batch resolution.
+
+    The static side is re-readable per micro-batch by contract (Spark
+    re-plans stream-static joins each batch), which is exactly how a
+    production dedup store picks up compactions mid-stream; the join is
+    stateless, so append mode emits each fetch once. Only (url, digest)
+    rows flow through the stream; the broadcast carries 48-byte
+    digest pairs."""
+    from caraspark.tables import load
+
+    store = (
+        load(spark, sf, "documents")
+        .select(
+            F.md5("text").alias("digest"),
+            F.sha2(F.col("text"), 256).alias("stored_sha256"),
+        )
+        .distinct()
+    )
+    docs = S.replay_documents_stream(spark, sf)
+    did = F.col("doc_id")
+    changed = did % 3 == 0
+    fetches = docs.select(
+        F.concat(
+            F.lit("https://synth.example/doc/"), did.cast("string")
+        ).alias("url"),
+        F.when(
+            changed, F.md5(F.concat(F.col("text"), F.lit("v2")))
+        ).otherwise(F.md5("text")).alias("digest"),
+        F.when(
+            changed, F.sha2(F.concat(F.col("text"), F.lit("v2")), 256)
+        ).otherwise(F.lit(None).cast("string")).alias("new_sha256"),
+    )
+    out = fetches.join(F.broadcast(store), "digest", "left").select(
+        "url",
+        F.when(F.col("stored_sha256").isNull(), F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("kind"),
+        F.coalesce("stored_sha256", "new_sha256").alias("payload_sha256"),
+    )
+    return S.run_to_memory(out, mode="append")
