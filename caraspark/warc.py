@@ -959,3 +959,124 @@ def warc_revisit(spark, sf):
         )
     )
     return f2_resp.unionByName(f2_rev)
+
+
+# ---------------------------------------------------------------------------
+# HTTP header harvest from response payloads (parser routing + REP headers)
+# ---------------------------------------------------------------------------
+
+
+def http_head(payload: bytes) -> tuple[int | None, dict[str, str]]:
+    """Status code + headers of the HTTP message at the front of a WARC
+    response payload. Tolerant: a payload with no CRLFCRLF or a garbled
+    status line yields (None, {}) — never raises (crawled archives carry
+    every malformation). Duplicate header names keep the FIRST value
+    (the one proxies/browsers act on); names lowercase."""
+    split = payload.find(_CRLF * 2)
+    head = payload[:split] if split >= 0 else b""
+    lines = head.split(_CRLF)
+    status: int | None = None
+    if lines and lines[0][:5] == b"HTTP/":
+        parts = lines[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            key = k.decode("latin-1").strip().lower()
+            if key not in headers:
+                headers[key] = v.decode("latin-1").strip()
+    return status, headers
+
+
+def _warc_headers_sql() -> str:
+    return """
+SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS INT)
+         AS status,
+       CASE WHEN doc_id % 6 = 0 THEN 'application/pdf'
+            ELSE 'text/html' END AS content_type,
+       CASE WHEN doc_id % 9 = 0 THEN 'noindex, nofollow'
+            WHEN doc_id % 9 = 3 THEN 'noarchive' END AS x_robots_tag,
+       doc_id % 9 = 0 AS noindex
+FROM documents
+"""
+
+
+@_q("warc_headers", _warc_headers_sql())
+def warc_headers(spark, sf):
+    """HTTP header harvest, hash-verified roundtrip: each document is
+    framed as a full WARC response whose HTTP message carries a status
+    (404 on %17), a Content-Type (`application/pdf` on %6 — the
+    parser-routing signal), and an X-Robots-Tag on %9 residues (the
+    header-level REP directive `filter_noindex`'s meta-tag path cannot
+    see); `http_head` parses them back out of the payload bytes and the
+    closed-form oracle pins status-line split, first-value-wins header
+    fold, and the derived noindex verdict.
+
+    Scale shape: the same one-pass Arrow map as every WARC qkey — zero
+    shuffle; headers are harvested in the SAME pass that already slices
+    the payload, so the signal is free at scan time."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("body")
+    )
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("status", pa.int32()),
+                ("content_type", pa.string()),
+                ("x_robots_tag", pa.string()),
+                ("noindex", pa.bool_()),
+            ]
+        )
+        for batch in it:
+            rows = []
+            for i, b in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("body").to_pylist(),
+            ):
+                b = bytes(b)
+                url = f"https://synth.example/doc/{i}"
+                ts = _WARC_EPOCH + timedelta(seconds=i % 86400)
+                status = 404 if i % 17 == 0 else 200
+                ctype = "application/pdf" if i % 6 == 0 else "text/html"
+                extra = b""
+                if i % 9 == 0:
+                    extra = b"X-Robots-Tag: noindex, nofollow\r\n"
+                elif i % 9 == 3:
+                    extra = b"X-Robots-Tag: noarchive\r\n"
+                http = (
+                    f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+                ).encode() + extra + (
+                    f"Content-Length: {len(b)}\r\n\r\n"
+                ).encode() + b
+                rec = build_record("response", http, url=url, ts=ts)
+                for r in parse_warc(rec):
+                    if r["rec_type"] != "response":
+                        continue
+                    st, hdrs = http_head(r["payload"])
+                    xrt = hdrs.get("x-robots-tag")
+                    rows.append(
+                        {
+                            "url": r["url"],
+                            "status": st,
+                            "content_type": hdrs.get(
+                                "content-type", ""
+                            ).partition(";")[0],
+                            "x_robots_tag": xrt,
+                            "noindex": bool(
+                                xrt and "noindex" in xrt
+                            ),
+                        }
+                    )
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return docs.repartition(8, "doc_id").mapInArrow(
+        gen,
+        "url string, status int, content_type string, "
+        "x_robots_tag string, noindex boolean",
+    )

@@ -457,3 +457,19 @@ def test_parse_warc_fuzz_gzip_member_corruption_subset():
             assert w in got, (corrupt_flags, w, got)
 
     check()
+
+
+def test_http_head_edges():
+    """Status/headers harvest tolerates malformed messages: no CRLFCRLF,
+    garbled status lines, duplicate headers (first wins), colon-less
+    lines, and header-only payloads."""
+    from caraspark.warc import http_head
+
+    st, h = http_head(b"HTTP/1.1 200 OK\r\nA: 1\r\nA: 2\r\nB:x\r\n\r\nbody")
+    assert st == 200 and h == {"a": "1", "b": "x"}
+    assert http_head(b"no http here at all") == (None, {})
+    assert http_head(b"") == (None, {})
+    st, h = http_head(b"HTTP/1.1 xyz\r\nC: 3\r\n\r\n")
+    assert st is None and h == {"c": "3"}
+    st, h = http_head(b"HTTP/1.1 404 Not Found\r\njunk line\r\n\r\n")
+    assert st == 404 and h == {}
