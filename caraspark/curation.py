@@ -4354,3 +4354,110 @@ def doc_license(spark, sf):
     return detect_license(pages).select(
         "doc_id", "has_rel_license", "license"
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection (200-status error pages)
+# ---------------------------------------------------------------------------
+
+_SOFT404_TITLE_RE = r"(?i)\b(404|page not found|not found|error)\b"
+_SOFT404_BODY_RE = (
+    r"(?i)\b(page (?:was )?not found|no longer (?:exists|available)"
+    r"|does not exist)\b"
+)
+
+
+def detect_soft404(
+    df: DataFrame,
+    title_col: str = "title",
+    text_col: str = "text",
+    status_col: str = "status",
+    short_chars: int = 400,
+) -> DataFrame:
+    """Soft-404 detection — pages that answer HTTP 200 with error-page
+    content poison both the training corpus (boilerplate decoys) and the
+    link graph (phantom endpoints), and every production crawler filters
+    them heuristically. Rule stack, each independently visible for
+    ablations: an error-phrase title, an error-phrase body, a
+    short-body floor; the verdict fires only on status 200 (a real 404
+    is already handled by status filtering) when the title matches OR
+    the body matches on a short page.
+
+    Scale shape: two regexes + a length predicate in the scan stage —
+    zero shuffle, zero Python; Java∩RE2 patterns."""
+    title_err = F.coalesce(
+        F.regexp_extract(F.col(title_col), _SOFT404_TITLE_RE, 0) != "",
+        F.lit(False),
+    )
+    body_err = F.coalesce(
+        F.regexp_extract(F.col(text_col), _SOFT404_BODY_RE, 0) != "",
+        F.lit(False),
+    )
+    short = F.coalesce(
+        F.length(text_col) < short_chars, F.lit(True)
+    )
+    verdict = (F.col(status_col) == 200) & (
+        title_err | (body_err & short)
+    )
+    return df.select(
+        "*",
+        title_err.alias("title_err"),
+        body_err.alias("body_err"),
+        short.alias("short_body"),
+        verdict.alias("is_soft404"),
+    )
+
+
+def _doc_soft404_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+         doc_id % 11 = 0 AS title_err,
+         doc_id % 13 = 0 AS body_err,
+         CASE WHEN doc_id % 13 = 0 AND doc_id % 2 = 0
+              THEN 120 ELSE 450 END AS body_len
+  FROM documents
+)
+SELECT doc_id, CAST(status AS INT) AS status, title_err, body_err,
+       body_len < 400 AS short_body,
+       status = 200 AND (title_err OR (body_err AND body_len < 400))
+         AS is_soft404
+FROM m
+"""
+
+
+@_q("doc_soft404", _doc_soft404_sql())
+def doc_soft404(spark, sf):
+    """Soft-404 detection, hash-verified closed-form: titles/bodies are
+    synthesized by residue — %11 plants a '404 Not Found' title, %13 an
+    error-phrase body that is SHORT only on even ids (pinning that body
+    phrases alone don't fire on long pages), %17 a real 404 status that
+    must suppress the verdict. The oracle derives every boolean
+    arithmetically; body text is padded with 'x' runs so the length
+    floor is exact on both engines."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    status = F.when(did % 17 == 0, F.lit(404)).otherwise(F.lit(200))
+    # filler titles fuse the id into one word ("Doc404") so \b404\b can
+    # never fire on the id itself — only planted %11 titles may match
+    title = F.when(
+        did % 11 == 0, F.lit("404 Not Found - example.com")
+    ).otherwise(F.concat(F.lit("Doc"), did.cast("string")))
+    body_len = F.when(
+        (did % 13 == 0) & (did % 2 == 0), F.lit(120)
+    ).otherwise(F.lit(450))
+    phrase = F.when(
+        did % 13 == 0, F.lit("Sorry, this page was not found. ")
+    ).otherwise(F.lit(""))
+    body = F.rpad(phrase, body_len, "x")
+    pages = d.select(
+        "doc_id",
+        title.alias("title"),
+        body.alias("text"),
+        status.cast("int").alias("status"),
+    )
+    return detect_soft404(pages).select(
+        "doc_id", "status", "title_err", "body_err", "short_body",
+        "is_soft404",
+    )

@@ -963,3 +963,8 @@ def test_text_badwords_is_narrow_jvm(spark, sf_smoke, qs):
 def test_doc_license_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["doc_license"](spark, sf_smoke), "simple")
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_doc_soft404_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["doc_soft404"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
