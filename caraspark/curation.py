@@ -4461,3 +4461,68 @@ def doc_soft404(spark, sf):
         "doc_id", "status", "title_err", "body_err", "short_body",
         "is_soft404",
     )
+
+
+# ---------------------------------------------------------------------------
+# De-hyphenation (PDF line-wrap repair)
+# ---------------------------------------------------------------------------
+
+
+def dehyphenate(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """PDF line-wrap repair — extracted PDF text carries the layout's
+    end-of-line hyphenation ("exam-\\nple") and soft line breaks that a
+    training corpus must not learn as token boundaries. Three passes, in
+    order: (1) re-join letter-hyphen-newline-letter word splits, (2)
+    protect paragraph breaks (2+ newlines) behind a \\x01 sentinel so
+    pass (3) can collapse the remaining single newlines to spaces
+    without a variable-length lookaround (Java regex replaceAll resumes
+    AFTER the matched region, so "a\\nb\\nc" under ([^\\n])\\n([^\\n])
+    would miss every other break — the sentinel sidesteps that). Real
+    compound hyphens ("well-known") are untouched: the join fires only
+    across a newline.
+
+    Scale shape: four regexp_replace calls in the scan stage — zero
+    shuffle, zero Python, whole-stage codegen."""
+    joined = F.regexp_replace(
+        F.col(text_col), r"(\p{L})-\n(\p{L})", r"$1$2"
+    )
+    para = F.regexp_replace(joined, "\n{2,}", "\x01")
+    soft = F.regexp_replace(para, "\n", " ")
+    out = F.regexp_replace(soft, "\x01", "\n\n")
+    return df.select("*", out.alias(out_col))
+
+
+def _dehyph_sql() -> str:
+    return """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'German example of a rejoined word'
+         WHEN 1 THEN 'a well-known phrase kept intact'
+         ELSE 'para one' || chr(10) || chr(10) || 'para two'
+       END AS text_clean
+FROM documents
+"""
+
+
+@_q("text_dehyphenate", _dehyph_sql())
+def text_dehyphenate(spark, sf):
+    """De-hyphenation, hash-verified closed-form: each residue class
+    plants one repair shape — %3==0 two hyphen-newline word splits
+    (one capitalized, pinning \\p{L} over [a-z]) plus a soft break,
+    %3==1 a compound hyphen WITHOUT a newline that must survive plus a
+    soft break, %3==2 a paragraph break that must be preserved verbatim.
+    The oracle states the repaired strings directly, so the regex chain,
+    the pass order, and the sentinel trick are all pinned against
+    intent rather than a twin regex."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    text = (
+        F.when(did % 3 == 0,
+               F.lit("Ger-\nman exam-\nple of a\nrejoined word"))
+        .when(did % 3 == 1, F.lit("a well-known\nphrase kept intact"))
+        .otherwise(F.lit("para one\n\npara two"))
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    return dehyphenate(pages).select("doc_id", "text_clean")

@@ -968,3 +968,8 @@ def test_doc_license_is_narrow_jvm(spark, sf_smoke, qs):
 def test_doc_soft404_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["doc_soft404"](spark, sf_smoke), "simple")
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_text_dehyphenate_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["text_dehyphenate"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
