@@ -4526,3 +4526,264 @@ def text_dehyphenate(spark, sf):
     )
     pages = d.select("doc_id", text.alias("text"))
     return dehyphenate(pages).select("doc_id", "text_clean")
+
+
+# ---------------------------------------------------------------------------
+# HTTP redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+_REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def resolve_redirects(
+    pages: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "location",
+    max_hops: int = 4,
+    broadcast_edges: bool = False,
+) -> DataFrame:
+    """Bounded HTTP redirect-chain resolution — the crawl's 3xx responses
+    (``warc_headers`` harvests status + Location) form a url→url edge
+    map, and every fetched url is walked to its landing page: the url of
+    record for dedup (``dedup_canonical`` sees the DOM's canonical hint;
+    this sees the SERVER's), for the link graph, and for refetch
+    scheduling. Output per url: ``final_url``, ``hops``, a ``kind``
+    verdict (``ok`` = not a redirect, ``resolved`` = chain terminated,
+    ``unresolved`` = still redirecting after ``max_hops`` — a loop or an
+    over-long chain), and ``final_in_crawl`` (the landing page was
+    itself fetched — false means the chain exits the crawl).
+
+    Scale shape: ``max_hops`` url-keyed equi-joins, each shuffling only
+    (url, current) string pairs — payloads never move. Redirects are
+    typically ≤10% of fetch volume, so ``broadcast_edges=True`` turns
+    every hop into a broadcast hash join with ZERO exchange on the big
+    side; the default leaves the choice to AQE. Chains longer than ~5
+    are dead in practice (browsers cap near 20, crawlers near 5), so
+    sequential hops beat pointer-doubling (log-round path-halving à la
+    ``connected_components``) on constant factors; the doubling form is
+    the documented fallback if a corpus ever carries deep chains. The
+    edge map collapses duplicate fetches of the same url with ``max``
+    (deterministic under re-crawl dups, unlike dropDuplicates)."""
+    edges = (
+        pages.filter(
+            F.col(status_col).isin(list(_REDIRECT_STATUSES))
+            & F.col(location_col).isNotNull()
+        )
+        .groupBy(F.col(url_col).alias("_src"))
+        .agg(F.max(location_col).alias("_dst"))
+    )
+    if broadcast_edges:
+        edges = F.broadcast(edges)
+    cur = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("final_url"),
+        F.lit(0).alias("hops"),
+    )
+    for i in range(max_hops):
+        e = edges.select(
+            F.col("_src").alias(f"_src{i}"), F.col("_dst").alias(f"_dst{i}")
+        )
+        cur = cur.join(
+            e, cur["final_url"] == e[f"_src{i}"], "left"
+        ).select(
+            "url",
+            F.coalesce(f"_dst{i}", "final_url").alias("final_url"),
+            (
+                F.col("hops")
+                + F.when(F.col(f"_dst{i}").isNotNull(), 1).otherwise(0)
+            ).alias("hops"),
+        )
+    still = edges.select(F.col("_src").alias("_still"))
+    fetched = pages.select(F.col(url_col).alias("_page")).distinct()
+    return (
+        cur.join(still, cur["final_url"] == still["_still"], "left")
+        .join(fetched, F.col("final_url") == fetched["_page"], "left")
+        .select(
+            "url",
+            "final_url",
+            F.col("hops").cast("int").alias("hops"),
+            F.when(F.col("_still").isNotNull(), F.lit("unresolved"))
+            .when(F.col("hops") == 0, F.lit("ok"))
+            .otherwise(F.lit("resolved"))
+            .alias("kind"),
+            F.col("_page").isNotNull().alias("final_in_crawl"),
+        )
+    )
+
+
+def _crawl_redirects_sql() -> str:
+    return """
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+base AS (
+  SELECT doc_id, mx,
+         doc_id % 5 = 1 AND doc_id % 97 = 0 AS is_loop,
+         LEAST((5 - doc_id % 5) % 5, mx - doc_id + 1) AS steps
+  FROM documents, mx
+)
+SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN is_loop THEN 'u' || CAST(doc_id AS VARCHAR)
+            ELSE 'u' || CAST(doc_id + steps AS VARCHAR) END AS final_url,
+       CAST(CASE WHEN is_loop THEN 4 ELSE steps END AS INT) AS hops,
+       CASE WHEN is_loop THEN 'unresolved'
+            WHEN steps = 0 THEN 'ok'
+            ELSE 'resolved' END AS kind,
+       CASE WHEN is_loop THEN TRUE
+            ELSE doc_id + steps <= mx END AS final_in_crawl
+FROM base
+"""
+
+
+@_q("crawl_redirects", _crawl_redirects_sql())
+def crawl_redirects(spark, sf):
+    """Redirect resolution, hash-verified closed-form: urls u0..uN chain
+    by consecutive id — every id not divisible by 5 is a 301 to the next
+    id, so chains of 1–4 hops end on the next multiple of 5 (the 200
+    rows); id%5==1 ∧ id%97==0 plants a SELF-loop that must exhaust
+    max_hops and verdict ``unresolved`` (planted at chain position 1, so
+    no other chain crosses it); the table's tail ids redirect past
+    max(doc_id), pinning the chain-exits-the-crawl path
+    (``final_in_crawl=false``). The oracle derives final url, hop count,
+    verdict and in-crawl flag arithmetically from the residues — the
+    join-walk, loop exhaustion, and termination rules are pinned against
+    intent, not a twin walk."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    is_loop = (did % 5 == 1) & (did % 97 == 0)
+    u = F.concat(F.lit("u"), did.cast("string"))
+    status = F.when(did % 5 == 0, F.lit(200)).otherwise(F.lit(301))
+    loc = (
+        F.when(did % 5 == 0, F.lit(None).cast("string"))
+        .when(is_loop, u)
+        .otherwise(F.concat(F.lit("u"), (did + 1).cast("string")))
+    )
+    pages = d.select(
+        u.alias("url"),
+        status.cast("int").alias("status"),
+        loc.alias("location"),
+    )
+    return resolve_redirects(pages, max_hops=4).select(
+        "url", "final_url", "hops", "kind", "final_in_crawl"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Publication-date extraction
+# ---------------------------------------------------------------------------
+
+_META_PUBDATE_RE = (
+    r'property="article:published_time" content="(\d{4}-\d{2}-\d{2})'
+)
+_TIME_TAG_RE = r'<time datetime="(\d{4}-\d{2}-\d{2})"'
+_URL_DATE_RE = r"/((?:19|20)\d{2})/(\d{2})/"
+
+
+def extract_pubdate(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_s"
+) -> DataFrame:
+    """Publication-date extraction — freshness-weighted sampling, change
+    -rate priors, and time-sliced corpus ablations all need a per-page
+    date, and pages declare it three ways with well-known reliability
+    ordering: (1) the Open Graph ``article:published_time`` meta (most
+    explicit), (2) a ``<time datetime=...>`` element, (3) a
+    ``/YYYY/MM/`` path segment in the url itself (weakest — day unknown,
+    pinned to the 1st). First present source wins; ``pub_source`` says
+    which fired so downstream can weight by provenance; both columns are
+    NULL when the page is silent.
+
+    Scale shape: three regexp_extract calls in the scan stage — zero
+    shuffle, zero Python; Java∩RE2 patterns."""
+    html, url = F.col(html_col), F.col(url_col)
+    meta = F.regexp_extract(html, _META_PUBDATE_RE, 1)
+    ttag = F.regexp_extract(html, _TIME_TAG_RE, 1)
+    uy = F.regexp_extract(url, _URL_DATE_RE, 1)
+    um = F.regexp_extract(url, _URL_DATE_RE, 2)
+    src = (
+        F.when(meta != "", F.lit("meta"))
+        .when(ttag != "", F.lit("time"))
+        .when(uy != "", F.lit("url"))
+    )
+    iso = (
+        F.when(meta != "", meta)
+        .when(ttag != "", ttag)
+        .when(uy != "", F.concat(uy, F.lit("-"), um, F.lit("-01")))
+    )
+    return df.select(
+        "*", src.alias("pub_source"), F.to_date(iso).alias("pub_date")
+    )
+
+
+def _doc_pubdate_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         2019 + doc_id % 7 AS y,  1 + doc_id % 12 AS mo, 1 + doc_id % 28 AS d,
+         2001 + doc_id % 9 AS y2, 1 + doc_id % 6  AS mo2, 1 + doc_id % 27 AS d2,
+         2010 + doc_id % 8 AS y3, 1 + doc_id % 12 AS mo3
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'meta'
+            WHEN doc_id % 4 = 0 THEN 'time'
+            WHEN doc_id % 5 = 0 THEN 'url' END AS pub_source,
+       CASE WHEN doc_id % 3 = 0 THEN make_date(y, mo, d)
+            WHEN doc_id % 4 = 0 THEN make_date(y2, mo2, d2)
+            WHEN doc_id % 5 = 0 THEN make_date(y3, mo3, 1) END AS pub_date
+FROM m
+"""
+
+
+@_q("doc_pubdate", _doc_pubdate_sql())
+def doc_pubdate(spark, sf):
+    """Publication dates, hash-verified closed-form: %3 plants the OG
+    meta (with a full timestamp — the regex must take the date prefix),
+    %4 a <time> element carrying a DIFFERENT date, %5 a /YYYY/MM/ url
+    path carrying a third — so ids divisible by 12, 15, or 20 hold two+
+    sources with disagreeing dates and pin the precedence order; ids
+    coprime to 3·4·5 pin the double-NULL silent path. The oracle states
+    each winning date arithmetically (make_date over the residues), so
+    the regexes, the precedence chain, and the day-pinned url form are
+    verified against intent."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    p2 = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    iso1 = F.concat(
+        (did % 7 + 2019).cast("string"), F.lit("-"),
+        p2(did % 12 + 1), F.lit("-"), p2(did % 28 + 1),
+    )
+    iso2 = F.concat(
+        (did % 9 + 2001).cast("string"), F.lit("-"),
+        p2(did % 6 + 1), F.lit("-"), p2(did % 27 + 1),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                iso1, F.lit('T10:00:00Z">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<time datetime="'), iso2, F.lit('">then</time>')),
+        ).otherwise(F.lit("")),
+        F.lit("<p>body</p></body></html>"),
+    )
+    url = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit("https://ex.com/"), (did % 8 + 2010).cast("string"),
+            F.lit("/"), p2(did % 12 + 1), F.lit("/post-"),
+            did.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://ex.com/post-"), did.cast("string"))
+    )
+    pages = d.select(
+        "doc_id", url.alias("url"), html.alias("html_s")
+    )
+    return extract_pubdate(pages).select(
+        "doc_id", "pub_source", "pub_date"
+    )

@@ -1276,3 +1276,60 @@ def test_assemble_series_property_differential(spark):
         assert got == want, (rows, got, want)
 
     check()
+
+
+def test_resolve_redirects_edges(spark):
+    """Chain, 2-cycle, crawl-exit, plain page, and a 404 whose Location
+    must NOT be followed (only 3xx statuses are redirect edges)."""
+    rows = [
+        ("a", 301, "b"),      # head of a 2-hop chain
+        ("b", 307, "c"),      # mid (307 pins the status set)
+        ("c", 200, None),     # landing page
+        ("d", 302, "e"),      # 2-cycle
+        ("e", 308, "d"),
+        ("f", 301, "ext"),    # target never fetched
+        ("g", 200, None),     # plain page
+        ("h", 404, "x"),      # non-3xx Location is not an edge
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status int, location string"
+    )
+    got = {
+        r.url: (r.final_url, r.hops, r.kind, r.final_in_crawl)
+        for r in C.resolve_redirects(df, max_hops=4).collect()
+    }
+    assert got == {
+        "a": ("c", 2, "resolved", True),
+        "b": ("c", 1, "resolved", True),
+        "c": ("c", 0, "ok", True),
+        "d": ("d", 4, "unresolved", True),   # d->e->d->e->d
+        "e": ("e", 4, "unresolved", True),
+        "f": ("ext", 1, "resolved", False),
+        "g": ("g", 0, "ok", True),
+        "h": ("h", 0, "ok", True),
+    }, got
+
+
+def test_extract_pubdate_precedence(spark):
+    """meta > time > url; full-timestamp meta takes the date prefix;
+    silent pages stay double-NULL; a dateless path never fires."""
+    meta = ('<meta property="article:published_time" '
+            'content="2021-03-04T10:00:00Z">')
+    ttag = '<time datetime="2019-08-09">then</time>'
+    rows = [
+        ("https://e/2015/06/p", meta + ttag),   # all three present
+        ("https://e/2015/06/p", ttag),          # time beats url
+        ("https://e/2015/06/p", "<p>x</p>"),    # url only
+        ("https://e/post-9", "<p>x</p>"),       # silent
+    ]
+    df = spark.createDataFrame(rows, "url string, html_s string")
+    got = [
+        (r.pub_source, str(r.pub_date) if r.pub_date else None)
+        for r in C.extract_pubdate(df).collect()
+    ]
+    assert got == [
+        ("meta", "2021-03-04"),
+        ("time", "2019-08-09"),
+        ("url", "2015-06-01"),
+        (None, None),
+    ], got

@@ -973,3 +973,18 @@ def test_doc_soft404_is_narrow_jvm(spark, sf_smoke, qs):
 def test_text_dehyphenate_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["text_dehyphenate"](spark, sf_smoke), "simple")
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_doc_pubdate_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["doc_pubdate"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_crawl_redirects_all_jvm_no_cartesian(spark, sf_smoke, qs):
+    """The hop walk is equi-joins only: no Python eval anywhere, no
+    cartesian/nested-loop fallback (a broken join condition would
+    surface as one), and the edge map's groupBy is the only
+    pre-aggregation."""
+    p = plan_of(qs["crawl_redirects"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p, p
+    assert "Cartesian" not in p and "NestedLoop" not in p, p
