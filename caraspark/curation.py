@@ -4787,3 +4787,206 @@ def doc_pubdate(spark, sf):
     return extract_pubdate(pages).select(
         "doc_id", "pub_source", "pub_date"
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-density block classification (densitometric boilerplate)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_TEXT_RE = r"<a[^>]*>([^<]*)</a>"
+_TAG_RE = r"<[^>]*>"
+
+
+def block_density(
+    df: DataFrame,
+    block_col: str = "block_html",
+    min_chars: int = 80,
+    max_link_permille: int = 333,
+) -> DataFrame:
+    """Densitometric block classification (Boilerpipe / jusText family)
+    — the class/id boilerplate pass catches ANNOTATED chrome; this is
+    the structural complement that needs no annotations: a block whose
+    visible text is mostly anchor text is navigation, and a block too
+    short to be prose is chrome regardless. Per block: stripped text
+    length, total anchor-text length, integer link density in permille,
+    and the content verdict (long enough AND link-sparse). Thresholds
+    are the published jusText defaults' shape (length floor + density
+    ceiling), exposed as parameters for corpus-specific tuning and
+    ablation.
+
+    Scale shape: two regexes + an array fold in the scan stage — the
+    anchor lengths sum via ``aggregate`` over ``regexp_extract_all``
+    (no explode, so block rows never fan out) — zero shuffle, zero
+    Python; Java∩RE2 patterns."""
+    block = F.col(block_col)
+    text_chars = F.length(F.regexp_replace(block, _TAG_RE, ""))
+    anchor_chars = F.aggregate(
+        F.transform(
+            F.regexp_extract_all(block, F.lit(_ANCHOR_TEXT_RE), F.lit(1)),
+            F.length,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    permille = F.floor(
+        anchor_chars * 1000 / F.greatest(text_chars, F.lit(1))
+    ).cast("int")
+    is_content = (text_chars >= min_chars) & (
+        permille <= max_link_permille
+    )
+    return df.select(
+        "*",
+        text_chars.cast("int").alias("text_chars"),
+        anchor_chars.cast("int").alias("anchor_chars"),
+        permille.alias("link_permille"),
+        is_content.alias("is_content"),
+    )
+
+
+def _block_density_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 180
+            WHEN 2 THEN 180 ELSE 11 END AS INT) AS text_chars,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 9 WHEN 2 THEN 20
+            ELSE 0 END AS INT) AS anchor_chars,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 900 WHEN 2 THEN 111
+            ELSE 0 END AS INT) AS link_permille,
+       doc_id % 4 IN (1, 2) AS is_content
+FROM documents
+"""
+
+
+@_q("block_density", _block_density_sql())
+def block_density_q(spark, sf):
+    """Block density, hash-verified closed-form: %4 plants the four
+    canonical shapes — a nav block that is 90% anchor text (900‰ →
+    boilerplate), a 180-char prose paragraph (0‰ → content), prose with
+    ONE 20-char inline link (111‰ — links alone must not kill a long
+    block), and an 11-char footer (too short regardless of density).
+    Every length is an exact rpad/constant, so the oracle states
+    text/anchor counts, the permille integer, and the verdict directly
+    — strip-tags regex, anchor fold, and both thresholds pinned
+    against intent."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    block = (
+        F.when(
+            did % 4 == 0,
+            F.lit('<div><a href="/a">Home</a> <a href="/b">About</a>'
+                  "</div>"),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit("<p>"), F.rpad(F.lit("Real prose "), 180, "y"),
+                     F.lit("</p>")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("<p>"), F.rpad(F.lit("Prose with "), 160, "y"),
+                F.lit('<a href="/x">'), F.rpad(F.lit("a link "), 20, "z"),
+                F.lit("</a></p>"),
+            ),
+        )
+        .otherwise(F.lit("<p>(c) example</p>"))
+    )
+    blocks = d.select("doc_id", block.alias("block_html"))
+    return block_density(blocks).select(
+        "doc_id", "text_chars", "anchor_chars", "link_permille",
+        "is_content",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cache-validator classification (conditional-refetch signals)
+# ---------------------------------------------------------------------------
+
+
+def classify_validators(
+    df: DataFrame,
+    etag_col: str = "etag",
+    lastmod_col: str = "last_modified",
+    cache_control_col: str = "cache_control",
+) -> DataFrame:
+    """Conditional-refetch classification — a recrawl that sends
+    If-None-Match / If-Modified-Since pays one RTT and zero bytes for
+    unchanged pages, so the scheduler wants to know per url WHICH
+    validator the origin offers: a strong ETag (byte-exact), a weak
+    ETag (``W/`` prefixed — semantic equivalence only), Last-Modified
+    (1-second granularity), or nothing (every refetch is a full GET).
+    ``max_age`` (Cache-Control) comes along as the origin's own
+    freshness hint — a refetch before it expires is wasted even as a
+    conditional. Feeds ``crawl_changerate``'s observed change rate: the
+    two signals disagree exactly where origins misconfigure caching.
+
+    Scale shape: string predicates + one regexp_extract in the scan
+    stage — zero shuffle, zero Python."""
+    etag = F.col(etag_col)
+    validator = (
+        F.when(etag.isNull() | (etag == ""),
+               F.when(F.col(lastmod_col).isNotNull(),
+                      F.lit("last_modified")).otherwise(F.lit("none")))
+        .when(etag.startswith("W/"), F.lit("weak_etag"))
+        .otherwise(F.lit("etag"))
+    )
+    max_age_s = F.regexp_extract(
+        F.coalesce(F.col(cache_control_col), F.lit("")),
+        r"max-age=(\d+)", 1,
+    )
+    max_age = F.when(max_age_s != "", max_age_s.cast("int"))
+    return df.select(
+        "*",
+        validator.alias("validator"),
+        max_age.alias("max_age"),
+        (validator != "none").alias("conditional_ok"),
+    )
+
+
+def _crawl_validators_sql() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'etag'
+            WHEN doc_id % 3 = 1 THEN 'weak_etag'
+            WHEN doc_id % 4 = 0 THEN 'last_modified'
+            ELSE 'none' END AS validator,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(3600 * (doc_id % 24) AS INT)
+            END AS max_age,
+       doc_id % 3 <> 2 OR doc_id % 4 = 0 AS conditional_ok
+FROM documents
+"""
+
+
+@_q("crawl_validators", _crawl_validators_sql())
+def crawl_validators(spark, sf):
+    """Cache validators, hash-verified closed-form: %3 rotates strong
+    ETag / weak ``W/`` ETag / no ETag; %4 plants Last-Modified, which
+    must win only when both ETags are absent (ids ≡ 2 mod 3 ∧ ≡ 0 mod
+    4 pin that precedence); %5 plants Cache-Control with planted
+    max-age values including 0 (max_age extracts but the hint is
+    'revalidate now'). The oracle derives validator class, max_age,
+    and the conditional-refetch flag arithmetically."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    etag = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit('"v'), did.cast("string"), F.lit('"')))
+        .when(did % 3 == 1,
+              F.concat(F.lit('W/"v'), did.cast("string"), F.lit('"')))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lastmod = F.when(
+        did % 4 == 0, F.lit("Tue, 01 Jan 2024 00:00:00 GMT")
+    ).otherwise(F.lit(None).cast("string"))
+    cc = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("public, max-age="),
+                 (3600 * (did % 24)).cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
+    pages = d.select(
+        "doc_id", etag.alias("etag"), lastmod.alias("last_modified"),
+        cc.alias("cache_control"),
+    )
+    return classify_validators(pages).select(
+        "doc_id", "validator", "max_age", "conditional_ok"
+    )

@@ -1333,3 +1333,52 @@ def test_extract_pubdate_precedence(spark):
         ("url", "2015-06-01"),
         (None, None),
     ], got
+
+
+def test_block_density_edges(spark):
+    """Empty/tag-only blocks (permille guard divides by max(text,1)),
+    multi-anchor sums, and the documented flat-text anchor limitation:
+    markup INSIDE an anchor stops the [^<]* capture, so nested-tag
+    anchor text counts 0 (density underestimates, never over)."""
+    rows = [
+        ("t", ""),                                  # empty
+        ("u", "<div><br></div>"),                   # tags only
+        ("v", '<a href="/a">ab</a><a href="/b">cde</a>'),
+        ("w", '<a href="/x"><b>bold</b></a>rest'),  # nested-tag anchor
+    ]
+    df = spark.createDataFrame(rows, "id string, block_html string")
+    got = {
+        r.id: (r.text_chars, r.anchor_chars, r.link_permille,
+               r.is_content)
+        for r in C.block_density(df).collect()
+    }
+    assert got == {
+        "t": (0, 0, 0, False),
+        "u": (0, 0, 0, False),
+        "v": (5, 5, 1000, False),
+        "w": (8, 0, 0, False),   # 'boldrest' visible, anchor uncounted
+    }, got
+
+
+def test_classify_validators_edges(spark):
+    """Empty-string ETag falls through like NULL; W/ marks weak; strong
+    ETag beats a present Last-Modified; max-age=0 still extracts."""
+    rows = [
+        ('"abc"', "Mon, 01 Jan 2024 00:00:00 GMT", "max-age=0"),
+        ('W/"abc"', None, None),
+        ("", "Mon, 01 Jan 2024 00:00:00 GMT", "no-store"),
+        ("", None, "public, max-age=600"),
+    ]
+    df = spark.createDataFrame(
+        rows, "etag string, last_modified string, cache_control string"
+    )
+    got = [
+        (r.validator, r.max_age, r.conditional_ok)
+        for r in C.classify_validators(df).collect()
+    ]
+    assert got == [
+        ("etag", 0, True),
+        ("weak_etag", None, True),
+        ("last_modified", None, True),
+        ("none", 600, False),
+    ], got

@@ -988,3 +988,14 @@ def test_crawl_redirects_all_jvm_no_cartesian(spark, sf_smoke, qs):
     p = plan_of(qs["crawl_redirects"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p, p
     assert "Cartesian" not in p and "NestedLoop" not in p, p
+
+
+def test_block_density_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["block_density"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
+    assert "Generate" not in p, p  # array fold, not explode
+
+
+def test_crawl_validators_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["crawl_validators"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
