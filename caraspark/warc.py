@@ -222,6 +222,7 @@ def parse_warc(blob: bytes) -> list[dict]:
             "url": headers.get("warc-target-uri"),
             "ts": ts,
             "payload": payload,
+            "record_id": headers.get("warc-record-id"),
         }
         if rec_type == "response":
             split = payload.find(_CRLF * 2)
@@ -229,6 +230,10 @@ def parse_warc(blob: bytes) -> list[dict]:
             # Common Crawl cuts payloads at a byte budget and says so;
             # downstream quality filters need the flag (WARC 1.1 §5.13).
             rec["truncated"] = headers.get("warc-truncated")
+        elif rec_type == "request":
+            # WARC 1.1 §6.4: the capture's HTTP request message; the
+            # Concurrent-To header names its sibling response record.
+            rec["concurrent_to"] = headers.get("warc-concurrent-to")
         elif rec_type == "revisit":
             # WARC 1.1 §6.7.2 identical-payload-digest: no body is stored;
             # the record points at the capture that has the bytes.
@@ -1164,4 +1169,192 @@ def warc_truncated(spark, sf):
     return docs.repartition(8, "doc_id").mapInArrow(
         gen,
         "url string, truncated boolean, n_chars bigint, payload_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Request records (the fetch side of a capture event)
+# ---------------------------------------------------------------------------
+
+
+def build_request_record(
+    url: str,
+    ts: datetime,
+    verb: str = "GET",
+    concurrent_to: str | None = None,
+) -> bytes:
+    """A ``request`` record (WARC 1.1 §6.4): the HTTP request message the
+    crawler actually sent, stored alongside its response so a capture
+    event is fully replayable (politeness audits need the sent
+    User-Agent; cache analyses need the sent validators; HEAD-vs-GET
+    explains empty bodies). ``WARC-Concurrent-To`` names the sibling
+    response record of the same capture event — pairing is BY RECORD ID,
+    not by url, because one crawl may fetch a url many times."""
+    rest = url.partition("://")[2]
+    host, slash, path = rest.partition("/")
+    msg = (
+        f"{verb} {slash + path if slash else '/'} HTTP/1.1\r\n"
+        f"Host: {host}\r\n"
+        "User-Agent: caraspark-warc/1.0\r\n"
+        "Accept: */*\r\n\r\n"
+    ).encode()
+    extra = (
+        [f"WARC-Concurrent-To: {concurrent_to}"] if concurrent_to else None
+    )
+    return build_record(
+        "request",
+        msg,
+        url=url,
+        ts=ts,
+        content_type="application/http; msgtype=request",
+        extra_headers=extra,
+    )
+
+
+def _warc_request_sql() -> str:
+    return """
+SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.ex/p'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 13 = 0 THEN 'HEAD' ELSE 'GET' END AS verb,
+       '/p' || CAST(doc_id AS VARCHAR) AS path,
+       doc_id % 17 <> 0 AS paired,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+                 WHEN doc_id % 13 = 0 THEN 0
+                 ELSE 50 + doc_id % 40 END AS INT) AS body_len
+FROM documents
+WHERE doc_id % 19 <> 0
+"""
+
+
+@_q("warc_request", _warc_request_sql())
+def warc_request(spark, sf):
+    """Request/response capture events paired by WARC-Concurrent-To —
+    hash-verified roundtrip. The writer emits per url a ``request``
+    record naming its response's record id, then the ``response``;
+    residues plant the event shapes: %13 a HEAD fetch (empty body must
+    survive pairing as len 0, not NULL), %17 a FAILED fetch (request
+    only, no Concurrent-To — the unpaired path), %19 a response-only
+    capture that must NOT appear in the request-driven output. The
+    parser recovers verb + path from the stored request message and the
+    query resolves pairs by an equi-join of Concurrent-To against the
+    response record ids — url never participates, pinning the by-id
+    semantics.
+
+    Scale shape: request messages are a few hundred bytes, so the pair
+    join shuffles (record_id, small ints) — response BODIES stay inside
+    the per-file Arrow parse and never cross the exchange; body_len is
+    computed at parse time exactly so replay audits don't re-read
+    payloads."""
+    docs = load(spark, sf, "documents").select("doc_id")
+
+    def write(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            members: list[bytes] = []
+            for i in batch.column("doc_id").to_pylist():
+                if i % 19 == 0:
+                    kind = "response_only"
+                elif i % 17 == 0:
+                    kind = "request_only"
+                else:
+                    kind = "pair"
+                url = f"https://h{i % 7}.ex/p{i}"
+                ts = _WARC_EPOCH + timedelta(seconds=i % 86400)
+                verb = "HEAD" if i % 13 == 0 else "GET"
+                body = b"" if verb == "HEAD" else (
+                    b"b" + b"x" * (49 + i % 40)
+                )
+                resp_id = _record_id(url, _warc_date(ts))
+                if kind != "response_only":
+                    members.append(
+                        _gzip_member(
+                            build_request_record(
+                                url,
+                                ts,
+                                verb,
+                                resp_id if kind == "pair" else None,
+                            )
+                        )
+                    )
+                if kind != "request_only":
+                    members.append(
+                        _gzip_member(
+                            build_record(
+                                "response", http_response(body), url, ts
+                            )
+                        )
+                    )
+            if members:
+                yield pa.RecordBatch.from_pylist(
+                    [{"warc": b"".join(members)}], schema=_WARC_BLOB
+                )
+
+    blobs = docs.repartition(8, "doc_id").mapInArrow(write, "warc binary")
+
+    rec_schema = pa.schema(
+        [
+            ("rec_type", pa.string()),
+            ("url", pa.string()),
+            ("record_id", pa.string()),
+            ("concurrent_to", pa.string()),
+            ("verb", pa.string()),
+            ("path", pa.string()),
+            ("body_len", pa.int32()),
+        ]
+    )
+
+    def read(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            rows = []
+            for blob in batch.column("warc").to_pylist():
+                for rec in parse_warc(bytes(blob)):
+                    if rec["rec_type"] == "request":
+                        first = rec["payload"].split(b"\r\n", 1)[0]
+                        parts = first.split(b" ")
+                        rows.append(
+                            {
+                                "rec_type": "request",
+                                "url": rec["url"],
+                                "record_id": rec["record_id"],
+                                "concurrent_to": rec["concurrent_to"],
+                                "verb": parts[0].decode("latin-1"),
+                                "path": parts[1].decode("latin-1")
+                                if len(parts) > 1
+                                else None,
+                                "body_len": None,
+                            }
+                        )
+                    elif rec["rec_type"] == "response":
+                        rows.append(
+                            {
+                                "rec_type": "response",
+                                "url": rec["url"],
+                                "record_id": rec["record_id"],
+                                "concurrent_to": None,
+                                "verb": None,
+                                "path": None,
+                                "body_len": len(rec["body"]),
+                            }
+                        )
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=rec_schema)
+
+    parsed = blobs.mapInArrow(
+        read,
+        "rec_type string, url string, record_id string, "
+        "concurrent_to string, verb string, path string, body_len int",
+    )
+    reqs = parsed.filter(F.col("rec_type") == "request").select(
+        "url", "verb", "path", "concurrent_to"
+    )
+    resps = parsed.filter(F.col("rec_type") == "response").select(
+        F.col("record_id").alias("_rid"), "body_len"
+    )
+    return reqs.join(
+        resps, reqs["concurrent_to"] == resps["_rid"], "left"
+    ).select(
+        "url",
+        "verb",
+        "path",
+        F.col("_rid").isNotNull().alias("paired"),
+        "body_len",
     )

@@ -473,3 +473,26 @@ def test_http_head_edges():
     assert st is None and h == {"c": "3"}
     st, h = http_head(b"HTTP/1.1 404 Not Found\r\njunk line\r\n\r\n")
     assert st == 404 and h == {}
+
+
+def test_request_record_roundtrip():
+    """build_request_record → parse_warc: verb + path in the message,
+    Concurrent-To surfaced (and absent when not written), record ids on
+    every record, host split correct for path-less urls."""
+    ts = datetime(2026, 1, 2, 3, 4, 5)
+    resp = W.build_record(
+        "response", W.http_response(b"hi"), "https://h.ex/a/b", ts
+    )
+    rid = W.parse_warc(resp)[0]["record_id"]
+    assert rid and rid.startswith("<urn:uuid:")
+    req = W.build_request_record(
+        "https://h.ex/a/b", ts, "GET", concurrent_to=rid
+    )
+    bare = W.build_request_record("https://h.ex", ts, "HEAD")
+    recs = W.parse_warc(req + bare)
+    assert [r["rec_type"] for r in recs] == ["request", "request"]
+    assert recs[0]["concurrent_to"] == rid
+    assert recs[0]["payload"].startswith(b"GET /a/b HTTP/1.1\r\n")
+    assert b"Host: h.ex\r\n" in recs[0]["payload"]
+    assert recs[1]["concurrent_to"] is None
+    assert recs[1]["payload"].startswith(b"HEAD / HTTP/1.1\r\n")
