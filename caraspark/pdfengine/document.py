@@ -706,6 +706,55 @@ def extract_fonts(doc: Document) -> list[dict]:
     return rows
 
 
+def extract_signatures(doc: Document, file_len: int) -> list[dict]:
+    """Signature forensics [PDF17 §12.8.1]: every object type-checked as
+    a signature dict (SURVEY §2 C22's ``sig`` class), in (num, gen)
+    order, with the coverage facts an integrity audit keys on: Filter /
+    SubFilter, ByteRange shape (range count, starts at byte 0) and
+    ``unsigned_tail`` — bytes past the last covered range, i.e. what was
+    APPENDED AFTER SIGNING. A non-zero tail is an incremental update
+    over a signed revision: legitimate in a counter-signature workflow,
+    the classic signature-defeating content swap otherwise — pair with
+    ``extract_revisions``' n_won to see WHAT the update touched."""
+    from caraspark.pdfengine.model import Name, Ref, Stream
+    from caraspark.pdfengine.typecheck import check_types
+
+    def deref(v):
+        if isinstance(v, Ref):
+            v = doc.objects.get((v.num, v.gen))
+        return v.d if isinstance(v, Stream) else v
+
+    tres = check_types(doc)
+    rows: list[dict] = []
+    for key in sorted(doc.objects):
+        if tres.assignments.get(key) != "sig":
+            continue
+        d = deref(doc.objects[key])
+        if not isinstance(d, dict):
+            continue
+        br = deref(d.get("ByteRange"))
+        ranges: list[tuple[int, int]] = []
+        if isinstance(br, list):
+            vals = [
+                v for v in (deref(x) for x in br) if isinstance(v, int)
+            ]
+            ranges = list(zip(vals[0::2], vals[1::2]))
+        filt = d.get("Filter")
+        sub = d.get("SubFilter")
+        end = max((o + ln for o, ln in ranges), default=0)
+        rows.append(
+            {
+                "obj": f"{key[0]}.{key[1]}",
+                "filter": filt.v if isinstance(filt, Name) else None,
+                "subfilter": sub.v if isinstance(sub, Name) else None,
+                "n_ranges": len(ranges),
+                "starts_at_zero": bool(ranges) and ranges[0][0] == 0,
+                "unsigned_tail": max(file_len - end, 0),
+            }
+        )
+    return rows
+
+
 def extract_revisions(doc: Document) -> list[dict]:
     """Per-revision forensic surface over the incremental-update chain
     (C12 walk, [PDF17 §7.5.6]): one row per trailer, rev 0 = NEWEST

@@ -30,6 +30,7 @@ from caraspark.oracle_freeze import (
     formfield_cte,
     js_cte,
     fonts_cte,
+    sigs_cte,
     outline_cte,
     pages_cte,
     revision_cte,
@@ -977,3 +978,74 @@ def pdf_fonts(spark, sf):
     parse; narrow Arrow stage, fixed-width facts only."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_fonts_batches, _FONTS_DDL)
+
+
+_SIGS_DDL = (
+    "url string, obj string, filter string, subfilter string,"
+    " n_ranges int, starts_at_zero boolean, unsigned_tail int"
+)
+_SIGS_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("obj", pa.string()),
+        ("filter", pa.string()),
+        ("subfilter", pa.string()),
+        ("n_ranges", pa.int32()),
+        ("starts_at_zero", pa.bool_()),
+        ("unsigned_tail", pa.int32()),
+    ]
+)
+
+
+def _sigs_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import (
+        extract_signatures,
+        load_document,
+    )
+
+    cols = {f.name: [] for f in _SIGS_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            if _prune_skip(blob, b"/ByteRange"):
+                continue
+            blob = bytes(blob)
+            for sg in extract_signatures(load_document(blob), len(blob)):
+                cols["url"].append(url)
+                cols["obj"].append(sg["obj"])
+                cols["filter"].append(sg["filter"])
+                cols["subfilter"].append(sg["subfilter"])
+                cols["n_ranges"].append(sg["n_ranges"])
+                cols["starts_at_zero"].append(sg["starts_at_zero"])
+                cols["unsigned_tail"].append(sg["unsigned_tail"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _SIGS_ARROW],
+                schema=_SIGS_ARROW,
+            )
+            cols = {f.name: [] for f in _SIGS_ARROW}
+
+
+@_q(
+    "pdf_sigs",
+    f"""WITH {corpus_cte()},
+{sigs_cte()}
+SELECT d.url, s.sobj AS obj, s.filter, s.subfilter,
+       CAST(s.n_ranges AS INT) AS n_ranges, s.starts_at_zero,
+       CAST(s.unsigned_tail AS INT) AS unsigned_tail
+FROM docs d JOIN sg s ON s.rid = d.rid""",
+)
+def pdf_sigs(spark, sf):
+    """Signature-coverage forensics across the corpus [PDF17 §12.8.1]:
+    every type-checked signature dict with Filter/SubFilter, ByteRange
+    shape (range count, zero start) and ``unsigned_tail`` — the bytes an
+    incremental update appended AFTER signing (the content-swap vector
+    ``pdf_revisions``' n_won localizes). Byte-level /ByteRange prune
+    skips unsigned documents before any parse; narrow Arrow stage,
+    fixed-width facts only."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_sigs_batches, _SIGS_DDL)

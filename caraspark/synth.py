@@ -2368,3 +2368,68 @@ def pdf_embedded_font() -> bytes:
 
 
 PDF_RECIPES["pdf_embedded_font"] = pdf_embedded_font
+
+
+def pdf_signed() -> bytes:
+    """Digital-signature recipe [PDF17 §12.8.1]: AcroForm /SigFlags 3
+    with one /FT /Sig field whose /V is a signature dict —
+    /Adobe.PPKLite, /adbe.pkcs7.detached, a fixed-width /Contents hex
+    placeholder and a fixed-width /ByteRange PATCHED POST-ASSEMBLY to
+    the real offsets, so the signature covers [0, contents_start) and
+    [contents_end, EOF) exactly: the intact whole-file-coverage shape
+    (unsigned_tail = 0)."""
+    contents_hex = b"<" + b"deadbeef" * 8 + b">"
+    br_ph = b"[0000000000 0000000000 0000000000 0000000000]"
+    bodies = _base_objects(b"BT (Signed doc) Tj ET")
+    bodies[1] = _obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R"
+        b" /AcroForm << /SigFlags 3 /Fields [5 0 R] >> >>",
+    )
+    bodies[5] = _obj(5, b"<< /FT /Sig /T (Sig1) /V 6 0 R >>")
+    bodies[6] = _obj(
+        6,
+        b"<< /Type /Sig /Filter /Adobe.PPKLite"
+        b" /SubFilter /adbe.pkcs7.detached"
+        b" /Contents " + contents_hex
+        + b" /ByteRange " + br_ph
+        + b" /Reason (caraspark synth) >>",
+    )
+    raw = bytearray(_assemble(bodies))
+    a = raw.find(contents_hex)
+    b = a + len(contents_hex)
+    patched = b"[%010d %010d %010d %010d]" % (0, a, b, len(raw) - b)
+    assert len(patched) == len(br_ph)
+    i = raw.find(br_ph)
+    raw[i : i + len(br_ph)] = patched
+    return bytes(raw)
+
+
+def pdf_signed_updated() -> bytes:
+    """The post-signature modification shape: ``pdf_signed`` plus one
+    incremental update replacing the content stream — the ByteRange
+    still covers only the SIGNED revision, so every appended byte is
+    unsigned_tail (> 0): legitimate for a counter-signature workflow,
+    the classic signature-defeating content swap otherwise. Pairs with
+    ``extract_revisions``' n_won to show WHAT the update touched."""
+    base = pdf_signed()
+    prev_xref = base.rfind(b"\nxref\n") + 1
+    out = bytearray(base)
+    new4 = _stream_obj(4, b"", b"BT (Swapped after signing) Tj ET")
+    off4 = len(out)
+    out += new4
+    xref_off = len(out)
+    out += (
+        b"xref\n0 1\n0000000000 65535 f \n4 1\n"
+        + f"{off4:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 7 /Root 1 0 R /Prev "
+        + str(prev_xref).encode()
+        + b" >>\nstartxref\n"
+        + str(xref_off).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+PDF_RECIPES["pdf_signed"] = pdf_signed
+PDF_RECIPES["pdf_signed_updated"] = pdf_signed_updated

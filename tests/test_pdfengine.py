@@ -1895,3 +1895,35 @@ def test_extract_fonts_embedding_discrimination():
     assert t0["embedded"] is True  # via descendant descriptor
     # garbage-totality: no fonts, no crash
     assert extract_fonts(load_document(b"%PDF-1.4\njunk")) == []
+
+
+def test_extract_signatures_coverage_shapes():
+    """Signature forensics: the intact recipe's ByteRange covers the
+    whole file (unsigned_tail 0, starts at byte 0, two ranges); the
+    incrementally-updated twin leaves every appended byte unsigned —
+    exactly the update appendix length; garbage-totality on unsigned
+    and non-PDF inputs."""
+    from caraspark.pdfengine.document import (
+        extract_signatures,
+        load_document,
+    )
+    from caraspark.synth import PDF_RECIPES
+
+    intact = PDF_RECIPES["pdf_signed"]()
+    rows = extract_signatures(load_document(intact), len(intact))
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["filter"], r["subfilter"]) == (
+        "Adobe.PPKLite", "adbe.pkcs7.detached"
+    )
+    assert r["n_ranges"] == 2 and r["starts_at_zero"] is True
+    assert r["unsigned_tail"] == 0
+
+    upd = PDF_RECIPES["pdf_signed_updated"]()
+    rows = extract_signatures(load_document(upd), len(upd))
+    assert rows[0]["unsigned_tail"] == len(upd) - len(intact)
+    assert rows[0]["unsigned_tail"] > 0
+
+    plain = PDF_RECIPES["pdf_minimal"]()
+    assert extract_signatures(load_document(plain), len(plain)) == []
+    assert extract_signatures(load_document(b"%PDF-1.4\njunk"), 13) == []

@@ -78,6 +78,7 @@ def build_extras():
     revision_rows = []
     page_rows = []
     font_rows = []
+    sig_rows = []
     outline_rows = []
     formfield_rows = []
     js_rows = []
@@ -234,6 +235,14 @@ def build_extras():
                 (rid, ft["obj"], ft["subtype"], ft["base_font"],
                  ft["embedded"])
             )
+        from caraspark.pdfengine.document import extract_signatures
+
+        for sg in extract_signatures(doc, len(blob)):
+            sig_rows.append(
+                (rid, sg["obj"], sg["filter"], sg["subfilter"],
+                 sg["n_ranges"], sg["starts_at_zero"],
+                 sg["unsigned_tail"])
+            )
 
     import random
 
@@ -292,7 +301,7 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows, page_rows, font_rows,
+        action_rows, revision_rows, page_rows, font_rows, sig_rows,
     )
 
 
@@ -467,7 +476,7 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows, page_rows, font_rows,
+        action_rows, revision_rows, page_rows, font_rows, sig_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -502,7 +511,8 @@ def main() -> None:
             f"ALT_ROWS = {fmt(alt_rows)}\n\n"
             f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
             f"PAGE_ROWS = {fmt(page_rows)}\n\n"
-            f"FONT_ROWS = {fmt(font_rows)}\n"
+            f"FONT_ROWS = {fmt(font_rows)}\n\n"
+            f"SIG_ROWS = {fmt(sig_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -521,7 +531,8 @@ def main() -> None:
         f"{len(alt_rows)} alternate rows, "
         f"{len(revision_rows)} revision rows, "
         f"{len(page_rows)} page rows, "
-        f"{len(font_rows)} font rows -> {path}"
+        f"{len(font_rows)} font rows, "
+        f"{len(sig_rows)} signature rows -> {path}"
     )
 
 
