@@ -4990,3 +4990,114 @@ def crawl_validators(spark, sf):
     return classify_validators(pages).select(
         "doc_id", "validator", "max_age", "conditional_ok"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap coverage (crawl completeness per host)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_coverage(
+    crawled: DataFrame,
+    declared: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host crawl-completeness audit: the two url sets every crawl
+    operator reconciles — what the host DECLARED in its sitemaps vs
+    what the crawler actually FETCHED. Declared-but-not-crawled urls
+    are the frontier gap (coverage_permille < 1000 → feed
+    ``crawl_frontier``); crawled-but-not-declared urls are orphans
+    reached only through links (orphan_permille — high values mean the
+    sitemap is stale or partial, a ``host_reputation`` signal).
+
+    Scale shape: one url-keyed full-outer join carrying (url, host)
+    pairs only, then one host-keyed groupBy of boolean sums. Host skew
+    is bounded by the sitemap protocol itself (50k urls per file);
+    the groupBy's partial aggregation collapses each host to one row
+    per task before the exchange."""
+    c = crawled.select(
+        F.col(url_col).alias("_u"), F.col(host_col).alias("_ch")
+    )
+    d = declared.select(
+        F.col(url_col).alias("_du"), F.col(host_col).alias("_dh")
+    )
+    joined = c.join(d, c["_u"] == d["_du"], "full_outer").select(
+        F.coalesce("_ch", "_dh").alias("host"),
+        F.col("_u").isNotNull().alias("in_crawl"),
+        F.col("_du").isNotNull().alias("in_sitemap"),
+    )
+    n_crawled = F.sum(F.col("in_crawl").cast("long"))
+    n_declared = F.sum(F.col("in_sitemap").cast("long"))
+    n_both = F.sum(
+        (F.col("in_crawl") & F.col("in_sitemap")).cast("long")
+    )
+    return joined.groupBy("host").agg(
+        n_crawled.alias("n_crawled"),
+        n_declared.alias("n_declared"),
+        n_both.alias("n_both"),
+        F.floor(n_both * 1000 / F.greatest(n_declared, F.lit(1)))
+        .cast("int")
+        .alias("coverage_permille"),
+        F.floor(
+            (n_crawled - n_both) * 1000 / F.greatest(n_crawled, F.lit(1))
+        )
+        .cast("int")
+        .alias("orphan_permille"),
+    )
+
+
+def _sitemap_coverage_sql() -> str:
+    return """
+WITH crawl AS (SELECT doc_id, doc_id % 7 AS h FROM documents),
+agg AS (
+  SELECT h,
+         count(*) AS n_crawled,
+         sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+           + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n_declared,
+         sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS n_both
+  FROM crawl GROUP BY h
+)
+SELECT 'h' || CAST(h AS VARCHAR) AS host,
+       CAST(n_crawled AS BIGINT) AS n_crawled,
+       CAST(n_declared AS BIGINT) AS n_declared,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both * 1000 // GREATEST(n_declared, 1) AS INT)
+         AS coverage_permille,
+       CAST((n_crawled - n_both) * 1000 // GREATEST(n_crawled, 1) AS INT)
+         AS orphan_permille
+FROM agg
+"""
+
+
+@_q("sitemap_coverage", _sitemap_coverage_sql())
+def sitemap_coverage_q(spark, sf):
+    """Sitemap coverage, hash-verified closed-form: every doc is a
+    crawled url on host h(doc_id%7); the host's sitemap declares the
+    %3≠0 two-thirds of them (the overlap) plus an extra NEVER-crawled
+    url per %4==0 id (the frontier gap), so every host has all three
+    set regions populated. The oracle aggregates the residue counts per
+    host arithmetically — join direction, coalesce of the host column
+    across the outer join, and both integer permilles pinned against
+    intent."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 7).cast("string"))
+    page = F.concat(
+        F.lit("https://"), host, F.lit(".ex/p"), did.cast("string")
+    )
+    crawled = d.select(page.alias("url"), host.alias("host"))
+    declared = (
+        d.filter(did % 3 != 0)
+        .select(page.alias("url"), host.alias("host"))
+        .unionByName(
+            d.filter(did % 4 == 0).select(
+                F.concat(
+                    F.lit("https://"), host, F.lit(".ex/extra"),
+                    did.cast("string"),
+                ).alias("url"),
+                host.alias("host"),
+            )
+        )
+    )
+    return sitemap_coverage(crawled, declared)

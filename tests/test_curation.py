@@ -1382,3 +1382,27 @@ def test_classify_validators_edges(spark):
         ("last_modified", None, True),
         ("none", 600, False),
     ], got
+
+
+def test_sitemap_coverage_edges(spark):
+    """Declared-only hosts appear via the outer join's host coalesce;
+    crawled-only hosts get coverage 0 over a declared floor of 1; the
+    permilles floor exactly."""
+    crawled = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a"), ("u3", "a"), ("x1", "c")],
+        "url string, host string",
+    )
+    declared = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a"), ("g1", "a"), ("d1", "b")],
+        "url string, host string",
+    )
+    got = {
+        r.host: (r.n_crawled, r.n_declared, r.n_both,
+                 r.coverage_permille, r.orphan_permille)
+        for r in C.sitemap_coverage(crawled, declared).collect()
+    }
+    assert got == {
+        "a": (3, 3, 2, 666, 333),
+        "b": (0, 1, 0, 0, 0),     # declared-only host
+        "c": (1, 0, 0, 0, 1000),  # crawled-only host, no sitemap
+    }, got

@@ -999,3 +999,11 @@ def test_block_density_is_narrow_jvm(spark, sf_smoke, qs):
 def test_crawl_validators_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["crawl_validators"](spark, sf_smoke), "simple")
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_sitemap_coverage_two_exchanges(spark, sf_smoke, qs):
+    """One url-keyed join + one host-keyed groupBy with partial
+    aggregation; no Python anywhere."""
+    p = plan_of(qs["sitemap_coverage"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p, p
+    assert "HashAggregate" in p, p
