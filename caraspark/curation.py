@@ -5101,3 +5101,164 @@ def sitemap_coverage_q(spark, sf):
         )
     )
     return sitemap_coverage(crawled, declared)
+
+
+# ---------------------------------------------------------------------------
+# Seed distance (BFS hops from a trusted seed set)
+# ---------------------------------------------------------------------------
+
+
+def seed_distance(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop distance from a trusted seed set over the host graph — the
+    crawl-quality prior behind Wikipedia-seeded corpus filters (OpenWebText
+    descendants): pages on hosts few link-hops from vetted seeds are
+    likelier high-quality, and hosts unreachable within the horizon get
+    NULL (frontier should not expand there on quality grounds alone).
+    Bounded-hop BFS: each round relaxes the frontier through the edge
+    list and keeps the per-node minimum.
+
+    Scale shape: one round = one join keyed on the edge SOURCE + one
+    min-groupBy on the node — both exchanges carry (host, tiny-int)
+    pairs, never adjacency lists; a production run pre-partitions edges
+    by source so every round reuses one exchange, exactly as
+    ``graph_pagerank`` documents. ``max_hops`` is a horizon, not a
+    convergence test — the plan stays statically analyzable (the
+    distance-to-seed signal saturates by ~4 hops on web graphs anyway);
+    per-round ``localCheckpoint`` truncates lineage."""
+    dist = seeds.select(F.col("host"), F.lit(0).alias("dist"))
+    e = edges.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    for _ in range(max_hops):
+        relax = (
+            dist.join(e, dist["host"] == e["_s"], "inner")
+            .select(F.col("_d").alias("host"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("host")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return nodes.join(dist, "host", "left").select(
+        "host", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def _seed_distance_sql() -> str:
+    return """
+SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+       CAST(CASE doc_id % 11
+              WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+              WHEN 4 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 3 WHEN 7 THEN 4
+            END AS INT) AS dist
+FROM documents
+"""
+
+
+@_q("seed_distance", _seed_distance_sql())
+def seed_distance_q(spark, sf):
+    """Seed distance, hash-verified closed-form: 11 hosts in a chain
+    h0→h1→…→h9 plus a SHORTCUT edge h0→h4 — so h4's chain distance (4)
+    must lose to the shortcut (1) and pull h5–h7 along (2, 3, 4),
+    pinning the min-merge across competing paths; h8–h10 sit beyond the
+    4-hop horizon and must stay NULL (h8 IS reachable in 5 — the
+    horizon, not reachability, decides). Seed = h0. The oracle states
+    every distance as a constant per host index."""
+    d = load(spark, sf, "documents")
+    k = F.col("doc_id") % 11
+    host = F.concat(F.lit("h"), k.cast("string"))
+    nodes = d.select(host.alias("host")).distinct()
+    chain = (
+        d.filter(k < 10)
+        .select(
+            host.alias("src"),
+            F.concat(F.lit("h"), (k + 1).cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    shortcut = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.lit("h0").alias("src"), F.lit("h4").alias("dst"))
+        .distinct()
+    )
+    seeds = d.filter(k == 0).select(host.alias("host")).distinct()
+    return seed_distance(
+        nodes, chain.unionByName(shortcut), seeds, max_hops=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio (lexical diversity)
+# ---------------------------------------------------------------------------
+
+
+def text_ttr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Type-token ratio — the lexical-diversity quality signal: spam,
+    keyword-stuffed, and template-generated pages repeat a tiny
+    vocabulary (low TTR), while prose sits high; complements
+    ``text_repetition`` (verbatim n-gram runs) and ``text_dup_lines``
+    (whole-line duplication) by catching diffuse repetition neither
+    sees. Tokens are lowercased whitespace splits; the ratio is an
+    integer permille (one floor division, deterministic on both
+    engines).
+
+    Scale shape: split + array_distinct + two size() calls in the scan
+    stage — the token array lives only inside one Project's row scope
+    (never exploded, never shuffled); zero Python."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.floor(n_types * 1000 / F.greatest(n_tokens, F.lit(1)))
+        .cast("int")
+        .alias("ttr_permille"),
+    )
+
+
+def _text_ttr_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 50
+            ELSE 5 END AS INT) AS n_tokens,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 1
+            ELSE 3 END AS INT) AS n_types,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 20
+            ELSE 600 END AS INT) AS ttr_permille
+FROM documents
+"""
+
+
+@_q("text_ttr", _text_ttr_sql())
+def text_ttr_q(spark, sf):
+    """TTR, hash-verified closed-form: %3 plants the three diversity
+    shapes — four all-distinct id-salted tokens (1000‰), one token
+    repeated 50× with a trailing space the empty-filter must drop
+    (20‰), and a mixed-CASE five-token string ('A a b B c') whose
+    folding to 3 types pins the lowercasing (600‰). The oracle states
+    every count and permille as residue constants."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    i = did.cast("string")
+    text = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("w"), i, F.lit(" x"), i, F.lit(" y"), i,
+                     F.lit(" z"), i),
+        )
+        .when(did % 3 == 1, F.repeat(F.lit("tok "), 50))
+        .otherwise(F.lit("A a b B c"))
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    return text_ttr(pages).select(
+        "doc_id", "n_tokens", "n_types", "ttr_permille"
+    )

@@ -1406,3 +1406,37 @@ def test_sitemap_coverage_edges(spark):
         "b": (0, 1, 0, 0, 0),     # declared-only host
         "c": (1, 0, 0, 0, 1000),  # crawled-only host, no sitemap
     }, got
+
+
+def test_seed_distance_edges(spark):
+    """Min-merge across competing paths, horizon vs reachability, and
+    a 2-cycle that must not inflate distances."""
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(6)], "host string"
+    )
+    edges = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n2", "n1"),   # 2-cycle inside
+         ("n0", "n3"), ("n3", "n4"), ("n1", "n4")],  # two routes to n4
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("n0",)], "host string")
+    got = {
+        r.host: r.dist
+        for r in C.seed_distance(nodes, edges, seeds, max_hops=2)
+        .collect()
+    }
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 1, "n4": 2,
+                   "n5": None}, got
+
+
+def test_text_ttr_edges(spark):
+    """Empty and whitespace-only texts divide by the 1-floor; NULL text
+    yields 0 tokens (split of NULL → sizes coalesce through filter)."""
+    df = spark.createDataFrame(
+        [("", ), ("   ",), ("One one ONE",)], "text string"
+    )
+    got = [
+        (r.n_tokens, r.n_types, r.ttr_permille)
+        for r in C.text_ttr(df).collect()
+    ]
+    assert got == [(0, 0, 0), (0, 0, 0), (3, 1, 333)], got

@@ -1007,3 +1007,15 @@ def test_sitemap_coverage_two_exchanges(spark, sf_smoke, qs):
     p = plan_of(qs["sitemap_coverage"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_text_ttr_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["text_ttr"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
+    assert "Generate" not in p, p  # array ops, never exploded
+
+
+def test_seed_distance_no_python_no_cartesian(spark, sf_smoke, qs):
+    p = plan_of(qs["seed_distance"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p, p
+    assert "Cartesian" not in p and "NestedLoop" not in p, p
