@@ -1020,3 +1020,48 @@ def stream_revisit(spark, sf):
         F.coalesce("stored_sha256", "new_sha256").alias("payload_sha256"),
     )
     return S.run_to_memory(out, mode="append")
+
+
+@_q(
+    "stream_validators",
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'etag'
+            WHEN doc_id % 3 = 1 THEN 'weak_etag'
+            WHEN doc_id % 4 = 0 THEN 'last_modified'
+            ELSE 'none' END AS validator,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY 1""",
+)
+def stream_validators(spark, sf):
+    """Live cache-validator census over the crawl ingest stream: every
+    arriving fetch classifies by the strongest revalidation signal its
+    origin offers (same residue synthesis as the batch
+    ``crawl_validators``), aggregated to per-class counts — the
+    dashboard number that says what fraction of the refetch budget can
+    go conditional. Complete mode, ≤4 fixed state rows; classification
+    is scan-stage JVM so the only state is the tiny census itself."""
+    from caraspark.curation import classify_validators
+
+    docs = S.replay_documents_stream(spark, sf)
+    did = F.col("doc_id")
+    etag = (
+        F.when(did % 3 == 0,
+               F.concat(F.lit('"v'), did.cast("string"), F.lit('"')))
+        .when(did % 3 == 1,
+              F.concat(F.lit('W/"v'), did.cast("string"), F.lit('"')))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lastmod = F.when(
+        did % 4 == 0, F.lit("Tue, 01 Jan 2024 00:00:00 GMT")
+    ).otherwise(F.lit(None).cast("string"))
+    fetches = docs.select(
+        etag.alias("etag"),
+        lastmod.alias("last_modified"),
+        F.lit(None).cast("string").alias("cache_control"),
+    )
+    out = (
+        classify_validators(fetches)
+        .groupBy("validator")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return S.run_to_memory(out, mode="complete")

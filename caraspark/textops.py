@@ -246,16 +246,22 @@ def _mh_slices():
     return [8 * j + 1 for j in range(_N_MINHASH)]
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(docs_sql: str | None = None) -> str:
     """Shared CTE body: shingle sets → lanes → bands (reused by the
-    candidate query and by the exact-Jaccard verification stage)."""
+    candidate query, the exact-Jaccard verification stage, and the
+    fuzzy-decontamination join — the latter passes its own ``docs_sql``
+    to add the benchmark side)."""
     lanes = ", ".join(
         f"min(CAST('0x' || substring(dg, {s}, 8) AS BIGINT)) AS m{j}"
         for j, s in enumerate(_mh_slices())
     )
+    docs_sql = docs_sql or (
+        "SELECT doc_id, lower(text) AS t FROM documents"
+        f" WHERE length(text) >= {_SHINGLE}"
+    )
     return f"""
 docs AS (
-  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= {_SHINGLE}
+  {docs_sql}
 ),
 shingles AS (
   -- duckdb's range() can't take lateral column args: cross-join a static
@@ -325,6 +331,41 @@ def minhash_candidates(d, hash_fn: str = "sha2"):
     """(documents df) → (id_a, id_b, n_bands) LSH candidate pairs; the
     plan-shape contract of `dedup_minhash`'s docstring holds for both
     hash_fn values (pinned in test_plans.py)."""
+    bands = minhash_bands(d, hash_fn)
+    buckets = (
+        bands.groupBy("band_id", "band")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        "band_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + F.lit(2),
+                            F.size("ids"),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("band_id", "p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.countDistinct("band_id").alias("n_bands")
+    )
+
+
+def minhash_bands(d, hash_fn: str = "sha2"):
+    """(documents df) → (doc_id, band_id, band) LSH band keys — the
+    shared front half of `minhash_candidates` (same-set near-dup pairs)
+    and `decontaminate_fuzzy` (cross-set contamination join)."""
     spark = d.sparkSession
     docs = d.filter(F.length("text") >= _SHINGLE).select(
         "doc_id", F.lower("text").alias("t")
@@ -398,34 +439,7 @@ def minhash_candidates(d, hash_fn: str = "sha2"):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_id", "bb.band")
-    buckets = (
-        bands.groupBy("band_id", "band")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        "band_id",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"),
-                            i + F.lit(2),
-                            F.size("ids"),
-                        ),
-                        lambda y: F.struct(
-                            x.alias("id_a"), y.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select("band_id", "p.id_a", "p.id_b")
-    return pairs.groupBy("id_a", "id_b").agg(
-        F.countDistinct("band_id").alias("n_bands")
-    )
+    return bands
 
 
 def _minhash_verified_sql() -> str:
@@ -2489,3 +2503,68 @@ def text_sentences(spark, sf):
         sent.alias("sentence"),
         F.length(sent).cast("long").alias("n_chars"),
     ).filter(F.length(sent) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination (MinHash-band overlap vs a benchmark set)
+# ---------------------------------------------------------------------------
+
+
+def _decon_fuzzy_sql() -> str:
+    docs_sql = f"""SELECT doc_id, t FROM (
+    SELECT doc_id, lower(text) AS t FROM documents
+    UNION ALL
+    SELECT -1, lower(text) || ' planted contamination tail'
+    FROM documents WHERE doc_id = 1
+  ) WHERE length(t) >= {_SHINGLE}"""
+    return f"""
+WITH {_minhash_ctes(docs_sql)},
+bench AS (
+  SELECT DISTINCT band, band_id FROM bands
+  WHERE doc_id % 97 = 0 OR doc_id = -1
+)
+SELECT c.doc_id, CAST(count(DISTINCT c.band_id) AS BIGINT) AS n_bands
+FROM bands c JOIN bench b
+  ON c.band = b.band AND c.band_id = b.band_id
+WHERE c.doc_id % 97 <> 0 AND c.doc_id <> -1
+GROUP BY c.doc_id
+"""
+
+
+@_q("decontaminate_fuzzy", _decon_fuzzy_sql())
+def decontaminate_fuzzy(spark, sf):
+    """Fuzzy benchmark decontamination: the exact n-gram join
+    (`decontaminate`) misses PARAPHRASED leakage — a benchmark item
+    lightly edited into a crawled page shares few 13-grams but nearly
+    all 9-char shingles. This flags corpus docs whose MinHash signature
+    collides with ANY benchmark doc in at least one LSH band (the same
+    r=4 bands as `dedup_minhash`, so the similarity threshold matches
+    the dedup stack's); docs %97==0 stand in for the eval suite, plus a
+    planted near-copy of doc 1 (its text + a short tail, as synthetic
+    bench id -1) that pins the paraphrase path — doc 1 must flag with
+    both bands despite not being byte-identical to any bench doc.
+
+    Scale shape: ONE corpus pass builds all band keys
+    (`minhash_bands` — digest-only exchanges, pre-explode repartition);
+    the benchmark side collapses to distinct (band_id, band) 16-byte
+    keys and is **broadcast**, so the corpus never re-shuffles for the
+    join; only matched (doc_id, band_id) pairs reach the per-doc count
+    exchange."""
+    d = load(spark, sf, "documents")
+    plant = d.filter(F.col("doc_id") == 1).select(
+        F.lit(-1).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" planted contamination tail")
+        ).alias("text"),
+    )
+    bands = minhash_bands(
+        d.select("doc_id", "text").unionByName(plant)
+    )
+    is_bench = (F.col("doc_id") % 97 == 0) | (F.col("doc_id") == -1)
+    bench = bands.filter(is_bench).select("band_id", "band").distinct()
+    return (
+        bands.filter(~is_bench)
+        .join(F.broadcast(bench), ["band_id", "band"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band_id").alias("n_bands"))
+    )

@@ -1019,3 +1019,11 @@ def test_seed_distance_no_python_no_cartesian(spark, sf_smoke, qs):
     p = plan_of(qs["seed_distance"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p, p
     assert "Cartesian" not in p and "NestedLoop" not in p, p
+
+
+def test_decontaminate_fuzzy_bench_is_broadcast(spark, sf_smoke, qs):
+    """The benchmark band keys must broadcast — the corpus side never
+    re-shuffles for the contamination join."""
+    p = plan_of(qs["decontaminate_fuzzy"](spark, sf_smoke), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "EvalPython" not in p and "Cartesian" not in p, p

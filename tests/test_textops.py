@@ -515,3 +515,16 @@ def test_ann_recall_pq_shape_and_bounds(spark, sf_smoke):
     assert all(r.k == _TOPK for r in rows)
     assert all(0 <= r.recall_permille <= 1000 for r in rows)
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_decontaminate_fuzzy_flags_near_copy(spark, sf_smoke):
+    """The planted near-copy (doc 1's text + tail) must flag doc 1 in
+    at least one LSH band (the tail MAY legitimately shift one band's
+    minimum — that's the r=4 threshold working); no bench doc id may
+    ever appear on the flagged side."""
+    from caraspark.textops import REGISTRY
+
+    rows = REGISTRY["decontaminate_fuzzy"].fn(spark, sf_smoke).collect()
+    got = {r.doc_id: r.n_bands for r in rows}
+    assert got.get(1, 0) >= 1, got
+    assert all(k % 97 != 0 and k != -1 for k in got), got
