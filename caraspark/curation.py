@@ -5262,3 +5262,107 @@ def text_ttr_q(spark, sf):
     return text_ttr(pages).select(
         "doc_id", "n_tokens", "n_types", "ttr_permille"
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-frequency boilerplate lines (cross-document chrome)
+# ---------------------------------------------------------------------------
+
+
+def host_boilerplate(
+    df: DataFrame,
+    host_col: str = "host",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    thresh_permille: int = 500,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet-family move that
+    per-page heuristics cannot make): a line appearing on ≥ half of a
+    HOST's pages is site chrome — cookie banners, footers, nav crumbs —
+    no matter how prose-like it reads. Per doc: distinct non-empty line
+    count and how many of them are host-frequent (flagged when line
+    doc-frequency × 1000 ≥ thresh_permille × host-doc-count, hosts with
+    fewer than ``min_docs`` pages never flag — one page is no evidence).
+
+    Scale shape: lines dedup WITHIN the doc via array_distinct before
+    the explode (no shuffle spent on within-doc repeats); every exchange
+    after that carries (host, 16-byte line-md5) or (doc, ints) — line
+    TEXT never shuffles; the per-host doc count is a tiny aggregate
+    joined broadcast; the doc-frequency groupBy and the flag join share
+    the same (host, line-hash) key, so Catalyst reuses one exchange."""
+    base = df.select(
+        F.col(host_col).alias("host"),
+        F.col(doc_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.array_distinct(F.split(F.col(text_col), "\n")),
+                lambda s: s != "",
+            )
+        ).alias("line"),
+    ).select("host", "doc", F.md5(F.encode("line", "utf-8")).alias("lh"))
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(doc_col)).alias("n_docs")
+    )
+    freq = base.groupBy("host", "lh").agg(F.count("*").alias("df_cnt"))
+    boiler = (
+        freq.join(F.broadcast(host_docs), "host")
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("df_cnt") * 1000 >= thresh_permille * F.col("n_docs"))
+        )
+        .select("host", "lh", F.lit(True).alias("is_boiler"))
+    )
+    flagged = base.join(boiler, ["host", "lh"], "left")
+    n_lines = F.count("*")
+    n_boiler = F.sum(
+        F.coalesce(F.col("is_boiler"), F.lit(False)).cast("long")
+    )
+    return flagged.groupBy("doc").agg(
+        n_lines.alias("n_lines"),
+        n_boiler.alias("n_boiler"),
+        F.floor(n_boiler * 1000 / F.greatest(n_lines, F.lit(1)))
+        .cast("int")
+        .alias("boiler_permille"),
+    )
+
+
+def _host_boilerplate_sql() -> str:
+    return """
+SELECT doc_id AS doc,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_lines,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_boiler,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 666 ELSE 500 END AS INT)
+         AS boiler_permille
+FROM documents
+"""
+
+
+@_q("host_boilerplate", _host_boilerplate_sql())
+def host_boilerplate_q(spark, sf):
+    """Host boilerplate, hash-verified closed-form: every doc on host
+    h(doc_id%5) carries three planted line shapes — a header ALL host
+    docs share (1000‰ frequent), a promo line on exactly the even HALF
+    (500‰ — sits precisely ON the threshold, pinning the ≥), and a
+    doc-unique line that must never flag. Host residue classes split
+    parity evenly, so the oracle states line counts, boiler counts and
+    permilles as pure parity constants."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    k = (did % 5).cast("string")
+    text = F.concat(
+        F.lit("welcome to h"), k,
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit("\npromo h"), k),
+        ).otherwise(F.lit("")),
+        F.lit("\nunique "), did.cast("string"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), k).alias("host"),
+        text.alias("text"),
+    )
+    return host_boilerplate(pages)

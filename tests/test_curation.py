@@ -1440,3 +1440,25 @@ def test_text_ttr_edges(spark):
         for r in C.text_ttr(df).collect()
     ]
     assert got == [(0, 0, 0), (0, 0, 0), (3, 1, 333)], got
+
+
+def test_host_boilerplate_edges(spark):
+    """min_docs guard (a 1-page host never flags even at 100%
+    frequency), within-doc repeats count once, empty lines dropped."""
+    rows = [
+        ("a", 1, "footer\nfooter\n\nbody one"),   # repeat + empty line
+        ("a", 2, "footer\nbody two"),
+        ("a", 3, "footer\nbody three"),
+        ("b", 9, "lonely\nlonely"),               # single-doc host
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id int, text string")
+    got = {
+        r.doc: (r.n_lines, r.n_boiler, r.boiler_permille)
+        for r in C.host_boilerplate(df).collect()
+    }
+    assert got == {
+        1: (2, 1, 500),   # footer flags (3/3 docs); unique body 333‰ < 500
+        2: (2, 1, 500),
+        3: (2, 1, 500),
+        9: (1, 0, 0),     # 100% frequent but min_docs=2 blocks it
+    }, got

@@ -1027,3 +1027,10 @@ def test_decontaminate_fuzzy_bench_is_broadcast(spark, sf_smoke, qs):
     p = plan_of(qs["decontaminate_fuzzy"](spark, sf_smoke), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "EvalPython" not in p and "Cartesian" not in p, p
+
+
+def test_host_boilerplate_no_python_text_never_shuffles(spark, sf_smoke, qs):
+    """All exchanges carry hashes/ints; host-doc counts broadcast."""
+    p = plan_of(qs["host_boilerplate"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p and "Cartesian" not in p, p
+    assert "BroadcastHashJoin" in p, p
