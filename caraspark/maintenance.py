@@ -53,6 +53,7 @@ def compact_table(
     table_dir: str,
     target_files_per_bucket: int = 1,
     max_tasks: int = 64,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Rewrite every committed bucket holding more than
     ``target_files_per_bucket`` parquet files down to one file in a new
@@ -64,7 +65,16 @@ def compact_table(
     the fresh generation dir. Untouched buckets are never read or
     rewritten; old files are deleted only by ``expire_snapshots`` after the
     commit is durable.
-    """
+
+    ``sort_by`` is the Iceberg sort-order analog: the rewrite CLUSTERS
+    each bucket's file on the given columns (``sortWithinPartitions`` —
+    the bucket already lands wholly in one task, so this is a total sort
+    per output file, no extra exchange). Parquet then records tight
+    per-row-group min/max statistics for those columns, and any engine's
+    range or point predicate on them skips non-matching row groups at
+    scan time — the read-side payoff compaction can buy for free. The
+    committed units record the clustering so readers and later
+    compactions can see (and preserve) it."""
     man = SnapshotManifest(table_dir)
     snap = man.current_snapshot()
     if snap is None:
@@ -98,9 +108,11 @@ def compact_table(
         .parquet(*src_paths)
         .drop("gen")
     )
+    part = df.repartition(min(len(frag), max_tasks), "bucket")
+    if sort_by:
+        part = part.sortWithinPartitions("bucket", *sort_by)
     (
-        df.repartition(min(len(frag), max_tasks), "bucket")
-        .write.mode("overwrite")
+        part.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(gen_dir)
     )
@@ -110,6 +122,7 @@ def compact_table(
             **(cur_units.get(str(u)) or {}),
             "gen": new_gen,
             "compacted": True,
+            **({"sort_by": list(sort_by)} if sort_by else {}),
         }
         for u in frag
     }

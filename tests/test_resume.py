@@ -795,3 +795,41 @@ def test_snapshot_codec_is_zstd_by_default(spark, tmp_path):
     run_job(spark, None, out2, units=2, unit_chunk=2, synth_docs=8,
             codec="snappy")
     assert glob.glob(out2 + "/data/gen=0/bucket=*/*.snappy.parquet")
+
+
+def test_compaction_sort_by_clusters_buckets(spark, tmp_path):
+    """sort_by compaction: each rewritten bucket file is totally sorted
+    on the cluster column (so parquet row-group min/max stats are tight
+    and range predicates skip at scan time), the readable table is
+    unchanged, and the committed units record the clustering."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from caraspark.maintenance import bucket_file_counts, compact_table
+    from caraspark.manifest import SnapshotManifest
+
+    out = str(tmp_path / "tbl_sorted")
+    run_job(spark, None, out, units=4, unit_chunk=1, synth_docs=N_DOCS)
+    ref = _table_fingerprint(read_extracted(spark, out))
+
+    res = compact_table(spark, out, sort_by=["url"])
+    assert res["compacted_buckets"], res
+    assert all(n == 1 for n in bucket_file_counts(out).values())
+    assert _table_fingerprint(read_extracted(spark, out)) == ref
+
+    man = SnapshotManifest(out)
+    units = man.units_map()
+    assert all(
+        units[str(u)]["sort_by"] == ["url"]
+        for u in res["compacted_buckets"]
+    ), units
+    gen = res["snapshot_id"]
+    files = glob.glob(
+        os.path.join(out, "data", f"gen={gen}", "bucket=*", "*.parquet")
+    )
+    assert files
+    for f in files:
+        urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
+        assert urls == sorted(urls), f
