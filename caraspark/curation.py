@@ -5366,3 +5366,63 @@ def host_boilerplate_q(spark, sf):
         text.alias("text"),
     )
     return host_boilerplate(pages)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap delta (crawl-to-crawl change feed)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_delta(
+    prev: DataFrame, cur: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Crawl-to-crawl sitemap diff: the change feed a scheduler derives
+    from two consecutive sitemap fetches of the same host — ``added``
+    urls go straight to the frontier (new content, no link-discovery
+    latency), ``removed`` urls get retirement checks (realized 404s and
+    redirects confirm; still-200s flag a stale sitemap). Unchanged urls
+    don't appear: the delta is what drives work, and at 10^9 sitemap
+    entries per crawl the unchanged ~95% must never leave the join.
+
+    Scale shape: one url-keyed full-outer join of bare url strings with
+    a null-side filter — the anti-join pair expressed as ONE exchange
+    instead of two EXCEPTs (which would each shuffle both sides)."""
+    p = prev.select(F.col(url_col).alias("_pu")).distinct()
+    c = cur.select(F.col(url_col).alias("_cu")).distinct()
+    return (
+        p.join(c, p["_pu"] == c["_cu"], "full_outer")
+        .filter(F.col("_pu").isNull() | F.col("_cu").isNull())
+        .select(
+            F.coalesce("_cu", "_pu").alias("url"),
+            F.when(F.col("_pu").isNull(), F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+        )
+    )
+
+
+def _sitemap_delta_sql() -> str:
+    return """
+SELECT 'https://s.ex/p' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 7 = 0 THEN 'removed' ELSE 'added' END AS change
+FROM documents
+WHERE (doc_id % 7 = 0 AND doc_id % 5 <> 2)
+   OR (doc_id % 5 = 2 AND doc_id % 7 <> 0)
+"""
+
+
+@_q("sitemap_delta", _sitemap_delta_sql())
+def sitemap_delta_q(spark, sf):
+    """Sitemap delta, hash-verified closed-form: crawl 1 declares every
+    url EXCEPT the %5==2 fifth (those arrive in crawl 2 → added);
+    crawl 2 drops the %7==0 seventh (→ removed); ids in BOTH residue
+    classes (≡7 mod 35) are in NEITHER crawl and must not appear at all
+    — the case that catches a sloppy one-sided diff; everything else is
+    in both crawls and is silent. The oracle states the delta by
+    residue arithmetic."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://s.ex/p"), did.cast("string"))
+    prev = d.filter(did % 5 != 2).select(url.alias("url"))
+    cur = d.filter(did % 7 != 0).select(url.alias("url"))
+    return sitemap_delta(prev, cur)

@@ -1462,3 +1462,16 @@ def test_host_boilerplate_edges(spark):
         3: (2, 1, 500),
         9: (1, 0, 0),     # 100% frequent but min_docs=2 blocks it
     }, got
+
+
+def test_sitemap_delta_edges(spark):
+    """Duplicates within a crawl collapse; unchanged urls are silent;
+    urls in neither input can't exist by construction of the join."""
+    prev = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], "url string"
+    )
+    cur = spark.createDataFrame([("b",), ("d",), ("d",)], "url string")
+    got = {
+        r.url: r.change for r in C.sitemap_delta(prev, cur).collect()
+    }
+    assert got == {"a": "removed", "c": "removed", "d": "added"}, got

@@ -1034,3 +1034,11 @@ def test_host_boilerplate_no_python_text_never_shuffles(spark, sf_smoke, qs):
     p = plan_of(qs["host_boilerplate"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p and "Cartesian" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_sitemap_delta_single_join_no_python(spark, sf_smoke, qs):
+    """Both delta directions come out of ONE full-outer join — never
+    two EXCEPTs that would each shuffle both sides."""
+    p = plan_of(qs["sitemap_delta"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p, p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1, p
