@@ -755,6 +755,65 @@ def extract_signatures(doc: Document, file_len: int) -> list[dict]:
     return rows
 
 
+def extract_xmp(doc: Document) -> list[dict]:
+    """Dual-metadata harvest [PDF17 §14.3]: every type-checked XMP
+    metadata stream's dc:title / dc:creator / xmp:CreateDate, next to
+    the classic trailer-/Info /Title — plus ``title_match``, the
+    cross-check that flags tooling drift or tampering (one editor
+    updated the Info dictionary, another the packet; producers SHOULD
+    keep them synchronized, so disagreement is a signal). NULL-safe:
+    rows appear for packets without the harvested fields (all-None),
+    and ``title_match`` is None unless BOTH titles exist."""
+    import re as _re
+
+    from caraspark.pdfengine.model import Ref, Stream
+    from caraspark.pdfengine.typecheck import check_types
+
+    info_title = None
+    info = doc.trailer.get("Info")
+    if isinstance(info, Ref):
+        info = doc.objects.get((info.num, info.gen))
+    if isinstance(info, dict):
+        t = info.get("Title")
+        if isinstance(t, bytes):  # PDF strings lex as raw bytes
+            info_title = t.decode("utf-8", "replace")
+
+    def grab(pat: str, s: str) -> str | None:
+        m = _re.search(pat, s, _re.S)
+        return m.group(1) if m else None
+
+    tres = check_types(doc)
+    rows: list[dict] = []
+    for key in sorted(doc.objects):
+        if tres.assignments.get(key) != "metadata_stream":
+            continue
+        o = doc.objects[key]
+        if not isinstance(o, Stream):
+            continue
+        payload = o.decoded if o.decoded is not None else o.raw
+        s = payload.decode("utf-8", "replace")
+        xmp_title = grab(
+            r"<dc:title>.*?<rdf:li[^>]*>([^<]*)</rdf:li>", s
+        )
+        rows.append(
+            {
+                "obj": f"{key[0]}.{key[1]}",
+                "xmp_title": xmp_title,
+                "xmp_creator": grab(
+                    r"<dc:creator>.*?<rdf:li[^>]*>([^<]*)</rdf:li>", s
+                ),
+                "create_date": grab(r"<xmp:CreateDate>([^<]*)<", s),
+                "info_title": info_title,
+                "title_match": (
+                    xmp_title == info_title
+                    if xmp_title is not None and info_title is not None
+                    else None
+                ),
+            }
+        )
+    return rows
+
+
 def extract_revisions(doc: Document) -> list[dict]:
     """Per-revision forensic surface over the incremental-update chain
     (C12 walk, [PDF17 §7.5.6]): one row per trailer, rev 0 = NEWEST

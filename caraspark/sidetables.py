@@ -31,6 +31,7 @@ from caraspark.oracle_freeze import (
     js_cte,
     fonts_cte,
     sigs_cte,
+    xmp_cte,
     outline_cte,
     pages_cte,
     revision_cte,
@@ -1049,3 +1050,68 @@ def pdf_sigs(spark, sf):
     fixed-width facts only."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_sigs_batches, _SIGS_DDL)
+
+
+_XMP_DDL = (
+    "url string, obj string, xmp_title string, xmp_creator string,"
+    " create_date string, info_title string, title_match boolean"
+)
+_XMP_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("obj", pa.string()),
+        ("xmp_title", pa.string()),
+        ("xmp_creator", pa.string()),
+        ("create_date", pa.string()),
+        ("info_title", pa.string()),
+        ("title_match", pa.bool_()),
+    ]
+)
+
+
+def _xmp_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import extract_xmp, load_document
+
+    cols = {f.name: [] for f in _XMP_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            if _prune_skip(blob, b"/Metadata"):
+                continue
+            for xr in extract_xmp(load_document(bytes(blob))):
+                cols["url"].append(url)
+                cols["obj"].append(xr["obj"])
+                cols["xmp_title"].append(xr["xmp_title"])
+                cols["xmp_creator"].append(xr["xmp_creator"])
+                cols["create_date"].append(xr["create_date"])
+                cols["info_title"].append(xr["info_title"])
+                cols["title_match"].append(xr["title_match"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _XMP_ARROW],
+                schema=_XMP_ARROW,
+            )
+            cols = {f.name: [] for f in _XMP_ARROW}
+
+
+@_q(
+    "pdf_xmp",
+    f"""WITH {corpus_cte()},
+{xmp_cte()}
+SELECT d.url, x.xobj AS obj, x.xmp_title, x.xmp_creator, x.create_date,
+       x.info_title, x.title_match
+FROM docs d JOIN xm x ON x.rid = d.rid""",
+)
+def pdf_xmp(spark, sf):
+    """Dual-metadata census across the corpus [PDF17 §14.3]: every XMP
+    metadata stream's dc:title / dc:creator / xmp:CreateDate next to the
+    trailer /Info /Title, with the title_match cross-check that flags
+    tooling drift and tampering (producers SHOULD keep packet and Info
+    synchronized). Byte-level /Metadata prune skips packless documents
+    before any parse; narrow Arrow stage, fixed-width facts only."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_xmp_batches, _XMP_DDL)

@@ -2433,3 +2433,67 @@ def pdf_signed_updated() -> bytes:
 
 PDF_RECIPES["pdf_signed"] = pdf_signed
 PDF_RECIPES["pdf_signed_updated"] = pdf_signed_updated
+
+
+def _xmp_packet(title: bytes, creator: bytes, date: bytes) -> bytes:
+    return (
+        b"<?xpacket begin='' id='W5M0MpCehiHzreSzNTczkc9d'?>"
+        b"<x:xmpmeta xmlns:x='adobe:ns:meta/'>"
+        b"<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'>"
+        b"<rdf:Description rdf:about=''"
+        b" xmlns:dc='http://purl.org/dc/elements/1.1/'"
+        b" xmlns:xmp='http://ns.adobe.com/xap/1.0/'>"
+        b"<dc:title><rdf:Alt><rdf:li xml:lang='x-default'>" + title
+        + b"</rdf:li></rdf:Alt></dc:title>"
+        b"<dc:creator><rdf:Seq><rdf:li>" + creator
+        + b"</rdf:li></rdf:Seq></dc:creator>"
+        b"<xmp:CreateDate>" + date + b"</xmp:CreateDate>"
+        b"</rdf:Description></rdf:RDF></x:xmpmeta>"
+        b"<?xpacket end='w'?>"
+    )
+
+
+def pdf_xmp() -> bytes:
+    """XMP recipe [PDF17 §14.3.2 + XMP Part 1]: catalog /Metadata XML
+    stream (UNFILTERED, as the spec recommends so non-PDF-aware
+    scanners can find the packet) carrying dc:title / dc:creator /
+    xmp:CreateDate, plus the classic trailer /Info dictionary with an
+    AGREEING /Title — the consistent dual-metadata shape."""
+    bodies = _base_objects(b"BT (XMP doc) Tj ET")
+    bodies[1] = _obj(
+        1, b"<< /Type /Catalog /Pages 2 0 R /Metadata 5 0 R >>"
+    )
+    bodies[5] = _stream_obj(
+        5,
+        b"/Type /Metadata /Subtype /XML",
+        _xmp_packet(b"Synth XMP Title", b"A. Author",
+                    b"2026-01-02T03:04:05Z"),
+    )
+    bodies[6] = _obj(
+        6,
+        b"<< /Title (Synth XMP Title) /Author (A. Author)"
+        b" /Producer (caraspark-synth) >>",
+    )
+    return _assemble(bodies, trailer_extra=b" /Info 6 0 R")
+
+
+def pdf_xmp_mismatch() -> bytes:
+    """The tamper/tooling-drift shape: XMP and /Info DISAGREE on the
+    title (one editor updated the Info dict, another the packet) — the
+    cross-check signal `extract_xmp` surfaces as title_match=false."""
+    bodies = _base_objects(b"BT (XMP mismatch) Tj ET")
+    bodies[1] = _obj(
+        1, b"<< /Type /Catalog /Pages 2 0 R /Metadata 5 0 R >>"
+    )
+    bodies[5] = _stream_obj(
+        5,
+        b"/Type /Metadata /Subtype /XML",
+        _xmp_packet(b"Edited Title", b"B. Editor",
+                    b"2026-02-03T04:05:06Z"),
+    )
+    bodies[6] = _obj(6, b"<< /Title (Original Title) >>")
+    return _assemble(bodies, trailer_extra=b" /Info 6 0 R")
+
+
+PDF_RECIPES["pdf_xmp"] = pdf_xmp
+PDF_RECIPES["pdf_xmp_mismatch"] = pdf_xmp_mismatch

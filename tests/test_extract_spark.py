@@ -162,12 +162,12 @@ def test_want_text_false_stats_only_path(spark):
     the full run exactly."""
     full = {
         r["url"]: r
-        for r in extract(synth_df(spark, 60, partitions=4)).collect()
+        for r in extract(synth_df(spark, 90, partitions=4)).collect()
     }
     stats = {
         r["url"]: r
         for r in extract(
-            synth_df(spark, 60, partitions=4), want_text=False
+            synth_df(spark, 90, partitions=4), want_text=False
         ).collect()
     }
     assert set(full) == set(stats)
@@ -202,13 +202,13 @@ def test_want_surface_projection_parity(spark):
     Catalyst can't see inside the UDF, so the prune must be correct here."""
     full = {
         r["url"]: r
-        for r in extract(synth_df(spark, 60, partitions=4)).collect()
+        for r in extract(synth_df(spark, 90, partitions=4)).collect()
     }
     surfaces = ("title", "headings")
     part = {
         r["url"]: r
         for r in extract(
-            synth_df(spark, 60, partitions=4), want=surfaces
+            synth_df(spark, 90, partitions=4), want=surfaces
         ).collect()
     }
     assert set(full) == set(part)
@@ -243,12 +243,12 @@ def test_want_text_only_matches_full_text(spark):
     north-rule invariant survives the pushdown) with spans/outlinks NULL."""
     full = {
         r["url"]: bytes(r["text"]) if r["text"] is not None else None
-        for r in extract(synth_df(spark, 60, partitions=4)).collect()
+        for r in extract(synth_df(spark, 90, partitions=4)).collect()
     }
     only = {
         r["url"]: r
         for r in extract(
-            synth_df(spark, 60, partitions=4), want=("text",)
+            synth_df(spark, 90, partitions=4), want=("text",)
         ).collect()
     }
     assert set(full) == set(only)

@@ -1927,3 +1927,25 @@ def test_extract_signatures_coverage_shapes():
     plain = PDF_RECIPES["pdf_minimal"]()
     assert extract_signatures(load_document(plain), len(plain)) == []
     assert extract_signatures(load_document(b"%PDF-1.4\njunk"), 13) == []
+
+
+def test_extract_xmp_dual_metadata_crosscheck():
+    """XMP harvest: agreeing packet+Info → title_match True; planted
+    disagreement → False; packet without dc fields (the catalog-extras
+    recipe's empty xmpmeta) → all-None row with None match; no-packet
+    and garbage inputs → no rows."""
+    from caraspark.pdfengine.document import extract_xmp, load_document
+    from caraspark.synth import PDF_RECIPES
+
+    rows = extract_xmp(load_document(PDF_RECIPES["pdf_xmp"]()))
+    assert len(rows) == 1 and rows[0]["title_match"] is True
+    assert rows[0]["xmp_title"] == "Synth XMP Title"
+    assert rows[0]["create_date"] == "2026-01-02T03:04:05Z"
+
+    rows = extract_xmp(load_document(PDF_RECIPES["pdf_xmp_mismatch"]()))
+    assert rows[0]["title_match"] is False
+    assert rows[0]["info_title"] == "Original Title"
+
+    plain = extract_xmp(load_document(PDF_RECIPES["pdf_minimal"]()))
+    assert plain == []
+    assert extract_xmp(load_document(b"%PDF-1.4\njunk")) == []

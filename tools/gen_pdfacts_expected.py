@@ -79,6 +79,7 @@ def build_extras():
     page_rows = []
     font_rows = []
     sig_rows = []
+    xmp_rows = []
     outline_rows = []
     formfield_rows = []
     js_rows = []
@@ -243,6 +244,13 @@ def build_extras():
                  sg["n_ranges"], sg["starts_at_zero"],
                  sg["unsigned_tail"])
             )
+        from caraspark.pdfengine.document import extract_xmp
+
+        for xr in extract_xmp(doc):
+            xmp_rows.append(
+                (rid, xr["obj"], xr["xmp_title"], xr["xmp_creator"],
+                 xr["create_date"], xr["info_title"], xr["title_match"])
+            )
 
     import random
 
@@ -302,6 +310,7 @@ def build_extras():
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
+        xmp_rows,
     )
 
 
@@ -477,6 +486,7 @@ def main() -> None:
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
+        xmp_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -512,7 +522,8 @@ def main() -> None:
             f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
             f"PAGE_ROWS = {fmt(page_rows)}\n\n"
             f"FONT_ROWS = {fmt(font_rows)}\n\n"
-            f"SIG_ROWS = {fmt(sig_rows)}\n"
+            f"SIG_ROWS = {fmt(sig_rows)}\n\n"
+            f"XMP_ROWS = {fmt(xmp_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -532,7 +543,8 @@ def main() -> None:
         f"{len(revision_rows)} revision rows, "
         f"{len(page_rows)} page rows, "
         f"{len(font_rows)} font rows, "
-        f"{len(sig_rows)} signature rows -> {path}"
+        f"{len(sig_rows)} signature rows, "
+        f"{len(xmp_rows)} xmp rows -> {path}"
     )
 
 
