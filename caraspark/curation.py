@@ -5426,3 +5426,118 @@ def sitemap_delta_q(spark, sf):
     prev = d.filter(did % 5 != 2).select(url.alias("url"))
     cur = d.filter(did % 7 != 0).select(url.alias("url"))
     return sitemap_delta(prev, cur)
+
+
+# ---------------------------------------------------------------------------
+# Content sniffing (magic bytes vs declared Content-Type)
+# ---------------------------------------------------------------------------
+
+
+def content_sniff(
+    df: DataFrame,
+    body_col: str = "body",
+    declared_col: str = "content_type",
+) -> DataFrame:
+    """Magic-byte content detection vs the declared Content-Type — the
+    router that decides which parser a payload actually needs (servers
+    mislabel constantly: PDFs served as text/html break HTML-only
+    pipelines, and a mismatch is also the classic smuggling signal
+    security scanners key on). Sniffed kinds: %PDF → pdf, gzip/PNG/JPEG
+    magic → their types, leading ``<`` (after optional whitespace/BOM is
+    NOT handled — pipelines strip BOMs upstream in decode_html) → html,
+    else text. ``mismatch`` fires when both sides are known and the
+    sniffed family disagrees with the declared one.
+
+    Scale shape: fixed-offset binary slices compared as hex literals in
+    the scan stage — zero shuffle, zero Python, zero regex over the
+    body (only the 8-byte prefix is ever touched, so columnar readers
+    never materialize full payloads for this check)."""
+    head = F.hex(F.substring(F.col(body_col), 1, 4))
+    sniffed = (
+        F.when(head.startswith("25504446"), F.lit("pdf"))  # %PDF
+        .when(head.startswith("1F8B"), F.lit("gzip"))
+        .when(head == "89504E47", F.lit("png"))
+        .when(head.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(head.startswith("3C"), F.lit("html"))
+        .otherwise(F.lit("text"))
+    )
+    decl = F.lower(
+        F.split(F.coalesce(F.col(declared_col), F.lit("")), ";")[0]
+    )
+    decl_kind = (
+        F.when(decl == "application/pdf", F.lit("pdf"))
+        .when(decl == "application/gzip", F.lit("gzip"))
+        .when(decl == "image/png", F.lit("png"))
+        .when(decl == "image/jpeg", F.lit("jpeg"))
+        .when(decl == "text/html", F.lit("html"))
+        .when(decl.startswith("text/"), F.lit("text"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "*",
+        sniffed.alias("sniffed"),
+        decl_kind.alias("declared_kind"),
+        (
+            decl_kind.isNotNull() & (sniffed != decl_kind)
+        ).alias("mismatch"),
+    )
+
+
+def _content_sniff_sql() -> str:
+    return """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+            WHEN 2 THEN 'png' WHEN 3 THEN 'text' ELSE 'gzip' END
+         AS sniffed,
+       CASE WHEN doc_id % 7 = 0 THEN 'html'
+            WHEN doc_id % 7 = 1 THEN 'pdf'
+            WHEN doc_id % 7 = 2 THEN NULL
+            ELSE CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+                 WHEN 2 THEN 'png' WHEN 3 THEN 'text' ELSE 'gzip' END
+       END AS declared_kind,
+       CASE WHEN doc_id % 7 = 0 THEN doc_id % 5 <> 1
+            WHEN doc_id % 7 = 1 THEN doc_id % 5 <> 0
+            WHEN doc_id % 7 = 2 THEN FALSE
+            ELSE FALSE END AS mismatch
+FROM documents
+"""
+
+
+@_q("content_sniff", _content_sniff_sql())
+def content_sniff_q(spark, sf):
+    """Content sniffing, hash-verified closed-form: %5 rotates the five
+    magic-byte payload shapes (real %PDF / '<' / PNG / plain / gzip
+    prefixes as binary literals); %7 declares text/html (mismatch
+    unless the payload IS html), application/pdf (mismatch unless pdf),
+    an unknown type (application/x-custom → NULL kind, mismatch must
+    stay false), or the TRUE type with a ';charset=' suffix the parser
+    must strip. The oracle derives sniffed kind, declared kind and the
+    mismatch verdict arithmetically from the residues."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    body = (
+        F.when(did % 5 == 0, F.lit(b"%PDF-1.7 fake"))
+        .when(did % 5 == 1, F.lit(b"<html><p>x</p>"))
+        .when(did % 5 == 2, F.lit(bytes.fromhex("89504E47") + b"rest"))
+        .when(did % 5 == 3, F.lit(b"plain words"))
+        .otherwise(F.lit(bytes.fromhex("1F8B08") + b"rest"))
+    )
+    true_ct = (
+        F.when(did % 5 == 0, F.lit("application/pdf"))
+        .when(did % 5 == 1, F.lit("text/html"))
+        .when(did % 5 == 2, F.lit("image/png"))
+        .when(did % 5 == 3, F.lit("text/plain"))
+        .otherwise(F.lit("application/gzip"))
+    )
+    declared = (
+        F.when(did % 7 == 0, F.lit("text/html"))
+        .when(did % 7 == 1, F.lit("application/pdf"))
+        .when(did % 7 == 2, F.lit("application/x-custom"))
+        .otherwise(F.concat(true_ct, F.lit(";charset=utf-8")))
+    )
+    pages = d.select(
+        "doc_id", body.alias("body"), declared.alias("content_type")
+    )
+    return content_sniff(pages).select(
+        "doc_id", "sniffed", "declared_kind", "mismatch"
+    )

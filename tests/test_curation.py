@@ -1475,3 +1475,25 @@ def test_sitemap_delta_edges(spark):
         r.url: r.change for r in C.sitemap_delta(prev, cur).collect()
     }
     assert got == {"a": "removed", "c": "removed", "d": "added"}, got
+
+
+def test_content_sniff_edges(spark):
+    """Short/empty bodies fall to text; NULL declared type never
+    mismatches; parameters after ';' are stripped case-insensitively."""
+    rows = [
+        (b"", None),
+        (b"<", "TEXT/HTML; Charset=UTF-8"),
+        (b"%PD", "application/pdf"),           # truncated magic
+        (b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "body binary, content_type string")
+    got = [
+        (r.sniffed, r.declared_kind, r.mismatch)
+        for r in C.content_sniff(df).collect()
+    ]
+    assert got == [
+        ("text", None, False),
+        ("html", "html", False),
+        ("text", "pdf", True),    # truncated magic ≠ declared pdf
+        ("jpeg", "jpeg", False),
+    ], got

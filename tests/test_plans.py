@@ -1042,3 +1042,8 @@ def test_sitemap_delta_single_join_no_python(spark, sf_smoke, qs):
     p = plan_of(qs["sitemap_delta"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p, p
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1, p
+
+
+def test_content_sniff_is_narrow_jvm(spark, sf_smoke, qs):
+    p = plan_of(qs["content_sniff"](spark, sf_smoke), "simple")
+    assert "Exchange" not in p and "EvalPython" not in p, p
