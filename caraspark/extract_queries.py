@@ -2529,3 +2529,156 @@ def doc_markdown(spark, sf):
     )
     ex = extract(raw, want=("text", "spans", "headings"))
     return markdown_df(ex)
+
+
+from caraspark.oracle_freeze import md_cte  # noqa: E402
+
+
+@_q(
+    "doc_microdata",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       0 AS item, 'https://schema.org/Product' AS itemtype,
+       'name' AS prop, 'Widget ' || CAST(doc_id % 7 AS VARCHAR) AS value
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 0, 'https://schema.org/Product',
+       'brand', 'Widget ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, 0, 'https://schema.org/Product',
+       'url', '/p/' || CAST(doc_id % 9 AS VARCHAR) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, 0, 'https://schema.org/Product',
+       'sku', 'SK ' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 4, 0, 'https://schema.org/Product',
+       'offers', 'item:1' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 5, 1, 'https://schema.org/Offer',
+       'price', CAST(doc_id % 13 AS VARCHAR) || ' usd' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 6, -1, '', 'stray',
+       's' || CAST(doc_id % 3 AS VARCHAR) FROM documents""",
+)
+def doc_microdata(spark, sf):
+    """v20 MICRODATA, hash-verified closed-form: each document is
+    wrapped in HTML carrying the itemprop edge matrix — a typed Product
+    item (padded itemtype, trimmed on capture), a multi-token heading
+    prop (one tuple per token), an a→href value (padded, trimmed), a
+    meta→content value (inner run collapsed by normalization), a nested
+    Offer item (pointer value 'item:1' on the parent), a boiler-div
+    prop that must NOT emit, and an orphan prop outside any item
+    (item=-1) — with deterministic values from doc_id so DuckDB
+    predicts every (url, pos, item, itemtype, prop, value) row.
+
+    Scale: the wrap is a JVM concat at scan stage; extraction is the
+    one Arrow-batched UDF pass; posexplode emits short tuple rows with
+    no shuffle at all — the plan is scan → project → generate."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        did.cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(
+                    "<html><body>"
+                    "<div itemscope itemtype=' https://schema.org/Product '>"
+                    "<h2 itemprop='name brand'>Widget "
+                ),
+                (did % 7).cast("string"),
+                F.lit("</h2><a itemprop='url' href=' /p/"),
+                (did % 9).cast("string"),
+                F.lit(" '>buy</a><meta itemprop='sku' content=' SK  "),
+                (did % 5).cast("string"),
+                F.lit(
+                    " '><div itemprop='offers' itemscope "
+                    "itemtype='https://schema.org/Offer'>"
+                    "<span itemprop='price'>"
+                ),
+                (did % 13).cast("string"),
+                F.lit(
+                    " usd</span></div>"
+                    "<div class='promo'><span itemprop='never'>x</span>"
+                    "</div></div><span itemprop='stray'>s"
+                ),
+                (did % 3).cast("string"),
+                F.lit("</span><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    ex = extract(raw, want=("microdata",))
+    return ex.select(
+        "url", F.posexplode("microdata").alias("pos", "t")
+    ).select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.item").alias("item"),
+        F.col("t.itemtype").alias("itemtype"),
+        F.col("t.prop").alias("prop"),
+        F.col("t.value").alias("value"),
+    )
+
+
+@_q(
+    "doc_microdata_sig",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, CAST(n_microdata AS INT) AS n_microdata, microdata_sig
+FROM perdoc""".format(corpus=corpus_cte(), perdoc=perdoc_cte()),
+)
+def doc_microdata_sig(spark, sf):
+    """v20 MICRODATA over the full synth corpus (the html_microdata
+    edge-matrix rows, []-for-PDF) vs the frozen per-recipe/per-idx md5
+    signatures over the canonical "item:itemtype:prop:value" strings in
+    emission order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "microdata",
+        lambda x: F.concat_ws(
+            ":", x["item"], x["itemtype"], x["prop"], x["value"]
+        ),
+    )
+    return ex.select(
+        "url",
+        F.size("microdata").alias("n_microdata"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "microdata_sig"
+        ),
+    )
+
+
+@_q(
+    "microdata_types",
+    f"""WITH {{corpus}},
+{{md}}
+SELECT t.itemtype,
+       CAST(count(*) AS BIGINT) AS n_props,
+       CAST(count(DISTINCT d.url) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT t.prop) AS BIGINT) AS n_distinct_props
+FROM docs d JOIN md t ON t.idx = d.idx
+WHERE t.itemtype <> ''
+GROUP BY t.itemtype""".format(corpus=corpus_cte(), md=md_cte()),
+)
+def microdata_types(spark, sf):
+    """schema.org itemtype census over the corpus's microdata tuples —
+    the sibling of jsonld_types for the OTHER structured-data channel
+    (which typed records exist, how many pages carry them, and how rich
+    each type's property set is).
+
+    Scale: explode emits one short tuple row per itemprop token; the
+    filter and groupBy on itemtype are scan-stage + one narrow
+    (type, counts) exchange with map-side combine."""
+    ex = _extracted(spark, sf)
+    t = ex.select(
+        "url", F.explode("microdata").alias("t")
+    ).filter(F.col("t.itemtype") != "")
+    return t.groupBy(F.col("t.itemtype").alias("itemtype")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_props"),
+        F.countDistinct("url").cast("bigint").alias("n_docs"),
+        F.countDistinct("t.prop").cast("bigint").alias("n_distinct_props"),
+    )

@@ -191,6 +191,52 @@ and compared byte-for-byte per url):
   identical to HEADMETA: despite tag-drop regions, opaque inside
   boilerplate attr-drop regions, first occurrence wins per slot.
   PDFs have no pagination links (None/None); stats mode yields None.
+* MICRODATA (v20, structured-data surface): one (item, itemtype, prop,
+  value) tuple per ``itemprop`` TOKEN of each element bearing an
+  ``itemprop`` attribute, opened (open or self-closing) outside
+  drop/boilerplate regions — the schema.org-microdata counterpart of
+  v13 JSONLD (WHATWG HTML §5.2), the other structured-data channel a
+  training pipeline mines for typed records.  NORMAL-path placement
+  (the v10/v11/v12 stance, NOT the v13 head-metadata stance): tag-drop
+  subtrees and boilerplate attr-drop regions are invisible, and an
+  element whose class/id is boiler opens its attr-drop region before
+  v20 sees it; self-closing elements never open regions and are always
+  collected (the v10–v12 precedent).  Attribute lookup uses the shared
+  HEADMETA dict contract (last attribute occurrence wins); an element
+  BEARS itemscope when any attribute named itemscope is present,
+  valueless included.
+  ITEMS: an element bearing ``itemscope`` defines an item; ``item``
+  indices are 0-based in element-OPEN order (self-closing itemscope
+  still consumes an index — per element, the v12 stance); the item's
+  type is its own trimmed, case-preserved ``itemtype`` value ("" when
+  absent).  Open itemscope elements nest: each stacked region tracks
+  its root tag name with the shared depth contract — any open of that
+  tag +1, any close −1 (self-closing tags touch nothing), a region
+  reaching 0 closes together with every region stacked above it
+  (nested regions end when their container ends), EOF closes all.
+  PROPS: each whitespace-split ``itemprop`` token yields one tuple
+  (zero tokens → no tuples); ``item``/``itemtype`` are the INNERMOST
+  open item's index and type at the element's open, BEFORE its own
+  itemscope (if any) is pushed — an itemscope+itemprop element is a
+  property of its PARENT item; no open item → item = -1, itemtype "".
+  VALUE, by the WHATWG value table: itemscope present →
+  "item:<own index>" (the nested-item pointer); meta → content,
+  whitespace-normalized; a/area/link → href trimmed; img/audio/video/
+  embed/iframe/source/track → src trimmed; object → data trimmed;
+  data/meter → value trimmed; time → datetime trimmed (ALWAYS the
+  attribute, "" when absent — a deliberate simplification of WHATWG's
+  text fallback, keeping value assembly attribute-pure); anything else
+  → TEXT capture: the whitespace-normalized character data seen while
+  the element is open (same region-tracked stack contract as items;
+  closes fill the value), binding to the INNERMOST open v20 region
+  only and only when that region is a capture — a nested prop suspends
+  the outer capture, and a nested ITEM's text belongs to its own props
+  (v10 innermost-binding stance).  A self-closing capture-category
+  element emits "".  All attribute-category values ("" included — the
+  tuple still emits; per token, the v12 stance) are final at open.
+  EMISSION ORDER: element-OPEN document order, token order within an
+  element (captures fill in place at close; EOF closes innermost
+  first).  PDFs yield []; stats mode (want_text=False) yields None.
 * JSONLD (v13, structured-data surface): one string per
   ``<script type="application/ld+json">`` element — the element's raw
   character data, stripped of leading/trailing whitespace (INTERNAL
@@ -316,6 +362,14 @@ class _Extractor(HTMLParser):
         self.jsonld: list[str] = []
         self._ld_open = False
         self._ld_buf: list[str] = []
+        # v20 MICRODATA: [item, itemtype, prop, value] per itemprop token
+        # (value slots of text captures fill at element close)
+        self.microdata: list[list] = []
+        self._md_items = 0  # itemscope elements opened — item index source
+        # v20 region stack, outer→inner:
+        #   ["scope", root_tag, depth, item_idx, itemtype]
+        #   ["cap",   root_tag, depth, parts,    slots]
+        self._md_stack: list[list] = []
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -397,6 +451,89 @@ class _Extractor(HTMLParser):
         while self._lst_stack:
             self._item_close()
             self._lst_stack.pop()
+
+    # -- v20 microdata lifecycle (parallel pass, like tables/lists)
+    @staticmethod
+    def _md_value(tag: str, a: dict) -> tuple[str | None, bool]:
+        """WHATWG microdata value table → (value, is_text_capture)."""
+        if tag == "meta":
+            return " ".join(a.get("content", "").split()), False
+        if tag in ("a", "area", "link"):
+            return a.get("href", "").strip(), False
+        if tag in (
+            "img", "audio", "video", "embed", "iframe", "source", "track"
+        ):
+            return a.get("src", "").strip(), False
+        if tag == "object":
+            return a.get("data", "").strip(), False
+        if tag in ("data", "meter"):
+            return a.get("value", "").strip(), False
+        if tag == "time":
+            return a.get("datetime", "").strip(), False
+        return None, True
+
+    def _md_element(self, tag, attrs, selfclosing: bool) -> None:
+        """One element's v20 contribution: item registration and/or one
+        tuple per itemprop token (parent bound BEFORE own scope push)."""
+        has_scope = any(k == "itemscope" for k, _v in attrs)
+        a = {k: v for k, v in attrs if v is not None}
+        props = a.get("itemprop", "").split()
+        if not has_scope and not props:
+            return
+        parent = next(
+            (e for e in reversed(self._md_stack) if e[0] == "scope"), None
+        )
+        pidx, ptype = (parent[3], parent[4]) if parent else (-1, "")
+        if has_scope:
+            idx = self._md_items
+            self._md_items += 1
+            for tok in props:
+                self.microdata.append([pidx, ptype, tok, f"item:{idx}"])
+            if not selfclosing:
+                self._md_stack.append(
+                    ["scope", tag, 1, idx, a.get("itemtype", "").strip()]
+                )
+            return
+        value, is_cap = self._md_value(tag, a)
+        if is_cap and not selfclosing:
+            slots = []
+            for tok in props:
+                slots.append(len(self.microdata))
+                self.microdata.append([pidx, ptype, tok, ""])
+            self._md_stack.append(["cap", tag, 1, [], slots])
+        else:
+            v = "" if is_cap else value  # self-closing capture emits ""
+            for tok in props:
+                self.microdata.append([pidx, ptype, tok, v])
+
+    def _md_close_from(self, i: int) -> None:
+        """Close stack entries i.. innermost-first; captures fill slots."""
+        while len(self._md_stack) > i:
+            e = self._md_stack.pop()
+            if e[0] == "cap":
+                v = " ".join("".join(e[3]).split())
+                for s in e[4]:
+                    self.microdata[s][3] = v
+
+    def _md_open_event(self, tag, attrs) -> None:
+        for e in self._md_stack:
+            if e[1] == tag:
+                e[2] += 1
+        self._md_element(tag, attrs, selfclosing=False)
+
+    def _md_close_event(self, tag) -> None:
+        hit = None
+        for i, e in enumerate(self._md_stack):
+            if e[1] == tag:
+                e[2] -= 1
+                if e[2] == 0 and hit is None:
+                    hit = i
+        if hit is not None:
+            self._md_close_from(hit)
+
+    def _finalize_microdata(self) -> None:
+        """EOF with v20 regions still open: close all, innermost first."""
+        self._md_close_from(0)
 
     @staticmethod
     def _is_boiler(attrs) -> bool:
@@ -563,6 +700,9 @@ class _Extractor(HTMLParser):
             self._attr_tag = tag
             self._attr_depth = 1
             return
+        # v20: normal-path placement — runs for every tag that reaches
+        # here (drop subtrees and boiler regions returned above)
+        self._md_open_event(tag, attrs)
         if tag in BLOCK_TAGS:
             self._flush()
             self._open_block_tag = tag
@@ -605,6 +745,8 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
+        # v20: symmetric close event (opens above returned symmetrically)
+        self._md_close_event(tag)
         if tag in BLOCK_TAGS:
             self._flush()
             if tag in ("td", "th", "tr"):
@@ -640,6 +782,9 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
+        # v20: self-closing elements never open regions, always collected
+        # (the v10–v12 precedent); no depth events — they don't nest
+        self._md_element(tag, attrs, selfclosing=True)
         if tag in BLOCK_TAGS:
             self._flush()
             self._open_block_tag = tag
@@ -687,6 +832,11 @@ class _Extractor(HTMLParser):
         # only — a nested list suspends the outer item until it closes
         if self._lst_stack and self._lst_stack[-1][4]:
             self._lst_stack[-1][5].append(data)
+        # v20: text binds to the INNERMOST open v20 region only, and only
+        # when that region is a capture — a nested item's text belongs to
+        # its own props, not the enclosing capture
+        if self._md_stack and self._md_stack[-1][0] == "cap":
+            self._md_stack[-1][3].append(data)
         n = len("".join(data.split()))
         self._total_chars += n
         if self._a_depth:
@@ -722,7 +872,9 @@ def extract_html(
     endpoint census; next_href/prev_href are the first non-empty
     rel=next / rel=prev(|previous) link hrefs, trimmed, case-preserved
     (v19 PAGINATION) — the paginated-series walk order, HEADMETA
-    placement contract."""
+    placement contract; microdata is the (item, itemtype, prop, value)
+    tuple list per itemprop token (v20 MICRODATA) — the schema.org
+    structured-data channel JSONLD doesn't carry."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -734,16 +886,18 @@ def extract_html(
     p._finalize_anchors()
     p._finalize_tables()
     p._finalize_lists()
+    p._finalize_microdata()
     if p._ld_open:  # matching script still open at EOF
         p.jsonld.append("".join(p._ld_buf).strip())
         p._ld_open = False
     og = (p.og_title, p.og_description, p.og_image)
+    microdata = [tuple(r) for r in p.microdata]
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
             p.robots_meta, p.alternates, p.refresh_meta, p.base_href,
-            p.forms, p.next_href, p.prev_href,
+            p.forms, p.next_href, p.prev_href, microdata,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -772,6 +926,7 @@ def extract_html(
         p.forms,
         p.next_href,
         p.prev_href,
+        microdata,
     )
 
 

@@ -130,6 +130,9 @@ class ExtractResult:
     # order (HTML); None for PDFs / absent / stats mode.
     next_href: str | None = None
     prev_href: str | None = None
+    # v20 MICRODATA: (item, itemtype, prop, value) per itemprop token
+    # (HTML); [] for PDFs. None when not requested / stats mode.
+    microdata: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -199,6 +202,14 @@ class ExtractResult:
             return None
         return [{"method": m, "action": a} for m, a in self.forms]
 
+    def microdata_as_rows(self) -> list[dict] | None:
+        if self.microdata is None:
+            return None
+        return [
+            {"item": i, "itemtype": t, "prop": p, "value": v}
+            for i, t, p, v in self.microdata
+        ]
+
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
             return None
@@ -240,7 +251,7 @@ SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
      "jsonld", "robots", "alternates", "refresh", "base", "forms",
-     "pagination"}
+     "pagination", "microdata"}
 )
 
 
@@ -341,6 +352,7 @@ def _process_pdf(
     jsonld: list | None = [] if "jsonld" in want else None
     alternates: list | None = [] if "alternates" in want else None
     forms: list | None = [] if "forms" in want else None
+    microdata: list | None = [] if "microdata" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -373,6 +385,7 @@ def _process_pdf(
         jsonld=jsonld,
         alternates=alternates,
         forms=forms,
+        microdata=microdata,
         title=title,
         description=description,
         headings=headings,
@@ -412,7 +425,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
             alternates, refresh_meta, base_href, forms, next_href,
-            prev_href,
+            prev_href, microdata,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -444,6 +457,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         if "pagination" not in want:
             next_href = None
             prev_href = None
+        if "microdata" not in want:
+            microdata = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -474,6 +489,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         forms = None
         next_href = None
         prev_href = None
+        microdata = None
         title = None
         canonical = None
         description = None
@@ -499,6 +515,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         forms=forms,
         next_href=next_href,
         prev_href=prev_href,
+        microdata=microdata,
         title=title,
         canonical=canonical,
         description=description,

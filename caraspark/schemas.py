@@ -170,6 +170,22 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v20 MICRODATA: (item, itemtype, prop, value) per itemprop
+        # token; [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "microdata",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("item", T.IntegerType(), False),
+                        T.StructField("itemtype", T.StringType(), False),
+                        T.StructField("prop", T.StringType(), False),
+                        T.StructField("value", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

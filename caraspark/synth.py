@@ -2303,6 +2303,49 @@ def html_pagination(rng: random.Random) -> bytes:
 HTML_RECIPES["html_pagination"] = html_pagination
 
 
+def html_microdata(rng: random.Random) -> bytes:
+    """v20 MICRODATA recipe: the itemprop edge matrix — a typed Article
+    item (padded itemtype, trimmed on capture) with a multi-token
+    heading prop, one of each attribute value category (a→href trimmed,
+    meta→content normalized, time→datetime, img→src, data→value), a
+    nested Person item (itemscope+itemprop → pointer value on the
+    parent), an inner prop suspending the outer capture (innermost
+    binding), a boiler-div prop (opaque region — excluded), a
+    nav-wrapped prop (EXCLUDED — v20 is normal-path placement, unlike
+    v13), a self-closing capture prop (emits ""), an orphan prop with
+    no open item (item=-1, itemtype ""), and an unclosed Review item
+    whose capture fills at EOF finalize."""
+    n = rng.randrange(100)
+    paras = "\n".join(f"<p>{_para(rng, 12)}</p>" for _ in range(2))
+    return (
+        "<html><body>"
+        '<div itemscope itemtype=" https://schema.org/Article ">'
+        f'<h1 itemprop="name headline">Story {n} <b>bold</b></h1>'
+        f'<a itemprop="url" href=" /article/{n} ">read</a>'
+        f'<meta itemprop="wordCount" content=" {n}  00 ">'
+        f'<time itemprop="datePublished" datetime="2026-02-{n % 28 + 1:02d}">'
+        "then</time>"
+        f'<img itemprop="image" src="/img/{n}.png" alt="x">'
+        f'<data itemprop="sku" value="SKU{n}">ignored</data>'
+        '<div itemprop="author" itemscope '
+        'itemtype="https://schema.org/Person">'
+        f'<span itemprop="name">Ann{n} Author</span></div>'
+        f'<span itemprop="about">outer {n} '
+        '<span itemprop="detail">inner</span> tail</span>'
+        '<div class="sidebar"><span itemprop="hidden">boiler</span></div>'
+        '<nav><span itemprop="navprop">chrome</span></nav>'
+        '<span itemprop="flag"/>'
+        "</div>"
+        f"{paras}"
+        f'<span itemprop="loose">orphan {n}</span>'
+        '<section itemscope itemtype="https://schema.org/Review">'
+        f'<p itemprop="reviewBody">tail {n}'
+    ).encode()
+
+
+HTML_RECIPES["html_microdata"] = html_microdata
+
+
 def pdf_embedded_font() -> bytes:
     """Font-census discriminator recipe: one EMBEDDED Type1 font (its
     FontDescriptor carries a /FontFile stream — fake Type1 program

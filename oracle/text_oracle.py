@@ -1450,6 +1450,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
     v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta,
     v15 alternates, v16 refresh_meta, v17 base_href, v18 forms,
+    v20 microdata,
     v19 next_href, v19 prev_href) — 2nd witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
@@ -1470,6 +1471,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             [],
             None,
             None,
+            [],
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1488,6 +1490,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_base(blob),
         _html_forms(blob),
         *_html_pagination(blob),
+        _html_microdata(blob),
     )
 
 
@@ -1860,6 +1863,134 @@ def _html_forms(blob: bytes) -> list[tuple[str, str]]:
             if val in _DROP:
                 drop = max(0, drop - 1)
     return out
+
+
+_MD_ATTR_SRC = {
+    "meta": "content", "a": "href", "area": "href", "link": "href",
+    "img": "src", "audio": "src", "video": "src", "embed": "src",
+    "iframe": "src", "source": "src", "track": "src",
+    "object": "data", "data": "value", "meter": "value",
+    "time": "datetime",
+}
+
+
+def _html_microdata(blob: bytes) -> list[tuple[int, str, str, str]]:
+    """v20 MICRODATA, second witness: own event pass with the v10
+    NORMAL-path placement — drop subtrees and boiler regions opaque,
+    self-closing elements always collected, a boiler-classed open
+    element invisible (its region opens first).  One (item, itemtype,
+    prop, value) tuple per whitespace-split itemprop token in
+    element-OPEN order; itemscope elements take 0-based indices per
+    element (self-closing included); an itemscope+itemprop element is
+    pointer-valued "item:<own idx>" on its PARENT item; attribute
+    values per the WHATWG table (meta→content normalized, a/area/link→
+    href, media→src, object→data, data/meter→value, time→datetime,
+    all trimmed); everything else text-captures with the region-tracked
+    innermost-binding contract, filling its reserved slots at close
+    (EOF closes all, innermost first)."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    rows: list[list] = []
+    # open v20 regions, outer->inner:
+    #   ["scope", root, depth, item_idx, itemtype]
+    #   ["cap",   root, depth, parts,    slot_idxs]
+    regions: list[list] = []
+    n_items = 0
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def emit(tag, attrs, nests: bool) -> None:
+        nonlocal n_items
+        scoped = any(k == "itemscope" for k, _v in attrs)
+        a = {k: v for k, v in attrs if v is not None}
+        toks = a.get("itemprop", "").split()
+        if not scoped and not toks:
+            return
+        item, itype = -1, ""
+        for r in reversed(regions):
+            if r[0] == "scope":
+                item, itype = r[3], r[4]
+                break
+        if scoped:
+            own = n_items
+            n_items += 1
+            for t in toks:
+                rows.append([item, itype, t, f"item:{own}"])
+            if nests:
+                regions.append(
+                    ["scope", tag, 1, own, a.get("itemtype", "").strip()]
+                )
+            return
+        src_attr = _MD_ATTR_SRC.get(tag)
+        if src_attr is not None:
+            v = a.get(src_attr, "")
+            v = " ".join(v.split()) if tag == "meta" else v.strip()
+            for t in toks:
+                rows.append([item, itype, t, v])
+        elif nests:
+            slots = [len(rows) + i for i in range(len(toks))]
+            for t in toks:
+                rows.append([item, itype, t, ""])
+            regions.append(["cap", tag, 1, [], slots])
+        else:  # self-closing capture category: opened+closed empty
+            for t in toks:
+                rows.append([item, itype, t, ""])
+
+    def pop_from(i: int) -> None:
+        while len(regions) > i:
+            r = regions.pop()
+            if r[0] == "cap":
+                v = " ".join("".join(r[3]).split())
+                for slot in r[4]:
+                    rows[slot][3] = v
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                else:
+                    for r in regions:
+                        if r[1] == val:
+                            r[2] += 1
+                    emit(val, attrs, nests=True)
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            elif drop == 0:
+                low = None
+                for i, r in enumerate(regions):
+                    if r[1] == val:
+                        r[2] -= 1
+                        if r[2] == 0 and low is None:
+                            low = i
+                if low is not None:
+                    pop_from(low)
+        elif ev == "selfclose":
+            if drop == 0:
+                emit(val, attrs, nests=False)
+        else:  # text
+            if drop == 0 and val and regions and regions[-1][0] == "cap":
+                regions[-1][3].append(val)
+    pop_from(0)
+    return [tuple(r) for r in rows]
 
 
 def _pdf_outline_levels(data: bytes) -> list[tuple[int, int]]:

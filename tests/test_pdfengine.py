@@ -1949,3 +1949,97 @@ def test_extract_xmp_dual_metadata_crosscheck():
     plain = extract_xmp(load_document(PDF_RECIPES["pdf_minimal"]()))
     assert plain == []
     assert extract_xmp(load_document(b"%PDF-1.4\njunk")) == []
+
+
+def test_html_v20_microdata_semantics():
+    """v20 MICRODATA: one tuple per itemprop token in element-OPEN
+    order; itemscope indices per element; nested item pointer-valued on
+    its parent; WHATWG attribute value table (meta content normalized,
+    href/src/datetime/value trimmed); text captures innermost-bound and
+    filled at close (EOF included); NORMAL-path placement — tag-drop
+    (nav/head) subtrees and boiler regions opaque, unlike v13 — engine
+    and oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<html><head><meta itemprop='inhead' content='never'></head>"
+         b"<body><div itemscope itemtype=' T1 '>"
+         b"<h1 itemprop='name headline'>Big <b>Story</b></h1>"
+         b"<a itemprop='url' href=' /s '>go</a>"
+         b"<meta itemprop='count' content=' 4  2 '>"
+         b"<time itemprop='when' datetime='2026-01-02'>Jan</time>"
+         b"<time itemprop='nodate'>Jan</time>"
+         b"<data itemprop='sku' value='S9'>x</data>"
+         b"<div itemprop='author' itemscope itemtype='T2'>"
+         b"<span itemprop='who'>Ada  L</span></div>"
+         b"<span itemprop='about'>out <span itemprop='in'>nest</span>"
+         b" tail</span>"
+         b"<div class='sidebar'><span itemprop='boiler'>no</span></div>"
+         b"<nav><span itemprop='chrome'>no</span></nav>"
+         b"<span itemprop='flag'/>"
+         b"<span itemprop=''>empty prop, no tuple</span>"
+         b"</div><p itemprop='stray'>orphan</p>"
+         b"<div itemscope itemtype='T3'><p itemprop='open'>to eof")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[20] == [
+        (0, "T1", "name", "Big Story"),
+        (0, "T1", "headline", "Big Story"),
+        (0, "T1", "url", "/s"),
+        (0, "T1", "count", "4 2"),
+        (0, "T1", "when", "2026-01-02"),
+        (0, "T1", "nodate", ""),
+        (0, "T1", "sku", "S9"),
+        (0, "T1", "author", "item:1"),
+        (1, "T2", "who", "Ada L"),
+        (0, "T1", "about", "out tail"),
+        (0, "T1", "in", "nest"),
+        (0, "T1", "flag", ""),
+        (-1, "", "stray", "orphan"),
+        (2, "T3", "open", "to eof"),
+    ]
+
+
+def test_html_v20_microdata_region_and_nesting_edges():
+    """v20 edge semantics both witnesses must share: a same-tag nested
+    plain element inside an item keeps the item open across its close;
+    a boiler-classed itemscope never becomes an item (index not
+    consumed); an itemscope+itemprop element with no open parent points
+    from item -1; closing a container force-closes the items stacked
+    above it (unbalanced close)."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<body>"
+         b"<div class='promo' itemscope itemtype='NO'>"
+         b"<span itemprop='x'>hidden</span></div>"
+         b"<div itemscope itemtype='A'>"
+         b"<div><p itemprop='p1'>inner div survives</p></div>"
+         b"<section itemscope itemtype='B' itemprop='child'>"
+         b"</div>"  # closes A AND force-closes B stacked above it
+         b"<p itemprop='after'>outside both</p>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[20] == [
+        (0, "A", "p1", "inner div survives"),
+        (0, "A", "child", "item:1"),
+        (-1, "", "after", "outside both"),
+    ]
+
+
+def test_html_v20_microdata_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<body><div itemscope itemtype='T'>"
+            b"<span itemprop='n'>v</span></div>"
+            b"<p>real text</p></body>")
+    full = process_document(html)
+    assert full.microdata == [(0, "T", "n", "v")]
+    only = process_document(html, want={"microdata"})
+    assert only.microdata == [(0, "T", "n", "v")] and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.microdata is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.microdata is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).microdata == []

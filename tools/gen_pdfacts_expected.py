@@ -90,6 +90,7 @@ def build_extras():
     img_rows = []
     jsonld_rows = []
     alt_rows = []
+    md_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -129,6 +130,7 @@ def build_extras():
                 **_form_facts(res),
                 **_jsonld_facts(res),
                 **_alt_facts(res),
+                **_md_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -275,6 +277,8 @@ def build_extras():
             jsonld_rows.append((idx, pos, payload))
         for pos, (hl, t, h) in enumerate(res.alternates):
             alt_rows.append((idx, pos, hl, t, h))
+        for pos, (mi, mt, mp, mv) in enumerate(res.microdata):
+            md_rows.append((idx, pos, mi, mt, mp, mv))
         html_idx.append(
             {
                 "idx": idx,
@@ -302,6 +306,7 @@ def build_extras():
                 **_form_facts(res),
                 **_jsonld_facts(res),
                 **_alt_facts(res),
+                **_md_facts(res),
                 **_title_facts(res),
             }
         )
@@ -310,7 +315,7 @@ def build_extras():
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows,
+        xmp_rows, md_rows,
     )
 
 
@@ -352,6 +357,22 @@ def _alt_facts(res) -> dict:
         "alternates_sig": hashlib.md5(
             "\x1f".join(
                 f"{hl}:{t}:{h}" for hl, t, h in res.alternates
+            ).encode("utf-8")
+        ).hexdigest(),
+    }
+
+
+def _md_facts(res) -> dict:
+    """Mirror doc_microdata_sig's JVM expression: md5 over the
+    \x1f-joined "item:itemtype:prop:value" canonical strings in
+    emission order; None when the surface was not computed."""
+    if res.microdata is None:
+        return {"n_microdata": None, "microdata_sig": None}
+    return {
+        "n_microdata": len(res.microdata),
+        "microdata_sig": hashlib.md5(
+            "\x1f".join(
+                f"{i}:{t}:{pr}:{v}" for i, t, pr, v in res.microdata
             ).encode("utf-8")
         ).hexdigest(),
     }
@@ -486,7 +507,7 @@ def main() -> None:
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows,
+        xmp_rows, md_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -523,7 +544,8 @@ def main() -> None:
             f"PAGE_ROWS = {fmt(page_rows)}\n\n"
             f"FONT_ROWS = {fmt(font_rows)}\n\n"
             f"SIG_ROWS = {fmt(sig_rows)}\n\n"
-            f"XMP_ROWS = {fmt(xmp_rows)}\n"
+            f"XMP_ROWS = {fmt(xmp_rows)}\n\n"
+            f"MD_ROWS = {fmt(md_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
@@ -544,7 +566,8 @@ def main() -> None:
         f"{len(page_rows)} page rows, "
         f"{len(font_rows)} font rows, "
         f"{len(sig_rows)} signature rows, "
-        f"{len(xmp_rows)} xmp rows -> {path}"
+        f"{len(xmp_rows)} xmp rows, "
+        f"{len(md_rows)} microdata rows -> {path}"
     )
 
 
