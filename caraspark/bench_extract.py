@@ -21,14 +21,31 @@ def corpus_path(n_docs: int) -> str:
     return f"{BENCH_CORPUS}_{n_docs}"
 
 
+def _recipe_set_tag() -> str:
+    """Cheap fingerprint of the recipe SET (names only — a recipe body
+    change must be accompanied by a manifest re-pin anyway, which the
+    content fingerprint in bench.py catches): a stale on-disk corpus
+    from an older recipe mix must not be silently re-served."""
+    import hashlib
+
+    from caraspark.synth import HTML_RECIPES, PDF_RECIPES
+
+    names = ",".join(sorted(PDF_RECIPES) + sorted(HTML_RECIPES))
+    return hashlib.md5(names.encode()).hexdigest()[:12]
+
+
 def ensure_corpus(spark: SparkSession, n_docs: int, path: str | None = None) -> int:
     """Materialize the deterministic corpus once (fixed bytes on disk for
-    every run — the scaling protocol requires byte-identical input)."""
+    every run — the scaling protocol requires byte-identical input); the
+    success marker is keyed on the recipe set so adding/removing a
+    recipe regenerates instead of serving the previous mix."""
     from caraspark.corpus import synth_df
 
     if path is None:
         path = corpus_path(n_docs)
-    marker = os.path.join(path, "_SUCCESS_N_" + str(n_docs))
+    marker = os.path.join(
+        path, f"_SUCCESS_N_{n_docs}_{_recipe_set_tag()}"
+    )
     if not os.path.exists(marker):
         synth_df(spark, n_docs, include_giant=True).write.mode(
             "overwrite"

@@ -145,6 +145,21 @@ _ARROW_SCHEMA = pa.schema(
             True,
         ),
         pa.field(
+            "rdfa",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("item", pa.int32()),
+                        ("vocab", pa.string()),
+                        ("typeof", pa.string()),
+                        ("prop", pa.string()),
+                        ("value", pa.string()),
+                    ]
+                )
+            ),
+            True,
+        ),
+        pa.field(
             "verdict",
             pa.struct([("valid", pa.bool_()), ("strict", pa.bool_())]),
         ),
@@ -277,6 +292,7 @@ def _extract_batches(
             cols["forms"].append(r.forms_as_rows())
             cols["alternates"].append(r.alternates_as_rows())
             cols["microdata"].append(r.microdata_as_rows())
+            cols["rdfa"].append(r.rdfa_as_rows())
             cols["verdict"].append({"valid": r.valid, "strict": r.strict})
             cols["kind"].append(r.kind)
             cols["errors"].append(r.errors_as_rows())

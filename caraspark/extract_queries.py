@@ -2682,3 +2682,158 @@ def microdata_types(spark, sf):
         F.countDistinct("url").cast("bigint").alias("n_docs"),
         F.countDistinct("t.prop").cast("bigint").alias("n_distinct_props"),
     )
+
+
+from caraspark.oracle_freeze import rd_cte  # noqa: E402
+
+
+@_q(
+    "doc_rdfa",
+    """SELECT CAST(doc_id AS VARCHAR) AS url, CAST(0 AS INTEGER) AS pos,
+       0 AS item, 'https://schema.org/' AS vocab, 'Product' AS typeof,
+       'name' AS prop, 'Widget ' || CAST(doc_id % 7 AS VARCHAR) AS value
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 1, 0, 'https://schema.org/', 'Product',
+       'brand', 'Widget ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 2, 0, 'https://schema.org/', 'Product',
+       'url', '/p/' || CAST(doc_id % 9 AS VARCHAR) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 3, 0, 'https://schema.org/', 'Product',
+       'sku', 'SK ' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 4, 0, 'https://schema.org/', 'Product',
+       'offers', 'item:1' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 5, 1, 'https://schema.org/', 'Offer',
+       'price', CAST(doc_id % 13 AS VARCHAR) || ' usd' FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 6, -1, '', '', 'stray',
+       's' || CAST(doc_id % 3 AS VARCHAR) FROM documents""",
+)
+def doc_rdfa(spark, sf):
+    """v21 RDFA, hash-verified closed-form: each document is wrapped in
+    HTML carrying the property edge matrix — a vocab region with a
+    typed Product subject (padded vocab/typeof, trimmed), a multi-token
+    heading property, an a→href value (padded, trimmed), a meta content
+    value (inner run collapsed by normalization), a chained Offer
+    subject (pointer value 'item:1' on the parent), a boiler-div
+    property that must NOT emit, and an orphan property outside any
+    subject and vocab region (item=-1, vocab '') — with deterministic
+    values from doc_id so DuckDB predicts every
+    (url, pos, item, vocab, typeof, prop, value) row.
+
+    Scale: the wrap is a JVM concat at scan stage; extraction is the
+    one Arrow-batched UDF pass; posexplode emits short tuple rows with
+    no shuffle at all — the plan is scan → project → generate."""
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        did.cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit(
+                    "<html><body>"
+                    "<div vocab=' https://schema.org/ ' typeof=' Product '>"
+                    "<h2 property='name brand'>Widget "
+                ),
+                (did % 7).cast("string"),
+                F.lit("</h2><a property='url' href=' /p/"),
+                (did % 9).cast("string"),
+                F.lit(" '>buy</a><meta property='sku' content=' SK  "),
+                (did % 5).cast("string"),
+                F.lit(
+                    " '><div property='offers' typeof='Offer'>"
+                    "<span property='price'>"
+                ),
+                (did % 13).cast("string"),
+                F.lit(
+                    " usd</span></div>"
+                    "<div class='promo'><span property='never'>x</span>"
+                    "</div></div><span property='stray'>s"
+                ),
+                (did % 3).cast("string"),
+                F.lit("</span></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    ex = extract(raw, want=("rdfa",))
+    t = ex.select(
+        "url", F.posexplode("rdfa").alias("pos", "t")
+    )
+    return t.select(
+        "url",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("t.item").alias("item"),
+        F.col("t.vocab").alias("vocab"),
+        F.col("t.typeof").alias("typeof"),
+        F.col("t.prop").alias("prop"),
+        F.col("t.value").alias("value"),
+    )
+
+
+@_q(
+    "doc_rdfa_sig",
+    f"""WITH {{corpus}},
+{{perdoc}}
+SELECT url, CAST(n_rdfa AS INT) AS n_rdfa, rdfa_sig
+FROM perdoc""".format(corpus=corpus_cte(), perdoc=perdoc_cte()),
+)
+def doc_rdfa_sig(spark, sf):
+    """v21 RDFA over the full synth corpus (the html_rdfa edge-matrix
+    rows, []-for-PDF) vs the frozen per-recipe/per-idx md5 signatures
+    over the canonical "item:vocab:typeof:prop:value" strings in
+    emission order."""
+    ex = _extracted(spark, sf)
+    canon = F.transform(
+        "rdfa",
+        lambda x: F.concat_ws(
+            ":", x["item"], x["vocab"], x["typeof"], x["prop"], x["value"]
+        ),
+    )
+    return ex.select(
+        "url",
+        F.size("rdfa").alias("n_rdfa"),
+        F.md5(F.encode(F.concat_ws("\x1f", canon), "utf-8")).alias(
+            "rdfa_sig"
+        ),
+    )
+
+
+@_q(
+    "rdfa_vocabs",
+    f"""WITH {{corpus}},
+{{rd}}
+SELECT t.vocab,
+       CAST(count(*) AS BIGINT) AS n_props,
+       CAST(count(DISTINCT d.url) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT t.typeof) AS BIGINT) AS n_distinct_types
+FROM docs d JOIN rd t ON t.idx = d.idx
+WHERE t.vocab <> ''
+GROUP BY t.vocab""".format(corpus=corpus_cte(), rd=rd_cte()),
+)
+def rdfa_vocabs(spark, sf):
+    """RDFa vocabulary census over the corpus's property tuples — the
+    sibling of microdata_types/jsonld_types for the THIRD
+    structured-data channel (which vocabularies are in use, how many
+    pages carry them, and how many distinct types each binds).
+
+    Scale: explode emits one short tuple row per property token; the
+    filter and groupBy on vocab are scan-stage + one narrow
+    (vocab, counts) exchange with map-side combine."""
+    ex = _extracted(spark, sf)
+    t = ex.select(
+        "url", F.explode("rdfa").alias("t")
+    ).filter(F.col("t.vocab") != "")
+    return t.groupBy(F.col("t.vocab").alias("vocab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_props"),
+        F.countDistinct("url").cast("bigint").alias("n_docs"),
+        F.countDistinct("t.typeof").cast("bigint").alias(
+            "n_distinct_types"
+        ),
+    )

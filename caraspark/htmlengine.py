@@ -237,6 +237,51 @@ and compared byte-for-byte per url):
   EMISSION ORDER: element-OPEN document order, token order within an
   element (captures fill in place at close; EOF closes innermost
   first).  PDFs yield []; stats mode (want_text=False) yields None.
+* RDFA (v21, structured-data surface): one (item, vocab, typeof, prop,
+  value) tuple per ``property`` TOKEN of each element bearing a
+  ``property`` attribute — the RDFa-Lite counterpart of v20 MICRODATA
+  (W3C RDFa Lite 1.1), the third structured-data channel (JSON-LD,
+  microdata, RDFa) a training pipeline mines for typed records.
+  NORMAL-path placement like v20: drop subtrees and boiler regions
+  invisible, self-closing elements always collected.  Attribute lookup
+  uses the shared HEADMETA dict contract (last occurrence wins,
+  valueless attributes absent from value lookups).
+  VOCAB: a ``vocab`` attribute (valueless → "") sets the in-scope
+  vocabulary for the element ITSELF and its subtree (region-stacked
+  with the shared depth contract; vocab="" is the spec's reset); every
+  tuple carries the innermost in-scope vocab at its element's open,
+  own attribute included; none in scope → "".
+  SUBJECTS: an element bearing ``typeof`` defines a subject (item);
+  indices are 0-based in element-OPEN order (self-closing consumes an
+  index — per element, the v12 stance); the subject's typeof is its
+  own trimmed, case-preserved value ("" when valueless).  ``prefix``
+  and ``about`` are out of scope — terms and CURIEs are kept exactly
+  as written (a deliberate simplification mirroring v20's
+  attribute-pure time).
+  PROPS: each whitespace-split ``property`` token yields one tuple;
+  ``item``/``typeof`` are the INNERMOST open subject's index and
+  typeof at the element's open, BEFORE its own typeof (if any) is
+  pushed — a typeof+property element chains as a property of its
+  PARENT subject pointing at itself (value "item:<own index>", the
+  v20 nested-item stance); no open subject → item -1, typeof "".
+  VALUE, by RDFa-Lite precedence (presence-tested, unlike v20's
+  tag-gated table): ``content`` attribute present on ANY tag →
+  whitespace-normalized; else ``resource`` present → trimmed; else
+  a/area/link → href trimmed; img/audio/video/embed/iframe/source/
+  track → src trimmed; object → data trimmed; time → datetime
+  trimmed; anything else → TEXT capture with the v20 region-tracked
+  innermost-binding contract (closes fill the value, EOF closes all,
+  innermost first; a self-closing capture-category element emits "");
+  vocab regions are TRANSPARENT to text capture — a vocab-only
+  descendant never suspends an enclosing capture, only a nested prop
+  capture or subject does.
+  HTML VOID elements (area base br col embed hr img input link meta
+  param source track wbr) never root a v21 region — the parser emits
+  no close event for them, so they are collected as if self-closing
+  (a valueless void property emits "", a void typeof consumes its
+  index without opening a subject).
+  EMISSION ORDER: element-OPEN document order, token order within an
+  element.  PDFs yield []; stats mode (want_text=False) yields None.
 * JSONLD (v13, structured-data surface): one string per
   ``<script type="application/ld+json">`` element — the element's raw
   character data, stripped of leading/trailing whitespace (INTERNAL
@@ -281,6 +326,13 @@ BOILER_TOKENS = (
 _SKIP_SCHEMES = ("javascript:", "mailto:", "data:")
 
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([a-z0-9_\-]+)")
+
+# HTML void elements (WHATWG §13.1.2): html.parser never emits an endtag
+# for these, so v21 must not root a region at one
+_HTML_VOID = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"}
+)
 _CP1252_LABELS = frozenset(
     "latin1 latin-1 iso-8859-1 iso8859-1 windows-1252 cp1252 ansi".split()
 )
@@ -370,6 +422,16 @@ class _Extractor(HTMLParser):
         #   ["scope", root_tag, depth, item_idx, itemtype]
         #   ["cap",   root_tag, depth, parts,    slots]
         self._md_stack: list[list] = []
+        # v21 RDFA: [item, vocab, typeof, prop, value] per property token
+        # (value slots of text captures fill at element close)
+        self.rdfa: list[list] = []
+        self._rd_subjects = 0  # typeof elements opened — item index source
+        # v21 region stack, outer→inner (one element may push voc THEN
+        # subj/cap — both rooted at its tag, both close together):
+        #   ["voc",  root_tag, depth, vocab]
+        #   ["subj", root_tag, depth, item_idx, typeof]
+        #   ["cap",  root_tag, depth, parts,    slots]
+        self._rd_stack: list[list] = []
 
     # -- block lifecycle
     def _flush(self) -> None:
@@ -475,7 +537,14 @@ class _Extractor(HTMLParser):
     def _md_element(self, tag, attrs, selfclosing: bool) -> None:
         """One element's v20 contribution: item registration and/or one
         tuple per itemprop token (parent bound BEFORE own scope push)."""
-        has_scope = any(k == "itemscope" for k, _v in attrs)
+        has_scope = has_prop = False
+        for k, _v in attrs:  # cheap pre-scan: most elements bail here
+            if k == "itemscope":
+                has_scope = True
+            elif k == "itemprop":
+                has_prop = True
+        if not has_scope and not has_prop:
+            return
         a = {k: v for k, v in attrs if v is not None}
         props = a.get("itemprop", "").split()
         if not has_scope and not props:
@@ -534,6 +603,115 @@ class _Extractor(HTMLParser):
     def _finalize_microdata(self) -> None:
         """EOF with v20 regions still open: close all, innermost first."""
         self._md_close_from(0)
+
+    # -- v21 RDFa-Lite lifecycle (parallel pass, mirrors v20's shape but
+    #    with vocab regions and presence-tested value precedence)
+    @staticmethod
+    def _rd_value(tag: str, a: dict) -> tuple[str | None, bool]:
+        """RDFa-Lite value precedence → (value, is_text_capture):
+        content beats resource beats the tag-specific link attribute."""
+        if "content" in a:
+            return " ".join(a["content"].split()), False
+        if "resource" in a:
+            return a["resource"].strip(), False
+        if tag in ("a", "area", "link") and "href" in a:
+            return a["href"].strip(), False
+        if (
+            tag in ("img", "audio", "video", "embed", "iframe", "source",
+                    "track")
+            and "src" in a
+        ):
+            return a["src"].strip(), False
+        if tag == "object" and "data" in a:
+            return a["data"].strip(), False
+        if tag == "time" and "datetime" in a:
+            return a["datetime"].strip(), False
+        return None, True
+
+    def _rd_element(self, tag, attrs, selfclosing: bool) -> None:
+        """One element's v21 contribution: vocab region, subject
+        registration, and/or one tuple per property token (parent
+        subject bound BEFORE own typeof push; own vocab applies)."""
+        has_type = has_voc = has_prop = False
+        for k, _v in attrs:  # cheap pre-scan: most elements bail here
+            if k == "typeof":
+                has_type = True
+            elif k == "vocab":
+                has_voc = True
+            elif k == "property":
+                has_prop = True
+        if not has_type and not has_voc and not has_prop:
+            return
+        a = {k: v for k, v in attrs if v is not None}
+        props = a.get("property", "").split()
+        vocab = ""
+        for e in reversed(self._rd_stack):
+            if e[0] == "voc":
+                vocab = e[3]
+                break
+        if has_voc:  # own vocab applies to the element itself (reset incl.)
+            vocab = a.get("vocab", "").strip()
+            if not selfclosing:
+                self._rd_stack.append(["voc", tag, 1, vocab])
+        if not has_type and not props:
+            return  # vocab-only element: region pushed, nothing to emit
+        parent = next(
+            (e for e in reversed(self._rd_stack) if e[0] == "subj"), None
+        )
+        pidx, ptype = (parent[3], parent[4]) if parent else (-1, "")
+        if has_type:
+            idx = self._rd_subjects
+            self._rd_subjects += 1
+            for tok in props:
+                self.rdfa.append([pidx, vocab, ptype, tok, f"item:{idx}"])
+            if not selfclosing:
+                self._rd_stack.append(
+                    ["subj", tag, 1, idx, a.get("typeof", "").strip()]
+                )
+            return
+        value, is_cap = self._rd_value(tag, a)
+        if is_cap and not selfclosing:
+            slots = []
+            for tok in props:
+                slots.append(len(self.rdfa))
+                self.rdfa.append([pidx, vocab, ptype, tok, ""])
+            self._rd_stack.append(["cap", tag, 1, [], slots])
+        else:
+            v = "" if is_cap else value  # self-closing capture emits ""
+            for tok in props:
+                self.rdfa.append([pidx, vocab, ptype, tok, v])
+
+    def _rd_close_from(self, i: int) -> None:
+        """Close stack entries i.. innermost-first; captures fill slots."""
+        while len(self._rd_stack) > i:
+            e = self._rd_stack.pop()
+            if e[0] == "cap":
+                v = " ".join("".join(e[3]).split())
+                for s in e[4]:
+                    self.rdfa[s][4] = v
+
+    def _rd_open_event(self, tag, attrs) -> None:
+        for e in self._rd_stack:
+            if e[1] == tag:
+                e[2] += 1
+        # HTML void elements get no close event from html.parser, so a
+        # region rooted at one would dangle to EOF swallowing the rest of
+        # the document — collect them as if self-closing instead
+        self._rd_element(tag, attrs, selfclosing=tag in _HTML_VOID)
+
+    def _rd_close_event(self, tag) -> None:
+        hit = None
+        for i, e in enumerate(self._rd_stack):
+            if e[1] == tag:
+                e[2] -= 1
+                if e[2] == 0 and hit is None:
+                    hit = i
+        if hit is not None:
+            self._rd_close_from(hit)
+
+    def _finalize_rdfa(self) -> None:
+        """EOF with v21 regions still open: close all, innermost first."""
+        self._rd_close_from(0)
 
     @staticmethod
     def _is_boiler(attrs) -> bool:
@@ -700,9 +878,10 @@ class _Extractor(HTMLParser):
             self._attr_tag = tag
             self._attr_depth = 1
             return
-        # v20: normal-path placement — runs for every tag that reaches
+        # v20/v21: normal-path placement — runs for every tag that reaches
         # here (drop subtrees and boiler regions returned above)
         self._md_open_event(tag, attrs)
+        self._rd_open_event(tag, attrs)
         if tag in BLOCK_TAGS:
             self._flush()
             self._open_block_tag = tag
@@ -745,8 +924,9 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
-        # v20: symmetric close event (opens above returned symmetrically)
+        # v20/v21: symmetric close event (opens above returned symmetrically)
         self._md_close_event(tag)
+        self._rd_close_event(tag)
         if tag in BLOCK_TAGS:
             self._flush()
             if tag in ("td", "th", "tr"):
@@ -770,21 +950,33 @@ class _Extractor(HTMLParser):
         if tag in ("link", "meta", "base"):
             # head metadata: collected despite drop regions, like TITLE
             self._collect_headmeta(tag, attrs)
+            # v20/v21 still see the element on the NORMAL path (the
+            # oracle's tokenizer emits one selfclose event it collects)
+            if not self._drop_depth:
+                self._md_element(tag, attrs, selfclosing=True)
+                self._rd_element(tag, attrs, selfclosing=True)
             return
         if tag == "form":
             # v18: self-closing form — element-level signal, no subtree
             if not self._drop_depth and not self._is_boiler(attrs):
                 self._collect_form(attrs)
+            if not self._drop_depth:
+                self._md_element(tag, attrs, selfclosing=True)
+                self._rd_element(tag, attrs, selfclosing=True)
             return
         if tag == "script":
             if self._is_ldjson(attrs):
                 self.jsonld.append("")  # self-closing: opened+closed empty
+            if not self._drop_depth:
+                self._md_element(tag, attrs, selfclosing=True)
+                self._rd_element(tag, attrs, selfclosing=True)
             return
         if self._drop_depth:
             return
-        # v20: self-closing elements never open regions, always collected
-        # (the v10–v12 precedent); no depth events — they don't nest
+        # v20/v21: self-closing elements never open regions, always
+        # collected (the v10–v12 precedent); no depth events — no nesting
         self._md_element(tag, attrs, selfclosing=True)
+        self._rd_element(tag, attrs, selfclosing=True)
         if tag in BLOCK_TAGS:
             self._flush()
             self._open_block_tag = tag
@@ -837,6 +1029,16 @@ class _Extractor(HTMLParser):
         # its own props, not the enclosing capture
         if self._md_stack and self._md_stack[-1][0] == "cap":
             self._md_stack[-1][3].append(data)
+        # v21: same innermost-capture contract on its own region stack,
+        # but vocab regions are TRANSPARENT to text — a vocab-only
+        # descendant never suspends an enclosing capture (only a nested
+        # prop capture or subject does)
+        for _e in reversed(self._rd_stack):
+            if _e[0] == "voc":
+                continue
+            if _e[0] == "cap":
+                _e[3].append(data)
+            break
         n = len("".join(data.split()))
         self._total_chars += n
         if self._a_depth:
@@ -874,7 +1076,9 @@ def extract_html(
     (v19 PAGINATION) — the paginated-series walk order, HEADMETA
     placement contract; microdata is the (item, itemtype, prop, value)
     tuple list per itemprop token (v20 MICRODATA) — the schema.org
-    structured-data channel JSONLD doesn't carry."""
+    structured-data channel JSONLD doesn't carry; rdfa is the (item,
+    vocab, typeof, prop, value) tuple list per property token (v21
+    RDFA) — the third structured-data channel, RDFa-Lite."""
     src = decode_html(html)
     p = _Extractor()
     try:
@@ -887,17 +1091,19 @@ def extract_html(
     p._finalize_tables()
     p._finalize_lists()
     p._finalize_microdata()
+    p._finalize_rdfa()
     if p._ld_open:  # matching script still open at EOF
         p.jsonld.append("".join(p._ld_buf).strip())
         p._ld_open = False
     og = (p.og_title, p.og_description, p.og_image)
     microdata = [tuple(r) for r in p.microdata]
+    rdfa = [tuple(r) for r in p.rdfa]
     if not p.blocks:
         return (
             b"", [], p.outlinks, p.title, p.canonical, p.description, [],
             og, p.anchors, p.tables, p.lists, p.images, p.jsonld,
             p.robots_meta, p.alternates, p.refresh_meta, p.base_href,
-            p.forms, p.next_href, p.prev_href, microdata,
+            p.forms, p.next_href, p.prev_href, microdata, rdfa,
         )
     spans: list[tuple[int, int, str]] = []
     off = 0
@@ -927,6 +1133,7 @@ def extract_html(
         p.next_href,
         p.prev_href,
         microdata,
+        rdfa,
     )
 
 

@@ -133,6 +133,9 @@ class ExtractResult:
     # v20 MICRODATA: (item, itemtype, prop, value) per itemprop token
     # (HTML); [] for PDFs. None when not requested / stats mode.
     microdata: list | None = None
+    # v21 RDFA: (item, vocab, typeof, prop, value) per property token
+    # (HTML); [] for PDFs. None when not requested / stats mode.
+    rdfa: list | None = None
     valid: bool = True
     strict: bool = True
     errors: list = field(default_factory=list)  # PdfError, sorted
@@ -210,6 +213,14 @@ class ExtractResult:
             for i, t, p, v in self.microdata
         ]
 
+    def rdfa_as_rows(self) -> list[dict] | None:
+        if self.rdfa is None:
+            return None
+        return [
+            {"item": i, "vocab": vo, "typeof": t, "prop": p, "value": v}
+            for i, vo, t, p, v in self.rdfa
+        ]
+
     def spans_as_rows(self) -> list[dict] | None:
         if self.spans is None:
             return None
@@ -251,7 +262,7 @@ SURFACES = frozenset(
     {"text", "spans", "outlinks", "title", "canonical", "description",
      "headings", "ogmeta", "anchors", "tables", "lists", "images",
      "jsonld", "robots", "alternates", "refresh", "base", "forms",
-     "pagination", "microdata"}
+     "pagination", "microdata", "rdfa"}
 )
 
 
@@ -353,6 +364,7 @@ def _process_pdf(
     alternates: list | None = [] if "alternates" in want else None
     forms: list | None = [] if "forms" in want else None
     microdata: list | None = [] if "microdata" in want else None
+    rdfa: list | None = [] if "rdfa" in want else None
     title = _pdf_info_text(doc, "Title") if "title" in want else None
     description = (
         _pdf_info_text(doc, "Subject") if "description" in want else None
@@ -386,6 +398,7 @@ def _process_pdf(
         alternates=alternates,
         forms=forms,
         microdata=microdata,
+        rdfa=rdfa,
         title=title,
         description=description,
         headings=headings,
@@ -425,7 +438,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             text, spans, outlinks, title, canonical, description, headings,
             og, anchors, tables, lists, images, jsonld, robots_meta,
             alternates, refresh_meta, base_href, forms, next_href,
-            prev_href, microdata,
+            prev_href, microdata, rdfa,
         ) = extract_html(blob)
         has_content = bool(text)
         if "text" not in want:
@@ -459,6 +472,8 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
             prev_href = None
         if "microdata" not in want:
             microdata = None
+        if "rdfa" not in want:
+            rdfa = None
         if "title" not in want:
             title = None
         if "canonical" not in want:
@@ -490,6 +505,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         next_href = None
         prev_href = None
         microdata = None
+        rdfa = None
         title = None
         canonical = None
         description = None
@@ -516,6 +532,7 @@ def _process_html(blob, want=SURFACES) -> ExtractResult:
         next_href=next_href,
         prev_href=prev_href,
         microdata=microdata,
+        rdfa=rdfa,
         title=title,
         canonical=canonical,
         description=description,

@@ -186,6 +186,23 @@ EXTRACTED = T.StructType(
             ),
             True,
         ),
+        # v21 RDFA: (item, vocab, typeof, prop, value) per property
+        # token; [] for PDFs, NULL in stats mode / when not requested
+        T.StructField(
+            "rdfa",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("item", T.IntegerType(), False),
+                        T.StructField("vocab", T.StringType(), False),
+                        T.StructField("typeof", T.StringType(), False),
+                        T.StructField("prop", T.StringType(), False),
+                        T.StructField("value", T.StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField(
             "verdict",
             T.StructType(

@@ -2346,6 +2346,51 @@ def html_microdata(rng: random.Random) -> bytes:
 HTML_RECIPES["html_microdata"] = html_microdata
 
 
+def html_rdfa(rng: random.Random) -> bytes:
+    """v21 RDFA recipe: the property edge matrix — a vocab region with a
+    typed Article subject (padded typeof, trimmed), a multi-token
+    heading property, content-beats-href on an anchor, a resource
+    value, a meta content (normalized), a time datetime, a void img
+    src, a chained Person subject (typeof+property → pointer value on
+    the parent), a vocab="" reset subtree, an inner property suspending
+    the outer capture (innermost binding), a boiler-div property
+    (opaque region — excluded), a nav-wrapped property (EXCLUDED —
+    NORMAL-path placement), a valueless void link property (emits ""),
+    an orphan property with no open subject (item -1), and an unclosed
+    Review subject whose capture fills at EOF finalize."""
+    n = rng.randrange(100)
+    paras = "\n".join(f"<p>{_para(rng, 12)}</p>" for _ in range(2))
+    return (
+        "<html><body>"
+        '<div vocab=" http://schema.org/ " typeof=" Article ">'
+        f'<h1 property="name headline">Story {n} <b>bold</b></h1>'
+        f'<a property="url" href=" /article/{n} " '
+        f'content=" read  me {n} ">read</a>'
+        f'<span property="sameAs" resource=" /canon/{n} ">ignored</span>'
+        f'<meta property="wordCount" content=" {n}  00 ">'
+        f'<time property="datePublished" datetime="2026-03-{n % 28 + 1:02d}">'
+        "then</time>"
+        f'<img property="image" src="/img/{n}.png" alt="x">'
+        '<div property="author" typeof="Person">'
+        f'<span property="name">Bea{n} Author</span></div>'
+        '<div vocab="">'
+        f'<span property="reset">bare {n}</span></div>'
+        f'<span property="about">outer {n} '
+        '<span property="detail">inner</span> tail</span>'
+        '<div class="sidebar"><span property="hidden">boiler</span></div>'
+        '<nav><span property="navprop">chrome</span></nav>'
+        '<link property="flag">'
+        "</div>"
+        f"{paras}"
+        f'<span property="loose">orphan {n}</span>'
+        '<section vocab="http://example.org/rev#" typeof="Review">'
+        f'<p property="reviewBody">tail {n}'
+    ).encode()
+
+
+HTML_RECIPES["html_rdfa"] = html_rdfa
+
+
 def pdf_embedded_font() -> bytes:
     """Font-census discriminator recipe: one EMBEDDED Type1 font (its
     FontDescriptor carries a /FontFile stream — fake Type1 program

@@ -1450,8 +1450,8 @@ def oracle_extract_full(blob: bytes) -> tuple:
     v6 description, v7 headings, v8 ogmeta triple, v9 anchors,
     v10 tables, v11 lists, v12 images, v13 jsonld, v14 robots_meta,
     v15 alternates, v16 refresh_meta, v17 base_href, v18 forms,
-    v20 microdata,
-    v19 next_href, v19 prev_href) — 2nd witness."""
+    v19 next_href, v19 prev_href, v20 microdata, v21 rdfa) — 2nd
+    witness."""
     if b"%PDF-" in blob[:1024]:
         text, spans = _pdf_text_spans(blob)
         return (
@@ -1472,6 +1472,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
             None,
             None,
             [],
+            [],
         )
     text, spans, headings = _html_full(blob)
     canonical, description = _html_headmeta(blob)
@@ -1491,6 +1492,7 @@ def oracle_extract_full(blob: bytes) -> tuple:
         _html_forms(blob),
         *_html_pagination(blob),
         _html_microdata(blob),
+        _html_rdfa(blob),
     )
 
 
@@ -1989,6 +1991,162 @@ def _html_microdata(blob: bytes) -> list[tuple[int, str, str, str]]:
         else:  # text
             if drop == 0 and val and regions and regions[-1][0] == "cap":
                 regions[-1][3].append(val)
+    pop_from(0)
+    return [tuple(r) for r in rows]
+
+
+_RD_VOID = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+     "meta", "param", "source", "track", "wbr"}
+)
+
+
+def _html_rdfa(blob: bytes) -> list[tuple[int, str, str, str, str]]:
+    """v21 RDFA, second witness: own event pass with the v10
+    NORMAL-path placement.  One (item, vocab, typeof, prop, value)
+    tuple per whitespace-split property token in element-OPEN order;
+    typeof elements take 0-based subject indices per element
+    (self-closing included); a typeof+property element chains as
+    pointer "item:<own idx>" on its PARENT subject; vocab attributes
+    open region-stacked vocabularies applying to the element itself
+    (vocab="" resets); value by RDFa-Lite presence precedence —
+    content (normalized, any tag) > resource > a/area/link href >
+    media src > object data > time datetime, all trimmed — else a
+    text capture with the region-tracked innermost-binding contract;
+    HTML void elements are collected as if self-closing (the
+    tokenizer emits no close event for them)."""
+    src = _decode_page(blob)
+    tk = _Tokenizer()
+    try:
+        tk.feed(src)
+        tk.close()
+    except Exception:  # noqa: BLE001
+        pass
+    rows: list[list] = []
+    # open v21 regions, outer->inner:
+    #   ["voc",  root, depth, vocab]
+    #   ["subj", root, depth, item_idx, typeof]
+    #   ["cap",  root, depth, parts,    slot_idxs]
+    regions: list[list] = []
+    n_subjects = 0
+    drop = 0
+    region_tag = None
+    region_n = 0
+
+    def value_of(tag: str, a: dict) -> tuple[str | None, bool]:
+        if "content" in a:
+            return " ".join(a["content"].split()), False
+        if "resource" in a:
+            return a["resource"].strip(), False
+        for tags, attr in (
+            (("a", "area", "link"), "href"),
+            (("img", "audio", "video", "embed", "iframe", "source",
+              "track"), "src"),
+            (("object",), "data"),
+            (("time",), "datetime"),
+        ):
+            if tag in tags and attr in a:
+                return a[attr].strip(), False
+        return None, True
+
+    def emit(tag, attrs, nests: bool) -> None:
+        nonlocal n_subjects
+        typed = any(k == "typeof" for k, _v in attrs)
+        vocced = any(k == "vocab" for k, _v in attrs)
+        a = {k: v for k, v in attrs if v is not None}
+        toks = a.get("property", "").split()
+        if not typed and not vocced and not toks:
+            return
+        vocab = ""
+        for r in reversed(regions):
+            if r[0] == "voc":
+                vocab = r[3]
+                break
+        if vocced:
+            vocab = a.get("vocab", "").strip()
+            if nests:
+                regions.append(["voc", tag, 1, vocab])
+        if not typed and not toks:
+            return
+        item, ttype = -1, ""
+        for r in reversed(regions):
+            if r[0] == "subj":
+                item, ttype = r[3], r[4]
+                break
+        if typed:
+            own = n_subjects
+            n_subjects += 1
+            for t in toks:
+                rows.append([item, vocab, ttype, t, f"item:{own}"])
+            if nests:
+                regions.append(
+                    ["subj", tag, 1, own, a.get("typeof", "").strip()]
+                )
+            return
+        v, is_cap = value_of(tag, a)
+        if is_cap and nests:
+            slots = [len(rows) + i for i in range(len(toks))]
+            for t in toks:
+                rows.append([item, vocab, ttype, t, ""])
+            regions.append(["cap", tag, 1, [], slots])
+        else:
+            v = "" if is_cap else v  # self-closing capture: emits ""
+            for t in toks:
+                rows.append([item, vocab, ttype, t, v])
+
+    def pop_from(i: int) -> None:
+        while len(regions) > i:
+            r = regions.pop()
+            if r[0] == "cap":
+                v = " ".join("".join(r[3]).split())
+                for slot in r[4]:
+                    rows[slot][4] = v
+
+    for ev, val, attrs in tk.events:
+        if region_tag is not None:
+            if val == region_tag:
+                if ev == "open":
+                    region_n += 1
+                elif ev == "close":
+                    region_n -= 1
+                    if region_n == 0:
+                        region_tag = None
+            continue
+        if ev == "open":
+            if val in _DROP:
+                drop += 1
+            elif drop == 0:
+                if _boilerplate_attrs(attrs):
+                    region_tag, region_n = val, 1
+                else:
+                    for r in regions:
+                        if r[1] == val:
+                            r[2] += 1
+                    emit(val, attrs, nests=val not in _RD_VOID)
+        elif ev == "close":
+            if val in _DROP:
+                drop = max(0, drop - 1)
+            elif drop == 0:
+                low = None
+                for i, r in enumerate(regions):
+                    if r[1] == val:
+                        r[2] -= 1
+                        if r[2] == 0 and low is None:
+                            low = i
+                if low is not None:
+                    pop_from(low)
+        elif ev == "selfclose":
+            if drop == 0:
+                emit(val, attrs, nests=False)
+        else:  # text
+            if drop == 0 and val:
+                # vocab regions are transparent to text capture
+                for r in reversed(regions):
+                    if r[0] == "voc":
+                        continue
+                    if r[0] == "cap":
+                        r[3].append(val)
+                    break
     pop_from(0)
     return [tuple(r) for r in rows]
 

@@ -2043,3 +2043,155 @@ def test_html_v20_microdata_want_projection():
     stats = process_document(html, want_text=False)
     assert stats.microdata is None
     assert process_document(PDF_RECIPES["pdf_minimal"]()).microdata == []
+
+
+def test_html_v21_rdfa_semantics():
+    """v21 RDFA: one tuple per property token in element-OPEN order;
+    typeof subjects indexed per element; chained subject pointer-valued
+    on its parent; vocab regions apply to the element itself and reset
+    on vocab=""; RDFa-Lite value precedence (content on any tag beats
+    resource beats href/src/datetime); text captures innermost-bound
+    and filled at close (EOF included); NORMAL-path placement — engine
+    and oracle byte-agree."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<html><head><meta property='inhead' content='never'></head>"
+         b"<body vocab=' V1 '><div typeof=' T1 '>"
+         b"<h1 property='name headline'>Big <b>Story</b></h1>"
+         b"<a property='url' href=' /s '>go</a>"
+         b"<a property='curl' href='/h' content=' c  1 '>t</a>"
+         b"<span property='res' resource=' R '>ignored</span>"
+         b"<meta property='count' content=' 4  2 '>"
+         b"<time property='when' datetime='2026-01-02'>Jan</time>"
+         b"<time property='nodate'>Jan</time>"
+         b"<div property='author' typeof='T2'>"
+         b"<span property='who'>Ada  L</span></div>"
+         b"<div vocab=''><span property='reset'>bare</span></div>"
+         b"<span property='about'>out <span property='in'>nest</span>"
+         b" tail</span>"
+         b"<div class='sidebar'><span property='boiler'>no</span></div>"
+         b"<nav><span property='chrome'>no</span></nav>"
+         b"<span property='flag'/>"
+         b"<link property='voidflag'>"
+         b"<span property=''>empty prop, no tuple</span>"
+         b"</div><p property='stray'>orphan</p>"
+         b"<div typeof='T3'><p property='open'>to eof")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[21] == [
+        (0, "V1", "T1", "name", "Big Story"),
+        (0, "V1", "T1", "headline", "Big Story"),
+        (0, "V1", "T1", "url", "/s"),
+        (0, "V1", "T1", "curl", "c 1"),
+        (0, "V1", "T1", "res", "R"),
+        (0, "V1", "T1", "count", "4 2"),
+        (0, "V1", "T1", "when", "2026-01-02"),
+        # unlike v20's attribute-pure time, v21 is presence-tested:
+        # a time with no datetime falls through to text capture
+        (0, "V1", "T1", "nodate", "Jan"),
+        (0, "V1", "T1", "author", "item:1"),
+        (1, "V1", "T2", "who", "Ada L"),
+        (0, "", "T1", "reset", "bare"),
+        (0, "V1", "T1", "about", "out tail"),
+        (0, "V1", "T1", "in", "nest"),
+        (0, "V1", "T1", "flag", ""),
+        (0, "V1", "T1", "voidflag", ""),
+        (-1, "V1", "", "stray", "orphan"),
+        (2, "V1", "T3", "open", "to eof"),
+    ]
+
+
+def test_html_v21_rdfa_region_and_void_edges():
+    """v21 edge semantics both witnesses must share: a same-tag nested
+    plain element inside a subject keeps it open across its close; a
+    boiler-classed typeof never becomes a subject (index not consumed);
+    a typeof+property element with no open parent points from item -1;
+    closing a container force-closes subjects stacked above it; void
+    elements (meta typeof, img property) never root regions; a
+    vocab-only element must not suspend an enclosing text capture."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    b = (b"<body>"
+         b"<div class='promo' typeof='NO'>"
+         b"<span property='x'>hidden</span></div>"
+         b"<div typeof='A'>"
+         b"<div><p property='p1'>inner div survives</p></div>"
+         b"<meta typeof='M'><img property='im'>"
+         b"<span property='cap'>a <span vocab='W'>b</span> c</span>"
+         b"<section typeof='B' property='child'>"
+         b"</div>"
+         b"<p property='after'>outside both</p>")
+    e = extract_html(b)
+    assert e == oracle_extract_full(b)
+    assert e[21] == [
+        (0, "", "A", "p1", "inner div survives"),
+        (0, "", "A", "im", ""),
+        (0, "", "A", "cap", "a b c"),
+        (0, "", "A", "child", "item:2"),
+        (-1, "", "", "after", "outside both"),
+    ]
+
+
+def test_html_v21_rdfa_want_projection():
+    from caraspark.pdfengine import process_document
+    from caraspark.synth import PDF_RECIPES
+
+    html = (b"<body><div vocab='V' typeof='T'>"
+            b"<span property='n'>v</span></div>"
+            b"<p>real text</p></body>")
+    full = process_document(html)
+    assert full.rdfa == [(0, "V", "T", "n", "v")]
+    only = process_document(html, want={"rdfa"})
+    assert only.rdfa == [(0, "V", "T", "n", "v")] and only.text is None
+    none = process_document(html, want={"text"})
+    assert none.rdfa is None and none.text
+    stats = process_document(html, want_text=False)
+    assert stats.rdfa is None
+    assert process_document(PDF_RECIPES["pdf_minimal"]()).rdfa == []
+
+
+_SD_ATTR_ST = st.sampled_from(
+    ["", " itemscope", " itemscope itemtype='T'", " itemprop='a'",
+     " itemprop='a b'", " itemscope itemprop='k'", " typeof='T'",
+     " property='p'", " property='p q'", " typeof='T' property='k'",
+     " vocab='V'", " vocab=''", " vocab='V' typeof='T'",
+     " content=' c  c '", " resource=' r '", " href='/h'",
+     " class='sidebar' itemprop='x'", " class='sidebar' property='x'"]
+)
+_SD_TAG_ST = st.sampled_from(
+    ["div", "p", "span", "section", "a", "meta", "time", "nav", "li"]
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _SD_TAG_ST, _SD_ATTR_ST,
+            st.sampled_from(["open", "self", "close"]),
+            st.text(alphabet="ab x\n", min_size=0, max_size=6),
+        ),
+        max_size=10,
+    )
+)
+def test_html_v20_v21_structured_data_fuzz(frags):
+    """Property differential for BOTH structured-data tuple surfaces:
+    random microdata/RDFa attribute soup over arbitrarily unbalanced
+    open/self-closing/close event streams — the two independent
+    witnesses must emit identical v20 and v21 tuple lists (and agree on
+    every other surface)."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    parts = []
+    for tag, attrs, kind, txt in frags:
+        if kind == "open":
+            parts.append(f"<{tag}{attrs}>{txt}")
+        elif kind == "self":
+            parts.append(f"<{tag}{attrs}/>{txt}")
+        else:
+            parts.append(f"</{tag}>{txt}")
+    blob = ("<html><body>" + "".join(parts)).encode("utf-8")
+    assert extract_html(blob) == oracle_extract_full(blob)

@@ -91,6 +91,7 @@ def build_extras():
     jsonld_rows = []
     alt_rows = []
     md_rows = []
+    rd_rows = []
     for rid, (name, fn_) in enumerate(recipes):
         if fn_ is None:
             continue
@@ -131,6 +132,7 @@ def build_extras():
                 **_jsonld_facts(res),
                 **_alt_facts(res),
                 **_md_facts(res),
+                **_rd_facts(res),
                 **_title_facts(res),
                 "n_edges": len(doc.edges),
                 "n_dangling": len(dangle),
@@ -279,6 +281,8 @@ def build_extras():
             alt_rows.append((idx, pos, hl, t, h))
         for pos, (mi, mt, mp, mv) in enumerate(res.microdata):
             md_rows.append((idx, pos, mi, mt, mp, mv))
+        for pos, (ri, rv, rt, rp, rx) in enumerate(res.rdfa):
+            rd_rows.append((idx, pos, ri, rv, rt, rp, rx))
         html_idx.append(
             {
                 "idx": idx,
@@ -307,6 +311,7 @@ def build_extras():
                 **_jsonld_facts(res),
                 **_alt_facts(res),
                 **_md_facts(res),
+                **_rd_facts(res),
                 **_title_facts(res),
             }
         )
@@ -315,7 +320,7 @@ def build_extras():
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows,
+        xmp_rows, md_rows, rd_rows,
     )
 
 
@@ -373,6 +378,22 @@ def _md_facts(res) -> dict:
         "microdata_sig": hashlib.md5(
             "\x1f".join(
                 f"{i}:{t}:{pr}:{v}" for i, t, pr, v in res.microdata
+            ).encode("utf-8")
+        ).hexdigest(),
+    }
+
+
+def _rd_facts(res) -> dict:
+    """Mirror doc_rdfa_sig's JVM expression: md5 over the
+    \x1f-joined "item:vocab:typeof:prop:value" canonical strings in
+    emission order; None when the surface was not computed."""
+    if res.rdfa is None:
+        return {"n_rdfa": None, "rdfa_sig": None}
+    return {
+        "n_rdfa": len(res.rdfa),
+        "rdfa_sig": hashlib.md5(
+            "\x1f".join(
+                f"{i}:{vo}:{t}:{pr}:{v}" for i, vo, t, pr, v in res.rdfa
             ).encode("utf-8")
         ).hexdigest(),
     }
@@ -507,7 +528,7 @@ def main() -> None:
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows,
+        xmp_rows, md_rows, rd_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -545,7 +566,8 @@ def main() -> None:
             f"FONT_ROWS = {fmt(font_rows)}\n\n"
             f"SIG_ROWS = {fmt(sig_rows)}\n\n"
             f"XMP_ROWS = {fmt(xmp_rows)}\n\n"
-            f"MD_ROWS = {fmt(md_rows)}\n"
+            f"MD_ROWS = {fmt(md_rows)}\n\n"
+            f"RDFA_ROWS = {fmt(rd_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
