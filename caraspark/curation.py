@@ -5541,3 +5541,146 @@ def content_sniff_q(spark, sf):
     return content_sniff(pages).select(
         "doc_id", "sniffed", "declared_kind", "mismatch"
     )
+
+
+def _langseg_sql() -> str:
+    """INDEPENDENT SQL reimplementation of the whole langseg pipeline
+    (plant → per-paragraph langid → gaps-and-islands merge), reusing the
+    real stopword profiles so the heuristic itself is cross-verified at
+    paragraph granularity, CJK branch included."""
+    from caraspark.langid import PROFILES
+
+    def inlist(lang):
+        return ", ".join("'" + w + "'" for w in sorted(PROFILES[lang]))
+
+    g = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""WITH paras AS (
+  SELECT d.doc_id, p.pidx,
+         CASE ((d.doc_id + (p.pidx * 3) // 4) % 6)
+           WHEN 0 THEN 'the and of to in is it for ' || (d.doc_id % 97)
+           WHEN 1 THEN 'y en los se por las del con como al ' || (d.doc_id % 97)
+           WHEN 2 THEN 'der die das ist nicht von mit den im dem ' || (d.doc_id % 97)
+           WHEN 3 THEN 'le les et des dans pour qui sur avec pas ' || (d.doc_id % 97)
+           WHEN 4 THEN '漢字漢字漢字 ' || (d.doc_id % 97)
+           ELSE '0 1 2 3 4 5 ' || (d.doc_id % 97) END AS para
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS pidx) p
+),
+toks AS (
+  SELECT doc_id, pidx, para,
+         list_filter(string_split_regex(lower(para), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM paras
+),
+hits AS (
+  SELECT doc_id, pidx,
+         CASE WHEN length(para) > 0
+              AND length(regexp_replace(para, '[^\\x{{4E00}}-\\x{{9FFF}}]',
+                                        '', 'g')) > 0.05 * length(para)
+              THEN TRUE ELSE FALSE END AS is_cjk,
+         len(ws) AS n_toks,
+         len(list_filter(ws, x -> x IN ({inlist('de')}))) AS h_de,
+         len(list_filter(ws, x -> x IN ({inlist('en')}))) AS h_en,
+         len(list_filter(ws, x -> x IN ({inlist('es')}))) AS h_es,
+         len(list_filter(ws, x -> x IN ({inlist('fr')}))) AS h_fr
+  FROM toks
+),
+pl AS (
+  SELECT doc_id, pidx,
+         CASE WHEN is_cjk THEN 'zh'
+              WHEN n_toks = 0 THEN 'und'
+              WHEN {g} = 0 THEN 'und'
+              WHEN h_de = {g} THEN 'de'
+              WHEN h_en = {g} THEN 'en'
+              WHEN h_es = {g} THEN 'es'
+              ELSE 'fr' END AS plang
+  FROM hits
+),
+brk AS (
+  SELECT doc_id, pidx, plang,
+         CASE WHEN lag(plang) OVER w IS NULL
+                OR lag(plang) OVER w <> plang THEN 1 ELSE 0 END AS b
+  FROM pl
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pidx)
+),
+segs AS (
+  SELECT doc_id, pidx, plang,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pidx
+                      ROWS UNBOUNDED PRECEDING) - 1 AS seg
+  FROM brk
+)
+SELECT doc_id, CAST(seg AS INTEGER) AS seg, min(plang) AS lang,
+       CAST(count(*) AS INTEGER) AS n_paras,
+       CAST(min(pidx) AS INTEGER) AS start_para,
+       CAST(max(pidx) AS INTEGER) AS end_para
+FROM segs
+GROUP BY doc_id, seg"""
+
+
+@_q("text_langseg", _langseg_sql())
+def text_langseg(spark, sf):
+    """Paragraph-level language segmentation (the CCNet move: langid per
+    PARAGRAPH, then merge consecutive same-language runs into segments)
+    — multilingual pages are the norm at crawl scale, and shipping one
+    doc-level lang tag over a mixed page poisons both sides' training
+    mix.  The synthetic corpus has no newline structure, so the query
+    plants 8 deterministic paragraphs per document (identically in both
+    engines, the dedup_paragraph precedent) cycling all six heuristic
+    outcomes — en/es/de/fr stopword runs, a CJK paragraph (zh branch),
+    and a digits-only paragraph (und) — with run boundaries from
+    ``(doc_id + pidx*3//4) % 6`` so every document exercises both
+    merge-and-break polarities; langid itself is the production
+    vectorized pandas UDF (``detect_lang_batch``), cross-verified by the
+    independent SQL heuristic at paragraph granularity.
+
+    Scale: paragraph explode is a scan-stage Generate (production splits
+    ``text`` on newlines instead of planting; same plan); the ONLY
+    exchange hashes on doc_id for the lag/running-sum window, and the
+    final (doc_id, seg) HashAggregate reuses that partitioning (doc_id
+    is a subset of the grouping keys — clustered distribution already
+    satisfied, no second shuffle).  Window state is one row lookback +
+    a running int; exchanged rows carry (doc_id, tiny-int, lang code),
+    never paragraph text."""
+    from caraspark.langid import detect_lang_batch
+
+    langid = F.pandas_udf(
+        lambda s: detect_lang_batch(s), "string"
+    )
+    d = load(spark, sf, "documents").select("doc_id")
+    tok = (F.col("doc_id") % 97).cast("string")
+    code = (F.col("doc_id") + F.floor(F.col("pidx") * 3 / 4)) % 6
+    para = (
+        F.when(code == 0, F.concat(F.lit("the and of to in is it for "), tok))
+        .when(code == 1,
+              F.concat(F.lit("y en los se por las del con como al "), tok))
+        .when(code == 2,
+              F.concat(F.lit("der die das ist nicht von mit den im dem "),
+                       tok))
+        .when(code == 3,
+              F.concat(F.lit("le les et des dans pour qui sur avec pas "),
+                       tok))
+        .when(code == 4, F.concat(F.lit("漢字漢字漢字 "), tok))
+        .otherwise(F.concat(F.lit("0 1 2 3 4 5 "), tok))
+    )
+    paras = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("pidx"),
+    ).select("doc_id", "pidx", langid(para).alias("plang"))
+    w = W.partitionBy("doc_id").orderBy("pidx")
+    brk = F.when(
+        F.lag("plang").over(w).isNull()
+        | (F.lag("plang").over(w) != F.col("plang")),
+        1,
+    ).otherwise(0)
+    segs = paras.withColumn("b", brk).withColumn(
+        "seg",
+        (F.sum("b").over(w.rowsBetween(W.unboundedPreceding, 0)) - 1).cast(
+            "int"
+        ),
+    )
+    return segs.groupBy("doc_id", "seg").agg(
+        F.min("plang").alias("lang"),
+        F.count(F.lit(1)).cast("int").alias("n_paras"),
+        F.min("pidx").cast("int").alias("start_para"),
+        F.max("pidx").cast("int").alias("end_para"),
+    )

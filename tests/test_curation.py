@@ -1497,3 +1497,28 @@ def test_content_sniff_edges(spark):
         ("text", "pdf", True),    # truncated magic ≠ declared pdf
         ("jpeg", "jpeg", False),
     ], got
+
+
+def test_text_langseg_merges_runs_and_covers_all_langs(spark):
+    """Per document: 8 planted paragraphs with boundary pattern
+    [0,1],[2],[3],[4,5],[6],[7] → exactly 6 segments tiling 0..7 in
+    order, two of length 2; across the corpus all six heuristic
+    outcomes (en es de fr zh und) appear; adjacent segments never share
+    a language (the merge actually merged)."""
+    from caraspark.curation import text_langseg
+
+    rows = text_langseg(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    langs = set()
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r.seg)
+        assert [s.seg for s in segs] == list(range(6))
+        assert [s.n_paras for s in segs] == [2, 1, 1, 2, 1, 1]
+        assert segs[0].start_para == 0 and segs[-1].end_para == 7
+        for a, b in zip(segs, segs[1:]):
+            assert b.start_para == a.end_para + 1  # tiling, in order
+            assert a.lang != b.lang  # merged runs: no adjacent equals
+        langs.update(s.lang for s in segs)
+    assert langs == {"en", "es", "de", "fr", "zh", "und"}

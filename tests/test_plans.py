@@ -1047,3 +1047,14 @@ def test_sitemap_delta_single_join_no_python(spark, sf_smoke, qs):
 def test_content_sniff_is_narrow_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["content_sniff"](spark, sf_smoke), "simple")
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_text_langseg_single_exchange(spark, sf_smoke, qs):
+    """One doc_id hash exchange feeds both windows AND the (doc_id, seg)
+    HashAggregate — doc_id is a subset of the grouping keys, so the
+    clustered distribution is already satisfied and no second shuffle
+    appears; paragraph text never crosses an exchange (the explode and
+    langid UDF run scan-side)."""
+    p = plan_of(qs["text_langseg"](spark, sf_smoke), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "Cartesian" not in p and "NestedLoop" not in p, p
