@@ -1065,3 +1065,60 @@ def stream_validators(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_microdata",
+    """WITH t AS (
+  SELECT 'name' AS prop, 'N ' || CAST(doc_id % 7 AS VARCHAR) AS value
+  FROM documents
+  UNION ALL
+  SELECT 'sku', 'S' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'stray', 'x' FROM documents
+)
+SELECT prop, CAST(count(*) AS BIGINT) AS n_props,
+       min(value) AS v_min, max(value) AS v_max
+FROM t GROUP BY prop""",
+)
+def stream_microdata(spark, sf):
+    """Streaming rollup over the v20 MICRODATA surface: documents arrive
+    as micro-batches, each wrapped with one typed item (two props, one
+    attribute-valued) plus one orphan prop, extracted IN-STREAM by the
+    same Arrow UDF; exploded tuples feed a stateful aggregation keyed by
+    prop — complete mode, three fixed-width state rows, the same
+    bounded-state shape as the other per-surface stream rollups (the
+    live which-typed-records-are-flowing dashboard for a crawl ingest)."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><div itemscope itemtype='T"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("'><span itemprop='name'>N "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</span><meta itemprop='sku' content='S"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("'></div><span itemprop='stray'>x</span>"),
+                F.lit("</body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    t = (
+        extract(raw, want=("microdata",))
+        .select(F.explode("microdata").alias("t"))
+        .select(F.col("t.prop").alias("prop"), F.col("t.value").alias("value"))
+    )
+    out = t.groupBy("prop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_props"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return S.run_to_memory(out, mode="complete")
