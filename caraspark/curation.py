@@ -5684,3 +5684,73 @@ def text_langseg(spark, sf):
         F.min("pidx").cast("int").alias("start_para"),
         F.max("pidx").cast("int").alias("end_para"),
     )
+
+
+@_q(
+    "charset_census",
+    """SELECT CASE doc_id % 5
+         WHEN 0 THEN 'utf-8-bom'
+         WHEN 1 THEN 'utf-16-le-bom'
+         WHEN 2 THEN 'meta:cp1252'
+         WHEN 3 THEN 'utf-8'
+         ELSE 'cp1252-fallback' END AS codec,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def charset_census(spark, sf):
+    """Charset-router census: classify every page's BYTES by the same
+    decision ladder the extraction decoder walks (UTF-8 BOM → UTF-16
+    LE/BE BOM → first-1KiB meta charset label → strict-UTF-8 validity →
+    cp1252 browser fallback) — the encoding-distribution dashboard a
+    crawl operator watches for mojibake regressions, computed WITHOUT
+    decoding documents.  Five deterministic byte shapes are planted per
+    ``doc_id % 5`` (BOM'd UTF-8, BOM'd UTF-16-LE, meta-declared cp1252
+    with a non-UTF-8 byte, plain ASCII, and a bare invalid-UTF-8 lead
+    byte) so DuckDB predicts the census in closed form while the Spark
+    side genuinely sniffs bytes.
+
+    Scale: classification is fixed-offset hex compares + one bounded
+    1KiB regexp (over a latin-1 view — total on any bytes) + the native
+    ``is_valid_utf8`` probe, all JVM scan-stage; the only exchange
+    carries (codec, count) with map-side combine — full payloads never
+    shuffle."""
+    d = load(spark, sf, "documents")
+    m = F.col("doc_id") % 5
+    html = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("EFBBBF")),
+                                F.encode(F.lit("<p>bom doc</p>"), "utf-8")))
+        .when(m == 1, F.concat(F.unhex(F.lit("FFFE")),
+                               F.encode(F.lit("ab"), "utf-8")))
+        .when(m == 2, F.concat(
+            F.encode(F.lit("<meta charset='windows-1252'><p>caf"), "utf-8"),
+            F.unhex(F.lit("E9")),
+        ))
+        .when(m == 3, F.encode(F.lit("<p>plain</p>"), "utf-8"))
+        .otherwise(F.concat(F.unhex(F.lit("E9")),
+                            F.encode(F.lit("<p>x</p>"), "utf-8")))
+    )
+    b = d.select(html.alias("html"))
+    head3 = F.hex(F.substring("html", 1, 3))
+    head2 = F.hex(F.substring("html", 1, 2))
+    # latin-1 maps every byte, so the 1KiB sniff window never throws on
+    # non-UTF-8 bytes and the ASCII meta tag reads through unchanged
+    meta_lbl = F.regexp_extract(
+        F.lower(F.decode(F.substring("html", 1, 1024), "ISO-8859-1")),
+        r"charset\s*=\s*[\"']?([a-z0-9_\-]+)", 1,
+    )
+    norm_lbl = F.when(
+        meta_lbl.isin("windows-1252", "cp1252", "latin-1", "iso-8859-1"),
+        F.lit("cp1252"),
+    ).otherwise(meta_lbl)
+    utf8_ok = F.expr("is_valid_utf8(html)")
+    codec = (
+        F.when(head3 == "EFBBBF", F.lit("utf-8-bom"))
+        .when(head2 == "FFFE", F.lit("utf-16-le-bom"))
+        .when(head2 == "FEFF", F.lit("utf-16-be-bom"))
+        .when(meta_lbl != "", F.concat(F.lit("meta:"), norm_lbl))
+        .when(utf8_ok, F.lit("utf-8"))
+        .otherwise(F.lit("cp1252-fallback"))
+    )
+    return b.select(codec.alias("codec")).groupBy("codec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

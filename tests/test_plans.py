@@ -1058,3 +1058,11 @@ def test_text_langseg_single_exchange(spark, sf_smoke, qs):
     p = plan_of(qs["text_langseg"](spark, sf_smoke), "simple")
     assert p.count("Exchange") == 1, p
     assert "Cartesian" not in p and "NestedLoop" not in p, p
+
+
+def test_charset_census_scan_stage_jvm(spark, sf_smoke, qs):
+    """Sniffing is all JVM scan-stage; the single exchange carries
+    (codec, count) partial aggregates only."""
+    p = plan_of(qs["charset_census"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p, p
+    assert p.count("Exchange") == 1, p
