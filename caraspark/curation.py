@@ -5754,3 +5754,78 @@ def charset_census(spark, sf):
     return b.select(codec.alias("codec")).groupBy("codec").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+_PHRASES = [
+    ("key", "agg"), ("fast", "merge"), ("table", "value"),
+    ("warm", "start"),  # absent from the vocab: pins the no-row polarity
+]
+
+
+def _phrase_sql() -> str:
+    pairs = ", ".join(f"('{a}','{b}')" for a, b in _PHRASES)
+    return f"""WITH s AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws
+  FROM documents WHERE length(text) > 0
+),
+toks AS (
+  SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS w
+  FROM s, unnest(generate_series(1, len(ws))) AS g(i)
+)
+SELECT t1.w || ' ' || t2.w AS phrase,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT t1.doc_id) AS BIGINT) AS n_docs,
+       CAST(min(t1.doc_id) AS BIGINT) AS first_doc,
+       CAST(max(t1.doc_id) AS BIGINT) AS last_doc
+FROM toks t1 JOIN toks t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE (t1.w, t2.w) IN ({pairs})
+GROUP BY 1"""
+
+
+@_q("search_phrase", _phrase_sql())
+def search_phrase(spark, sf):
+    """Positional phrase search: exact two-word phrase matching via a
+    positional-postings self-join (t2.pos = t1.pos + 1) — the query-time
+    counterpart of ``search_postings``' index build, and the operator a
+    quote-query ("fast merge") needs where bag-of-words BM25 can't
+    distinguish adjacency from co-occurrence.  Four query phrases run at
+    once, one deliberately absent from the corpus vocabulary so the
+    empty-result polarity is pinned.
+
+    Scale: the token stream is FILTERED to the phrases' terms at scan
+    stage (a tiny literal IN — at production vocabulary sizes a
+    broadcast semi-join) BEFORE any exchange, so the self-join shuffles
+    only matching postings rows, keyed (doc_id, pos): co-partitioned
+    equi-keys, no cartesian anywhere; the final per-phrase aggregate is
+    vocabulary-sized with map-side combine."""
+    firsts = sorted({a for a, _ in _PHRASES})
+    seconds = sorted({b for _, b in _PHRASES})
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    )
+    t1 = toks.filter(F.col("w").isin(firsts)).select(
+        "doc_id", F.col("pos").alias("p1"), F.col("w").alias("w1"),
+        (F.col("pos") + 1).alias("p_next"),
+    )
+    t2 = toks.filter(F.col("w").isin(seconds)).select(
+        "doc_id", F.col("pos").alias("p2"), F.col("w").alias("w2")
+    )
+    pair_ok = F.concat_ws(" ", "w1", "w2").isin(
+        [f"{a} {b}" for a, b in _PHRASES]
+    )
+    hits = t1.join(
+        t2,
+        (t1.doc_id == t2.doc_id) & (t1.p_next == t2.p2),
+    ).filter(pair_ok).select(
+        t1.doc_id.alias("doc_id"),
+        F.concat_ws(" ", "w1", "w2").alias("phrase"),
+    )
+    return hits.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -1066,3 +1066,12 @@ def test_charset_census_scan_stage_jvm(spark, sf_smoke, qs):
     p = plan_of(qs["charset_census"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p, p
     assert p.count("Exchange") == 1, p
+
+
+def test_search_phrase_filtered_before_join_no_cartesian(spark, sf_smoke, qs):
+    """Postings are filtered to the phrase terms at scan stage; the
+    positional self-join is an equi-join on (doc_id, pos) — never a
+    cartesian/nested-loop — and no Python touches the hot path."""
+    p = plan_of(qs["search_phrase"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p, p
+    assert "Cartesian" not in p and "NestedLoop" not in p, p
