@@ -5829,3 +5829,96 @@ def search_phrase(spark, sf):
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+def _ensemble_sql() -> str:
+    return """WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN repeat(' 1234567890', 20) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN repeat(' zz', 40) ELSE '' END AS t
+  FROM documents WHERE length(text) > 0
+),
+sig AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(t), ' '), x -> x <> '') AS ws,
+         length(t) AS n_chars,
+         length(regexp_replace(lower(t), '[^a-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit
+  FROM planted
+),
+bits AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 40 THEN 1 ELSE 0 END
+       + CASE WHEN n_alpha * 1000 < 800 * n_chars THEN 2 ELSE 0 END
+       + CASE WHEN len(list_distinct(ws)) * 1000 < 700 * len(ws)
+              THEN 4 ELSE 0 END
+       + CASE WHEN len(list_intersect(ws,
+                ['the','and','of','to','a','in'])) = 0 THEN 8 ELSE 0 END
+       + CASE WHEN n_digit * 1000 > 150 * n_chars THEN 16 ELSE 0 END
+         AS bitmask
+  FROM sig
+)
+SELECT CAST(bitmask AS INTEGER) AS bitmask,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM bits GROUP BY bitmask"""
+
+
+@_q("filter_ensemble", _ensemble_sql())
+def filter_ensemble(spark, sf):
+    """Fused quality-filter ensemble with per-rule ablation bits — the
+    production keep/drop decision as ONE scan: five integer-arithmetic
+    rules (too-short b0, low-alpha b1, low-distinct-token repetition b2,
+    zero-stopword b3, digit-heavy b4) OR-ed into a bitmask per document,
+    censused so an operator sees exactly which rule combinations remove
+    how much corpus (the doc_soft404 ablation stance, corpus-wide).
+    Bitmask 0 is the keep set.  Two deterministic plants (digit runs on
+    doc_id%7, repeated-token runs on doc_id%5) force both polarities of
+    the repetition and digit rules on the synthetic corpus.
+
+    Scale: every signal is JVM scan-stage string/array arithmetic over
+    the doc's own row (no explode, no join, token arrays never leave
+    their Project); the single exchange carries (bitmask, count) partial
+    aggregates — at 100 TB this is the cheapest possible full-corpus
+    pass, and the bitmask column is what a downstream curriculum join
+    would key on."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.expr("repeat(' 1234567890', 20)")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.expr("repeat(' zz', 40)")).otherwise(F.lit("")),
+    )
+    sig = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower(t), " "), lambda x: x != "").alias("ws"),
+        F.length(t).alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).alias(
+            "n_alpha"
+        ),
+        F.length(F.regexp_replace(t, "[^0-9]", "")).alias("n_digit"),
+    )
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "a", "in")])
+    bitmask = (
+        F.when(F.size("ws") < 40, 1).otherwise(0)
+        + F.when(F.col("n_alpha") * 1000 < 800 * F.col("n_chars"), 2)
+        .otherwise(0)
+        + F.when(
+            F.size(F.array_distinct("ws")) * 1000 < 700 * F.size("ws"), 4
+        ).otherwise(0)
+        + F.when(F.size(F.array_intersect("ws", stop)) == 0, 8).otherwise(0)
+        + F.when(F.col("n_digit") * 1000 > 150 * F.col("n_chars"), 16)
+        .otherwise(0)
+    )
+    return (
+        sig.select("doc_id", bitmask.cast("int").alias("bitmask"))
+        .groupBy("bitmask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )

@@ -1075,3 +1075,11 @@ def test_search_phrase_filtered_before_join_no_cartesian(spark, sf_smoke, qs):
     p = plan_of(qs["search_phrase"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p, p
     assert "Cartesian" not in p and "NestedLoop" not in p, p
+
+
+def test_filter_ensemble_no_explode_single_exchange(spark, sf_smoke, qs):
+    """All five rules are per-row JVM arithmetic — no Generate, no join,
+    no Python; the one exchange carries (bitmask, count) partials."""
+    p = plan_of(qs["filter_ensemble"](spark, sf_smoke), "simple")
+    assert "EvalPython" not in p and "Generate" not in p, p
+    assert p.count("Exchange") == 1, p
