@@ -2837,3 +2837,50 @@ def rdfa_vocabs(spark, sf):
             "n_distinct_types"
         ),
     )
+
+
+@_q(
+    "markup_density",
+    f"""WITH {{corpus}},
+{{perdoc}},
+dens AS (
+  SELECT kind,
+         CAST(text_len * 1000 // bytes_in AS INTEGER) AS density
+  FROM perdoc WHERE text_len IS NOT NULL AND bytes_in > 0
+)
+SELECT kind, CAST(density // 100 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(density) AS INTEGER) AS d_min,
+       CAST(max(density) AS INTEGER) AS d_max
+FROM dens GROUP BY kind, bucket""".format(
+        corpus=corpus_cte(), perdoc=perdoc_cte()
+    ),
+)
+def markup_density(spark, sf):
+    """Main-content density census: extracted-text bytes per raw input
+    byte (permille, exact integer division), bucketed by decile and
+    split by kind — THE extraction-quality dashboard number (a density
+    collapse after a deploy means the boilerplate stripper started
+    eating content; a spike means chrome is leaking in).  Verified
+    against the frozen per-document facts, so the whole chain —
+    extraction, text byte length, integer permille, bucketing — is
+    hash-pinned.
+
+    Scale: both lengths come out of the extraction row itself (no
+    re-scan of payload bytes); the census exchange carries
+    (kind, bucket, count) partials only."""
+    ex = _extracted(spark, sf)
+    dens = ex.filter(
+        F.col("text").isNotNull() & (F.col("metrics.bytes_in") > 0)
+    ).select(
+        "kind",
+        F.expr("CAST(length(text) * 1000 DIV metrics.bytes_in AS INT)")
+        .alias("density"),
+    )
+    return dens.groupBy(
+        "kind", F.expr("CAST(density DIV 100 AS INT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("density").cast("int").alias("d_min"),
+        F.max("density").cast("int").alias("d_max"),
+    )
