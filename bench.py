@@ -96,6 +96,13 @@ EXTRAS = [
     "crawl_changerate",
     "text_sentences",
     "text_badwords",
+    "doc_microdata",
+    "doc_rdfa",
+    "text_langseg",
+    "search_phrase",
+    "filter_ensemble",
+    "charset_census",
+    "markup_density",
 ]
 
 REPEATS = 3
