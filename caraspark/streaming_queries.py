@@ -1122,3 +1122,63 @@ def stream_microdata(spark, sf):
         F.max("value").alias("v_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_rdfa",
+    """WITH t AS (
+  SELECT 'V' || CAST(doc_id % 3 AS VARCHAR) AS vocab,
+         'name' AS prop, 'N ' || CAST(doc_id % 7 AS VARCHAR) AS value
+  FROM documents
+  UNION ALL
+  SELECT 'V' || CAST(doc_id % 3 AS VARCHAR), 'sameAs',
+         '/c/' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+)
+SELECT vocab, prop, CAST(count(*) AS BIGINT) AS n_props,
+       min(value) AS v_min, max(value) AS v_max
+FROM t GROUP BY vocab, prop""",
+)
+def stream_rdfa(spark, sf):
+    """Streaming rollup over the v21 RDFA surface: documents arrive as
+    micro-batches, each wrapped with a vocab-scoped typed subject
+    carrying one text-capture prop and one resource-valued prop,
+    extracted IN-STREAM; exploded tuples feed a stateful aggregation
+    keyed by (vocab, prop) — complete mode, six fixed-width state rows,
+    completing the structured-data triad's streaming censuses
+    (stream_jsonld, stream_microdata, stream_rdfa)."""
+    from caraspark.extract import extract
+
+    docs = S.replay_documents_stream(spark, sf)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><div vocab='V"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("' typeof='T'><span property='name'>N "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</span><span property='sameAs' resource='/c/"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("'>x</span></div></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+    t = (
+        extract(raw, want=("rdfa",))
+        .select(F.explode("rdfa").alias("t"))
+        .select(
+            F.col("t.vocab").alias("vocab"),
+            F.col("t.prop").alias("prop"),
+            F.col("t.value").alias("value"),
+        )
+    )
+    out = t.groupBy("vocab", "prop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_props"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return S.run_to_memory(out, mode="complete")
