@@ -802,6 +802,136 @@ def graph_pagerank(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Domain-graph HITS (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000  # scores as integer micro-units, L-inf normalized
+
+
+def _hits_sql() -> str:
+    s = _HITS_SCALE
+    its = [f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS h FROM nodes)"]
+    for i in range(1, _HITS_ITERS + 1):
+        prev = "h0" if i == 1 else f"h{i - 1}"
+        its.append(f"""
+a{i}r AS (
+  SELECT n.node, COALESCE(s.S, 0) AS ar
+  FROM nodes n LEFT JOIN (
+    SELECT e.v AS node, SUM(p.h) AS S
+    FROM edges e JOIN {prev} p ON p.node = e.u GROUP BY e.v
+  ) s ON s.node = n.node
+),
+a{i} AS (
+  SELECT node,
+         ar * {s} // (SELECT GREATEST(MAX(ar), 1) FROM a{i}r) AS a
+  FROM a{i}r
+),
+h{i}r AS (
+  SELECT n.node, COALESCE(s.S, 0) AS hr
+  FROM nodes n LEFT JOIN (
+    SELECT e.u AS node, SUM(p.a) AS S
+    FROM edges e JOIN a{i} p ON p.node = e.v GROUP BY e.u
+  ) s ON s.node = n.node
+),
+h{i} AS (
+  SELECT node,
+         hr * {s} // (SELECT GREATEST(MAX(hr), 1) FROM h{i}r) AS h
+  FROM h{i}r
+)""")
+    last = _HITS_ITERS
+    return f"""
+WITH {_pr_graph_sql()},
+{", ".join(its)}
+SELECT n.node,
+       CAST(h.h AS BIGINT) AS hub_scaled,
+       CAST(a.a AS BIGINT) AS auth_scaled,
+       CAST(h.h AS DOUBLE) / {s}.0 AS hub,
+       CAST(a.a AS DOUBLE) / {s}.0 AS auth
+FROM nodes n
+JOIN h{last} h ON h.node = n.node
+JOIN a{last} a ON a.node = n.node
+"""
+
+
+@_q("graph_hits", _hits_sql())
+def graph_hits(spark, sf):
+    """HITS hubs-and-authorities over the same deterministic domain graph
+    as ``graph_pagerank`` — the second classic frontier-prioritization
+    signal (Kleinberg '99): a good HUB links to many good authorities, a
+    good AUTHORITY is linked from many good hubs. Crawl schedulers use
+    authority for fetch priority and hub for outlink-harvest priority.
+
+    Determinism: the textbook L2 normalization is irrational, so each
+    half-step normalizes by the MAXIMUM instead (L-inf): score * SCALE //
+    max(score). Max and integer sums are partial-aggregation-order
+    insensitive, so Spark and DuckDB compute bit-equal BIGINTs; the two
+    DOUBLE convenience columns are each one division at the very end.
+
+    Scale shape: one HITS iteration = two (join on one endpoint + groupBy
+    on the other) passes over the edge table, exchanging only (node,
+    BIGINT) pairs, plus an L-inf normalization — a single-row max
+    broadcast-crossJoined back (never collected to the driver). Edges
+    pre-partitioned by join key amortize the exchange across iterations;
+    ``localCheckpoint`` per iteration truncates lineage exactly as the
+    PageRank loop documents."""
+    d = load(spark, sf, "documents")
+    nodes = d.select(F.col("source").alias("node")).distinct()
+    links = d.select(
+        F.col("source").alias("u"),
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") + F.col("n_chars")) % 20).cast("string"),
+        ).alias("v"),
+    ).distinct()
+    edges = (
+        links.filter(F.col("u") != F.col("v"))
+        .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+        .localCheckpoint()
+    )
+
+    def _half(score, src_col, dst_col, out):
+        # one propagation half-step: sum scores over edges, L-inf normalize
+        raw = (
+            edges.join(score.withColumnRenamed("node", src_col), src_col)
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.sum("s").alias("S"))
+        )
+        raw = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("S", F.lit(0).cast("long")).alias("raw")
+        )
+        m = raw.agg(
+            F.greatest(F.max("raw"), F.lit(1).cast("long")).alias("m")
+        )
+        return raw.crossJoin(F.broadcast(m)).select(
+            "node", F.expr(f"raw * {_HITS_SCALE} div m").alias(out)
+        )
+
+    h = nodes.withColumn(
+        "s", F.lit(_HITS_SCALE).cast("long")
+    ).localCheckpoint()
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = _half(h, "u", "v", "a").localCheckpoint()
+        h = (
+            _half(a.withColumnRenamed("a", "s"), "v", "u", "h")
+            .withColumnRenamed("h", "s")
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            "node",
+            F.col("s").alias("hub_scaled"),
+            F.col("a").alias("auth_scaled"),
+            (F.col("s").cast("double") / _HITS_SCALE).alias("hub"),
+            (F.col("a").cast("double") / _HITS_SCALE).alias("auth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-entropy quality signal
 # ---------------------------------------------------------------------------
 

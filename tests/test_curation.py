@@ -155,6 +155,38 @@ def test_pagerank_partitioning_invariant(spark, sf_smoke):
     assert a == b
 
 
+def test_hits_matches_python_recompute(spark, sf_smoke):
+    rows = {r.node: r for r in C.graph_hits(spark, sf_smoke).collect()}
+    docs = load(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    nodes = {d.source for d in docs}
+    edges = {
+        (d.source, f"src{(d.doc_id + d.n_chars) % 20}")
+        for d in docs
+        if d.source != f"src{(d.doc_id + d.n_chars) % 20}"
+        and f"src{(d.doc_id + d.n_chars) % 20}" in nodes
+    }
+    S = C._HITS_SCALE
+    h = {n: S for n in nodes}
+    a = {}
+    for _ in range(C._HITS_ITERS):
+        ar = {n: sum(h[u] for (u, v) in edges if v == n) for n in nodes}
+        m = max(max(ar.values()), 1)
+        a = {n: ar[n] * S // m for n in nodes}
+        hr = {n: sum(a[v] for (u, v) in edges if u == n) for n in nodes}
+        m = max(max(hr.values()), 1)
+        h = {n: hr[n] * S // m for n in nodes}
+    for n in nodes:
+        assert rows[n].hub_scaled == h[n], n
+        assert rows[n].auth_scaled == a[n], n
+    # L-inf normalization pins the best hub and best authority at SCALE
+    assert max(r.hub_scaled for r in rows.values()) == S
+    assert max(r.auth_scaled for r in rows.values()) == S
+    # the derived graph is irregular: scores must differentiate
+    assert len({r.auth_scaled for r in rows.values()}) > 1
+
+
 def test_text_entropy_matches_python(spark, sf_smoke):
     import math
 
