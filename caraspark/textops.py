@@ -1473,6 +1473,134 @@ def dedup_substring_spans(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking dedup (LBFS / rsync-family)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8  # hash-window width (chars) that decides cutpoints
+# cut after position i when md5(window ending at i) ends in this nibble:
+# p = 1/16 → mean chunk ≈ 16 chars at this corpus' scale
+_CDC_NIBBLE = "0"
+
+
+@_q(
+    "dedup_cdc",
+    f"""WITH docs AS (
+  SELECT doc_id, text, len(text) AS n FROM documents
+),
+-- duckdb's range() can't take lateral column args: cross-join a static
+-- bound and filter to the doc's real length (same idiom as dedup_minhash)
+cuts AS (
+  SELECT doc_id, CAST(r.i AS INT) AS i
+  FROM docs, range({_CDC_W}, 4096) r(i)
+  WHERE r.i <= n
+    AND substring(md5(substring(text, CAST(r.i AS INT) - {_CDC_W - 1},
+                                 {_CDC_W})), 32, 1) = '{_CDC_NIBBLE}'
+),
+bounds AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, i FROM cuts
+    UNION ALL
+    SELECT doc_id, CAST(n AS INT) AS i FROM docs
+  )
+),
+chunks AS (
+  SELECT doc_id,
+         COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+         i AS e
+  FROM bounds
+),
+hashed AS (
+  SELECT c.doc_id,
+         md5(substring(d.text, c.s, c.e - c.s + 1)) AS chunk_md5,
+         c.e - c.s + 1 AS clen
+  FROM chunks c JOIN docs d USING (doc_id)
+)
+SELECT chunk_md5,
+       CAST(min(clen) AS INT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM hashed
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) > 1""",
+)
+def dedup_cdc(spark, sf):
+    """Content-defined chunking dedup (the LBFS/rsync family): cutpoints
+    fall where the hash of the 8-char window ENDING at a position
+    lands in a 1/16 mask, so chunk boundaries track CONTENT, not offsets —
+    an insertion re-chunks only its neighborhood, where fixed n-grams
+    (``dedup_substring``) shift every window after the edit. Output:
+    variable-length chunks shared by >1 document, the unit a
+    storage-dedup / delta-encode pass operates on.
+
+    Determinism: cutpoint rule and chunk digests are md5-based, identical
+    on both engines; chunk_len is exact integers; no doubles anywhere.
+
+    Scale shape: the entire chunker lives in ONE Project row scope —
+    cutpoints via filter() over a sequence, chunk (start, end) pairs via
+    transform() with index over the sorted bounds array, digests via
+    md5(substring(...)) inside the same transform — so a document's text
+    NEVER leaves its scan task (the oracle's window+re-join formulation is
+    the SQL-expressible twin, not the plan). The only exchange is the
+    final groupBy carrying (chunk_md5, ints): 16-byte digests, never
+    chunk bytes. Production adds a min-chunk floor (cutpoints inside the
+    floor skipped in the same row-scope pass) and swaps md5 for a Gear
+    rolling hash in the Arrow stage; the mask probability is the single
+    knob trading chunk size for dedup granularity."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    cutarr = F.filter(
+        F.when(
+            F.col("n") >= _CDC_W,
+            F.sequence(F.lit(_CDC_W), F.col("n")),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda i: F.substring(
+            F.md5(F.encode(F.substring("text", i - (_CDC_W - 1), F.lit(_CDC_W)), "utf-8")),
+            32,
+            1,
+        )
+        == _CDC_NIBBLE,
+    )
+    bounds = F.array_sort(
+        F.array_union(cutarr, F.array(F.col("n").cast("int")))
+    )
+    chunks = F.transform(
+        bounds,
+        lambda e, k: F.struct(
+            F.md5(
+                F.encode(
+                    F.substring(
+                        "text",
+                        F.when(k == 0, F.lit(1)).otherwise(
+                            F.element_at(bounds, k) + 1
+                        ),
+                        F.when(k == 0, e).otherwise(
+                            e - F.element_at(bounds, k)
+                        ),
+                    ),
+                    "utf-8",
+                )
+            ).alias("chunk_md5"),
+            F.when(k == 0, e)
+            .otherwise(e - F.element_at(bounds, k))
+            .alias("clen"),
+        ),
+    )
+    exploded = d.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_md5", "c.clen")
+    return (
+        exploded.groupBy("chunk_md5")
+        .agg(
+            F.min("clen").cast("int").alias("chunk_len"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product-quantization ANN (Jégou et al. 2011, ADC variant)
 # ---------------------------------------------------------------------------
 

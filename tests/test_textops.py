@@ -193,6 +193,68 @@ def test_dedup_substring_shuffles_digests_only(spark, sf_smoke):
             assert "gram_md5" in ln, ln
 
 
+def test_dedup_cdc_matches_python(spark, sf_smoke):
+    """Third implementation: recompute content-defined chunks in plain
+    Python (cutpoint mask, bounds, per-chunk md5) and compare the full
+    shared-chunk census."""
+    import hashlib
+    from collections import defaultdict
+
+    from caraspark.tables import load
+    from caraspark.textops import _CDC_NIBBLE, _CDC_W, dedup_cdc
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    occ = defaultdict(list)  # chunk_md5 -> [(doc_id, len)]
+    for did, text in docs.items():
+        n = len(text)
+        cuts = [
+            i
+            for i in range(_CDC_W, n + 1)
+            if hashlib.md5(text[i - _CDC_W : i].encode()).hexdigest()[-1]
+            == _CDC_NIBBLE
+        ]
+        bounds = sorted(set(cuts) | {n})
+        prev = 0
+        for e in bounds:
+            chunk = text[prev:e]
+            occ[hashlib.md5(chunk.encode()).hexdigest()].append(
+                (did, len(chunk))
+            )
+            prev = e
+    want = sorted(
+        (h, min(ln for _, ln in v), len({d for d, _ in v}), len(v))
+        for h, v in occ.items()
+        if len({d for d, _ in v}) > 1
+    )
+    got = sorted(
+        (r.chunk_md5, r.chunk_len, r.n_docs, r.n_occ)
+        for r in dedup_cdc(spark, sf_smoke).collect()
+    )
+    assert got == want
+    assert got, "smoke corpus should share content-defined chunks"
+
+
+def test_dedup_cdc_chunker_is_row_scoped(spark, sf_smoke):
+    """Plan pin: chunking happens inside one Project row scope — no
+    Window, no join, no Python; the only Exchange carries chunk digests."""
+    from caraspark.textops import dedup_cdc
+
+    df = dedup_cdc(spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p, p
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    exchanges = [
+        ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, p
+    for ln in exchanges:
+        assert "chunk_md5" in ln, ln
+
+
 def test_dedup_substring_spans_merge_invariants(spark, sf_smoke):
     """Spans are maximal disjoint merges of the marked windows: every
     marked position falls in exactly one span, spans are ≥K tokens apart,
