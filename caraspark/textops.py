@@ -2125,6 +2125,142 @@ def tokenize_bpe(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (learn the merge table from corpus statistics)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 8  # enough rounds that merges demonstrably STACK
+
+
+def _bpe_train_sql() -> str:
+    parts = [
+        r"""
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents)
+  GROUP BY w
+),
+w0 AS (SELECT regexp_replace(w, '(.)', '~\1~', 'g') AS s, c FROM words)"""
+    ]
+    for i in range(1, _BPE_TRAIN_ROUNDS + 1):
+        prev = f"w{i - 1}"
+        parts.append(f"""
+p{i} AS (
+  SELECT syms[CAST(r.i AS INT)] AS pa,
+         syms[CAST(r.i AS INT) + 1] AS pb,
+         SUM(c) AS pc
+  FROM (SELECT regexp_extract_all(s, '~([^~]+)~', 1) AS syms, c
+        FROM {prev}),
+       range(1, 64) r(i)
+  WHERE r.i < len(syms)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT pa, pb, pc FROM p{i} ORDER BY pc DESC, pa, pb LIMIT 1),
+w{i} AS (
+  SELECT replace(s, '~' || b.pa || '~~' || b.pb || '~',
+                 '~' || b.pa || b.pb || '~') AS s, c
+  FROM {prev}, b{i} b
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS round, pa, pb, CAST(pc AS BIGINT) AS pair_count "
+        f"FROM b{i}"
+        for i in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + sel
+
+
+@_q("bpe_train", _bpe_train_sql())
+def bpe_train(spark, sf):
+    """BPE tokenizer TRAINING — learn the ordered merge table from corpus
+    pair statistics (Sennrich '16), the step that PRODUCES the table
+    ``tokenize_bpe`` applies. Each round: count adjacent symbol pairs
+    over the vocabulary (weighted by word frequency), pick the most
+    frequent pair (ties broken lexicographically so the argmax is
+    total-ordered), rewrite the vocabulary with that merge, repeat.
+    Output: the merge table itself, (round, pa, pb, pair_count).
+
+    Determinism: integer pair counts, lexicographic tiebreak, and the
+    same ``~tok~``-wrapped representation as ``tokenize_bpe`` — a merge
+    is ONE left-to-right literal ``replace`` (wrapping makes consecutive
+    matches self-delimiting: ``~a~~b~~a~~b~`` merges both), identical in
+    Java, DuckDB, and Python's ``str.replace``.
+
+    Scale shape — the classic BPE-trainer contraction: the corpus is
+    touched ONCE (word-count groupBy, the only corpus-sized exchange);
+    every training round then iterates over the DISTINCT-WORD vocabulary
+    (~10^6 rows at web scale, vs 10^12 documents), so round cost is
+    independent of corpus size. Per round: one row-scoped pair explode +
+    one (pa, pb, BIGINT) partial-agg exchange + a 1-ROW argmax
+    (TakeOrderedAndProject) broadcast-crossJoined back — never collected;
+    ``localCheckpoint`` per round truncates the growing merge lineage.
+    A 50k-merge production run batches rounds (recount every k merges)
+    on the same plan."""
+    d = load(spark, sf, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = words.select(
+        F.regexp_replace("w", "(.)", "~$1~").alias("s"), "c"
+    ).localCheckpoint()
+    merges = None
+    for i in range(1, _BPE_TRAIN_ROUNDS + 1):
+        syms = F.regexp_extract_all("s", F.lit("~([^~]+)~"), F.lit(1))
+        pairs = vocab.select(
+            syms.alias("syms"), "c"
+        ).select(
+            F.explode(
+                F.transform(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda j: F.struct(
+                        F.element_at("syms", j).alias("pa"),
+                        F.element_at("syms", j + 1).alias("pb"),
+                    ),
+                )
+            ).alias("p"),
+            "c",
+        ).select("p.pa", "p.pb", "c")
+        best = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.sum("c").alias("pc"))
+            .orderBy(F.desc("pc"), "pa", "pb")
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(i).alias("round"),
+            "pa",
+            "pb",
+            F.col("pc").cast("bigint").alias("pair_count"),
+        )
+        merges = row if merges is None else merges.unionAll(row)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    "s",
+                    F.concat(
+                        F.lit("~"), "pa", F.lit("~~"), "pb", F.lit("~")
+                    ),
+                    F.concat(F.lit("~"), "pa", "pb", F.lit("~")),
+                ).alias("s"),
+                "c",
+            )
+            .localCheckpoint()
+        )
+    return merges
+
+
+# ---------------------------------------------------------------------------
 # Embedding int8 quantization (storage-scale embeddings)
 # ---------------------------------------------------------------------------
 

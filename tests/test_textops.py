@@ -255,6 +255,54 @@ def test_dedup_cdc_chunker_is_row_scoped(spark, sf_smoke):
         assert "chunk_md5" in ln, ln
 
 
+def test_bpe_train_matches_python_trainer(spark, sf_smoke):
+    """Third implementation: a plain-Python BPE trainer over the same
+    word counts must produce the identical 8-round merge table."""
+    import re
+    from collections import Counter
+
+    from caraspark.tables import load
+    from caraspark.textops import _BPE_TRAIN_ROUNDS, bpe_train
+
+    texts = [
+        r.text for r in load(spark, sf_smoke, "documents").collect()
+    ]
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z0-9]+", t.lower()))
+    # counts of identical spaced forms accumulate, mirroring the
+    # engines' row-wise replace over the distinct-word vocabulary
+    vocab = Counter()
+    for w, c in words.items():
+        vocab["".join(f"~{ch}~" for ch in w)] += c
+    want = []
+    for rnd in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = Counter()
+        for s, c in vocab.items():
+            syms = re.findall(r"~([^~]+)~", s)
+            for j in range(len(syms) - 1):
+                pairs[(syms[j], syms[j + 1])] += c
+        (pa, pb), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnd, pa, pb, pc))
+        nxt = Counter()
+        for s, c in vocab.items():
+            nxt[s.replace(f"~{pa}~~{pb}~", f"~{pa}{pb}~")] += c
+        vocab = nxt
+    got = sorted(
+        (r.round, r.pa, r.pb, r.pair_count)
+        for r in bpe_train(spark, sf_smoke).collect()
+    )
+    assert got == want
+    # merging the best pair can only shrink the achievable maximum:
+    counts = [pc for _, _, _, pc in got]
+    assert counts == sorted(counts, reverse=True)
+    # merges must stack: some later round consumes an earlier round's
+    # output symbol (a multi-char pa or pb)
+    assert any(len(pa) > 1 or len(pb) > 1 for _, pa, pb, _ in got)
+
+
 def test_dedup_substring_spans_merge_invariants(spark, sf_smoke):
     """Spans are maximal disjoint merges of the marked windows: every
     marked position falls in exactly one span, spans are ≥K tokens apart,
