@@ -4287,6 +4287,111 @@ def crawl_changerate(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Content drift between refetches (how MUCH changed, not just whether)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SHINGLE = 9  # char-shingle width, matches the minhash stack
+
+
+def _content_drift_sql() -> str:
+    w = _DRIFT_SHINGLE
+    return f"""
+WITH fetches AS (
+  SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         text AS v1,
+         CASE WHEN doc_id % 5 = 4 THEN text
+              ELSE replace(text, 'table', 'desk9') END AS v2
+  FROM documents WHERE len(text) >= {w}
+),
+sh AS (
+  SELECT url,
+         list_distinct(list_transform(
+           generate_series(1, len(v1) - {w - 1}),
+           i -> substring(v1, CAST(i AS INT), {w}))) AS s1,
+         list_distinct(list_transform(
+           generate_series(1, len(v2) - {w - 1}),
+           i -> substring(v2, CAST(i AS INT), {w}))) AS s2
+  FROM fetches
+)
+SELECT url,
+       CAST(len(list_intersect(s1, s2)) AS INT) AS n_inter,
+       CAST(len(s1) + len(s2) - len(list_intersect(s1, s2)) AS INT)
+         AS n_union,
+       round(CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+             / (len(s1) + len(s2) - len(list_intersect(s1, s2))), 6)
+         AS jaccard,
+       CASE WHEN len(list_intersect(s1, s2))
+                 = len(s1) + len(s2) - len(list_intersect(s1, s2))
+            THEN 'unchanged'
+            WHEN 2 * len(list_intersect(s1, s2))
+                 >= len(s1) + len(s2) - len(list_intersect(s1, s2))
+            THEN 'minor' ELSE 'major' END AS drift_class
+FROM sh
+"""
+
+
+@_q("content_drift", _content_drift_sql())
+def content_drift(spark, sf):
+    """Refetch content drift — how MUCH a url's payload changed between
+    crawls, where ``crawl_changerate`` only records WHETHER (digest
+    flip). Char 9-shingle Jaccard between consecutive versions, classed
+    unchanged / minor / major: a scheduler refetches templated minor
+    churn (timestamps, counters) less eagerly than substantive rewrites,
+    and a training pipeline keeps one copy of minor-drift pairs. The
+    second fetch is simulated deterministically (a literal token edit;
+    every fifth url byte-identical), so drift magnitude varies naturally
+    with token frequency and the unchanged extreme is exercised.
+
+    Determinism: shingle sets, intersection, and union are exact
+    integer counts; the class thresholds compare INTEGERS (j = 1 ⟺
+    inter = union; j ≥ 0.5 ⟺ 2·inter ≥ union) so no double ever gates a
+    branch; ``jaccard`` itself is one rounded division at the end.
+
+    Scale shape: a pure row-scope projection — both versions' shingle
+    sets, the intersection, and the class are array ops inside one
+    Project; ZERO exchanges at any scale. In production the two
+    versions come from ``crawl_changerate``'s (url)-lag window instead
+    of a simulation, and the Jaccard branch runs only for rows whose
+    digests differ — the unchanged majority never builds a shingle
+    set."""
+    w = _DRIFT_SHINGLE
+    d = load(spark, sf, "documents").filter(F.length("text") >= w)
+    v1 = F.col("text")
+    v2 = F.when(F.col("doc_id") % 5 == 4, v1).otherwise(
+        F.replace(v1, F.lit("table"), F.lit("desk9"))
+    )
+
+    def shingles(v):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(v) - (w - 1)),
+                lambda i: F.substring(v, i, F.lit(w)),
+            )
+        )
+
+    sh = d.select(
+        F.concat(
+            F.lit("https://synth.example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        shingles(v1).alias("s1"),
+        shingles(v2).alias("s2"),
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    return sh.select(
+        "url",
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.when(inter == union, "unchanged")
+        .when(2 * inter >= union, "minor")
+        .otherwise("major")
+        .alias("drift_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Badword-list content filter (C4 rule 1; list is a synthetic placeholder)
 # ---------------------------------------------------------------------------
 

@@ -187,6 +187,44 @@ def test_hits_matches_python_recompute(spark, sf_smoke):
     assert len({r.auth_scaled for r in rows.values()}) > 1
 
 
+def test_content_drift_matches_python(spark, sf_smoke):
+    rows = {r.url: r for r in C.content_drift(spark, sf_smoke).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    w = C._DRIFT_SHINGLE
+    classes = set()
+    for did, t in docs.items():
+        if len(t) < w:
+            continue
+        v2 = t if did % 5 == 4 else t.replace("table", "desk9")
+        s1 = {t[i : i + w] for i in range(len(t) - w + 1)}
+        s2 = {v2[i : i + w] for i in range(len(v2) - w + 1)}
+        inter, union = len(s1 & s2), len(s1 | s2)
+        r = rows[f"https://synth.example/doc/{did}"]
+        assert (r.n_inter, r.n_union) == (inter, union), did
+        assert abs(r.jaccard - round(inter / union, 6)) < 1e-12
+        want_cls = (
+            "unchanged"
+            if inter == union
+            else "minor" if 2 * inter >= union else "major"
+        )
+        assert r.drift_class == want_cls, did
+        classes.add(want_cls)
+    assert classes == {"unchanged", "minor", "major"}
+
+
+def test_content_drift_plan_is_exchange_free(spark, sf_smoke):
+    """The whole drift computation is one Project row scope — no
+    Exchange, no Window, no Python anywhere in the plan."""
+    df = C.content_drift(spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+    assert "Window" not in p, p
+
+
 def test_text_entropy_matches_python(spark, sf_smoke):
     import math
 
