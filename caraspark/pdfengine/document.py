@@ -1255,3 +1255,84 @@ def extract_actions(doc: Document) -> list[dict]:
             walk_action(f"Annot:{pi}.{ai}:A", annot.get("A"), 0)
             walk_aa(f"Annot:{pi}.{ai}:AA", annot.get("AA"))
     return out
+
+
+# --- xref-free object scavenging (recovery parse) --------------------------
+
+import re as _re
+
+_OBJ_HEADER_RE = _re.compile(rb"(?<![0-9])(\d{1,10})[ \t\r\n]+(\d{1,5})[ \t\r\n]+obj(?![0-9A-Za-z])")
+
+
+def scavenge_objects(data: bytes, max_objects: int = MAX_OBJECTS) -> list[dict]:
+    """Xref-free object recovery: scan the RAW BYTES for ``N G obj``
+    headers and attempt a parse at each, ignoring the xref entirely —
+    the fallback a forensic/repair pass runs when ``locate_startxref``
+    or the chain walk fails (truncated files, bad offsets), and the
+    only way to see SUPERSEDED revisions an incremental update left
+    behind (capability parity: caradoc's object-scan recovery family,
+    ``src/parser/`` [P]; same spirit as `pdftk`'s rebuild mode).
+
+    Returns one row per header found: num, gen, offset, parse_ok, and
+    the parsed body's kind. A header inside a stream payload is
+    reported like any other (parse_ok says whether it held up) — a
+    scavenger by definition cannot trust stream boundaries, because
+    recovering them is exactly what it's for. Throw-free and bounded
+    like the rest of the engine."""
+    out: list[dict] = []
+    for m in _OBJ_HEADER_RE.finditer(data):
+        if len(out) >= max_objects:
+            break
+        errors: list = []
+        kind = None
+        ok = False
+        try:
+            r = parse_indirect_object(data, m.start(), errors)
+        except Exception:  # scavenging must survive anything
+            r = None
+        if r is not None:
+            _num, _gen, body, _end = r
+            ok = body is not None and not any(
+                e.code == "obj.bad_header" for e in errors
+            )
+            if isinstance(body, Stream):
+                kind = "stream"
+            elif body is not None:
+                kind = type(body).__name__.lower()
+            elif ok:
+                kind = "null"
+        out.append(
+            dict(
+                num=int(m.group(1)),
+                gen=int(m.group(2)),
+                offset=m.start(),
+                parse_ok=ok,
+                kind=kind,
+            )
+        )
+    return out
+
+
+def scavenge_summary(data: bytes) -> tuple[int, int, int, int, int]:
+    """Fixed-width scavenge census for one document — shared by the
+    corpus qkey (sidetables.pdf_scavenge) and the oracle freezer:
+    (n_markers, n_parsed, n_confirmed, n_shadow, n_xref_inuse).
+    ``confirmed`` = a live inuse xref entry points at exactly this
+    header (num + offset); ``shadow`` = headers the xref does NOT own —
+    superseded revisions, orphans, or everything when the xref is dead
+    (truncated/bad-offset files), i.e. what only recovery can see."""
+    sv = scavenge_objects(data)
+    doc = load_document(data)
+    inuse = {
+        (n, e.offset)
+        for n, e in doc.xref_table.items()
+        if e.kind == "inuse"
+    }
+    n_conf = sum(1 for r in sv if (r["num"], r["offset"]) in inuse)
+    return (
+        len(sv),
+        sum(1 for r in sv if r["parse_ok"]),
+        n_conf,
+        len(sv) - n_conf,
+        len(inuse),
+    )

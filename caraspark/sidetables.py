@@ -30,6 +30,7 @@ from caraspark.oracle_freeze import (
     formfield_cte,
     js_cte,
     fonts_cte,
+    scav_cte,
     sigs_cte,
     xmp_cte,
     outline_cte,
@@ -1115,3 +1116,78 @@ def pdf_xmp(spark, sf):
     before any parse; narrow Arrow stage, fixed-width facts only."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_xmp_batches, _XMP_DDL)
+
+
+_SCAV_DDL = (
+    "url string, n_markers int, n_parsed int, n_confirmed int, "
+    "n_shadow int, n_xref_inuse int"
+)
+_SCAV_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_markers", pa.int32()),
+        ("n_parsed", pa.int32()),
+        ("n_confirmed", pa.int32()),
+        ("n_shadow", pa.int32()),
+        ("n_xref_inuse", pa.int32()),
+    ]
+)
+
+
+def _scav_batches(it):
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import scavenge_summary
+
+    cols = {f.name: [] for f in _SCAV_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            nm, np_, nc, ns, nx = scavenge_summary(bytes(blob))
+            cols["url"].append(url)
+            cols["n_markers"].append(nm)
+            cols["n_parsed"].append(np_)
+            cols["n_confirmed"].append(nc)
+            cols["n_shadow"].append(ns)
+            cols["n_xref_inuse"].append(nx)
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _SCAV_ARROW],
+                schema=_SCAV_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_scavenge",
+    f"""WITH {corpus_cte()},
+{scav_cte()}
+SELECT d.url, CAST(s.n_markers AS INT) AS n_markers,
+       CAST(s.n_parsed AS INT) AS n_parsed,
+       CAST(s.n_confirmed AS INT) AS n_confirmed,
+       CAST(s.n_shadow AS INT) AS n_shadow,
+       CAST(s.n_xref_inuse AS INT) AS n_xref_inuse
+FROM docs d JOIN sv s ON s.rid = d.rid""",
+)
+def pdf_scavenge(spark, sf):
+    """Xref-free recovery census across the corpus: scan every PDF's raw
+    bytes for ``N G obj`` headers, parse each WITHOUT the xref, and
+    reconcile against what the xref owns — `n_confirmed` (a live inuse
+    entry points at exactly this header), `n_shadow` (headers only
+    recovery sees: superseded revisions after incremental update, orphans,
+    or ALL objects when the xref is dead). The truncated/bad-offset
+    recipes pin the dead-xref extreme (xref resolves 0, scavenger still
+    recovers), `pdf_updated` pins the superseded-revision shadow, clean
+    recipes pin shadow = 0. Capability parity: caradoc's recovery/object-
+    scan family (``src/parser/`` [P]).
+
+    Scale shape: one narrow Arrow pass per document partition — the scan
+    is a compiled-regex pass over bytes already in the task, the recovery
+    parse reuses the bounded throw-free engine, output is six fixed-width
+    ints per url; zero shuffles, giants handled by the corpus' size-class
+    salting like every other engine pass."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_scav_batches, _SCAV_DDL)

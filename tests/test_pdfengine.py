@@ -2195,3 +2195,57 @@ def test_html_v20_v21_structured_data_fuzz(frags):
             parts.append(f"</{tag}>{txt}")
     blob = ("<html><body>" + "".join(parts)).encode("utf-8")
     assert extract_html(blob) == oracle_extract_full(blob)
+
+
+# --- xref-free scavenging ----------------------------------------------------
+
+
+def test_scavenge_recovers_when_xref_is_dead():
+    """pdf_truncated has no startxref: the normal load resolves nothing,
+    the scavenger still recovers every surviving object header."""
+    from caraspark.pdfengine.document import scavenge_summary
+
+    nm, np_, nc, ns, nx = scavenge_summary(PDF_RECIPES["pdf_truncated"]())
+    assert nx == 0          # xref dead
+    assert nm >= 3 and np_ == nm  # recovery still parses every header
+    assert nc == 0 and ns == nm   # everything is shadow by definition
+
+
+def test_scavenge_flags_the_tweaked_xref_offset():
+    from caraspark.pdfengine.document import scavenge_summary
+
+    nm, np_, nc, ns, nx = scavenge_summary(
+        PDF_RECIPES["pdf_bad_xref_offset"]()
+    )
+    assert ns == 1 and nc == nm - 1  # exactly the mis-pointed entry
+
+
+def test_scavenge_sees_superseded_revision():
+    """Incremental update leaves the OLD object body in the file: the
+    xref owns only the winner, the scavenger reports one shadow."""
+    from caraspark.pdfengine.document import scavenge_summary
+
+    nm, np_, nc, ns, nx = scavenge_summary(PDF_RECIPES["pdf_updated"]())
+    assert ns == 1 and nm == nx + 1
+
+
+def test_scavenge_clean_doc_all_confirmed():
+    from caraspark.pdfengine.document import scavenge_summary
+
+    nm, np_, nc, ns, nx = scavenge_summary(PDF_RECIPES["pdf_minimal"]())
+    assert nm == np_ == nc == nx and ns == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400), st.integers(0, 3))
+def test_scavenge_never_throws(junk, n):
+    """Hostile bytes around (and instead of) object headers: the
+    scavenger is throw-free, bounded, and monotone in header count."""
+    from caraspark.pdfengine.document import scavenge_objects
+
+    blob = junk + b"1 0 obj\n<< /A 1 >>\nendobj\n" * n + junk
+    rows = scavenge_objects(blob)
+    assert len(rows) >= n
+    for r in rows:
+        assert isinstance(r["parse_ok"], bool)
+        assert 0 <= r["offset"] < len(blob)

@@ -75,6 +75,7 @@ def build_extras():
         [], [], [], [], []
     )
     attach_rows = []
+    scav_rows = []
     revision_rows = []
     page_rows = []
     font_rows = []
@@ -192,6 +193,10 @@ def build_extras():
             extract_javascript,
             extract_outline,
         )
+
+        from caraspark.pdfengine.document import scavenge_summary
+
+        scav_rows.append((rid, *scavenge_summary(blob)))
 
         for a in extract_attachments(doc):
             attach_rows.append(
@@ -320,7 +325,7 @@ def build_extras():
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows, rd_rows,
+        xmp_rows, md_rows, rd_rows, scav_rows,
     )
 
 
@@ -528,7 +533,7 @@ def main() -> None:
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows, rd_rows,
+        xmp_rows, md_rows, rd_rows, scav_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -567,7 +572,8 @@ def main() -> None:
             f"SIG_ROWS = {fmt(sig_rows)}\n\n"
             f"XMP_ROWS = {fmt(xmp_rows)}\n\n"
             f"MD_ROWS = {fmt(md_rows)}\n\n"
-            f"RDFA_ROWS = {fmt(rd_rows)}\n"
+            f"RDFA_ROWS = {fmt(rd_rows)}\n\n"
+            f"SCAV_ROWS = {fmt(scav_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
