@@ -1418,3 +1418,202 @@ def join_salted(spark, sf):
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: sessionization, funnel, retention cohorts
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 14_400  # 4h inactivity closes a session
+
+
+@_q(
+    "win_sessionize",
+    f"""WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+g AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                OR sec - lag(sec) OVER w > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+  SELECT user_id, sec,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(sec) AS BIGINT) AS start_s,
+       CAST(max(sec) AS BIGINT) AS end_s,
+       CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_idx""",
+)
+def win_sessionize(spark, sf):
+    """Batch sessionization — the gaps-and-islands dual of the streaming
+    ``stream_session`` window: a 4h inactivity gap closes a session, the
+    cumulative new-session sum numbers them per user, and the rollup
+    emits per-session extent and size. The window order is (sec,
+    event_id) — a TOTAL order, so equal-timestamp events can't make the
+    numbering partition-order dependent (the gap itself is 0 for ties,
+    landing them in one session regardless).
+
+    Scale shape: ONE (user_id) exchange feeds the lag window, the
+    running sum, and the final (user_id, session_idx) groupBy —
+    identical partitioning, so Catalyst reuses the exchange; everything
+    shuffled is (ids, BIGINT seconds). Hot users bound the per-partition
+    sort; a user hot enough to matter gets the salted-agg treatment
+    (`agg_salted_distinct`) on the rollup half."""
+    e = load(spark, sf, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    g = e.select("user_id", "event_id", sec.alias("sec")).withColumn(
+        "new_s",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_idx", F.sum("new_s").over(w))
+    return s.groupBy("user_id", F.col("session_idx").cast("int").alias("session_idx")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("sec").alias("start_s"),
+        F.max("sec").alias("end_s"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    )
+
+
+@_q(
+    "events_funnel",
+    """WITH e AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+u AS (SELECT DISTINCT user_id FROM e),
+v AS (SELECT user_id, min(sec) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.sec) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.sec > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.sec) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.sec > c.t_click
+      GROUP BY e.user_id)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS stage
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)""",
+)
+def events_funnel(spark, sf):
+    """Ordered funnel analysis (view → click → purchase): each stage's
+    timestamp is the EARLIEST event of that type strictly after the
+    previous stage — the classic product-analytics sequence query. Ties
+    at second granularity don't advance the funnel (strict >), the same
+    rule in both engines.
+
+    Scale shape: each stage is filter → (user_id) min-groupBy — partial
+    aggregation combines map-side, so the exchanges carry one (user_id,
+    BIGINT) row per user per stage, not events; the stage tables are
+    user-cardinality and all joins are user-keyed on the same
+    partitioning (one exchange reused), or broadcast when the funnel
+    population is small relative to the corpus. Event rows themselves
+    never shuffle twice."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    u = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("sec") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("sec") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            stage.cast("int").alias("stage"),
+        )
+    )
+
+
+@_q(
+    "retention_cohorts",
+    """WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, f.d0 // 7 AS cohort_week,
+         (e.day - f.d0) // 7 AS week_offset
+  FROM e JOIN f USING (user_id)
+)
+SELECT CAST(cohort_week AS INT) AS cohort_week,
+       CAST(week_offset AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_week, week_offset""",
+)
+def retention_cohorts(spark, sf):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted once per (cohort, weeks-since-first) cell — the table every
+    retention curve and triangle chart reads off. Day and week indices
+    are integer floor-divisions of epoch seconds, exact on both engines.
+
+    Scale shape: first-activity is a (user_id) min-groupBy (partial agg,
+    (user_id, int) exchange); the activity join is user-keyed on the
+    same partitioning; per-user weekly dedup happens BEFORE the census
+    groupBy so the final exchange carries (week, offset) pairs at
+    cohort-matrix cardinality — thousands of cells, independent of
+    corpus size."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        F.expr(
+            "cast(cast(ts as timestamp) as long) div 86400"
+        ).alias("day"),
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("d0"))
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            F.expr("d0 div 7").alias("cohort_week"),
+            F.expr("(day - d0) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy(
+        F.col("cohort_week").cast("int").alias("cohort_week"),
+        F.col("week_offset").cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -42,3 +42,70 @@ def test_oracle_parity(qkey, spark, duck, sf_smoke):
         return
     ok, msg = compare(df, duck, ORACLES[qkey])
     assert ok, f"{qkey}: {msg}"
+
+
+def test_sessionize_matches_python(spark, sf_smoke):
+    """Third implementation: recompute gaps-and-islands sessions per user
+    in plain Python and compare every rollup column."""
+    from caraspark.relational import _SESSION_GAP_S, win_sessionize
+    from caraspark.tables import load
+
+    ev = sorted(
+        (
+            (r.user_id, int(r.ts.timestamp()), r.event_id)
+            for r in load(spark, sf_smoke, "events")
+            .select("user_id", "ts", "event_id")
+            .collect()
+        )
+    )
+    want = {}
+    prev, idx = {}, {}
+    for uid, sec, _eid in ev:
+        if uid not in prev or sec - prev[uid] > _SESSION_GAP_S:
+            idx[uid] = idx.get(uid, 0) + 1
+        prev[uid] = sec
+        key = (uid, idx[uid])
+        n, lo, hi = want.get(key, (0, sec, sec))
+        want[key] = (n + 1, min(lo, sec), max(hi, sec))
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_s, r.end_s)
+        for r in win_sessionize(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert any(n > 1 for n, _, _ in got.values()), "multi-event sessions"
+
+
+def test_funnel_stage_ordering_invariants(spark, sf_smoke):
+    from caraspark.relational import events_funnel
+
+    rows = events_funnel(spark, sf_smoke).collect()
+    assert rows
+    stages = set()
+    for r in rows:
+        if r.stage >= 2:
+            assert r.t_view < r.t_click
+        if r.stage == 3:
+            assert r.t_click < r.t_purchase
+        assert r.stage == sum(
+            x is not None for x in (r.t_view, r.t_click, r.t_purchase)
+        ) or (r.t_view, r.t_click, r.t_purchase).count(None) == 3 - r.stage
+        stages.add(r.stage)
+    assert 3 in stages, "some user completes the funnel"
+
+
+def test_retention_cohort_week0_is_cohort_size(spark, sf_smoke):
+    """Every user is active in their own first week, and no later cell
+    can exceed the cohort's size."""
+    from collections import defaultdict
+
+    from caraspark.relational import retention_cohorts
+
+    rows = retention_cohorts(spark, sf_smoke).collect()
+    size = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    per = defaultdict(list)
+    for r in rows:
+        per[r.cohort_week].append(r)
+    for cw, cells in per.items():
+        assert cw in size, "offset-0 cell must exist per cohort"
+        for r in cells:
+            assert r.n_users <= size[cw]
