@@ -932,6 +932,99 @@ def graph_hits(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Domain-graph triangle counting (clustering / link-farm signal)
+# ---------------------------------------------------------------------------
+
+
+def _triangles_sql() -> str:
+    return f"""
+WITH {_pr_graph_sql()},
+und AS (  -- canonical undirected edges, a < b
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM edges
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n.node,
+       CAST(count(t.node) AS BIGINT) AS n_triangles
+FROM nodes n
+LEFT JOIN (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) t ON t.node = n.node
+GROUP BY n.node
+"""
+
+
+@_q("graph_triangles", _triangles_sql())
+def graph_triangles(spark, sf):
+    """Per-node triangle counts over the undirected domain graph — the
+    local-clustering signal link-farm detectors key on (organic
+    neighborhoods triangle-close; spam rings are near-bipartite and
+    don't). Same deterministic graph as ``graph_pagerank``/``graph_hits``.
+
+    Algorithm: canonicalize to a < b undirected edges, then the classic
+    ordered wedge join — e1(a,b) ⋈ e2(b,c) builds each wedge exactly
+    once (a < b < c), e3(a,c) closes it; every triangle is materialized
+    exactly once and credited to its three corners.
+
+    Scale shape: the ordering IS the optimization (node-iterator with
+    degeneracy ordering) — wedges are generated only ascending, so a
+    hub's quadratic wedge fan-out happens once, not three times; both
+    joins are equi-joins on single node keys exchanging (node, node)
+    pairs, and the per-corner census is a map-side-combining groupBy.
+    Web-scale runs order by DEGREE instead of name (same plan, one extra
+    degree join) so high-degree hubs sit last and generate no wedges."""
+    d = load(spark, sf, "documents")
+    nodes = d.select(F.col("source").alias("node")).distinct()
+    links = d.select(
+        F.col("source").alias("u"),
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") + F.col("n_chars")) % 20).cast("string"),
+        ).alias("v"),
+    ).distinct()
+    edges = (
+        links.filter(F.col("u") != F.col("v"))
+        .join(nodes.withColumnRenamed("node", "v"), "v", "left_semi")
+    )
+    und = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.join(
+            corners.groupBy("node").agg(F.count(F.lit(1)).alias("nt")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("nt", F.lit(0).cast("long")).alias("n_triangles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-entropy quality signal
 # ---------------------------------------------------------------------------
 

@@ -1617,3 +1617,121 @@ def retention_cohorts(spark, sf):
         F.col("cohort_week").cast("int").alias("cohort_week"),
         F.col("week_offset").cast("int").alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@_q(
+    "events_transitions",
+    """WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS prev,
+         event_type AS cur
+  FROM e
+),
+c AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev IS NOT NULL GROUP BY prev, cur
+)
+SELECT prev, cur, n,
+       CAST(1000 * n // SUM(n) OVER (PARTITION BY prev) AS BIGINT)
+         AS permille
+FROM c""",
+)
+def events_transitions(spark, sf):
+    """First-order Markov transition census over per-user event streams —
+    the next-action model behind sequence mining and UX-flow dashboards.
+    Each (prev → cur) pair counted over the per-user (sec, event_id)
+    total order; `permille` is the integer row-normalized transition
+    share (1000·n // row total), so the whole matrix is integers.
+
+    Scale shape: the lag window's (user_id) exchange carries (ids, small
+    strings); the census groupBy contracts to |types|² rows, and the
+    normalizing window runs on THAT tiny table — never on events. Same
+    three-stage contraction at any corpus size."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    t = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    c = t.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    wn = W.partitionBy("prev")
+    # integer floor-division (div), matching the oracle's `//` — a double
+    # division + floor could round a near-integer quotient up first
+    return c.withColumn("tot", F.sum("n").over(wn)).select(
+        "prev",
+        "cur",
+        "n",
+        F.expr("(1000 * n) div tot").cast("bigint").alias("permille"),
+    )
+
+
+@_q(
+    "ts_downsample",
+    """WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, minute
+                            ORDER BY sec, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, minute
+                            ORDER BY sec DESC, event_id DESC) AS rn_z
+  FROM e
+)
+SELECT event_type, CAST(minute AS BIGINT) AS minute,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS low, max(value) AS high,
+       min(CASE WHEN rn_a = 1 THEN value END) AS open,
+       min(CASE WHEN rn_z = 1 THEN value END) AS close
+FROM r GROUP BY event_type, minute""",
+)
+def ts_downsample(spark, sf):
+    """Time-series downsampling to per-minute OHLC bars (open/high/low/
+    close + count) per event type — the rollup every metrics store and
+    market-data pipeline runs before charting. Open/close are the values
+    at the (sec, event_id) total-order extremes of each bucket — row_
+    number picks them deterministically; ties can't leak partition
+    order. No arithmetic touches the doubles (pure selection), so both
+    engines emit bit-identical values.
+
+    Scale shape: both row_number windows and the final groupBy share the
+    (event_type, minute) partitioning — one exchange; bucket cardinality
+    is time-bounded (minutes × types), so the output contracts by the
+    per-bucket event rate regardless of corpus size."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.expr("cast(cast(ts as timestamp) as long) div 60").alias(
+            "minute"
+        ),
+        sec.alias("sec"),
+        "event_id",
+        "value",
+    )
+    wa = W.partitionBy("event_type", "minute").orderBy("sec", "event_id")
+    wz = W.partitionBy("event_type", "minute").orderBy(
+        F.desc("sec"), F.desc("event_id")
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_z", F.row_number().over(wz)
+    )
+    return r.groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
+    )

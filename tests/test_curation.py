@@ -1592,3 +1592,32 @@ def test_text_langseg_merges_runs_and_covers_all_langs(spark):
             assert a.lang != b.lang  # merged runs: no adjacent equals
         langs.update(s.lang for s in segs)
     assert langs == {"en", "es", "de", "fr", "zh", "und"}
+
+
+def test_triangles_match_python_bruteforce(spark, sf_smoke):
+    from itertools import combinations
+
+    rows = {
+        r.node: r.n_triangles
+        for r in C.graph_triangles(spark, sf_smoke).collect()
+    }
+    docs = load(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    nodes = {d.source for d in docs}
+    und = set()
+    for d in docs:
+        v = f"src{(d.doc_id + d.n_chars) % 20}"
+        if d.source != v and v in nodes:
+            und.add(tuple(sorted((d.source, v))))
+    want = {n: 0 for n in nodes}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if (
+            (x, y) in und and (y, z) in und
+            and tuple(sorted((x, z))) in und
+        ):
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+    assert rows == want
+    assert any(v > 0 for v in want.values()), "graph must close triangles"

@@ -109,3 +109,38 @@ def test_retention_cohort_week0_is_cohort_size(spark, sf_smoke):
         assert cw in size, "offset-0 cell must exist per cohort"
         for r in cells:
             assert r.n_users <= size[cw]
+
+
+def test_transitions_rows_sum_to_thousand_bound(spark, sf_smoke):
+    """Row-normalized integer permilles: each prev's row sums into
+    (1000 - n_cells, 1000] and every cell matches n/total flooring."""
+    from collections import defaultdict
+
+    from caraspark.relational import events_transitions
+
+    rows = events_transitions(spark, sf_smoke).collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r.prev].append(r)
+    assert per
+    for prev, cells in per.items():
+        tot = sum(r.n for r in cells)
+        for r in cells:
+            assert r.permille == 1000 * r.n // tot
+        s = sum(r.permille for r in cells)
+        assert 1000 - len(cells) < s <= 1000
+
+
+def test_ts_downsample_ohlc_invariants(spark, sf_smoke):
+    from caraspark.relational import ts_downsample
+    from caraspark.tables import load
+
+    rows = ts_downsample(spark, sf_smoke).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        if r.n == 1:
+            assert r.open == r.close == r.low == r.high
+    n_events = load(spark, sf_smoke, "events").count()
+    assert sum(r.n for r in rows) == n_events  # every event in one bar
