@@ -2823,6 +2823,103 @@ def lm_bigram(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (integer micro-unit probabilities)
+# ---------------------------------------------------------------------------
+
+# discount D = 0.75 expressed as the exact rational 3/4 so every term is
+# integer arithmetic: (c12 - 3/4)/c1 ≡ (4·c12 - 3) // (4·c1) in micro-units
+_KN_MICRO = 1_000_000
+
+
+def _kn_sql() -> str:
+    m = _KN_MICRO
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS a FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2
+),
+bg AS (
+  SELECT a[CAST(r.i AS INT)] AS w1, a[CAST(r.i AS INT) + 1] AS w2
+  FROM toks, range(1, 4096) r(i) WHERE r.i < len(a)
+),
+cc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+lhs AS (SELECT w1, SUM(c12) AS c1, CAST(count(*) AS BIGINT) AS n1_fwd
+        FROM cc GROUP BY 1),
+rhs AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_back FROM cc GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cc)
+SELECT cc.w1, cc.w2, cc.c12, CAST(lhs.c1 AS BIGINT) AS c1,
+       lhs.n1_fwd, rhs.n1_back,
+       CAST(({m} * (4 * cc.c12 - 3)) // (4 * lhs.c1)
+            + ((750000 * lhs.n1_fwd // lhs.c1)
+               * ({m} * rhs.n1_back // tt.t)) // {m} AS BIGINT) AS p_micro
+FROM cc JOIN lhs USING (w1) JOIN rhs USING (w2), tt
+"""
+
+
+@_q("lm_kneser_ney", _kn_sql())
+def lm_kneser_ney(spark, sf):
+    """Kneser-Ney smoothed bigram probabilities — the LM behind KenLM,
+    which CCNet-family pipelines train ON the corpus for quality
+    scoring, so the trainer itself is a pipeline op. P(w2|w1) =
+    max(c12−D,0)/c1 + λ(w1)·Pcont(w2) with D = 0.75, λ = D·N1+(w1·)/c1,
+    Pcont = N1+(·w2)/|bigram types| — the continuation count (HOW MANY
+    contexts a word follows, not how often) is the KN insight.
+
+    Determinism: D = 3/4 exactly, so every term is INTEGER floor
+    arithmetic in micro-units — (4·c12−3)//(4·c1), 750000·N1fwd//c1,
+    micro·N1back//T, one final //micro product fold. No doubles
+    anywhere; both engines emit bit-equal BIGINTs. (c12 ≥ 1 makes the
+    max() moot on observed bigrams.)
+
+    Scale shape: same contraction ladder as ``lm_bigram`` — ONE corpus
+    pass (row-scoped bigram explode → Zipf-bounded (bigram, count)
+    groupBy); c1/N1fwd and N1back fold from the TYPE table, not the
+    corpus; T is a 1-row broadcast crossJoin. The final three-way join
+    runs at vocabulary² cardinality with two of the sides
+    vocab-sized — broadcast at any realistic vocab."""
+    d = load(spark, sf, "documents")
+    ws = d.select(F.split(F.lower("text"), " ").alias("a")).filter(
+        F.size("a") >= 2
+    )
+    bg = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 1),
+                lambda i: F.struct(
+                    F.element_at("a", i).alias("w1"),
+                    F.element_at("a", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lhs = cc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    rhs = cc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_back"))
+    tt = cc.agg(F.count(F.lit(1)).alias("t"))
+    m = _KN_MICRO
+    return (
+        cc.join(F.broadcast(lhs), "w1")
+        .join(F.broadcast(rhs), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.col("c1").cast("bigint").alias("c1"),
+            "n1_fwd",
+            "n1_back",
+            F.expr(
+                f"({m} * (4 * c12 - 3)) div (4 * c1)"
+                f" + ((750000 * n1_fwd div c1)"
+                f" * ({m} * n1_back div t)) div {m}"
+            ).cast("bigint").alias("p_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Inverted-index build (posting lists for corpus search)
 # ---------------------------------------------------------------------------
 

@@ -223,6 +223,80 @@ def dedup_exact(spark, sf):
     )
 
 
+@_q(
+    "dedup_incremental",
+    """WITH hist AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+),
+delta0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+delta AS (
+  SELECT doc_id, text FROM delta0
+  UNION ALL  -- re-crawled copies of already-ingested history
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+  UNION ALL  -- duplicates WITHIN the incoming batch
+  SELECT doc_id + 1000000 AS doc_id, text FROM delta0 WHERE doc_id % 4 = 0
+),
+dh AS (
+  SELECT doc_id, md5(text) AS h,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+  FROM delta
+)
+SELECT doc_id,
+       CASE WHEN h IN (SELECT h FROM hist) THEN 'dup_of_history'
+            WHEN doc_id > first_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM dh""",
+)
+def dedup_incremental(spark, sf):
+    """Incremental exact dedup — the ONLY dedup shape that works on a
+    growing lake: the incoming crawl batch is checked against the
+    HISTORICAL DIGEST TABLE (16 bytes/doc, maintained alongside the
+    snapshot), never against the historical corpus itself, then deduped
+    within the batch. Every doc gets a verdict: `dup_of_history`
+    (re-crawl of ingested content; wins over in-batch duplication so
+    both engines break the overlap the same way), `dup_in_batch`
+    (keeper = min doc_id survives as `new`), or `new`. History here is
+    the doc_id%3 slice; the delta injects both duplicate shapes.
+
+    Scale shape: the history side enters the join as digests only — at
+    10^12 docs that's a 16 TB digest table bucket-joined on digest (or
+    broadcast per-partition Bloom pre-filter + bucket join for the
+    survivors); the batch never re-shuffles the lake. Within-batch
+    dedup is one (digest) window over the delta carrying (digest, id).
+    After the batch commits, its `new` digests APPEND to the digest
+    table — the next batch's history — so total work stays O(delta),
+    which is why production dedup is incremental at all."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    hist = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5(F.encode("text", "utf-8")).alias("h"))
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    delta0 = d.filter(F.col("doc_id") % 3 != 0)
+    delta = delta0.unionByName(
+        d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    ).unionByName(
+        delta0.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    dh = delta.select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("h")
+    ).withColumn(
+        "first_id", F.min("doc_id").over(W.partitionBy("h"))
+    )
+    return dh.join(F.broadcast(hist), "h", "left").select(
+        "doc_id",
+        F.when(F.col("in_hist"), "dup_of_history")
+        .when(F.col("doc_id") > F.col("first_id"), "dup_in_batch")
+        .otherwise("new")
+        .alias("status"),
+    )
+
+
 # LSH selectivity: band collision prob = jaccard^r. r=2 over 5-char
 # shingles of same-vocabulary web text put most of the corpus in shared
 # buckets (measured sf0.1: 386k candidate pairs from 5k docs, the join

@@ -1621,3 +1621,44 @@ def test_triangles_match_python_bruteforce(spark, sf_smoke):
             want[z] += 1
     assert rows == want
     assert any(v > 0 for v in want.values()), "graph must close triangles"
+
+
+def test_kneser_ney_matches_python(spark, sf_smoke):
+    """Third implementation: integer KN micro-probabilities recomputed in
+    plain Python; probabilities bounded and discount visible."""
+    from collections import Counter, defaultdict
+
+    rows = C.lm_kneser_ney(spark, sf_smoke).collect()
+    texts = [
+        r.text for r in load(spark, sf_smoke, "documents").collect()
+    ]
+    c12 = Counter()
+    for t in texts:
+        a = t.lower().split(" ")
+        if len(a) < 2:
+            continue
+        for i in range(len(a) - 1):
+            c12[(a[i], a[i + 1])] += 1
+    c1, n1f, n1b = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    T = len(c12)
+    M = C._KN_MICRO
+    assert len(rows) == T
+    for r in rows:
+        key = (r.w1, r.w2)
+        assert r.c12 == c12[key] and r.c1 == c1[r.w1]
+        assert r.n1_fwd == n1f[r.w1] and r.n1_back == n1b[r.w2]
+        want = (M * (4 * c12[key] - 3)) // (4 * c1[r.w1]) + (
+            (750000 * n1f[r.w1] // c1[r.w1]) * (M * n1b[r.w2] // T)
+        ) // M
+        assert r.p_micro == want
+        assert 0 < r.p_micro <= M
+    # the discount must bite: a singleton bigram's first term is ~1/(4c1),
+    # strictly below its raw MLE count share
+    single = [r for r in rows if r.c12 == 1]
+    assert single
+    for r in single[:20]:
+        assert r.p_micro < M * r.c12 // r.c1 + M // 10

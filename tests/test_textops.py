@@ -638,3 +638,47 @@ def test_decontaminate_fuzzy_flags_near_copy(spark, sf_smoke):
     got = {r.doc_id: r.n_bands for r in rows}
     assert got.get(1, 0) >= 1, got
     assert all(k % 97 != 0 and k != -1 for k in got), got
+
+
+def test_dedup_incremental_statuses(spark, sf_smoke):
+    """Every injected duplicate lands in the right class, keepers stay
+    'new', and all three classes are exercised."""
+    import hashlib
+    from collections import defaultdict
+
+    from caraspark.tables import load
+    from caraspark.textops import dedup_incremental
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    hist = {
+        hashlib.md5(t.encode()).hexdigest()
+        for i, t in docs.items()
+        if i % 3 == 0
+    }
+    delta = {i: t for i, t in docs.items() if i % 3 != 0}
+    delta.update(
+        {i + 2000000: t for i, t in docs.items() if i % 3 == 0 and i % 5 == 0}
+    )
+    delta.update({i + 1000000: t for i, t in docs.items() if i % 3 != 0 and i % 4 == 0})
+    first = {}
+    for i in sorted(delta):
+        h = hashlib.md5(delta[i].encode()).hexdigest()
+        first.setdefault(h, i)
+    want = {}
+    for i, t in delta.items():
+        h = hashlib.md5(t.encode()).hexdigest()
+        if h in hist:
+            want[i] = "dup_of_history"
+        elif i > first[h]:
+            want[i] = "dup_in_batch"
+        else:
+            want[i] = "new"
+    got = {
+        r.doc_id: r.status
+        for r in dedup_incremental(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert set(want.values()) == {"dup_of_history", "dup_in_batch", "new"}
