@@ -103,6 +103,19 @@ EXTRAS = [
     "filter_ensemble",
     "charset_census",
     "markup_density",
+    "graph_hits",
+    "graph_triangles",
+    "dedup_cdc",
+    "dedup_incremental",
+    "bpe_train",
+    "content_drift",
+    "lm_kneser_ney",
+    "win_sessionize",
+    "events_funnel",
+    "retention_cohorts",
+    "events_transitions",
+    "ts_downsample",
+    "pdf_scavenge",
 ]
 
 REPEATS = 3

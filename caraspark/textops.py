@@ -1638,27 +1638,39 @@ def dedup_cdc(spark, sf):
     bounds = F.array_sort(
         F.array_union(cutarr, F.array(F.col("n").cast("int")))
     )
-    chunks = F.transform(
+    # fold, not transform-with-index: an element_at(bounds, k) inside the
+    # lambda would make Catalyst re-evaluate the whole cutpoint chain PER
+    # ELEMENT (O(n²) md5s — measured 221s at sf0.1); aggregate() evaluates
+    # the bounds array once per row and threads prev through the
+    # accumulator, so the chunker stays O(n) per document.
+    chunks = F.aggregate(
         bounds,
-        lambda e, k: F.struct(
-            F.md5(
-                F.encode(
-                    F.substring(
-                        "text",
-                        F.when(k == 0, F.lit(1)).otherwise(
-                            F.element_at(bounds, k) + 1
-                        ),
-                        F.when(k == 0, e).otherwise(
-                            e - F.element_at(bounds, k)
-                        ),
-                    ),
-                    "utf-8",
-                )
-            ).alias("chunk_md5"),
-            F.when(k == 0, e)
-            .otherwise(e - F.element_at(bounds, k))
-            .alias("clen"),
+        F.struct(
+            F.lit(0).alias("prev"),
+            F.array()
+            .cast("array<struct<chunk_md5:string,clen:int>>")
+            .alias("out"),
         ),
+        lambda acc, e: F.struct(
+            e.alias("prev"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        F.md5(
+                            F.encode(
+                                F.substring(
+                                    "text", acc["prev"] + 1, e - acc["prev"]
+                                ),
+                                "utf-8",
+                            )
+                        ).alias("chunk_md5"),
+                        (e - acc["prev"]).alias("clen"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
     )
     exploded = d.select(
         "doc_id", F.explode(chunks).alias("c")

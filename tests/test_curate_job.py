@@ -1,0 +1,88 @@
+"""End-to-end curation job tests: extract_job output → curate_job →
+quality-gated, exactly-deduped, token-counted curated table with the same
+crash/resume/idempotence contract and per-chunk lineage metrics."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from jobs.curate_job import read_curated, run_job as curate
+from jobs.extract_job import run_job as extract
+
+N_DOCS = 96
+UNITS = 8
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lake") / "extracted")
+    stats = extract(spark, None, d, units=UNITS, unit_chunk=4,
+                    synth_docs=N_DOCS)
+    assert not stats["crashed"]
+    return d
+
+
+def _fingerprint(df):
+    return sorted(
+        (r["url"], hashlib.md5((r["text"] or "").encode()).hexdigest(),
+         r["n_tokens"])
+        for r in df.select("url", df["text"].cast("string").alias("text"),
+                           "n_tokens").collect()
+    )
+
+
+def test_curate_end_to_end_invariants(spark, tmp_path, extracted):
+    out = str(tmp_path / "curated")
+    stats = curate(spark, extracted, out, unit_chunk=2, min_quality=1)
+    assert not stats["crashed"] and stats["units_done"] == UNITS
+    cur = read_curated(spark, out)
+    rows = cur.select(
+        "url", cur["text"].cast("string").alias("text"), "n_tokens", "digest"
+    ).collect()
+    assert rows
+    # exact dedup: every digest appears once, and matches the text bytes
+    digests = [r["digest"] for r in rows]
+    assert len(digests) == len(set(digests))
+    for r in rows[:30]:
+        assert r["digest"] == hashlib.md5(r["text"].encode()).hexdigest()
+        assert r["n_tokens"] == len(r["text"].split())
+        assert r["text"]  # no empty-text rows survive the gate
+
+    # lineage metrics: conservation per unit
+    from caraspark.manifest import SnapshotManifest
+
+    units = SnapshotManifest(out).units_map()
+    assert len(units) == UNITS
+    for meta in units.values():
+        assert meta["rows_in"] >= meta["rows_out"] >= 0
+        assert (
+            meta["dropped_quality"] + meta["dropped_dup"]
+            == meta["rows_in"] - meta["rows_out"]
+        )
+
+
+def test_curate_resume_after_kill_is_byte_identical(
+    spark, tmp_path, extracted
+):
+    full = str(tmp_path / "full")
+    crash = str(tmp_path / "crash")
+    curate(spark, extracted, full, unit_chunk=2, min_quality=1)
+    ref = _fingerprint(read_curated(spark, full))
+
+    s1 = curate(spark, extracted, crash, unit_chunk=2, min_quality=1,
+                fail_after_chunks=2)
+    assert s1["crashed"]
+    assert 0 < read_curated(spark, crash).count() < len(ref) + 1
+
+    s2 = curate(spark, extracted, crash, unit_chunk=2, min_quality=1)
+    assert not s2["crashed"]
+    assert _fingerprint(read_curated(spark, crash)) == ref
+
+
+def test_curate_rerun_is_noop(spark, tmp_path, extracted):
+    out = str(tmp_path / "t")
+    curate(spark, extracted, out, unit_chunk=8, min_quality=1)
+    stats = curate(spark, extracted, out, unit_chunk=8, min_quality=1)
+    assert stats["chunks"] == 0
