@@ -11,6 +11,7 @@ Spark pipeline maps over — no Spark session needed for one file.
     python -m caraspark trailer  file.pdf
     python -m caraspark object   file.pdf --num 3 [--gen 0] [--decode]
     python -m caraspark findref  file.pdf --num 3 [--gen 0]
+    python -m caraspark scavenge file.pdf
     python -m caraspark extract  file.pdf [--out text.txt]
     python -m caraspark cleanup  file.pdf --out clean.pdf
 
@@ -147,6 +148,38 @@ def cmd_cleanup(args) -> int:
     return 0
 
 
+def cmd_scavenge(args) -> int:
+    """Xref-free recovery scan: every `N G obj` header found in the raw
+    bytes, its parse verdict, and whether the live xref owns it."""
+    from caraspark.pdfengine.document import scavenge_objects
+
+    data = _load(args.file)
+    doc = load_document(data)
+    inuse = {
+        (n, e.offset)
+        for n, e in doc.xref_table.items()
+        if e.kind == "inuse"
+    }
+    rows = scavenge_objects(data)
+    for r in rows:
+        owned = (r["num"], r["offset"]) in inuse
+        print(
+            f"{r['num']} {r['gen']} @{r['offset']}\t"
+            f"{r['kind'] or '?'}\t"
+            f"{'ok' if r['parse_ok'] else 'parse-fail'}\t"
+            f"{'xref' if owned else 'shadow'}"
+        )
+    n_shadow = sum(
+        1 for r in rows if (r["num"], r["offset"]) not in inuse
+    )
+    print(
+        f"{len(rows)} headers, {n_shadow} shadow, "
+        f"{len(inuse)} xref-owned",
+        file=sys.stderr,
+    )
+    return 0 if rows else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="caraspark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -176,6 +209,7 @@ def main(argv=None) -> int:
         num={"type": int, "required": True},
         gen={"type": int, "default": 0},
     )
+    add("scavenge", cmd_scavenge)
     add("extract", cmd_extract, out={"default": None})
     add("cleanup", cmd_cleanup, out={"required": True})
 

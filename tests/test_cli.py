@@ -111,3 +111,16 @@ def test_spark_submit_pyfiles_delivery(tmp_path):
 
     spark = get_spark("pyfiles-check")
     assert read_extracted(spark, out_dir).count() == 16
+
+
+def test_scavenge_reports_shadow_objects(pdf, capsys):
+    assert main(["scavenge", pdf("pdf_updated")]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert sum(1 for ln in out if ln.endswith("shadow")) == 1
+    assert sum(1 for ln in out if ln.endswith("xref")) == 4
+
+
+def test_scavenge_recovers_truncated_file(pdf, capsys):
+    assert main(["scavenge", pdf("pdf_truncated")]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(ln.endswith("shadow") for ln in out)
