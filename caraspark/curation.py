@@ -566,6 +566,145 @@ def mix_weights(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled language sampling (mT5 / XLM-R mixing)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mix_temperature",
+    """WITH d AS (
+  SELECT lang, sum(len(string_split(text, ' '))) AS t
+  FROM documents GROUP BY lang
+),
+s AS (
+  SELECT lang, CAST(t AS BIGINT) AS t,
+         CAST(floor(sqrt(t)) AS BIGINT) AS s2,
+         CAST(floor(sqrt(CAST(floor(sqrt(t)) AS BIGINT))) AS BIGINT) AS s4
+  FROM d
+),
+tot AS (SELECT SUM(t) AS z1, SUM(s2) AS z2, SUM(s4) AS z4 FROM s)
+SELECT lang, t AS n_tokens,
+       CAST(1000000 * t  // z1 AS BIGINT) AS w_t1_micro,
+       CAST(1000000 * s2 // z2 AS BIGINT) AS w_t2_micro,
+       CAST(1000000 * s4 // z4 AS BIGINT) AS w_t4_micro
+FROM s, tot""",
+)
+def mix_temperature(spark, sf):
+    """Temperature-scaled language sampling weights (the mT5/XLM-R
+    mixing rule): p_l ∝ n_l^(1/T) — T=1 is proportional (big languages
+    dominate), T=2 the usual compromise, T=4 near-uniform. Where
+    ``mix_weights`` caps per-DOMAIN shares under a token budget, this is
+    the cross-LANGUAGE knob a multilingual run tunes.
+
+    Determinism: n^(1/2) and n^(1/4) are nested floor(sqrt()) on exact
+    integer token counts — IEEE sqrt is correctly rounded, so its floor
+    equals isqrt for counts ≪ 2^52 on both engines (the established
+    ``mix_weights`` device); each weight is one integer micro-unit
+    floor-division. No free-exponent pow() anywhere — that's the whole
+    trick, pow(x, 0.25)'s last ulp is libm-specific and would break
+    cross-engine hashing.
+
+    Scale shape: one (lang, BIGINT) groupBy — token counting rides the
+    scan; the language table is dozens of rows, totals a 1-row broadcast
+    crossJoin. Cost is the corpus scan, full stop."""
+    d = load(spark, sf, "documents")
+    lt = (
+        d.select("lang", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("t"))
+    )
+    s = lt.select(
+        "lang",
+        F.col("t").cast("long").alias("t"),
+        F.floor(F.sqrt("t")).cast("long").alias("s2"),
+        F.floor(F.sqrt(F.floor(F.sqrt("t")).cast("long")))
+        .cast("long")
+        .alias("s4"),
+    )
+    tot = s.agg(
+        F.sum("t").alias("z1"),
+        F.sum("s2").alias("z2"),
+        F.sum("s4").alias("z4"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("t").alias("n_tokens"),
+        F.expr("1000000 * t div z1").cast("bigint").alias("w_t1_micro"),
+        F.expr("1000000 * s2 div z2").cast("bigint").alias("w_t2_micro"),
+        F.expr("1000000 * s4 div z4").cast("bigint").alias("w_t4_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew probe (operational scale tooling as a first-class operator)
+# ---------------------------------------------------------------------------
+
+_SKEW_FACTOR = 4  # "hot" = more than 4x the mean per-key row count
+
+
+@_q(
+    "skew_probe",
+    f"""WITH keyed AS (
+  -- the natural synthetic distribution is uniform; collapsing even
+  -- users' rows onto key -1 plants a hot key at every scale factor
+  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS k
+  FROM events
+),
+c AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY k
+),
+m AS (
+  SELECT CAST(SUM(n) // COUNT(*) AS BIGINT) AS mean_n,
+         CAST({_SKEW_FACTOR} * SUM(n) // COUNT(*) AS BIGINT) AS hot_at
+  FROM c
+)
+SELECT c.k, c.n, m.mean_n,
+       CAST((c.n + m.hot_at - 1) // m.hot_at AS INT) AS salt_factor
+FROM c, m
+WHERE c.n > m.hot_at""",
+)
+def skew_probe(spark, sf):
+    """Skew probe — the pre-flight a 100 TB job runs BEFORE keying a
+    shuffle: per-key row counts vs the corpus mean, flagging hot keys
+    (> 4× mean) with the salt factor that would level them (ceil(n /
+    hot-threshold) — the fan-out ``join_salted``/``agg_salted_distinct``
+    then apply). Skew handling in this repo is measured, not guessed;
+    this makes the measurement itself a first-class, hash-verified
+    operator instead of a notebook one-off.
+
+    Determinism: mean, threshold, and salt factor are integer floor/ceil
+    arithmetic on exact counts.
+
+    Scale shape: one map-side-combining (key, BIGINT) groupBy — the
+    probe costs one pass over the keys column (often served by parquet
+    row-group stats alone); the mean is a 1-row broadcast. Output is the
+    hot tail only, by construction a tiny table."""
+    e = load(spark, sf, "events")
+    k = F.when(F.col("user_id") % 2 == 0, F.lit(-1).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    c = e.select(k.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.agg(
+        F.expr("sum(n) div count(*)").alias("mean_n"),
+        F.expr(f"{_SKEW_FACTOR} * sum(n) div count(*)").alias("hot_at"),
+    )
+    return (
+        c.crossJoin(F.broadcast(m))
+        .filter(F.col("n") > F.col("hot_at"))
+        .select(
+            "k",
+            "n",
+            F.col("mean_n").cast("bigint").alias("mean_n"),
+            F.expr("(n + hot_at - 1) div hot_at").cast("int").alias(
+                "salt_factor"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition signals (Gopher §A1.1 repetition rules)
 # ---------------------------------------------------------------------------
 

@@ -1662,3 +1662,32 @@ def test_kneser_ney_matches_python(spark, sf_smoke):
     assert single
     for r in single[:20]:
         assert r.p_micro < M * r.c12 // r.c1 + M // 10
+
+
+def test_mix_temperature_ordering_and_normalization(spark, sf_smoke):
+    """Higher temperature flattens the mixture: the max language's share
+    must shrink monotonically from T=1 to T=4; micro shares ~normalize."""
+    rows = C.mix_temperature(spark, sf_smoke).collect()
+    assert len(rows) >= 2
+    for col in ("w_t1_micro", "w_t2_micro", "w_t4_micro"):
+        s = sum(r[col] for r in rows)
+        assert 1_000_000 - len(rows) < s <= 1_000_000
+    top = max(rows, key=lambda r: r.n_tokens)
+    assert top.w_t1_micro >= top.w_t2_micro >= top.w_t4_micro
+    bot = min(rows, key=lambda r: r.n_tokens)
+    assert bot.w_t1_micro <= bot.w_t2_micro <= bot.w_t4_micro
+
+
+def test_skew_probe_flags_planted_hot_key(spark, sf_smoke):
+    from caraspark.tables import load as L
+
+    rows = C.skew_probe(spark, sf_smoke).collect()
+    assert [r.k for r in rows] == [-1]  # exactly the planted key
+    ev = L(spark, sf_smoke, "events").collect()
+    n_hot = sum(1 for e in ev if e.user_id % 2 == 0)
+    keys = {-1 if e.user_id % 2 == 0 else e.user_id for e in ev}
+    mean = len(ev) // len(keys)
+    hot_at = 4 * len(ev) // len(keys)
+    r = rows[0]
+    assert (r.n, r.mean_n) == (n_hot, mean)
+    assert r.salt_factor == (n_hot + hot_at - 1) // hot_at > 1
