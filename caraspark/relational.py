@@ -699,6 +699,46 @@ def agg_pctile(spark, sf):
     )
 
 
+@_q(
+    "agg_quantile_check",
+    """SELECT l_returnflag, TRUE AS rank_ok
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_quantile_check(spark, sf):
+    """Quantile-SKETCH coverage via a PROPERTY oracle (the
+    ``agg_approx_check`` device, for percentile_approx's GK sketch): the
+    sketch's median estimate can't be predicted by another engine, but
+    its rank contract can — a GK summary at accuracy a returns a value
+    whose rank window intersects [(0.5−ε)n, (0.5+ε)n], ε = 1/a. Spark
+    recomputes the estimate's EXACT rank window (count <, count ≤ — a
+    duplicate-heavy column makes one value straddle a wide window, which
+    is why the check is two-sided on both counts) and emits the boolean;
+    the oracle asserts TRUE per group. Margin is doubled (+1) so a
+    legal boundary estimate can't flake the gate.
+
+    Scale: two passes over the group — the sketch agg, then one
+    conditional-count agg against the broadcast 3-row estimate table;
+    both are map-side-combining exchanges carrying (flag, ints)."""
+    li = load(spark, sf, "lineitem")
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("apx")
+    )
+    eps2 = F.lit(2.0) / 1000
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        (
+            (
+                F.count(F.when(F.col("l_quantity") < F.col("apx"), 1))
+                <= F.ceil((0.5 + eps2) * F.count(F.lit(1))) + 1
+            )
+            & (
+                F.count(F.when(F.col("l_quantity") <= F.col("apx"), 1))
+                >= F.floor((0.5 - eps2) * F.count(F.lit(1))) - 1
+            )
+        ).alias("rank_ok")
+    )
+
+
 _EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
 
 

@@ -323,6 +323,71 @@ def _running_totals(key, pdf_iter, state: GroupState):
     )
 
 
+_HH_K = 8  # Space-Saving counter budget (the BOUNDED state)
+_HH_STATE = "keys array<bigint>, counts array<bigint>, errs array<bigint>"
+_HH_OUT = "user_id bigint, est bigint, err bigint"
+
+
+def _space_saving(key, pdf_iter, state: GroupState):
+    """Metwally et al. '05 Space-Saving: k counters, monitored key
+    increments in place, unmonitored key EVICTS the minimum counter and
+    inherits its count as overestimation error. Ties break on smallest
+    key so the summary is deterministic for a deterministic replay."""
+    import pandas as pd
+
+    if state.exists:
+        keys, counts, errs = state.get
+        tbl = {k: [c, e] for k, c, e in zip(keys, counts, errs)}
+    else:
+        tbl = {}
+    for pdf in pdf_iter:
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            if uid in tbl:
+                tbl[uid][0] += 1
+            elif len(tbl) < _HH_K:
+                tbl[uid] = [1, 0]
+            else:
+                mk = min(tbl, key=lambda x: (tbl[x][0], x))
+                mc = tbl[mk][0]
+                del tbl[mk]
+                tbl[uid] = [mc + 1, mc]
+    ks = sorted(tbl)
+    state.update(
+        (ks, [tbl[k][0] for k in ks], [tbl[k][1] for k in ks])
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": ks,
+            "est": [tbl[k][0] for k in ks],
+            "err": [tbl[k][1] for k in ks],
+        }
+    )
+
+
+def space_saving_hitters(events: DataFrame) -> DataFrame:
+    """Streaming approximate heavy hitters with BOUNDED state — unlike
+    the complete-mode censuses (state = one row per distinct key,
+    unbounded on open domains), Space-Saving keeps exactly k counters
+    whatever the key cardinality, the property that matters when the
+    key is url/host/token at crawl scale. The constant grouping key
+    makes this task's summary the per-partition sketch; a production
+    topology runs one group per shuffle partition and MERGES the k-row
+    summaries (Space-Saving summaries merge associatively) — the same
+    partial/final shape as any distributive agg, with k-row exchanges."""
+    return (
+        events.select(F.lit(1).alias("g"), "user_id")
+        .groupBy("g")
+        .applyInPandasWithState(
+            _space_saving,
+            outputStructType=_HH_OUT,
+            stateStructType=_HH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stateful_running_totals(events: DataFrame) -> DataFrame:
     """T6: arbitrary stateful op — per-user running (count, sum) via
     applyInPandasWithState (GroupState, no timeout)."""

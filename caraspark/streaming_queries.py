@@ -1182,3 +1182,61 @@ def stream_rdfa(spark, sf):
         F.max("value").alias("v_max"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_heavy_hitters",
+    f"""WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM c)
+SELECT CAST({S._HH_K} AS INT) AS k,
+       CAST(least({S._HH_K}, nd) AS INT) AS n_tracked,
+       TRUE AS all_heavy_tracked,
+       TRUE AS bounds_ok
+FROM t""",
+)
+def stream_heavy_hitters(spark, sf):
+    """Bounded-state streaming heavy hitters (Space-Saving, k counters)
+    with a PROPERTY oracle: the tracked set depends on arrival order,
+    but the algorithm's two GUARANTEES don't — (1) every key with true
+    count > N/k IS tracked, (2) every tracked key's estimate brackets
+    its true count (est ≥ true ≥ est − err). Spark replays the stream
+    through the stateful sketch, then checks both contracts against the
+    exact batch counts and emits the booleans; the oracle asserts TRUE.
+    A violated contract — a broken eviction rule, a lost increment —
+    flips a boolean and fails the hash."""
+    from caraspark.tables import load
+
+    hh = S.run_to_memory(
+        S.space_saving_hitters(S.replay_events_stream(spark, sf)),
+        mode="update",
+    )
+    exact = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = exact.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    j = exact.join(hh, "user_id", "left").crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.lit(S._HH_K).cast("int").alias("k"),
+        F.count("est").cast("int").alias("n_tracked"),
+        # guarantee 1: true count > N/k ⇒ tracked (strict, integer form)
+        F.min(
+            F.when(
+                F.col("n") * S._HH_K > F.col("total"),
+                F.col("est").isNotNull(),
+            ).otherwise(F.lit(True))
+        ).alias("all_heavy_tracked"),
+        # guarantee 2: est ≥ true ≥ est − err for every tracked key
+        F.min(
+            F.when(
+                F.col("est").isNotNull(),
+                (F.col("est") >= F.col("n"))
+                & (F.col("est") - F.col("err") <= F.col("n")),
+            ).otherwise(F.lit(True))
+        ).alias("bounds_ok"),
+    )

@@ -409,3 +409,52 @@ def test_stream_ingest_lake_merges_epochs(spark, tmp_path):
            read_extracted(spark, table, snapshot_id=snap1)
            .select("url", "text").collect()}
     assert old == t1
+
+
+def test_space_saving_unit_semantics():
+    """The sketch kernel on a hand-ordered stream: eviction inherits the
+    min count as error, monitored keys increment in place, and both
+    Space-Saving guarantees hold exactly."""
+    import pandas as pd
+
+    from caraspark.streaming import _HH_K, _space_saving
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self.val = True, v
+
+        @property
+        def get(self):
+            return self.val
+
+    # k distinct fillers, then a flood of key 999, then one eviction probe
+    stream = list(range(_HH_K)) + [999] * 20 + [1000]
+    st = FakeState()
+    out = list(
+        _space_saving(
+            (1,), iter([pd.DataFrame({"user_id": stream})]), st
+        )
+    )[0]
+    tbl = {r.user_id: (r.est, r.err) for r in out.itertuples()}
+    assert len(tbl) == _HH_K
+    assert 999 in tbl and tbl[999] == (21, 1)  # evicted a 1-count filler
+    assert 1000 in tbl and tbl[1000] == (2, 1)  # inherited min count 1
+    from collections import Counter
+
+    true = Counter(stream)
+    n = len(stream)
+    for k_, (est, err) in tbl.items():
+        assert est >= true[k_] >= est - err
+    for k_, c in true.items():
+        if c * _HH_K > n:
+            assert k_ in tbl  # guarantee 1
+
+
+def test_stream_heavy_hitters_contracts(spark, sf_smoke):
+    import __spark_entry__ as ent
+
+    row = ent.queries()["stream_heavy_hitters"](spark, sf_smoke).collect()[0]
+    assert row.k == 8 and row.n_tracked == 8
+    assert row.all_heavy_tracked and row.bounds_ok
