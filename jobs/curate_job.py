@@ -210,3 +210,69 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def export_packed(
+    curated, out_dir: str, seq_target: int = 256, shards: int = 8
+) -> None:
+    """Training-sequence delivery off-ramp: the curated table greedily
+    packed into ~seq_target-token sequences and written as gzip'd JSONL,
+    one record per sequence — the shape a tokenizer/dataloader consumes
+    directly (each record: shard, seq_id, urls[], texts[], n_tokens).
+
+    Packing is the ``pack_sequences`` discipline: a doc's sequence id is
+    floor(preceding-token-cumsum / target) within its (shard) stream,
+    order pinned by url — deterministic, so a re-export reproduces
+    byte-identical shards. The shard key bounds every window sort run
+    (the hot-stream skew story), the pack groupBy rides the same
+    (shard) exchange, and the writer is JVM-side to_json + gzip text —
+    no Python, no collect; sequences sort within shard files."""
+    from pyspark.sql import Window as W
+
+    txt = F.col("text").cast("string")
+    sized = curated.select(
+        "url",
+        F.pmod(F.xxhash64("url"), F.lit(shards)).cast("int").alias("shard"),
+        txt.alias("text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("url")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq = sized.withColumn(
+        "seq_id",
+        F.floor((cum - F.col("n_tokens")) / seq_target).cast("long"),
+    )
+    packed = seq.groupBy("shard", "seq_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("url", "text", "n_tokens"))
+        ).alias("docs")
+    )
+    (
+        packed.select(
+            "shard",
+            F.to_json(
+                F.struct(
+                    "shard",
+                    "seq_id",
+                    F.transform("docs", lambda d: d["url"]).alias("urls"),
+                    F.transform("docs", lambda d: d["text"]).alias("texts"),
+                    F.aggregate(
+                        F.transform("docs", lambda d: d["n_tokens"]),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ).alias("n_tokens"),
+                )
+            ).alias("value"),
+            "seq_id",
+        )
+        .repartition(shards, "shard")
+        .sortWithinPartitions("shard", "seq_id")
+        .select("value")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out_dir)
+    )

