@@ -1083,3 +1083,41 @@ def test_filter_ensemble_no_explode_single_exchange(spark, sf_smoke, qs):
     p = plan_of(qs["filter_ensemble"](spark, sf_smoke), "simple")
     assert "EvalPython" not in p and "Generate" not in p, p
     assert p.count("Exchange") == 1, p
+
+
+def test_sessionize_reuses_one_user_exchange(spark, sf_smoke, qs):
+    """lag window, running sum, and rollup all key on user_id — the plan
+    must contain exactly ONE user_id exchange (reused), and no Python."""
+    df = qs["win_sessionize"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p, p
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1 and "user_id" in ex[0], p
+
+
+def test_ts_downsample_single_bucket_exchange(spark, sf_smoke, qs):
+    """Both row_number windows and the OHLC groupBy share the
+    (event_type, minute) partitioning — one exchange total."""
+    df = qs["ts_downsample"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, p
+    assert "event_type" in ex[0] and "minute" in ex[0], ex[0]
+
+
+def test_kneser_ney_joins_broadcast(spark, sf_smoke, qs):
+    """The three type-table joins must all broadcast — a sort-merge join
+    on the bigram stream would re-shuffle the corpus-derived side."""
+    df = qs["lm_kneser_ney"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_dedup_incremental_history_side_broadcasts(spark, sf_smoke, qs):
+    """The historical digest table enters as a broadcast — the delta
+    never sort-merge-joins against history."""
+    df = qs["dedup_incremental"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
