@@ -1775,3 +1775,95 @@ def ts_downsample(spark, sf):
         F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
         F.min(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
     )
+
+
+@_q(
+    "agg_unpivot",
+    """WITH p AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'view')  AS BIGINT) AS n_view,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, n
+FROM p UNPIVOT (n FOR kind IN (n_view, n_click, n_error))
+WHERE n > 0""",
+)
+def agg_unpivot(spark, sf):
+    """UNPIVOT/melt — the inverse of ``agg_pivot``: a wide per-user
+    counts table back to tall (user_id, kind, n) rows, the reshape every
+    metrics consumer downstream of a pivot eventually needs. Spark's
+    native ``unpivot`` (4.x) against DuckDB's UNPIVOT clause; both drop
+    rows via the same n > 0 filter (Spark's unpivot keeps zeros, DuckDB
+    keeps NULLs-out — the explicit filter pins one semantics).
+
+    Scale: the pivot is one (user_id) exchange; the melt itself is a
+    zero-shuffle Expand projection (3 rows out per row in, same task)."""
+    e = load(spark, sf, "events")
+    p = e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ("view", "click", "error")
+        ]
+    )
+    return p.unpivot(
+        "user_id", ["n_view", "n_click", "n_error"], "kind", "n"
+    ).filter(F.col("n") > 0)
+
+
+@_q(
+    "win_pctrank",
+    """SELECT c_custkey, c_nationkey,
+              round(percent_rank() OVER w, 6) AS pr,
+              round(cume_dist() OVER w, 6)    AS cd
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+)
+def win_pctrank(spark, sf):
+    """percent_rank + cume_dist — the normalized-rank pair analysts use
+    for within-group percentile positions. The (c_acctbal, c_custkey)
+    order is TOTAL so ties can't shift ranks between engines; both
+    functions are exact rationals ((rank−1)/(n−1), count≤/n) evaluated
+    identically, rounded once.
+
+    Scale: one (c_nationkey) exchange, one bounded per-partition sort —
+    the same story as every rank window; a monster partition gets the
+    two-pass distributed percentile treatment instead."""
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_q(
+    "fn_bits",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(l_orderkey & 255 AS BIGINT)        AS k_and,
+              CAST(l_orderkey | 15 AS BIGINT)         AS k_or,
+              CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS k_xor,
+              CAST(l_linenumber << 4 AS BIGINT)       AS k_shl,
+              CAST(l_orderkey >> 3 AS BIGINT)         AS k_shr,
+              CAST(bit_count(l_orderkey) AS INT)      AS k_pop
+       FROM lineitem""",
+)
+def fn_bits(spark, sf):
+    # B7 bitwise family: and/or/xor/shifts/popcount — partition routing,
+    # bloom lanes, and flag unpacking all live on these; pure scan-stage
+    # codegen, zero shuffle.
+    li = load(spark, sf, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("k_and"),
+        k.bitwiseOR(F.lit(15)).cast("bigint").alias("k_or"),
+        k.bitwiseXOR(ln).cast("bigint").alias("k_xor"),
+        F.shiftleft(ln, 4).cast("bigint").alias("k_shl"),
+        F.shiftright(k, 3).cast("bigint").alias("k_shr"),
+        F.bit_count(k).cast("int").alias("k_pop"),
+    )
