@@ -14,6 +14,7 @@ Spark pipeline maps over — no Spark session needed for one file.
     python -m caraspark scavenge file.pdf
     python -m caraspark extract  file.pdf [--out text.txt]
     python -m caraspark cleanup  file.pdf --out clean.pdf
+    python -m caraspark repair   file.pdf --out repaired.pdf
 
 Exit code 0 = valid, 1 = invalid (caradoc's convention), 2 = usage error.
 """
@@ -180,6 +181,21 @@ def cmd_scavenge(args) -> int:
     return 0 if rows else 1
 
 
+def cmd_repair(args) -> int:
+    from caraspark.pdfengine.cleanup import repair_document
+
+    data = _load(args.file)
+    try:
+        out = repair_document(data)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    with open(args.out, "wb") as f:
+        f.write(out)
+    print(f"wrote {len(out)} bytes to {args.out}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="caraspark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -212,6 +228,7 @@ def main(argv=None) -> int:
     add("scavenge", cmd_scavenge)
     add("extract", cmd_extract, out={"default": None})
     add("cleanup", cmd_cleanup, out={"required": True})
+    add("repair", cmd_repair, out={"required": True})
 
     args = ap.parse_args(argv)
     return args.fn(args)

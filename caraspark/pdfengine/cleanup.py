@@ -139,3 +139,108 @@ def cleanup(doc, reencode: str = "none") -> bytes:
     out += b"trailer\n" + ser_obj(trailer, renum)
     out += b"\nstartxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)
+
+
+def repair_document(data: bytes) -> bytes:
+    """Rebuild a loadable canonical PDF from bytes whose xref is dead —
+    the recovery WRITER on top of ``scavenge_objects`` (truncated files,
+    smashed startxref, unwalkable chains). When the normal load already
+    resolves objects and a trailer, repair IS ``cleanup`` (idempotent on
+    healthy files). Otherwise:
+
+    * scavenge every ``N G obj`` header; the LAST parseable body per
+      object number wins (file order = incremental-update order, the
+      same winner an intact xref chain would pick);
+    * streams are decoded where their filter chain holds; an
+      undecodable stream keeps its raw bytes verbatim as an opaque
+      unfiltered payload (length recomputed) — structure survives, no
+      bytes are invented;
+    * the trailer is the LAST parseable ``trailer`` dict in the file,
+      else synthesized as ``<< /Root <catalog> >>`` from the scavenged
+      catalog object. No objects and no catalog → ValueError: the file
+      is unrepairable, not silently empty.
+
+    The output is ``cleanup``'s canonical form, so repaired files obey
+    the same serialize→parse→serialize fixpoint as cleaned ones."""
+    from caraspark.pdfengine.document import (
+        Document,
+        load_document,
+        scavenge_objects,
+    )
+    from caraspark.pdfengine.filters import decode_stream
+    from caraspark.pdfengine.lexer import Lexer
+    from caraspark.pdfengine.parser import (
+        TokenStream,
+        parse_indirect_object,
+        parse_object,
+    )
+
+    doc = load_document(data)
+    if doc.objects and doc.trailers:
+        return cleanup(doc)
+
+    latest: dict[int, tuple[int, object]] = {}
+    for r in scavenge_objects(data):
+        if not r["parse_ok"]:
+            continue
+        parsed = parse_indirect_object(data, r["offset"], [])
+        if parsed is None:
+            continue
+        num, gen, body, _end = parsed
+        latest[num] = (gen, body)  # later offsets overwrite
+
+    objects: dict = {}
+    for num, (gen, body) in latest.items():
+        if isinstance(body, Stream):
+            errs: list = []
+            dec = decode_stream(body.raw, body.d, errs)
+            if dec is None:
+                # keep the bytes, drop the now-unsatisfiable filter chain
+                body.d = {
+                    k: v
+                    for k, v in body.d.items()
+                    if k not in ("Filter", "DecodeParms", "DP")
+                }
+                body.decoded = body.raw
+            else:
+                body.decoded = dec
+        objects[(num, gen)] = body
+
+    trailer = None
+    pos = 0
+    while True:
+        i = data.find(b"trailer", pos)
+        if i == -1:
+            break
+        pos = i + 7
+        errs = []
+        t = parse_object(TokenStream(Lexer(data, i + 7, errors=errs)), errs)
+        if isinstance(t, dict):
+            trailer = t
+    if trailer is not None:
+        trailer = {
+            k: v for k, v in trailer.items() if k not in ("Prev", "XRefStm")
+        }
+        root = trailer.get("Root")
+        if isinstance(root, Ref) and (root.num, root.gen) not in objects:
+            trailer = None  # points at an object recovery never saw
+    if trailer is None:
+        cat = None
+        for (num, gen), body in objects.items():
+            d = body.d if isinstance(body, Stream) else body
+            if (
+                isinstance(d, dict)
+                and getattr(d.get("Type"), "v", None) == "Catalog"
+            ):
+                cat = (num, gen)
+        if cat is None:
+            raise ValueError(
+                "unrepairable: no scavengeable objects or no catalog"
+            )
+        trailer = {"Root": Ref(*cat)}
+
+    fixed = Document()
+    fixed.version = doc.version
+    fixed.objects = objects
+    fixed.trailers = [trailer]
+    return cleanup(fixed)

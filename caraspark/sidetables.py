@@ -30,6 +30,7 @@ from caraspark.oracle_freeze import (
     formfield_cte,
     js_cte,
     fonts_cte,
+    repair_cte,
     scav_cte,
     sigs_cte,
     xmp_cte,
@@ -1191,3 +1192,73 @@ def pdf_scavenge(spark, sf):
     salting like every other engine pass."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_scav_batches, _SCAV_DDL)
+
+
+_REPAIR_DDL = (
+    "url string, repaired_bytes bigint, repaired_md5 string, "
+    "n_objects int, repaired_valid boolean"
+)
+_REPAIR_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("repaired_bytes", pa.int64()),
+        ("repaired_md5", pa.string()),
+        ("n_objects", pa.int32()),
+        ("repaired_valid", pa.bool_()),
+    ]
+)
+
+
+def _repair_batches(it):
+    import hashlib
+
+    from caraspark.pdfengine.api import is_pdf, process_document
+    from caraspark.pdfengine.cleanup import repair_document
+    from caraspark.pdfengine.document import load_document
+
+    cols = {f.name: [] for f in _REPAIR_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            rep = repair_document(bytes(blob))
+            cols["url"].append(url)
+            cols["repaired_bytes"].append(len(rep))
+            cols["repaired_md5"].append(hashlib.md5(rep).hexdigest())
+            cols["n_objects"].append(len(load_document(rep).objects))
+            cols["repaired_valid"].append(process_document(rep).valid)
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _REPAIR_ARROW],
+                schema=_REPAIR_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_repair",
+    f"""WITH {corpus_cte()},
+{repair_cte()}
+SELECT d.url, CAST(r.repaired_bytes AS BIGINT) AS repaired_bytes,
+       r.repaired_md5, CAST(r.n_objects AS INT) AS n_objects,
+       r.repaired_valid
+FROM docs d JOIN rp r ON r.rid = d.rid""",
+)
+def pdf_repair(spark, sf):
+    """Corpus-scale recovery rewrite: every PDF repaired via the
+    scavenge-backed writer (``cleanup.repair_document``) and re-validated
+    — repaired bytes are md5-pinned per recipe, so the whole
+    scavenge→last-wins→decode-or-keep-raw→canonical-write chain is
+    byte-deterministic end to end across the distributed pass. The
+    truncated/bad-offset recipes pin the dead-xref branch (normal load
+    gets nothing, repair emits a VALID document); healthy recipes pin
+    repair ≡ cleanup.
+
+    Scale shape: one narrow Arrow pass per partition, same as every
+    engine qkey — repair is per-document pure compute, no exchange; the
+    output row is five fixed-width columns."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_repair_batches, _REPAIR_DDL)

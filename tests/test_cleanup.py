@@ -79,3 +79,69 @@ def test_cleanup_deterministic_under_mutation_survivors():
         c1 = cleanup(doc)
         c2 = cleanup(load_document(c1))
         assert c1 == c2
+
+
+# --- xref-free repair --------------------------------------------------------
+
+
+def test_repair_truncated_file_loads_valid():
+    from caraspark.pdfengine.api import process_document
+    from caraspark.pdfengine.cleanup import repair_document
+    from caraspark.pdfengine.document import load_document
+    from caraspark.synth import PDF_RECIPES
+
+    blob = PDF_RECIPES["pdf_truncated"]()
+    assert not load_document(blob).objects  # the normal path gets nothing
+    rep = repair_document(blob)
+    doc = load_document(rep)
+    assert len(doc.objects) >= 3
+    assert process_document(rep).valid
+
+
+def test_repair_of_healthy_file_is_cleanup():
+    from caraspark.pdfengine.cleanup import cleanup, repair_document
+    from caraspark.pdfengine.document import load_document
+    from caraspark.synth import PDF_RECIPES
+
+    blob = PDF_RECIPES["pdf_minimal"]()
+    assert repair_document(blob) == cleanup(load_document(blob))
+
+
+def test_repair_output_is_a_cleanup_fixpoint():
+    from caraspark.pdfengine.cleanup import cleanup, repair_document
+    from caraspark.pdfengine.document import load_document
+    from caraspark.synth import PDF_RECIPES
+
+    rep = repair_document(PDF_RECIPES["pdf_truncated"]())
+    assert cleanup(load_document(rep)) == rep
+
+
+def test_repair_last_body_per_number_wins():
+    """An appended replacement object (incremental-update order) must win
+    over the original when the xref is dead."""
+    from caraspark.pdfengine.cleanup import repair_document
+    from caraspark.pdfengine.document import load_document
+    from caraspark.synth import PDF_RECIPES
+
+    dead = PDF_RECIPES["pdf_truncated"]()
+    patched = (
+        dead
+        + b"\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Marker true >>\n"
+        b"endobj\n"
+    )
+    rep = repair_document(patched)
+    doc = load_document(rep)
+    cats = [
+        o for o in doc.objects.values()
+        if isinstance(o, dict) and o.get("Marker") is True
+    ]
+    assert len(cats) == 1
+
+
+def test_repair_unrepairable_raises():
+    import pytest
+
+    from caraspark.pdfengine.cleanup import repair_document
+
+    with pytest.raises(ValueError):
+        repair_document(b"%PDF-1.4\njunk with no objects at all")

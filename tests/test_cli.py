@@ -124,3 +124,10 @@ def test_scavenge_recovers_truncated_file(pdf, capsys):
     assert main(["scavenge", pdf("pdf_truncated")]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out and all(ln.endswith("shadow") for ln in out)
+
+
+def test_repair_cli_roundtrip(pdf, tmp_path, capsys):
+    out = str(tmp_path / "repaired.pdf")
+    assert main(["repair", pdf("pdf_truncated"), "--out", out]) == 0
+    capsys.readouterr()
+    assert main(["stats", out]) == 0  # repaired file is VALID

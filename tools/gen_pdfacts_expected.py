@@ -76,6 +76,7 @@ def build_extras():
     )
     attach_rows = []
     scav_rows = []
+    repair_rows = []
     revision_rows = []
     page_rows = []
     font_rows = []
@@ -197,6 +198,19 @@ def build_extras():
         from caraspark.pdfengine.document import scavenge_summary
 
         scav_rows.append((rid, *scavenge_summary(blob)))
+
+        from caraspark.pdfengine.cleanup import repair_document
+
+        rep = repair_document(blob)
+        repair_rows.append(
+            (
+                rid,
+                len(rep),
+                hashlib.md5(rep).hexdigest(),
+                len(load_document(rep).objects),
+                process_document(rep).valid,
+            )
+        )
 
         for a in extract_attachments(doc):
             attach_rows.append(
@@ -325,7 +339,7 @@ def build_extras():
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows, rd_rows, scav_rows,
+        xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
     )
 
 
@@ -533,7 +547,7 @@ def main() -> None:
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
         action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows, rd_rows, scav_rows,
+        xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -573,7 +587,8 @@ def main() -> None:
             f"XMP_ROWS = {fmt(xmp_rows)}\n\n"
             f"MD_ROWS = {fmt(md_rows)}\n\n"
             f"RDFA_ROWS = {fmt(rd_rows)}\n\n"
-            f"SCAV_ROWS = {fmt(scav_rows)}\n"
+            f"SCAV_ROWS = {fmt(scav_rows)}\n\n"
+            f"REPAIR_ROWS = {fmt(repair_rows)}\n"
         )
     print(
         f"wrote {len(rows)} recipes, {len(extras)} extras, "
