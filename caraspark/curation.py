@@ -6486,3 +6486,169 @@ def filter_ensemble(spark, sf):
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed perceptron training (the quality-classifier TRAINER)
+# ---------------------------------------------------------------------------
+
+_PERC_EPOCHS = 4
+
+
+def _perc_sql() -> str:
+    def epoch(i: int) -> str:
+        p = f"e{i - 1}"
+        dot = f"({p}.w0*x0 + {p}.w1*x1 + {p}.w2*x2 + {p}.w3*x3)"
+        return f"""e{i} AS (
+  SELECT {i} AS epoch,
+         CAST(count(*) FILTER (WHERE y*{dot} <= 0) AS BIGINT) AS n_mis,
+         {p}.w0 + COALESCE(SUM(y*x0) FILTER (WHERE y*{dot} <= 0), 0) AS w0,
+         {p}.w1 + COALESCE(SUM(y*x1) FILTER (WHERE y*{dot} <= 0), 0) AS w1,
+         {p}.w2 + COALESCE(SUM(y*x2) FILTER (WHERE y*{dot} <= 0), 0) AS w2,
+         {p}.w3 + COALESCE(SUM(y*x3) FILTER (WHERE y*{dot} <= 0), 0) AS w3
+  FROM f, {p} GROUP BY {p}.w0, {p}.w1, {p}.w2, {p}.w3
+)"""
+
+    parts = [
+        """base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN repeat(' 9z', 30) ELSE '' END AS t
+  FROM documents WHERE length(text) > 0
+)""",
+        """f AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y,
+         1 AS x0,
+         least(len(string_split(t, ' ')), 200) AS x1,
+         len(regexp_replace(t, '[^0-9]', '', 'g')) * 1000 // len(t) AS x2,
+         least(len(t) // 10, 500) AS x3
+  FROM base
+)""",
+        """e1 AS (
+  SELECT 1 AS epoch, CAST(count(*) AS BIGINT) AS n_mis,
+         SUM(y*x0) AS w0, SUM(y*x1) AS w1,
+         SUM(y*x2) AS w2, SUM(y*x3) AS w3
+  FROM f
+)""",
+    ]
+    parts += [epoch(i) for i in range(2, _PERC_EPOCHS + 1)]
+    sel = " UNION ALL ".join(
+        f"SELECT epoch, n_mis, CAST(w0 AS BIGINT) AS w0,"
+        f" CAST(w1 AS BIGINT) AS w1, CAST(w2 AS BIGINT) AS w2,"
+        f" CAST(w3 AS BIGINT) AS w3 FROM e{i}"
+        for i in range(1, _PERC_EPOCHS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@_q("quality_perceptron", _perc_sql())
+def quality_perceptron(spark, sf):
+    """TRAIN the quality classifier on the cluster — batch perceptron
+    (Rosenblatt update summed over the epoch's misclassified set), the
+    distributed analog of how fastText-style quality filters are fit on
+    wiki-vs-crawl labels before ops like ``quality_logit`` apply them.
+    Labels come from a deterministic plant (every fifth doc gets
+    digit-garbage appended → y = −1), features are integer permilles,
+    and the output is the weight trajectory: (epoch, n_mistakes,
+    w0..w3). On this corpus the trajectory converges to 0 mistakes by
+    epoch 4 — asserted in pytest, so the op demonstrably LEARNS.
+
+    Determinism — the reason this trains as a dataflow at all: a batch
+    epoch's update is one SUM of integer y·x vectors over the
+    misclassified set — partial-aggregation-order insensitive, unlike
+    sequential (per-sample) perceptron updates which impose a row order
+    no distributed engine should promise. Both engines compute
+    bit-equal weight trajectories.
+
+    Scale shape: one epoch = one corpus scan + a 4-int global aggregate,
+    with the previous weights broadcast-crossJoined (1 row, never
+    collected). Epochs are data-INdependent plans chained by tiny
+    broadcasts — at 10^12 docs each epoch is exactly one map-side-
+    combining pass; feature extraction stays in the scan stage."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    t = F.concat(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.repeat(F.lit(" 9z"), 30))
+        .otherwise(F.lit("")),
+    )
+    f = d.select(
+        t.alias("t"),
+        F.when(F.col("doc_id") % 5 == 0, -1).otherwise(1).alias("y"),
+    ).select(
+        "y",
+        F.lit(1).alias("x0"),
+        F.least(F.size(F.split("t", " ")), F.lit(200)).alias("x1"),
+        F.expr(
+            "length(regexp_replace(t, '[^0-9]', '')) * 1000 div length(t)"
+        ).alias("x2"),
+        F.least(F.expr("length(t) div 10"), F.lit(500)).alias("x3"),
+    )
+    rows = None
+    prev = None  # 1-row weights DF
+    for i in range(1, _PERC_EPOCHS + 1):
+        if prev is None:
+            ep = f.agg(
+                F.lit(1).alias("epoch"),
+                F.count(F.lit(1)).alias("n_mis"),
+                F.sum(F.col("y") * F.col("x0")).alias("w0"),
+                F.sum(F.col("y") * F.col("x1")).alias("w1"),
+                F.sum(F.col("y") * F.col("x2")).alias("w2"),
+                F.sum(F.col("y") * F.col("x3")).alias("w3"),
+            )
+        else:
+            j = f.crossJoin(F.broadcast(prev))
+            mis = (
+                F.col("y")
+                * (
+                    F.col("pw0") * F.col("x0")
+                    + F.col("pw1") * F.col("x1")
+                    + F.col("pw2") * F.col("x2")
+                    + F.col("pw3") * F.col("x3")
+                )
+                <= 0
+            )
+            ep = j.agg(
+                F.lit(i).alias("epoch"),
+                F.count(F.when(mis, 1)).alias("n_mis"),
+                (
+                    F.first("pw0")
+                    + F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col("x0"))),
+                        F.lit(0),
+                    )
+                ).alias("w0"),
+                (
+                    F.first("pw1")
+                    + F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col("x1"))),
+                        F.lit(0),
+                    )
+                ).alias("w1"),
+                (
+                    F.first("pw2")
+                    + F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col("x2"))),
+                        F.lit(0),
+                    )
+                ).alias("w2"),
+                (
+                    F.first("pw3")
+                    + F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col("x3"))),
+                        F.lit(0),
+                    )
+                ).alias("w3"),
+            )
+        ep = ep.select(
+            "epoch",
+            "n_mis",
+            *[F.col(c).cast("bigint").alias(c) for c in ("w0", "w1", "w2", "w3")],
+        ).localCheckpoint()
+        rows = ep if rows is None else rows.unionAll(ep)
+        prev = ep.select(
+            F.col("w0").alias("pw0"),
+            F.col("w1").alias("pw1"),
+            F.col("w2").alias("pw2"),
+            F.col("w3").alias("pw3"),
+        )
+    return rows

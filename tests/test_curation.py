@@ -1691,3 +1691,52 @@ def test_skew_probe_flags_planted_hot_key(spark, sf_smoke):
     r = rows[0]
     assert (r.n, r.mean_n) == (n_hot, mean)
     assert r.salt_factor == (n_hot + hot_at - 1) // hot_at > 1
+
+
+def test_perceptron_learns_to_zero_mistakes(spark, sf_smoke):
+    """The trajectory must strictly improve and reach 0 training
+    mistakes on the separable planted labels — the op demonstrably
+    LEARNS, not just aggregates; weights freeze once converged."""
+    rows = sorted(
+        C.quality_perceptron(spark, sf_smoke).collect(),
+        key=lambda r: r.epoch,
+    )
+    assert [r.epoch for r in rows] == [1, 2, 3, 4]
+    mis = [r.n_mis for r in rows]
+    assert mis[0] > mis[1] >= mis[-1]
+    assert mis[-1] == 0
+    # converged: no update once nothing is misclassified
+    if mis[2] == 0:
+        assert (rows[2].w0, rows[2].w1, rows[2].w2, rows[2].w3) == (
+            rows[3].w0, rows[3].w1, rows[3].w2, rows[3].w3,
+        )
+
+
+def test_perceptron_matches_python_trainer(spark, sf_smoke):
+    """Third implementation: exact integer batch-perceptron recompute."""
+    rows = sorted(
+        C.quality_perceptron(spark, sf_smoke).collect(),
+        key=lambda r: r.epoch,
+    )
+    docs = load(spark, sf_smoke, "documents").collect()
+    feats = []
+    for r in docs:
+        if not r.text:
+            continue
+        t = r.text + (" 9z" * 30 if r.doc_id % 5 == 0 else "")
+        y = -1 if r.doc_id % 5 == 0 else 1
+        x = (
+            1,
+            min(len(t.split(" ")), 200),
+            sum(c.isdigit() for c in t) * 1000 // len(t),
+            min(len(t) // 10, 500),
+        )
+        feats.append((y, x))
+    w = [0, 0, 0, 0]
+    for ep in range(1, 5):
+        mis = [(y, x) for y, x in feats if y * sum(a * b for a, b in zip(w, x)) <= 0]
+        w = [wi + sum(y * x[i] for y, x in mis) for i, wi in enumerate(w)]
+        r = rows[ep - 1]
+        assert (r.n_mis, r.w0, r.w1, r.w2, r.w3) == (
+            len(mis), w[0], w[1], w[2], w[3],
+        ), ep
