@@ -6652,3 +6652,142 @@ def quality_perceptron(spark, sf):
             F.col("w3").alias("pw3"),
         )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Integer Naive Bayes training + evaluation (the trainer pair's 2nd half)
+# ---------------------------------------------------------------------------
+
+
+def _nb_sql() -> str:
+    return """WITH base AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN repeat(' 9z', 30) ELSE '' END AS t,
+         CASE WHEN doc_id % 5 = 0 THEN 'spam' ELSE 'ham' END AS label
+  FROM documents WHERE length(text) > 0
+),
+toks AS (
+  SELECT doc_id, label, unnest(string_split(t, ' ')) AS w FROM base
+),
+cw AS (
+  SELECT label AS c, w, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY label, w
+),
+cls AS (SELECT c, SUM(n) AS nc FROM cw GROUP BY c),
+voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cw),
+docs AS (SELECT label, CAST(count(*) AS BIGINT) AS nd FROM base GROUP BY label),
+tot AS (SELECT SUM(nd) AS ndocs FROM docs),
+pb AS (
+  SELECT d.label AS c,
+         CAST(length(bin(t.ndocs // d.nd)) - 1 AS BIGINT) AS prior_bits
+  FROM docs d, tot t
+),
+bits AS (
+  SELECT vw.w,
+         CAST(length(bin((cs.nc + voc.v) // (COALESCE(cw.n, 0) + 1))) - 1
+              AS BIGINT) AS b,
+         cs.c
+  FROM (SELECT DISTINCT w FROM cw) vw
+  CROSS JOIN cls cs
+  CROSS JOIN voc
+  LEFT JOIN cw ON cw.w = vw.w AND cw.c = cs.c
+),
+cost AS (
+  SELECT tk.doc_id, tk.label, b.c,
+         SUM(b.b) + ANY_VALUE(pb.prior_bits) AS bits
+  FROM toks tk
+  JOIN bits b ON b.w = tk.w
+  JOIN pb ON pb.c = b.c
+  GROUP BY tk.doc_id, tk.label, b.c
+),
+pred AS (
+  SELECT doc_id, label,
+         CASE WHEN MIN(CASE WHEN c = 'spam' THEN bits END)
+                   < MIN(CASE WHEN c = 'ham' THEN bits END)
+              THEN 'spam' ELSE 'ham' END AS pred
+  FROM cost GROUP BY doc_id, label
+)
+SELECT label, pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY label, pred"""
+
+
+@_q("quality_nb", _nb_sql())
+def quality_nb(spark, sf):
+    """Integer Naive Bayes — train AND evaluate the token-level spam
+    model on the corpus, the multinomial-NB counterpart of
+    ``quality_perceptron``'s feature-level trainer (the two classic
+    fastText-era quality filters, both as dataflow). Per class: Laplace-
+    smoothed token costs in WHOLE BITS (the floor-log2 bin() device —
+    length(bin((Nc+V) // (n+1))) − 1), plus prior bits; a document's
+    class cost is the sum over its tokens; ties break to 'ham'. Output
+    is the confusion matrix against the planted labels.
+
+    Determinism: counts, smoothing, and bit costs are all integer floor
+    arithmetic; sums are order-insensitive; both engines emit identical
+    confusion cells.
+
+    Scale shape: training is ONE token-explode groupBy producing the
+    Zipf-bounded (class, token) table; everything downstream (bit table,
+    priors, vocab) is vocab-sized and BROADCAST; scoring re-joins the
+    token stream against the broadcast bit table and folds per (doc,
+    class) with map-side combine — two corpus passes total, no
+    corpus-sized shuffle carrying anything but (doc_id, ints)."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    t = F.concat(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.repeat(F.lit(" 9z"), 30))
+        .otherwise(F.lit("")),
+    )
+    label = F.when(F.col("doc_id") % 5 == 0, "spam").otherwise("ham")
+    base = d.select("doc_id", t.alias("t"), label.alias("label"))
+    toks = base.select(
+        "doc_id", "label", F.explode(F.split("t", " ")).alias("w")
+    )
+    cw = toks.groupBy(F.col("label").alias("c"), "w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cls = cw.groupBy("c").agg(F.sum("n").alias("nc"))
+    voc = cw.agg(F.countDistinct("w").alias("v"))
+    docs = base.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
+    tot = docs.agg(F.sum("nd").alias("ndocs"))
+    pb = docs.crossJoin(F.broadcast(tot)).select(
+        F.col("label").alias("c"),
+        (F.length(F.expr("bin(ndocs div nd)")) - 1)
+        .cast("bigint")
+        .alias("prior_bits"),
+    )
+    vw = cw.select("w").distinct()
+    bits = (
+        vw.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(voc))
+        .join(cw, ["w", "c"], "left")
+        .select(
+            "w",
+            "c",
+            (
+                F.length(
+                    F.expr("bin((nc + v) div (coalesce(n, 0) + 1))")
+                )
+                - 1
+            ).cast("bigint").alias("b"),
+        )
+    )
+    cost = (
+        toks.join(F.broadcast(bits), "w")
+        .join(F.broadcast(pb), "c")
+        .groupBy("doc_id", "label", "c")
+        .agg((F.sum("b") + F.first("prior_bits")).alias("bits"))
+    )
+    pred = cost.groupBy("doc_id", "label").agg(
+        F.when(
+            F.min(F.when(F.col("c") == "spam", F.col("bits")))
+            < F.min(F.when(F.col("c") == "ham", F.col("bits"))),
+            "spam",
+        )
+        .otherwise("ham")
+        .alias("pred")
+    )
+    return pred.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -1740,3 +1740,48 @@ def test_perceptron_matches_python_trainer(spark, sf_smoke):
         assert (r.n_mis, r.w0, r.w1, r.w2, r.w3) == (
             len(mis), w[0], w[1], w[2], w[3],
         ), ep
+
+
+def test_naive_bayes_matches_python_and_separates(spark, sf_smoke):
+    """Third implementation: exact integer NB recompute (whole-bit costs,
+    Laplace smoothing, ham tiebreak) — confusion cells must be identical,
+    and the planted spam must separate perfectly."""
+    from collections import Counter, defaultdict
+
+    got = {
+        (r.label, r.pred): r.n_docs
+        for r in C.quality_nb(spark, sf_smoke).collect()
+    }
+    docs = [
+        (r.doc_id, r.text)
+        for r in load(spark, sf_smoke, "documents").collect()
+        if r.text
+    ]
+    cw = defaultdict(Counter)
+    nd = Counter()
+    planted = []
+    for did, text in docs:
+        lab = "spam" if did % 5 == 0 else "ham"
+        t = text + (" 9z" * 30 if did % 5 == 0 else "")
+        ws = t.split(" ")
+        cw[lab].update(ws)
+        nd[lab] += 1
+        planted.append((lab, ws))
+    vocab = set(cw["ham"]) | set(cw["spam"])
+    v = len(vocab)
+    nc = {c: sum(cw[c].values()) for c in ("ham", "spam")}
+    ndocs = sum(nd.values())
+    bits = lambda x: x.bit_length() - 1  # noqa: E731 — floor(log2(x))
+    prior = {c: bits(ndocs // nd[c]) for c in ("ham", "spam")}
+    want = Counter()
+    for lab, ws in planted:
+        cost = {
+            c: prior[c]
+            + sum(bits((nc[c] + v) // (cw[c][w] + 1)) for w in ws)
+            for c in ("ham", "spam")
+        }
+        pred = "spam" if cost["spam"] < cost["ham"] else "ham"
+        want[(lab, pred)] += 1
+    assert got == dict(want)
+    # the planted spam separates perfectly on this corpus
+    assert ("spam", "ham") not in got and ("ham", "spam") not in got
