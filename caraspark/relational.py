@@ -1867,3 +1867,97 @@ def fn_bits(spark, sf):
         F.shiftright(k, 3).cast("bigint").alias("k_shr"),
         F.bit_count(k).cast("int").alias("k_pop"),
     )
+
+
+_CUSUM_PLANT = 50_000  # cents injected on every 89th minute bucket
+_CUSUM_H = 25_000      # alert threshold (cents of cumulative excess)
+
+
+@_q(
+    "ts_cusum",
+    f"""WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+         CAST(floor(SUM(value) * 100) AS BIGINT)
+         + CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 60) % 89 = 0
+                THEN {_CUSUM_PLANT} ELSE 0 END AS cents
+  FROM events GROUP BY 1, 2
+),
+k AS (
+  SELECT event_type, SUM(cents) // COUNT(*) AS k FROM b GROUP BY event_type
+),
+p AS (
+  -- allowance = one extra baseline (d = x - 2k): noise drifts NEGATIVE
+  -- between bursts so the clamp resets the alarm; only sustained >2x
+  -- baseline traffic accumulates
+  SELECT b.event_type, b.minute,
+         SUM(b.cents - 2 * k.k) OVER (PARTITION BY b.event_type
+                                      ORDER BY b.minute) AS pfx
+  FROM b JOIN k USING (event_type)
+),
+s AS (
+  SELECT event_type, minute,
+         pfx - LEAST(0, MIN(pfx) OVER (PARTITION BY event_type
+                                       ORDER BY minute)) AS cusum
+  FROM p
+)
+SELECT event_type, CAST(minute AS BIGINT) AS minute,
+       CAST(cusum AS BIGINT) AS cusum_cents
+FROM s WHERE cusum > {_CUSUM_H}""",
+)
+def ts_cusum(spark, sf):
+    """CUSUM changepoint detection over the per-minute value series —
+    the classic sequential drift alarm (Page '54), here with a planted
+    burst every 89th minute so the alarm provably fires. The clamped
+    recursion s_i = max(0, s_{{i-1}} + x_i − k) is NOT a window
+    function — but it has an exact closed form: s_i = P_i − min(0,
+    min_{{j≤i}} P_j) where P is the prefix sum of (x − k). That identity
+    turns a sequential fold into two stock windows (cumulative sum +
+    running min), which is what makes CUSUM a DATAFLOW op at all.
+
+    Determinism: bucket sums floor to integer cents, the baseline k is
+    an integer floor-mean per type (the CUSUM allowance is one further
+    baseline, so noise drifts negative and the clamp resets the alarm
+    between bursts), and both windows order by (minute) —
+    unique within a type — so every value is an exact BIGINT on both
+    engines.
+
+    Scale shape: one (event_type, minute) partial-agg census (the same
+    contraction as ``ts_downsample``), then two windows and the final
+    filter all on the (event_type)-partitioned BUCKET table — corpus
+    size never touches the window; a year of minutes is ~526k rows per
+    type."""
+    e = load(spark, sf, "events")
+    b = (
+        e.select(
+            "event_type",
+            F.expr("cast(cast(ts as timestamp) as long) div 60").alias(
+                "minute"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "minute")
+        .agg(
+            (
+                F.floor(F.sum("value") * 100)
+                + F.when(
+                    F.col("minute") % 89 == 0, F.lit(_CUSUM_PLANT)
+                ).otherwise(0)
+            ).cast("long").alias("cents")
+        )
+    )
+    k = b.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(*)").alias("k")
+    )
+    wo = W.partitionBy("event_type").orderBy("minute")
+    p = b.join(k, "event_type").withColumn(
+        "pfx", F.sum(F.col("cents") - 2 * F.col("k")).over(wo)
+    )
+    s = p.withColumn(
+        "cusum", F.col("pfx") - F.least(F.lit(0), F.min("pfx").over(wo))
+    )
+    return s.filter(F.col("cusum") > _CUSUM_H).select(
+        "event_type",
+        F.col("minute").cast("bigint").alias("minute"),
+        F.col("cusum").cast("bigint").alias("cusum_cents"),
+    )

@@ -144,3 +144,45 @@ def test_ts_downsample_ohlc_invariants(spark, sf_smoke):
             assert r.open == r.close == r.low == r.high
     n_events = load(spark, sf_smoke, "events").count()
     assert sum(r.n for r in rows) == n_events  # every event in one bar
+
+
+def test_cusum_matches_python_fold(spark, sf_smoke):
+    """Third implementation: the literal clamped recursion
+    s_i = max(0, s_{i-1} + x_i - 2k) must equal the closed-form
+    prefix-minus-running-min the dataflow computes, and every planted
+    burst minute must alert."""
+    import math
+    from collections import defaultdict
+
+    from caraspark.relational import _CUSUM_H, _CUSUM_PLANT, ts_cusum
+    from caraspark.tables import load
+
+    got = {
+        (r.event_type, r.minute): r.cusum_cents
+        for r in ts_cusum(spark, sf_smoke).collect()
+    }
+    ev = load(spark, sf_smoke, "events").collect()
+    buckets = defaultdict(float)
+    for e in ev:
+        buckets[(e.event_type, int(e.ts.timestamp()) // 60)] += e.value
+    cents = {
+        key: math.floor(v * 100)
+        + (_CUSUM_PLANT if key[1] % 89 == 0 else 0)
+        for key, v in buckets.items()
+    }
+    by_type = defaultdict(list)
+    for (t, m), c in cents.items():
+        by_type[t].append((m, c))
+    want = {}
+    for t, series in by_type.items():
+        series.sort()
+        k = sum(c for _, c in series) // len(series)
+        s = 0
+        for m, c in series:
+            s = max(0, s + c - 2 * k)
+            if s > _CUSUM_H:
+                want[(t, m)] = s
+    assert got == want
+    assert got, "planted bursts must alert"
+    planted = {key for key in cents if key[1] % 89 == 0}
+    assert planted <= set(got), "every planted burst minute alerts"
