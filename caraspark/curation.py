@@ -6791,3 +6791,228 @@ def quality_nb(spark, sf):
     return pred.groupBy("label", "pred").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction (document-frequency-normalized TF)
+# ---------------------------------------------------------------------------
+
+_KW_TOPK = 3
+
+
+def _keywords_sql() -> str:
+    # df via a window over the (doc, term) tf table: one row per distinct
+    # (doc, term), so COUNT(*) OVER (PARTITION BY term) IS the document
+    # frequency. Ordering key tf/df is a single IEEE double division —
+    # identical bits in both engines — with a term-ASC tiebreak.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM toks WHERE w <> '' GROUP BY doc_id, w
+),
+scored AS (
+  SELECT doc_id, w, tf,
+         count(*) OVER (PARTITION BY w) AS df
+  FROM tf
+),
+ranked AS (
+  SELECT doc_id, w, tf, df,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(tf AS DOUBLE) / df DESC, w
+         ) AS rk
+  FROM scored
+)
+SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_KW_TOPK}
+"""
+
+
+@_q("text_keywords", _keywords_sql())
+def text_keywords(spark, sf):
+    """Top-{k} keywords per document, ranked by document-frequency-
+    normalized term frequency (tf/df — the rank-equivalent core of TF-IDF
+    without the transcendental log, so the ordering key is ONE exact IEEE
+    division and results hash bit-exactly across engines), term-ASC
+    tiebreak.
+
+    Scale: pass 1 builds the per-doc term table with a map-side-combined
+    (doc_id, term) count — the exchange carries distinct terms per task.
+    Pass 2 needs each term's document frequency: the distinct-term table
+    is Zipf-bounded (~10^7 rows at 100 TB, *independent of corpus size*),
+    so it aggregates small and broadcasts back; the corpus side never
+    re-shuffles. The final top-k window partitions by doc_id — same
+    distribution the tf count already produced, so AQE reuses the
+    exchange (`win_topk` shape).
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "w")
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            (F.col("tf").cast("double") / F.col("df")).desc(), F.col("w")
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _KW_TOPK)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of a document is first-seen text?
+# ---------------------------------------------------------------------------
+
+
+def _novelty_sql() -> str:
+    # list_distinct BEFORE unnest keeps the per-doc dedup row-local in
+    # both engines; first-occurrence attribution is min(doc_id) per gram
+    # digest. Exactly one double division per row.
+    return """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w), 1)),
+           i -> md5(w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])
+         ))) AS g
+  FROM d WHERE len(w) >= 2
+),
+first_seen AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       sum(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+         * 1.0 / count(*) AS novel_frac
+FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+GROUP BY gr.doc_id
+"""
+
+
+@_q("ngram_novelty", _novelty_sql())
+def ngram_novelty(spark, sf):
+    """Per-document novelty: the fraction of a document's distinct word
+    bigrams whose FIRST corpus occurrence (min doc_id = arrival order) is
+    this document — the signal dataset builders use to measure how much
+    genuinely new text each crawl slice adds vs recombinated boilerplate
+    (high-novelty docs carry the information; near-zero-novelty docs are
+    template remixes even when no single document duplicates them).
+
+    Determinism: integer counts + one double division; grams are md5'd
+    identically in both engines.
+
+    Scale: per-doc dedup is array_distinct on the row — zero shuffle;
+    grams are digested to 32-hex md5 BEFORE any exchange so shuffles
+    carry fixed-width digests, never text (the `dedup_substring`
+    discipline). first_seen is a map-side-combined min per digest; the
+    attribution join is digest⋈digest. The final per-doc rollup
+    re-partitions by doc_id — at 100 TB this is 3 digest-width exchanges
+    total, independent of document size.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    wcol = F.col("w")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(wcol) - 2),
+            lambda i: F.md5(
+                F.encode(
+                    F.concat(
+                        F.element_at(wcol, i + 1),
+                        F.lit(" "),
+                        F.element_at(wcol, i + 2),
+                    ),
+                    "utf-8",
+                )
+            ),
+        )
+    )
+    grams = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first, "g")
+    n_novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        n_novel.cast("bigint").alias("n_novel"),
+        (n_novel.cast("double") / F.count(F.lit(1))).alias("novel_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host diversity per language (mix auditing)
+# ---------------------------------------------------------------------------
+
+
+def _host_diversity_sql() -> str:
+    # Gini–Simpson instead of Shannon: 1 - sum(n_h^2)/N^2 needs only
+    # integer sums and ONE division — no transcendental ln, so the
+    # diversity column is bit-exact across engines.
+    return """
+WITH per_host AS (
+  SELECT lang, source, count(*) AS n_h
+  FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(sum(n_h) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(n_h * n_h) AS BIGINT) AS sum_sq,
+       1.0 - sum(n_h * n_h) * 1.0 / (sum(n_h) * sum(n_h)) AS simpson
+FROM per_host GROUP BY lang
+"""
+
+
+@_q("host_diversity", _host_diversity_sql())
+def host_diversity(spark, sf):
+    """Host-concentration audit per language: Gini–Simpson diversity
+    1 − Σ n_h² / N² over the host distribution — the number a mixture
+    designer watches to catch a language bucket that is secretly one
+    giant site (diversity → 0) before it poisons the training mix.
+    Shannon entropy needs ln (not bit-reproducible across engines);
+    Gini–Simpson ranks host concentration identically with integer sums
+    and a single division.
+
+    Scale: two map-side-combined aggregations — (lang, host) then
+    (lang) — each exchange carries one count per distinct key; the
+    language rollup is O(#languages) rows. No joins, no windows.
+    """
+    d = load(spark, sf, "documents")
+    per_host = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    n_docs = F.sum("n_h")
+    sum_sq = F.sum(F.col("n_h") * F.col("n_h"))
+    return per_host.groupBy("lang").agg(
+        n_docs.cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        sum_sq.cast("bigint").alias("sum_sq"),
+        (F.lit(1.0) - sum_sq.cast("double") / (n_docs * n_docs)).alias(
+            "simpson"
+        ),
+    )

@@ -2918,3 +2918,109 @@ def decontaminate_fuzzy(spark, sf):
         .groupBy("doc_id")
         .agg(F.countDistinct("band_id").alias("n_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection: distance to the label centroid
+# ---------------------------------------------------------------------------
+
+
+def _outliers_sql() -> str:
+    # All-integer after one global quantization (floor(x*1000 + 0.5)) —
+    # centroid and mean distance use explicit floor(sum/n) so both engines
+    # take the identical IEEE-division-then-floor path; sums of BIGINTs
+    # are order-free, so no float-accumulation drift anywhere.
+    return """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, u.v, u.pos
+  FROM q, LATERAL (SELECT unnest(qv) AS v,
+                          generate_subscripts(qv, 1) AS pos) u
+),
+cent AS (
+  SELECT label, pos,
+         CAST(floor(sum(v) * 1.0 / count(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, pos
+),
+d2 AS (
+  SELECT e.vec_id, e.label,
+         CAST(sum((e.v - c.c) * (e.v - c.c)) AS BIGINT) AS dist2
+  FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+  GROUP BY e.vec_id, e.label
+),
+stats AS (
+  SELECT label,
+         CAST(floor(sum(dist2) * 1.0 / count(*)) AS BIGINT) AS avg_d2
+  FROM d2 GROUP BY label
+)
+SELECT d.vec_id, d.label, d.dist2, s.avg_d2,
+       d.dist2 > 4 * s.avg_d2 AS is_outlier
+FROM d2 d JOIN stats s ON s.label = d.label
+"""
+
+
+@_q("embed_outliers", _outliers_sql())
+def embed_outliers(spark, sf):
+    """Per-label embedding outlier flag: squared distance to the label
+    centroid vs 4x the label's mean squared distance (a Markov-style
+    "way off the cluster" gate) — the pass a curation pipeline runs to
+    catch mislabeled or garbage vectors before they seed dedup/ANN
+    structures.
+
+    Determinism: one global int quantization (floor(x*1000 + 0.5)), then
+    BIGINT sums only; the two per-label reductions (centroid, mean
+    distance) use explicit floor(sum/n) so both engines take the same
+    IEEE-division-then-floor path. Order-free integer math end to end —
+    no distributed float accumulation.
+
+    Scale: the centroid table is (labels x dims) rows — broadcast back;
+    the quantized corpus shuffles once for the (label, pos) partial-sum
+    (map-side combined to labels x dims per task), and each vector's
+    dist2 is computed row-locally via zip_with over the broadcast
+    centroid array, so the big side never exchanges vectors."""
+    e = load(spark, sf, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("bigint"),
+    )
+    q = e.select("vec_id", "label", qv.alias("qv"))
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("pos", "v")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("carr")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d2 = q.join(F.broadcast(carr), "label").select(
+        "vec_id", "label", dist2.alias("dist2")
+    )
+    stats = d2.groupBy("label").agg(
+        F.floor(F.sum("dist2").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_d2")
+    )
+    return d2.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist2",
+        "avg_d2",
+        (F.col("dist2") > 4 * F.col("avg_d2")).alias("is_outlier"),
+    )

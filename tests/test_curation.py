@@ -1785,3 +1785,78 @@ def test_naive_bayes_matches_python_and_separates(spark, sf_smoke):
     assert got == dict(want)
     # the planted spam separates perfectly on this corpus
     assert ("spam", "ham") not in got and ("ham", "spam") not in got
+
+
+def test_text_keywords_planted_unique_term(spark, sf_smoke):
+    """A term that appears ONLY in one document (df=1, high tf) must be
+    that document's rank-1 keyword; recompute the full top-k in Python."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from caraspark.curation import _KW_TOPK, text_keywords
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tf = {}
+    df_counts = Counter()
+    for r in rows:
+        c = Counter(w for w in r.text.lower().split(" ") if w)
+        tf[r.doc_id] = c
+        df_counts.update(c.keys())
+    expected = {}
+    for doc_id, c in tf.items():
+        ranked = sorted(
+            ((t, n) for t, n in c.items()),
+            key=lambda x: (-x[1] / df_counts[x[0]], x[0]),
+        )[:_KW_TOPK]
+        expected[doc_id] = [t for t, _ in ranked]
+    got = {}
+    for r in text_keywords(spark, sf_smoke).collect():
+        got.setdefault(r.doc_id, {})[r.rk] = r.term
+    assert set(got) == set(expected)
+    for doc_id, terms in expected.items():
+        assert [got[doc_id][i + 1] for i in range(len(terms))] == terms
+
+
+def test_ngram_novelty_first_doc_fully_novel_and_bounded(spark, sf_smoke):
+    from caraspark.curation import ngram_novelty
+
+    rows = ngram_novelty(spark, sf_smoke).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    first = by_id[min(by_id)]
+    # the earliest document invented every one of its bigrams
+    assert first.n_novel == first.n_grams
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert abs(r.novel_frac - r.n_novel / r.n_grams) < 1e-12
+
+
+def test_host_diversity_matches_python(spark, sf_smoke):
+    from collections import Counter
+
+    from caraspark.curation import host_diversity
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .select("lang", "source")
+        .collect()
+    )
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, Counter())[r.source] += 1
+    got = {r.lang: r for r in host_diversity(spark, sf_smoke).collect()}
+    assert set(got) == set(per_lang)
+    for lang, hosts in per_lang.items():
+        n = sum(hosts.values())
+        ss = sum(v * v for v in hosts.values())
+        g = got[lang]
+        assert (g.n_docs, g.n_hosts, g.sum_sq) == (n, len(hosts), ss)
+        assert abs(g.simpson - (1.0 - ss / (n * n))) < 1e-12

@@ -1121,3 +1121,43 @@ def test_dedup_incremental_history_side_broadcasts(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_text_keywords_df_side_broadcasts(spark, sf_smoke, qs):
+    """The Zipf-bounded document-frequency table must broadcast back onto
+    the (doc, term) tf table — sort-merge-joining the corpus-sized tf
+    stream against its own vocab would add a full extra shuffle."""
+    df = qs["text_keywords"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_ngram_novelty_shuffles_digests_only(spark, sf_smoke, qs):
+    """Grams are md5'd row-locally BEFORE any exchange: no Exchange in the
+    plan may carry the raw text column, and per-doc dedup is
+    array_distinct (no extra distinct shuffle)."""
+    df = qs["ngram_novelty"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    for seg in p.split("Exchange")[1:]:
+        head = seg.splitlines()[0]
+        assert "text" not in head, head
+    assert "HashAggregate" in p, p
+
+
+def test_embed_outliers_centroid_and_stats_broadcast(spark, sf_smoke, qs):
+    """Both label-level tables (centroid arrays, mean distances) are tiny
+    and must broadcast — the vector side never sort-merge-joins."""
+    df = qs["embed_outliers"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_host_diversity_pure_aggregation_no_join(spark, sf_smoke, qs):
+    """Two stacked map-side-combined aggregations, zero joins — the whole
+    operator is one shuffle of (lang, host) counts."""
+    df = qs["host_diversity"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p

@@ -682,3 +682,42 @@ def test_dedup_incremental_statuses(spark, sf_smoke):
     }
     assert got == want
     assert set(want.values()) == {"dup_of_history", "dup_in_batch", "new"}
+
+
+def test_embed_outliers_matches_python(spark, sf_smoke):
+    """Brute-force recompute: quantize, label centroids (floored mean),
+    squared distances, 4x-mean outlier flag."""
+    import math
+    from collections import defaultdict
+
+    from caraspark.tables import load
+    from caraspark.textops import embed_outliers
+
+    rows = load(spark, sf_smoke, "embeddings").collect()
+    qv = {
+        r.vec_id: [math.floor(float(x) * 1000.0 + 0.5) for x in r.embedding]
+        for r in rows
+    }
+    labels = {r.vec_id: r.label for r in rows}
+    by_label = defaultdict(list)
+    for vid, lab in labels.items():
+        by_label[lab].append(vid)
+    expected = {}
+    for lab, vids in by_label.items():
+        dims = len(qv[vids[0]])
+        cent = [
+            math.floor(sum(qv[v][i] for v in vids) / len(vids))
+            for i in range(dims)
+        ]
+        d2 = {
+            v: sum((qv[v][i] - cent[i]) ** 2 for i in range(dims))
+            for v in vids
+        }
+        avg = math.floor(sum(d2.values()) / len(vids))
+        for v in vids:
+            expected[v] = (lab, d2[v], avg, d2[v] > 4 * avg)
+    got = {
+        r.vec_id: (r.label, r.dist2, r.avg_d2, r.is_outlier)
+        for r in embed_outliers(spark, sf_smoke).collect()
+    }
+    assert got == expected
