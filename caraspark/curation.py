@@ -7016,3 +7016,56 @@ def host_diversity(spark, sf):
             "simpson"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter agreement audit (logit vs Gopher rule stack)
+# ---------------------------------------------------------------------------
+
+
+def _quality_agreement_sql() -> str:
+    # compose the two frozen filter definitions — the audit must see
+    # EXACTLY the verdicts the individual qkeys pin, not a reimpl.
+    return f"""
+WITH l AS ({REGISTRY["quality_logit"].sql}),
+g AS ({REGISTRY["text_gopher"].sql})
+SELECT d.lang,
+       l.keep AS keep_logit,
+       g.keep AS keep_gopher,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM l JOIN g ON g.doc_id = l.doc_id
+       JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY d.lang, l.keep, g.keep
+"""
+
+
+@_q("quality_agreement", _quality_agreement_sql())
+def quality_agreement(spark, sf):
+    """Filter-agreement confusion matrix: per language, how often the
+    model-based quality filter (`quality_logit`) and the rule-stack
+    filter (`text_gopher`) agree — the audit a pipeline runs before
+    swapping filters, because the disagreement cells ARE the documents
+    whose fate changes (DCLM and FineWeb both publish this cross-filter
+    analysis before committing to one).
+
+    Determinism: both inputs are already integer-exact hash-pinned
+    verdicts; this adds only integer counts.
+
+    Scale: both filters are zero-shuffle scan-stage projections of the
+    same table — production fuses them into ONE pass emitting both
+    verdict columns, and the rollup is a map-side-combined aggregate to
+    O(languages x 4) rows. The doc_id equi-joins exist only because the
+    composed qkey re-derives each side from the scan."""
+    lg = quality_logit(spark, sf).select(
+        "doc_id", F.col("keep").alias("keep_logit")
+    )
+    gp = text_gopher(spark, sf).select(
+        "doc_id", F.col("keep").alias("keep_gopher")
+    )
+    langs = load(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        lg.join(gp, "doc_id")
+        .join(langs, "doc_id")
+        .groupBy("lang", "keep_logit", "keep_gopher")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

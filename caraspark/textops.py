@@ -3024,3 +3024,59 @@ def embed_outliers(spark, sf):
         "avg_d2",
         (F.col("dist2") > 4 * F.col("avg_d2")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: BPE tokens per word, per language
+# ---------------------------------------------------------------------------
+
+
+def _fertility_sql() -> str:
+    # compose the frozen tokenize_bpe definition — the oracle evaluates
+    # the SAME merge semantics the per-doc qkey pins, then rolls up by
+    # language; exactly two double divisions, both over BIGINT sums.
+    return f"""
+WITH t AS ({REGISTRY["tokenize_bpe"].sql})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.n_words) AS BIGINT) AS n_words,
+       CAST(sum(t.n_bpe) AS BIGINT) AS n_bpe,
+       sum(t.n_bpe) * 1.0 / sum(t.n_words) AS fertility,
+       sum(t.n_chars_tok) * 1.0 / sum(t.n_bpe) AS chars_per_token
+FROM t JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.lang
+"""
+
+
+@_q("tokenizer_fertility", _fertility_sql())
+def tokenizer_fertility(spark, sf):
+    """Tokenizer-efficiency audit per language: fertility (BPE tokens per
+    word) and chars-per-token under the fixed merge table — THE number a
+    tokenizer report card leads with (a language with fertility 2x the
+    corpus mean pays double the sequence length for the same text, which
+    silently halves its effective mixing weight; SentencePiece/tiktoken
+    evaluations publish exactly this).
+
+    Determinism: BIGINT sums of the hash-pinned `tokenize_bpe` per-doc
+    counts; two double divisions per output row, same operation order in
+    both engines.
+
+    Scale: in the lake layout `lang` is a column of the same table the
+    tokenizer scans, so the rollup is one map-side-combined aggregation
+    to O(#languages) rows; the doc_id equi-join here exists only because
+    the composed qkey re-derives both sides from the parquet scan —
+    Catalyst prunes both scans to the 3 needed columns either way."""
+    t = tokenize_bpe(spark, sf)
+    langs = load(spark, sf, "documents").select("doc_id", "lang")
+    j = t.join(langs, "doc_id")
+    n_words = F.sum("n_words")
+    n_bpe = F.sum("n_bpe")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_words.cast("bigint").alias("n_words"),
+        n_bpe.cast("bigint").alias("n_bpe"),
+        (n_bpe.cast("double") / n_words).alias("fertility"),
+        (F.sum("n_chars_tok").cast("double") / n_bpe).alias(
+            "chars_per_token"
+        ),
+    )

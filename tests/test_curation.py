@@ -1860,3 +1860,29 @@ def test_host_diversity_matches_python(spark, sf_smoke):
         g = got[lang]
         assert (g.n_docs, g.n_hosts, g.sum_sq) == (n, len(hosts), ss)
         assert abs(g.simpson - (1.0 - ss / (n * n))) < 1e-12
+
+
+def test_quality_agreement_cells_sum_and_match_filters(spark, sf_smoke):
+    """The confusion matrix must partition exactly the docs both filters
+    scored, and each cell must equal a Python join of the two verdicts."""
+    from collections import Counter
+
+    from caraspark.curation import quality_agreement, quality_logit, text_gopher
+    from caraspark.tables import load
+
+    lg = {r.doc_id: r.keep for r in quality_logit(spark, sf_smoke).collect()}
+    gp = {r.doc_id: r.keep for r in text_gopher(spark, sf_smoke).collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    both = set(lg) & set(gp)
+    want = Counter((langs[d], lg[d], gp[d]) for d in both)
+    got = {
+        (r.lang, r.keep_logit, r.keep_gopher): r.n_docs
+        for r in quality_agreement(spark, sf_smoke).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == len(both)

@@ -1161,3 +1161,23 @@ def test_host_diversity_pure_aggregation_no_join(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_tokenizer_fertility_merge_loop_stays_in_codegen(spark, sf_smoke, qs):
+    """The BPE merge chain must stay a whole-stage-codegen projection —
+    no Python evaluation node anywhere in the rollup plan."""
+    df = qs["tokenizer_fertility"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert bad not in p, p
+
+
+def test_quality_agreement_no_python_and_partial_agg(spark, sf_smoke, qs):
+    """Both filter projections are JVM scan-stage work and the rollup is
+    partial+final hash aggregation."""
+    df = qs["quality_agreement"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p

@@ -721,3 +721,36 @@ def test_embed_outliers_matches_python(spark, sf_smoke):
         for r in embed_outliers(spark, sf_smoke).collect()
     }
     assert got == expected
+
+
+def test_tokenizer_fertility_matches_docwise_rollup(spark, sf_smoke):
+    """Roll up tokenize_bpe's per-doc counts by language in Python and
+    compare every column, including both division results."""
+    from collections import defaultdict
+
+    from caraspark.tables import load
+    from caraspark.textops import tokenize_bpe, tokenizer_fertility
+
+    langs = {
+        r.doc_id: r.lang
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # docs, words, bpe, chars
+    for r in tokenize_bpe(spark, sf_smoke).collect():
+        a = acc[langs[r.doc_id]]
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_bpe
+        a[3] += r.n_chars_tok
+    got = {r.lang: r for r in tokenizer_fertility(spark, sf_smoke).collect()}
+    assert set(got) == set(acc)
+    for lang, (nd, nw, nb, nc) in acc.items():
+        g = got[lang]
+        assert (g.n_docs, g.n_words, g.n_bpe) == (nd, nw, nb)
+        assert abs(g.fertility - nb / nw) < 1e-12
+        assert abs(g.chars_per_token - nc / nb) < 1e-12
+        # merges only ever shrink the char-sequence: fertility stays
+        # within (0, chars-per-word]
+        assert 0 < g.fertility <= nc / nw
