@@ -7069,3 +7069,130 @@ def quality_agreement(spark, sf):
         .groupBy("lang", "keep_logit", "keep_gopher")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: statistically-bound word pairs per language
+# ---------------------------------------------------------------------------
+
+_PMI_TOPK = 5
+_PMI_MIN_PAIR = 3  # ignore pairs seen fewer than this many times
+
+
+def _collocations_sql() -> str:
+    # PMI = ln(N * c_ab / (c_a * c_b)) is monotone in the exact rational
+    # N * c_ab / (c_a * c_b), so the ranking key is ONE IEEE double
+    # division over BIGINT products — no transcendental ln anywhere.
+    return f"""
+WITH d AS (
+  SELECT lang, string_split(lower(text), ' ') AS w
+  FROM documents WHERE length(text) > 0
+),
+toks AS (
+  SELECT lang, w[CAST(i AS INT)] AS a, w[CAST(i + 1 AS INT)] AS b
+  FROM d, range(1, 4096) r(i)
+  WHERE i <= len(w) - 1
+),
+uni AS (
+  SELECT lang, a AS t, count(*) AS c FROM (
+    SELECT lang, unnest(w) AS a FROM d
+  ) GROUP BY lang, a
+),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY lang),
+pairs AS (
+  SELECT lang, a, b, count(*) AS c_ab
+  FROM toks GROUP BY lang, a, b
+  HAVING count(*) >= {_PMI_MIN_PAIR}
+),
+scored AS (
+  SELECT p.lang, p.a, p.b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+         row_number() OVER (
+           PARTITION BY p.lang
+           ORDER BY CAST(p.c_ab * t.n AS DOUBLE) / (ua.c * ub.c) DESC,
+                    p.a, p.b
+         ) AS rk
+  FROM pairs p
+  JOIN uni ua ON ua.lang = p.lang AND ua.t = p.a
+  JOIN uni ub ON ub.lang = p.lang AND ub.t = p.b
+  JOIN tot t ON t.lang = p.lang
+)
+SELECT lang, a, b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= {_PMI_TOPK}
+"""
+
+
+@_q("collocations_pmi", _collocations_sql())
+def collocations_pmi(spark, sf):
+    """Top-{k} PMI collocations per language: adjacent word pairs that
+    co-occur far more than their unigram frequencies predict — the
+    classic corpus-linguistics signal (Church & Hanks 1990) a pipeline
+    uses to mine multi-word entities and to spot template text (a
+    boilerplate corpus's top collocations are navigation chrome).
+
+    Determinism: PMI's ln is monotone in the exact rational
+    N·c(a,b) / (c(a)·c(b)), so ranking uses that ratio directly — BIGINT
+    products and ONE IEEE division, (a, b)-ASC tiebreak; no
+    transcendentals.
+
+    Scale: two map-side-combined counts (unigrams, adjacent pairs) whose
+    exchanges carry distinct grams per task; both count tables are
+    Zipf-bounded so the unigram side broadcasts onto the pair table, and
+    the per-language totals ride a broadcast scalar. The final top-k
+    window sees only distinct pairs above the support floor."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    w = F.split(F.lower("text"), " ")
+    toks = d.select("lang", w.alias("w"))
+    uni = toks.select("lang", F.explode("w").alias("t")).groupBy(
+        "lang", "t"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    pairs = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at("w", i + 1).alias("a"),
+                        F.element_at("w", i + 2).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    ua = uni.select("lang", F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select("lang", F.col("t").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(F.broadcast(ua), ["lang", "a"])
+        .join(F.broadcast(ub), ["lang", "b"])
+        .join(F.broadcast(tot), "lang")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            (
+                (F.col("c_ab") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).desc(),
+            F.col("a"),
+            F.col("b"),
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _PMI_TOPK)
+        .select(
+            "lang",
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1886,3 +1886,54 @@ def test_quality_agreement_cells_sum_and_match_filters(spark, sf_smoke):
     }
     assert got == dict(want)
     assert sum(got.values()) == len(both)
+
+
+def test_collocations_pmi_matches_python(spark, sf_smoke):
+    """Recompute unigram/pair counts and the exact-rational PMI ranking
+    in Python; every emitted row and rank must match."""
+    from collections import Counter
+
+    from caraspark.curation import (
+        _PMI_MIN_PAIR,
+        _PMI_TOPK,
+        collocations_pmi,
+    )
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("lang", "text")
+        .collect()
+    )
+    uni, pairs = Counter(), Counter()
+    for r in rows:
+        ws = r.text.lower().split(" ")
+        uni.update((r.lang, t) for t in ws)
+        pairs.update((r.lang, a, b) for a, b in zip(ws, ws[1:]))
+    tot = Counter()
+    for (lang, _t), c in uni.items():
+        tot[lang] += c
+    expected = {}
+    by_lang = {}
+    for (lang, a, b), c_ab in pairs.items():
+        if c_ab >= _PMI_MIN_PAIR:
+            by_lang.setdefault(lang, []).append((a, b, c_ab))
+    for lang, cands in by_lang.items():
+        ranked = sorted(
+            cands,
+            key=lambda x: (
+                -(x[2] * tot[lang]) / (uni[(lang, x[0])] * uni[(lang, x[1])]),
+                x[0],
+                x[1],
+            ),
+        )[:_PMI_TOPK]
+        for rk, (a, b, c_ab) in enumerate(ranked, 1):
+            expected[(lang, rk)] = (
+                a, b, c_ab, uni[(lang, a)], uni[(lang, b)],
+            )
+    got = {
+        (r.lang, r.rk): (r.a, r.b, r.c_ab, r.c_a, r.c_b)
+        for r in collocations_pmi(spark, sf_smoke).collect()
+    }
+    assert got == expected

@@ -1181,3 +1181,13 @@ def test_quality_agreement_no_python_and_partial_agg(spark, sf_smoke, qs):
     assert "HashAggregate" in p, p
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in p, p
+
+
+def test_collocations_pmi_count_tables_broadcast(spark, sf_smoke, qs):
+    """The Zipf-bounded unigram table (twice) and the per-language totals
+    all broadcast onto the pair table — no sort-merge join re-shuffles
+    the pair stream."""
+    df = qs["collocations_pmi"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p, p
