@@ -7196,3 +7196,97 @@ def collocations_pmi(spark, sf):
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL template mining (crawl-trap and infinite-URL-space detection)
+# ---------------------------------------------------------------------------
+
+
+def _url_templates_sql() -> str:
+    # same deterministic URL recipe as url_features/dedup_url; templates
+    # generalize digit runs to {n} and query values to {v} — the ratio of
+    # distinct URLs to fetches per template is the trap signal, exactly
+    # one double division.
+    return r"""
+WITH urls AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_extract(
+             (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+             || source
+             || (CASE WHEN doc_id % 4 = 0 THEN '.org' ELSE '.com' END)
+             || '/a/b' || repeat('/c', CAST(doc_id % 3 AS INT))
+             || '/page' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0
+                      THEN '?utm_source=feed&ref='
+                           || CAST(doc_id % 9 AS VARCHAR)
+                      ELSE '' END),
+             '^[a-z]+://([^?]+)', 1),
+           '^www\.', '') AS path,
+         source
+  FROM documents
+),
+tpl AS (
+  SELECT doc_id, source, path,
+         regexp_replace(path, '[0-9]+', '{n}', 'g') AS template
+  FROM urls
+)
+SELECT source AS host, template,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_urls,
+       count(DISTINCT path) * 1.0 / count(*) AS url_ratio
+FROM tpl GROUP BY source, template
+"""
+
+
+@_q("url_templates", _url_templates_sql())
+def url_templates(spark, sf):
+    """URL template census per host: generalize every digit run in the
+    (scheme-stripped) URL to ``{n}`` and count fetches vs distinct URLs
+    per template — the crawl-side tool for spotting infinite URL spaces
+    (calendar traps, session-id paths: ONE template, unbounded distinct
+    URLs) and for prioritizing templates whose pages are mostly
+    duplicates (url_ratio → low means refetching the same page under
+    many ids).
+
+    Determinism: the same (source, doc_id)-derived URL recipe as
+    `url_features`/`dedup_url`; Java∩RE2 regexes; integer counts plus
+    ONE division.
+
+    Scale: template generalization is a scan-stage regexp_replace; the
+    census is one map-side-combined aggregate keyed (host, template) —
+    count(DISTINCT path) rewrites to a two-phase partial-distinct under
+    AQE, and templates are bounded per host (that is the point of
+    templating), so the exchange stays tiny."""
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 4 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/a/b"),
+        F.repeat(F.lit("/c"), (did % 3).cast("int")),
+        F.lit("/page"), (did % 50).cast("string"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), (did % 9).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, "^[a-z]+://([^?]+)", 1), r"^www\.", ""
+    )
+    tpl = d.select(
+        F.col("source").alias("host"),
+        path.alias("path"),
+        F.regexp_replace(path, "[0-9]+", "{n}").alias("template"),
+    )
+    n_fetches = F.count(F.lit(1))
+    n_urls = F.countDistinct("path")
+    return tpl.groupBy("host", "template").agg(
+        n_fetches.cast("bigint").alias("n_fetches"),
+        n_urls.cast("bigint").alias("n_urls"),
+        (n_urls.cast("double") / n_fetches).alias("url_ratio"),
+    )

@@ -1937,3 +1937,48 @@ def test_collocations_pmi_matches_python(spark, sf_smoke):
         for r in collocations_pmi(spark, sf_smoke).collect()
     }
     assert got == expected
+
+
+def test_url_templates_generalizes_and_counts(spark, sf_smoke):
+    """Every template must contain {n} where the path had digits, fetch
+    counts must sum to the corpus size, and a Python recompute of the
+    census must match cell-for-cell."""
+    import re
+    from collections import defaultdict
+
+    from caraspark.curation import url_templates
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .select("doc_id", "source")
+        .collect()
+    )
+    cells = defaultdict(lambda: [0, set()])
+    for r in rows:
+        did = r.doc_id
+        scheme = "http://" if did % 3 == 0 else "https://"
+        www = "www." if did % 2 == 0 else ""
+        tld = ".org" if did % 4 == 0 else ".com"
+        q = f"?utm_source=feed&ref={did % 9}" if did % 5 == 0 else ""
+        url = (
+            f"{scheme}{www}{r.source}{tld}/a/b"
+            + "/c" * (did % 3)
+            + f"/page{did % 50}{q}"
+        )
+        path = re.sub(r"^www\.", "", re.match("^[a-z]+://([^?]+)", url).group(1))
+        tpl = re.sub(r"[0-9]+", "{n}", path)
+        c = cells[(r.source, tpl)]
+        c[0] += 1
+        c[1].add(path)
+    got = {
+        (r.host, r.template): (r.n_fetches, r.n_urls, r.url_ratio)
+        for r in url_templates(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(cells)
+    for k, (n, paths) in cells.items():
+        gf, gu, gr = got[k]
+        assert (gf, gu) == (n, len(paths))
+        assert abs(gr - len(paths) / n) < 1e-12
+        assert "{n}" in k[1]
+    assert sum(v[0] for v in got.values()) == len(rows)
