@@ -7290,3 +7290,441 @@ def url_templates(spark, sf):
         n_urls.cast("bigint").alias("n_urls"),
         (n_urls.cast("double") / n_fetches).alias("url_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus splits
+# ---------------------------------------------------------------------------
+
+# floor(0.8 * 2^32), floor(0.9 * 2^32): pure-integer split thresholds so no
+# double ever participates in the assignment
+_SPLIT_TRAIN = 3435973836
+_SPLIT_VAL = 3865470566
+
+
+def _split_by_host_sql() -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST('0x' || substring(md5(source || ':split'), 1, 8) AS BIGINT) AS u
+  FROM documents
+),
+s AS (
+  SELECT lang, source, n_chars,
+         CASE WHEN u < {_SPLIT_TRAIN} THEN 'train'
+              WHEN u < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM a
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM s GROUP BY split, lang
+"""
+
+
+@_q("split_by_host", _split_by_host_sql())
+def split_by_host(spark, sf):
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the HOST (md5-slice integer vs integer thresholds =
+    floor(r * 2^32), no doubles anywhere), so every page of a host lands
+    in exactly one split by construction — the property an eval set
+    needs, because near-duplicate pages of one site in both train and
+    test is the classic contamination vector that document-level dedup
+    does not close.  Emits the per-(split, lang) census a data card
+    reports: docs, distinct hosts, total chars.
+
+    Scale: assignment is a scan-stage hash of an already-present column
+    (zero extra shuffles, resumable — a re-run or a late-arriving page
+    re-derives the identical split); the census aggregate map-side
+    combines and countDistinct(host) rewrites to a two-phase partial
+    distinct, so the exchange carries (split, lang, host) triples at
+    host — not page — cardinality.
+    """
+    d = load(spark, sf, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.col("source"), F.lit(":split")), "utf-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = (
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "source", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_hosts"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitext candidate mining
+# ---------------------------------------------------------------------------
+
+
+def _bitext_sql() -> str:
+    return """
+WITH pages AS (
+  SELECT doc_id, lang, source, n_chars, doc_id % 50 AS slot
+  FROM documents
+)
+SELECT a.source AS host, a.slot,
+       a.lang AS lang_a, b.lang AS lang_b,
+       a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.n_chars AS BIGINT) AS len_a,
+       CAST(b.n_chars AS BIGINT) AS len_b
+FROM pages a JOIN pages b
+  ON a.source = b.source AND a.slot = b.slot AND a.lang < b.lang
+WHERE 2 * least(a.n_chars, b.n_chars) >= greatest(a.n_chars, b.n_chars)
+"""
+
+
+@_q("bitext_mine", _bitext_sql())
+def bitext_mine(spark, sf):
+    """Parallel-corpus candidate mining (the CCAligned / ParaCrawl
+    front-end): pages of the SAME host occupying the same URL slot in
+    different languages are translation candidates — here the slot is
+    the deterministic page number both engines derive as doc_id % 50,
+    standing in for the language-stripped URL path (``url_templates``
+    shows the real generalization; hreflang alternates feed the same
+    join in ``hreflang_census``).  Candidates must pass the classic
+    length-ratio gate, min/max >= 0.5, done by integer
+    cross-multiplication (2*min >= max) so no float ratio ever decides
+    a pair; lang_a < lang_b canonicalizes pair order.
+
+    Scale: this is an equi-join keyed (host, slot) — NEVER a cross
+    join; per-key fanout is bounded by the language count squared, and
+    the join input carries (host, slot, lang, len) — four scalars, no
+    text.  At 10^12 pages the hot keys are giant hosts: the same
+    size-class salting the extract pipeline uses applies, and the
+    length gate runs join-side so rejected pairs never leave the
+    executor.  Sentence-level alignment (the expensive step) runs only
+    on surviving pairs.
+    """
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars", (F.col("doc_id") % 50).alias("slot")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .filter(
+            2 * F.least("a.n_chars", "b.n_chars")
+            >= F.greatest("a.n_chars", "b.n_chars")
+        )
+        .select(
+            F.col("a.source").alias("host"),
+            F.col("a.slot").alias("slot"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_chars").cast("bigint").alias("len_a"),
+            F.col("b.n_chars").cast("bigint").alias("len_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps-law census)
+# ---------------------------------------------------------------------------
+
+
+def _vocab_growth_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE length(text) > 0
+),
+n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+tb AS (
+  SELECT lang, w, least(9, doc_id * 10 // (SELECT n FROM n)) AS bucket
+  FROM toks
+),
+firsts AS (SELECT lang, w, min(bucket) AS b0 FROM tb GROUP BY lang, w),
+newt AS (
+  SELECT lang, b0 AS bucket, count(*) AS new_types
+  FROM firsts GROUP BY lang, b0
+),
+tok AS (
+  SELECT lang, bucket, count(*) AS bucket_tokens FROM tb GROUP BY lang, bucket
+),
+j AS (
+  SELECT t.lang, t.bucket, t.bucket_tokens,
+         coalesce(nw.new_types, 0) AS new_types
+  FROM tok t LEFT JOIN newt nw ON nw.lang = t.lang AND nw.bucket = t.bucket
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(sum(new_types) OVER
+              (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_types,
+       CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+       CAST(sum(bucket_tokens) OVER
+              (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum_tokens
+FROM j
+"""
+
+
+@_q("vocab_growth", _vocab_growth_sql())
+def vocab_growth(spark, sf):
+    """Heaps-law vocabulary-growth census per language: the corpus is cut
+    into ten doc-id deciles (an ingest-order prefix structure), and each
+    word type is charged to the decile where it FIRST appears — so
+    cum_types vs cum_tokens is exactly the V(n) ~ K·n^beta curve a
+    tokenizer team reads before fixing vocabulary size, and a flattening
+    new_types tail is the standard "corpus is saturating / dedup is
+    working" signal.  All counts are exact integers; the decile is
+    integer arithmetic (doc_id*10 DIV N) on both engines.
+
+    Scale: first-occurrence is min(bucket) per (lang, word) — one
+    map-side-combined aggregate over (lang, word, tiny int), the same
+    exchange shape as the vocabulary count every LM pipeline already
+    pays; the decile histograms are 10 rows per language, and the
+    cumulative window runs over those aggregated rows only (never the
+    corpus).  No sort of the token stream anywhere.
+    """
+    d = load(spark, sf, "documents")
+    n = d.agg((F.max("doc_id") + 1).alias("n"))
+    toks = d.filter(F.length("text") > 0).select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tb = toks.crossJoin(F.broadcast(n)).select(
+        "lang",
+        "w",
+        F.least(F.lit(9), F.expr("doc_id * 10 DIV n")).alias("bucket"),
+    )
+    firsts = tb.groupBy("lang", "w").agg(F.min("bucket").alias("b0"))
+    newt = firsts.groupBy("lang", F.col("b0").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    tok = tb.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_tokens")
+    )
+    j = tok.join(newt, ["lang", "bucket"], "left").na.fill(
+        {"new_types": 0}
+    )
+    wc = W.partitionBy("lang").orderBy("bucket")
+    return j.select(
+        "lang",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("new_types").cast("bigint").alias("new_types"),
+        F.sum("new_types").over(wc).cast("bigint").alias("cum_types"),
+        F.col("bucket_tokens").cast("bigint").alias("bucket_tokens"),
+        F.sum("bucket_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attribute-span merge (Dolma-style interval algebra)
+# ---------------------------------------------------------------------------
+
+
+def _span_merge_sql() -> str:
+    return """
+WITH fam AS (
+  SELECT f, k FROM (SELECT unnest([0,1,2]) AS f) a,
+               (SELECT unnest([0,1,2]) AS k) b
+),
+raw AS (
+  SELECT d.doc_id, d.n_chars,
+         (d.doc_id * (7 + fam.f) + 13 * fam.k) % d.n_chars AS s,
+         least((d.doc_id * (7 + fam.f) + 13 * fam.k) % d.n_chars
+               + 5 + (d.doc_id + fam.f + fam.k) % 20, d.n_chars) AS e
+  FROM documents d CROSS JOIN fam
+),
+marked AS (
+  SELECT doc_id, n_chars, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+  FROM raw
+),
+islands AS (
+  SELECT doc_id, n_chars, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars, island,
+         min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(9 AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(sum(me - ms) AS BIGINT) AS covered_chars,
+       CAST(any_value(n_chars) - sum(me - ms) AS BIGINT) AS kept_chars
+FROM merged GROUP BY doc_id
+"""
+
+
+@_q("span_merge", _span_merge_sql())
+def span_merge(spark, sf):
+    """Dolma-style attribute-span algebra: a curation pipeline tags each
+    document with byte spans from MANY independent taggers (PII, verbatim
+    duplication, blocklisted terms — here three deterministic synthetic
+    span families, three spans each, standing in for those attribute
+    streams), and the removal step needs their UNION as disjoint
+    intervals plus the kept-character budget.  Classic gaps-and-islands:
+    sort a doc's spans by start, a new island begins where start exceeds
+    the running max of prior ends, islands collapse to (min start,
+    max end).  Exactly the shape of ``dedup_substring_spans``'s removal
+    step, generalized to multi-tagger input.
+
+    Scale: spans are (doc_id, int, int) triples — the window partitions
+    by doc_id and a document's span count is tagger-bounded (tens), so
+    per-partition state is tiny and NOTHING corpus-sized is sorted; the
+    merge is one exchange keyed doc_id, co-partitioned with every other
+    per-doc attribute table it later joins.
+    """
+    d = load(spark, sf, "documents")
+    fam = spark.range(3).select(F.col("id").alias("f")).crossJoin(
+        spark.range(3).select(F.col("id").alias("k"))
+    )
+    base = (F.col("doc_id") * (7 + F.col("f")) + 13 * F.col("k")) % F.col(
+        "n_chars"
+    )
+    raw = d.crossJoin(F.broadcast(fam)).select(
+        "doc_id",
+        "n_chars",
+        base.alias("s"),
+        F.least(
+            base + 5 + (F.col("doc_id") + F.col("f") + F.col("k")) % 20,
+            F.col("n_chars"),
+        ).alias("e"),
+    )
+    wo = W.partitionBy("doc_id").orderBy("s", "e")
+    marked = raw.withColumn(
+        "prev_max", F.max("e").over(wo.rowsBetween(W.unboundedPreceding, -1))
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(wo),
+    )
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.any_value("n_chars").alias("n_chars"),
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.lit(9).cast("bigint").alias("n_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_chars"),
+        (F.any_value("n_chars") - F.sum(F.col("me") - F.col("ms")))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community detection (synchronous min-label propagation)
+# ---------------------------------------------------------------------------
+
+
+def _communities_sql() -> str:
+    return """
+WITH links AS (
+  SELECT source AS s,
+         'src' || CAST((CAST(substring(source, 4) AS INT)
+                        + 2 * ((doc_id + k) % 9) + 2) % 20 AS VARCHAR) AS t
+  FROM documents
+  CROSS JOIN (SELECT unnest([0,1,2]) AS k) ks
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM links WHERE s <> t
+),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+l0 AS (SELECT DISTINCT a AS host, a AS lbl FROM e),
+m1 AS (SELECT e.a AS host, min(l.lbl) AS nb
+       FROM e JOIN l0 l ON l.host = e.b GROUP BY e.a),
+l1 AS (SELECT l.host, least(l.lbl, m1.nb) AS lbl
+       FROM l0 l JOIN m1 ON m1.host = l.host),
+m2 AS (SELECT e.a AS host, min(l.lbl) AS nb
+       FROM e JOIN l1 l ON l.host = e.b GROUP BY e.a),
+l2 AS (SELECT l.host, least(l.lbl, m2.nb) AS lbl
+       FROM l1 l JOIN m2 ON m2.host = l.host),
+m3 AS (SELECT e.a AS host, min(l.lbl) AS nb
+       FROM e JOIN l2 l ON l.host = e.b GROUP BY e.a)
+SELECT l.host, least(l.lbl, m3.nb) AS community
+FROM l2 l JOIN m3 ON m3.host = l.host
+"""
+
+
+@_q("graph_communities", _communities_sql())
+def graph_communities(spark, sf):
+    """Community detection on the host graph by SYNCHRONOUS min-label
+    propagation: every vertex starts labeled with itself, and each round
+    takes the min of its own label and its neighbors' — after r rounds a
+    vertex carries the smallest label within r hops, so labels converge
+    to per-component minima (here 3 unrolled rounds; the synthetic link
+    recipe preserves host-number parity, so the 20 hosts form exactly
+    two communities).  Deterministic by construction: min over strings
+    is order-insensitive, no tie-break randomness like classic async
+    LPA.
+
+    Scale: per round one join keyed on vertex id + one min-aggregate —
+    the same alternating shape as ``dedup_clusters``'s large-star rounds
+    (textops.py), exchanging only (host, label) string pairs; host
+    cardinality is ~10^8 at web scale, 4 orders below pages.  A fixed
+    unroll keeps the oracle closed-form; the production loop iterates
+    to fixpoint with the same per-round plan and a 2-scalar convergence
+    fingerprint, as graph_pagerank does.
+    """
+    d = load(spark, sf, "documents")
+    ks = spark.range(3).select(F.col("id").alias("k"))
+    links = d.crossJoin(F.broadcast(ks)).select(
+        F.col("source").alias("s"),
+        F.concat(
+            F.lit("src"),
+            (
+                (
+                    F.substring("source", 4, 10).cast("int")
+                    + 2 * ((F.col("doc_id") + F.col("k")) % 9)
+                    + 2
+                )
+                % 20
+            ).cast("string"),
+        ).alias("t"),
+    )
+    e0 = (
+        links.filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lbl = e.select(F.col("a").alias("host")).distinct().select(
+        "host", F.col("host").alias("lbl")
+    )
+    for _ in range(3):
+        nb = (
+            e.join(lbl.withColumnRenamed("host", "b_host"),
+                   F.col("b") == F.col("b_host"))
+            .groupBy(F.col("a").alias("host"))
+            .agg(F.min("lbl").alias("nb"))
+        )
+        lbl = lbl.join(nb, "host").select(
+            "host", F.least("lbl", "nb").alias("lbl")
+        )
+    return lbl.select("host", F.col("lbl").alias("community"))

@@ -1982,3 +1982,150 @@ def test_url_templates_generalizes_and_counts(spark, sf_smoke):
         assert abs(gr - len(paths) / n) < 1e-12
         assert "{n}" in k[1]
     assert sum(v[0] for v in got.values()) == len(rows)
+
+
+def test_split_by_host_is_host_disjoint_and_total(spark, sf_smoke):
+    """The leakage-safety contract: every host lands in exactly one
+    split, every document is counted, and the census reproduces an
+    independent Python recomputation of the md5 assignment."""
+    import hashlib
+
+    from caraspark.curation import split_by_host
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .select("lang", "source", "n_chars")
+        .collect()
+    )
+
+    def assign(host: str) -> str:
+        u = int(hashlib.md5(f"{host}:split".encode()).hexdigest()[:8], 16)
+        if u < 3435973836:
+            return "train"
+        if u < 3865470566:
+            return "val"
+        return "test"
+
+    exp = {}
+    hosts = {}
+    for r in rows:
+        s = assign(r.source)
+        hosts.setdefault(r.source, set()).add(s)
+        key = (s, r.lang)
+        d, h, c = exp.get(key, (0, set(), 0))
+        exp[key] = (d + 1, h | {r.source}, c + r.n_chars)
+    assert all(len(v) == 1 for v in hosts.values())  # host-disjoint
+    got = {
+        (r.split, r.lang): (r.n_docs, r.n_hosts, r.n_chars_total)
+        for r in split_by_host(spark, sf_smoke).collect()
+    }
+    assert got == {
+        k: (d, len(h), c) for k, (d, h, c) in exp.items()
+    }
+    assert sum(d for d, _, _ in got.values()) == len(rows)  # total
+
+
+def test_bitext_mine_pairs_satisfy_gates(spark, sf_smoke):
+    """Every emitted pair shares (host, slot), has distinct ordered
+    languages, and passes the integer length-ratio gate; and NO passing
+    pair is missed (recomputed in Python)."""
+    from itertools import combinations
+
+    from caraspark.curation import bitext_mine
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    )
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.source, r.doc_id % 50), []).append(r)
+    exp = set()
+    for (host, slot), docs in by_key.items():
+        for x, y in combinations(docs, 2):
+            a, b = (x, y) if x.lang < y.lang else (y, x)
+            if a.lang == b.lang:
+                continue
+            if 2 * min(a.n_chars, b.n_chars) >= max(a.n_chars, b.n_chars):
+                exp.add((host, slot, a.doc_id, b.doc_id))
+    got = {
+        (r.host, r.slot, r.doc_a, r.doc_b)
+        for r in bitext_mine(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp  # non-vacuous
+
+
+def test_vocab_growth_cumulative_types_match_prefix_vocab(spark, sf_smoke):
+    """cum_types at the last bucket equals the language's full distinct
+    vocabulary, and cum_tokens equals its full token count — the Heaps
+    curve must END at the totals."""
+    from caraspark.curation import vocab_growth
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("lang", "text")
+        .collect()
+    )
+    vocab, toks = {}, {}
+    for r in rows:
+        ws = r.text.lower().split(" ")
+        vocab.setdefault(r.lang, set()).update(ws)
+        toks[r.lang] = toks.get(r.lang, 0) + len(ws)
+    last = {}
+    for r in vocab_growth(spark, sf_smoke).collect():
+        cur = last.get(r.lang)
+        if cur is None or r.bucket > cur.bucket:
+            last[r.lang] = r
+    assert set(last) == set(vocab)
+    for lang, r in last.items():
+        assert r.cum_types == len(vocab[lang])
+        assert r.cum_tokens == toks[lang]
+
+
+def test_span_merge_matches_python_interval_union(spark, sf_smoke):
+    """Merged interval count and coverage equal a Python reimplementation
+    of the union of the same nine synthetic spans."""
+    from caraspark.curation import span_merge
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents").select("doc_id", "n_chars").collect()
+    )
+    exp = {}
+    for r in rows:
+        spans = []
+        for f in range(3):
+            for k in range(3):
+                s = (r.doc_id * (7 + f) + 13 * k) % r.n_chars
+                e = min(s + 5 + (r.doc_id + f + k) % 20, r.n_chars)
+                spans.append((s, e))
+        spans.sort()
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        cov = sum(e - s for s, e in merged)
+        exp[r.doc_id] = (len(merged), cov, r.n_chars - cov)
+    got = {
+        r.doc_id: (r.n_merged, r.covered_chars, r.kept_chars)
+        for r in span_merge(spark, sf_smoke).collect()
+    }
+    assert got == exp
+
+
+def test_graph_communities_two_parity_components(spark, sf_smoke):
+    """The parity-preserving link recipe yields exactly two communities,
+    labeled by each component's lexicographically smallest host."""
+    from caraspark.curation import graph_communities
+
+    got = {r.host: r.community for r in graph_communities(spark, sf_smoke).collect()}
+    for host, comm in got.items():
+        n = int(host[3:])
+        assert comm == ("src0" if n % 2 == 0 else "src1"), (host, comm)

@@ -1191,3 +1191,63 @@ def test_collocations_pmi_count_tables_broadcast(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_split_by_host_scan_stage_assignment_no_join(spark, sf_smoke, qs):
+    """The split is a pure function of the host column: no join anywhere,
+    one partial+final aggregate, no Python."""
+    df = qs["split_by_host"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
+    assert "HashAggregate" in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p
+
+
+def test_bitext_mine_is_an_equi_join_never_cartesian(spark, sf_smoke, qs):
+    """Candidate pairing keys (host, slot) as a hash/sort-merge equi-join;
+    a cartesian product here would be the classic all-pairs scale killer."""
+    df = qs["bitext_mine"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p
+
+
+def test_vocab_growth_window_runs_over_aggregates_only(spark, sf_smoke, qs):
+    """The cumulative window consumes the 10-row-per-lang decile
+    histogram, not the token stream: every Window in the plan sits above
+    a HashAggregate, and the token explode feeds aggregates only."""
+    df = qs["vocab_growth"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p, p
+    assert p.index("Window") < p.index("HashAggregate"), (
+        "window must consume aggregated rows (plan prints top-down)",
+        p,
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p
+
+
+def test_span_merge_single_doc_exchange(spark, sf_smoke, qs):
+    """Interval merge partitions by doc_id once: the island window and
+    both merge aggregates reuse ONE doc_id exchange of (doc_id, int,
+    int) triples — no text column survives past the scan."""
+    df = qs["span_merge"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(doc_id") <= 1, p
+    assert "text" not in p.split("Scan parquet")[0], p
+
+
+def test_graph_communities_exchanges_host_label_pairs_only(spark, sf_smoke, qs):
+    """Three label-propagation rounds never touch document payloads: the
+    text column is pruned at the scan and no cartesian join appears."""
+    df = qs["graph_communities"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    plan_full = plan_of(df)
+    assert "ReadSchema" in plan_full and "text" not in (
+        plan_full.split("ReadSchema:")[1].split("\n")[0]
+    ), plan_full
