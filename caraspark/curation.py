@@ -7728,3 +7728,107 @@ def graph_communities(spark, sf):
             "host", F.least("lbl", "nb").alias("lbl")
         )
     return lbl.select("host", F.col("lbl").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer-based PII (dictionary names, not regex shapes)
+# ---------------------------------------------------------------------------
+
+# the dictionary is the OPERATOR INPUT here; the synthetic splice below
+# plants deterministic occurrences so the match path is exercised
+_GAZETTEER = [
+    "alice", "bartholomew", "carlos", "dmitri",
+    "esperanza", "fatima", "giovanni", "hannah",
+]
+
+
+def _gazetteer_sql() -> str:
+    names = ", ".join(f"('{n}')" for n in _GAZETTEER)
+    arr = "[" + ", ".join(f"'{n}'" for n in _GAZETTEER) + "]"
+    alt = "|".join(_GAZETTEER)
+    return f"""
+WITH synth AS (
+  SELECT doc_id, lang,
+         text || ' reported by ' || {arr}[1 + doc_id % 8]
+              || ' and ' || {arr}[1 + (doc_id * 3 + 1) % 8] AS t
+  FROM documents WHERE length(text) > 0
+),
+gaz(name) AS (VALUES {names}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(t), ' ')) AS w FROM synth
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_names,
+         count(DISTINCT t.w) AS n_distinct_names
+  FROM toks t JOIN gaz g ON g.name = t.w
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.lang,
+       CAST(coalesce(h.n_names, 0) AS BIGINT) AS n_names,
+       CAST(coalesce(h.n_distinct_names, 0) AS BIGINT) AS n_distinct_names,
+       md5(regexp_replace(s.t, '\\b({alt})\\b', '<NAME>', 'g'))
+         AS redacted_md5
+FROM synth s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""
+
+
+@_q("pii_gazetteer", _gazetteer_sql())
+def pii_gazetteer(spark, sf):
+    """Dictionary (gazetteer) PII pass — the complement of ``text_pii``'s
+    shape regexes: person names have no syntactic shape, so production
+    redaction joins the token stream against a curated name list (Dolma's
+    approach for non-pattern PII).  Counts per-doc name hits via an
+    exact token match against the dictionary and emits the md5 of the
+    word-boundary-redacted text; the deterministic splice plants two
+    dictionary names per document so both engines exercise the match
+    path on identical bytes.
+
+    Scale: the gazetteer (10^4–10^6 names in production) BROADCASTS —
+    the token stream never shuffles for the join; counting aggregates
+    map-side per doc.  The redaction regex is one scan-stage alternation
+    (production compiles the dictionary to an Aho-Corasick automaton
+    inside a pandas UDF when it outgrows a regex literal; same
+    plan shape).  Nothing corpus-sized exchanges at any point.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    arr = F.array(*[F.lit(n) for n in _GAZETTEER])
+    t = F.concat(
+        F.col("text"),
+        F.lit(" reported by "),
+        F.element_at(arr, (F.col("doc_id") % 8 + 1).cast("int")),
+        F.lit(" and "),
+        F.element_at(arr, ((F.col("doc_id") * 3 + 1) % 8 + 1).cast("int")),
+    )
+    synth = d.select("doc_id", "lang", t.alias("t"))
+    gaz = spark.range(len(_GAZETTEER)).select(
+        F.element_at(arr, (F.col("id") + 1).cast("int")).alias("name")
+    )
+    toks = synth.select(
+        "doc_id", F.explode(F.split(F.lower("t"), " ")).alias("w")
+    )
+    hits = (
+        toks.join(F.broadcast(gaz), toks.w == gaz.name)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.countDistinct("w").alias("n_distinct_names"),
+        )
+    )
+    alt = "|".join(_GAZETTEER)
+    return (
+        synth.join(hits, "doc_id", "left")
+        .na.fill({"n_names": 0, "n_distinct_names": 0})
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_names").cast("bigint").alias("n_names"),
+            F.col("n_distinct_names")
+            .cast("bigint")
+            .alias("n_distinct_names"),
+            F.md5(
+                F.regexp_replace(
+                    "t", f"\\b({alt})\\b", "<NAME>"
+                )
+            ).alias("redacted_md5"),
+        )
+    )

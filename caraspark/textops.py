@@ -3233,3 +3233,218 @@ def dedup_minhash_recall(spark, sf):
         F.expr("CAST(n_hits * 1000 DIV greatest(n_cand, 1) AS BIGINT)")
         .alias("precision_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join with prefix filtering (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_K = 3  # tokens per shingle
+
+
+def _simjoin_sql() -> str:
+    # The oracle verifies EXACT semantics brute-force over every
+    # token-sharing pair (complete because Jaccard >= 1/2 implies a
+    # shared shingle); the Spark side reaches the identical answer via
+    # prefix-filtered candidate generation.
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(text) > 0
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, s + 1, s + {_SIMJOIN_K}), ' '))
+           AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - {_SIMJOIN_K})) AS s
+        FROM w WHERE len(t) >= {_SIMJOIN_K})
+),
+sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(i AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS size_a,
+       CAST(sb.n AS BIGINT) AS size_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = ia
+JOIN sz sb ON sb.doc_id = ib
+WHERE 3 * i >= sa.n + sb.n
+"""
+
+
+@_q("simjoin_prefix", _simjoin_sql())
+def simjoin_prefix(spark, sf):
+    """EXACT set-similarity self-join at Jaccard >= 1/2 over word-trigram
+    shingle sets, via AllPairs/PPJoin prefix filtering — the
+    deterministic alternative to MinHash when the pipeline needs zero
+    false negatives AND zero false positives (eval-set contamination
+    sweeps, legal takedown scans).  Each document keeps only its
+    p = |d| - ceil(t|d|) + 1 RAREST shingles (global-df order) as its
+    prefix; the classic theorem guarantees every pair with J >= t shares
+    a prefix token, so candidates come from the tiny prefix join and the
+    full all-pairs space is never touched.  Verification counts the true
+    intersection and applies the integer gate 3*|A∩B| >= |A|+|B| — no
+    float ever decides a pair.
+
+    Scale: shingles are md5'd at the scan, so every exchange carries
+    16-byte digests; the df table is Zipf-bounded; prefixes shrink each
+    doc's join footprint ~2x at t=0.5 and (1-t)x in general, and rare
+    tokens first means candidate lists stay short exactly where df is
+    large.  The verify stage joins candidates to the two per-doc token
+    lists keyed by doc id — never a second all-pairs.  (MinHash
+    `dedup_minhash` remains the sub-linear path when approximate recall
+    is acceptable; this is the exact one.)
+    """
+    docs = load(spark, sf, "documents").filter(F.length("text") > 0)
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t")).filter(
+        F.size("t") >= _SIMJOIN_K
+    )
+    toks = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - _SIMJOIN_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("t", i + 1, _SIMJOIN_K))
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_t = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(df_t, "g")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "g")
+            ),
+        )
+        .join(sz, "doc_id")
+        .filter(F.col("rk") <= F.expr("n DIV 2") + 1)
+        .select("doc_id", "g")
+    )
+    cand = (
+        ranked.alias("pa")
+        .join(
+            ranked.alias("pb"),
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), "g")
+    tb = toks.select(F.col("doc_id").alias("tb_id"), F.col("g").alias("gb"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("tb_id")) & (F.col("g") == F.col("gb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("size_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(3 * F.col("n_inter") >= F.col("size_a") + F.col("size_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim-quote attribution edges
+# ---------------------------------------------------------------------------
+
+_QUOTE_K = 5  # tokens per quoted window
+
+
+def _quote_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(text) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, s + 1, s + {_QUOTE_K}), ' '))
+           AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - {_QUOTE_K})) AS s
+        FROM w WHERE len(t) >= {_QUOTE_K})
+),
+firsts AS (SELECT g, min(doc_id) AS src_doc FROM grams GROUP BY g)
+SELECT f.src_doc, gr.doc_id AS dst_doc,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM grams gr JOIN firsts f ON f.g = gr.g AND gr.doc_id > f.src_doc
+GROUP BY f.src_doc, gr.doc_id
+"""
+
+
+@_q("quote_mining", _quote_sql())
+def quote_mining(spark, sf):
+    """Verbatim-quote attribution graph: every {K}-token window shared
+    across documents is attributed to its FIRST writer (minimum doc id —
+    at web scale, earliest crawl timestamp), and each later document
+    carrying it gets a directed edge src→dst weighted by shared-window
+    count.  This is the provenance view substring dedup throws away:
+    ``dedup_substring`` marks the duplicated bytes for removal;
+    quote_mining keeps the who-copied-whom edge list that powers
+    syndication detection, canonical-source election, and
+    quote-attribution features.
+
+    Scale: windows are md5'd before any exchange (digest-only
+    shuffles); first-writer is ONE min-aggregate per digest — the same
+    exchange the dedup marking pass already pays — and the attribution
+    join reuses that digest partitioning; the edge rollup exchanges
+    (src, dst, count) triples bounded by document pairs that actually
+    share text, never all-pairs.
+    """
+    docs = load(spark, sf, "documents").filter(F.length("text") > 0)
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t")).filter(
+        F.size("t") >= _QUOTE_K
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - _QUOTE_K),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("t", i + 1, _QUOTE_K))
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("src_doc"))
+    return (
+        grams.join(firsts, "g")
+        .filter(F.col("doc_id") > F.col("src_doc"))
+        .groupBy("src_doc", F.col("doc_id").alias("dst_doc"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

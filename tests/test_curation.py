@@ -2129,3 +2129,35 @@ def test_graph_communities_two_parity_components(spark, sf_smoke):
     for host, comm in got.items():
         n = int(host[3:])
         assert comm == ("src0" if n % 2 == 0 else "src1"), (host, comm)
+
+
+def test_pii_gazetteer_counts_and_redaction(spark, sf_smoke):
+    """Every doc carries exactly the two spliced names (the synthetic
+    vocabulary cannot collide with the gazetteer), and the redacted md5
+    matches a Python re-derivation."""
+    import hashlib
+    import re
+
+    from caraspark.curation import _GAZETTEER, pii_gazetteer
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    pat = re.compile(r"\b(" + "|".join(_GAZETTEER) + r")\b")
+    exp = {}
+    for r in rows:
+        t = (
+            r.text
+            + " reported by "
+            + _GAZETTEER[r.doc_id % 8]
+            + " and "
+            + _GAZETTEER[(r.doc_id * 3 + 1) % 8]
+        )
+        exp[r.doc_id] = hashlib.md5(pat.sub("<NAME>", t).encode()).hexdigest()
+    for r in pii_gazetteer(spark, sf_smoke).collect():
+        assert (r.n_names, r.n_distinct_names) == (2, 2), r
+        assert r.redacted_md5 == exp[r.doc_id]

@@ -1251,3 +1251,33 @@ def test_graph_communities_exchanges_host_label_pairs_only(spark, sf_smoke, qs):
     assert "ReadSchema" in plan_full and "text" not in (
         plan_full.split("ReadSchema:")[1].split("\n")[0]
     ), plan_full
+
+
+def test_simjoin_prefix_no_cartesian_digest_exchanges(spark, sf_smoke, qs):
+    """Prefix-filtered candidate generation and verification are all
+    equi-joins (never a cartesian/nested-loop all-pairs), and the text
+    column dies at the scan — only md5 digests and counts exchange."""
+    df = qs["simjoin_prefix"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p
+
+
+def test_quote_mining_reuses_digest_partitioning(spark, sf_smoke, qs):
+    """First-writer election and the attribution join key on the SAME
+    gram digest, so the join reuses the aggregate's hash partitioning
+    instead of adding a third corpus-sized exchange."""
+    df = qs["quote_mining"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange hashpartitioning(g#") <= 2, p
+
+
+def test_pii_gazetteer_dictionary_broadcasts(spark, sf_smoke, qs):
+    """The gazetteer joins as a broadcast — the token stream must never
+    shuffle to meet a dictionary."""
+    df = qs["pii_gazetteer"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p

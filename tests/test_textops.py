@@ -772,3 +772,71 @@ def test_dedup_minhash_recall_summary_is_consistent(spark, sf_smoke):
     # pair — n_cand can never exceed the full candidate list
     n_all = dedup_minhash(spark, sf_smoke).count()
     assert r.n_cand <= n_all
+
+
+def test_simjoin_prefix_matches_bruteforce_python(spark, sf_smoke):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    Jaccard>=1/2 pair set — zero false negatives is the whole point."""
+    from caraspark.tables import load
+    from caraspark.textops import simjoin_prefix
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    shingles = {}
+    for r in rows:
+        t = r.text.strip().split()
+        if len(t) >= 3:
+            shingles[r.doc_id] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
+    ids = sorted(shingles)
+    exp = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            if 3 * inter >= len(shingles[a]) + len(shingles[b]):
+                exp.add((a, b, inter))
+    got = {
+        (r.id_a, r.id_b, r.n_inter)
+        for r in simjoin_prefix(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp  # non-vacuous
+
+
+def test_quote_mining_edges_point_forward_and_match_python(spark, sf_smoke):
+    from caraspark.tables import load
+    from caraspark.textops import quote_mining
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    grams = {}
+    for r in rows:
+        t = r.text.strip().split()
+        if len(t) >= 5:
+            grams[r.doc_id] = {
+                " ".join(t[i : i + 5]) for i in range(len(t) - 4)
+            }
+    first = {}
+    for d in sorted(grams):
+        for g in grams[d]:
+            first.setdefault(g, d)
+    exp = {}
+    for d, gs in grams.items():
+        for g in gs:
+            if first[g] < d:
+                k = (first[g], d)
+                exp[k] = exp.get(k, 0) + 1
+    got = {
+        (r.src_doc, r.dst_doc): r.n_shared
+        for r in quote_mining(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp
+    assert all(s < d for s, d in got)
