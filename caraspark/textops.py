@@ -3448,3 +3448,84 @@ def quote_mining(spark, sf):
         .groupBy("src_doc", F.col("doc_id").alias("dst_doc"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-dedup REMOVE step: spans -> cleaned text (byte-verified)
+# ---------------------------------------------------------------------------
+
+
+def _substring_remove_sql() -> str:
+    return f"""
+WITH sp AS ({REGISTRY["dedup_substring_spans"].sql}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(text) > 0
+),
+toks2 AS (
+  SELECT doc_id, u.x AS w, u.i - 1 AS pos
+  FROM toks, LATERAL (SELECT unnest(t) AS x,
+                             generate_subscripts(t, 1) AS i) u
+),
+cov AS (
+  SELECT DISTINCT t2.doc_id, t2.pos
+  FROM toks2 t2 JOIN sp s
+    ON s.doc_id = t2.doc_id
+   AND t2.pos >= s.span_start AND t2.pos < s.span_end
+),
+keptdoc AS (
+  SELECT t2.doc_id,
+         string_agg(t2.w, ' ' ORDER BY t2.pos) AS kept,
+         count(*) AS n_kept
+  FROM toks2 t2
+  LEFT JOIN cov c ON c.doc_id = t2.doc_id AND c.pos = t2.pos
+  WHERE c.pos IS NULL
+  GROUP BY t2.doc_id
+)
+SELECT k.doc_id AS doc_id,
+       CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(len(k.t) - coalesce(kd.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(kd.kept, '')) AS kept_md5
+FROM toks k LEFT JOIN keptdoc kd ON kd.doc_id = k.doc_id
+"""
+
+
+@_q("substring_remove", _substring_remove_sql())
+def substring_remove(spark, sf):
+    """The WRITER of substring dedup (Lee et al.'s remove step, end to
+    end): subtract each document's merged duplicate spans
+    (``dedup_substring_spans``) from its token stream and emit the
+    cleaned text's md5 plus the removed-token count — the byte-level
+    contract a dedup pass must honor, pinned here the same way the
+    extraction pipeline pins text bytes.
+
+    Scale: the spans table joins back to documents keyed doc_id (the
+    partitioning every per-doc table already shares); span subtraction is
+    a SCAN-STAGE array lambda — filter the token array by positional
+    coverage against the doc's own span list (tagger-bounded, tens of
+    entries) — so no token ever exchanges and nothing re-sorts: the
+    collect_list order-insensitivity is real because spans are only
+    PROBED (exists), never concatenated.
+    """
+    docs = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    spans = dedup_substring_spans(spark, sf).select(
+        "doc_id", F.struct("span_start", "span_end").alias("sp")
+    )
+    sps = spans.groupBy("doc_id").agg(F.collect_list("sp").alias("sps"))
+    j = toks.join(sps, "doc_id", "left").withColumn(
+        "sps", F.coalesce("sps", F.array())
+    )
+    kept = F.filter(
+        "t",
+        lambda x, i: ~F.exists(
+            F.col("sps"),
+            lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
+    )

@@ -1281,3 +1281,15 @@ def test_pii_gazetteer_dictionary_broadcasts(spark, sf_smoke, qs):
     df = qs["pii_gazetteer"](spark, sf_smoke)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
+
+
+def test_substring_remove_subtraction_is_scan_stage(spark, sf_smoke, qs):
+    """Span subtraction is an array lambda in a Project — no Python
+    stage, no cartesian, and no exchange whose key is a token/gram
+    string (only doc_id and the digest exchanges the marking pass
+    already pays)."""
+    df = qs["substring_remove"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p

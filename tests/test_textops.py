@@ -840,3 +840,36 @@ def test_quote_mining_edges_point_forward_and_match_python(spark, sf_smoke):
     }
     assert got == exp and exp
     assert all(s < d for s, d in got)
+
+
+def test_substring_remove_matches_python_subtraction(spark, sf_smoke):
+    """kept_md5 equals a Python re-derivation: tokens minus the merged
+    duplicate spans, and removed counts are consistent with span
+    lengths."""
+    import hashlib
+
+    from caraspark.tables import load
+    from caraspark.textops import dedup_substring_spans, substring_remove
+
+    texts = {
+        r.doc_id: r.text.strip().split()
+        for r in load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("doc_id", "text")
+        .collect()
+    }
+    spans = {}
+    for r in dedup_substring_spans(spark, sf_smoke).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {r.doc_id: r for r in substring_remove(spark, sf_smoke).collect()}
+    assert set(got) == set(texts)
+    for doc_id, t in texts.items():
+        covered = set()
+        for s, e in spans.get(doc_id, []):
+            covered.update(range(s, min(e, len(t))))
+        kept = [w for i, w in enumerate(t) if i not in covered]
+        r = got[doc_id]
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(t) - len(kept)
+        assert r.kept_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert any(r.n_removed > 0 for r in got.values())  # non-vacuous
