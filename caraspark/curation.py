@@ -7832,3 +7832,162 @@ def pii_gazetteer(spark, sf):
             ).alias("redacted_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scoring documents with the trained Kneser-Ney LM
+# ---------------------------------------------------------------------------
+
+
+def _kn_score_sql() -> str:
+    m = _KN_MICRO
+    return f"""
+WITH lm AS ({REGISTRY["lm_kneser_ney"].sql}),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id, a[CAST(r.i AS INT)] AS w1, a[CAST(r.i AS INT) + 1] AS w2
+  FROM toks, range(1, 4096) r(i) WHERE r.i < len(a)
+),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(length(printf('%b',
+                {m} // greatest(lm.p_micro, 1))) - 1 AS BIGINT) AS bits
+  FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       CAST(sum(bits) * {m} // count(*) AS BIGINT) AS bits_per_bigram_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+@_q("lm_kn_score", _kn_score_sql())
+def lm_kn_score(spark, sf):
+    """Score every document with the CORPUS-TRAINED Kneser-Ney bigram LM
+    (``lm_kneser_ney``) — the missing middle of the CCNet loop: train
+    the LM (done), SCORE each page's bigram stream with it (this), then
+    bucket by score (``ppl_buckets`` does it for the unigram LM).  Each
+    bigram contributes floor(log2(1/p)) bits via the exact
+    integer-bit-length trick ``text_surprisal`` pins (length(bin(M DIV
+    p_micro)) − 1 — no float log anywhere); the per-doc score is exact
+    integer micro-bits-per-bigram.  Self-scoring means no OOV path: every
+    observed bigram is in the table by construction (production holds
+    out the eval shard; the join shape is identical).
+
+    Scale: the LM table is Zipf-bounded (bigram TYPES, not tokens) and
+    BROADCASTS; the document bigram stream is a scan-stage explode that
+    meets it map-side and aggregates per doc_id — one corpus-sized
+    exchange total, carrying (doc_id, small ints).
+    """
+    lm = lm_kneser_ney(spark, sf).select("w1", "w2", "p_micro")
+    d = load(spark, sf, "documents")
+    ws = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("a")
+    ).filter(F.size("a") >= 2)
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 1),
+                lambda i: F.struct(
+                    F.element_at("a", i).alias("w1"),
+                    F.element_at("a", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bits = (
+        F.length(
+            F.expr(f"bin({_KN_MICRO} DIV greatest(p_micro, 1L))")
+        )
+        - 1
+    ).cast("bigint")
+    scored = bg.join(F.broadcast(lm), ["w1", "w2"]).select(
+        "doc_id", bits.alias("bits")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+        F.expr(f"CAST(sum(bits) * {_KN_MICRO} DIV count(*) AS BIGINT)").alias(
+            "bits_per_bigram_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering stats (lake OPTIMIZE / data-skipping layout)
+# ---------------------------------------------------------------------------
+
+
+def _z_expr(intdiv: str) -> str:
+    """Bit-interleave of two 6-bit dims as pure integer arithmetic —
+    identical formula text in both engines modulo the integer-division
+    operator (Spark ``DIV``, DuckDB ``//``)."""
+    terms = []
+    for b in range(6):
+        terms.append(f"((zx {intdiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((zy {intdiv} {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+def _zorder_sql() -> str:
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         least(n_chars // 8, 63) AS zx,
+         doc_id % 64 AS zy
+  FROM documents
+),
+z AS (SELECT doc_id, zx, zy, {_z_expr('//')} AS zval FROM dims)
+SELECT CAST(zval // 256 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(zx) AS BIGINT) AS min_x, CAST(max(zx) AS BIGINT) AS max_x,
+       CAST(min(zy) AS BIGINT) AS min_y, CAST(max(zy) AS BIGINT) AS max_y,
+       CAST(max(zx) - min(zx) AS BIGINT) AS x_spread,
+       CAST(max(zy) - min(zy) AS BIGINT) AS y_spread
+FROM z GROUP BY zval // 256
+"""
+
+
+@_q("cluster_zorder", _zorder_sql())
+def cluster_zorder(spark, sf):
+    """Z-order (Morton) clustering census — the layout step behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY (a, b)``: interleave the bits of
+    two filter dimensions (here a 6-bit length class and a 6-bit id
+    class) so that CONTIGUOUS z-ranges are small rectangles in (x, y)
+    space, then report per-file-bucket min/max of BOTH dims — exactly
+    the footer stats a reader prunes with.  A bucket of 256 consecutive
+    z-values is guaranteed a ≤16×16 rectangle, so predicates on EITHER
+    dimension skip ~15/16 of files (linear layout gives that for one
+    dimension and nothing for the other); x_spread/y_spread make the
+    guarantee visible in the output.
+
+    Determinism: the interleave is pure integer arithmetic (shift =
+    divide by power of two, identical formula text both engines), never
+    a platform bit-intrinsic.
+
+    Scale: the z-value is a scan-stage expression; production follows
+    with repartitionByRange(zval) + sortWithinPartitions — one range
+    exchange, the same cost as any sort-based OPTIMIZE — and this
+    census is the map-side-combined aggregate that validates the layout
+    before the rewrite commits.
+    """
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.least(F.expr("n_chars DIV 8"), F.lit(63)).alias("zx"),
+        (F.col("doc_id") % 64).alias("zy"),
+    )
+    z = d.select("doc_id", "zx", "zy", F.expr(_z_expr("DIV")).alias("zval"))
+    return z.groupBy(F.expr("zval DIV 256").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("zx").cast("bigint").alias("min_x"),
+        F.max("zx").cast("bigint").alias("max_x"),
+        F.min("zy").cast("bigint").alias("min_y"),
+        F.max("zy").cast("bigint").alias("max_y"),
+        (F.max("zx") - F.min("zx")).cast("bigint").alias("x_spread"),
+        (F.max("zy") - F.min("zy")).cast("bigint").alias("y_spread"),
+    )

@@ -2161,3 +2161,52 @@ def test_pii_gazetteer_counts_and_redaction(spark, sf_smoke):
     for r in pii_gazetteer(spark, sf_smoke).collect():
         assert (r.n_names, r.n_distinct_names) == (2, 2), r
         assert r.redacted_md5 == exp[r.doc_id]
+
+
+def test_lm_kn_score_bits_match_python(spark, sf_smoke):
+    """Per-doc bit totals equal a Python fold over the collected LM
+    table — the integer log2 floor must agree bigram-by-bigram."""
+    from caraspark.curation import _KN_MICRO, lm_kn_score, lm_kneser_ney
+    from caraspark.tables import load
+
+    lm = {
+        (r.w1, r.w2): r.p_micro
+        for r in lm_kneser_ney(spark, sf_smoke).collect()
+    }
+    texts = (
+        load(spark, sf_smoke, "documents")
+        .filter("size(split(lower(text), ' ')) >= 2")
+        .select("doc_id", "text")
+        .collect()
+    )
+    exp = {}
+    for r in texts:
+        a = r.text.lower().split(" ")
+        bits = [
+            (_KN_MICRO // max(lm[(a[i], a[i + 1])], 1)).bit_length() - 1
+            for i in range(len(a) - 1)
+        ]
+        exp[r.doc_id] = (len(bits), sum(bits))
+    got = {
+        r.doc_id: (r.n_bigrams, r.total_bits, r.bits_per_bigram_micro)
+        for r in lm_kn_score(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(exp)
+    for d, (n, tot) in exp.items():
+        gn, gtot, gavg = got[d]
+        assert (gn, gtot) == (n, tot)
+        assert gavg == tot * _KN_MICRO // n
+
+
+def test_cluster_zorder_buckets_are_small_rectangles(spark, sf_smoke):
+    """The Morton guarantee: a run of 256 consecutive z-values maps into
+    a 16x16 rectangle, so every bucket's per-dimension spread is < 16 —
+    the data-skipping property the layout exists for."""
+    from caraspark.curation import cluster_zorder
+
+    rows = cluster_zorder(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.x_spread < 16, r
+        assert 0 <= r.y_spread < 16, r
+        assert r.min_x <= r.max_x and r.min_y <= r.max_y

@@ -1293,3 +1293,22 @@ def test_substring_remove_subtraction_is_scan_stage(spark, sf_smoke, qs):
     assert "CartesianProduct" not in p, p
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in p, p
+
+
+def test_lm_kn_score_lm_table_broadcasts(spark, sf_smoke, qs):
+    """The Zipf-bounded LM table must broadcast onto the document bigram
+    stream — the corpus never shuffles to meet its own LM."""
+    df = qs["lm_kn_score"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_cluster_zorder_single_aggregate_no_join(spark, sf_smoke, qs):
+    """The interleave is scan-stage arithmetic: no join, one
+    partial+final aggregate, no Python."""
+    df = qs["cluster_zorder"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
+    assert "HashAggregate" in p, p
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in p, p
