@@ -1961,3 +1961,87 @@ def ts_cusum(spark, sf):
         F.col("minute").cast("bigint").alias("minute"),
         F.col("cusum").cast("bigint").alias("cusum_cents"),
     )
+
+
+@_q(
+    "events_attribution",
+    """WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, event_type, sec,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_id END IGNORE NULLS)
+           OVER u AS first_touch_id,
+         first_value(CASE WHEN event_type IN ('view', 'click')
+                          THEN event_type END IGNORE NULLS)
+           OVER u AS first_touch_type,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_id END IGNORE NULLS)
+           OVER u AS last_touch_id,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER u AS last_touch_type,
+         sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           OVER u AS n_touches
+  FROM e
+  WINDOW u AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id,
+       first_touch_id, first_touch_type, last_touch_id, last_touch_type,
+       CAST(coalesce(n_touches, 0) AS BIGINT) AS n_touches
+FROM w WHERE event_type = 'purchase'""",
+)
+def events_attribution(spark, sf):
+    """First-touch / last-touch marketing attribution: every purchase is
+    annotated with the FIRST and the MOST RECENT preceding touch event
+    (view or click) of the same user, plus the touch count — the two
+    canonical attribution models, computed in one pass.  Running
+    conditional window aggregates with IGNORE NULLS do all the work; a
+    purchase with no prior touch keeps NULLs and n_touches = 0 (the
+    "direct conversion" row an attribution report must not drop).
+    Ordering ties break on event_id, so both engines see one total
+    order.
+
+    Scale shape: ONE exchange keyed user_id, then a partition-local
+    ordered scan — no self-join of the event stream against itself (the
+    naive per-conversion lookback join is quadratic in events per
+    user).  Per-user state in the window is four scalars; skewed power
+    users cost sort time, not memory.  The same frame serves all five
+    outputs, so Catalyst collapses them into a single Window operator."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    u = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    tid = F.when(is_touch, F.col("event_id"))
+    tty = F.when(is_touch, F.col("event_type"))
+    w = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first(tid, ignorenulls=True).over(u).alias("first_touch_id"),
+        F.first(tty, ignorenulls=True).over(u).alias("first_touch_type"),
+        F.last(tid, ignorenulls=True).over(u).alias("last_touch_id"),
+        F.last(tty, ignorenulls=True).over(u).alias("last_touch_type"),
+        F.sum(F.when(is_touch, 1).otherwise(0)).over(u).alias("n_touches"),
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "first_touch_id",
+        "first_touch_type",
+        "last_touch_id",
+        "last_touch_type",
+        F.coalesce("n_touches", F.lit(0)).cast("bigint").alias("n_touches"),
+    )

@@ -1312,3 +1312,14 @@ def test_cluster_zorder_single_aggregate_no_join(spark, sf_smoke, qs):
     assert "HashAggregate" in p, p
     for bad in ("BatchEvalPython", "ArrowEvalPython"):
         assert bad not in p, p
+
+
+def test_events_attribution_one_window_no_self_join(spark, sf_smoke, qs):
+    """All five attribution outputs share one frame: exactly one Window
+    operator, one user_id exchange, and no self-join of the event
+    stream."""
+    df = qs["events_attribution"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p

@@ -186,3 +186,50 @@ def test_cusum_matches_python_fold(spark, sf_smoke):
     assert got, "planted bursts must alert"
     planted = {key for key in cents if key[1] % 89 == 0}
     assert planted <= set(got), "every planted burst minute alerts"
+
+
+def test_events_attribution_matches_python(spark, sf_smoke):
+    """First/last touch and counts agree with a per-user Python replay;
+    purchases with no prior touch keep NULLs and n_touches=0."""
+    from caraspark.relational import events_attribution
+    from caraspark.tables import load
+
+    evs = (
+        load(spark, sf_smoke, "events")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "CAST(CAST(ts AS TIMESTAMP) AS LONG) AS sec",
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in evs:
+        by_user.setdefault(r.user_id, []).append(r)
+    exp = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.sec, r.event_id))
+        touches = []
+        for r in rows:
+            if r.event_type == "purchase":
+                exp[r.event_id] = (
+                    touches[0][0] if touches else None,
+                    touches[0][1] if touches else None,
+                    touches[-1][0] if touches else None,
+                    touches[-1][1] if touches else None,
+                    len(touches),
+                )
+            if r.event_type in ("view", "click"):
+                touches.append((r.event_id, r.event_type))
+    got = {
+        r.purchase_id: (
+            r.first_touch_id,
+            r.first_touch_type,
+            r.last_touch_id,
+            r.last_touch_type,
+            r.n_touches,
+        )
+        for r in events_attribution(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp
