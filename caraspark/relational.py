@@ -2045,3 +2045,152 @@ def events_attribution(spark, sf):
         "last_touch_type",
         F.coalesce("n_touches", F.lit(0)).cast("bigint").alias("n_touches"),
     )
+
+
+# exact integer revenue: cents(extendedprice) * (100 - cents-discount)
+# = price*discount-complement in 1e-4 dollar units, summable in any order
+_REV_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+@_q(
+    "tpch_q3",
+    f"""WITH j AS (
+  SELECT l.l_orderkey,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s,
+         o.o_orderpriority,
+         {_REV_SQL} AS rev
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1999-06-01 00:00:00'
+),
+g AS (
+  SELECT l_orderkey, orderdate_s, o_orderpriority,
+         CAST(sum(rev) AS BIGINT) AS revenue_e4
+  FROM j GROUP BY l_orderkey, orderdate_s, o_orderpriority
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY revenue_e4 DESC, orderdate_s,
+                               l_orderkey) AS rk
+  FROM g
+)
+SELECT l_orderkey, revenue_e4, orderdate_s, o_orderpriority
+FROM r WHERE rk <= 10""",
+)
+def tpch_q3(spark, sf):
+    """TPC-H Q3 (shipping priority): top unshipped orders of one market
+    segment by revenue — the canonical 3-way star join + aggregate +
+    top-k.  Revenue sums EXACT 1e-4-dollar integers (cents(price) x
+    discount-complement-in-cents), so the sum is order-insensitive and
+    the top-10 cut (ties broken by date then key) is deterministic in
+    both engines — the float-sum nondeterminism that makes naive Q3
+    unhashable never arises.
+
+    Scale shape: both filters are scan-stage (pushed to parquet row
+    groups); the BUILDING customer table broadcasts onto orders, the
+    surviving orders broadcast-or-SMJ onto lineitem keyed l_orderkey,
+    and the rollup's partial aggregate combines map-side so the final
+    exchange carries one row per qualifying order.  The global top-10
+    window runs over that order-cardinality table — at 10^12 lineitems
+    a rank-then-limit over qualifying ORDERS is ~10^6 rows, and AQE
+    picks the broadcast side from runtime sizes."""
+    c = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-01 00:00:00").cast("timestamp")
+    )
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate")
+            .cast("timestamp")
+            .cast("long")
+            .alias("orderdate_s"),
+            "o_orderpriority",
+            F.expr(_REV_SQL).alias("rev"),
+        )
+    )
+    g = j.groupBy("l_orderkey", "orderdate_s", "o_orderpriority").agg(
+        F.sum("rev").cast("bigint").alias("revenue_e4")
+    )
+    rk = F.row_number().over(
+        W.orderBy(
+            F.col("revenue_e4").desc(), F.col("orderdate_s"), F.col("l_orderkey")
+        )
+    )
+    return (
+        g.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select("l_orderkey", "revenue_e4", "orderdate_s", "o_orderpriority")
+    )
+
+
+@_q(
+    "tpch_q5",
+    f"""SELECT n.n_name,
+       CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name""",
+)
+def tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    customer and the supplier share a nation inside one region — the
+    canonical 6-way join with a cross-dimension equality (s_nationkey =
+    c_nationkey) that defeats naive star-join planners.  Revenue uses
+    the same exact 1e-4-dollar integers as Q3, so the per-nation sums
+    hash-match bit-for-bit.
+
+    Scale shape: region->nation->supplier is a broadcast chain (tiny
+    dims); the customer-orders and orders-lineitem joins shuffle on
+    their natural keys with scan-stage date pruning; the
+    nation-equality lands as a join-side filter once supplier
+    broadcasts, so no extra exchange appears for it.  Final aggregate
+    is 25 groups — partial agg collapses everything map-side."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.expr(_REV_SQL)).cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

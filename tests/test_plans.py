@@ -1323,3 +1323,23 @@ def test_events_attribution_one_window_no_self_join(spark, sf_smoke, qs):
     assert p.count("Window") == 1, p
     assert "Join" not in p, p
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_tpch_q3_filters_pushed_and_partial_agg(spark, sf_smoke, qs):
+    """Both date predicates and the segment filter reach the parquet
+    scans, and the revenue rollup is partial+final."""
+    df = qs["tpch_q3"](spark, sf_smoke)
+    full = plan_of(df)
+    assert "PushedFilters" in full, full
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q5_dimension_chain_broadcasts(spark, sf_smoke, qs):
+    """supplier, nation, and region all broadcast — the fact stream
+    never shuffles to meet a dimension."""
+    df = qs["tpch_q5"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
