@@ -2194,3 +2194,88 @@ def tpch_q5(spark, sf):
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@_q(
+    "tpch_q8",
+    f"""WITH allrev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         n2.n_name AS supp_nation,
+         {_REV_SQL} AS rev
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END)
+            AS BIGINT) AS nation_rev_e4,
+       CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END)
+            * 1000000 // sum(rev) AS BIGINT) AS share_ppm
+FROM allrev GROUP BY o_year""",
+)
+def tpch_q8(spark, sf):
+    """TPC-H Q8 (national market share): of the PROMO-part revenue sold
+    into EUROPEAN customers over two years, what fraction came from
+    NATION_7 suppliers, per year — the 8-way join whose two nation roles
+    (customer's vs supplier's) force the same dimension in twice under
+    different keys.  The share is exact integer parts-per-million
+    (1e-4-dollar revenue units, integer floor division), so no float
+    ratio ever orders or hashes differently.
+
+    Scale shape: part is filtered then joined FIRST (the most selective
+    reducer of the lineitem stream); region→nation→customer prunes the
+    order side; supplier and both nation copies broadcast.  The only
+    big exchanges are lineitem⋈part and orders⋈customer on natural
+    keys; the yearly rollup is 2 groups, all partial map-side."""
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_reg"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            "supp_nation",
+            F.expr(_REV_SQL).alias("rev"),
+        )
+    )
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("rev")).otherwise(0))
+    tot = F.sum("rev")
+    return j.groupBy("o_year").agg(
+        nat.cast("bigint").alias("nation_rev_e4"),
+        tot.cast("bigint").alias("total_rev_e4"),
+        F.expr(
+            "CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END)"
+            " * 1000000 DIV sum(rev) AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -1343,3 +1343,12 @@ def test_tpch_q5_dimension_chain_broadcasts(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q8_five_dimensions_broadcast(spark, sf_smoke, qs):
+    """part, both nation roles, region, and supplier all broadcast; the
+    only shuffled joins key on the two natural fact keys."""
+    df = qs["tpch_q8"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 5, p
+    assert "CartesianProduct" not in p, p
