@@ -116,6 +116,21 @@ EXTRAS = [
     "events_transitions",
     "ts_downsample",
     "pdf_scavenge",
+    "split_by_host",
+    "bitext_mine",
+    "vocab_growth",
+    "span_merge",
+    "graph_communities",
+    "simjoin_prefix",
+    "quote_mining",
+    "pii_gazetteer",
+    "substring_remove",
+    "lm_kn_score",
+    "cluster_zorder",
+    "events_attribution",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q8",
 ]
 
 REPEATS = 3

@@ -1336,3 +1336,63 @@ def scavenge_summary(data: bytes) -> tuple[int, int, int, int, int]:
         len(sv) - n_conf,
         len(inuse),
     )
+
+
+def extract_annotations(doc: Document) -> list[dict]:
+    """Annotation census [PDF17 SS12.5]: every entry of every page's
+    /Annots array, in page-tree order — the per-annotation inventory
+    backing interactive-feature triage (which pages carry widgets,
+    links, or multimedia) that the action census (``extract_actions``)
+    only sees when an /A or /AA is present.  Capability parity:
+    caradoc's annotation typing (``src/type/`` annotation classes [P]),
+    surfaced as a corpus table.
+
+    Rows: {"pos", "page_idx", "subtype", "has_action", "has_aa",
+    "has_appearance"}; subtype None when /Subtype is missing or not a
+    name (the typechecker flags it; the census still counts the row).
+    The page walk is the same cycle-guarded /Kids DFS the text extractor
+    and action census use, so a malformed page tree cannot loop it."""
+    cat = _resolve(doc, doc.trailer.get("Root"))
+    out: list[dict] = []
+    if not isinstance(cat, dict):
+        return out
+    pages: list = []
+    stack = [(_resolve(doc, cat.get("Pages")), 0)]
+    seen_pages: set[int] = set()
+    while stack:
+        node, depth = stack.pop()
+        if not isinstance(node, dict) or depth > 64 or id(node) in seen_pages:
+            continue
+        seen_pages.add(id(node))
+        t = node.get("Type")
+        if isinstance(t, Name) and t.v == "Page":
+            pages.append(node)
+            continue
+        kids = _resolve(doc, node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in reversed(kids):
+                stack.append((_resolve(doc, kid), depth + 1))
+    for pi, page in enumerate(pages):
+        annots = _resolve(doc, page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for av in annots:
+            annot = _resolve(doc, av)
+            if not isinstance(annot, dict):
+                continue
+            st = annot.get("Subtype")
+            out.append(
+                {
+                    "pos": len(out),
+                    "page_idx": pi,
+                    "subtype": st.v if isinstance(st, Name) else None,
+                    "has_action": isinstance(
+                        _resolve(doc, annot.get("A")), dict
+                    ),
+                    "has_aa": isinstance(_resolve(doc, annot.get("AA")), dict),
+                    "has_appearance": isinstance(
+                        _resolve(doc, annot.get("AP")), dict
+                    ),
+                }
+            )
+    return out

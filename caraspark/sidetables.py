@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.oracle_freeze import (
     actions_cte,
+    annot_cte,
     attach_cte,
     corpus_cte,
     formfield_cte,
@@ -1262,3 +1263,75 @@ def pdf_repair(spark, sf):
     output row is five fixed-width columns."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_repair_batches, _REPAIR_DDL)
+
+
+_ANNOT_DDL = (
+    "url string, pos int, page_idx int, subtype string,"
+    " has_action boolean, has_aa boolean, has_appearance boolean"
+)
+_ANNOT_ARROW = pa.schema(
+    [
+        ("url", pa.string()),
+        ("pos", pa.int32()),
+        ("page_idx", pa.int32()),
+        ("subtype", pa.string()),
+        ("has_action", pa.bool_()),
+        ("has_aa", pa.bool_()),
+        ("has_appearance", pa.bool_()),
+    ]
+)
+
+
+def _annot_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import (
+        extract_annotations,
+        load_document,
+    )
+
+    cols = {f.name: [] for f in _ANNOT_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            if _prune_skip(blob, b"/Annots"):
+                continue
+            for a in extract_annotations(load_document(blob)):
+                cols["url"].append(url)
+                cols["pos"].append(a["pos"])
+                cols["page_idx"].append(a["page_idx"])
+                cols["subtype"].append(a["subtype"])
+                cols["has_action"].append(a["has_action"])
+                cols["has_aa"].append(a["has_aa"])
+                cols["has_appearance"].append(a["has_appearance"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _ANNOT_ARROW],
+                schema=_ANNOT_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_annots",
+    f"""WITH {corpus_cte()},
+{annot_cte()}
+SELECT d.url, CAST(a.pos AS INT) AS pos, CAST(a.page_idx AS INT) AS page_idx,
+       a.subtype, a.has_action, a.has_aa, a.has_appearance
+FROM docs d JOIN an a ON a.rid = d.rid""",
+)
+def pdf_annots(spark, sf):
+    """Annotation census across the corpus [PDF17 SS12.5]: every entry
+    of every page's /Annots array in page-tree order, with its /Subtype
+    and the has-/A, has-/AA, has-/AP flags — the per-annotation
+    inventory behind interactive-feature triage, complementing
+    ``pdf_actions`` (which only sees annotations carrying actions) and
+    the typechecker's 22 annotation classes (which validate but don't
+    tabulate).  Hash-verified against frozen per-recipe rows.  Narrow
+    Arrow stage; the ``/Annots`` byte-marker prune skips the page walk
+    for the (overwhelming at web scale) annotation-free majority."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_annot_batches, _ANNOT_DDL)

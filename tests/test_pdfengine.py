@@ -2249,3 +2249,25 @@ def test_scavenge_never_throws(junk, n):
     for r in rows:
         assert isinstance(r["parse_ok"], bool)
         assert 0 <= r["offset"] < len(blob)
+
+
+def test_extract_annotations_census():
+    """Annotation rows carry page order, subtypes, and the A/AA/AP
+    flags; the acroform recipe's widgets and the link-annot recipes'
+    links must both appear."""
+    from caraspark.pdfengine.document import extract_annotations, load_document
+    from caraspark.synth import PDF_RECIPES
+
+    total = 0
+    subtypes = set()
+    for name, fn in sorted(PDF_RECIPES.items()):
+        rows = extract_annotations(load_document(fn()))
+        total += len(rows)
+        for i, r in enumerate(rows):
+            assert r["pos"] == i
+            assert r["page_idx"] >= 0
+            subtypes.add(r["subtype"])
+    assert total >= 10
+    # (the acroform recipe's fields live only under /AcroForm /Fields —
+    # widgets here come from recipes that also link them on a page)
+    assert "Widget" in subtypes and "Link" in subtypes

@@ -86,6 +86,7 @@ def build_extras():
     formfield_rows = []
     js_rows = []
     action_rows = []
+    annot_rows = []
     anchor_rows = []
     table_rows = []
     list_rows = []
@@ -240,6 +241,15 @@ def build_extras():
             action_rows.append(
                 (rid, act["pos"], act["source"], act["s"], act["target"])
             )
+        from caraspark.pdfengine.document import extract_annotations
+
+        for an in extract_annotations(doc):
+            annot_rows.append(
+                (
+                    rid, an["pos"], an["page_idx"], an["subtype"],
+                    an["has_action"], an["has_aa"], an["has_appearance"],
+                )
+            )
         for rv in extract_revisions(doc):
             revision_rows.append(
                 (rid, rv["rev"], rv["kind"], rv["size"],
@@ -338,8 +348,8 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
+        action_rows, annot_rows, revision_rows, page_rows, font_rows,
+        sig_rows, xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
     )
 
 
@@ -546,8 +556,8 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, revision_rows, page_rows, font_rows, sig_rows,
-        xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
+        action_rows, annot_rows, revision_rows, page_rows, font_rows,
+        sig_rows, xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -579,6 +589,7 @@ def main() -> None:
             f"JSONLD_ROWS = {fmt(jsonld_rows)}\n\n"
             f"JS_ROWS = {fmt(js_rows)}\n\n"
             f"ACTION_ROWS = {fmt(action_rows)}\n\n"
+            f"ANNOT_ROWS = {fmt(annot_rows)}\n\n"
             f"ALT_ROWS = {fmt(alt_rows)}\n\n"
             f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
             f"PAGE_ROWS = {fmt(page_rows)}\n\n"
