@@ -2279,3 +2279,78 @@ def tpch_q8(spark, sf):
             " * 1000000 DIV sum(rev) AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+@_q(
+    "scd2_intervals",
+    """WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_id, event_type, sec,
+         sum(CASE WHEN event_type = prev_type THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id) AS run_id
+  FROM (SELECT *, lag(event_type)
+                    OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                  AS prev_type
+        FROM e) x
+),
+collapsed AS (
+  SELECT user_id, run_id, any_value(event_type) AS state,
+         min(sec) AS valid_from_s, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state, valid_from_s,
+       lead(valid_from_s)
+         OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_s,
+       n_events,
+       lead(valid_from_s)
+         OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
+FROM collapsed""",
+)
+def scd2_intervals(spark, sf):
+    """Slowly-changing-dimension Type 2 build: turn each user's event
+    stream into validity intervals — consecutive runs of the same state
+    collapse to one row with [valid_from, valid_to) stamped from the
+    NEXT run's start, and the open interval flags is_current — the
+    standard lakehouse dimension-history shape (what a MERGE-based SCD2
+    pipeline materializes incrementally; this is the batch rebuild).
+    Ties order by event_id so both engines see one total order.
+
+    Scale shape: one exchange keyed user_id serves everything — the
+    run-detection window, the per-run collapse (map-side combinable
+    after the window), and the interval-stamping lead() all reuse the
+    same partitioning; nothing re-sorts globally and per-user state is a
+    single row.  The collapsed table is runs-cardinality (<= events),
+    so the second window is strictly cheaper than the first."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    wu = W.partitionBy("user_id").orderBy("sec", "event_id")
+    runs = e.withColumn("prev_type", F.lag("event_type").over(wu)).withColumn(
+        "run_id",
+        F.sum(
+            F.when(F.col("event_type") == F.col("prev_type"), 0).otherwise(1)
+        ).over(wu),
+    )
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.any_value("event_type").alias("state"),
+        F.min("sec").alias("valid_from_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_s").over(wr)
+    return collapsed.select(
+        "user_id",
+        F.col("run_id").cast("bigint").alias("run_id"),
+        "state",
+        "valid_from_s",
+        nxt.alias("valid_to_s"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )

@@ -1352,3 +1352,12 @@ def test_tpch_q8_five_dimensions_broadcast(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("BroadcastHashJoin") >= 5, p
     assert "CartesianProduct" not in p, p
+
+
+def test_scd2_intervals_one_user_exchange(spark, sf_smoke, qs):
+    """Run detection, collapse, and interval stamping all reuse a single
+    user_id hash partitioning."""
+    df = qs["scd2_intervals"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    assert "Join" not in p, p

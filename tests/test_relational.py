@@ -233,3 +233,30 @@ def test_events_attribution_matches_python(spark, sf_smoke):
         for r in events_attribution(spark, sf_smoke).collect()
     }
     assert got == exp and exp
+
+
+def test_scd2_intervals_partition_users_cleanly(spark, sf_smoke):
+    """Per user: intervals abut exactly (valid_to == next valid_from),
+    exactly one open current row, states alternate (no two consecutive
+    runs share a state), and n_events sums to the user's event count."""
+    from collections import Counter
+
+    from caraspark.relational import scd2_intervals
+    from caraspark.tables import load
+
+    n_events = Counter(
+        r.user_id
+        for r in load(spark, sf_smoke, "events").select("user_id").collect()
+    )
+    by_user = {}
+    for r in scd2_intervals(spark, sf_smoke).collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(n_events)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.run_id)
+        assert [r.run_id for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == n_events[uid]
+        assert sum(r.is_current for r in rows) == 1 and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_s == b.valid_from_s
+            assert a.state != b.state
