@@ -457,3 +457,25 @@ def stream_ingest_lake(
     finally:
         q.stop()
         q.awaitTermination()
+
+
+def replay_corpus_stream(
+    spark: SparkSession, sf_dir: str, max_files: int = 2
+) -> DataFrame:
+    """The synthetic RAW corpus (PDF + HTML blobs) as a file-source
+    micro-batch stream — the bounded stand-in for continuous WARC
+    ingest feeding the PDF side tables.  The corpus is deterministic
+    per sf, so it is staged to parquet once per size and replayed from
+    there; partitions become micro-batches."""
+    from caraspark.corpus import corpus_rows_for_sf, synth_df
+    from caraspark.schemas import DOCUMENTS_RAW
+
+    n = corpus_rows_for_sf(sf_dir)
+    stage = f"/tmp/caraspark_stream_src/corpus_{n}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        synth_df(spark, n, partitions=8).write.mode("overwrite").parquet(stage)
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage)
+    )

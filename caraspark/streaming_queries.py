@@ -1240,3 +1240,43 @@ def stream_heavy_hitters(spark, sf):
             ).otherwise(F.lit(True))
         ).alias("bounds_ok"),
     )
+
+
+def _stream_annots_sql() -> str:
+    from caraspark.oracle_freeze import annot_cte, corpus_cte
+
+    return f"""WITH {corpus_cte()},
+{annot_cte()}
+SELECT a.subtype,
+       CAST(count(*) AS BIGINT) AS n_annots,
+       CAST(sum(CASE WHEN a.has_action THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_action
+FROM docs d JOIN an a ON a.rid = d.rid
+GROUP BY a.subtype"""
+
+
+@_q("stream_annots", _stream_annots_sql())
+def stream_annots(spark, sf):
+    """Streaming Part-A census: the RAW corpus (real PDF blobs) arrives
+    as file-source micro-batches, each batch runs the SAME narrow Arrow
+    annotation walker the batch side table uses (`pdf_annots`), and a
+    stateful aggregation keyed by /Subtype maintains the live
+    interactive-feature inventory — the shape of a crawl-side "hostile
+    feature monitor" that flags an annotation-subtype surge without
+    re-scanning history.  Complete mode; DuckDB predicts every row from
+    the frozen per-recipe annotation table.
+
+    Scale: state is one row per annotation subtype ((28 defined by PDF17
+    SS12.5.6); the stream materializes (subtype, url) pairs only —
+    blobs die inside the Arrow stage of their own micro-batch."""
+    from caraspark.sidetables import _ANNOT_DDL, _annot_batches
+
+    docs = S.replay_corpus_stream(spark, sf)
+    an = docs.mapInArrow(_annot_batches, _ANNOT_DDL)
+    out = an.groupBy("subtype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_annots"),
+        F.sum(F.when(F.col("has_action"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_action"),
+    )
+    return S.run_to_memory(out, mode="complete")
