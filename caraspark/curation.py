@@ -7991,3 +7991,97 @@ def cluster_zorder(spark, sf):
         (F.max("zx") - F.min("zx")).cast("bigint").alias("x_spread"),
         (F.max("zy") - F.min("zy")).cast("bigint").alias("y_spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mirror-site detection (host-level content overlap)
+# ---------------------------------------------------------------------------
+
+
+def _mirror_sql() -> str:
+    return """
+WITH pages AS (
+  SELECT DISTINCT source AS host,
+         md5('page' || CAST((doc_id * 7 // 13) % 30 AS VARCHAR)) AS h
+  FROM documents
+),
+sz AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM pages GROUP BY host),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS i
+  FROM pages a JOIN pages b ON a.h = b.h AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, i AS n_shared,
+       sa.n AS size_a, sb.n AS size_b,
+       CAST(i * 1000 // (sa.n + sb.n - i) AS BIGINT) AS jac_permille,
+       3 * i >= 2 * (sa.n + sb.n - i) AS is_mirror
+FROM inter
+JOIN sz sa ON sa.host = host_a
+JOIN sz sb ON sb.host = host_b
+"""
+
+
+@_q("mirror_detect", _mirror_sql())
+def mirror_detect(spark, sf):
+    """Mirror-site detection: host pairs ranked by content-digest
+    overlap — the crawl-budget op that collapses example.org /
+    example-mirror.net duplicates BEFORE page-level dedup wastes fetches
+    on them (and the provenance input canonical-host election needs).
+    Each host's page set is its distinct content digests (here a
+    deterministic doc_id%40 content key stands in for md5(body), so
+    hosts share pages by construction); overlap is exact Jaccard in
+    integer permille, with the mirror verdict 2|∩| >= |A∪B| gated in
+    integers.
+
+    Scale: the pair stream comes from a DIGEST-keyed equi-join — a
+    digest shared by k hosts contributes k(k-1)/2 pairs, and k is
+    naturally tiny except for boilerplate/spam pages, which production
+    caps with a per-digest host limit (the same giants guard the
+    extract pipeline uses); NEVER an all-pairs of hosts.  Everything
+    exchanged is (16-byte digest, host) or (host, host, count) — page
+    bodies stay in the scan stage.  Host-set sizes fold from the same
+    pages table with map-side combine.
+    """
+    d = load(spark, sf, "documents")
+    pages = d.select(
+        F.col("source").alias("host"),
+        F.md5(
+            F.concat(
+                F.lit("page"),
+                F.expr("(doc_id * 7 DIV 13) % 30").cast("string"),
+            )
+        ).alias("h"),
+    ).distinct()
+    sz = pages.groupBy("host").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = pages.alias("a")
+    b = pages.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = sz.select(F.col("host").alias("host_a"), F.col("n").alias("size_a"))
+    sb = sz.select(F.col("host").alias("host_b"), F.col("n").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("i").alias("n_shared"),
+            "size_a",
+            "size_b",
+            F.expr("CAST(i * 1000 DIV (size_a + size_b - i) AS BIGINT)").alias(
+                "jac_permille"
+            ),
+            (
+                3 * F.col("i")
+                >= 2 * (F.col("size_a") + F.col("size_b") - F.col("i"))
+            ).alias("is_mirror"),
+        )
+    )

@@ -2210,3 +2210,31 @@ def test_cluster_zorder_buckets_are_small_rectangles(spark, sf_smoke):
         assert 0 <= r.x_spread < 16, r
         assert 0 <= r.y_spread < 16, r
         assert r.min_x <= r.max_x and r.min_y <= r.max_y
+
+
+def test_mirror_detect_matches_python_host_sets(spark, sf_smoke):
+    """Host-pair overlaps equal a Python recomputation of the content-key
+    sets, and the mirror gate is exactly J >= 2/3."""
+    from itertools import combinations
+
+    from caraspark.curation import mirror_detect
+    from caraspark.tables import load
+
+    keys = {}
+    for r in load(spark, sf_smoke, "documents").select("doc_id", "source").collect():
+        keys.setdefault(r.source, set()).add((r.doc_id * 7 // 13) % 30)
+    exp = {}
+    for a, b in combinations(sorted(keys), 2):
+        i = len(keys[a] & keys[b])
+        if i:
+            u = len(keys[a] | keys[b])
+            exp[(a, b)] = (i, len(keys[a]), len(keys[b]),
+                           i * 1000 // u, 3 * i >= 2 * u)
+    got = {
+        (r.host_a, r.host_b): (r.n_shared, r.size_a, r.size_b,
+                               r.jac_permille, r.is_mirror)
+        for r in mirror_detect(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp
+    assert any(v[-1] for v in got.values())
+    assert not all(v[-1] for v in got.values())

@@ -1361,3 +1361,13 @@ def test_scd2_intervals_one_user_exchange(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
     assert "Join" not in p, p
+
+
+def test_mirror_detect_digest_join_and_broadcast_sizes(spark, sf_smoke, qs):
+    """Pairs come from a digest-keyed equi-join (never host all-pairs),
+    and the host-size tables broadcast onto the pair stream."""
+    df = qs["mirror_detect"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
