@@ -131,6 +131,10 @@ EXTRAS = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q8",
+    "pdf_annots",
+    "scd2_intervals",
+    "stream_annots",
+    "mirror_detect",
 ]
 
 REPEATS = 3

@@ -8085,3 +8085,93 @@ def mirror_detect(spark, sf):
             ).alias("is_mirror"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language data card
+# ---------------------------------------------------------------------------
+
+
+def _datacard_sql() -> str:
+    return f"""
+WITH g AS ({REGISTRY["text_gopher"].sql}),
+base AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         len(string_split(lower(d.text), ' ')) AS n_tokens,
+         g.keep
+  FROM documents d JOIN g ON g.doc_id = d.doc_id
+  WHERE length(d.text) > 0
+),
+vocab AS (
+  SELECT lang, count(DISTINCT w) AS vocab_types
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE length(text) > 0)
+  GROUP BY lang
+)
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT b.source) AS BIGINT) AS n_hosts,
+       CAST(sum(b.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(any_value(v.vocab_types) AS BIGINT) AS vocab_types,
+       CAST(sum(CASE WHEN b.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS gopher_keep,
+       CAST(sum(CASE WHEN b.keep THEN b.n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM base b JOIN vocab v ON v.lang = b.lang
+GROUP BY b.lang
+"""
+
+
+@_q("corpus_datacard", _datacard_sql())
+def corpus_datacard(spark, sf):
+    """The per-language DATA CARD in one plan — the summary table a
+    dataset release publishes (docs, hosts, chars, tokens, vocabulary,
+    quality-filter survival, post-filter token budget), composed from
+    the SAME frozen operators users run individually: the Gopher verdict
+    is ``text_gopher``'s shared code (not a re-implementation), so the
+    card can never disagree with the filter it reports on.
+
+    Scale: the gopher verdict is a scan-stage projection joined back on
+    doc_id (co-partitioned with the scan); vocabulary is the one
+    (lang, word)-keyed aggregate every LM pipeline already pays (see
+    ``vocab_growth``); everything else folds map-side into per-lang
+    rows.  The card over 10^12 docs is |langs| rows out — the exchanges
+    carry counters, never text.
+    """
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    g = text_gopher(spark, sf).select("doc_id", "keep")
+    base = d.join(g, "doc_id").select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        "keep",
+    )
+    vocab = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("lang")
+        .agg(F.countDistinct("w").alias("vocab_types"))
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_hosts"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("gopher_keep"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    return agg.join(F.broadcast(vocab), "lang").select(
+        "lang",
+        "n_docs",
+        "n_hosts",
+        "n_chars",
+        "n_tokens",
+        F.col("vocab_types").cast("bigint").alias("vocab_types"),
+        "gopher_keep",
+        "kept_tokens",
+    )

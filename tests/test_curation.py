@@ -2238,3 +2238,38 @@ def test_mirror_detect_matches_python_host_sets(spark, sf_smoke):
     assert got == exp and exp
     assert any(v[-1] for v in got.values())
     assert not all(v[-1] for v in got.values())
+
+
+def test_corpus_datacard_consistency(spark, sf_smoke):
+    """The card's totals must agree with the operators it composes:
+    gopher_keep equals text_gopher's keep count per lang, kept_tokens <=
+    n_tokens, and docs/hosts match direct aggregation."""
+    from collections import Counter
+
+    from caraspark.curation import corpus_datacard, text_gopher
+    from caraspark.tables import load
+
+    docs = (
+        load(spark, sf_smoke, "documents")
+        .filter("length(text) > 0")
+        .select("doc_id", "lang", "source")
+        .collect()
+    )
+    lang_of = {r.doc_id: r.lang for r in docs}
+    n_docs = Counter(r.lang for r in docs)
+    hosts = {}
+    for r in docs:
+        hosts.setdefault(r.lang, set()).add(r.source)
+    keep = Counter(
+        lang_of[r.doc_id]
+        for r in text_gopher(spark, sf_smoke).collect()
+        if r.keep and r.doc_id in lang_of
+    )
+    card = {r.lang: r for r in corpus_datacard(spark, sf_smoke).collect()}
+    assert set(card) == set(n_docs)
+    for lang, r in card.items():
+        assert r.n_docs == n_docs[lang]
+        assert r.n_hosts == len(hosts[lang])
+        assert r.gopher_keep == keep.get(lang, 0)
+        assert 0 <= r.kept_tokens <= r.n_tokens
+        assert 0 < r.vocab_types <= r.n_tokens
