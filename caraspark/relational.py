@@ -2354,3 +2354,83 @@ def scd2_intervals(spark, sf):
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+@_q(
+    "ts_gapfill",
+    """WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 600 AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+obs AS (
+  SELECT event_type, bucket,
+         CAST(sum(cents) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type, bucket
+),
+bounds AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM obs
+  GROUP BY event_type
+),
+grid AS (
+  SELECT b.event_type, u.g AS bucket
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(b.mn, b.mx)) AS g) u
+)
+SELECT g.event_type, CAST(g.bucket AS BIGINT) AS bucket,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+       o.cents IS NULL AS filled,
+       last_value(o.cents IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cents_ff
+FROM grid g
+LEFT JOIN obs o ON o.event_type = g.event_type AND o.bucket = g.bucket""",
+)
+def ts_gapfill(spark, sf):
+    """Time-series gap fill: densify each event type's 10-minute buckets
+    to a complete calendar grid and FORWARD-FILL the last observed value
+    into empty buckets (flagged) — the resample-then-ffill step every
+    feature pipeline and monitoring rollup runs before joins that assume
+    a dense time axis.  Values aggregate as exact integer cents; the
+    grid is generated from each series' own [min, max] bucket range so
+    no engine invents out-of-range rows.
+
+    Scale shape: the observed table is the downsampled (type, bucket)
+    aggregate — tiny vs events; the grid EXPLODES from a bounds row per
+    type (sequence(), scan-stage, never a driver loop), the fill is one
+    IGNORE-NULLS window per type over grid-cardinality rows, and the
+    grid join is co-partitioned with the fill's own exchange.  Sparse
+    series cost their gap count, not the corpus."""
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+            " DIV 600"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    obs = e.groupBy("event_type", "bucket").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("bucket")
+    )
+    j = grid.join(obs, ["event_type", "bucket"], "left")
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.col("cents").isNull().alias("filled"),
+        F.last("cents", ignorenulls=True).over(wf).alias("cents_ff"),
+    )

@@ -260,3 +260,30 @@ def test_scd2_intervals_partition_users_cleanly(spark, sf_smoke):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to_s == b.valid_from_s
             assert a.state != b.state
+
+
+def test_ts_gapfill_dense_grid_and_forward_fill(spark, sf_smoke):
+    """Per type: buckets form a contiguous range, filled rows carry the
+    previous observed cents, and observed rows are never flagged."""
+    from caraspark.relational import ts_gapfill
+
+    by_type = {}
+    for r in ts_gapfill(spark, sf_smoke).collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    any_filled = False
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.bucket)
+        assert [r.bucket for r in rows] == list(
+            range(rows[0].bucket, rows[-1].bucket + 1)
+        )
+        last = None
+        for r in rows:
+            if r.filled:
+                any_filled = True
+                assert r.n == 0 and r.cents_ff == last
+            else:
+                assert r.n > 0
+                last = r.cents_ff
+        assert not rows[0].filled  # grid starts at an observation
+    assert any_filled
