@@ -2434,3 +2434,72 @@ def ts_gapfill(spark, sf):
         F.col("cents").isNull().alias("filled"),
         F.last("cents", ignorenulls=True).over(wf).alias("cents_ff"),
     )
+
+
+@_q(
+    "tpch_q17",
+    """WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+),
+pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'),
+stats AS (
+  SELECT l.l_partkey,
+         CAST(sum(l.q_c) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM li l JOIN pk ON pk.p_partkey = l.l_partkey
+  GROUP BY l.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(coalesce(sum(l.price_c), 0) AS BIGINT) AS revenue_c,
+       CAST(coalesce(sum(l.price_c), 0) // 7 AS BIGINT) AS yearly_c
+FROM li l
+JOIN stats s ON s.l_partkey = l.l_partkey
+WHERE 5 * l.q_c * s.cnt < s.sum_q""",
+)
+def tpch_q17(spark, sf):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    whose quantity is below 20% of that PART's average quantity — the
+    canonical correlated scalar subquery, implemented DECORRELATED (the
+    rewrite every optimizer wants): per-part (sum, count) aggregate,
+    joined back, with the avg comparison cross-multiplied into exact
+    integers (5·q·cnt < Σq — no float average ever materializes, so
+    both engines agree bit-for-bit).  The /7 "yearly" divisor is Q17's
+    shape, integer floor.
+
+    Scale shape: the brand filter broadcasts onto lineitem; the
+    per-part stats table is the SAME (partkey)-keyed exchange the
+    verify join then reuses (one shuffle serves both), and stats rows
+    are part-cardinality.  The correlated form would re-scan lineitem
+    per part; the decorrelated plan pays one aggregate."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("q_c"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    pk = (
+        load(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    lik = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey).select(
+        "l_partkey", "q_c", "price_c"
+    )
+    stats = lik.groupBy("l_partkey").agg(
+        F.sum("q_c").cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    small = lik.join(stats, "l_partkey").filter(
+        5 * F.col("q_c") * F.col("cnt") < F.col("sum_q")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        F.coalesce(F.sum("price_c"), F.lit(0))
+        .cast("bigint")
+        .alias("revenue_c"),
+        F.expr("CAST(coalesce(sum(price_c), 0) DIV 7 AS BIGINT)").alias(
+            "yearly_c"
+        ),
+    )

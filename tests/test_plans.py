@@ -1371,3 +1371,13 @@ def test_mirror_detect_digest_join_and_broadcast_sizes(spark, sf_smoke, qs):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_tpch_q17_decorrelated_single_partkey_exchange(spark, sf_smoke, qs):
+    """The brand filter broadcasts; stats + verify reuse one l_partkey
+    partitioning (decorrelation means ONE aggregate, no re-scan)."""
+    df = qs["tpch_q17"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange hashpartitioning(l_partkey") <= 1, p
