@@ -26,7 +26,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from caraspark.relational import Q
 from caraspark.tables import load
@@ -549,4 +549,68 @@ def dedup_phash_clusters(spark, sf):
     pairs = REGISTRY["dedup_phash"].fn(spark, sf).select("id_a", "id_b")
     return connected_components(pairs).select(
         F.col("doc_id").alias("media_id"), "comp"
+    )
+
+
+_SHARD_BYTES = 4096
+
+
+def _shard_layout_sql() -> str:
+    return f"""
+WITH meta AS ({REGISTRY["media_meta"].sql}),
+cum AS (
+  SELECT kind, media_id, n_bytes,
+         coalesce(sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bytes_before
+  FROM meta
+)
+SELECT kind,
+       CAST(bytes_before // {_SHARD_BYTES} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(media_id) AS BIGINT) AS first_id,
+       CAST(max(media_id) AS BIGINT) AS last_id
+FROM cum GROUP BY kind, bytes_before // {_SHARD_BYTES}
+"""
+
+
+@_q("media_shard_layout", _shard_layout_sql())
+def media_shard_layout(spark, sf):
+    """WebDataset-style shard layout: assign each media payload to a
+    byte-budgeted shard (the tar files a multimodal training loader
+    streams), deterministically — shard = preceding-cumsum DIV budget
+    within kind, the same bins-by-prefix rule ``pack_sequences`` uses
+    for token sequences, so a re-run or a resumed job reproduces the
+    identical shard map (the property that makes shards addressable by
+    content).  Sizes come from the SAME header metadata ``media_meta``
+    decodes from the payload bytes, so the layout can never disagree
+    with what the loader will actually read.
+
+    Scale: one exchange keyed kind for the running sum (at production
+    scale the partition key is (kind, date-bucket) so no single kind
+    serializes — exactly the sharding note in pack_sequences); the
+    cumsum window carries one BIGINT of state; payloads themselves
+    never move — the layout table is what the tar writer consumes
+    partition-locally."""
+    meta = media_meta(spark, sf).select("kind", "media_id", "n_bytes")
+    wc = (
+        W.partitionBy("kind")
+        .orderBy("media_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = meta.select(
+        "kind",
+        "media_id",
+        "n_bytes",
+        F.coalesce(F.sum("n_bytes").over(wc), F.lit(0)).alias("bytes_before"),
+    )
+    return cum.groupBy(
+        "kind",
+        F.expr(f"bytes_before DIV {_SHARD_BYTES}").cast("bigint").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("media_id").cast("bigint").alias("first_id"),
+        F.max("media_id").cast("bigint").alias("last_id"),
     )
