@@ -2503,3 +2503,49 @@ def tpch_q17(spark, sf):
             "yearly_c"
         ),
     )
+
+
+@_q(
+    "fn_null",
+    """SELECT doc_id,
+       nullif(doc_id % 7, 0) AS nz,
+       coalesce(nullif(doc_id % 7, 0), -1) AS co,
+       CAST(doc_id % 5 AS BIGINT) IS DISTINCT FROM
+         CAST(doc_id % 7 AS BIGINT) AS dist,
+       nullif(doc_id % 3, 0) IS NOT DISTINCT FROM
+         nullif(doc_id % 5, 0) AS same,
+       CASE WHEN nullif(doc_id % 7, 0) IS NULL THEN 'none'
+            ELSE 'some' END AS tag,
+       CAST(count(nullif(doc_id % 7, 0))
+              OVER (PARTITION BY doc_id % 10) AS BIGINT) AS grp_nonnull
+FROM documents""",
+)
+def fn_null(spark, sf):
+    """Null-semantics function family (B7 tail): NULLIF / COALESCE /
+    IS [NOT] DISTINCT FROM / CASE-on-NULL / count-skips-nulls — the
+    three-valued-logic corners where engines classically diverge
+    (DISTINCT FROM treats NULL=NULL as true; count() ignores nulls;
+    comparisons propagate) — pinned identical across both engines.
+
+    Scale: pure scan-stage projections plus one window whose partition
+    key has bounded cardinality; nothing here shuffles more than the
+    10-group count."""
+    d = load(spark, sf, "documents")
+    nz = F.nullif(F.col("doc_id") % 7, F.lit(0))
+    return d.select(
+        "doc_id",
+        nz.alias("nz"),
+        F.coalesce(nz, F.lit(-1)).alias("co"),
+        F.expr(
+            "CAST(doc_id % 5 AS BIGINT) IS DISTINCT FROM"
+            " CAST(doc_id % 7 AS BIGINT)"
+        ).alias("dist"),
+        F.expr(
+            "nullif(doc_id % 3, 0) IS NOT DISTINCT FROM nullif(doc_id % 5, 0)"
+        ).alias("same"),
+        F.when(nz.isNull(), "none").otherwise("some").alias("tag"),
+        F.count(nz)
+        .over(W.partitionBy(F.col("doc_id") % 10))
+        .cast("bigint")
+        .alias("grp_nonnull"),
+    )
