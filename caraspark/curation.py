@@ -8175,3 +8175,84 @@ def corpus_datacard(spark, sf):
         "gopher_keep",
         "kept_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit (composes split_by_host x dedup_minhash)
+# ---------------------------------------------------------------------------
+
+
+def _leakage_sql() -> str:
+    from caraspark.textops import REGISTRY as TEXT_REGISTRY
+
+    return f"""
+WITH pairs AS ({TEXT_REGISTRY["dedup_minhash"].sql}),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substring(md5(source || ':split'), 1, 8)
+                   AS BIGINT) < {_SPLIT_TRAIN} THEN 'train'
+              WHEN CAST('0x' || substring(md5(source || ':split'), 1, 8)
+                   AS BIGINT) < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       sa.split <> sb.split AS crosses,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN assign sa ON sa.doc_id = p.id_a
+JOIN assign sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("split_leakage_audit", _leakage_sql())
+def split_leakage_audit(spark, sf):
+    """The audit that justifies host-level splitting: every MinHash
+    near-duplicate candidate pair (``dedup_minhash``, same frozen
+    semantics) is tagged with the split of each side
+    (``split_by_host``'s pure-integer host assignment), and the census
+    counts pairs by (split_a, split_b) — rows with ``crosses = TRUE``
+    are documents whose near-twin sits across the train/eval boundary,
+    i.e. exactly the contamination document-level random splits leak
+    and host-level splits are supposed to prevent (near-dups concentrate
+    within hosts; the residual cross-host count is the honest leakage
+    number a data card should publish).
+
+    Scale: the pair table is the dedup pass's own output (digest-keyed,
+    no new corpus scan); the split column is a scan-stage hash of an
+    existing column, so the two tagging joins are doc_id-keyed lookups
+    against a two-column table; the final rollup is <= 6 rows."""
+    from caraspark.textops import dedup_minhash
+
+    pairs = dedup_minhash(spark, sf).select("id_a", "id_b")
+    d = load(spark, sf, "documents")
+    u = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.col("source"), F.lit(":split")), "utf-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assign = d.select(
+        "doc_id",
+        F.when(u < _SPLIT_TRAIN, "train")
+        .when(u < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = assign.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = assign.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            (F.col("sa") != F.col("sb")).alias("crosses"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

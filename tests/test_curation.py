@@ -2273,3 +2273,34 @@ def test_corpus_datacard_consistency(spark, sf_smoke):
         assert r.gopher_keep == keep.get(lang, 0)
         assert 0 <= r.kept_tokens <= r.n_tokens
         assert 0 < r.vocab_types <= r.n_tokens
+
+
+def test_split_leakage_audit_reconciles_with_components(spark, sf_smoke):
+    """Pair counts must reconcile with dedup_minhash's pair list tagged
+    by the split_by_host assignment recomputed in Python."""
+    import hashlib
+    from collections import Counter
+
+    from caraspark.curation import split_leakage_audit
+    from caraspark.tables import load
+    from caraspark.textops import dedup_minhash
+
+    def assign(host):
+        u = int(hashlib.md5(f"{host}:split".encode()).hexdigest()[:8], 16)
+        return "train" if u < 3435973836 else ("val" if u < 3865470566 else "test")
+
+    split = {
+        r.doc_id: assign(r.source)
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    exp = Counter()
+    for r in dedup_minhash(spark, sf_smoke).select("id_a", "id_b").collect():
+        a, b = split[r.id_a], split[r.id_b]
+        exp[(min(a, b), max(a, b), a != b)] += 1
+    got = {
+        (r.split_a, r.split_b, r.crosses): r.n_pairs
+        for r in split_leakage_audit(spark, sf_smoke).collect()
+    }
+    assert got == dict(exp) and got
