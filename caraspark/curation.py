@@ -8256,3 +8256,86 @@ def split_leakage_audit(spark, sf):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-budget apportionment (largest-remainder method)
+# ---------------------------------------------------------------------------
+
+_CRAWL_BUDGET = 1000
+
+
+def _apportion_sql() -> str:
+    b = _CRAWL_BUDGET
+    return f"""
+WITH w AS (
+  SELECT source AS host, CAST(count(*) AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM w),
+q AS (
+  SELECT host, weight,
+         CAST(weight * {b} // t.total AS BIGINT) AS base_quota,
+         CAST(weight * {b} % t.total AS BIGINT) AS remainder
+  FROM w, t
+),
+leftover AS (
+  SELECT CAST({b} - sum(base_quota) AS BIGINT) AS k FROM q
+),
+r AS (
+  SELECT q.*,
+         row_number() OVER (ORDER BY remainder DESC, host) AS rk
+  FROM q
+)
+SELECT host, weight, base_quota,
+       CAST(CASE WHEN rk <= (SELECT k FROM leftover)
+                 THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_quota + CASE WHEN rk <= (SELECT k FROM leftover)
+                              THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+"""
+
+
+@_q("budget_apportion", _apportion_sql())
+def budget_apportion(spark, sf):
+    """Crawl-budget apportionment by the largest-remainder (Hamilton)
+    method: each host's integer base quota is floor(weight·B / total),
+    and the leftover B − Σfloor slots go to the largest remainders
+    (ties by host name) — the EXACT integer apportionment a politeness
+    scheduler runs each cycle, with the invariant Σalloc = B holding by
+    construction (no float rounding can ever over- or under-allocate
+    the fetch fleet).
+
+    Scale: weights fold from the corpus with one map-side-combined
+    aggregate; everything after runs at HOST cardinality — the total is
+    a 1-row broadcast, and the remainder rank is a window over host
+    rows (at 10^8 hosts production ranks within (tld, shard) panes and
+    apportions the leftover hierarchically — same algebra, two
+    levels).  The corpus itself is touched exactly once."""
+    d = load(spark, sf, "documents")
+    b = _CRAWL_BUDGET
+    w = d.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )
+    t = w.agg(F.sum("weight").cast("bigint").alias("total"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "host",
+        "weight",
+        F.expr(f"CAST(weight * {b} DIV total AS BIGINT)").alias("base_quota"),
+        F.expr(f"CAST(weight * {b} % total AS BIGINT)").alias("remainder"),
+    )
+    leftover = q.agg(
+        (F.lit(b) - F.sum("base_quota")).cast("bigint").alias("k")
+    )
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.col("remainder").desc(), F.col("host"))),
+    ).crossJoin(F.broadcast(leftover))
+    extra = F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+    return r.select(
+        "host",
+        "weight",
+        "base_quota",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("alloc"),
+    )

@@ -2304,3 +2304,24 @@ def test_split_leakage_audit_reconciles_with_components(spark, sf_smoke):
         for r in split_leakage_audit(spark, sf_smoke).collect()
     }
     assert got == dict(exp) and got
+
+
+def test_budget_apportion_sums_exactly_to_budget(spark, sf_smoke):
+    """Hamilton invariants: Σalloc == B, every alloc in {floor, floor+1},
+    and extras go to the largest remainders."""
+    from caraspark.curation import _CRAWL_BUDGET, budget_apportion
+
+    rows = budget_apportion(spark, sf_smoke).collect()
+    assert sum(r.alloc for r in rows) == _CRAWL_BUDGET
+    total = sum(r.weight for r in rows)
+    for r in rows:
+        assert r.base_quota == r.weight * _CRAWL_BUDGET // total
+        assert r.alloc - r.base_quota == r.extra in (0, 1)
+    # extras must be exactly the top-k remainders (ties by host)
+    rem = sorted(
+        ((r.weight * _CRAWL_BUDGET) % total, r.host, r.extra) for r in rows
+    )
+    k = sum(r.extra for r in rows)
+    got_extra = {h for _, h, e in rem if e}
+    exp_extra = {h for _, h, _ in sorted(rem, key=lambda x: (-x[0], x[1]))[:k]}
+    assert got_extra == exp_extra
