@@ -195,6 +195,11 @@ def main() -> None:
     ap.add_argument("--unit-chunk", type=int, default=16)
     ap.add_argument("--min-quality", type=int, default=1)
     ap.add_argument("--codec", default="zstd")
+    ap.add_argument(
+        "--datacard",
+        action="store_true",
+        help="print the per-language data card of the curated output",
+    )
     args = ap.parse_args()
     spark = get_spark("curate_job")
     stats = run_job(
@@ -206,6 +211,14 @@ def main() -> None:
         codec=args.codec,
     )
     print(stats)
+    if args.datacard:
+        import json
+
+        for r in sorted(
+            datacard(read_curated(spark, args.output)).collect(),
+            key=lambda r: r.kind,
+        ):
+            print(json.dumps(r.asDict()))
 
 
 if __name__ == "__main__":
@@ -275,4 +288,21 @@ def export_packed(
         .write.mode("overwrite")
         .option("compression", "gzip")
         .text(out_dir)
+    )
+
+
+def datacard(curated):
+    """Per-kind data card of a CURATED snapshot — the release table
+    (docs, chars, tokens, distinct digests) a dataset publishes next to
+    the data.  Same integer-census discipline as the corpus_datacard
+    qkey, but computed over the job's actual output so the card and the
+    shipped parquet can never drift apart.  One map-side-combined
+    aggregate; token counts reuse the n_tokens column the job already
+    materialized."""
+    t = F.length(F.col("text").cast("string"))
+    return curated.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(t).cast("bigint").alias("n_chars"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("digest").cast("bigint").alias("n_digests"),
     )

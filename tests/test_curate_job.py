@@ -128,3 +128,31 @@ def test_export_packed_roundtrip(spark, tmp_path, extracted):
         (json.dumps(r, sort_keys=True)) for r in read_all(d)
     ]
     assert sorted(payload(out1)) == sorted(payload(out2))
+
+
+def test_datacard_reconciles_with_curated_table(spark, tmp_path, extracted):
+    from jobs.curate_job import datacard, read_curated, run_job
+
+    out = str(tmp_path / "curated_card")
+    stats = run_job(spark, extracted, out, unit_chunk=64)
+    assert not stats["crashed"]
+    cur = read_curated(spark, out)
+    card = {r.kind: r for r in datacard(cur).collect()}
+    rows = cur.selectExpr(
+        "kind", "CAST(text AS STRING) AS text", "n_tokens", "digest"
+    ).collect()
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0, 0, set()])
+    for r in rows:
+        e = exp[r.kind]
+        e[0] += 1
+        e[1] += len(r.text)
+        e[2] += r.n_tokens
+        e[3].add(r.digest)
+    assert set(card) == set(exp)
+    for kind, (nd, nc, nt, digs) in exp.items():
+        c = card[kind]
+        assert (c.n_docs, c.n_chars, c.n_tokens, c.n_digests) == (
+            nd, nc, nt, len(digs),
+        )
