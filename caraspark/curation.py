@@ -8339,3 +8339,55 @@ def budget_apportion(spark, sf):
         extra.cast("bigint").alias("extra"),
         (F.col("base_quota") + extra).cast("bigint").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS (probability-proportional-to-size) sampling
+# ---------------------------------------------------------------------------
+
+
+def _pps_sql() -> str:
+    return """
+WITH m AS (SELECT max(n_chars) AS mx FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents, m
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':pps'), 1, 8)
+           AS BIGINT) * m.mx < n_chars * 4294967296
+"""
+
+
+@_q("sample_pps", _pps_sql())
+def sample_pps(spark, sf):
+    """Probability-proportional-to-size sampling: a document's keep
+    probability is n_chars / max(n_chars) — the length-weighted draw a
+    token-budget pipeline uses so the SAMPLE's token mass mirrors the
+    corpus's (uniform doc sampling under-represents long documents'
+    tokens).  The gate is exact integers: u32·max < chars·2^32 — the
+    same md5-slice uniform as ``sample_stratified``, never a float
+    probability, so the sample is a pure function of the row and
+    reproducible across runs, engines, and resumes.
+
+    Scale: max(n_chars) is a 1-row broadcast; the gate is a scan-stage
+    filter — zero data-sized shuffles (production uses a per-stratum
+    max from the stats table instead of a global max; same plan)."""
+    d = load(spark, sf, "documents")
+    m = d.agg(F.max("n_chars").alias("mx"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":pps")),
+                    "utf-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.crossJoin(F.broadcast(m))
+        .filter(u * F.col("mx") < F.col("n_chars") * F.lit(4294967296))
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )

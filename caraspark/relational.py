@@ -2549,3 +2549,64 @@ def fn_null(spark, sf):
         .cast("bigint")
         .alias("grp_nonnull"),
     )
+
+
+@_q(
+    "events_streaks",
+    """WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+         CAST(min(day) AS BIGINT) AS start_day
+  FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest,
+       CAST(min(start_day) AS BIGINT) AS first_day
+FROM streaks GROUP BY user_id""",
+)
+def events_streaks(spark, sf):
+    """Consecutive-active-day streaks per user — the retention metric
+    engagement teams track, via the classic day − row_number() anchor
+    (consecutive days share one anchor, so streaks fall out of a plain
+    groupBy; no iterative logic, no self-join).  All integer day
+    arithmetic; distinct-day dedup first so multi-event days count
+    once.
+
+    Scale shape: one exchange keyed user_id serves the distinct, the
+    anchor window, and both rollups; per-user window state is one
+    counter, and the streak table is strictly smaller than active-days.
+    The same plan at 10^9 users is embarrassingly parallel — no global
+    anything."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+            " DIV 86400"
+        ).alias("day"),
+    ).distinct()
+    wd = W.partitionBy("user_id").orderBy("day")
+    grp = e.withColumn(
+        "anchor", F.col("day") - F.row_number().over(wd)
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").cast("bigint").alias("start_day"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest"),
+        F.min("start_day").cast("bigint").alias("first_day"),
+    )

@@ -287,3 +287,37 @@ def test_ts_gapfill_dense_grid_and_forward_fill(spark, sf_smoke):
                 last = r.cents_ff
         assert not rows[0].filled  # grid starts at an observation
     assert any_filled
+
+
+def test_events_streaks_match_python_day_runs(spark, sf_smoke):
+    from caraspark.relational import events_streaks
+    from caraspark.tables import load
+
+    days = {}
+    for r in (
+        load(spark, sf_smoke, "events")
+        .selectExpr(
+            "user_id",
+            "CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 86400 AS day",
+        )
+        .collect()
+    ):
+        days.setdefault(r.user_id, set()).add(r.day)
+    exp = {}
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        runs = []
+        cur = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        exp[uid] = (len(ds), len(runs), max(runs), ds[0])
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest, r.first_day)
+        for r in events_streaks(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp
