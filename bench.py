@@ -135,6 +135,15 @@ EXTRAS = [
     "scd2_intervals",
     "stream_annots",
     "mirror_detect",
+    "corpus_datacard",
+    "ts_gapfill",
+    "tpch_q17",
+    "fn_null",
+    "split_leakage_audit",
+    "budget_apportion",
+    "media_shard_layout",
+    "sample_pps",
+    "events_streaks",
 ]
 
 REPEATS = 3

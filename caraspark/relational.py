@@ -2610,3 +2610,65 @@ def events_streaks(spark, sf):
         F.max("len").cast("bigint").alias("longest"),
         F.min("start_day").cast("bigint").alias("first_day"),
     )
+
+
+@_q(
+    "tpch_q10",
+    f"""WITH j AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         {_REV_SQL} AS rev
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+),
+g AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(rev) AS BIGINT) AS revenue_e4
+  FROM j GROUP BY c_custkey, c_name, n_name
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY revenue_e4 DESC, c_custkey) AS rk
+  FROM g
+)
+SELECT c_custkey, c_name, n_name, revenue_e4
+FROM r WHERE rk <= 20""",
+)
+def tpch_q10(spark, sf):
+    """TPC-H Q10 (returned-item reporting): the top customers by revenue
+    lost to returns in one half-year — fact-fact join on natural keys
+    with scan-stage date and returnflag pruning, a customer-grain
+    rollup, and a deterministic top-20 (exact 1e-4-dollar integers;
+    ties break on custkey, so the cut is stable in both engines).
+
+    Scale shape: both filters reach parquet row groups; nation
+    broadcasts; the per-customer aggregate partial-combines so the
+    final exchange is customer-grain; the global top-20 ranks that
+    aggregate only (at 10^12 lineitems this is ~10^7 rows, and a
+    TakeOrdered would replace the window if only the rows — not the
+    ranks — were needed)."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    g = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.expr(_REV_SQL)).cast("bigint").alias("revenue_e4"))
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+    )
+    return (
+        g.withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue_e4")
+    )
