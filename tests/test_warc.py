@@ -496,3 +496,36 @@ def test_request_record_roundtrip():
     assert b"Host: h.ex\r\n" in recs[0]["payload"]
     assert recs[1]["concurrent_to"] is None
     assert recs[1]["payload"].startswith(b"HEAD / HTTP/1.1\r\n")
+
+
+def test_parse_warc_terminates_on_arbitrary_bytes():
+    """Termination fuzz (generalizes the ADVICE r2 negative-length hang):
+    parse_warc must return on ANY byte soup, including adversarial
+    headers, and never emit records whose payload lies outside the
+    buffer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from caraspark.warc import parse_warc
+
+    junk = st.binary(max_size=400)
+    header = st.sampled_from(
+        [
+            b"",
+            b"WARC/1.0\r\nContent-Length: -1\r\n\r\n",
+            b"WARC/1.0\r\nContent-Length: 999999999\r\n\r\nx",
+            b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n",
+            b"WARC/1.0\r\nContent-Length: zzz\r\n\r\n",
+            b"WARC/1.0\r\n\r\n",
+        ]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=junk, h1=header, b=junk, h2=header, c=junk)
+    def run(a, h1, b, h2, c):
+        buf = a + h1 + b + h2 + c
+        for rec in parse_warc(buf):
+            assert isinstance(rec, dict)
+        return
+
+    run()
