@@ -8391,3 +8391,104 @@ def sample_pps(spark, sf):
         .filter(u * F.col("mx") < F.col("n_chars") * F.lit(4294967296))
         .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the host graph (common neighbors + resource allocation)
+# ---------------------------------------------------------------------------
+
+
+def _link_predict_sql() -> str:
+    return """
+WITH links AS (
+  SELECT source AS s,
+         'src' || CAST((CAST(substring(source, 4) AS INT)
+                        + 2 * (doc_id % 9) + 2) % 20 AS VARCHAR) AS t
+  FROM documents WHERE doc_id % 11 = 0
+),
+e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM links WHERE s <> t
+),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY a),
+cand AS (
+  SELECT x.a AS host_a, y.b AS host_b, x.b AS via
+  FROM e x JOIN e y ON y.a = x.b AND x.a < y.b
+),
+scored AS (
+  SELECT c.host_a, c.host_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(1000000 // deg.d) AS BIGINT) AS ra_micro
+  FROM cand c JOIN deg ON deg.v = c.via
+  GROUP BY c.host_a, c.host_b
+)
+SELECT s.host_a, s.host_b, s.n_common, s.ra_micro
+FROM scored s
+LEFT JOIN e0 ON e0.a = s.host_a AND e0.b = s.host_b
+WHERE e0.a IS NULL
+"""
+
+
+@_q("link_predict", _link_predict_sql())
+def link_predict(spark, sf):
+    """Link prediction on the host graph: for every NON-adjacent host
+    pair, the common-neighbor count and the resource-allocation index
+    (Zhou et al. 2009 — Σ 1/deg(via), the strongest of the classic
+    local indices) — the crawl-side "which hosts will link next /
+    which links are missing" signal, also the standard edge-recovery
+    features for graph-completion evals.  RA accumulates integer
+    micro-units (1e6 DIV deg per witness, floor) so sums are
+    order-insensitive and hash-exact; existing edges are removed with a
+    LEFT ANTI against the canonical edge set.
+
+    Scale: the two-hop candidate join is edge ⋈ edge keyed on the
+    shared endpoint — cost Σ deg(v)^2, the irreducible wedge count that
+    triangle counting (`graph_triangles`) already pays; production caps
+    hub degrees first (the same giants guard).  Degrees broadcast; the
+    anti-join is host-pair-keyed; nothing document-sized appears
+    anywhere after the first contraction.  (The synthetic edge set is
+    SPARSIFIED — one link per 11th document — because link prediction
+    over a near-complete graph is vacuous.)"""
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 11 == 0)
+    links = d.select(
+        F.col("source").alias("s"),
+        F.concat(
+            F.lit("src"),
+            (
+                (
+                    F.substring("source", 4, 10).cast("int")
+                    + 2 * (F.col("doc_id") % 9)
+                    + 2
+                )
+                % 20
+            ).cast("string"),
+        ).alias("t"),
+    )
+    e0 = (
+        links.filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = e.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    x = e.select(F.col("a").alias("host_a"), F.col("b").alias("via"))
+    y = e.select(F.col("a").alias("via_y"), F.col("b").alias("host_b"))
+    cand = x.join(y, (F.col("via") == F.col("via_y"))).filter(
+        F.col("host_a") < F.col("host_b")
+    )
+    scored = (
+        cand.join(F.broadcast(deg), F.col("v") == F.col("via"))
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    return scored.join(
+        e0,
+        (e0.a == scored.host_a) & (e0.b == scored.host_b),
+        "left_anti",
+    ).select("host_a", "host_b", "n_common", "ra_micro")

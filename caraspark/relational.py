@@ -2672,3 +2672,55 @@ def tpch_q10(spark, sf):
         .filter(F.col("rk") <= 20)
         .select("c_custkey", "c_name", "n_name", "revenue_e4")
     )
+
+
+@_q(
+    "events_gap_hist",
+    """WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         sec - lag(sec) OVER (PARTITION BY user_id, event_type
+                              ORDER BY sec, event_id) AS gap
+  FROM e
+)
+SELECT event_type,
+       CAST(length(printf('%b', gap + 1)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(gap) AS BIGINT) AS gap_min,
+       CAST(max(gap) AS BIGINT) AS gap_max
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type, length(printf('%b', gap + 1)) - 1""",
+)
+def events_gap_hist(spark, sf):
+    """Inter-arrival histogram per event type on a log2 axis: each gap
+    between a user's consecutive same-type events lands in bucket
+    floor(log2(gap+1)) via the exact integer bit-length trick
+    (`text_surprisal`'s device — no float log), giving the
+    power-of-two-bucketed cadence profile bot-detection and capacity
+    models read (human cadences spread across buckets; scripted
+    traffic spikes one).
+
+    Scale shape: one exchange keyed (user, type) for the lag window —
+    per-partition state is one row — then a map-side-combined census to
+    |types| x ~40 bucket rows.  The histogram of 10^12 events is a few
+    hundred output rows; nothing else moves."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    wg = W.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    gaps = e.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(wg)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    bucket = (F.length(F.expr("bin(gap + 1)")) - 1).cast("bigint")
+    return gaps.groupBy("event_type", bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("gap").cast("bigint").alias("gap_min"),
+        F.max("gap").cast("bigint").alias("gap_max"),
+    )

@@ -3529,3 +3529,4 @@ def substring_remove(spark, sf):
         (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
     )
+

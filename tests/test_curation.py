@@ -2325,3 +2325,45 @@ def test_budget_apportion_sums_exactly_to_budget(spark, sf_smoke):
     got_extra = {h for _, h, e in rem if e}
     exp_extra = {h for _, h, _ in sorted(rem, key=lambda x: (-x[0], x[1]))[:k]}
     assert got_extra == exp_extra
+
+
+def test_link_predict_excludes_edges_and_matches_python(spark, sf_smoke):
+    """Predicted pairs are exactly the non-adjacent two-hop pairs, with
+    RA = sum(1e6 // deg(witness)) recomputed in Python."""
+    from itertools import combinations
+
+    from caraspark.curation import link_predict
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents")
+        .filter("doc_id % 11 = 0")
+        .select("doc_id", "source")
+        .collect()
+    )
+    edges = set()
+    for r in rows:
+        h = int(r.source[3:])
+        t = (h + 2 * (r.doc_id % 9) + 2) % 20
+        if t != h:
+            edges.add((f"src{min(h, t)}", f"src{max(h, t)}"))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(n) for v, n in adj.items()}
+    exp = {}
+    for a, b in combinations(sorted(adj), 2):
+        if (min(a, b), max(a, b)) in edges:
+            continue
+        common = adj[a] & adj[b]
+        if common:
+            exp[(min(a, b), max(a, b))] = (
+                len(common),
+                sum(1_000_000 // deg[v] for v in common),
+            )
+    got = {
+        (r.host_a, r.host_b): (r.n_common, r.ra_micro)
+        for r in link_predict(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp
