@@ -2346,7 +2346,10 @@ def test_link_predict_excludes_edges_and_matches_python(spark, sf_smoke):
         h = int(r.source[3:])
         t = (h + 2 * (r.doc_id % 9) + 2) % 20
         if t != h:
-            edges.add((f"src{min(h, t)}", f"src{max(h, t)}"))
+            sa, sb = f"src{h}", f"src{t}"
+            # canonical order is STRING order, matching the operator's
+            # least/greatest over host names
+            edges.add((min(sa, sb), max(sa, sb)))
     adj = {}
     for a, b in edges:
         adj.setdefault(a, set()).add(b)
