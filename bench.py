@@ -144,6 +144,9 @@ EXTRAS = [
     "media_shard_layout",
     "sample_pps",
     "events_streaks",
+    "tpch_q10",
+    "link_predict",
+    "events_gap_hist",
 ]
 
 REPEATS = 3

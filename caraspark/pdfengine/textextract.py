@@ -489,3 +489,61 @@ def extract_pages(doc) -> list[dict]:
             }
         )
     return rows
+
+
+def content_op_histogram(doc) -> list[dict]:
+    """Content-stream operator histogram [PDF17 SS8-9]: lex every page's
+    (decoded, concatenated) content stream with the SAME tokenizer the
+    text extractor runs and count operator keywords — the per-document
+    profile of what a renderer would execute (text ops Tj/TJ/Tf,
+    path ops m/l/re/f, XObject Do, state ops q/Q/cm/gs), which is both
+    an extraction-quality signal (text-op-free pages are scans) and the
+    triage table for renderer-attack surface (op mix outliers).
+    Deterministic: same lexer, same page order as extraction.
+
+    Rows: {"op", "n"} sorted by op."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    errors: list = []
+    for pk in _page_order(doc):
+        content = _content_bytes(doc, pk, errors)
+        if not content:
+            continue
+        lx = Lexer(content, errors=[])
+        ts = TokenStream(lx)
+        while True:
+            tok = ts.next()
+            if tok[0] == "eof":
+                break
+            if tok[0] != "kw":
+                continue
+            counts[tok[1]] += 1
+            if tok[1] == "BI":
+                # same inline-image skip as extract_page_text: dict
+                # tokens through ID (counted), then raw bytes to a
+                # whitespace-delimited EI — payload bytes must not lex
+                while True:
+                    k2, v2, _p2 = ts.next()
+                    if k2 == "eof":
+                        break
+                    if k2 == "kw":
+                        counts[v2] += 1
+                        if v2 == "ID":
+                            break
+                ts.buf.clear()
+                data, end = lx.data, lx.end
+                i = lx.pos
+                while True:
+                    m = data.find(b"EI", i, end)
+                    if m < 0:
+                        lx.pos = end
+                        break
+                    if (m == 0 or data[m - 1] in _WS) and (
+                        m + 2 >= end or data[m + 2] in _WS_DELIM
+                    ):
+                        lx.pos = m + 2
+                        counts["EI"] += 1
+                        break
+                    i = m + 1
+    return [{"op": op, "n": counts[op]} for op in sorted(counts)]

@@ -26,6 +26,7 @@ from caraspark.corpus import corpus_rows_for_sf, synth_df
 from caraspark.oracle_freeze import (
     actions_cte,
     annot_cte,
+    contentop_cte,
     attach_cte,
     corpus_cte,
     formfield_cte,
@@ -1335,3 +1336,58 @@ def pdf_annots(spark, sf):
     for the (overwhelming at web scale) annotation-free majority."""
     raw = _corpus(spark, sf)
     return raw.mapInArrow(_annot_batches, _ANNOT_DDL)
+
+
+_CONTENTOP_DDL = "url string, op string, n int"
+_CONTENTOP_ARROW = pa.schema(
+    [("url", pa.string()), ("op", pa.string()), ("n", pa.int32())]
+)
+
+
+def _contentop_batches(
+    it: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    from caraspark.pdfengine.api import is_pdf
+    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.textextract import content_op_histogram
+
+    cols = {f.name: [] for f in _CONTENTOP_ARROW}
+    for batch in it:
+        urls = batch.column("url").to_pylist()
+        blobs = batch.column("html").to_pylist()
+        for url, blob in zip(urls, blobs):
+            if blob is None or not is_pdf(blob):
+                continue
+            for r in content_op_histogram(load_document(blob)):
+                cols["url"].append(url)
+                cols["op"].append(r["op"])
+                cols["n"].append(r["n"])
+        if cols["url"]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _CONTENTOP_ARROW],
+                schema=_CONTENTOP_ARROW,
+            )
+            for v in cols.values():
+                v.clear()
+
+
+@_q(
+    "pdf_content_ops",
+    f"""WITH {corpus_cte()},
+{contentop_cte()}
+SELECT d.url, c.op, CAST(c.n AS INT) AS n
+FROM docs d JOIN co c ON c.rid = d.rid""",
+)
+def pdf_content_ops(spark, sf):
+    """Content-stream operator histogram across the corpus [PDF17
+    SS8-9]: per document, how many of each operator its pages' decoded
+    content streams execute (text Tj/TJ/Tf, paths m/l/re/f, XObject Do,
+    state q/Q/cm, inline-image BI/ID/EI with payload bytes skipped via
+    the extractor's own EI scan) — an extraction-quality signal
+    (text-op-free pages are scans needing OCR) and a renderer
+    attack-surface profile.  Same lexer, same page order, same Form
+    XObject boundaries as text extraction; hash-verified against frozen
+    per-recipe rows.  Narrow Arrow stage; only (op, count) pairs leave
+    the executor."""
+    raw = _corpus(spark, sf)
+    return raw.mapInArrow(_contentop_batches, _CONTENTOP_DDL)

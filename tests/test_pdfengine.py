@@ -2271,3 +2271,25 @@ def test_extract_annotations_census():
     # (the acroform recipe's fields live only under /AcroForm /Fields —
     # widgets here come from recipes that also link them on a page)
     assert "Widget" in subtypes and "Link" in subtypes
+
+
+def test_content_op_histogram_text_ops_match_extraction():
+    """Recipes whose extraction produces text must show text-show
+    operators; inline-image payload bytes never lex into junk ops."""
+    from caraspark.pdfengine.api import process_document
+    from caraspark.pdfengine.document import load_document
+    from caraspark.pdfengine.textextract import content_op_histogram
+    from caraspark.synth import PDF_RECIPES
+
+    saw_text_ops = False
+    for name, fn in sorted(PDF_RECIPES.items()):
+        blob = fn()
+        hist = {r["op"]: r["n"] for r in content_op_histogram(load_document(blob))}
+        res = process_document(blob)
+        if res.text and len(res.text.strip()) > 0 and res.valid:
+            if "Tj" in hist or "TJ" in hist:
+                saw_text_ops = True
+        # the PNG-signature byte of an inline image payload must not
+        # appear as an operator (BI skip works)
+        assert "\x89" not in hist, (name, hist)
+    assert saw_text_ops

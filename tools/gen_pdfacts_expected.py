@@ -87,6 +87,7 @@ def build_extras():
     js_rows = []
     action_rows = []
     annot_rows = []
+    contentop_rows = []
     anchor_rows = []
     table_rows = []
     list_rows = []
@@ -241,6 +242,11 @@ def build_extras():
             action_rows.append(
                 (rid, act["pos"], act["source"], act["s"], act["target"])
             )
+        from caraspark.pdfengine.textextract import content_op_histogram
+
+        for co in content_op_histogram(doc):
+            contentop_rows.append((rid, co["op"], co["n"]))
+
         from caraspark.pdfengine.document import extract_annotations
 
         for an in extract_annotations(doc):
@@ -348,8 +354,9 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, annot_rows, revision_rows, page_rows, font_rows,
-        sig_rows, xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
+        action_rows, annot_rows, contentop_rows, revision_rows, page_rows,
+        font_rows, sig_rows, xmp_rows, md_rows, rd_rows, scav_rows,
+        repair_rows,
     )
 
 
@@ -556,8 +563,9 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, annot_rows, revision_rows, page_rows, font_rows,
-        sig_rows, xmp_rows, md_rows, rd_rows, scav_rows, repair_rows,
+        action_rows, annot_rows, contentop_rows, revision_rows, page_rows,
+        font_rows, sig_rows, xmp_rows, md_rows, rd_rows, scav_rows,
+        repair_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -590,6 +598,7 @@ def main() -> None:
             f"JS_ROWS = {fmt(js_rows)}\n\n"
             f"ACTION_ROWS = {fmt(action_rows)}\n\n"
             f"ANNOT_ROWS = {fmt(annot_rows)}\n\n"
+            f"CONTENTOP_ROWS = {fmt(contentop_rows)}\n\n"
             f"ALT_ROWS = {fmt(alt_rows)}\n\n"
             f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
             f"PAGE_ROWS = {fmt(page_rows)}\n\n"
