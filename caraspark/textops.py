@@ -3530,3 +3530,132 @@ def substring_remove(spark, sf):
         F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (exact int8 dot products)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _matryoshka_sql() -> str:
+    branches = []
+    for k in _MRL_DIMS:
+        branches.append(f"""
+SELECT {k} AS dims, ia, ib, dfull,
+       list_sum(list_transform(range(1, {k} + 1),
+                               i -> qa[CAST(i AS INT)] * qb[CAST(i AS INT)]))
+         AS dtrunc
+FROM pairs""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(CASE WHEN s = 0 THEN 0
+                       ELSE floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
+                  END AS BIGINT)) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS s
+        FROM embeddings)
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.qv AS qa, b.qv AS qb,
+         list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]))
+           AS dfull
+  FROM q a JOIN q b ON b.vec_id = (a.vec_id * 7 + 13) % (SELECT n FROM n)
+),
+t AS ({union})
+SELECT dims,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN (dfull >= 0) = (dtrunc >= 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sign_agree,
+       CAST(sum(CASE WHEN (dfull >= 0) = (dtrunc >= 0) THEN 1 ELSE 0 END)
+            * 1000 // count(*) AS BIGINT) AS agree_permille
+FROM t GROUP BY dims
+"""
+
+
+@_q("embed_matryoshka", _matryoshka_sql())
+def embed_matryoshka(spark, sf):
+    """Matryoshka (MRL) truncation evaluation: for a deterministic pair
+    sample, does the dot-product SIGN survive truncating the embedding
+    to its first 8/16/32 dims?  This is the go/no-go table for serving
+    truncated vectors (MRL-style indexes keep prefixes; the agreement
+    rate bounds the retrieval damage).  All dot products run on the
+    int8-quantized lanes (`embed_quantize`'s exact formula), so every
+    sum is integer-exact and order-insensitive — the float-cosine
+    nondeterminism that usually makes such evals unhashable never
+    appears.
+
+    Scale: the pair sample is an equi-join on a derived key (never
+    all-pairs); dot products are scan-stage array folds in codegen; the
+    census is |dims| rows.  The same harness evaluates any prefix
+    length against any pairing policy by swapping constants."""
+    e = load(spark, sf, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("long")
+            ),
+        ).alias("qv"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    a = q.select(F.col("vec_id").alias("ia"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("ib"), F.col("qv").alias("qb"))
+    pairs = (
+        a.crossJoin(F.broadcast(n))
+        .withColumn("key", (F.col("ia") * 7 + 13) % F.col("n"))
+        .join(b, F.col("ib") == F.col("key"))
+        .select("ia", "ib", "qa", "qb")
+        .withColumn(
+            "dfull",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    parts = []
+    for k in _MRL_DIMS:
+        parts.append(
+            pairs.select(
+                F.lit(k).alias("dims"),
+                "dfull",
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("qa", 1, k),
+                        F.slice("qb", 1, k),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dtrunc"),
+            )
+        )
+    t = parts[0]
+    for p in parts[1:]:
+        t = t.unionAll(p)
+    agree = F.sum(
+        F.when(
+            (F.col("dfull") >= 0) == (F.col("dtrunc") >= 0), 1
+        ).otherwise(0)
+    )
+    return t.groupBy("dims").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        agree.cast("bigint").alias("n_sign_agree"),
+        F.expr(
+            "CAST(sum(CASE WHEN (dfull >= 0) = (dtrunc >= 0)"
+            " THEN 1 ELSE 0 END) * 1000 DIV count(*) AS BIGINT)"
+        ).alias("agree_permille"),
+    )

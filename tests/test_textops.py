@@ -873,3 +873,41 @@ def test_substring_remove_matches_python_subtraction(spark, sf_smoke):
         assert r.n_removed == len(t) - len(kept)
         assert r.kept_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
     assert any(r.n_removed > 0 for r in got.values())  # non-vacuous
+
+
+def test_embed_matryoshka_matches_numpy(spark, sf_smoke):
+    """Quantization, pairing, and sign-agreement counts reproduce a
+    NumPy re-derivation exactly (integer dots, no tolerance)."""
+    import numpy as np
+
+    from caraspark.tables import load
+    from caraspark.textops import _MRL_DIMS, embed_matryoshka
+
+    rows = (
+        load(spark, sf_smoke, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        s = np.abs(v).max()
+        q[r.vec_id] = (
+            np.zeros(len(v), dtype=np.int64)
+            if s == 0
+            else np.floor(v * 127.0 / s + 0.5).astype(np.int64)
+        )
+    n = len(q)
+    exp = {}
+    for k in _MRL_DIMS:
+        agree = 0
+        for ia, qa in q.items():
+            qb = q[(ia * 7 + 13) % n]
+            if (int(qa @ qb) >= 0) == (int(qa[:k] @ qb[:k]) >= 0):
+                agree += 1
+        exp[k] = (n, agree, agree * 1000 // n)
+    got = {
+        r.dims: (r.n_pairs, r.n_sign_agree, r.agree_permille)
+        for r in embed_matryoshka(spark, sf_smoke).collect()
+    }
+    assert got == exp
