@@ -1280,3 +1280,39 @@ def stream_annots(spark, sf):
         .alias("n_with_action"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+def _stream_content_ops_sql() -> str:
+    from caraspark.oracle_freeze import contentop_cte, corpus_cte
+
+    return f"""WITH {corpus_cte()},
+{contentop_cte()}
+SELECT c.op,
+       CAST(sum(c.n) AS BIGINT) AS n_ops,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM docs d JOIN co c ON c.rid = d.rid
+GROUP BY c.op"""
+
+
+@_q("stream_content_ops", _stream_content_ops_sql())
+def stream_content_ops(spark, sf):
+    """Streaming content-stream operator monitor: raw PDF blobs arrive
+    as micro-batches, each runs the SAME Arrow content-op walker the
+    batch census uses (`pdf_content_ops`), and a stateful per-operator
+    aggregation maintains the live op mix — the renderer-attack-surface
+    alarm (a surge of Do/BI or of never-seen operators flags a
+    campaign) beside `stream_annots`' annotation monitor.  Complete
+    mode; DuckDB predicts every row from the frozen per-recipe op
+    table.
+
+    Scale: state is one row per distinct operator (~70 defined);
+    (op, count) pairs are all that cross the stream."""
+    from caraspark.sidetables import _CONTENTOP_DDL, _contentop_batches
+
+    docs = S.replay_corpus_stream(spark, sf)
+    ops = docs.mapInArrow(_contentop_batches, _CONTENTOP_DDL)
+    out = ops.groupBy("op").agg(
+        F.sum("n").cast("bigint").alias("n_ops"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return S.run_to_memory(out, mode="complete")
