@@ -8492,3 +8492,55 @@ def link_predict(spark, sf):
         (e0.a == scored.host_a) & (e0.b == scored.host_b),
         "left_anti",
     ).select("host_a", "host_b", "n_common", "ra_micro")
+
+
+# ---------------------------------------------------------------------------
+# Host-level perplexity rollup (domain filtering a la CCNet)
+# ---------------------------------------------------------------------------
+
+
+def _host_ppl_sql() -> str:
+    m = _KN_MICRO
+    return f"""
+WITH s AS ({REGISTRY["lm_kn_score"].sql})
+SELECT d.source AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(sum(s.total_bits) AS BIGINT) AS total_bits,
+       CAST(sum(s.total_bits) * {m} // sum(s.n_bigrams) AS BIGINT)
+         AS bits_per_bigram_micro
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source
+"""
+
+
+@_q("host_ppl", _host_ppl_sql())
+def host_ppl(spark, sf):
+    """Host-level LM-quality rollup: the corpus-trained Kneser-Ney
+    document scores (`lm_kn_score`, exact integer bits) aggregated per
+    host — the domain-granularity perplexity ranking CCNet-family
+    pipelines use to keep or drop whole sites (domain decisions are
+    cheaper and less noisy than per-page ones, and spam concentrates by
+    host).  Micro-bits-per-bigram is corpus-exact: integer bit sums
+    with ONE floor division per host, never an average of averages.
+
+    Scale: the expensive part is the per-doc scoring pass, already paid
+    by `lm_kn_score` (broadcast LM, one doc-keyed exchange); this adds
+    a doc_id-keyed join to a two-column table and a host-grain
+    map-side-combined rollup — at 10^8 hosts the output IS the domain
+    blocklist candidate table `host_reputation` consumes."""
+    s = lm_kn_score(spark, sf)
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    m = _KN_MICRO
+    return (
+        s.join(d, "doc_id")
+        .groupBy(F.col("source").alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.sum("total_bits").cast("bigint").alias("total_bits"),
+            F.expr(
+                f"CAST(sum(total_bits) * {m} DIV sum(n_bigrams) AS BIGINT)"
+            ).alias("bits_per_bigram_micro"),
+        )
+    )
