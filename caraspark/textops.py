@@ -3659,3 +3659,66 @@ def embed_matryoshka(spark, sf):
             " THEN 1 ELSE 0 END) * 1000 DIV count(*) AS BIGINT)"
         ).alias("agree_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster representative election
+# ---------------------------------------------------------------------------
+
+
+def _best_rep_sql() -> str:
+    from caraspark.curation import REGISTRY as CURATION_REGISTRY
+
+    return f"""
+WITH comp AS ({REGISTRY["dedup_clusters"].sql}),
+q AS ({CURATION_REGISTRY["quality_logit"].sql}),
+ranked AS (
+  SELECT comp.comp, comp.doc_id, q.score,
+         row_number() OVER (PARTITION BY comp.comp
+                            ORDER BY q.score DESC, comp.doc_id) AS rk
+  FROM comp JOIN q ON q.doc_id = comp.doc_id
+)
+SELECT comp,
+       CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS rep_doc,
+       CAST(max(CASE WHEN rk = 1 THEN score END) AS BIGINT) AS best_score,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked GROUP BY comp
+"""
+
+
+@_q("dedup_best_rep", _best_rep_sql())
+def dedup_best_rep(spark, sf):
+    """Quality-aware representative election per near-duplicate cluster:
+    within each connected component of the MinHash pair graph
+    (`dedup_clusters`), keep the member with the HIGHEST quality score
+    (`quality_logit`'s exact integer score; ties by doc id) — the
+    FineWeb-style policy of keeping the best-formatted copy instead of
+    an arbitrary one (min-id or first-seen keeps boilerplate-mangled
+    variants exactly as often as clean ones).  Both inputs are frozen
+    registry operators; this is pure composition, so the election can
+    never disagree with the dedup or the scorer it builds on.
+
+    Scale: scores join onto cluster rows doc_id-keyed; the election is
+    one window per component, whose size is bounded by cluster size (a
+    skew guard caps pathological mega-clusters upstream, the same
+    giants discipline as everywhere); output is component-cardinality.
+    """
+    from caraspark.curation import quality_logit
+
+    comp = dedup_clusters(spark, sf)
+    q = quality_logit(spark, sf).select("doc_id", "score")
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("comp").orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    )
+    return ranked.groupBy("comp").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("rep_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("score")))
+        .cast("bigint")
+        .alias("best_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
