@@ -2724,3 +2724,71 @@ def events_gap_hist(spark, sf):
         F.min("gap").cast("bigint").alias("gap_min"),
         F.max("gap").cast("bigint").alias("gap_max"),
     )
+
+
+@_q(
+    "win_sliding_median",
+    """WITH m AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 600 AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bucket, cents,
+         median(cents) OVER (PARTITION BY event_type ORDER BY bucket
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS med,
+         count(*) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wn
+  FROM m
+)
+SELECT event_type, bucket, cents, CAST(med AS BIGINT) AS median_cents
+FROM w WHERE wn = 5""",
+)
+def win_sliding_median(spark, sf):
+    """Exact sliding median (5-bucket window) over each type's
+    10-minute revenue stream — the robust smoother monitoring uses
+    where a mean would chase single-bucket spikes.  Spark has no
+    median-over-frame builtin, so the window collects its 5 frame
+    values, SORTS the array (making the collect's internal order
+    irrelevant — the standard determinism discipline for collect_list),
+    and takes the middle element; DuckDB's native windowed median
+    agrees because 5 BIGINTs have a unique middle.  Only full windows
+    emit, so both engines see the same frame population.
+
+    Scale: the stream is the minute-rollup (tiny vs events); the frame
+    holds 5 BIGINTs of state per row and the sort is over 5 elements —
+    constant work per row, one exchange keyed event_type (production
+    partitions (type, day) so no single type serializes a year)."""
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+            " DIV 600"
+        ).alias("bucket"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = e.groupBy("event_type", "bucket").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    w5 = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-4, W.currentRow)
+    )
+    w = m.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.element_at(F.sort_array(F.collect_list("cents").over(w5)), 3).alias(
+            "med"
+        ),
+        F.count(F.lit(1)).over(w5).alias("wn"),
+    )
+    return w.filter(F.col("wn") == 5).select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.col("med").cast("bigint").alias("median_cents"),
+    )
