@@ -8544,3 +8544,76 @@ def host_ppl(spark, sf):
             ).alias("bits_per_bigram_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Posting-list gap-encoding budget (index compression planning)
+# ---------------------------------------------------------------------------
+
+
+def _gapbits_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT term, doc_id,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id),
+                  doc_id + 1) AS gap
+  FROM toks
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(length(printf('%b', gap))) AS BIGINT) AS gap_bits,
+       CAST(count(*) * 64 AS BIGINT) AS raw_bits,
+       CAST(sum(length(printf('%b', gap))) * 1000 // (count(*) * 64)
+            AS BIGINT) AS ratio_permille
+FROM g
+WHERE term SIMILAR TO '[a-z]+'
+GROUP BY term
+"""
+
+
+@_q("postings_gapbits", _gapbits_sql())
+def postings_gapbits(spark, sf):
+    """Gap-encoding budget per posting list: sorted doc-id gaps cost
+    bit_length(gap) bits each (the exact payload bits of any
+    Elias/varint-family code, before per-code overhead), summed against
+    the 64-bit raw baseline — the index-size planning table that decides
+    compression codecs and posting-block layouts BEFORE the index is
+    built.  Dense terms (tiny gaps) compress ~50-60x; rare terms barely
+    2x — exactly the df-dependent curve block-max layouts exploit.
+    Bit lengths come from the integer bin() device, so every sum is
+    exact.
+
+    Scale: one exchange keyed term (the same the index build pays); the
+    lag window scans each posting list once with one BIGINT of state;
+    the census output is vocabulary-sized.  Doc ids never leave their
+    term partition."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    wt = W.partitionBy("term").orderBy("doc_id")
+    g = toks.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wt), F.col("doc_id") + 1
+        ),
+    )
+    bits = F.length(F.expr("bin(gap)"))
+    return g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(bits).cast("bigint").alias("gap_bits"),
+        (F.count(F.lit(1)) * 64).cast("bigint").alias("raw_bits"),
+        F.expr(
+            "CAST(sum(length(bin(gap))) * 1000 DIV (count(*) * 64)"
+            " AS BIGINT)"
+        ).alias("ratio_permille"),
+    )
