@@ -147,6 +147,13 @@ EXTRAS = [
     "tpch_q10",
     "link_predict",
     "events_gap_hist",
+    "pdf_content_ops",
+    "stream_content_ops",
+    "embed_matryoshka",
+    "host_ppl",
+    "dedup_best_rep",
+    "win_sliding_median",
+    "postings_gapbits",
 ]
 
 REPEATS = 3

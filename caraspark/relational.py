@@ -2792,3 +2792,49 @@ def win_sliding_median(spark, sf):
         "cents",
         F.col("med").cast("bigint").alias("median_cents"),
     )
+
+
+@_q(
+    "join_nullsafe",
+    """WITH a AS (
+  SELECT doc_id, nullif(doc_id % 7, 0) AS k FROM documents
+),
+b AS (
+  SELECT doc_id AS b_id, nullif(doc_id % 5, 0) AS k FROM documents
+)
+SELECT a.doc_id, b.b_id,
+       a.k IS NULL AS null_key,
+       CAST(coalesce(a.k, -1) AS BIGINT) AS k_norm
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+WHERE a.doc_id % 29 = 0 AND b.b_id % 31 = 0""",
+)
+def join_nullsafe(spark, sf):
+    """Null-safe equi-join (the ``<=>`` operator): NULL keys MATCH each
+    other instead of silently dropping — the semantics entity-resolution
+    and SCD merge joins need when "key unknown" is itself a join class.
+    Ordinary equality would return zero NULL-key rows; the null_key
+    column makes the difference visible and hash-pinned.  Pre-filters
+    bound the pair volume (NULL is a hot key by nature — the classic
+    skew case the docstring below addresses).
+
+    Scale: Catalyst plans ``<=>`` as a hash join on a
+    null-distinguishing key, so it shuffles like any equi-join — BUT
+    every NULL row lands in ONE partition; production salts the NULL
+    class or routes it through a separate broadcast branch when nulls
+    are abundant (the same giants discipline as everywhere)."""
+    d = load(spark, sf, "documents")
+    a = d.select("doc_id", F.nullif(F.col("doc_id") % 7, F.lit(0)).alias("k"))
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        F.nullif(F.col("doc_id") % 5, F.lit(0)).alias("bk"),
+    )
+    return (
+        a.filter(F.col("doc_id") % 29 == 0)
+        .join(b.filter(F.col("b_id") % 31 == 0), a.k.eqNullSafe(F.col("bk")))
+        .select(
+            "doc_id",
+            "b_id",
+            F.col("k").isNull().alias("null_key"),
+            F.coalesce("k", F.lit(-1)).cast("bigint").alias("k_norm"),
+        )
+    )
