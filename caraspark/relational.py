@@ -2838,3 +2838,52 @@ def join_nullsafe(spark, sf):
             F.coalesce("k", F.lit(-1)).cast("bigint").alias("k_norm"),
         )
     )
+
+
+@_q(
+    "scan_mergeschema",
+    """WITH m AS (
+  SELECT * FROM read_parquet(
+    ['/tmp/caraspark_scan_stage/mergeschema/v1/*.parquet',
+     '/tmp/caraspark_scan_stage/mergeschema/v2/*.parquet'],
+    union_by_name = true)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(a AS BIGINT) AS a,
+       CAST(coalesce(b, -1) AS BIGINT) AS b_norm,
+       b IS NULL AS from_v1
+FROM m""",
+)
+def scan_mergeschema(spark, sf):
+    """S-family: schema-evolution read — two parquet generations (v2
+    adds column ``b``) read as ONE table with ``mergeSchema``, old files
+    surfacing NULL for the new column (DuckDB's union_by_name agrees) —
+    the additive-evolution contract every long-lived lake table relies
+    on, demonstrated on actual heterogeneous footers rather than a
+    single writer's output.  Rows normalize the evolved column so the
+    hash pins NULL placement exactly.
+
+    Scale: mergeSchema unions footer schemas at planning time (cost per
+    FILE, not per row — production caches the merged schema in the
+    manifest instead of re-reading footers); the scan itself stays
+    pruned and pushdown-capable per file."""
+    import os
+
+    out = "/tmp/caraspark_scan_stage/mergeschema"
+    if not os.path.exists(f"{out}/v2/_SUCCESS"):
+        base = spark.range(0, 100, 1, 2).select(F.col("id").alias("doc_id"))
+        base.filter("doc_id < 50").select(
+            "doc_id", (F.col("doc_id") * 3).alias("a")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/v1")
+        base.filter("doc_id >= 50").select(
+            "doc_id",
+            (F.col("doc_id") * 3).alias("a"),
+            (F.col("doc_id") % 11).alias("b"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/v2")
+    m = spark.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
+    return m.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("a").cast("bigint").alias("a"),
+        F.coalesce("b", F.lit(-1)).cast("bigint").alias("b_norm"),
+        F.col("b").isNull().alias("from_v1"),
+    )
