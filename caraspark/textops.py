@@ -3722,3 +3722,42 @@ def dedup_best_rep(spark, sf):
         .alias("best_score"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-detected language confusion census
+# ---------------------------------------------------------------------------
+
+
+def _langid_mismatch_sql() -> str:
+    return f"""
+WITH p AS ({REGISTRY["text_langid"].sql})
+SELECT lang AS declared, pred_lang AS detected,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       lang = pred_lang AS agree
+FROM p GROUP BY lang, pred_lang
+"""
+
+
+@_q("langid_mismatch", _langid_mismatch_sql())
+def langid_mismatch(spark, sf):
+    """Declared-vs-detected language confusion matrix: the crawl's
+    claimed language column against the detector's verdict
+    (`text_langid`, same frozen operator), rolled to a
+    (declared, detected) census — the data-quality table that decides
+    whether to TRUST upstream lang metadata (mislabeled pages poison
+    per-language sampling rates, mixture weights, and eval sets; CC's
+    own metadata disagrees with CLD2 on a few percent of pages).  The
+    agree flag makes the diagonal readable without client-side joins.
+
+    Scale: the detector pass is the cost, already paid by
+    `text_langid` (scan-stage vectorized profile scoring); this adds a
+    |langs|² map-side-combined census — nothing corpus-sized moves."""
+    p = text_langid(spark, sf)
+    return p.groupBy(
+        F.col("lang").alias("declared"), F.col("pred_lang").alias("detected")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).withColumn("agree", F.col("declared") == F.col("detected")).select(
+        "declared", "detected", "n_docs", "agree"
+    )
