@@ -1316,3 +1316,35 @@ def stream_content_ops(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_datacard",
+    """SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+FROM documents WHERE length(text) > 0
+GROUP BY lang""",
+)
+def stream_datacard(spark, sf):
+    """Streaming data-card monitor: the per-language release census
+    (docs / chars / tokens) maintained live over document micro-batches
+    — the ingest dashboard a curation pipeline alarms on (a language's
+    share drifting mid-crawl is the classic upstream-change symptom),
+    converging to exactly the batch card's totals (`corpus_datacard`'s
+    census columns).  Complete mode; DuckDB predicts every row from the
+    same table the stream replays.
+
+    Scale: |langs| fixed-width state rows; each micro-batch contributes
+    (lang, three BIGINTs) partials — token counting is a stateless
+    scan-stage split, never stored."""
+    docs = S.replay_documents_stream(spark, sf).filter(F.length("text") > 0)
+    out = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return S.run_to_memory(out, mode="complete")
