@@ -1396,3 +1396,47 @@ def extract_annotations(doc: Document) -> list[dict]:
                 }
             )
     return out
+
+
+def stream_stats(doc: Document) -> list[dict]:
+    """Per-stream byte statistics [triage for embedded payloads]: for
+    every stream object, the decoded length plus two exact integer
+    dispersion signals — distinct byte count (256 max) and the modal
+    byte's frequency in permille — which separate text-like content
+    (few distinct bytes, high mode) from compressed/encrypted payloads
+    (≈256 distinct, flat mode) without any float entropy.  Undecodable
+    streams report raw bytes with decoded=False, so the census also
+    surfaces filter-chain failures.
+
+    Rows: {"num", "gen", "decoded", "n_bytes", "n_distinct",
+    "top_permille"} in object-number order."""
+    out: list[dict] = []
+    for (num, gen) in sorted(doc.objects):
+        o = doc.objects[(num, gen)]
+        if not isinstance(o, Stream):
+            continue
+        data = o.decoded if o.decoded is not None else o.raw
+        n = len(data)
+        if n == 0:
+            out.append(
+                {
+                    "num": num, "gen": gen,
+                    "decoded": o.decoded is not None,
+                    "n_bytes": 0, "n_distinct": 0, "top_permille": 0,
+                }
+            )
+            continue
+        counts = [0] * 256
+        for b in data:
+            counts[b] += 1
+        out.append(
+            {
+                "num": num,
+                "gen": gen,
+                "decoded": o.decoded is not None,
+                "n_bytes": n,
+                "n_distinct": sum(1 for c in counts if c),
+                "top_permille": max(counts) * 1000 // n,
+            }
+        )
+    return out

@@ -2293,3 +2293,26 @@ def test_content_op_histogram_text_ops_match_extraction():
         # appear as an operator (BI skip works)
         assert "\x89" not in hist, (name, hist)
     assert saw_text_ops
+
+
+def test_stream_stats_separates_text_from_compressed():
+    """Flate-compressed payloads must look dispersed (many distinct
+    bytes) relative to plain text streams, and undecodable streams
+    report decoded=False with raw-byte stats."""
+    from caraspark.pdfengine.document import load_document, stream_stats
+    from caraspark.synth import PDF_RECIPES
+
+    saw_plain = saw_dispersed = saw_undecodable = False
+    for name, fn in sorted(PDF_RECIPES.items()):
+        for r in stream_stats(load_document(fn())):
+            assert 0 <= r["n_distinct"] <= 256
+            assert 0 <= r["top_permille"] <= 1000
+            if r["n_bytes"] > 0:
+                assert r["n_distinct"] >= 1 and r["top_permille"] >= 1
+            if r["decoded"] and r["n_bytes"] > 20 and r["n_distinct"] < 64:
+                saw_plain = True
+            if r["n_bytes"] > 20 and r["n_distinct"] > 128:
+                saw_dispersed = True
+            if not r["decoded"]:
+                saw_undecodable = True
+    assert saw_plain and saw_undecodable

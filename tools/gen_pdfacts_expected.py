@@ -88,6 +88,7 @@ def build_extras():
     action_rows = []
     annot_rows = []
     contentop_rows = []
+    streamstat_rows = []
     anchor_rows = []
     table_rows = []
     list_rows = []
@@ -247,6 +248,14 @@ def build_extras():
         for co in content_op_histogram(doc):
             contentop_rows.append((rid, co["op"], co["n"]))
 
+        from caraspark.pdfengine.document import stream_stats
+
+        for ss in stream_stats(doc):
+            streamstat_rows.append(
+                (rid, ss["num"], ss["gen"], ss["decoded"], ss["n_bytes"],
+                 ss["n_distinct"], ss["top_permille"])
+            )
+
         from caraspark.pdfengine.document import extract_annotations
 
         for an in extract_annotations(doc):
@@ -354,9 +363,9 @@ def build_extras():
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, annot_rows, contentop_rows, revision_rows, page_rows,
-        font_rows, sig_rows, xmp_rows, md_rows, rd_rows, scav_rows,
-        repair_rows,
+        action_rows, annot_rows, contentop_rows, streamstat_rows,
+        revision_rows, page_rows, font_rows, sig_rows, xmp_rows, md_rows,
+        rd_rows, scav_rows, repair_rows,
     )
 
 
@@ -563,9 +572,9 @@ def main() -> None:
         extras, types_rows, objkind_rows, variant_rows, findref_rows,
         html_idx, attach_rows, outline_rows, formfield_rows, anchor_rows,
         table_rows, list_rows, img_rows, jsonld_rows, js_rows, alt_rows,
-        action_rows, annot_rows, contentop_rows, revision_rows, page_rows,
-        font_rows, sig_rows, xmp_rows, md_rows, rd_rows, scav_rows,
-        repair_rows,
+        action_rows, annot_rows, contentop_rows, streamstat_rows,
+        revision_rows, page_rows, font_rows, sig_rows, xmp_rows, md_rows,
+        rd_rows, scav_rows, repair_rows,
     ) = build_extras()
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -599,6 +608,7 @@ def main() -> None:
             f"ACTION_ROWS = {fmt(action_rows)}\n\n"
             f"ANNOT_ROWS = {fmt(annot_rows)}\n\n"
             f"CONTENTOP_ROWS = {fmt(contentop_rows)}\n\n"
+            f"STREAMSTAT_ROWS = {fmt(streamstat_rows)}\n\n"
             f"ALT_ROWS = {fmt(alt_rows)}\n\n"
             f"REVISION_ROWS = {fmt(revision_rows)}\n\n"
             f"PAGE_ROWS = {fmt(page_rows)}\n\n"
