@@ -8617,3 +8617,58 @@ def postings_gapbits(spark, sf):
             " AS BIGINT)"
         ).alias("ratio_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing efficiency report
+# ---------------------------------------------------------------------------
+
+
+def _pack_eff_sql() -> str:
+    return f"""
+WITH p AS ({REGISTRY["pack_sequences"].sql}),
+seqs AS (
+  SELECT lang, shard, seq_id,
+         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY lang, shard, seq_id
+)
+SELECT lang, shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) * {_PACK_TARGET} AS BIGINT) AS capacity,
+       CAST(sum(seq_tokens) * 1000 // (count(*) * {_PACK_TARGET})
+            AS BIGINT) AS fill_permille
+FROM seqs GROUP BY lang, shard
+"""
+
+
+@_q("pack_efficiency", _pack_eff_sql())
+def pack_efficiency(spark, sf):
+    """Packing-efficiency report over the sequence packer
+    (`pack_sequences`, same frozen operator): per (lang, shard), how
+    full the packed training sequences actually are against the token
+    target — fill_permille IS the padding-waste number a pretraining
+    team watches (waste = 1 − fill; every lost permille is paid GPU
+    time), and the per-shard split shows whether hot-language sharding
+    keeps the tail balanced.
+
+    Scale: consumes the packer's own output keyed exactly as the packer
+    shuffles it; two map-side-combined rollups, output at
+    (lang × shard) cardinality."""
+    p = pack_sequences(spark, sf)
+    seqs = p.groupBy("lang", "shard", "seq_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return seqs.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+        (F.count(F.lit(1)) * _PACK_TARGET).cast("bigint").alias("capacity"),
+        F.expr(
+            f"CAST(sum(seq_tokens) * 1000 DIV (count(*) * {_PACK_TARGET})"
+            " AS BIGINT)"
+        ).alias("fill_permille"),
+    )
