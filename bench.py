@@ -154,6 +154,13 @@ EXTRAS = [
     "dedup_best_rep",
     "win_sliding_median",
     "postings_gapbits",
+    "join_nullsafe",
+    "scan_mergeschema",
+    "langid_mismatch",
+    "stream_datacard",
+    "pdf_stream_stats",
+    "pack_efficiency",
+    "events_iqr_outliers",
 ]
 
 REPEATS = 3

@@ -2887,3 +2887,87 @@ def scan_mergeschema(spark, sf):
         F.coalesce("b", F.lit(-1)).cast("bigint").alias("b_norm"),
         F.col("b").isNull().alias("from_v1"),
     )
+
+
+@_q(
+    "events_iqr_outliers",
+    """WITH e AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+q AS (
+  SELECT event_type,
+         min(CASE WHEN rn * 4 >= n THEN cents END) AS q1,
+         min(CASE WHEN rn * 4 >= 3 * n THEN cents END) AS q3
+  FROM r GROUP BY event_type
+)
+SELECT e.event_type, q.q1, q.q3,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN 2 * e.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN 2 * e.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM e JOIN q ON q.event_type = e.event_type
+GROUP BY e.event_type, q.q1, q.q3""",
+)
+def events_iqr_outliers(spark, sf):
+    """Tukey-fence outlier census per event type: exact rank-based
+    quartiles (value thresholds — the smallest value whose rank reaches
+    ⌈k·n/4⌉, the same integer device as `ppl_buckets`' terciles) and
+    the 1.5·IQR fences applied by CROSS-MULTIPLICATION (2·x < 2·q1 −
+    3·IQR), so no float quantile interpolation or division ever decides
+    an outlier — the robust anomaly count monitoring dashboards track.
+
+    Scale: the quartile window partitions by event type — at census
+    granularity that is the intended contraction (for high-cardinality
+    keys the histogram trick of `ppl_buckets` replaces the row_number
+    sort); the fence pass is a broadcast join of a |types|-row quartile
+    table onto a scan."""
+    e = load(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wt = W.partitionBy("event_type").orderBy("cents", "event_id")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") * 4 >= F.col("n"), F.col("cents"))).alias(
+            "q1"
+        ),
+        F.min(
+            F.when(F.col("rn") * 4 >= 3 * F.col("n"), F.col("cents"))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr, 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_high"),
+        )
+    )
