@@ -8672,3 +8672,100 @@ def pack_efficiency(spark, sf):
             " AS BIGINT)"
         ).alias("fill_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation keep-rate funnel
+# ---------------------------------------------------------------------------
+
+
+def _curation_funnel_sql() -> str:
+    return f"""
+WITH g AS ({REGISTRY["text_gopher"].sql}),
+bl AS ({REGISTRY["filter_blocklist"].sql}),
+base AS (
+  SELECT d.doc_id, md5(d.text) AS h,
+         len(string_split(lower(d.text), ' ')) AS n_tokens,
+         g.keep AS g_keep,
+         bl.doc_id IS NOT NULL AS b_keep
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  LEFT JOIN bl ON bl.doc_id = d.doc_id
+  WHERE length(d.text) > 0
+),
+surv AS (SELECT * FROM base WHERE g_keep AND b_keep),
+keepers AS (
+  SELECT h, min(doc_id) AS keeper FROM surv GROUP BY h
+),
+staged AS (
+  SELECT '0_all' AS stage, doc_id, n_tokens FROM base
+  UNION ALL
+  SELECT '1_gopher', doc_id, n_tokens FROM base WHERE g_keep
+  UNION ALL
+  SELECT '2_blocklist', doc_id, n_tokens FROM surv
+  UNION ALL
+  SELECT '3_dedup', s.doc_id, s.n_tokens
+  FROM surv s JOIN keepers k ON k.h = s.h AND k.keeper = s.doc_id
+)
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM staged GROUP BY stage
+"""
+
+
+@_q("curation_funnel", _curation_funnel_sql())
+def curation_funnel(spark, sf):
+    """The curation WATERFALL: document and token survival through the
+    pipeline's gates in order — all → Gopher rules → domain blocklist →
+    exact dedup (keeper = min doc per content digest, computed over the
+    filtered survivors exactly as `jobs/curate_job.py` sequences it) —
+    the four-row report every dataset paper prints, composed from the
+    SAME frozen operators (`text_gopher`, `filter_blocklist`), so the
+    funnel can never disagree with the filters it summarizes.
+
+    Scale: one corpus scan feeds all stage flags (the gopher verdict is
+    a projection, the blocklist an broadcast anti/semi join); the dedup
+    stage adds the one digest-keyed exchange exact dedup always costs;
+    stage rollups are map-side-combined to 4 rows.  The UNION replays
+    flags, not payloads."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    g = text_gopher(spark, sf).select("doc_id", F.col("keep").alias("g_keep"))
+    bl = filter_blocklist(spark, sf).select("doc_id").withColumn(
+        "b_keep", F.lit(True)
+    )
+    base = (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        )
+        .join(g, "doc_id")
+        .join(bl, "doc_id", "left")
+        .na.fill({"b_keep": False})
+    )
+    surv = base.filter(F.col("g_keep") & F.col("b_keep"))
+    keepers = surv.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    staged = (
+        base.select(F.lit("0_all").alias("stage"), "doc_id", "n_tokens")
+        .unionAll(
+            base.filter("g_keep").select(
+                F.lit("1_gopher").alias("stage"), "doc_id", "n_tokens"
+            )
+        )
+        .unionAll(
+            surv.select(
+                F.lit("2_blocklist").alias("stage"), "doc_id", "n_tokens"
+            )
+        )
+        .unionAll(
+            surv.join(
+                keepers,
+                (surv.h == keepers.h) & (surv.doc_id == keepers.keeper),
+            ).select(F.lit("3_dedup").alias("stage"), "doc_id", "n_tokens")
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -2370,3 +2370,26 @@ def test_link_predict_excludes_edges_and_matches_python(spark, sf_smoke):
         for r in link_predict(spark, sf_smoke).collect()
     }
     assert got == exp and exp
+
+
+def test_curation_funnel_is_monotone_and_reconciles(spark, sf_smoke):
+    """Stages shrink monotonically in docs AND tokens, stage 0 equals
+    the textful corpus, and stage 1 equals text_gopher's keeps."""
+    from caraspark.curation import curation_funnel, text_gopher
+    from caraspark.tables import load
+
+    n_all = (
+        load(spark, sf_smoke, "documents").filter("length(text) > 0").count()
+    )
+    n_gopher = sum(
+        1 for r in text_gopher(spark, sf_smoke).collect() if r.keep
+    )
+    f = {r.stage: r for r in curation_funnel(spark, sf_smoke).collect()}
+    assert set(f) == {"0_all", "1_gopher", "2_blocklist", "3_dedup"}
+    assert f["0_all"].n_docs == n_all
+    assert f["1_gopher"].n_docs == n_gopher
+    order = ["0_all", "1_gopher", "2_blocklist", "3_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert f[a].n_docs >= f[b].n_docs
+        assert f[a].n_tokens >= f[b].n_tokens
+    assert f["3_dedup"].n_docs > 0
