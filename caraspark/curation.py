@@ -8769,3 +8769,68 @@ def curation_funnel(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-concentration Gini coefficient
+# ---------------------------------------------------------------------------
+
+
+def _host_gini_sql() -> str:
+    return """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS x
+  FROM documents GROUP BY lang, source
+),
+r AS (
+  SELECT lang, x,
+         row_number() OVER (PARTITION BY lang ORDER BY x, source) AS i,
+         count(*) OVER (PARTITION BY lang) AS n,
+         sum(x) OVER (PARTITION BY lang) AS t
+  FROM c
+)
+SELECT lang,
+       CAST(any_value(n) AS BIGINT) AS n_hosts,
+       CAST(any_value(t) AS BIGINT) AS n_docs,
+       CAST(sum((2 * i - n - 1) * x) * 1000 // (n * t) AS BIGINT)
+         AS gini_permille
+FROM r GROUP BY lang
+"""
+
+
+@_q("host_gini", _host_gini_sql())
+def host_gini(spark, sf):
+    """Host-concentration Gini per language: Σ(2i−n−1)·xᵢ / (n·Σx) over
+    host doc-counts sorted ascending (ties by host name for a total
+    order) — the single inequality number that says whether a
+    language's corpus is a few mega-hosts (→1) or broadly sourced (→0);
+    the complement of `host_diversity`'s Simpson index, and the skew
+    early-warning for per-host politeness budgets and dedup hot keys.
+    Integer permille with ONE floor division; the rank weights make the
+    whole sum exact.
+
+    Scale: the host-count table is the contraction (host cardinality);
+    the rank window partitions by language over HOST rows — at 10^8
+    hosts per language the histogram-of-counts trick (rank ranges from
+    count multiplicities, as in `ppl_buckets`) replaces the row_number
+    sort with the same algebra."""
+    d = load(spark, sf, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wl = W.partitionBy("lang")
+    r = c.select(
+        "lang",
+        "x",
+        F.row_number().over(wl.orderBy("x", "source")).alias("i"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+        F.sum("x").over(wl).alias("t"),
+    )
+    return r.groupBy("lang").agg(
+        F.any_value("n").cast("bigint").alias("n_hosts"),
+        F.any_value("t").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(sum((2 * i - n - 1) * x) * 1000"
+            " DIV (any_value(n) * any_value(t)) AS BIGINT)"
+        ).alias("gini_permille"),
+    )
