@@ -8792,8 +8792,8 @@ r AS (
 SELECT lang,
        CAST(any_value(n) AS BIGINT) AS n_hosts,
        CAST(any_value(t) AS BIGINT) AS n_docs,
-       CAST(sum((2 * i - n - 1) * x) * 1000 // (n * t) AS BIGINT)
-         AS gini_permille
+       CAST(sum((2 * i - n - 1) * x) * 1000
+            // (any_value(n) * any_value(t)) AS BIGINT) AS gini_permille
 FROM r GROUP BY lang
 """
 
