@@ -161,6 +161,8 @@ EXTRAS = [
     "pdf_stream_stats",
     "pack_efficiency",
     "events_iqr_outliers",
+    "curation_funnel",
+    "host_gini",
 ]
 
 REPEATS = 3
