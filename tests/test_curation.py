@@ -2393,3 +2393,25 @@ def test_curation_funnel_is_monotone_and_reconciles(spark, sf_smoke):
         assert f[a].n_docs >= f[b].n_docs
         assert f[a].n_tokens >= f[b].n_tokens
     assert f["3_dedup"].n_docs > 0
+
+
+def test_host_gini_matches_python_and_bounds(spark, sf_smoke):
+    from collections import Counter
+
+    from caraspark.curation import host_gini
+    from caraspark.tables import load
+
+    counts = {}
+    for r in load(spark, sf_smoke, "documents").select("lang", "source").collect():
+        counts.setdefault(r.lang, Counter())[r.source] += 1
+    got = {r.lang: r for r in host_gini(spark, sf_smoke).collect()}
+    assert set(got) == set(counts)
+    for lang, hosts in counts.items():
+        xs = sorted(hosts.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(xs)
+        t = sum(v for _, v in xs)
+        g = sum((2 * i - n - 1) * v for i, (_, v) in enumerate(xs, 1))
+        r = got[lang]
+        assert (r.n_hosts, r.n_docs) == (n, t)
+        assert r.gini_permille == g * 1000 // (n * t)
+        assert 0 <= r.gini_permille < 1000

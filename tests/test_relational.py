@@ -321,3 +321,34 @@ def test_events_streaks_match_python_day_runs(spark, sf_smoke):
         for r in events_streaks(spark, sf_smoke).collect()
     }
     assert got == exp and exp
+
+
+def test_events_iqr_outliers_matches_python_fences(spark, sf_smoke):
+    from caraspark.relational import events_iqr_outliers
+    from caraspark.tables import load
+
+    vals = {}
+    for r in (
+        load(spark, sf_smoke, "events")
+        .selectExpr(
+            "event_type", "event_id",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        vals.setdefault(r.event_type, []).append((r.cents, r.event_id))
+    got = {r.event_type: r for r in events_iqr_outliers(spark, sf_smoke).collect()}
+    assert set(got) == set(vals)
+    for t, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        cents = [c for c, _ in xs]
+        q1 = next(c for i, c in enumerate(cents, 1) if i * 4 >= n)
+        q3 = next(c for i, c in enumerate(cents, 1) if i * 4 >= 3 * n)
+        iqr = q3 - q1
+        lo = sum(1 for c in cents if 2 * c < 2 * q1 - 3 * iqr)
+        hi = sum(1 for c in cents if 2 * c > 2 * q3 + 3 * iqr)
+        r = got[t]
+        assert (r.q1, r.q3, r.n_events, r.n_low, r.n_high) == (
+            q1, q3, n, lo, hi,
+        )
