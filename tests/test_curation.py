@@ -2415,3 +2415,66 @@ def test_host_gini_matches_python_and_bounds(spark, sf_smoke):
         assert (r.n_hosts, r.n_docs) == (n, t)
         assert r.gini_permille == g * 1000 // (n * t)
         assert 0 <= r.gini_permille < 1000
+
+
+def test_sample_pps_gate_matches_python(spark, sf_smoke):
+    """Inclusion is exactly u32*max < chars*2^32, recomputed in Python."""
+    import hashlib
+
+    from caraspark.curation import sample_pps
+    from caraspark.tables import load
+
+    rows = (
+        load(spark, sf_smoke, "documents").select("doc_id", "n_chars").collect()
+    )
+    mx = max(r.n_chars for r in rows)
+    exp = set()
+    for r in rows:
+        u = int(hashlib.md5(f"{r.doc_id}:pps".encode()).hexdigest()[:8], 16)
+        if u * mx < r.n_chars * 4294967296:
+            exp.add(r.doc_id)
+    got = {r.doc_id for r in sample_pps(spark, sf_smoke).collect()}
+    assert got == exp and 0 < len(got) < len(rows)
+
+
+def test_host_ppl_reconciles_with_doc_scores(spark, sf_smoke):
+    from collections import defaultdict
+
+    from caraspark.curation import host_ppl, lm_kn_score
+    from caraspark.tables import load
+
+    src = {
+        r.doc_id: r.source
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in lm_kn_score(spark, sf_smoke).collect():
+        e = agg[src[r.doc_id]]
+        e[0] += 1
+        e[1] += r.n_bigrams
+        e[2] += r.total_bits
+    got = {r.host: r for r in host_ppl(spark, sf_smoke).collect()}
+    assert set(got) == set(agg)
+    for h, (nd, nb, tb) in agg.items():
+        r = got[h]
+        assert (r.n_docs, r.n_bigrams, r.total_bits) == (nd, nb, tb)
+        assert r.bits_per_bigram_micro == tb * 1_000_000 // nb
+
+
+def test_postings_gapbits_compresses_dense_terms_more(spark, sf_smoke):
+    """Gap bits beat raw 64-bit postings everywhere, and high-df terms
+    compress strictly better (permille) than the rarest terms."""
+    from caraspark.curation import postings_gapbits
+
+    rows = postings_gapbits(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.gap_bits < r.raw_bits
+        assert r.ratio_permille == r.gap_bits * 1000 // r.raw_bits
+    dmax = max(r.df for r in rows)
+    dmin = min(r.df for r in rows)
+    dense = min(r.ratio_permille for r in rows if r.df == dmax)
+    sparse = max(r.ratio_permille for r in rows if r.df == dmin)
+    assert dense < sparse

@@ -352,3 +352,35 @@ def test_events_iqr_outliers_matches_python_fences(spark, sf_smoke):
         assert (r.q1, r.q3, r.n_events, r.n_low, r.n_high) == (
             q1, q3, n, lo, hi,
         )
+
+
+def test_win_sliding_median_matches_python(spark, sf_smoke):
+    from collections import defaultdict
+
+    from caraspark.relational import win_sliding_median
+    from caraspark.tables import load
+
+    buckets = defaultdict(dict)
+    for r in (
+        load(spark, sf_smoke, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 600 AS bucket",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        buckets[r.event_type][r.bucket] = (
+            buckets[r.event_type].get(r.bucket, 0) + r.cents
+        )
+    exp = {}
+    for t, bs in buckets.items():
+        ks = sorted(bs)
+        for i in range(4, len(ks)):
+            window = sorted(bs[k] for k in ks[i - 4 : i + 1])
+            exp[(t, ks[i])] = window[2]
+    got = {
+        (r.event_type, r.bucket): r.median_cents
+        for r in win_sliding_median(spark, sf_smoke).collect()
+    }
+    assert got == exp and exp

@@ -911,3 +911,43 @@ def test_embed_matryoshka_matches_numpy(spark, sf_smoke):
         for r in embed_matryoshka(spark, sf_smoke).collect()
     }
     assert got == exp
+
+
+def test_langid_mismatch_reconciles(spark, sf_smoke):
+    """The census reconciles with text_langid row-by-row.  (On this
+    corpus the declared lang is arbitrary metadata over an English-like
+    shared vocabulary, so the OFF-diagonal mass is large — exactly the
+    situation the mismatch table exists to expose.)"""
+    from collections import Counter
+
+    from caraspark.textops import langid_mismatch, text_langid
+
+    exp = Counter(
+        (r.lang, r.pred_lang) for r in text_langid(spark, sf_smoke).collect()
+    )
+    got = {}
+    for r in langid_mismatch(spark, sf_smoke).collect():
+        got[(r.declared, r.detected)] = r.n_docs
+        assert r.agree == (r.declared == r.detected)
+    assert got == dict(exp)
+    assert any(a != b for (a, b) in got)  # the table is non-trivial
+
+
+def test_dedup_best_rep_elects_highest_score(spark, sf_smoke):
+    from caraspark.curation import quality_logit
+    from caraspark.textops import dedup_best_rep, dedup_clusters
+
+    score = {
+        r.doc_id: r.score for r in quality_logit(spark, sf_smoke).collect()
+    }
+    comps = {}
+    for r in dedup_clusters(spark, sf_smoke).collect():
+        comps.setdefault(r.comp, []).append(r.doc_id)
+    got = {r.comp: r for r in dedup_best_rep(spark, sf_smoke).collect()}
+    assert set(got) == set(comps)
+    for comp, members in comps.items():
+        best = min(members, key=lambda d: (-score[d], d))
+        r = got[comp]
+        assert (r.rep_doc, r.best_score, r.n_members) == (
+            best, score[best], len(members),
+        )
