@@ -2971,3 +2971,91 @@ def events_iqr_outliers(spark, sf):
             .alias("n_high"),
         )
     )
+
+
+@_q(
+    "tpch_q6",
+    f"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+  AND round(l_discount * 100) BETWEEN 4 AND 8
+  AND l_quantity < 24""",
+)
+def tpch_q6(spark, sf):
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate microbenchmark — no join at all; the entire
+    query is how fast predicates prune parquet and how well the
+    single-pass aggregate combines.  Revenue = price x discount in
+    exact 1e-4-dollar integers; the discount band compares integer
+    cents (round(d*100) BETWEEN 4 AND 8), so no float equality range
+    ever decides a row.
+
+    Scale shape: all three predicates reach the parquet row-group
+    stats (PushedFilters), the projection prunes to four columns, and
+    the aggregate ships ONE (count, sum) pair per task — Q6 at 10^12
+    rows is bandwidth-bound by design, which is why engines benchmark
+    scan efficiency with it."""
+    li = load(spark, sf, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.round(
+        F.col("l_discount") * 100
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100).between(4, 8)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(rev).cast("bigint").alias("revenue_e4"),
+        )
+    )
+
+
+@_q(
+    "tpch_q14",
+    f"""SELECT
+  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
+       AS BIGINT) AS promo_rev_e4,
+  CAST(sum({_REV_SQL}) AS BIGINT) AS total_rev_e4,
+  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)
+       * 1000000 // sum({_REV_SQL}) AS BIGINT) AS promo_ppm
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1999-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1999-04-01 00:00:00'""",
+)
+def tpch_q14(spark, sf):
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    from PROMO parts — fact⋈dimension join + conditional aggregate,
+    with the share in integer parts-per-million (same discipline as
+    Q8), so the single output row hashes bit-for-bit.
+
+    Scale shape: the month predicate prunes lineitem at the scan; part
+    broadcasts (or, partitioned by p_partkey at 10^9 parts, the join
+    shuffles once on the natural key); both conditional sums fold in
+    the same partial aggregate — one pass, one exchange of two
+    BIGINTs."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.expr(_REV_SQL)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+    tot = F.sum(rev)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            promo.cast("bigint").alias("promo_rev_e4"),
+            tot.cast("bigint").alias("total_rev_e4"),
+            F.expr(
+                f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}"
+                f" ELSE 0 END) * 1000000 DIV sum({_REV_SQL}) AS BIGINT)"
+            ).alias("promo_ppm"),
+        )
+    )

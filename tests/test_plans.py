@@ -1381,3 +1381,13 @@ def test_tpch_q17_decorrelated_single_partkey_exchange(spark, sf_smoke, qs):
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("Exchange hashpartitioning(l_partkey") <= 1, p
+
+
+def test_tpch_q6_pure_scan_aggregate(spark, sf_smoke, qs):
+    """No join; predicates pushed to parquet; one partial+final agg."""
+    df = qs["tpch_q6"](spark, sf_smoke)
+    full = plan_of(df)
+    assert "PushedFilters" in full, full
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
+    assert "HashAggregate" in p, p
