@@ -163,6 +163,9 @@ EXTRAS = [
     "events_iqr_outliers",
     "curation_funnel",
     "host_gini",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q19",
 ]
 
 REPEATS = 3

@@ -3059,3 +3059,54 @@ def tpch_q14(spark, sf):
             ).alias("promo_ppm"),
         )
     )
+
+
+@_q(
+    "tpch_q19",
+    f"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_e4
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19(spark, sf):
+    """TPC-H Q19 (discounted revenue, disjunctive form): an OR of three
+    brand/size/quantity conjunctions across BOTH join sides — the
+    classic test of disjunctive predicate handling (a naive planner
+    evaluates the OR only after the join; a good one pushes the
+    per-side residuals: part rows outside all three brand/size boxes
+    and lineitems outside the quantity hull prune before joining).
+    Revenue in the exact 1e-4-dollar integers of the Q-family.
+
+    Scale shape: Catalyst derives the infeasible-row filters on each
+    side from the OR (constraint propagation), part broadcasts, and
+    the disjunction evaluates join-side on the survivors — one
+    exchange, one partial+final aggregate of two BIGINTs."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.expr(_REV_SQL)).cast("bigint").alias("revenue_e4"),
+    )
