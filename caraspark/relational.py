@@ -3110,3 +3110,117 @@ def tpch_q19(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum(F.expr(_REV_SQL)).cast("bigint").alias("revenue_e4"),
     )
+
+
+@_q(
+    "tpch_q4",
+    """SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority""",
+)
+def tpch_q4(spark, sf):
+    """TPC-H Q4 (order-priority checking), adapted to this schema's
+    columns: orders of one quarter having AT LEAST ONE lineitem shipped
+    more than 30 days after the order date (the original's
+    commitdate/receiptdate lateness test, re-expressed with the columns
+    the corpus carries) — the canonical EXISTS-at-fact-scale query,
+    planned as a LEFT SEMI join so multiplicity on the lineitem side
+    can never double-count an order.
+
+    Scale shape: the date window prunes orders at the scan; the semi
+    join shuffles on orderkey once and short-circuits per match; the
+    priority rollup is 5 groups, all partial map-side."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@_q(
+    "tpch_q22",
+    """WITH pos AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey,
+         c_nationkey
+  FROM customer
+),
+thr AS (
+  SELECT CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+  FROM pos WHERE cents > 0
+),
+rich AS (
+  SELECT p.c_custkey, p.c_nationkey % 5 AS cgroup, p.cents
+  FROM pos p, thr WHERE p.cents > thr.avg_cents
+),
+noorder AS (
+  SELECT r.cgroup, r.cents
+  FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+)
+SELECT CAST(cgroup AS BIGINT) AS cgroup,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM noorder GROUP BY cgroup""",
+)
+def tpch_q22(spark, sf):
+    """TPC-H Q22 (global sales opportunity), adapted: customers with an
+    above-average positive balance who have NEVER ordered, counted by
+    customer group (nationkey%5 standing in for the phone country
+    code) — the canonical scalar-subquery threshold + ANTI join.  The
+    average is an exact integer floor (Σcents DIV n), so the threshold
+    comparison is float-free and both engines cut the same customers.
+
+    Scale shape: the threshold is a 1-row broadcast from one aggregate;
+    the anti join shuffles customer-cardinality keys against order
+    custkeys (or uses a bloom-pruned shuffle at 10^9 customers); the
+    rollup is 5 groups."""
+    pos = load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    thr = pos.filter(F.col("cents") > 0).agg(
+        F.expr("CAST(sum(cents) DIV count(*) AS BIGINT)").alias("avg_cents")
+    )
+    rich = (
+        pos.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .select(
+            "c_custkey", (F.col("c_nationkey") % 5).alias("cgroup"), "cents"
+        )
+    )
+    o = (
+        load(spark, sf, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    noorder = rich.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return noorder.groupBy(F.col("cgroup").cast("bigint").alias("cgroup")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
