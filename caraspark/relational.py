@@ -3224,3 +3224,82 @@ def tpch_q22(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@_q(
+    "events_wau",
+    """WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+cover AS (
+  SELECT DISTINCT ud.user_id, ud.day + k.k AS day
+  FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) k, bounds
+  WHERE ud.day + k.k <= bounds.d1
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY day
+)
+SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+       CAST(coalesce(d.dau, 0) * 1000 // w.wau AS BIGINT)
+         AS stickiness_permille
+FROM wau w LEFT JOIN dau d ON d.day = w.day, bounds b
+WHERE w.day >= b.d0 + 6""",
+)
+def events_wau(spark, sf):
+    """Rolling active users: exact DAU and trailing-7-day WAU per day,
+    plus the DAU/WAU stickiness ratio — the engagement dashboard
+    triple.  Windowed DISTINCT counts don't compose (WAU is not a sum
+    of DAUs), so WAU uses the COVER-EXPLODE trick: each (user, active
+    day) contributes to the 7 days it keeps the user active in, and a
+    plain per-day distinct-free count of the deduped cover gives the
+    exact trailing distinct — linear work, no day-range self-join.
+    Days before a full window are dropped so both engines census the
+    same frame population.
+
+    Scale: the user-day dedup is the contraction (≤ users×days); the
+    ×7 cover explode is scan-stage; both censuses are map-side
+    combined.  At 10^9 users the cover table is the same order as the
+    user-day table — nothing quadratic anywhere."""
+    ud = (
+        load(spark, sf, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+                " DIV 86400"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    b = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    ks = spark.range(7).select(F.col("id").alias("k"))
+    cover = (
+        ud.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(b))
+        .select("user_id", (F.col("day") + F.col("k")).alias("day"), "d1")
+        .filter(F.col("day") <= F.col("d1"))
+        .select("user_id", "day")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wau = cover.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .na.fill({"dau": 0})
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("day") >= F.col("d0") + 6)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000 DIV wau AS BIGINT)").alias(
+                "stickiness_permille"
+            ),
+        )
+    )

@@ -3761,3 +3761,69 @@ def langid_mismatch(spark, sf):
     ).withColumn("agree", F.col("declared") == F.col("detected")).select(
         "declared", "detected", "n_docs", "agree"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _edit_verify_sql() -> str:
+    return f"""
+WITH pairs AS ({REGISTRY["dedup_minhash"].sql}),
+t AS (SELECT doc_id, text, length(text) AS len FROM documents)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       CAST(a.len AS BIGINT) AS len_a,
+       CAST(b.len AS BIGINT) AS len_b,
+       5 * levenshtein(a.text, b.text) <= greatest(a.len, b.len)
+         AS is_dup
+FROM pairs p
+JOIN t a ON a.doc_id = p.id_a
+JOIN t b ON b.doc_id = p.id_b
+"""
+
+
+@_q("dedup_edit_verify", _edit_verify_sql())
+def dedup_edit_verify(spark, sf):
+    """Edit-distance verification of MinHash candidates: every LSH pair
+    (`dedup_minhash`, same frozen semantics) gets its EXACT Levenshtein
+    distance and the 20%-of-max-length dup verdict by integer
+    cross-multiplication (5·lev ≤ max len) — the strictest of the
+    standard near-dup confirmations (shingle Jaccard tolerates
+    reorderings that edit distance bills in full), and the one takedown
+    / plagiarism review wants.  Both engines ship the identical DP
+    levenshtein builtin, so the distances hash bit-for-bit.
+
+    Scale: the O(len²)-per-pair DP runs ONLY on LSH candidates — the
+    entire point of candidate generation; texts join back by doc id
+    (two co-partitioned lookups), and at web scale the verify stage
+    caps text length (first N KiB) exactly as production near-dup
+    pipelines do."""
+    pairs = dedup_minhash(spark, sf).select("id_a", "id_b")
+    t = load(spark, sf, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("len").alias("len_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.col("len").alias("len_b"),
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("bigint").alias("lev"),
+            F.col("len_a").cast("bigint").alias("len_a"),
+            F.col("len_b").cast("bigint").alias("len_b"),
+            (5 * lev <= F.greatest("len_a", "len_b")).alias("is_dup"),
+        )
+    )

@@ -384,3 +384,31 @@ def test_win_sliding_median_matches_python(spark, sf_smoke):
         for r in win_sliding_median(spark, sf_smoke).collect()
     }
     assert got == exp and exp
+
+
+def test_events_wau_equals_naive_window_distinct(spark, sf_smoke):
+    """WAU from the cover-explode equals the naive 'distinct users in
+    the trailing 7 days' recomputed in Python."""
+    from caraspark.relational import events_wau
+    from caraspark.tables import load
+
+    ud = {}
+    for r in (
+        load(spark, sf_smoke, "events")
+        .selectExpr(
+            "user_id", "CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 86400 AS day"
+        )
+        .distinct()
+        .collect()
+    ):
+        ud.setdefault(r.day, set()).add(r.user_id)
+    d0, d1 = min(ud), max(ud)
+    got = {r.day: r for r in events_wau(spark, sf_smoke).collect()}
+    assert set(got) == set(range(d0 + 6, d1 + 1))
+    for day, r in got.items():
+        week = set()
+        for d in range(day - 6, day + 1):
+            week |= ud.get(d, set())
+        assert r.dau == len(ud.get(day, set()))
+        assert r.wau == len(week)
+        assert r.stickiness_permille == r.dau * 1000 // r.wau
