@@ -3827,3 +3827,44 @@ def dedup_edit_verify(spark, sf):
             (5 * lev <= F.greatest("len_a", "len_b")).alias("is_dup"),
         )
     )
+
+
+def _cluster_sizes_sql() -> str:
+    return f"""
+WITH comp AS ({REGISTRY["dedup_clusters"].sql}),
+sizes AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY comp
+)
+SELECT size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * size AS BIGINT) AS n_docs,
+       CAST(count(*) * (size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY size
+"""
+
+
+@_q("dedup_cluster_sizes", _cluster_sizes_sql())
+def dedup_cluster_sizes(spark, sf):
+    """Near-dup cluster-size histogram: for each component size, how
+    many clusters, how many documents they hold, and how many are
+    REMOVABLE (size−1 per cluster — keep one representative) — the
+    distribution every dedup writeup publishes, and the number that
+    converts 'candidate pairs found' into 'tokens saved'.  Composed
+    from the frozen `dedup_clusters` components.
+
+    Scale: two map-side-combined rollups above the component pass the
+    dedup already pays; the histogram is tiny (sizes are Zipf-ish).
+    A fat head at size=2 with a thin giant-cluster tail is healthy;
+    mass in huge clusters means boilerplate leaked past the shingle
+    normalizer — the triage signal this table exists to give."""
+    comp = dedup_clusters(spark, sf)
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("size")).cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
