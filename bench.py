@@ -166,6 +166,11 @@ EXTRAS = [
     "tpch_q6",
     "tpch_q14",
     "tpch_q19",
+    "tpch_q4",
+    "tpch_q22",
+    "dedup_edit_verify",
+    "events_wau",
+    "dedup_cluster_sizes",
 ]
 
 REPEATS = 3
