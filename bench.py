@@ -171,6 +171,12 @@ EXTRAS = [
     "dedup_edit_verify",
     "events_wau",
     "dedup_cluster_sizes",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q18",
+    "tpch_q20",
 ]
 
 REPEATS = 3

@@ -3303,3 +3303,369 @@ def events_wau(spark, sf):
             ),
         )
     )
+
+
+@_q(
+    "tpch_q7",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)""",
+)
+def tpch_q7(spark, sf):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year, both directions kept separate — the join
+    whose filter spans BOTH dimension chains at once (supplier nation
+    x customer nation), so neither side can be pruned alone.  Revenue
+    uses the exact 1e-4-dollar integers of Q3/Q5.
+
+    Scale shape: nation is tiny and broadcasts onto supplier and
+    customer; the nation-pair disjunction survives only as a post-join
+    residual on the (supp_nation, cust_nation) pair, exactly as the
+    spec demands; lineitem->orders is the one big shuffle (keyed
+    l_orderkey) with the shipdate range pruned at scan.  The rollup is
+    2 nations x 2 directions x years — map-side combined to nothing."""
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf, "customer")
+        .join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(F.sum(F.expr(_REV_SQL)).cast("bigint").alias("revenue_e4"))
+
+
+@_q(
+    "tpch_q13",
+    """WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count""",
+)
+def tpch_q13(spark, sf):
+    """TPC-H Q13 (customer distribution): histogram of customers by how
+    many qualifying orders they placed, INCLUDING the zero-order
+    customers — the query exists to exercise an outer join whose
+    ON-clause filter must stay in the join condition (pushing
+    o_orderpriority <> '1-URGENT' below the LEFT JOIN as a WHERE would
+    silently delete the zero bucket).  Adaptation: the reduced orders
+    schema has no o_comment, so the spec's NOT LIKE
+    '%special%requests%' becomes the priority exclusion — same shape,
+    same outer-join trap.
+
+    Scale shape: the filter prunes orders at scan; the outer join
+    shuffles on custkey; the first aggregate contracts to one row per
+    customer and the histogram is a ~40-group map-side-combined
+    rollup.  At 10^9 customers nothing exceeds customer
+    cardinality."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@_q(
+    "tpch_q15",
+    f"""WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_REV_SQL}) AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+FROM supplier s
+JOIN rev r ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""",
+)
+def tpch_q15(spark, sf):
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the global maximum — the spec's CREATE VIEW + scalar-max
+    correlated filter, flattened to an aggregate-then-rejoin.  Exact
+    integer revenue makes "equals the max" deterministic; ALL tied
+    suppliers are returned (the spec's semantics), not an arbitrary
+    first.
+
+    Scale shape: the quarter filter prunes lineitem at scan; the
+    per-supplier aggregate map-side combines into supplier
+    cardinality; the max is a 1-row broadcast back onto that
+    aggregate, and the supplier name join broadcasts the survivors.
+    No window over the full table — the max never materializes a
+    global sort."""
+    rev = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1996-04-01 00:00:00").cast("timestamp")
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.expr(_REV_SQL)).cast("bigint").alias("total_rev_e4"))
+    )
+    mx = rev.agg(F.max("total_rev_e4").alias("mx"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_e4") == F.col("mx"))
+        .select("l_suppkey", "total_rev_e4")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(top), s.s_suppkey == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "total_rev_e4")
+
+
+@_q(
+    "tpch_q16",
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, CAST(p.p_size AS BIGINT)""",
+)
+def tpch_q16(spark, sf):
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers can provide parts of each surviving (brand, type, size)
+    combination, excluding a supplier blacklist.  Adaptation: the
+    reduced schema has no partsupp table and no s_comment, so the
+    part-supplier relation is DISTINCT (l_partkey, l_suppkey) observed
+    in lineitem, and the spec's 'Customer Complaints' comment filter
+    becomes the negative-balance exclusion — identical shape: NOT IN
+    subquery + multi-attribute DISTINCT count.
+
+    Scale shape: part filters push to the part scan and the join
+    broadcasts the filtered part dim; the blacklist is a broadcast
+    LEFT ANTI (NOT IN over a non-null key is anti-join semantics); the
+    count(DISTINCT supplier) shuffles the deduped (brand,type,size,
+    suppkey) quads — Spark expands distinct-agg into a two-phase
+    plan, so the exchange carries deduped quads, never raw
+    lineitems."""
+    bad = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size")
+        )
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q18",
+    """WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 190
+),
+r AS (
+  SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         b.sum_qty,
+         row_number() OVER (ORDER BY b.sum_qty DESC, o.o_orderkey) AS rk
+  FROM big b
+  JOIN orders o ON o.o_orderkey = b.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT c_name, c_custkey, o_orderkey, orderdate_s, totalprice_cents, sum_qty
+FROM r WHERE rk <= 100""",
+)
+def tpch_q18(spark, sf):
+    """TPC-H Q18 (large volume customers): the top-100 orders by total
+    quantity above a HAVING threshold, with their customers — the
+    canonical aggregate-then-semi-join-back pattern (the spec phrases
+    it as IN (GROUP BY HAVING); joining the aggregate directly is the
+    same relation with one less pass).  Quantities are integral in
+    this corpus, summed as BIGINT, so the threshold cut and the
+    top-100 rank (orderkey tiebreak) are exact in both engines.
+
+    Scale shape: the per-order quantity rollup map-side combines
+    before its orderkey exchange; the HAVING keeps ~2% of orders, and
+    only those join back to orders/customer (broadcast once small).
+    The global top-100 window ranks the filtered aggregate — order
+    cardinality x selectivity, never lineitems."""
+    qty = F.round("l_quantity").cast("bigint")
+    big = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).cast("bigint").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 190)
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_s"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("totalprice_cents"),
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    r = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+    )
+    return (
+        r.withColumn("rk", rk)
+        .filter(F.col("rk") <= 100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "orderdate_s",
+            "totalprice_cents",
+            "sum_qty",
+        )
+    )
+
+
+@_q(
+    "tpch_q20",
+    """WITH shipped AS (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+  HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 400
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM shipped)""",
+)
+def tpch_q20(spark, sf):
+    """TPC-H Q20 (potential part promotion): suppliers in one region who
+    moved a large volume of one part family in one year — the nested
+    semi-join tower (region -> supplier -> qualifying-volume
+    subquery).  Adaptation: no partsupp/ps_availqty in the reduced
+    schema, so the spec's 'availqty > half the year's shipments'
+    becomes a fixed volume threshold over the same shipments
+    aggregate, and the p_name LIKE family filter becomes the PROMO
+    type — the join/semi-join topology is unchanged.
+
+    Scale shape: part (filtered, tiny) broadcasts onto the
+    scan-pruned year of lineitem; the HAVING aggregate contracts to
+    supplier cardinality before the LEFT SEMI join; region/nation
+    broadcast onto supplier.  Every exchange after the scan is
+    supplier-sized."""
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("q"))
+        .filter(F.col("q") > 400)
+        .select("l_suppkey")
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        load(spark, sf, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return s.join(
+        shipped, s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")

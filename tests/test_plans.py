@@ -1391,3 +1391,69 @@ def test_tpch_q6_pure_scan_aggregate(spark, sf_smoke, qs):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_tpch_q7_nation_pair_residual_broadcasts(spark, sf_smoke, qs):
+    """Both nation-tagged dims broadcast onto the fact stream and the
+    cross-dimension nation-pair disjunction never becomes a cartesian."""
+    df = qs["tpch_q7"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p, p
+    assert "HashAggregate" in p, p
+
+
+def test_tpch_q13_outer_join_keeps_zero_bucket(spark, sf_smoke, qs):
+    """The priority filter must live in the join condition, not above
+    the outer join: customers with no qualifying orders land in the
+    c_count=0 bucket instead of vanishing."""
+    df = qs["tpch_q13"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in p or "BroadcastHashJoin" in p, p
+    from caraspark.tables import load
+    from pyspark.sql import functions as F
+
+    n_cust = load(spark, sf_smoke, "customer").count()
+    total = df.agg(F.sum("custdist")).collect()[0][0]
+    assert total == n_cust, (total, n_cust)
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark, sf_smoke, qs):
+    """The scalar max re-joins as a 1-row broadcast; no global Window
+    sort over the per-supplier aggregate."""
+    df = qs["tpch_q15"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_tpch_q16_blacklist_anti_and_distinct_two_phase(spark, sf_smoke, qs):
+    """The supplier blacklist is a broadcast anti join and the DISTINCT
+    supplier count expands into a two-phase aggregate (dedup before the
+    exchange), never shipping raw lineitems."""
+    df = qs["tpch_q16"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in p, p
+    assert p.count("HashAggregate") >= 3, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q18_rank_runs_on_filtered_aggregate(spark, sf_smoke, qs):
+    """The quantity rollup partial-aggregates before its exchange and
+    the top-100 window ranks the HAVING-filtered aggregate, not raw
+    lineitems."""
+    df = qs["tpch_q18"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") == 1, p
+    assert "HashAggregate" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q20_semi_join_tower_broadcasts(spark, sf_smoke, qs):
+    """part/nation/region all broadcast; the volume subquery reaches
+    supplier as a LEFT SEMI join on the contracted aggregate."""
+    df = qs["tpch_q20"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
