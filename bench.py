@@ -177,6 +177,8 @@ EXTRAS = [
     "tpch_q16",
     "tpch_q18",
     "tpch_q20",
+    "audio_vad",
+    "video_shots",
 ]
 
 REPEATS = 3

@@ -614,3 +614,190 @@ def media_shard_layout(spark, sf):
         F.min("media_id").cast("bigint").alias("first_id"),
         F.max("media_id").cast("bigint").alias("last_id"),
     )
+
+
+# --- temporal segmentation: VAD islands + shot-cut detection -----------------
+
+_VAD_FRAME = 64  # samples per analysis frame
+_VAD_THRESH = 16384 * _VAD_FRAME  # frame active iff sum(|s|) > mean-level
+
+
+@_q(
+    "audio_vad",
+    f"""WITH aud AS (
+  SELECT vec_id AS media_id,
+         CAST(256 + (vec_id % 32) * 16 AS BIGINT) AS n
+  FROM embeddings WHERE vec_id % 3 = 1
+),
+fr AS (
+  SELECT media_id, f.i AS frame_idx,
+         CAST(list_aggregate(list_transform(
+             range(f.i * {_VAD_FRAME}, (f.i + 1) * {_VAD_FRAME}),
+             s -> abs(((s * (media_id + 3) * 257) % 65536) - 32768)),
+           'sum') AS BIGINT) AS energy
+  FROM aud, unnest(range(0, n // {_VAD_FRAME})) AS f(i)
+),
+act AS (
+  SELECT media_id, frame_idx, energy,
+         frame_idx - row_number()
+             OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp
+  FROM fr WHERE energy > {_VAD_THRESH}
+),
+seg AS (
+  SELECT media_id,
+         CAST(min(frame_idx) AS INT) AS start_frame,
+         CAST(max(frame_idx) AS INT) AS end_frame,
+         CAST(count(*) AS INT) AS n_frames,
+         CAST(sum(energy) AS BIGINT) AS energy
+  FROM act GROUP BY media_id, grp
+)
+SELECT media_id,
+       CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_frame)
+            AS INT) AS seg_id,
+       start_frame, end_frame, n_frames, energy
+FROM seg""",
+)
+def audio_vad(spark, sf):
+    """Energy-threshold voice-activity segmentation — the speech-pipeline
+    shaping step (cut silence, keep utterance spans) expressed as frame
+    energies + gaps-and-islands.  Per 64-sample frame the energy is the
+    EXACT integer sum of |int16| (no float RMS), a frame is active above
+    the uniform-mean level, and consecutive active frames merge into
+    segments via the frame_idx − row_number() island key.  The fake
+    codec's samples are closed-form, so the DuckDB oracle recomputes
+    every frame energy from scratch — a genuine cross-implementation
+    witness for the whole chain (byte parse → framing → threshold →
+    islands).
+
+    Scale shape: frame energies are vectorized NumPy inside one
+    mapInPandas pass over the payload column (reshape + abs + per-row
+    sum — no per-sample Python); the islands window partitions by
+    media_id, so the single exchange carries (media_id, frame, BIGINT)
+    triples — frames-per-clip rows, never samples.  Real codec swap =
+    ``decode_real`` only."""
+    m = media_df(spark, sf)
+    fw = _VAD_FRAME
+
+    def energies(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fidx, en = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"FAUD" or len(b) < 12:
+                    continue
+                rate, n = struct.unpack(">II", b[4:12])
+                nfr = n // fw
+                if nfr == 0 or len(b) < 12 + n * 2:
+                    continue  # truncated/hostile body: skip, don't crash
+                s = np.frombuffer(
+                    b[12 : 12 + nfr * fw * 2], dtype=">i2"
+                ).astype(np.int64)
+                e = np.abs(s).reshape(nfr, fw).sum(axis=1)
+                mids.append(np.full(nfr, int(mid), dtype=np.int64))
+                fidx.append(np.arange(nfr, dtype=np.int64))
+                en.append(e)
+            if mids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.concatenate(mids),
+                        "frame_idx": np.concatenate(fidx),
+                        "energy": np.concatenate(en),
+                    }
+                )
+
+    fr = m.mapInPandas(
+        energies, "media_id bigint, frame_idx bigint, energy bigint"
+    )
+    wm = W.partitionBy("media_id").orderBy("frame_idx")
+    act = fr.filter(F.col("energy") > _VAD_THRESH).withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(wm)
+    )
+    seg = act.groupBy("media_id", "grp").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("energy"),
+    )
+    ws = W.partitionBy("media_id").orderBy("start_frame")
+    return seg.select(
+        "media_id",
+        F.row_number().over(ws).cast("int").alias("seg_id"),
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "energy",
+    )
+
+
+@_q(
+    "video_shots",
+    """WITH vid AS (
+  SELECT vec_id AS media_id,
+         CAST(16 + vec_id % 16 AS BIGINT) * CAST(8 + vec_id % 8 AS BIGINT)
+             AS wh,
+         CAST(4 + vec_id % 6 AS BIGINT) AS nf
+  FROM embeddings WHERE vec_id % 3 = 2
+),
+pair AS (
+  SELECT media_id, wh, f.t AS frame_idx,
+         CAST(list_aggregate(list_transform(
+             range(0, wh),
+             p -> abs(((f.t * wh + p) * (media_id + 11)) % 256
+                      - (((f.t - 1) * wh + p) * (media_id + 11)) % 256)),
+           'sum') AS BIGINT) AS diff
+  FROM vid, unnest(range(1, nf)) AS f(t)
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, diff,
+       3 * diff > 256 * wh AS is_cut
+FROM pair""",
+)
+def video_shots(spark, sf):
+    """Shot-boundary detection — consecutive-frame absolute pixel
+    difference, flagged as a cut where the EXACT integer sum exceeds
+    the uniform-mean level (3·diff > 256·wh ⟺ diff > ~85.3·wh; the
+    gate compares integers, no float ever branches).  The per-pair diff
+    table is what a frame-sampling policy consumes: sample densely
+    inside high-motion shots, sparsely in static ones.  Closed-form
+    pixels give the DuckDB oracle a full from-scratch recomputation.
+
+    Scale shape: one mapInPandas pass; per payload the (nf, w·h) frame
+    matrix diffs via np.diff + abs + row-sum — vectorized across every
+    pixel, Python only at clip granularity.  Output rows are
+    pairs-per-clip; ZERO exchanges (no window needed — the flag is
+    row-local).  Real codec swap = ``decode_real`` only."""
+    m = media_df(spark, sf)
+
+    def diffs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, fidx, dv, cut = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"FVID" or len(b) < 10:
+                    continue
+                w, h, nf = struct.unpack(">HHH", b[4:10])
+                wh = w * h
+                if wh == 0 or nf < 2 or len(b) < 10 + nf * wh:
+                    continue  # truncated/hostile body: skip, don't crash
+                fm = (
+                    np.frombuffer(b[10 : 10 + nf * wh], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(nf, wh)
+                )
+                d = np.abs(np.diff(fm, axis=0)).sum(axis=1)
+                mids.append(np.full(nf - 1, int(mid), dtype=np.int64))
+                fidx.append(np.arange(1, nf, dtype=np.int64))
+                dv.append(d)
+                cut.append(3 * d > 256 * wh)
+            if mids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.concatenate(mids),
+                        "frame_idx": np.concatenate(fidx),
+                        "diff": np.concatenate(dv),
+                        "is_cut": np.concatenate(cut),
+                    }
+                )
+
+    return m.mapInPandas(
+        diffs, "media_id bigint, frame_idx int, diff bigint, is_cut boolean"
+    ).select("media_id", "frame_idx", "diff", "is_cut")

@@ -56,3 +56,70 @@ def test_media_shard_layout_budget_and_contiguity(spark, sf_smoke):
                 if r.first_id <= m <= r.last_id and (kind, m) in meta
             )
             assert r.total_bytes < _SHARD_BYTES + max_item
+
+
+def test_audio_vad_islands_maximal_and_exact(spark, sf_smoke):
+    """Segments are maximal runs of active frames: successive segments
+    leave >= 1 inactive frame between them, and one clip's segments
+    reproduce a from-scratch NumPy recomputation of the same spec."""
+    import numpy as np
+
+    from caraspark.multimodal import _VAD_FRAME, _VAD_THRESH, audio_vad
+
+    rows = audio_vad(spark, sf_smoke).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, segs in by_media.items():
+        segs.sort(key=lambda r: r.seg_id)
+        for a, b in zip(segs, segs[1:]):
+            assert b.start_frame > a.end_frame + 1, (mid, a, b)
+        for s in segs:
+            assert s.n_frames == s.end_frame - s.start_frame + 1
+
+    mid = min(by_media)
+    n = 256 + (mid % 32) * 16
+    i = np.arange((n // _VAD_FRAME) * _VAD_FRAME, dtype=np.int64)
+    s = ((i * (mid + 3) * 257) % 65536) - 32768
+    e = np.abs(s).reshape(-1, _VAD_FRAME).sum(axis=1)
+    active = np.flatnonzero(e > _VAD_THRESH)
+    got = sorted(
+        (r.start_frame, r.end_frame, r.energy) for r in by_media[mid]
+    )
+    exp = []
+    for f in active:
+        if exp and f == exp[-1][1] + 1:
+            exp[-1][1] = int(f)
+            exp[-1][2] += int(e[f])
+        else:
+            exp.append([int(f), int(f), int(e[f])])
+    assert got == [tuple(x) for x in exp]
+
+
+def test_video_shots_diff_matches_numpy(spark, sf_smoke):
+    """One clip's per-pair diffs and cut flags reproduce a from-scratch
+    NumPy recomputation; every clip yields nf-1 pairs."""
+    import numpy as np
+
+    from caraspark.multimodal import media_params, video_shots
+
+    rows = video_shots(spark, sf_smoke).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, prs in by_media.items():
+        p = media_params(int(mid))
+        assert len(prs) == p["n_frames"] - 1
+
+    mid = min(by_media)
+    p = media_params(int(mid))
+    wh, nf = p["width"] * p["height"], p["n_frames"]
+    fm = ((np.arange(nf * wh, dtype=np.int64) * (mid + 11)) % 256).reshape(
+        nf, wh
+    )
+    d = np.abs(np.diff(fm, axis=0)).sum(axis=1)
+    got = {r.frame_idx: (r.diff, r.is_cut) for r in by_media[mid]}
+    for t in range(1, nf):
+        assert got[t] == (int(d[t - 1]), bool(3 * d[t - 1] > 256 * wh))
