@@ -2316,3 +2316,78 @@ def test_stream_stats_separates_text_from_compressed():
             if not r["decoded"]:
                 saw_undecodable = True
     assert saw_plain and saw_undecodable
+
+
+# --- broad-spectrum HTML differential fuzz -----------------------------------
+
+_SOUP_TAG_ST = st.sampled_from(
+    ["div", "p", "span", "a", "nav", "header", "footer", "aside", "script",
+     "style", "pre", "h1", "h2", "h6", "ul", "ol", "li", "table", "tr",
+     "td", "th", "img", "form", "meta", "link", "base", "title", "body",
+     "html", "br", "noscript", "template", "blockquote"]
+)
+_SOUP_ATTR_ST = st.sampled_from(
+    ["", " href='/x'", ' href="h ttp"', " href=bare", " src='i.png' alt='A'",
+     " rel='canonical' href='/c'", " rel='alternate' hreflang='de' href='/d'",
+     " rel='next' href='/2'", " name='description' content='D'",
+     " name='robots' content='NOINDEX, nofollow'",
+     " property='og:title' content='T'", " http-equiv='refresh'"
+     " content='5; URL=/r'", " method='POST' action='/s'",
+     " class='sidebar'", " class='content main'", " type='application/"
+     "ld+json'", " charset='utf-8'", " href=''", " itemscope itemprop='z'"]
+)
+_SOUP_TEXT_ST = st.sampled_from(
+    ["", "x", "a b", "&amp;", "&#65;", "&#x41;", "&bogus;", "&", "< 3",
+     ">", "{\"a\":1}", "word " * 12, "\n\t ", "é中", "]]>", "--"]
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _SOUP_TAG_ST, _SOUP_ATTR_ST,
+            st.sampled_from(["open", "self", "close", "comment", "decl"]),
+            _SOUP_TEXT_ST,
+        ),
+        max_size=14,
+    )
+)
+def test_html_full_surface_soup_differential(frags):
+    """Broad-spectrum property differential over ALL 22 extraction
+    surfaces at once: arbitrarily unbalanced soup spanning drop-subtree
+    tags (nav/script/style), rawtext islands (pre, ld+json), head
+    metadata (title/meta/link/base), structure harvests (tables, lists,
+    headings, forms, images), entity edge cases, and comments/doctype
+    noise — the engine and the frozen xref-free oracle must emit the
+    IDENTICAL full tuple."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    parts = []
+    for tag, attrs, kind, txt in frags:
+        if kind == "open":
+            parts.append(f"<{tag}{attrs}>{txt}")
+        elif kind == "self":
+            parts.append(f"<{tag}{attrs}/>{txt}")
+        elif kind == "comment":
+            parts.append(f"<!-- {txt} -->{txt}")
+        elif kind == "decl":
+            parts.append(f"<!DOCTYPE html>{txt}")
+        else:
+            parts.append(f"</{tag}>{txt}")
+    blob = "".join(parts).encode("utf-8")
+    assert extract_html(blob) == oracle_extract_full(blob)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_html_raw_bytes_total_and_identical(blob):
+    """Both witnesses are TOTAL on arbitrary bytes (hostile encodings,
+    truncated multi-byte sequences, NULs, stray brackets) and still
+    agree byte-for-byte on every surface — the property that makes the
+    extraction safe on a raw crawl column."""
+    from caraspark.htmlengine import extract_html
+    from oracle.text_oracle import oracle_extract_full
+
+    assert extract_html(blob) == oracle_extract_full(blob)
