@@ -179,6 +179,7 @@ EXTRAS = [
     "tpch_q20",
     "audio_vad",
     "video_shots",
+    "stream_shots",
 ]
 
 REPEATS = 3

@@ -116,22 +116,24 @@ def parse_header(payload: bytes) -> dict:
 # --- the media table (distributed generation off embeddings ids) -------------
 
 
+def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(media_id) batches → (media_id, payload) batches — shared by the
+    batch media table and the streaming replay."""
+    for pdf in it:
+        mids = pdf["media_id"].tolist()
+        yield pd.DataFrame(
+            {
+                "media_id": mids,
+                "payload": [encode_media(int(m)) for m in mids],
+            }
+        )
+
+
 def media_df(spark: SparkSession, sf: str) -> DataFrame:
     ids = load(spark, sf, "embeddings").select(
         F.col("vec_id").alias("media_id")
     )
-
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            mids = pdf["media_id"].tolist()
-            yield pd.DataFrame(
-                {
-                    "media_id": mids,
-                    "payload": [encode_media(int(m)) for m in mids],
-                }
-            )
-
-    return ids.mapInPandas(gen, "media_id bigint, payload binary")
+    return ids.mapInPandas(encode_batches, "media_id bigint, payload binary")
 
 
 # --- operators ---------------------------------------------------------------
@@ -766,38 +768,45 @@ def video_shots(spark, sf):
     pairs-per-clip; ZERO exchanges (no window needed — the flag is
     row-local).  Real codec swap = ``decode_real`` only."""
     m = media_df(spark, sf)
-
-    def diffs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            mids, fidx, dv, cut = [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:4] != b"FVID" or len(b) < 10:
-                    continue
-                w, h, nf = struct.unpack(">HHH", b[4:10])
-                wh = w * h
-                if wh == 0 or nf < 2 or len(b) < 10 + nf * wh:
-                    continue  # truncated/hostile body: skip, don't crash
-                fm = (
-                    np.frombuffer(b[10 : 10 + nf * wh], dtype=np.uint8)
-                    .astype(np.int64)
-                    .reshape(nf, wh)
-                )
-                d = np.abs(np.diff(fm, axis=0)).sum(axis=1)
-                mids.append(np.full(nf - 1, int(mid), dtype=np.int64))
-                fidx.append(np.arange(1, nf, dtype=np.int64))
-                dv.append(d)
-                cut.append(3 * d > 256 * wh)
-            if mids:
-                yield pd.DataFrame(
-                    {
-                        "media_id": np.concatenate(mids),
-                        "frame_idx": np.concatenate(fidx),
-                        "diff": np.concatenate(dv),
-                        "is_cut": np.concatenate(cut),
-                    }
-                )
-
     return m.mapInPandas(
-        diffs, "media_id bigint, frame_idx int, diff bigint, is_cut boolean"
+        shot_diff_batches,
+        "media_id bigint, frame_idx int, diff bigint, is_cut boolean",
     ).select("media_id", "frame_idx", "diff", "is_cut")
+
+
+_SHOT_DDL = "media_id bigint, frame_idx int, diff bigint, is_cut boolean"
+
+
+def shot_diff_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(media_id, payload) batches → per-consecutive-frame diff rows —
+    shared by the batch ``video_shots`` table and the streaming shot
+    monitor."""
+    for pdf in it:
+        mids, fidx, dv, cut = [], [], [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:4] != b"FVID" or len(b) < 10:
+                continue
+            w, h, nf = struct.unpack(">HHH", b[4:10])
+            wh = w * h
+            if wh == 0 or nf < 2 or len(b) < 10 + nf * wh:
+                continue  # truncated/hostile body: skip, don't crash
+            fm = (
+                np.frombuffer(b[10 : 10 + nf * wh], dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(nf, wh)
+            )
+            d = np.abs(np.diff(fm, axis=0)).sum(axis=1)
+            mids.append(np.full(nf - 1, int(mid), dtype=np.int64))
+            fidx.append(np.arange(1, nf, dtype=np.int64))
+            dv.append(d)
+            cut.append(3 * d > 256 * wh)
+        if mids:
+            yield pd.DataFrame(
+                {
+                    "media_id": np.concatenate(mids),
+                    "frame_idx": np.concatenate(fidx),
+                    "diff": np.concatenate(dv),
+                    "is_cut": np.concatenate(cut),
+                }
+            )

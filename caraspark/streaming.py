@@ -77,6 +77,30 @@ def replay_documents_stream(
     )
 
 
+def replay_embeddings_stream(
+    spark: SparkSession, sf_dir: str, max_files: int = 1
+) -> DataFrame:
+    """The embeddings id column as a file-source micro-batch stream — the
+    bounded stand-in for continuous media ingest (same symlink staging as
+    ``replay_events_stream``); consumers re-derive payloads per batch via
+    the deterministic codec."""
+    src = os.path.realpath(f"{sf_dir}/embeddings.parquet")
+    stage = os.path.join(
+        "/tmp/caraspark_stream_src", src.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label string"
+        )
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage)
+    )
+
+
 def replay_events_stream_flushed(
     spark: SparkSession, sf_dir: str, flush_minutes: int = 360
 ) -> DataFrame:

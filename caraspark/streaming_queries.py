@@ -1348,3 +1348,58 @@ def stream_datacard(spark, sf):
         .alias("n_tokens"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_shots",
+    """WITH vid AS (
+  SELECT vec_id AS media_id,
+         CAST(16 + vec_id % 16 AS BIGINT) * CAST(8 + vec_id % 8 AS BIGINT)
+             AS wh,
+         CAST(4 + vec_id % 6 AS BIGINT) AS nf
+  FROM embeddings WHERE vec_id % 3 = 2
+),
+pair AS (
+  SELECT media_id, wh,
+         CAST(list_aggregate(list_transform(
+             range(0, wh),
+             p -> abs(((f.t * wh + p) * (media_id + 11)) % 256
+                      - (((f.t - 1) * wh + p) * (media_id + 11)) % 256)),
+           'sum') AS BIGINT) AS diff
+  FROM vid, unnest(range(1, nf)) AS f(t)
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN 3 * diff > 256 * wh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts,
+       CAST(max(diff) AS BIGINT) AS max_diff
+FROM pair GROUP BY media_id""",
+)
+def stream_shots(spark, sf):
+    """Streaming multimodal monitor: media ids arrive as micro-batches,
+    each batch re-derives payloads through the SAME deterministic codec
+    and runs the SAME vectorized frame-diff walker the batch census uses
+    (``shot_diff_batches``), and a per-clip stateful aggregation
+    maintains the live motion profile (pair count, cut count, peak
+    diff) — the ingest-side screen for static/broken clips (n_cuts = 0,
+    tiny max_diff) before they reach frame sampling.  Complete mode;
+    DuckDB predicts every row from the closed-form pixels.
+
+    Scale: state is 3 BIGINTs per clip; payloads die inside the Arrow
+    stage of their own micro-batch — only (media_id, pair stats) cross
+    the stream."""
+    from caraspark.multimodal import _SHOT_DDL, encode_batches, shot_diff_batches
+
+    ids = S.replay_embeddings_stream(spark, sf).select(
+        F.col("vec_id").alias("media_id")
+    )
+    media = ids.mapInPandas(encode_batches, "media_id bigint, payload binary")
+    shots = media.mapInPandas(shot_diff_batches, _SHOT_DDL)
+    out = shots.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("is_cut"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.max("diff").cast("bigint").alias("max_diff"),
+    )
+    return S.run_to_memory(out, mode="complete")

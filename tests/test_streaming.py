@@ -458,3 +458,31 @@ def test_stream_heavy_hitters_contracts(spark, sf_smoke):
     row = ent.queries()["stream_heavy_hitters"](spark, sf_smoke).collect()[0]
     assert row.k == 8 and row.n_tracked == 8
     assert row.all_heavy_tracked and row.bounds_ok
+
+
+def test_stream_shots_converges_to_batch_census(spark, sf_smoke):
+    """The streaming per-clip motion profile equals the batch
+    ``video_shots`` table folded to the same aggregates — the
+    micro-batch replay loses nothing and double-counts nothing."""
+    import __spark_entry__ as ent
+    from pyspark.sql import functions as F
+
+    qs = ent.queries()
+    live = {
+        r.media_id: (r.n_pairs, r.n_cuts, r.max_diff)
+        for r in qs["stream_shots"](spark, sf_smoke).collect()
+    }
+    batch = {
+        r.media_id: (r.n_pairs, r.n_cuts, r.max_diff)
+        for r in qs["video_shots"](spark, sf_smoke)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cuts"),
+            F.max("diff").cast("bigint").alias("max_diff"),
+        )
+        .collect()
+    }
+    assert live == batch and live
