@@ -180,6 +180,7 @@ EXTRAS = [
     "audio_vad",
     "video_shots",
     "stream_shots",
+    "events_cep",
 ]
 
 REPEATS = 3

@@ -3669,3 +3669,146 @@ def tpch_q20(spark, sf):
     return s.join(
         shipped, s.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+_CEP_WINDOW = 3600  # pattern must complete within one hour of its start
+
+
+@_q(
+    "events_cep",
+    f"""WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+p1 AS (
+  SELECT s.user_id, s.sec AS start_sec, s.event_id AS start_id,
+         (SELECT min(c.sec) FROM e c
+          WHERE c.user_id = s.user_id AND c.event_type = 'click'
+            AND c.sec > s.sec) AS t1
+  FROM e s WHERE s.event_type = 'view'
+),
+m1 AS (
+  SELECT 'view-click-purchase' AS pattern, h.user_id, h.start_sec, h.start_id,
+         (SELECT min(p.sec) FROM e p
+          WHERE p.user_id = h.user_id AND p.event_type = 'purchase'
+            AND p.sec > h.t1) AS end_sec
+  FROM p1 h WHERE h.t1 IS NOT NULL
+),
+m2 AS (
+  SELECT 'view-purchase' AS pattern, s.user_id, s.sec AS start_sec,
+         s.event_id AS start_id,
+         (SELECT min(p.sec) FROM e p
+          WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+            AND p.sec > s.sec) AS end_sec
+  FROM e s WHERE s.event_type = 'view'
+),
+m3 AS (
+  SELECT 'click-purchase' AS pattern, s.user_id, s.sec AS start_sec,
+         s.event_id AS start_id,
+         (SELECT min(p.sec) FROM e p
+          WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+            AND p.sec > s.sec) AS end_sec
+  FROM e s WHERE s.event_type = 'click'
+),
+allm AS (
+  SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+)
+SELECT pattern, user_id, start_id, start_sec, end_sec
+FROM allm
+WHERE end_sec IS NOT NULL AND end_sec - start_sec <= {_CEP_WINDOW}""",
+)
+def events_cep(spark, sf):
+    """Multi-pattern sequence detection (CEP): every occurrence of
+    view→click→purchase, view→purchase, and click→purchase per user
+    within a 1-hour completion window — per-START matching (each
+    qualifying event opens its own match, unlike ``events_funnel``'s
+    one-per-user earliest chain), with each hop taking the EARLIEST
+    strictly-later event of the next type.  The retrieved multi-pattern
+    CEP literature's point (SIGMOD'19, PAPERS.md) is sharing one pass
+    across concurrent patterns; here all three patterns read ONE
+    windowed frame.
+
+    Determinism: hops compare integer seconds with strict >, so every
+    match span is exact; start_id disambiguates co-second starts.
+
+    Scale shape: ONE windowed frame definition (user-keyed exchange +
+    sort, conditional mins over a VALUE-range frame: sec+1 … ∞ ⟹
+    strictly later) serves every pattern; both one-hop patterns are a
+    single projection of it (a CASE picks the pattern label, so adding
+    a one-hop pattern adds an expression, not a branch), and the
+    two-hop pattern closes with a user-keyed join of start rows onto
+    the DEDUPED (user, sec) click frame — user-cardinality ×
+    distinct-seconds, never events × events.  Catalyst replays the
+    window per consumer branch (3 branches here, every exchange
+    user-keyed); at production scale the windowed frame is cached or
+    checkpointed ONCE before the pattern fan-out, which is exactly the
+    shared-scan execution the multi-pattern CEP literature argues
+    for."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(1, W.unboundedFollowing)
+    )
+    base = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "sec",
+        F.min(F.when(F.col("event_type") == "click", F.col("sec")))
+        .over(wf)
+        .alias("next_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("sec")))
+        .over(wf)
+        .alias("next_purchase"),
+    )
+    views = base.filter(F.col("event_type") == "view")
+    clicks = base.filter(F.col("event_type") == "click")
+
+    # P1 view→click→purchase: hop 2 reads next_purchase AT the click's
+    # second — the frame depends only on (user, sec), so the deduped
+    # (user, sec) click frame carries it.
+    cd = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("sec").alias("c_sec"),
+        F.col("next_purchase").alias("c_next_purchase"),
+    ).distinct()
+    m1 = (
+        views.filter(F.col("next_click").isNotNull())
+        .join(
+            cd,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("next_click") == F.col("c_sec")),
+        )
+        .select(
+            F.lit("view-click-purchase").alias("pattern"),
+            "user_id",
+            F.col("event_id").alias("start_id"),
+            F.col("sec").alias("start_sec"),
+            F.col("c_next_purchase").alias("end_sec"),
+        )
+    )
+    onehop = base.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.when(F.col("event_type") == "view", "view-purchase")
+        .otherwise("click-purchase")
+        .alias("pattern"),
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        F.col("sec").alias("start_sec"),
+        F.col("next_purchase").alias("end_sec"),
+    )
+    return (
+        m1.unionByName(onehop)
+        .filter(
+            F.col("end_sec").isNotNull()
+            & (F.col("end_sec") - F.col("start_sec") <= _CEP_WINDOW)
+        )
+    )

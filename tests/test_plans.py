@@ -1457,3 +1457,16 @@ def test_tpch_q20_semi_join_tower_broadcasts(spark, sf_smoke, qs):
     assert "LeftSemi" in p, p
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_events_cep_user_keyed_fanout_no_cartesian(spark, sf_smoke, qs):
+    """One windowed frame definition, replayed per consumer branch (3:
+    two-hop starts, click closure, merged one-hop patterns) — every
+    exchange is user-keyed, both one-hop patterns share ONE branch, and
+    the two-hop closure is an equi-join, never a cartesian."""
+    df = qs["events_cep"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") == 3, p
+    assert p.count("Exchange hashpartitioning(user_id") == 3, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
