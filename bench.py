@@ -181,6 +181,7 @@ EXTRAS = [
     "video_shots",
     "stream_shots",
     "events_cep",
+    "agg_online",
 ]
 
 REPEATS = 3

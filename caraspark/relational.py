@@ -3812,3 +3812,71 @@ def events_cep(spark, sf):
             & (F.col("end_sec") - F.col("start_sec") <= _CEP_WINDOW)
         )
     )
+
+
+@_q(
+    "agg_online",
+    f"""WITH l AS (
+  SELECT l_orderkey % 10 AS decile, {_REV_SQL} AS rev
+  FROM lineitem
+),
+g AS (
+  SELECT decile, CAST(sum(rev) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM l GROUP BY decile
+),
+c AS (
+  SELECT decile,
+         CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS rows_seen,
+         CAST(sum(s) OVER (ORDER BY decile) AS BIGINT) AS cum_rev_e4
+  FROM g
+),
+t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM l)
+SELECT c.decile, c.rows_seen, c.cum_rev_e4,
+       CAST(c.cum_rev_e4 * 10 // (c.decile + 1) AS BIGINT) AS est_total_e4,
+       CAST(abs(c.cum_rev_e4 * 10 // (c.decile + 1) - t.total) * 1000000
+            // t.total AS BIGINT) AS err_ppm
+FROM c, t""",
+)
+def agg_online(spark, sf):
+    """Online-aggregation refinement trace (DeepOLA, PAPERS.md): the
+    running revenue estimate after each 10%-slice of the fact table,
+    with its extrapolated total and exact error against the true
+    answer — the convergence curve an online-aggregation UI draws while
+    the scan progresses.  Slices are the deterministic l_orderkey % 10
+    partitioning (not arrival order), so the trace is reproducible:
+    every estimate is an exact integer (cum·10 DIV seen-slices) and the
+    error column is integer ppm.
+
+    Scale shape: ONE pass over lineitem into a 10-group map-side
+    combined aggregate; the cumulative window sorts 10 rows; the true
+    total re-aggregates the same 10 partials (Catalyst reuses the
+    shuffle) and broadcasts one row.  The trace costs one aggregate
+    regardless of table size — exactly the partial-merge property
+    online aggregation exploits."""
+    li = load(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 10).alias("decile"),
+        F.expr(_REV_SQL).alias("rev"),
+    )
+    g = li.groupBy("decile").agg(
+        F.sum("rev").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    c = g.select(
+        "decile",
+        F.sum("n").over(wc).cast("bigint").alias("rows_seen"),
+        F.sum("s").over(wc).cast("bigint").alias("cum_rev_e4"),
+    )
+    t = g.agg(F.sum("s").cast("bigint").alias("total"))
+    est = F.expr("CAST(cum_rev_e4 * 10 DIV (decile + 1) AS BIGINT)")
+    return c.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "rows_seen",
+        "cum_rev_e4",
+        est.alias("est_total_e4"),
+        F.expr(
+            "CAST(abs(cum_rev_e4 * 10 DIV (decile + 1) - total) * 1000000"
+            " DIV total AS BIGINT)"
+        ).alias("err_ppm"),
+    )

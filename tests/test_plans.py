@@ -1470,3 +1470,17 @@ def test_events_cep_user_keyed_fanout_no_cartesian(spark, sf_smoke, qs):
     assert p.count("Exchange hashpartitioning(user_id") == 3, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_agg_online_single_fact_aggregate(spark, sf_smoke, qs):
+    """The refinement trace costs ONE pass over the fact table: a single
+    pair of partial+final hash aggregates feeds both the cumulative
+    window and the broadcast true total — no second lineitem scan."""
+    df = qs["agg_online"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    import re
+
+    scans = len(re.findall(r"Scan parquet", p))
+    assert scans <= 2, p  # base scan (+ possibly one reuse line)
+    assert "HashAggregate" in p, p
