@@ -182,6 +182,7 @@ EXTRAS = [
     "stream_shots",
     "events_cep",
     "agg_online",
+    "stream_mutual_links",
 ]
 
 REPEATS = 3

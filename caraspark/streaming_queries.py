@@ -1403,3 +1403,66 @@ def stream_shots(spark, sf):
         F.max("diff").cast("bigint").alias("max_diff"),
     )
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_mutual_links",
+    """WITH links AS (
+  SELECT source AS src,
+         'src' || CAST((doc_id + k.k) % 20 AS VARCHAR) AS dst
+  FROM documents, (SELECT unnest([3, 6, 14]) AS k) k
+),
+dirs AS (
+  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+         CASE WHEN src < dst THEN 1 ELSE 0 END AS fwd
+  FROM links WHERE src <> dst
+),
+pairs AS (
+  SELECT lo, hi,
+         CAST(sum(fwd) AS BIGINT) AS n_fwd,
+         CAST(sum(1 - fwd) AS BIGINT) AS n_rev
+  FROM dirs GROUP BY lo, hi
+)
+SELECT lo, hi, n_fwd, n_rev
+FROM pairs WHERE n_fwd > 0 AND n_rev > 0""",
+)
+def stream_mutual_links(spark, sf):
+    """Continuous graph-pattern query over the edge stream (the
+    retrieved EDBT'20 continuous-multi-query setting, PAPERS.md):
+    crawl micro-batches contract to host→host edges (offsets +3/+6/−6
+    mod 20, so distance-6 pairs close the cycle and distance-3 pairs
+    stay one-way — the filter separates real populations), and ONE
+    stateful
+    per-undirected-pair aggregation — two direction counters keyed
+    (lo, hi) — simultaneously answers two standing queries: the
+    reciprocal-link detector (mutual pairs = link-exchange / mirror
+    candidates the spam pipeline scores) and the directed edge-weight
+    census.  Complete mode; the post-aggregation filter emits only the
+    pairs where BOTH directions have been witnessed so far.
+
+    Scale: state is two BIGINTs per distinct undirected host pair
+    (Zipf-bounded, ~host²·density); page-level links contract to host
+    pairs INSIDE each micro-batch before touching state — the same
+    contraction-first rule as the batch host graph."""
+    d = S.replay_documents_stream(spark, sf)
+    links = d.select(
+        F.col("source").alias("src"),
+        "doc_id",
+        F.explode(F.array(F.lit(3), F.lit(6), F.lit(14))).alias("k"),
+    ).select(
+        "src",
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") + F.col("k")) % 20)
+        ).alias("dst"),
+    )
+    dirs = links.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("fwd"),
+    )
+    pairs = dirs.groupBy("lo", "hi").agg(
+        F.sum("fwd").cast("bigint").alias("n_fwd"),
+        F.sum(1 - F.col("fwd")).cast("bigint").alias("n_rev"),
+    )
+    out = pairs.filter((F.col("n_fwd") > 0) & (F.col("n_rev") > 0))
+    return S.run_to_memory(out, mode="complete")

@@ -486,3 +486,52 @@ def test_stream_shots_converges_to_batch_census(spark, sf_smoke):
         .collect()
     }
     assert live == batch and live
+
+
+def test_stream_mutual_links_filters_one_way_pairs(spark, sf_smoke):
+    """Mutual pairs are exactly the distance-6 host pairs (the +6/−6
+    cycle closes them); distance-3 pairs are one-way and must be
+    filtered; counts equal a batch recomputation."""
+    import __spark_entry__ as ent
+    from pyspark.sql import functions as F
+
+    from caraspark.tables import load
+
+    live = {
+        (r.lo, r.hi): (r.n_fwd, r.n_rev)
+        for r in ent.queries()["stream_mutual_links"](spark, sf_smoke)
+        .collect()
+    }
+    assert live
+    for (lo, hi), (nf, nr) in live.items():
+        a, b = int(lo[3:]), int(hi[3:])
+        assert (a - b) % 20 in (6, 14), (lo, hi)
+        assert nf > 0 and nr > 0
+
+    d = load(spark, sf_smoke, "documents")
+    links = d.select(
+        F.col("source").alias("src"),
+        "doc_id",
+        F.explode(F.array(F.lit(3), F.lit(6), F.lit(14))).alias("k"),
+    ).select(
+        "src",
+        F.concat(F.lit("src"), ((F.col("doc_id") + F.col("k")) % 20)).alias(
+            "dst"
+        ),
+    )
+    dirs = links.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("fwd"),
+    )
+    batch = {
+        (r.lo, r.hi): (r.n_fwd, r.n_rev)
+        for r in dirs.groupBy("lo", "hi")
+        .agg(
+            F.sum("fwd").cast("bigint").alias("n_fwd"),
+            F.sum(1 - F.col("fwd")).cast("bigint").alias("n_rev"),
+        )
+        .filter((F.col("n_fwd") > 0) & (F.col("n_rev") > 0))
+        .collect()
+    }
+    assert live == batch
