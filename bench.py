@@ -183,6 +183,8 @@ EXTRAS = [
     "events_cep",
     "agg_online",
     "stream_mutual_links",
+    "tpch_q9",
+    "tpch_q11",
 ]
 
 REPEATS = 3

@@ -3880,3 +3880,132 @@ def agg_online(spark, sf):
             " DIV total AS BIGINT)"
         ).alias("err_ppm"),
     )
+
+
+# cost proxy for the absent partsupp.ps_supplycost: the part's list price
+# in 1e-4-dollar units per unit quantity (quantities are integral here)
+_COST_SQL = (
+    "CAST(round(p_retailprice * 100) AS BIGINT) * 100"
+    " * CAST(round(l_quantity) AS BIGINT)"
+)
+
+
+@_q(
+    "tpch_q9",
+    f"""SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_REV_SQL} - {_COST_SQL}) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)""",
+)
+def tpch_q9(spark, sf):
+    """TPC-H Q9 (product type profit measure): profit on a part family
+    by supplier nation and order year — the 5-way join whose aggregate
+    subtracts COST from revenue per lineitem.  Adaptation: no partsupp
+    in the reduced schema, so ps_supplycost becomes the part's list
+    price (p_retailprice) per unit — same expression shape (rev −
+    cost·qty), exact in 1e-4-dollar integers, and the p_name LIKE
+    family filter is faithful (the synthetic names carry color words).
+
+    Scale shape: the name-filtered part dim broadcasts onto the
+    lineitem scan; supplier+nation broadcast; lineitem→orders is the
+    one big shuffle (keyed l_orderkey); the rollup is nations × years,
+    map-side combined to nothing.  Profit sums are order-insensitive
+    BIGINTs, so the per-group hash matches bit-for-bit."""
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("timestamp"))
+        .cast("bigint")
+        .alias("o_year"),
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation"), "o_year").agg(
+        F.sum(F.expr(f"{_REV_SQL} - {_COST_SQL}"))
+        .cast("bigint")
+        .alias("profit_e4")
+    )
+
+
+@_q(
+    "tpch_q11",
+    """WITH val AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)
+                  * CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS value_e2
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+),
+tot AS (SELECT CAST(sum(value_e2) AS BIGINT) AS t FROM val)
+SELECT val.l_partkey AS p_partkey, val.value_e2
+FROM val, tot WHERE val.value_e2 * 1000 > tot.t""",
+)
+def tpch_q11(spark, sf):
+    """TPC-H Q11 (important stock identification): the parts whose
+    held value within one nation exceeds a fixed fraction of that
+    nation's total — the scalar-subquery-threshold-over-aggregate
+    shape.  Adaptation: no partsupp/ps_availqty, so 'stock' is the
+    quantity the nation's suppliers shipped, valued at list price
+    (quantity × p_retailprice in exact 1e-2-dollar integers); the
+    fraction is 1/1000 (vs the spec's 0.0001/SF), cutting ~30% of
+    parts at this corpus shape.
+
+    Scale shape: supplier+nation broadcast onto the lineitem scan;
+    the per-part value aggregate map-side combines into part
+    cardinality; the threshold is a 1-row broadcast re-joined onto
+    that aggregate (integer cross-multiplied — no float fraction).
+    Nothing after the scan exceeds part cardinality."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_retailprice")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load(spark, sf, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    val = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_quantity) AS BIGINT)"
+                    " * CAST(round(p_retailprice * 100) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("value_e2")
+        )
+    )
+    tot = val.agg(F.sum("value_e2").cast("bigint").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_e2") * 1000 > F.col("t"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_e2")
+    )

@@ -1484,3 +1484,22 @@ def test_agg_online_single_fact_aggregate(spark, sf_smoke, qs):
     scans = len(re.findall(r"Scan parquet", p))
     assert scans <= 2, p  # base scan (+ possibly one reuse line)
     assert "HashAggregate" in p, p
+
+
+def test_tpch_q9_dimension_broadcast_chain(spark, sf_smoke, qs):
+    """part/supplier/nation all broadcast onto the fact scan; the only
+    shuffled join keys on l_orderkey."""
+    df = qs["tpch_q9"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q11_threshold_is_broadcast(spark, sf_smoke, qs):
+    """The fraction threshold re-joins as a 1-row broadcast onto the
+    part-cardinality aggregate — no window, no second fact scan."""
+    df = qs["tpch_q11"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
