@@ -185,6 +185,7 @@ EXTRAS = [
     "stream_mutual_links",
     "tpch_q9",
     "tpch_q11",
+    "fn_try",
 ]
 
 REPEATS = 3

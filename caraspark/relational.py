@@ -4009,3 +4009,40 @@ def tpch_q11(spark, sf):
         .filter(F.col("value_e2") * 1000 > F.col("t"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_e2")
     )
+
+
+@_q(
+    "fn_try",
+    """SELECT o_orderkey,
+       round(o_totalprice / NULLIF(o_custkey % 3, 0), 4) AS safe_div,
+       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
+       CASE WHEN o_orderkey <= 7
+            THEN o_orderkey + 9223372036854775800 END AS near_max,
+       TRY_CAST(o_orderstatus AS DOUBLE) AS status_num
+FROM orders""",
+)
+def fn_try(spark, sf):
+    """ANSI-safe expression family: try_divide (NULL on /0), try_cast
+    (NULL on malformed input — both directions: a priority string that
+    is never numeric, a status letter that never parses as DOUBLE), and
+    try_add (NULL on BIGINT overflow; the +9.2e18 offset overflows for
+    every orderkey > 7, so both outcomes appear in the data).  The
+    errors-as-NULL contract is what lets a 10^12-row pipeline survive
+    dirty values without task retries — the per-row analogue of the
+    extraction engine's total-on-garbage rule.
+
+    Scale shape: pure scan-stage projection, zero shuffle, whole-stage
+    codegen; the DuckDB oracle mirrors each try_* with its explicit
+    NULLIF/CASE guard, pinning the exact null semantics."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_custkey") % 3), 4
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("pri_int"),
+        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775800)).alias(
+            "near_max"
+        ),
+        F.expr("try_cast(o_orderstatus AS DOUBLE)").alias("status_num"),
+    )
