@@ -186,6 +186,8 @@ EXTRAS = [
     "tpch_q9",
     "tpch_q11",
     "fn_try",
+    "events_rfm",
+    "basket_pairs",
 ]
 
 REPEATS = 3

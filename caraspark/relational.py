@@ -4046,3 +4046,166 @@ def fn_try(spark, sf):
         ),
         F.expr("try_cast(o_orderstatus AS DOUBLE)").alias("status_num"),
     )
+
+
+@_q(
+    "events_rfm",
+    """WITH ref AS (SELECT max(o_orderdate) AS d1 FROM orders),
+cust AS (
+  SELECT o.o_custkey AS c_custkey,
+         CAST(date_diff('day', max(o.o_orderdate), ref.d1) AS BIGINT)
+             AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM orders o, ref GROUP BY o.o_custkey, ref.d1
+)
+SELECT c_custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days, c_custkey) AS INT) AS r_q,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS INT) AS f_q,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, c_custkey) AS INT)
+           AS m_q
+FROM cust""",
+)
+def events_rfm(spark, sf):
+    """RFM customer segmentation — recency (days since last order,
+    against the corpus max date), frequency, monetary, each quintiled
+    by ntile(5): the classic lifecycle-marketing scoring table.  Every
+    ntile ordering carries the custkey tiebreak, so bucket assignment
+    is a total order and both engines cut identical quintiles; money
+    is exact cents, recency exact day counts.
+
+    Scale shape: the reference date is a 1-row broadcast; the per-
+    customer rollup map-side combines into customer cardinality; the
+    three ntiles share one global sort each over that contracted table
+    (at 10^9 customers production swaps ntile for a two-pass
+    percentile-cut — same output contract, no global sort)."""
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    ref = o.agg(F.max("od").alias("d1"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("d1"), F.max("od"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("cents").cast("bigint").alias("monetary_cents"),
+        )
+    )
+    return cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(W.orderBy("recency_days", "c_custkey"))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").desc(), "c_custkey"))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "c_custkey"))
+        .cast("int")
+        .alias("m_q"),
+    )
+
+
+@_q(
+    "basket_pairs",
+    """WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+             FROM items),
+part_n AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+  FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       pa.n_part AS n_a, pb.n_part AS n_b,
+       CAST(p.n_ab * o.n * 1000000 // (pa.n_part * pb.n_part) AS BIGINT)
+           AS lift_ppm,
+       p.n_ab * o.n > pa.n_part * pb.n_part AS positive_lift
+FROM pairs p
+JOIN part_n pa ON pa.l_partkey = p.part_a
+JOIN part_n pb ON pb.l_partkey = p.part_b, n_orders o
+WHERE p.n_ab >= 3""",
+)
+def basket_pairs(spark, sf):
+    """Market-basket association pairs — co-occurrence counts, exact
+    integer lift (ppm), and the cross-multiplied positive-lift gate
+    (lift > 1 ⟺ n_ab·N > n_a·n_b — no float ever gates), support floor
+    n_ab ≥ 3.  The association-rule layer (Apriori's pair stage) over
+    the order→part bipartite table.
+
+    Scale shape: baskets dedup to DISTINCT (order, part) first; the
+    pair generator is an orderkey-keyed SELF-JOIN, so fanout is
+    Σ k²/2 per basket — bounded by basket size (≈4 here; production
+    caps giant baskets the way the extract path salts giant docs);
+    the pair rollup and the two part-frequency lookups exchange only
+    part-id pairs with BIGINT counts, and the order-count is a 1-row
+    broadcast."""
+    items = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    part_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_ab * n * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+            (F.col("n_ab") * F.col("n") > F.col("n_a") * F.col("n_b")).alias(
+                "positive_lift"
+            ),
+        )
+    )

@@ -1503,3 +1503,26 @@ def test_tpch_q11_threshold_is_broadcast(spark, sf_smoke, qs):
     assert "Window" not in p, p
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p, p
+
+
+def test_events_rfm_contracts_before_ntile(spark, sf_smoke, qs):
+    """The three quintile sorts run over the customer-cardinality rollup
+    (map-side combined), never raw orders; the reference date is a 1-row
+    broadcast."""
+    df = qs["events_rfm"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Window") == 3, p
+    assert "HashAggregate" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_basket_pairs_orderkey_selfjoin_bounded(spark, sf_smoke, qs):
+    """Pair generation is an orderkey-keyed equi self-join (fanout
+    bounded by basket size) with broadcast part-frequency lookups —
+    never an all-parts cartesian."""
+    df = qs["basket_pairs"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p, p
+    # the only nested-loop join is the 1-row order-count scalar broadcast
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    assert p.count("BroadcastHashJoin") >= 3, p  # pair self-join + 2 lookups
