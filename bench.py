@@ -188,6 +188,7 @@ EXTRAS = [
     "fn_try",
     "events_rfm",
     "basket_pairs",
+    "events_abtest",
 ]
 
 REPEATS = 3

@@ -4209,3 +4209,115 @@ def basket_pairs(spark, sf):
             ),
         )
     )
+
+
+@_q(
+    "events_abtest",
+    """WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS variant,
+         CAST((user_id // 2) % 5 AS INT) AS cohort,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT cohort,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users GROUP BY cohort
+)
+SELECT cohort, a, b, c, d,
+       CAST(100 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+            // ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+           AS chi2_centi,
+       100 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+           > 384 * (a + b) * (c + d) * (a + c) * (b + d) AS significant
+FROM cells
+WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0""",
+)
+def events_abtest(spark, sf):
+    """A/B experiment readout with an EXACT significance gate: users
+    split by id parity into variants, converted = a heavy purchaser (≥14 purchase events —
+    the corpus median is 13, so both outcomes are populated),
+    2×2 contingency per (orthogonal) cohort, and the χ² statistic in
+    centi-units with the p<0.05 cut cross-multiplied to pure integers
+    (χ² > 3.84 ⟺ 100·N·(ad−bc)² > 384·row/col-margin product) — no
+    float ever gates a launch decision, so both engines flag the same
+    cohorts.  Degenerate margins (empty row/column) are excluded, the
+    same rule both sides.
+
+    Scale shape: the per-user contraction is one map-side-combined
+    aggregate (events → users); the contingency rollup is |cohorts|
+    fixed-width rows.  The integer cross-multiplication holds to ~10^4
+    users per cell in BIGINT; beyond that production moves the product
+    to DECIMAL(38) — the gate inequality is unchanged."""
+    u = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            F.expr("CAST((user_id DIV 2) % 5 AS INT)").alias("cohort"),
+            "converted",
+        )
+    )
+    cells = u.groupBy("cohort").agg(
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("d"),
+    )
+    chi_num = F.expr(
+        "100 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)"
+    )
+    denom = F.expr("(a + b) * (c + d) * (a + c) * (b + d)")
+    return (
+        cells.filter(
+            (F.expr("a + b") > 0)
+            & (F.expr("c + d") > 0)
+            & (F.expr("a + c") > 0)
+            & (F.expr("b + d") > 0)
+        )
+        .select(
+            "cohort",
+            "a",
+            "b",
+            "c",
+            "d",
+            F.expr(
+                "CAST(100 * (a + b + c + d) * (a * d - b * c)"
+                " * (a * d - b * c)"
+                " DIV ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT)"
+            ).alias("chi2_centi"),
+            (chi_num > 384 * denom).alias("significant"),
+        )
+    )
