@@ -189,6 +189,7 @@ EXTRAS = [
     "events_rfm",
     "basket_pairs",
     "events_abtest",
+    "sales_ols",
 ]
 
 REPEATS = 3

@@ -4321,3 +4321,76 @@ def events_abtest(spark, sf):
             (chi_num > 384 * denom).alias("significant"),
         )
     )
+
+
+@_q(
+    "sales_ols",
+    """WITH pts AS (
+  SELECT p.p_type,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              // CAST(round(l.l_quantity) AS BIGINT) // 100 AS x,
+         CAST(round(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE round(l.l_quantity) > 0
+),
+suff AS (
+  SELECT p_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY p_type
+)
+SELECT p_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST((n * sxy - sx * sy) * 1000000
+            // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS slope_ppm
+FROM suff""",
+)
+def sales_ols(spark, sf):
+    """Distributed EXACT least squares by sufficient statistics: per
+    part type, regress quantity on unit price (whole dollars) through the
+    closed-form OLS slope = (NΣxy − ΣxΣy)/(NΣx² − (Σx)²), carried as
+    an exact BIGINT numerator/denominator plus an integer-scaled
+    quotient, so the regression is bit-reproducible (no float
+    accumulation anywhere).  The intercept's cross-products (ΣyΣx²)
+    exceed BIGINT at this price range — production computes BOTH
+    coefficients in DECIMAL(38) from the same five moments.
+    This is how regression runs at 10^12 rows: the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are map-side-combinable partial
+    aggregates; the solve is O(groups) driver-free arithmetic.
+
+    Scale shape: part broadcasts onto the lineitem scan; one
+    partial+final aggregate into |types| rows; zero further exchanges.
+    BIGINT bounds: x ≤ ~1e5 dollars here, so every slope product stays
+    < 2^63 to ~10^4 rows per group — production promotes the moments
+    to DECIMAL(38), same formulas."""
+    li = load(spark, sf, "lineitem").filter(F.round("l_quantity") > 0)
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_type",
+        F.expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " DIV CAST(round(l_quantity) AS BIGINT) DIV 100 AS BIGINT)"
+        ).alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    suff = pts.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return suff.select(
+        "p_type",
+        "n",
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("slope_ppm"),
+    )
