@@ -190,6 +190,7 @@ EXTRAS = [
     "basket_pairs",
     "events_abtest",
     "sales_ols",
+    "quality_auc",
 ]
 
 REPEATS = 3

@@ -8834,3 +8834,88 @@ def host_gini(spark, sf):
             " DIV (any_value(n) * any_value(t)) AS BIGINT)"
         ).alias("gini_permille"),
     )
+
+
+@_q(
+    "quality_auc",
+    """WITH rows_ AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+vals AS (
+  SELECT source, x,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(pos) AS BIGINT) AS t_pos
+  FROM rows_ GROUP BY source, x
+),
+ranked AS (
+  SELECT source, x, t, t_pos,
+         CAST(coalesce(sum(t) OVER (PARTITION BY source ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cnt_lt
+  FROM vals
+),
+agg AS (
+  SELECT source,
+         CAST(sum(t_pos) AS BIGINT) AS n_pos,
+         CAST(sum(t - t_pos) AS BIGINT) AS n_neg,
+         CAST(sum(t_pos * (2 * cnt_lt + t + 1)) AS BIGINT) AS r2
+  FROM ranked GROUP BY source
+)
+SELECT source, n_pos, n_neg,
+       CAST((r2 - n_pos * (n_pos + 1)) * 1000000
+            // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg WHERE n_pos > 0 AND n_neg > 0""",
+)
+def quality_auc(spark, sf):
+    """Exact Mann-Whitney AUC per host: how well a score column
+    (n_chars here, standing in for any quality-classifier output)
+    ranks the positive class (lang='en') — the model-evaluation
+    number every quality-filter ablation reports, computed EXACTLY:
+    tie-corrected doubled rank sums (2·avg_rank = 2·cnt_lt + t + 1
+    stays integral under ties), AUC = (2R − n_pos(n_pos+1)) /
+    (2·n_pos·n_neg) in integer ppm.  No float ranks, so both engines
+    agree bit-for-bit even with heavy ties; degenerate hosts (single
+    class) are excluded identically.
+
+    Scale shape: rows contract to DISTINCT score values per host
+    BEFORE ranking (the tie groups), the cumulative-count window runs
+    over |distinct values| per host, and the final rollup is
+    host-cardinality.  At 10^12 docs the value-contraction is the
+    whole trick — ranks never materialize per row."""
+    rows = load(spark, sf, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    vals = rows.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("pos").cast("bigint").alias("t_pos"),
+    )
+    wv = (
+        W.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = vals.withColumn(
+        "cnt_lt", F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("bigint")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("t_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("t_pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("t_pos") * (2 * F.col("cnt_lt") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((r2 - n_pos * (n_pos + 1)) * 1000000"
+            " DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
