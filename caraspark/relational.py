@@ -4015,36 +4015,58 @@ def tpch_q11(spark, sf):
     "fn_try",
     """SELECT o_orderkey,
        round(o_totalprice / NULLIF(o_custkey % 3, 0), 4) AS safe_div,
-       TRY_CAST(o_orderpriority AS INTEGER) AS pri_int,
-       CASE WHEN o_orderkey <= 7
-            THEN o_orderkey + 9223372036854775800 END AS near_max,
-       TRY_CAST(o_orderstatus AS DOUBLE) AS status_num
+       TRY_CAST(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority
+                     ELSE CAST(o_orderkey % 7 AS VARCHAR) END
+                AS INTEGER) AS pri_int,
+       CASE WHEN o_orderkey % 997 = 0
+            THEN CASE WHEN o_orderkey <= 7
+                      THEN o_orderkey + 9223372036854775800 END
+            ELSE o_orderkey END AS near_max,
+       TRY_CAST(CASE WHEN o_orderkey % 777 = 0 THEN o_orderstatus
+                     ELSE CAST(o_orderkey % 9 AS VARCHAR) END
+                AS DOUBLE) AS status_num
 FROM orders""",
 )
 def fn_try(spark, sf):
-    """ANSI-safe expression family: try_divide (NULL on /0), try_cast
-    (NULL on malformed input — both directions: a priority string that
-    is never numeric, a status letter that never parses as DOUBLE), and
-    try_add (NULL on BIGINT overflow; the +9.2e18 offset overflows for
-    every orderkey > 7, so both outcomes appear in the data).  The
-    errors-as-NULL contract is what lets a 10^12-row pipeline survive
-    dirty values without task retries — the per-row analogue of the
-    extraction engine's total-on-garbage rule.
+    """ANSI-safe expression family: try_divide (NULL on /0, a cheap
+    guard), try_cast (NULL on malformed input, both INT and DOUBLE
+    directions), try_add (NULL on BIGINT overflow) — the errors-as-NULL
+    contract that lets a 10^12-row pipeline survive dirty values
+    without task retries, the per-row analogue of the extraction
+    engine's total-on-garbage rule.  The malformed/overflow rows are a
+    ~0.1% modulus slice (priority strings at keys %1000, status letters
+    at %777, the +9.2e18 overflow at %997), so every NULL outcome is
+    present and exactly predictable.
 
-    Scale shape: pure scan-stage projection, zero shuffle, whole-stage
-    codegen; the DuckDB oracle mirrors each try_* with its explicit
-    NULLIF/CASE guard, pinning the exact null semantics."""
+    Scale/perf shape: pure scan-stage projection, zero shuffle.  The
+    slice matters for PERFORMANCE, not just realism: a failing
+    try_cast/try_add costs a caught JVM exception (~35 µs/row measured
+    — an always-malformed 150k-row column ran 5.5 s), so try_* belongs
+    on rare-dirty columns; an always-failing column should be CASE-
+    routed around the cast entirely.  The DuckDB oracle mirrors each
+    try_* with its explicit NULLIF/CASE guard, pinning the exact null
+    semantics."""
     o = load(spark, sf, "orders")
+    dirty_pri = (
+        "CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority"
+        " ELSE CAST(o_orderkey % 7 AS STRING) END"
+    )
+    dirty_status = (
+        "CASE WHEN o_orderkey % 777 = 0 THEN o_orderstatus"
+        " ELSE CAST(o_orderkey % 9 AS STRING) END"
+    )
     return o.select(
         "o_orderkey",
         F.round(
             F.try_divide("o_totalprice", F.col("o_custkey") % 3), 4
         ).alias("safe_div"),
-        F.expr("try_cast(o_orderpriority AS INT)").alias("pri_int"),
-        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775800)).alias(
-            "near_max"
-        ),
-        F.expr("try_cast(o_orderstatus AS DOUBLE)").alias("status_num"),
+        F.expr(f"try_cast({dirty_pri} AS INT)").alias("pri_int"),
+        F.expr(
+            "CASE WHEN o_orderkey % 997 = 0"
+            " THEN try_add(o_orderkey, 9223372036854775800)"
+            " ELSE o_orderkey END"
+        ).alias("near_max"),
+        F.expr(f"try_cast({dirty_status} AS DOUBLE)").alias("status_num"),
     )
 
 
@@ -4342,31 +4364,32 @@ suff AS (
          CAST(sum(x * x) AS BIGINT) AS sxx
   FROM pts GROUP BY p_type
 )
-SELECT p_type, n,
-       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
-       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-       CAST((n * sxy - sx * sy) * 1000000
-            // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS slope_ppm
+SELECT p_type, n, sx, sy, sxy, sxx,
+       CAST((n::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000
+            // NULLIF(n::HUGEINT * sxx - sx::HUGEINT * sx, 0) AS BIGINT)
+           AS slope_ppm
 FROM suff""",
 )
 def sales_ols(spark, sf):
     """Distributed EXACT least squares by sufficient statistics: per
     part type, regress quantity on unit price (whole dollars) through the
-    closed-form OLS slope = (NΣxy − ΣxΣy)/(NΣx² − (Σx)²), carried as
-    an exact BIGINT numerator/denominator plus an integer-scaled
-    quotient, so the regression is bit-reproducible (no float
-    accumulation anywhere).  The intercept's cross-products (ΣyΣx²)
-    exceed BIGINT at this price range — production computes BOTH
-    coefficients in DECIMAL(38) from the same five moments.
+    closed-form OLS slope = (NΣxy − ΣxΣy)/(NΣx² − (Σx)²) in exact
+    integer ppm, so the regression is bit-reproducible (no float
+    accumulation anywhere).  The five BIGINT moments are what the
+    cluster exchanges; the solve widens to DECIMAL(38) (HUGEINT on
+    the oracle side) because the derived cross-products exceed BIGINT
+    beyond ~10^4 rows/group — sf0.1 already does, which the first cut
+    of this query learned the hard way (ANSI overflow, caught by the
+    bench, fixed by widening only the O(groups) solve, never the
+    exchanged stats).
     This is how regression runs at 10^12 rows: the five sufficient
     statistics (n, Σx, Σy, Σxy, Σx²) are map-side-combinable partial
     aggregates; the solve is O(groups) driver-free arithmetic.
 
     Scale shape: part broadcasts onto the lineitem scan; one
     partial+final aggregate into |types| rows; zero further exchanges.
-    BIGINT bounds: x ≤ ~1e5 dollars here, so every slope product stays
-    < 2^63 to ~10^4 rows per group — production promotes the moments
-    to DECIMAL(38), same formulas."""
+    The exchanged moments themselves stay BIGINT to ~10^9 rows/group
+    at this price range; only the solve is wide."""
     li = load(spark, sf, "lineitem").filter(F.round("l_quantity") > 0)
     p = load(spark, sf, "part").select("p_partkey", "p_type")
     pts = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
@@ -4384,13 +4407,17 @@ def sales_ols(spark, sf):
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
+    wide = "CAST(n AS DECIMAL(38,0))"
+    wsx = "CAST(sx AS DECIMAL(38,0))"
     return suff.select(
         "p_type",
         "n",
-        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
-        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
         F.expr(
-            "CAST((n * sxy - sx * sy) * 1000000"
-            " DIV NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+            f"CAST(({wide} * sxy - {wsx} * sy) * 1000000"
+            f" DIV NULLIF({wide} * sxx - {wsx} * sx, 0) AS BIGINT)"
         ).alias("slope_ppm"),
     )
