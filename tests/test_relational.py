@@ -412,3 +412,68 @@ def test_events_wau_equals_naive_window_distinct(spark, sf_smoke):
         assert r.dau == len(ud.get(day, set()))
         assert r.wau == len(week)
         assert r.stickiness_permille == r.dau * 1000 // r.wau
+
+
+def test_quality_auc_matches_pairwise_definition(spark, sf_smoke):
+    """The rank-sum AUC equals the DEFINITION: P(score_pos > score_neg)
+    + 1/2·P(equal), counted by brute force over all cross pairs."""
+    import __spark_entry__ as ent
+    from caraspark.tables import load
+
+    rows = load(spark, sf_smoke, "documents").select(
+        "source", "n_chars", "lang"
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(
+            (int(r.n_chars), r.lang == "en")
+        )
+    got = {
+        r.source: (r.n_pos, r.n_neg, r.auc_ppm)
+        for r in ent.queries()["quality_auc"](spark, sf_smoke).collect()
+    }
+    assert got
+    for src, (n_pos, n_neg, auc_ppm) in got.items():
+        pos = [x for x, p in by_src[src] if p]
+        neg = [x for x, p in by_src[src] if not p]
+        assert (len(pos), len(neg)) == (n_pos, n_neg)
+        wins2 = sum(
+            2 if a > b else (1 if a == b else 0) for a in pos for b in neg
+        )
+        assert auc_ppm == wins2 * 1000000 // (2 * n_pos * n_neg), src
+
+
+def test_sales_ols_matches_numpy_lstsq(spark, sf_smoke):
+    """The integer-ppm slope agrees with NumPy's float least squares to
+    within 1 ppm quantization on every part type."""
+    import numpy as np
+
+    import __spark_entry__ as ent
+    from pyspark.sql import functions as F
+    from caraspark.tables import load
+
+    li = load(spark, sf_smoke, "lineitem").filter(
+        F.round("l_quantity") > 0
+    )
+    p = load(spark, sf_smoke, "part").select("p_partkey", "p_type")
+    pts = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type",
+        F.expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " DIV CAST(round(l_quantity) AS BIGINT) DIV 100 AS BIGINT)"
+        ).alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    ).collect()
+    by_type = {}
+    for r in pts:
+        by_type.setdefault(r.p_type, []).append((r.x, r.y))
+    got = {
+        r.p_type: r.slope_ppm
+        for r in ent.queries()["sales_ols"](spark, sf_smoke).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, xy in by_type.items():
+        x = np.array([a for a, _ in xy], dtype=float)
+        y = np.array([b for _, b in xy], dtype=float)
+        slope = np.polyfit(x, y, 1)[0]
+        assert abs(got[t] - slope * 1e6) <= 1.5, (t, got[t], slope * 1e6)
