@@ -191,6 +191,8 @@ EXTRAS = [
     "events_abtest",
     "sales_ols",
     "quality_auc",
+    "audit_benford",
+    "stream_abtest",
 ]
 
 REPEATS = 3

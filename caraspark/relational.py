@@ -4421,3 +4421,85 @@ def sales_ols(spark, sf):
             f" DIV NULLIF({wide} * sxx - {wsx} * sx, 0) AS BIGINT)"
         ).alias("slope_ppm"),
     )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law in exact ppm
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@_q(
+    "audit_benford",
+    f"""WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE round(o_totalprice * 100) >= 1
+),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+exp_ AS (
+  SELECT * FROM (VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))})
+  AS e(d, benford_ppm)
+)
+SELECT e.d, coalesce(c.n, 0) AS n,
+       CAST(coalesce(c.n, 0) * 1000000 // t.t AS BIGINT) AS share_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(coalesce(c.n, 0) * 1000000 // t.t - e.benford_ppm AS BIGINT)
+           AS dev_ppm,
+       abs(coalesce(c.n, 0) * 1000000 // t.t - e.benford_ppm) > 10000
+           AS flagged
+FROM exp_ e LEFT JOIN counts c ON c.d = e.d, tot t""",
+)
+def audit_benford(spark, sf):
+    """Benford's-law first-digit audit — the classic fraud / synthetic-
+    data screen: observed first-digit shares of the money column vs the
+    log10(1+1/d) expectation, deviation in exact ppm, flagged beyond a
+    1-percentage-point gate.  All integer arithmetic (the Benford
+    expectations are frozen floor(log10·1e6) constants), so both
+    engines flag identical digits; every digit row appears even at
+    count 0 (LEFT JOIN against the expectation table).  On this
+    corpus the audit correctly FIRES — the synthetic prices are
+    uniform-ish, exactly the non-Benford shape the screen exists to
+    catch.
+
+    Scale shape: a 9-group map-side-combined count off the scan, a
+    1-row total broadcast, and a 9-row broadcast expectation join —
+    nothing after the scan exceeds 9 rows."""
+    d = (
+        load(spark, sf, "orders")
+        .filter(F.round(F.col("o_totalprice") * 100) >= 1)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("d")
+        )
+    )
+    counts = d.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    exp_ = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "d int, benford_ppm bigint"
+    )
+    share = F.expr("CAST(coalesce(n, 0) * 1000000 DIV t AS BIGINT)")
+    return (
+        F.broadcast(exp_)
+        .join(counts, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            share.alias("share_ppm"),
+            "benford_ppm",
+            (share - F.col("benford_ppm")).cast("bigint").alias("dev_ppm"),
+            (F.abs(share - F.col("benford_ppm")) > 10000).alias("flagged"),
+        )
+    )

@@ -1466,3 +1466,97 @@ def stream_mutual_links(spark, sf):
     )
     out = pairs.filter((F.col("n_fwd") > 0) & (F.col("n_rev") > 0))
     return S.run_to_memory(out, mode="complete")
+
+
+@_q(
+    "stream_abtest",
+    """WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS variant,
+         CAST((user_id // 2) % 5 AS INT) AS cohort,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT cohort,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN variant = 0 AND converted = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN variant = 1 AND converted = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users GROUP BY cohort
+)
+SELECT cohort, a, b, c, d,
+       100 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)
+           > 384 * (a + b) * (c + d) * (a + c) * (b + d) AS significant
+FROM cells
+WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0""",
+)
+def stream_abtest(spark, sf):
+    """Live experiment monitor: the exact cross-multiplied χ²
+    significance gate of ``events_abtest`` maintained over streaming
+    event micro-batches — per-user conversion state first (the ≥14-
+    purchase census must see a user's full history, so the per-user
+    aggregate is the streaming state), then the per-cohort 2×2 fold
+    and the integer launch gate on the final table.  Complete mode;
+    converges to the batch readout.  The obligatory caveat a real
+    experimentation platform documents: peeking at a fixed-α gate
+    every batch inflates false positives — production pairs this
+    monitor with a sequential-testing correction; the GATE ARITHMETIC
+    is unchanged.
+
+    Scale: state is one counter per user (the contraction), then
+    |cohorts| fixed-width cells; events die in their micro-batch."""
+    ev = S.replay_events_stream(spark, sf)
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    live = S.run_to_memory(users, mode="complete")
+    cells = live.select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.expr("CAST((user_id DIV 2) % 5 AS INT)").alias("cohort"),
+        "converted",
+    ).groupBy("cohort").agg(
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("a"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("d"),
+    )
+    chi_num = F.expr(
+        "100 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c)"
+    )
+    denom = F.expr("(a + b) * (c + d) * (a + c) * (b + d)")
+    return (
+        cells.filter(
+            (F.expr("a + b") > 0)
+            & (F.expr("c + d") > 0)
+            & (F.expr("a + c") > 0)
+            & (F.expr("b + d") > 0)
+        )
+        .select("cohort", "a", "b", "c", "d",
+                (chi_num > 384 * denom).alias("significant"))
+    )

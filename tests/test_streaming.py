@@ -535,3 +535,20 @@ def test_stream_mutual_links_filters_one_way_pairs(spark, sf_smoke):
         .collect()
     }
     assert live == batch
+
+
+def test_stream_abtest_converges_to_batch_gate(spark, sf_smoke):
+    """The live significance table equals the batch events_abtest
+    readout on every shared column (cells and flags)."""
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    live = {
+        r.cohort: (r.a, r.b, r.c, r.d, r.significant)
+        for r in qs["stream_abtest"](spark, sf_smoke).collect()
+    }
+    batch = {
+        r.cohort: (r.a, r.b, r.c, r.d, r.significant)
+        for r in qs["events_abtest"](spark, sf_smoke).collect()
+    }
+    assert live == batch and live
