@@ -193,6 +193,7 @@ EXTRAS = [
     "quality_auc",
     "audit_benford",
     "stream_abtest",
+    "agg_winsorized",
 ]
 
 REPEATS = 3

@@ -4503,3 +4503,103 @@ def audit_benford(spark, sf):
             (F.abs(share - F.col("benford_ppm")) > 10000).alias("flagged"),
         )
     )
+
+
+@_q(
+    "agg_winsorized",
+    """WITH vals AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY round(o.o_totalprice * 100),
+                                     o.o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+bounds AS (
+  SELECT segment, cents, rn, n,
+         n // 10 AS k_lo, n - n // 10 AS k_hi
+  FROM vals
+),
+clamped AS (
+  SELECT segment, n, k_lo,
+         CASE WHEN rn <= k_lo
+              THEN (SELECT v.cents FROM bounds v
+                    WHERE v.segment = b.segment AND v.rn = b.k_lo + 1)
+              WHEN rn > k_hi
+              THEN (SELECT v.cents FROM bounds v
+                    WHERE v.segment = b.segment AND v.rn = b.k_hi)
+              ELSE cents END AS w_cents,
+         CASE WHEN rn > k_lo AND rn <= k_hi THEN cents END AS t_cents
+  FROM bounds b
+)
+SELECT segment,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(w_cents) // max(n) AS BIGINT) AS winsorized_mean_cents,
+       CAST(sum(t_cents) // NULLIF(count(t_cents), 0) AS BIGINT)
+           AS trimmed_mean_cents
+FROM clamped GROUP BY segment""",
+)
+def agg_winsorized(spark, sf):
+    """Robust location estimates, EXACT: the 10%-winsorized mean (tail
+    ranks clamped to the P10/P90 boundary VALUES) and the 10%-trimmed
+    mean (tails dropped) of order value per market segment — the
+    outlier-resistant aggregates a metrics pipeline publishes where a
+    plain mean is one fat-finger away from garbage.  Ranks come from
+    row_number with an orderkey tiebreak (total order → both engines
+    clamp identical rows), boundary values are picked BY RANK (no
+    float percentile interpolation anywhere), and the means are exact
+    integer-cents floor divisions.
+
+    Scale shape: one segment-keyed exchange; ranks, counts, and both
+    boundary values ride a single Window partitioning (the boundary
+    lookup is a window max over the rank-filtered value, not a
+    self-join); the rollup is |segments| rows."""
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    vals = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "cents", "o_orderkey"
+    )
+    wseg = W.partitionBy("segment")
+    worder = wseg.orderBy("cents", "o_orderkey")
+    ranked = vals.select(
+        "segment",
+        "cents",
+        F.row_number().over(worder).alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    ).withColumn("k_lo", F.expr("n DIV 10")).withColumn(
+        "k_hi", F.expr("n - n DIV 10")
+    )
+    # boundary VALUES via conditional window aggregates on the same
+    # partitioning — no self-join back into the ranked table
+    lo_val = F.max(
+        F.when(F.col("rn") == F.col("k_lo") + 1, F.col("cents"))
+    ).over(wseg)
+    hi_val = F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("cents"))).over(
+        wseg
+    )
+    clamped = ranked.select(
+        "segment",
+        "n",
+        F.when(F.col("rn") <= F.col("k_lo"), lo_val)
+        .when(F.col("rn") > F.col("k_hi"), hi_val)
+        .otherwise(F.col("cents"))
+        .alias("w_cents"),
+        F.when(
+            (F.col("rn") > F.col("k_lo")) & (F.col("rn") <= F.col("k_hi")),
+            F.col("cents"),
+        ).alias("t_cents"),
+    )
+    return clamped.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.expr("CAST(sum(w_cents) DIV max(n) AS BIGINT)").alias(
+            "winsorized_mean_cents"
+        ),
+        F.expr(
+            "CAST(sum(t_cents) DIV NULLIF(count(t_cents), 0) AS BIGINT)"
+        ).alias("trimmed_mean_cents"),
+    )
