@@ -194,6 +194,7 @@ EXTRAS = [
     "audit_benford",
     "stream_abtest",
     "agg_winsorized",
+    "join_range_bucketed",
 ]
 
 REPEATS = 3

@@ -4603,3 +4603,74 @@ def agg_winsorized(spark, sf):
             "CAST(sum(t_cents) DIV NULLIF(count(t_cents), 0) AS BIGINT)"
         ).alias("trimmed_mean_cents"),
     )
+
+
+@_q(
+    "join_range_bucketed",
+    """WITH pts AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+iv AS (
+  SELECT user_id, sec // 86400 AS day,
+         min(sec) AS lo, min(sec) + 14400 AS hi
+  FROM pts GROUP BY user_id, sec // 86400
+)
+SELECT i.user_id, CAST(i.day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(p.value), 4) AS sum_v
+FROM iv i JOIN pts p
+  ON p.user_id = i.user_id AND p.sec >= i.lo AND p.sec < i.hi
+GROUP BY i.user_id, i.day""",
+)
+def join_range_bucketed(spark, sf):
+    """BIG×BIG range join by BUCKET DECOMPOSITION — the 100 TB
+    alternative to a nested-loop range join: each interval (per-user
+    per-day 4-hour activity window) EXPLODES to the hour buckets it
+    covers (≤ 5), each point maps to its single hour bucket, the join
+    becomes a plain (user, bucket) EQUI-join, and the range predicate
+    survives only as a cheap residual filter.  A point's one bucket
+    meets an interval at most once, so no dedup step is needed.  The
+    DuckDB oracle runs the DIRECT theta join — the hash equality is
+    the proof that the decomposition loses and invents nothing.
+
+    Scale shape: both sides shuffle once on (user_id, bucket) into a
+    sort-merge/hash EQUI join — work is O(points + intervals ×
+    buckets-per-interval), vs the nested-loop's O(points × intervals
+    per user) which power-law users make quadratic.  The plan pin
+    asserts no BroadcastNestedLoopJoin/CartesianProduct survives."""
+    pts = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr(
+            "CAST(floor(CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+        ).alias("sec"),
+    )
+    iv = (
+        pts.groupBy("user_id", F.expr("sec DIV 86400").alias("day"))
+        .agg(F.min("sec").alias("lo"))
+        .withColumn("hi", F.col("lo") + 14400)
+    )
+    ivb = iv.select(
+        F.col("user_id").alias("i_user"),
+        "day",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr("lo DIV 3600"), F.expr("(hi - 1) DIV 3600")
+            )
+        ).alias("i_bucket"),
+    )
+    ptb = pts.withColumn("bucket", F.expr("sec DIV 3600"))
+    j = ptb.join(
+        ivb,
+        (F.col("user_id") == F.col("i_user"))
+        & (F.col("bucket") == F.col("i_bucket")),
+    ).filter((F.col("sec") >= F.col("lo")) & (F.col("sec") < F.col("hi")))
+    return j.groupBy("user_id", F.col("day").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+    )

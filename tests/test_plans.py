@@ -1526,3 +1526,15 @@ def test_basket_pairs_orderkey_selfjoin_bounded(spark, sf_smoke, qs):
     # the only nested-loop join is the 1-row order-count scalar broadcast
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
     assert p.count("BroadcastHashJoin") >= 3, p  # pair self-join + 2 lookups
+
+
+def test_join_range_bucketed_is_equi_join(spark, sf_smoke, qs):
+    """The bucket decomposition turns the range join into a pure
+    equi-join: no nested-loop, no cartesian anywhere in the plan."""
+    df = qs["join_range_bucketed"](spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), p
