@@ -4466,9 +4466,11 @@ def audit_benford(spark, sf):
     uniform-ish, exactly the non-Benford shape the screen exists to
     catch.
 
-    Scale shape: a 9-group map-side-combined count off the scan, a
-    1-row total broadcast, and a 9-row broadcast expectation join —
-    nothing after the scan exceeds 9 rows."""
+    Scale shape: a 9-group map-side-combined count off ONE scan; the
+    total is an all-partition window over those 9 rows (a second
+    fact-scan aggregate would double the read), and the expectation
+    table is a 9-row broadcast — nothing after the scan exceeds 9
+    rows."""
     d = (
         load(spark, sf, "orders")
         .filter(F.round(F.col("o_totalprice") * 100) >= 1)
@@ -4485,15 +4487,18 @@ def audit_benford(spark, sf):
         )
     )
     counts = d.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
     exp_ = spark.createDataFrame(
         sorted(_BENFORD_PPM.items()), "d int, benford_ppm bigint"
     )
+    # the total rides an all-partition window over the 9-row count table
+    # instead of a second aggregate — orders is scanned exactly once
     share = F.expr("CAST(coalesce(n, 0) * 1000000 DIV t AS BIGINT)")
     return (
         F.broadcast(exp_)
         .join(counts, "d", "left")
-        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "t", F.sum(F.coalesce("n", F.lit(0))).over(W.partitionBy())
+        )
         .select(
             "d",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
