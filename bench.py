@@ -195,6 +195,7 @@ EXTRAS = [
     "stream_abtest",
     "agg_winsorized",
     "join_range_bucketed",
+    "agg_bitmap",
 ]
 
 REPEATS = 3

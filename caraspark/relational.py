@@ -4679,3 +4679,38 @@ def join_range_bucketed(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_v"),
     )
+
+
+@_q(
+    "agg_bitmap",
+    """SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type""",
+)
+def agg_bitmap(spark, sf):
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    bitmap functions): each user_id sets one bit in a bucketed bitmap
+    (bitmap_bucket_number / bitmap_bit_position), bitmap_construct_agg
+    builds per-(group, bucket) bitmaps, and bitmap_count sums the
+    bits.  Same answer as count(DISTINCT) — the oracle IS
+    count(DISTINCT) — but the bitmap state is MERGEABLE: partial
+    bitmaps OR together (bitmap_or_agg), which is what makes exact
+    distinct incrementally maintainable (per-partition, per-day, or
+    streaming) where a naive distinct must re-shuffle history.
+
+    Scale shape: the exchange carries (group, bucket, fixed 4 KiB
+    bitmap) rows — at 10^9 users per group that is ~32 MB of bitmap
+    per group spread over thousands of buckets, each partial built
+    map-side; the final count is a per-group sum of popcounts."""
+    e = load(spark, sf, "events").select("event_type", "user_id")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id))"
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )
