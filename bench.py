@@ -196,6 +196,7 @@ EXTRAS = [
     "agg_winsorized",
     "join_range_bucketed",
     "agg_bitmap",
+    "stream_benford",
 ]
 
 REPEATS = 3

@@ -1560,3 +1560,40 @@ def stream_abtest(spark, sf):
         .select("cohort", "a", "b", "c", "d",
                 (chi_num > 384 * denom).alias("significant"))
     )
+
+
+@_q(
+    "stream_benford",
+    """WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(round(value * 1000) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS d
+  FROM events WHERE round(value * 1000) >= 1
+)
+SELECT d, CAST(count(*) AS BIGINT) AS n
+FROM digits GROUP BY d""",
+)
+def stream_benford(spark, sf):
+    """Standing data-quality monitor: the Benford first-digit census of
+    the event value column maintained over streaming micro-batches —
+    nine counter rows of state, converging to the batch census; the
+    ingest-side alarm for an upstream unit change or synthetic-data
+    injection (the digit mix jumps long before aggregates drift).
+    Complete mode; the deviation scoring against the frozen
+    expectations is ``audit_benford``'s job downstream of this state.
+
+    Scale: |digits| = 9 fixed-width state rows; digit extraction is a
+    stateless scan expression inside each micro-batch."""
+    ev = S.replay_events_stream(spark, sf).filter(
+        F.round(F.col("value") * 1000) >= 1
+    )
+    d = ev.select(
+        F.substring(
+            F.round(F.col("value") * 1000).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    out = d.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return S.run_to_memory(out, mode="complete")
