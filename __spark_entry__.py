@@ -67,42 +67,39 @@ def _driver_verified_keys() -> set[str]:
     return seen
 
 
-# Round-3 driver window: the driver verifies exactly the first 50 registry
-# entries, so _FRONT pins them explicitly. 40 oracle-backed keys have never
-# had a driver row across r01/r02 (the 41st unseen key, partition_metrics,
-# is permanently oracle-free and sorts last — see rank()); image_resize was
-# red in r02 (array-typed output broke the driver canonicalizer) and was
-# flattened to scalar rows, so it must be re-verified; the last 9 are
-# retests of keys whose code paths changed this round (warc parser, extract
-# want= pushdown, minhash hash flag) plus representative anchors.
-# tests/test_registry.py asserts list(_merged())[:50] == _FRONT so the
-# window can't drift silently.
+# Round-4 driver window: the driver verifies exactly the first 50 registry
+# entries, so _FRONT pins them explicitly. After r01–r03, 247 oracle-backed
+# keys have never had a driver row; this window fronts 50 of them, zero
+# repeats, ordered by the round-3 verdict's priority list (operators whose
+# local oracles are the weakest proxies: ANN quantizers, semantic/paragraph
+# dedup, BPE, trained classifiers, Kneser-Ney LM, WARC container formats,
+# and the TPC-H pack), then the rest of those families so whole subsystems
+# turn green together. tests/test_registry.py asserts
+# list(_merged())[:50] == _FRONT so the window can't drift silently.
 _FRONT = [
-    # -- 40 never-driver-verified oracle-backed keys (registration order) --
-    "join_bucketed", "agg_approx_check", "agg_cube", "agg_salted_distinct",
-    "agg_grouped_map", "set_except_all", "set_intersect_all", "join_salted",
-    "text_fingerprint", "text_langid", "text_tokens_bpe",
-    "dedup_substring", "dedup_substring_spans",
-    "text_pii", "text_gopher", "sample_stratified", "ngram_topk",
-    "decontaminate", "mix_weights", "text_repetition", "filter_blocklist",
-    "graph_pagerank", "text_entropy", "doc_chunks", "pack_sequences",
-    "doc_headings", "partition_lineage", "corpus_pipeline", "doc_scan",
-    "pdf_edges", "pdf_dangling", "pdf_findref", "pdf_types", "pdf_objects",
-    "pdf_objects_variant", "pdf_cleanup", "udtf_objects",
-    "pdf_attachments", "pdf_outline", "pdf_formfields",
-    # -- the one red r02 row, now flattened to scalar columns --
-    "image_resize",
-    # -- retests: code paths touched this round + representative anchors --
-    "warc_roundtrip",          # warc.py negative-Content-Length fix
-    "doc_extract",             # want= projection pushdown lands this round
-    "doc_extract_roundtrip",
-    # -- late-round-3 operators, never driver-verified --
-    "text_readability",
-    "embed_quantize",
-    "pdf_javascript",
-    "text_normalize",
-    "doc_alternates_sig",      # SPEC v15 over the full corpus
-    "hreflang_census",
+    # -- round-3 verdict's named priorities --
+    "ann_ivfpq", "ann_pq", "dedup_semantic", "dedup_paragraph",
+    "tokenize_bpe", "quality_nb", "quality_perceptron",
+    "lm_kn_score", "host_ppl", "warc_cdx", "warc_revisit",
+    "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q17",
+    # -- rest of the TPC-H pack (19 expressible queries, all hash-exact) --
+    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q11", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q22",
+    # -- rest of the WARC container family --
+    "warc_wat", "warc_wet", "warc_headers", "warc_truncated", "warc_request",
+    # -- language-model scoring family --
+    "lm_bigram", "lm_kneser_ney", "ppl_buckets",
+    # -- ANN recall harnesses + clustering + BPE training --
+    "ann_recall", "ann_recall_pq", "cluster_kmeans", "bpe_train",
+    # -- dedup weak-proxies (incl. the two CC consumers refactored this
+    #    round to share one materialized cluster table — hashes must hold) --
+    "dedup_best_rep", "dedup_cluster_sizes", "dedup_exact_latest",
+    "substring_remove", "dedup_canonical",
+    # -- web-graph family --
+    "graph_hits", "graph_triangles", "graph_communities",
+    # -- model-quality evaluation harness --
+    "quality_auc",
 ]
 
 

@@ -4468,9 +4468,11 @@ def audit_benford(spark, sf):
 
     Scale shape: a 9-group map-side-combined count off ONE scan; the
     total is an all-partition window over those 9 rows (a second
-    fact-scan aggregate would double the read), and the expectation
-    table is a 9-row broadcast — nothing after the scan exceeds 9
-    rows."""
+    fact-scan aggregate would double the read), and the final join is a
+    broadcast of the 9-row COUNT side (the expectation side is the
+    preserved side of the outer join, which Spark can never build-
+    broadcast — so the hint goes on the aggregated counts, the only
+    side eligible) — nothing after the scan exceeds 9 rows."""
     d = (
         load(spark, sf, "orders")
         .filter(F.round(F.col("o_totalprice") * 100) >= 1)
@@ -4494,8 +4496,8 @@ def audit_benford(spark, sf):
     # instead of a second aggregate — orders is scanned exactly once
     share = F.expr("CAST(coalesce(n, 0) * 1000000 DIV t AS BIGINT)")
     return (
-        F.broadcast(exp_)
-        .join(counts, "d", "left")
+        exp_
+        .join(F.broadcast(counts), "d", "left")
         .withColumn(
             "t", F.sum(F.coalesce("n", F.lit(0))).over(W.partitionBy())
         )

@@ -94,7 +94,7 @@ def replay_embeddings_stream(
         os.symlink(src, link)
     return (
         spark.readStream.schema(
-            "vec_id bigint, embedding array<float>, label string"
+            "vec_id bigint, embedding array<float>, label int"
         )
         .option("maxFilesPerTrigger", max_files)
         .parquet(stage)

@@ -778,6 +778,36 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
 
 
+# One CC computation per (application, sf_dir): the cluster table is the
+# shared upstream of three registry consumers (dedup_clusters itself,
+# dedup_best_rep, dedup_cluster_sizes). Each qkey must stay self-contained
+# for the driver, so instead of threading a DataFrame parameter through the
+# registry signature, the materialized table is memoized here — the first
+# consumer in a session pays the O(log n) star rounds, later consumers scan
+# the eager localCheckpoint blocks. Keyed by applicationId so a restarted
+# session (whose checkpoint blocks are gone) can never hit a stale entry.
+# At cluster scale the same pattern holds with a reliable checkpoint dir /
+# a persisted table instead of executor-local blocks.
+_CC_CACHE: dict = {}
+_CC_COMPUTE_COUNT = 0  # tests pin single-lineage reuse on this
+
+
+def _clusters_materialized(spark, sf) -> DataFrame:
+    import os as _os
+
+    global _CC_COMPUTE_COUNT
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf))
+    df = _CC_CACHE.get(key)
+    if df is None:
+        _CC_COMPUTE_COUNT += 1
+        pairs = _ngram_pairs(spark, sf, 0.5).select("id_a", "id_b")
+        df = connected_components(pairs).localCheckpoint()
+        if len(_CC_CACHE) > 8:  # bound executor block-manager residency
+            _CC_CACHE.clear()
+        _CC_CACHE[key] = df
+    return df
+
+
 @_q(
     "dedup_clusters",
     f"""WITH RECURSIVE {_ngram_pair_ctes()},
@@ -811,9 +841,12 @@ def dedup_clusters(spark, sf):
     xxhash sum) for the convergence test.
 
     Oracle: DuckDB recursive-CTE transitive closure + min-reachable-id —
-    an independent algorithm computing the same components."""
-    pairs = _ngram_pairs(spark, sf, 0.5).select("id_a", "id_b")
-    return connected_components(pairs)
+    an independent algorithm computing the same components.
+
+    The cluster table is materialized once per (application, sf_dir) via
+    ``_clusters_materialized`` and shared with `dedup_best_rep` /
+    `dedup_cluster_sizes`, so the three consumers pay one CC computation."""
+    return _clusters_materialized(spark, sf)
 
 
 def _simhash16_exprs(side: str):
@@ -3702,10 +3735,13 @@ def dedup_best_rep(spark, sf):
     one window per component, whose size is bounded by cluster size (a
     skew guard caps pathological mega-clusters upstream, the same
     giants discipline as everywhere); output is component-cardinality.
+    The cluster table comes from the per-session materialization
+    (`_clusters_materialized`) — one CC computation feeds all three
+    registry consumers instead of each re-running the star rounds.
     """
     from caraspark.curation import quality_logit
 
-    comp = dedup_clusters(spark, sf)
+    comp = _clusters_materialized(spark, sf)
     q = quality_logit(spark, sf).select("doc_id", "score")
     ranked = comp.join(q, "doc_id").withColumn(
         "rk",
@@ -3856,8 +3892,10 @@ def dedup_cluster_sizes(spark, sf):
     dedup already pays; the histogram is tiny (sizes are Zipf-ish).
     A fat head at size=2 with a thin giant-cluster tail is healthy;
     mass in huge clusters means boilerplate leaked past the shingle
-    normalizer — the triage signal this table exists to give."""
-    comp = dedup_clusters(spark, sf)
+    normalizer — the triage signal this table exists to give.  Consumes
+    the per-session materialized cluster table (one CC computation
+    shared with `dedup_clusters` / `dedup_best_rep`)."""
+    comp = _clusters_materialized(spark, sf)
     sizes = comp.groupBy("comp").agg(
         F.count(F.lit(1)).cast("bigint").alias("size")
     )

@@ -65,3 +65,27 @@ def test_every_query_key_has_callable_and_schema_free_name():
     sql = ent.oracle_sql()
     assert set(sql) <= set(qs)
     assert len(qs) == len(ent._merged())
+
+
+def test_every_qkey_output_schema_is_driver_canonicalizable(spark, sf_smoke):
+    """Round-2 lost a driver window row because image_resize emitted an
+    array column the driver canonicalizer could not hash (fixed in r3 by
+    flattening to scalar rows). This guard makes that failure class
+    impossible to reintroduce: every registered qkey's OUTPUT schema must
+    be flat — no array/map/struct columns — so the driver's sort-columns-
+    by-name + value-hash protocol can always canonicalize it. Complex
+    types are fine INSIDE a plan (embeddings, token arrays, header maps);
+    they must be flattened/exploded before the qkey returns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for k, fn in ent.queries().items():
+        df = fn(spark, sf_smoke)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[k] = complex_cols
+    assert offenders == {}

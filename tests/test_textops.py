@@ -951,3 +951,41 @@ def test_dedup_best_rep_elects_highest_score(spark, sf_smoke):
         assert (r.rep_doc, r.best_score, r.n_members) == (
             best, score[best], len(members),
         )
+
+
+def test_cc_materialization_single_lineage(spark, sf_smoke):
+    """Round-3 verdict item 2: the three CC consumers (dedup_clusters,
+    dedup_best_rep, dedup_cluster_sizes) share ONE connected-components
+    computation per (application, sf_dir). After the first consumer pays
+    the star rounds, the others must scan the materialized cluster table
+    — not re-run the iterative join tree — and results must be identical
+    to a from-scratch computation."""
+    from caraspark import textops
+
+    textops._CC_CACHE.clear()
+    base = textops._CC_COMPUTE_COUNT
+    fresh = {
+        (r.doc_id, r.comp)
+        for r in textops.dedup_clusters(spark, sf_smoke).collect()
+    }
+    assert textops._CC_COMPUTE_COUNT == base + 1
+    textops.dedup_best_rep(spark, sf_smoke).collect()
+    textops.dedup_cluster_sizes(spark, sf_smoke).collect()
+    assert textops._CC_COMPUTE_COUNT == base + 1  # no recompute
+    # the memoized table is a lineage-truncated checkpoint scan: the
+    # iterative large-star/small-star join tree must be gone from its plan
+    plan = (
+        textops._clusters_materialized(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    # a cold cache recomputes — and agrees bit-for-bit
+    textops._CC_CACHE.clear()
+    again = {
+        (r.doc_id, r.comp)
+        for r in textops.dedup_clusters(spark, sf_smoke).collect()
+    }
+    assert again == fresh
+    textops._CC_CACHE.clear()
