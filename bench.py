@@ -310,13 +310,53 @@ def main() -> None:
 
     # ---- LLM-pipeline ops, timed (single-shot: each is many seconds, and
     # they are excluded from the headline total) ----
+    # the historically slowest extras get best-of-3 (single-shot numbers
+    # were noise-dominated round-over-round — r3 verdict item 6); the CC
+    # consumers additionally clear the shared cluster-table cache before
+    # every repeat so their number stays COLD-comparable with r3 (the
+    # shared-cache composition is timed separately below)
+    SLOW_EXTRAS = {
+        "dedup_best_rep", "dedup_cluster_sizes", "embed_matryoshka",
+        "host_ppl", "stream_annots", "stream_content_ops",
+    }
+    CC_CONSUMERS = {"dedup_best_rep", "dedup_cluster_sizes"}
+
+    def _run_extra(name: str) -> None:
+        if name in CC_CONSUMERS:
+            try:
+                from caraspark import textops
+
+                textops._CC_CACHE.clear()
+            except ImportError:
+                pass
+        run_noop(qs[name](spark, sf_dir))
+
     extra_pack: dict[str, float] = {}
     for name in EXTRAS:
         if name not in qs:
             continue
+        if name in SLOW_EXTRAS:
+            extra_pack[name] = best_of(lambda n=name: _run_extra(n))
+        else:
+            t0 = time.time()
+            run_noop(qs[name](spark, sf_dir))
+            extra_pack[name] = round(time.time() - t0, 3)
+
+    # shared-CC composition: the three cluster-table consumers over ONE
+    # materialized connected-components pass (the production shape; the
+    # per-qkey colds above each pay the star rounds from scratch)
+    try:
+        from caraspark import textops
+
+        textops._CC_CACHE.clear()
         t0 = time.time()
-        run_noop(qs[name](spark, sf_dir))
-        extra_pack[name] = round(time.time() - t0, 3)
+        for name in ("dedup_clusters", "dedup_best_rep",
+                     "dedup_cluster_sizes"):
+            run_noop(qs[name](spark, sf_dir))
+        extra["cc_trio_shared_sec"] = round(time.time() - t0, 3)
+        textops._CC_CACHE.clear()
+    except (ImportError, KeyError):
+        pass
 
     # production-hash minhash variant: same plan shape, xxhash64 lanes
     try:

@@ -38,7 +38,12 @@ def ensure_corpus(spark: SparkSession, n_docs: int, path: str | None = None) -> 
     """Materialize the deterministic corpus once (fixed bytes on disk for
     every run — the scaling protocol requires byte-identical input); the
     success marker is keyed on the recipe set so adding/removing a
-    recipe regenerates instead of serving the previous mix."""
+    recipe regenerates instead of serving the previous mix.
+
+    Writer-order layout (docs in synth order — uniform recipe mix and
+    scattered giants per split), which keeps the narrow-mode headline
+    round-over-round comparable. The skew experiments use
+    ``ensure_sized_corpus`` instead."""
     from caraspark.corpus import synth_df
 
     if path is None:
@@ -50,6 +55,32 @@ def ensure_corpus(spark: SparkSession, n_docs: int, path: str | None = None) -> 
         synth_df(spark, n_docs, include_giant=True).write.mode(
             "overwrite"
         ).parquet(path)
+        open(marker, "w").close()
+    return int(spark.read.parquet(path).count())
+
+
+def ensure_sized_corpus(
+    spark: SparkSession, n_docs: int, path: str | None = None
+) -> int:
+    """SAME content as ``ensure_corpus`` (identical synth recipes, layout-
+    invariant fingerprint) but written through the ingest size layout
+    (``corpus.write_size_layout``): an ``nbytes`` column, range-clustered.
+
+    This is the SKEW-CLUSTERED corpus: all giant docs land in the tail
+    file, so a byte-budgeted narrow scan inherits one straggler task that
+    parses every giant serially — the real-crawl layout pathology
+    (segments sorted by host/size) that ``extract(salt="giants",
+    nbytes_col="nbytes")`` exists to fix with footer-pruned routing."""
+    from caraspark.corpus import synth_df, write_size_layout
+
+    if path is None:
+        path = corpus_path(n_docs) + "_sized"
+    marker = os.path.join(
+        # v2: hash-tiebroken range keys + 4x file count (row balance)
+        path, f"_SUCCESS_N_{n_docs}_{_recipe_set_tag()}_sized_v2"
+    )
+    if not os.path.exists(marker):
+        write_size_layout(synth_df(spark, n_docs, include_giant=True), path)
         open(marker, "w").close()
     return int(spark.read.parquet(path).count())
 

@@ -76,6 +76,61 @@ def synth_df(
     return rng.mapInArrow(_gen(include_giant), DOCUMENTS_RAW)
 
 
+def write_size_layout(
+    df: DataFrame, path: str, partitions: int | None = None
+) -> None:
+    """Ingest-side size-aware layout job: append ``nbytes = length(html)``
+    and write the corpus range-clustered by it, so every downstream
+    byte-length predicate prunes at the parquet FOOTER instead of decoding
+    blob pages.
+
+    Why this exists (SURVEY.md §4.3 skew discipline): ``extract``'s
+    giants mode routes documents by size into a narrow branch and a
+    salted branch — two filters over the same table. Without a stored
+    size column those filters must materialize ``length(html)``, i.e.
+    each branch decodes the FULL blob column and discards the other's
+    rows: at 100 TB that is a second 100 TB scan. With ``nbytes``
+    range-clustered, row-group min/max stats answer both filters — the
+    giants branch reads only the giant tail's row groups (sub-percent of
+    bytes) and the narrow branch skips exactly those. The cluster job is
+    one range exchange at ingest, paid once, amortized over every
+    extraction / re-crawl pass that follows.
+
+    Two row-balance details that matter for downstream task balance when
+    PER-DOC cost dominates (parse-heavy workloads — byte-budgeted input
+    splits balance bytes, not docs, and size clustering makes bytes a bad
+    proxy for work):
+
+    * the range key carries a hash TIEBREAK — crawl size distributions
+      have heavy ties (boilerplate templates yield thousands of docs at
+      the exact same byte length), and without the tiebreak the range
+      partitioner packs whole tie-runs into single files (measured 3×
+      doc-count skew across files on the 200k bench corpus);
+    * default file count is 4 per shuffle slot, so a scan gets several
+      row-count-bounded files per core instead of a few byte-balanced
+      monsters (parquet cannot subdivide a row group, so the FILE is the
+      effective parallelism unit for these small clustered files).
+    """
+    from pyspark.sql import functions as F
+
+    if partitions is None:
+        partitions = 4 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    sized = df.withColumn(
+        "nbytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
+    )
+    tiebreak = F.xxhash64(*(["url"] if "url" in df.columns else ["nbytes"]))
+    (
+        sized.withColumn("_tb", tiebreak)
+        .repartitionByRange(partitions, "nbytes", "_tb")
+        .sortWithinPartitions("nbytes", "_tb")
+        .drop("_tb")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def sf_of(sf_dir: str) -> float:
     """Parse the scale factor from a testdata dir name; default 0.01."""
     import re

@@ -8919,3 +8919,181 @@ def quality_auc(spark, sf):
             " DIV (2 * n_pos * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT canonical keys (Sort-friendly URI Reordering Transform)
+# ---------------------------------------------------------------------------
+
+
+def _surt_sql() -> str:
+    return r"""
+WITH urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+         || source || '.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+         AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(url, '^https?://([^/?]+)', 1), '^www\.', ''),
+           ':.*$', '') AS host,
+         regexp_replace(
+           regexp_replace(regexp_replace(url, '^https?://[^/?]+', ''),
+                          '\?.*$', ''),
+           '/$', '') AS path
+  FROM urls
+),
+surt AS (
+  SELECT doc_id,
+         array_to_string(list_reverse(string_split(lower(host), '.')), ',')
+         || ')' || lower(path) AS surt_key
+  FROM parts
+)
+SELECT surt_key,
+       CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT)    AS n_urls
+FROM surt GROUP BY surt_key
+"""
+
+
+@_q("url_surt", _surt_sql())
+def url_surt(spark, sf):
+    """SURT canonical keys (Sort-friendly URI Reordering Transform — the
+    public Internet Archive / CDX convention, e.g.
+    ``com,example)/path``): lowercase, scheme + ``www.`` + port + query
+    stripped, HOST LABELS REVERSED and comma-joined.  The reversal is
+    the point — SURT keys collate host-hierarchically, so one sorted
+    index serves exact-URL lookup AND domain-prefix range scans
+    (`com,example,` covers every subdomain), which is how CDX servers
+    slice petabyte crawls by registrable domain without a secondary
+    index.  Same derived deterministic URL set as `dedup_url` (the
+    corpus has no URL column); grouped to (surt_key, keeper, n_urls) so
+    scheme/www/slash/query variants provably collide.
+
+    Scale: pure scan-stage string expressions (split / reverse /
+    array_join in codegen), then a groupBy shuffling only ~60 B SURT
+    keys — the documents never move.  A 10^12-row CDX build is exactly
+    this plan plus a sort-within-partitions write, and the range-scan
+    property is what the `cluster_zorder` layout job exploits
+    downstream."""
+    d = load(spark, sf, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"^https?://([^/?]+)", 1), r"^www\.", ""
+        ),
+        r":.*$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("url", r"^https?://[^/?]+", ""), r"\?.*$", ""
+        ),
+        r"/$",
+        "",
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
+        F.lit(")"),
+        F.lower(path),
+    )
+    return (
+        u.select("doc_id", surt.alias("surt_key"))
+        .groupBy("surt_key")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration (reliability diagram, exact integers)
+# ---------------------------------------------------------------------------
+
+
+def _quality_calibration_sql() -> str:
+    return f"""
+WITH q AS ({_quality_logit_sql()}),
+lab AS (
+  SELECT q.doc_id, q.score, CAST(q.doc_id % 5 != 0 AS INT) AS ham
+  FROM q
+),
+ext AS (SELECT min(score) AS lo, max(score) AS hi FROM lab),
+b AS (
+  SELECT least(CAST((lab.score - ext.lo) * 10 // (ext.hi - ext.lo + 1)
+               AS BIGINT), 9) AS bucket,
+         lab.score, lab.ham
+  FROM lab, ext
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) * 1000 // count(*) AS BIGINT) AS mean_score_milli,
+       CAST(sum(ham) * 1000 // count(*) AS BIGINT) AS ham_permille
+FROM b GROUP BY bucket
+"""
+
+
+@_q("quality_calibration", _quality_calibration_sql())
+def quality_calibration(spark, sf):
+    """Reliability diagram for the quality classifier: `quality_logit`
+    scores bucketed into 10 equal-width value bins (range from a
+    broadcast min/max — NOT ntile, which needs a global total-order
+    window), each bin reporting how many docs, the exact mean score
+    (milli-units) and the empirical clean-rate against the corpus's
+    planted label (``doc_id % 5 != 0``, the same plant
+    `quality_perceptron`/`quality_nb` train on).  A well-calibrated
+    filter's clean-rate should rise monotonically with the score bin —
+    the table every threshold choice (`_QL_THRESH`) should be read
+    from, and the drift monitor when the corpus mix shifts under a
+    frozen model.
+
+    Scale: the score pass is `quality_logit`'s scan stage; min/max is a
+    2-value global aggregate broadcast back (1-row crossJoin, the house
+    pattern — no window, no second corpus shuffle); the final rollup is
+    a 10-group map-side-combined census.  Nothing corpus-sized moves at
+    10^12 docs."""
+    q = quality_logit(spark, sf).select("doc_id", "score")
+    lab = q.withColumn(
+        "ham", (F.col("doc_id") % 5 != 0).cast("int")
+    )
+    ext = lab.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    b = lab.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.expr("CAST((score - lo) * 10 DIV (hi - lo + 1) AS BIGINT)"),
+            F.lit(9),
+        ).alias("bucket"),
+        "score",
+        "ham",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(score) * 1000 DIV count(*) AS BIGINT)").alias(
+            "mean_score_milli"
+        ),
+        F.expr("CAST(sum(ham) * 1000 DIV count(*) AS BIGINT)").alias(
+            "ham_permille"
+        ),
+    )

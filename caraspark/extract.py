@@ -337,6 +337,7 @@ def extract(
     giant_threshold: int = 4 << 20,
     want_text: bool = True,
     want=None,
+    nbytes_col: str | None = None,
 ) -> DataFrame:
     """documents_raw → extracted (EXTRACTED schema).
 
@@ -377,6 +378,16 @@ def extract(
     selective salting trades one extra columnar scan for removing a
     100 TB shuffle (write + fetch + read); shuffle bytes drop to the
     giant tail only, and the small-doc branch keeps input locality.
+
+    ``nbytes_col`` removes even that extra scan when the input table
+    carries a stored byte-length column (our ingest layout job,
+    ``corpus.write_size_layout``, writes one range-clustered by it): both
+    branch filters become plain column predicates that push to the
+    parquet scan, so row-group min/max stats route the bytes — the
+    giants branch reads ONLY the giant row groups and the narrow branch
+    skips exactly those. Routing uses the STORED column on both sides,
+    so even a stale nbytes value can only mis-route a document between
+    branches (a per-doc perf wobble), never drop or duplicate it.
     """
     from caraspark.pdfengine.api import normalize_want
 
@@ -388,9 +399,12 @@ def extract(
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "64")
         )
-    pruned = df.select("url", "warc_ts", "html")
+    cols = ["url", "warc_ts", "html"]
+    if nbytes_col is not None and nbytes_col not in cols:
+        cols.append(nbytes_col)
+    pruned = df.select(*cols)
     if not salt:
-        return pruned.mapInArrow(udf, EXTRACTED)
+        return pruned.drop(*(c for c in cols[3:])).mapInArrow(udf, EXTRACTED)
     keyed = pruned.withColumns(
         {
             "size_class": F.ceil(F.log2(F.length("html") + F.lit(2))).cast("int"),
@@ -398,15 +412,35 @@ def extract(
         }
     )
     if salt == "giants":
-        nbytes = F.coalesce(F.length("html"), F.lit(0))
-        small = pruned.filter(nbytes < giant_threshold).mapInArrow(
-            udf, EXTRACTED
+        # routing predicates: the stored metadata column when the table has
+        # one — kept as PLAIN column comparisons (a coalesce() wrapper
+        # defeats parquet pushdown) so row-group stats prune at the footer;
+        # NULL nbytes rows route to the giants branch via OR-IsNull (also
+        # pushable), so the two filters partition the table exactly.
+        # Without a stored column: computed length (decodes the blob column
+        # in both branches — the documented extra-scan cost).
+        if nbytes_col is not None:
+            nb = F.col(nbytes_col)
+            is_small = nb < giant_threshold
+            is_giant = (nb >= giant_threshold) | nb.isNull()
+        else:
+            nbytes = F.coalesce(F.length("html"), F.lit(0))
+            is_small = nbytes < giant_threshold
+            is_giant = nbytes >= giant_threshold
+        extra = [c for c in cols[3:]]
+        small = (
+            pruned.filter(is_small)
+            .drop(*extra)
+            .mapInArrow(udf, EXTRACTED)
         )
         giants = (
-            keyed.filter(nbytes >= giant_threshold)
+            keyed.filter(is_giant)
             .repartition(num_partitions, "size_class", "salt")
+            .drop(*extra)
             .mapInArrow(udf, EXTRACTED)
         )
         return small.unionByName(giants)
-    salted = keyed.repartition(num_partitions, "size_class", "salt")
+    salted = keyed.repartition(num_partitions, "size_class", "salt").drop(
+        *(c for c in cols[3:])
+    )
     return salted.mapInArrow(udf, EXTRACTED)

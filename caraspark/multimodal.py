@@ -46,7 +46,12 @@ def _q(name: str, sql):
 
 def decode_real(kind: str, payload: bytes):
     """Production codec hook (PIL / soundfile / pyav). Not available in this
-    container — the fake codec below carries the pipeline."""
+    container — the fake codec below carries the pipeline.
+
+    Environment re-probed at the start of round 4 (2026-08-21): PIL, av,
+    soundfile and cv2 all absent, so this stays a marked stub per the
+    round-3 verdict ("if absent, explicitly re-document and skip — do not
+    build another synthetic layer")."""
     raise NotImplementedError(
         "real media codecs are not installed in this environment; "
         "the deterministic fake codec (encode_media/parse_header) stands in"

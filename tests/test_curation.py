@@ -2478,3 +2478,47 @@ def test_postings_gapbits_compresses_dense_terms_more(spark, sf_smoke):
     dense = min(r.ratio_permille for r in rows if r.df == dmax)
     sparse = max(r.ratio_permille for r in rows if r.df == dmin)
     assert dense < sparse
+
+
+def test_url_surt_collates_hierarchically(spark, sf_smoke):
+    """SURT keys must sort host-hierarchically: every key for one
+    registrable domain is a prefix-contiguous run in the sorted order
+    (the property that lets a CDX range scan slice a crawl by domain),
+    and scheme/www/slash/query variants collide (n_urls > 1 somewhere)."""
+    from caraspark.curation import url_surt
+
+    rows = url_surt(spark, sf_smoke).collect()
+    keys = sorted(r.surt_key for r in rows)
+    # host part = everything before ')': once sorted, each host's keys
+    # form one contiguous block
+    hosts = [k.split(")")[0] for k in keys]
+    seen, prev = set(), None
+    for h in hosts:
+        if h != prev:
+            assert h not in seen, f"host {h} split into two runs"
+            seen.add(h)
+            prev = h
+    assert all(k.count(")") == 1 for k in keys)
+    assert any(r.n_urls > 1 for r in rows)  # variants actually collide
+
+
+def test_quality_calibration_monotone_trend(spark, sf_smoke):
+    """The planted label is derived from doc_id, not the score, so exact
+    monotonicity isn't guaranteed — but the diagram must be well-formed:
+    10 (or fewer at tiny sf) buckets, mean score strictly increasing with
+    bucket, permilles in range, and all docs accounted for."""
+    from caraspark.curation import quality_calibration, quality_logit
+
+    rows = sorted(
+        quality_calibration(spark, sf_smoke).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert 1 <= len(rows) <= 10
+    assert sum(r.n_docs for r in rows) == quality_logit(
+        spark, sf_smoke
+    ).count()
+    means = [r.mean_score_milli for r in rows]
+    assert means == sorted(means)
+    for r in rows:
+        assert 0 <= r.ham_permille <= 1000
+        assert 0 <= r.bucket <= 9

@@ -284,3 +284,46 @@ def test_html_has_content_matches_full_extraction():
             cases.append(fn(random.Random(f"probe:{name}:{seed}")))
     for blob in cases:
         assert html_has_content(blob) == bool(extract_html_text(blob)), blob[:60]
+
+
+def test_giants_nbytes_col_routing(spark, tmp_path, extracted_rows):
+    """Stored-nbytes routing (ingest size layout): extract with
+    nbytes_col over a range-clustered corpus is byte-identical to the
+    salted reference, both branch filters PUSH to the parquet scan
+    (row-group stats prune the other branch's bytes — no second
+    blob-column decode), and the routing column never crosses the Arrow
+    boundary into the UDF."""
+    from caraspark.corpus import synth_df, write_size_layout
+    from caraspark.extract import extract
+
+    path = str(tmp_path / "sized_corpus")
+    write_size_layout(synth_df(spark, N_DOCS, partitions=5), path)
+    df = spark.read.parquet(path)
+    assert "nbytes" in df.columns
+    out = extract(
+        df,
+        num_partitions=4,
+        salt="giants",
+        giant_threshold=600,
+        nbytes_col="nbytes",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both branch scans carry a pushed nbytes predicate
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    with_nbytes = [p for p in pushed if "nbytes" in p]
+    assert len(with_nbytes) >= 2, plan
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == set(extracted_rows)
+    routed_giant = 0
+    for url, a in rows.items():
+        b = extracted_rows[url]
+        assert bytes(a["text"] or b"") == bytes(b["text"] or b"")
+        assert a["verdict"] == b["verdict"]
+        assert [e["code"] for e in a["errors"]] == [
+            e["code"] for e in b["errors"]
+        ]
+        if a["lineage"]["salt"] >= 0:
+            routed_giant += 1
+    assert 0 < routed_giant < N_DOCS

@@ -383,14 +383,15 @@ def test_partition_metrics_single_aggregation(spark, sf_smoke):
 
 
 def test_dedup_clusters_final_plan_is_truncated(spark, sf_smoke):
-    """Iterative star rounds localCheckpoint every round: the final plan
-    must read a checkpointed RDD scan, not the whole pair-generation
-    lineage (whose re-analysis cost grows with round count)."""
+    """Iterative star rounds localCheckpoint every round, and the final
+    cluster table is itself checkpoint-materialized (shared across the
+    three CC consumers): the returned plan must be a flat checkpointed
+    RDD scan — no join tree, no exchange, no re-analysis-cost lineage."""
     qs = ent.queries()
     p = plan_of(qs["dedup_clusters"](spark, sf_smoke), "simple")
     assert "ExistingRDD" in p, p
-    assert "SortMergeJoin" not in p, p  # final comp agg is one groupBy
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") == 0, p
 
 
 # --- curation pack: scan-stage ops stay narrow and JVM-side ----------------

@@ -31,17 +31,43 @@ def child(master: str, corpus: str, mode: str, repeats: int = 5) -> None:
     from caraspark.session import get_spark
 
     salt: bool | str = {"salted": True, "giants": "giants"}.get(mode, False)
-    spark = get_spark("scaling-bench", master=master)
+    # the _sized corpus is range-clustered by doc size: byte-budgeted
+    # splits there pack wildly unequal DOC counts (per-doc parse cost
+    # dominates on small docs), so scans of it get row-aware split
+    # sizing — ~1-2 of its row-count-bounded files per task. Applied per
+    # CORPUS, identically for every mode reading it, so mode-vs-mode
+    # comparisons on the same bytes stay fair.
+    # target ~1 file per task: the sized corpus is written as ~256
+    # row-count-bounded files that snappy-compress ~40:1 (≈19 KiB on
+    # disk), so the default 128 MiB byte budget packs 6k+ docs of
+    # CLUSTERED per-doc cost into each split — byte budgets are a work
+    # proxy only for uniform layouts. At production file sizes
+    # (256 MiB–1 GiB) the default budget already yields file-granular
+    # splits and this knob is a no-op.
+    extra_conf = (
+        {
+            "spark.sql.files.maxPartitionBytes": str(64 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        }
+        if corpus.endswith("_sized")
+        else None
+    )
+    spark = get_spark("scaling-bench", master=master, extra_conf=extra_conf)
     df = spark.read.parquet(corpus)
     n = df.count()
+
+    # stored byte-length column (ingest size layout): giants-mode routing
+    # filters push to parquet row-group stats instead of decoding the blob
+    # column twice — see extract()'s nbytes_col docs
+    nbytes_col = "nbytes" if "nbytes" in df.columns else None
 
     def run() -> float:
         t0 = time.time()
         # 64 KiB threshold: routes only the pdf_giant docs (~128 KiB) of
         # the synthetic corpus; normal recipes are <5 KiB
-        extract(df, salt=salt, giant_threshold=64 * 1024).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        extract(
+            df, salt=salt, giant_threshold=64 * 1024, nbytes_col=nbytes_col
+        ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     run()  # warmup: JVM JIT + python worker pool + parquet footers
@@ -70,7 +96,7 @@ def main() -> None:
     modes = (
         sys.argv[2].split(",")
         if len(sys.argv) > 2
-        else ["narrow", "salted", "giants"]
+        else ["narrow", "salted", "giants", "narrow_sized"]
     )
     # --density-only: skip the per-mode 8c/32c sweeps and run ONLY the
     # headline phase (interleaved solo / 4x / same-window hw probe rounds)
@@ -81,23 +107,43 @@ def main() -> None:
     if density_only:
         modes = []
 
-    from caraspark.bench_extract import corpus_path, ensure_corpus
+    from caraspark.bench_extract import (
+        corpus_path,
+        ensure_corpus,
+        ensure_sized_corpus,
+    )
     from caraspark.session import get_spark
 
     CORPUS = corpus_path(n_docs)
+    SIZED = CORPUS + "_sized"
     spark = get_spark("scaling-gen", master="local[32]")
     n = ensure_corpus(spark, n_docs, CORPUS)
-    print(f"corpus: {n} docs at {CORPUS}", file=sys.stderr)
+    # skew-clustered variant (same content, range-clustered by nbytes):
+    # giants mode is measured HERE — the layout it exists for; the
+    # narrow_sized diagnostic shows the straggler it fixes
+    if any(m in modes for m in ("giants", "narrow_sized")):
+        ensure_sized_corpus(spark, n_docs, SIZED)
+    print(f"corpus: {n} docs at {CORPUS} (+_sized)", file=sys.stderr)
     spark.stop()
+
+    # mode → (corpus dir, child salt-mode): giants runs on the clustered
+    # corpus (nbytes routing auto-detected by the child); narrow_sized is
+    # the no-salting control on the same clustered bytes
+    mode_corpus = {
+        "giants": (SIZED, "giants"),
+        "narrow_sized": (SIZED, "narrow"),
+    }
 
     results: dict[tuple[str, str], dict] = {}
     docs = n
     for master, cpus in (("local[8]", "0-7"), ("local[32]", "0-31")):
         for mode in modes:
+            mcorpus, child_mode = mode_corpus.get(mode, (CORPUS, mode))
             # Pin the "N executors" run to N physical cores — otherwise the
             # 8-thread run borrows all 32 cores and the baseline is inflated
             # (an N-executor cluster HAS N executors' worth of hardware).
-            cmd = [sys.executable, __file__, "--run", master, CORPUS, mode]
+            cmd = [sys.executable, __file__, "--run", master, mcorpus,
+                   child_mode]
             if os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", cpus] + cmd
             out = subprocess.run(
@@ -260,6 +306,14 @@ def main() -> None:
         "giants_efficiency": eff("giants") if has("giants") else None,
         "giants_docs_per_sec_8c": dps("local[8]", "giants") if ("local[8]", "giants") in results else None,
         "giants_docs_per_sec_32c": dps("local[32]", "giants") if ("local[32]", "giants") in results else None,
+        # skew-clustered-corpus diagnostics: giants runs on the _sized
+        # corpus (all giant docs in the tail file + stored-nbytes routing);
+        # narrow_sized is the unsalted control on the same bytes, expected
+        # to straggle on the giant-cluster task — the gap is what the
+        # giants exchange buys on a layout-skewed input
+        "narrow_sized_efficiency": eff("narrow_sized") if has("narrow_sized") else None,
+        "narrow_sized_docs_per_sec_8c": dps("local[8]", "narrow_sized") if ("local[8]", "narrow_sized") in results else None,
+        "narrow_sized_docs_per_sec_32c": dps("local[32]", "narrow_sized") if ("local[32]", "narrow_sized") in results else None,
         "docs": docs,
         "samples": {
             f"{m}/{mo}": results[(m, mo)]["samples"]
@@ -363,20 +417,29 @@ session:
 
 ## Skew modes
 
-| Metric | narrow (default) | giants (selective skew mode) | salted (full-shuffle skew mode) |
-|---|---|---|---|
-| docs/s @ 8 cores, idle VM | {s["docs_per_sec_8c"]} | {s["giants_docs_per_sec_8c"]} | {s["salted_docs_per_sec_8c"]} |
-| docs/s @ 32 cores | {s["docs_per_sec_32c"]} | {s["giants_docs_per_sec_32c"]} | {s["salted_docs_per_sec_32c"]} |
-| efficiency vs idle-VM baseline | {s["idle_baseline_efficiency"]} | {s["giants_efficiency"]} | {s["salted_efficiency"]} |
+| Metric | narrow (default, writer-order corpus) | salted (full-shuffle skew mode, writer-order) | narrow on SIZED corpus (skew-clustered control) | giants on SIZED corpus (selective skew mode + stored-nbytes routing) |
+|---|---|---|---|---|
+| docs/s @ 8 cores, idle VM | {s["docs_per_sec_8c"]} | {s["salted_docs_per_sec_8c"]} | {s["narrow_sized_docs_per_sec_8c"]} | {s["giants_docs_per_sec_8c"]} |
+| docs/s @ 32 cores | {s["docs_per_sec_32c"]} | {s["salted_docs_per_sec_32c"]} | {s["narrow_sized_docs_per_sec_32c"]} | {s["giants_docs_per_sec_32c"]} |
+| efficiency vs idle-VM baseline | {s["idle_baseline_efficiency"]} | {s["salted_efficiency"]} | {s["narrow_sized_efficiency"]} | {s["giants_efficiency"]} |
 
 `giants` shuffles ONLY documents over the giant threshold (the skewed
 tail — a sub-percent of rows in a crawl) and unions them with the narrow
-path for everything else; it buys the same no-giant-clusters guarantee as
-full salting at a fraction of the shuffle bytes, at the cost of scanning
-the blob column once per branch (`length(html)` cannot prune at the
-parquet footer).
+path for everything else. It is measured on the SIZED corpus — same
+content, range-clustered by a stored `nbytes` column
+(`corpus.write_size_layout`), the real-crawl layout pathology where all
+giant docs land in the tail file. There its routing filters push to the
+parquet footer (`nbytes` row-group stats), so each branch reads only its
+own bytes — no second blob-column scan — while `narrow_sized` (same
+bytes, no salting) inherits a straggler task that parses every giant
+serially. Compare columns 3 and 4: the gap is what the selective
+exchange buys on a layout-skewed input. On the writer-order corpus
+(scattered giants) giants mode is unnecessary and costs one extra scan —
+that regime is documented, not benchmarked, since production crawl
+segments are host/size-clustered, not shuffled.
 
-Corpus: {s["docs"]} docs (recipe mix; pdf_giant skew docs every 4999).
+Corpus: {s["docs"]} docs (recipe mix; pdf_giant skew docs every 4999);
+`_sized` variant: identical content fingerprint, nbytes-range-clustered.
 
 Raw wall-clock samples (seconds; the shared sandbox VM shows spiky
 co-tenant CPU-steal noise — best-of-5 approximates uncontended; the
