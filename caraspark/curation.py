@@ -9097,3 +9097,111 @@ def quality_calibration(spark, sf):
             "ham_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit-record planning (storage dedup across crawls)
+# ---------------------------------------------------------------------------
+
+_REVISIT_REC_BYTES = 30  # fixed pointer-record cost (WARC-Refers-To et al.)
+
+
+def _revisit_plan_sql() -> str:
+    return f"""
+WITH hist AS (
+  SELECT 'https://synth.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         crawl,
+         md5(text || CAST(crawl // (1 + doc_id % 3) AS VARCHAR)) AS digest,
+         CAST(length(text) AS BIGINT) AS payload
+  FROM documents, (SELECT unnest(generate_series(0, 3)) AS crawl)
+  WHERE length(text) > 0
+),
+dec AS (
+  SELECT crawl, payload,
+         CASE WHEN lag(digest) OVER (PARTITION BY url ORDER BY crawl)
+                   = digest
+              THEN 'revisit' ELSE 'response' END AS rec
+  FROM hist
+)
+SELECT crawl,
+       CAST(sum(CASE WHEN rec = 'response' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_response,
+       CAST(sum(CASE WHEN rec = 'revisit' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revisit,
+       CAST(sum(CASE WHEN rec = 'response' THEN payload
+                     ELSE {_REVISIT_REC_BYTES} END) AS BIGINT)
+         AS stored_bytes,
+       CAST(sum(CASE WHEN rec = 'revisit'
+                     THEN payload - {_REVISIT_REC_BYTES} ELSE 0 END)
+            AS BIGINT) AS saved_bytes
+FROM dec GROUP BY crawl
+"""
+
+
+@_q("warc_revisit_plan", _revisit_plan_sql())
+def warc_revisit_plan(spark, sf):
+    """Revisit-record planning across re-crawls — the WARC/ISO-28500
+    storage-dedup mechanism (`warc_revisit` READS such records; this op
+    DECIDES them): a refetch whose payload digest equals the previous
+    fetch of the same url is stored as a ~30-byte revisit pointer
+    (WARC-Refers-To) instead of a full response record.  Four simulated
+    crawls per url with deterministic change periods (1 + doc_id % 3 —
+    every url class from churns-every-crawl to stable) roll up to the
+    per-crawl census archives budget from: record mix, bytes actually
+    stored, bytes saved.  Crawl 0 is all responses by construction
+    (lag = NULL ≠ digest); saved bytes then grow with the stable tail.
+
+    Scale shape: digests are computed IN THE SCAN (payload never leaves
+    the stage); the dedup decision is one lag window shuffling only
+    (url, crawl, digest, payload-length) — ~60 B/row at 10^12 rows,
+    never the payloads; the census is a 4-group map-side-combined
+    rollup.  This is exactly Common Crawl's production dedup shape:
+    URL-keyed digest history, pointer records for the unchanged
+    majority."""
+    d = load(spark, sf, "documents").filter(F.length("text") > 0)
+    hist = d.select(
+        F.concat(
+            F.lit("https://synth.example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("crawl"),
+        "text",
+        "doc_id",
+    ).select(
+        "url",
+        "crawl",
+        F.md5(
+            F.concat(
+                "text",
+                (F.col("crawl") / (1 + F.col("doc_id") % 3))
+                .cast("long")
+                .cast("string"),
+            )
+        ).alias("digest"),
+        F.length("text").cast("bigint").alias("payload"),
+    )
+    rec = F.when(
+        F.lag("digest").over(W.partitionBy("url").orderBy("crawl"))
+        == F.col("digest"),
+        F.lit("revisit"),
+    ).otherwise(F.lit("response"))
+    dec = hist.select("crawl", "payload", rec.alias("rec"))
+    resp = F.col("rec") == "response"
+    return dec.groupBy("crawl").agg(
+        F.sum(resp.cast("int")).cast("bigint").alias("n_response"),
+        F.sum((~resp).cast("int")).cast("bigint").alias("n_revisit"),
+        F.sum(
+            F.when(resp, F.col("payload")).otherwise(
+                F.lit(_REVISIT_REC_BYTES)
+            )
+        )
+        .cast("bigint")
+        .alias("stored_bytes"),
+        F.sum(
+            F.when(~resp, F.col("payload") - _REVISIT_REC_BYTES).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("saved_bytes"),
+    )

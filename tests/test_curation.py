@@ -2522,3 +2522,29 @@ def test_quality_calibration_monotone_trend(spark, sf_smoke):
     for r in rows:
         assert 0 <= r.ham_permille <= 1000
         assert 0 <= r.bucket <= 9
+
+
+def test_warc_revisit_plan_invariants(spark, sf_smoke):
+    """Crawl 0 must be all full responses (no history to point at);
+    every later crawl has both record types (change periods 1..3 plant
+    churny and stable urls); and per crawl stored + saved == total
+    payload bytes (a revisit stores the 30-byte pointer and saves the
+    rest — nothing vanishes)."""
+    from caraspark.curation import warc_revisit_plan
+    from caraspark.tables import load
+    import pyspark.sql.functions as F
+
+    rows = {r.crawl: r for r in warc_revisit_plan(spark, sf_smoke).collect()}
+    total_payload = (
+        load(spark, sf_smoke, "documents")
+        .filter(F.length("text") > 0)
+        .agg(F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    n_urls = rows[0].n_response
+    assert rows[0].n_revisit == 0 and rows[0].saved_bytes == 0
+    for c, r in rows.items():
+        assert r.n_response + r.n_revisit == n_urls
+        assert r.stored_bytes + r.saved_bytes == total_payload
+        if c > 0:
+            assert r.n_revisit > 0 and r.n_response > 0

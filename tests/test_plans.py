@@ -1539,3 +1539,33 @@ def test_join_range_bucketed_is_equi_join(spark, sf_smoke, qs):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     ), p
+
+
+def test_url_surt_single_exchange(spark, sf_smoke, qs):
+    """SURT key derivation is pure scan-stage codegen string work; the
+    only exchange is the census groupBy on the ~60 B key."""
+    p = plan_of(qs["url_surt"](spark, sf_smoke), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_quality_calibration_broadcast_extent(spark, sf_smoke, qs):
+    """Bucket bounds come from a 1-row broadcast min/max (the house
+    pattern), NOT a global-order window or a corpus-sized join: the plan
+    must show a broadcast join, no SortMergeJoin, no ntile window, and
+    only the two aggregation exchanges (extent + final census)."""
+    p = plan_of(qs["quality_calibration"](spark, sf_smoke), "simple")
+    assert "Broadcast" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_warc_revisit_plan_payload_stays_in_scan(spark, sf_smoke, qs):
+    """The dedup decision shuffles only (url, crawl, digest, length) —
+    the lag window plus the census groupBy are the ONLY exchanges, and
+    no join of any kind appears (digest history is a window, not a
+    self-join)."""
+    p = plan_of(qs["warc_revisit_plan"](spark, sf_smoke), "simple")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Join" not in p, p
