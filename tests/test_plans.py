@@ -1569,3 +1569,25 @@ def test_warc_revisit_plan_payload_stays_in_scan(spark, sf_smoke, qs):
     p = plan_of(qs["warc_revisit_plan"](spark, sf_smoke), "simple")
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "Join" not in p, p
+
+
+# --- round-4 driver window: scale-safety sweep over the fronted keys ------
+# Generic invariant for every windowed key that lacks a bespoke pin above:
+# no CartesianProduct anywhere in the physical plan (bounded 1-row
+# broadcast nested loops — the scalar-broadcast house pattern — are fine
+# and appear as BroadcastNestedLoopJoin, a different node).
+
+_R4_WINDOW_SWEEP = [
+    "dedup_semantic", "quality_nb", "quality_perceptron", "host_ppl",
+    "warc_cdx", "warc_revisit", "tpch_q4", "tpch_q10", "tpch_q14",
+    "tpch_q19", "tpch_q22", "warc_wat", "warc_wet", "warc_headers",
+    "warc_truncated", "warc_request", "ann_recall", "ann_recall_pq",
+    "bpe_train", "dedup_best_rep", "dedup_cluster_sizes",
+    "dedup_exact_latest", "graph_hits", "graph_triangles", "quality_auc",
+]
+
+
+@pytest.mark.parametrize("qkey", _R4_WINDOW_SWEEP)
+def test_r4_window_key_no_cartesian(spark, sf_smoke, qs, qkey):
+    p = plan_of(qs[qkey](spark, sf_smoke), "simple")
+    assert "CartesianProduct" not in p, (qkey, p)
