@@ -503,3 +503,114 @@ def replay_corpus_stream(
         .option("maxFilesPerTrigger", max_files)
         .parquet(stage)
     )
+
+
+def replay_crawl_waves_stream(
+    spark: SparkSession, sf_dir: str, n_crawls: int = 4
+) -> DataFrame:
+    """Re-crawl waves as micro-batches: crawl k's fetch records for every
+    url arrive as batch k (one staged file per trigger, mtime-ordered —
+    same pinning discipline as ``replay_events_stream_flushed``), so any
+    per-url state genuinely CARRIES ACROSS batches instead of being
+    exercised within one.
+
+    Each staged row is (url, crawl, digest, payload) with the digest
+    formula shared with the batch planner `warc_revisit_plan`
+    (md5(text ∥ crawl div (1 + doc_id % 3)) — change periods 1..3), so
+    the streaming decisions are oracle-predictable. Staging hashes the
+    corpus once per sf_dir on the driver and caches to /tmp — the test
+    harness's stand-in for a crawler's fetch feed; payload bytes never
+    enter the stream, only 16-byte digests and lengths."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    stage = os.path.join(
+        "/tmp/caraspark_stream_waves",
+        f"{src.strip('/').replace('/', '_')}_c{n_crawls}",
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_pylist()
+        texts = tbl["text"].to_pylist()
+        rows = [
+            (i, t) for i, t in zip(ids, texts) if t is not None and len(t) > 0
+        ]
+        for crawl in range(n_crawls):
+            urls, digs, pays = [], [], []
+            for doc_id, text in rows:
+                version = crawl // (1 + doc_id % 3)
+                urls.append(f"https://synth.example/doc/{doc_id}")
+                digs.append(
+                    hashlib.md5(
+                        (text + str(version)).encode("utf-8")
+                    ).hexdigest()
+                )
+                pays.append(len(text))
+            wave = pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "crawl": pa.array([crawl] * len(urls), pa.int32()),
+                    "digest": pa.array(digs, pa.string()),
+                    "payload": pa.array(pays, pa.int64()),
+                }
+            )
+            p = os.path.join(stage, f"wave-{crawl}.parquet")
+            pq.write_table(wave, p)
+            os.utime(p, (1_000_000 + crawl * 10,) * 2)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(
+            "url string, crawl int, digest string, payload bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+_REVISIT_STATE = "digest string"
+_REVISIT_OUT = "url string, crawl int, rec string, payload bigint"
+
+
+def _revisit_decider(key, pdf_iter, state: GroupState):
+    import pandas as pd
+
+    last = state.get[0] if state.exists else None
+    frames = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("crawl")
+        recs = []
+        for dig in pdf["digest"]:
+            recs.append("revisit" if dig == last else "response")
+            last = dig
+        frames.append(
+            pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "crawl": pdf["crawl"],
+                    "rec": recs,
+                    "payload": pdf["payload"],
+                }
+            )
+        )
+    state.update((last,))
+    yield from frames
+
+
+def stateful_revisit_planner(waves: DataFrame) -> DataFrame:
+    """Per-url revisit decisions with the LAST DIGEST as group state:
+    each micro-batch (one crawl wave) compares arriving digests against
+    the state from prior batches — the streaming form of
+    `warc_revisit_plan`'s lag window, with identical decisions."""
+    return waves.groupBy("url").applyInPandasWithState(
+        _revisit_decider,
+        outputStructType=_REVISIT_OUT,
+        stateStructType=_REVISIT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1597,3 +1597,49 @@ def stream_benford(spark, sf):
     )
     out = d.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return S.run_to_memory(out, mode="complete")
+
+
+def _stream_revisit_plan_sql() -> str:
+    from caraspark.curation import REGISTRY as CURATION_REGISTRY
+
+    return CURATION_REGISTRY["warc_revisit_plan"].sql
+
+
+@_q("stream_revisit_plan", _stream_revisit_plan_sql())
+def stream_revisit_plan(spark, sf):
+    """STATEFUL streaming revisit planning: crawl waves arrive as
+    separate micro-batches (`replay_crawl_waves_stream` — one wave per
+    trigger, mtime-pinned order) and a per-url `applyInPandasWithState`
+    group holds the LAST PAYLOAD DIGEST as its state, so batch k's
+    response-vs-revisit decision genuinely depends on state written by
+    batch k−1 — the streaming form of `warc_revisit_plan`'s lag window,
+    where `stream_revisit`'s stream-static join only checks a frozen
+    digest store.  Decisions roll up post-sink to the identical
+    per-crawl storage census, and the oracle IS the batch planner's SQL:
+    the hash equality proves the incremental state machine and the
+    batch window compute the same plan.
+
+    Scale shape: only (url, digest, length) rows flow — payloads never
+    enter the stream; state is 16 bytes per url (the production
+    footprint of a crawl dedup store); the census is a 4-group rollup.
+    The staged waves are the harness's stand-in for a crawler's fetch
+    feed."""
+    waves = S.replay_crawl_waves_stream(spark, sf)
+    dec = S.stateful_revisit_planner(waves)
+    out = S.run_to_memory(dec, mode="append")
+    resp = F.col("rec") == "response"
+    rec_bytes = 30  # _REVISIT_REC_BYTES, frozen with the batch planner
+    return out.groupBy("crawl").agg(
+        F.sum(resp.cast("int")).cast("bigint").alias("n_response"),
+        F.sum((~resp).cast("int")).cast("bigint").alias("n_revisit"),
+        F.sum(
+            F.when(resp, F.col("payload")).otherwise(F.lit(rec_bytes))
+        )
+        .cast("bigint")
+        .alias("stored_bytes"),
+        F.sum(
+            F.when(~resp, F.col("payload") - rec_bytes).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("saved_bytes"),
+    )

@@ -552,3 +552,42 @@ def test_stream_abtest_converges_to_batch_gate(spark, sf_smoke):
         for r in qs["events_abtest"](spark, sf_smoke).collect()
     }
     assert live == batch and live
+
+
+def test_stream_revisit_plan_equals_batch_planner(spark, sf_smoke):
+    """The stateful streaming revisit planner must agree row-for-row with
+    the batch lag-window planner (same digest formula, same census), and
+    the staged source must really deliver one crawl wave per micro-batch
+    (4 files, maxFilesPerTrigger=1) — otherwise the per-url digest state
+    never carries across batches and the test would only exercise
+    within-batch sorting."""
+    import glob
+    import os
+
+    from caraspark.curation import warc_revisit_plan
+    from caraspark.streaming_queries import stream_revisit_plan
+
+    got = {r.crawl: r for r in stream_revisit_plan(spark, sf_smoke).collect()}
+    want = {r.crawl: r for r in warc_revisit_plan(spark, sf_smoke).collect()}
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for c in want:
+        assert (
+            got[c].n_response,
+            got[c].n_revisit,
+            got[c].stored_bytes,
+            got[c].saved_bytes,
+        ) == (
+            want[c].n_response,
+            want[c].n_revisit,
+            want[c].stored_bytes,
+            want[c].saved_bytes,
+        )
+    src = os.path.realpath(f"{sf_smoke}/documents.parquet")
+    stage = os.path.join(
+        "/tmp/caraspark_stream_waves",
+        f"{src.strip('/').replace('/', '_')}_c4",
+    )
+    assert len(glob.glob(os.path.join(stage, "wave-*.parquet"))) == 4
+    # later waves genuinely revisit — decisions that require state
+    # written by earlier micro-batches
+    assert all(want[c].n_revisit > 0 for c in (1, 2, 3))
