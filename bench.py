@@ -197,6 +197,10 @@ EXTRAS = [
     "join_range_bucketed",
     "agg_bitmap",
     "stream_benford",
+    "url_surt",
+    "quality_calibration",
+    "warc_revisit_plan",
+    "stream_revisit_plan",
 ]
 
 REPEATS = 3
