@@ -201,6 +201,7 @@ EXTRAS = [
     "quality_calibration",
     "warc_revisit_plan",
     "stream_revisit_plan",
+    "decontaminate_remove",
 ]
 
 REPEATS = 3

@@ -9205,3 +9205,162 @@ def warc_revisit_plan(spark, sf):
         .cast("bigint")
         .alias("saved_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination REMOVAL writer (GPT-3-style collision-window excision)
+# ---------------------------------------------------------------------------
+
+_DECON_MARGIN = 2  # tokens excised on each side of a contaminated gram
+
+
+def _decon_remove_sql() -> str:
+    n, m = _DECON_N, _DECON_MARGIN
+    gram = " || ' ' || ".join(f"w[CAST(i + {j} AS INT)]" for j in range(n))
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {n}
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, md5({gram}) AS gh
+  FROM d, range(1, 4096) r(i)
+  WHERE i <= len(w) - {n} + 1
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0),
+iv AS (
+  SELECT g.doc_id,
+         greatest(1, g.i - {m}) AS s,
+         g.i + {n - 1} + {m} AS e
+  FROM grams g JOIN bench b USING (gh)
+  WHERE g.doc_id % 97 <> 0
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, CAST(min(s) AS BIGINT) AS s, CAST(max(e) AS BIGINT) AS e
+  FROM islands GROUP BY doc_id, isl
+),
+agg AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS sp FROM spans
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(list_filter(
+            list_transform(generate_series(1, len(d.w)), p ->
+              CASE WHEN len(list_filter(a.sp,
+                     q -> p >= q.s AND p <= least(q.e,
+                                                    CAST(len(d.w) AS BIGINT))
+                   )) > 0 THEN 1 END),
+            x -> x IS NOT NULL)), 0) AS BIGINT) AS n_removed,
+       md5(array_to_string(
+         list_filter(
+           list_transform(generate_series(1, len(d.w)), p ->
+             CASE WHEN a.sp IS NULL OR len(list_filter(a.sp,
+                    q -> p >= q.s AND p <= q.e)) = 0
+                  THEN d.w[CAST(p AS INT)] END),
+           x -> x IS NOT NULL), ' ')) AS clean_md5
+FROM d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+@_q("decontaminate_remove", _decon_remove_sql())
+def decontaminate_remove(spark, sf):
+    """The decontamination WRITER (`decontaminate` only detects): every
+    benchmark-gram collision excises a ±{margin}-token window around the
+    contaminated gram (the GPT-3 Appendix-C policy, token-scaled),
+    overlapping windows merge into islands, and the output pins the
+    cleaned text's md5 plus exact token counts — the byte-level contract
+    a removal pass must honor, mirroring `substring_remove`'s discipline
+    for the dedup side.  Uncontaminated training docs pass through with
+    n_removed = 0 and the md5 of their untouched token stream, so the
+    writer's output is the FULL cleaned corpus, not just the casualties.
+
+    Scale shape: gram digests stream through the broadcast bench join
+    (zero corpus shuffle, same as `decontaminate`); island merging is a
+    doc-keyed gaps-and-islands window over the HIT intervals only
+    (collision-bounded, tiny); span subtraction is a scan-stage array
+    lambda per doc — tokens never exchange.  The heavy corpus moves
+    exactly once, doc_id-keyed, to meet its merged span list."""
+    n, m = _DECON_N, _DECON_MARGIN
+    d = load(spark, sf, "documents")
+    w = F.split(F.lower("text"), " ")
+    base = d.filter(F.size(w) >= n).select("doc_id", w.alias("w"))
+    positions = F.sequence(
+        F.lit(1), F.least(F.size("w") - n + 1, F.lit(4095))
+    )
+    gram_h = F.md5(
+        F.encode(
+            F.concat_ws(
+                " ", *[F.expr(f"w[i + {j} - 1]") for j in range(n)]
+            ),
+            "utf-8",
+        )
+    )
+    grams = base.select(
+        "doc_id", "w", F.explode(positions).alias("i")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), gram_h.alias("gh"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    iv = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gh")
+        .select(
+            "doc_id",
+            F.greatest(F.lit(1), F.col("i") - m).alias("s"),
+            (F.col("i") + (n - 1) + m).alias("e"),
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy("s", "e")
+    marked = iv.withColumn(
+        "brk",
+        (
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(wd.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).cast("int"),
+    )
+    islands = marked.withColumn(
+        "isl", F.sum("brk").over(wd.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("s").cast("long").alias("s"), F.max("e").cast("long").alias("e")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sp")
+    )
+    joined = base.filter(F.col("doc_id") % 97 != 0).join(agg, "doc_id", "left")
+    covered = (
+        "exists(sp, x -> p >= x.s AND p <= x.e)"
+    )
+    kept = F.expr(
+        f"filter(transform(sequence(1, size(w)), p -> "
+        f"CASE WHEN sp IS NULL OR NOT ({covered}) "
+        f"THEN w[CAST(p AS INT) - 1] END), x -> x IS NOT NULL)"
+    )
+    removed = F.expr(
+        f"size(filter(sequence(1, size(w)), p -> "
+        f"sp IS NOT NULL AND exists(sp, x -> p >= x.s AND "
+        f"p <= least(x.e, CAST(size(w) AS BIGINT)))))"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        removed.cast("long").alias("n_removed"),
+        F.md5(F.encode(F.array_join(kept, " "), "utf-8")).alias("clean_md5"),
+    )

@@ -2548,3 +2548,36 @@ def test_warc_revisit_plan_invariants(spark, sf_smoke):
         assert r.stored_bytes + r.saved_bytes == total_payload
         if c > 0:
             assert r.n_revisit > 0 and r.n_response > 0
+
+
+def test_decontaminate_remove_consistent_with_detector(spark, sf_smoke):
+    """The removal writer and the detector must agree: every doc the
+    detector flags loses tokens, every unflagged doc passes through
+    byte-identical (clean_md5 == md5 of its full lowercased token
+    stream), counts stay within bounds, and both populations are
+    non-empty (the op is not degenerate on this corpus)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from caraspark.curation import decontaminate, decontaminate_remove
+    from caraspark.tables import load
+
+    flagged = {r.doc_id for r in decontaminate(spark, sf_smoke).collect()}
+    out = {r.doc_id: r for r in decontaminate_remove(spark, sf_smoke).collect()}
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents")
+        .select("doc_id", F.lower("text").alias("text"))
+        .collect()
+        if r.doc_id in out
+    }
+    removed = {d for d, r in out.items() if r.n_removed > 0}
+    untouched = set(out) - removed
+    assert flagged == removed  # detector and writer agree exactly
+    assert removed and untouched
+    for d, r in out.items():
+        assert 0 <= r.n_removed <= r.n_tokens
+        if d in untouched:
+            full = " ".join(texts[d].split(" "))
+            assert r.clean_md5 == hashlib.md5(full.encode()).hexdigest()

@@ -1591,3 +1591,12 @@ _R4_WINDOW_SWEEP = [
 def test_r4_window_key_no_cartesian(spark, sf_smoke, qs, qkey):
     p = plan_of(qs[qkey](spark, sf_smoke), "simple")
     assert "CartesianProduct" not in p, (qkey, p)
+
+
+def test_decontaminate_remove_broadcast_bench(spark, sf_smoke, qs):
+    """The bench gram set must reach the corpus via broadcast (zero
+    corpus shuffle for detection) and no cartesian anywhere; the only
+    sort-merge joins allowed are the doc_id-keyed span/doc joins."""
+    p = plan_of(qs["decontaminate_remove"](spark, sf_smoke), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
