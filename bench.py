@@ -202,6 +202,7 @@ EXTRAS = [
     "warc_revisit_plan",
     "stream_revisit_plan",
     "decontaminate_remove",
+    "quality_threshold_sweep",
 ]
 
 REPEATS = 3

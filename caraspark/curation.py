@@ -9364,3 +9364,96 @@ def decontaminate_remove(spark, sf):
         removed.cast("long").alias("n_removed"),
         F.md5(F.encode(F.array_join(kept, " "), "utf-8")).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep for the quality classifier (the _QL_THRESH decision table)
+# ---------------------------------------------------------------------------
+
+
+def _quality_sweep_sql() -> str:
+    return f"""
+WITH q AS ({_quality_logit_sql()}),
+lab AS (
+  SELECT q.doc_id, q.score, q.n_tok,
+         CAST(q.doc_id % 5 != 0 AS INT) AS ham
+  FROM q
+),
+byscore AS (
+  SELECT score,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ham) AS BIGINT) AS n_ham,
+         CAST(sum(n_tok) AS BIGINT) AS toks
+  FROM lab GROUP BY score
+),
+ext AS (SELECT min(score) AS lo, max(score) AS hi,
+               CAST(sum(n_ham) AS BIGINT) AS total_ham
+        FROM byscore, (SELECT 1)),
+ladder AS (
+  SELECT ext.lo + k * (ext.hi - ext.lo + 1) // 10 AS thresh, ext.total_ham
+  FROM ext, (SELECT unnest(generate_series(0, 10)) AS k)
+)
+SELECT l.thresh,
+       CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(b.toks), 0) AS BIGINT) AS kept_tokens,
+       CAST(CASE WHEN coalesce(sum(b.n), 0) = 0 THEN 0
+            ELSE sum(b.n_ham) * 1000000 // sum(b.n) END AS BIGINT)
+         AS precision_ppm,
+       CAST(coalesce(sum(b.n_ham), 0) * 1000000 // max(l.total_ham)
+            AS BIGINT) AS ham_recall_ppm
+FROM ladder l LEFT JOIN byscore b ON b.score >= l.thresh
+GROUP BY l.thresh
+"""
+
+
+@_q("quality_threshold_sweep", _quality_sweep_sql())
+def quality_threshold_sweep(spark, sf):
+    """Threshold sweep for the quality filter — the decision table
+    `_QL_THRESH` is actually read from: 11 candidate cut points spanning
+    the score range, each reporting docs kept, TOKENS kept (the budget
+    number pretraining cares about), exact precision against the planted
+    clean label, and clean-recall — all integer ppm.  `quality_calibration`
+    says whether scores are trustworthy; this says where to cut them.
+
+    Scale shape: the corpus contracts to a per-distinct-score rollup in
+    ONE map-side-combined pass (Zipf-bounded — integer scores, a few
+    hundred rows); the sweep is then an 11×|scores| theta join between
+    two TINY tables plus an 11-group rollup.  The theta join never sees
+    corpus rows — at 10^12 docs the plan is one aggregation over the
+    scan plus driver-trivial table math."""
+    q = quality_logit(spark, sf).select("doc_id", "score", "n_tok")
+    lab = q.withColumn("ham", (F.col("doc_id") % 5 != 0).cast("int"))
+    byscore = lab.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ham").cast("long").alias("n_ham"),
+        F.sum("n_tok").cast("long").alias("toks"),
+    )
+    ext = byscore.agg(
+        F.min("score").alias("lo"),
+        F.max("score").alias("hi"),
+        F.sum("n_ham").cast("long").alias("total_ham"),
+    )
+    ladder = (
+        spark.range(0, 11)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(ext))
+        .select(
+            F.expr("lo + k * (hi - lo + 1) DIV 10").alias("thresh"),
+            "total_ham",
+        )
+    )
+    swept = ladder.join(
+        F.broadcast(byscore), F.col("score") >= F.col("thresh"), "left"
+    )
+    return swept.groupBy("thresh").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum("toks"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.expr(
+            "CAST(CASE WHEN coalesce(sum(n), 0) = 0 THEN 0 "
+            "ELSE sum(n_ham) * 1000000 DIV sum(n) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(coalesce(sum(n_ham), 0) * 1000000 DIV max(total_ham) "
+            "AS BIGINT)"
+        ).alias("ham_recall_ppm"),
+    )

@@ -2581,3 +2581,26 @@ def test_decontaminate_remove_consistent_with_detector(spark, sf_smoke):
         if d in untouched:
             full = " ".join(texts[d].split(" "))
             assert r.clean_md5 == hashlib.md5(full.encode()).hexdigest()
+
+
+def test_quality_threshold_sweep_monotone(spark, sf_smoke):
+    """Raising the threshold can only shrink what's kept: n_kept,
+    kept_tokens and ham-recall must be non-increasing in thresh; the
+    lowest cut keeps everything (recall 1e6 ppm); precision stays in
+    range and the extremes behave (empty keeps report 0)."""
+    from caraspark.curation import quality_logit, quality_threshold_sweep
+
+    rows = sorted(
+        quality_threshold_sweep(spark, sf_smoke).collect(),
+        key=lambda r: r.thresh,
+    )
+    assert len(rows) == 11
+    total = quality_logit(spark, sf_smoke).count()
+    assert rows[0].n_kept == total
+    assert rows[0].ham_recall_ppm == 1_000_000
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_kept <= a.n_kept
+        assert b.kept_tokens <= a.kept_tokens
+        assert b.ham_recall_ppm <= a.ham_recall_ppm
+    for r in rows:
+        assert 0 <= r.precision_ppm <= 1_000_000
