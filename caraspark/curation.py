@@ -9266,13 +9266,13 @@ SELECT d.doc_id,
                                                     CAST(len(d.w) AS BIGINT))
                    )) > 0 THEN 1 END),
             x -> x IS NOT NULL)), 0) AS BIGINT) AS n_removed,
-       md5(array_to_string(
+       md5(coalesce(array_to_string(
          list_filter(
            list_transform(generate_series(1, len(d.w)), p ->
              CASE WHEN a.sp IS NULL OR len(list_filter(a.sp,
                     q -> p >= q.s AND p <= q.e)) = 0
                   THEN d.w[CAST(p AS INT)] END),
-           x -> x IS NOT NULL), ' ')) AS clean_md5
+           x -> x IS NOT NULL), ' '), '')) AS clean_md5
 FROM d LEFT JOIN agg a USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
