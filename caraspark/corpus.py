@@ -120,7 +120,13 @@ def write_size_layout(
     sized = df.withColumn(
         "nbytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
     )
-    tiebreak = F.xxhash64(*(["url"] if "url" in df.columns else ["nbytes"]))
+    # the tiebreak must be row-distinct WITHIN a tie-run — hashing the
+    # range key itself would be constant across the run and break nothing
+    tiebreak = (
+        F.xxhash64("url")
+        if "url" in df.columns
+        else F.monotonically_increasing_id()
+    )
     (
         sized.withColumn("_tb", tiebreak)
         .repartitionByRange(partitions, "nbytes", "_tb")

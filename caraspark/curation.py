@@ -9220,7 +9220,7 @@ def _decon_remove_sql() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-  WHERE len(string_split(lower(text), ' ')) >= {n}
+  WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT doc_id, CAST(i AS BIGINT) AS i, md5({gram}) AS gh
@@ -9286,9 +9286,10 @@ def decontaminate_remove(spark, sf):
     overlapping windows merge into islands, and the output pins the
     cleaned text's md5 plus exact token counts — the byte-level contract
     a removal pass must honor, mirroring `substring_remove`'s discipline
-    for the dedup side.  Uncontaminated training docs pass through with
-    n_removed = 0 and the md5 of their untouched token stream, so the
-    writer's output is the FULL cleaned corpus, not just the casualties.
+    for the dedup side.  Uncontaminated training docs — including docs too
+    short to even contain a {n}-gram — pass through with n_removed = 0
+    and the md5 of their untouched token stream, so the writer's output
+    is the FULL cleaned corpus, not just the casualties.
 
     Scale shape: gram digests stream through the broadcast bench join
     (zero corpus shuffle, same as `decontaminate`); island merging is a
@@ -9299,7 +9300,7 @@ def decontaminate_remove(spark, sf):
     n, m = _DECON_N, _DECON_MARGIN
     d = load(spark, sf, "documents")
     w = F.split(F.lower("text"), " ")
-    base = d.filter(F.size(w) >= n).select("doc_id", w.alias("w"))
+    base = d.filter(F.col("text").isNotNull()).select("doc_id", w.alias("w"))
     positions = F.sequence(
         F.lit(1), F.least(F.size("w") - n + 1, F.lit(4095))
     )
@@ -9311,7 +9312,7 @@ def decontaminate_remove(spark, sf):
             "utf-8",
         )
     )
-    grams = base.select(
+    grams = base.filter(F.size("w") >= n).select(
         "doc_id", "w", F.explode(positions).alias("i")
     ).select("doc_id", F.col("i").cast("long").alias("i"), gram_h.alias("gh"))
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()

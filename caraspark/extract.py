@@ -400,11 +400,12 @@ def extract(
             spark.conf.get("spark.sql.shuffle.partitions", "64")
         )
     cols = ["url", "warc_ts", "html"]
+    if not salt:
+        # routing column not needed on the narrow path — never select it
+        return df.select(*cols).mapInArrow(udf, EXTRACTED)
     if nbytes_col is not None and nbytes_col not in cols:
         cols.append(nbytes_col)
     pruned = df.select(*cols)
-    if not salt:
-        return pruned.drop(*(c for c in cols[3:])).mapInArrow(udf, EXTRACTED)
     keyed = pruned.withColumns(
         {
             "size_class": F.ceil(F.log2(F.length("html") + F.lit(2))).cast("int"),
@@ -435,12 +436,12 @@ def extract(
         )
         giants = (
             keyed.filter(is_giant)
+            .drop(*extra)  # routing column must not ride the shuffle
             .repartition(num_partitions, "size_class", "salt")
-            .drop(*extra)
             .mapInArrow(udf, EXTRACTED)
         )
         return small.unionByName(giants)
-    salted = keyed.repartition(num_partitions, "size_class", "salt").drop(
-        *(c for c in cols[3:])
+    salted = keyed.drop(*(c for c in cols[3:])).repartition(
+        num_partitions, "size_class", "salt"
     )
     return salted.mapInArrow(udf, EXTRACTED)

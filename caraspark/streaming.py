@@ -527,9 +527,15 @@ def replay_crawl_waves_stream(
     import pyarrow.parquet as pq
 
     src = os.path.realpath(f"{sf_dir}/documents.parquet")
+    # stage dir keyed by (path, size, mtime): regenerated testdata at the
+    # same path must never be served stale derived digests (the sibling
+    # replay_* stagers symlink the LIVE file, but this one materializes
+    # derived content, so it needs a content-identity key)
+    st = os.stat(src)
     stage = os.path.join(
         "/tmp/caraspark_stream_waves",
-        f"{src.strip('/').replace('/', '_')}_c{n_crawls}",
+        f"{src.strip('/').replace('/', '_')}_c{n_crawls}"
+        f"_{st.st_size}_{int(st.st_mtime)}",
     )
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):

@@ -1624,11 +1624,12 @@ def stream_revisit_plan(spark, sf):
     footprint of a crawl dedup store); the census is a 4-group rollup.
     The staged waves are the harness's stand-in for a crawler's fetch
     feed."""
+    from caraspark.curation import _REVISIT_REC_BYTES as rec_bytes
+
     waves = S.replay_crawl_waves_stream(spark, sf)
     dec = S.stateful_revisit_planner(waves)
     out = S.run_to_memory(dec, mode="append")
     resp = F.col("rec") == "response"
-    rec_bytes = 30  # _REVISIT_REC_BYTES, frozen with the batch planner
     return out.groupBy("crawl").agg(
         F.sum(resp.cast("int")).cast("bigint").alias("n_response"),
         F.sum((~resp).cast("int")).cast("bigint").alias("n_revisit"),

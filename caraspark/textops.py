@@ -801,8 +801,16 @@ def _clusters_materialized(spark, sf) -> DataFrame:
     if df is None:
         _CC_COMPUTE_COUNT += 1
         pairs = _ngram_pairs(spark, sf, 0.5).select("id_a", "id_b")
-        df = connected_components(pairs).localCheckpoint()
+        # eager=False: the star rounds already ran (the convergence loop
+        # is driver-side), but the FINAL table's blocks materialize on
+        # first consumer action instead of at construction time
+        df = connected_components(pairs).localCheckpoint(eager=False)
         if len(_CC_CACHE) > 8:  # bound executor block-manager residency
+            for old in _CC_CACHE.values():
+                try:  # best-effort: free evicted checkpoint blocks now
+                    old.rdd.unpersist(False)
+                except Exception:  # noqa: BLE001 — eviction must not fail
+                    pass
             _CC_CACHE.clear()
         _CC_CACHE[key] = df
     return df
