@@ -67,39 +67,34 @@ def _driver_verified_keys() -> set[str]:
     return seen
 
 
-# Round-4 driver window: the driver verifies exactly the first 50 registry
-# entries, so _FRONT pins them explicitly. After r01–r03, 247 oracle-backed
+# Round-5 driver window: the driver verifies exactly the first 50 registry
+# entries, so _FRONT pins them explicitly. After r01–r04, 204 oracle-backed
 # keys have never had a driver row; this window fronts 50 of them, zero
-# repeats, ordered by the round-3 verdict's priority list (operators whose
-# local oracles are the weakest proxies: ANN quantizers, semantic/paragraph
-# dedup, BPE, trained classifiers, Kneser-Ney LM, WARC container formats,
-# and the TPC-H pack), then the rest of those families so whole subsystems
-# turn green together. tests/test_registry.py asserts
-# list(_merged())[:50] == _FRONT so the window can't drift silently.
+# repeats, ordered by the round-4 verdict's priority list: (a) the six
+# operators that were NEW in round 4 and whose only evidence is one local
+# gate, (b) the PDF forensics side tables, (c) the events / time-series
+# analytics pack, (d) the streaming side-table twins. tests/test_registry.py
+# asserts list(_merged())[:50] == _FRONT so the window can't drift silently.
 _FRONT = [
-    # -- round-3 verdict's named priorities --
-    "ann_ivfpq", "ann_pq", "dedup_semantic", "dedup_paragraph",
-    "tokenize_bpe", "quality_nb", "quality_perceptron",
-    "lm_kn_score", "host_ppl", "warc_cdx", "warc_revisit",
-    "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q17",
-    # -- rest of the TPC-H pack (19 expressible queries, all hash-exact) --
-    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q10", "tpch_q11", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q22",
-    # -- rest of the WARC container family --
-    "warc_wat", "warc_wet", "warc_headers", "warc_truncated", "warc_request",
-    # -- language-model scoring family --
-    "lm_bigram", "lm_kneser_ney", "ppl_buckets",
-    # -- ANN recall harnesses + clustering + BPE training --
-    "ann_recall", "ann_recall_pq", "cluster_kmeans", "bpe_train",
-    # -- dedup weak-proxies (incl. the two CC consumers refactored this
-    #    round to share one materialized cluster table — hashes must hold) --
-    "dedup_best_rep", "dedup_cluster_sizes", "dedup_exact_latest",
-    "substring_remove", "dedup_canonical",
-    # -- web-graph family --
-    "graph_hits", "graph_triangles", "graph_communities",
-    # -- model-quality evaluation harness --
-    "quality_auc",
+    # -- (a) round-4-new operators, gate-only so far --
+    "url_surt", "quality_calibration", "warc_revisit_plan",
+    "decontaminate_remove", "quality_threshold_sweep", "stream_revisit_plan",
+    # -- (b) PDF forensics side tables --
+    "pdf_repair", "pdf_scavenge", "pdf_revisions", "pdf_sigs", "pdf_xmp",
+    "pdf_fonts", "pdf_pages", "pdf_actions", "pdf_images", "pdf_annots",
+    "pdf_content_ops", "pdf_stream_stats",
+    # -- (c) events / time-series analytics pack --
+    "win_sessionize", "events_funnel", "retention_cohorts",
+    "events_transitions", "ts_downsample", "ts_cusum", "events_attribution",
+    "ts_gapfill", "events_streaks", "events_gap_hist", "events_iqr_outliers",
+    "events_wau", "events_cep", "events_rfm", "events_abtest",
+    "win_sliding_median",
+    # -- (d) streaming side-table twins (each hash-equal to its batch qkey) --
+    "stream_anchor_agg", "stream_tables", "stream_quality", "stream_lists",
+    "stream_images", "stream_jsonld", "stream_robots", "stream_alternates",
+    "stream_frontier", "stream_refresh", "stream_pagination",
+    "stream_sitemap", "stream_feed", "stream_revisit", "stream_validators",
+    "stream_microdata",
 ]
 
 

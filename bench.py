@@ -212,6 +212,20 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cc_cache_reset(textops) -> None:
+    """Drop the shared cluster-table cache AND free its localCheckpoint
+    blocks.  Safe here (unlike inside `_clusters_materialized`'s eviction)
+    because the bench holds no outside handles to the cached frames — so
+    unpersisting now, instead of waiting for GC + ContextCleaner, keeps
+    executor storage flat across the cold best-of-3 repeats."""
+    for df in textops._CC_CACHE.values():
+        try:  # best-effort: cache reset must never fail the bench
+            df.rdd.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
+    textops._CC_CACHE.clear()
+
+
 def best_of(fn, repeats: int = REPEATS) -> float:
     best = float("inf")
     for _ in range(repeats):
@@ -332,7 +346,7 @@ def main() -> None:
             try:
                 from caraspark import textops
 
-                textops._CC_CACHE.clear()
+                cc_cache_reset(textops)
             except ImportError:
                 pass
         run_noop(qs[name](spark, sf_dir))
@@ -354,14 +368,27 @@ def main() -> None:
     try:
         from caraspark import textops
 
-        textops._CC_CACHE.clear()
+        cc_cache_reset(textops)
         t0 = time.time()
         for name in ("dedup_clusters", "dedup_best_rep",
                      "dedup_cluster_sizes"):
             run_noop(qs[name](spark, sf_dir))
         extra["cc_trio_shared_sec"] = round(time.time() - t0, 3)
-        textops._CC_CACHE.clear()
+        cc_cache_reset(textops)
     except (ImportError, KeyError):
+        pass
+
+    # production drift variant: digest-prefiltered Jaccard off the
+    # changerate lag window (shingles only for changed pairs); the qkey
+    # content_drift above shingles EVERY pair — this lane measures the
+    # prefilter's win at the same hash family / shingle width
+    try:
+        from caraspark.curation import content_drift_prefiltered
+
+        t0 = time.time()
+        run_noop(content_drift_prefiltered(spark, sf_dir))
+        extra_pack["content_drift_prefiltered"] = round(time.time() - t0, 3)
+    except ImportError:
         pass
 
     # production-hash minhash variant: same plan shape, xxhash64 lanes

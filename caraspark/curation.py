@@ -4720,6 +4720,85 @@ def content_drift(spark, sf):
     )
 
 
+def content_drift_prefiltered(spark, sf):
+    """Production drift path (the docstring stance of ``content_drift``,
+    benched): shingle Jaccard runs ONLY for consecutive fetch pairs whose
+    digests differ, off the same (url)-lag window ``crawl_changerate``
+    uses — the unchanged majority never builds a shingle set.
+
+    Six simulated crawls per url (period = doc_id%5+1, period 5 static,
+    same schedule as ``crawl_changerate``); the versioned payload edits
+    'table' → 'desk<version>' so payloads differ only when the text
+    actually contains the token — urls without it digest-dedupe to zero
+    drift pairs even across version bumps, exactly the real-crawl shape.
+
+    Scale shape: ONE exchange total (the url-hash window partitioning —
+    16-byte digests + payload refs, no shingle arrays cross the wire);
+    the digest-inequality Filter sits BELOW the shingle Project, so
+    array construction — the expensive part — is paid only for changed
+    pairs. At real change rates (a few % of fetches) that is a ~30×
+    working-set cut vs shingling every pair. No Python anywhere."""
+    w = _DRIFT_SHINGLE
+    d = load(spark, sf, "documents").filter(F.length("text") >= w)
+    did = F.col("doc_id")
+    period = (did % 5 + 1).cast("long")
+    t = d.select(
+        F.concat(
+            F.lit("https://synth.example/doc/"), did.cast("string")
+        ).alias("url"),
+        "text",
+        period.alias("period"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("crawl"),
+    )
+    version = F.when(
+        F.col("period") == 5, F.lit(0).cast("long")
+    ).otherwise(F.floor(F.col("crawl") / F.col("period")).cast("long"))
+    payload = F.when(version == 0, F.col("text")).otherwise(
+        F.replace(
+            F.col("text"),
+            F.lit("table"),
+            F.concat(F.lit("desk"), version.cast("string")),
+        )
+    )
+    hist = t.select(
+        "url", "crawl", payload.alias("payload"),
+        F.md5(payload).alias("digest"),
+    )
+    win = W.partitionBy("url").orderBy("crawl")
+    lagged = hist.select(
+        "url", "crawl", "payload", "digest",
+        F.lag("payload").over(win).alias("prev_payload"),
+        F.lag("digest").over(win).alias("prev_digest"),
+    )
+    changed = lagged.filter(
+        (F.col("crawl") > 0) & (F.col("digest") != F.col("prev_digest"))
+    )
+
+    def shingles(v):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(v) - (w - 1)),
+                lambda i: F.substring(v, i, F.lit(w)),
+            )
+        )
+
+    sh = changed.select(
+        "url", "crawl",
+        shingles(F.col("prev_payload")).alias("s1"),
+        shingles(F.col("payload")).alias("s2"),
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size("s1") + F.size("s2") - inter
+    return sh.select(
+        "url", "crawl",
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.when(2 * inter >= union, "minor").otherwise("major")
+        .alias("drift_class"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Badword-list content filter (C4 rule 1; list is a synthetic placeholder)
 # ---------------------------------------------------------------------------

@@ -505,6 +505,20 @@ def replay_corpus_stream(
     )
 
 
+def wave_stage_dir(src: str, n_crawls: int) -> str:
+    """Stage dir for ``replay_crawl_waves_stream``, keyed by content identity
+    (path, size, mtime_ns): regenerated testdata at the same path must never
+    be served stale derived digests.  ``st_mtime_ns`` (not whole seconds) so
+    a same-size rewrite within one second still gets a fresh key.  Exposed so
+    tests inspect the directory the stream actually reads."""
+    st = os.stat(src)
+    return os.path.join(
+        "/tmp/caraspark_stream_waves",
+        f"{src.strip('/').replace('/', '_')}_c{n_crawls}"
+        f"_{st.st_size}_{st.st_mtime_ns}",
+    )
+
+
 def replay_crawl_waves_stream(
     spark: SparkSession, sf_dir: str, n_crawls: int = 4
 ) -> DataFrame:
@@ -527,16 +541,9 @@ def replay_crawl_waves_stream(
     import pyarrow.parquet as pq
 
     src = os.path.realpath(f"{sf_dir}/documents.parquet")
-    # stage dir keyed by (path, size, mtime): regenerated testdata at the
-    # same path must never be served stale derived digests (the sibling
-    # replay_* stagers symlink the LIVE file, but this one materializes
-    # derived content, so it needs a content-identity key)
-    st = os.stat(src)
-    stage = os.path.join(
-        "/tmp/caraspark_stream_waves",
-        f"{src.strip('/').replace('/', '_')}_c{n_crawls}"
-        f"_{st.st_size}_{int(st.st_mtime)}",
-    )
+    # content-identity stage key (the sibling replay_* stagers symlink the
+    # LIVE file, but this one materializes derived content, so it needs one)
+    stage = wave_stage_dir(src, n_crawls)
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
         os.makedirs(stage, exist_ok=True)

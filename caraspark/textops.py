@@ -805,13 +805,14 @@ def _clusters_materialized(spark, sf) -> DataFrame:
         # is driver-side), but the FINAL table's blocks materialize on
         # first consumer action instead of at construction time
         df = connected_components(pairs).localCheckpoint(eager=False)
-        if len(_CC_CACHE) > 8:  # bound executor block-manager residency
-            for old in _CC_CACHE.values():
-                try:  # best-effort: free evicted checkpoint blocks now
-                    old.rdd.unpersist(False)
-                except Exception:  # noqa: BLE001 — eviction must not fail
-                    pass
-            _CC_CACHE.clear()
+        # Bound block-manager residency by evicting the OLDEST entry only
+        # (dict preserves insertion order).  Never unpersist here: a caller
+        # may still hold the evicted handle, and unpersisting localCheckpoint
+        # blocks makes it unrecoverable (lineage was truncated).  Dropping
+        # our reference is enough — ContextCleaner frees the blocks once the
+        # DataFrame is garbage-collected with no other holders.
+        while len(_CC_CACHE) > 8:
+            _CC_CACHE.pop(next(iter(_CC_CACHE)))
         _CC_CACHE[key] = df
     return df
 

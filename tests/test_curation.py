@@ -225,6 +225,65 @@ def test_content_drift_plan_is_exchange_free(spark, sf_smoke):
     assert "Window" not in p, p
 
 
+def test_content_drift_prefiltered_matches_python(spark, sf_smoke):
+    """The production digest-prefiltered lane: only digest-differing
+    consecutive fetch pairs appear, and their Jaccard matches a Python
+    reference over the same simulated version payloads."""
+    rows = {
+        (r.url, r.crawl): r
+        for r in C.content_drift_prefiltered(spark, sf_smoke).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_smoke, "documents").collect()
+    }
+    w = C._DRIFT_SHINGLE
+    want_keys = set()
+    for did, t in docs.items():
+        if len(t) < w:
+            continue
+        period = did % 5 + 1
+        url = f"https://synth.example/doc/{did}"
+
+        def payload(crawl):
+            v = 0 if period == 5 else crawl // period
+            return t if v == 0 else t.replace("table", f"desk{v}")
+
+        for crawl in range(1, 6):
+            prev, cur = payload(crawl - 1), payload(crawl)
+            if prev == cur:
+                continue
+            want_keys.add((url, crawl))
+            s1 = {prev[i : i + w] for i in range(len(prev) - w + 1)}
+            s2 = {cur[i : i + w] for i in range(len(cur) - w + 1)}
+            inter, union = len(s1 & s2), len(s1 | s2)
+            r = rows[(url, crawl)]
+            assert (r.n_inter, r.n_union) == (inter, union), (did, crawl)
+            assert abs(r.jaccard - round(inter / union, 6)) < 1e-12
+    assert set(rows) == want_keys
+    # the prefilter genuinely bites: changed pairs are a strict minority
+    # of the 5 consecutive pairs per url (period-5 urls never change,
+    # 'table'-free urls digest-dedupe across version bumps)
+    n_docs = sum(1 for t in docs.values() if len(t) >= w)
+    assert 0 < len(rows) < 5 * n_docs
+
+
+def test_content_drift_prefiltered_plan_shape(spark, sf_smoke):
+    """One url-hash Exchange (the lag window), digest Filter BELOW the
+    shingle Project, no Python: the expensive array construction is only
+    ever evaluated for digest-differing pairs."""
+    df = C.content_drift_prefiltered(spark, sf_smoke)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Window" in p, p
+    assert "EvalPython" not in p, p
+    # the Filter on the lagged digest must sit between the Window and the
+    # shingle projection: shingle exprs (array_distinct/transform) appear
+    # only ABOVE the digest-inequality filter in the plan text
+    filt = p.index("NOT (digest")
+    assert "array_distinct" not in p[filt:], p
+
+
 def test_text_entropy_matches_python(spark, sf_smoke):
     import math
 

@@ -582,11 +582,10 @@ def test_stream_revisit_plan_equals_batch_planner(spark, sf_smoke):
             want[c].stored_bytes,
             want[c].saved_bytes,
         )
+    from caraspark.streaming import wave_stage_dir
+
     src = os.path.realpath(f"{sf_smoke}/documents.parquet")
-    stage = os.path.join(
-        "/tmp/caraspark_stream_waves",
-        f"{src.strip('/').replace('/', '_')}_c4",
-    )
+    stage = wave_stage_dir(src, 4)
     assert len(glob.glob(os.path.join(stage, "wave-*.parquet"))) == 4
     # later waves genuinely revisit — decisions that require state
     # written by earlier micro-batches
