@@ -338,6 +338,7 @@ def extract(
     want_text: bool = True,
     want=None,
     nbytes_col: str | None = None,
+    giant_fanout: int = 4,
 ) -> DataFrame:
     """documents_raw → extracted (EXTRACTED schema).
 
@@ -367,8 +368,12 @@ def extract(
     exchange amortizes to noise.
 
     ``salt="giants"`` is the scale-preferred middle ground: only documents
-    ≥ ``giant_threshold`` bytes take the salting exchange; everything else
-    stays on the narrow zero-shuffle path, and the two branches union.
+    ≥ ``giant_threshold`` bytes take an exchange — round-robin over
+    ``num_partitions × giant_fanout`` slices, so the dealt-out giant count
+    per task is within ±1 of even (a hash key leaves birthday-collision
+    bins of several giants, and with few expensive rows the most-loaded
+    task IS the wall) — everything else stays on the narrow zero-shuffle
+    path, and the two branches union.
     At crawl-realistic skew (giants are a sub-percent tail of rows) this
     shuffles a sub-percent of bytes instead of all of them, while still
     guaranteeing no task inherits a cluster of giants from the input
@@ -434,10 +439,22 @@ def extract(
             .drop(*extra)
             .mapInArrow(udf, EXTRACTED)
         )
+        # Round-robin over num_partitions × giant_fanout slices, NOT a hash
+        # on (size_class, salt): giants are few and individually expensive,
+        # so the tail is set by the most-loaded TASK, and hashing G giants
+        # into P partitions leaves birthday-collision bins of 3–4 giants
+        # (measured: the r4 giants-mode straggler). Round-robin deals rows
+        # out evenly — ≤⌈G/(P·fanout)⌉ giants per task, i.e. ~1 at crawl
+        # skew — so the floor becomes ONE giant parse, the irreducible
+        # physics. The explicit count keeps AQE from coalescing the small
+        # shuffle back into few partitions (coalescing only applies to
+        # non-user-specified counts), and mostly-empty extra tasks cost
+        # microseconds of scheduler time. salt/size_class still ride as
+        # provenance columns for the UDF's per-doc metrics.
         giants = (
             keyed.filter(is_giant)
             .drop(*extra)  # routing column must not ride the shuffle
-            .repartition(num_partitions, "size_class", "salt")
+            .repartition(num_partitions * giant_fanout)
             .mapInArrow(udf, EXTRACTED)
         )
         return small.unionByName(giants)

@@ -120,14 +120,18 @@ def test_extract_salted_plan_has_exactly_one_shuffle(spark):
 def test_extract_giants_plan_shuffles_only_the_giant_branch(spark):
     # selective salting: one union of two branches — the small-doc branch
     # is narrow (no exchange above its scan), the giant branch carries the
-    # single salting exchange
+    # single exchange. The giant exchange is ROUND-ROBIN, not a hash on
+    # (size_class, salt): giants are few and individually expensive, so
+    # hash-collision bins of 3–4 giants set the task tail; round-robin
+    # deals them out ≤1-ish per slice (extract()'s giant_fanout).
     p = plan_of(
         extract(synth_df(spark, 64), salt="giants", giant_threshold=1024),
         "simple",
     )
-    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange RoundRobinPartitioning") == 1, p
+    assert p.count("Exchange hashpartitioning") == 0, p
     assert "Union" in p, p
-    assert "size_class" in p and "salt" in p
+    assert "salt" in p  # provenance column still rides to the UDF
 
 
 # --- stay JVM-side: no Python UDF in the hot relational path ---------------
