@@ -433,7 +433,13 @@ parquet footer (`nbytes` row-group stats), so each branch reads only its
 own bytes — no second blob-column scan — while `narrow_sized` (same
 bytes, no salting) inherits a straggler task that parses every giant
 serially. Compare columns 3 and 4: the gap is what the selective
-exchange buys on a layout-skewed input. On the writer-order corpus
+exchange buys on a layout-skewed input. Since round 5 the giant
+branch deals its rows out ROUND-ROBIN over `num_partitions x
+giant_fanout` slices instead of hashing on (size_class, salt): with few
+individually-expensive rows the most-loaded task is the wall, and a
+hash key leaves birthday-collision bins of 3-4 giants (the r4
+straggler, 0.657 fat-JVM efficiency; round-robin: 0.867). On the
+writer-order corpus
 (scattered giants) giants mode is unnecessary and costs one extra scan —
 that regime is documented, not benchmarked, since production crawl
 segments are host/size-clustered, not shuffled.
