@@ -379,9 +379,13 @@ def main() -> None:
         pass
 
     # production drift variant: digest-prefiltered Jaccard off the
-    # changerate lag window (shingles only for changed pairs); the qkey
-    # content_drift above shingles EVERY pair — this lane measures the
-    # prefilter's win at the same hash family / shingle width
+    # changerate lag window (shingles only for changed pairs) at the same
+    # hash family / shingle width as the content_drift qkey. NOT directly
+    # comparable to that qkey's wall: the lane walks 6 crawls per url
+    # (~1.8 changed pairs/url on this corpus, plus the window exchange)
+    # where the qkey shingles exactly 1 simulated pair/url — what it
+    # benches is the production plan shape (digest filter below the
+    # shingle project), whose win materializes at real few-%-change rates
     try:
         from caraspark.curation import content_drift_prefiltered
 

@@ -369,11 +369,10 @@ def extract(
 
     ``salt="giants"`` is the scale-preferred middle ground: only documents
     ≥ ``giant_threshold`` bytes take an exchange — round-robin over
-    ``num_partitions × giant_fanout`` slices, so the dealt-out giant count
-    per task is within ±1 of even (a hash key leaves birthday-collision
-    bins of several giants, and with few expensive rows the most-loaded
-    task IS the wall) — everything else stays on the narrow zero-shuffle
-    path, and the two branches union.
+    ``num_partitions × giant_fanout`` slices (with few individually
+    expensive rows the most-loaded task IS the wall; see the branch
+    comment below for the exact balance guarantee) — everything else
+    stays on the narrow zero-shuffle path, and the two branches union.
     At crawl-realistic skew (giants are a sub-percent tail of rows) this
     shuffles a sub-percent of bytes instead of all of them, while still
     guaranteeing no task inherits a cluster of giants from the input
@@ -443,13 +442,23 @@ def extract(
         # on (size_class, salt): giants are few and individually expensive,
         # so the tail is set by the most-loaded TASK, and hashing G giants
         # into P partitions leaves birthday-collision bins of 3–4 giants
-        # (measured: the r4 giants-mode straggler). Round-robin deals rows
-        # out evenly — ≤⌈G/(P·fanout)⌉ giants per task, i.e. ~1 at crawl
-        # skew — so the floor becomes ONE giant parse, the irreducible
-        # physics. The explicit count keeps AQE from coalescing the small
+        # (measured: the r4 giants-mode straggler). Balance guarantee,
+        # precisely: RoundRobinPartitioning deals each INPUT partition's
+        # rows to consecutive slices from a per-partition pseudo-random
+        # start — exactly even within an input partition, random-offset
+        # across partitions. The clustered-tail pathology this mode exists
+        # for (all giants in one file → one input partition) therefore gets
+        # a ±1 deal-out; in the scattered regime (~1 giant per input
+        # partition) balance degrades to uniform-random — no worse than the
+        # hash key — and the fanout× extra bins still cut the expected max
+        # load. The explicit count keeps AQE from coalescing the small
         # shuffle back into few partitions (coalescing only applies to
         # non-user-specified counts), and mostly-empty extra tasks cost
-        # microseconds of scheduler time. salt/size_class still ride as
+        # microseconds of scheduler time. Costs: sortBeforeRepartition
+        # (default true, required for retry-determinism — do NOT disable it
+        # on this branch or stage retries can drop/duplicate rows) locally
+        # sorts the giant rows incl. blobs before dealing — bounded by the
+        # giant tail's size, not the corpus. salt/size_class still ride as
         # provenance columns for the UDF's per-doc metrics.
         giants = (
             keyed.filter(is_giant)

@@ -362,6 +362,22 @@ def main() -> None:
 
 def _write_report(s: dict) -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # the gate takes the best PER-ROUND pairing (round aggregate over the
+    # global best solo, normalized by that round's floored ceiling) — spell
+    # the winning pairing out so the table's raw/ceiling rows (which may
+    # come from OTHER rounds) can't be mistaken for the gate's inputs
+    gate_pairing = "probe failed every round; gate falls back to raw"
+    for r in s.get("rounds", []):
+        if r.get("hw_eff") is None:
+            continue
+        raw_r = r["agg_dps"] / (4 * s["solo_docs_per_sec_8c"])
+        if round(raw_r / max(r["hw_eff"], 0.8), 3) == s["gate_value"]:
+            gate_pairing = (
+                f"aggregate {r['agg_dps']} over 4 x best solo "
+                f"{s['solo_docs_per_sec_8c']} = raw {round(raw_r, 3)}, "
+                f"over floored same-window ceiling "
+                f"max({r['hw_eff']}, 0.8) = {max(r['hw_eff'], 0.8)}"
+            )
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers (protocol: /root/repo/BASELINE.md)
 
@@ -390,7 +406,8 @@ can only lower the reported efficiency, never inflate it.
 | **Scaling efficiency = aggregate / (4 x single), raw** | **{s["value"]}** |
 | Hardware ceiling, same session (`tools/hw_probe.py`: bare multiprocessing, zero coordination, same per-doc work) | {s["hw_ceiling"]} |
 | **Scaling efficiency, hardware-normalized = raw / ceiling** | **{s["value_hw_normalized"]}** |
-| Gate metric: raw / max(hw ceiling, 0.8) — floored so a noisy low probe can't excuse a bad raw number | **{s["gate_value"]}** |
+| Gate metric: best per-round pairing of (round aggregate / 4 x best solo) / max(same-round hw ceiling, 0.8) — floored so a noisy low probe can't excuse a bad raw number | **{s["gate_value"]}** |
+| Gate pairing (the round that set the metric — the raw/ceiling rows above may come from OTHER rounds) | {gate_pairing} |
 | Gate ≥ 0.8 | **{"PASS" if s["pass"] else "FAIL"}** |
 
 The shared VM's all-core capability fluctuates with co-tenant load (the
@@ -438,7 +455,15 @@ branch deals its rows out ROUND-ROBIN over `num_partitions x
 giant_fanout` slices instead of hashing on (size_class, salt): with few
 individually-expensive rows the most-loaded task is the wall, and a
 hash key leaves birthday-collision bins of 3-4 giants (the r4
-straggler, 0.657 fat-JVM efficiency; round-robin: 0.867). On the
+straggler). Same-window evidence for the change — cross-session
+absolutes drift with VM contention, so compare each mode against narrow
+measured in ITS OWN session: r4 giants 0.467 vs narrow 0.863 (0.54x);
+r5 round-robin giants 0.867 vs narrow 0.72 (1.20x) — giants mode now
+out-scales even the unskewed baseline in the same window. The deal-out
+is exactly even per input partition (the clustered-tail pathology is
+one input partition, so it gets a true +-1 spread); scattered giants
+degrade to uniform-random, no worse than the hash key, with fanout x
+extra bins still cutting the expected max load. On the
 writer-order corpus
 (scattered giants) giants mode is unnecessary and costs one extra scan —
 that regime is documented, not benchmarked, since production crawl
