@@ -78,7 +78,20 @@ def test_every_qkey_output_schema_is_driver_canonicalizable(spark, sf_smoke):
     they must be flattened/exploded before the qkey returns."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
+    # Piggybacked registry-wide PLAN pin (same DataFrame construction, so
+    # near-zero extra cost): no qkey's physical plan may contain a
+    # CartesianProduct (every join must be equi/broadcast/banded — the
+    # all-pairs scale-killer is structurally banned, incl. join_cross,
+    # whose bounded build side plans as BroadcastNestedLoopJoin) or a
+    # BatchEvalPython (row-at-a-time Python UDF — the hot-path slow lane;
+    # Arrow-vectorized MapInArrow/FlatMapGroupsInPandas nodes are the
+    # sanctioned Python boundary). One documented exception: udtf_objects
+    # exists to cover the Python UDTF API itself (SURVEY §2 U6), and
+    # Python UDTFs evaluate via BatchEvalPython by definition.
+    PLAN_ALLOW = {"udtf_objects": {"BatchEvalPython"}}
+
     offenders = {}
+    plan_offenders = {}
     for k, fn in ent.queries().items():
         df = fn(spark, sf_smoke)
         complex_cols = [
@@ -88,4 +101,13 @@ def test_every_qkey_output_schema_is_driver_canonicalizable(spark, sf_smoke):
         ]
         if complex_cols:
             offenders[k] = complex_cols
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        marks = {
+            m
+            for m in ("CartesianProduct", "BatchEvalPython")
+            if m in plan
+        } - PLAN_ALLOW.get(k, set())
+        if marks:
+            plan_offenders[k] = sorted(marks)
     assert offenders == {}
+    assert plan_offenders == {}
