@@ -109,5 +109,5 @@ def test_every_qkey_output_schema_is_driver_canonicalizable(spark, sf_smoke):
         } - PLAN_ALLOW.get(k, set())
         if marks:
             plan_offenders[k] = sorted(marks)
-    assert offenders == {}
-    assert plan_offenders == {}
+    # one combined assert so a schema offender can't mask plan offenders
+    assert (offenders, plan_offenders) == ({}, {})

@@ -60,10 +60,10 @@ def child(master: str, shuffle: str, sf_dir: str) -> None:
     print(json.dumps(out))
 
 
-def main() -> None:
+def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
         child(sys.argv[2], sys.argv[3], sys.argv[4])
-        return
+        return 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     shapes = [("local[8]", "7"), ("local[32]", "32")]
@@ -71,8 +71,16 @@ def main() -> None:
     for master, shuffle in shapes:
         r = subprocess.run(
             [sys.executable, __file__, "--run", master, shuffle, sf_dir],
-            capture_output=True, text=True, timeout=3600, check=True,
+            capture_output=True, text=True, timeout=3600,
         )
+        if r.returncode != 0:
+            # surface the child's Spark traceback — a swallowed stderr
+            # makes a crashed shape-run undiagnosable
+            print(r.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(
+                f"shape run {master}/shuffle={shuffle} failed "
+                f"(exit {r.returncode})"
+            )
         maps.append(json.loads(r.stdout.strip().splitlines()[-1]))
         print(f"{master}/shuffle={shuffle}: {len(maps[-1])} keys hashed",
               file=sys.stderr)
@@ -94,7 +102,10 @@ def main() -> None:
             }
         )
     )
+    # gate semantics like check_oracle.py: non-zero exit on failure so
+    # scripted batteries and check=True callers can't mistake a FAIL
+    return 1 if diff else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

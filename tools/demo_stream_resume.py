@@ -37,9 +37,13 @@ BASE = "/tmp/caraspark_stream_resume_demo"
 
 def job(src: str, out: str) -> None:
     """The streaming job run under spark-submit: file-source micro-batches
-    (one source file per trigger), idempotent epoch-dir parquet sink,
-    durable checkpoint, drain-and-exit."""
+    (one source file per trigger) through the PRODUCTION sink helper —
+    `streaming.foreach_batch_to_parquet` (idempotent epoch-dir writes +
+    durable checkpoint + drain-and-exit), so the demo exercises the exact
+    code path it makes claims about."""
     from pyspark.sql import SparkSession
+
+    from caraspark.streaming import foreach_batch_to_parquet
 
     spark = SparkSession.builder.getOrCreate()
     stream = (
@@ -47,21 +51,7 @@ def job(src: str, out: str) -> None:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-
-    def write_epoch(df, epoch_id):
-        df.write.mode("overwrite").parquet(
-            os.path.join(out, f"epoch={epoch_id}")
-        )
-
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(write_epoch)
-        .option("checkpointLocation", os.path.join(out, "_ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination()
+    foreach_batch_to_parquet(stream, out)
 
 
 def main() -> None:
@@ -87,6 +77,7 @@ def main() -> None:
 
     cmd = [
         "/opt/spark/bin/spark-submit", "--master", "local[8]",
+        "--py-files", "/root/repo/caraspark.zip",
         os.path.abspath(__file__), "--run", src, out,
     ]
 
@@ -105,8 +96,18 @@ def main() -> None:
             )
             break
         time.sleep(0.2)
-    p.wait()
-    assert killed_at is not None, "job finished before the kill window"
+    assert killed_at is not None, "no epochs appeared within the poll window"
+    try:
+        rc = p.wait(timeout=120)
+    except subprocess.TimeoutExpired:
+        raise SystemExit("killed job did not exit — SIGKILL did not land")
+    # the crash must be real: the job must have DIED from our SIGKILL with
+    # epochs still outstanding, not finished gracefully between two polls
+    assert rc == -signal.SIGKILL, f"job exited {rc}, not via SIGKILL"
+    assert len(killed_at) < N_FILES, (
+        f"all {N_FILES} epochs were already done at the kill — no crash "
+        "was actually tested; rerun with more/larger source files"
+    )
 
     # run 2: identical command resumes from the checkpoint
     subprocess.run(cmd, check=True, capture_output=True, timeout=600)
@@ -132,6 +133,9 @@ def main() -> None:
             }
         )
     )
+    # non-zero exit on verification failure so a scripted re-run of the
+    # demo can't silently record a regression as success
+    raise SystemExit(0 if sorted(got) == want else 1)
 
 
 if __name__ == "__main__":
